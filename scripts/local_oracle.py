@@ -1,0 +1,77 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate (SURVEY.md §5.2 T2).
+
+Usage: python3 scripts/local_oracle.py <sfDir> <verifyOutDir> [key ...]
+
+For every key in <verifyOutDir>/oracle_sql.json (or just the keys given):
+  - run the oracle SQL in DuckDB with views over <sfDir>/*.parquet
+  - load the Spark result parquet from <verifyOutDir>/<key>/
+  - compare: column-name sets, row counts, and exact multiset equality
+    (EXCEPT ALL both directions). Row ORDER is guaranteed by each query's
+    total ORDER BY; the multiset check plus that invariant implies equality.
+
+Exit code = number of failing keys.
+"""
+import json
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    fails = []
+    for key in sorted(oracle):
+        if only and key not in only:
+            continue
+        sql = oracle[key]
+        try:
+            con.execute(f"CREATE OR REPLACE VIEW _exp AS {sql}")
+            con.execute(
+                "CREATE OR REPLACE VIEW _got AS SELECT * FROM "
+                f"read_parquet('{out_dir}/{key}/*.parquet')")
+            exp_cols = [r[0] for r in con.execute("DESCRIBE _exp").fetchall()]
+            got_cols = [r[0] for r in con.execute("DESCRIBE _got").fetchall()]
+            if sorted(exp_cols) != sorted(got_cols):
+                fails.append(key)
+                print(f"FAIL {key}: columns exp={sorted(exp_cols)} got={sorted(got_cols)}")
+                continue
+            collist = ", ".join(f'"{c}"' for c in sorted(exp_cols))
+            n_exp = con.execute("SELECT count(*) FROM _exp").fetchone()[0]
+            n_got = con.execute("SELECT count(*) FROM _got").fetchone()[0]
+            d1 = con.execute(
+                f"SELECT {collist} FROM _exp EXCEPT ALL SELECT {collist} FROM _got"
+            ).fetchall()
+            d2 = con.execute(
+                f"SELECT {collist} FROM _got EXCEPT ALL SELECT {collist} FROM _exp"
+            ).fetchall()
+            if n_exp != n_got or d1 or d2:
+                fails.append(key)
+                print(f"FAIL {key}: rows exp={n_exp} got={n_got} "
+                      f"missing={len(d1)} extra={len(d2)}")
+                for r in d1[:3]:
+                    print(f"  exp-only {r}")
+                for r in d2[:3]:
+                    print(f"  got-only {r}")
+            else:
+                print(f"ok   {key} ({n_exp} rows)")
+        except Exception as e:  # noqa: BLE001
+            fails.append(key)
+            print(f"FAIL {key}: {type(e).__name__}: {e}")
+    print(f"\n{len(oracle) - len(fails)}/{len(oracle)} passed" +
+          (f"; FAILING: {' '.join(fails)}" if fails else ""))
+    sys.exit(len(fails))
+
+
+if __name__ == "__main__":
+    main()

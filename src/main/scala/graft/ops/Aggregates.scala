@@ -1,0 +1,193 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.ops.T._
+
+/** Group A (aggregation) — SURVEY.md §2b.
+  *
+  * Reference analogs: flexcalc/analyze.py::histogram / intensity_range /
+  * moments (R16-R18) are "aggregate bulk data to small state" — the same
+  * shape as Spark partial+final hash aggregation, which pushes the partial
+  * aggregate map-side so only group states cross the shuffle (the property
+  * that makes these run at 100 TB).
+  *
+  * Determinism: decimal sums (R2), avg via exact-sum/count (Core.avgDec),
+  * round(…,6) on float stats (R3), grouping flags cast to INT on both
+  * engines so schemas agree.
+  */
+object Aggregates {
+
+  val queries: Map[String, Q] = Map(
+    // TPC-H Q1 analog — the M0 walking-skeleton query.
+    "a_group_sum_q1" -> ((s, d) => {
+      val disc = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      val charge = disc * (lit(1.0) + col("l_tax"))
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(dec(col("l_quantity"))).as("sum_qty"),
+          sum(dec(col("l_extendedprice"))).as("sum_base_price"),
+          sum(dec(disc)).as("sum_disc_price"),
+          sum(dec(charge)).as("sum_charge"),
+          avgDec(sum(dec(col("l_quantity"))), count(lit(1))).as("avg_qty"),
+          avgDec(sum(dec(col("l_extendedprice"))), count(lit(1))).as("avg_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    "a_count_distinct" -> ((s, d) =>
+      t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(countDistinct(col("c_custkey")).as("n_cust"),
+          countDistinct(col("o_orderkey")).as("n_orders"))
+        .orderBy("c_mktsegment")),
+
+    "a_multi_distinct" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"))
+        .orderBy("l_returnflag")),
+
+    "a_rollup" -> ((s, d) =>
+      t(s, d, "customer")
+        .join(t(s, d, "nation"), col("c_nationkey") === col("n_nationkey"))
+        .join(t(s, d, "region"), col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("cust_cnt"),
+          grouping(col("r_name")).cast("int").as("g_r"),
+          grouping(col("n_name")).cast("int").as("g_n"))
+        .select("r_name", "n_name", "cust_cnt", "g_r", "g_n")
+        .orderBy(col("g_r"), col("g_n"),
+          col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)),
+
+    "a_cube" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(dec(col("l_quantity"))).as("sum_qty"),
+          count(lit(1)).as("cnt"),
+          grouping(col("l_returnflag")).cast("int").as("g_f"),
+          grouping(col("l_linestatus")).cast("int").as("g_s"))
+        .select("l_returnflag", "l_linestatus", "sum_qty", "cnt", "g_f", "g_s")
+        .orderBy(col("g_f"), col("g_s"),
+          col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
+
+    "a_gsets" -> ((s, d) =>
+      t(s, d, "customer")
+        .join(t(s, d, "nation"), col("c_nationkey") === col("n_nationkey"))
+        .groupingSets(
+          Seq(Seq(col("c_mktsegment")), Seq(col("n_name")), Seq()),
+          col("c_mktsegment"), col("n_name"))
+        .agg(count(lit(1)).as("cust_cnt"),
+          grouping(col("c_mktsegment")).cast("int").as("g_seg"),
+          grouping(col("n_name")).cast("int").as("g_nat"))
+        .select("c_mktsegment", "n_name", "cust_cnt", "g_seg", "g_nat")
+        .orderBy(col("g_seg"), col("g_nat"),
+          col("c_mktsegment").asc_nulls_first, col("n_name").asc_nulls_first)),
+
+    "a_having" -> ((s, d) =>
+      t(s, d, "customer")
+        .join(t(s, d, "nation"), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("cust_cnt"))
+        .filter(col("cust_cnt") > 55)
+        .orderBy("n_name")),
+
+    "a_stats" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(stddev_samp(col("l_quantity")), 6).as("sd_qty"),
+          round(var_samp(col("l_quantity")), 6).as("var_qty"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qp"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 6).as("cov_qp"),
+          round(expr("percentile(l_quantity, 0.5D)"), 6).as("median_qty"))
+        .orderBy("l_returnflag")),
+
+    "a_minmax_by" -> ((s, d) =>
+      t(s, d, "orders")
+        .groupBy("o_orderstatus")
+        .agg(dec(max(col("o_totalprice"))).as("max_price"),
+          max_by(col("o_orderkey"), col("o_totalprice")).as("best_key"),
+          min_by(col("o_orderkey"), col("o_totalprice")).as("worst_key"))
+        .orderBy("o_orderstatus")),
+
+    // Deterministic collect: sorted array (R5 of §7.3 — never raw collect_list).
+    "a_collect_sorted" -> ((s, d) =>
+      t(s, d, "nation")
+        .groupBy("n_regionkey")
+        .agg(sort_array(collect_list(col("n_name"))).as("names"))
+        .orderBy("n_regionkey")),
+
+    // Sketches: HLL++ / KLL — algorithms differ from DuckDB's, so no oracle;
+    // covered by the T3 property suite (within rsd of exact).
+    "a_approx_hll" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+          round(expr("approx_percentile(value, 0.5D)"), 6).as("approx_median"))
+        .orderBy("event_type"))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "a_group_sum_q1" ->
+      ("SELECT l_returnflag, l_linestatus, " +
+        "sum(CAST(l_quantity AS DECIMAL(38,6))) AS sum_qty, " +
+        "sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS sum_base_price, " +
+        "sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS sum_disc_price, " +
+        "sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(38,6))) AS sum_charge, " +
+        "CAST(CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS DECIMAL(38,6)) AS avg_qty, " +
+        "CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS DECIMAL(38,6)) AS avg_price, " +
+        "count(*) AS count_order " +
+        "FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),
+    "a_count_distinct" ->
+      ("SELECT c_mktsegment, count(DISTINCT c_custkey) AS n_cust, " +
+        "count(DISTINCT o_orderkey) AS n_orders " +
+        "FROM customer JOIN orders ON c_custkey = o_custkey " +
+        "GROUP BY c_mktsegment ORDER BY c_mktsegment"),
+    "a_multi_distinct" ->
+      ("SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts, " +
+        "count(DISTINCT l_suppkey) AS n_supps " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "a_rollup" ->
+      ("SELECT r_name, n_name, count(*) AS cust_cnt, " +
+        "CAST(grouping(r_name) AS INTEGER) AS g_r, CAST(grouping(n_name) AS INTEGER) AS g_n " +
+        "FROM customer JOIN nation ON c_nationkey = n_nationkey " +
+        "JOIN region ON n_regionkey = r_regionkey " +
+        "GROUP BY ROLLUP (r_name, n_name) " +
+        "ORDER BY g_r, g_n, r_name NULLS FIRST, n_name NULLS FIRST"),
+    "a_cube" ->
+      ("SELECT l_returnflag, l_linestatus, sum(CAST(l_quantity AS DECIMAL(38,6))) AS sum_qty, " +
+        "count(*) AS cnt, CAST(grouping(l_returnflag) AS INTEGER) AS g_f, " +
+        "CAST(grouping(l_linestatus) AS INTEGER) AS g_s " +
+        "FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus) " +
+        "ORDER BY g_f, g_s, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"),
+    "a_gsets" ->
+      ("SELECT c_mktsegment, n_name, count(*) AS cust_cnt, " +
+        "CAST(grouping(c_mktsegment) AS INTEGER) AS g_seg, " +
+        "CAST(grouping(n_name) AS INTEGER) AS g_nat " +
+        "FROM customer JOIN nation ON c_nationkey = n_nationkey " +
+        "GROUP BY GROUPING SETS ((c_mktsegment), (n_name), ()) " +
+        "ORDER BY g_seg, g_nat, c_mktsegment NULLS FIRST, n_name NULLS FIRST"),
+    "a_having" ->
+      ("SELECT n_name, count(*) AS cust_cnt FROM customer " +
+        "JOIN nation ON c_nationkey = n_nationkey " +
+        "GROUP BY n_name HAVING count(*) > 55 ORDER BY n_name"),
+    "a_stats" ->
+      ("SELECT l_returnflag, round(stddev_samp(l_quantity), 6) AS sd_qty, " +
+        "round(var_samp(l_quantity), 6) AS var_qty, " +
+        "round(corr(l_quantity, l_extendedprice), 6) AS corr_qp, " +
+        "round(covar_samp(l_quantity, l_extendedprice), 6) AS cov_qp, " +
+        "round(percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity), 6) AS median_qty " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "a_minmax_by" ->
+      ("SELECT o_orderstatus, CAST(max(o_totalprice) AS DECIMAL(38,6)) AS max_price, " +
+        "arg_max(o_orderkey, o_totalprice) AS best_key, " +
+        "arg_min(o_orderkey, o_totalprice) AS worst_key " +
+        "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+    "a_collect_sorted" ->
+      ("SELECT n_regionkey, array_agg(n_name ORDER BY n_name) AS names " +
+        "FROM nation GROUP BY n_regionkey ORDER BY n_regionkey")
+  )
+}

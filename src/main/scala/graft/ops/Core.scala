@@ -1,0 +1,36 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** Shared helpers for all operator groups (SURVEY.md §2b).
+  *
+  * Determinism idioms (SURVEY.md §7.3):
+  *  - `dec`: per-row cast to DECIMAL(38,6) before SUM so the aggregate is
+  *    exact and identical across Spark and the DuckDB oracle (R2).
+  *  - `avgDec`: exact decimal sum → double → divide → decimal. Avoids
+  *    engine-specific decimal-division result types.
+  */
+private[graft] object T {
+  /** Read one driver-generated parquet table (TESTDATA.md). */
+  def t(s: SparkSession, sfDir: String, name: String): DataFrame =
+    if (name == "events") events(s, sfDir) else s.read.parquet(s"$sfDir/$name.parquet")
+
+  /** events.ts is parquet TIMESTAMP(NANOS) (FIXTURES.md ⚠), which Spark 4
+    * rejects outright (PARQUET_TYPE_ILLEGAL). Read it as raw nanos and
+    * truncate to a µs timestamp — same value DuckDB sees after its own
+    * date_trunc to ≥ms (SURVEY §7.3 R4 keeps raw ts out of query output).
+    */
+  def events(s: SparkSession, sfDir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+  }
+
+  def dec(c: Column): Column = c.cast("decimal(38,6)")
+
+  /** Deterministic cross-engine average: exact decimal sum / count. */
+  def avgDec(sumDec: Column, cnt: Column): Column =
+    (sumDec.cast("double") / cnt).cast("decimal(38,6)")
+
+  type Q = (SparkSession, String) => DataFrame
+}

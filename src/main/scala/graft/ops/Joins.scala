@@ -1,0 +1,209 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ops.T._
+
+/** Group J (joins) — SURVEY.md §2b.
+  *
+  * The reference (flexcalc) has no relational joins — only positional
+  * stitch/merge (process.py::append_tile, batch.py::merge, R10/R25); the
+  * full join surface is built Spark-natively per the north star.
+  *
+  * Scale notes (100 TB): small dims (region/nation/supplier/part) broadcast —
+  * AQE does this automatically, `j_broadcast` pins it explicitly. The band
+  * join `j_theta_band` is pre-bucketed on 5-minute keys so Spark executes an
+  * equi-join O(n·k) instead of a per-user cross product (SURVEY §7.4.2).
+  */
+object Joins {
+
+  val queries: Map[String, Q] = Map(
+    "j_inner_eq" -> ((s, d) =>
+      t(s, d, "orders")
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_custkey", "c_name")
+        .agg(count(lit(1)).as("order_cnt"),
+          sum(dec(col("o_totalprice"))).as("total_spent"))
+        .orderBy("c_custkey")),
+
+    "j_left_outer" -> ((s, d) =>
+      t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(count(col("o_orderkey")).as("order_cnt"))
+        .orderBy("c_custkey")),
+
+    "j_right_outer" -> ((s, d) =>
+      t(s, d, "orders")
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"), "right")
+        .groupBy("c_custkey", "c_name")
+        .agg(count(col("o_orderkey")).as("order_cnt"))
+        .orderBy("c_custkey")),
+
+    // Full outer over two overlapping key-partitioned slices of orders:
+    // %3∈{0,1} vs %3∈{1,2} → nulls on both sides.
+    "j_full_outer" -> ((s, d) => {
+      val o = t(s, d, "orders").select("o_orderkey")
+      val a = o.filter(pmod(col("o_orderkey"), lit(3)).isin(0, 1))
+        .select(col("o_orderkey").as("a_key"))
+      val b = o.filter(pmod(col("o_orderkey"), lit(3)).isin(1, 2))
+        .select(col("o_orderkey").as("b_key"))
+      a.join(b, col("a_key") === col("b_key"), "full")
+        .select(col("a_key"), col("b_key"),
+          coalesce(col("a_key"), col("b_key")).as("okey"))
+        .orderBy("okey")
+    }),
+
+    "j_semi" -> ((s, d) =>
+      t(s, d, "customer")
+        .join(t(s, d, "orders").filter(col("o_orderstatus") === "O"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")),
+
+    "j_anti" -> ((s, d) =>
+      t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")),
+
+    "j_cross" -> ((s, d) =>
+      t(s, d, "region")
+        .crossJoin(t(s, d, "nation"))
+        .select(col("r_regionkey"), col("n_nationkey"),
+          concat(col("r_name"), lit("-"), col("n_name")).as("pair"))
+        .orderBy("r_regionkey", "n_nationkey")),
+
+    // Explicit broadcast-hash join: plan must show BroadcastHashJoin.
+    "j_broadcast" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .join(broadcast(t(s, d, "part")), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("line_cnt"),
+          sum(dec(col("l_quantity"))).as("sum_qty"))
+        .orderBy("p_brand")),
+
+    // 4-way chain — Catalyst reorders; dims broadcast under AQE.
+    "j_multiway" -> ((s, d) =>
+      t(s, d, "region")
+        .join(t(s, d, "nation"), col("r_regionkey") === col("n_regionkey"))
+        .join(t(s, d, "customer"), col("n_nationkey") === col("c_nationkey"))
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"))
+        .groupBy("r_regionkey", "r_name")
+        .agg(count(lit(1)).as("order_cnt"),
+          sum(dec(col("o_totalprice"))).as("total_price"))
+        .orderBy("r_regionkey")),
+
+    // Band join, pre-bucketed on 5-min keys (SURVEY §7.4.2): the probe side
+    // is exploded to buckets {b, b-1} so `bucket(e1) = jb(e2)` is an
+    // equi-join key; the raw band predicate then refines. Each qualifying
+    // pair matches exactly one bucket pairing → no duplicates.
+    // ts is ms-truncated on BOTH engines before comparing (ns trap, §1.2).
+    "j_theta_band" -> ((s, d) => {
+      val e = t(s, d, "events").select(
+        col("event_id"), col("user_id"),
+        date_trunc("millisecond", col("ts")).as("ts_ms"))
+      val bucketed = e.withColumn("b", expr("unix_millis(ts_ms) div 300000"))
+      val e1 = bucketed.select(col("user_id").as("u"),
+        col("event_id").as("a_id"), col("ts_ms").as("a_ts"), col("b"))
+      val e2 = bucketed
+        .withColumn("jb", explode(array(col("b"), col("b") - 1)))
+        .select(col("user_id").as("u2"), col("event_id").as("b_id"),
+          col("ts_ms").as("b_ts"), col("jb"))
+      e1.join(e2,
+          col("u") === col("u2") && col("b") === col("jb") &&
+            col("b_ts") > col("a_ts") &&
+            col("b_ts") <= col("a_ts") + expr("INTERVAL 5 MINUTES"))
+        .select(col("u").as("user_id"), col("a_id"), col("b_id"))
+        .orderBy("a_id", "b_id")
+    }),
+
+    // As-of via running max over earlier rows (deterministic window form,
+    // identical on both engines; ordering key (ts_ms, event_id) breaks
+    // post-truncation ties).
+    "j_asof" -> ((s, d) => {
+      val e = t(s, d, "events")
+        .filter(col("event_type").isin("view", "purchase"))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          date_trunc("millisecond", col("ts")).as("ts_ms"))
+      val w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      e.withColumn("prev_view_ts",
+          max(when(col("event_type") === "view", col("ts_ms"))).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"),
+          col("ts_ms").as("purchase_ts"), col("prev_view_ts"))
+        .orderBy("event_id")
+    }),
+
+    // Theta inequality join, bounded by the nation equi-key.
+    "j_theta_ineq" -> ((s, d) =>
+      t(s, d, "supplier")
+        .join(t(s, d, "customer"),
+          col("s_nationkey") === col("c_nationkey") &&
+            col("s_acctbal") > col("c_acctbal"))
+        .select("s_suppkey", "c_custkey")
+        .orderBy("s_suppkey", "c_custkey"))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "j_inner_eq" ->
+      ("SELECT c_custkey, c_name, count(*) AS order_cnt, " +
+        "sum(CAST(o_totalprice AS DECIMAL(38,6))) AS total_spent " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey " +
+        "GROUP BY c_custkey, c_name ORDER BY c_custkey"),
+    "j_left_outer" ->
+      ("SELECT c_custkey, c_name, count(o_orderkey) AS order_cnt " +
+        "FROM customer LEFT JOIN orders ON c_custkey = o_custkey " +
+        "GROUP BY c_custkey, c_name ORDER BY c_custkey"),
+    "j_right_outer" ->
+      ("SELECT c_custkey, c_name, count(o_orderkey) AS order_cnt " +
+        "FROM orders RIGHT JOIN customer ON o_custkey = c_custkey " +
+        "GROUP BY c_custkey, c_name ORDER BY c_custkey"),
+    "j_full_outer" ->
+      ("SELECT a.a_key AS a_key, b.b_key AS b_key, coalesce(a.a_key, b.b_key) AS okey " +
+        "FROM (SELECT o_orderkey AS a_key FROM orders WHERE o_orderkey % 3 IN (0,1)) a " +
+        "FULL OUTER JOIN (SELECT o_orderkey AS b_key FROM orders WHERE o_orderkey % 3 IN (1,2)) b " +
+        "ON a.a_key = b.b_key ORDER BY okey"),
+    "j_semi" ->
+      ("SELECT c_custkey, c_name FROM customer WHERE EXISTS " +
+        "(SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'O') " +
+        "ORDER BY c_custkey"),
+    "j_anti" ->
+      ("SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS " +
+        "(SELECT 1 FROM orders WHERE o_custkey = c_custkey) ORDER BY c_custkey"),
+    "j_cross" ->
+      ("SELECT r_regionkey, n_nationkey, r_name || '-' || n_name AS pair " +
+        "FROM region CROSS JOIN nation ORDER BY r_regionkey, n_nationkey"),
+    "j_broadcast" ->
+      ("SELECT p_brand, count(*) AS line_cnt, sum(CAST(l_quantity AS DECIMAL(38,6))) AS sum_qty " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+        "GROUP BY p_brand ORDER BY p_brand"),
+    "j_multiway" ->
+      ("SELECT r_regionkey, r_name, count(*) AS order_cnt, " +
+        "sum(CAST(o_totalprice AS DECIMAL(38,6))) AS total_price " +
+        "FROM region JOIN nation ON r_regionkey = n_regionkey " +
+        "JOIN customer ON n_nationkey = c_nationkey " +
+        "JOIN orders ON c_custkey = o_custkey " +
+        "GROUP BY r_regionkey, r_name ORDER BY r_regionkey"),
+    "j_theta_band" ->
+      ("WITH e AS (SELECT event_id, user_id, date_trunc('milliseconds', ts) AS ts_ms FROM events) " +
+        "SELECT e1.user_id AS user_id, e1.event_id AS a_id, e2.event_id AS b_id " +
+        "FROM e e1 JOIN e e2 ON e1.user_id = e2.user_id " +
+        "AND e2.ts_ms > e1.ts_ms AND e2.ts_ms <= e1.ts_ms + INTERVAL 5 MINUTE " +
+        "ORDER BY a_id, b_id"),
+    "j_asof" ->
+      ("WITH e AS (SELECT event_id, user_id, event_type, date_trunc('milliseconds', ts) AS ts_ms " +
+        "FROM events WHERE event_type IN ('view','purchase')) " +
+        "SELECT user_id, event_id, ts_ms AS purchase_ts, prev_view_ts FROM (" +
+        "SELECT user_id, event_id, event_type, ts_ms, " +
+        "max(CASE WHEN event_type = 'view' THEN ts_ms END) OVER (" +
+        "PARTITION BY user_id ORDER BY ts_ms, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_view_ts FROM e) " +
+        "WHERE event_type = 'purchase' ORDER BY event_id"),
+    "j_theta_ineq" ->
+      ("SELECT s_suppkey, c_custkey FROM supplier JOIN customer " +
+        "ON s_nationkey = c_nationkey AND s_acctbal > c_acctbal " +
+        "ORDER BY s_suppkey, c_custkey")
+  )
+}

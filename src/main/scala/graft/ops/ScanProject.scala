@@ -1,0 +1,120 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.ops.T._
+
+/** Groups S (scans/sources) + P (projection/filter/predicates) — SURVEY.md §2b.
+  *
+  * Reference analog: flexcalc/batch.py::scheduler.read_data (R1) with its
+  * `sampling=`/`skip=` subsample args maps to Parquet column pruning +
+  * predicate pushdown + deterministic modulo sampling here; write_data (R2)
+  * is exercised by the Verify parquet sink on every query.
+  */
+object ScanProject {
+
+  val queries: Map[String, Q] = Map(
+    // R1 analog: full scan, all columns.
+    "s_scan_full" -> ((s, d) =>
+      t(s, d, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .orderBy("n_nationkey")),
+
+    // R1 analog: column pruning — ReadSchema should list only 3 columns.
+    "s_scan_prune" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // R1 analog: predicate pushdown — PushedFilters should carry the bound.
+    "s_scan_pushdown" -> ((s, d) =>
+      t(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate", "o_orderpriority")
+        .orderBy("o_orderkey")),
+
+    // R1 `sampling=` analog: deterministic every-10th-key sample (no RNG —
+    // TABLESAMPLE differs across engines, SURVEY §2b).
+    "s_scan_sample_det" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .filter(pmod(col("l_orderkey"), lit(10)) === 0)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // Projection arithmetic in double, final per-row cast to DECIMAL(38,6)
+    // (SURVEY §7.3 R2) — same charge expression as TPC-H.
+    "p_proj_arith" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          dec(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+            (lit(1.0) + col("l_tax"))).as("charge"),
+          concat_ws("|", col("l_returnflag"), col("l_linestatus")).as("flags"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // Compound predicates: AND/OR/NOT, IN, BETWEEN, LIKE.
+    "p_filter_compound" -> ((s, d) =>
+      t(s, d, "part")
+        .filter(
+          col("p_size").between(10, 30) &&
+            (col("p_type").like("PROMO%") ||
+              col("p_brand").isin("Brand#1", "Brand#2")) &&
+            !(col("p_size") === 15))
+        .select("p_partkey", "p_name", "p_brand", "p_type", "p_size")
+        .orderBy("p_partkey")),
+
+    // Three-valued logic: nullif / IS NULL / coalesce / IS DISTINCT FROM.
+    "p_filter_null_logic" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .withColumn("qn", expr("nullif(l_quantity, 1.0D)"))
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          col("qn").isNull.as("q_is_null"),
+          coalesce(col("qn"), lit(-1.0)).as("q_coalesced"),
+          (!(col("qn") <=> col("l_discount"))).as("q_distinct_disc"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // Tiered CASE WHEN → bucket counts.
+    "p_case_when" -> ((s, d) =>
+      t(s, d, "orders")
+        .withColumn("bucket",
+          when(col("o_totalprice") < 50000, "low")
+            .when(col("o_totalprice") < 150000, "mid")
+            .otherwise("high"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("bucket"))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "s_scan_full" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "s_scan_prune" ->
+      "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem ORDER BY l_orderkey, l_linenumber",
+    "s_scan_pushdown" ->
+      ("SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority " +
+        "FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01' ORDER BY o_orderkey"),
+    "s_scan_sample_det" ->
+      ("SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem " +
+        "WHERE l_orderkey % 10 = 0 ORDER BY l_orderkey, l_linenumber"),
+    "p_proj_arith" ->
+      ("SELECT l_orderkey, l_linenumber, " +
+        "CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(38,6)) AS charge, " +
+        "l_returnflag || '|' || l_linestatus AS flags " +
+        "FROM lineitem ORDER BY l_orderkey, l_linenumber"),
+    "p_filter_compound" ->
+      ("SELECT p_partkey, p_name, p_brand, p_type, p_size FROM part " +
+        "WHERE p_size BETWEEN 10 AND 30 " +
+        "AND (p_type LIKE 'PROMO%' OR p_brand IN ('Brand#1','Brand#2')) " +
+        "AND NOT (p_size = 15) ORDER BY p_partkey"),
+    "p_filter_null_logic" ->
+      ("SELECT l_orderkey, l_linenumber, qn IS NULL AS q_is_null, " +
+        "coalesce(qn, -1.0) AS q_coalesced, qn IS DISTINCT FROM l_discount AS q_distinct_disc " +
+        "FROM (SELECT *, nullif(l_quantity, 1.0) AS qn FROM lineitem) " +
+        "ORDER BY l_orderkey, l_linenumber"),
+    "p_case_when" ->
+      ("SELECT CASE WHEN o_totalprice < 50000 THEN 'low' " +
+        "WHEN o_totalprice < 150000 THEN 'mid' ELSE 'high' END AS bucket, " +
+        "count(*) AS cnt FROM orders GROUP BY 1 ORDER BY bucket")
+  )
+}

@@ -1,0 +1,157 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ops.T._
+
+/** Group W (window functions) — SURVEY.md §2b.
+  *
+  * Reference analog: flexcalc's per-neighborhood operators
+  * (process.py::interpolate_holes R7, subtract_air R5) are window-shaped:
+  * a value computed from surrounding rows of the same partition. Windows
+  * shuffle once on the partition key and sort within — at 100 TB the
+  * partition key (customer / user / status) must carry the parallelism,
+  * so no query here uses a global (unpartitioned) window except w_ntile,
+  * where the global total order IS the semantics under test.
+  *
+  * Every window order key is made total with a trailing unique key so both
+  * engines see the same frame contents (SURVEY §7.3 R1).
+  */
+object Windows {
+
+  val queries: Map[String, Q] = Map(
+    "w_rownum" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      t(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          row_number().over(w).as("rn"))
+        .orderBy("o_custkey", "rn")
+    }),
+
+    // Real ties: ordering on the 5-valued o_orderpriority.
+    "w_rank_dense" -> ((s, d) => {
+      val w = Window.partitionBy("o_orderstatus").orderBy("o_orderpriority")
+      t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"),
+          rank().over(w).as("rnk"), dense_rank().over(w).as("drnk"))
+        .orderBy("o_orderkey")
+    }),
+
+    "w_ntile" -> ((s, d) => {
+      val w = Window.orderBy("o_totalprice", "o_orderkey")
+      t(s, d, "orders")
+        .select(col("o_orderkey"), ntile(4).over(w).as("tile"))
+        .orderBy("o_orderkey")
+    }),
+
+    "w_lag_lead" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+      t(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          date_trunc("millisecond", col("ts")).as("ts_ms"))
+        .select(col("user_id"), col("event_id"),
+          (unix_millis(col("ts_ms")) - unix_millis(lag(col("ts_ms"), 1).over(w)))
+            .as("gap_ms"),
+          lead(col("event_type"), 1).over(w).as("next_type"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    "w_frame_rows" -> ((s, d) => {
+      val w = Window.partitionBy("o_orderstatus")
+        .orderBy("o_orderdate", "o_orderkey").rowsBetween(-6, 0)
+      t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderdate"),
+          sum(dec(col("o_totalprice"))).over(w).as("mov_sum"),
+          avgDec(sum(dec(col("o_totalprice"))).over(w), count(lit(1)).over(w))
+            .as("mov_avg"))
+        .orderBy("o_orderstatus", "o_orderdate", "o_orderkey")
+    }),
+
+    // RANGE frame over the numeric order key: all rows within 1000 of the
+    // current price (ties included by definition → deterministic).
+    "w_frame_range" -> ((s, d) => {
+      val w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice")
+        .rangeBetween(-1000, 0)
+      t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          count(lit(1)).over(w).as("band_n"),
+          sum(dec(col("o_totalprice"))).over(w).as("band_sum"))
+        .orderBy("o_orderstatus", "o_totalprice", "o_orderkey")
+    }),
+
+    // Cumulative revenue + post-window filter (QUALIFY analog).
+    "w_running_total" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      t(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          sum(dec(col("o_totalprice"))).over(w).as("cum_total"))
+        .filter(col("cum_total") > lit(300000).cast("decimal(38,6)"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    "w_first_last" -> ((s, d) => {
+      val w = Window.partitionBy("o_orderstatus").orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, d, "orders")
+        .select(col("o_orderstatus"),
+          first(col("o_orderkey")).over(w).as("first_key"),
+          last(col("o_orderkey")).over(w).as("last_key"))
+        .distinct()
+        .orderBy("o_orderstatus")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "w_rownum" ->
+      ("SELECT o_custkey, o_orderkey, o_orderdate, " +
+        "row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn " +
+        "FROM orders ORDER BY o_custkey, rn"),
+    "w_rank_dense" ->
+      ("SELECT o_orderkey, o_orderstatus, o_orderpriority, " +
+        "rank() OVER (PARTITION BY o_orderstatus ORDER BY o_orderpriority) AS rnk, " +
+        "dense_rank() OVER (PARTITION BY o_orderstatus ORDER BY o_orderpriority) AS drnk " +
+        "FROM orders ORDER BY o_orderkey"),
+    "w_ntile" ->
+      ("SELECT o_orderkey, ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS tile " +
+        "FROM orders ORDER BY o_orderkey"),
+    "w_lag_lead" ->
+      ("WITH e AS (SELECT event_id, user_id, event_type, " +
+        "date_trunc('milliseconds', ts) AS ts_ms FROM events) " +
+        "SELECT user_id, event_id, " +
+        "epoch_ms(ts_ms) - epoch_ms(lag(ts_ms, 1) OVER " +
+        "(PARTITION BY user_id ORDER BY ts_ms, event_id)) AS gap_ms, " +
+        "lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) AS next_type " +
+        "FROM e ORDER BY user_id, event_id"),
+    "w_frame_rows" ->
+      ("SELECT o_orderkey, o_orderstatus, o_orderdate, " +
+        "sum(CAST(o_totalprice AS DECIMAL(38,6))) OVER w AS mov_sum, " +
+        "CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) OVER w AS DOUBLE) " +
+        "/ count(*) OVER w AS DECIMAL(38,6)) AS mov_avg " +
+        "FROM orders WINDOW w AS (PARTITION BY o_orderstatus " +
+        "ORDER BY o_orderdate, o_orderkey ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) " +
+        "ORDER BY o_orderstatus, o_orderdate, o_orderkey"),
+    "w_frame_range" ->
+      ("SELECT o_orderkey, o_orderstatus, o_totalprice, " +
+        "count(*) OVER w AS band_n, " +
+        "sum(CAST(o_totalprice AS DECIMAL(38,6))) OVER w AS band_sum " +
+        "FROM orders WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice " +
+        "RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) " +
+        "ORDER BY o_orderstatus, o_totalprice, o_orderkey"),
+    "w_running_total" ->
+      ("SELECT o_custkey, o_orderkey, cum_total FROM (" +
+        "SELECT o_custkey, o_orderkey, " +
+        "sum(CAST(o_totalprice AS DECIMAL(38,6))) OVER (" +
+        "PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_total FROM orders) " +
+        "WHERE cum_total > 300000 ORDER BY o_custkey, o_orderkey"),
+    "w_first_last" ->
+      ("SELECT DISTINCT o_orderstatus, " +
+        "first_value(o_orderkey) OVER w AS first_key, " +
+        "last_value(o_orderkey) OVER w AS last_key " +
+        "FROM orders WINDOW w AS (PARTITION BY o_orderstatus " +
+        "ORDER BY o_orderdate, o_orderkey " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) " +
+        "ORDER BY o_orderstatus")
+  )
+}
