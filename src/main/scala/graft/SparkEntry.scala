@@ -15,11 +15,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2b. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ScanProject.queries ++ Joins.queries ++ Aggregates.queries ++
-      Windows.queries ++ SetSort.queries
+      Windows.queries ++ SetSort.queries ++ Functions.queries ++
+      EventTime.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ScanProject.oracleSql ++ Joins.oracleSql ++ Aggregates.oracleSql ++
-      Windows.oracleSql ++ SetSort.oracleSql
+      Windows.oracleSql ++ SetSort.oracleSql ++ Functions.oracleSql ++
+      EventTime.oracleSql
 }

@@ -1,0 +1,149 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.ops.T._
+
+/** Group T (streaming semantics, batch-parity graded) — SURVEY.md §2b.
+  *
+  * Graded as batch over `events`; every pipeline is written stream-portable:
+  * the same groupBy(window/session_window) compiles under readStream +
+  * withWatermark, demonstrated for real by t_stream_runtime (Trigger
+  * .AvailableNow → memory sink, asserted equal to the batch plan by the T3
+  * property suite).
+  *
+  * All event timestamps are ms-truncated BEFORE any bucketing/comparison so
+  * both engines evaluate identical values (ns trap, SURVEY §1.2).
+  */
+object EventTime {
+
+  /** events with ts ms-truncated — the only ts form this group touches. */
+  private def ev(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events").withColumn("ts_ms", date_trunc("millisecond", col("ts")))
+
+  val queries: Map[String, Q] = Map(
+    // Tumbling 1h window per user. Streaming form: + withWatermark.
+    "t_tumble" -> ((s, d) =>
+      ev(s, d)
+        .groupBy(col("user_id"), window(col("ts_ms"), "1 hour"))
+        .agg(count(lit(1)).as("cnt"), sum(dec(col("value"))).as("sum_value"))
+        .select(col("user_id"), col("window.start").as("win_start"),
+          col("cnt"), col("sum_value"))
+        .orderBy("user_id", "win_start")),
+
+    // Sliding 1h/15min windows: global event counts per window.
+    "t_slide" -> ((s, d) =>
+      ev(s, d)
+        .groupBy(window(col("ts_ms"), "1 hour", "15 minutes"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("window.start").as("win_start"), col("cnt"))
+        .orderBy("win_start")),
+
+    // Session windows, 30-min gap. Spark's session end is exclusive
+    // (last_ts + gap); an event exactly at the gap boundary starts a NEW
+    // session — the oracle's gaps-and-islands uses >= to mirror that
+    // (SURVEY §7.4.5).
+    "t_session" -> ((s, d) =>
+      ev(s, d)
+        .groupBy(col("user_id"), session_window(col("ts_ms"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          col("session_window.start").as("sess_start"),
+          col("session_window.end").as("sess_end"),
+          col("n_events"))
+        .orderBy("user_id", "sess_start")),
+
+    // Keyed dedup keeping the earliest event per (user, type, minute) —
+    // the deterministic row_number form of dropDuplicates; streaming form:
+    // dropDuplicatesWithinWatermark.
+    "t_dedup_keyed" -> ((s, d) => {
+      val w = Window.partitionBy("user_id", "event_type", "minute_b")
+        .orderBy("ts_ms", "event_id")
+      ev(s, d)
+        .withColumn("minute_b", date_trunc("minute", col("ts_ms")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("user_id", "event_type", "minute_b", "event_id")
+        .orderBy("user_id", "event_type", "minute_b")
+    }),
+
+    // Late-data flagging: arrival order = event_id; watermark = running max
+    // event-time over strictly-earlier arrivals, per user; late when more
+    // than 10 min behind it.
+    "t_late_flag" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      ev(s, d)
+        .select(col("event_id"), col("user_id"), col("ts_ms"),
+          max(col("ts_ms")).over(w).as("wm"))
+        .withColumn("is_late",
+          coalesce(col("ts_ms") < col("wm") - expr("INTERVAL 10 MINUTES"), lit(false)))
+        .orderBy("event_id")
+    }),
+
+    // The t_tumble plan executed through Structured Streaming
+    // (micro-batch, Trigger.AvailableNow, memory sink). No oracle — the
+    // oracle can't run Spark streaming; T3 asserts equality with t_tumble.
+    "t_stream_runtime" -> ((s, d) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = s.read.parquet(s"$d/events.parquet").schema
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(d)
+        .withColumn("ts_ms",
+          date_trunc("millisecond", expr("timestamp_micros(ts div 1000)")))
+        .withWatermark("ts_ms", "10 minutes")
+        .groupBy(col("user_id"), window(col("ts_ms"), "1 hour"))
+        .agg(count(lit(1)).as("cnt"), sum(dec(col("value"))).as("sum_value"))
+        .select(col("user_id"), col("window.start").as("win_start"),
+          col("cnt"), col("sum_value"))
+      val q = stream.writeStream.format("memory")
+        .queryName("t_stream_runtime_sink")
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("t_stream_runtime_sink").orderBy("user_id", "win_start")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "t_tumble" ->
+      ("SELECT user_id, time_bucket(INTERVAL '1 hour', date_trunc('milliseconds', ts)) AS win_start, " +
+        "count(*) AS cnt, sum(CAST(value AS DECIMAL(38,6))) AS sum_value " +
+        "FROM events GROUP BY user_id, win_start ORDER BY user_id, win_start"),
+    "t_slide" ->
+      ("SELECT time_bucket(INTERVAL '15 minutes', date_trunc('milliseconds', ts)) " +
+        "- k * INTERVAL '15 minutes' AS win_start, count(*) AS cnt " +
+        "FROM events CROSS JOIN (VALUES (0),(1),(2),(3)) offsets(k) " +
+        "GROUP BY win_start ORDER BY win_start"),
+    "t_session" ->
+      ("WITH e AS (SELECT user_id, date_trunc('milliseconds', ts) AS ts_ms FROM events), " +
+        "flagged AS (SELECT user_id, ts_ms, CASE WHEN ts_ms >= " +
+        "lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms) + INTERVAL 30 MINUTE " +
+        "OR lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms) IS NULL " +
+        "THEN 1 ELSE 0 END AS new_sess FROM e), " +
+        "ids AS (SELECT user_id, ts_ms, sum(new_sess) OVER (" +
+        "PARTITION BY user_id ORDER BY ts_ms ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid " +
+        "FROM flagged) " +
+        "SELECT user_id, min(ts_ms) AS sess_start, max(ts_ms) + INTERVAL 30 MINUTE AS sess_end, " +
+        "count(*) AS n_events FROM ids GROUP BY user_id, sid " +
+        "ORDER BY user_id, sess_start"),
+    "t_dedup_keyed" ->
+      ("SELECT user_id, event_type, minute_b, event_id FROM (" +
+        "SELECT user_id, event_type, date_trunc('minute', ts_ms) AS minute_b, event_id, " +
+        "row_number() OVER (PARTITION BY user_id, event_type, date_trunc('minute', ts_ms) " +
+        "ORDER BY ts_ms, event_id) AS rn " +
+        "FROM (SELECT *, date_trunc('milliseconds', ts) AS ts_ms FROM events)) " +
+        "WHERE rn = 1 ORDER BY user_id, event_type, minute_b"),
+    "t_late_flag" ->
+      ("SELECT event_id, user_id, ts_ms, wm, " +
+        "coalesce(ts_ms < wm - INTERVAL 10 MINUTE, false) AS is_late FROM (" +
+        "SELECT event_id, user_id, ts_ms, max(ts_ms) OVER (" +
+        "PARTITION BY user_id ORDER BY event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm " +
+        "FROM (SELECT event_id, user_id, date_trunc('milliseconds', ts) AS ts_ms FROM events)) " +
+        "ORDER BY event_id")
+  )
+}
