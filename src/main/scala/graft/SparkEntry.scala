@@ -16,12 +16,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ScanProject.queries ++ Joins.queries ++ Aggregates.queries ++
       Windows.queries ++ SetSort.queries ++ Functions.queries ++
-      EventTime.queries
+      EventTime.queries ++ Similarity.queries ++ FlexAnalogs.queries ++
+      Custom.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ScanProject.oracleSql ++ Joins.oracleSql ++ Aggregates.oracleSql ++
       Windows.oracleSql ++ SetSort.oracleSql ++ Functions.oracleSql ++
-      EventTime.oracleSql
+      EventTime.oracleSql ++ Similarity.oracleSql ++ FlexAnalogs.oracleSql ++
+      Custom.oracleSql
 }

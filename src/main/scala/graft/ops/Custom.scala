@@ -1,0 +1,151 @@
+package graft.ops
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import graft.ops.T._
+
+/** Custom Catalyst expression: clamp(x, lo, hi) = min(max(x, lo), hi) with
+  * whole-stage codegen — the capability proof for the Expression extension
+  * point (SURVEY §4.2). Reference analog: the clip step inside
+  * flexcalc/process.py::preprocess (R4) and soft_threshold (R14).
+  */
+case class Clamp(first: Expression, second: Expression, third: Expression)
+  extends TernaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(DoubleType, DoubleType, DoubleType)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_clamp"
+  override protected def nullSafeEval(x: Any, lo: Any, hi: Any): Any =
+    math.min(math.max(x.asInstanceOf[Double], lo.asInstanceOf[Double]),
+      hi.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (x, lo, hi) => s"Math.min(Math.max($x, $lo), $hi)")
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+/** Geometric mean as a typed Aggregator. The ln-sum buffer is an exact
+  * BigDecimal (scale 12) so the result is independent of partition count
+  * and merge order; output rounded to 2 decimals because cross-engine
+  * libm ln() can differ in the last ulp per row (SURVEY §7.3 R3, noted
+  * deviation from round-6).
+  */
+object GeoMeanAgg extends Aggregator[Double, GeoBuf, Double] {
+  def zero: GeoBuf = GeoBuf(BigDecimal(0), 0L)
+  def reduce(b: GeoBuf, x: Double): GeoBuf =
+    GeoBuf(b.sumLn + BigDecimal(math.log(x)).setScale(12, BigDecimal.RoundingMode.HALF_UP), b.n + 1)
+  def merge(a: GeoBuf, b: GeoBuf): GeoBuf = GeoBuf(a.sumLn + b.sumLn, a.n + b.n)
+  def finish(b: GeoBuf): Double = math.exp(b.sumLn.toDouble / b.n)
+  def bufferEncoder = org.apache.spark.sql.Encoders.product[GeoBuf]
+  def outputEncoder = org.apache.spark.sql.Encoders.scalaDouble
+}
+case class GeoBuf(sumLn: BigDecimal, n: Long)
+
+/** Element-wise mean vector over array<float> — typed Aggregator with an
+  * Array[Double]+count buffer (reference analog: per-voxel mean over a
+  * stack, flexcalc/process.py R18/R26 family).
+  */
+object CentroidAgg extends Aggregator[Seq[Float], CentBuf, Seq[Double]] {
+  def zero: CentBuf = CentBuf(Seq.empty, 0L)
+  def reduce(b: CentBuf, a: Seq[Float]): CentBuf =
+    if (b.n == 0L) CentBuf(a.map(_.toDouble), 1L)
+    else CentBuf(b.sums.zip(a).map { case (s, x) => s + x }, b.n + 1)
+  def merge(a: CentBuf, b: CentBuf): CentBuf =
+    if (a.n == 0L) b else if (b.n == 0L) a
+    else CentBuf(a.sums.zip(b.sums).map { case (x, y) => x + y }, a.n + b.n)
+  def finish(b: CentBuf): Seq[Double] = b.sums.map(_ / b.n)
+  def bufferEncoder = org.apache.spark.sql.Encoders.product[CentBuf]
+  def outputEncoder = ExpressionEncoder[Seq[Double]]()
+}
+case class CentBuf(sums: Seq[Double], n: Long)
+
+/** Group U (UDF / UDAF / UDTF / Expression surface) — SURVEY.md §2b.
+  * Reference analog: batch.py's `generic(callback)` node (R24) — arbitrary
+  * user code inside the engine's execution graph.
+  */
+object Custom {
+
+  private val normalizeText = udf((s: String) =>
+    if (s == null) null
+    else s.toLowerCase.replaceAll("[^a-z0-9 ]", "").replaceAll("\\s+", " ").trim)
+
+  val queries: Map[String, Q] = Map(
+    "u_udf_scalar" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(substring(normalizeText(col("text")), 1, 8).as("prefix"))
+        .groupBy("prefix")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("prefix")),
+
+    "u_udaf_geomean" -> ((s, d) => {
+      val gm = udaf(GeoMeanAgg)
+      t(s, d, "orders")
+        .groupBy("o_orderstatus")
+        .agg(round(gm(col("o_totalprice")), 2).as("geomean"))
+        .orderBy("o_orderstatus")
+    }),
+
+    "u_udaf_centroid" -> ((s, d) => {
+      val cen = udaf(CentroidAgg)
+      t(s, d, "embeddings")
+        .groupBy("label")
+        .agg(cen(col("embedding")).as("cent"))
+        .select(col("label"),
+          round(element_at(col("cent"), 1), 6).as("c1"),
+          round(element_at(col("cent"), 2), 6).as("c2"),
+          round(element_at(col("cent"), 3), 6).as("c3"),
+          round(element_at(col("cent"), 4), 6).as("c4"))
+        .orderBy("label")
+    }),
+
+    // Generator surface: built-in posexplode (0-based pos); a custom
+    // Generator would plug in identically.
+    "u_udtf_posexplode" -> ((s, d) =>
+      t(s, d, "documents")
+        .filter(col("doc_id") <= 20)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .withColumnRenamed("col", "token")
+        .orderBy("doc_id", "pos")),
+
+    // Custom Expression registered in the session FunctionRegistry and
+    // invoked through SQL text — proves the full extension path.
+    "u_expr_custom" -> ((s, d) => {
+      s.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_clamp", (args: Seq[Expression]) => Clamp(args(0), args(1), args(2)),
+        "scala_udf")
+      t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          expr("graft_clamp(l_extendedprice, 1000.0D, 50000.0D)").as("clamped"))
+        .orderBy("l_orderkey", "l_linenumber")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "u_udf_scalar" ->
+      ("SELECT substring(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), " +
+        "'\\s+', ' ', 'g')), 1, 8) AS prefix, count(*) AS cnt " +
+        "FROM documents GROUP BY prefix ORDER BY prefix"),
+    "u_udaf_geomean" ->
+      ("SELECT o_orderstatus, " +
+        "round(exp(CAST(sum(CAST(ln(o_totalprice) AS DECIMAL(38,12))) AS DOUBLE) / count(*)), 2) AS geomean " +
+        "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+    "u_udaf_centroid" ->
+      ("SELECT label, round(avg(CAST(embedding[1] AS DOUBLE)), 6) AS c1, " +
+        "round(avg(CAST(embedding[2] AS DOUBLE)), 6) AS c2, " +
+        "round(avg(CAST(embedding[3] AS DOUBLE)), 6) AS c3, " +
+        "round(avg(CAST(embedding[4] AS DOUBLE)), 6) AS c4 " +
+        "FROM embeddings GROUP BY label ORDER BY label"),
+    "u_udtf_posexplode" ->
+      ("SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, toks[i] AS token " +
+        "FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE doc_id <= 20), " +
+        "UNNEST(range(1, len(toks) + 1)) AS r(i) ORDER BY doc_id, pos"),
+    "u_expr_custom" ->
+      ("SELECT l_orderkey, l_linenumber, " +
+        "least(greatest(l_extendedprice, 1000.0), 50000.0) AS clamped " +
+        "FROM lineitem ORDER BY l_orderkey, l_linenumber")
+  )
+}

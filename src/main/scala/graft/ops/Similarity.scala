@@ -1,0 +1,289 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ops.T._
+
+/** Group X, part 1: LLM-data-pipeline extensions — similarity search,
+  * deduplication, text analysis, multimodal join (SURVEY.md §2b, north-star
+  * mandated).
+  *
+  * Scale design (100 TB):
+  *  - x_sim_*: probe side is tiny → broadcast; candidates stream through a
+  *    single map stage (no shuffle until the per-probe top-k window, whose
+  *    key count = #probes). The LSH-banded scale path for all-pairs is
+  *    x_dedup_minhash's bucket join.
+  *  - x_dedup_minhash: classic MinHash-LSH — signatures are one narrow
+  *    groupBy(doc, seed), candidate pairs come from an equi-join on
+  *    (seed, signature) buckets, never a cross product.
+  *  - x_dedup_jaccard: blocked by lang + length-band prune; the exact
+  *    set-intersection runs per surviving pair. At 100 TB you'd run
+  *    minhash first and feed only its candidates through this verifier —
+  *    composition documented here, each half graded separately.
+  *  - token explodes (tf-idf, tokens, ngrams) are map-side; aggregations
+  *    partial-combine before shuffling.
+  */
+object Similarity {
+
+  /** Embeddings with double-precision vector + L2 norm (float arithmetic
+    * differs across engines; double is reproducible — SURVEY §7.3).
+    */
+  private def normed(s: org.apache.spark.sql.SparkSession, d: String) =
+    t(s, d, "embeddings")
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> cast(x as double))").as("emb"))
+      .withColumn("nrm",
+        sqrt(expr("aggregate(emb, cast(0.0 as double), (a, x) -> a + x * x)")))
+
+  /** Top-5 cosine neighbors for probes vec_id <= 10 (shared by topk/vote). */
+  private def topk(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val e = normed(s, d)
+    val probes = broadcast(e.filter(col("vec_id") <= 10)
+      .select(col("vec_id").as("probe_id"), col("emb").as("p_emb"),
+        col("nrm").as("p_nrm")))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("cos_raw").desc, col("vec_id").asc)
+    e.join(probes, col("vec_id") =!= col("probe_id"))
+      .withColumn("cos_raw",
+        expr("aggregate(zip_with(emb, p_emb, (x, y) -> x * y), cast(0.0 as double), (a, v) -> a + v)")
+          / (col("nrm") * col("p_nrm")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+  }
+
+  val queries: Map[String, Q] = Map(
+    "x_sim_dot" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> cast(x as double))").as("emb"))
+      val probe = broadcast(e.filter(col("vec_id") === 1)
+        .select(col("emb").as("p_emb")))
+      e.crossJoin(probe)
+        .select(col("vec_id"),
+          round(expr("aggregate(zip_with(emb, p_emb, (x, y) -> x * y), cast(0.0 as double), (a, v) -> a + v)"), 6).as("dot"),
+          round(sqrt(expr("aggregate(emb, cast(0.0 as double), (a, x) -> a + x * x)")), 6).as("l2"))
+        .orderBy("vec_id")
+    }),
+
+    "x_sim_cosine_topk" -> ((s, d) =>
+      topk(s, d)
+        .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("rn"),
+          round(col("cos_raw"), 6).as("cosine"))
+        .orderBy("probe_id", "rn")),
+
+    // k-NN classification: majority label among the 5 neighbors,
+    // ties broken toward the smaller label.
+    "x_knn_label_vote" -> ((s, d) => {
+      val w = Window.partitionBy("probe_id")
+        .orderBy(col("votes").desc, col("label").asc)
+      topk(s, d)
+        .groupBy("probe_id", "label")
+        .agg(count(lit(1)).as("votes"))
+        .withColumn("vr", row_number().over(w))
+        .filter(col("vr") === 1)
+        .select("probe_id", "label", "votes")
+        .orderBy("probe_id")
+    }),
+
+    // Exact dedup: content-hash groups with canonical (min) doc_id.
+    "x_dedup_exact" -> ((s, d) =>
+      t(s, d, "documents")
+        .groupBy(md5(lower(trim(col("text"))).cast("binary")).as("h"))
+        .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("canonical_id"))
+        .orderBy("h")),
+
+    // Near-dup by exact token-set Jaccard >= 0.6, blocked by lang.
+    // The length-band prune (|A|/|B| within [0.6, 1/0.6]) is implied by
+    // J >= 0.6, so Spark can apply it in the join condition without
+    // changing results; the oracle states only the final predicate.
+    "x_dedup_jaccard" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          array_distinct(split(col("text"), " ")).as("toks"))
+        .withColumn("n", size(col("toks")))
+      val a = docs.select(col("doc_id").as("a_id"), col("lang"),
+        col("toks").as("ta"), col("n").as("na"))
+      val b = docs.select(col("doc_id").as("b_id"), col("lang").as("lang_b"),
+        col("toks").as("tb"), col("n").as("nb"))
+      a.join(b, col("lang") === col("lang_b") && col("a_id") < col("b_id") &&
+          col("na").cast("double") >= col("nb") * 0.6 &&
+          col("nb").cast("double") >= col("na") * 0.6)
+        .withColumn("inter", size(array_intersect(col("ta"), col("tb"))).cast("double"))
+        .withColumn("jacc", col("inter") / (col("na") + col("nb") - col("inter")))
+        .filter(col("jacc") >= 0.6)
+        .select(col("a_id"), col("b_id"), round(col("jacc"), 6).as("jacc"))
+        .orderBy("a_id", "b_id")
+    }),
+
+    // MinHash-LSH: 8 one-hash bands; candidate pairs = bucket join on
+    // (seed, min-signature); report pairs agreeing on >= 4 bands.
+    "x_dedup_minhash" -> ((s, d) => {
+      val sigs = t(s, d, "documents")
+        .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
+        .withColumn("seed", explode(sequence(lit(0), lit(7))))
+        .groupBy("doc_id", "seed")
+        .agg(min(md5(concat(col("tok"), lit("#"), col("seed").cast("string"))
+          .cast("binary"))).as("mh"))
+      val a = sigs.select(col("doc_id").as("a_id"), col("seed"), col("mh"))
+      val b = sigs.select(col("doc_id").as("b_id"), col("seed").as("seed_b"),
+        col("mh").as("mh_b"))
+      a.join(b, col("seed") === col("seed_b") && col("mh") === col("mh_b") &&
+          col("a_id") < col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(count(lit(1)).as("n_bands"))
+        .filter(col("n_bands") >= 4)
+        .orderBy("a_id", "b_id")
+    }),
+
+    // Top-20 terms per lang (cnt desc, term asc).
+    "x_text_tokens" -> ((s, d) => {
+      val w = Window.partitionBy("lang").orderBy(col("cnt").desc, col("term").asc)
+      t(s, d, "documents")
+        .select(col("lang"), explode(split(col("text"), "\\s+")).as("term"))
+        .groupBy("lang", "term")
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 20)
+        .select("lang", "rn", "term", "cnt")
+        .orderBy("lang", "rn")
+    }),
+
+    // tf-idf with raw-value ordering, rounded output; top-5 terms per doc.
+    "x_text_tfidf" -> ((s, d) => {
+      val toks = t(s, d, "documents")
+        .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("term"))
+      val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = toks.distinct().groupBy("term").agg(count(lit(1)).as("df"))
+      val nDocs = t(s, d, "documents").agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("tfidf_raw").desc, col("term").asc)
+      tf.join(broadcast(dfreq), "term")
+        .crossJoin(broadcast(nDocs))
+        .withColumn("tfidf_raw",
+          col("tf") * log(col("n_docs").cast("double") / col("df")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("doc_id"), col("rn"), col("term"),
+          round(col("tfidf_raw"), 6).as("tfidf"))
+        .orderBy("doc_id", "rn")
+    }),
+
+    // Bigram counts per lang via positional zip (0-based subscripts).
+    "x_text_ngram" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("lang"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .select(col("lang"),
+          explode(expr("transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i + 1]))"))
+            .as("bigram"))
+        .groupBy("lang", "bigram")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("lang", "bigram")),
+
+    // Text + vector columns in one relational frame: per-lang profile.
+    "x_multimodal" -> ((s, d) => {
+      val dj = t(s, d, "documents")
+        .join(t(s, d, "embeddings"), col("doc_id") === col("vec_id"))
+      val base = dj.groupBy("lang").agg(
+        avgDec(sum(dec(col("n_chars"))), count(lit(1))).as("avg_chars"),
+        round(avg(element_at(col("embedding"), 1).cast("double")), 6).as("c1"),
+        round(avg(element_at(col("embedding"), 2).cast("double")), 6).as("c2"),
+        round(avg(element_at(col("embedding"), 3).cast("double")), 6).as("c3"),
+        round(avg(element_at(col("embedding"), 4).cast("double")), 6).as("c4"))
+      val hist = dj.groupBy("lang", "label").agg(count(lit(1)).as("cnt"))
+        .groupBy("lang")
+        .agg(map_from_entries(array_sort(collect_list(struct(col("label"), col("cnt")))))
+          .as("label_hist"))
+      base.join(hist, "lang")
+        .select("lang", "avg_chars", "label_hist", "c1", "c2", "c3", "c4")
+        .orderBy("lang")
+    })
+  )
+
+  private val embDouble =
+    "SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings"
+
+  private val topkSql =
+    ("WITH e AS (" + embDouble + "), " +
+      "n AS (SELECT vec_id, label, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e), " +
+      "pairs AS (SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id, c.label AS label, " +
+      "list_dot_product(c.emb, p.emb) / (c.nrm * p.nrm) AS cos_raw, " +
+      "row_number() OVER (PARTITION BY p.vec_id " +
+      "ORDER BY list_dot_product(c.emb, p.emb) / (c.nrm * p.nrm) DESC, c.vec_id ASC) AS rn " +
+      "FROM n p JOIN n c ON c.vec_id <> p.vec_id WHERE p.vec_id <= 10) ")
+
+  val oracleSql: Map[String, String] = Map(
+    "x_sim_dot" ->
+      ("WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings) " +
+        "SELECT vec_id, " +
+        "round(list_dot_product(emb, (SELECT emb FROM e WHERE vec_id = 1)), 6) AS dot, " +
+        "round(sqrt(list_dot_product(emb, emb)), 6) AS l2 " +
+        "FROM e ORDER BY vec_id"),
+    "x_sim_cosine_topk" ->
+      (topkSql +
+        "SELECT probe_id, neighbor_id, rn, round(cos_raw, 6) AS cosine " +
+        "FROM pairs WHERE rn <= 5 ORDER BY probe_id, rn"),
+    "x_knn_label_vote" ->
+      (topkSql +
+        "SELECT probe_id, label, votes FROM (" +
+        "SELECT probe_id, label, count(*) AS votes, " +
+        "row_number() OVER (PARTITION BY probe_id ORDER BY count(*) DESC, label ASC) AS vr " +
+        "FROM pairs WHERE rn <= 5 GROUP BY probe_id, label) " +
+        "WHERE vr = 1 ORDER BY probe_id"),
+    "x_dedup_exact" ->
+      ("SELECT md5(lower(trim(text))) AS h, count(*) AS cnt, min(doc_id) AS canonical_id " +
+        "FROM documents GROUP BY h ORDER BY h"),
+    "x_dedup_jaccard" ->
+      ("WITH dtoks AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS toks FROM documents) " +
+        "SELECT a.doc_id AS a_id, b.doc_id AS b_id, " +
+        "round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / " +
+        "(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))), 6) AS jacc " +
+        "FROM dtoks a JOIN dtoks b ON a.lang = b.lang AND a.doc_id < b.doc_id " +
+        "WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / " +
+        "(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.6 " +
+        "ORDER BY a_id, b_id"),
+    "x_dedup_minhash" ->
+      ("WITH toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents), " +
+        "sigs AS (SELECT doc_id, seed, min(md5(tok || '#' || CAST(seed AS VARCHAR))) AS mh " +
+        "FROM toks CROSS JOIN (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) seeds(seed) " +
+        "GROUP BY doc_id, seed) " +
+        "SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_bands " +
+        "FROM sigs a JOIN sigs b ON a.seed = b.seed AND a.mh = b.mh AND a.doc_id < b.doc_id " +
+        "GROUP BY a_id, b_id HAVING count(*) >= 4 ORDER BY a_id, b_id"),
+    "x_text_tokens" ->
+      ("SELECT lang, rn, term, cnt FROM (" +
+        "SELECT lang, term, count(*) AS cnt, " +
+        "row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, term ASC) AS rn " +
+        "FROM (SELECT lang, unnest(regexp_split_to_array(text, '\\s+')) AS term FROM documents) " +
+        "GROUP BY lang, term) WHERE rn <= 20 ORDER BY lang, rn"),
+    "x_text_tfidf" ->
+      ("WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS term FROM documents), " +
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term), " +
+        "dfreq AS (SELECT term, count(*) AS df FROM (SELECT DISTINCT doc_id, term FROM toks) GROUP BY term), " +
+        "n AS (SELECT count(*) AS n_docs FROM documents) " +
+        "SELECT doc_id, rn, term, round(tfidf_raw, 6) AS tfidf FROM (" +
+        "SELECT doc_id, tf.term AS term, tf * ln(CAST(n_docs AS DOUBLE) / df) AS tfidf_raw, " +
+        "row_number() OVER (PARTITION BY doc_id " +
+        "ORDER BY tf * ln(CAST(n_docs AS DOUBLE) / df) DESC, tf.term ASC) AS rn " +
+        "FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n) " +
+        "WHERE rn <= 5 ORDER BY doc_id, rn"),
+    "x_text_ngram" ->
+      ("WITH tk AS (SELECT lang, string_split(text, ' ') AS toks FROM documents) " +
+        "SELECT lang, toks[i] || ' ' || toks[i + 1] AS bigram, count(*) AS cnt " +
+        "FROM tk, UNNEST(range(1, len(toks))) AS r(i) " +
+        "GROUP BY lang, bigram ORDER BY lang, bigram"),
+    "x_multimodal" ->
+      ("WITH dj AS (SELECT lang, n_chars, label, embedding FROM documents " +
+        "JOIN embeddings ON doc_id = vec_id), " +
+        "base AS (SELECT lang, " +
+        "CAST(CAST(sum(CAST(n_chars AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS DECIMAL(38,6)) AS avg_chars, " +
+        "round(avg(CAST(embedding[1] AS DOUBLE)), 6) AS c1, " +
+        "round(avg(CAST(embedding[2] AS DOUBLE)), 6) AS c2, " +
+        "round(avg(CAST(embedding[3] AS DOUBLE)), 6) AS c3, " +
+        "round(avg(CAST(embedding[4] AS DOUBLE)), 6) AS c4 FROM dj GROUP BY lang), " +
+        "h AS (SELECT lang, map(array_agg(label ORDER BY label), array_agg(cnt ORDER BY label)) AS label_hist " +
+        "FROM (SELECT lang, label, count(*) AS cnt FROM dj GROUP BY lang, label) GROUP BY lang) " +
+        "SELECT base.lang AS lang, avg_chars, label_hist, c1, c2, c3, c4 " +
+        "FROM base JOIN h ON base.lang = h.lang ORDER BY lang")
+  )
+}
