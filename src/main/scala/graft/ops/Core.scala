@@ -32,5 +32,16 @@ private[graft] object T {
   def avgDec(sumDec: Column, cnt: Column): Column =
     (sumDec.cast("double") / cnt).cast("decimal(38,6)")
 
+  /** Spread a small-but-expensive DataFrame across the cluster. The test
+    * tables are single parquet files → one input split → heavy per-row work
+    * (pair-generation against a broadcast side) lands in ONE task. A
+    * round-robin repartition to the shuffle parallelism restores full-core
+    * utilization; at 100 TB the same call sizes the probe side of a
+    * broadcast join to the cluster, and a skewed shuffle join would use
+    * salting instead (documented at the call sites).
+    */
+  def fan(s: SparkSession, df: DataFrame): DataFrame =
+    df.repartition(s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+
   type Q = (SparkSession, String) => DataFrame
 }

@@ -41,10 +41,11 @@ object EventTime {
         .select(col("window.start").as("win_start"), col("cnt"))
         .orderBy("win_start")),
 
-    // Session windows, 30-min gap. Spark's session end is exclusive
-    // (last_ts + gap); an event exactly at the gap boundary starts a NEW
-    // session — the oracle's gaps-and-islands uses >= to mirror that
-    // (SURVEY §7.4.5).
+    // Session windows, 30-min gap. Spark MERGES an event exactly at the
+    // gap boundary (next.ts <= last.ts + gap extends the session; pinned
+    // by SemanticsSpec) — the oracle's gaps-and-islands therefore opens a
+    // new session only on strict `>`. (SURVEY §7.4.5 assumed exclusive-end;
+    // the unit test proved otherwise.)
     "t_session" -> ((s, d) =>
       ev(s, d)
         .groupBy(col("user_id"), session_window(col("ts_ms"), "30 minutes"))
@@ -120,7 +121,7 @@ object EventTime {
         "GROUP BY win_start ORDER BY win_start"),
     "t_session" ->
       ("WITH e AS (SELECT user_id, date_trunc('milliseconds', ts) AS ts_ms FROM events), " +
-        "flagged AS (SELECT user_id, ts_ms, CASE WHEN ts_ms >= " +
+        "flagged AS (SELECT user_id, ts_ms, CASE WHEN ts_ms > " +
         "lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms) + INTERVAL 30 MINUTE " +
         "OR lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms) IS NULL " +
         "THEN 1 ELSE 0 END AS new_sess FROM e), " +

@@ -136,10 +136,11 @@ object Joins {
         .orderBy("event_id")
     }),
 
-    // Theta inequality join, bounded by the nation equi-key.
+    // Theta inequality join, bounded by the nation equi-key; the bigger
+    // side is fanned so the ~n_s×n_c/|nation| pair work parallelizes.
     "j_theta_ineq" -> ((s, d) =>
-      t(s, d, "supplier")
-        .join(t(s, d, "customer"),
+      fan(s, t(s, d, "customer"))
+        .join(broadcast(t(s, d, "supplier")),
           col("s_nationkey") === col("c_nationkey") &&
             col("s_acctbal") > col("c_acctbal"))
         .select("s_suppkey", "c_custkey")

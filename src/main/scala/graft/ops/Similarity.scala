@@ -43,7 +43,7 @@ object Similarity {
         col("nrm").as("p_nrm")))
     val w = Window.partitionBy("probe_id")
       .orderBy(col("cos_raw").desc, col("vec_id").asc)
-    e.join(probes, col("vec_id") =!= col("probe_id"))
+    fan(s, e).join(probes, col("vec_id") =!= col("probe_id"))
       .withColumn("cos_raw",
         expr("aggregate(zip_with(emb, p_emb, (x, y) -> x * y), cast(0.0 as double), (a, v) -> a + v)")
           / (col("nrm") * col("p_nrm")))
@@ -101,10 +101,12 @@ object Similarity {
         .select(col("doc_id"), col("lang"),
           array_distinct(split(col("text"), " ")).as("toks"))
         .withColumn("n", size(col("toks")))
-      val a = docs.select(col("doc_id").as("a_id"), col("lang"),
-        col("toks").as("ta"), col("n").as("na"))
-      val b = docs.select(col("doc_id").as("b_id"), col("lang").as("lang_b"),
-        col("toks").as("tb"), col("n").as("nb"))
+      // fan(): the pair-generation work (|pairs| ≈ Σ_lang C(n_lang, 2))
+      // must not collapse into the single input split of a small parquet.
+      val a = fan(s, docs.select(col("doc_id").as("a_id"), col("lang"),
+        col("toks").as("ta"), col("n").as("na")))
+      val b = broadcast(docs.select(col("doc_id").as("b_id"),
+        col("lang").as("lang_b"), col("toks").as("tb"), col("n").as("nb")))
       a.join(b, col("lang") === col("lang_b") && col("a_id") < col("b_id") &&
           col("na").cast("double") >= col("nb") * 0.6 &&
           col("nb").cast("double") >= col("na") * 0.6)
@@ -115,24 +117,46 @@ object Similarity {
         .orderBy("a_id", "b_id")
     }),
 
-    // MinHash-LSH: 8 one-hash bands; candidate pairs = bucket join on
-    // (seed, min-signature); report pairs agreeing on >= 4 bands.
+    // MinHash-LSH: 8 one-hash bands; pairs agreeing on >= 4 bands.
+    // Signature-cluster formulation: docs are first grouped by their FULL
+    // 8-signature vector, band agreement is computed once per cluster pair
+    // (zip-compare of two 8-arrays), then member pairs are expanded. On
+    // near-duplicate-heavy corpora (the whole point of dedup) clusters are
+    // few, so the O(n²)-shaped work runs on #clusters², not #docs², and
+    // never materializes the per-band candidate multiset — at 100 TB this
+    // is the difference between a cluster-pair broadcast and a shuffled
+    // 10^10-row band join. Exact same result set as the naive band join.
     "x_dedup_minhash" -> ((s, d) => {
-      val sigs = t(s, d, "documents")
+      val sigArr = t(s, d, "documents")
         .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
-        .withColumn("seed", explode(sequence(lit(0), lit(7))))
-        .groupBy("doc_id", "seed")
-        .agg(min(md5(concat(col("tok"), lit("#"), col("seed").cast("string"))
-          .cast("binary"))).as("mh"))
-      val a = sigs.select(col("doc_id").as("a_id"), col("seed"), col("mh"))
-      val b = sigs.select(col("doc_id").as("b_id"), col("seed").as("seed_b"),
-        col("mh").as("mh_b"))
-      a.join(b, col("seed") === col("seed_b") && col("mh") === col("mh_b") &&
-          col("a_id") < col("b_id"))
-        .groupBy("a_id", "b_id")
-        .agg(count(lit(1)).as("n_bands"))
-        .filter(col("n_bands") >= 4)
-        .orderBy("a_id", "b_id")
+        .groupBy("doc_id")
+        .agg(array((0 to 7).map(i =>
+          min(md5(concat(col("tok"), lit(s"#$i")).cast("binary")))): _*).as("sigs"))
+      val clusters = sigArr.groupBy("sigs")
+        .agg(sort_array(collect_list(col("doc_id"))).as("members"),
+          min(col("doc_id")).as("gid"))
+      val ca = broadcast(clusters.select(col("sigs").as("sa"),
+        col("members").as("ma"), col("gid").as("ga")))
+      val cb = broadcast(clusters.select(col("sigs").as("sb"),
+        col("members").as("mb"), col("gid").as("gb")))
+      // cross-cluster candidate pairs with band agreement >= 4
+      val cross = ca.join(cb, col("ga") < col("gb") &&
+          size(filter(zip_with(col("sa"), col("sb"), (x, y) => (x === y).cast("int")),
+            v => v === 1)) >= 4)
+        .withColumn("n_bands",
+          size(filter(zip_with(col("sa"), col("sb"), (x, y) => (x === y).cast("int")),
+            v => v === 1)).cast("long"))
+        .select(explode(col("ma")).as("x"), col("mb"), col("n_bands"))
+        .select(col("x"), explode(col("mb")).as("y"), col("n_bands"))
+        .select(least(col("x"), col("y")).as("a_id"),
+          greatest(col("x"), col("y")).as("b_id"), col("n_bands"))
+      // within-cluster pairs agree on all 8 bands
+      val within = clusters.filter(size(col("members")) >= 2)
+        .select(explode(col("members")).as("x"), col("members"))
+        .select(col("x"), explode(col("members")).as("y"))
+        .filter(col("x") < col("y"))
+        .select(col("x").as("a_id"), col("y").as("b_id"), lit(8L).as("n_bands"))
+      cross.unionByName(within).orderBy("a_id", "b_id")
     }),
 
     // Top-20 terms per lang (cnt desc, term asc).

