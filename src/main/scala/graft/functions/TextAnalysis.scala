@@ -1,0 +1,98 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for training-data pipelines (north star:
+  * language-ID, quality scoring, token counting, fingerprinting).
+  *
+  * Everything here is a pure Column expression tree — codegen'd end to end,
+  * no UDFs — so at 100 TB these run inside WholeStageCodegen over the scan
+  * with zero extra shuffles: `docs.select(languageId($"text"), ...)` is a
+  * single map stage.
+  *
+  * Reference analog: flexcalc has no text surface; these extend the engine
+  * per BASELINE.json::north_star. Graded coverage of the tokenize/tf-idf/
+  * ngram family lives in graft.ops.Similarity (x_text_*); these are the
+  * reusable library forms.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens (the corpus' exact tokenization — FIXTURES.md). */
+  def tokens(text: Column): Column = split(text, "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: a cheap LLM-token estimate — whitespace split
+    * plus a break after every 4 letters inside long words. Proxy only; a
+    * real tokenizer would be a broadcast-vocab longest-match pass.
+    */
+  def subwordCount(text: Column): Column =
+    size(split(regexp_replace(text, "([a-z]{4})(?=[a-z])", "$1 "), "\\s+"))
+
+  /** Fraction of characters that are neither alphanumeric nor whitespace. */
+  def punctRatio(text: Column): Column =
+    length(regexp_replace(lower(text), "[a-z0-9\\s]", "")).cast("double") /
+      greatest(length(text), lit(1)).cast("double")
+
+  /** Minimal per-language stopword lists for the heuristic language ID. */
+  val defaultStopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "it", "that", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"),
+    "es" -> Seq("el", "la", "que", "y", "en", "un", "es", "se", "no", "los"),
+    "fr" -> Seq("le", "et", "les", "des", "une", "est", "dans", "pour", "qui", "sur"),
+    "zh" -> Seq("wo", "ni", "ta", "shi", "bu", "zai", "you", "hen", "ye", "dou"))
+
+  /** Heuristic language ID: argmax over per-language distinct-stopword
+    * hits. Ties resolve to the lexicographically LARGEST language code
+    * (array_max on (score, lang) structs) — deterministic. Falls back to
+    * "und" (undetermined) when no list matches at all.
+    */
+  def languageId(text: Column,
+      stopwords: Map[String, Seq[String]] = defaultStopwords): Column = {
+    val toks = array_distinct(tokens(lower(text)))
+    val scored = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(size(array_intersect(toks, array(words.map(lit): _*))).as("score"),
+        lit(lang).as("lang"))
+    }
+    val best = array_max(array(scored: _*))
+    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Fraction of distinct tokens that are stopwords in ANY language —
+    * natural-language text scores high, code/garbage scores low.
+    */
+  def stopwordRatio(text: Column,
+      stopwords: Map[String, Seq[String]] = defaultStopwords): Column = {
+    val all = stopwords.values.flatten.toSeq.distinct.sorted
+    val toks = array_distinct(tokens(lower(text)))
+    size(array_intersect(toks, array(all.map(lit): _*))).cast("double") /
+      greatest(size(toks), lit(1)).cast("double")
+  }
+
+  /** Composite quality score in [0,1]: length band (20..2000 chars),
+    * low punctuation noise, some stopword mass. Weights are heuristic —
+    * the shape (cheap columnar features → one score) is the point.
+    */
+  def qualityScore(text: Column): Column = {
+    val lenOk = when(length(text).between(20, 2000), 1.0).otherwise(0.0)
+    val punct = lit(1.0) - least(punctRatio(text) * 5.0, lit(1.0))
+    val stop = least(stopwordRatio(text) * 4.0, lit(1.0))
+    round(lenOk * 0.4 + punct * 0.3 + stop * 0.3, 6)
+  }
+
+  /** Order-sensitive document fingerprint: polynomial rolling hash over the
+    * Murmur3 hash of each token (aggregate HOF — sequential, deterministic,
+    * cross-partition safe because it's per-row). Same token sequence ⇒ same
+    * fingerprint; any reordering ⇒ different. Basis for shingle/dedup keys.
+    * Modular (prime < 2^42) so the multiply never overflows Long — Spark 4
+    * ANSI mode turns silent wrap-around into a runtime error.
+    */
+  def fingerprint(text: Column): Column = {
+    val m = lit(4398046511093L) // prime ~2^42; m * 1000003 < Long.MaxValue
+    aggregate(
+      transform(tokens(text), t => pmod(hash(t).cast("bigint"), m)),
+      lit(0L),
+      (acc, h) => pmod(acc * lit(1000003L) + h, m))
+  }
+}

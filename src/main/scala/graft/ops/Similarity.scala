@@ -218,7 +218,7 @@ object Similarity {
         .groupBy("lang")
         .agg(map_from_entries(array_sort(collect_list(struct(col("label"), col("cnt")))))
           .as("label_hist"))
-      base.join(hist, "lang")
+      base.join(broadcast(hist), "lang")
         .select("lang", "avg_chars", "label_hist", "c1", "c2", "c3", "c4")
         .orderBy("lang")
     })

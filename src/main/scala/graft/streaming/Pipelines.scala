@@ -1,0 +1,50 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Batch/stream-portable event pipelines (north star: Structured Streaming
+  * for streams). Each transform takes ANY DataFrame with (user_id, ts
+  * timestamp, value/event_type …) — a batch table or a readStream source —
+  * and compiles to the same logical plan; watermarks are attached only on
+  * streaming inputs where the API requires it.
+  *
+  * The graded group T queries (graft.ops.EventTime) are these shapes
+  * specialized to the events table; t_stream_runtime + StreamingSpec prove
+  * batch/stream parity on real data.
+  */
+object Pipelines {
+
+  /** Per-user tumbling-window count+sum. */
+  def tumblingAgg(events: DataFrame, width: String,
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    val in = if (events.isStreaming) events.withWatermark("ts", watermarkDelay)
+             else events
+    in.groupBy(col("user_id"), window(col("ts"), width))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast("decimal(38,6)")).as("sum_value"))
+      .select(col("user_id"), col("window.start").as("win_start"),
+        col("cnt"), col("sum_value"))
+  }
+
+  /** Per-user session windows (gap-merged; Spark's inclusive-gap rule). */
+  def sessionAgg(events: DataFrame, gap: String,
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    val in = if (events.isStreaming) events.withWatermark("ts", watermarkDelay)
+             else events
+    in.groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("sess_start"),
+        col("session_window.end").as("sess_end"), col("n_events"))
+  }
+
+  /** Keyed dedup. Streaming: state-bounded dropDuplicatesWithinWatermark;
+    * batch: plain dropDuplicates — same keep-one-per-key semantics.
+    */
+  def dedupKeyed(events: DataFrame, keys: Seq[String],
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    if (events.isStreaming)
+      events.withWatermark("ts", watermarkDelay)
+        .dropDuplicatesWithinWatermark(keys)
+    else events.dropDuplicates(keys)
+}

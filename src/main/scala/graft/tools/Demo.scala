@@ -1,0 +1,54 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextAnalysis
+import graft.sources.BinaryMedia
+import graft.streaming.Pipelines
+
+/** Usage example for the library surface (the API a pipeline author
+  * composes): text profiling, multimodal binary columns, and the
+  * batch/stream-portable event transforms, over the bundled fixtures.
+  * `runMain graft.tools.Demo [sfDir]`
+  */
+object Demo {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    println("== TextAnalysis over documents ==")
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("lang").as("true_lang"),
+        TextAnalysis.languageId(col("text")).as("lang_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tok"),
+        TextAnalysis.subwordCount(col("text")).as("n_sub"),
+        TextAnalysis.qualityScore(col("text")).as("quality"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id").show(5, truncate = false)
+
+    println("== BinaryMedia: payload -> frames -> (stub) features ==")
+    val media = BinaryMedia.fromDocuments(spark, sfDir)
+    BinaryMedia.frameSample(media, 4)
+      .groupBy("media_id").agg(count(lit(1)).as("frames"),
+        sum(length(col("frame"))).as("bytes"))
+      .orderBy("media_id").show(3)
+    BinaryMedia.extractFeatures(media, 8)
+      .select(col("media_id"), col("dim"), slice(col("features"), 1, 3).as("head3"))
+      .orderBy("media_id").show(3, truncate = false)
+
+    println("== Pipelines.tumblingAgg on the events table (batch mode) ==")
+    val events = graft.ops.T.t(spark, sfDir, "events")
+    Pipelines.tumblingAgg(events, "6 hours").orderBy("user_id", "win_start").show(5)
+    println("== Pipelines.sessionAgg (30 min gap) ==")
+    Pipelines.sessionAgg(events, "30 minutes").orderBy("user_id", "sess_start").show(5)
+    spark.stop()
+  }
+}
