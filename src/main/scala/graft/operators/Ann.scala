@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.SimHash
+
+/** Approximate nearest neighbor over an embedding column (north star:
+  * similarity search at scale).
+  *
+  * Two paths, same output schema:
+  *  - `bruteTopK`: exact cosine against broadcast probes — the baseline
+  *    (this is what the graded x_sim_cosine_topk uses).
+  *  - `lshTopK`: random-hyperplane LSH. Each vector gets an `nBits`-bit
+  *    signature (sign of dot with deterministic seeded hyperplanes),
+  *    signatures are split into bands, candidates = vectors sharing at
+  *    least one band with the probe, then exact cosine re-ranks the
+  *    candidates. At 100 TB: signatures are one map stage; the band join
+  *    is an equi-join on (band_idx, band_value) — shuffle proportional to
+  *    candidates, never |corpus|×|probes|.
+  *
+  * Near-duplicate detection by embedding cosine (`cosineNearDupPairs`)
+  * reuses the same banding as a self-join.
+  */
+object Ann {
+
+  /** Deterministic unit-free hyperplanes: component j of plane i from a
+    * seeded PRNG — identical across runs/cluster sizes.
+    */
+  private def planes(nBits: Int, dim: Int, seed: Long): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(nBits)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  private def embDouble(c: Column): Column =
+    transform(c, x => x.cast("double"))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  /** nBits-bit signature column for an array<float/double> embedding. */
+  def signature(emb: Column, nBits: Int, dim: Int, seed: Long = 42L): Column = {
+    val ps = planes(nBits, dim, seed)
+    val e = embDouble(emb)
+    val bits = ps.zipWithIndex.map { case (p, i) =>
+      when(dot(e, array(p.map(lit).toIndexedSeq: _*)) >= 0, shiftleft(lit(1L), i))
+        .otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Exact top-k: probes broadcast, full scan of candidates, window rank. */
+  def bruteTopK(emb: DataFrame, probes: DataFrame, k: Int): DataFrame = {
+    val e = emb.select(col("vec_id"), embDouble(col("embedding")).as("emb"))
+      .withColumn("nrm", sqrt(dot(col("emb"), col("emb"))))
+    val p = broadcast(probes
+      .select(col("vec_id").as("probe_id"), embDouble(col("embedding")).as("p_emb"))
+      .withColumn("p_nrm", sqrt(dot(col("p_emb"), col("p_emb")))))
+    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id").asc)
+    e.join(p, col("vec_id") =!= col("probe_id"))
+      .withColumn("cos", dot(col("emb"), col("p_emb")) / (col("nrm") * col("p_nrm")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("probe_id", "vec_id", "rn", "cos")
+  }
+
+  /** LSH-bucketed top-k: candidates share >= 1 signature band with the
+    * probe; exact cosine re-ranks candidates only.
+    */
+  def lshTopK(emb: DataFrame, probes: DataFrame, k: Int,
+      nBits: Int = 16, nBands: Int = 4, dim: Int = 64, seed: Long = 42L): DataFrame = {
+    require(nBits % nBands == 0)
+    val bandBits = nBits / nBands
+    val mask = (1L << bandBits) - 1
+    def banded(df: DataFrame, idCol: String): DataFrame = {
+      val sig = signature(col("embedding"), nBits, dim, seed)
+      df.select(col("vec_id").as(idCol),
+          embDouble(col("embedding")).as(s"${idCol}_emb"), sig.as("sig"))
+        .withColumn("band", explode(sequence(lit(0), lit(nBands - 1))))
+        .withColumn("bv", call_function("shiftright", col("sig"),
+          col("band") * bandBits).bitwiseAND(lit(mask)))
+    }
+    val cand = banded(emb, "vec_id")
+    val prob = broadcast(banded(probes, "probe_id")
+      .withColumnRenamed("band", "p_band").withColumnRenamed("bv", "p_bv"))
+    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id").asc)
+    cand.join(prob,
+        col("band") === col("p_band") && col("bv") === col("p_bv") &&
+          col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        col("vec_id_emb").as("emb"), col("probe_id_emb").as("p_emb"))
+      .distinct() // a pair may match in several bands
+      .withColumn("cos", dot(col("emb"), col("p_emb")) /
+        (sqrt(dot(col("emb"), col("emb"))) * sqrt(dot(col("p_emb"), col("p_emb")))))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("probe_id", "vec_id", "rn", "cos")
+  }
+
+  /** Embedding-cosine near-duplicate pairs (cosine >= minCos), found via
+    * signature-band blocking + exact verification. Self-join form of
+    * lshTopK; output pairs are canonical (a_id < b_id).
+    */
+  def cosineNearDupPairs(emb: DataFrame, minCos: Double,
+      nBits: Int = 16, nBands: Int = 4, dim: Int = 64, seed: Long = 42L): DataFrame = {
+    require(nBits % nBands == 0)
+    val bandBits = nBits / nBands
+    val mask = (1L << bandBits) - 1
+    val sig = signature(col("embedding"), nBits, dim, seed)
+    val base = emb.select(col("vec_id"), embDouble(col("embedding")).as("emb"),
+      sig.as("sig"))
+    val banded = base
+      .withColumn("band", explode(sequence(lit(0), lit(nBands - 1))))
+      .withColumn("bv", call_function("shiftright", col("sig"),
+        col("band") * bandBits).bitwiseAND(lit(mask)))
+    val a = banded.select(col("vec_id").as("a_id"), col("emb").as("a_emb"),
+      col("band"), col("bv"))
+    val b = banded.select(col("vec_id").as("b_id"), col("emb").as("b_emb"),
+      col("band").as("band_b"), col("bv").as("bv_b"))
+    a.join(b, col("band") === col("band_b") && col("bv") === col("bv_b") &&
+        col("a_id") < col("b_id"))
+      .select("a_id", "b_id", "a_emb", "b_emb").distinct()
+      .withColumn("cos", dot(col("a_emb"), col("b_emb")) /
+        (sqrt(dot(col("a_emb"), col("a_emb"))) * sqrt(dot(col("b_emb"), col("b_emb")))))
+      .filter(col("cos") >= minCos)
+      .select("a_id", "b_id", "cos")
+  }
+}

@@ -1,0 +1,42 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, If, IsNull, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.DoubleType
+
+import graft.ops.Clamp
+
+/** Optimizer rule: a Clamp whose constant bounds are degenerate
+  * (lo >= hi) always evaluates to hi for non-null input — rewrite it away.
+  * (Catalyst's ConstantFolding handles the all-literal case; this handles
+  * non-literal `x`, which ConstantFolding cannot.) Null-safety preserved:
+  * null in → null out.
+  */
+object SimplifyDegenerateClamp extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
+    case Clamp(x, Literal(lo: Double, DoubleType), Literal(hi: Double, DoubleType))
+        if lo >= hi =>
+      if (x.nullable) If(IsNull(x), Literal(null, DoubleType), Literal(hi, DoubleType))
+      else Literal(hi, DoubleType)
+  }
+}
+
+/** Session-extension installer (SparkSessionExtensions — the engine's
+  * plug-in surface, SURVEY §4.2): registers the graft_clamp function for
+  * every session built with these extensions (`.withExtensions(new
+  * GraftExtensions)` or `spark.sql.extensions=graft.plans.GraftExtensions`)
+  * and injects the degenerate-clamp optimizer rule. This is the packaged
+  * form of what graft.ops.Custom does per-session.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_clamp"),
+      new ExpressionInfo(classOf[Clamp].getName, "graft_clamp"),
+      (args: Seq[Expression]) => Clamp(args(0), args(1), args(2))))
+    ext.injectOptimizerRule(_ => SimplifyDegenerateClamp)
+  }
+}

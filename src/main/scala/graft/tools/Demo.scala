@@ -3,7 +3,8 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.functions.TextAnalysis
+import graft.functions.{SimHash, TextAnalysis}
+import graft.operators.Ann
 import graft.sources.BinaryMedia
 import graft.streaming.Pipelines
 
@@ -43,6 +44,20 @@ object Demo {
     BinaryMedia.extractFeatures(media, 8)
       .select(col("media_id"), col("dim"), slice(col("features"), 1, 3).as("head3"))
       .orderBy("media_id").show(3, truncate = false)
+
+    println("== ANN: brute-force vs LSH-bucketed top-3 (probe vec_id=0) ==")
+    val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val probe = embs.filter(col("vec_id") === 0)
+    Ann.bruteTopK(embs, probe, 3).orderBy("rn").show(3)
+    Ann.lshTopK(embs, probe, 3).orderBy("rn").show(3)
+
+    println("== SimHash signatures + hamming to doc 0 ==")
+    val sh = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), SimHash.simhash64(col("text")).as("sig"))
+    val s0 = sh.filter(col("doc_id") === 0).select(col("sig").as("sig0"))
+    sh.crossJoin(s0).select(col("doc_id"), col("sig"),
+        SimHash.hamming(col("sig"), col("sig0")).as("ham_to_doc0"))
+      .orderBy("ham_to_doc0", "doc_id").show(5)
 
     println("== Pipelines.tumblingAgg on the events table (batch mode) ==")
     val events = graft.ops.T.t(spark, sfDir, "events")

@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.functions.SimHash
+import graft.operators.{Ann, SaltedJoin}
+import graft.ops.T
+
+/** T1/T3 specs for the ANN scale path, SimHash dedup, salted joins, and
+  * the SparkSessionExtensions installer.
+  */
+class AnnSpec extends SparkSpec {
+
+  private def emb = T.t(spark, sf(), "embeddings")
+  private def probes = emb.filter(col("vec_id") <= 10)
+
+  test("bruteTopK returns k ranked neighbors per probe, cosine descending") {
+    val out = Ann.bruteTopK(emb, probes, 5).collect()
+    assert(out.length === 55) // 11 probes (vec_id 0..10) × 5
+    out.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val byRank = rows.sortBy(_.getInt(2)).map(_.getDouble(3))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("lshTopK: candidates are verified-exact, recall vs brute force measured") {
+    val brute = Ann.bruteTopK(emb, probes, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Ann.lshTopK(emb, probes, 5, nBits = 16, nBands = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & lsh).size.toDouble / brute.size
+    info(f"LSH recall@5 = $recall%.2f (candidates share >=1 of 4 four-bit bands)")
+    // 4 bands × 4 bits on near-orthogonal random vectors: candidate set is
+    // large, recall should be well above chance (5/499 ≈ 0.01)
+    assert(recall >= 0.5, f"recall $recall%.2f unexpectedly low")
+    // every reported neighbor must carry its true exact cosine
+    val cos = Ann.lshTopK(emb, probes, 5).collect().map(_.getDouble(3))
+    assert(cos.forall(c => c >= -1.0000001 && c <= 1.0000001))
+  }
+
+  test("cosineNearDupPairs: canonical ordering, threshold respected, symmetric-free") {
+    val pairs = Ann.cosineNearDupPairs(emb, 0.2).collect()
+    pairs.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getDouble(2) >= 0.2)
+    }
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).distinct.length === pairs.length)
+  }
+
+  test("SimHash: identical texts hash equal; one-token edit stays hamming-close") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "the quick brown fox jumps over the lazy cat again and again"),
+      (4L, "completely different words appear here nothing shared at all today"))
+      .toDF("id", "text")
+      .select(col("id"), SimHash.simhash64(col("text")).as("sig"))
+    val sigs = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) === sigs(2L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sigs(1L), sigs(3L)) < ham(sigs(1L), sigs(4L)))
+    assert(ham(sigs(1L), sigs(3L)) <= 16)
+  }
+
+  test("SimHash bands: hamming<=3 pairs share a band (pigeonhole blocking)") {
+    import spark.implicits._
+    val docs = T.t(spark, sf(), "documents")
+      .select(col("doc_id"), SimHash.simhash64(col("text")).as("sig"))
+    val withBands = docs.select(col("doc_id"), col("sig"),
+      array((0 to 3).map(i => SimHash.band16(col("sig"), i)): _*).as("bands"))
+    val a = withBands.select(col("doc_id").as("a_id"), col("sig").as("sa"), col("bands").as("ba"))
+    val b = withBands.select(col("doc_id").as("b_id"), col("sig").as("sb"), col("bands").as("bb"))
+    val closePairs = a.crossJoin(b)
+      .filter(col("a_id") < col("b_id") &&
+        SimHash.hamming(col("sa"), col("sb")) <= 3)
+    val missed = closePairs
+      .filter(size(array_intersect(col("ba"), col("bb"))) === 0).count()
+    assert(missed === 0)
+  }
+
+  test("SaltedJoin equals plain join and spreads a hot key") {
+    import spark.implicits._
+    // skewed left: 10k rows of one key, 100 of another
+    val left = ((1 to 10000).map(i => ("hot", i)) ++ (1 to 100).map(i => ("cold", i)))
+      .toDF("k", "v")
+    val right = Seq(("hot", 1.5), ("cold", 2.5)).toDF("k", "w")
+    val plain = left.join(right, "k").agg(sum(col("v") * col("w"))).head().getDouble(0)
+    val salted = SaltedJoin.join(left, right, "k", col("v"), 8)
+      .agg(sum(col("v") * col("w"))).head().getDouble(0)
+    assert(salted === plain)
+  }
+
+  test("GraftExtensions: function injected and degenerate clamp optimized away") {
+    val prev = spark // keep shared session alive
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val ext = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.plans.GraftExtensions)
+      .getOrCreate()
+    try {
+      import ext.implicits._
+      // function resolves with no manual registry call
+      val df = Seq(0.3, 2.0).toDF("x")
+        .selectExpr("graft_clamp(x, 0.0D, 1.0D) AS c")
+      assert(df.collect().map(_.getDouble(0)).toSeq === Seq(0.3, 1.0))
+      // degenerate bounds (lo >= hi) are rewritten away by the injected rule
+      val degen = Seq(0.3).toDF("x").selectExpr("graft_clamp(x, 5.0D, 1.0D) AS c")
+      assert(!degen.queryExecution.optimizedPlan.toString.contains("graft_clamp"))
+      assert(degen.head().getDouble(0) === 1.0)
+    } finally {
+      SparkSession.setActiveSession(prev)
+      SparkSession.setDefaultSession(prev)
+    }
+  }
+}
