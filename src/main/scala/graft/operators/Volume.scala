@@ -1,0 +1,285 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.CentroidAgg
+
+/** Dense-volume operators on the chunked-slab data model (SURVEY §1.2):
+  * a 3-D float volume is a DataFrame of x-lines —
+  * `(dataset_id string, z int, y int, xs array<float>)` — one row per
+  * (z, y) line. Slabs are independently processable, so every per-voxel
+  * operator below is a narrow map stage and every reduction is a
+  * partial-aggregated shuffle: the layout that scales a flexcalc pipeline
+  * to a 100 TB volume store (the reference's Buffer/memmap chunking,
+  * flexcalc/batch.py::Buffer, done by partitioning instead).
+  *
+  * Operator ↔ reference mapping (module::symbol, mount empty at survey
+  * time — SURVEY §0): preprocess/-log R4, crop/bin R26, hard_threshold
+  * R14, histogram R16, centre R18, bounding_box R19, translate R11,
+  * append/stitch R10, equalize_intensity R9, norm R21, cast2type R15,
+  * register (moment init) R12.
+  */
+object Volume {
+
+  /** Build a slab frame from an in-memory [z][y][x] array (tests/demos). */
+  def fromArray(spark: SparkSession, id: String,
+      data: Array[Array[Array[Float]]]): DataFrame = {
+    import spark.implicits._
+    (for {
+      (plane, z) <- data.zipWithIndex
+      (line, y) <- plane.zipWithIndex
+    } yield (id, z, y, line.toSeq)).toSeq.toDF("dataset_id", "z", "y", "xs")
+  }
+
+  /** R4 (process.py::preprocess): flat/dark-field correction + -log.
+    * flat/dark are per-(y,x) reference lines — broadcast-joined on y, then
+    * per-voxel `-log((p - dark) / (flat - dark))` clipped at `eps`, all
+    * inside one codegen'd map stage.
+    */
+  def flatDarkCorrect(proj: DataFrame, flat: DataFrame, dark: DataFrame,
+      eps: Double = 1e-6): DataFrame = {
+    val f = broadcast(flat.select(col("y").as("fy"), col("xs").as("flat_xs")))
+    val d = broadcast(dark.select(col("y").as("dy"), col("xs").as("dark_xs")))
+    proj.join(f, col("y") === col("fy")).join(d, col("y") === col("dy"))
+      .withColumn("num", zip_with(col("xs"), col("dark_xs"), (p, dk) => p - dk))
+      .withColumn("den", zip_with(col("flat_xs"), col("dark_xs"), (fl, dk) => fl - dk))
+      .withColumn("xs", zip_with(col("num"), col("den"), (n, dd) =>
+        (-log(greatest(n / dd, lit(eps)))).cast("float")))
+      .select("dataset_id", "z", "y", "xs")
+  }
+
+  /** R26 (batch.py crop node): sub-volume selection; x-range via array
+    * slice so column pruning and predicate pushdown both apply.
+    */
+  def crop(vol: DataFrame, z0: Int, z1: Int, y0: Int, y1: Int,
+      x0: Int, x1: Int): DataFrame =
+    vol.filter(col("z").between(z0, z1 - 1) && col("y").between(y0, y1 - 1))
+      .withColumn("xs", slice(col("xs"), x0 + 1, x1 - x0))
+      .withColumn("z", col("z") - z0).withColumn("y", col("y") - y0)
+
+  /** R26 (bin node): k× average pooling in all three axes. X pools inside
+    * the row (HOF); y/z pool via groupBy(z/k, y/k) + the element-wise mean
+    * Aggregator — map-side partial aggregation keeps the shuffle at
+    * 1/k³ of the input.
+    */
+  def binPool(vol: DataFrame, k: Int): DataFrame = {
+    val cen = udaf(CentroidAgg)
+    val pooledX = vol.withColumn("xs",
+      expr(s"""transform(sequence(0, size(xs) div $k - 1),
+        i -> cast(aggregate(slice(xs, i * $k + 1, $k),
+          cast(0.0 as double), (a, v) -> a + v) / $k as float))"""))
+    pooledX
+      .groupBy(col("dataset_id"), (col("z") / k).cast("int").as("z"),
+        (col("y") / k).cast("int").as("y"))
+      .agg(cen(col("xs")).as("xs_d"))
+      .withColumn("xs", expr("transform(xs_d, v -> cast(v as float))"))
+      .select("dataset_id", "z", "y", "xs")
+  }
+
+  /** R14 (process.py::hard_threshold): zero out voxels below `t`. */
+  def hardThreshold(vol: DataFrame, t: Double): DataFrame =
+    vol.withColumn("xs",
+      expr(s"transform(xs, v -> CASE WHEN v < cast($t AS FLOAT) THEN cast(0.0 AS FLOAT) ELSE v END)"))
+
+  /** R16 (analyze.py::histogram): fixed-range binned voxel counts. */
+  def histogram(vol: DataFrame, lo: Double, hi: Double, nBins: Int): DataFrame = {
+    val w = (hi - lo) / nBins
+    vol.select(explode(col("xs")).as("v"))
+      .groupBy(least(greatest(floor((col("v") - lo) / w), lit(0)), lit(nBins - 1))
+        .cast("int").as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("bin")
+  }
+
+  /** R18 (analyze.py::centre): intensity-weighted centre of mass. */
+  def centreOfMass(vol: DataFrame): (Double, Double, Double) = {
+    val r = vol
+      .select(col("z"), col("y"), posexplode(col("xs")).as(Seq("x", "v")))
+      .agg(sum(col("v")).as("m"),
+        sum(col("v") * col("x")).as("mx"),
+        sum(col("v") * col("y")).as("my"),
+        sum(col("v") * col("z")).as("mz"))
+      .head()
+    val m = r.getDouble(0)
+    (r.getDouble(1) / m, r.getDouble(2) / m, r.getDouble(3) / m) // (x, y, z)
+  }
+
+  /** R19 (analyze.py::bounding_box): extent of voxels above `thr`;
+    * returns ((x0,x1),(y0,y1),(z0,z1)) inclusive, or None if empty.
+    */
+  def boundingBox(vol: DataFrame, thr: Double):
+      Option[((Int, Int), (Int, Int), (Int, Int))] = {
+    val rows = vol
+      .select(col("z"), col("y"), posexplode(col("xs")).as(Seq("x", "v")))
+      .filter(col("v") > thr)
+      .agg(min("x"), max("x"), min("y"), max("y"), min("z"), max("z"))
+      .head()
+    if (rows.isNullAt(0)) None
+    else Some(((rows.getInt(0), rows.getInt(1)), (rows.getInt(2), rows.getInt(3)),
+      (rows.getInt(4), rows.getInt(5))))
+  }
+
+  /** R11 (process.py::translate, integer case): shift by (dz, dy, dx);
+    * x-shift splices zeros (same-shape semantics as scipy shift with
+    * constant fill), z/y shifts are key rewrites — no data movement.
+    */
+  def translate(vol: DataFrame, dz: Int, dy: Int, dx: Int): DataFrame = {
+    val shifted =
+      if (dx == 0) vol
+      else if (dx > 0) vol.withColumn("xs",
+        expr(s"slice(concat(array_repeat(cast(0.0 as float), $dx), xs), 1, size(xs))"))
+      else vol.withColumn("xs",
+        expr(s"concat(slice(xs, ${-dx + 1}, size(xs) + $dx), array_repeat(cast(0.0 as float), ${-dx}))"))
+    shifted.withColumn("z", col("z") + dz).withColumn("y", col("y") + dy)
+  }
+
+  /** R10 (process.py::append_volume): stitch volumes onto one canvas;
+    * overlapping (z, y) lines are feather-blended by element-wise mean.
+    */
+  def stitch(vols: DataFrame*): DataFrame = {
+    val cen = udaf(CentroidAgg)
+    vols.reduce(_ unionByName _)
+      .groupBy("dataset_id", "z", "y")
+      .agg(cen(col("xs")).as("xs_d"))
+      .withColumn("xs", expr("transform(xs_d, v -> cast(v as float))"))
+      .select("dataset_id", "z", "y", "xs")
+  }
+
+  /** R9 (process.py::equalize_intensity): scale `b` so its mean matches
+    * `a` — the reference's aggregate→decide→reapply shape (§3.3): two
+    * scalar aggregations, then one broadcast-literal map stage.
+    */
+  def equalizeIntensity(a: DataFrame, b: DataFrame): DataFrame = {
+    def meanOf(v: DataFrame): Double =
+      v.select(explode(col("xs")).as("v")).agg(avg("v")).head().getDouble(0)
+    val scale = meanOf(a) / meanOf(b)
+    b.withColumn("xs", expr(s"transform(xs, v -> cast(v * $scale as float))"))
+  }
+
+  /** R21 (analyze.py::norm): L2 norm of the whole volume. */
+  def normL2(vol: DataFrame): Double =
+    math.sqrt(vol.select(explode(col("xs")).as("v"))
+      .agg(sum(col("v") * col("v"))).head().getDouble(0))
+
+  /** R15 (batch.py::scheduler.cast2type): rescale to the dynamic range of
+    * a target integer type and cast — global min/max, then map.
+    */
+  def cast2type(vol: DataFrame, maxVal: Int = 255): DataFrame = {
+    val r = vol.select(explode(col("xs")).as("v")).agg(min("v"), max("v")).head()
+    val (lo, hi) = (r.getFloat(0), r.getFloat(1))
+    val scale = if (hi > lo) maxVal / (hi - lo).toDouble else 0.0
+    vol.withColumn("xs",
+      expr(s"transform(xs, v -> cast(round((v - cast($lo as float)) * $scale, 0) as int))"))
+  }
+
+  /** R12 (process.py::register_volumes, moment-based init): integer
+    * translation aligning `b`'s centre of mass to `a`'s.
+    */
+  def registerTranslation(a: DataFrame, b: DataFrame): (Int, Int, Int) = {
+    val (ax, ay, az) = centreOfMass(a)
+    val (bx, by, bz) = centreOfMass(b)
+    (math.round(az - bz).toInt, math.round(ay - by).toInt, math.round(ax - bx).toInt)
+  }
+
+  /** R5 (process.py::subtract_air): per-projection (z) air normalization —
+    * subtract the mean intensity of the air window x∈[airX0, airX1) from
+    * every voxel of that projection. One grouped agg + broadcast join.
+    */
+  def subtractAir(proj: DataFrame, airX0: Int, airX1: Int): DataFrame = {
+    val air = proj
+      .withColumn("airv", explode(slice(col("xs"), airX0 + 1, airX1 - airX0)))
+      .groupBy(col("z").as("az")).agg(avg("airv").as("air"))
+    proj.join(broadcast(air), col("z") === col("az"))
+      .withColumn("xs", expr("transform(xs, v -> cast(v - air as float))"))
+      .select("dataset_id", "z", "y", "xs")
+  }
+
+  /** R6 (process.py::residual_rings): ring-artifact removal — for each
+    * detector pixel (y, x), subtract its median residual across all
+    * angles (z). Median per (y, x) via exact percentile over the
+    * posexploded frame; rejoined on y as a per-(y) correction line.
+    */
+  def residualRings(proj: DataFrame): DataFrame = {
+    val med = proj
+      .select(col("y"), posexplode(col("xs")).as(Seq("x", "v")))
+      .groupBy("y", "x")
+      .agg(expr("percentile(v, 0.5D)").as("m"))
+      .groupBy(col("y").as("my"))
+      .agg(expr("transform(array_sort(collect_list(struct(x, m))), s -> s.m)").as("med_xs"))
+    proj.join(broadcast(med), col("y") === col("my"))
+      .withColumn("xs", zip_with(col("xs"), col("med_xs"),
+        (v, m) => (v - m).cast("float")))
+      .select("dataset_id", "z", "y", "xs")
+  }
+
+  /** R8 (process.py::expand_medipix): insert an interpolated cross-gap of
+    * `gapW` columns after x=`gapX`: left | interp ramp | right.
+    */
+  def expandGap(vol: DataFrame, gapX: Int, gapW: Int): DataFrame =
+    vol.withColumn("xs", expr(
+      s"""concat(
+            slice(xs, 1, $gapX),
+            transform(sequence(1, $gapW), i -> cast(
+              xs[$gapX - 1] + (xs[$gapX] - xs[$gapX - 1]) * i / ($gapW + 1)
+              as float)),
+            slice(xs, $gapX + 1, size(xs) - $gapX))"""))
+
+  /** R13 (process.py::equivalent_density): map voxel values through a
+    * piecewise-linear transfer curve (calibrated spectrum lookup). The
+    * curve is tiny → inlined as sorted literal arrays; interpolation is a
+    * pure expression (binary-search-free linear scan is fine for the
+    * handful of knots a spectrum fit produces).
+    */
+  def applyTransferCurve(vol: DataFrame, curve: Seq[(Double, Double)]): DataFrame = {
+    val pts = curve.sortBy(_._1)
+    val xsArr = pts.map(_._1).mkString("array(", "D, ", "D)")
+    val ysArr = pts.map(_._2).mkString("array(", "D, ", "D)")
+    vol.withColumn("xs", expr(
+      s"""transform(xs, v -> cast(
+            CASE WHEN v <= element_at($xsArr, 1) THEN element_at($ysArr, 1)
+                 WHEN v >= element_at($xsArr, ${pts.size}) THEN element_at($ysArr, ${pts.size})
+                 ELSE aggregate(sequence(1, ${pts.size - 1}), cast(0.0 as double), (acc, i) ->
+                   CASE WHEN v >= element_at($xsArr, i) AND v < element_at($xsArr, i + 1)
+                        THEN element_at($ysArr, i) + (element_at($ysArr, i + 1) - element_at($ysArr, i))
+                             * (v - element_at($xsArr, i))
+                             / (element_at($xsArr, i + 1) - element_at($xsArr, i))
+                        ELSE acc END)
+            END as float))"""))
+  }
+
+  /** R17 (analyze.py::intensity_range): robust (p, 1-p) percentile range. */
+  def intensityRange(vol: DataFrame, p: Double): (Double, Double) = {
+    val r = vol.select(explode(col("xs")).as("v"))
+      .agg(expr(s"percentile(v, ${p}D)"), expr(s"percentile(v, ${1 - p}D)")).head()
+    (r.getDouble(0), r.getDouble(1))
+  }
+
+  /** R20 (analyze.py::binary_threshold, otsu mode): histogram →
+    * between-class-variance argmax → threshold value. The aggregate →
+    * decide → reapply shape (§3.3): pair with hardThreshold to binarize.
+    */
+  def otsuThreshold(vol: DataFrame, lo: Double, hi: Double, nBins: Int): Double = {
+    val h = histogram(vol, lo, hi, nBins).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val w = (hi - lo) / nBins
+    val counts = (0 until nBins).map(b => h.getOrElse(b, 0L).toDouble)
+    val mids = (0 until nBins).map(b => lo + (b + 0.5) * w)
+    val total = counts.sum
+    val totalMean = counts.zip(mids).map { case (c, m) => c * m }.sum / total
+    var best = (Double.MinValue, lo + w)
+    var c0 = 0.0
+    var s0 = 0.0
+    for (b <- 0 until nBins - 1) {
+      c0 += counts(b); s0 += counts(b) * mids(b)
+      if (c0 > 0 && c0 < total) {
+        val w0 = c0 / total
+        val mu0 = s0 / c0
+        val mu1 = (totalMean * total - s0) / (total - c0)
+        val v = w0 * (1 - w0) * (mu0 - mu1) * (mu0 - mu1)
+        if (v > best._1) best = (v, lo + (b + 1) * w)
+      }
+    }
+    best._2
+  }
+}

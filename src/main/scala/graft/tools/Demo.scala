@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.functions.{SimHash, TextAnalysis}
-import graft.operators.Ann
+import graft.operators.{Ann, Volume}
 import graft.sources.BinaryMedia
 import graft.streaming.Pipelines
 
@@ -58,6 +58,16 @@ object Demo {
     sh.crossJoin(s0).select(col("doc_id"), col("sig"),
         SimHash.hamming(col("sig"), col("sig0")).as("ham_to_doc0"))
       .orderBy("ham_to_doc0", "doc_id").show(5)
+
+    println("== Volume pipeline: flexcalc R4->R26 analogs on a slab frame ==")
+    val vol = Volume.fromArray(spark, "demo",
+      Array.tabulate(8, 8, 8)((z, y, x) =>
+        if (math.abs(z - 4) + math.abs(y - 4) + math.abs(x - 4) <= 2) 9f else 1f))
+    val thr = Volume.otsuThreshold(vol, 0, 10, 16)
+    println(s"otsu threshold = $thr; centre of mass = ${Volume.centreOfMass(vol)}")
+    println(s"bbox above thr = ${Volume.boundingBox(vol, thr)}")
+    Volume.histogram(vol, 0, 10, 5).show()
+    Volume.binPool(vol, 2).orderBy("z", "y").show(3)
 
     println("== Pipelines.tumblingAgg on the events table (batch mode) ==")
     val events = graft.ops.T.t(spark, sfDir, "events")
