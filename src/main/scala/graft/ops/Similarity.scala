@@ -96,21 +96,42 @@ object Similarity {
     // The length-band prune (|A|/|B| within [0.6, 1/0.6]) is implied by
     // J >= 0.6, so Spark can apply it in the join condition without
     // changing results; the oracle states only the final predicate.
+    // Spark-side representation: token sets are dictionary-encoded into
+    // dense bitmaps (array of longs), so the per-pair intersection is
+    // popcount(a AND b) per 64-token block — exact, and far cheaper than
+    // per-pair array hashsets across the ~Σ C(n_lang,2) candidate pairs.
     "x_dedup_jaccard" -> ((s, d) => {
-      val docs = t(s, d, "documents")
+      val toks = t(s, d, "documents")
         .select(col("doc_id"), col("lang"),
-          array_distinct(split(col("text"), " ")).as("toks"))
-        .withColumn("n", size(col("toks")))
+          explode(array_distinct(split(col("text"), " "))).as("tok"))
+      val dict = broadcast(toks.select("tok").distinct()
+        .withColumn("id", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy("tok")) - 1))
+      val nWords = (dict.count() / 64 + 1).toInt
+      val masks = toks.join(dict, "tok")
+        .withColumn("word", (col("id") / 64).cast("int"))
+        .withColumn("bit", pmod(col("id"), lit(64)).cast("int"))
+        .groupBy("doc_id", "lang", "word")
+        .agg(expr("bit_or(shiftleft(1L, bit))").as("m"))
+        .groupBy("doc_id", "lang")
+        .agg(map_from_entries(collect_list(struct(col("word"), col("m")))).as("wm"),
+          count(lit(1)).as("nw"))
+        .withColumn("mask", expr(
+          s"transform(sequence(0, ${nWords - 1}), w -> coalesce(wm[w], 0L))"))
+        .withColumn("n", expr("aggregate(mask, 0, (acc, v) -> acc + bit_count(v))"))
+        .select("doc_id", "lang", "mask", "n")
       // fan(): the pair-generation work (|pairs| ≈ Σ_lang C(n_lang, 2))
       // must not collapse into the single input split of a small parquet.
-      val a = fan(s, docs.select(col("doc_id").as("a_id"), col("lang"),
-        col("toks").as("ta"), col("n").as("na")))
-      val b = broadcast(docs.select(col("doc_id").as("b_id"),
-        col("lang").as("lang_b"), col("toks").as("tb"), col("n").as("nb")))
+      val a = fan(s, masks.select(col("doc_id").as("a_id"), col("lang"),
+        col("mask").as("ma"), col("n").as("na")))
+      val b = broadcast(masks.select(col("doc_id").as("b_id"),
+        col("lang").as("lang_b"), col("mask").as("mb"), col("n").as("nb")))
       a.join(b, col("lang") === col("lang_b") && col("a_id") < col("b_id") &&
           col("na").cast("double") >= col("nb") * 0.6 &&
           col("nb").cast("double") >= col("na") * 0.6)
-        .withColumn("inter", size(array_intersect(col("ta"), col("tb"))).cast("double"))
+        .withColumn("inter", expr(
+          "aggregate(zip_with(ma, mb, (x, y) -> bit_count(x & y)), 0, (acc, v) -> acc + v)")
+          .cast("double"))
         .withColumn("jacc", col("inter") / (col("na") + col("nb") - col("inter")))
         .filter(col("jacc") >= 0.6)
         .select(col("a_id"), col("b_id"), round(col("jacc"), 6).as("jacc"))

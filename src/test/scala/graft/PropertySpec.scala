@@ -33,6 +33,37 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("bitmap jaccard == array-intersect jaccard on a >64-token vocabulary") {
+    import spark.implicits._
+    // 3 langs × 40 docs over a 150-word vocab → exercises multi-word masks
+    // (nWords = 3), which the 31-word fixture corpus never reaches.
+    val vocab = (0 until 150).map(i => s"w$i")
+    val docs = (0 until 120).map { i =>
+      val toks = (0 until 30).map(j => vocab((i * 7 + j * 11) % 150)).distinct
+      (i.toLong, s"l${i % 3}", toks.mkString(" "))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("jacbit").toString
+    docs.toDF("doc_id", "lang", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val bitmap = SparkEntry.queries("x_dedup_jaccard")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val naive = {
+      val dtoks = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("lang"),
+          array_distinct(split(col("text"), " ")).as("toks"))
+      val a = dtoks.select(col("doc_id").as("a_id"), col("lang"), col("toks").as("ta"))
+      val b = dtoks.select(col("doc_id").as("b_id"), col("lang").as("lb"), col("toks").as("tb"))
+      a.join(b, col("lang") === col("lb") && col("a_id") < col("b_id"))
+        .withColumn("inter", size(array_intersect(col("ta"), col("tb"))).cast("double"))
+        .withColumn("jacc", col("inter") / (size(col("ta")) + size(col("tb")) - col("inter")))
+        .filter(col("jacc") >= 0.6)
+        .select(col("a_id"), col("b_id"), round(col("jacc"), 6).as("jacc"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    }
+    assert(bitmap.map(t => (t._1, t._2)) === naive.map(t => (t._1, t._2)))
+    assert(bitmap.nonEmpty || naive.isEmpty)
+  }
+
   test("minhash cluster formulation == naive band join (same pair set)") {
     // Textbook formulation: explode per-band signatures, bucket-join,
     // count agreeing bands per pair.
