@@ -81,6 +81,22 @@ object TextAnalysis {
     round(lenOk * 0.4 + punct * 0.3 + stop * 0.3, 6)
   }
 
+  /** Character n-gram shingles (distinct, order-free) — the dedup unit for
+    * n-gram Jaccard, robust to token-boundary edits where token-set
+    * Jaccard is not.
+    */
+  def shingles(text: Column, n: Int): Column =
+    array_distinct(transform(
+      sequence(lit(1), greatest(length(text) - (n - 1), lit(1))),
+      i => text.substr(i, lit(n))))
+
+  /** Exact n-gram Jaccard similarity of two texts' shingle sets. */
+  def shingleJaccard(a: Column, b: Column, n: Int): Column = {
+    val (sa, sb) = (shingles(a, n), shingles(b, n))
+    val inter = size(array_intersect(sa, sb)).cast("double")
+    inter / (size(sa) + size(sb) - inter)
+  }
+
   /** Order-sensitive document fingerprint: polynomial rolling hash over the
     * Murmur3 hash of each token (aggregate HOF — sequential, deterministic,
     * cross-partition safe because it's per-row). Same token sequence ⇒ same

@@ -98,6 +98,67 @@ object Ann {
       .select("probe_id", "vec_id", "rn", "cos")
   }
 
+  /** IVF (inverted-file) top-k — the other classic ANN scale path. Build:
+    * `nLists` centroids via a few deterministic Lloyd iterations (seeded
+    * init from hashed ids; each iteration is one groupBy + the
+    * element-wise-mean Aggregator — agg→decide→reapply, §3.3); every
+    * vector is assigned to its nearest centroid (inverted list). Search:
+    * a probe scans only the `nProbe` nearest lists. At 100 TB the
+    * assignment is a narrow map against broadcast centroids and the
+    * search shuffles only the probed lists.
+    */
+  def ivfTopK(emb: DataFrame, probes: DataFrame, k: Int,
+      nLists: Int = 8, nProbe: Int = 2, iters: Int = 3): DataFrame = {
+    import org.apache.spark.sql.Row
+    val spark = emb.sparkSession
+    val base = emb.select(col("vec_id"), embDouble(col("embedding")).as("emb"))
+    def meanByCid(df: DataFrame): Array[(Int, Seq[Double])] = df
+      .select(col("cid"), posexplode(col("emb")).as(Seq("dim", "v")))
+      .groupBy("cid", "dim").agg(avg("v").as("m"))
+      .groupBy("cid")
+      .agg(expr("transform(array_sort(collect_list(struct(dim, m))), s -> s.m)").as("c"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1))
+    // deterministic seed assignment → initial centroids
+    var centroids: Array[(Int, Seq[Double])] = meanByCid(
+      base.withColumn("cid", pmod(hash(col("vec_id")), lit(nLists))))
+    def assign(df: DataFrame, cs: Array[(Int, Seq[Double])], outCol: String): DataFrame = {
+      val dists = cs.sortBy(_._1).map { case (cid, c) =>
+        val carr = array(c.map(lit).toIndexedSeq: _*)
+        struct(aggregate(zip_with(col("emb"), carr, (x, y) => (x - y) * (x - y)),
+          lit(0.0), (a, v) => a + v).as("d"), lit(cid).as("cid"))
+      }
+      df.withColumn(outCol, array_min(array(dists.toIndexedSeq: _*)).getField("cid"))
+    }
+    for (_ <- 1 to iters) {
+      centroids = meanByCid(assign(base, centroids, "cid"))
+    }
+    // inverted lists + multi-probe search
+    val lists = assign(base, centroids, "cid")
+      .withColumn("nrm", sqrt(dot(col("emb"), col("emb"))))
+    val probeBase = probes.select(col("vec_id").as("probe_id"),
+      embDouble(col("embedding")).as("emb"))
+    val probeCids = {
+      val cs = centroids.sortBy(_._1)
+      val dists = cs.map { case (cid, c) =>
+        val carr = array(c.map(lit).toIndexedSeq: _*)
+        struct(aggregate(zip_with(col("emb"), carr, (x, y) => (x - y) * (x - y)),
+          lit(0.0), (a, v) => a + v).as("d"), lit(cid).as("cid"))
+      }
+      probeBase
+        .withColumn("probed", slice(array_sort(array(dists.toIndexedSeq: _*)), 1, nProbe))
+        .withColumn("cid", explode(expr("transform(probed, s -> s.cid)")))
+        .select(col("probe_id"), col("emb").as("p_emb"), col("cid"))
+        .withColumn("p_nrm", sqrt(dot(col("p_emb"), col("p_emb"))))
+    }
+    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id").asc)
+    lists.join(broadcast(probeCids),
+        lists("cid") === probeCids("cid") && col("vec_id") =!= col("probe_id"))
+      .withColumn("cos", dot(col("emb"), col("p_emb")) / (col("nrm") * col("p_nrm")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("probe_id", "vec_id", "rn", "cos")
+  }
+
   /** Embedding-cosine near-duplicate pairs (cosine >= minCos), found via
     * signature-band blocking + exact verification. Self-join form of
     * lshTopK; output pairs are canonical (a_id < b_id).

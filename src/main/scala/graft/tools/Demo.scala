@@ -50,6 +50,15 @@ object Demo {
     val probe = embs.filter(col("vec_id") === 0)
     Ann.bruteTopK(embs, probe, 3).orderBy("rn").show(3)
     Ann.lshTopK(embs, probe, 3).orderBy("rn").show(3)
+    Ann.ivfTopK(embs, probe, 3, nLists = 8, nProbe = 3).orderBy("rn").show(3)
+
+    println("== shingleJaccard: doc 0 vs doc 1 (char 5-grams) ==")
+    val d01 = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("doc_id") <= 1).select("doc_id", "text")
+    val t0 = d01.filter(col("doc_id") === 0).select(col("text").as("ta"))
+    d01.filter(col("doc_id") === 1).crossJoin(t0)
+      .select(round(TextAnalysis.shingleJaccard(col("text"), col("ta"), 5), 4)
+        .as("jacc_5gram")).show()
 
     println("== SimHash signatures + hamming to doc 0 ==")
     val sh = spark.read.parquet(s"$sfDir/documents.parquet")

@@ -39,6 +39,36 @@ class AnnSpec extends SparkSpec {
     assert(cos.forall(c => c >= -1.0000001 && c <= 1.0000001))
   }
 
+  test("ivfTopK: inverted-list search returns ranked verified-exact neighbors") {
+    val brute = Ann.bruteTopK(emb, probes, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Ann.ivfTopK(emb, probes, 5, nLists = 8, nProbe = 3)
+    val rows = ivf.collect()
+    // every probe gets results, ranked by exact cosine, k-bounded
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.length <= 5)
+      val byRank = rs.sortBy(_.getInt(2)).map(_.getDouble(3))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+    val recall = (brute & rows.map(r => (r.getLong(0), r.getLong(1))).toSet).size
+      .toDouble / brute.size
+    info(f"IVF recall@5 = $recall%.2f (8 lists, 3 probed)")
+    assert(recall >= 0.2) // near-orthogonal vectors: IVF partitions carry
+                          // little signal; this asserts machinery, not magic
+  }
+
+  test("shingleJaccard: identity 1.0, disjoint 0.0, edit-robust middle") {
+    import spark.implicits._
+    import graft.functions.TextAnalysis
+    val df = Seq(("abcdef", "abcdef"), ("abcdef", "uvwxyz"), ("abcdef", "abcdzf"))
+      .toDF("a", "b")
+      .select(round(TextAnalysis.shingleJaccard(col("a"), col("b"), 3), 4).as("j"))
+    val js = df.collect().map(_.getDouble(0))
+    assert(js(0) === 1.0)
+    assert(js(1) === 0.0)
+    assert(js(2) > 0.0 && js(2) < 1.0)
+  }
+
   test("cosineNearDupPairs: canonical ordering, threshold respected, symmetric-free") {
     val pairs = Ann.cosineNearDupPairs(emb, 0.2).collect()
     pairs.foreach { r =>
