@@ -180,6 +180,55 @@ object Similarity {
       cross.unionByName(within).orderBy("a_id", "b_id")
     }),
 
+    // SimHash near-dup: 60-bit signatures from md5-derived token hashes
+    // (md5 → identical bits on both engines; xxhash64 would not oracle-
+    // match). Per-bit majority vote over each doc's distinct tokens, then
+    // all pairs within hamming distance 8. The banded/blocked production
+    // form lives in graft.functions.SimHash + operators; this graded form
+    // verifies exhaustively.
+    "x_dedup_simhash" -> ((s, d) => {
+      val toks = t(s, d, "documents")
+        .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
+        .withColumn("h", conv(substring(md5(col("tok").cast("binary")), 1, 15), 16, 10)
+          .cast("bigint"))
+      val sigs = toks
+        .withColumn("b", explode(sequence(lit(0), lit(59))))
+        .withColumn("vote", when(call_function("shiftright", col("h"), col("b"))
+          .bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
+        .groupBy("doc_id", "b")
+        .agg(sum(col("vote")).as("v"))
+        .groupBy("doc_id")
+        .agg(sum(when(col("v") >= 0, call_function("shiftleft", lit(1L), col("b")))
+          .otherwise(0L)).cast("bigint").as("sig"))
+      val a = fan(s, sigs.select(col("doc_id").as("a_id"), col("sig").as("sa")))
+      val b = broadcast(sigs.select(col("doc_id").as("b_id"), col("sig").as("sb")))
+      a.join(b, col("a_id") < col("b_id"))
+        .withColumn("ham", bit_count(col("sa").bitwiseXOR(col("sb"))).cast("int"))
+        .filter(col("ham") <= 8)
+        .select("a_id", "b_id", "ham")
+        .orderBy("a_id", "b_id")
+    }),
+
+    // Embedding-cosine near-dup, exhaustively verified (oracle-exact);
+    // operators/Ann.cosineNearDupPairs is the banded scale path.
+    "x_dedup_embcos" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("emb"))
+        .withColumn("nrm",
+          sqrt(expr("aggregate(emb, cast(0.0 as double), (a, x) -> a + x * x)")))
+      val a = fan(s, e.select(col("vec_id").as("a_id"), col("emb").as("ea"),
+        col("nrm").as("na")))
+      val b = broadcast(e.select(col("vec_id").as("b_id"), col("emb").as("eb"),
+        col("nrm").as("nb")))
+      a.join(b, col("a_id") < col("b_id"))
+        .withColumn("cos_raw",
+          expr("aggregate(zip_with(ea, eb, (x, y) -> x * y), cast(0.0 as double), (acc, v) -> acc + v)")
+            / (col("na") * col("nb")))
+        .filter(col("cos_raw") >= 0.3)
+        .select(col("a_id"), col("b_id"), round(col("cos_raw"), 6).as("cos"))
+        .orderBy("a_id", "b_id")
+    }),
+
     // Top-20 terms per lang (cnt desc, term asc).
     "x_text_tokens" -> ((s, d) => {
       val w = Window.partitionBy("lang").orderBy(col("cnt").desc, col("term").asc)
@@ -295,6 +344,25 @@ object Similarity {
         "SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_bands " +
         "FROM sigs a JOIN sigs b ON a.seed = b.seed AND a.mh = b.mh AND a.doc_id < b.doc_id " +
         "GROUP BY a_id, b_id HAVING count(*) >= 4 ORDER BY a_id, b_id"),
+    "x_dedup_simhash" ->
+      ("WITH toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents), " +
+        "h AS (SELECT doc_id, CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT) AS h FROM toks), " +
+        "votes AS (SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v " +
+        "FROM h CROSS JOIN (SELECT unnest(range(0, 60)) AS b) bits GROUP BY doc_id, b), " +
+        "sigs AS (SELECT doc_id, CAST(sum(CASE WHEN v >= 0 THEN 1::BIGINT << b ELSE 0 END) AS BIGINT) AS sig " +
+        "FROM votes GROUP BY doc_id) " +
+        "SELECT a.doc_id AS a_id, b.doc_id AS b_id, " +
+        "CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS ham " +
+        "FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id " +
+        "WHERE bit_count(xor(a.sig, b.sig)) <= 8 ORDER BY a_id, b_id"),
+    "x_dedup_embcos" ->
+      ("WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings), " +
+        "n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e) " +
+        "SELECT a.vec_id AS a_id, b.vec_id AS b_id, " +
+        "round(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 6) AS cos " +
+        "FROM n a JOIN n b ON a.vec_id < b.vec_id " +
+        "WHERE list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) >= 0.3 " +
+        "ORDER BY a_id, b_id"),
     "x_text_tokens" ->
       ("SELECT lang, rn, term, cnt FROM (" +
         "SELECT lang, term, count(*) AS cnt, " +
