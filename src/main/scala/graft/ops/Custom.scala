@@ -1,10 +1,11 @@
 package graft.ops
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import graft.ops.T._
 
@@ -26,6 +27,49 @@ case class Clamp(first: Expression, second: Expression, third: Expression)
   override protected def withNewChildrenInternal(
       newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
     copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+/** Codegen'd dot product over two array<double> columns. Versus the
+  * `aggregate(zip_with(...))` HOF composition it allocates no intermediate
+  * array and fuses into the surrounding WholeStageCodegen loop — the §4.2
+  * "custom Expression when bench demands" case, motivated by the
+  * exhaustive-pair similarity queries (millions of 64-dim dots).
+  * Left-to-right summation, identical to the HOF fold and to DuckDB's
+  * list_dot_product — cross-engine results are bit-identical.
+  * Assumes arrays without null elements (embeddings are dense).
+  */
+case class ArrayDotProduct(left: Expression, right: Expression)
+  extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot"
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    s
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }
 
 /** Geometric mean as a typed Aggregator. The ln-sum buffer is an exact
@@ -68,6 +112,18 @@ case class CentBuf(sums: Seq[Double], n: Long)
   * user code inside the engine's execution graph.
   */
 object Custom {
+
+  /** Idempotent registration of the custom expressions for a session
+    * (the packaged form is graft.plans.GraftExtensions).
+    */
+  def register(s: org.apache.spark.sql.SparkSession): Unit = {
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_clamp", (args: Seq[Expression]) => Clamp(args(0), args(1), args(2)),
+      "scala_udf")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_dot", (args: Seq[Expression]) => ArrayDotProduct(args(0), args(1)),
+      "scala_udf")
+  }
 
   private val normalizeText = udf((s: String) =>
     if (s == null) null
@@ -114,9 +170,7 @@ object Custom {
     // Custom Expression registered in the session FunctionRegistry and
     // invoked through SQL text — proves the full extension path.
     "u_expr_custom" -> ((s, d) => {
-      s.sessionState.functionRegistry.createOrReplaceTempFunction(
-        "graft_clamp", (args: Seq[Expression]) => Clamp(args(0), args(1), args(2)),
-        "scala_udf")
+      register(s)
       t(s, d, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber"),
           expr("graft_clamp(l_extendedprice, 1000.0D, 50000.0D)").as("clamped"))

@@ -212,18 +212,19 @@ object Similarity {
     // Embedding-cosine near-dup, exhaustively verified (oracle-exact);
     // operators/Ann.cosineNearDupPairs is the banded scale path.
     "x_dedup_embcos" -> ((s, d) => {
+      // graft_dot: codegen'd dot product (Custom.ArrayDotProduct) — same
+      // left-to-right summation as the HOF fold and DuckDB, ~no per-pair
+      // intermediate arrays across the C(n,2) candidate pairs.
+      Custom.register(s)
       val e = t(s, d, "embeddings")
         .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("emb"))
-        .withColumn("nrm",
-          sqrt(expr("aggregate(emb, cast(0.0 as double), (a, x) -> a + x * x)")))
+        .withColumn("nrm", sqrt(expr("graft_dot(emb, emb)")))
       val a = fan(s, e.select(col("vec_id").as("a_id"), col("emb").as("ea"),
         col("nrm").as("na")))
       val b = broadcast(e.select(col("vec_id").as("b_id"), col("emb").as("eb"),
         col("nrm").as("nb")))
       a.join(b, col("a_id") < col("b_id"))
-        .withColumn("cos_raw",
-          expr("aggregate(zip_with(ea, eb, (x, y) -> x * y), cast(0.0 as double), (acc, v) -> acc + v)")
-            / (col("na") * col("nb")))
+        .withColumn("cos_raw", expr("graft_dot(ea, eb)") / (col("na") * col("nb")))
         .filter(col("cos_raw") >= 0.3)
         .select(col("a_id"), col("b_id"), round(col("cos_raw"), 6).as("cos"))
         .orderBy("a_id", "b_id")

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.DoubleType
 
-import graft.ops.Clamp
+import graft.ops.{ArrayDotProduct, Clamp}
 
 /** Optimizer rule: a Clamp whose constant bounds are degenerate
   * (lo >= hi) always evaluates to hi for non-null input — rewrite it away.
@@ -37,6 +37,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_clamp"),
       new ExpressionInfo(classOf[Clamp].getName, "graft_clamp"),
       (args: Seq[Expression]) => Clamp(args(0), args(1), args(2))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[ArrayDotProduct].getName, "graft_dot"),
+      (args: Seq[Expression]) => ArrayDotProduct(args(0), args(1))))
     ext.injectOptimizerRule(_ => SimplifyDegenerateClamp)
   }
 }
