@@ -275,6 +275,27 @@ object Similarity {
         .agg(count(lit(1)).as("cnt"))
         .orderBy("lang", "bigram")),
 
+    // Per-doc quality profile — the graded form of the TextAnalysis
+    // library surface. Subword estimate is Σ⌈len(token)/4⌉ (RE2-safe: the
+    // library's lookahead regex can't run in DuckDB). Stopword list is a
+    // fixed literal so both engines intersect the same set.
+    "x_text_profile" -> ((s, d) => {
+      val stops = Seq("the", "and", "of", "to", "a", "in", "is", "it", "that", "for")
+      val toksD = array_distinct(split(col("text"), "\\s+"))
+      val nTok = size(split(col("text"), "\\s+"))
+      val stopRatio = size(array_intersect(toksD, array(stops.map(lit): _*)))
+        .cast("double") / greatest(size(toksD), lit(1))
+      val lenOk = when(length(col("text")).between(20, 2000), 1.0).otherwise(0.0)
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          nTok.cast("int").as("n_tok"),
+          expr("aggregate(split(text, '\\\\s+'), 0, (a, t) -> a + cast(ceil(length(t) / 4.0) as int))")
+            .cast("int").as("n_sub"),
+          round(stopRatio, 6).as("stop_ratio"),
+          round(lenOk * 0.4 + least(stopRatio * 4.0, lit(1.0)) * 0.6, 6).as("quality"))
+        .orderBy("doc_id")
+    }),
+
     // Text + vector columns in one relational frame: per-lang profile.
     "x_multimodal" -> ((s, d) => {
       val dj = t(s, d, "documents")
@@ -386,6 +407,17 @@ object Similarity {
         "SELECT lang, toks[i] || ' ' || toks[i + 1] AS bigram, count(*) AS cnt " +
         "FROM tk, UNNEST(range(1, len(toks))) AS r(i) " +
         "GROUP BY lang, bigram ORDER BY lang, bigram"),
+    "x_text_profile" ->
+      ("WITH t AS (SELECT doc_id, text, regexp_split_to_array(text, '\\s+') AS toks, " +
+        "list_distinct(regexp_split_to_array(text, '\\s+')) AS toksd FROM documents), " +
+        "m AS (SELECT doc_id, text, CAST(len(toks) AS INTEGER) AS n_tok, " +
+        "CAST(list_aggregate(list_transform(toks, tk -> CAST(ceil(length(tk) / 4.0) AS INTEGER)), 'sum') AS INTEGER) AS n_sub, " +
+        "CAST(len(list_intersect(toksd, ['the','and','of','to','a','in','is','it','that','for'])) AS DOUBLE) " +
+        "/ greatest(len(toksd), 1) AS sr FROM t) " +
+        "SELECT doc_id, n_tok, n_sub, round(sr, 6) AS stop_ratio, " +
+        "round((CASE WHEN length(text) BETWEEN 20 AND 2000 THEN 1.0 ELSE 0.0 END) * 0.4 " +
+        "+ least(sr * 4.0, 1.0) * 0.6, 6) AS quality " +
+        "FROM m ORDER BY doc_id"),
     "x_multimodal" ->
       ("WITH dj AS (SELECT lang, n_chars, label, embedding FROM documents " +
         "JOIN embeddings ON doc_id = vec_id), " +
