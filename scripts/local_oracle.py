@@ -30,6 +30,10 @@ def main():
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    unknown = only - set(oracle)
+    if unknown:
+        print(f"ERROR: requested keys not in oracle_sql.json: {sorted(unknown)}")
+        sys.exit(1)
     fails = []
     for key in sorted(oracle):
         if only and key not in only:

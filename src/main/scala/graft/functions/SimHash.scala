@@ -12,15 +12,17 @@ import org.apache.spark.sql.functions._
   */
 object SimHash {
 
-  /** 64-bit SimHash of whitespace tokens. */
+  /** 64-bit SimHash of whitespace tokens. Tokens are hashed ONCE up front
+    * (`hs`); the per-bit majority vote then folds over the cached hashes —
+    * not 64 re-hashes per token. Shift amounts are columns →
+    * call_function (the Scala shiftleft/right API only takes literal ints).
+    */
   def simhash64(text: Column): Column = {
-    val toks = split(text, "\\s+")
-    // per-bit majority vote, then fold bits into one long (shift amounts
-    // are columns → call_function, the Scala API only takes literal ints)
+    val hs = transform(split(text, "\\s+"), t => xxhash64(t))
     val bits = transform(sequence(lit(0), lit(63)), b =>
-      when(aggregate(toks, lit(0),
-        (acc, t) => acc +
-          when(call_function("shiftright", xxhash64(t), b)
+      when(aggregate(hs, lit(0),
+        (acc, h) => acc +
+          when(call_function("shiftright", h, b)
             .bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)) >= 0,
         lit(1L)).otherwise(lit(0L)))
     aggregate(

@@ -66,33 +66,36 @@ object Ann {
   }
 
   /** LSH-bucketed top-k: candidates share >= 1 signature band with the
-    * probe; exact cosine re-ranks candidates only.
+    * probe; exact cosine re-ranks candidates only. Candidate dedup (a pair
+    * can match in several bands) happens on the (probe_id, vec_id) ID pair
+    * alone — embeddings are re-joined afterwards, so the dedup shuffle
+    * moves 16 bytes per candidate, not two 64-double arrays.
     */
   def lshTopK(emb: DataFrame, probes: DataFrame, k: Int,
       nBits: Int = 16, nBands: Int = 4, dim: Int = 64, seed: Long = 42L): DataFrame = {
     require(nBits % nBands == 0)
     val bandBits = nBits / nBands
     val mask = (1L << bandBits) - 1
-    def banded(df: DataFrame, idCol: String): DataFrame = {
-      val sig = signature(col("embedding"), nBits, dim, seed)
+    def banded(df: DataFrame, idCol: String, bandCol: String, bvCol: String): DataFrame =
       df.select(col("vec_id").as(idCol),
-          embDouble(col("embedding")).as(s"${idCol}_emb"), sig.as("sig"))
-        .withColumn("band", explode(sequence(lit(0), lit(nBands - 1))))
-        .withColumn("bv", call_function("shiftright", col("sig"),
-          col("band") * bandBits).bitwiseAND(lit(mask)))
-    }
-    val cand = banded(emb, "vec_id")
-    val prob = broadcast(banded(probes, "probe_id")
-      .withColumnRenamed("band", "p_band").withColumnRenamed("bv", "p_bv"))
-    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id").asc)
-    cand.join(prob,
+          signature(col("embedding"), nBits, dim, seed).as("sig"))
+        .withColumn(bandCol, explode(sequence(lit(0), lit(nBands - 1))))
+        .withColumn(bvCol, call_function("shiftright", col("sig"),
+          col(bandCol) * bandBits).bitwiseAND(lit(mask)))
+        .drop("sig")
+    val candIds = banded(emb, "vec_id", "band", "bv")
+      .join(broadcast(banded(probes, "probe_id", "p_band", "p_bv")),
         col("band") === col("p_band") && col("bv") === col("p_bv") &&
           col("vec_id") =!= col("probe_id"))
-      .select(col("probe_id"), col("vec_id"),
-        col("vec_id_emb").as("emb"), col("probe_id_emb").as("p_emb"))
-      .distinct() // a pair may match in several bands
-      .withColumn("cos", dot(col("emb"), col("p_emb")) /
-        (sqrt(dot(col("emb"), col("emb"))) * sqrt(dot(col("p_emb"), col("p_emb")))))
+      .select("probe_id", "vec_id").distinct()
+    val eN = emb.select(col("vec_id"), embDouble(col("embedding")).as("emb"))
+      .withColumn("nrm", sqrt(dot(col("emb"), col("emb"))))
+    val pN = broadcast(probes
+      .select(col("vec_id").as("probe_id"), embDouble(col("embedding")).as("p_emb"))
+      .withColumn("p_nrm", sqrt(dot(col("p_emb"), col("p_emb")))))
+    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id").asc)
+    candIds.join(eN, "vec_id").join(pN, "probe_id")
+      .withColumn("cos", dot(col("emb"), col("p_emb")) / (col("nrm") * col("p_nrm")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select("probe_id", "vec_id", "rn", "cos")
@@ -168,22 +171,27 @@ object Ann {
     require(nBits % nBands == 0)
     val bandBits = nBits / nBands
     val mask = (1L << bandBits) - 1
-    val sig = signature(col("embedding"), nBits, dim, seed)
-    val base = emb.select(col("vec_id"), embDouble(col("embedding")).as("emb"),
-      sig.as("sig"))
-    val banded = base
+    val banded = emb
+      .select(col("vec_id"),
+        signature(col("embedding"), nBits, dim, seed).as("sig"))
       .withColumn("band", explode(sequence(lit(0), lit(nBands - 1))))
       .withColumn("bv", call_function("shiftright", col("sig"),
         col("band") * bandBits).bitwiseAND(lit(mask)))
-    val a = banded.select(col("vec_id").as("a_id"), col("emb").as("a_emb"),
-      col("band"), col("bv"))
-    val b = banded.select(col("vec_id").as("b_id"), col("emb").as("b_emb"),
+    val a = banded.select(col("vec_id").as("a_id"), col("band"), col("bv"))
+    val b = banded.select(col("vec_id").as("b_id"),
       col("band").as("band_b"), col("bv").as("bv_b"))
-    a.join(b, col("band") === col("band_b") && col("bv") === col("bv_b") &&
-        col("a_id") < col("b_id"))
-      .select("a_id", "b_id", "a_emb", "b_emb").distinct()
-      .withColumn("cos", dot(col("a_emb"), col("b_emb")) /
-        (sqrt(dot(col("a_emb"), col("a_emb"))) * sqrt(dot(col("b_emb"), col("b_emb")))))
+    // dedup multi-band matches on the ID pair alone, then re-join vectors
+    val pairIds = a.join(b, col("band") === col("band_b") &&
+        col("bv") === col("bv_b") && col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    val eN = emb.select(col("vec_id"), embDouble(col("embedding")).as("emb"))
+      .withColumn("nrm", sqrt(dot(col("emb"), col("emb"))))
+    pairIds
+      .join(eN.select(col("vec_id").as("a_id"), col("emb").as("a_emb"),
+        col("nrm").as("a_nrm")), "a_id")
+      .join(eN.select(col("vec_id").as("b_id"), col("emb").as("b_emb"),
+        col("nrm").as("b_nrm")), "b_id")
+      .withColumn("cos", dot(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm")))
       .filter(col("cos") >= minCos)
       .select("a_id", "b_id", "cos")
   }

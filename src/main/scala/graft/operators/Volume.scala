@@ -136,6 +136,9 @@ object Volume {
 
   /** R10 (process.py::append_volume): stitch volumes onto one canvas;
     * overlapping (z, y) lines are feather-blended by element-wise mean.
+    * Overlapping lines must have equal width (CentroidAgg rejects ragged
+    * input) — crop/pad tiles to the canvas grid first, as the reference
+    * does before appending.
     */
   def stitch(vols: DataFrame*): DataFrame = {
     val cen = udaf(CentroidAgg)

@@ -97,10 +97,18 @@ object CentroidAgg extends Aggregator[Seq[Float], CentBuf, Seq[Double]] {
   def zero: CentBuf = CentBuf(Seq.empty, 0L)
   def reduce(b: CentBuf, a: Seq[Float]): CentBuf =
     if (b.n == 0L) CentBuf(a.map(_.toDouble), 1L)
-    else CentBuf(b.sums.zip(a).map { case (s, x) => s + x }, b.n + 1)
+    else {
+      require(b.sums.length == a.length,
+        s"CentroidAgg: ragged input (${b.sums.length} vs ${a.length}) — pad inputs to equal length")
+      CentBuf(b.sums.zip(a).map { case (s, x) => s + x }, b.n + 1)
+    }
   def merge(a: CentBuf, b: CentBuf): CentBuf =
     if (a.n == 0L) b else if (b.n == 0L) a
-    else CentBuf(a.sums.zip(b.sums).map { case (x, y) => x + y }, a.n + b.n)
+    else {
+      require(a.sums.length == b.sums.length,
+        s"CentroidAgg: ragged merge (${a.sums.length} vs ${b.sums.length}) — pad inputs to equal length")
+      CentBuf(a.sums.zip(b.sums).map { case (x, y) => x + y }, a.n + b.n)
+    }
   def finish(b: CentBuf): Seq[Double] = b.sums.map(_ / b.n)
   def bufferEncoder = org.apache.spark.sql.Encoders.product[CentBuf]
   def outputEncoder = ExpressionEncoder[Seq[Double]]()

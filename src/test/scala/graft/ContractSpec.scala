@@ -2,7 +2,7 @@ package graft
 
 /** T1 blanket contract checks: every declared query runs on sf0.001,
   * the queries/oracleSql maps are mutually consistent, and the declared
-  * inventory matches SURVEY.md §2b (87 keys, 85 oracle-checked).
+  * inventory matches SURVEY.md §2b (90 keys, 88 oracle-checked).
   */
 class ContractSpec extends SparkSpec {
 
