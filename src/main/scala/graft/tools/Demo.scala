@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.functions.{SimHash, TextAnalysis}
-import graft.operators.{Ann, Volume}
+import graft.operators.{Ann, Pipeline, Volume}
 import graft.sources.BinaryMedia
 import graft.streaming.Pipelines
 
@@ -77,6 +77,12 @@ object Demo {
     println(s"bbox above thr = ${Volume.boundingBox(vol, thr)}")
     Volume.histogram(vol, 0, 10, 5).show()
     Volume.binPool(vol, 2).orderBy("z", "y").show(3)
+
+    println("== Pipeline facade (flexcalc scheduler analog) ==")
+    val pipe = Pipeline.fromDataFrame(vol)
+      .crop(2, 7, 2, 7, 2, 7).hardThreshold(thr).binPool(2)
+    println(pipe.describe)
+    pipe.run().orderBy("z", "y").show(3)
 
     println("== Pipelines.tumblingAgg on the events table (batch mode) ==")
     val events = graft.ops.T.t(spark, sfDir, "events")
