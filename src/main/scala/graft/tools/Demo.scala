@@ -84,6 +84,10 @@ object Demo {
     println(pipe.describe)
     pipe.run().orderBy("z", "y").show(3)
 
+    println("== Stateful.runningUserStats (flatMapGroupsWithState, batch mode) ==")
+    graft.streaming.Stateful.runningUserStats(graft.ops.T.t(spark, sfDir, "events"))
+      .orderBy("user_id").show(5)
+
     println("== Pipelines.tumblingAgg on the events table (batch mode) ==")
     val events = graft.ops.T.t(spark, sfDir, "events")
     Pipelines.tumblingAgg(events, "6 hours").orderBy("user_id", "win_start").show(5)

@@ -1,0 +1,52 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.Stateful
+
+/** T1/T3: flatMapGroupsWithState custom state — batch parity and, the real
+  * point, state carried ACROSS micro-batches in the state store.
+  */
+class StatefulSpec extends SparkSpec {
+
+  test("runningUserStats on a batch frame computes per-user totals") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 00:00:01"), 100.0),
+      (1L, Timestamp.valueOf("2024-01-01 00:00:02"), 400.0),
+      (2L, Timestamp.valueOf("2024-01-01 00:00:03"), 10.0))
+      .toDF("user_id", "ts", "value")
+    val out = Stateful.runningUserStats(df).collect()
+      .map(u => u.user_id -> u).toMap
+    assert(out(1L).cnt === 2 && out(1L).sum_value === 500.0 && out(1L).anomalous)
+    assert(out(2L).cnt === 1 && !out(2L).anomalous)
+  }
+
+  test("state persists across micro-batches (incremental counts)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    val q = Stateful.runningUserStats(
+        mem.toDF.toDF("user_id", "ts", "value"))
+      .writeStream.format("memory").queryName("stateful_sink")
+      .outputMode("append").start()
+    try {
+      mem.addData((7L, Timestamp.valueOf("2024-01-01 00:00:01"), 50.0))
+      q.processAllAvailable()
+      mem.addData((7L, Timestamp.valueOf("2024-01-01 00:00:05"), 250.0),
+        (8L, Timestamp.valueOf("2024-01-01 00:00:06"), 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("stateful_sink")
+        .select("user_id", "cnt", "sum_value").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      // batch 1 emitted (7, 1, 50); batch 2 emitted (7, 2, 300) — the
+      // count/sum INCLUDE batch 1 via the state store — and (8, 1, 1).
+      assert(rows.contains((7L, 1L, 50.0)))
+      assert(rows.contains((7L, 2L, 300.0)))
+      assert(rows.contains((8L, 1L, 1.0)))
+    } finally q.stop()
+  }
+}
