@@ -50,25 +50,29 @@ def main():
                 fails.append(key)
                 print(f"FAIL {key}: columns exp={sorted(exp_cols)} got={sorted(got_cols)}")
                 continue
-            collist = ", ".join(f'"{c}"' for c in sorted(exp_cols))
-            n_exp = con.execute("SELECT count(*) FROM _exp").fetchone()[0]
-            n_got = con.execute("SELECT count(*) FROM _got").fetchone()[0]
-            d1 = con.execute(
-                f"SELECT {collist} FROM _exp EXCEPT ALL SELECT {collist} FROM _got"
-            ).fetchall()
-            d2 = con.execute(
-                f"SELECT {collist} FROM _got EXCEPT ALL SELECT {collist} FROM _exp"
-            ).fetchall()
-            if n_exp != n_got or d1 or d2:
+            # tz-aware columns would be a schema mismatch vs the naive
+            # oracle timestamps even when values agree — reject outright.
+            desc = con.execute("DESCRIBE _got").fetchall()
+            tzc = [r[0] for r in desc if "TIME ZONE" in r[1].upper()]
+            if tzc:
                 fails.append(key)
-                print(f"FAIL {key}: rows exp={n_exp} got={n_got} "
-                      f"missing={len(d1)} extra={len(d2)}")
-                for r in d1[:3]:
-                    print(f"  exp-only {r}")
-                for r in d2[:3]:
-                    print(f"  got-only {r}")
+                print(f"FAIL {key}: tz-aware columns {tzc} (oracle is naive)")
+                continue
+            collist = ", ".join(f'"{c}"' for c in sorted(exp_cols))
+            # strict: values, row ORDER, and python-level types must match
+            exp = con.execute(f"SELECT {collist} FROM _exp").fetchall()
+            got = con.execute(f"SELECT {collist} FROM _got").fetchall()
+            if len(exp) != len(got):
+                fails.append(key)
+                print(f"FAIL {key}: rows exp={len(exp)} got={len(got)}")
+            elif exp != got:
+                i = next(i for i, (a, b) in enumerate(zip(exp, got)) if a != b)
+                fails.append(key)
+                print(f"FAIL {key}: first diff at row {i}:")
+                print(f"  exp {exp[i]}")
+                print(f"  got {got[i]}")
             else:
-                print(f"ok   {key} ({n_exp} rows)")
+                print(f"ok   {key} ({len(exp)} rows)")
         except Exception as e:  # noqa: BLE001
             fails.append(key)
             print(f"FAIL {key}: {type(e).__name__}: {e}")

@@ -19,14 +19,31 @@ private[graft] object T {
     * rejects outright (PARQUET_TYPE_ILLEGAL). Read it as raw nanos and
     * truncate to a µs timestamp — same value DuckDB sees after its own
     * date_trunc to ≥ms (SURVEY §7.3 R4 keeps raw ts out of query output).
+    *
+    * The rebuilt ts is TIMESTAMP_NTZ: Spark's default TimestampType is
+    * tz-adjusted and writes parquet isAdjustedToUTC=true, which DuckDB
+    * reads as TIMESTAMPTZ while the oracle emits naive TIMESTAMP — equal
+    * values but a schema/type mismatch a strict driver compare would
+    * reject. NTZ keeps every derived event-time column naive end to end
+    * (session tz pinned UTC, so wall-clock values are unchanged).
     */
   def events(s: SparkSession, sfDir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     s.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      .withColumn("ts",
+        org.apache.spark.sql.functions
+          .expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
   }
 
   def dec(c: Column): Column = c.cast("decimal(38,6)")
+
+  /** date_trunc that STAYS TIMESTAMP_NTZ. Spark's date_trunc coerces NTZ
+    * input back to the tz-adjusted TimestampType, which round-trips
+    * through parquet as TIMESTAMPTZ and breaks type parity with the naive
+    * oracle timestamps — so every event-time truncation goes through here.
+    */
+  def truncNtz(unit: String, c: Column): Column =
+    org.apache.spark.sql.functions.date_trunc(unit, c).cast("timestamp_ntz")
 
   /** Deterministic cross-engine average: exact decimal sum / count. */
   def avgDec(sumDec: Column, cnt: Column): Column =

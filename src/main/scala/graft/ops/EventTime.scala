@@ -21,7 +21,7 @@ object EventTime {
 
   /** events with ts ms-truncated — the only ts form this group touches. */
   private def ev(s: SparkSession, d: String): DataFrame =
-    t(s, d, "events").withColumn("ts_ms", date_trunc("millisecond", col("ts")))
+    t(s, d, "events").withColumn("ts_ms", truncNtz("millisecond", col("ts")))
 
   val queries: Map[String, Q] = Map(
     // Tumbling 1h window per user. Streaming form: + withWatermark.
@@ -63,7 +63,7 @@ object EventTime {
       val w = Window.partitionBy("user_id", "event_type", "minute_b")
         .orderBy("ts_ms", "event_id")
       ev(s, d)
-        .withColumn("minute_b", date_trunc("minute", col("ts_ms")))
+        .withColumn("minute_b", truncNtz("minute", col("ts_ms")))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select("user_id", "event_type", "minute_b", "event_id")
@@ -90,6 +90,8 @@ object EventTime {
     "t_stream_runtime" -> ((s, d) => {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val schema = s.read.parquet(s"$d/events.parquet").schema
+      // watermarks require the tz-adjusted TimestampType; the emitted
+      // window bound is cast back to NTZ to match the batch t_tumble.
       val stream = s.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(d)
         .withColumn("ts_ms",
@@ -97,7 +99,8 @@ object EventTime {
         .withWatermark("ts_ms", "10 minutes")
         .groupBy(col("user_id"), window(col("ts_ms"), "1 hour"))
         .agg(count(lit(1)).as("cnt"), sum(dec(col("value"))).as("sum_value"))
-        .select(col("user_id"), col("window.start").as("win_start"),
+        .select(col("user_id"),
+          col("window.start").cast("timestamp_ntz").as("win_start"),
           col("cnt"), col("sum_value"))
       val q = stream.writeStream.format("memory")
         .queryName("t_stream_runtime_sink")

@@ -20,7 +20,7 @@ import graft.ops.T._
 object FlexAnalogs {
 
   private def ev(s: SparkSession, d: String): DataFrame =
-    t(s, d, "events").withColumn("ts_ms", date_trunc("millisecond", col("ts")))
+    t(s, d, "events").withColumn("ts_ms", truncNtz("millisecond", col("ts")))
 
   val queries: Map[String, Q] = Map(
     // R16 analog (flexcalc/analyze.py::histogram): 20-bin fixed-range
@@ -114,7 +114,7 @@ object FlexAnalogs {
     // event ranges; in the 1h overlap, feather-blend (average) the two
     // sources' per-minute sums.
     "x_flex_stitch_blend" -> ((s, d) => {
-      val e = ev(s, d).withColumn("minute", date_trunc("minute", col("ts_ms")))
+      val e = ev(s, d).withColumn("minute", truncNtz("minute", col("ts_ms")))
       val a = e.filter(col("ts_ms") < lit("2024-01-15 01:00:00").cast("timestamp"))
         .groupBy(col("minute").as("ma")).agg(sum(dec(col("value"))).as("sa"))
       val b = e.filter(col("ts_ms") >= lit("2024-01-15 00:00:00").cast("timestamp"))

@@ -62,7 +62,7 @@ object Functions {
           month(col("od")).cast("int").as("mo"),
           dayofmonth(col("od")).cast("int").as("dy"),
           quarter(col("od")).cast("int").as("qtr"),
-          date_trunc("month", col("o_orderdate")).as("mon_start"),
+          date_trunc("month", col("o_orderdate")).cast("timestamp_ntz").as("mon_start"),
           date_add(col("od"), 30).as("d_plus30"),
           datediff(col("od"), lit("1995-01-01").cast("date")).cast("int").as("days_since"),
           last_day(col("od")).as("ld"),
@@ -98,7 +98,7 @@ object Functions {
           col("l_quantity").cast("int").as("qty_int"),
           dec(col("l_quantity")).as("qty_dec"),
           col("l_linenumber").cast("string").as("ln_str"),
-          lit("2024-03-05 12:00:00").cast("timestamp").as("fixed_ts"),
+          lit("2024-03-05 12:00:00").cast("timestamp_ntz").as("fixed_ts"),
           expr("try_cast(concat('1', l_returnflag) as int)").as("bad_int"),
           expr("try_cast(l_linenumber as int)").as("ok_int"))
         .orderBy("l_orderkey", "l_linenumber")),
@@ -169,7 +169,7 @@ object Functions {
     "f_date" ->
       ("SELECT o_orderkey, CAST(year(od) AS INTEGER) AS yr, CAST(month(od) AS INTEGER) AS mo, " +
         "CAST(day(od) AS INTEGER) AS dy, CAST(quarter(od) AS INTEGER) AS qtr, " +
-        "date_trunc('month', o_orderdate) AS mon_start, od + 30 AS d_plus30, " +
+        "CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS mon_start, od + 30 AS d_plus30, " +
         "CAST(od - DATE '1995-01-01' AS INTEGER) AS days_since, last_day(od) AS ld, " +
         "strftime(od, '%a') AS dow " +
         "FROM (SELECT *, CAST(o_orderdate AS DATE) AS od FROM orders) ORDER BY o_orderkey"),

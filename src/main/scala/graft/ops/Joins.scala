@@ -102,8 +102,9 @@ object Joins {
     "j_theta_band" -> ((s, d) => {
       val e = t(s, d, "events").select(
         col("event_id"), col("user_id"),
-        date_trunc("millisecond", col("ts")).as("ts_ms"))
-      val bucketed = e.withColumn("b", expr("unix_millis(ts_ms) div 300000"))
+        truncNtz("millisecond", col("ts")).as("ts_ms"))
+      val bucketed = e.withColumn("b",
+        expr("unix_millis(cast(ts_ms as timestamp)) div 300000"))
       val e1 = bucketed.select(col("user_id").as("u"),
         col("event_id").as("a_id"), col("ts_ms").as("a_ts"), col("b"))
       val e2 = bucketed
@@ -125,7 +126,7 @@ object Joins {
       val e = t(s, d, "events")
         .filter(col("event_type").isin("view", "purchase"))
         .select(col("event_id"), col("user_id"), col("event_type"),
-          date_trunc("millisecond", col("ts")).as("ts_ms"))
+          truncNtz("millisecond", col("ts")).as("ts_ms"))
       val w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
         .rowsBetween(Window.unboundedPreceding, -1)
       e.withColumn("prev_view_ts",

@@ -48,9 +48,10 @@ object Windows {
       val w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
       t(s, d, "events")
         .select(col("event_id"), col("user_id"), col("event_type"),
-          date_trunc("millisecond", col("ts")).as("ts_ms"))
+          truncNtz("millisecond", col("ts")).as("ts_ms"))
         .select(col("user_id"), col("event_id"),
-          (unix_millis(col("ts_ms")) - unix_millis(lag(col("ts_ms"), 1).over(w)))
+          (unix_millis(col("ts_ms").cast("timestamp")) -
+            unix_millis(lag(col("ts_ms"), 1).over(w).cast("timestamp")))
             .as("gap_ms"),
           lead(col("event_type"), 1).over(w).as("next_type"))
         .orderBy("user_id", "event_id")

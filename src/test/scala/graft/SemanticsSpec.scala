@@ -17,13 +17,16 @@ import graft.ops.{Clamp, CentroidAgg, GeoMeanAgg, T}
 class SemanticsSpec extends SparkSpec {
   import scala.jdk.CollectionConverters._
 
-  test("events ns-timestamp fixture reads as µs TimestampType (SURVEY §1.2 trap)") {
+  test("events ns-timestamp fixture reads as µs TIMESTAMP_NTZ (SURVEY §1.2 trap)") {
     val e = T.t(spark, sf(), "events")
-    assert(e.schema("ts").dataType === TimestampType)
+    // NTZ by design: tz-adjusted TimestampType would round-trip through
+    // parquet as TIMESTAMPTZ and break type parity with the naive oracle.
+    assert(e.schema("ts").dataType === org.apache.spark.sql.types.TimestampNTZType)
     assert(e.count() === 1000)
     // date_trunc to ms then µs-remainder must be zero
     val bad = e.filter(
-      unix_micros(col("ts")) - unix_micros(date_trunc("millisecond", col("ts"))) >= 1000)
+      unix_micros(col("ts").cast("timestamp")) -
+        unix_micros(date_trunc("millisecond", col("ts").cast("timestamp"))) >= 1000)
     assert(bad.count() === 0)
   }
 
