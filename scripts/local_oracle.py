@@ -50,13 +50,17 @@ def main():
                 fails.append(key)
                 print(f"FAIL {key}: columns exp={sorted(exp_cols)} got={sorted(got_cols)}")
                 continue
-            # tz-aware columns would be a schema mismatch vs the naive
-            # oracle timestamps even when values agree — reject outright.
-            desc = con.execute("DESCRIBE _got").fetchall()
-            tzc = [r[0] for r in desc if "TIME ZONE" in r[1].upper()]
-            if tzc:
+            # Column TYPES must match the oracle exactly (python == is
+            # type-insensitive for numerics: 1 == 1.0, Decimal('1') == 1 —
+            # so value compare alone would miss decimal/double/int drift,
+            # and tz-aware timestamps would slip through as equal values).
+            exp_types = {r[0]: r[1] for r in con.execute("DESCRIBE _exp").fetchall()}
+            got_types = {r[0]: r[1] for r in con.execute("DESCRIBE _got").fetchall()}
+            tdiff = {c: (exp_types[c], got_types[c]) for c in exp_types
+                     if exp_types[c] != got_types[c]}
+            if tdiff:
                 fails.append(key)
-                print(f"FAIL {key}: tz-aware columns {tzc} (oracle is naive)")
+                print(f"FAIL {key}: column type mismatch {tdiff}")
                 continue
             collist = ", ".join(f'"{c}"' for c in sorted(exp_cols))
             # strict: values, row ORDER, and python-level types must match

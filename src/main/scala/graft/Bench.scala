@@ -11,9 +11,13 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the JVM (codegen, parquet reader, shuffle paths) so the first
-    // timed query doesn't absorb ~10s of JIT cost.
-    spark.read.parquet(s"$sfDir/lineitem.parquet")
+    // timed query doesn't absorb ~10s of JIT cost. Warmup failure must not
+    // kill the run — the per-query loop reports real failures itself.
+    try spark.read.parquet(s"$sfDir/lineitem.parquet")
       .groupBy("l_returnflag").count().count()
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] warmup skipped: ${e.getMessage}")
+    }
     // A failed query reports -1 (not its time-to-throw) so a regression
     // can never masquerade as a speedup in the totals.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -27,7 +31,10 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    // Any failure poisons the total: a broken query must never produce a
+    // better-looking benchmark number than a green run.
+    val total = if (results.exists(_._2 < 0)) -1.0
+                else results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

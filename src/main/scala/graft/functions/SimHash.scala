@@ -12,22 +12,26 @@ import org.apache.spark.sql.functions._
   */
 object SimHash {
 
-  /** 64-bit SimHash of whitespace tokens. Tokens are hashed ONCE up front
-    * (`hs`); the per-bit majority vote then folds over the cached hashes —
-    * not 64 re-hashes per token. Shift amounts are columns →
-    * call_function (the Scala shiftleft/right API only takes literal ints).
+  /** 64-bit SimHash of whitespace tokens. Tokens are hashed once by the
+    * inner `transform`, and the vote fold receives each hash as a LAMBDA
+    * VARIABLE — referencing a lambda variable is a value lookup, so the
+    * 64 inner bit-tests per token test a stored long. (HOF lambdas have
+    * no common-subexpression elimination: embedding `xxhash64(t)` — or a
+    * reference to a named hash-array Column — inside the per-bit lambda
+    * re-evaluates it per bit.) Shift amounts are columns → call_function
+    * (the Scala shiftleft/right API only takes literal ints).
     */
   def simhash64(text: Column): Column = {
-    val hs = transform(split(text, "\\s+"), t => xxhash64(t))
-    val bits = transform(sequence(lit(0), lit(63)), b =>
-      when(aggregate(hs, lit(0),
-        (acc, h) => acc +
-          when(call_function("shiftright", h, b)
-            .bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)) >= 0,
-        lit(1L)).otherwise(lit(0L)))
+    val votes = aggregate(
+      transform(split(text, "\\s+"), t => xxhash64(t)),
+      array_repeat(lit(0), 64),
+      (acc, h) =>
+        zip_with(acc, sequence(lit(0), lit(63)), (a, b) =>
+          a + when(call_function("shiftright", h, b)
+            .bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)))
     aggregate(
-      zip_with(bits, sequence(lit(0), lit(63)),
-        (bit, i) => call_function("shiftleft", bit, i)),
+      zip_with(votes, sequence(lit(0), lit(63)), (v, i) =>
+        when(v >= 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
       lit(0L), (acc, v) => acc.bitwiseOR(v))
   }
 

@@ -114,7 +114,11 @@ object Ann {
       nLists: Int = 8, nProbe: Int = 2, iters: Int = 3): DataFrame = {
     import org.apache.spark.sql.Row
     val spark = emb.sparkSession
+    // cached for the duration of the Lloyd loop: every iteration scans it
+    // for assignment + centroid means, and without the cache each of the
+    // iters+1 collect() jobs would re-read and re-transform the input.
     val base = emb.select(col("vec_id"), embDouble(col("embedding")).as("emb"))
+      .persist()
     def meanByCid(df: DataFrame): Array[(Int, Seq[Double])] = df
       .select(col("cid"), posexplode(col("emb")).as(Seq("dim", "v")))
       .groupBy("cid", "dim").agg(avg("v").as("m"))
@@ -135,7 +139,9 @@ object Ann {
     for (_ <- 1 to iters) {
       centroids = meanByCid(assign(base, centroids, "cid"))
     }
-    // inverted lists + multi-probe search
+    // inverted lists + multi-probe search (release the build-time cache;
+    // the final assignment below recomputes base once if evicted)
+    base.unpersist(blocking = false)
     val lists = assign(base, centroids, "cid")
       .withColumn("nrm", sqrt(dot(col("emb"), col("emb"))))
     val probeBase = probes.select(col("vec_id").as("probe_id"),

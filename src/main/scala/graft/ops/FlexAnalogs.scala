@@ -172,8 +172,9 @@ object FlexAnalogs {
         "(CAST(stot AS DOUBLE) - CAST(s0 AS DOUBLE)) / (n - c0) AS mu1 " +
         "FROM cum WHERE c0 > 0 AND c0 < n), " +
         "v AS (SELECT bin, c0, n, w0 * (1.0 - w0) * (mu0 - mu1) * (mu0 - mu1) AS var_b FROM scored) " +
-        "SELECT bin AS thr_bin, round((bin + 1) * 10.25, 6) AS thr_value, c0 AS n_below, " +
-        "n - c0 AS n_above, round(var_b, 6) AS between_var FROM (" +
+        "SELECT bin AS thr_bin, round(CAST(bin + 1 AS DOUBLE) * 10.25, 6) AS thr_value, " +
+        "CAST(c0 AS BIGINT) AS n_below, " +
+        "CAST(n - c0 AS BIGINT) AS n_above, round(var_b, 6) AS between_var FROM (" +
         "SELECT *, row_number() OVER (ORDER BY var_b DESC, bin ASC) AS rn FROM v) WHERE rn = 1"),
     "x_flex_centroid_moments" ->
       ("SELECT user_id, round(centre_raw, 6) AS centre, " +

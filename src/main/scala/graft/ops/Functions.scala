@@ -214,7 +214,7 @@ object Functions {
         "(SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events) " +
         "GROUP BY event_type ORDER BY event_type"),
     "f_struct_json" ->
-      ("SELECT n_nationkey, to_json(struct_pack(k := n_nationkey, name := n_name)) AS packed " +
+      ("SELECT n_nationkey, CAST(to_json(struct_pack(k := n_nationkey, name := n_name)) AS VARCHAR) AS packed " +
         "FROM nation ORDER BY n_nationkey")
   )
 }

@@ -43,7 +43,7 @@ object SetSort {
         .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
       t(s, d, "orders")
         .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
-          row_number().over(w).as("rn"))
+          row_number().over(w).cast("bigint").as("rn"))
         .filter(col("rn") <= 3)
         .orderBy("o_custkey", "rn")
     }),

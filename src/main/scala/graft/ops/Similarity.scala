@@ -47,7 +47,7 @@ object Similarity {
       .withColumn("cos_raw",
         expr("aggregate(zip_with(emb, p_emb, (x, y) -> x * y), cast(0.0 as double), (a, v) -> a + v)")
           / (col("nrm") * col("p_nrm")))
-      .withColumn("rn", row_number().over(w))
+      .withColumn("rn", row_number().over(w).cast("bigint"))
       .filter(col("rn") <= 5)
   }
 
@@ -237,7 +237,7 @@ object Similarity {
         .select(col("lang"), explode(split(col("text"), "\\s+")).as("term"))
         .groupBy("lang", "term")
         .agg(count(lit(1)).as("cnt"))
-        .withColumn("rn", row_number().over(w))
+        .withColumn("rn", row_number().over(w).cast("bigint"))
         .filter(col("rn") <= 20)
         .select("lang", "rn", "term", "cnt")
         .orderBy("lang", "rn")
@@ -256,7 +256,7 @@ object Similarity {
         .crossJoin(broadcast(nDocs))
         .withColumn("tfidf_raw",
           col("tf") * log(col("n_docs").cast("double") / col("df")))
-        .withColumn("rn", row_number().over(w))
+        .withColumn("rn", row_number().over(w).cast("bigint"))
         .filter(col("rn") <= 5)
         .select(col("doc_id"), col("rn"), col("term"),
           round(col("tfidf_raw"), 6).as("tfidf"))

@@ -24,7 +24,7 @@ object Windows {
       val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
       t(s, d, "orders")
         .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
-          row_number().over(w).as("rn"))
+          row_number().over(w).cast("bigint").as("rn"))
         .orderBy("o_custkey", "rn")
     }),
 
@@ -33,14 +33,15 @@ object Windows {
       val w = Window.partitionBy("o_orderstatus").orderBy("o_orderpriority")
       t(s, d, "orders")
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"),
-          rank().over(w).as("rnk"), dense_rank().over(w).as("drnk"))
+          rank().over(w).cast("bigint").as("rnk"),
+          dense_rank().over(w).cast("bigint").as("drnk"))
         .orderBy("o_orderkey")
     }),
 
     "w_ntile" -> ((s, d) => {
       val w = Window.orderBy("o_totalprice", "o_orderkey")
       t(s, d, "orders")
-        .select(col("o_orderkey"), ntile(4).over(w).as("tile"))
+        .select(col("o_orderkey"), ntile(4).over(w).cast("bigint").as("tile"))
         .orderBy("o_orderkey")
     }),
 

@@ -33,7 +33,8 @@ object Stateful {
     import spark.implicits._
     events
       .select(col("user_id").cast("long"), col("value").cast("double"),
-        unix_millis(col("ts")).as("ts_ms"))
+        // unix_millis is LTZ-only; events.ts is TIMESTAMP_NTZ by design
+        unix_millis(col("ts").cast("timestamp")).as("ts_ms"))
       .as[(Long, Double, Long)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[UserState, UserUpdate](

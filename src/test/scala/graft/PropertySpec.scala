@@ -111,7 +111,7 @@ class PropertySpec extends SparkSpec {
       .groupBy("o_custkey").agg(count(lit(1)).as("k"), max("rn").as("maxrn"))
       .collect()
     rows.foreach { r =>
-      assert(r.getAs[Long]("k") <= 3 && r.getAs[Int]("maxrn") <= 3)
+      assert(r.getAs[Long]("k") <= 3 && r.getAs[Long]("maxrn") <= 3)
     }
   }
 }
