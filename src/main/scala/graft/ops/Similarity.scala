@@ -120,6 +120,7 @@ object Similarity {
           s"transform(sequence(0, ${nWords - 1}), w -> coalesce(wm[w], 0L))"))
         .withColumn("n", expr("aggregate(mask, 0, (acc, v) -> acc + bit_count(v))"))
         .select("doc_id", "lang", "mask", "n")
+        .persist() // referenced by both join sides; one row per doc
       // fan(): the pair-generation work (|pairs| ≈ Σ_lang C(n_lang, 2))
       // must not collapse into the single input split of a small parquet.
       val a = fan(s, masks.select(col("doc_id").as("a_id"), col("lang"),
@@ -153,9 +154,13 @@ object Similarity {
         .groupBy("doc_id")
         .agg(array((0 to 7).map(i =>
           min(md5(concat(col("tok"), lit(s"#$i")).cast("binary")))): _*).as("sigs"))
+      // persist: referenced three times (both cluster-pair sides + the
+      // within-cluster expansion) — without it the whole tokenize+md5
+      // signature pipeline runs 3×. #clusters rows ≈ KBs.
       val clusters = sigArr.groupBy("sigs")
         .agg(sort_array(collect_list(col("doc_id"))).as("members"),
           min(col("doc_id")).as("gid"))
+        .persist()
       val ca = broadcast(clusters.select(col("sigs").as("sa"),
         col("members").as("ma"), col("gid").as("ga")))
       val cb = broadcast(clusters.select(col("sigs").as("sb"),
