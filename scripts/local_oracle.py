@@ -6,9 +6,9 @@ Usage: python3 scripts/local_oracle.py <sfDir> <verifyOutDir> [key ...]
 For every key in <verifyOutDir>/oracle_sql.json (or just the keys given):
   - run the oracle SQL in DuckDB with views over <sfDir>/*.parquet
   - load the Spark result parquet from <verifyOutDir>/<key>/
-  - compare: column-name sets, row counts, and exact multiset equality
-    (EXCEPT ALL both directions). Row ORDER is guaranteed by each query's
-    total ORDER BY; the multiset check plus that invariant implies equality.
+  - STRICT compare: column-name sets, DuckDB-reported column types (python
+    value equality is type-insensitive across numerics), and row-by-row
+    ordered tuple equality — values, row ORDER, and types must all match.
 
 Exit code = number of failing keys.
 """

@@ -65,10 +65,15 @@ object Volume {
     */
   def binPool(vol: DataFrame, k: Int): DataFrame = {
     val cen = udaf(CentroidAgg)
+    // greatest(..., -1) guard: for lines narrower than k, `size div k - 1`
+    // is negative and Spark's sequence(0, -2) would run DESCENDING,
+    // producing garbage slices — clamp so the pooled line is empty instead.
     val pooledX = vol.withColumn("xs",
-      expr(s"""transform(sequence(0, size(xs) div $k - 1),
-        i -> cast(aggregate(slice(xs, i * $k + 1, $k),
-          cast(0.0 as double), (a, v) -> a + v) / $k as float))"""))
+      expr(s"""CASE WHEN size(xs) >= $k THEN
+        transform(sequence(0, size(xs) div $k - 1),
+          i -> cast(aggregate(slice(xs, i * $k + 1, $k),
+            cast(0.0 as double), (a, v) -> a + v) / $k as float))
+        ELSE cast(array() as array<float>) END"""))
     pooledX
       .groupBy(col("dataset_id"), (col("z") / k).cast("int").as("z"),
         (col("y") / k).cast("int").as("y"))

@@ -105,13 +105,22 @@ object Aggregates {
           round(expr("percentile(l_quantity, 0.5D)"), 6).as("median_qty"))
         .orderBy("l_returnflag")),
 
-    "a_minmax_by" -> ((s, d) =>
+    // max_by/min_by over a UNIQUE ordering value: fixed-width zero-padded
+    // (price, orderkey) string, so lexicographic order == numeric order and
+    // price ties at the group extreme break deterministically on orderkey.
+    // (Neither engine's arg-extreme accepts a struct ordering value;
+    // a raw-double ordering would pick an arbitrary key on a tie.)
+    "a_minmax_by" -> ((s, d) => {
+      val ordVal = concat(
+        lpad(col("o_totalprice").cast("decimal(18,2)").cast("string"), 12, "0"),
+        lit("#"), lpad(col("o_orderkey").cast("string"), 10, "0"))
       t(s, d, "orders")
         .groupBy("o_orderstatus")
         .agg(dec(max(col("o_totalprice"))).as("max_price"),
-          max_by(col("o_orderkey"), col("o_totalprice")).as("best_key"),
-          min_by(col("o_orderkey"), col("o_totalprice")).as("worst_key"))
-        .orderBy("o_orderstatus")),
+          max_by(col("o_orderkey"), ordVal).as("best_key"),
+          min_by(col("o_orderkey"), ordVal).as("worst_key"))
+        .orderBy("o_orderstatus")
+    }),
 
     // Deterministic collect: sorted array (R5 of §7.3 — never raw collect_list).
     "a_collect_sorted" -> ((s, d) =>
@@ -183,9 +192,10 @@ object Aggregates {
         "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
     "a_minmax_by" ->
       ("SELECT o_orderstatus, CAST(max(o_totalprice) AS DECIMAL(38,6)) AS max_price, " +
-        "arg_max(o_orderkey, o_totalprice) AS best_key, " +
-        "arg_min(o_orderkey, o_totalprice) AS worst_key " +
-        "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+        "arg_max(o_orderkey, ov) AS best_key, arg_min(o_orderkey, ov) AS worst_key " +
+        "FROM (SELECT *, lpad(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), 12, '0') " +
+        "|| '#' || lpad(CAST(o_orderkey AS VARCHAR), 10, '0') AS ov FROM orders) " +
+        "GROUP BY o_orderstatus ORDER BY o_orderstatus"),
     "a_collect_sorted" ->
       ("SELECT n_regionkey, array_agg(n_name ORDER BY n_name) AS names " +
         "FROM nation GROUP BY n_regionkey ORDER BY n_regionkey")

@@ -80,8 +80,12 @@ case class ArrayDotProduct(left: Expression, right: Expression)
   */
 object GeoMeanAgg extends Aggregator[Double, GeoBuf, Double] {
   def zero: GeoBuf = GeoBuf(BigDecimal(0), 0L)
-  def reduce(b: GeoBuf, x: Double): GeoBuf =
+  def reduce(b: GeoBuf, x: Double): GeoBuf = {
+    // ln of a non-positive is -Inf/NaN, which BigDecimal cannot hold —
+    // fail with the domain error, not an opaque NumberFormatException.
+    require(x > 0, s"GeoMeanAgg: geometric mean requires positive inputs, got $x")
     GeoBuf(b.sumLn + BigDecimal(math.log(x)).setScale(12, BigDecimal.RoundingMode.HALF_UP), b.n + 1)
+  }
   def merge(a: GeoBuf, b: GeoBuf): GeoBuf = GeoBuf(a.sumLn + b.sumLn, a.n + b.n)
   def finish(b: GeoBuf): Double = math.exp(b.sumLn.toDouble / b.n)
   def bufferEncoder = org.apache.spark.sql.Encoders.product[GeoBuf]

@@ -104,6 +104,11 @@ object Similarity {
       val toks = t(s, d, "documents")
         .select(col("doc_id"), col("lang"),
           explode(array_distinct(split(col("text"), " "))).as("tok"))
+      // Dictionary build: one global-sort task over the DISTINCT VOCABULARY
+      // (not the corpus) — natural-language vocabularies are ~10^5-10^6
+      // tokens, so this is cheap at any corpus scale; for open-ended token
+      // domains swap in a hashed bitmap (ids need not be dense or ordered —
+      // intersection counts don't depend on the assignment).
       val dict = broadcast(toks.select("tok").distinct()
         .withColumn("id", row_number().over(
           org.apache.spark.sql.expressions.Window.orderBy("tok")) - 1))

@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, If, IsNull, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, If, IsNaN, IsNull, Literal}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.DoubleType
@@ -10,17 +10,18 @@ import org.apache.spark.sql.types.DoubleType
 import graft.ops.{ArrayDotProduct, Clamp}
 
 /** Optimizer rule: a Clamp whose constant bounds are degenerate
-  * (lo >= hi) always evaluates to hi for non-null input — rewrite it away.
+  * (lo >= hi) always evaluates to hi for finite input — rewrite it away.
   * (Catalyst's ConstantFolding handles the all-literal case; this handles
-  * non-literal `x`, which ConstantFolding cannot.) Null-safety preserved:
-  * null in → null out.
+  * non-literal `x`, which ConstantFolding cannot.) Semantics preserved for
+  * the full input domain: null → null and NaN → NaN (Math.min/max
+  * propagate NaN, so the original expression does too).
   */
 object SimplifyDegenerateClamp extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
     case Clamp(x, Literal(lo: Double, DoubleType), Literal(hi: Double, DoubleType))
         if lo >= hi =>
-      if (x.nullable) If(IsNull(x), Literal(null, DoubleType), Literal(hi, DoubleType))
-      else Literal(hi, DoubleType)
+      val folded = If(IsNaN(x), x, Literal(hi, DoubleType))
+      if (x.nullable) If(IsNull(x), Literal(null, DoubleType), folded) else folded
   }
 }
 

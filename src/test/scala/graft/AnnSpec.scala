@@ -142,6 +142,12 @@ class AnnSpec extends SparkSpec {
       val degen = Seq(0.3).toDF("x").selectExpr("graft_clamp(x, 5.0D, 1.0D) AS c")
       assert(!degen.queryExecution.optimizedPlan.toString.contains("graft_clamp"))
       assert(degen.head().getDouble(0) === 1.0)
+      // ...but NaN must still propagate (Math.min/max semantics), so the
+      // rewrite may not change results on the full input domain
+      val nan = Seq(Double.NaN, 0.3).toDF("x")
+        .selectExpr("graft_clamp(x, 5.0D, 1.0D) AS c").collect()
+        .map(_.getDouble(0)).toSeq
+      assert(nan.head.isNaN && nan(1) === 1.0)
     } finally {
       SparkSession.setActiveSession(prev)
       SparkSession.setDefaultSession(prev)
