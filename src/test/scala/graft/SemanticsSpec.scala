@@ -85,6 +85,20 @@ class SemanticsSpec extends SparkSpec {
     assert(math.abs(v - 4.0) < 1e-9)
   }
 
+  test("GeoMeanAgg: non-positive input fails with a clear domain error") {
+    import spark.implicits._
+    val gm = udaf(GeoMeanAgg)
+    val e = intercept[Exception] {
+      Seq(2.0, 0.0).toDF("x").agg(gm(col("x"))).head()
+    }
+    assert(e.getMessage != null)
+    // the root cause carries the domain message, not a NumberFormatException
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: chain(t.getCause)
+    assert(chain(e).exists(c =>
+      Option(c.getMessage).exists(_.contains("requires positive inputs"))))
+  }
+
   test("CentroidAgg: element-wise mean of [1,3] and [3,5] is [2,4]") {
     import spark.implicits._
     val cen = udaf(CentroidAgg)

@@ -35,6 +35,12 @@ class VolumeSpec extends SparkSpec {
     assert(line(1) === 57.5f) // x∈{2,3} → +2
   }
 
+  test("binPool on lines narrower than k pools to empty, not garbage") {
+    val thin = Volume.fromArray(spark, "t", Array.tabulate(2, 2, 3)((_, _, x) => x.toFloat))
+    val pooled = Volume.binPool(thin, 4)
+    assert(pooled.collect().forall(_.getSeq[Float](3).isEmpty))
+  }
+
   test("hardThreshold zeroes below-threshold voxels only (R14)") {
     val t = Volume.hardThreshold(vol4, 200.0)
     val kept = t.select(explode(col("xs")).as("v")).filter(col("v") > 0).count()
