@@ -50,6 +50,27 @@ object Ann {
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
 
+  /** One row per (vector, band): id, band index, band value — the LSH
+    * blocking key shared by lshTopK and cosineNearDupPairs.
+    */
+  private def banded(df: DataFrame, idCol: String, bandCol: String, bvCol: String,
+      nBits: Int, nBands: Int, dim: Int, seed: Long): DataFrame = {
+    val bandBits = nBits / nBands
+    val mask = (1L << bandBits) - 1
+    df.select(col("vec_id").as(idCol),
+        signature(col("embedding"), nBits, dim, seed).as("sig"))
+      .withColumn(bandCol, explode(sequence(lit(0), lit(nBands - 1))))
+      .withColumn(bvCol, call_function("shiftright", col("sig"),
+        col(bandCol) * bandBits).bitwiseAND(lit(mask)))
+      .drop("sig")
+  }
+
+  /** Normalized-projection frame: id, double embedding, L2 norm. */
+  private def withNorm(df: DataFrame, idCol: String, embCol: String,
+      nrmCol: String): DataFrame =
+    df.select(col("vec_id").as(idCol), embDouble(col("embedding")).as(embCol))
+      .withColumn(nrmCol, sqrt(dot(col(embCol), col(embCol))))
+
   /** Exact top-k: probes broadcast, full scan of candidates, window rank. */
   def bruteTopK(emb: DataFrame, probes: DataFrame, k: Int): DataFrame = {
     val e = emb.select(col("vec_id"), embDouble(col("embedding")).as("emb"))
@@ -74,25 +95,13 @@ object Ann {
   def lshTopK(emb: DataFrame, probes: DataFrame, k: Int,
       nBits: Int = 16, nBands: Int = 4, dim: Int = 64, seed: Long = 42L): DataFrame = {
     require(nBits % nBands == 0)
-    val bandBits = nBits / nBands
-    val mask = (1L << bandBits) - 1
-    def banded(df: DataFrame, idCol: String, bandCol: String, bvCol: String): DataFrame =
-      df.select(col("vec_id").as(idCol),
-          signature(col("embedding"), nBits, dim, seed).as("sig"))
-        .withColumn(bandCol, explode(sequence(lit(0), lit(nBands - 1))))
-        .withColumn(bvCol, call_function("shiftright", col("sig"),
-          col(bandCol) * bandBits).bitwiseAND(lit(mask)))
-        .drop("sig")
-    val candIds = banded(emb, "vec_id", "band", "bv")
-      .join(broadcast(banded(probes, "probe_id", "p_band", "p_bv")),
+    val candIds = banded(emb, "vec_id", "band", "bv", nBits, nBands, dim, seed)
+      .join(broadcast(banded(probes, "probe_id", "p_band", "p_bv", nBits, nBands, dim, seed)),
         col("band") === col("p_band") && col("bv") === col("p_bv") &&
           col("vec_id") =!= col("probe_id"))
       .select("probe_id", "vec_id").distinct()
-    val eN = emb.select(col("vec_id"), embDouble(col("embedding")).as("emb"))
-      .withColumn("nrm", sqrt(dot(col("emb"), col("emb"))))
-    val pN = broadcast(probes
-      .select(col("vec_id").as("probe_id"), embDouble(col("embedding")).as("p_emb"))
-      .withColumn("p_nrm", sqrt(dot(col("p_emb"), col("p_emb")))))
+    val eN = withNorm(emb, "vec_id", "emb", "nrm")
+    val pN = broadcast(withNorm(probes, "probe_id", "p_emb", "p_nrm"))
     val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id").asc)
     candIds.join(eN, "vec_id").join(pN, "probe_id")
       .withColumn("cos", dot(col("emb"), col("p_emb")) / (col("nrm") * col("p_nrm")))
@@ -175,23 +184,15 @@ object Ann {
   def cosineNearDupPairs(emb: DataFrame, minCos: Double,
       nBits: Int = 16, nBands: Int = 4, dim: Int = 64, seed: Long = 42L): DataFrame = {
     require(nBits % nBands == 0)
-    val bandBits = nBits / nBands
-    val mask = (1L << bandBits) - 1
-    val banded = emb
-      .select(col("vec_id"),
-        signature(col("embedding"), nBits, dim, seed).as("sig"))
-      .withColumn("band", explode(sequence(lit(0), lit(nBands - 1))))
-      .withColumn("bv", call_function("shiftright", col("sig"),
-        col("band") * bandBits).bitwiseAND(lit(mask)))
-    val a = banded.select(col("vec_id").as("a_id"), col("band"), col("bv"))
-    val b = banded.select(col("vec_id").as("b_id"),
+    val bands = banded(emb, "vec_id", "band", "bv", nBits, nBands, dim, seed)
+    val a = bands.select(col("vec_id").as("a_id"), col("band"), col("bv"))
+    val b = bands.select(col("vec_id").as("b_id"),
       col("band").as("band_b"), col("bv").as("bv_b"))
     // dedup multi-band matches on the ID pair alone, then re-join vectors
     val pairIds = a.join(b, col("band") === col("band_b") &&
         col("bv") === col("bv_b") && col("a_id") < col("b_id"))
       .select("a_id", "b_id").distinct()
-    val eN = emb.select(col("vec_id"), embDouble(col("embedding")).as("emb"))
-      .withColumn("nrm", sqrt(dot(col("emb"), col("emb"))))
+    val eN = withNorm(emb, "vec_id", "emb", "nrm")
     pairIds
       .join(eN.select(col("vec_id").as("a_id"), col("emb").as("a_emb"),
         col("nrm").as("a_nrm")), "a_id")
