@@ -45,6 +45,14 @@ private[graft] object T {
   def truncNtz(unit: String, c: Column): Column =
     org.apache.spark.sql.functions.date_trunc(unit, c).cast("timestamp_ntz")
 
+  /** events with the standard ms-truncated NTZ event-time column — the
+    * shared starting frame for every event-time query (groups T and the
+    * x_flex analogs).
+    */
+  def evMs(s: SparkSession, sfDir: String): DataFrame =
+    t(s, sfDir, "events").withColumn("ts_ms",
+      truncNtz("millisecond", org.apache.spark.sql.functions.col("ts")))
+
   /** Deterministic cross-engine average: exact decimal sum / count. */
   def avgDec(sumDec: Column, cnt: Column): Column =
     (sumDec.cast("double") / cnt).cast("decimal(38,6)")

@@ -20,8 +20,7 @@ import graft.ops.T._
 object EventTime {
 
   /** events with ts ms-truncated — the only ts form this group touches. */
-  private def ev(s: SparkSession, d: String): DataFrame =
-    t(s, d, "events").withColumn("ts_ms", truncNtz("millisecond", col("ts")))
+  private def ev(s: SparkSession, d: String): DataFrame = evMs(s, d)
 
   val queries: Map[String, Q] = Map(
     // Tumbling 1h window per user. Streaming form: + withWatermark.

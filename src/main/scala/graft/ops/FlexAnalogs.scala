@@ -19,8 +19,7 @@ import graft.ops.T._
   */
 object FlexAnalogs {
 
-  private def ev(s: SparkSession, d: String): DataFrame =
-    t(s, d, "events").withColumn("ts_ms", truncNtz("millisecond", col("ts")))
+  private def ev(s: SparkSession, d: String): DataFrame = evMs(s, d)
 
   val queries: Map[String, Q] = Map(
     // R16 analog (flexcalc/analyze.py::histogram): 20-bin fixed-range

@@ -23,14 +23,21 @@ class ContractSpec extends SparkSpec {
   }
 
   // Each query must at least execute end-to-end on sf0.001 with a
-  // non-empty schema. j_anti legitimately returns 0 rows (every customer
-  // has orders); all others must produce rows.
+  // non-empty schema, and must never emit a tz-adjusted TimestampType —
+  // it round-trips through parquet as TIMESTAMPTZ and type-mismatches
+  // the naive oracle timestamps (NTZ rule, SURVEY §7.5a correction 4).
+  // j_anti legitimately returns 0 rows (every customer has orders).
   private val mayBeEmpty = Set("j_anti", "a_having", "x_dedup_jaccard")
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"runs on sf0.001: $name") {
       val df = fn(spark, sf())
       assert(df.schema.nonEmpty)
+      val ltz = df.schema.fields.collect {
+        case f if f.dataType == org.apache.spark.sql.types.TimestampType => f.name
+      }
+      assert(ltz.isEmpty,
+        s"$name emits tz-adjusted timestamp columns ${ltz.mkString(",")} — use T.truncNtz / cast timestamp_ntz")
       val n = df.count()
       if (!mayBeEmpty(name)) assert(n > 0, s"$name returned no rows")
     }
