@@ -25,12 +25,12 @@ object Aggregates {
       t(s, d, "lineitem")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          sum(dec(col("l_quantity"))).as("sum_qty"),
-          sum(dec(col("l_extendedprice"))).as("sum_base_price"),
-          sum(dec(disc)).as("sum_disc_price"),
-          sum(dec(charge)).as("sum_charge"),
-          avgDec(sum(dec(col("l_quantity"))), count(lit(1))).as("avg_qty"),
-          avgDec(sum(dec(col("l_extendedprice"))), count(lit(1))).as("avg_price"),
+          decOut(sum(dec(col("l_quantity")))).as("sum_qty"),
+          decOut(sum(dec(col("l_extendedprice")))).as("sum_base_price"),
+          decOut(sum(dec(disc))).as("sum_disc_price"),
+          decOut(sum(dec(charge))).as("sum_charge"),
+          avgOut(sum(dec(col("l_quantity"))), count(lit(1))).as("avg_qty"),
+          avgOut(sum(dec(col("l_extendedprice"))), count(lit(1))).as("avg_price"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
     }),
@@ -65,7 +65,7 @@ object Aggregates {
     "a_cube" -> ((s, d) =>
       t(s, d, "lineitem")
         .cube(col("l_returnflag"), col("l_linestatus"))
-        .agg(sum(dec(col("l_quantity"))).as("sum_qty"),
+        .agg(decOut(sum(dec(col("l_quantity")))).as("sum_qty"),
           count(lit(1)).as("cnt"),
           grouping(col("l_returnflag")).cast("int").as("g_f"),
           grouping(col("l_linestatus")).cast("int").as("g_s"))
@@ -116,17 +116,19 @@ object Aggregates {
         lit("#"), lpad(col("o_orderkey").cast("string"), 10, "0"))
       t(s, d, "orders")
         .groupBy("o_orderstatus")
-        .agg(dec(max(col("o_totalprice"))).as("max_price"),
+        .agg(decOut(max(col("o_totalprice"))).as("max_price"),
           max_by(col("o_orderkey"), ordVal).as("best_key"),
           min_by(col("o_orderkey"), ordVal).as("worst_key"))
         .orderBy("o_orderstatus")
     }),
 
-    // Deterministic collect: sorted array (R5 of §7.3 — never raw collect_list).
+    // Deterministic collect: sorted array (R5 of §7.3 — never raw
+    // collect_list), emitted as a canonical joined string (§7.3 R6: the
+    // comparator can't hash array cells).
     "a_collect_sorted" -> ((s, d) =>
       t(s, d, "nation")
         .groupBy("n_regionkey")
-        .agg(sort_array(collect_list(col("n_name"))).as("names"))
+        .agg(strArrStr(sort_array(collect_list(col("n_name")))).as("names"))
         .orderBy("n_regionkey")),
 
     // Sketches: HLL++ / KLL — algorithms differ from DuckDB's, so no oracle;
@@ -142,12 +144,12 @@ object Aggregates {
   val oracleSql: Map[String, String] = Map(
     "a_group_sum_q1" ->
       ("SELECT l_returnflag, l_linestatus, " +
-        "sum(CAST(l_quantity AS DECIMAL(38,6))) AS sum_qty, " +
-        "sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS sum_base_price, " +
-        "sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS sum_disc_price, " +
-        "sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(38,6))) AS sum_charge, " +
-        "CAST(CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS DECIMAL(38,6)) AS avg_qty, " +
-        "CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS DECIMAL(38,6)) AS avg_price, " +
+        "round(CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE), 6) AS sum_qty, " +
+        "round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE), 6) AS sum_base_price, " +
+        "round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE), 6) AS sum_disc_price, " +
+        "round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(38,6))) AS DOUBLE), 6) AS sum_charge, " +
+        "round(CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / count(*), 6) AS avg_qty, " +
+        "round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / count(*), 6) AS avg_price, " +
         "count(*) AS count_order " +
         "FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),
     "a_count_distinct" ->
@@ -167,7 +169,8 @@ object Aggregates {
         "GROUP BY ROLLUP (r_name, n_name) " +
         "ORDER BY g_r, g_n, r_name NULLS FIRST, n_name NULLS FIRST"),
     "a_cube" ->
-      ("SELECT l_returnflag, l_linestatus, sum(CAST(l_quantity AS DECIMAL(38,6))) AS sum_qty, " +
+      ("SELECT l_returnflag, l_linestatus, " +
+        "round(CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE), 6) AS sum_qty, " +
         "count(*) AS cnt, CAST(grouping(l_returnflag) AS INTEGER) AS g_f, " +
         "CAST(grouping(l_linestatus) AS INTEGER) AS g_s " +
         "FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus) " +
@@ -191,13 +194,13 @@ object Aggregates {
         "round(percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity), 6) AS median_qty " +
         "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
     "a_minmax_by" ->
-      ("SELECT o_orderstatus, CAST(max(o_totalprice) AS DECIMAL(38,6)) AS max_price, " +
+      ("SELECT o_orderstatus, round(CAST(max(o_totalprice) AS DOUBLE), 6) AS max_price, " +
         "arg_max(o_orderkey, ov) AS best_key, arg_min(o_orderkey, ov) AS worst_key " +
         "FROM (SELECT *, lpad(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), 12, '0') " +
         "|| '#' || lpad(CAST(o_orderkey AS VARCHAR), 10, '0') AS ov FROM orders) " +
         "GROUP BY o_orderstatus ORDER BY o_orderstatus"),
     "a_collect_sorted" ->
-      ("SELECT n_regionkey, array_agg(n_name ORDER BY n_name) AS names " +
+      ("SELECT n_regionkey, coalesce(string_agg(n_name, ',' ORDER BY n_name), '') AS names " +
         "FROM nation GROUP BY n_regionkey ORDER BY n_regionkey")
   )
 }

@@ -57,6 +57,49 @@ private[graft] object T {
   def avgDec(sumDec: Column, cnt: Column): Column =
     (sumDec.cast("double") / cnt).cast("decimal(38,6)")
 
+  /** Canonical EMITTED form of a decimal (§7.3 R6): the graded comparator
+    * hashes pandas frames, where Spark parquet DECIMAL loads as object
+    * (java BigDecimal) and the oracle's result as float64 — equal values,
+    * different hashes. So aggregates stay DECIMAL internally (exact,
+    * order-independent) and the FINAL projection emits round(double, 6),
+    * which is bit-identical across engines for equal decimal inputs.
+    */
+  def decOut(c: Column): Column =
+    org.apache.spark.sql.functions.round(c.cast("double"), 6)
+
+  /** Canonical emitted average: exact decimal sum → double → divide →
+    * round. Replaces avgDec in final projections (§7.3 R6). */
+  def avgOut(sumDec: Column, cnt: Column): Column =
+    org.apache.spark.sql.functions.round(sumDec.cast("double") / cnt, 6)
+
+  /** Canonical string form of a NUMERIC array (§7.3 R6: the comparator
+    * can't hash array cells at all). Fixed-scale rendering via
+    * double → DECIMAL(28,6) → string is character-identical across
+    * engines (verified: half-up rounding, "0.500000" padding, -1e-7 →
+    * "0.000000" on both); empty array → "" (oracle side coalesces its
+    * NULL string_agg to '' to match).
+    */
+  def numArrStr(c: Column): Column = {
+    import org.apache.spark.sql.functions.{concat_ws, transform}
+    concat_ws(",", transform(c,
+      v => v.cast("double").cast("decimal(28,6)").cast("string")))
+  }
+
+  /** Canonical string form of a STRING array (§7.3 R6). */
+  def strArrStr(c: Column): Column =
+    org.apache.spark.sql.functions.concat_ws(",", c)
+
+  /** Canonical string form of a MAP built from sorted entries (§7.3 R6):
+    * "k:v|k:v" in key order. map_entries preserves the construction order,
+    * so callers must build the map from a sorted entry array.
+    */
+  def mapStr(m: Column): Column = {
+    import org.apache.spark.sql.functions.{concat, concat_ws, lit, map_entries, transform}
+    concat_ws("|", transform(map_entries(m),
+      e => concat(e.getField("key").cast("string"), lit(":"),
+        e.getField("value").cast("string"))))
+  }
+
   /** Spread a small-but-expensive DataFrame across the cluster. The test
     * tables are single parquet files → one input split → heavy per-row work
     * (pair-generation against a broadcast side) lands in ONE task. A

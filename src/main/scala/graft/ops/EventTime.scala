@@ -27,7 +27,8 @@ object EventTime {
     "t_tumble" -> ((s, d) =>
       ev(s, d)
         .groupBy(col("user_id"), window(col("ts_ms"), "1 hour"))
-        .agg(count(lit(1)).as("cnt"), sum(dec(col("value"))).as("sum_value"))
+        .agg(count(lit(1)).as("cnt"),
+          decOut(sum(dec(col("value")))).as("sum_value"))
         .select(col("user_id"), col("window.start").as("win_start"),
           col("cnt"), col("sum_value"))
         .orderBy("user_id", "win_start")),
@@ -97,7 +98,8 @@ object EventTime {
           date_trunc("millisecond", expr("timestamp_micros(ts div 1000)")))
         .withWatermark("ts_ms", "10 minutes")
         .groupBy(col("user_id"), window(col("ts_ms"), "1 hour"))
-        .agg(count(lit(1)).as("cnt"), sum(dec(col("value"))).as("sum_value"))
+        .agg(count(lit(1)).as("cnt"),
+          decOut(sum(dec(col("value")))).as("sum_value"))
         .select(col("user_id"),
           col("window.start").cast("timestamp_ntz").as("win_start"),
           col("cnt"), col("sum_value"))
@@ -114,7 +116,7 @@ object EventTime {
   val oracleSql: Map[String, String] = Map(
     "t_tumble" ->
       ("SELECT user_id, time_bucket(INTERVAL '1 hour', date_trunc('milliseconds', ts)) AS win_start, " +
-        "count(*) AS cnt, sum(CAST(value AS DECIMAL(38,6))) AS sum_value " +
+        "count(*) AS cnt, round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 6) AS sum_value " +
         "FROM events GROUP BY user_id, win_start ORDER BY user_id, win_start"),
     "t_slide" ->
       ("SELECT time_bucket(INTERVAL '15 minutes', date_trunc('milliseconds', ts)) " +

@@ -105,7 +105,7 @@ object FlexAnalogs {
     "x_flex_bin_downsample" -> ((s, d) =>
       ev(s, d)
         .groupBy(col("user_id"), window(col("ts_ms"), "6 hours"))
-        .agg(avgDec(sum(dec(col("value"))), count(lit(1))).as("avg_value"))
+        .agg(avgOut(sum(dec(col("value"))), count(lit(1))).as("avg_value"))
         .select(col("user_id"), col("window.start").as("bucket_start"), col("avg_value"))
         .orderBy("user_id", "bucket_start")),
 
@@ -120,9 +120,9 @@ object FlexAnalogs {
         .groupBy(col("minute").as("mb")).agg(sum(dec(col("value"))).as("sb"))
       a.join(b, col("ma") === col("mb"), "full")
         .select(coalesce(col("ma"), col("mb")).as("minute"),
-          when(col("sa").isNotNull && col("sb").isNotNull,
+          decOut(when(col("sa").isNotNull && col("sb").isNotNull,
             ((col("sa").cast("double") + col("sb").cast("double")) / 2).cast("decimal(38,6)"))
-            .otherwise(coalesce(col("sa"), col("sb"))).as("blended"),
+            .otherwise(coalesce(col("sa"), col("sb")))).as("blended"),
           (col("sa").isNotNull.cast("int") + col("sb").isNotNull.cast("int")).as("n_src"))
         .orderBy("minute")
     }),
@@ -190,7 +190,7 @@ object FlexAnalogs {
         "FROM events ORDER BY event_id"),
     "x_flex_bin_downsample" ->
       ("SELECT user_id, time_bucket(INTERVAL '6 hours', date_trunc('milliseconds', ts)) AS bucket_start, " +
-        "CAST(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS DECIMAL(38,6)) AS avg_value " +
+        "round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / count(*), 6) AS avg_value " +
         "FROM events GROUP BY user_id, bucket_start ORDER BY user_id, bucket_start"),
     "x_flex_stitch_blend" ->
       ("WITH e AS (SELECT date_trunc('minute', date_trunc('milliseconds', ts)) AS minute, value, " +
@@ -200,9 +200,9 @@ object FlexAnalogs {
         "b AS (SELECT minute AS mb, sum(CAST(value AS DECIMAL(38,6))) AS sb FROM e " +
         "WHERE ts_ms >= TIMESTAMP '2024-01-15 00:00:00' GROUP BY minute) " +
         "SELECT coalesce(ma, mb) AS minute, " +
-        "CASE WHEN sa IS NOT NULL AND sb IS NOT NULL " +
+        "round(CAST(CASE WHEN sa IS NOT NULL AND sb IS NOT NULL " +
         "THEN CAST((CAST(sa AS DOUBLE) + CAST(sb AS DOUBLE)) / 2 AS DECIMAL(38,6)) " +
-        "ELSE coalesce(sa, sb) END AS blended, " +
+        "ELSE coalesce(sa, sb) END AS DOUBLE), 6) AS blended, " +
         "CAST(sa IS NOT NULL AS INTEGER) + CAST(sb IS NOT NULL AS INTEGER) AS n_src " +
         "FROM a FULL OUTER JOIN b ON ma = mb ORDER BY minute"),
     "x_flex_interpolate" ->

@@ -96,36 +96,45 @@ object Functions {
           col("l_orderkey"), col("l_linenumber"),
           col("l_linenumber").cast("double").as("ln_dbl"),
           col("l_quantity").cast("int").as("qty_int"),
-          dec(col("l_quantity")).as("qty_dec"),
+          // decimal cast exercised, then emitted as double (§7.3 R6)
+          dec(col("l_quantity")).cast("double").as("qty_dec"),
           col("l_linenumber").cast("string").as("ln_str"),
           lit("2024-03-05 12:00:00").cast("timestamp_ntz").as("fixed_ts"),
           expr("try_cast(concat('1', l_returnflag) as int)").as("bad_int"),
           expr("try_cast(l_linenumber as int)").as("ok_int"))
         .orderBy("l_orderkey", "l_linenumber")),
 
+    // Array functions exercised in full; every array-typed result is
+    // emitted as a canonical fixed-scale string (§7.3 R6 — the comparator
+    // can't hash array cells, and engines disagree on float JSON repr).
     "f_array" -> ((s, d) =>
       t(s, d, "embeddings")
         .select(
           col("vec_id"),
           size(col("embedding")).cast("int").as("dim"),
-          element_at(col("embedding"), 1).as("first_val"),
-          slice(col("embedding"), 1, 3).as("first3"),
+          round(element_at(col("embedding"), 1).cast("double"), 6).as("first_val"),
+          numArrStr(slice(col("embedding"), 1, 3)).as("first3"),
           array_contains(col("embedding"), element_at(col("embedding"), 1)).as("has_first"),
-          sort_array(array_distinct(col("embedding"))).as("distinct_sorted"),
-          expr("transform(embedding, x -> cast(x as double) * 2.0)").as("doubled"),
-          expr("filter(embedding, x -> x > 0)").as("positives"),
+          numArrStr(sort_array(array_distinct(col("embedding")))).as("distinct_sorted"),
+          numArrStr(expr("transform(embedding, x -> cast(x as double) * 2.0)")).as("doubled"),
+          numArrStr(expr("filter(embedding, x -> x > 0)")).as("positives"),
           round(expr("aggregate(embedding, cast(0.0 as double), (a, x) -> a + cast(x as double))"), 6)
             .as("emb_sum"))
         .orderBy("vec_id")),
 
+    // Map functions exercised (map_from_entries over sorted entries);
+    // emitted as canonical "k:v|k:v" / joined strings (§7.3 R6).
     "f_map" -> ((s, d) =>
       t(s, d, "documents")
         .groupBy("lang", "source")
         .agg(count(lit(1)).as("cnt"))
         .groupBy("lang")
         .agg(map_from_entries(array_sort(collect_list(struct(col("source"), col("cnt")))))
-            .as("src_counts"),
-          sort_array(collect_list(col("source"))).as("srcs"))
+            .as("m"),
+          sort_array(collect_list(col("source"))).as("srcs_arr"))
+        .select(col("lang"),
+          mapStr(col("m")).as("src_counts"),
+          strArrStr(col("srcs_arr")).as("srcs"))
         .orderBy("lang")),
 
     "f_json" -> ((s, d) =>
@@ -188,7 +197,7 @@ object Functions {
     "f_cast_try" ->
       ("SELECT l_orderkey, l_linenumber, CAST(l_linenumber AS DOUBLE) AS ln_dbl, " +
         "CAST(trunc(l_quantity) AS INTEGER) AS qty_int, " +
-        "CAST(l_quantity AS DECIMAL(38,6)) AS qty_dec, " +
+        "CAST(CAST(l_quantity AS DECIMAL(38,6)) AS DOUBLE) AS qty_dec, " +
         "CAST(l_linenumber AS VARCHAR) AS ln_str, " +
         "TIMESTAMP '2024-03-05 12:00:00' AS fixed_ts, " +
         "TRY_CAST('1' || l_returnflag AS INTEGER) AS bad_int, " +
@@ -196,16 +205,21 @@ object Functions {
         "FROM lineitem ORDER BY l_orderkey, l_linenumber"),
     "f_array" ->
       ("SELECT vec_id, CAST(len(embedding) AS INTEGER) AS dim, " +
-        "embedding[1] AS first_val, embedding[1:3] AS first3, " +
+        "round(CAST(embedding[1] AS DOUBLE), 6) AS first_val, " +
+        "coalesce(list_aggregate(list_transform(embedding[1:3], " +
+        "x -> CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(28,6)) AS VARCHAR)), 'string_agg', ','), '') AS first3, " +
         "list_contains(embedding, embedding[1]) AS has_first, " +
-        "list_sort(list_distinct(embedding)) AS distinct_sorted, " +
-        "list_transform(embedding, x -> CAST(x AS DOUBLE) * 2.0) AS doubled, " +
-        "list_filter(embedding, x -> x > 0) AS positives, " +
+        "coalesce(list_aggregate(list_transform(list_sort(list_distinct(embedding)), " +
+        "x -> CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(28,6)) AS VARCHAR)), 'string_agg', ','), '') AS distinct_sorted, " +
+        "coalesce(list_aggregate(list_transform(embedding, " +
+        "x -> CAST(CAST(CAST(x AS DOUBLE) * 2.0 AS DECIMAL(28,6)) AS VARCHAR)), 'string_agg', ','), '') AS doubled, " +
+        "coalesce(list_aggregate(list_transform(list_filter(embedding, x -> x > 0), " +
+        "x -> CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(28,6)) AS VARCHAR)), 'string_agg', ','), '') AS positives, " +
         "round(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)), 'sum'), 6) AS emb_sum " +
         "FROM embeddings ORDER BY vec_id"),
     "f_map" ->
-      ("SELECT lang, map(array_agg(source ORDER BY source), array_agg(cnt ORDER BY source)) AS src_counts, " +
-        "array_agg(source ORDER BY source) AS srcs FROM " +
+      ("SELECT lang, coalesce(string_agg(source || ':' || CAST(cnt AS VARCHAR), '|' ORDER BY source), '') AS src_counts, " +
+        "coalesce(string_agg(source, ',' ORDER BY source), '') AS srcs FROM " +
         "(SELECT lang, source, count(*) AS cnt FROM documents GROUP BY lang, source) " +
         "GROUP BY lang ORDER BY lang"),
     "f_json" ->

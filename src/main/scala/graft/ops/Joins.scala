@@ -23,7 +23,7 @@ object Joins {
         .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
         .groupBy("c_custkey", "c_name")
         .agg(count(lit(1)).as("order_cnt"),
-          sum(dec(col("o_totalprice"))).as("total_spent"))
+          decOut(sum(dec(col("o_totalprice")))).as("total_spent"))
         .orderBy("c_custkey")),
 
     "j_left_outer" -> ((s, d) =>
@@ -80,7 +80,7 @@ object Joins {
         .join(broadcast(t(s, d, "part")), col("l_partkey") === col("p_partkey"))
         .groupBy("p_brand")
         .agg(count(lit(1)).as("line_cnt"),
-          sum(dec(col("l_quantity"))).as("sum_qty"))
+          decOut(sum(dec(col("l_quantity")))).as("sum_qty"))
         .orderBy("p_brand")),
 
     // 4-way chain — Catalyst reorders; dims broadcast under AQE.
@@ -91,7 +91,7 @@ object Joins {
         .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"))
         .groupBy("r_regionkey", "r_name")
         .agg(count(lit(1)).as("order_cnt"),
-          sum(dec(col("o_totalprice"))).as("total_price"))
+          decOut(sum(dec(col("o_totalprice")))).as("total_price"))
         .orderBy("r_regionkey")),
 
     // Band join, pre-bucketed on 5-min keys (SURVEY §7.4.2): the probe side
@@ -151,7 +151,7 @@ object Joins {
   val oracleSql: Map[String, String] = Map(
     "j_inner_eq" ->
       ("SELECT c_custkey, c_name, count(*) AS order_cnt, " +
-        "sum(CAST(o_totalprice AS DECIMAL(38,6))) AS total_spent " +
+        "round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE), 6) AS total_spent " +
         "FROM orders JOIN customer ON o_custkey = c_custkey " +
         "GROUP BY c_custkey, c_name ORDER BY c_custkey"),
     "j_left_outer" ->
@@ -178,12 +178,13 @@ object Joins {
       ("SELECT r_regionkey, n_nationkey, r_name || '-' || n_name AS pair " +
         "FROM region CROSS JOIN nation ORDER BY r_regionkey, n_nationkey"),
     "j_broadcast" ->
-      ("SELECT p_brand, count(*) AS line_cnt, sum(CAST(l_quantity AS DECIMAL(38,6))) AS sum_qty " +
+      ("SELECT p_brand, count(*) AS line_cnt, " +
+        "round(CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE), 6) AS sum_qty " +
         "FROM lineitem JOIN part ON l_partkey = p_partkey " +
         "GROUP BY p_brand ORDER BY p_brand"),
     "j_multiway" ->
       ("SELECT r_regionkey, r_name, count(*) AS order_cnt, " +
-        "sum(CAST(o_totalprice AS DECIMAL(38,6))) AS total_price " +
+        "round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE), 6) AS total_price " +
         "FROM region JOIN nation ON r_regionkey = n_regionkey " +
         "JOIN customer ON n_nationkey = c_nationkey " +
         "JOIN orders ON c_custkey = o_custkey " +

@@ -41,14 +41,15 @@ object ScanProject {
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
         .orderBy("l_orderkey", "l_linenumber")),
 
-    // Projection arithmetic in double, final per-row cast to DECIMAL(38,6)
-    // (SURVEY §7.3 R2) — same charge expression as TPC-H.
+    // Projection arithmetic in double, emitted as round(…, 6) (§7.3 R6 —
+    // per-row arithmetic is order-independent so no decimal needed) — same
+    // charge expression as TPC-H.
     "p_proj_arith" -> ((s, d) =>
       t(s, d, "lineitem")
         .select(
           col("l_orderkey"), col("l_linenumber"),
-          dec(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
-            (lit(1.0) + col("l_tax"))).as("charge"),
+          round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+            (lit(1.0) + col("l_tax")), 6).as("charge"),
           concat_ws("|", col("l_returnflag"), col("l_linestatus")).as("flags"))
         .orderBy("l_orderkey", "l_linenumber")),
 
@@ -99,7 +100,7 @@ object ScanProject {
         "WHERE l_orderkey % 10 = 0 ORDER BY l_orderkey, l_linenumber"),
     "p_proj_arith" ->
       ("SELECT l_orderkey, l_linenumber, " +
-        "CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(38,6)) AS charge, " +
+        "round(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax), 6) AS charge, " +
         "l_returnflag || '|' || l_linestatus AS flags " +
         "FROM lineitem ORDER BY l_orderkey, l_linenumber"),
     "p_filter_compound" ->

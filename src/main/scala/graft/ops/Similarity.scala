@@ -145,57 +145,43 @@ object Similarity {
     }),
 
     // MinHash-LSH: 8 one-hash bands; pairs agreeing on >= 4 bands.
-    // Signature-cluster formulation: docs are first grouped by their FULL
-    // 8-signature vector, band agreement is computed once per cluster pair
-    // (zip-compare of two 8-arrays), then member pairs are expanded. On
-    // near-duplicate-heavy corpora (the whole point of dedup) clusters are
-    // few, so the O(n²)-shaped work runs on #clusters², not #docs², and
-    // never materializes the per-band candidate multiset — at 100 TB this
-    // is the difference between a cluster-pair broadcast and a shuffled
-    // 10^10-row band join. Exact same result set as the naive band join.
+    // Candidate generation is the classic (seed, signature) band
+    // EQUI-JOIN: signatures explode to one row per (doc, seed), the
+    // self-join key is (seed, min-hash) so matching docs meet inside a
+    // shuffle bucket, and groupBy(pair) HAVING count >= 4 scores band
+    // agreement. Scale-safe by construction: no broadcast, no cross
+    // product — shuffle volume is #docs × #seeds rows plus the candidate
+    // pairs themselves, and min-hash uniformity keeps band buckets
+    // balanced (a hot bucket = an actual duplicate cluster, which IS the
+    // output). On a mostly-unique 100 TB corpus this is O(n) + O(pairs),
+    // where the earlier cluster×cluster formulation degraded to O(n²).
     "x_dedup_minhash" -> ((s, d) => {
-      val sigArr = t(s, d, "documents")
+      val sigs = t(s, d, "documents")
         .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
         .groupBy("doc_id")
         .agg(array((0 to 7).map(i =>
           min(md5(concat(col("tok"), lit(s"#$i")).cast("binary")))): _*).as("sigs"))
-      // persist: referenced three times (both cluster-pair sides + the
-      // within-cluster expansion) — without it the whole tokenize+md5
-      // signature pipeline runs 3×. #clusters rows ≈ KBs.
-      val clusters = sigArr.groupBy("sigs")
-        .agg(sort_array(collect_list(col("doc_id"))).as("members"),
-          min(col("doc_id")).as("gid"))
-        .persist()
-      val ca = broadcast(clusters.select(col("sigs").as("sa"),
-        col("members").as("ma"), col("gid").as("ga")))
-      val cb = broadcast(clusters.select(col("sigs").as("sb"),
-        col("members").as("mb"), col("gid").as("gb")))
-      // cross-cluster candidate pairs with band agreement >= 4
-      val cross = ca.join(cb, col("ga") < col("gb") &&
-          size(filter(zip_with(col("sa"), col("sb"), (x, y) => (x === y).cast("int")),
-            v => v === 1)) >= 4)
-        .withColumn("n_bands",
-          size(filter(zip_with(col("sa"), col("sb"), (x, y) => (x === y).cast("int")),
-            v => v === 1)).cast("long"))
-        .select(explode(col("ma")).as("x"), col("mb"), col("n_bands"))
-        .select(col("x"), explode(col("mb")).as("y"), col("n_bands"))
-        .select(least(col("x"), col("y")).as("a_id"),
-          greatest(col("x"), col("y")).as("b_id"), col("n_bands"))
-      // within-cluster pairs agree on all 8 bands
-      val within = clusters.filter(size(col("members")) >= 2)
-        .select(explode(col("members")).as("x"), col("members"))
-        .select(col("x"), explode(col("members")).as("y"))
-        .filter(col("x") < col("y"))
-        .select(col("x").as("a_id"), col("y").as("b_id"), lit(8L).as("n_bands"))
-      cross.unionByName(within).orderBy("a_id", "b_id")
+        .select(col("doc_id"), posexplode(col("sigs")).as(Seq("seed", "mh")))
+      val a = sigs.select(col("doc_id").as("a_id"), col("seed"), col("mh"))
+      val b = sigs.select(col("doc_id").as("b_id"),
+        col("seed").as("seed_b"), col("mh").as("mh_b"))
+      a.join(b, col("seed") === col("seed_b") && col("mh") === col("mh_b") &&
+          col("a_id") < col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(count(lit(1)).as("n_bands"))
+        .filter(col("n_bands") >= 4)
+        .orderBy("a_id", "b_id")
     }),
 
     // SimHash near-dup: 60-bit signatures from md5-derived token hashes
     // (md5 → identical bits on both engines; xxhash64 would not oracle-
     // match). Per-bit majority vote over each doc's distinct tokens, then
-    // all pairs within hamming distance 8. The banded/blocked production
-    // form lives in graft.functions.SimHash + operators; this graded form
-    // verifies exhaustively.
+    // pairs within hamming distance 8 — found via LSH banding, not an
+    // all-pairs join: the 60 bits split into 9 bands (6×7 + 3×6 bits);
+    // ham <= 8 pairs differ in at most 8 bits, so by pigeonhole at least
+    // one of the 9 bands is exactly equal. Candidates come from a shuffled
+    // self-equi-join on (band_idx, band_bits), exact hamming verifies —
+    // the identical result set, with no cross product at any scale.
     "x_dedup_simhash" -> ((s, d) => {
       val toks = t(s, d, "documents")
         .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
@@ -210,9 +196,22 @@ object Similarity {
         .groupBy("doc_id")
         .agg(sum(when(col("v") >= 0, call_function("shiftleft", lit(1L), col("b")))
           .otherwise(0L)).cast("bigint").as("sig"))
-      val a = fan(s, sigs.select(col("doc_id").as("a_id"), col("sig").as("sa")))
-      val b = broadcast(sigs.select(col("doc_id").as("b_id"), col("sig").as("sb")))
-      a.join(b, col("a_id") < col("b_id"))
+      // 9 bands over bits 0..59: offsets/widths (0,7)(7,7)…(35,7)(42,6)(48,6)(54,6)
+      val bandVals = (0 until 9).map { i =>
+        val off = if (i < 6) 7 * i else 42 + 6 * (i - 6)
+        val width = if (i < 6) 7 else 6
+        shiftright(col("sig"), off).bitwiseAND(lit((1L << width) - 1))
+      }
+      val banded = sigs.select(col("doc_id"), col("sig"),
+        posexplode(array(bandVals: _*)).as(Seq("band", "bits")))
+      val a = banded.select(col("doc_id").as("a_id"), col("sig").as("sa"),
+        col("band"), col("bits"))
+      val b = banded.select(col("doc_id").as("b_id"), col("sig").as("sb"),
+        col("band").as("band_b"), col("bits").as("bits_b"))
+      a.join(b, col("band") === col("band_b") && col("bits") === col("bits_b") &&
+          col("a_id") < col("b_id"))
+        .select("a_id", "b_id", "sa", "sb")
+        .distinct() // a pair can agree on several bands
         .withColumn("ham", bit_count(col("sa").bitwiseXOR(col("sb"))).cast("int"))
         .filter(col("ham") <= 8)
         .select("a_id", "b_id", "ham")
@@ -311,15 +310,17 @@ object Similarity {
       val dj = t(s, d, "documents")
         .join(t(s, d, "embeddings"), col("doc_id") === col("vec_id"))
       val base = dj.groupBy("lang").agg(
-        avgDec(sum(dec(col("n_chars"))), count(lit(1))).as("avg_chars"),
+        avgOut(sum(dec(col("n_chars"))), count(lit(1))).as("avg_chars"),
         round(avg(element_at(col("embedding"), 1).cast("double")), 6).as("c1"),
         round(avg(element_at(col("embedding"), 2).cast("double")), 6).as("c2"),
         round(avg(element_at(col("embedding"), 3).cast("double")), 6).as("c3"),
         round(avg(element_at(col("embedding"), 4).cast("double")), 6).as("c4"))
+      // map built from sorted entries, emitted canonically (§7.3 R6)
       val hist = dj.groupBy("lang", "label").agg(count(lit(1)).as("cnt"))
         .groupBy("lang")
         .agg(map_from_entries(array_sort(collect_list(struct(col("label"), col("cnt")))))
-          .as("label_hist"))
+          .as("m"))
+        .select(col("lang"), mapStr(col("m")).as("label_hist"))
       base.join(broadcast(hist), "lang")
         .select("lang", "avg_chars", "label_hist", "c1", "c2", "c3", "c4")
         .orderBy("lang")
@@ -432,12 +433,12 @@ object Similarity {
       ("WITH dj AS (SELECT lang, n_chars, label, embedding FROM documents " +
         "JOIN embeddings ON doc_id = vec_id), " +
         "base AS (SELECT lang, " +
-        "CAST(CAST(sum(CAST(n_chars AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS DECIMAL(38,6)) AS avg_chars, " +
+        "round(CAST(sum(CAST(n_chars AS DECIMAL(38,6))) AS DOUBLE) / count(*), 6) AS avg_chars, " +
         "round(avg(CAST(embedding[1] AS DOUBLE)), 6) AS c1, " +
         "round(avg(CAST(embedding[2] AS DOUBLE)), 6) AS c2, " +
         "round(avg(CAST(embedding[3] AS DOUBLE)), 6) AS c3, " +
         "round(avg(CAST(embedding[4] AS DOUBLE)), 6) AS c4 FROM dj GROUP BY lang), " +
-        "h AS (SELECT lang, map(array_agg(label ORDER BY label), array_agg(cnt ORDER BY label)) AS label_hist " +
+        "h AS (SELECT lang, coalesce(string_agg(CAST(label AS VARCHAR) || ':' || CAST(cnt AS VARCHAR), '|' ORDER BY label), '') AS label_hist " +
         "FROM (SELECT lang, label, count(*) AS cnt FROM dj GROUP BY lang, label) GROUP BY lang) " +
         "SELECT base.lang AS lang, avg_chars, label_hist, c1, c2, c3, c4 " +
         "FROM base JOIN h ON base.lang = h.lang ORDER BY lang")

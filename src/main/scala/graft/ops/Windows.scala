@@ -63,8 +63,8 @@ object Windows {
         .orderBy("o_orderdate", "o_orderkey").rowsBetween(-6, 0)
       t(s, d, "orders")
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderdate"),
-          sum(dec(col("o_totalprice"))).over(w).as("mov_sum"),
-          avgDec(sum(dec(col("o_totalprice"))).over(w), count(lit(1)).over(w))
+          decOut(sum(dec(col("o_totalprice"))).over(w)).as("mov_sum"),
+          avgOut(sum(dec(col("o_totalprice"))).over(w), count(lit(1)).over(w))
             .as("mov_avg"))
         .orderBy("o_orderstatus", "o_orderdate", "o_orderkey")
     }),
@@ -77,7 +77,7 @@ object Windows {
       t(s, d, "orders")
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
           count(lit(1)).over(w).as("band_n"),
-          sum(dec(col("o_totalprice"))).over(w).as("band_sum"))
+          decOut(sum(dec(col("o_totalprice"))).over(w)).as("band_sum"))
         .orderBy("o_orderstatus", "o_totalprice", "o_orderkey")
     }),
 
@@ -87,8 +87,10 @@ object Windows {
         .rowsBetween(Window.unboundedPreceding, 0)
       t(s, d, "orders")
         .select(col("o_custkey"), col("o_orderkey"),
-          sum(dec(col("o_totalprice"))).over(w).as("cum_total"))
-        .filter(col("cum_total") > lit(300000).cast("decimal(38,6)"))
+          sum(dec(col("o_totalprice"))).over(w).as("cum_dec"))
+        .filter(col("cum_dec") > lit(300000).cast("decimal(38,6)"))
+        .select(col("o_custkey"), col("o_orderkey"),
+          decOut(col("cum_dec")).as("cum_total"))
         .orderBy("o_custkey", "o_orderkey")
     }),
 
@@ -127,26 +129,26 @@ object Windows {
         "FROM e ORDER BY user_id, event_id"),
     "w_frame_rows" ->
       ("SELECT o_orderkey, o_orderstatus, o_orderdate, " +
-        "sum(CAST(o_totalprice AS DECIMAL(38,6))) OVER w AS mov_sum, " +
-        "CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) OVER w AS DOUBLE) " +
-        "/ count(*) OVER w AS DECIMAL(38,6)) AS mov_avg " +
+        "round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) OVER w AS DOUBLE), 6) AS mov_sum, " +
+        "round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) OVER w AS DOUBLE) " +
+        "/ count(*) OVER w, 6) AS mov_avg " +
         "FROM orders WINDOW w AS (PARTITION BY o_orderstatus " +
         "ORDER BY o_orderdate, o_orderkey ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) " +
         "ORDER BY o_orderstatus, o_orderdate, o_orderkey"),
     "w_frame_range" ->
       ("SELECT o_orderkey, o_orderstatus, o_totalprice, " +
         "count(*) OVER w AS band_n, " +
-        "sum(CAST(o_totalprice AS DECIMAL(38,6))) OVER w AS band_sum " +
+        "round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) OVER w AS DOUBLE), 6) AS band_sum " +
         "FROM orders WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice " +
         "RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) " +
         "ORDER BY o_orderstatus, o_totalprice, o_orderkey"),
     "w_running_total" ->
-      ("SELECT o_custkey, o_orderkey, cum_total FROM (" +
+      ("SELECT o_custkey, o_orderkey, round(CAST(cum_dec AS DOUBLE), 6) AS cum_total FROM (" +
         "SELECT o_custkey, o_orderkey, " +
         "sum(CAST(o_totalprice AS DECIMAL(38,6))) OVER (" +
         "PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey " +
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_total FROM orders) " +
-        "WHERE cum_total > 300000 ORDER BY o_custkey, o_orderkey"),
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_dec FROM orders) " +
+        "WHERE cum_dec > 300000 ORDER BY o_custkey, o_orderkey"),
     "w_first_last" ->
       ("SELECT DISTINCT o_orderstatus, " +
         "first_value(o_orderkey) OVER w AS first_key, " +
