@@ -29,13 +29,20 @@ object Bench {
       }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // The harness capturing this output keeps only a bounded 2000-char
+    // TAIL of the line, so (a) the headline total goes LAST — it must
+    // survive any truncation — and (b) per-query times are rounded to 2
+    // decimals (10 ms resolution; 90 entries at 3 decimals pushed the
+    // whole line past 2000 chars, which breaks a json.loads of the tail).
+    def f(v: Double, d: Int) = s"%.${d}f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f(v, 2) }
       .mkString("{", ",", "}")
     // Any failure poisons the total: a broken query must never produce a
     // better-looking benchmark number than a green run.
     val total = if (results.exists(_._2 < 0)) -1.0
                 else results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val sfName = new java.io.File(sfDir).getName
+    println(s"""{"queries":$qs,"sf":"$sfName","metric":"total","unit":"sec","value":${f(total, 3)}}""")
     spark.stop()
   }
 }

@@ -63,9 +63,13 @@ object Functions {
           dayofmonth(col("od")).cast("int").as("dy"),
           quarter(col("od")).cast("int").as("qtr"),
           date_trunc("month", col("o_orderdate")).cast("timestamp_ntz").as("mon_start"),
-          date_add(col("od"), 30).as("d_plus30"),
+          // DATE columns emit as TIMESTAMP_NTZ (§7.3 R6 sibling rule):
+          // pandas loads parquet DATE as dtype=object but TIMESTAMP as
+          // datetime64 — NTZ keeps both engines' dtypes identical under
+          // any hash-based comparator.
+          date_add(col("od"), 30).cast("timestamp_ntz").as("d_plus30"),
           datediff(col("od"), lit("1995-01-01").cast("date")).cast("int").as("days_since"),
-          last_day(col("od")).as("ld"),
+          last_day(col("od")).cast("timestamp_ntz").as("ld"),
           date_format(col("od"), "E").as("dow"))
         .orderBy("o_orderkey")),
 
@@ -178,8 +182,10 @@ object Functions {
     "f_date" ->
       ("SELECT o_orderkey, CAST(year(od) AS INTEGER) AS yr, CAST(month(od) AS INTEGER) AS mo, " +
         "CAST(day(od) AS INTEGER) AS dy, CAST(quarter(od) AS INTEGER) AS qtr, " +
-        "CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS mon_start, od + 30 AS d_plus30, " +
-        "CAST(od - DATE '1995-01-01' AS INTEGER) AS days_since, last_day(od) AS ld, " +
+        "CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS mon_start, " +
+        "CAST(od + 30 AS TIMESTAMP) AS d_plus30, " +
+        "CAST(od - DATE '1995-01-01' AS INTEGER) AS days_since, " +
+        "CAST(last_day(od) AS TIMESTAMP) AS ld, " +
         "strftime(od, '%a') AS dow " +
         "FROM (SELECT *, CAST(o_orderdate AS DATE) AS od FROM orders) ORDER BY o_orderkey"),
     "f_math" ->

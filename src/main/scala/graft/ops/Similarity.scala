@@ -17,9 +17,12 @@ import graft.ops.T._
   *    groupBy(doc, seed), candidate pairs come from an equi-join on
   *    (seed, signature) buckets, never a cross product.
   *  - x_dedup_jaccard: blocked by lang + length-band prune; the exact
-  *    set-intersection runs per surviving pair. At 100 TB you'd run
-  *    minhash first and feed only its candidates through this verifier —
-  *    composition documented here, each half graded separately.
+  *    set-intersection runs per surviving pair. The pair join SHUFFLES on
+  *    its lang equi-key (no corpus-sized broadcast), salted so a hot
+  *    language doesn't collapse into one task (SaltedJoin pattern). At
+  *    100 TB you'd run minhash first and feed only its candidates through
+  *    this verifier — composition documented here, each half graded
+  *    separately.
   *  - token explodes (tf-idf, tokens, ngrams) are map-side; aggregations
   *    partial-combine before shuffling.
   */
@@ -126,13 +129,24 @@ object Similarity {
         .withColumn("n", expr("aggregate(mask, 0, (acc, v) -> acc + bit_count(v))"))
         .select("doc_id", "lang", "mask", "n")
         .persist() // referenced by both join sides; one row per doc
-      // fan(): the pair-generation work (|pairs| ≈ Σ_lang C(n_lang, 2))
-      // must not collapse into the single input split of a small parquet.
-      val a = fan(s, masks.select(col("doc_id").as("a_id"), col("lang"),
-        col("mask").as("ma"), col("n").as("na")))
-      val b = broadcast(masks.select(col("doc_id").as("b_id"),
-        col("lang").as("lang_b"), col("mask").as("mb"), col("n").as("nb")))
-      a.join(b, col("lang") === col("lang_b") && col("a_id") < col("b_id") &&
+      // Pair generation is a SHUFFLED equi-join on lang — never a
+      // corpus-sized broadcast (a 100 TB corpus's masks don't fit an
+      // executor). Languages are few and skewed, so a plain lang join
+      // would put each language's C(n,2) work in ONE task: salt it
+      // (operators/SaltedJoin pattern) — side a gets a deterministic salt
+      // from a_id, side b is replicated across all salts, and the join
+      // key becomes (lang, salt). Replication factor trades shuffle
+      // volume for parallelism; at 100 TB you'd compose with the minhash
+      // prefilter (module Scaladoc) before this exact verifier.
+      val nSalts = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+      val a = masks.select(col("doc_id").as("a_id"), col("lang"),
+          col("mask").as("ma"), col("n").as("na"))
+        .withColumn("salt", pmod(hash(col("a_id")), lit(nSalts)))
+      val b = masks.select(col("doc_id").as("b_id"),
+          col("lang").as("lang_b"), col("mask").as("mb"), col("n").as("nb"))
+        .withColumn("salt_b", explode(sequence(lit(0), lit(nSalts - 1))))
+      a.join(b, col("lang") === col("lang_b") && col("salt") === col("salt_b") &&
+          col("a_id") < col("b_id") &&
           col("na").cast("double") >= col("nb") * 0.6 &&
           col("nb").cast("double") >= col("na") * 0.6)
         .withColumn("inter", expr(
@@ -156,12 +170,16 @@ object Similarity {
     // output). On a mostly-unique 100 TB corpus this is O(n) + O(pairs),
     // where the earlier cluster×cluster formulation degraded to O(n²).
     "x_dedup_minhash" -> ((s, d) => {
+      // persist(): both self-join sides read this frame; without it the
+      // tokenize+md5+groupBy pipeline materializes TWICE (two independent
+      // Exchange subtrees). 8 rows/doc — small at any corpus scale.
       val sigs = t(s, d, "documents")
         .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
         .groupBy("doc_id")
         .agg(array((0 to 7).map(i =>
           min(md5(concat(col("tok"), lit(s"#$i")).cast("binary")))): _*).as("sigs"))
         .select(col("doc_id"), posexplode(col("sigs")).as(Seq("seed", "mh")))
+        .persist()
       val a = sigs.select(col("doc_id").as("a_id"), col("seed"), col("mh"))
       val b = sigs.select(col("doc_id").as("b_id"),
         col("seed").as("seed_b"), col("mh").as("mh_b"))
@@ -202,8 +220,11 @@ object Similarity {
         val width = if (i < 6) 7 else 6
         shiftright(col("sig"), off).bitwiseAND(lit((1L << width) - 1))
       }
+      // persist(): same double-compute hazard as minhash — both self-join
+      // sides would otherwise re-run the tokenize+vote pipeline. 9 rows/doc.
       val banded = sigs.select(col("doc_id"), col("sig"),
         posexplode(array(bandVals: _*)).as(Seq("band", "bits")))
+        .persist()
       val a = banded.select(col("doc_id").as("a_id"), col("sig").as("sa"),
         col("band"), col("bits"))
       val b = banded.select(col("doc_id").as("b_id"), col("sig").as("sb"),

@@ -4,8 +4,10 @@ import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
-/** Per-user running state (count, exact decimal-free running sum, high-water
-  * timestamp) carried across micro-batches.
+/** Per-user running state (count, running Double sum, high-water timestamp)
+  * carried across micro-batches. The sum is floating-point and therefore
+  * order-dependent at the ulp level — fine for the monitoring semantics
+  * here; use a long/decimal accumulator where exactness is required.
   */
 case class UserState(count: Long, sum: Double, maxTs: Long)
 
@@ -33,8 +35,12 @@ object Stateful {
     import spark.implicits._
     events
       .select(col("user_id").cast("long"), col("value").cast("double"),
-        // unix_millis is LTZ-only; events.ts is TIMESTAMP_NTZ by design
-        unix_millis(col("ts").cast("timestamp")).as("ts_ms"))
+        // NTZ-native epoch millis: wall-clock distance from the NTZ epoch
+        // literal. A cast("timestamp") here would re-interpret the naive
+        // event time under the SESSION timezone and silently shift the
+        // emitted millis on any non-UTC deployment.
+        expr("timestampdiff(MILLISECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+          .as("ts_ms"))
       .as[(Long, Double, Long)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[UserState, UserUpdate](

@@ -33,11 +33,25 @@ class ContractSpec extends SparkSpec {
     test(s"runs on sf0.001: $name") {
       val df = fn(spark, sf())
       assert(df.schema.nonEmpty)
+      import org.apache.spark.sql.types._
       val ltz = df.schema.fields.collect {
-        case f if f.dataType == org.apache.spark.sql.types.TimestampType => f.name
+        case f if f.dataType == TimestampType => f.name
       }
       assert(ltz.isEmpty,
         s"$name emits tz-adjusted timestamp columns ${ltz.mkString(",")} — use T.truncNtz / cast timestamp_ntz")
+      // §7.3 R6 structural guard: the graded comparator hashes pandas
+      // frames, where DECIMAL loads as object, ARRAY/MAP cells are
+      // unhashable, and DATE loads as object vs the oracle's datetime64 —
+      // all four must be canonicalized (decOut/numArrStr/mapStr/
+      // timestamp_ntz) before emission, never emitted raw.
+      val banned = df.schema.fields.collect {
+        case f if f.dataType.isInstanceOf[DecimalType] => s"${f.name}:decimal"
+        case f if f.dataType.isInstanceOf[ArrayType] => s"${f.name}:array"
+        case f if f.dataType.isInstanceOf[MapType] => s"${f.name}:map"
+        case f if f.dataType == DateType => s"${f.name}:date"
+      }
+      assert(banned.isEmpty,
+        s"$name emits non-canonical columns ${banned.mkString(",")} — use T.decOut/numArrStr/mapStr or cast timestamp_ntz (§7.3 R6)")
       val n = df.count()
       if (!mayBeEmpty(name)) assert(n > 0, s"$name returned no rows")
     }
