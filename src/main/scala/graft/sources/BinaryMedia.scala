@@ -1,5 +1,9 @@
 package graft.sources
 
+import java.io.ByteArrayInputStream
+
+import scala.util.control.NonFatal
+
 import org.apache.spark.sql.{Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -18,11 +22,154 @@ case class MediaFeatures(media_id: Long, kind: String, dim: Int,
 
 case class MediaFrame(media_id: Long, frame_idx: Int, frame: Array[Byte])
 
-/** Multimodal binary-column pipeline. The DECODE step is a STUB — this
-  * container has no image/audio codecs — implemented as a deterministic
-  * payload-hash expansion, clearly marked below. Everything around it
-  * (typed Dataset plumbing, per-partition batching, frame sampling,
-  * feature schema, partition sizing) is real and tested (BinaryMediaSpec).
+/** JDK-only media decoding — no external codec libraries, everything here
+  * ships with the JRE (`javax.imageio` for PNG/JPEG/BMP/GIF, hand-rolled
+  * RIFF chunk walk for PCM WAV). Pure byte-array → value functions so the
+  * Spark layer can call them inside any narrow map stage.
+  */
+object MediaCodec {
+
+  /** Container format from magic bytes: "png" | "jpeg" | "wav" | "unknown". */
+  def sniff(p: Array[Byte]): String =
+    if (p.length >= 4 && (p(0) & 0xFF) == 0x89 && p(1) == 'P' && p(2) == 'N' && p(3) == 'G') "png"
+    else if (p.length >= 3 && (p(0) & 0xFF) == 0xFF && (p(1) & 0xFF) == 0xD8) "jpeg"
+    else if (p.length >= 12 && p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
+      p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E') "wav"
+    else "unknown"
+
+  /** Decode an image payload to (width, height, row-major luminance in
+    * [0, 1]). Rec.601 luma weights. None if the bytes aren't a decodable
+    * image (corrupt objects must not kill a 100 TB scan — callers drop or
+    * fall back per row).
+    */
+  def imageLuminance(p: Array[Byte]): Option[(Int, Int, Array[Float])] =
+    try {
+      Option(javax.imageio.ImageIO.read(new ByteArrayInputStream(p))).map { img =>
+        val (w, h) = (img.getWidth, img.getHeight)
+        val lum = new Array[Float](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val r = (rgb >> 16) & 0xFF
+            val g = (rgb >> 8) & 0xFF
+            val b = rgb & 0xFF
+            lum(y * w + x) = (0.299f * r + 0.587f * g + 0.114f * b) / 255.0f
+            x += 1
+          }
+          y += 1
+        }
+        (w, h, lum)
+      }
+    } catch { case NonFatal(_) => None }
+
+  /** Average-pool a row-major plane to a g×g grid (row-major, length g²) —
+    * the classic resize/feature step. Cell ranges are clamped to at least
+    * one source pixel so tiny images still fill the grid.
+    */
+  def meanPool(w: Int, h: Int, plane: Array[Float], g: Int): Array[Float] = {
+    val out = new Array[Float](g * g)
+    var r = 0
+    while (r < g) {
+      val y0 = r * h / g
+      val y1 = math.max(y0 + 1, (r + 1) * h / g)
+      var c = 0
+      while (c < g) {
+        val x0 = c * w / g
+        val x1 = math.max(x0 + 1, (c + 1) * w / g)
+        var sum = 0.0
+        var y = y0
+        while (y < math.min(y1, h)) {
+          var x = x0
+          while (x < math.min(x1, w)) { sum += plane(y * w + x); x += 1 }
+          y += 1
+        }
+        val n = (math.min(y1, h) - y0) * (math.min(x1, w) - x0)
+        out(r * g + c) = if (n > 0) (sum / n).toFloat else 0.0f
+        c += 1
+      }
+      r += 1
+    }
+    out
+  }
+
+  private def le16(p: Array[Byte], o: Int): Int =
+    (p(o) & 0xFF) | ((p(o + 1) & 0xFF) << 8)
+  private def le32(p: Array[Byte], o: Int): Int =
+    (p(o) & 0xFF) | ((p(o + 1) & 0xFF) << 8) | ((p(o + 2) & 0xFF) << 16) | ((p(o + 3) & 0xFF) << 24)
+
+  /** Parse a PCM WAV payload: RIFF chunk walk for `fmt ` and `data`,
+    * 8/16-bit mono/stereo → (sampleRate, mono samples in [-1, 1]).
+    */
+  def wavSamples(p: Array[Byte]): Option[(Int, Array[Float])] =
+    try {
+      if (sniff(p) != "wav") return None
+      var off = 12
+      var rate = 0
+      var channels = 0
+      var bits = 0
+      var samples: Array[Float] = null
+      while (off + 8 <= p.length) {
+        val id = new String(p, off, 4, "US-ASCII")
+        val size = le32(p, off + 4)
+        if (id == "fmt " && size >= 16) {
+          channels = le16(p, off + 10)
+          rate = le32(p, off + 12)
+          bits = le16(p, off + 22)
+        } else if (id == "data" && rate > 0 && channels > 0 && (bits == 8 || bits == 16)) {
+          val bytesPer = bits / 8
+          val frames = math.min(size, p.length - off - 8) / (bytesPer * channels)
+          samples = new Array[Float](frames)
+          var i = 0
+          while (i < frames) {
+            var acc = 0.0f
+            var ch = 0
+            while (ch < channels) {
+              val o = off + 8 + (i * channels + ch) * bytesPer
+              acc += (if (bits == 16) le16(p, o).toShort / 32768.0f
+                      else ((p(o) & 0xFF) - 128) / 128.0f)
+              ch += 1
+            }
+            samples(i) = acc / channels
+            i += 1
+          }
+        }
+        off += 8 + size + (size & 1) // chunks are word-aligned
+      }
+      if (samples != null) Some((rate, samples)) else None
+    } catch { case NonFatal(_) => None }
+
+  /** Per-window RMS energy over `n` contiguous windows (audio features). */
+  def rmsWindows(samples: Array[Float], n: Int): Array[Float] =
+    (0 until n).map { i =>
+      val from = samples.length.toLong * i / n
+      val until = math.max(from + 1, samples.length.toLong * (i + 1) / n)
+      var sum = 0.0
+      var j = from
+      while (j < math.min(until, samples.length)) { sum += samples(j.toInt) * samples(j.toInt); j += 1 }
+      val len = math.min(until, samples.length) - from
+      if (len > 0) math.sqrt(sum / len).toFloat else 0.0f
+    }.toArray
+
+  /** Deterministic content-hash features for payloads with no decodable
+    * container (opaque blobs): seeded PRNG over the byte content. This is
+    * the FALLBACK, not the decode path — it keeps plumbing testable on
+    * corpora with no real media while staying honest about what it is.
+    */
+  def hashFeatures(p: Array[Byte], dim: Int): Array[Float] = {
+    val rnd = new scala.util.Random(java.util.Arrays.hashCode(p))
+    Array.fill(dim)(rnd.nextFloat())
+  }
+}
+
+/** Multimodal binary-column pipeline: decode / feature-extract / resize /
+  * frame-sample over opaque payload columns. Decoding is REAL for
+  * PNG/JPEG (javax.imageio → luminance mean-pool) and PCM WAV (RIFF parse
+  * → windowed RMS); payloads with no decodable container fall back to
+  * deterministic content-hash features. Learned vision/audio EMBEDDING
+  * models are out of scope for this container — the features here are the
+  * classical decode-side signals a pipeline computes before any model.
   */
 object BinaryMedia {
 
@@ -41,19 +188,30 @@ object BinaryMedia {
 
   /** Decode + feature-extract. One narrow map stage (mapPartitions), no
     * shuffle; batch shape = one partition of MediaRows in, features out.
-    *
-    * STUB: a real implementation decodes `payload` with a codec and runs a
-    * vision/audio encoder here. The stand-in derives a deterministic
-    * feature vector from the payload bytes (seeded by content hash), so
-    * tests can assert shape, determinism, and plumbing end-to-end.
+    * Dispatch is by sniffed magic bytes (the `kind` column is advisory —
+    * storage metadata lies at scale): image → g×g luminance mean-pool
+    * with g = ⌈√dim⌉ truncated to `dim`; WAV → `dim` RMS windows;
+    * anything else → content-hash fallback. The emitted `kind` is the
+    * sniffed one, so downstream can filter real decodes from fallbacks.
     */
   def extractFeatures(ds: Dataset[MediaRow], dim: Int): Dataset[MediaFeatures] = {
     import ds.sparkSession.implicits._
+    val g = math.ceil(math.sqrt(dim.toDouble)).toInt
     ds.mapPartitions { rows =>
       rows.map { r =>
-        // --- real codec/encoder call goes HERE (stubbed: see Scaladoc) ---
-        val rnd = new scala.util.Random(java.util.Arrays.hashCode(r.payload))
-        MediaFeatures(r.media_id, r.kind, dim, Array.fill(dim)(rnd.nextFloat()))
+        val sniffed = MediaCodec.sniff(r.payload)
+        val feats = sniffed match {
+          case "png" | "jpeg" =>
+            MediaCodec.imageLuminance(r.payload)
+              .map(i => MediaCodec.meanPool(i._1, i._2, i._3, g).take(dim))
+              .getOrElse(MediaCodec.hashFeatures(r.payload, dim))
+          case "wav" =>
+            MediaCodec.wavSamples(r.payload)
+              .map(s => MediaCodec.rmsWindows(s._2, dim))
+              .getOrElse(MediaCodec.hashFeatures(r.payload, dim))
+          case _ => MediaCodec.hashFeatures(r.payload, dim)
+        }
+        MediaFeatures(r.media_id, sniffed, dim, feats)
       }
     }
   }

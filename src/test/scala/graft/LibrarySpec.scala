@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
 import graft.functions.TextAnalysis
-import graft.sources.BinaryMedia
+import graft.sources.{BinaryMedia, MediaRow}
 import graft.streaming.Pipelines
 import graft.ops.T
 
@@ -41,7 +41,93 @@ class LibrarySpec extends SparkSpec {
     assert(fp(0) !== fp(2))
   }
 
-  test("BinaryMedia: stubbed decode is deterministic, frames partition payload") {
+  // --- media fixtures built in-memory (no files, no external codecs) ---
+
+  private def pngBytes(w: Int, h: Int, fmt: String = "png")(rgb: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb(x, y))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, fmt, bos)
+    bos.toByteArray
+  }
+
+  private def wavBytes(rate: Int, samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(rate).putInt(rate * 2)
+      .putShort(2).putShort(16)
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  test("MediaCodec: PNG decodes to exact luminance pools, JPEG approximately") {
+    import graft.sources.MediaCodec
+    // left half black, right half white — pooled 4×4 grid splits 0 | 1
+    val png = pngBytes(64, 64)((x, _) => if (x < 32) 0x000000 else 0xFFFFFF)
+    assert(MediaCodec.sniff(png) === "png")
+    val Some((w, h, lum)) = MediaCodec.imageLuminance(png)
+    assert((w, h) === (64, 64))
+    val pooled = MediaCodec.meanPool(w, h, lum, 4)
+    for (r <- 0 until 4; c <- 0 until 4) {
+      val expect = if (c < 2) 0.0f else 1.0f
+      assert(math.abs(pooled(r * 4 + c) - expect) < 1e-3,
+        s"cell ($r,$c) = ${pooled(r * 4 + c)}")
+    }
+    val jpg = pngBytes(64, 64, "jpg")((x, _) => if (x < 32) 0x000000 else 0xFFFFFF)
+    assert(MediaCodec.sniff(jpg) === "jpeg")
+    val Some((jw, jh, jlum)) = MediaCodec.imageLuminance(jpg)
+    val jPooled = MediaCodec.meanPool(jw, jh, jlum, 4)
+    for (r <- 0 until 4; c <- 0 until 4) {
+      val expect = if (c < 2) 0.0f else 1.0f
+      assert(math.abs(jPooled(r * 4 + c) - expect) < 0.1, // lossy codec
+        s"jpeg cell ($r,$c) = ${jPooled(r * 4 + c)}")
+    }
+  }
+
+  test("MediaCodec: WAV sine decodes to RMS ≈ amplitude/√2 per window") {
+    import graft.sources.MediaCodec
+    val rate = 8000
+    val amp = 0.5
+    val samples = Array.tabulate(rate)(i =>
+      (amp * 32767 * math.sin(2 * math.Pi * 440 * i / rate)).toShort)
+    val wav = wavBytes(rate, samples)
+    assert(MediaCodec.sniff(wav) === "wav")
+    val Some((gotRate, mono)) = MediaCodec.wavSamples(wav)
+    assert(gotRate === rate)
+    assert(mono.length === rate)
+    val rms = MediaCodec.rmsWindows(mono, 4)
+    rms.foreach(v => assert(math.abs(v - amp / math.sqrt(2)) < 0.01,
+      s"window rms $v"))
+  }
+
+  test("BinaryMedia: extractFeatures dispatches on sniffed magic bytes") {
+    import spark.implicits._
+    val png = pngBytes(64, 64)((x, _) => if (x < 32) 0x000000 else 0xFFFFFF)
+    val wav = wavBytes(8000, Array.tabulate(8000)(i =>
+      (0.5 * 32767 * math.sin(2 * math.Pi * 440 * i / 8000)).toShort))
+    val rows = Seq(
+      MediaRow(1L, "blob", png, 64, 64, 0),
+      MediaRow(2L, "blob", wav, 0, 0, 8000),
+      MediaRow(3L, "blob", "just text".getBytes("UTF-8"), 0, 0, 0))
+    val out = BinaryMedia.extractFeatures(spark.createDataset(rows), 16)
+      .collect().map(m => m.media_id -> m).toMap
+    assert(out(1L).kind === "png")
+    assert(math.abs(out(1L).features(0)) < 1e-3)       // left column black
+    assert(math.abs(out(1L).features(3) - 1.0) < 1e-3) // right column white
+    assert(out(2L).kind === "wav")
+    out(2L).features.foreach(v =>
+      assert(math.abs(v - 0.5 / math.sqrt(2)) < 0.01))
+    assert(out(3L).kind === "unknown") // text blob → hash fallback
+    assert(out.values.forall(_.features.length === 16))
+  }
+
+  test("BinaryMedia: fallback decode is deterministic, frames partition payload") {
     val media = BinaryMedia.fromDocuments(spark, sf())
     val f1 = BinaryMedia.extractFeatures(media, 16).collect()
       .map(m => m.media_id -> m.features.toSeq).toMap
