@@ -190,6 +190,263 @@ object Volume {
     (math.round(az - bz).toInt, math.round(ay - by).toInt, math.round(ax - bx).toInt)
   }
 
+  private def inv3(m: Array[Array[Double]]): Array[Array[Double]] = {
+    val d = m(0)(0) * (m(1)(1) * m(2)(2) - m(1)(2) * m(2)(1)) -
+      m(0)(1) * (m(1)(0) * m(2)(2) - m(1)(2) * m(2)(0)) +
+      m(0)(2) * (m(1)(0) * m(2)(1) - m(1)(1) * m(2)(0))
+    require(math.abs(d) > 1e-12, "singular affine matrix")
+    Array(
+      Array((m(1)(1) * m(2)(2) - m(1)(2) * m(2)(1)) / d,
+        (m(0)(2) * m(2)(1) - m(0)(1) * m(2)(2)) / d,
+        (m(0)(1) * m(1)(2) - m(0)(2) * m(1)(1)) / d),
+      Array((m(1)(2) * m(2)(0) - m(1)(0) * m(2)(2)) / d,
+        (m(0)(0) * m(2)(2) - m(0)(2) * m(2)(0)) / d,
+        (m(0)(2) * m(1)(0) - m(0)(0) * m(1)(2)) / d),
+      Array((m(1)(0) * m(2)(1) - m(1)(1) * m(2)(0)) / d,
+        (m(0)(1) * m(2)(0) - m(0)(0) * m(2)(1)) / d,
+        (m(0)(0) * m(1)(1) - m(0)(1) * m(1)(0)) / d))
+  }
+
+  /** R11 (process.py::affine, general case): resampling under the forward
+    * map (z',y',x') = A·(z,y,x) + o, computed as an inverse-map GATHER
+    * (scipy `affine_transform` semantics): each output cell samples the
+    * input at A⁻¹·(out − o) by trilinear interpolation, zero outside the
+    * input — so upscaling leaves no holes (the forward-splat alternative
+    * does) and grid-aligned transforms (90° rotations, integer
+    * translations) are exact. Plan shape: output grid (spark.range, no
+    * driver materialization) × 8 corner keys, one shuffle equi-join
+    * against the input voxels, one partial-aggregated groupBy per cell,
+    * one line-reassembly groupBy — all linear in voxels, scale-safe.
+    * Output lines whose every sample falls outside the input are absent
+    * (all-zero by construction).
+    */
+  def affine(vol: DataFrame, a: Array[Array[Double]],
+      offset: (Double, Double, Double), outShape: (Int, Int, Int)): DataFrame = {
+    require(a.length == 3 && a.forall(_.length == 3), "3x3 matrix over (z,y,x)")
+    val spark = vol.sparkSession
+    val (nz, ny, nx) = outShape
+    val inv = inv3(a)
+    val o = Array(offset._1, offset._2, offset._3)
+    // source = A⁻¹·out − A⁻¹·o
+    val so = Array.tabulate(3)(r =>
+      -(inv(r)(0) * o(0) + inv(r)(1) * o(1) + inv(r)(2) * o(2)))
+    def s(r: Int) =
+      lit(inv(r)(0)) * col("oz") + lit(inv(r)(1)) * col("oy") +
+        lit(inv(r)(2)) * col("ox") + lit(so(r))
+    val ids = vol.select("dataset_id").distinct()
+    val grid = ids.crossJoin(
+        spark.range(nz.toLong * ny).select(
+          (col("id") / ny).cast("int").as("oz"),
+          (col("id") % ny).cast("int").as("oy")))
+      .withColumn("ox", explode(expr(s"sequence(0, ${nx - 1})")))
+    // 8 corner samples; weight per axis is (1-frac) for the floor corner,
+    // frac for the ceil corner — abs(1 - d - frac) covers both arms.
+    val corners = grid
+      .withColumn("sz", s(0)).withColumn("sy", s(1)).withColumn("sx", s(2))
+      .withColumn("cell", explode(expr(
+        """flatten(transform(array(0, 1), dz ->
+             flatten(transform(array(0, 1), dy ->
+               transform(array(0, 1), dx -> struct(
+                 cast(floor(sz) as int) + dz as z,
+                 cast(floor(sy) as int) + dy as y,
+                 cast(floor(sx) as int) + dx as x,
+                 abs(1 - dz - (sz - floor(sz))) *
+                 abs(1 - dy - (sy - floor(sy))) *
+                 abs(1 - dx - (sx - floor(sx))) as w))))))""")))
+      .filter(col("cell.w") > 1e-12)
+      .select(col("dataset_id"), col("oz"), col("oy"), col("ox"),
+        col("cell.z").as("z"), col("cell.y").as("y"), col("cell.x").as("x"),
+        col("cell.w").as("w"))
+    val vox = vol.select(col("dataset_id"), col("z"), col("y"),
+      posexplode(col("xs")).as(Seq("x", "v")))
+    corners.join(vox, Seq("dataset_id", "z", "y", "x"))
+      .groupBy("dataset_id", "oz", "oy", "ox")
+      .agg(sum(col("w") * col("v")).as("v")) // absent corners contribute 0
+      .groupBy(col("dataset_id"), col("oz").as("z"), col("oy").as("y"))
+      .agg(map_from_entries(collect_list(struct(col("ox"), col("v")))).as("m"))
+      .withColumn("xs", expr(
+        s"transform(sequence(0, ${nx - 1}), i -> cast(coalesce(element_at(m, i), 0.0) as float))"))
+      .select("dataset_id", "z", "y", "xs")
+  }
+
+  /** R11 convenience: in-plane (about the z axis) rotation by `deg`
+    * degrees around centre (cy, cx), uniformly scaled by `s`.
+    */
+  def rotateScale(vol: DataFrame, deg: Double, s: Double,
+      cy: Double, cx: Double, outShape: (Int, Int, Int)): DataFrame = {
+    val th = math.toRadians(deg)
+    val (c, n) = (math.cos(th) * s, math.sin(th) * s)
+    val m = Array(Array(1.0, 0.0, 0.0), Array(0.0, c, -n), Array(0.0, n, c))
+    affine(vol, m, (0.0, cy - c * cy + n * cx, cx - n * cy - c * cx), outShape)
+  }
+
+  /** R13 (process.py::calibrate_spectrum, fit half): recover the
+    * beam-hardening transfer model from (thickness, transmission)
+    * calibration samples. Aggregate → decide → reapply (§3.3), with NO
+    * binning bias: the model  atten(t) = mu·t + beta·t²  is linear in its
+    * parameters, so ONE distributed agg of the five sufficient statistics
+    * (Σt², Σt³, Σt⁴, Σa·t, Σa·t²) is the exact least-squares problem; the
+    * driver solves the 2×2 normal equations and emits the INVERSE
+    * piecewise-linear curve (measured attenuation → equivalent thickness)
+    * ready for [[applyTransferCurve]]. Returns (mu, beta, curve).
+    */
+  def fitTransferCurve(samples: DataFrame, nKnots: Int = 16)
+      : (Double, Double, Seq[(Double, Double)]) = {
+    val r = samples
+      .filter(col("transmission") > 0 && col("thickness") > 0)
+      .withColumn("atten", -log(col("transmission")))
+      .agg(sum(pow(col("thickness"), 2)).as("s22"),
+        sum(pow(col("thickness"), 3)).as("s23"),
+        sum(pow(col("thickness"), 4)).as("s33"),
+        sum(col("atten") * col("thickness")).as("b1"),
+        sum(col("atten") * pow(col("thickness"), 2)).as("b2"),
+        max("thickness").as("hi"))
+      .head()
+    require(!r.isNullAt(0), "no usable calibration samples")
+    val (s22, s23, s33, b1, b2, hi) = (r.getDouble(0), r.getDouble(1),
+      r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+    val det = s22 * s33 - s23 * s23
+    val mu = (b1 * s33 - b2 * s23) / det
+    val beta = (b2 * s22 - b1 * s23) / det
+    val curve = (0 to nKnots).map { i =>
+      val t = hi * i / nKnots
+      (mu * t + beta * t * t, t)
+    }
+    (mu, beta, curve)
+  }
+
+  /** R12 (process.py::register_volumes, full): moment init + hill-climb
+    * refinement on normalized cross-correlation over the overlap —
+    * NCC = Σab / √(Σa²·Σb²) hits its Cauchy-Schwarz maximum exactly at
+    * proportional alignment, so (unlike raw correlation) it cannot be
+    * biased toward brighter planes when clipping truncates the overlap.
+    * Each iteration scores
+    * ALL probed offsets in ONE shuffle: the candidate set (27 rows) is
+    * broadcast-crossed against b's nonzero voxels, the shifted keys join
+    * a's voxels, and a grouped sum yields every candidate's score — a
+    * refinement step costs one join pass regardless of candidate count.
+    */
+  def registerVolumes(a: DataFrame, b: DataFrame, maxIter: Int = 8): (Int, Int, Int) = {
+    val spark = a.sparkSession
+    import spark.implicits._
+    def vox(v: DataFrame, n: String) = v
+      .select(col("z"), col("y"), posexplode(col("xs")).as(Seq("x", n)))
+      .filter(col(n) =!= 0.0f)
+    val av = vox(a, "av").persist()
+    val bv = vox(b, "bv").persist()
+    def scores(cands: Seq[(Int, Int, Int)]): Map[(Int, Int, Int), Double] = {
+      val cdf = cands.toDF("dz", "dy", "dx")
+      bv.crossJoin(broadcast(cdf))
+        .select((col("z") + col("dz")).as("z"), (col("y") + col("dy")).as("y"),
+          (col("x") + col("dx")).as("x"), col("bv"), col("dz"), col("dy"), col("dx"))
+        .join(av, Seq("z", "y", "x"))
+        .groupBy("dz", "dy", "dx")
+        .agg((sum(col("av") * col("bv")) /
+          sqrt(sum(col("av") * col("av")) * sum(col("bv") * col("bv")))).as("s"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getDouble(3))
+        .toMap
+    }
+    val deltas = for (dz <- -1 to 1; dy <- -1 to 1; dx <- -1 to 1)
+      yield (dz, dy, dx)
+    var cur = registerTranslation(a, b)
+    var it = 0
+    var converged = false
+    while (it < maxIter && !converged) {
+      val cands = deltas.map(d => (cur._1 + d._1, cur._2 + d._2, cur._3 + d._3))
+      val sc = scores(cands)
+      val best = cands.maxBy(c => sc.getOrElse(c, Double.MinValue))
+      if (sc.getOrElse(best, Double.MinValue) <= sc.getOrElse(cur, Double.MinValue))
+        converged = true
+      else cur = best
+      it += 1
+    }
+    av.unpersist()
+    bv.unpersist()
+    cur
+  }
+
+  /** R7 (process.py::interpolate_holes, volume form): fill zero voxels by
+    * linear interpolation between the nearest nonzero neighbors along the
+    * x-line; edge runs replicate the nearest nonzero value; all-zero
+    * lines stay zero. Per-line imperative scan → one narrow typed map
+    * stage, no shuffle.
+    */
+  def interpolateHoles(vol: DataFrame): DataFrame = {
+    import vol.sparkSession.implicits._
+    vol.select("dataset_id", "z", "y", "xs")
+      .as[(String, Int, Int, Seq[Float])]
+      .map { case (id, z, y, xs) => (id, z, y, fillLine(xs).toSeq) }
+      .toDF("dataset_id", "z", "y", "xs")
+  }
+
+  private def fillLine(xs: Seq[Float]): Array[Float] = {
+    val arr = xs.toArray
+    val nz = arr.indices.filter(arr(_) != 0f)
+    if (nz.isEmpty) return arr
+    val out = arr.clone()
+    for (i <- out.indices if out(i) == 0f) {
+      val l = nz.lastIndexWhere(_ < i) match { case -1 => None; case k => Some(nz(k)) }
+      val r = nz.indexWhere(_ > i) match { case -1 => None; case k => Some(nz(k)) }
+      out(i) = (l, r) match {
+        case (Some(li), Some(ri)) =>
+          arr(li) + (arr(ri) - arr(li)) * (i - li).toFloat / (ri - li)
+        case (Some(li), None) => arr(li)
+        case (None, Some(ri)) => arr(ri)
+        case _ => 0f
+      }
+    }
+    out
+  }
+
+  /** R27 (process.py::optimize_rotation_center, full): the detector-
+    * centre offset that best aligns every projection with the horizontal
+    * mirror of its 180°-opposite. ONE pass scores every integer candidate
+    * shift (broadcast candidates × paired lines → grouped mean cost); the
+    * driver parabolic-interpolates the discrete minimum to sub-pixel
+    * precision — grid search + refine without a per-candidate job.
+    * Convention: minimizes Σ (a[i] − rev_b[i − sh])² over sh and returns
+    * half the argmin shift (the centre offset in pixels).
+    */
+  def optimizeRotationCenter(proj: DataFrame, nAngles: Int, maxShift: Int): Double = {
+    import proj.sparkSession.implicits._
+    val half = nAngles / 2
+    val a = proj.filter(col("z") < half)
+      .select(col("z"), col("y"), col("xs").as("a_xs"))
+    val b = proj.filter(col("z") >= half)
+      .select((col("z") - half).as("z"), col("y"), reverse(col("xs")).as("rev_xs"))
+    val cands = (-2 * maxShift to 2 * maxShift)
+      .toDF("sh")
+    val costs = a.join(b, Seq("z", "y"))
+      .crossJoin(broadcast(cands))
+      .withColumn("pair", expr(
+        """aggregate(
+             zip_with(a_xs,
+               transform(sequence(1, size(a_xs)), i ->
+                 CASE WHEN i - sh >= 1 AND i - sh <= size(rev_xs)
+                      THEN element_at(rev_xs, i - sh) END),
+               (p, q) -> struct(
+                 CASE WHEN q IS NULL THEN cast(0.0 as double)
+                      ELSE cast((p - q) * (p - q) as double) END as c,
+                 CASE WHEN q IS NULL THEN 0L ELSE 1L END as n)),
+             struct(cast(0.0 as double) as c, 0L as n),
+             (acc, e) -> struct(acc.c + e.c as c, acc.n + e.n as n))"""))
+      .groupBy("sh")
+      .agg((sum(col("pair.c")) / sum(col("pair.n"))).as("cost"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    require(costs.nonEmpty, "no opposing projection pairs to align")
+    val s0 = costs.keys.minBy(costs)
+    val sh =
+      if (s0.abs == 2 * maxShift || !costs.contains(s0 - 1) || !costs.contains(s0 + 1))
+        s0.toDouble
+      else {
+        val (cm, c0, cp) = (costs(s0 - 1), costs(s0), costs(s0 + 1))
+        val den = cm - 2 * c0 + cp
+        if (den <= 0) s0.toDouble else s0 + 0.5 * (cm - cp) / den
+      }
+    sh / 2.0
+  }
+
   /** R5 (process.py::subtract_air): per-projection (z) air normalization —
     * subtract the mean intensity of the air window x∈[airX0, airX1) from
     * every voxel of that projection. One grouped agg + broadcast join.

@@ -155,6 +155,114 @@ class VolumeSpec extends SparkSpec {
     assert(kept === 16) // exactly the bright half survives
   }
 
+  test("affine 90° rotation is exact and rotate(90)^4 is the identity (R11)") {
+    // rotate 90° about the plane centre: (y, x) -> (3 - x, y)
+    def rot(df: org.apache.spark.sql.DataFrame) =
+      Volume.rotateScale(df, 90.0, 1.0, 1.5, 1.5, (4, 4, 4))
+    val once = rot(vol4)
+    val got = once.collect()
+      .map(r => (r.getInt(1), r.getInt(2)) -> r.getSeq[Float](3)).toMap
+    for (z <- 0 until 4; yo <- 0 until 4; xo <- 0 until 4) {
+      // output (yo, xo) pulls from input (y = xo, x = 3 - yo)
+      val expect = (z * 100 + xo * 10 + (3 - yo)).toFloat
+      assert(math.abs(got((z, yo))(xo) - expect) < 1e-3,
+        s"($z,$yo,$xo) = ${got((z, yo))(xo)} expect $expect")
+    }
+    val four = rot(rot(rot(once)))
+    val diff = four.withColumnRenamed("xs", "r_xs")
+      .join(vol4, Seq("dataset_id", "z", "y"))
+      .select(explode(zip_with(col("r_xs"), col("xs"),
+        (a, b) => abs(a - b).cast("double"))).as("d"))
+      .agg(max("d")).head().getDouble(0)
+    assert(diff < 1e-2, s"rotate^4 max voxel diff $diff")
+  }
+
+  test("affine scale-2 doubles extent, preserves values on a constant block (R11)") {
+    val block = Volume.fromArray(spark, "b",
+      Array.tabulate(1, 4, 4)((_, _, _) => 3f))
+    val scaled = Volume.rotateScale(block, 0.0, 2.0, 0.0, 0.0, (1, 8, 8))
+    // gather semantics: every output cell sampling inside the block is
+    // exactly 3 (odd cells interpolate 3↔3); the far edge (source 3.5)
+    // blends with the zero outside → 1.5 fringe
+    val interior = scaled.filter(col("y").between(0, 6))
+      .select(explode(slice(col("xs"), 1, 7)).as("v")).collect().map(_.getFloat(0))
+    assert(interior.length === 49 && interior.forall(v => math.abs(v - 3f) < 1e-3))
+    val fringe = scaled.filter(col("y") === 7).head().getSeq[Float](3)
+    assert(math.abs(fringe(3) - 1.5f) < 1e-3)
+    val bb = Volume.boundingBox(scaled, 0.5)
+    assert(bb.contains(((0, 7), (0, 7), (0, 0)))) // 0..3.5 support maps to 0..7
+  }
+
+  test("affine 45° rotation of a radial blob ≈ identity (R11 property)") {
+    val n = 15
+    val c = (n - 1) / 2.0
+    def blob(y: Int, x: Int): Float =
+      math.exp(-((y - c) * (y - c) + (x - c) * (x - c)) / 8.0).toFloat
+    val base = Volume.fromArray(spark, "g",
+      Array.tabulate(1, n, n)((_, y, x) => blob(y, x)))
+    val rot = Volume.rotateScale(base, 45.0, 1.0, c, c, (1, n, n))
+    val err = rot.withColumnRenamed("xs", "r_xs")
+      .join(base, Seq("dataset_id", "z", "y"))
+      .select(explode(zip_with(col("r_xs"), col("xs"),
+        (a, b) => (a - b) * (a - b))).as("d"))
+      .agg(sum("d")).head().getDouble(0)
+    val norm = base.select(explode(col("xs")).as("v"))
+      .agg(sum(col("v") * col("v"))).head().getDouble(0)
+    assert(math.sqrt(err / norm) < 0.1,
+      s"relative L2 error ${math.sqrt(err / norm)}")
+  }
+
+  test("fitTransferCurve recovers a synthetic beam-hardening model (R13)") {
+    import spark.implicits._
+    val (mu0, beta0) = (0.21, 0.013)
+    val samples = (1 to 400).map { i =>
+      val t = i / 20.0 // thickness 0.05 .. 20
+      (t, math.exp(-(mu0 * t + beta0 * t * t)))
+    }.toDF("thickness", "transmission")
+    val (mu, beta, curve) = Volume.fitTransferCurve(samples)
+    assert(math.abs(mu - mu0) < 1e-9, s"mu $mu")
+    assert(math.abs(beta - beta0) < 1e-9, s"beta $beta")
+    // the emitted inverse curve maps measured attenuation back to thickness
+    val atten5 = mu0 * 5 + beta0 * 25
+    val vol = Volume.fromArray(spark, "m", Array(Array(Array(atten5.toFloat))))
+    val eq = Volume.applyTransferCurve(vol, curve).head().getSeq[Float](3).head
+    assert(math.abs(eq - 5.0) < 0.05, s"equivalent thickness $eq")
+  }
+
+  test("registerVolumes refines past a biased moment init (R12)") {
+    // the true shift pushes part of the blob off the canvas, so the
+    // centre-of-mass init is biased; hill-climb recovers the exact peak
+    val base = Volume.fromArray(spark, "r", Array.tabulate(7, 7, 7)((z, y, x) =>
+      math.max(0.0, 4.0 - (z - 1) * (z - 1) - (y - 3) * (y - 3) - (x - 3) * (x - 3)).toFloat))
+    val moved = Volume.translate(base, -2, 0, 1) // clips the z<2 cap
+      .filter(col("z").between(0, 6))
+    val off = Volume.registerVolumes(moved, base)
+    assert(off === ((-2, 0, 1)))
+  }
+
+  test("interpolateHoles fills zero runs from x-line neighbors (R7)") {
+    val holey = Volume.fromArray(spark, "h", Array(Array(
+      Array(0f, 0f, 2f, 0f, 0f, 8f, 0f), // edge run, interior run, tail run
+      Array(0f, 0f, 0f, 0f, 0f, 0f, 0f)))) // all-zero stays zero
+    val filled = Volume.interpolateHoles(holey).collect()
+      .map(r => r.getInt(2) -> r.getSeq[Float](3)).toMap
+    assert(filled(0) === Seq(2f, 2f, 2f, 4f, 6f, 8f, 8f))
+    assert(filled(1) === Seq(0f, 0f, 0f, 0f, 0f, 0f, 0f))
+  }
+
+  test("optimizeRotationCenter recovers the detector offset (R27)") {
+    val w = 32
+    val centre = 2 // pixels; opposing reversed projection leads by 2*centre
+    val profile = Array.tabulate(w)(x =>
+      (math.sin(x * 0.7) + 0.3 * x % 5).toFloat) // asymmetric, structured
+    val revB = Array.tabulate(w)(i =>
+      if (i + 2 * centre < w) profile(i + 2 * centre) else 0f)
+    val data = Array(Array(profile), Array(revB.reverse))
+    val proj = Volume.fromArray(spark, "p", data)
+    val got = Volume.optimizeRotationCenter(proj, nAngles = 2, maxShift = 5)
+    assert(math.abs(got - centre) < 0.51, s"centre $got expect $centre")
+  }
+
   test("registerTranslation recovers a known shift (R12) and normL2 (R21)") {
     val base = Volume.fromArray(spark, "r",
       Array.tabulate(5, 5, 5)((z, y, x) => if (z == 1 && y == 1 && x == 1) 4f else 0f))
