@@ -47,18 +47,36 @@ object MediaCodec {
       Option(javax.imageio.ImageIO.read(new ByteArrayInputStream(p))).map { img =>
         val (w, h) = (img.getWidth, img.getHeight)
         val lum = new Array[Float](w * h)
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val rgb = img.getRGB(x, y)
-            val r = (rgb >> 16) & 0xFF
-            val g = (rgb >> 8) & 0xFF
-            val b = rgb & 0xFF
-            lum(y * w + x) = (0.299f * r + 0.587f * g + 0.114f * b) / 255.0f
-            x += 1
+        if (img.getColorModel.getNumComponents == 1) {
+          // Grayscale fast path: read raw raster samples at native bit
+          // depth. getRGB on a linear-gray image would push the values
+          // through a gray→sRGB colorspace conversion (gamma), silently
+          // corrupting round-trips.
+          val raster = img.getRaster
+          val maxV = (1 << img.getColorModel.getComponentSize(0)) - 1
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              lum(y * w + x) = raster.getSample(x, y, 0).toFloat / maxV
+              x += 1
+            }
+            y += 1
           }
-          y += 1
+        } else {
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val r = (rgb >> 16) & 0xFF
+              val g = (rgb >> 8) & 0xFF
+              val b = rgb & 0xFF
+              lum(y * w + x) = (0.299f * r + 0.587f * g + 0.114f * b) / 255.0f
+              x += 1
+            }
+            y += 1
+          }
         }
         (w, h, lum)
       }

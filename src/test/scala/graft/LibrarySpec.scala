@@ -127,6 +127,26 @@ class LibrarySpec extends SparkSpec {
     assert(out.values.forall(_.features.length === 16))
   }
 
+  test("VolumeIO: slab frame round-trips through a PNG slice stack (R1/R2)") {
+    import graft.sources.VolumeIO
+    import graft.operators.Volume
+    val dir = java.nio.file.Files.createTempDirectory("graft_stack").toString
+    // 3 slices of 4×5, value = (z*20 + y*5 + x) / 64 ∈ [0, 1)
+    val vol = Volume.fromArray(spark, "s",
+      Array.tabulate(3, 4, 5)((z, y, x) => (z * 20 + y * 5 + x) / 64.0f))
+    VolumeIO.writeStack(vol, dir)
+    assert(new java.io.File(dir).list().sorted.toSeq ===
+      Seq("slice_00000.png", "slice_00001.png", "slice_00002.png"))
+    val back = VolumeIO.readStack(spark, dir, "s")
+    assert(back.count() === 12) // 3z × 4y lines
+    val diff = back.withColumnRenamed("xs", "r_xs")
+      .join(vol, Seq("dataset_id", "z", "y"))
+      .select(explode(zip_with(col("r_xs"), col("xs"),
+        (a, b) => abs(a - b).cast("double"))).as("d"))
+      .agg(max("d")).head().getDouble(0)
+    assert(diff < 1.5 / 255, s"8-bit round-trip max err $diff") // quantization
+  }
+
   test("BinaryMedia: fallback decode is deterministic, frames partition payload") {
     val media = BinaryMedia.fromDocuments(spark, sf())
     val f1 = BinaryMedia.extractFeatures(media, 16).collect()
