@@ -93,10 +93,27 @@ object Ann {
     * moves 16 bytes per candidate, not two 64-double arrays.
     */
   def lshTopK(emb: DataFrame, probes: DataFrame, k: Int,
-      nBits: Int = 16, nBands: Int = 4, dim: Int = 64, seed: Long = 42L): DataFrame = {
+      nBits: Int = 16, nBands: Int = 4, dim: Int = 64, seed: Long = 42L,
+      probeRadius: Int = 0): DataFrame = {
     require(nBits % nBands == 0)
+    require(probeRadius >= 0 && probeRadius <= 1, "radius 0 or 1 supported")
+    // Multi-probe (radius 1): also probe every 1-bit perturbation of each
+    // probe band — vectors whose signature nearly matches land in an
+    // adjacent bucket, so this recovers most of the recall a small nBits
+    // loses. The (1 + bandBits)× blowup is on the PROBE side only, which
+    // is broadcast and tiny; the corpus side is untouched, so candidate
+    // generation stays an equi-join at any scale.
+    val bandBits = nBits / nBands
+    val pb0 = banded(probes, "probe_id", "p_band", "p_bv", nBits, nBands, dim, seed)
+    val pb =
+      if (probeRadius == 0) pb0
+      else pb0
+        .withColumn("flip", explode(array(
+          (lit(0L) +: (0 until bandBits).map(j => lit(1L << j))).toIndexedSeq: _*)))
+        .withColumn("p_bv", col("p_bv").bitwiseXOR(col("flip")))
+        .drop("flip")
     val candIds = banded(emb, "vec_id", "band", "bv", nBits, nBands, dim, seed)
-      .join(broadcast(banded(probes, "probe_id", "p_band", "p_bv", nBits, nBands, dim, seed)),
+      .join(broadcast(pb),
         col("band") === col("p_band") && col("bv") === col("p_bv") &&
           col("vec_id") =!= col("probe_id"))
       .select("probe_id", "vec_id").distinct()
@@ -172,6 +189,41 @@ object Ann {
     lists.join(broadcast(probeCids),
         lists("cid") === probeCids("cid") && col("vec_id") =!= col("probe_id"))
       .withColumn("cos", dot(col("emb"), col("p_emb")) / (col("nrm") * col("p_nrm")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("probe_id", "vec_id", "rn", "cos")
+  }
+
+  /** Scalar int8 quantization — the 100 TB memory lever: embedding
+    * storage dominates an ANN corpus, and SQ-8 cuts a 64-dim float32
+    * vector from 256 B to 64 B + one float scale. Per-vector symmetric
+    * quantization: scale = max|x|/127, q_j = round(x_j/scale) ∈
+    * [−127, 127]. Pure map stage, no shuffle.
+    */
+  def sqQuantize(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), embDouble(col("embedding")).as("e"))
+      .withColumn("scale", aggregate(col("e"), lit(0.0),
+        (a, v) => greatest(a, abs(v))) / 127.0)
+      .withColumn("q", expr("transform(e, v -> cast(round(v / scale) as tinyint))"))
+      .select("vec_id", "scale", "q")
+
+  /** Asymmetric top-k over SQ-8 codes: the float probe scores against the
+    * quantized candidates directly — cos = Σp·q / (|p|·√Σq²), where the
+    * per-vector scale cancels out of the cosine entirely, so ranking
+    * error is just int8 rounding (~1e-2 on unit-ish vectors). Same output
+    * schema as [[bruteTopK]]; `cos` is the quantized estimate.
+    */
+  def sqTopK(quantized: DataFrame, probes: DataFrame, k: Int): DataFrame = {
+    val e = quantized
+      .withColumn("qd", expr("transform(q, v -> cast(v as double))"))
+      .withColumn("qnrm", sqrt(dot(col("qd"), col("qd"))))
+      .select(col("vec_id"), col("qd"), col("qnrm"))
+    val p = broadcast(probes
+      .select(col("vec_id").as("probe_id"), embDouble(col("embedding")).as("p_emb"))
+      .withColumn("p_nrm", sqrt(dot(col("p_emb"), col("p_emb")))))
+    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id").asc)
+    e.join(p, col("vec_id") =!= col("probe_id"))
+      .withColumn("cos", dot(col("qd"), col("p_emb")) / (col("qnrm") * col("p_nrm")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select("probe_id", "vec_id", "rn", "cos")

