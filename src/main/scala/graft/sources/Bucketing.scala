@@ -1,0 +1,36 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Bucketed co-located joins — pay the shuffle ONCE at write time instead
+  * of on every join. Both sides written with `bucketBy(n, key)` hash-
+  * partition their files identically, so the planner proves both join
+  * children already satisfy the required clustered distribution and the
+  * SortMergeJoin runs with ZERO Exchange (BucketingSpec asserts this on
+  * the executed plan). At 100 TB this is the difference between a
+  * pipeline re-shuffling the fact table on every query and one that
+  * reads co-located buckets; the bucket count is the write-time knob
+  * that fixes downstream join parallelism, so size it to the target
+  * cluster (buckets ≈ executors × a small factor), not the current one.
+  *
+  * Uses the session catalog's managed parquet tables (no Hive needed);
+  * bucket metadata lives in the catalog, which is exactly why plain
+  * `parquet(path)` round-trips cannot express this.
+  */
+object Bucketing {
+
+  /** Write `df` as a managed parquet table bucketed (and sorted) by
+    * `key`. Overwrites any existing table of the same name.
+    */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, key).sortBy(key)
+      .saveAsTable(table)
+
+  /** Equi-join two bucketed tables on their shared bucket key. With equal
+    * bucket counts this plans with no Exchange on either side.
+    */
+  def bucketJoin(spark: SparkSession, left: String, right: String,
+      key: String): DataFrame =
+    spark.table(left).join(spark.table(right), Seq(key))
+}
