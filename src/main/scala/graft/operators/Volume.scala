@@ -513,6 +513,144 @@ object Volume {
             END as float))"""))
   }
 
+  /** R22 (process.py::generate_stl, simplified to voxel faces): surface
+    * mesh of the thresholded volume. A voxel face lies on the surface iff
+    * the 6-neighbor across it is below threshold — six distributed
+    * anti-joins of the occupancy frame against its shifted self, one per
+    * face direction; the mesh (boundary ∝ surface area) is orders of
+    * magnitude smaller than the volume, which is what makes a driver-side
+    * STL export of a cluster-scale volume sane. Returns one row per face:
+    * (z, y, x, dz, dy, dx) — voxel plus outward normal.
+    */
+  def boundaryFaces(vol: DataFrame, thr: Double): DataFrame = {
+    val occ = vol
+      .select(col("z"), col("y"), posexplode(col("xs")).as(Seq("x", "v")))
+      .filter(col("v") > thr)
+      .select("z", "y", "x")
+      .persist()
+    val dirs = Seq((0, 0, 1), (0, 0, -1), (0, 1, 0), (0, -1, 0), (1, 0, 0), (-1, 0, 0))
+    val faces = dirs.map { case (dz, dy, dx) =>
+      occ.join(occ.select((col("z") - dz).as("z"), (col("y") - dy).as("y"),
+          (col("x") - dx).as("x")),
+          Seq("z", "y", "x"), "left_anti")
+        .select(col("z"), col("y"), col("x"),
+          lit(dz).as("dz"), lit(dy).as("dy"), lit(dx).as("dx"))
+    }.reduce(_ unionByName _)
+    faces
+  }
+
+  /** R22 export half: write boundary faces as an ASCII STL (two triangles
+    * per square face, unit-cube voxel geometry). The mesh is collected —
+    * an EXPORT sink like VolumeIO.writeStack, proportional to surface
+    * area, not volume.
+    */
+  def writeStl(faces: DataFrame, path: String, name: String = "graft"): Unit = {
+    val rows = faces.select("z", "y", "x", "dz", "dy", "dx").collect()
+    val sb = new StringBuilder(s"solid $name\n")
+    rows.foreach { r =>
+      val (z, y, x) = (r.getInt(0).toDouble, r.getInt(1).toDouble, r.getInt(2).toDouble)
+      val (dz, dy, dx) = (r.getInt(3), r.getInt(4), r.getInt(5))
+      // face centre sits half a voxel along the normal; its 4 corners
+      // span the two axes perpendicular to the normal
+      val c = (x + 0.5 * dx + 0.5, y + 0.5 * dy + 0.5, z + 0.5 * dz + 0.5)
+      val (u, w) =
+        if (dx != 0) ((0.0, 0.5, 0.0), (0.0, 0.0, 0.5))
+        else if (dy != 0) ((0.5, 0.0, 0.0), (0.0, 0.0, 0.5))
+        else ((0.5, 0.0, 0.0), (0.0, 0.5, 0.0))
+      def pt(su: Int, sw: Int) =
+        f"${c._1 + su * u._1 + sw * w._1}%.1f ${c._2 + su * u._2 + sw * w._2}%.1f " +
+          f"${c._3 + su * u._3 + sw * w._3}%.1f"
+      val quad = Seq(pt(-1, -1), pt(1, -1), pt(1, 1), pt(-1, 1))
+      Seq((quad(0), quad(1), quad(2)), (quad(0), quad(2), quad(3))).foreach {
+        case (p1, p2, p3) =>
+          sb.append(s"facet normal $dx.0 $dy.0 $dz.0\n outer loop\n")
+            .append(s"  vertex $p1\n  vertex $p2\n  vertex $p3\n")
+            .append(" endloop\nendfacet\n")
+      }
+    }
+    sb.append(s"endsolid $name\n")
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      sb.toString.getBytes("UTF-8"))
+    ()
+  }
+
+  /** R23 (flexTOMO FDK, reduced to parallel-beam FBP on CPU): ramp-filter
+    * each projection line with the discrete Ram-Lak kernel — h(0)=1/4,
+    * h(k)=−1/(π²k²) for odd k, 0 for even k — as a narrow per-line typed
+    * map (O(W²) spatial convolution; an FFT swap is a local optimization,
+    * the plan shape is identical).
+    */
+  def rampFilter(proj: DataFrame): DataFrame = {
+    import proj.sparkSession.implicits._
+    proj.select("dataset_id", "z", "y", "xs")
+      .as[(String, Int, Int, Seq[Float])]
+      .map { case (id, z, y, xs) =>
+        val w = xs.length
+        val out = Array.tabulate(w) { i =>
+          var acc = 0.25 * xs(i)
+          var k = 1
+          while (k < w) {
+            val h = -1.0 / (math.Pi * math.Pi * k * k)
+            if (i - k >= 0) acc += h * xs(i - k)
+            if (i + k < w) acc += h * xs(i + k)
+            k += 2 // even-k taps are zero
+          }
+          acc.toFloat
+        }
+        (id, z, y, out.toSeq)
+      }
+      .toDF("dataset_id", "z", "y", "xs")
+  }
+
+  /** R23 backprojection: for every output voxel (slice y, u, v) and every
+    * angle θ = z·π/nAngles, sample the filtered projection line at
+    * detector position s = (u−c)·cosθ + (v−c)·sinθ + centre via linear
+    * interpolation — the same gather-join backbone as [[affine]]: output
+    * grid × angles × 2 corner keys equi-joined against projection voxels,
+    * partial-aggregated per-voxel sum × π/nAngles, line reassembly. Rows
+    * scale as voxels × angles — linear per angle tile, no broadcast of
+    * anything volume-sized. Output slab frame: z = detector row (slice),
+    * y = u, xs over v.
+    */
+  def backproject(filtered: DataFrame, nAngles: Int, outN: Int): DataFrame = {
+    val spark = filtered.sparkSession
+    val detW = filtered.select(max(size(col("xs")))).head().getInt(0)
+    val sc = (detW - 1) / 2.0
+    val c = (outN - 1) / 2.0
+    val grid = filtered.select("dataset_id", "y").distinct()
+      .crossJoin(spark.range(outN.toLong * outN).select(
+        (col("id") / outN).cast("int").as("u"),
+        (col("id") % outN).cast("int").as("v")))
+      .withColumn("ang", explode(expr(s"sequence(0, ${nAngles - 1})")))
+      .withColumn("th", col("ang") * lit(math.Pi / nAngles))
+      .withColumn("s",
+        (col("u") - c) * cos(col("th")) + (col("v") - c) * sin(col("th")) + sc)
+      .withColumn("corner", explode(expr(
+        """array(struct(cast(floor(s) as int) as x, 1 - (s - floor(s)) as w),
+                 struct(cast(floor(s) as int) + 1 as x, s - floor(s) as w))""")))
+      .filter(col("corner.w") > 1e-12 && col("corner.x").between(0, detW - 1))
+      .select(col("dataset_id"), col("y"), col("u"), col("v"),
+        col("ang"), col("corner.x").as("x"), col("corner.w").as("w"))
+    val vox = filtered.select(col("dataset_id"), col("z").as("ang"), col("y"),
+      posexplode(col("xs")).as(Seq("x", "pv")))
+    grid.join(vox, Seq("dataset_id", "ang", "y", "x"))
+      .groupBy("dataset_id", "y", "u", "v")
+      .agg((sum(col("w") * col("pv")) * (math.Pi / nAngles)).as("f"))
+      .groupBy(col("dataset_id"), col("y").as("z"), col("u").as("y"))
+      .agg(map_from_entries(collect_list(struct(col("v"), col("f")))).as("m"))
+      .withColumn("xs", expr(
+        s"transform(sequence(0, ${outN - 1}), i -> cast(coalesce(element_at(m, i), 0.0) as float))"))
+      .select("dataset_id", "z", "y", "xs")
+  }
+
+  /** R23 end-to-end: parallel-beam filtered backprojection. `proj` rows
+    * are (z = angle index over [0, nAngles) spanning 180°, y = detector
+    * row, xs = detector line); output is one reconstructed outN×outN
+    * slice per detector row.
+    */
+  def fbp(proj: DataFrame, nAngles: Int, outN: Int): DataFrame =
+    backproject(rampFilter(proj), nAngles, outN)
+
   /** R17 (analyze.py::intensity_range): robust (p, 1-p) percentile range. */
   def intensityRange(vol: DataFrame, p: Double): (Double, Double) = {
     val r = vol.select(explode(col("xs")).as("v"))

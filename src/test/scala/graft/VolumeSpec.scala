@@ -263,6 +263,57 @@ class VolumeSpec extends SparkSpec {
     assert(math.abs(got - centre) < 0.51, s"centre $got expect $centre")
   }
 
+  test("boundaryFaces + writeStl: voxel surface extraction (R22)") {
+    // isolated voxel → 6 faces; 2×2×2 cube → 24 faces (8 voxels × 3
+    // exposed faces each)
+    val one = Volume.fromArray(spark, "m",
+      Array.tabulate(3, 3, 3)((z, y, x) => if (z == 1 && y == 1 && x == 1) 1f else 0f))
+    assert(Volume.boundaryFaces(one, 0.5).count() === 6)
+    val cube = Volume.fromArray(spark, "c",
+      Array.tabulate(4, 4, 4)((z, y, x) =>
+        if (z < 2 && y < 2 && x < 2) 1f else 0f))
+    val faces = Volume.boundaryFaces(cube, 0.5)
+    assert(faces.count() === 24)
+    // outward normals balance: the cube is closed
+    val net = faces.agg(sum("dx"), sum("dy"), sum("dz")).head()
+    assert((net.getLong(0), net.getLong(1), net.getLong(2)) === ((0L, 0L, 0L)))
+    val stl = java.nio.file.Files.createTempDirectory("graft_stl")
+      .resolve("cube.stl").toString
+    Volume.writeStl(faces, stl)
+    val text = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(stl)), "UTF-8")
+    assert(text.startsWith("solid graft"))
+    assert(text.split("\n").count(_.startsWith("facet")) === 48) // 2 tris/face
+  }
+
+  test("fbp reconstructs a centred disk phantom from its sinogram (R23)") {
+    val (w, nAng, outN) = (64, 60, 48)
+    val r = 10.0
+    val sc = (w - 1) / 2.0
+    // parallel projection of a unit disk is angle-independent: the chord
+    // length 2*sqrt(r^2 - d^2) at ray offset d from centre
+    val chord = Array.tabulate(w) { x =>
+      val d = x - sc
+      if (math.abs(d) < r) (2.0 * math.sqrt(r * r - d * d)).toFloat else 0f
+    }
+    val sino = Volume.fromArray(spark, "p",
+      Array.tabulate(nAng, 1, w)((_, _, x) => chord(x)))
+    val rec = Volume.fbp(sino, nAng, outN).collect()
+      .map(ro => ro.getInt(2) -> ro.getSeq[Float](3)).toMap
+    val c = (outN - 1) / 2.0
+    val (in, out) = (scala.collection.mutable.ArrayBuffer[Float](),
+      scala.collection.mutable.ArrayBuffer[Float]())
+    for (u <- 0 until outN; v <- 0 until outN) {
+      val d = math.hypot(u - c, v - c)
+      if (d < r - 3) in += rec(u)(v)
+      else if (d > r + 3 && d < c) out += rec(u)(v)
+    }
+    val (inMean, outMean) = (in.sum / in.size, out.sum / out.size)
+    info(f"disk interior mean $inMean%.3f, exterior mean $outMean%.3f")
+    assert(math.abs(inMean - 1.0) < 0.15, f"interior $inMean%.3f should be ~1")
+    assert(math.abs(outMean) < 0.1, f"exterior $outMean%.3f should be ~0")
+  }
+
   test("registerTranslation recovers a known shift (R12) and normL2 (R21)") {
     val base = Volume.fromArray(spark, "r",
       Array.tabulate(5, 5, 5)((z, y, x) => if (z == 1 && y == 1 && x == 1) 4f else 0f))
