@@ -150,6 +150,41 @@ object FlexAnalogs {
           min(col("value")).as("min_v"), max(col("value")).as("max_v"),
           count(lit(1)).as("n"))
         .orderBy("user_id"))
+      ,
+
+    // R11 analog (process.py::affine): a 4×16×16 integer voxel grid is
+    // derived from events (cell value = min event_id % 65536, empty cells
+    // 0), rotated 90° in-plane through the REAL Volume.affine gather path
+    // (trilinear corner join — grid-aligned, so exactly integral), then
+    // exploded back to rows. The oracle states the pure coordinate remap
+    // (yo, xo) ← (y = xo, x = 15 − yo), so this grades the resampling
+    // operator's exactness against an engine that never resamples.
+    "x_flex_affine" -> ((s, d) => {
+      val cells = t(s, d, "events")
+        .select((col("event_id") % 4).cast("int").as("z"),
+          expr("CAST((event_id div 4) % 16 AS INT)").as("y"),
+          expr("CAST((event_id div 64) % 16 AS INT)").as("x"),
+          col("event_id"))
+        .groupBy("z", "y", "x")
+        .agg((min("event_id") % 65536).as("v"))
+      val grid = s.range(4L * 16 * 16).select(
+        (col("id") / 256).cast("int").as("z"),
+        ((col("id") / 16) % 16).cast("int").as("y"),
+        (col("id") % 16).cast("int").as("x"))
+      val slab = grid.join(cells, Seq("z", "y", "x"), "left")
+        .withColumn("v", coalesce(col("v"), lit(0L)).cast("float"))
+        .groupBy(lit("g").as("dataset_id"), col("z"), col("y"))
+        .agg(map_from_entries(collect_list(struct(col("x"), col("v")))).as("m"))
+        .withColumn("xs",
+          expr("transform(sequence(0, 15), i -> cast(coalesce(element_at(m, i), 0.0) as float))"))
+        .select("dataset_id", "z", "y", "xs")
+      graft.operators.Volume.rotateScale(slab, 90.0, 1.0, 7.5, 7.5, (4, 16, 16))
+        .select(col("z").cast("bigint").as("z"), col("y").cast("bigint").as("y"),
+          posexplode(col("xs")).as(Seq("x", "vf")))
+        .select(col("z"), col("y"), col("x").cast("bigint").as("x"),
+          round(col("vf"), 0).cast("bigint").as("v"))
+        .orderBy("z", "y", "x")
+    })
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -216,6 +251,17 @@ object FlexAnalogs {
       ("SELECT user_id, min(ts_ms) AS min_ts, max(ts_ms) AS max_ts, " +
         "min(value) AS min_v, max(value) AS max_v, count(*) AS n " +
         "FROM (SELECT user_id, date_trunc('milliseconds', ts) AS ts_ms, value FROM events) " +
-        "WHERE value > 100 GROUP BY user_id ORDER BY user_id")
+        "WHERE value > 100 GROUP BY user_id ORDER BY user_id"),
+    "x_flex_affine" ->
+      ("WITH cells AS (SELECT event_id % 4 AS z, (event_id // 4) % 16 AS y, " +
+        "(event_id // 64) % 16 AS x, min(event_id) % 65536 AS v " +
+        "FROM events GROUP BY 1, 2, 3), " +
+        "grid AS (SELECT gz.range AS z, gy.range AS y, gx.range AS x " +
+        "FROM range(0, 4) gz, range(0, 16) gy, range(0, 16) gx), " +
+        "filled AS (SELECT g.z, g.y, g.x, coalesce(c.v, 0) AS v FROM grid g " +
+        "LEFT JOIN cells c ON c.z = g.z AND c.y = g.y AND c.x = g.x) " +
+        "SELECT g.z AS z, g.y AS y, g.x AS x, f.v AS v " +
+        "FROM grid g JOIN filled f ON f.z = g.z AND f.y = g.x AND f.x = 15 - g.y " +
+        "ORDER BY z, y, x")
   )
 }

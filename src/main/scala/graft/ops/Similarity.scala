@@ -326,6 +326,19 @@ object Similarity {
         .orderBy("doc_id")
     }),
 
+    // Heuristic language-ID over the text itself (the stored `lang`
+    // label is metadata; content-addressed ID is what a curation
+    // pipeline trusts): per-language distinct-stopword hits, argmax with
+    // ties to the lexicographically largest code, 'und' when nothing
+    // matches — the graded form of TextAnalysis.languageId, which this
+    // calls directly.
+    "x_text_langid" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(graft.functions.TextAnalysis.languageId(col("text")).as("lang_id"))
+        .groupBy("lang_id")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang_id")),
+
     // Text + vector columns in one relational frame: per-lang profile.
     "x_multimodal" -> ((s, d) => {
       val dj = t(s, d, "documents")
@@ -450,6 +463,20 @@ object Similarity {
         "round((CASE WHEN length(text) BETWEEN 20 AND 2000 THEN 1.0 ELSE 0.0 END) * 0.4 " +
         "+ least(sr * 4.0, 1.0) * 0.6, 6) AS quality " +
         "FROM m ORDER BY doc_id"),
+    "x_text_langid" ->
+      ("WITH langs(lang, words) AS (VALUES " +
+        "('de', ['der','die','das','und','ist','nicht','mit','ein','zu','den']), " +
+        "('en', ['the','and','of','to','a','in','is','it','that','for']), " +
+        "('es', ['el','la','que','y','en','un','es','se','no','los']), " +
+        "('fr', ['le','et','les','des','une','est','dans','pour','qui','sur']), " +
+        "('zh', ['wo','ni','ta','shi','bu','zai','you','hen','ye','dou'])), " +
+        "toks AS (SELECT doc_id, list_distinct(regexp_split_to_array(lower(text), '\\s+')) AS toksd FROM documents), " +
+        "scored AS (SELECT t.doc_id, l.lang, len(list_intersect(t.toksd, l.words)) AS score " +
+        "FROM toks t CROSS JOIN langs l), " +
+        "best AS (SELECT doc_id, lang, score, " +
+        "row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rn FROM scored) " +
+        "SELECT CASE WHEN score > 0 THEN lang ELSE 'und' END AS lang_id, count(*) AS n_docs " +
+        "FROM best WHERE rn = 1 GROUP BY 1 ORDER BY 1"),
     "x_multimodal" ->
       ("WITH dj AS (SELECT lang, n_chars, label, embedding FROM documents " +
         "JOIN embeddings ON doc_id = vec_id), " +
