@@ -233,11 +233,13 @@ object Volume {
     def s(r: Int) =
       lit(inv(r)(0)) * col("oz") + lit(inv(r)(1)) * col("oy") +
         lit(inv(r)(2)) * col("ox") + lit(so(r))
-    val ids = vol.select("dataset_id").distinct()
-    val grid = ids.crossJoin(
-        spark.range(nz.toLong * ny).select(
-          (col("id") / ny).cast("int").as("oz"),
-          (col("id") % ny).cast("int").as("oy")))
+    // The grid carries no dataset_id: the inner join against the input
+    // voxels below supplies it (and per-dataset fan-out falls out of the
+    // join) — referencing `vol` here too would recompute its whole
+    // upstream pipeline a second time.
+    val grid = spark.range(nz.toLong * ny).select(
+        (col("id") / ny).cast("int").as("oz"),
+        (col("id") % ny).cast("int").as("oy"))
       .withColumn("ox", explode(expr(s"sequence(0, ${nx - 1})")))
     // 8 corner samples; weight per axis is (1-frac) for the floor corner,
     // frac for the ceil corner — abs(1 - d - frac) covers both arms.
@@ -254,12 +256,12 @@ object Volume {
                  abs(1 - dy - (sy - floor(sy))) *
                  abs(1 - dx - (sx - floor(sx))) as w))))))""")))
       .filter(col("cell.w") > 1e-12)
-      .select(col("dataset_id"), col("oz"), col("oy"), col("ox"),
+      .select(col("oz"), col("oy"), col("ox"),
         col("cell.z").as("z"), col("cell.y").as("y"), col("cell.x").as("x"),
         col("cell.w").as("w"))
     val vox = vol.select(col("dataset_id"), col("z"), col("y"),
       posexplode(col("xs")).as(Seq("x", "v")))
-    corners.join(vox, Seq("dataset_id", "z", "y", "x"))
+    corners.join(vox, Seq("z", "y", "x"))
       .groupBy("dataset_id", "oz", "oy", "ox")
       .agg(sum(col("w") * col("v")).as("v")) // absent corners contribute 0
       .groupBy(col("dataset_id"), col("oz").as("z"), col("oy").as("y"))
@@ -612,8 +614,14 @@ object Volume {
     * anything volume-sized. Output slab frame: z = detector row (slice),
     * y = u, xs over v.
     */
-  def backproject(filtered: DataFrame, nAngles: Int, outN: Int): DataFrame = {
-    val spark = filtered.sparkSession
+  def backproject(filtered0: DataFrame, nAngles: Int, outN: Int): DataFrame = {
+    val spark = filtered0.sparkSession
+    // Three references below (detector width, slice enumeration, voxel
+    // join) would each recompute the upstream ramp filter; persist the
+    // filtered sinogram (disk-spillable — it is volume-sized) so the
+    // immediate head() action materializes it once.
+    val filtered = filtered0.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val detW = filtered.select(max(size(col("xs")))).head().getInt(0)
     val sc = (detW - 1) / 2.0
     val c = (outN - 1) / 2.0
