@@ -97,6 +97,50 @@ object TextAnalysis {
     inter / (size(sa) + size(sb) - inter)
   }
 
+  /** Gopher-style repetition filter (published corpus-quality heuristic —
+    * Rae et al. 2021, "Scaling Language Models", appendix A1.1): the
+    * fraction of lines that are duplicates of an earlier line. Boilerplate
+    * and scraped navigation text score high; prose scores ~0.
+    */
+  def duplicateLineFraction(text: Column): Column = {
+    val lines = split(text, "\n")
+    when(size(lines) > 0,
+      (size(lines) - size(array_distinct(lines))).cast("double") /
+        size(lines).cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  /** Gopher-style top-n-gram fraction: the share of all tokens covered by
+    * occurrences of the single most frequent n-gram. High values mean the
+    * document is dominated by one repeated phrase (SEO spam, templated
+    * text). Pure HOF pipeline: build n-grams positionally, count the mode
+    * via a sort of (gram, count) pairs, no shuffle.
+    */
+  def topNgramFraction(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    // sequence(a, b) runs DESCENDING when a > b (the binPool gotcha) —
+    // every sequence below is guarded by a size test.
+    val grams = when(size(toks) >= n,
+      array_sort(transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+      .otherwise(expr("cast(array() as array<string>)"))
+    // run-length the sorted grams: aggregate over indices tracking
+    // (current run, best run)
+    def bestRun(sorted: Column): Column = aggregate(
+      sequence(lit(1), size(sorted) - 1),
+      struct(lit(1).as("run"), lit(1).as("best")),
+      (acc, i) => {
+        val run = when(element_at(sorted, i + 1) === element_at(sorted, i),
+          acc.getField("run") + 1).otherwise(lit(1))
+        struct(run.as("run"), greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    val best = when(size(grams) > 1, bestRun(grams)).otherwise(size(grams))
+    when(size(grams) > 0,
+      least((best * n).cast("double") / greatest(size(toks), lit(1)), lit(1.0)))
+      .otherwise(lit(0.0))
+  }
+
   /** Order-sensitive document fingerprint: polynomial rolling hash over the
     * Murmur3 hash of each token (aggregate HOF — sequential, deterministic,
     * cross-partition safe because it's per-row). Same token sequence ⇒ same

@@ -30,15 +30,19 @@ object Curation {
     * @param minBands    bands that must agree to call a pair near-dup
     */
   def curate(docs: DataFrame, minQuality: Double = 0.3,
-      nHashes: Int = 8, minBands: Int = 4): DataFrame = {
-    // Stage 1+2: per-doc columnar features + quality gate (narrow, pushed
-    // to the scan), then exact dedup = min doc_id per content hash.
+      nHashes: Int = 8, minBands: Int = 4,
+      maxDupLines: Double = 1.0, maxTopNgram: Double = 1.0): DataFrame = {
+    // Stage 1+2: per-doc columnar features + quality/repetition gates
+    // (narrow, pushed to the scan), then exact dedup = min doc_id per
+    // content hash. Repetition gates default to off (1.0).
     val scored = docs
       .select(col("doc_id"), col("text"),
         TextAnalysis.languageId(col("text")).as("lang"),
         TextAnalysis.qualityScore(col("text")).as("quality"),
         TextAnalysis.tokenCount(col("text")).as("n_tokens"))
-      .filter(col("quality") >= minQuality)
+      .filter(col("quality") >= minQuality &&
+        TextAnalysis.duplicateLineFraction(col("text")) <= maxDupLines &&
+        TextAnalysis.topNgramFraction(col("text"), 2) <= maxTopNgram)
     val exactKept = scored
       .withColumn("ch", md5(col("text")))
       .withColumn("keep", col("doc_id") === min("doc_id")

@@ -47,4 +47,31 @@ object Pipelines {
       events.withWatermark("ts", watermarkDelay)
         .dropDuplicatesWithinWatermark(keys)
     else events.dropDuplicates(keys)
+
+  /** Streaming front-end of the corpus-curation pipeline
+    * (graft.operators.Curation): the STATELESS gates — language-ID,
+    * quality score, Gopher-style repetition filters — run per micro-batch
+    * inside the scan, and exact dedup by content hash keeps bounded state
+    * via the watermark horizon. Near-dup banding needs a self-join, which
+    * streaming can't do unboundedly: the 100 TB topology is this stream
+    * front-end feeding a periodic BATCH near-dup compaction
+    * (Curation.curate) — the standard lambda split for dedup.
+    * Input needs (doc_id, ts, text).
+    */
+  def curateStream(docs: DataFrame, minQuality: Double = 0.3,
+      maxDupLines: Double = 1.0, maxTopNgram: Double = 1.0,
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    import graft.functions.TextAnalysis
+    val gated = docs
+      .select(col("doc_id"), col("ts"), col("text"),
+        TextAnalysis.languageId(col("text")).as("lang"),
+        TextAnalysis.qualityScore(col("text")).as("quality"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      .filter(col("quality") >= minQuality &&
+        TextAnalysis.duplicateLineFraction(col("text")) <= maxDupLines &&
+        TextAnalysis.topNgramFraction(col("text"), 2) <= maxTopNgram)
+      .withColumn("content_key", md5(col("text")))
+    dedupKeyed(gated, Seq("content_key"), watermarkDelay)
+      .drop("content_key")
+  }
 }

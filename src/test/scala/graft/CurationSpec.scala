@@ -59,6 +59,43 @@ class CurationSpec extends SparkSpec {
     assert(rep("de")._2 === de.split("\\s+").length)
   }
 
+  test("curate repetition gates drop template spam when enabled") {
+    import spark.implicits._
+    val spam = "buy the now buy the now buy the now buy the now buy the now " +
+      "buy the now buy the now" // high top-ngram, has stopwords + length
+    val docs = Seq((1L, enA), (2L, spam)).toDF("doc_id", "text")
+    val default = Curation.curate(docs, minQuality = 0.3)
+      .collect().map(_.getLong(0)).toSet
+    assert(default === Set(1L, 2L)) // gates off by default
+    val gated = Curation.curate(docs, minQuality = 0.3, maxTopNgram = 0.5)
+      .collect().map(_.getLong(0)).toSet
+    assert(gated === Set(1L))
+  }
+
+  test("curateStream: stateless gates + cross-batch exact dedup") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val q = graft.streaming.Pipelines.curateStream(
+        mem.toDF.toDF("doc_id", "ts", "text"), minQuality = 0.5)
+      .writeStream.format("memory").queryName("curate_sink")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, Timestamp.valueOf("2024-01-01 00:00:01"), enA),
+        (2L, Timestamp.valueOf("2024-01-01 00:00:02"), junk))
+      q.processAllAvailable()
+      // batch 2: an exact dup of doc 1 arrives within the watermark
+      // horizon → dropped by the state store, not re-emitted
+      mem.addData((3L, Timestamp.valueOf("2024-01-01 00:00:03"), enA),
+        (4L, Timestamp.valueOf("2024-01-01 00:00:04"), enB))
+      q.processAllAvailable()
+      val ids = spark.table("curate_sink").collect().map(_.getLong(0)).toSet
+      assert(ids === Set(1L, 4L)) // 2 quality-gated, 3 deduped across batches
+    } finally q.stop()
+  }
+
   test("curate on the documents table: no exact dupes survive, rows remain") {
     val docs = T.t(spark, sf(), "documents").select("doc_id", "text")
     val out = Curation.curate(docs).persist()

@@ -87,6 +87,59 @@ class GeneratedPropertySpec extends SparkSpec {
     }
   }
 
+  test("property: rotate(180)^2 is the identity on random volumes") {
+    // 180° about the grid centre is grid-aligned for any extent, so two
+    // applications must reproduce the input exactly (float tolerance)
+    val n = 5
+    val vals = sample(Gen.listOfN(2 * n * n, Gen.choose(-10.0, 10.0)), 11L)
+    val it = vals.iterator
+    val vol = Volume.fromArray(spark, "r", Array.fill(2, n, n)(it.next().toFloat))
+    val c = (n - 1) / 2.0
+    def rot(df: org.apache.spark.sql.DataFrame) =
+      Volume.rotateScale(df, 180.0, 1.0, c, c, (2, n, n))
+    val diff = rot(rot(vol)).withColumnRenamed("xs", "r_xs")
+      .join(vol, Seq("dataset_id", "z", "y"))
+      .select(explode(zip_with(col("r_xs"), col("xs"),
+        (a, b) => abs(a - b).cast("double"))).as("d"))
+      .agg(max("d")).head().getDouble(0)
+    assert(diff < 1e-3, s"rotate(180)^2 max diff $diff")
+  }
+
+  test("property: interpolateHoles is idempotent and zero-preserving") {
+    // random lines with injected zero runs: one pass fills every hole a
+    // second pass would touch (idempotence), and all-zero lines persist
+    val lines = sample(Gen.listOfN(30,
+      Gen.listOfN(9, Gen.oneOf(Gen.const(0.0), Gen.choose(1.0, 9.0)))), 12L)
+    val vol = Volume.fromArray(spark, "h",
+      Array(lines.map(_.map(_.toFloat).toArray).toArray))
+    val once = Volume.interpolateHoles(vol)
+    val twice = Volume.interpolateHoles(once)
+    val diff = twice.withColumnRenamed("xs", "t_xs")
+      .join(once, Seq("dataset_id", "z", "y"))
+      .select(explode(zip_with(col("t_xs"), col("xs"),
+        (a, b) => abs(a - b).cast("double"))).as("d"))
+      .agg(max("d")).head().getDouble(0)
+    assert(diff === 0.0)
+    val zeroLines = lines.count(_.forall(_ == 0.0))
+    val stillZero = once.select(col("y"),
+        expr("aggregate(xs, cast(0.0 as double), (a, v) -> a + abs(v))").as("s"))
+      .filter(col("s") === 0.0).count()
+    assert(stillZero === zeroLines.toLong)
+  }
+
+  test("property: repetition filters are bounded on random text") {
+    import spark.implicits._
+    val docs = sample(Gen.listOfN(60, doc), 13L)
+    val rows = docs.toDF("text")
+      .select(TextAnalysis.duplicateLineFraction(col("text")).as("dlf"),
+        TextAnalysis.topNgramFraction(col("text"), 2).as("tnf"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getDouble(0) >= 0.0 && r.getDouble(0) < 1.0)
+      assert(r.getDouble(1) >= 0.0 && r.getDouble(1) <= 1.0)
+    }
+  }
+
   test("property: fingerprint is deterministic and content-sensitive") {
     import spark.implicits._
     val docs = sample(Gen.listOfN(50, doc), 7L).distinct

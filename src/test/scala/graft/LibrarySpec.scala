@@ -41,6 +41,28 @@ class LibrarySpec extends SparkSpec {
     assert(fp(0) !== fp(2))
   }
 
+  test("TextAnalysis: Gopher-style repetition filters") {
+    import spark.implicits._
+    val docs = Seq(
+      ("prose", "the quick brown fox jumps over the lazy dog and runs away"),
+      ("dupline", "home | products\nabout us\nhome | products\nhome | products"),
+      ("spam", "buy now buy now buy now buy now buy now buy now"),
+      ("short", "hi"),
+      ("empty", "")
+    ).toDF("id", "text")
+    val out = docs.select(col("id"),
+        graft.functions.TextAnalysis.duplicateLineFraction(col("text")).as("dlf"),
+        graft.functions.TextAnalysis.topNgramFraction(col("text"), 2).as("tnf"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(out("prose")._1 === 0.0)
+    assert(out("dupline")._1 === 0.5) // 2 of 4 lines repeat an earlier one
+    assert(out("prose")._2 < 0.25)
+    // "buy now" appears 6 times as a bigram run covering all 12 tokens
+    assert(out("spam")._2 === 1.0)
+    assert(out("short")._2 === 0.0) // shorter than the n-gram: no grams
+    assert(out("empty")._1 === 0.0 && out("empty")._2 === 0.0)
+  }
+
   // --- media fixtures built in-memory (no files, no external codecs) ---
 
   private def pngBytes(w: Int, h: Int, fmt: String = "png")(rgb: (Int, Int) => Int): Array[Byte] = {
