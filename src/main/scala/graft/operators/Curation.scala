@@ -12,13 +12,14 @@ import graft.functions.TextAnalysis
   * predicate pushdown cross stage boundaries, and nothing volume-sized
   * ever touches the driver.
   *
-  * Dedup policy (both stages): a document survives iff no KEPT document
-  * with a smaller doc_id duplicates it. For exact dedup that is min-per-
+  * Dedup policy (both stages): a document is dropped iff ANY smaller-id
+  * document duplicates it — kept or not. For exact dedup that is min-per-
   * content-hash; for near-dup it is "no near-duplicate neighbor with a
   * smaller id" — on a duplicate chain a→b→c this keeps exactly the chain
-  * minimum (a kills b, b's membership kills c), the standard greedy
-  * keep-first policy of corpus dedup, deterministic without an iterative
-  * connected-components pass.
+  * minimum (b is killed by a, c by b even though b itself was dropped):
+  * a transitive-chain policy, deterministic without an iterative
+  * connected-components pass. (True greedy keep-first against only the
+  * KEPT set would also keep c; that variant needs iteration.)
   */
 object Curation {
 

@@ -559,9 +559,13 @@ object Volume {
         if (dx != 0) ((0.0, 0.5, 0.0), (0.0, 0.0, 0.5))
         else if (dy != 0) ((0.5, 0.0, 0.0), (0.0, 0.0, 0.5))
         else ((0.5, 0.0, 0.0), (0.0, 0.5, 0.0))
+      // Locale.ROOT: the default-locale f"" interpolator renders '3,5' on
+      // comma-decimal locales, producing an unparseable STL.
       def pt(su: Int, sw: Int) =
-        f"${c._1 + su * u._1 + sw * w._1}%.1f ${c._2 + su * u._2 + sw * w._2}%.1f " +
-          f"${c._3 + su * u._3 + sw * w._3}%.1f"
+        "%.1f %.1f %.1f".formatLocal(java.util.Locale.ROOT,
+          c._1 + su * u._1 + sw * w._1,
+          c._2 + su * u._2 + sw * w._2,
+          c._3 + su * u._3 + sw * w._3)
       val quad = Seq(pt(-1, -1), pt(1, -1), pt(1, 1), pt(-1, 1))
       Seq((quad(0), quad(1), quad(2)), (quad(0), quad(2), quad(3))).foreach {
         case (p1, p2, p3) =>

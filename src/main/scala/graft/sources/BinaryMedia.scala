@@ -153,7 +153,13 @@ object MediaCodec {
             i += 1
           }
         }
-        off += 8 + size + (size & 1) // chunks are word-aligned
+        // Word-aligned chunk walk. A corrupt/adversarial size (negative,
+        // e.g. -8/-9) would make this a no-op and spin the task forever —
+        // an infinite loop is not an exception, so the NonFatal catch
+        // below can't save the executor. Require strict forward progress.
+        val next = off + 8L + size + (size & 1)
+        if (size < 0 || next <= off) return None
+        off = next.min(p.length.toLong).toInt
       }
       if (samples != null) Some((rate, samples)) else None
     } catch { case NonFatal(_) => None }

@@ -33,12 +33,18 @@ object VolumeIO {
       .as[(String, Array[Byte])]
       .flatMap { case (path, bytes) =>
         val name = path.substring(path.lastIndexOf('/') + 1)
-        val z = "\\d+".r.findFirstIn(name).map(_.toInt).getOrElse(0)
-        MediaCodec.imageLuminance(bytes).toSeq.flatMap { case (w, h, lum) =>
-          (0 until h).map { y =>
-            (datasetId, z, y, (0 until w).map(x => lum(y * w + x)))
-          }
-        }
+        // Digit runs longer than Int (timestamp-named slices like
+        // 20260812120000.png) must not throw and fail the ingest, and a
+        // digitless name has no slice index — skip both, like a corrupt
+        // payload, instead of silently colliding at z=0.
+        val z = "\\d+".r.findFirstIn(name)
+          .flatMap(s => scala.util.Try(s.toLong).toOption)
+          .collect { case n if n <= Int.MaxValue => n.toInt }
+        for {
+          zi <- z.toSeq
+          (w, h, lum) <- MediaCodec.imageLuminance(bytes).toSeq
+          y <- 0 until h
+        } yield (datasetId, zi, y, (0 until w).map(x => lum(y * w + x)))
       }
       .toDF("dataset_id", "z", "y", "xs")
   }
@@ -54,20 +60,27 @@ object VolumeIO {
   def writeStack(vol: DataFrame, dir: String, prefix: String = "slice_"): Unit = {
     import vol.sparkSession.implicits._
     new java.io.File(dir).mkdirs()
-    vol.select("z", "y", "xs").as[(Int, Int, Seq[Float])]
-      .groupByKey(_._1)
-      .mapGroups { (z, rows) =>
+    // Keyed by (dataset_id, z), not z alone: a multi-dataset frame must
+    // not interleave lines from different datasets into one PNG. Single-
+    // dataset frames keep the bare `prefixZZZZZ.png` name; multi-dataset
+    // frames prepend the dataset id so planes can't overwrite each other.
+    val multi = vol.select(countDistinct("dataset_id")).first().getLong(0) > 1
+    vol.select("dataset_id", "z", "y", "xs").as[(String, Int, Int, Seq[Float])]
+      .groupByKey(r => (r._1, r._2))
+      .mapGroups { (key, rows) =>
+        val (ds, z) = key
         val lines = rows.toArray
-        val h = lines.map(_._2).max + 1
-        val w = lines.map(_._3.length).max
+        val h = lines.map(_._3).max + 1
+        val w = lines.map(_._4.length).max
         val img = new java.awt.image.BufferedImage(w, h,
           java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
-        for ((_, y, xs) <- lines; x <- xs.indices) {
+        for ((_, _, y, xs) <- lines; x <- xs.indices) {
           val q = math.max(0L, math.min(255L, math.round(xs(x) * 255.0f)))
           img.getRaster.setSample(x, y, 0, q.toInt)
         }
-        val f = new java.io.File(dir, f"$prefix$z%05d.png")
-        javax.imageio.ImageIO.write(img, "png", f)
+        val base = f"$prefix$z%05d.png"
+        val f0 = new java.io.File(dir, if (multi) s"${ds}_$base" else base)
+        javax.imageio.ImageIO.write(img, "png", f0)
         z
       }
       .collect() // tiny: one Int per slice; forces the distributed write
