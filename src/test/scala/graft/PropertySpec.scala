@@ -64,6 +64,79 @@ class PropertySpec extends SparkSpec {
     assert(bitmap.nonEmpty || naive.isEmpty)
   }
 
+  test("ngram inverted-index jaccard == naive shingle-set jaccard") {
+    import spark.implicits._
+    // 60 docs in 2 langs; doc 3k+1 is a near-copy of doc 3k (one word
+    // changed), doc 3k+2 unrelated — known trigram-overlap structure.
+    val docs = (0 until 20).flatMap { g =>
+      val base = (0 until 12).map(j => s"w${(g * 5 + j * 3) % 40}")
+      val near = base.updated(11, "zz")
+      val other = (0 until 12).map(j => s"q${(g * 7 + j) % 40}")
+      Seq((g * 3L, s"l${g % 2}", base.mkString(" ")),
+        (g * 3L + 1, s"l${g % 2}", near.mkString(" ")),
+        (g * 3L + 2, s"l${g % 2}", other.mkString(" ")))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("ngram").toString
+    docs.toDF("doc_id", "lang", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("x_dedup_ngram")(spark, dir)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // Naive driver-side recompute over Scala sets.
+    def shingles(text: String): Set[String] = {
+      val t = text.split(" ")
+      (0 to t.length - 3).map(i => s"${t(i)} ${t(i + 1)} ${t(i + 2)}").toSet
+    }
+    val byId = docs.map(d => (d._1, d)).toMap
+    val expected = (for {
+      a <- docs; b <- docs
+      if a._1 < b._1 && a._2 == b._2
+      sa = shingles(a._3); sb = shingles(b._3)
+      inter = (sa & sb).size.toDouble
+      jacc = inter / (sa.size + sb.size - inter)
+      if jacc >= 0.4
+    } yield ((a._1, b._1), math.rint(jacc * 1e6) / 1e6)).toMap
+    assert(got.keySet === expected.keySet.map(identity))
+    expected.foreach { case ((a, b), j) => assert(math.abs(got((a, b)) - j) < 1e-9) }
+    assert(expected.nonEmpty, "fixture produced no near-dup pairs — test is vacuous")
+    assert(byId.nonEmpty)
+  }
+
+  test("ann bucket top-k: neighbors share the probe's bucket; ranks are true within-bucket cosine order") {
+    val rows = SparkEntry.queries("x_ann_bucket_topk")(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    // Recompute buckets + within-bucket exhaustive cosine driver-side.
+    val vecs = T.t(spark, sf(), "embeddings").collect().map { r =>
+      val v = r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray
+      (r.getLong(r.fieldIndex("vec_id")), v)
+    }.toMap
+    def bucket(v: Array[Double]) = v.take(8).map(x => if (x > 0) '1' else '0').mkString
+    def cos(a: Array[Double], b: Array[Double]) = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    rows.groupBy(_.getLong(0)).foreach { case (probe, rs) =>
+      val pb = bucket(vecs(probe))
+      val expect = vecs.toSeq
+        .filter { case (id, v) => id != probe && bucket(v) == pb }
+        .map { case (id, v) => (id, cos(vecs(probe), v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(3).map(_._1)
+      val gotIds = rs.sortBy(_.getLong(2)).map(_.getLong(1)).toSeq
+      assert(gotIds === expect, s"probe $probe")
+    }
+  }
+
+  test("bpe-ish token count matches a driver-side regex recompute") {
+    val re = "[aeiou]+[^aeiou ]*".r
+    val byDoc = T.t(spark, sf(), "documents").collect()
+      .map(r => (r.getLong(r.fieldIndex("doc_id")),
+        r.getString(r.fieldIndex("text")))).toMap
+    SparkEntry.queries("x_text_token_count")(spark, sf()).collect().foreach { r =>
+      val text = byDoc(r.getLong(0))
+      assert(r.getInt(1) === text.split(" ").length)
+      assert(r.getInt(2) === re.findAllIn(text).length)
+    }
+  }
+
   test("minhash cluster formulation == naive band join (same pair set)") {
     // Textbook formulation: explode per-band signatures, bucket-join,
     // count agreeing bands per pair.
