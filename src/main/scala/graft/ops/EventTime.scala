@@ -103,12 +103,22 @@ object EventTime {
         .select(col("user_id"),
           col("window.start").cast("timestamp_ntz").as("win_start"),
           col("cnt"), col("sum_value"))
-      val q = stream.writeStream.format("memory")
-        .queryName("t_stream_runtime_sink")
-        .outputMode("complete")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      // The stateful agg allocates one state-store instance per shuffle
+      // partition; with only ~15 distinct users the fixed per-store cost
+      // (checkpoint dirs, provider init, commit) dominates at 32
+      // partitions. Pin a small count for the stream's lifetime and
+      // restore — on a real cluster this is sized to executor count, and
+      // it's captured once at stream start.
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val q = stream.writeStream.format("memory")
+          .queryName("t_stream_runtime_sink")
+          .outputMode("complete")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       s.table("t_stream_runtime_sink").orderBy("user_id", "win_start")
     })
   )
