@@ -411,6 +411,47 @@ object Similarity {
           round(col("n_bpe").cast("double") / greatest(col("n_ws"), lit(1)), 6))
         .orderBy("doc_id")),
 
+    // Deterministic hash sampling — the reproducible subsampling a
+    // training-data pipeline needs (no RNG: the keep decision is a pure
+    // function of doc_id, so reruns and both engines agree exactly).
+    // u = first 32 bits of md5("smp:"+id); keep iff u % 8 == 0 (a 1/8
+    // sample). Emitted per lang: totals, kept, achieved rate.
+    "x_sample_hash" -> ((s, d) =>
+      t(s, d, "documents")
+        .withColumn("u",
+          conv(substring(md5(concat(lit("smp:"), col("doc_id").cast("string"))), 1, 8), 16, 10)
+            .cast("bigint"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_total"),
+          count(when(pmod(col("u"), lit(8)) === 0, lit(1))).as("n_kept"))
+        .withColumn("rate", round(col("n_kept").cast("double") / col("n_total"), 6))
+        .select("lang", "n_total", "n_kept", "rate")
+        .orderBy("lang")),
+
+    // Domain mixing / balanced sampling: downsample every source to the
+    // smallest source's size using per-source acceptance rates — the
+    // §3.3 aggregate→decide→reapply pattern at corpus scale. The keep
+    // test u/2^32 < n_target/n_src is evaluated in INTEGER form
+    // (u * n_src < n_target * 2^32), so there is no float tolerance to
+    // disagree across engines. The rates frame is tiny (one row per
+    // source) → broadcast; the corpus streams map-side.
+    "x_mix_balance" -> ((s, d) => {
+      val docs = t(s, d, "documents").withColumn("u",
+        conv(substring(md5(concat(lit("mix:"), col("doc_id").cast("string"))), 1, 8), 16, 10)
+          .cast("bigint"))
+      val counts = docs.groupBy("source").agg(count(lit(1)).as("n_src"))
+      val target = counts.agg(min(col("n_src")).as("n_target"))
+      docs.join(broadcast(counts), "source")
+        .crossJoin(broadcast(target))
+        .groupBy("source")
+        .agg(max(col("n_src")).as("n_src"),
+          count(when(col("u") * col("n_src") < col("n_target") * lit(4294967296L), lit(1)))
+            .as("n_kept"))
+        .withColumn("rate", round(col("n_kept").cast("double") / col("n_src"), 6))
+        .select("source", "n_src", "n_kept", "rate")
+        .orderBy("source")
+    }),
+
     // Text + vector columns in one relational frame: per-lang profile.
     "x_multimodal" -> ((s, d) => {
       val dj = t(s, d, "documents")
@@ -559,6 +600,21 @@ object Similarity {
         "round((CASE WHEN length(text) BETWEEN 20 AND 2000 THEN 1.0 ELSE 0.0 END) * 0.4 " +
         "+ least(sr * 4.0, 1.0) * 0.6, 6) AS quality " +
         "FROM m ORDER BY doc_id"),
+    "x_sample_hash" ->
+      ("WITH d AS (SELECT lang, CAST(('0x' || substring(md5('smp:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS u FROM documents) " +
+        "SELECT lang, count(*) AS n_total, " +
+        "count(*) FILTER (WHERE u % 8 = 0) AS n_kept, " +
+        "round(CAST(count(*) FILTER (WHERE u % 8 = 0) AS DOUBLE) / count(*), 6) AS rate " +
+        "FROM d GROUP BY lang ORDER BY lang"),
+    "x_mix_balance" ->
+      ("WITH c AS (SELECT source, count(*) AS n_src FROM documents GROUP BY source), " +
+        "t AS (SELECT min(n_src) AS n_target FROM c), " +
+        "d AS (SELECT source, CAST(('0x' || substring(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS u FROM documents) " +
+        "SELECT d.source AS source, c.n_src AS n_src, " +
+        "count(*) FILTER (WHERE d.u * c.n_src < t.n_target * 4294967296) AS n_kept, " +
+        "round(CAST(count(*) FILTER (WHERE d.u * c.n_src < t.n_target * 4294967296) AS DOUBLE) / c.n_src, 6) AS rate " +
+        "FROM d JOIN c ON d.source = c.source CROSS JOIN t " +
+        "GROUP BY d.source, c.n_src ORDER BY d.source"),
     "x_text_token_count" ->
       ("SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws, " +
         "CAST(len(regexp_extract_all(text, '[aeiou]+[^aeiou ]*')) AS INTEGER) AS n_bpe, " +

@@ -137,6 +137,32 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("hash sample is deterministic and near the nominal 1/8 rate") {
+    val run1 = SparkEntry.queries("x_sample_hash")(spark, sf()).collect()
+    val run2 = SparkEntry.queries("x_sample_hash")(spark, sf()).collect()
+    assert(run1.map(_.toString).toSeq === run2.map(_.toString).toSeq)
+    val (kept, total) = run1.map(r => (r.getLong(2), r.getLong(1)))
+      .reduce((a, b) => (a._1 + b._1, a._2 + b._2))
+    assert(kept <= total)
+    // binomial(n=500, p=1/8): ±5 sd ≈ ±0.074 absolute
+    assert(math.abs(kept.toDouble / total - 0.125) < 0.075,
+      s"sample rate ${kept.toDouble / total} far from 1/8")
+  }
+
+  test("mix balance: min source keeps everything; kept counts near target") {
+    val rows = SparkEntry.queries("x_mix_balance")(spark, sf()).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val target = rows.map(_._2).min
+    rows.foreach { case (src, nSrc, nKept, rate) =>
+      assert(nKept <= nSrc, src)
+      // u*n_src < n_target*2^32 is always true when n_src == n_target
+      if (nSrc == target) assert(rate === 1.0, s"$src is the min source")
+      // acceptance is binomial(n_src, target/n_src): 5 sd slack
+      val sd = math.sqrt(target.toDouble * (1 - target.toDouble / nSrc))
+      assert(math.abs(nKept.toDouble - target) <= 5 * sd + 1, s"$src kept $nKept vs target $target")
+    }
+  }
+
   test("minhash cluster formulation == naive band join (same pair set)") {
     // Textbook formulation: explode per-band signatures, bucket-join,
     // count agreeing bands per pair.
