@@ -48,6 +48,35 @@ object Pipelines {
         .dropDuplicatesWithinWatermark(keys)
     else events.dropDuplicates(keys)
 
+  /** Watermarked stream-stream attribution join: each `purchase`-side row
+    * pairs with the most recent same-user `view`-side rows within
+    * `horizon` BEFORE it (the as-of/attribution pattern of j_asof, in
+    * streaming form). Both sides must be watermarked and the join
+    * condition must bound event-time distance — that pair of constraints
+    * is what lets Spark expire join state instead of buffering both
+    * streams forever. Works identically on batch frames (condition-only
+    * join, no watermark needed).
+    *
+    * Inputs need (user_id, ts, event_type); rows are pre-filtered by
+    * `leftType`/`rightType`.
+    */
+  def attributionJoin(left: DataFrame, right: DataFrame,
+      leftType: String = "purchase", rightType: String = "view",
+      horizon: String = "1 hour",
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    val l0 = left.filter(col("event_type") === leftType)
+      .select(col("user_id").as("l_user"), col("ts").as("l_ts"))
+    val r0 = right.filter(col("event_type") === rightType)
+      .select(col("user_id").as("r_user"), col("ts").as("r_ts"))
+    val l = if (left.isStreaming) l0.withWatermark("l_ts", watermarkDelay) else l0
+    val r = if (right.isStreaming) r0.withWatermark("r_ts", watermarkDelay) else r0
+    l.join(r,
+      col("l_user") === col("r_user") &&
+        col("r_ts") < col("l_ts") &&
+        col("r_ts") >= col("l_ts") - expr(s"INTERVAL $horizon"))
+      .select(col("l_user").as("user_id"), col("l_ts"), col("r_ts"))
+  }
+
   /** Streaming front-end of the corpus-curation pipeline
     * (graft.operators.Curation): the STATELESS gates — language-ID,
     * quality score, Gopher-style repetition filters — run per micro-batch

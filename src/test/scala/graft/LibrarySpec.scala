@@ -209,6 +209,40 @@ class LibrarySpec extends SparkSpec {
     assert(batch.size === 3) // (u1,h0),(u1,h1),(u2,h0)
   }
 
+  test("Pipelines: attribution stream-stream join == batch join on same data") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val views = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 00:10:00"), "view"),
+      (1L, Timestamp.valueOf("2024-01-01 00:50:00"), "view"),
+      (1L, Timestamp.valueOf("2024-01-01 02:30:00"), "view"), // after purchase
+      (2L, Timestamp.valueOf("2024-01-01 00:20:00"), "view")) // other user
+    val purchases = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 01:00:00"), "purchase"),
+      (2L, Timestamp.valueOf("2024-01-01 03:00:00"), "purchase")) // views too old
+    val memL = MemoryStream[(Long, Timestamp, String)]
+    val memR = MemoryStream[(Long, Timestamp, String)]
+    memL.addData(purchases: _*)
+    memR.addData(views: _*)
+    val q = Pipelines.attributionJoin(
+        memL.toDF.toDF("user_id", "ts", "event_type"),
+        memR.toDF.toDF("user_id", "ts", "event_type"))
+      .writeStream.format("memory").queryName("lib_attr_sink")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val stream = spark.table("lib_attr_sink").collect().map(_.toSeq).toSet
+    val batch = Pipelines.attributionJoin(
+        purchases.toDF("user_id", "ts", "event_type"),
+        views.toDF("user_id", "ts", "event_type"))
+      .collect().map(_.toSeq).toSet
+    assert(stream === batch)
+    // user 1's purchase at 01:00 attributes to the two views inside
+    // [00:00, 01:00); user 2's 03:00 purchase has no view in [02:00, 03:00).
+    assert(batch.map(s => (s(0), s(2))) === Set(
+      (1L, Timestamp.valueOf("2024-01-01 00:10:00")),
+      (1L, Timestamp.valueOf("2024-01-01 00:50:00"))))
+  }
+
   test("Pipelines: streaming dedupWithinWatermark keeps one row per key") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
