@@ -29,13 +29,61 @@ case class MediaFrame(media_id: Long, frame_idx: Int, frame: Array[Byte])
   */
 object MediaCodec {
 
-  /** Container format from magic bytes: "png" | "jpeg" | "wav" | "unknown". */
+  /** Container format from magic bytes:
+    * "png" | "jpeg" | "gif" | "wav" | "unknown".
+    */
   def sniff(p: Array[Byte]): String =
     if (p.length >= 4 && (p(0) & 0xFF) == 0x89 && p(1) == 'P' && p(2) == 'N' && p(3) == 'G') "png"
     else if (p.length >= 3 && (p(0) & 0xFF) == 0xFF && (p(1) & 0xFF) == 0xD8) "jpeg"
+    else if (p.length >= 6 && p(0) == 'G' && p(1) == 'I' && p(2) == 'F' && p(3) == '8' &&
+      (p(4) == '7' || p(4) == '9') && p(5) == 'a') "gif"
     else if (p.length >= 12 && p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
       p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E') "wav"
     else "unknown"
+
+  /** REAL pixel resize: decode any ImageIO container, bilinear-scale to
+    * w×h, re-encode as PNG. None on undecodable bytes.
+    */
+  def resizeImage(p: Array[Byte], w: Int, h: Int): Option[Array[Byte]] =
+    try {
+      Option(javax.imageio.ImageIO.read(new ByteArrayInputStream(p))).map { img =>
+        val out = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g2 = out.createGraphics()
+        try {
+          g2.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g2.drawImage(img, 0, 0, w, h, null)
+        } finally g2.dispose()
+        encodePng(out)
+      }
+    } catch { case NonFatal(_) => None }
+
+  /** REAL video-analog frame sampling: decode a (possibly animated) GIF,
+    * take `n` evenly-spaced frames, re-encode each as PNG. None when the
+    * payload isn't a GIF or has no decodable frames.
+    */
+  def gifFrames(p: Array[Byte], n: Int): Option[Seq[Array[Byte]]] =
+    try {
+      if (sniff(p) != "gif") return None
+      val it = javax.imageio.ImageIO.getImageReadersByFormatName("gif")
+      if (!it.hasNext) return None
+      val reader = it.next()
+      val in = javax.imageio.ImageIO.createImageInputStream(new ByteArrayInputStream(p))
+      try {
+        reader.setInput(in, false)
+        val total = reader.getNumImages(true)
+        if (total <= 0) return None
+        val picks = (0 until n).map(i => (total.toLong * i / n).toInt).distinct
+        Some(picks.map(i => encodePng(reader.read(i))))
+      } finally { reader.dispose(); in.close() }
+    } catch { case NonFatal(_) => None }
+
+  private def encodePng(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
 
   /** Decode an image payload to (width, height, row-major luminance in
     * [0, 1]). Rec.601 luma weights. None if the bytes aren't a decodable
@@ -240,19 +288,43 @@ object BinaryMedia {
     }
   }
 
-  /** Frame sampling: split each payload into `n` contiguous chunks
-    * (video frame-sample / audio window analog). Pure byte slicing —
-    * deterministic, no codec needed — then exploded to one row per frame
-    * so downstream work parallelizes past the per-object granularity.
+  /** Frame sampling, one row per sampled frame so downstream work
+    * parallelizes past the per-object granularity. Animated GIFs get REAL
+    * frames: `n` evenly-spaced frames decoded and re-encoded as PNG
+    * payloads (so every downstream image op applies to each frame).
+    * Non-GIF payloads fall back to `n` contiguous byte chunks — the
+    * deterministic split for containers this JRE can't demux.
     */
   def frameSample(ds: Dataset[MediaRow], n: Int): Dataset[MediaFrame] = {
     import ds.sparkSession.implicits._
     ds.flatMap { r =>
-      val len = r.payload.length
-      (0 until n).iterator.map { i =>
-        val from = (len.toLong * i / n).toInt
-        val until = (len.toLong * (i + 1) / n).toInt
-        MediaFrame(r.media_id, i, java.util.Arrays.copyOfRange(r.payload, from, until))
+      MediaCodec.gifFrames(r.payload, n) match {
+        case Some(frames) =>
+          frames.iterator.zipWithIndex.map { case (png, i) =>
+            MediaFrame(r.media_id, i, png)
+          }
+        case None =>
+          val len = r.payload.length
+          (0 until n).iterator.map { i =>
+            val from = (len.toLong * i / n).toInt
+            val until = (len.toLong * (i + 1) / n).toInt
+            MediaFrame(r.media_id, i, java.util.Arrays.copyOfRange(r.payload, from, until))
+          }
+      }
+    }
+  }
+
+  /** REAL image resize over the binary column: decodable payloads are
+    * pixel-resized (bilinear) to w×h and re-encoded PNG with metadata
+    * updated; undecodable payloads pass through unchanged (corrupt
+    * objects must not kill a 100 TB scan). Narrow map stage, no shuffle.
+    */
+  def resize(ds: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaRow] = {
+    import ds.sparkSession.implicits._
+    ds.map { r =>
+      MediaCodec.resizeImage(r.payload, w, h) match {
+        case Some(png) => r.copy(payload = png, width = w, height = h)
+        case None => r
       }
     }
   }

@@ -149,6 +149,75 @@ class LibrarySpec extends SparkSpec {
     assert(out.values.forall(_.features.length === 16))
   }
 
+  /** Animated GIF with `frames` solid-gray frames of increasing level. */
+  private def gifBytes(w: Int, h: Int, frames: Int): Array[Byte] = {
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(out)
+    writer.prepareWriteSequence(null)
+    (0 until frames).foreach { i =>
+      val level = (255.0 * i / math.max(1, frames - 1)).toInt
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val rgb = (level << 16) | (level << 8) | level
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+    }
+    writer.endWriteSequence(); out.close(); writer.dispose()
+    bos.toByteArray
+  }
+
+  test("MediaCodec: real pixel resize preserves image structure") {
+    import graft.sources.MediaCodec
+    val png = pngBytes(64, 64)((x, _) => if (x < 32) 0x000000 else 0xFFFFFF)
+    val Some(small) = MediaCodec.resizeImage(png, 8, 8)
+    assert(MediaCodec.sniff(small) === "png")
+    val Some((w, h, lum)) = MediaCodec.imageLuminance(small)
+    assert((w, h) === (8, 8))
+    for (y <- 0 until 8) {
+      assert(lum(y * 8 + 0) < 0.2, s"left col row $y should stay dark")
+      assert(lum(y * 8 + 7) > 0.8, s"right col row $y should stay light")
+    }
+    assert(MediaCodec.resizeImage("not an image".getBytes, 8, 8).isEmpty)
+  }
+
+  test("MediaCodec: animated GIF frame sampling decodes real frames") {
+    import graft.sources.MediaCodec
+    val gif = gifBytes(16, 16, 4) // levels 0, 85, 170, 255
+    assert(MediaCodec.sniff(gif) === "gif")
+    val Some(two) = MediaCodec.gifFrames(gif, 2) // picks frames 0 and 2
+    assert(two.length === 2)
+    val lums = two.map { png =>
+      val Some((_, _, l)) = MediaCodec.imageLuminance(png)
+      l.sum / l.length
+    }
+    assert(lums(0) < 0.05, s"frame 0 level ${lums(0)}")
+    assert(math.abs(lums(1) - 170.0 / 255) < 0.05, s"frame 2 level ${lums(1)}")
+    assert(MediaCodec.gifFrames(pngBytes(8, 8)((_, _) => 0), 2).isEmpty)
+  }
+
+  test("BinaryMedia: resize + frameSample operate on the binary column") {
+    import spark.implicits._
+    import graft.sources.{BinaryMedia, MediaCodec, MediaRow}
+    val rows = Seq(
+      MediaRow(1L, "img", pngBytes(64, 64)((x, _) => if (x < 32) 0 else 0xFFFFFF), 64, 64, 0),
+      MediaRow(2L, "gif", gifBytes(16, 16, 4), 16, 16, 0),
+      MediaRow(3L, "blob", "opaque payload bytes".getBytes, 0, 0, 0))
+    val ds = spark.createDataset(rows)
+    val resized = BinaryMedia.resize(ds, 8, 8).collect().sortBy(_.media_id)
+    assert(resized(0).width === 8 && MediaCodec.sniff(resized(0).payload) === "png")
+    assert(resized(1).width === 8) // gif decodes (first frame) and re-encodes
+    assert(resized(2).payload.sameElements(rows(2).payload)) // pass-through
+    val frames = BinaryMedia.frameSample(ds, 2).collect()
+    val gifFrames = frames.filter(_.media_id == 2L)
+    assert(gifFrames.length === 2 &&
+      gifFrames.forall(f => MediaCodec.sniff(f.frame) === "png"))
+    val blobFrames = frames.filter(_.media_id == 3L)
+    assert(blobFrames.length === 2 &&
+      blobFrames.map(_.frame.length).sum === rows(2).payload.length)
+  }
+
   test("VolumeIO: slab frame round-trips through a PNG slice stack (R1/R2)") {
     import graft.sources.VolumeIO
     import graft.operators.Volume
