@@ -7,7 +7,8 @@ import graft.functions.TextAnalysis
 
 /** The end-to-end pretraining-corpus curation pipeline — the composition
   * the LLM-data operators exist for: language-ID → quality gate → exact
-  * dedup → MinHash-LSH near-dup dedup → token accounting, as ONE
+  * dedup → MinHash-LSH near-dup dedup → (optional deterministic
+  * subsampling / domain balancing) → token accounting, as ONE
   * declarative plan. Catalyst sees a single DAG, so column pruning and
   * predicate pushdown cross stage boundaries, and nothing volume-sized
   * ever touches the driver.
@@ -70,6 +71,35 @@ object Curation {
       .select(col("b_id").as("doc_id")).distinct() // the larger id dies
     exactKept.join(dropIds, Seq("doc_id"), "left_anti")
       .select("doc_id", "lang", "quality", "n_tokens", "text")
+  }
+
+  /** Deterministic 1-in-`k` subsample (graded form: x_sample_hash): the
+    * keep decision is a pure function of doc_id — no RNG, so reruns,
+    * retried tasks, and different partitionings all keep the same rows.
+    * Narrow filter; composes anywhere in the pipeline.
+    */
+  def sampleHash(docs: DataFrame, k: Int, salt: String = "smp"): DataFrame =
+    docs.filter(pmod(
+      conv(substring(md5(concat(lit(s"$salt:"), col("doc_id").cast("string"))), 1, 8), 16, 10)
+        .cast("bigint"), lit(k.toLong)) === 0)
+
+  /** Domain mixing / balanced sampling (graded form: x_mix_balance):
+    * downsample every `domainCol` group to the smallest group's size with
+    * per-group acceptance rates, decided by the same deterministic hash
+    * as sampleHash evaluated in exact integer form (u·n_group <
+    * n_target·2^32). The rates frame is one row per domain → broadcast;
+    * the corpus streams through a narrow filter.
+    */
+  def mixBalance(docs: DataFrame, domainCol: String = "source",
+      salt: String = "mix"): DataFrame = {
+    val u = conv(substring(md5(concat(lit(s"$salt:"), col("doc_id").cast("string"))), 1, 8), 16, 10)
+      .cast("bigint")
+    val counts = docs.groupBy(domainCol).agg(count(lit(1)).as("n_group"))
+    val target = counts.agg(min(col("n_group")).as("n_target"))
+    docs.join(broadcast(counts), domainCol)
+      .crossJoin(broadcast(target))
+      .filter(u * col("n_group") < col("n_target") * lit(4294967296L))
+      .select(docs.columns.map(col).toIndexedSeq: _*) // original column order
   }
 
   /** Per-language corpus accounting over a curated frame: documents,

@@ -105,4 +105,39 @@ class CurationSpec extends SparkSpec {
     assert(distinctHashes === n) // exact dedup actually happened
     out.unpersist()
   }
+
+  test("sampleHash is deterministic, composable, near nominal rate") {
+    val docs = T.t(spark, sf(), "documents")
+    val s1 = Curation.sampleHash(docs, 8).select("doc_id").collect().map(_.getLong(0)).toSet
+    val s2 = Curation.sampleHash(docs, 8).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s1 === s2)
+    assert(s1.nonEmpty && s1.size < 500)
+    // same decision function as the graded x_sample_hash query
+    val graded = SparkEntry.queries("x_sample_hash")(spark, sf())
+      .agg(org.apache.spark.sql.functions.sum("n_kept")).head().getLong(0)
+    assert(s1.size.toLong === graded)
+    // a different salt samples a different (deterministic) subset
+    val other = Curation.sampleHash(docs, 8, salt = "other")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(other !== s1)
+  }
+
+  test("mixBalance downsamples every source toward the min source size") {
+    val docs = T.t(spark, sf(), "documents")
+    val before = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val target = before.values.min
+    val after = Curation.mixBalance(docs).groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(after.keySet === before.keySet) // no source vanishes
+    // min source keeps everything; others land near target (binomial)
+    before.foreach { case (src, n) =>
+      if (n == target) assert(after(src) === n, s"min source $src")
+      val sd = math.sqrt(target.toDouble * (1 - target.toDouble / n))
+      assert(math.abs(after(src).toDouble - target) <= 5 * sd + 1,
+        s"$src: ${after(src)} vs target $target")
+    }
+    // schema passes through untouched
+    assert(Curation.mixBalance(docs).columns.toSeq === docs.columns.toSeq)
+  }
 }
