@@ -86,9 +86,14 @@ object Curation {
   /** Domain mixing / balanced sampling (graded form: x_mix_balance):
     * downsample every `domainCol` group to the smallest group's size with
     * per-group acceptance rates, decided by the same deterministic hash
-    * as sampleHash evaluated in exact integer form (u·n_group <
-    * n_target·2^32). The rates frame is one row per domain → broadcast;
-    * the corpus streams through a narrow filter.
+    * as sampleHash. The acceptance threshold u < (n_target/n_group)·2^32
+    * is precomputed per group as a rounded bigint — one integer compare
+    * per row, no overflow at any group size (the graded query instead
+    * uses the product form u·n_group < n_target·2^32, exact cross-engine
+    * but bigint-bounded to ~2e9 rows/group; here rerun-determinism is
+    * what matters and the threshold is a pure function of the counts).
+    * The rates frame is one row per domain → broadcast; the corpus
+    * streams through a narrow filter.
     */
   def mixBalance(docs: DataFrame, domainCol: String = "source",
       salt: String = "mix"): DataFrame = {
@@ -96,9 +101,11 @@ object Curation {
       .cast("bigint")
     val counts = docs.groupBy(domainCol).agg(count(lit(1)).as("n_group"))
     val target = counts.agg(min(col("n_group")).as("n_target"))
-    docs.join(broadcast(counts), domainCol)
-      .crossJoin(broadcast(target))
-      .filter(u * col("n_group") < col("n_target") * lit(4294967296L))
+    val rates = counts.crossJoin(target).select(col(domainCol),
+      floor(col("n_target").cast("double") / col("n_group") * lit(4294967296.0))
+        .cast("bigint").as("u_max"))
+    docs.join(broadcast(rates), domainCol)
+      .filter(u < col("u_max"))
       .select(docs.columns.map(col).toIndexedSeq: _*) // original column order
   }
 
