@@ -93,6 +93,16 @@ object Demo {
     Pipelines.tumblingAgg(events, "6 hours").orderBy("user_id", "win_start").show(5)
     println("== Pipelines.sessionAgg (30 min gap) ==")
     Pipelines.sessionAgg(events, "30 minutes").orderBy("user_id", "sess_start").show(5)
+
+    println("== Pipelines.attributionJoin: purchases <- views within 1h (batch mode) ==")
+    Pipelines.attributionJoin(events, events)
+      .orderBy("user_id", "l_ts", "r_ts").show(5)
+
+    println("== Curation: sampleHash (1/8) + mixBalance per source ==")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    println(s"corpus=${docs.count()} sampled=${graft.operators.Curation.sampleHash(docs, 8).count()}")
+    graft.operators.Curation.mixBalance(docs)
+      .groupBy("source").count().orderBy("source").show(5)
     spark.stop()
   }
 }
