@@ -151,4 +151,43 @@ class GeneratedPropertySpec extends SparkSpec {
     // distinct docs rarely collide under a ~2^42 modulus; allow none here
     assert(fp1.distinct.size === docs.size)
   }
+
+  test("property: sampleHash partitions the corpus across residues") {
+    import spark.implicits._
+    // For a fixed k, the k salt-free residue classes are disjoint and
+    // their union is the corpus; sampleHash keeps residue 0.
+    val ids = sample(Gen.listOfN(300, Gen.choose(0L, 1000000L)), 8L).distinct
+    val docs = ids.map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val k = sample(Gen.choose(2, 12), 9L)
+    val kept = graft.operators.Curation.sampleHash(docs, k)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val keptAgain = graft.operators.Curation.sampleHash(docs, k)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === keptAgain) // rerun-stable
+    assert(kept.subsetOf(ids.toSet))
+    // expected fraction 1/k; allow 5 sd of binomial noise
+    val p = 1.0 / k
+    val sd = math.sqrt(ids.size * p * (1 - p))
+    assert(math.abs(kept.size - ids.size * p) <= 5 * sd + 1,
+      s"kept ${kept.size} of ${ids.size} at k=$k")
+  }
+
+  test("property: mixBalance never grows a group and keeps the min group intact") {
+    import spark.implicits._
+    // Random skewed group sizes (one group forced tiny).
+    val sizes = sample(Gen.listOfN(5, Gen.choose(5, 120)), 10L)
+    val docs = sizes.zipWithIndex.flatMap { case (n, g) =>
+      (0 until n).map(i => (g * 1000L + i, s"g$g"))
+    }.toDF("doc_id", "source")
+    val before = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val after = graft.operators.Curation.mixBalance(docs)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val target = before.values.min
+    before.foreach { case (g, n) =>
+      assert(after.getOrElse(g, 0L) <= n, s"group $g grew")
+      if (n == target) assert(after(g) === n, s"min group $g must keep all")
+    }
+  }
 }
