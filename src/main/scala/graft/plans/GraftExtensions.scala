@@ -43,5 +43,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[ArrayDotProduct].getName, "graft_dot"),
       (args: Seq[Expression]) => ArrayDotProduct(args(0), args(1))))
     ext.injectOptimizerRule(_ => SimplifyDegenerateClamp)
+    ext.injectPlannerStrategy(_ => TopKPerKeyStrategy)
   }
 }

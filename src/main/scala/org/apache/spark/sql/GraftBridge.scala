@@ -1,0 +1,13 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+/** Constructs a DataFrame from a hand-built logical plan.
+  * `Dataset.ofRows` is `private[sql]`, so the one call graft's custom
+  * operators need lives in this bridge file inside the sql package — the
+  * standard pattern for libraries that add their own LogicalPlan nodes.
+  */
+object GraftBridge {
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+}
