@@ -187,7 +187,19 @@ object Custom {
         .select(col("l_orderkey"), col("l_linenumber"),
           expr("graft_clamp(l_extendedprice, 1000.0D, 50000.0D)").as("clamped"))
         .orderBy("l_orderkey", "l_linenumber")
-    })
+    }),
+
+    // Custom PLANNER STRATEGY under oracle grading: exact top-3 orders
+    // per status through plans/TopKPerKey (LogicalPlan + Strategy +
+    // heap-based SparkPlan — no per-partition sort). Deterministic
+    // because the order column o_orderkey is unique, so the heap's
+    // tie-arbitrariness never fires and the window-form oracle agrees
+    // row-for-row.
+    "u_strategy_topk" -> ((s, d) =>
+      graft.plans.TopK.perKey(t(s, d, "orders"),
+          Seq("o_orderstatus"), "o_orderkey", 3)
+        .select(col("o_orderstatus"), col("o_orderkey"))
+        .orderBy("o_orderstatus", "o_orderkey"))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -212,6 +224,11 @@ object Custom {
     "u_expr_custom" ->
       ("SELECT l_orderkey, l_linenumber, " +
         "least(greatest(l_extendedprice, 1000.0), 50000.0) AS clamped " +
-        "FROM lineitem ORDER BY l_orderkey, l_linenumber")
+        "FROM lineitem ORDER BY l_orderkey, l_linenumber"),
+    "u_strategy_topk" ->
+      ("SELECT o_orderstatus, o_orderkey FROM (" +
+        "SELECT o_orderstatus, o_orderkey, " +
+        "row_number() OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey DESC) AS rn " +
+        "FROM orders) WHERE rn <= 3 ORDER BY o_orderstatus, o_orderkey")
   )
 }
