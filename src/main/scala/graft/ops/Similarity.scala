@@ -195,21 +195,29 @@ object Similarity {
     // shingles are far rarer than tokens, so hot-key skew is bounded by
     // real duplicate clusters (which ARE the output).
     "x_dedup_ngram" -> ((s, d) => {
-      val sh = t(s, d, "documents")
+      // Shingle arrays + set size computed once; both join sides and the
+      // size lookup derive from this persisted frame.
+      val base = t(s, d, "documents")
         .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
         .filter(size(col("toks")) >= 3)
-        .select(col("doc_id"), col("lang"), explode(expr(
-          "array_distinct(transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2])))")).as("sh"))
-        .persist() // index + both join sides read this frame
-      val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      sh.select(col("doc_id").as("a_id"), col("lang"), col("sh"))
+        .select(col("doc_id"), col("lang"), expr(
+          "array_distinct(transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2])))").as("shs"))
+        .withColumn("n", size(col("shs")))
+        .persist()
+      val sh = base.select(col("doc_id"), col("lang"), col("n"),
+        explode(col("shs")).as("sh"))
+      // Size-band prune INSIDE the join condition: J >= 0.4 forces
+      // |A| >= 0.4|B| and |B| >= 0.4|A| (intersection <= min), so pairs
+      // outside the band are dropped before the candidate-count shuffle.
+      // Implied by the final predicate -> the oracle SQL is unchanged.
+      sh.select(col("doc_id").as("a_id"), col("lang"), col("n").as("na"), col("sh"))
         .join(sh.select(col("doc_id").as("b_id"), col("lang").as("lang_b"),
-            col("sh").as("sh_b")),
+            col("n").as("nb"), col("sh").as("sh_b")),
           col("sh") === col("sh_b") && col("lang") === col("lang_b") &&
-            col("a_id") < col("b_id"))
-        .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
-        .join(sz.select(col("doc_id").as("a_id"), col("n").as("na")), "a_id")
-        .join(sz.select(col("doc_id").as("b_id"), col("n").as("nb")), "b_id")
+            col("a_id") < col("b_id") &&
+            col("na").cast("double") >= col("nb") * 0.4 &&
+            col("nb").cast("double") >= col("na") * 0.4)
+        .groupBy("a_id", "b_id", "na", "nb").agg(count(lit(1)).as("inter"))
         .withColumn("jacc",
           col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
         .filter(col("jacc") >= 0.4)
