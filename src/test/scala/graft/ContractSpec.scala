@@ -29,6 +29,23 @@ class ContractSpec extends SparkSpec {
   // j_anti legitimately returns 0 rows (every customer has orders).
   private val mayBeEmpty = Set("j_anti", "a_having", "x_dedup_jaccard")
 
+  // Queries whose CONTRACT is a non-equi or exhaustive pair join — the
+  // only ones allowed to plan a CartesianProduct/BroadcastNestedLoopJoin.
+  // Everything else planning one is an O(n²) scale regression (the
+  // round-1 dedup failure mode) and must fail here, not in a bench.
+  private val mayNestedLoop = Set(
+    "j_cross",          // crossJoin is the operator under test
+    "j_theta_band",     // pure range condition (oracle form)
+    "j_theta_ineq",     // pure inequality condition
+    "j_asof",           // as-of window formulation's event pairing
+    "x_sim_dot",        // 1-row broadcast probe vector
+    "x_sim_cosine_topk", "x_knn_label_vote", // broadcast probe set, != join
+    "x_ann_bucket_topk", // bucket equi-key + != residual can plan BNLJ on tiny probes
+    "x_dedup_embcos",   // exhaustive BY CONTRACT (§2b; Ann is the scale path)
+    "x_mix_balance", "x_flex_intensity_range", "x_flex_threshold_otsu",
+    "x_text_tfidf",     // 1-row corpus-count crossJoin
+    "x_flex_affine", "u_udaf_centroid") // 1-row param/centroid broadcast
+
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"runs on sf0.001: $name") {
       val df = fn(spark, sf())
@@ -52,6 +69,12 @@ class ContractSpec extends SparkSpec {
       }
       assert(banned.isEmpty,
         s"$name emits non-canonical columns ${banned.mkString(",")} — use T.decOut/numArrStr/mapStr or cast timestamp_ntz (§7.3 R6)")
+      if (!mayNestedLoop(name)) {
+        val plan = df.queryExecution.executedPlan.toString
+        assert(!plan.contains("CartesianProduct") &&
+          !plan.contains("BroadcastNestedLoopJoin"),
+          s"$name plans a cartesian/nested-loop join — O(n²) at scale:\n$plan")
+      }
       val n = df.count()
       if (!mayBeEmpty(name)) assert(n > 0, s"$name returned no rows")
     }
