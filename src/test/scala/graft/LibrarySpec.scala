@@ -294,6 +294,29 @@ class LibrarySpec extends SparkSpec {
     assert(batch.size === 3) // (u1,h0),(u1,h1),(u2,h0)
   }
 
+  test("Pipelines: streaming sessionAgg equals batch (gap merge across batches)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 00:00:00"), 1.0),
+      (1L, Timestamp.valueOf("2024-01-01 00:20:00"), 1.0), // merges (gap 30m)
+      (1L, Timestamp.valueOf("2024-01-01 01:30:00"), 1.0), // new session
+      (2L, Timestamp.valueOf("2024-01-01 00:05:00"), 1.0))
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    mem.addData(rows: _*)
+    val q = Pipelines.sessionAgg(
+        mem.toDF.toDF("user_id", "ts", "value"), "30 minutes")
+      .writeStream.format("memory").queryName("lib_sess_sink")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val stream = spark.table("lib_sess_sink").collect().map(_.toSeq).toSet
+    val batch = Pipelines.sessionAgg(
+        rows.toDF("user_id", "ts", "value"), "30 minutes")
+      .collect().map(_.toSeq).toSet
+    assert(stream === batch)
+    assert(batch.size === 3) // u1 two sessions, u2 one
+  }
+
   test("Pipelines: attribution stream-stream join == batch join on same data") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
