@@ -268,19 +268,17 @@ object Similarity {
     // self-equi-join on (band_idx, band_bits), exact hamming verifies —
     // the identical result set, with no cross product at any scale.
     "x_dedup_simhash" -> ((s, d) => {
-      val toks = t(s, d, "documents")
-        .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
-        .withColumn("h", conv(substring(md5(col("tok").cast("binary")), 1, 15), 16, 10)
-          .cast("bigint"))
-      val sigs = toks
-        .withColumn("b", explode(sequence(lit(0), lit(59))))
-        .withColumn("vote", when(call_function("shiftright", col("h"), col("b"))
-          .bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
-        .groupBy("doc_id", "b")
-        .agg(sum(col("vote")).as("v"))
-        .groupBy("doc_id")
-        .agg(sum(when(col("v") >= 0, call_function("shiftleft", lit(1L), col("b")))
-          .otherwise(0L)).cast("bigint").as("sig"))
+      // Signature via the native Md5SimHash expression (ops/Custom.scala):
+      // one codegen'd pass per document instead of the former corpus×60
+      // explode + two groupBy shuffles. Values are bit-for-bit the
+      // oracle's md5 formulation (expression Scaladoc has the proof).
+      Custom.register(s)
+      // fan(): the single-file parquet scan is ONE input split; without a
+      // repartition the per-doc signature pass and the band join's
+      // shuffle write all run in one task (the old groupBy pipeline got
+      // its parallelism from the agg exchange as a side effect).
+      val sigs = fan(s, t(s, d, "documents"))
+        .select(col("doc_id"), expr("graft_simhash_md5(text)").as("sig"))
       // 9 bands over bits 0..59: offsets/widths (0,7)(7,7)…(35,7)(42,6)(48,6)(54,6)
       val bandVals = (0 until 9).map { i =>
         val off = if (i < 6) 7 * i else 42 + 6 * (i - 6)
