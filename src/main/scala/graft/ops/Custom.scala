@@ -128,6 +128,61 @@ object Md5SimHash {
   }
 }
 
+/** 8-seed MD5 MinHash signature of a space-tokenized string, one pass per
+  * row (same rationale and codegen shape as [[Md5SimHash]]). Equal to the
+  * relational form `min(md5(concat(tok, '#', seed)))` per seed over
+  * DISTINCT tokens: hex strings are lowercase ASCII, so String.compareTo
+  * is the same order as SQL binary string min.
+  */
+case class Md5MinHash(child: Expression)
+  extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_minhash_md5"
+  override protected def nullSafeEval(input: Any): Any =
+    Md5MinHash.compute(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.ops.Md5MinHash.compute($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object Md5MinHash {
+  val NumHashes = 8
+  private val hexChars = "0123456789abcdef".toCharArray
+
+  def compute(text: UTF8String): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val tokens = text.toString.split(" ", -1)
+    val seen = new java.util.HashSet[String]()
+    val mins = new Array[String](NumHashes)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var ti = 0
+    while (ti < tokens.length) {
+      val tok = tokens(ti)
+      if (seen.add(tok)) {
+        var i = 0
+        while (i < NumHashes) {
+          md.reset()
+          val digest = md.digest((tok + "#" + i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          val hex = new Array[Char](32)
+          var j = 0
+          while (j < 16) {
+            hex(j * 2) = hexChars((digest(j) >> 4) & 0xF)
+            hex(j * 2 + 1) = hexChars(digest(j) & 0xF)
+            j += 1
+          }
+          val s = new String(hex)
+          if (mins(i) == null || s.compareTo(mins(i)) < 0) mins(i) = s
+          i += 1
+        }
+      }
+      ti += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      mins.map(UTF8String.fromString(_): AnyRef))
+  }
+}
+
 /** Geometric mean as a typed Aggregator. The ln-sum buffer is an exact
   * BigDecimal (scale 12) so the result is independent of partition count
   * and merge order; output rounded to 2 decimals because cross-engine
@@ -193,6 +248,9 @@ object Custom {
       "scala_udf")
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_simhash_md5", (args: Seq[Expression]) => Md5SimHash(args(0)),
+      "scala_udf")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_minhash_md5", (args: Seq[Expression]) => Md5MinHash(args(0)),
       "scala_udf")
   }
 

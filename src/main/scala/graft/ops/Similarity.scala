@@ -237,15 +237,16 @@ object Similarity {
     // output). On a mostly-unique 100 TB corpus this is O(n) + O(pairs),
     // where the earlier cluster×cluster formulation degraded to O(n²).
     "x_dedup_minhash" -> ((s, d) => {
-      // persist(): both self-join sides read this frame; without it the
-      // tokenize+md5+groupBy pipeline materializes TWICE (two independent
-      // Exchange subtrees). 8 rows/doc — small at any corpus scale.
-      val sigs = t(s, d, "documents")
-        .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
-        .groupBy("doc_id")
-        .agg(array((0 to 7).map(i =>
-          min(md5(concat(col("tok"), lit(s"#$i")).cast("binary")))): _*).as("sigs"))
-        .select(col("doc_id"), posexplode(col("sigs")).as(Seq("seed", "mh")))
+      // Signatures via the native Md5MinHash expression (ops/Custom.scala):
+      // one codegen'd pass per document — no token explode, no groupBy
+      // shuffle (values identical to min(md5(tok ∥ '#' ∥ seed)) per seed).
+      // fan(): single-split parquet would otherwise run the signature
+      // pass and the band join's shuffle write in one task.
+      // persist(): both self-join sides read this frame; 8 rows/doc.
+      Custom.register(s)
+      val sigs = fan(s, t(s, d, "documents"))
+        .select(col("doc_id"),
+          posexplode(expr("graft_minhash_md5(text)")).as(Seq("seed", "mh")))
         .persist()
       val a = sigs.select(col("doc_id").as("a_id"), col("seed"), col("mh"))
       val b = sigs.select(col("doc_id").as("b_id"),
