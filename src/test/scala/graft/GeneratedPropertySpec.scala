@@ -152,6 +152,47 @@ class GeneratedPropertySpec extends SparkSpec {
     assert(fp1.distinct.size === docs.size)
   }
 
+  test("property: native md5 simhash/minhash == relational formulation (incl. empty tokens)") {
+    import spark.implicits._
+    import graft.ops.Custom
+    Custom.register(spark)
+    // Random docs with DOUBLE spaces and edge shapes injected: split on
+    // ' ' then produces empty-string tokens, which the native expressions
+    // must hash identically to the SQL pipeline.
+    val weird = Gen.oneOf(doc, doc.map(_.replaceFirst(" ", "  ")),
+      Gen.const(""), Gen.const(" "), word)
+    val docs = sample(Gen.listOfN(60, weird), 11L).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val df = docs.toDF("doc_id", "text").persist()
+    // SimHash: expression vs explode+vote pipeline.
+    val simNative = df.selectExpr("doc_id", "graft_simhash_md5(text) AS sig")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val simSql = df
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
+      .withColumn("h", conv(substring(md5(col("tok").cast("binary")), 1, 15), 16, 10).cast("bigint"))
+      .withColumn("b", explode(sequence(lit(0), lit(59))))
+      .withColumn("vote", when(call_function("shiftright", col("h"), col("b"))
+        .bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
+      .groupBy("doc_id", "b").agg(sum("vote").as("v"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("v") >= 0, call_function("shiftleft", lit(1L), col("b")))
+        .otherwise(0L)).cast("bigint").as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(simNative === simSql)
+    // MinHash: expression vs explode+min-agg pipeline.
+    val mhNative = df.selectExpr("doc_id", "graft_minhash_md5(text) AS sigs")
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toVector).toMap
+    val mhSql = df
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
+      .groupBy("doc_id")
+      .agg(array((0 to 7).map(i =>
+        min(md5(concat(col("tok"), lit(s"#$i")).cast("binary")))): _*).as("sigs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toVector).toMap
+    assert(mhNative === mhSql)
+    df.unpersist()
+    ()
+  }
+
   test("property: sampleHash partitions the corpus across residues") {
     import spark.implicits._
     // For a fixed k, the k salt-free residue classes are disjoint and
