@@ -138,7 +138,33 @@ object Aggregates {
         .groupBy("event_type")
         .agg(approx_count_distinct(col("user_id")).as("approx_users"),
           round(expr("approx_percentile(value, 0.5D)"), 6).as("approx_median"))
-        .orderBy("event_type"))
+        .orderBy("event_type")),
+
+    // PIVOT: order counts spread across status columns per priority.
+    // Values are pinned (F/O/P) so both engines emit the same columns;
+    // pivot cells with no group are 0, not null.
+    "a_pivot" -> ((s, d) =>
+      t(s, d, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .count()
+        .select(col("o_orderpriority"),
+          coalesce(col("F"), lit(0L)).as("F"),
+          coalesce(col("O"), lit(0L)).as("O"),
+          coalesce(col("P"), lit(0L)).as("P"))
+        .orderBy("o_orderpriority")),
+
+    // UNPIVOT (melt): wide per-returnflag decimal sums back to long form.
+    // The unpivoted variable column carries the measure name.
+    "a_unpivot" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(decOut(sum(dec(col("l_quantity")))).as("qty"),
+          decOut(sum(dec(col("l_discount")))).as("disc"),
+          decOut(sum(dec(col("l_tax")))).as("tax"))
+        .unpivot(Array(col("l_returnflag")),
+          Array(col("qty"), col("disc"), col("tax")), "measure", "val")
+        .orderBy("l_returnflag", "measure"))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -193,6 +219,23 @@ object Aggregates {
         "round(covar_samp(l_quantity, l_extendedprice), 6) AS cov_qp, " +
         "round(percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity), 6) AS median_qty " +
         "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "a_pivot" ->
+      ("SELECT o_orderpriority, " +
+        "count(*) FILTER (WHERE o_orderstatus = 'F') AS F, " +
+        "count(*) FILTER (WHERE o_orderstatus = 'O') AS O, " +
+        "count(*) FILTER (WHERE o_orderstatus = 'P') AS P " +
+        "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+    "a_unpivot" ->
+      ("WITH w AS (SELECT l_returnflag, " +
+        "round(CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE), 6) AS qty, " +
+        "round(CAST(sum(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE), 6) AS disc, " +
+        "round(CAST(sum(CAST(l_tax AS DECIMAL(38,6))) AS DOUBLE), 6) AS tax " +
+        "FROM lineitem GROUP BY l_returnflag) " +
+        "SELECT l_returnflag, measure, val FROM (" +
+        "SELECT l_returnflag, 'qty' AS measure, qty AS val FROM w " +
+        "UNION ALL SELECT l_returnflag, 'disc', disc FROM w " +
+        "UNION ALL SELECT l_returnflag, 'tax', tax FROM w) " +
+        "ORDER BY l_returnflag, measure"),
     "a_minmax_by" ->
       ("SELECT o_orderstatus, round(CAST(max(o_totalprice) AS DOUBLE), 6) AS max_price, " +
         "arg_max(o_orderkey, ov) AS best_key, arg_min(o_orderkey, ov) AS worst_key " +

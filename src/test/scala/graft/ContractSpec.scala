@@ -2,13 +2,13 @@ package graft
 
 /** T1 blanket contract checks: every declared query runs on sf0.001,
   * the queries/oracleSql maps are mutually consistent, and the declared
-  * inventory matches SURVEY.md §2b (98 keys, 96 oracle-checked).
+  * inventory matches SURVEY.md §2b (100 keys, 98 oracle-checked).
   */
 class ContractSpec extends SparkSpec {
 
-  test("inventory matches SURVEY §2b: 98 queries, 96 with oracle SQL") {
-    assert(SparkEntry.queries.size === 98)
-    assert(SparkEntry.oracleSql.size === 96)
+  test("inventory matches SURVEY §2b: 100 queries, 98 with oracle SQL") {
+    assert(SparkEntry.queries.size === 100)
+    assert(SparkEntry.oracleSql.size === 98)
     assert(SparkEntry.queries.keySet.intersect(Set("a_approx_hll", "t_stream_runtime")).size === 2)
   }
 
