@@ -1,0 +1,59 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-behavior probe for the dedup family: runs each candidate-
+  * generation plan on the sf0.1 corpus and on a synthesized 10× corpus
+  * (10 copies, ids offset, one unique token appended per copy so exact
+  * dedup stays meaningful while near-dup clusters grow 10×), and prints
+  * wall-seconds for both. The point is the SHAPE of the growth: a
+  * linear-ish factor is what the equi-join designs promise; a quadratic
+  * factor would flag a hidden all-pairs path. Pair-output growth is
+  * super-linear BY CONSTRUCTION when duplicate clusters scale (a cluster
+  * of 10c yields ~50c² pairs) — the probe prints output rows so the two
+  * effects can be told apart.
+  *
+  * `runMain graft.tools.ScaleProbe [sfDir]`
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+    val nBase = base.count()
+    val big = (0 until 10).map { i =>
+      base.select(
+        (col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+        concat(col("text"), lit(s" copytoken$i")).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.reduce(_ unionByName _)
+    val bigDir = java.nio.file.Files.createTempDirectory("scaleprobe").toString
+    big.write.mode("overwrite").parquet(s"$bigDir/documents.parquet")
+    val nBig = spark.read.parquet(s"$bigDir/documents.parquet").count()
+
+    val keys = Seq("x_dedup_exact", "x_dedup_minhash", "x_dedup_simhash",
+      "x_dedup_ngram", "x_dedup_jaccard")
+    def time(fn: => DataFrame): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val n = fn.count()
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+    println(f"corpus: base=$nBase big=$nBig (10x, near-dup clusters preserved)")
+    keys.foreach { k =>
+      val q = graft.SparkEntry.queries(k)
+      val (tS, nS) = time(q(spark, sfDir))
+      val (tB, nB) = time(q(spark, bigDir))
+      println(f"$k%-18s base ${tS}%6.2fs -> 10x ${tB}%7.2fs  (factor ${tB / tS}%5.1f; rows $nS -> $nB)")
+    }
+    spark.stop()
+  }
+}
