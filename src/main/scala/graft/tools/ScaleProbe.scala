@@ -54,6 +54,12 @@ object ScaleProbe {
       val (tB, nB) = time(q(spark, bigDir))
       println(f"$k%-18s base ${tS}%6.2fs -> 10x ${tB}%7.2fs  (factor ${tB / tS}%5.1f; rows $nS -> $nB)")
     }
+    // The composed pipeline emits per-doc keep/drop decisions (exact
+    // canonicalization BEFORE minhash banding) — the scale form that
+    // avoids materializing the quadratic pair set.
+    val (tCur, nCur) = time(graft.operators.Curation.curate(
+      spark.read.parquet(s"$bigDir/documents.parquet").select("doc_id", "text")))
+    println(f"curation (10x corpus, keep/drop form): ${tCur}%6.2fs, $nCur survivors of $nBig")
     spark.stop()
   }
 }
