@@ -155,4 +155,33 @@ object TextAnalysis {
       lit(0L),
       (acc, h) => pmod(acc * lit(1000003L) + h, m))
   }
+
+  /** Rolling-hash prefix fingerprint, mod P = 2^31−1 */
+  val fingerprintMod: Long = 2147483647L
+  /** …with multiplier r = 1000003; w(k) = r^k mod P for k = 0..11. */
+  val fingerprintWeights: Seq[Long] = Seq(1L, 1000003L, 1426104154L,
+    1049561761L, 1604566856L, 1953433226L, 2061642598L, 57298384L,
+    1544709545L, 1274554124L, 633364108L, 66148026L)
+
+  /** Cross-engine-exact variant of [[fingerprint]] (graded as
+    * x_text_fingerprint): rolling hash over the FIRST 12 single-space
+    * tokens, token hash = first 32 bits of md5 (identical on any engine;
+    * murmur `hash()` is Spark-private), modulus 2^31−1 so every product
+    * stays inside signed 64-bit. The Horner fold is re-expressed as
+    * Σ hᵢ·(r^(n−1−i) mod P) with the weights precomputed literals —
+    * associative, so a fold, a SUM agg, or a SIMD reduction all agree.
+    * Same token prefix ⇒ same value; any edit/reorder ⇒ different (whp).
+    */
+  def fingerprintMd5(text: Column): Column = {
+    val P = lit(fingerprintMod)
+    val toks = slice(split(text, " "), 1, fingerprintWeights.size)
+    val n = size(toks)
+    pmod(
+      aggregate(
+        transform(toks, (tk, i) =>
+          pmod(pmod(conv(substring(md5(tk), 1, 8), 16, 10).cast("long"), P)
+            * element_at(typedLit(fingerprintWeights), (n - i).cast("int")), P)),
+        lit(0L), (acc, x) => acc + x),
+      P)
+  }
 }

@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph-side completion of the dedup family: turn a near-duplicate PAIR
+  * relation (what the LSH stages emit) into CLUSTER assignments (what a
+  * curation pipeline actually consumes — "keep one canonical doc per
+  * duplicate cluster"). Pairs only say a~b; transitive chains a~b~c must
+  * collapse to one cluster, which is connected components over the pair
+  * graph.
+  *
+  * Algorithm: iterative min-label propagation. Every node starts with
+  * label = min(own id, smallest neighbor id); each round replaces the
+  * label with the minimum label in the closed neighborhood; fixpoint =
+  * every node carries its component's minimum id. This is the standard
+  * large-graph CC formulation (the simple variant of map-reduce
+  * star-contraction): each round is ONE shuffle linear in |edges|, and
+  * rounds needed = graph diameter. LSH duplicate clusters are near-
+  * cliques (diameter 1-2), so 2-3 rounds converge; a documented
+  * `maxIter` bounds adversarial chains. The driver loop iterates over
+  * ACTIONS (the §3.3 driver-loop pattern, like register_volumes'
+  * refinement) — per-round data never leaves the executors; the driver
+  * sees only the one-row "did any label change" probe.
+  *
+  * Scale (100 TB): no broadcast, no cross product — every round is a
+  * self-equi-join on node id followed by a min-agg, both shuffling on
+  * the id. Hot keys ARE real duplicate clusters (bounded by the pair
+  * stage's output). Superseded label frames are unpersisted each round,
+  * so peak storage is 2×|nodes| + |edges|.
+  */
+object Dedup {
+
+  /** Connected components of the undirected pair graph.
+    *
+    * @param pairs frame with long columns `a_id`, `b_id` (one row per
+    *              near-duplicate pair; direction irrelevant)
+    * @return (doc_id, cluster_id, n_members): every node that appears in
+    *         a pair, its component's minimum id, and the component size —
+    *         deterministic, ordered by doc_id
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    // Both directions from ONE pass over pairs (a union of two selects
+    // would run the upstream pair-generation plan twice inside the same
+    // materialization — for LSH pair inputs that is the expensive part).
+    val edges = pairs
+      .select(explode(array(
+        struct(col("a_id").cast("long").as("u"), col("b_id").cast("long").as("v")),
+        struct(col("b_id").cast("long").as("u"), col("a_id").cast("long").as("v"))))
+        .as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .persist()
+    var labels = edges.groupBy("u").agg(min(col("v")).as("mn"))
+      .select(col("u"), least(col("u"), col("mn")).as("lab"))
+    var kept: Option[DataFrame] = None // last persisted step, for unpersist
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("u").as("v"), col("lab").as("vlab")), "v")
+        .groupBy("u").agg(min(col("vlab")).as("nlab"))
+      // Keep old and new side by side so convergence is a filter on the
+      // SAME materialized frame (no re-execution race with unpersist).
+      val step = labels.join(nbrMin, Seq("u"), "left")
+        .select(col("u"), col("lab").as("old"),
+          least(col("lab"), coalesce(col("nlab"), col("lab"))).as("lab"))
+        .persist()
+      converged = step.filter(col("lab") < col("old")).isEmpty // materializes step
+      kept.foreach(_.unpersist())
+      kept = Some(step)
+      labels = step.select("u", "lab")
+      iter += 1
+    }
+    val sized = labels.groupBy("lab").agg(count(lit(1)).as("n_members"))
+    labels
+      .join(sized, "lab")
+      .select(col("u").as("doc_id"), col("lab").as("cluster_id"), col("n_members"))
+      .orderBy("doc_id")
+  }
+
+  /** Transitive-closure dedup policy: every connected component of the
+    * near-dup pair graph keeps exactly its min-id member. More aggressive
+    * than Curation's neighbor policy (which keeps any doc with no DIRECT
+    * smaller-id neighbor): on a star 1~3, 2~3 this keeps only doc 1,
+    * where the neighbor policy keeps 1 AND 2 because their mutual
+    * similarity was never established by a pair. Pick per corpus; both
+    * are deterministic.
+    *
+    * @param docs  frame keyed by `doc_id`
+    * @param pairs near-dup pairs (`a_id`, `b_id`) over the same ids
+    * @return docs minus every non-canonical member of a pair component
+    */
+  def dropNonCanonical(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val doomed = connectedComponents(pairs)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select("doc_id")
+    docs.join(doomed, Seq("doc_id"), "left_anti")
+  }
+}

@@ -54,6 +54,31 @@ object Similarity {
       .filter(col("rn") <= 5)
   }
 
+  /** MinHash-LSH band-agreement candidate pairs — shared by
+    * x_dedup_minhash (pair form) and x_dedup_cluster (component form).
+    * Signatures via the native Md5MinHash expression (ops/Custom.scala):
+    * one codegen'd pass per document — no token explode, no groupBy
+    * shuffle (values identical to min(md5(tok ∥ '#' ∥ seed)) per seed).
+    * fan(): single-split parquet would otherwise run the signature pass
+    * and the band join's shuffle write in one task. persist(): both
+    * self-join sides read the signature frame; 8 rows/doc.
+    */
+  private def minhashPairs(s: org.apache.spark.sql.SparkSession, d: String) = {
+    Custom.register(s)
+    val sigs = fan(s, t(s, d, "documents"))
+      .select(col("doc_id"),
+        posexplode(expr("graft_minhash_md5(text)")).as(Seq("seed", "mh")))
+      .persist()
+    val a = sigs.select(col("doc_id").as("a_id"), col("seed"), col("mh"))
+    val b = sigs.select(col("doc_id").as("b_id"),
+      col("seed").as("seed_b"), col("mh").as("mh_b"))
+    a.join(b, col("seed") === col("seed_b") && col("mh") === col("mh_b") &&
+        col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id")
+      .agg(count(lit(1)).as("n_bands"))
+      .filter(col("n_bands") >= 4)
+  }
+
   val queries: Map[String, Q] = Map(
     "x_sim_dot" -> ((s, d) => {
       val e = t(s, d, "embeddings")
@@ -236,28 +261,16 @@ object Similarity {
     // balanced (a hot bucket = an actual duplicate cluster, which IS the
     // output). On a mostly-unique 100 TB corpus this is O(n) + O(pairs),
     // where the earlier cluster×cluster formulation degraded to O(n²).
-    "x_dedup_minhash" -> ((s, d) => {
-      // Signatures via the native Md5MinHash expression (ops/Custom.scala):
-      // one codegen'd pass per document — no token explode, no groupBy
-      // shuffle (values identical to min(md5(tok ∥ '#' ∥ seed)) per seed).
-      // fan(): single-split parquet would otherwise run the signature
-      // pass and the band join's shuffle write in one task.
-      // persist(): both self-join sides read this frame; 8 rows/doc.
-      Custom.register(s)
-      val sigs = fan(s, t(s, d, "documents"))
-        .select(col("doc_id"),
-          posexplode(expr("graft_minhash_md5(text)")).as(Seq("seed", "mh")))
-        .persist()
-      val a = sigs.select(col("doc_id").as("a_id"), col("seed"), col("mh"))
-      val b = sigs.select(col("doc_id").as("b_id"),
-        col("seed").as("seed_b"), col("mh").as("mh_b"))
-      a.join(b, col("seed") === col("seed_b") && col("mh") === col("mh_b") &&
-          col("a_id") < col("b_id"))
-        .groupBy("a_id", "b_id")
-        .agg(count(lit(1)).as("n_bands"))
-        .filter(col("n_bands") >= 4)
-        .orderBy("a_id", "b_id")
-    }),
+    "x_dedup_minhash" -> ((s, d) => minhashPairs(s, d).orderBy("a_id", "b_id")),
+
+    // LSH pairs → duplicate CLUSTERS: connected components over the
+    // minhash pair graph (transitive chains a~b~c collapse to one
+    // cluster; cluster_id = the component's min doc_id — the canonical
+    // survivor a curation pipeline keeps). Iterative min-label
+    // propagation (operators/Dedup.scala has the scale notes); the
+    // oracle computes the same fixpoint via a recursive reachability CTE.
+    "x_dedup_cluster" -> ((s, d) =>
+      graft.operators.Dedup.connectedComponents(minhashPairs(s, d))),
 
     // SimHash near-dup: 60-bit signatures from md5-derived token hashes
     // (md5 → identical bits on both engines; xxhash64 would not oracle-
@@ -418,6 +431,24 @@ object Similarity {
           round(col("n_bpe").cast("double") / greatest(col("n_ws"), lit(1)), 6))
         .orderBy("doc_id")),
 
+    // Document fingerprinting, north-star form: order-sensitive
+    // polynomial rolling hash over the first 12 tokens — same sequence ⇒
+    // same fingerprint, any reorder/edit ⇒ different (the complement of
+    // the order-INsensitive minhash/simhash sketches; fingerprint match ⇒
+    // near-certain prefix duplicate, usable as a cheap first-pass block
+    // key). Cross-engine determinism: token hash = first 32 md5 bits
+    // (md5, not murmur — identical on both engines), modulus P = 2^31-1
+    // so h·r^k products stay inside signed 64-bit on both engines, and
+    // the Horner fold is re-expressed as Σ h_i·(r^{n-1-i} mod P) with the
+    // twelve weights PRECOMPUTED as literals — associative, so Spark's
+    // HOF fold and the oracle's SUM group-agg compute it identically.
+    // Pure map-side narrow pass; the only shuffle is the output sort.
+    "x_text_fingerprint" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          graft.functions.TextAnalysis.fingerprintMd5(col("text")).as("fp"))
+        .orderBy("doc_id")),
+
     // Deterministic hash sampling — the reproducible subsampling a
     // training-data pipeline needs (no RNG: the keep decision is a pure
     // function of doc_id, so reruns and both engines agree exactly).
@@ -555,6 +586,21 @@ object Similarity {
         "SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_bands " +
         "FROM sigs a JOIN sigs b ON a.seed = b.seed AND a.mh = b.mh AND a.doc_id < b.doc_id " +
         "GROUP BY a_id, b_id HAVING count(*) >= 4 ORDER BY a_id, b_id"),
+    "x_dedup_cluster" ->
+      ("WITH RECURSIVE toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents), " +
+        "sigs AS (SELECT doc_id, seed, min(md5(tok || '#' || CAST(seed AS VARCHAR))) AS mh " +
+        "FROM toks CROSS JOIN (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) seeds(seed) " +
+        "GROUP BY doc_id, seed), " +
+        "pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id " +
+        "FROM sigs a JOIN sigs b ON a.seed = b.seed AND a.mh = b.mh AND a.doc_id < b.doc_id " +
+        "GROUP BY a_id, b_id HAVING count(*) >= 4), " +
+        "edges AS (SELECT a_id AS u, b_id AS v FROM pairs UNION SELECT b_id AS u, a_id AS v FROM pairs), " +
+        "walk(u, v) AS (SELECT u, v FROM edges " +
+        "UNION SELECT w.u, e.v FROM walk w JOIN edges e ON w.v = e.u WHERE e.v <> w.u), " +
+        "lab AS (SELECT u, least(u, min(v)) AS cluster_id FROM walk GROUP BY u) " +
+        "SELECT u AS doc_id, cluster_id, " +
+        "count(*) OVER (PARTITION BY cluster_id) AS n_members " +
+        "FROM lab ORDER BY doc_id"),
     "x_dedup_simhash" ->
       ("WITH toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents), " +
         "h AS (SELECT doc_id, CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT) AS h FROM toks), " +
@@ -622,6 +668,15 @@ object Similarity {
         "round(CAST(count(*) FILTER (WHERE d.u * c.n_src < t.n_target * 4294967296) AS DOUBLE) / c.n_src, 6) AS rate " +
         "FROM d JOIN c ON d.source = c.source CROSS JOIN t " +
         "GROUP BY d.source, c.n_src ORDER BY d.source"),
+    "x_text_fingerprint" ->
+      ("WITH t AS (SELECT doc_id, (string_split(text, ' '))[1:12] AS toks FROM documents), " +
+        "e AS (SELECT doc_id, len(toks) AS n, toks, unnest(range(len(toks))) AS i FROM t), " +
+        "h AS (SELECT doc_id, n, i, " +
+        "CAST(('0x' || substring(md5(toks[CAST(i + 1 AS INTEGER)]), 1, 8)) AS BIGINT) % 2147483647 AS hv FROM e) " +
+        "SELECT doc_id, CAST(SUM(hv * ([1,1000003,1426104154,1049561761,1604566856," +
+        "1953433226,2061642598,57298384,1544709545,1274554124,633364108,66148026])" +
+        "[CAST(n - i AS INTEGER)] % 2147483647) % 2147483647 AS BIGINT) AS fp " +
+        "FROM h GROUP BY doc_id ORDER BY doc_id"),
     "x_text_token_count" ->
       ("SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws, " +
         "CAST(len(regexp_extract_all(text, '[aeiou]+[^aeiou ]*')) AS INTEGER) AS n_bpe, " +

@@ -41,7 +41,7 @@ object ScaleProbe {
     val nBig = spark.read.parquet(s"$bigDir/documents.parquet").count()
 
     val keys = Seq("x_dedup_exact", "x_dedup_minhash", "x_dedup_simhash",
-      "x_dedup_ngram", "x_dedup_jaccard")
+      "x_dedup_ngram", "x_dedup_jaccard", "x_dedup_cluster")
     def time(fn: => DataFrame): (Double, Long) = {
       val t0 = System.nanoTime()
       val n = fn.count()

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+/** T1 specs for operators/Dedup.connectedComponents — the pairs→clusters
+  * completion of the LSH dedup family. Hand-built graphs with known
+  * components (SURVEY.md §5.2 tier-1 pattern).
+  */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def cc(pairs: Seq[(Long, Long)]) =
+    Dedup.connectedComponents(pairs.toDF("a_id", "b_id"))
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+
+  test("chain a-b-c collapses to one component labeled by its minimum") {
+    // 1-2, 2-3: no pair (1,3), but transitivity must still merge them.
+    assert(cc(Seq((1L, 2L), (2L, 3L))) ===
+      Seq((1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L)))
+  }
+
+  test("two separate components keep separate labels and sizes") {
+    assert(cc(Seq((1L, 2L), (10L, 11L), (11L, 12L), (10L, 12L))) ===
+      Seq((1L, 1L, 2L), (2L, 1L, 2L),
+        (10L, 10L, 3L), (11L, 10L, 3L), (12L, 10L, 3L)))
+  }
+
+  test("long path needs multiple propagation rounds (diameter > 2)") {
+    // 9-8-7-…-1: min label must walk 8 hops; exercises the loop, not
+    // just the init step.
+    val path = (1L to 8L).map(i => (i, i + 1))
+    val got = cc(path)
+    assert(got.size === 9)
+    assert(got.forall { case (_, lab, n) => lab === 1L && n === 9L })
+  }
+
+  test("pair direction is irrelevant") {
+    assert(cc(Seq((5L, 3L))) === Seq((3L, 3L, 2L), (5L, 3L, 2L)))
+  }
+
+  test("nodes in no pair do not appear") {
+    val got = cc(Seq((1L, 2L)))
+    assert(got.map(_._1).toSet === Set(1L, 2L))
+  }
+
+  test("dropNonCanonical keeps exactly one doc per component, plus untouched docs") {
+    val docs = Seq(1L, 2L, 3L, 4L, 10L, 11L).toDF("doc_id")
+      .withColumn("payload", col("doc_id") * 2)
+    // components {1,2,3} (star at 3) and {10,11}; 4 in no pair.
+    val pairs = Seq((1L, 3L), (2L, 3L), (10L, 11L)).toDF("a_id", "b_id")
+    val kept = Dedup.dropNonCanonical(docs, pairs)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept === Seq(1L, 4L, 10L))
+    // payload columns survive untouched
+    assert(Dedup.dropNonCanonical(docs, pairs).columns === Array("doc_id", "payload"))
+  }
+
+  test("x_dedup_cluster agrees with x_dedup_minhash pairs on sf0.001") {
+    val pairs = SparkEntry.queries("x_dedup_minhash")(spark, sf())
+      .select(col("a_id"), col("b_id"))
+    val clusters = SparkEntry.queries("x_dedup_cluster")(spark, sf())
+    // Every pair endpoint is clustered, and both endpoints of every pair
+    // share a cluster id.
+    val lab = clusters.select(col("doc_id"), col("cluster_id"))
+    val joined = pairs
+      .join(lab.withColumnRenamed("doc_id", "a_id").withColumnRenamed("cluster_id", "ca"), "a_id")
+      .join(lab.withColumnRenamed("doc_id", "b_id").withColumnRenamed("cluster_id", "cb"), "b_id")
+    assert(joined.count() === pairs.count())
+    assert(joined.filter(col("ca") =!= col("cb")).isEmpty)
+    // cluster_id is a member of its own cluster and is the minimum.
+    val bad = clusters.groupBy("cluster_id").agg(min("doc_id").as("mn"))
+      .filter(col("cluster_id") =!= col("mn"))
+    assert(bad.isEmpty)
+  }
+}

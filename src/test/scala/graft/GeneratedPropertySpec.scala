@@ -152,6 +152,37 @@ class GeneratedPropertySpec extends SparkSpec {
     assert(fp1.distinct.size === docs.size)
   }
 
+  test("property: fingerprintMd5 matches a from-scratch JVM model on random docs") {
+    import spark.implicits._
+    // Independent reference: MessageDigest md5 + BigInt hex parse +
+    // explicit Horner loop — shares nothing with the Column formulation.
+    def model(text: String): Long = {
+      val P = TextAnalysis.fingerprintMod
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val toks = text.split(" ", -1).take(12)
+      toks.foldLeft(0L) { (acc, tk) =>
+        val hex = md.digest(tk.getBytes("UTF-8"))
+          .map(b => f"$b%02x").mkString.take(8)
+        (acc * 1000003L % P + java.lang.Long.parseLong(hex, 16) % P) % P
+      }
+    }
+    val docs = (sample(Gen.listOfN(60, doc), 11L) ++ Seq("", "x", "a b"))
+      .distinct.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val got = docs.toDF("id", "text")
+      .select(col("id"), TextAnalysis.fingerprintMd5(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    docs.foreach { case (id, text) =>
+      assert(got(id) === model(text), s"fingerprint mismatch for '$text'")
+    }
+    // Order sensitivity: reversing a multi-token doc changes the value.
+    val multi = docs.filter(_._2.split(" ").distinct.length > 1)
+    assert(multi.nonEmpty)
+    multi.take(10).foreach { case (_, text) =>
+      val rev = text.split(" ").reverse.mkString(" ")
+      assert(model(text) !== model(rev), s"order-insensitive for '$text'")
+    }
+  }
+
   test("property: native md5 simhash/minhash == relational formulation (incl. empty tokens)") {
     import spark.implicits._
     import graft.ops.Custom
