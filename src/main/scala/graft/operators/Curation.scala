@@ -20,7 +20,10 @@ import graft.functions.TextAnalysis
   * minimum (b is killed by a, c by b even though b itself was dropped):
   * a transitive-chain policy, deterministic without an iterative
   * connected-components pass. (True greedy keep-first against only the
-  * KEPT set would also keep c; that variant needs iteration.)
+  * KEPT set would also keep c; that variant needs iteration.) The full
+  * component-canonical policy — keep exactly each component's min-id
+  * member — is [[Dedup.dropNonCanonical]]; on a star 1~3, 2~3 the two
+  * differ (see its Scaladoc), pick per corpus.
   */
 object Curation {
 

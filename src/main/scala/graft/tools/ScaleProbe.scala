@@ -41,7 +41,7 @@ object ScaleProbe {
     val nBig = spark.read.parquet(s"$bigDir/documents.parquet").count()
 
     val keys = Seq("x_dedup_exact", "x_dedup_minhash", "x_dedup_simhash",
-      "x_dedup_ngram", "x_dedup_jaccard", "x_dedup_cluster")
+      "x_dedup_ngram", "x_dedup_jaccard")
     def time(fn: => DataFrame): (Double, Long) = {
       val t0 = System.nanoTime()
       val n = fn.count()
@@ -60,6 +60,21 @@ object ScaleProbe {
     val (tCur, nCur) = time(graft.operators.Curation.curate(
       spark.read.parquet(s"$bigDir/documents.parquet").select("doc_id", "text")))
     println(f"curation (10x corpus, keep/drop form): ${tCur}%6.2fs, $nCur survivors of $nBig")
+    // connectedComponents in ISOLATION: synthetic chain graphs (fixed
+    // diameter 7, group count scaled 10×) so the probe measures the
+    // operator's own edge-linear scaling — NOT the LSH pair-output
+    // explosion upstream of it, which the corpus probe above already
+    // measures (and which running x_dedup_cluster on the 10× dup-heavy
+    // corpus would re-measure at ~100× cost, pairs being quadratic in
+    // cluster size).
+    def chainPairs(nGroups: Long) =
+      spark.range(nGroups).selectExpr(
+        "explode(transform(sequence(0, 6), i -> " +
+          "struct(id * 100 + i AS a_id, id * 100 + i + 1 AS b_id))) AS e")
+        .select("e.a_id", "e.b_id")
+    val (tc1, nc1) = time(graft.operators.Dedup.connectedComponents(chainPairs(100000L)))
+    val (tc10, nc10) = time(graft.operators.Dedup.connectedComponents(chainPairs(1000000L)))
+    println(f"connectedComponents chains base ${tc1}%6.2fs ($nc1 nodes) -> 10x ${tc10}%7.2fs ($nc10 nodes; factor ${tc10 / tc1}%5.1f)")
     spark.stop()
   }
 }

@@ -218,11 +218,12 @@ class LibrarySpec extends SparkSpec {
       blobFrames.map(_.frame.length).sum === rows(2).payload.length)
   }
 
-  test("source-agnostic queries: CSV and JSON scans agree with parquet (R1 breadth)") {
+  test("source-agnostic queries: CSV, JSON, and ORC scans agree with parquet (R1 breadth)") {
     val nation = T.t(spark, sf(), "nation")
     val dir = java.nio.file.Files.createTempDirectory("srcfmt").toString
     nation.write.mode("overwrite").option("header", "true").csv(s"$dir/nation_csv")
     nation.write.mode("overwrite").json(s"$dir/nation_json")
+    nation.write.mode("overwrite").orc(s"$dir/nation_orc")
     def agg(df: org.apache.spark.sql.DataFrame) =
       df.groupBy("n_regionkey").count().orderBy("n_regionkey")
         .collect().map(r => (r.get(0).toString.toLong, r.getLong(1))).toSeq
@@ -230,8 +231,10 @@ class LibrarySpec extends SparkSpec {
     val fromCsv = agg(spark.read.option("header", "true")
       .schema(nation.schema).csv(s"$dir/nation_csv"))
     val fromJson = agg(spark.read.schema(nation.schema).json(s"$dir/nation_json"))
+    val fromOrc = agg(spark.read.orc(s"$dir/nation_orc"))
     assert(fromCsv === fromParquet)
     assert(fromJson === fromParquet)
+    assert(fromOrc === fromParquet)
   }
 
   test("VolumeIO: slab frame round-trips through a PNG slice stack (R1/R2)") {
