@@ -163,6 +163,26 @@ object TextAnalysis {
     1049561761L, 1604566856L, 1953433226L, 2061642598L, 57298384L,
     1544709545L, 1274554124L, 633364108L, 66148026L)
 
+  /** PII scrub — the redaction stage of a curation pipeline: replace
+    * email addresses, then long digit runs (phone/account/card numbers,
+    * 7+ digits allowing space/dash/dot separators), then IPv4-looking
+    * dotted quads, with typed placeholder tokens. RE2-safe patterns (no
+    * lookahead/backreferences) so the same masking is expressible on any
+    * regex engine; order matters (emails first — their local parts may
+    * contain digits). A narrow codegen'd map — composes before any
+    * tokenize/dedup stage at no extra shuffle.
+    */
+  def maskPii(text: Column): Column = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ip = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+    val num = "[0-9][0-9 .-]{5,}[0-9]" // >= 7 chars starting/ending in a digit
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, email, "<EMAIL>"),
+        ip, "<IP>"),
+      num, "<NUM>")
+  }
+
   /** Cross-engine-exact variant of [[fingerprint]] (graded as
     * x_text_fingerprint): rolling hash over the FIRST 12 single-space
     * tokens, token hash = first 32 bits of md5 (identical on any engine;

@@ -103,6 +103,19 @@ object Windows {
           last(col("o_orderkey")).over(w).as("last_key"))
         .distinct()
         .orderBy("o_orderstatus")
+    }),
+
+    // Distribution ranks: percent_rank = (rank-1)/(n-1), cume_dist =
+    // rank_with_ties/n — tie-free under the (price, unique key) order,
+    // so both are exact small rationals that the two engines compute
+    // identically in IEEE double before the conventional round-6.
+    "w_dist" -> ((s, d) => {
+      val w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+      t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cume"))
+        .orderBy("o_orderkey")
     })
   )
 
@@ -156,6 +169,13 @@ object Windows {
         "FROM orders WINDOW w AS (PARTITION BY o_orderstatus " +
         "ORDER BY o_orderdate, o_orderkey " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) " +
-        "ORDER BY o_orderstatus")
+        "ORDER BY o_orderstatus"),
+    "w_dist" ->
+      ("SELECT o_orderkey, o_orderstatus, " +
+        "round(percent_rank() OVER w, 6) AS pct_rank, " +
+        "round(cume_dist() OVER w, 6) AS cume " +
+        "FROM orders WINDOW w AS (PARTITION BY o_orderstatus " +
+        "ORDER BY o_totalprice, o_orderkey) " +
+        "ORDER BY o_orderkey")
   )
 }

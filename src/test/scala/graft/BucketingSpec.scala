@@ -34,4 +34,25 @@ class BucketingSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS b_ords")
     }
   }
+
+  test("partitioned parquet sink prunes partitions at scan (PartitionFilters)") {
+    // The 100 TB layout: fact tables land partitioned by a low-cardinality
+    // key; a filtered read must touch ONLY matching directories — visible
+    // as a PartitionFilters entry and as partitions pruned from the scan.
+    val dir = java.nio.file.Files.createTempDirectory("partsink").toString
+    val ev = T.evMs(spark, sf())
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(s"$dir/ev")
+    val read = spark.read.parquet(s"$dir/ev").filter(col("event_type") === "click")
+    val expected = ev.filter(col("event_type") === "click").count()
+    assert(read.count() === expected)
+    assert(expected > 0)
+    val scan = read.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PartitionFilters: [") &&
+      scan.replaceAll("\\s", "").contains("PartitionFilters:[isnotnull(event_type"),
+      s"scan does not prune on the partition column:\n$scan")
+    // the pruned scan must not read the partition column from data files
+    assert(!scan.contains("ReadSchema: struct<event_id:bigint,user_id:bigint,event_type"),
+      s"partition column leaked into ReadSchema:\n$scan")
+  }
 }

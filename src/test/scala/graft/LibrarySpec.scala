@@ -41,6 +41,23 @@ class LibrarySpec extends SparkSpec {
     assert(fp(0) !== fp(2))
   }
 
+  test("TextAnalysis: maskPii scrubs emails, numbers, IPs; leaves clean text alone") {
+    import spark.implicits._
+    val rows = Seq(
+      "contact me at jane.doe+spam@example.co.uk please",
+      "call 555 123-4567 or 5551234567 now",
+      "server at 192.168.0.1 responded",
+      "mixed: bob@host.org from 10.0.0.255 card 4111 1111 1111 1111",
+      "clean text with the number 42 and version 1.2")
+      .toDF("text").select(TextAnalysis.maskPii(col("text")).as("m"))
+      .as[String].collect()
+    assert(rows(0) === "contact me at <EMAIL> please")
+    assert(rows(1) === "call <NUM> or <NUM> now")
+    assert(rows(2) === "server at <IP> responded")
+    assert(rows(3) === "mixed: <EMAIL> from <IP> card <NUM>")
+    assert(rows(4) === "clean text with the number 42 and version 1.2")
+  }
+
   test("TextAnalysis: Gopher-style repetition filters") {
     import spark.implicits._
     val docs = Seq(
