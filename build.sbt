@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST stdout line of `sbt runMain graft.Bench` as
+// JSON. StdoutOutput makes the forked JVM inherit sbt's stdout directly —
+// no "[info] " logger prefix and no stderr re-tagged "[error]" lines —
+// and showSuccess := false kills the trailing "[success] Total time"
+// line, so the bench's one compact JSON object is the bare final line.
+outputStrategy := Some(StdoutOutput)
+Compile / run / outputStrategy := Some(StdoutOutput)
+showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

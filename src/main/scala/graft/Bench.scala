@@ -9,7 +9,10 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: WindowExec/package warnings would land in the
+    // captured output right next to the final JSON line (the r1-r4
+    // parsed:null root cause, with sbt's log decoration as the other half).
+    spark.sparkContext.setLogLevel("ERROR")
     // Warm the JVM (codegen, parquet reader, shuffle paths) so the first
     // timed query doesn't absorb ~10s of JIT cost. Warmup failure must not
     // kill the run — the per-query loop reports real failures itself.
