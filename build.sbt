@@ -17,7 +17,6 @@ run / fork := true
 // and showSuccess := false kills the trailing "[success] Total time"
 // line, so the bench's one compact JSON object is the bare final line.
 outputStrategy := Some(StdoutOutput)
-Compile / run / outputStrategy := Some(StdoutOutput)
 showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches

@@ -29,7 +29,7 @@ object Bench {
         case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           false
-      }
+      } finally graft.ops.T.releaseCaches() // drop this query's persisted frames
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     // The harness capturing stdout keeps only a bounded 2000-char TAIL.

@@ -31,6 +31,7 @@ object Verify {
           dir.delete()
         }
       }
+      finally ops.T.releaseCaches() // drop this query's persisted frames
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -175,7 +175,9 @@ object TextAnalysis {
   def maskPii(text: Column): Column = {
     val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
     val ip = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
-    val num = "[0-9][0-9 .-]{5,}[0-9]" // >= 7 chars starting/ending in a digit
+    // >= 7 DIGITS (not 7 chars — "[0-9 .-]{5,}" would redact dates and
+    // short enumerations), with optional space/dash/dot separators.
+    val num = "[0-9](?:[ .-]*[0-9]){6,}"
     regexp_replace(
       regexp_replace(
         regexp_replace(text, email, "<EMAIL>"),

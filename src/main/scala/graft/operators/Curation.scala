@@ -48,13 +48,14 @@ object Curation {
       .filter(col("quality") >= minQuality &&
         TextAnalysis.duplicateLineFraction(col("text")) <= maxDupLines &&
         TextAnalysis.topNgramFraction(col("text"), 2) <= maxTopNgram)
-    val exactKept = scored
+    // T.cached: feeds both band-join sides AND the final anti-join;
+    // registered for post-materialization release by the harness.
+    val exactKept = graft.ops.T.cached(scored
       .withColumn("ch", md5(col("text")))
       .withColumn("keep", col("doc_id") === min("doc_id")
         .over(org.apache.spark.sql.expressions.Window.partitionBy("ch")))
       .filter(col("keep"))
-      .drop("ch", "keep")
-      .persist() // feeds both band-join sides AND the final anti-join
+      .drop("ch", "keep"))
     // Stage 3: minhash band signatures over the exact-dedup survivors;
     // classic (seed, min-hash) equi-join candidate generation — identical
     // plan shape to the graded x_dedup_minhash, scale notes there.

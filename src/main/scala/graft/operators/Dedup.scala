@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.ops.T
+
 /** Graph-side completion of the dedup family: turn a near-duplicate PAIR
   * relation (what the LSH stages emit) into CLUSTER assignments (what a
   * curation pipeline actually consumes — "keep one canonical doc per
@@ -35,21 +37,31 @@ object Dedup {
     *
     * @param pairs frame with long columns `a_id`, `b_id` (one row per
     *              near-duplicate pair; direction irrelevant)
+    * @param maxIter safety valve, NOT a truncation: a graph needing more
+    *              rounds than this THROWS rather than emitting partial
+    *              (wrong) cluster labels — silent non-convergence would
+    *              split long duplicate chains with no signal, diverging
+    *              from the transitive-closure semantics the oracle
+    *              computes. Each round is one cheap edge-linear shuffle,
+    *              so the default comfortably covers any real pair graph
+    *              (rounds needed = diameter; LSH clusters are 1-3).
     * @return (doc_id, cluster_id, n_members): every node that appears in
     *         a pair, its component's minimum id, and the component size —
     *         deterministic, ordered by doc_id
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
     // Both directions from ONE pass over pairs (a union of two selects
     // would run the upstream pair-generation plan twice inside the same
     // materialization — for LSH pair inputs that is the expensive part).
-    val edges = pairs
+    // T.cached: registered for post-materialization release by the
+    // harness mains (the query-lambda contract returns a lazy frame, so
+    // unpersist-before-return would forfeit the reuse it exists for).
+    val edges = T.cached(pairs
       .select(explode(array(
         struct(col("a_id").cast("long").as("u"), col("b_id").cast("long").as("v")),
         struct(col("b_id").cast("long").as("u"), col("a_id").cast("long").as("v"))))
         .as("e"))
-      .select(col("e.u").as("u"), col("e.v").as("v"))
-      .persist()
+      .select(col("e.u").as("u"), col("e.v").as("v")))
     var labels = edges.groupBy("u").agg(min(col("v")).as("mn"))
       .select(col("u"), least(col("u"), col("mn")).as("lab"))
     var kept: Option[DataFrame] = None // last persisted step, for unpersist
@@ -61,16 +73,20 @@ object Dedup {
         .groupBy("u").agg(min(col("vlab")).as("nlab"))
       // Keep old and new side by side so convergence is a filter on the
       // SAME materialized frame (no re-execution race with unpersist).
-      val step = labels.join(nbrMin, Seq("u"), "left")
+      val step = T.cached(labels.join(nbrMin, Seq("u"), "left")
         .select(col("u"), col("lab").as("old"),
-          least(col("lab"), coalesce(col("nlab"), col("lab"))).as("lab"))
-        .persist()
+          least(col("lab"), coalesce(col("nlab"), col("lab"))).as("lab")))
       converged = step.filter(col("lab") < col("old")).isEmpty // materializes step
       kept.foreach(_.unpersist())
       kept = Some(step)
       labels = step.select("u", "lab")
       iter += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds — the pair " +
+          "graph's diameter exceeds maxIter; raise it rather than consume " +
+          "partial labels (each extra round is one edge-linear shuffle)")
     val sized = labels.groupBy("lab").agg(count(lit(1)).as("n_members"))
     labels
       .join(sized, "lab")

@@ -525,11 +525,12 @@ object Volume {
     * (z, y, x, dz, dy, dx) — voxel plus outward normal.
     */
   def boundaryFaces(vol: DataFrame, thr: Double): DataFrame = {
-    val occ = vol
+    // cached: six direction anti-joins read occ; registered with the
+    // harness cache registry for release after materialization.
+    val occ = graft.ops.T.cached(vol
       .select(col("z"), col("y"), posexplode(col("xs")).as(Seq("x", "v")))
       .filter(col("v") > thr)
-      .select("z", "y", "x")
-      .persist()
+      .select("z", "y", "x"))
     val dirs = Seq((0, 0, 1), (0, 0, -1), (0, 1, 0), (0, -1, 0), (1, 0, 0), (-1, 0, 0))
     val faces = dirs.map { case (dz, dy, dx) =>
       occ.join(occ.select((col("z") - dz).as("z"), (col("y") - dy).as("y"),
@@ -624,8 +625,9 @@ object Volume {
     // join) would each recompute the upstream ramp filter; persist the
     // filtered sinogram (disk-spillable — it is volume-sized) so the
     // immediate head() action materializes it once.
-    val filtered = filtered0.persist(
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // T.cached persists MEMORY_AND_DISK (disk-spillable — it is
+    // volume-sized) and registers for post-materialization release.
+    val filtered = graft.ops.T.cached(filtered0)
     val detW = filtered.select(max(size(col("xs")))).head().getInt(0)
     val sc = (detW - 1) / 2.0
     val c = (outN - 1) / 2.0

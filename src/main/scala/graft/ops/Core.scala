@@ -111,5 +111,32 @@ private[graft] object T {
   def fan(s: SparkSession, df: DataFrame): DataFrame =
     df.repartition(s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
 
+  /** Persisted intermediates awaiting release (see [[cached]]). */
+  private val liveCaches = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  /** persist() + leak-proofing. The §2b query contract returns a LAZY
+    * frame, so a query lambda can never unpersist its own intermediates
+    * (cleanup before return would forfeit the multi-consumer reuse the
+    * persist exists for). Registering here lets the harness mains
+    * (Bench/Verify) call [[releaseCaches]] after each query
+    * materializes — a 104-query session no longer accumulates every
+    * signature/mask frame in storage memory until LRU eviction.
+    */
+  def cached(df: DataFrame): DataFrame = {
+    df.persist()
+    liveCaches.add(df)
+    df
+  }
+
+  /** Unpersist every frame registered since the last call (idempotent —
+    * frames already unpersisted by their operator are a no-op). */
+  def releaseCaches(): Unit = {
+    var df = liveCaches.poll()
+    while (df != null) {
+      df.unpersist(blocking = false)
+      df = liveCaches.poll()
+    }
+  }
+
   type Q = (SparkSession, String) => DataFrame
 }

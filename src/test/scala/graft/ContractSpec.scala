@@ -40,7 +40,9 @@ class ContractSpec extends SparkSpec {
     "j_asof",           // as-of window formulation's event pairing
     "x_sim_dot",        // 1-row broadcast probe vector
     "x_sim_cosine_topk", "x_knn_label_vote", // broadcast probe set, != join
-    "x_ann_bucket_topk", // bucket equi-key + != residual can plan BNLJ on tiny probes
+    // x_ann_bucket_topk is NOT exempt: PlanShapeSpec pins its bucket
+    // equi-join to a BroadcastHashJoin, so a regression to BNLJ must
+    // fail this blanket contract too (the two suites agree).
     "x_dedup_embcos",   // exhaustive BY CONTRACT (§2b; Ann is the scale path)
     "x_mix_balance", "x_flex_intensity_range", "x_flex_threshold_otsu",
     "x_text_tfidf",     // 1-row corpus-count crossJoin

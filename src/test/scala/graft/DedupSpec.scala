@@ -35,6 +35,16 @@ class DedupSpec extends SparkSpec {
     assert(got.forall { case (_, lab, n) => lab === 1L && n === 9L })
   }
 
+  test("hitting maxIter without convergence throws — never partial labels") {
+    // diameter 8 with maxIter 2: silent truncation would split the chain
+    // into several "clusters" with no signal (the r4 ADVICE failure mode).
+    val path = (1L to 8L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponents(path, maxIter = 2)
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("pair direction is irrelevant") {
     assert(cc(Seq((5L, 3L))) === Seq((3L, 3L, 2L), (5L, 3L, 2L)))
   }

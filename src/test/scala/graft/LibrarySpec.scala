@@ -48,7 +48,8 @@ class LibrarySpec extends SparkSpec {
       "call 555 123-4567 or 5551234567 now",
       "server at 192.168.0.1 responded",
       "mixed: bob@host.org from 10.0.0.255 card 4111 1111 1111 1111",
-      "clean text with the number 42 and version 1.2")
+      "clean text with the number 42 and version 1.2",
+      "list 1 2 3 4 and 1.2 3.4 stay — only 7+ DIGITS redact")
       .toDF("text").select(TextAnalysis.maskPii(col("text")).as("m"))
       .as[String].collect()
     assert(rows(0) === "contact me at <EMAIL> please")
@@ -56,6 +57,9 @@ class LibrarySpec extends SparkSpec {
     assert(rows(2) === "server at <IP> responded")
     assert(rows(3) === "mixed: <EMAIL> from <IP> card <NUM>")
     assert(rows(4) === "clean text with the number 42 and version 1.2")
+    // 7-char-but-few-digit runs (dates-adjacent shapes) must NOT redact:
+    // the pattern counts digits, not characters.
+    assert(rows(5) === "list 1 2 3 4 and 1.2 3.4 stay — only 7+ DIGITS redact")
   }
 
   test("TextAnalysis: Gopher-style repetition filters") {
