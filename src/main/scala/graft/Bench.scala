@@ -7,6 +7,10 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // fresh warehouse per run (same rationale as Verify: saveAsTable
+      // queries vs a durable dir under an in-memory catalog)
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft_wh").toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     // ERROR, not WARN: WindowExec/package warnings would land in the

@@ -12,6 +12,11 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      // fresh warehouse per run: index-building queries saveAsTable, and
+      // a leftover ./spark-warehouse from a previous JVM would fail them
+      // with LOCATION_ALREADY_EXISTS (in-memory catalog, durable dir)
+      .config("spark.sql.warehouse.dir",
+        Files.createTempDirectory("graft_wh").toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -24,11 +24,50 @@ object TextAnalysis {
   def tokenCount(text: Column): Column = size(tokens(text))
 
   /** BPE-ish subword count: a cheap LLM-token estimate — whitespace split
-    * plus a break after every 4 letters inside long words. Proxy only; a
-    * real tokenizer would be a broadcast-vocab longest-match pass.
+    * plus a break after every 4 letters inside long words. Proxy only; the
+    * real vocab-driven pass is [[subwordTokens]]/[[subwordCountVocab]].
     */
   def subwordCount(text: Column): Column =
     size(split(regexp_replace(text, "([a-z]{4})(?=[a-z])", "$1 "), "\\s+"))
+
+  /** Real subword segmentation: greedy longest-match against `vocab`,
+    * single-char fallback for out-of-vocab spans — the [[graft.functions
+    * .BpeEncode]] native expression (its Scaladoc has the exact semantics
+    * and the 100 TB shape; same narrow-map plan as the proxy). Requires
+    * the session to carry the graft function registry
+    * (`graft.ops.Custom.register` or GraftExtensions).
+    */
+  def subwordTokens(text: Column, vocab: Seq[String]): Column =
+    call_function("graft_bpe", text, typedLit(vocab))
+
+  /** True LLM-token count under `vocab` — drop-in for [[subwordCount]]
+    * where the vocab is known. */
+  def subwordCountVocab(text: Column, vocab: Seq[String]): Column =
+    size(subwordTokens(text, vocab))
+
+  /** Canonical Unicode bytes (NFC): run before ANY hash-based stage on a
+    * multilingual corpus — NFD/NFC mixed encodings are the same text but
+    * different md5/minhash inputs ([[graft.functions.UnicodeNormalize]]).
+    * Registry-resolved like [[subwordTokens]].
+    */
+  def normalizeNfc(text: Column): Column = call_function("graft_nfc", text)
+
+  /** Compatibility fold (NFKC): NFC plus fullwidth→ASCII, ligatures,
+    * superscripts — the aggressive form for dedup keys (not for output
+    * text, which it visibly rewrites).
+    */
+  def normalizeNfkc(text: Column): Column = call_function("graft_nfkc", text)
+
+  /** Punctuation-aware Unicode tokenization: NFKC-fold, lowercase, then
+    * split on any non-letter/digit run (\\p{L}\\p{N} are Unicode classes,
+    * so CJK ideographs and accented letters stay inside tokens instead of
+    * splitting on them as `\\W` would). Empty strings from leading/
+    * trailing separators are filtered. The hygiene-grade alternative to
+    * the corpus' exact whitespace [[tokens]].
+    */
+  def tokensUnicode(text: Column): Column =
+    filter(split(lower(normalizeNfkc(text)), "[^\\p{L}\\p{N}]+"),
+      t => length(t) > 0)
 
   /** Fraction of characters that are neither alphanumeric nor whitespace. */
   def punctRatio(text: Column): Column =

@@ -94,7 +94,18 @@ object Ann {
     */
   def lshTopK(emb: DataFrame, probes: DataFrame, k: Int,
       nBits: Int = 16, nBands: Int = 4, dim: Int = 64, seed: Long = 42L,
-      probeRadius: Int = 0): DataFrame = {
+      probeRadius: Int = 0): DataFrame =
+    topKFromBands(banded(emb, "vec_id", "band", "bv", nBits, nBands, dim, seed),
+      emb, probes, k, nBits, nBands, dim, seed, probeRadius)
+
+  /** Shared search body for [[lshTopK]] (bands computed inline) and
+    * [[lshTopKIndexed]] (bands loaded from a persisted index): band the
+    * probes, equi-join against the corpus band frame, dedup candidates on
+    * the ID pair, exact-cosine re-rank.
+    */
+  private def topKFromBands(corpusBands: DataFrame, emb: DataFrame,
+      probes: DataFrame, k: Int, nBits: Int, nBands: Int, dim: Int,
+      seed: Long, probeRadius: Int): DataFrame = {
     require(nBits % nBands == 0)
     require(probeRadius >= 0 && probeRadius <= 1, "radius 0 or 1 supported")
     // Multi-probe (radius 1): also probe every 1-bit perturbation of each
@@ -112,7 +123,7 @@ object Ann {
           (lit(0L) +: (0 until bandBits).map(j => lit(1L << j))).toIndexedSeq: _*)))
         .withColumn("p_bv", col("p_bv").bitwiseXOR(col("flip")))
         .drop("flip")
-    val candIds = banded(emb, "vec_id", "band", "bv", nBits, nBands, dim, seed)
+    val candIds = corpusBands
       .join(broadcast(pb),
         col("band") === col("p_band") && col("bv") === col("p_bv") &&
           col("vec_id") =!= col("probe_id"))
@@ -126,6 +137,39 @@ object Ann {
       .filter(col("rn") <= k)
       .select("probe_id", "vec_id", "rn", "cos")
   }
+
+  /** Build-once / search-many: persist the corpus' LSH band frame
+    * (vec_id, band, bv) as a managed parquet table bucketed by `bv`, so
+    * [[lshTopKIndexed]] never recomputes corpus signatures — at 100 TB
+    * the signature pass over the corpus is the dominant cost of every
+    * fresh search, and it is a pure function of (embedding, planes), i.e.
+    * computable at ingest. Bucketed by the full blocking key (band, bv)
+    * so a future non-broadcast probe join can reuse the partitioning
+    * outright (all join keys covered — the co-partition rule).
+    */
+  def writeLshIndex(emb: DataFrame, table: String,
+      nBits: Int = 16, nBands: Int = 4, dim: Int = 64, seed: Long = 42L,
+      buckets: Int = 32): Unit = {
+    require(nBits % nBands == 0)
+    graft.sources.Bucketing.writeBucketed(
+      banded(emb, "vec_id", "band", "bv", nBits, nBands, dim, seed),
+      table, Seq("band", "bv"), buckets)
+  }
+
+  /** [[lshTopK]] against a pre-built index table: identical results for
+    * identical (nBits, nBands, dim, seed) — AnnSpec asserts exact parity —
+    * but the search-side plan contains NO corpus signature computation
+    * (no hyperplane dot products over the corpus, no band explode): the
+    * candidate side is a bucketed table scan. `emb` is still consulted,
+    * but only to re-rank the few candidates by exact cosine (an equi-join
+    * on vec_id).
+    */
+  def lshTopKIndexed(spark: org.apache.spark.sql.SparkSession, indexTable: String,
+      emb: DataFrame, probes: DataFrame, k: Int,
+      nBits: Int = 16, nBands: Int = 4, dim: Int = 64, seed: Long = 42L,
+      probeRadius: Int = 0): DataFrame =
+    topKFromBands(spark.table(indexTable).select("vec_id", "band", "bv"),
+      emb, probes, k, nBits, nBands, dim, seed, probeRadius)
 
   /** IVF (inverted-file) top-k — the other classic ANN scale path. Build:
     * `nLists` centroids via a few deterministic Lloyd iterations (seeded

@@ -33,10 +33,25 @@ object Curation {
     * @param minQuality  quality-gate threshold in [0,1]
     * @param nHashes     minhash signature length
     * @param minBands    bands that must agree to call a pair near-dup
+    * @param normalizeUnicode NFC-normalize text BEFORE any hashing —
+    *                    required for a multilingual corpus, where NFC/NFD
+    *                    mixed encodings of the same text would otherwise
+    *                    defeat both the exact-md5 and the minhash stages
+    *                    (they hash bytes, not graphemes). Off by default:
+    *                    single-encoder corpora (the test fixtures) are
+    *                    byte-stable already and the survivors' `text`
+    *                    column stays byte-identical to the input.
     */
-  def curate(docs: DataFrame, minQuality: Double = 0.3,
+  def curate(docs0: DataFrame, minQuality: Double = 0.3,
       nHashes: Int = 8, minBands: Int = 4,
-      maxDupLines: Double = 1.0, maxTopNgram: Double = 1.0): DataFrame = {
+      maxDupLines: Double = 1.0, maxTopNgram: Double = 1.0,
+      normalizeUnicode: Boolean = false): DataFrame = {
+    // Stage 0 (optional): canonical Unicode bytes, a codegen'd narrow map
+    // fused into the same scan stage as the feature columns below.
+    val docs = if (normalizeUnicode) {
+      graft.ops.Custom.register(docs0.sparkSession)
+      docs0.withColumn("text", TextAnalysis.normalizeNfc(col("text")))
+    } else docs0
     // Stage 1+2: per-doc columnar features + quality/repetition gates
     // (narrow, pushed to the scan), then exact dedup = min doc_id per
     // content hash. Repetition gates default to off (1.0).
@@ -56,15 +71,26 @@ object Curation {
         .over(org.apache.spark.sql.expressions.Window.partitionBy("ch")))
       .filter(col("keep"))
       .drop("ch", "keep"))
-    // Stage 3: minhash band signatures over the exact-dedup survivors;
-    // classic (seed, min-hash) equi-join candidate generation — identical
-    // plan shape to the graded x_dedup_minhash, scale notes there.
-    val sigs = exactKept
-      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
-      .groupBy("doc_id")
-      .agg(array((0 until nHashes).map(i =>
-        min(md5(concat(col("tok"), lit(s"#$i")).cast("binary")))): _*).as("sigs"))
-      .select(col("doc_id"), posexplode(col("sigs")).as(Seq("seed", "mh")))
+    // Stage 3: minhash band signatures over the exact-dedup survivors.
+    // Default path: the native codegen'd Md5MinHash expression — ONE pass
+    // per document, no token explode and no per-doc groupBy shuffle (the
+    // r4 lesson: the HOF/agg signature stage was the composed pipeline's
+    // bottleneck). Values are identical by construction to the relational
+    // min(md5(tok ∥ '#' ∥ seed)) form, which remains as the fallback for
+    // non-default signature lengths (the expression's seed count is fixed
+    // at compile time for codegen). GeneratedPropertySpec proves the
+    // expression ≡ relational-pipeline equivalence.
+    val sigs =
+      if (nHashes == graft.ops.Md5MinHash.NumHashes) {
+        graft.ops.Custom.register(docs.sparkSession)
+        exactKept.select(col("doc_id"),
+          posexplode(expr("graft_minhash_md5(text)")).as(Seq("seed", "mh")))
+      } else exactKept
+        .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
+        .groupBy("doc_id")
+        .agg(array((0 until nHashes).map(i =>
+          min(md5(concat(col("tok"), lit(s"#$i")).cast("binary")))): _*).as("sigs"))
+        .select(col("doc_id"), posexplode(col("sigs")).as(Seq("seed", "mh")))
     val dropIds = sigs.select(col("doc_id").as("a_id"), col("seed"), col("mh"))
       .join(sigs.select(col("doc_id").as("b_id"), col("seed").as("seed_b"),
         col("mh").as("mh_b")),

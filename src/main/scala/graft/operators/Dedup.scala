@@ -112,4 +112,71 @@ object Dedup {
       .select("doc_id")
     docs.join(doomed, Seq("doc_id"), "left_anti")
   }
+
+  // ------------------------------------------------------------------
+  // Incremental dedup: new shard vs a FROZEN corpus. Production curation
+  // dedups each incoming batch against history, not against itself — the
+  // corpus's minhash signatures are computed ONCE at ingest and persisted
+  // as a bucketed table, so every later shard pays only its own signature
+  // pass plus a band equi-join that reloads the corpus side pre-hashed
+  // (zero Exchange on the 100 TB side; BucketingSpec-style assertion in
+  // DedupSpec). Signature semantics are exactly the graded
+  // x_dedup_minhash: 8-seed Md5MinHash bands, pair = ≥ minBands agreeing.
+  // ------------------------------------------------------------------
+
+  /** One row per (doc_id, seed, mh): the band-join key frame for a
+    * (doc_id, text) corpus, via the native one-pass Md5MinHash expression
+    * (values ≡ min(md5(tok ∥ '#' ∥ seed)) over distinct space tokens).
+    */
+  def minhashSignatures(docs: DataFrame): DataFrame = {
+    graft.ops.Custom.register(docs.sparkSession)
+    docs.select(col("doc_id").cast("long").as("doc_id"),
+      posexplode(expr("graft_minhash_md5(text)")).as(Seq("seed", "mh")))
+  }
+
+  /** Build the persisted corpus index: signatures written as a managed
+    * parquet table bucketed by the FULL band key (seed, mh) — the
+    * incremental join's exact key set, which is what lets the planner
+    * reuse the bucketing and plan the corpus side with no Exchange (a
+    * subset bucket key would co-locate the rows too, but
+    * requireAllClusterKeysForCoPartition makes the planner re-shuffle
+    * it). Bucket count is the write-time knob that fixes the join
+    * parallelism of every later shard — size it to the target cluster,
+    * not the shard.
+    */
+  def writeCorpusIndex(docs: DataFrame, table: String, buckets: Int = 32): Unit =
+    graft.sources.Bucketing.writeBucketed(
+      minhashSignatures(docs), table, Seq("seed", "mh"), buckets)
+
+  /** Near-duplicate pairs between a new shard and the frozen corpus:
+    * (corpus_id, new_id, n_bands) where ≥ `minBands` of the 8 signature
+    * bands agree. The corpus side is the pre-bucketed signature table
+    * (loaded by name, NOT recomputed); only the shard pays a signature
+    * pass. Same pair semantics as the x_dedup_minhash self-join restricted
+    * to (corpus × new) — DedupSpec proves that equivalence on a split
+    * corpus.
+    */
+  def dedupAgainst(spark: org.apache.spark.sql.SparkSession, corpusIndex: String,
+      newDocs: DataFrame, minBands: Int = 4): DataFrame = {
+    val corpus = spark.table(corpusIndex)
+      .select(col("doc_id").as("corpus_id"), col("seed"), col("mh"))
+    val fresh = minhashSignatures(newDocs)
+      .select(col("doc_id").as("new_id"), col("seed"), col("mh"))
+    corpus.join(fresh, Seq("seed", "mh"))
+      .groupBy("corpus_id", "new_id")
+      .agg(count(lit(1)).as("n_bands"))
+      .filter(col("n_bands") >= minBands)
+  }
+
+  /** The shard-ingest filter: new documents that near-duplicate NOTHING in
+    * the frozen corpus (the rows an incremental pipeline appends). The
+    * duplicate-id set is distinct'd before the anti-join so its shuffle
+    * moves ids, not text.
+    */
+  def filterNovel(spark: org.apache.spark.sql.SparkSession, corpusIndex: String,
+      newDocs: DataFrame, minBands: Int = 4): DataFrame = {
+    val dup = dedupAgainst(spark, corpusIndex, newDocs, minBands)
+      .select(col("new_id").as("doc_id")).distinct()
+    newDocs.join(dup, Seq("doc_id"), "left_anti")
+  }
 }

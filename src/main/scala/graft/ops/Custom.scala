@@ -260,6 +260,15 @@ object Custom {
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_minhash_md5", (args: Seq[Expression]) => Md5MinHash(args(0)),
       "scala_udf")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_nfc", (args: Seq[Expression]) =>
+        graft.functions.UnicodeNormalize(args(0), "NFC"), "scala_udf")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_nfkc", (args: Seq[Expression]) =>
+        graft.functions.UnicodeNormalize(args(0), "NFKC"), "scala_udf")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bpe", (args: Seq[Expression]) =>
+        graft.functions.BpeEncode(args(0), args(1)), "scala_udf")
   }
 
   private val normalizeText = udf((s: String) =>

@@ -42,6 +42,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[ArrayDotProduct].getName, "graft_dot"),
       (args: Seq[Expression]) => ArrayDotProduct(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_nfc"),
+      new ExpressionInfo(classOf[graft.functions.UnicodeNormalize].getName, "graft_nfc"),
+      (args: Seq[Expression]) => graft.functions.UnicodeNormalize(args(0), "NFC")))
+    ext.injectFunction((
+      FunctionIdentifier("graft_nfkc"),
+      new ExpressionInfo(classOf[graft.functions.UnicodeNormalize].getName, "graft_nfkc"),
+      (args: Seq[Expression]) => graft.functions.UnicodeNormalize(args(0), "NFKC")))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bpe"),
+      new ExpressionInfo(classOf[graft.functions.BpeEncode].getName, "graft_bpe"),
+      (args: Seq[Expression]) => graft.functions.BpeEncode(args(0), args(1))))
     ext.injectOptimizerRule(_ => SimplifyDegenerateClamp)
     ext.injectPlannerStrategy(_ => TopKPerKeyStrategy)
   }

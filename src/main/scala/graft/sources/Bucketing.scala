@@ -23,9 +23,32 @@ object Bucketing {
     * `key`. Overwrites any existing table of the same name.
     */
   def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    writeBucketed(df, table, Seq(key), buckets)
+
+  /** Multi-column form: bucket by a composite key. The planner only
+    * reuses a child's partitioning for a join when it covers ALL the
+    * join keys (spark.sql.requireAllClusterKeysForCoPartition, default
+    * true) — so bucket by the join's exact key set, not a subset, or the
+    * bucketed side gets re-shuffled and the scan's bucketing disabled.
+    */
+  def writeBucketed(df: DataFrame, table: String, keys: Seq[String], buckets: Int): Unit = {
+    val spark = df.sparkSession
+    // A managed-table LOCATION can outlive its catalog entry (the
+    // default session catalog is in-memory: a previous JVM's table dies
+    // with the JVM, its warehouse directory does not), and saveAsTable
+    // refuses to create over an orphaned location
+    // (LOCATION_ALREADY_EXISTS). mode(overwrite) only covers tables the
+    // CURRENT catalog knows — so drop, then clear any orphaned path.
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.defaultTablePath(ident))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode("overwrite").format("parquet")
-      .bucketBy(buckets, key).sortBy(key)
+      .bucketBy(buckets, keys.head, keys.tail: _*).sortBy(keys.head, keys.tail: _*)
       .saveAsTable(table)
+  }
 
   /** Equi-join two bucketed tables on their shared bucket key. With equal
     * bucket counts this plans with no Exchange on either side.

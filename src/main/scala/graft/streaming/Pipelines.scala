@@ -103,4 +103,30 @@ object Pipelines {
     dedupKeyed(gated, Seq("content_key"), watermarkDelay)
       .drop("content_key")
   }
+
+  /** Streaming incremental NEAR-dup dedup: every micro-batch of (doc_id,
+    * text) documents is deduped against a FROZEN persisted corpus index
+    * ([[graft.operators.Dedup.writeCorpusIndex]]) and the novel survivors
+    * go to `sink` — the production shard-ingest topology. foreachBatch is
+    * the right tool, not a workaround: the per-pair band-agreement count
+    * is a per-shard aggregation with exact batch semantics
+    * (Dedup.filterNovel verbatim), the corpus side reloads pre-bucketed
+    * with zero Exchange, and the stream stays append-only with NO
+    * streaming state at all — the state lives in the corpus index, where
+    * a 100 TB pipeline wants it (shared, restart-safe, queryable).
+    * Complements [[curateStream]]'s in-stream EXACT dedup, which does use
+    * watermarked state.
+    *
+    * Caller owns checkpointing/trigger via the returned query's options —
+    * this only wires the per-batch transform.
+    */
+  def novelDocsStream(docs: DataFrame, corpusIndex: String, minBands: Int = 4)(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(graft.operators.Dedup.filterNovel(
+          batch.sparkSession, corpusIndex, batch, minBands))
+      }
+      .start()
 }

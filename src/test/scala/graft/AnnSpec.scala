@@ -54,6 +54,32 @@ class AnnSpec extends SparkSpec {
     assert(rec1 >= 0.7, f"multi-probe recall $rec1%.2f unexpectedly low")
   }
 
+  test("lshTopKIndexed: exact parity with lshTopK; no corpus signature recompute") {
+    Ann.writeLshIndex(emb, "ann_lsh_idx", buckets = 4)
+    try {
+      def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+          math.round(r.getDouble(3) * 1e9))).toSet
+      val direct = Ann.lshTopK(emb, probes, 5)
+      val indexed = Ann.lshTopKIndexed(spark, "ann_lsh_idx", emb, probes, 5)
+      assert(key(indexed) === key(direct))
+      // the search-side plan derives band values ("shiftright" over the
+      // signature) ONLY for the broadcast probes; the corpus candidates
+      // come from the index table scan. The direct form pays it twice.
+      def sigStages(df: org.apache.spark.sql.DataFrame) =
+        "shiftright".r.findAllIn(df.queryExecution.optimizedPlan.toString).size
+      assert(sigStages(direct) === 2)
+      assert(sigStages(indexed) === 1,
+        s"corpus signatures recomputed:\n${indexed.queryExecution.optimizedPlan}")
+      assert(indexed.queryExecution.optimizedPlan.toString.contains("ann_lsh_idx"))
+      // multi-probe works against the index too (perturbation is on the
+      // probe side only — the index is untouched by radius)
+      val r1direct = Ann.lshTopK(emb, probes, 5, probeRadius = 1)
+      val r1idx = Ann.lshTopKIndexed(spark, "ann_lsh_idx", emb, probes, 5, probeRadius = 1)
+      assert(key(r1idx) === key(r1direct))
+    } finally spark.sql("DROP TABLE IF EXISTS ann_lsh_idx")
+  }
+
   test("sqQuantize/sqTopK: int8 codes rank nearly as well as float32") {
     val q = Ann.sqQuantize(emb)
     // codes are genuinely int8 and the dequantized error is bounded by

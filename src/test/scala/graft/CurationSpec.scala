@@ -96,6 +96,54 @@ class CurationSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("curate(normalizeUnicode=true): NFC/NFD encodings of one doc dedup to one") {
+    import spark.implicits._
+    // every token accented → in NFD every token's BYTES differ from NFC,
+    // so neither the exact-md5 stage nor any minhash band can match the
+    // two encodings without normalization (deterministically: disjoint
+    // token byte-sets ⇒ disjoint per-seed md5 mins)
+    val nfcText = "él comió allí según después también quizás adiós café módulo"
+    val nfdText = java.text.Normalizer.normalize(nfcText, java.text.Normalizer.Form.NFD)
+    assert(nfcText !== nfdText)
+    val docs = Seq((1L, nfcText), (2L, nfdText)).toDF("doc_id", "text")
+    val raw = Curation.curate(docs, minQuality = 0.0).collect().map(_.getLong(0)).toSet
+    assert(raw === Set(1L, 2L)) // byte hashing cannot see the duplicate
+    val norm = Curation.curate(docs, minQuality = 0.0, normalizeUnicode = true)
+      .collect().map(_.getLong(0)).toSet
+    assert(norm === Set(1L)) // NFC first → exact dedup catches it
+  }
+
+  test("novelDocsStream: micro-batches near-dup-dedup against the frozen corpus index") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val novel13 = "totally novel fresh words nobody wrote down anywhere before today at all"
+    graft.operators.Dedup.writeCorpusIndex(
+      Seq((1L, enA), (2L, enB)).toDF("doc_id", "text"), "novel_idx", buckets = 2)
+    try {
+      val mem = MemoryStream[(Long, String)]
+      val sink = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val q = graft.streaming.Pipelines.novelDocsStream(
+        mem.toDF.toDF("doc_id", "text"), "novel_idx") { batch =>
+        val ids = batch.select("doc_id").collect().map(_.getLong(0))
+        sink.synchronized { sink ++= ids }
+      }
+      try {
+        mem.addData((10L, enANear), (11L, de)) // 10 near-dups corpus doc 1
+        q.processAllAvailable()
+        mem.addData((12L, enB), (13L, novel13)) // 12 exact-dups corpus doc 2
+        q.processAllAvailable()
+        assert(sink.toSet === Set(11L, 13L))
+        // parity with the batch form over the union of both shards
+        val batchNovel = graft.operators.Dedup.filterNovel(spark, "novel_idx",
+            Seq((10L, enANear), (11L, de), (12L, enB), (13L, novel13))
+              .toDF("doc_id", "text"))
+          .select("doc_id").collect().map(_.getLong(0)).toSet
+        assert(batchNovel === sink.toSet)
+      } finally q.stop()
+    } finally spark.sql("DROP TABLE IF EXISTS novel_idx")
+  }
+
   test("curate on the documents table: no exact dupes survive, rows remain") {
     val docs = T.t(spark, sf(), "documents").select("doc_id", "text")
     val out = Curation.curate(docs).persist()

@@ -66,6 +66,65 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.dropNonCanonical(docs, pairs).columns === Array("doc_id", "payload"))
   }
 
+  test("dedupAgainst: new-vs-corpus pairs equal the self-join's cross-partition subset") {
+    import graft.ops.T
+    val docs = T.t(spark, sf(), "documents").select("doc_id", "text")
+    val mid = docs.agg(max("doc_id")).head().getLong(0) / 2
+    val corpus = docs.filter(col("doc_id") <= mid)
+    val fresh = docs.filter(col("doc_id") > mid)
+    Dedup.writeCorpusIndex(corpus, "dedup_corpus_idx", buckets = 4)
+    try {
+      val got = Dedup.dedupAgainst(spark, "dedup_corpus_idx", fresh)
+        .as[(Long, Long, Long)].collect().toSet
+      // reference: the graded minhash SELF-join restricted to pairs that
+      // straddle the corpus/new split (a_id < b_id, so a is corpus-side)
+      val ref = SparkEntry.queries("x_dedup_minhash")(spark, sf())
+        .filter(col("a_id") <= mid && col("b_id") > mid)
+        .select("a_id", "b_id", "n_bands")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(ref.nonEmpty, s"fixture split at $mid produced no cross pairs")
+      assert(got === ref)
+      // filterNovel = new docs minus every matched new_id
+      val novel = Dedup.filterNovel(spark, "dedup_corpus_idx", fresh)
+        .select("doc_id").as[Long].collect().toSet
+      assert(novel === fresh.select("doc_id").as[Long].collect().toSet -- ref.map(_._2))
+    } finally spark.sql("DROP TABLE IF EXISTS dedup_corpus_idx")
+  }
+
+  test("dedupAgainst: corpus side reloads pre-bucketed with no Exchange") {
+    import graft.ops.T
+    val docs = T.t(spark, sf(), "documents").select("doc_id", "text")
+    val corpus = docs.filter(col("doc_id") <= 100)
+    val fresh = docs.filter(col("doc_id") > 100)
+    Dedup.writeCorpusIndex(corpus, "dedup_plan_idx", buckets = 4)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force the shuffle-join path: a broadcast of the shard side would
+      // also skip the Exchange without proving bucket co-location
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      def nShuffles(df: org.apache.spark.sql.DataFrame) =
+        "Exchange hashpartitioning".r
+          .findAllIn(df.queryExecution.executedPlan.toString).size
+      val indexed = Dedup.dedupAgainst(spark, "dedup_plan_idx", fresh)
+      // shard signatures shuffle (1) + pair groupBy (1); the corpus side
+      // is satisfied by its bucketing = 2 total...
+      assert(nShuffles(indexed) === 2,
+        s"corpus side shuffled:\n${indexed.queryExecution.executedPlan}")
+      assert(indexed.queryExecution.executedPlan.toString.contains("Bucketed: true"))
+      // ...whereas the same join with both signature sides computed inline
+      // needs 3 — the saved Exchange is exactly the 100 TB corpus side
+      val inline = Dedup.minhashSignatures(corpus).select(
+          col("doc_id").as("corpus_id"), col("seed"), col("mh"))
+        .join(Dedup.minhashSignatures(fresh).select(
+          col("doc_id").as("new_id"), col("seed"), col("mh")), Seq("seed", "mh"))
+        .groupBy("corpus_id", "new_id").agg(count(lit(1)).as("n_bands"))
+      assert(nShuffles(inline) === 3)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS dedup_plan_idx")
+    }
+  }
+
   test("x_dedup_cluster agrees with x_dedup_minhash pairs on sf0.001") {
     val pairs = SparkEntry.queries("x_dedup_minhash")(spark, sf())
       .select(col("a_id"), col("b_id"))

@@ -375,6 +375,58 @@ class LibrarySpec extends SparkSpec {
       (1L, Timestamp.valueOf("2024-01-01 00:50:00"))))
   }
 
+  test("BpeEncode: greedy longest-match segmentation with OOV char fallback") {
+    import spark.implicits._
+    graft.ops.Custom.register(spark)
+    val vocab = Seq("low", "lower", "er", "ne", "new", "est", "wid", "th")
+    def seg(text: String): Seq[String] =
+      Seq(text).toDF("text")
+        .select(TextAnalysis.subwordTokens(col("text"), vocab).as("toks"))
+        .head().getSeq[String](0)
+    // "lowest": "lower" fails at char 5 ('s'), so the longest match is
+    // "low"; remainder "est" is a vocab entry. Hand-checked WordPiece walk.
+    assert(seg("lowest") === Seq("low", "est"))
+    // longest beats first: "new" (3) wins over prefix "ne" (2)
+    assert(seg("newer") === Seq("new", "er"))
+    // OOV tail falls back to single characters
+    assert(seg("widths") === Seq("wid", "th", "s"))
+    // fully OOV word = one token per char; multiple words concatenate
+    assert(seg("xyz lowest") === Seq("x", "y", "z", "low", "est"))
+    // count form matches, and null propagates
+    val cnt = Seq(("lowest newer widths", 1)).toDF("text", "i")
+      .select(TextAnalysis.subwordCountVocab(col("text"), vocab)).head().getInt(0)
+    assert(cnt === 7)
+    val nullRow = Seq((null.asInstanceOf[String], 1)).toDF("text", "i")
+      .select(TextAnalysis.subwordTokens(col("text"), vocab)).head()
+    assert(nullRow.isNullAt(0))
+  }
+
+  test("UnicodeNormalize: NFC converges mixed encodings; NFKC folds widths") {
+    import spark.implicits._
+    graft.ops.Custom.register(spark)
+    val nfc = "café résumé" // precomposed é
+    val nfd = java.text.Normalizer.normalize(nfc, java.text.Normalizer.Form.NFD)
+    assert(nfc !== nfd) // different byte strings going in...
+    val out = Seq(nfc, nfd).toDF("text")
+      .select(md5(TextAnalysis.normalizeNfc(col("text"))).as("h"),
+        md5(col("text")).as("h_raw"))
+      .collect()
+    assert(out(0).getString(0) === out(1).getString(0)) // ...same hash out
+    assert(out(0).getString(1) !== out(1).getString(1)) // raw hashes differ
+    // NFKC folds fullwidth compatibility forms; NFC must NOT
+    val wide = "ＡＢＣ １２３" // ＡＢＣ １２３
+    val folded = Seq(wide).toDF("text")
+      .select(TextAnalysis.normalizeNfkc(col("text")),
+        TextAnalysis.normalizeNfc(col("text"))).head()
+    assert(folded.getString(0) === "ABC 123")
+    assert(folded.getString(1) === wide)
+    // punctuation-aware Unicode tokens: case-folded, width-folded, split
+    // on any non-letter/digit run, no empty tokens
+    val toks = Seq("Hello, WORLD—Ｔｅｓｔ! café")
+      .toDF("text").select(TextAnalysis.tokensUnicode(col("text"))).head().getSeq[String](0)
+    assert(toks === Seq("hello", "world", "test", "café"))
+  }
+
   test("Pipelines: streaming dedupWithinWatermark keeps one row per key") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
