@@ -80,11 +80,15 @@ object Curation {
     // non-default signature lengths (the expression's seed count is fixed
     // at compile time for codegen). GeneratedPropertySpec proves the
     // expression ≡ relational-pipeline equivalence.
+    // T.cached: BOTH band-join sides read the signature frame — without
+    // it each side's Exchange re-runs the whole signature pass (the old
+    // relational form got single-compute for free via ReusedExchange on
+    // its final aggregate; a narrow map has no such reuse point).
     val sigs =
       if (nHashes == graft.ops.Md5MinHash.NumHashes) {
         graft.ops.Custom.register(docs.sparkSession)
-        exactKept.select(col("doc_id"),
-          posexplode(expr("graft_minhash_md5(text)")).as(Seq("seed", "mh")))
+        graft.ops.T.cached(exactKept.select(col("doc_id"),
+          posexplode(expr("graft_minhash_md5(text)")).as(Seq("seed", "mh"))))
       } else exactKept
         .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
         .groupBy("doc_id")

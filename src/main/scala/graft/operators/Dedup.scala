@@ -80,6 +80,22 @@ object Dedup {
       kept.foreach(_.unpersist())
       kept = Some(step)
       labels = step.select("u", "lab")
+      if (!converged) {
+        // Pointer jump (label-of-label): u's label is itself a node, so
+        // compose one hop — lab'(u) = min(lab(u), lab(lab(u))). Halves
+        // the remaining chain depth each round, turning O(diameter)
+        // edge-join rounds into O(log diameter) — the lever that matters
+        // when the EDGE join (corpus-sized) is the per-round cost and a
+        // pathological chain would otherwise mean diameter extra passes.
+        // Node-sized self-join off the cached step, monotone and bounded
+        // by the component min, so the fixpoint (and the convergence
+        // probe above) are unchanged. Left join: every label IS a node
+        // in `labels`, but stay total under the probe's eyes anyway.
+        val parent = step.select(col("u").as("p_u"), col("lab").as("p_lab"))
+        labels = labels.join(parent, col("lab") === col("p_u"), "left")
+          .select(col("u"),
+            least(col("lab"), coalesce(col("p_lab"), col("lab"))).as("lab"))
+      }
       iter += 1
     }
     if (!converged)
@@ -178,5 +194,62 @@ object Dedup {
     val dup = dedupAgainst(spark, corpusIndex, newDocs, minBands)
       .select(col("new_id").as("doc_id")).distinct()
     newDocs.join(dup, Seq("doc_id"), "left_anti")
+  }
+
+  /** Append a shard's signatures to the corpus index — the write-back
+    * half of the ingest loop. saveAsTable(Append) validates the catalog
+    * bucket spec and writes new files bucket-aligned, so later
+    * dedupAgainst joins still reload the corpus side Exchange-free (each
+    * append adds one file per bucket; reads merge per-bucket file sets —
+    * compact on your own cadence, like any LSM-ish index).
+    */
+  def appendToCorpusIndex(docs: DataFrame, table: String): Unit = {
+    val spark = docs.sparkSession
+    // An append must re-declare bucketing identical to the catalog's, or
+    // the analyzer rejects it (and silently-unbucketed appends would
+    // poison the zero-Exchange reload) — read the spec back rather than
+    // trusting the caller to repeat writeCorpusIndex's parameters.
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(table))
+    val spec = meta.bucketSpec.getOrElse(throw new IllegalArgumentException(
+      s"$table has no bucket spec — not a corpus index"))
+    val bk = spec.bucketColumnNames
+    val sk = if (spec.sortColumnNames.nonEmpty) spec.sortColumnNames else bk
+    minhashSignatures(docs).write.mode("append").format("parquet")
+      .bucketBy(spec.numBuckets, bk.head, bk.tail: _*)
+      .sortBy(sk.head, sk.tail: _*)
+      .saveAsTable(table)
+  }
+
+  /** One full ingest step: keep only shard docs that near-duplicate
+    * neither the corpus NOR an earlier novel doc of the same shard
+    * (in-shard minhash pairs, smaller id wins — without this, two copies
+    * of a novel doc arriving in one shard would both pass the
+    * corpus-only filter and both enter the index), then append the
+    * survivors' signatures and return the survivors. The novel set is
+    * eagerly localCheckpoint'ed BEFORE the append: its plan READS the
+    * index the append mutates, and a mere persist() does not survive —
+    * writing a table invalidates every cached plan referencing it, so
+    * the "cached" result would silently recompute against the appended
+    * index and each novel doc would kill itself. Lineage truncation
+    * makes the result independent of the table. (On a real cluster,
+    * localCheckpoint lives on executors — a production ingest would
+    * land the survivors durably first, which truncates lineage anyway.)
+    */
+  def ingestShard(spark: org.apache.spark.sql.SparkSession, corpusIndex: String,
+      shard: DataFrame, minBands: Int = 4): DataFrame = {
+    val vsCorpus = filterNovel(spark, corpusIndex, shard, minBands)
+    val sigs = minhashSignatures(vsCorpus)
+    val inShardDup = sigs.select(col("doc_id").as("a_id"), col("seed"), col("mh"))
+      .join(sigs.select(col("doc_id").as("b_id"), col("seed"), col("mh")),
+        Seq("seed", "mh"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_bands"))
+      .filter(col("n_bands") >= minBands)
+      .select(col("b_id").as("doc_id")).distinct()
+    val novel = vsCorpus.join(inShardDup, Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
+    appendToCorpusIndex(novel, corpusIndex)
+    novel
   }
 }

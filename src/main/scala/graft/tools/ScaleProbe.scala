@@ -14,11 +14,12 @@ import org.apache.spark.sql.functions._
   * of 10c yields ~50c² pairs) — the probe prints output rows so the two
   * effects can be told apart.
   *
-  * `runMain graft.tools.ScaleProbe [sfDir]`
+  * `runMain graft.tools.ScaleProbe [sfDir] [keys|curation|cc|all]`
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val mode = args.lift(1).getOrElse("all")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -48,18 +49,41 @@ object ScaleProbe {
       ((System.nanoTime() - t0) / 1e9, n)
     }
     println(f"corpus: base=$nBase big=$nBig (10x, near-dup clusters preserved)")
-    keys.foreach { k =>
+    if (mode == "all" || mode == "keys") keys.foreach { k =>
       val q = graft.SparkEntry.queries(k)
       val (tS, nS) = time(q(spark, sfDir))
       val (tB, nB) = time(q(spark, bigDir))
       println(f"$k%-18s base ${tS}%6.2fs -> 10x ${tB}%7.2fs  (factor ${tB / tS}%5.1f; rows $nS -> $nB)")
     }
+    // Signature-STAGE isolation: the r5 swap claim is that the native
+    // one-pass Md5MinHash beats the explode + 8×min(md5) relational
+    // pipeline at the same values — measure exactly that term on the 10×
+    // corpus (the composed-pipeline total is dominated by the pair join,
+    // whose output is quadratic in cluster size by construction, so the
+    // swap is invisible in the composed number).
+    if (mode == "sigs") {
+      graft.ops.Custom.register(spark)
+      val docs = spark.read.parquet(s"$bigDir/documents.parquet")
+        .select("doc_id", "text")
+      val (tRel, nRel) = time(docs
+        .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
+        .groupBy("doc_id")
+        .agg(array((0 until 8).map(i =>
+          min(org.apache.spark.sql.functions.md5(
+            concat(col("tok"), lit(s"#$i")).cast("binary")))): _*).as("sigs"))
+        .select(col("doc_id"), posexplode(col("sigs")).as(Seq("seed", "mh"))))
+      val (tNat, nNat) = time(docs.select(col("doc_id"),
+        posexplode(expr("graft_minhash_md5(text)")).as(Seq("seed", "mh"))))
+      println(f"signature stage 10x: relational ${tRel}%6.2fs ($nRel rows) vs native ${tNat}%6.2fs ($nNat rows)")
+    }
     // The composed pipeline emits per-doc keep/drop decisions (exact
     // canonicalization BEFORE minhash banding) — the scale form that
     // avoids materializing the quadratic pair set.
-    val (tCur, nCur) = time(graft.operators.Curation.curate(
-      spark.read.parquet(s"$bigDir/documents.parquet").select("doc_id", "text")))
-    println(f"curation (10x corpus, keep/drop form): ${tCur}%6.2fs, $nCur survivors of $nBig")
+    if (mode == "all" || mode == "curation") {
+      val (tCur, nCur) = time(graft.operators.Curation.curate(
+        spark.read.parquet(s"$bigDir/documents.parquet").select("doc_id", "text")))
+      println(f"curation (10x corpus, keep/drop form): ${tCur}%6.2fs, $nCur survivors of $nBig")
+    }
     // connectedComponents in ISOLATION: synthetic chain graphs (fixed
     // diameter 7, group count scaled 10×) so the probe measures the
     // operator's own edge-linear scaling — NOT the LSH pair-output
@@ -72,9 +96,11 @@ object ScaleProbe {
         "explode(transform(sequence(0, 6), i -> " +
           "struct(id * 100 + i AS a_id, id * 100 + i + 1 AS b_id))) AS e")
         .select("e.a_id", "e.b_id")
-    val (tc1, nc1) = time(graft.operators.Dedup.connectedComponents(chainPairs(100000L)))
-    val (tc10, nc10) = time(graft.operators.Dedup.connectedComponents(chainPairs(1000000L)))
-    println(f"connectedComponents chains base ${tc1}%6.2fs ($nc1 nodes) -> 10x ${tc10}%7.2fs ($nc10 nodes; factor ${tc10 / tc1}%5.1f)")
+    if (mode == "all" || mode == "cc") {
+      val (tc1, nc1) = time(graft.operators.Dedup.connectedComponents(chainPairs(100000L)))
+      val (tc10, nc10) = time(graft.operators.Dedup.connectedComponents(chainPairs(1000000L)))
+      println(f"connectedComponents chains base ${tc1}%6.2fs ($nc1 nodes) -> 10x ${tc10}%7.2fs ($nc10 nodes; factor ${tc10 / tc1}%5.1f)")
+    }
     spark.stop()
   }
 }

@@ -125,6 +125,37 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("ingestShard: corpus filter + in-shard dedup + index write-back compose") {
+    import spark.implicits._
+    val tA = "the cat sat on the mat and it is a good day for all " +
+      "of us to be out in the sun with a book and a cup of tea"
+    val tB = "this is a different story about the sea and the ships " +
+      "that sail on it for many days and nights in a row"
+    val tNovel = "ganz andere worte stehen hier in diesem text der mit " +
+      "den anderen texten nichts gemeinsam hat und neu ist"
+    graft.operators.Dedup.writeCorpusIndex(
+      Seq((1L, tA), (2L, tB)).toDF("doc_id", "text"), "ingest_idx", buckets = 2)
+    try {
+      val idxRows0 = spark.table("ingest_idx").count()
+      // shard 1: 10 near-dups corpus doc 1; 11 is novel; 12 near-dups 11
+      // INSIDE the shard (one-token edit) — corpus-only filtering would
+      // let both 11 and 12 through
+      val shard1 = Seq((10L, tA.replace("tea", "milk")), (11L, tNovel),
+        (12L, tNovel.replace("neu", "frisch"))).toDF("doc_id", "text")
+      val kept1 = Dedup.ingestShard(spark, "ingest_idx", shard1)
+        .select("doc_id").as[Long].collect().toSet
+      assert(kept1 === Set(11L))
+      // exactly doc 11's 8 signature rows were appended
+      assert(spark.table("ingest_idx").count() === idxRows0 + 8)
+      // shard 2: an exact copy of doc 11's text now dies AGAINST THE
+      // APPENDED index rows (the corpus learned the novel doc)
+      val kept2 = Dedup.ingestShard(spark, "ingest_idx",
+          Seq((20L, tNovel)).toDF("doc_id", "text"))
+        .select("doc_id").as[Long].collect().toSet
+      assert(kept2 === Set.empty[Long])
+    } finally spark.sql("DROP TABLE IF EXISTS ingest_idx")
+  }
+
   test("x_dedup_cluster agrees with x_dedup_minhash pairs on sf0.001") {
     val pairs = SparkEntry.queries("x_dedup_minhash")(spark, sf())
       .select(col("a_id"), col("b_id"))
