@@ -98,6 +98,34 @@ object TextAnalysis {
     when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
   }
 
+  /** Fraction of characters in a Unicode script block (Java regex script
+    * classes, e.g. "Han", "Hiragana", "Katakana", "Hangul") — the signal
+    * stopword lists cannot give for unsegmented CJK text. Codegen'd
+    * regexp count, narrow map.
+    */
+  def scriptRatio(text: Column, script: String): Column = {
+    require(script.matches("[A-Za-z]+"), s"bad script name $script")
+    length(regexp_replace(text, s"[^\\p{Is$script}]", "")).cast("double") /
+      greatest(length(text), lit(1)).cast("double")
+  }
+
+  /** Script-aware language ID: CJK scripts are decided by character
+    * blocks FIRST — any kana ⇒ 'ja' (Japanese prose mixes kana + Han, so
+    * kana is the discriminator), else hangul ⇒ 'ko', else enough Han ⇒
+    * 'zh' — and only script-light text falls back to the stopword
+    * heuristic [[languageId]]. Whitespace tokenization never sees an
+    * ideograph boundary, which is why the stopword path alone
+    * misclassifies CJK as 'und'.
+    */
+  def languageIdScript(text: Column,
+      stopwords: Map[String, Seq[String]] = defaultStopwords,
+      minCjk: Double = 0.25): Column =
+    when(scriptRatio(text, "Hiragana") + scriptRatio(text, "Katakana") > 0.05,
+      lit("ja"))
+      .when(scriptRatio(text, "Hangul") > minCjk, lit("ko"))
+      .when(scriptRatio(text, "Han") > minCjk, lit("zh"))
+      .otherwise(languageId(text, stopwords))
+
   /** Fraction of distinct tokens that are stopwords in ANY language —
     * natural-language text scores high, code/garbage scores low.
     */

@@ -221,6 +221,28 @@ object Dedup {
       .saveAsTable(table)
   }
 
+  /** Rewrite the corpus index as one file set — the LSM-style compaction
+    * for [[appendToCorpusIndex]]: every append adds a file per bucket, so
+    * after many shards each bucket is a pile of small files (more tasks,
+    * lost per-file sort). Reads the current rows, rewrites them bucketed
+    * into a side table, then drop + rename — the read must finish before
+    * the drop, which the side-table write guarantees (the rewrite is the
+    * materialization). Same name, same spec, one sorted file per bucket
+    * per writer task.
+    */
+  def compactCorpusIndex(spark: org.apache.spark.sql.SparkSession,
+      table: String): Unit = {
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(table))
+    val spec = meta.bucketSpec.getOrElse(throw new IllegalArgumentException(
+      s"$table has no bucket spec — not a corpus index"))
+    val side = table + "_compacting"
+    graft.sources.Bucketing.writeBucketed(
+      spark.table(table), side, spec.bucketColumnNames, spec.numBuckets)
+    spark.sql(s"DROP TABLE `$table`")
+    spark.sql(s"ALTER TABLE `$side` RENAME TO `$table`")
+  }
+
   /** One full ingest step: keep only shard docs that near-duplicate
     * neither the corpus NOR an earlier novel doc of the same shard
     * (in-shard minhash pairs, smaller id wins — without this, two copies

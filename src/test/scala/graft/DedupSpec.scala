@@ -153,6 +153,19 @@ class DedupSpec extends SparkSpec {
           Seq((20L, tNovel)).toDF("doc_id", "text"))
         .select("doc_id").as[Long].collect().toSet
       assert(kept2 === Set.empty[Long])
+      // compaction rewrites the appended file piles into one bucketed
+      // set: same rows, same bucket spec, and the index still works
+      val rowsBefore = spark.table("ingest_idx").collect().map(_.toSeq).toSet
+      Dedup.compactCorpusIndex(spark, "ingest_idx")
+      assert(spark.table("ingest_idx").collect().map(_.toSeq).toSet === rowsBefore)
+      val spec = spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier("ingest_idx")).bucketSpec
+      assert(spec.exists(s => s.numBuckets === 2 &&
+        s.bucketColumnNames === Seq("seed", "mh")))
+      val kept3 = Dedup.ingestShard(spark, "ingest_idx",
+          Seq((30L, tNovel)).toDF("doc_id", "text"))
+        .select("doc_id").as[Long].collect().toSet
+      assert(kept3 === Set.empty[Long])
     } finally spark.sql("DROP TABLE IF EXISTS ingest_idx")
   }
 

@@ -401,6 +401,24 @@ class LibrarySpec extends SparkSpec {
     assert(nullRow.isNullAt(0))
   }
 
+  test("languageIdScript: CJK decided by character blocks, latin falls back to stopwords") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "这是一个用来测试语言识别的中文句子没有空格也能识别"), // Han, no spaces
+      (2L, "これは日本語のテストです漢字も含みますが仮名で判定します"), // kana + Han ⇒ ja
+      (3L, "이것은 한국어 테스트 문장입니다 한글로 작성되었습니다"), // hangul
+      (4L, "the cat and the dog sat in the sun for a good day"), // stopword path
+      (5L, "qqq zzz xxx")) // no signal anywhere ⇒ und
+      .toDF("id", "text")
+      .select(col("id"), TextAnalysis.languageIdScript(col("text")).as("lang"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows === Map(1L -> "zh", 2L -> "ja", 3L -> "ko", 4L -> "en", 5L -> "und"))
+    // scriptRatio is a [0,1] character fraction
+    val ratio = Seq("半分 half half").toDF("text")
+      .select(TextAnalysis.scriptRatio(col("text"), "Han")).head().getDouble(0)
+    assert(ratio > 0.0 && ratio < 0.5)
+  }
+
   test("UnicodeNormalize: NFC converges mixed encodings; NFKC folds widths") {
     import spark.implicits._
     graft.ops.Custom.register(spark)
