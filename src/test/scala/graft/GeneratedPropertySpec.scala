@@ -22,6 +22,67 @@ class GeneratedPropertySpec extends SparkSpec {
   private val doc: Gen[String] =
     Gen.choose(1, 40).flatMap(n => Gen.listOfN(n, word).map(_.mkString(" ")))
 
+  test("property: BpeEncode matches a from-scratch greedy model on random vocab/docs") {
+    import spark.implicits._
+    graft.ops.Custom.register(spark)
+    val vocab = sample(Gen.listOfN(60, word), 21L).distinct
+    val docs = sample(Gen.listOfN(60, doc), 22L).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    // independent reference: longest-first scan per position, single-char
+    // fallback — written from the SPEC, not from the expression
+    val vs = vocab.toSet
+    def ref(text: String): Seq[String] = text.split("\\s+").toSeq.flatMap { w =>
+      val out = scala.collection.mutable.Buffer.empty[String]
+      var i = 0
+      while (i < w.length) {
+        val t = (w.length until i by -1).iterator
+          .map(j => w.substring(i, j)).find(vs.contains)
+          .getOrElse(w.substring(i, i + 1))
+        out += t
+        i += t.length
+      }
+      out.toSeq
+    }
+    val got = docs.toDF("id", "text")
+      .select(col("id"), col("text"),
+        TextAnalysis.subwordTokens(col("text"), vocab).as("toks"))
+      .collect()
+    got.foreach { r =>
+      val (text, toks) = (r.getString(1), r.getSeq[String](2))
+      assert(toks === ref(text), s"diverged on '$text'")
+      // structural invariants: tokens re-concatenate to the words'
+      // characters, and every token is vocab or a single char
+      assert(toks.mkString === text.split("\\s+").mkString)
+      assert(toks.forall(t => vs.contains(t) || t.length == 1))
+    }
+  }
+
+  test("property: UnicodeNormalize matches java.text.Normalizer and is idempotent") {
+    import spark.implicits._
+    graft.ops.Custom.register(spark)
+    // char pool stresses composition: ascii, precomposed, bare combining
+    // marks, fullwidth, CJK, spaces
+    val uchar = Gen.oneOf(('a' to 'e') ++ Seq('é', 'ü', 'ñ', '́', '̈',
+      '̃', 'Ａ', 'ｂ', '１', '漢', 'あ', '한', ' ', 'ﬁ'))
+    val utext = Gen.choose(0, 30).flatMap(n => Gen.listOfN(n, uchar).map(_.mkString))
+    val texts = sample(Gen.listOfN(120, utext), 23L).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val rows = texts.toDF("id", "text")
+      .select(col("id"), col("text"),
+        TextAnalysis.normalizeNfc(col("text")).as("nfc"),
+        TextAnalysis.normalizeNfc(TextAnalysis.normalizeNfc(col("text"))).as("nfc2"),
+        TextAnalysis.normalizeNfkc(col("text")).as("nfkc"))
+      .collect()
+    import java.text.Normalizer
+    rows.foreach { r =>
+      val (t, nfc, nfc2, nfkc) =
+        (r.getString(1), r.getString(2), r.getString(3), r.getString(4))
+      assert(nfc === Normalizer.normalize(t, Normalizer.Form.NFC))
+      assert(nfkc === Normalizer.normalize(t, Normalizer.Form.NFKC))
+      assert(nfc2 === nfc) // idempotent
+    }
+  }
+
   test("property: histogram mass conservation on random volumes") {
     val dims = sample(Gen.listOfN(3, Gen.choose(1, 6)), 1L)
     val vals = sample(Gen.listOfN(dims.product, Gen.choose(-50.0, 450.0)), 2L)
