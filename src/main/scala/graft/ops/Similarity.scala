@@ -488,6 +488,31 @@ object Similarity {
         .orderBy("doc_id")
     }),
 
+    // Script-aware CJK language ID (functions/TextAnalysis
+    // .languageIdScript): whitespace tokenization never crosses an
+    // ideograph boundary, so stopword lists are blind to unsegmented CJK
+    // — character-block evidence decides first (kana ⇒ ja, hangul ⇒ ko,
+    // Han ⇒ zh), stopwords only as fallback. The ASCII fixture corpus is
+    // again extended IN-QUERY (the x_text_nfc device): a fixed CJK
+    // sentence is appended by doc_id % 3 and the classifier must RECOVER
+    // the script; the oracle detects INDEPENDENTLY via RE2 script
+    // classes (\p{Han} etc.) against the same bytes — both engines'
+    // regex engines must agree on Unicode script membership. Narrow
+    // codegen'd map, no shuffle but the output sort.
+    "x_text_script" -> ((s, d) => {
+      val han = "漢字文章内容理解処理計算機械学習語言模型訓練"
+      val kana = "これはかなのぶんしょうですとてもながいです"
+      val hang = "한국어문장입니다언어감지테스트용텍스트"
+      val synth = concat(substring(col("text"), 1, 20),
+        when(pmod(col("doc_id"), lit(3)) === 0, lit(han))
+          .when(pmod(col("doc_id"), lit(3)) === 1, lit(kana))
+          .otherwise(lit(hang)))
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          graft.functions.TextAnalysis.languageIdScript(synth).as("lang"))
+        .orderBy("doc_id")
+    }),
+
     // Deterministic hash sampling — the reproducible subsampling a
     // training-data pipeline needs (no RNG: the keep decision is a pure
     // function of doc_id, so reruns and both engines agree exactly).
@@ -754,6 +779,24 @@ object Similarity {
         "round(CAST(len(regexp_extract_all(text, '[aeiou]+[^aeiou ]*')) AS DOUBLE) " +
         "/ greatest(len(string_split(text, ' ')), 1), 6) AS ratio " +
         "FROM documents ORDER BY doc_id"),
+    // RE2 script classes (\p{Han}/\p{Hiragana}/\p{Katakana}/\p{Hangul})
+    // detect INDEPENDENTLY of the Spark side's java.util.regex
+    // \p{IsHan}-family — the grade is that both engines agree on Unicode
+    // script membership over identical synthesized bytes. Thresholds
+    // mirror languageIdScript (kana > 0.05, others > 0.25).
+    "x_text_script" ->
+      ("WITH d AS (SELECT doc_id, substring(text, 1, 20) || " +
+        "CASE CAST(doc_id % 3 AS INTEGER) " +
+        "WHEN 0 THEN '漢字文章内容理解処理計算機械学習語言模型訓練' " +
+        "WHEN 1 THEN 'これはかなのぶんしょうですとてもながいです' " +
+        "ELSE '한국어문장입니다언어감지테스트용텍스트' END AS synth FROM documents), " +
+        "m AS (SELECT doc_id, " +
+        "CAST(length(regexp_replace(synth, '[^\\p{Hiragana}\\p{Katakana}]', '', 'g')) AS DOUBLE) / length(synth) AS kana, " +
+        "CAST(length(regexp_replace(synth, '[^\\p{Hangul}]', '', 'g')) AS DOUBLE) / length(synth) AS hang, " +
+        "CAST(length(regexp_replace(synth, '[^\\p{Han}]', '', 'g')) AS DOUBLE) / length(synth) AS han FROM d) " +
+        "SELECT doc_id, CASE WHEN kana > 0.05 THEN 'ja' WHEN hang > 0.25 THEN 'ko' " +
+        "WHEN han > 0.25 THEN 'zh' ELSE 'und' END AS lang " +
+        "FROM m ORDER BY doc_id"),
     "x_text_langid" ->
       ("WITH langs(lang, words) AS (VALUES " +
         "('de', ['der','die','das','und','ist','nicht','mit','ein','zu','den']), " +
