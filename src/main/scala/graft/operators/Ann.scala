@@ -156,6 +156,20 @@ object Ann {
       table, Seq("band", "bv"), buckets)
   }
 
+  /** Append new vectors' band rows to an existing LSH index — the ingest
+    * verb completing build-once/search-many (same pattern as
+    * Dedup.appendToCorpusIndex): signature params MUST match the index's
+    * build params, which the table cannot carry — pass the same
+    * (nBits, nBands, dim, seed) or searches will silently miss the
+    * appended vectors.
+    */
+  def appendToLshIndex(emb: DataFrame, table: String,
+      nBits: Int = 16, nBands: Int = 4, dim: Int = 64, seed: Long = 42L): Unit = {
+    require(nBits % nBands == 0)
+    graft.sources.Bucketing.appendBucketed(
+      banded(emb, "vec_id", "band", "bv", nBits, nBands, dim, seed), table)
+  }
+
   /** [[lshTopK]] against a pre-built index table: identical results for
     * identical (nBits, nBands, dim, seed) — AnnSpec asserts exact parity —
     * but the search-side plan contains NO corpus signature computation

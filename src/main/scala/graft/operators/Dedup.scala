@@ -203,23 +203,8 @@ object Dedup {
     * append adds one file per bucket; reads merge per-bucket file sets —
     * compact on your own cadence, like any LSM-ish index).
     */
-  def appendToCorpusIndex(docs: DataFrame, table: String): Unit = {
-    val spark = docs.sparkSession
-    // An append must re-declare bucketing identical to the catalog's, or
-    // the analyzer rejects it (and silently-unbucketed appends would
-    // poison the zero-Exchange reload) — read the spec back rather than
-    // trusting the caller to repeat writeCorpusIndex's parameters.
-    val meta = spark.sessionState.catalog.getTableMetadata(
-      spark.sessionState.sqlParser.parseTableIdentifier(table))
-    val spec = meta.bucketSpec.getOrElse(throw new IllegalArgumentException(
-      s"$table has no bucket spec — not a corpus index"))
-    val bk = spec.bucketColumnNames
-    val sk = if (spec.sortColumnNames.nonEmpty) spec.sortColumnNames else bk
-    minhashSignatures(docs).write.mode("append").format("parquet")
-      .bucketBy(spec.numBuckets, bk.head, bk.tail: _*)
-      .sortBy(sk.head, sk.tail: _*)
-      .saveAsTable(table)
-  }
+  def appendToCorpusIndex(docs: DataFrame, table: String): Unit =
+    graft.sources.Bucketing.appendBucketed(minhashSignatures(docs), table)
 
   /** Rewrite the corpus index as one file set — the LSM-style compaction
     * for [[appendToCorpusIndex]]: every append adds a file per bucket, so

@@ -50,6 +50,26 @@ object Bucketing {
       .saveAsTable(table)
   }
 
+  /** Append rows to an existing bucketed table, re-declaring the
+    * catalog's own bucket spec (an append must match it exactly or the
+    * analyzer rejects it — and a silently unbucketed append would poison
+    * every downstream zero-Exchange plan). Each append adds one file per
+    * bucket per writer task; compact on your own cadence.
+    */
+  def appendBucketed(df: DataFrame, table: String): Unit = {
+    val spark = df.sparkSession
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(table))
+    val spec = meta.bucketSpec.getOrElse(throw new IllegalArgumentException(
+      s"$table has no bucket spec — appendBucketed is for bucketed tables"))
+    val bk = spec.bucketColumnNames
+    val sk = if (spec.sortColumnNames.nonEmpty) spec.sortColumnNames else bk
+    df.write.mode("append").format("parquet")
+      .bucketBy(spec.numBuckets, bk.head, bk.tail: _*)
+      .sortBy(sk.head, sk.tail: _*)
+      .saveAsTable(table)
+  }
+
   /** Equi-join two bucketed tables on their shared bucket key. With equal
     * bucket counts this plans with no Exchange on either side.
     */

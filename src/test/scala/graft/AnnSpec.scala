@@ -77,6 +77,14 @@ class AnnSpec extends SparkSpec {
       val r1direct = Ann.lshTopK(emb, probes, 5, probeRadius = 1)
       val r1idx = Ann.lshTopKIndexed(spark, "ann_lsh_idx", emb, probes, 5, probeRadius = 1)
       assert(key(r1idx) === key(r1direct))
+      // incremental build: an index over half the corpus plus an append
+      // of the other half searches identically to the full build
+      val half1 = emb.filter(col("vec_id") % 2 === 0)
+      val half2 = emb.filter(col("vec_id") % 2 === 1)
+      Ann.writeLshIndex(half1, "ann_lsh_idx2", buckets = 4)
+      Ann.appendToLshIndex(half2, "ann_lsh_idx2")
+      try assert(key(Ann.lshTopKIndexed(spark, "ann_lsh_idx2", emb, probes, 5)) === key(direct))
+      finally spark.sql("DROP TABLE IF EXISTS ann_lsh_idx2")
     } finally spark.sql("DROP TABLE IF EXISTS ann_lsh_idx")
   }
 
