@@ -105,7 +105,7 @@ object Ann {
     */
   private def topKFromBands(corpusBands: DataFrame, emb: DataFrame,
       probes: DataFrame, k: Int, nBits: Int, nBands: Int, dim: Int,
-      seed: Long, probeRadius: Int): DataFrame = {
+      seed: Long, probeRadius: Int, broadcastProbes: Boolean = true): DataFrame = {
     require(nBits % nBands == 0)
     require(probeRadius >= 0 && probeRadius <= 1, "radius 0 or 1 supported")
     // Multi-probe (radius 1): also probe every 1-bit perturbation of each
@@ -123,8 +123,14 @@ object Ann {
           (lit(0L) +: (0 until bandBits).map(j => lit(1L << j))).toIndexedSeq: _*)))
         .withColumn("p_bv", col("p_bv").bitwiseXOR(col("flip")))
         .drop("flip")
+    // Probe side: broadcast when small (the common case); when the probe
+    // set is itself corpus-sized, shuffle it instead — against a
+    // (band, bv)-bucketed index table the equi keys are exactly the
+    // bucket keys, so the INDEX side still plans with zero Exchange and
+    // only the probes move (AnnSpec pins that plan).
+    val pbSide = if (broadcastProbes) broadcast(pb) else pb
     val candIds = corpusBands
-      .join(broadcast(pb),
+      .join(pbSide,
         col("band") === col("p_band") && col("bv") === col("p_bv") &&
           col("vec_id") =!= col("probe_id"))
       .select("probe_id", "vec_id").distinct()
@@ -181,9 +187,9 @@ object Ann {
   def lshTopKIndexed(spark: org.apache.spark.sql.SparkSession, indexTable: String,
       emb: DataFrame, probes: DataFrame, k: Int,
       nBits: Int = 16, nBands: Int = 4, dim: Int = 64, seed: Long = 42L,
-      probeRadius: Int = 0): DataFrame =
+      probeRadius: Int = 0, broadcastProbes: Boolean = true): DataFrame =
     topKFromBands(spark.table(indexTable).select("vec_id", "band", "bv"),
-      emb, probes, k, nBits, nBands, dim, seed, probeRadius)
+      emb, probes, k, nBits, nBands, dim, seed, probeRadius, broadcastProbes)
 
   /** IVF (inverted-file) top-k — the other classic ANN scale path. Build:
     * `nLists` centroids via a few deterministic Lloyd iterations (seeded

@@ -77,6 +77,23 @@ class AnnSpec extends SparkSpec {
       val r1direct = Ann.lshTopK(emb, probes, 5, probeRadius = 1)
       val r1idx = Ann.lshTopKIndexed(spark, "ann_lsh_idx", emb, probes, 5, probeRadius = 1)
       assert(key(r1idx) === key(r1direct))
+      // shuffled-probe search (probe set too big to broadcast): same
+      // results, and the INDEX side plans with zero Exchange — the equi
+      // keys (band, bv) are exactly the bucket keys
+      val prevT = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val shuffled = Ann.lshTopKIndexed(spark, "ann_lsh_idx", emb, probes, 5,
+          broadcastProbes = false)
+        assert(key(shuffled) === key(direct))
+        val plan = shuffled.queryExecution.executedPlan.toString
+        assert(plan.contains("Bucketed: true"), s"index scan not bucketed:\n$plan")
+        // the candidate join's index side must not re-shuffle: every
+        // Exchange in the plan partitions on probe/pair columns, never on
+        // the index's (band, bv)
+        assert(!plan.matches("(?s).*Exchange hashpartitioning\\(band#.*"),
+          s"index side re-shuffled:\n$plan")
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevT)
       // incremental build: an index over half the corpus plus an append
       // of the other half searches identically to the full build
       val half1 = emb.filter(col("vec_id") % 2 === 0)
