@@ -103,10 +103,13 @@ object Dedup {
         s"connectedComponents did not converge in $maxIter rounds — the pair " +
           "graph's diameter exceeds maxIter; raise it rather than consume " +
           "partial labels (each extra round is one edge-linear shuffle)")
-    val sized = labels.groupBy("lab").agg(count(lit(1)).as("n_members"))
+    // Component sizes via a window over the final labels — ONE shuffle on
+    // lab, versus the agg + re-join form's two (and the join's second
+    // full pass over labels).
+    val byLab = org.apache.spark.sql.expressions.Window.partitionBy("lab")
     labels
-      .join(sized, "lab")
-      .select(col("u").as("doc_id"), col("lab").as("cluster_id"), col("n_members"))
+      .select(col("u").as("doc_id"), col("lab").as("cluster_id"),
+        count(lit(1)).over(byLab).as("n_members"))
       .orderBy("doc_id")
   }
 
