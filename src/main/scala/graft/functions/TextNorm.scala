@@ -23,12 +23,16 @@ case class UnicodeNormalize(child: Expression, form: String)
   override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = StringType
   override def prettyName: String = s"graft_${form.toLowerCase}"
+  @transient private lazy val resolvedForm: java.text.Normalizer.Form =
+    java.text.Normalizer.Form.valueOf(form)
   override protected def nullSafeEval(input: Any): Any =
-    TextNorm.normalize(input.asInstanceOf[UTF8String], form)
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    // `form` is constructor-validated against Forms, so the embedded
-    // string literal is one of four fixed tokens — no injection surface.
-    defineCodeGen(ctx, ev, c => s"""graft.functions.TextNorm.normalize($c, "$form")""")
+    TextNorm.normalize(input.asInstanceOf[UTF8String], resolvedForm)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // The Form enum is resolved once and referenced from generated code —
+    // per-row work is only isNormalized + (rarely) normalize.
+    val f = ctx.addReferenceObj("form", resolvedForm, "java.text.Normalizer.Form")
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextNorm.normalize($c, $f)")
+  }
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
@@ -36,11 +40,18 @@ case class UnicodeNormalize(child: Expression, form: String)
 object TextNorm {
   val Forms: Set[String] = Set("NFC", "NFD", "NFKC", "NFKD")
 
-  def normalize(s: UTF8String, form: String): UTF8String = {
+  // Forms resolved ONCE — the codegen path calls normalize per row, and a
+  // per-row Enum.valueOf is avoidable work on a narrow-map hot path.
+  private val formOf: Map[String, java.text.Normalizer.Form] =
+    Forms.iterator.map(f => f -> java.text.Normalizer.Form.valueOf(f)).toMap
+
+  def normalize(s: UTF8String, form: String): UTF8String =
+    normalize(s, formOf(form))
+
+  def normalize(s: UTF8String, f: java.text.Normalizer.Form): UTF8String = {
     val str = s.toString
     // Normalizer.isNormalized is a cheap scan; most real text is already
     // NFC, so the common case allocates nothing.
-    val f = java.text.Normalizer.Form.valueOf(form)
     if (java.text.Normalizer.isNormalized(str, f)) s
     else UTF8String.fromString(java.text.Normalizer.normalize(str, f))
   }
@@ -138,9 +149,14 @@ private[functions] case class BpeTrie(vocab: Seq[String]) {
         if (best > i) {
           out += UTF8String.fromString(word.substring(i, best))
           i = best
-        } else { // out-of-vocab: single-char fallback token
-          out += UTF8String.fromString(word.substring(i, i + 1))
-          i += 1
+        } else {
+          // Out-of-vocab: single CODE POINT fallback token. Advancing one
+          // UTF-16 char would split a supplementary-plane character
+          // (emoji, CJK ext-B) into two lone surrogates, which encode as
+          // replacement bytes and break the re-concatenation invariant.
+          val cp = Character.charCount(word.codePointAt(i))
+          out += UTF8String.fromString(word.substring(i, i + cp))
+          i += cp
         }
       }
       w += 1

@@ -129,11 +129,17 @@ private[graft] object T {
   }
 
   /** Unpersist every frame registered since the last call (idempotent —
-    * frames already unpersisted by their operator are a no-op). */
-  def releaseCaches(): Unit = {
+    * frames already unpersisted by their operator are a no-op).
+    *
+    * @param blocking pass true from a timing harness: async cleanup of one
+    *        query's frames otherwise lands inside the NEXT query's timed
+    *        window (the round-5 x_dedup_exact +2 s phantom). Default stays
+    *        async for non-timed callers.
+    */
+  def releaseCaches(blocking: Boolean = false): Unit = {
     var df = liveCaches.poll()
     while (df != null) {
-      df.unpersist(blocking = false)
+      df.unpersist(blocking)
       df = liveCaches.poll()
     }
   }

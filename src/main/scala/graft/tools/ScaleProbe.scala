@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
   * of 10c yields ~50c² pairs) — the probe prints output rows so the two
   * effects can be told apart.
   *
-  * `runMain graft.tools.ScaleProbe [sfDir] [keys|curation|cc|all]`
+  * `runMain graft.tools.ScaleProbe [sfDir] [keys|sigs|curation|cc|all]`
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -61,7 +61,7 @@ object ScaleProbe {
     // corpus (the composed-pipeline total is dominated by the pair join,
     // whose output is quadratic in cluster size by construction, so the
     // swap is invisible in the composed number).
-    if (mode == "sigs") {
+    if (mode == "all" || mode == "sigs") {
       graft.ops.Custom.register(spark)
       val docs = spark.read.parquet(s"$bigDir/documents.parquet")
         .select("doc_id", "text")
