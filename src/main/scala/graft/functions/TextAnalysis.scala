@@ -45,6 +45,64 @@ object TextAnalysis {
   def subwordCountVocab(text: Column, vocab: Seq[String]): Column =
     size(subwordTokens(text, vocab))
 
+  /** Learn a subword vocabulary FROM the corpus — the missing half of the
+    * tokenizer story ([[subwordTokens]] consumes a caller-supplied vocab;
+    * this derives one). Frequency-ranked substring selection, the scalable
+    * stand-in for iterative BPE merges (true pair-merge training is a
+    * vocab-sized driver loop — thousands of sequential passes — where this
+    * is ONE aggregation cascade; SentencePiece seeds its unigram model the
+    * same way, Kudo & Richardson 2018 §3):
+    *
+    *  1. distinct whitespace words with corpus frequencies (one agg);
+    *  2. every substring up to `maxSubLen` chars of each distinct word,
+    *     weighted by the word's frequency (a flatten/transform HOF over
+    *     the DISTINCT words — the substring blowup is per unique word,
+    *     not per corpus row);
+    *  3. one more agg sums weights per substring; multi-char candidates
+    *     rank by weight × length (plain frequency would rank every single
+    *     char first and fill the budget with them; length-weighting is
+    *     what makes "ing" beat "i"+"n"+"g", mirroring what BPE merges
+    *     optimize), ties broken lexicographically — deterministic;
+    *  4. ALL seen single chars enter the vocab unconditionally (full
+    *     charset coverage: encoding then falls back to the single-char
+    *     path only for chars never seen in training), then the top
+    *     multi-char candidates fill the remaining `vocabSize` slots.
+    *
+    * The §3.3 aggregate→decide pattern: executors reduce 100 TB of text to
+    * a (substring, weight) frame; only the final ranked vocab — bounded by
+    * `vocabSize`, a few hundred KB — reaches the driver. The result feeds
+    * [[subwordTokens]]/[[subwordCountVocab]] as a literal, so encoding
+    * stays a narrow codegen map.
+    *
+    * @param maxWordLen words longer than this are skipped as vocab
+    *        SOURCES (url/hash junk would otherwise dominate the substring
+    *        expansion); they still encode fine via shorter learned pieces.
+    * @return vocab of ≤ max(vocabSize, #distinct chars) entries: every
+    *         seen char, then multi-char substrings by descending score
+    */
+  def trainVocab(docs: org.apache.spark.sql.DataFrame, textCol: String,
+      vocabSize: Int, maxSubLen: Int = 8, maxWordLen: Int = 32): Seq[String] = {
+    val words = docs
+      .select(explode(tokens(col(textCol))).as("w"))
+      .filter(length(col("w")).between(1, maxWordLen))
+      .groupBy("w").agg(count(lit(1)).as("f"))
+    val scored = words
+      .select(col("f"), explode(flatten(transform(
+        sequence(lit(1), length(col("w"))),
+        i => transform(
+          sequence(lit(1), least(lit(maxSubLen), length(col("w")) - i + 1)),
+          n => col("w").substr(i, n))))).as("s"))
+      .groupBy("s").agg(sum(col("f")).as("sf"))
+    val chars = scored.filter(length(col("s")) === 1)
+      .orderBy(col("s")).select("s")
+      .collect().map(_.getString(0)).toSeq
+    val multi = scored.filter(length(col("s")) > 1)
+      .orderBy((col("sf") * length(col("s"))).desc, col("s").asc)
+      .limit(math.max(vocabSize, 0)).select("s")
+      .collect().map(_.getString(0)).toSeq
+    chars ++ multi.take(math.max(vocabSize - chars.size, 0))
+  }
+
   /** Canonical Unicode bytes (NFC): run before ANY hash-based stage on a
     * multilingual corpus — NFD/NFC mixed encodings are the same text but
     * different md5/minhash inputs ([[graft.functions.UnicodeNormalize]]).

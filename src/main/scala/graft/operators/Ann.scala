@@ -50,20 +50,50 @@ object Ann {
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
 
-  /** One row per (vector, band): id, band index, band value — the LSH
-    * blocking key shared by lshTopK and cosineNearDupPairs.
+  /** Axis-aligned sign signature: bit i set iff embedding[i] > 0 — the
+    * hyperplane family degenerated to the unit basis vectors. Weaker
+    * separation than the gaussian [[signature]] (dims are rarely
+    * isotropic), but DETERMINISTIC AND CROSS-ENGINE-EXPRESSIBLE: any SQL
+    * engine derives the identical key from CASE WHEN x > 0, which is what
+    * lets an index built on it be oracle-graded (x_ann_indexed_topk; the
+    * same key x_ann_bucket_topk grades as a string).
     */
-  private def banded(df: DataFrame, idCol: String, bandCol: String, bvCol: String,
-      nBits: Int, nBands: Int, dim: Int, seed: Long): DataFrame = {
+  def signSignature(emb: Column, nBits: Int): Column = {
+    val e = embDouble(emb)
+    (0 until nBits).map(i =>
+      when(element_at(e, i + 1) > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Split a long signature column into (band index, band value) rows —
+    * the banding half shared by every signature family.
+    */
+  private def splitBands(sigged: DataFrame, bandCol: String, bvCol: String,
+      nBits: Int, nBands: Int): DataFrame = {
     val bandBits = nBits / nBands
     val mask = (1L << bandBits) - 1
-    df.select(col("vec_id").as(idCol),
-        signature(col("embedding"), nBits, dim, seed).as("sig"))
+    sigged
       .withColumn(bandCol, explode(sequence(lit(0), lit(nBands - 1))))
       .withColumn(bvCol, call_function("shiftright", col("sig"),
         col(bandCol) * bandBits).bitwiseAND(lit(mask)))
       .drop("sig")
   }
+
+  /** One row per (vector, band): id, band index, band value — the LSH
+    * blocking key shared by lshTopK and cosineNearDupPairs.
+    */
+  private def banded(df: DataFrame, idCol: String, bandCol: String, bvCol: String,
+      nBits: Int, nBands: Int, dim: Int, seed: Long): DataFrame =
+    splitBands(df.select(col("vec_id").as(idCol),
+      signature(col("embedding"), nBits, dim, seed).as("sig")),
+      bandCol, bvCol, nBits, nBands)
+
+  /** [[banded]] with the axis-aligned [[signSignature]] family. */
+  def signBanded(df: DataFrame, idCol: String, bandCol: String, bvCol: String,
+      nBits: Int, nBands: Int): DataFrame =
+    splitBands(df.select(col("vec_id").as(idCol),
+      signSignature(col("embedding"), nBits).as("sig")),
+      bandCol, bvCol, nBits, nBands)
 
   /** Normalized-projection frame: id, double embedding, L2 norm. */
   private def withNorm(df: DataFrame, idCol: String, embCol: String,
@@ -96,17 +126,19 @@ object Ann {
       nBits: Int = 16, nBands: Int = 4, dim: Int = 64, seed: Long = 42L,
       probeRadius: Int = 0): DataFrame =
     topKFromBands(banded(emb, "vec_id", "band", "bv", nBits, nBands, dim, seed),
-      emb, probes, k, nBits, nBands, dim, seed, probeRadius)
+      banded(probes, "probe_id", "p_band", "p_bv", nBits, nBands, dim, seed),
+      emb, probes, k, nBits / nBands, probeRadius)
 
-  /** Shared search body for [[lshTopK]] (bands computed inline) and
-    * [[lshTopKIndexed]] (bands loaded from a persisted index): band the
-    * probes, equi-join against the corpus band frame, dedup candidates on
-    * the ID pair, exact-cosine re-rank.
+  /** Shared search body for [[lshTopK]] (bands computed inline),
+    * [[lshTopKIndexed]] and [[signTopKIndexed]] (bands loaded from a
+    * persisted index): equi-join probe bands against the corpus band
+    * frame, dedup candidates on the ID pair, exact-cosine re-rank. Both
+    * band frames arrive pre-computed so every signature family (gaussian,
+    * axis-aligned sign) shares one search body.
     */
-  private def topKFromBands(corpusBands: DataFrame, emb: DataFrame,
-      probes: DataFrame, k: Int, nBits: Int, nBands: Int, dim: Int,
-      seed: Long, probeRadius: Int, broadcastProbes: Boolean = true): DataFrame = {
-    require(nBits % nBands == 0)
+  private def topKFromBands(corpusBands: DataFrame, probeBands: DataFrame,
+      emb: DataFrame, probes: DataFrame, k: Int, bandBits: Int,
+      probeRadius: Int, broadcastProbes: Boolean = true): DataFrame = {
     require(probeRadius >= 0 && probeRadius <= 1, "radius 0 or 1 supported")
     // Multi-probe (radius 1): also probe every 1-bit perturbation of each
     // probe band — vectors whose signature nearly matches land in an
@@ -114,8 +146,7 @@ object Ann {
     // loses. The (1 + bandBits)× blowup is on the PROBE side only, which
     // is broadcast and tiny; the corpus side is untouched, so candidate
     // generation stays an equi-join at any scale.
-    val bandBits = nBits / nBands
-    val pb0 = banded(probes, "probe_id", "p_band", "p_bv", nBits, nBands, dim, seed)
+    val pb0 = probeBands
     val pb =
       if (probeRadius == 0) pb0
       else pb0
@@ -187,9 +218,39 @@ object Ann {
   def lshTopKIndexed(spark: org.apache.spark.sql.SparkSession, indexTable: String,
       emb: DataFrame, probes: DataFrame, k: Int,
       nBits: Int = 16, nBands: Int = 4, dim: Int = 64, seed: Long = 42L,
-      probeRadius: Int = 0, broadcastProbes: Boolean = true): DataFrame =
+      probeRadius: Int = 0, broadcastProbes: Boolean = true): DataFrame = {
+    require(nBits % nBands == 0)
     topKFromBands(spark.table(indexTable).select("vec_id", "band", "bv"),
-      emb, probes, k, nBits, nBands, dim, seed, probeRadius, broadcastProbes)
+      banded(probes, "probe_id", "p_band", "p_bv", nBits, nBands, dim, seed),
+      emb, probes, k, nBits / nBands, probeRadius, broadcastProbes)
+  }
+
+  /** Persisted index over the axis-aligned [[signSignature]] family — the
+    * oracle-gradable instance of build-once/search-many (graded as
+    * x_ann_indexed_topk). Same lifecycle as [[writeLshIndex]]: the band
+    * frame is written bucketed by the full (band, bv) blocking key.
+    */
+  def writeSignIndex(emb: DataFrame, table: String,
+      nBits: Int = 8, nBands: Int = 1, buckets: Int = 32): Unit = {
+    require(nBits % nBands == 0)
+    graft.sources.Bucketing.writeBucketed(
+      signBanded(emb, "vec_id", "band", "bv", nBits, nBands),
+      table, Seq("band", "bv"), buckets)
+  }
+
+  /** Search a [[writeSignIndex]] table: the corpus side is a bucketed
+    * table scan with NO signature computation (AnnSpec counts the
+    * signature stages); only the probes pay the sign pass.
+    */
+  def signTopKIndexed(spark: org.apache.spark.sql.SparkSession, indexTable: String,
+      emb: DataFrame, probes: DataFrame, k: Int,
+      nBits: Int = 8, nBands: Int = 1, probeRadius: Int = 0,
+      broadcastProbes: Boolean = true): DataFrame = {
+    require(nBits % nBands == 0)
+    topKFromBands(spark.table(indexTable).select("vec_id", "band", "bv"),
+      signBanded(probes, "probe_id", "p_band", "p_bv", nBits, nBands),
+      emb, probes, k, nBits / nBands, probeRadius, broadcastProbes)
+  }
 
   /** IVF (inverted-file) top-k — the other classic ANN scale path. Build:
     * `nLists` centroids via a few deterministic Lloyd iterations (seeded

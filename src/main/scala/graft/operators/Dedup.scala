@@ -150,6 +150,37 @@ object Dedup {
     docs.join(doomed, Seq("doc_id"), "left_anti")
   }
 
+  /** Quality-aware survivor policy: every connected component keeps its
+    * BEST-scoring member (ties broken by min doc_id), instead of
+    * [[dropNonCanonical]]'s min-id member. This is what production
+    * curation wants — when a boilerplate-stripped mirror of a page scores
+    * higher than the earlier-crawled original, keep the mirror. Identical
+    * cluster semantics (same transitive closure); only the within-cluster
+    * choice differs, and exactly when quality order disagrees with id
+    * order.
+    *
+    * Shape: one window shuffle on cluster_id over the (id, score) pairs —
+    * node-sized, no doc payloads move — then an ids-only anti-join back to
+    * `docs`. Docs in no pair are never shuffled at all.
+    *
+    * @param docs     frame keyed by `doc_id` carrying `scoreCol`
+    * @param pairs    near-dup pairs (`a_id`, `b_id`) over the same ids
+    * @param scoreCol numeric quality column in `docs`; higher wins
+    */
+  def keepBest(docs: DataFrame, pairs: DataFrame, scoreCol: String): DataFrame = {
+    val members = connectedComponents(pairs)
+      .select("doc_id", "cluster_id")
+      .join(docs.select(col("doc_id"), col(scoreCol).as("_score")), Seq("doc_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_id")
+      .orderBy(col("_score").desc_nulls_last, col("doc_id").asc)
+    val doomed = members
+      .select(col("doc_id"), row_number().over(w).as("_rn"))
+      .filter(col("_rn") > 1)
+      .select("doc_id")
+    docs.join(doomed, Seq("doc_id"), "left_anti")
+  }
+
   // ------------------------------------------------------------------
   // Incremental dedup: new shard vs a FROZEN corpus. Production curation
   // dedups each incoming batch against history, not against itself — the
@@ -192,11 +223,33 @@ object Dedup {
     * pass. Same pair semantics as the x_dedup_minhash self-join restricted
     * to (corpus × new) — DedupSpec proves that equivalence on a split
     * corpus.
+    *
+    * @param maxBandFreq optional hot-band stop-list (the standard minhash
+    *        skew defense): a band key (seed, mh) carried by more than this
+    *        many corpus docs — boilerplate, empty-ish documents, template
+    *        chrome — is dropped from the corpus side BEFORE the join, so
+    *        no single key can fan out to a corpus-sized candidate cluster.
+    *        Trade, documented and deliberate: a pair is missed or
+    *        undercounted only when stop-listed bands were among its
+    *        agreeing bands — i.e. agreement carried by corpus-wide
+    *        boilerplate, which is exactly the evidence a curation pipeline
+    *        should discount. The frequency agg groups by the index's own
+    *        bucket key, so it plans with no Exchange on the corpus side,
+    *        and the hot set (few keys by definition of the cap) broadcasts
+    *        into the anti-join.
     */
   def dedupAgainst(spark: org.apache.spark.sql.SparkSession, corpusIndex: String,
-      newDocs: DataFrame, minBands: Int = 4): DataFrame = {
-    val corpus = spark.table(corpusIndex)
+      newDocs: DataFrame, minBands: Int = 4,
+      maxBandFreq: Option[Long] = None): DataFrame = {
+    val corpusAll = spark.table(corpusIndex)
       .select(col("doc_id").as("corpus_id"), col("seed"), col("mh"))
+    val corpus = maxBandFreq.fold(corpusAll) { cap =>
+      val hot = spark.table(corpusIndex)
+        .groupBy("seed", "mh").agg(count(lit(1)).as("_freq"))
+        .filter(col("_freq") > cap)
+        .select("seed", "mh")
+      corpusAll.join(broadcast(hot), Seq("seed", "mh"), "left_anti")
+    }
     val fresh = minhashSignatures(newDocs)
       .select(col("doc_id").as("new_id"), col("seed"), col("mh"))
     corpus.join(fresh, Seq("seed", "mh"))

@@ -140,6 +140,27 @@ object Similarity {
         .orderBy("probe_id", "rn")
     }),
 
+    // Persisted-index ANN search — build-once/search-many, graded
+    // (SURVEY §2b x_ann_indexed_topk): the corpus' sign-bucket band frame
+    // is written in-query as a (band, bv)-bucketed table (the
+    // x_dedup_incremental device), then searched via Ann.signTopKIndexed,
+    // whose corpus side is a bucketed table scan with ZERO signature
+    // computation (AnnSpec counts the stages). Same key family as
+    // x_ann_bucket_topk (bit i = emb[i] > 0 ⇔ the '1'/'0' string char),
+    // so the oracle states the equivalent inline-bucket SQL — an index is
+    // a materialization, invisible to semantics.
+    "x_ann_indexed_topk" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      graft.operators.Ann.writeSignIndex(e, "x_ann_indexed_idx",
+        nBits = 8, nBands = 1, buckets = 8)
+      val probes = e.filter(col("vec_id").between(11, 20))
+      graft.operators.Ann.signTopKIndexed(s, "x_ann_indexed_idx",
+          fan(s, e), probes, k = 3)
+        .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+          col("rn").cast("bigint").as("rn"), round(col("cos"), 6).as("cosine"))
+        .orderBy("probe_id", "rn")
+    }),
+
     // Exact dedup: content-hash groups with canonical (min) doc_id.
     "x_dedup_exact" -> ((s, d) =>
       t(s, d, "documents")
@@ -633,6 +654,18 @@ object Similarity {
         "ORDER BY list_dot_product(p.emb, c.emb) / (p.nrm * c.nrm) DESC, c.vec_id ASC) AS rn " +
         "FROM n p JOIN n c ON p.bucket = c.bucket AND c.vec_id <> p.vec_id " +
         "WHERE p.vec_id <= 10) " +
+        "SELECT probe_id, neighbor_id, rn, round(cos_raw, 6) AS cosine " +
+        "FROM pairs WHERE rn <= 3 ORDER BY probe_id, rn"),
+    "x_ann_indexed_topk" ->
+      ("WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings), " +
+        "n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm, " +
+        "array_to_string(list_transform(emb[1:8], x -> CASE WHEN x > 0 THEN '1' ELSE '0' END), '') AS bucket FROM e), " +
+        "pairs AS (SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id, " +
+        "list_dot_product(p.emb, c.emb) / (p.nrm * c.nrm) AS cos_raw, " +
+        "row_number() OVER (PARTITION BY p.vec_id " +
+        "ORDER BY list_dot_product(p.emb, c.emb) / (p.nrm * c.nrm) DESC, c.vec_id ASC) AS rn " +
+        "FROM n p JOIN n c ON p.bucket = c.bucket AND c.vec_id <> p.vec_id " +
+        "WHERE p.vec_id BETWEEN 11 AND 20) " +
         "SELECT probe_id, neighbor_id, rn, round(cos_raw, 6) AS cosine " +
         "FROM pairs WHERE rn <= 3 ORDER BY probe_id, rn"),
     "x_dedup_ngram" ->

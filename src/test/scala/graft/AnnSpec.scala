@@ -105,6 +105,47 @@ class AnnSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS ann_lsh_idx")
   }
 
+  test("signTopKIndexed: matches the inline sign-bucket search; corpus pays no sign pass") {
+    // independent expected result: inline sign-bucket top-k computed with
+    // plain DataFrame ops (the x_ann_bucket_topk device, bucket as a
+    // string key), no Ann code on the expected side
+    import org.apache.spark.sql.expressions.Window
+    val e = emb.select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("emb"))
+      .withColumn("nrm", sqrt(expr(
+        "aggregate(emb, cast(0.0 as double), (a, x) -> a + x * x)")))
+      .withColumn("bucket", expr(
+        "array_join(transform(slice(emb, 1, 8), x -> CASE WHEN x > 0 THEN '1' ELSE '0' END), '')"))
+    val p = e.filter(col("vec_id") <= 10)
+      .select(col("vec_id").as("probe_id"), col("emb").as("p_emb"),
+        col("nrm").as("p_nrm"), col("bucket").as("p_bucket"))
+    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id").asc)
+    val expected = e.join(p,
+        col("bucket") === col("p_bucket") && col("vec_id") =!= col("probe_id"))
+      .withColumn("cos", expr(
+        "aggregate(zip_with(emb, p_emb, (x, y) -> x * y), cast(0.0 as double), (a, v) -> a + v)")
+        / (col("nrm") * col("p_nrm")))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .select("probe_id", "vec_id", "rn", "cos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        math.round(r.getDouble(3) * 1e9))).toSet
+    Ann.writeSignIndex(emb, "ann_sign_idx", nBits = 8, nBands = 1, buckets = 4)
+    try {
+      val indexed = Ann.signTopKIndexed(spark, "ann_sign_idx", emb, probes, 3)
+      val got = indexed.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getInt(2), math.round(r.getDouble(3) * 1e9))).toSet
+      assert(got === expected)
+      // the search plan derives band values (shiftright over the
+      // signature) only for the broadcast probes; the corpus side is the
+      // index table scan — same assertion device as lshTopKIndexed above
+      val sigStages = "shiftright".r
+        .findAllIn(indexed.queryExecution.optimizedPlan.toString).size
+      assert(sigStages === 1,
+        s"corpus sign pass recomputed:\n${indexed.queryExecution.optimizedPlan}")
+      assert(indexed.queryExecution.optimizedPlan.toString.contains("ann_sign_idx"))
+    } finally spark.sql("DROP TABLE IF EXISTS ann_sign_idx")
+  }
+
   test("sqQuantize/sqTopK: int8 codes rank nearly as well as float32") {
     val q = Ann.sqQuantize(emb)
     // codes are genuinely int8 and the dequantized error is bounded by

@@ -66,6 +66,57 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.dropNonCanonical(docs, pairs).columns === Array("doc_id", "payload"))
   }
 
+  test("keepBest keeps the max-quality member per component; min-id only on ties") {
+    val docs = Seq(
+      (1L, 0.2), (2L, 0.9), (3L, 0.5), // star component {1,2,3}: best is 2
+      (4L, 0.1),                       // in no pair: always survives
+      (10L, 0.7), (11L, 0.7)           // tie in {10,11}: min id 10 wins
+    ).toDF("doc_id", "quality")
+    val pairs = Seq((1L, 3L), (2L, 3L), (10L, 11L)).toDF("a_id", "b_id")
+    val best = Dedup.keepBest(docs, pairs, "quality")
+      .select("doc_id").as[Long].collect().sorted
+    assert(best === Seq(2L, 4L, 10L))
+    // differs from dropNonCanonical exactly where quality disagrees with
+    // id order: the star keeps 1 under min-id but 2 under max-quality;
+    // the tied pair keeps 10 under both.
+    val minId = Dedup.dropNonCanonical(docs, pairs)
+      .select("doc_id").as[Long].collect().sorted
+    assert(minId === Seq(1L, 4L, 10L))
+    // payload columns survive untouched
+    assert(Dedup.keepBest(docs, pairs, "quality").columns ===
+      Array("doc_id", "quality"))
+  }
+
+  test("dedupAgainst maxBandFreq stop-lists boilerplate bands, keeps real pairs") {
+    val boiler = "lorem ipsum dolor sit amet consectetur adipiscing elit " +
+      "sed do eiusmod tempor incididunt ut labore et dolore magna aliqua"
+    val real = "ein ganz eigener text ueber schiffe und sterne der nur " +
+      "einmal im korpus vorkommt und einen echten partner hat"
+    // corpus: 6 copies of the boilerplate (every band key has frequency
+    // 6) + one genuine doc (band frequency 1)
+    val corpus = ((1L to 6L).map(i => (i, boiler)) :+ (7L, real))
+      .toDF("doc_id", "text")
+    Dedup.writeCorpusIndex(corpus, "hotband_idx", buckets = 2)
+    try {
+      // shard: one more boilerplate copy + a near-dup of the genuine doc
+      val shard = Seq((20L, boiler), (21L, real.replace("echten", "wahren")))
+        .toDF("doc_id", "text")
+      // uncapped: the boilerplate copy fans out to ALL 6 corpus copies
+      val open = Dedup.dedupAgainst(spark, "hotband_idx", shard)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(open.count(_._2 == 20L) === 6)
+      assert(open.exists(p => p._1 == 7L && p._2 == 21L))
+      // cap 5 < boilerplate frequency 6: its bands are stop-listed, so the
+      // hot key contributes NOTHING to the join (fan-out bounded), while
+      // the genuine pair (band frequency 1 ≤ cap) is untouched.
+      val capped = Dedup.dedupAgainst(spark, "hotband_idx", shard,
+          maxBandFreq = Some(5L))
+        .as[(Long, Long, Long)].collect().toSet
+      assert(capped.count(_._2 == 20L) === 0)
+      assert(capped.exists(p => p._1 == 7L && p._2 == 21L))
+    } finally spark.sql("DROP TABLE IF EXISTS hotband_idx")
+  }
+
   test("dedupAgainst: new-vs-corpus pairs equal the self-join's cross-partition subset") {
     import graft.ops.T
     val docs = T.t(spark, sf(), "documents").select("doc_id", "text")

@@ -401,6 +401,40 @@ class LibrarySpec extends SparkSpec {
     assert(nullRow.isNullAt(0))
   }
 
+  test("trainVocab: corpus-learned vocabulary drives BpeEncode segmentation") {
+    import spark.implicits._
+    graft.ops.Custom.register(spark)
+    // A corpus where "lower" and "newer" dominate: weight × length scoring
+    // must surface the whole words (and their shared "er" tail) over the
+    // individual characters that raw frequency would rank first.
+    val docs = Seq.fill(20)("lower newer lower newer")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val vocab = TextAnalysis.trainVocab(docs, "text", vocabSize = 12)
+    // charset coverage is unconditional: every seen char is an entry
+    assert(Set("l", "o", "w", "e", "r", "n").subsetOf(vocab.toSet))
+    // the frequent whole words made the budgeted multi-char slots
+    assert(vocab.contains("lower") && vocab.contains("newer"))
+    // determinism: same corpus, same vocab, same order
+    assert(vocab === TextAnalysis.trainVocab(docs, "text", vocabSize = 12))
+    def seg(text: String): Seq[String] =
+      Seq(text).toDF("text")
+        .select(TextAnalysis.subwordTokens(col("text"), vocab).as("toks"))
+        .head().getSeq[String](0)
+    // hand-checked round trips: trained whole word is one token; an
+    // unseen inflection reuses learned pieces; an OOV char (never in
+    // training) falls back to a single-char token — and every
+    // segmentation re-concatenates to its input word
+    assert(seg("lower") === Seq("lower"))
+    assert(seg("lower©") === Seq("lower", "©"))
+    for (w <- Seq("lower", "newer", "lowest", "renew", "lower©"))
+      assert(seg(w).mkString("") === w)
+    // the learned vocab feeds the count form as a literal narrow map
+    val cnt = docs.limit(1)
+      .select(TextAnalysis.subwordCountVocab(col("text"), vocab))
+      .head().getInt(0)
+    assert(cnt === 4) // four whole-word tokens
+  }
+
   test("languageIdScript: CJK decided by character blocks, latin falls back to stopwords") {
     import spark.implicits._
     val rows = Seq(
