@@ -479,6 +479,43 @@ class LibrarySpec extends SparkSpec {
     assert(toks === Seq("hello", "world", "test", "café"))
   }
 
+  test("NFKC reference vectors: standard-pinned compatibility folds, NFC-invariant") {
+    // NFKC cannot be oracle-graded — DuckDB 1.0.0 exposes only
+    // nfc_normalize, no compatibility normalize (probed; SURVEY §2b notes
+    // it against the x_text_nfc row) — so the bridge is this
+    // IMPLEMENTATION-INDEPENDENT vector suite: expected strings are
+    // literals transcribed from the Unicode standard's compatibility
+    // decompositions (UAX #15 / UnicodeData K-mappings), not computed by
+    // the library under test.
+    import spark.implicits._
+    graft.ops.Custom.register(spark)
+    val vectors = Seq(
+      "ＡＢＣ１２３" -> "ABC123", // fullwidth letters/digits
+      "ﬁﬂ" -> "fifl",             // latin ligatures U+FB01/FB02
+      "x²y³" -> "x2y3",           // superscripts
+      "½" -> "1⁄2",          // vulgar one-half → 1 + FRACTION SLASH + 2
+      "㎞㎏" -> "kmkg",           // squared SI units U+339E/338F
+      "Ⅸ" -> "IX",               // roman numeral U+2168
+      "ｶﾞ" -> "ガ",              // halfwidth katakana + voiced mark → U+30AC
+      "™" -> "TM",               // trademark sign
+      "①" -> "1")                // circled digit one
+    val df = vectors.toDF("text", "expected")
+      .select(col("text"), col("expected"),
+        TextAnalysis.normalizeNfkc(col("text")).as("nfkc"),
+        TextAnalysis.normalizeNfc(col("text")).as("nfc"),
+        TextAnalysis.normalizeNfkc(TextAnalysis.normalizeNfkc(col("text"))).as("nfkc2"))
+      .collect()
+    df.foreach { r =>
+      assert(r.getString(2) === r.getString(1),
+        s"NFKC of '${r.getString(0)}'")
+      // every vector is ALREADY canonically composed: NFC must not touch
+      // it (the compatibility fold is NFKC-only behavior)
+      assert(r.getString(3) === r.getString(0),
+        s"NFC altered '${r.getString(0)}'")
+      assert(r.getString(4) === r.getString(2), "NFKC not idempotent")
+    }
+  }
+
   test("Pipelines: streaming dedupWithinWatermark keeps one row per key") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
