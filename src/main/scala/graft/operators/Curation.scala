@@ -41,11 +41,22 @@ object Curation {
     *                    single-encoder corpora (the test fixtures) are
     *                    byte-stable already and the survivors' `text`
     *                    column stays byte-identical to the input.
+    * @param keepBestQuality near-dup survivor policy: false (default) =
+    *                    the single-pass smaller-id-neighbor policy in the
+    *                    object Scaladoc; true = [[Dedup.keepBest]] — each
+    *                    duplicate CLUSTER (full transitive closure) keeps
+    *                    its highest-quality member, min-id tiebreak. The
+    *                    quality-aware form is what production curation
+    *                    wants (keep the clean mirror, not the first-
+    *                    crawled copy) and costs a connected-components
+    *                    pass (a few edge-linear shuffle rounds) on top of
+    *                    the same band join.
     */
   def curate(docs0: DataFrame, minQuality: Double = 0.3,
       nHashes: Int = 8, minBands: Int = 4,
       maxDupLines: Double = 1.0, maxTopNgram: Double = 1.0,
-      normalizeUnicode: Boolean = false): DataFrame = {
+      normalizeUnicode: Boolean = false,
+      keepBestQuality: Boolean = false): DataFrame = {
     // Stage 0 (optional): canonical Unicode bytes, a codegen'd narrow map
     // fused into the same scan stage as the feature columns below.
     val docs = if (normalizeUnicode) {
@@ -95,16 +106,22 @@ object Curation {
         .agg(array((0 until nHashes).map(i =>
           min(md5(concat(col("tok"), lit(s"#$i")).cast("binary")))): _*).as("sigs"))
         .select(col("doc_id"), posexplode(col("sigs")).as(Seq("seed", "mh")))
-    val dropIds = sigs.select(col("doc_id").as("a_id"), col("seed"), col("mh"))
+    val pairs = sigs.select(col("doc_id").as("a_id"), col("seed"), col("mh"))
       .join(sigs.select(col("doc_id").as("b_id"), col("seed").as("seed_b"),
         col("mh").as("mh_b")),
         col("seed") === col("seed_b") && col("mh") === col("mh_b") &&
           col("a_id") < col("b_id"))
       .groupBy("a_id", "b_id").count()
       .filter(col("count") >= minBands)
-      .select(col("b_id").as("doc_id")).distinct() // the larger id dies
-    exactKept.join(dropIds, Seq("doc_id"), "left_anti")
-      .select("doc_id", "lang", "quality", "n_tokens", "text")
+    if (keepBestQuality)
+      Dedup.keepBest(exactKept, pairs.select("a_id", "b_id"), "quality")
+        .select("doc_id", "lang", "quality", "n_tokens", "text")
+    else {
+      val dropIds = pairs
+        .select(col("b_id").as("doc_id")).distinct() // the larger id dies
+      exactKept.join(dropIds, Seq("doc_id"), "left_anti")
+        .select("doc_id", "lang", "quality", "n_tokens", "text")
+    }
   }
 
   /** Deterministic 1-in-`k` subsample (graded form: x_sample_hash): the

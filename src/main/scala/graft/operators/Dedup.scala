@@ -264,8 +264,9 @@ object Dedup {
     * moves ids, not text.
     */
   def filterNovel(spark: org.apache.spark.sql.SparkSession, corpusIndex: String,
-      newDocs: DataFrame, minBands: Int = 4): DataFrame = {
-    val dup = dedupAgainst(spark, corpusIndex, newDocs, minBands)
+      newDocs: DataFrame, minBands: Int = 4,
+      maxBandFreq: Option[Long] = None): DataFrame = {
+    val dup = dedupAgainst(spark, corpusIndex, newDocs, minBands, maxBandFreq)
       .select(col("new_id").as("doc_id")).distinct()
     newDocs.join(dup, Seq("doc_id"), "left_anti")
   }
@@ -334,8 +335,9 @@ object Dedup {
     * land the survivors durably first, which truncates lineage anyway.)
     */
   def ingestShard(spark: org.apache.spark.sql.SparkSession, corpusIndex: String,
-      shard: DataFrame, minBands: Int = 4): DataFrame = {
-    val vsCorpus = filterNovel(spark, corpusIndex, shard, minBands)
+      shard: DataFrame, minBands: Int = 4,
+      maxBandFreq: Option[Long] = None): DataFrame = {
+    val vsCorpus = filterNovel(spark, corpusIndex, shard, minBands, maxBandFreq)
     val sigs = minhashSignatures(vsCorpus)
     val inShardDup = sigs.select(col("doc_id").as("a_id"), col("seed"), col("mh"))
       .join(sigs.select(col("doc_id").as("b_id"), col("seed"), col("mh")),

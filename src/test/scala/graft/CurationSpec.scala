@@ -51,6 +51,21 @@ class CurationSpec extends SparkSpec {
     assert(kept.toSet === Set(10L))
   }
 
+  test("curate keepBestQuality keeps the cleaner near-dup, not the smaller id") {
+    import spark.implicits._
+    // doc 10 is a punct-degraded near-dup of doc 11 (one distinct-token
+    // edit: the repeated "!" collapses to a single extra token, but its
+    // characters drag punctRatio and thus qualityScore down)
+    val noisy = enA + " ! ! ! ! ! ! ! !"
+    val docs = Seq((10L, noisy), (11L, enA)).toDF("doc_id", "text")
+    val defaultKept = Curation.curate(docs, minQuality = 0.1)
+      .collect().map(_.getLong(0)).toSet
+    val bestKept = Curation.curate(docs, minQuality = 0.1, keepBestQuality = true)
+      .collect().map(_.getLong(0)).toSet
+    assert(defaultKept === Set(10L)) // smaller-id policy keeps the noisy copy
+    assert(bestKept === Set(11L))    // quality policy keeps the clean one
+  }
+
   test("report aggregates per-language docs/tokens/quality") {
     val rep = Curation.report(Curation.curate(fixture, minQuality = 0.5))
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
