@@ -58,7 +58,7 @@ object Dedup {
     *         deterministic, ordered by doc_id
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 50,
-      jumpAfter: Int = 3): DataFrame = {
+      jumpAfter: Int = 2): DataFrame = {
     // Both directions from ONE pass over pairs (a union of two selects
     // would run the upstream pair-generation plan twice inside the same
     // materialization — for LSH pair inputs that is the expensive part).

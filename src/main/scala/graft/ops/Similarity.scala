@@ -140,6 +140,33 @@ object Similarity {
         .orderBy("probe_id", "rn")
     }),
 
+    // Corpus-learned subword vocabulary, graded: TextAnalysis.trainVocab's
+    // aggregation cascade as a DataFrame with a DuckDB oracle — distinct
+    // single-space words with frequencies, every substring (≤ 8 chars) of
+    // every ≤ 32-char word weighted by word frequency, multi-char
+    // candidates scored weight × length (what makes "ing" beat its
+    // letters), top 50 with lexicographic tiebreak. Pure integer
+    // arithmetic — exact cross-engine. The substring blowup is over the
+    // DISTINCT vocabulary, not the corpus (the same shape trainVocab
+    // runs; SURVEY §3.3 aggregate→decide).
+    "x_text_vocab" -> ((s, d) => {
+      val words = t(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")).between(1, 32))
+        .groupBy("w").agg(count(lit(1)).as("f"))
+      words
+        .select(col("f"), explode(flatten(transform(
+          sequence(lit(1), length(col("w"))),
+          i => transform(
+            sequence(lit(1), least(lit(8), length(col("w")) - i + 1)),
+            n => col("w").substr(i, n))))).as("s"))
+        .groupBy("s").agg(sum(col("f")).as("sf"))
+        .filter(length(col("s")) > 1)
+        .select(col("s"), (col("sf") * length(col("s"))).as("score"))
+        .orderBy(col("score").desc, col("s").asc)
+        .limit(50)
+    }),
+
     // Persisted-index ANN search — build-once/search-many, graded
     // (SURVEY §2b x_ann_indexed_topk): the corpus' sign-bucket band frame
     // is written in-query as a (band, bv)-bucketed table (the
@@ -656,6 +683,15 @@ object Similarity {
         "WHERE p.vec_id <= 10) " +
         "SELECT probe_id, neighbor_id, rn, round(cos_raw, 6) AS cosine " +
         "FROM pairs WHERE rn <= 3 ORDER BY probe_id, rn"),
+    "x_text_vocab" ->
+      ("WITH words AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents), " +
+        "wc AS (SELECT w, count(*) AS f FROM words WHERE len(w) BETWEEN 1 AND 32 GROUP BY w), " +
+        "subs AS (SELECT w.f AS f, substring(w.w, r.i, r2.n) AS s " +
+        "FROM wc w, UNNEST(range(1, len(w.w) + 1)) AS r(i), " +
+        "UNNEST(range(1, least(8, len(w.w) - r.i + 1) + 1)) AS r2(n)), " +
+        "agg AS (SELECT s, CAST(sum(f) AS BIGINT) AS sf FROM subs GROUP BY s) " +
+        "SELECT s, sf * len(s) AS score FROM agg WHERE len(s) > 1 " +
+        "ORDER BY score DESC, s LIMIT 50"),
     "x_ann_indexed_topk" ->
       ("WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings), " +
         "n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm, " +
