@@ -261,58 +261,139 @@ object Ann {
     * assignment is a narrow map against broadcast centroids and the
     * search shuffles only the probed lists.
     */
-  def ivfTopK(emb: DataFrame, probes: DataFrame, k: Int,
-      nLists: Int = 8, nProbe: Int = 2, iters: Int = 3): DataFrame = {
-    import org.apache.spark.sql.Row
-    val spark = emb.sparkSession
-    // cached for the duration of the Lloyd loop: every iteration scans it
-    // for assignment + centroid means, and without the cache each of the
-    // iters+1 collect() jobs would re-read and re-transform the input.
-    val base = emb.select(col("vec_id"), embDouble(col("embedding")).as("emb"))
-      .persist()
+  /** (squared-L2-to-centroid, cid) struct array over `embCol` — shared by
+    * list assignment (argmin) and probe routing (sorted prefix).
+    */
+  private def centroidDists(embCol: Column,
+      cs: Array[(Int, Seq[Double])]): Seq[Column] =
+    cs.sortBy(_._1).toIndexedSeq.map { case (cid, c) =>
+      val carr = array(c.map(lit).toIndexedSeq: _*)
+      struct(aggregate(zip_with(embCol, carr, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (a, v) => a + v).as("d"), lit(cid).as("cid"))
+    }
+
+  /** Nearest-centroid assignment: adds `outCol` = argmin cid. */
+  private def assignTo(df: DataFrame, cs: Array[(Int, Seq[Double])],
+      outCol: String): DataFrame =
+    df.withColumn(outCol,
+      array_min(array(centroidDists(col("emb"), cs): _*)).getField("cid"))
+
+  /** Deterministic Lloyd training over a (vec_id, emb) frame: seeded init
+    * from hashed ids, `iters` assign→mean rounds. Only the nLists×dim
+    * centroid matrix reaches the driver (agg→decide, §3.3). `base` should
+    * be persisted by the caller for the duration.
+    */
+  private def lloydCentroids(base: DataFrame, nLists: Int,
+      iters: Int): Array[(Int, Seq[Double])] = {
     def meanByCid(df: DataFrame): Array[(Int, Seq[Double])] = df
       .select(col("cid"), posexplode(col("emb")).as(Seq("dim", "v")))
       .groupBy("cid", "dim").agg(avg("v").as("m"))
       .groupBy("cid")
       .agg(expr("transform(array_sort(collect_list(struct(dim, m))), s -> s.m)").as("c"))
       .collect().map(r => r.getInt(0) -> r.getSeq[Double](1))
-    // deterministic seed assignment → initial centroids
     var centroids: Array[(Int, Seq[Double])] = meanByCid(
       base.withColumn("cid", pmod(hash(col("vec_id")), lit(nLists))))
-    def assign(df: DataFrame, cs: Array[(Int, Seq[Double])], outCol: String): DataFrame = {
-      val dists = cs.sortBy(_._1).map { case (cid, c) =>
-        val carr = array(c.map(lit).toIndexedSeq: _*)
-        struct(aggregate(zip_with(col("emb"), carr, (x, y) => (x - y) * (x - y)),
-          lit(0.0), (a, v) => a + v).as("d"), lit(cid).as("cid"))
-      }
-      df.withColumn(outCol, array_min(array(dists.toIndexedSeq: _*)).getField("cid"))
-    }
     for (_ <- 1 to iters) {
-      centroids = meanByCid(assign(base, centroids, "cid"))
+      centroids = meanByCid(assignTo(base, centroids, "cid"))
     }
+    centroids
+  }
+
+  /** Probe routing: one row per (probe, probed list), nProbe nearest
+    * centroids per probe, with the probe's embedding and norm along.
+    */
+  private def probeRouting(probes: DataFrame, cs: Array[(Int, Seq[Double])],
+      nProbe: Int): DataFrame =
+    probes.select(col("vec_id").as("probe_id"),
+        embDouble(col("embedding")).as("emb"))
+      .withColumn("probed",
+        slice(array_sort(array(centroidDists(col("emb"), cs): _*)), 1, nProbe))
+      .withColumn("cid", explode(expr("transform(probed, s -> s.cid)")))
+      .select(col("probe_id"), col("emb").as("p_emb"), col("cid"))
+      .withColumn("p_nrm", sqrt(dot(col("p_emb"), col("p_emb"))))
+
+  def ivfTopK(emb: DataFrame, probes: DataFrame, k: Int,
+      nLists: Int = 8, nProbe: Int = 2, iters: Int = 3): DataFrame = {
+    // cached for the duration of the Lloyd loop: every iteration scans it
+    // for assignment + centroid means, and without the cache each of the
+    // iters+1 collect() jobs would re-read and re-transform the input.
+    val base = emb.select(col("vec_id"), embDouble(col("embedding")).as("emb"))
+      .persist()
+    val centroids = lloydCentroids(base, nLists, iters)
     // inverted lists + multi-probe search (release the build-time cache;
     // the final assignment below recomputes base once if evicted)
     base.unpersist(blocking = false)
-    val lists = assign(base, centroids, "cid")
+    val lists = assignTo(base, centroids, "cid")
       .withColumn("nrm", sqrt(dot(col("emb"), col("emb"))))
-    val probeBase = probes.select(col("vec_id").as("probe_id"),
-      embDouble(col("embedding")).as("emb"))
-    val probeCids = {
-      val cs = centroids.sortBy(_._1)
-      val dists = cs.map { case (cid, c) =>
-        val carr = array(c.map(lit).toIndexedSeq: _*)
-        struct(aggregate(zip_with(col("emb"), carr, (x, y) => (x - y) * (x - y)),
-          lit(0.0), (a, v) => a + v).as("d"), lit(cid).as("cid"))
-      }
-      probeBase
-        .withColumn("probed", slice(array_sort(array(dists.toIndexedSeq: _*)), 1, nProbe))
-        .withColumn("cid", explode(expr("transform(probed, s -> s.cid)")))
-        .select(col("probe_id"), col("emb").as("p_emb"), col("cid"))
-        .withColumn("p_nrm", sqrt(dot(col("p_emb"), col("p_emb"))))
-    }
+    val probeCids = probeRouting(probes, centroids, nProbe)
     val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id").asc)
     lists.join(broadcast(probeCids),
         lists("cid") === probeCids("cid") && col("vec_id") =!= col("probe_id"))
+      .withColumn("cos", dot(col("emb"), col("p_emb")) / (col("nrm") * col("p_nrm")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("probe_id", "vec_id", "rn", "cos")
+  }
+
+  /** Persist the IVF structure — the third index family completing
+    * build-once/search-many (gaussian LSH, sign LSH, now IVF): the
+    * inverted lists (vec_id, cid) land as a parquet table PARTITIONED BY
+    * cid — each list is its own directory, so a search reads only the
+    * probed lists' files (static partition pruning, the on-disk meaning of
+    * "inverted file") — and the tiny nLists×dim centroid matrix lands in a
+    * `<table>_centroids` side table. Only ids live in the index;
+    * candidate embeddings are re-joined at search (same
+    * move-16-bytes-per-candidate shape as the LSH paths).
+    */
+  def writeIvfIndex(emb: DataFrame, table: String,
+      nLists: Int = 8, iters: Int = 3): Unit = {
+    val spark = emb.sparkSession
+    val base = emb.select(col("vec_id"), embDouble(col("embedding")).as("emb"))
+      .persist()
+    val centroids = lloydCentroids(base, nLists, iters)
+    val assignments = assignTo(base, centroids, "cid").select("vec_id", "cid")
+    // managed-table replace with orphan-location cleanup (the Bucketing
+    // rationale: an in-memory catalog forgets tables, warehouses do not)
+    def replace(df: DataFrame, t: String)(
+        customize: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row]
+          => org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row]): Unit = {
+      spark.sql(s"DROP TABLE IF EXISTS `$t`")
+      val ident = spark.sessionState.sqlParser.parseTableIdentifier(t)
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.sessionState.catalog.defaultTablePath(ident))
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+      customize(df.write.mode("overwrite").format("parquet")).saveAsTable(t)
+    }
+    replace(assignments, table)(_.partitionBy("cid"))
+    import spark.implicits._
+    replace(centroids.toSeq.toDF("cid", "centroid"), table + "_centroids")(w => w)
+    base.unpersist(blocking = false)
+  }
+
+  /** Search a [[writeIvfIndex]] table: centroids load from the side table
+    * (nLists rows), probes route to their nProbe nearest lists, and the
+    * probed list ids become a LITERAL partition filter on the index scan —
+    * the physical plan reads only those directories (AnnSpec asserts the
+    * pruning). The collect is one int per (probe, probed list): fine for
+    * search-sized probe sets, which is what an indexed point-lookup path
+    * is for (corpus-sized probe joins belong on the LSH shuffled-probe
+    * path).
+    */
+  def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, table: String,
+      emb: DataFrame, probes: DataFrame, k: Int, nProbe: Int = 2): DataFrame = {
+    val centroids = spark.table(table + "_centroids")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1))
+    val probeCids = probeRouting(probes, centroids, nProbe)
+    val cids = probeCids.select("cid").distinct()
+      .collect().map(_.getInt(0)).sorted
+    val lists = spark.table(table)
+      .filter(col("cid").isin(cids.toIndexedSeq: _*))
+    val eN = withNorm(emb, "vec_id", "emb", "nrm")
+    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id").asc)
+    lists.join(eN, "vec_id")
+      .join(broadcast(probeCids), Seq("cid"))
+      .filter(col("vec_id") =!= col("probe_id"))
       .withColumn("cos", dot(col("emb"), col("p_emb")) / (col("nrm") * col("p_nrm")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)

@@ -129,4 +129,28 @@ object Pipelines {
           batch.sparkSession, corpusIndex, batch, minBands))
       }
       .start()
+
+  /** Streaming similarity search — the vector twin of [[novelDocsStream]]:
+    * each micro-batch of probe vectors (vec_id, embedding) is top-k
+    * searched against a FROZEN pre-built LSH index
+    * ([[graft.operators.Ann.writeLshIndex]]) via the indexed path, so the
+    * per-batch plan touches the corpus only through the bucketed index
+    * scan + the candidate re-rank join — the corpus' signature pass was
+    * paid once at build. Signature params must match the index's build
+    * params (the same caveat as appendToLshIndex). Batch/stream parity:
+    * foreachBatch hands a plain DataFrame to the same lshTopKIndexed call
+    * the batch path uses, so results per batch are identical to batch
+    * search over the same probes (LibrarySpec proves it).
+    */
+  def annSearchStream(probes: DataFrame, indexTable: String, emb: DataFrame,
+      k: Int, nBits: Int = 16, nBands: Int = 4, dim: Int = 64,
+      seed: Long = 42L, probeRadius: Int = 0)(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    probes.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(graft.operators.Ann.lshTopKIndexed(batch.sparkSession, indexTable,
+          emb, batch, k, nBits, nBands, dim, seed, probeRadius))
+      }
+      .start()
 }

@@ -146,6 +146,68 @@ class AnnSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS ann_sign_idx")
   }
 
+  test("writeIvfIndex/ivfTopKIndexed: pruned-list search with brute-force-grade recall") {
+    Ann.writeIvfIndex(emb, "ann_ivf_idx", nLists = 8, iters = 3)
+    try {
+      // side table carries exactly the centroid matrix
+      assert(spark.table("ann_ivf_idx_centroids").count() === 8)
+      val indexed = Ann.ivfTopKIndexed(spark, "ann_ivf_idx", emb, probes, 5,
+        nProbe = 3)
+      val got = indexed.collect()
+      // ranked output per probe, cosine descending, k respected
+      got.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+        assert(rows.length <= 5)
+        val byRank = rows.sortBy(_.getInt(2)).map(_.getDouble(3))
+        assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+      }
+      val brute = Ann.bruteTopK(emb, probes, 5).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = (brute & got.map(r => (r.getLong(0), r.getLong(1))).toSet)
+        .size.toDouble / brute.size
+      info(f"IVF indexed recall@5 = $recall%.2f (8 lists, 3 probed)")
+      assert(recall >= 0.5, f"indexed IVF recall $recall%.2f unexpectedly low")
+      // the on-disk inverted-file property: the index scan carries a
+      // literal partition filter on the probed list ids — the plan never
+      // reads the unprobed lists' directories
+      val plan = indexed.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters: [cid"),
+        s"no partition pruning on the IVF scan:\n$plan")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS ann_ivf_idx")
+      spark.sql("DROP TABLE IF EXISTS ann_ivf_idx_centroids")
+    }
+  }
+
+  test("annSearchStream: per-batch indexed search matches batch search") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    Ann.writeLshIndex(emb, "ann_stream_idx", buckets = 4)
+    try {
+      val probeRows = probes.select("vec_id", "embedding")
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+      val mem = MemoryStream[(Long, Seq[Float])]
+      val sink = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, Int, Long)]
+      val q = graft.streaming.Pipelines.annSearchStream(
+        mem.toDF.toDF("vec_id", "embedding"), "ann_stream_idx", emb, 5) { out =>
+        val rows = out.collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getInt(2), math.round(r.getDouble(3) * 1e9)))
+        sink.synchronized { sink ++= rows }
+      }
+      try {
+        mem.addData(probeRows.take(5).toIndexedSeq: _*)
+        q.processAllAvailable()
+        mem.addData(probeRows.drop(5).toIndexedSeq: _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      val batch = Ann.lshTopKIndexed(spark, "ann_stream_idx", emb, probes, 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+          math.round(r.getDouble(3) * 1e9))).toSet
+      assert(sink.toSet === batch)
+    } finally spark.sql("DROP TABLE IF EXISTS ann_stream_idx")
+  }
+
   test("sqQuantize/sqTopK: int8 codes rank nearly as well as float32") {
     val q = Ann.sqQuantize(emb)
     // codes are genuinely int8 and the dequantized error is bounded by
