@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
   * of 10c yields ~50c² pairs) — the probe prints output rows so the two
   * effects can be told apart.
   *
-  * `runMain graft.tools.ScaleProbe [sfDir] [keys|sigs|curation|cc|all]`
+  * `runMain graft.tools.ScaleProbe [sfDir] [keys|sigs|curation|cc|vocab|all]`
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -75,6 +75,17 @@ object ScaleProbe {
       val (tNat, nNat) = time(docs.select(col("doc_id"),
         posexplode(expr("graft_minhash_md5(text)")).as(Seq("seed", "mh"))))
       println(f"signature stage 10x: relational ${tRel}%6.2fs ($nRel rows) vs native ${tNat}%6.2fs ($nNat rows)")
+    }
+    // Vocab training: the substring expansion runs over the DISTINCT
+    // vocabulary, not the corpus — a 10× corpus with near-identical
+    // vocabulary should cost little more than 1× (only the word-count agg
+    // pass scales with rows), which is exactly what this measures. The
+    // copytoken suffixes add 10 new words; the distinct-word set is
+    // otherwise unchanged.
+    if (mode == "all" || mode == "vocab") {
+      val (tV1, nV1) = time(graft.SparkEntry.queries("x_text_vocab")(spark, sfDir))
+      val (tV10, nV10) = time(graft.SparkEntry.queries("x_text_vocab")(spark, bigDir))
+      println(f"x_text_vocab       base ${tV1}%6.2fs ($nV1 rows) -> 10x ${tV10}%7.2fs ($nV10 rows; factor ${tV10 / tV1}%5.1f)")
     }
     // The composed pipeline emits per-doc keep/drop decisions (exact
     // canonicalization BEFORE minhash banding) — the scale form that

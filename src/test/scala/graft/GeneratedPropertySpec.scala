@@ -22,6 +22,32 @@ class GeneratedPropertySpec extends SparkSpec {
   private val doc: Gen[String] =
     Gen.choose(1, 40).flatMap(n => Gen.listOfN(n, word).map(_.mkString(" ")))
 
+  test("property: trainVocab covers the charset and its vocab round-trips every corpus word") {
+    import spark.implicits._
+    graft.ops.Custom.register(spark)
+    val docs = sample(Gen.listOfN(40, doc), 31L).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val df = docs.toDF("doc_id", "text")
+    val vocab = TextAnalysis.trainVocab(df, "text", vocabSize = 30)
+    // charset coverage: every character of every word is a vocab entry,
+    // so no corpus word can ever hit the OOV fallback
+    val chars = docs.flatMap(_._2.split("\\s+")).flatMap(_.toSeq).toSet
+    assert(chars.map(_.toString).subsetOf(vocab.toSet))
+    // deterministic across retrains
+    assert(vocab === TextAnalysis.trainVocab(df, "text", vocabSize = 30))
+    // encoding with the learned vocab re-concatenates every word exactly,
+    // and every emitted token is itself a vocab entry (full coverage)
+    val vs = vocab.toSet
+    val got = df.select(col("text"),
+        TextAnalysis.subwordTokens(col("text"), vocab).as("toks"))
+      .collect()
+    got.foreach { r =>
+      val (text, toks) = (r.getString(0), r.getSeq[String](1))
+      assert(toks.mkString === text.split("\\s+").mkString)
+      assert(toks.forall(vs.contains))
+    }
+  }
+
   test("property: BpeEncode matches a from-scratch greedy model on random vocab/docs") {
     import spark.implicits._
     graft.ops.Custom.register(spark)
