@@ -371,6 +371,24 @@ object Ann {
     base.unpersist(blocking = false)
   }
 
+  /** Append new vectors to an IVF index WITHOUT retraining: assign them to
+    * the existing centroids (loaded from the side table) and append the
+    * (vec_id, cid) rows partition-aligned. The ingest verb completing the
+    * IVF lifecycle, mirroring appendToLshIndex — and like every IVF
+    * system, drift is the documented trade: appended vectors are routed by
+    * the OLD centroids, so after heavy append the lists imbalance and a
+    * periodic writeIvfIndex rebuild (the compaction analog) restores them.
+    */
+  def appendToIvfIndex(emb: DataFrame, table: String): Unit = {
+    val spark = emb.sparkSession
+    val centroids = spark.table(table + "_centroids")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1))
+    val base = emb.select(col("vec_id"), embDouble(col("embedding")).as("emb"))
+    assignTo(base, centroids, "cid").select("vec_id", "cid")
+      .write.mode("append").format("parquet")
+      .partitionBy("cid").saveAsTable(table)
+  }
+
   /** Search a [[writeIvfIndex]] table: centroids load from the side table
     * (nLists rows), probes route to their nProbe nearest lists, and the
     * probed list ids become a LITERAL partition filter on the index scan —

@@ -202,6 +202,33 @@ object Dedup {
       posexplode(expr("graft_minhash_md5(text)")).as(Seq("seed", "mh")))
   }
 
+  /** Near-duplicate pairs WITHIN one corpus — the self-join twin of
+    * [[dedupAgainst]], same pair semantics as the graded x_dedup_minhash:
+    * (a_id, b_id, n_bands ≥ minBands), a_id < b_id, candidates from the
+    * (seed, mh) band equi-join. `maxBandFreq` stop-lists band keys
+    * carried by more than that many docs BEFORE the join (both join
+    * sides — it is one signature frame), bounding any hot key's fan-out
+    * at cap²/2 pairs; the miss trade is the one documented on
+    * dedupAgainst. The signature frame is T.cached (both sides and the
+    * frequency agg read it).
+    */
+  def minhashSelfPairs(docs: DataFrame, minBands: Int = 4,
+      maxBandFreq: Option[Long] = None): DataFrame = {
+    val sigs0 = T.cached(minhashSignatures(docs))
+    val sigs = maxBandFreq.fold(sigs0) { cap =>
+      val hot = sigs0.groupBy("seed", "mh").agg(count(lit(1)).as("_freq"))
+        .filter(col("_freq") > cap)
+        .select("seed", "mh")
+      sigs0.join(broadcast(hot), Seq("seed", "mh"), "left_anti")
+    }
+    sigs.select(col("doc_id").as("a_id"), col("seed"), col("mh"))
+      .join(sigs.select(col("doc_id").as("b_id"), col("seed"), col("mh")),
+        Seq("seed", "mh"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_bands"))
+      .filter(col("n_bands") >= minBands)
+  }
+
   /** Build the persisted corpus index: signatures written as a managed
     * parquet table bucketed by the FULL band key (seed, mh) — the
     * incremental join's exact key set, which is what lets the planner
@@ -338,13 +365,7 @@ object Dedup {
       shard: DataFrame, minBands: Int = 4,
       maxBandFreq: Option[Long] = None): DataFrame = {
     val vsCorpus = filterNovel(spark, corpusIndex, shard, minBands, maxBandFreq)
-    val sigs = minhashSignatures(vsCorpus)
-    val inShardDup = sigs.select(col("doc_id").as("a_id"), col("seed"), col("mh"))
-      .join(sigs.select(col("doc_id").as("b_id"), col("seed"), col("mh")),
-        Seq("seed", "mh"))
-      .filter(col("a_id") < col("b_id"))
-      .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_bands"))
-      .filter(col("n_bands") >= minBands)
+    val inShardDup = minhashSelfPairs(vsCorpus, minBands, maxBandFreq)
       .select(col("b_id").as("doc_id")).distinct()
     val novel = vsCorpus.join(inShardDup, Seq("doc_id"), "left_anti")
       .localCheckpoint(true)

@@ -172,6 +172,25 @@ class AnnSpec extends SparkSpec {
       val plan = indexed.queryExecution.executedPlan.toString
       assert(plan.contains("PartitionFilters: [cid"),
         s"no partition pruning on the IVF scan:\n$plan")
+      // incremental ingest: a half-corpus build + append of the other
+      // half — appended vectors route through the EXISTING centroids (no
+      // retrain), so membership is complete and recall stays search-grade
+      Ann.writeIvfIndex(emb.filter(col("vec_id") % 2 === 0), "ann_ivf_half",
+        nLists = 8, iters = 3)
+      try {
+        Ann.appendToIvfIndex(emb.filter(col("vec_id") % 2 === 1), "ann_ivf_half")
+        assert(spark.table("ann_ivf_half").count() === emb.count())
+        val appended = Ann.ivfTopKIndexed(spark, "ann_ivf_half", emb, probes, 5,
+          nProbe = 3).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        // different centroids (trained on half) ⇒ different routing is
+        // fine; the structural claims are full membership + recall
+        val rec = (brute & appended).size.toDouble / brute.size
+        info(f"IVF append recall@5 = $rec%.2f (half build + half append)")
+        assert(rec >= 0.4, f"append-path recall $rec%.2f unexpectedly low")
+      } finally {
+        spark.sql("DROP TABLE IF EXISTS ann_ivf_half")
+        spark.sql("DROP TABLE IF EXISTS ann_ivf_half_centroids")
+      }
     } finally {
       spark.sql("DROP TABLE IF EXISTS ann_ivf_idx")
       spark.sql("DROP TABLE IF EXISTS ann_ivf_idx_centroids")

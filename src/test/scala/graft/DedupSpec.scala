@@ -87,6 +87,31 @@ class DedupSpec extends SparkSpec {
       Array("doc_id", "quality"))
   }
 
+  test("minhashSelfPairs equals the graded x_dedup_minhash; cap bounds self-join fan-out") {
+    import graft.ops.T
+    val docs = T.t(spark, sf(), "documents").select("doc_id", "text")
+    val lib = Dedup.minhashSelfPairs(docs)
+      .as[(Long, Long, Long)].collect().toSet
+    val graded = SparkEntry.queries("x_dedup_minhash")(spark, sf())
+      .as[(Long, Long, Long)].collect().toSet
+    assert(lib === graded)
+    // boilerplate fixture: 6 identical docs + 1 genuine near-dup pair
+    val boiler = "nav home about contact privacy terms copyright all " +
+      "rights reserved follow us on social media subscribe newsletter"
+    val real1 = "die alte bibliothek am fluss hat viele seltene buecher " +
+      "aus drei jahrhunderten in ihren langen regalen stehen"
+    val fix = ((1L to 6L).map(i => (i, boiler)) ++
+      Seq((7L, real1), (8L, real1.replace("alte", "neue"))))
+      .toSeq.toDF("doc_id", "text")
+    val open = Dedup.minhashSelfPairs(fix).as[(Long, Long, Long)].collect().toSet
+    assert(open.count(p => p._1 <= 6 && p._2 <= 6) === 15) // C(6,2) boilerplate pairs
+    assert(open.exists(p => p._1 == 7L && p._2 == 8L))
+    val capped = Dedup.minhashSelfPairs(fix, maxBandFreq = Some(5L))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(capped.count(p => p._1 <= 6 && p._2 <= 6) === 0)
+    assert(capped.exists(p => p._1 == 7L && p._2 == 8L))
+  }
+
   test("dedupAgainst maxBandFreq stop-lists boilerplate bands, keeps real pairs") {
     val boiler = "lorem ipsum dolor sit amet consectetur adipiscing elit " +
       "sed do eiusmod tempor incididunt ut labore et dolore magna aliqua"

@@ -11,7 +11,8 @@ class PlanShapeSpec extends SparkSpec {
 
   private val mustBeEquiJoin =
     Seq("x_dedup_minhash", "x_dedup_simhash", "x_dedup_jaccard",
-      "x_dedup_ngram", "x_ann_bucket_topk")
+      "x_dedup_ngram", "x_ann_bucket_topk", "x_ann_indexed_topk",
+      "x_text_vocab")
 
   mustBeEquiJoin.foreach { key =>
     test(s"$key plans no cartesian / nested-loop join") {
@@ -28,6 +29,18 @@ class PlanShapeSpec extends SparkSpec {
     val plan = SparkEntry.queries("x_ann_bucket_topk")(spark, sf())
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"expected BHJ:\n$plan")
+  }
+
+  test("x_ann_indexed_topk searches the bucketed index with no corpus sign pass") {
+    // The graded query's search half must read the in-query-built index
+    // as a bucketed table scan and derive sign bits ONLY for the
+    // broadcast probes — the corpus signature pass was paid at build.
+    val df = SparkEntry.queries("x_ann_indexed_topk")(spark, sf())
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Bucketed: true"), s"index scan not bucketed:\n$plan")
+    val signStages = "shiftright".r
+      .findAllIn(df.queryExecution.optimizedPlan.toString).size
+    assert(signStages === 1, s"corpus sign pass in the search plan:\n$plan")
   }
 
   test("x_dedup_jaccard pair join shuffles (no corpus-sized broadcast)") {
