@@ -41,6 +41,11 @@ object Curation {
     *                    single-encoder corpora (the test fixtures) are
     *                    byte-stable already and the survivors' `text`
     *                    column stays byte-identical to the input.
+    * @param maxBandFreq near-dup hot-band stop-list (default-signature
+    *                    path only): band keys shared by more than this
+    *                    many docs are dropped before the pair join — the
+    *                    boilerplate skew defense, with the miss trade
+    *                    documented on [[Dedup.dedupAgainst]].
     * @param keepBestQuality near-dup survivor policy: false (default) =
     *                    the single-pass smaller-id-neighbor policy in the
     *                    object Scaladoc; true = [[Dedup.keepBest]] — each
@@ -56,7 +61,8 @@ object Curation {
       nHashes: Int = 8, minBands: Int = 4,
       maxDupLines: Double = 1.0, maxTopNgram: Double = 1.0,
       normalizeUnicode: Boolean = false,
-      keepBestQuality: Boolean = false): DataFrame = {
+      keepBestQuality: Boolean = false,
+      maxBandFreq: Option[Long] = None): DataFrame = {
     // Stage 0 (optional): canonical Unicode bytes, a codegen'd narrow map
     // fused into the same scan stage as the feature columns below.
     val docs = if (normalizeUnicode) {
@@ -95,24 +101,29 @@ object Curation {
     // it each side's Exchange re-runs the whole signature pass (the old
     // relational form got single-compute for free via ReusedExchange on
     // its final aggregate; a narrow map has no such reuse point).
-    val sigs =
-      if (nHashes == graft.ops.Md5MinHash.NumHashes) {
-        graft.ops.Custom.register(docs.sparkSession)
-        graft.ops.T.cached(exactKept.select(col("doc_id"),
-          posexplode(expr("graft_minhash_md5(text)")).as(Seq("seed", "mh"))))
-      } else exactKept
-        .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
-        .groupBy("doc_id")
-        .agg(array((0 until nHashes).map(i =>
-          min(md5(concat(col("tok"), lit(s"#$i")).cast("binary")))): _*).as("sigs"))
-        .select(col("doc_id"), posexplode(col("sigs")).as(Seq("seed", "mh")))
-    val pairs = sigs.select(col("doc_id").as("a_id"), col("seed"), col("mh"))
-      .join(sigs.select(col("doc_id").as("b_id"), col("seed").as("seed_b"),
-        col("mh").as("mh_b")),
-        col("seed") === col("seed_b") && col("mh") === col("mh_b") &&
-          col("a_id") < col("b_id"))
-      .groupBy("a_id", "b_id").count()
-      .filter(col("count") >= minBands)
+    val pairs =
+      if (nHashes == graft.ops.Md5MinHash.NumHashes)
+        // Dedup.minhashSelfPairs: identical band-join semantics, its own
+        // cached signature frame, and the hot-band stop-list for free.
+        Dedup.minhashSelfPairs(exactKept, minBands, maxBandFreq)
+          .withColumnRenamed("n_bands", "count")
+      else {
+        require(maxBandFreq.isEmpty,
+          "maxBandFreq requires the default signature length")
+        val sigs = exactKept
+          .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
+          .groupBy("doc_id")
+          .agg(array((0 until nHashes).map(i =>
+            min(md5(concat(col("tok"), lit(s"#$i")).cast("binary")))): _*).as("sigs"))
+          .select(col("doc_id"), posexplode(col("sigs")).as(Seq("seed", "mh")))
+        sigs.select(col("doc_id").as("a_id"), col("seed"), col("mh"))
+          .join(sigs.select(col("doc_id").as("b_id"), col("seed").as("seed_b"),
+            col("mh").as("mh_b")),
+            col("seed") === col("seed_b") && col("mh") === col("mh_b") &&
+              col("a_id") < col("b_id"))
+          .groupBy("a_id", "b_id").count()
+          .filter(col("count") >= minBands)
+      }
     if (keepBestQuality)
       Dedup.keepBest(exactKept, pairs.select("a_id", "b_id"), "quality")
         .select("doc_id", "lang", "quality", "n_tokens", "text")
