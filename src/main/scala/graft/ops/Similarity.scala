@@ -318,6 +318,33 @@ object Similarity {
     "x_dedup_cluster" -> ((s, d) =>
       graft.operators.Dedup.connectedComponents(minhashPairs(s, d))),
 
+    // Quality-aware cluster survivors, graded (Dedup.keepBest semantics):
+    // connected components over the all-8-bands minhash pair graph of the
+    // EVEN-id half of the corpus (the restrictions keep the oracle's
+    // recursive-CTE closure tractable AND the clusters fine-grained — at
+    // minBands 4 this templated fixture collapses into one giant
+    // component, a degenerate one-row grade), then each cluster keeps its
+    // max-n_chars member, min-id tiebreak — the survivor row carries the
+    // cluster id, member count, and winning quality. The policy
+    // production curation wants: the BEST copy survives, not the
+    // first-crawled one.
+    "x_dedup_keepbest" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("text"), col("n_chars").cast("bigint").as("n_chars"))
+      val pairs = graft.operators.Dedup.minhashSelfPairs(
+        fan(s, docs.select("doc_id", "text")), minBands = 8)
+      val w = Window.partitionBy("cluster_id")
+        .orderBy(col("n_chars").desc, col("doc_id").asc)
+      graft.operators.Dedup.connectedComponents(pairs)
+        .join(docs.select("doc_id", "n_chars"), Seq("doc_id"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("cluster_id"), col("doc_id").as("survivor_id"),
+          col("n_members"), col("n_chars"))
+        .orderBy("cluster_id")
+    }),
+
     // Incremental shard-vs-corpus dedup — the production ingest form
     // (operators/Dedup.scala): docs with doc_id <= max/2 are the FROZEN
     // corpus, whose minhash signatures are persisted ONCE as a table
@@ -746,6 +773,25 @@ object Similarity {
         "SELECT u AS doc_id, cluster_id, " +
         "count(*) OVER (PARTITION BY cluster_id) AS n_members " +
         "FROM lab ORDER BY doc_id"),
+    "x_dedup_keepbest" ->
+      ("WITH RECURSIVE d AS (SELECT doc_id, text, CAST(n_chars AS BIGINT) AS n_chars FROM documents WHERE doc_id % 2 = 0), " +
+        "toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM d), " +
+        "sigs AS (SELECT doc_id, seed, min(md5(tok || '#' || CAST(seed AS VARCHAR))) AS mh " +
+        "FROM toks CROSS JOIN (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) seeds(seed) " +
+        "GROUP BY doc_id, seed), " +
+        "pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id " +
+        "FROM sigs a JOIN sigs b ON a.seed = b.seed AND a.mh = b.mh AND a.doc_id < b.doc_id " +
+        "GROUP BY a_id, b_id HAVING count(*) >= 8), " +
+        "edges AS (SELECT a_id AS u, b_id AS v FROM pairs UNION SELECT b_id AS u, a_id AS v FROM pairs), " +
+        "walk(u, v) AS (SELECT u, v FROM edges " +
+        "UNION SELECT w.u, e.v FROM walk w JOIN edges e ON w.v = e.u WHERE e.v <> w.u), " +
+        "lab AS (SELECT u, least(u, min(v)) AS cluster_id FROM walk GROUP BY u), " +
+        "mem AS (SELECT l.u AS doc_id, l.cluster_id, d.n_chars, " +
+        "count(*) OVER (PARTITION BY l.cluster_id) AS n_members, " +
+        "row_number() OVER (PARTITION BY l.cluster_id ORDER BY d.n_chars DESC, l.u ASC) AS rk " +
+        "FROM lab l JOIN d ON d.doc_id = l.u) " +
+        "SELECT cluster_id, doc_id AS survivor_id, n_members, n_chars " +
+        "FROM mem WHERE rk = 1 ORDER BY cluster_id"),
     "x_dedup_incremental" ->
       ("WITH toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents), " +
         "sigs AS (SELECT doc_id, seed, min(md5(tok || '#' || CAST(seed AS VARCHAR))) AS mh " +

@@ -2,13 +2,13 @@ package graft
 
 /** T1 blanket contract checks: every declared query runs on sf0.001,
   * the queries/oracleSql maps are mutually consistent, and the declared
-  * inventory matches SURVEY.md §2b (108 keys, 106 oracle-checked).
+  * inventory matches SURVEY.md §2b (109 keys, 107 oracle-checked).
   */
 class ContractSpec extends SparkSpec {
 
-  test("inventory matches SURVEY §2b: 108 queries, 106 with oracle SQL") {
-    assert(SparkEntry.queries.size === 108)
-    assert(SparkEntry.oracleSql.size === 106)
+  test("inventory matches SURVEY §2b: 109 queries, 107 with oracle SQL") {
+    assert(SparkEntry.queries.size === 109)
+    assert(SparkEntry.oracleSql.size === 107)
     assert(SparkEntry.queries.keySet.intersect(Set("a_approx_hll", "t_stream_runtime")).size === 2)
   }
 
