@@ -288,6 +288,48 @@ object TextAnalysis {
     1049561761L, 1604566856L, 1953433226L, 2061642598L, 57298384L,
     1544709545L, 1274554124L, 633364108L, 66148026L)
 
+  /** Weights for a k-token polynomial window hash: w(j) = r^(k−1−j) mod P
+    * for j = 0..k−1, so the window hash at position i is
+    * Σⱼ h(tokᵢ₊ⱼ)·w(j) mod P — the same r/P family as
+    * [[fingerprintWeights]] (and numerically identical to its prefix for
+    * k = 12), generated for any k. Used by the exact-substring span
+    * dedup ([[graft.operators.Dedup.substringSpans]]).
+    */
+  def windowHashWeights(k: Int): Seq[Long] = {
+    val p = BigInt(fingerprintMod)
+    (0 until k).map(j => BigInt(1000003L).modPow(BigInt(k - 1 - j), p).toLong)
+  }
+
+  /** Per-token md5-derived hash array, mod P — the cross-engine-exact
+    * token hash [[fingerprintMd5]] uses (first 32 md5 bits), as a
+    * MATERIALIZABLE array column so window hashing over it pays one md5
+    * per TOKEN, not one per (token × window) — the O(n) half of a
+    * rolling-hash scheme.
+    */
+  def tokenHashesMd5(text: Column): Column =
+    transform(split(text, " "), tk =>
+      pmod(conv(substring(md5(tk), 1, 8), 16, 10).cast("long"),
+        lit(fingerprintMod)))
+
+  /** All k-token window hashes of a PRECOMPUTED token-hash array (one
+    * slot per 0-based window start): whs[i] = Σⱼ hs[i+j]·w(j) mod P.
+    * Every product h·w < 2^62 and the k partial mods sum below 2^31·k,
+    * so the arithmetic is exact in signed 64-bit on any engine — the
+    * property that makes substring spans oracle-gradeable. Take `hs`
+    * from a materialized [[tokenHashesMd5]] column (not inline) so the
+    * token hashes aren't recomputed per window.
+    */
+  def windowHashes(hs: Column, k: Int): Column = {
+    val p = lit(fingerprintMod)
+    val w = typedLit(windowHashWeights(k))
+    transform(sequence(lit(0), size(hs) - k), i =>
+      pmod(
+        aggregate(sequence(lit(0), lit(k - 1)), lit(0L), (acc, j) =>
+          acc + pmod(element_at(hs, (i + j + lit(1)).cast("int"))
+            * element_at(w, (j + lit(1)).cast("int")), p)),
+        p))
+  }
+
   /** PII scrub — the redaction stage of a curation pipeline: replace
     * email addresses, then long digit runs (phone/account/card numbers,
     * 7+ digits allowing space/dash/dot separators), then IPv4-looking

@@ -372,4 +372,68 @@ object Dedup {
     appendToCorpusIndex(novel, corpusIndex)
     novel
   }
+
+  /** Exact-substring (repeated k-token span) dedup — the Lee-et-al.-style
+    * family the set/sketch methods miss: two documents that are globally
+    * dissimilar but share a long VERBATIM run (boilerplate header,
+    * license block, templated chrome). Finds, for every document, the
+    * maximal token spans whose every k-token window also occurs in at
+    * least `minDocs` distinct documents.
+    *
+    * Pipeline (all corpus-linear, no cross product):
+    *  1. one md5 per TOKEN → polynomial k-window hashes over the hash
+    *     array ([[graft.functions.TextAnalysis.windowHashes]]) — the
+    *     rolling-hash trick split into its O(n) hashing half and its
+    *     O(n·k) cheap integer half, both narrow map work;
+    *  2. explode to (doc_id, pos, wh): one row per token position — the
+    *     INVERTED INDEX over window hashes (the x_dedup_ngram device,
+    *     one level below: windows, not shingle strings, so matches are
+    *     order-sensitive and position-addressed);
+    *  3. window hashes repeated across ≥ minDocs documents (one
+    *     partial-combined count-distinct agg, uniform md5-derived keys);
+    *  4. left-semi join positions against the repeated set (equi on the
+    *     hash — shuffle volume is corpus-linear; a hot hash IS shared
+    *     boilerplate, which is the output);
+    *  5. merge overlapping/adjacent hit windows into maximal spans: the
+    *     gaps-and-islands lag-window (the t_session device) per doc —
+    *     same-length intervals merge exactly when starts differ by ≤ k.
+    *
+    * Scale (100 TB): steps 1-2 are map-side; 3-4 shuffle on the window
+    * hash (uniform by construction); 5 shuffles on doc_id. Span OUTPUT is
+    * bounded by the input token count — unlike pair emission there is no
+    * quadratic blowup on duplicate-heavy corpora, which is why this is
+    * the production first-pass: remove the spans, THEN run document-level
+    * near-dup on what remains.
+    *
+    * @return (doc_id, span_start, span_len) — 0-based token offset and
+    *         token length of each maximal duplicated span, ordered
+    */
+  def substringSpans(docs: DataFrame, textCol: String = "text", k: Int = 8,
+      minDocs: Int = 2): DataFrame = {
+    import graft.functions.TextAnalysis.{tokenHashesMd5, windowHashes}
+    // Token hashes materialize as their own projection so windowHashes
+    // reads an attribute, not a re-derived expression (CollapseProject
+    // keeps multi-use non-cheap aliases in their own stage).
+    val hs = docs.select(col("doc_id"), tokenHashesMd5(col(textCol)).as("hs"))
+      .filter(size(col("hs")) >= k)
+    val wins = T.cached(hs
+      .select(col("doc_id"), posexplode(windowHashes(col("hs"), k)))
+      .toDF("doc_id", "pos", "wh"))
+    val repeated = wins.groupBy("wh")
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select("wh")
+    val hits = wins.join(repeated, Seq("wh"), "left_semi")
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    hits
+      .withColumn("brk",
+        when(col("pos") - lag("pos", 1).over(byDoc) <= k, 0).otherwise(1))
+      .withColumn("g", sum("brk").over(byDoc))
+      .groupBy(col("doc_id"), col("g"))
+      .agg(min("pos").as("span_start"),
+        (max("pos") + lit(k) - min("pos")).as("span_len"))
+      .select("doc_id", "span_start", "span_len")
+      .orderBy("doc_id", "span_start")
+  }
 }

@@ -296,6 +296,21 @@ object Similarity {
         .orderBy("a_id", "b_id")
     }),
 
+    // Exact-substring (repeated k-token span) dedup — the verbatim-run
+    // family set/sketch methods miss (boilerplate headers, license
+    // blocks, templated chrome shared between globally-dissimilar docs).
+    // operators/Dedup.substringSpans: one md5 per token → polynomial
+    // 8-token window hashes over the hash array (O(n) hashing + cheap
+    // integer folds, exact in int64 on both engines) → inverted-index
+    // left-semi join on window hashes seen in ≥ 2 distinct docs →
+    // gaps-and-islands merge of overlapping hit windows into maximal
+    // (doc_id, span_start, span_len) spans. Span output is corpus-
+    // bounded (no quadratic pair blowup), which is why production runs
+    // THIS first and document-level near-dup on the remainder.
+    "x_dedup_substring" -> ((s, d) =>
+      graft.operators.Dedup.substringSpans(
+        fan(s, t(s, d, "documents").select("doc_id", "text")), k = 8)),
+
     // MinHash-LSH: 8 one-hash bands; pairs agreeing on >= 4 bands.
     // Candidate generation is the classic (seed, signature) band
     // EQUI-JOIN: signatures explode to one row per (doc, seed), the
@@ -743,6 +758,30 @@ object Similarity {
         "FROM inter JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id " +
         "WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.4 " +
         "ORDER BY a_id, b_id"),
+    // Window hash = Σⱼ h(tokᵢ₊ⱼ)·r^(7−j) mod P with h = first 32 md5
+    // bits, r = 1000003, P = 2^31−1 (weights as literals — the
+    // TextAnalysis.windowHashWeights(8) values): every product < 2^62,
+    // so the arithmetic is exact int64 on both engines.
+    "x_dedup_substring" ->
+      ("WITH tt AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents), " +
+        "hh AS (SELECT doc_id, len(tk) AS n, " +
+        "list_transform(tk, x -> CAST(('0x' || substring(md5(x), 1, 8)) AS BIGINT) % 2147483647) AS hs " +
+        "FROM tt WHERE len(tk) >= 8), " +
+        "pp AS (SELECT doc_id, hs, unnest(range(n - 7)) AS i FROM hh), " +
+        "pj AS (SELECT doc_id, i, unnest(range(8)) AS j, hs FROM pp), " +
+        "wv AS (SELECT doc_id, CAST(i AS INTEGER) AS pos, " +
+        "SUM((hs[CAST(i + j + 1 AS INTEGER)] * " +
+        "([57298384,2061642598,1953433226,1604566856,1049561761,1426104154,1000003,1])[CAST(j + 1 AS INTEGER)]) % 2147483647) " +
+        "% 2147483647 AS wh FROM pj GROUP BY doc_id, i), " +
+        "rep AS (SELECT wh FROM wv GROUP BY wh HAVING count(DISTINCT doc_id) >= 2), " +
+        "hits AS (SELECT w.doc_id, w.pos FROM wv w JOIN rep USING (wh)), " +
+        "isl AS (SELECT doc_id, pos, " +
+        "CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8 " +
+        "THEN 0 ELSE 1 END AS brk FROM hits), " +
+        "grp AS (SELECT doc_id, pos, SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS g FROM isl) " +
+        "SELECT doc_id, CAST(min(pos) AS INTEGER) AS span_start, " +
+        "CAST(max(pos) + 8 - min(pos) AS INTEGER) AS span_len " +
+        "FROM grp GROUP BY doc_id, g ORDER BY doc_id, span_start"),
     "x_dedup_minhash" ->
       ("WITH toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents), " +
         "sigs AS (SELECT doc_id, seed, min(md5(tok || '#' || CAST(seed AS VARCHAR))) AS mh " +

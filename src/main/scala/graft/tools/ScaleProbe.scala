@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
   * of 10c yields ~50c² pairs) — the probe prints output rows so the two
   * effects can be told apart.
   *
-  * `runMain graft.tools.ScaleProbe [sfDir] [keys|sigs|curation|cc|vocab|all]`
+  * `runMain graft.tools.ScaleProbe [sfDir] [keys|sigs|curation|cc|vocab|spans|all]`
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -94,6 +94,21 @@ object ScaleProbe {
       val (tCur, nCur) = time(graft.operators.Curation.curate(
         spark.read.parquet(s"$bigDir/documents.parquet").select("doc_id", "text")))
       println(f"curation (10x corpus, keep/drop form): ${tCur}%6.2fs, $nCur survivors of $nBig")
+    }
+    // Exact-substring span dedup: candidate generation is position-
+    // exploded window hashes (corpus-linear rows) + a count-distinct agg
+    // + a semi-join — and, unlike the pair emitters, its OUTPUT is
+    // span-per-doc, bounded by input tokens. A ~10× factor on the 10×
+    // corpus (vs the pair emitters' ~100×) is the design claim measured
+    // here.
+    if (mode == "all" || mode == "spans") {
+      def spansOf(dir: String) = graft.operators.Dedup.substringSpans(
+        spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "text"))
+      val (tp1, np1) = time(spansOf(sfDir))
+      graft.ops.T.releaseCaches(blocking = true)
+      val (tp10, np10) = time(spansOf(bigDir))
+      graft.ops.T.releaseCaches(blocking = true)
+      println(f"substringSpans     base ${tp1}%6.2fs ($np1 spans) -> 10x ${tp10}%7.2fs ($np10 spans; factor ${tp10 / tp1}%5.1f)")
     }
     // connectedComponents in ISOLATION: synthetic chain graphs (fixed
     // diameter 7, group count scaled 10×) so the probe measures the

@@ -2,13 +2,13 @@ package graft
 
 /** T1 blanket contract checks: every declared query runs on sf0.001,
   * the queries/oracleSql maps are mutually consistent, and the declared
-  * inventory matches SURVEY.md §2b (109 keys, 107 oracle-checked).
+  * inventory matches SURVEY.md §2b (110 keys, 108 oracle-checked).
   */
 class ContractSpec extends SparkSpec {
 
-  test("inventory matches SURVEY §2b: 109 queries, 107 with oracle SQL") {
-    assert(SparkEntry.queries.size === 109)
-    assert(SparkEntry.oracleSql.size === 107)
+  test("inventory matches SURVEY §2b: 110 queries, 108 with oracle SQL") {
+    assert(SparkEntry.queries.size === 110)
+    assert(SparkEntry.oracleSql.size === 108)
     assert(SparkEntry.queries.keySet.intersect(Set("a_approx_hll", "t_stream_runtime")).size === 2)
   }
 
@@ -35,9 +35,11 @@ class ContractSpec extends SparkSpec {
   // round-1 dedup failure mode) and must fail here, not in a bench.
   private val mayNestedLoop = Set(
     "j_cross",          // crossJoin is the operator under test
-    "j_theta_band",     // pure range condition (oracle form)
+    // j_theta_band was exempt through round 6, but its implementation
+    // pre-buckets the band key and plans a BroadcastHashJoin (judge-
+    // verified) — the exemption would mask a regression to BNLJ. Gone.
+    // j_asof likewise: the as-of is a pure window now, no join at all.
     "j_theta_ineq",     // pure inequality condition
-    "j_asof",           // as-of window formulation's event pairing
     "x_sim_dot",        // 1-row broadcast probe vector
     "x_sim_cosine_topk", "x_knn_label_vote", // broadcast probe set, != join
     // x_ann_bucket_topk is NOT exempt: PlanShapeSpec pins its bucket

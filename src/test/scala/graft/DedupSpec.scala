@@ -262,4 +262,64 @@ class DedupSpec extends SparkSpec {
       .filter(col("cluster_id") =!= col("mn"))
     assert(bad.isEmpty)
   }
+
+  // ---- substringSpans (exact-substring / repeated k-token span dedup) ----
+
+  private def spans(docs: Seq[(Long, String)], k: Int = 4, minDocs: Int = 2) =
+    Dedup.substringSpans(docs.toDF("doc_id", "text"), k = k, minDocs = minDocs)
+      .as[(Long, Int, Int)].collect().toSeq
+
+  test("substringSpans finds a shared run at its position in BOTH docs") {
+    // 5-token run "s1..s5" at pos 4 of doc 1 and pos 0 of doc 2; all
+    // other tokens distinct, so only windows inside the run repeat.
+    val got = spans(Seq(
+      1L -> "f1 f2 f3 f4 s1 s2 s3 s4 s5 f5 f6",
+      2L -> "s1 s2 s3 s4 s5 g1 g2 g3"))
+    assert(got === Seq((1L, 4, 5), (2L, 0, 5)))
+  }
+
+  test("substringSpans merges overlapping hit windows into ONE maximal span") {
+    // A 10-token shared run = 7 overlapping k=4 windows → exactly one
+    // span of length 10, not seven length-4 spans.
+    val run = (1 to 10).map("s" + _).mkString(" ")
+    val got = spans(Seq(1L -> s"a1 a2 $run a3", 2L -> s"$run b1"))
+    assert(got === Seq((1L, 2, 10), (2L, 0, 10)))
+  }
+
+  test("substringSpans keeps runs separated by more than k apart as two spans") {
+    // Shared runs at pos 0 (len 4) and pos 9 (len 4) of doc 1: gap of 5
+    // non-repeated tokens > merge reach → two spans in doc 1.
+    val got = spans(Seq(
+      1L -> "s1 s2 s3 s4 u1 u2 u3 u4 u5 t1 t2 t3 t4",
+      2L -> "s1 s2 s3 s4 v1 v2 v3 v4 v5 v6 t1 t2 t3 t4"))
+    assert(got.filter(_._1 == 1L) === Seq((1L, 0, 4), (1L, 9, 4)))
+  }
+
+  test("substringSpans ignores runs repeated only WITHIN one document") {
+    // minDocs = 2 counts DISTINCT docs: a doc self-repeating a run is
+    // not cross-doc boilerplate.
+    val got = spans(Seq(
+      1L -> "s1 s2 s3 s4 x1 s1 s2 s3 s4 x2",
+      2L -> "y1 y2 y3 y4 y5 y6 y7 y8"))
+    assert(got.isEmpty)
+  }
+
+  test("substringSpans minDocs=3 demands three distinct documents") {
+    val shared = "s1 s2 s3 s4"
+    val two = Seq(1L -> s"$shared a1 a2", 2L -> s"$shared b1 b2")
+    val three = two :+ (3L -> s"$shared c1 c2")
+    assert(spans(two, minDocs = 3).isEmpty)
+    assert(spans(three, minDocs = 3).map(_._1).sorted === Seq(1L, 2L, 3L))
+  }
+
+  test("substringSpans: docs shorter than k produce no windows and no error") {
+    val got = spans(Seq(1L -> "a b", 2L -> "a b", 3L -> "s1 s2 s3 s4 q",
+      4L -> "s1 s2 s3 s4 r"))
+    assert(got === Seq((3L, 0, 4), (4L, 0, 4)))
+  }
+
+  test("windowHashWeights(12) is fingerprintWeights reversed (same r/P family)") {
+    assert(graft.functions.TextAnalysis.windowHashWeights(12) ===
+      graft.functions.TextAnalysis.fingerprintWeights.reverse)
+  }
 }
