@@ -103,6 +103,101 @@ object TextAnalysis {
     chars ++ multi.take(math.max(vocabSize - chars.size, 0))
   }
 
+  /** One learned BPE merge rule: at `step`, the corpus' most frequent
+    * adjacent symbol pair (`lhs`,`rhs`) — weighted count `cnt` — fused
+    * into the new symbol `lhs+rhs`.
+    */
+  final case class BpeMerge(step: Int, lhs: String, rhs: String, cnt: Long)
+
+  /** Symbol separator inside a word's in-training representation — a
+    * control char (U+001F) that whitespace tokens can never contain, so
+    * separator-joined symbol sequences stay unambiguous even when a
+    * merged symbol's text equals the concatenation of its parts.
+    */
+  private val US = "\u001f"
+
+  /** TRUE iterative BPE merge training (Sennrich et al. 2016) — the
+    * pair-merge loop [[trainVocab]]'s one-shot frequency seeding stands
+    * in for. The §3.3 driver-loop pattern (like register_volumes /
+    * connectedComponents): state is a DataFrame of DISTINCT words as
+    * separator-joined symbol sequences with corpus frequencies —
+    * vocab-bounded (~10⁶ rows on any real corpus), NOT corpus-sized — and
+    * each round is (a) one partial-combined agg counting adjacent symbol
+    * pairs weighted by word frequency, (b) the argmax pair — ONE row — to
+    * the driver (count desc, then lexicographic (lhs, rhs): fully
+    * deterministic), (c) one narrow map fusing that pair everywhere
+    * (non-regex replace = the same greedy left-to-right non-overlapping
+    * semantics BPE specifies, identical on any engine). N merges = N
+    * cheap agg rounds over the word table; the 100 TB corpus is touched
+    * exactly once, by the initial word-frequency agg.
+    *
+    * localCheckpoint per round keeps the plan flat (the word frame is
+    * both aggregated and re-mapped every round; without truncation round
+    * k would replay rounds 1..k−1) — the frame is vocab-bounded, so the
+    * materialization is pennies.
+    *
+    * Stops early when no adjacent pair remains (every word fused to one
+    * symbol). Max pair count is non-increasing over rounds — a merged
+    * symbol occurs at most as often as the pair it replaced — pinned by
+    * the property suite.
+    */
+  def trainBpeMerges(docs: org.apache.spark.sql.DataFrame, textCol: String,
+      numMerges: Int, maxWordLen: Int = 32): Seq[BpeMerge] = {
+    var words = docs
+      .select(explode(tokens(col(textCol))).as("w"))
+      .filter(length(col("w")).between(1, maxWordLen))
+      .groupBy("w").agg(count(lit(1)).as("f"))
+      .select(array_join(transform(sequence(lit(1), length(col("w"))),
+        i => col("w").substr(i, lit(1))), US).as("seq"), col("f"))
+      .localCheckpoint(true)
+    val merges = Seq.newBuilder[BpeMerge]
+    var step = 1
+    var done = false
+    while (step <= numMerges && !done) {
+      val sp = split(col("seq"), US)
+      // sequence(1, 0) DESCENDS in Spark — fully-fused single-symbol
+      // words must leave before the pair explode, not hit element_at OOB.
+      val best = words.filter(size(sp) >= 2)
+        .select(col("f"), explode(transform(sequence(lit(1), size(sp) - 1),
+          j => struct(element_at(sp, j).as("s1"),
+            element_at(sp, j + 1).as("s2")))).as("p"))
+        .groupBy(col("p.s1").as("s1"), col("p.s2").as("s2"))
+        .agg(sum("f").as("cnt"))
+        .orderBy(col("cnt").desc, col("s1").asc, col("s2").asc)
+        .limit(1).collect()
+      if (best.isEmpty) done = true
+      else {
+        val (s1, s2, cnt) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += BpeMerge(step, s1, s2, cnt)
+        val old = words
+        words = words.select(
+          replace(col("seq"), lit(s1 + US + s2), lit(s1 + s2)).as("seq"),
+          col("f")).localCheckpoint(true)
+        old.unpersist()
+        step += 1
+      }
+    }
+    merges.result()
+  }
+
+  /** Encode whitespace words by APPLYING learned merges in training order
+    * — true BPE inference (vs [[subwordTokens]]'s greedy longest-match
+    * against a flat vocab). Pure Column expression: each word char-splits
+    * to a separator-joined sequence, the N merge rules become N nested
+    * non-regex replaces (codegen'd — no UDF, no driver loop at encode
+    * time), and the result splits back to subword tokens. Narrow map at
+    * any scale.
+    */
+  def bpeTokensByMerges(text: Column, merges: Seq[BpeMerge]): Column =
+    flatten(transform(tokens(text), w => {
+      val seq0 = array_join(transform(sequence(lit(1), length(w)),
+        i => w.substr(i, lit(1))), US)
+      val fused = merges.foldLeft(seq0: Column)((acc, m) =>
+        replace(acc, lit(m.lhs + US + m.rhs), lit(m.lhs + m.rhs)))
+      split(fused, US)
+    }))
+
   /** Canonical Unicode bytes (NFC): run before ANY hash-based stage on a
     * multilingual corpus — NFD/NFC mixed encodings are the same text but
     * different md5/minhash inputs ([[graft.functions.UnicodeNormalize]]).

@@ -167,6 +167,24 @@ object Similarity {
         .limit(50)
     }),
 
+    // TRUE BPE merge training, graded: TextAnalysis.trainBpeMerges' full
+    // iterative pair-merge loop (Sennrich et al. 2016) over the corpus
+    // vocabulary, 8 rounds — each round counts adjacent symbol pairs
+    // weighted by word frequency, fuses the argmax (count desc, then
+    // lexicographic — deterministic), and re-tokenizes via non-regex
+    // replace (greedy left-to-right, identical on both engines). The
+    // oracle is the same loop UNROLLED into 8 CTE stages (the round count
+    // is part of the §2b contract, which is what makes the driver loop
+    // SQL-expressible). Output: the learned merge table itself.
+    "x_text_bpe" -> ((s, d) => {
+      val merges = graft.functions.TextAnalysis.trainBpeMerges(
+        t(s, d, "documents").select("text"), "text", numMerges = 8)
+      s.createDataFrame(merges)
+        .select(col("step"), col("lhs"), col("rhs"),
+          concat(col("lhs"), col("rhs")).as("merged"), col("cnt"))
+        .orderBy("step")
+    }),
+
     // Persisted-index ANN search — build-once/search-many, graded
     // (SURVEY §2b x_ann_indexed_topk): the corpus' sign-bucket band frame
     // is written in-query as a (band, bv)-bucketed table (the
@@ -683,6 +701,36 @@ object Similarity {
       "ORDER BY list_dot_product(c.emb, p.emb) / (c.nrm * p.nrm) DESC, c.vec_id ASC) AS rn " +
       "FROM n p JOIN n c ON c.vec_id <> p.vec_id WHERE p.vec_id <= 10) ")
 
+  /** x_text_bpe's oracle: the BPE driver loop UNROLLED — round i's three
+    * CTE stages (adjacent-pair counts over the separator-joined symbol
+    * sequences, the deterministic argmax, the non-regex replace fusing
+    * it) chained n times, then the chosen merges UNION ALLed into the
+    * merge table. chr(31) = the same U+001F separator the Spark side
+    * joins symbols with; replace() is left-to-right non-overlapping on
+    * both engines, which IS the BPE re-tokenization rule.
+    */
+  private def bpeOracleSql(n: Int): String = {
+    val sb = new StringBuilder
+    sb ++= "WITH w0 AS (SELECT array_to_string(list_transform(range(1, length(w) + 1), " +
+      "i -> substring(w, CAST(i AS INTEGER), 1)), chr(31)) AS seq, f FROM (" +
+      "SELECT w, count(*) AS f FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) " +
+      "WHERE length(w) BETWEEN 1 AND 32 GROUP BY w))"
+    for (i <- 1 to n) {
+      sb ++= s", sp$i AS (SELECT f, string_split(seq, chr(31)) AS sp FROM w${i - 1})"
+      sb ++= s", p$i AS (SELECT sp[CAST(j AS INTEGER)] AS s1, sp[CAST(j + 1 AS INTEGER)] AS s2, SUM(f) AS cnt " +
+        s"FROM sp$i, UNNEST(range(1, len(sp))) AS r$i(j) GROUP BY s1, s2)"
+      sb ++= s", b$i AS (SELECT s1, s2, cnt FROM p$i ORDER BY cnt DESC, s1 ASC, s2 ASC LIMIT 1)"
+      if (i < n)
+        sb ++= s", w$i AS (SELECT replace(w.seq, b.s1 || chr(31) || b.s2, b.s1 || b.s2) AS seq, w.f " +
+          s"FROM w${i - 1} w CROSS JOIN b$i b)"
+    }
+    sb ++= " SELECT * FROM (" + (1 to n).map(i =>
+      s"SELECT $i AS step, s1 AS lhs, s2 AS rhs, s1 || s2 AS merged, " +
+        s"CAST(cnt AS BIGINT) AS cnt FROM b$i").mkString(" UNION ALL ") +
+      ") ORDER BY step"
+    sb.toString
+  }
+
   val oracleSql: Map[String, String] = Map(
     "x_sim_dot" ->
       ("WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings) " +
@@ -734,6 +782,7 @@ object Similarity {
         "agg AS (SELECT s, CAST(sum(f) AS BIGINT) AS sf FROM subs GROUP BY s) " +
         "SELECT s, sf * len(s) AS score FROM agg WHERE len(s) > 1 " +
         "ORDER BY score DESC, s LIMIT 50"),
+    "x_text_bpe" -> bpeOracleSql(8),
     "x_ann_indexed_topk" ->
       ("WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings), " +
         "n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm, " +

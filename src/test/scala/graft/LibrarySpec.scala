@@ -435,6 +435,60 @@ class LibrarySpec extends SparkSpec {
     assert(cnt === 4) // four whole-word tokens
   }
 
+  test("trainBpeMerges: hand-computed merge sequence on the classic low/lower/lowest corpus") {
+    import spark.implicits._
+    // Word frequencies: low×3, lower×1, lowest×1. BPE by hand:
+    //   round 1: (l,o)=5 ties (o,w)=5 → lexicographic lhs: (l,o) → "lo"
+    //   round 2: (lo,w)=5 → "low"
+    //   round 3: (low,e)=2 → "lowe"
+    //   round 4: (lowe,r)=1 ties (lowe,s)=1 and (s,t)=1 → lhs "lowe" < "s",
+    //            rhs "r" < "s" → (lowe,r) → "lower"
+    val docs = Seq((1L, "low low lower low lowest")).toDF("doc_id", "text")
+    val m = TextAnalysis.trainBpeMerges(docs, "text", numMerges = 4)
+    assert(m.map(r => (r.step, r.lhs, r.rhs, r.cnt)) === Seq(
+      (1, "l", "o", 5L), (2, "lo", "w", 5L),
+      (3, "low", "e", 2L), (4, "lowe", "r", 1L)))
+    // determinism: retraining reproduces the same merge table
+    assert(m === TextAnalysis.trainBpeMerges(docs, "text", numMerges = 4))
+    // every merge fuses symbols available at its step: a char or an
+    // earlier merge's product
+    val avail = scala.collection.mutable.Set[String]()
+    "lowerst".foreach(c => avail += c.toString)
+    m.foreach { r =>
+      assert(avail(r.lhs) && avail(r.rhs), s"step ${r.step} uses unseen symbol")
+      avail += r.lhs + r.rhs
+    }
+    // max pair count never increases round over round (a merged symbol
+    // occurs at most as often as the pair it replaced)
+    assert(m.map(_.cnt) === m.map(_.cnt).sorted.reverse)
+    // early stop: the corpus runs out of pairs before 100 merges — no
+    // crash, no padding rows, all counts positive
+    val all = TextAnalysis.trainBpeMerges(docs, "text", numMerges = 100)
+    assert(all.size < 100 && all.forall(_.cnt > 0))
+    // encode by applying merges in training order: whole trained words
+    // fuse; round-trip always re-concatenates to the input
+    def enc(text: String): Seq[String] =
+      Seq(text).toDF("text")
+        .select(TextAnalysis.bpeTokensByMerges(col("text"), m).as("toks"))
+        .head().getSeq[String](0)
+    assert(enc("lower") === Seq("lower"))
+    assert(enc("low") === Seq("low"))
+    assert(enc("lowest") === Seq("lowe", "s", "t"))
+    for (w <- Seq("lower", "lowest", "slow", "owl"))
+      assert(enc(w).mkString("") === w)
+    // compression: applying all learned merges to the training corpus
+    // yields no more symbols than the substring-seeded greedy encoder
+    // with the same budget — the merge loop optimizes exactly this
+    graft.ops.Custom.register(spark)
+    val vocab = TextAnalysis.trainVocab(docs, "text", vocabSize = all.size)
+    val corpus = Seq.fill(1)("low low lower low lowest").toDF("text")
+    val nMerge = corpus.select(sum(size(
+      TextAnalysis.bpeTokensByMerges(col("text"), all))).as("n")).head().getLong(0)
+    val nSeed = corpus.select(sum(size(
+      TextAnalysis.subwordTokens(col("text"), vocab))).as("n")).head().getLong(0)
+    assert(nMerge <= nSeed, s"merge-trained $nMerge > seeded $nSeed")
+  }
+
   test("languageIdScript: CJK decided by character blocks, latin falls back to stopwords") {
     import spark.implicits._
     val rows = Seq(
