@@ -457,6 +457,40 @@ object Ann {
     * signature-band blocking + exact verification. Self-join form of
     * lshTopK; output pairs are canonical (a_id < b_id).
     */
+  /** SemDedup-style semantic near-duplicate pairs (Abbas et al. 2023):
+    * assign every vector to its nearest Lloyd centroid (the IVF
+    * clustering this module already trains), then verify exact cosine ≥
+    * `minCos` WITHIN each inverted list only. Where [[cosineNearDupPairs]]
+    * blocks by random-hyperplane bands (recall from multi-band OR-ing),
+    * this blocks by cluster structure — paraphrase neighborhoods land in
+    * one list, so a single equi-join on the list id finds them.
+    *
+    * Scale: the within-list verification is quadratic PER LIST — the
+    * designed trade. `nLists` must grow with the corpus (SemDedup runs
+    * ~√N to N/1000 lists at pretraining scale) so each list stays
+    * node-sized; assignment is a narrow map against broadcast centroids
+    * and the join is an equi-join on cid (a hot list = a dense semantic
+    * cluster, which IS the output). Output pairs are canonical
+    * (a_id < b_id), ready for [[Dedup.keepBest]] /
+    * [[Dedup.connectedComponents]].
+    */
+  def semanticNearDupPairs(emb: DataFrame, minCos: Double,
+      nLists: Int = 8, iters: Int = 3): DataFrame = {
+    val base = emb.select(col("vec_id"), embDouble(col("embedding")).as("emb"))
+    val cs = lloydCentroids(base, nLists, iters)
+    val assigned = graft.ops.T.cached(assignTo(base, cs, "cid")
+      .withColumn("nrm", sqrt(dot(col("emb"), col("emb")))))
+    val a = assigned.select(col("vec_id").as("a_id"), col("cid"),
+      col("emb").as("a_emb"), col("nrm").as("a_nrm"))
+    val b = assigned.select(col("vec_id").as("b_id"), col("cid").as("cid_b"),
+      col("emb").as("b_emb"), col("nrm").as("b_nrm"))
+    a.join(b, col("cid") === col("cid_b") && col("a_id") < col("b_id"))
+      .withColumn("cos",
+        dot(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm")))
+      .filter(col("cos") >= minCos)
+      .select("a_id", "b_id", "cos")
+  }
+
   def cosineNearDupPairs(emb: DataFrame, minCos: Double,
       nBits: Int = 16, nBands: Int = 4, dim: Int = 64, seed: Long = 42L): DataFrame = {
     require(nBits % nBands == 0)

@@ -56,13 +56,32 @@ object Curation {
     *                    crawled copy) and costs a connected-components
     *                    pass (a few edge-linear shuffle rounds) on top of
     *                    the same band join.
+    * @param embeddings  optional (doc_id, embedding) frame enabling the
+    *                    SEMANTIC dedup stage: paraphrases share no token
+    *                    sets — invisible to every hash stage above — but
+    *                    sit in the same embedding neighborhood.
+    *                    [[Ann.semanticNearDupPairs]] (Lloyd-centroid
+    *                    assignment → within-list cosine ≥
+    *                    `semanticMinCos`) contributes pairs into the SAME
+    *                    survivor policy as the token pairs, so quality-
+    *                    aware keepBest spans both graphs. Docs absent
+    *                    from the frame simply can't semantic-dedup.
+    * @param semanticMinCos within-list cosine threshold for the semantic
+    *                    stage (SemDedup reports 0.9-ish for paraphrase
+    *                    pruning)
+    * @param semanticLists inverted-list count for the semantic stage —
+    *                    scale with the corpus (√N-ish) to keep the
+    *                    per-list verification node-sized
     */
   def curate(docs0: DataFrame, minQuality: Double = 0.3,
       nHashes: Int = 8, minBands: Int = 4,
       maxDupLines: Double = 1.0, maxTopNgram: Double = 1.0,
       normalizeUnicode: Boolean = false,
       keepBestQuality: Boolean = false,
-      maxBandFreq: Option[Long] = None): DataFrame = {
+      maxBandFreq: Option[Long] = None,
+      embeddings: Option[DataFrame] = None,
+      semanticMinCos: Double = 0.9,
+      semanticLists: Int = 8): DataFrame = {
     // Stage 0 (optional): canonical Unicode bytes, a codegen'd narrow map
     // fused into the same scan stage as the feature columns below.
     val docs = if (normalizeUnicode) {
@@ -124,11 +143,25 @@ object Curation {
           .groupBy("a_id", "b_id").count()
           .filter(col("count") >= minBands)
       }
+    // Stage 3b (optional): semantic pairs over the exact-dedup survivors'
+    // embeddings, unioned into the same pair graph — one survivor policy
+    // then covers token-space AND embedding-space duplicates (a doc can
+    // be killed by either kind of neighbor).
+    val allPairs = embeddings match {
+      case Some(e) =>
+        val survEmb = e.select(col("doc_id").as("vec_id"), col("embedding"))
+          .join(exactKept.select(col("doc_id").as("vec_id")), Seq("vec_id"),
+            "left_semi")
+        pairs.select("a_id", "b_id").unionByName(
+          Ann.semanticNearDupPairs(survEmb, semanticMinCos, semanticLists)
+            .select("a_id", "b_id"))
+      case None => pairs.select("a_id", "b_id")
+    }
     if (keepBestQuality)
-      Dedup.keepBest(exactKept, pairs.select("a_id", "b_id"), "quality")
+      Dedup.keepBest(exactKept, allPairs, "quality")
         .select("doc_id", "lang", "quality", "n_tokens", "text")
     else {
-      val dropIds = pairs
+      val dropIds = allPairs
         .select(col("b_id").as("doc_id")).distinct() // the larger id dies
       exactKept.join(dropIds, Seq("doc_id"), "left_anti")
         .select("doc_id", "lang", "quality", "n_tokens", "text")

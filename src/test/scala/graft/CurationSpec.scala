@@ -185,6 +185,65 @@ class CurationSpec extends SparkSpec {
     assert(other !== s1)
   }
 
+  test("curate(embeddings): paraphrases dedup only with the semantic stage on") {
+    import spark.implicits._
+    // Two PARAPHRASES: disjoint content-token sets (no exact hash match,
+    // no minhash band agreement, no shared shingles) but near-identical
+    // embeddings — the duplicate class every token-space stage above is
+    // blind to. Doc 30 is an unrelated doc with an orthogonal embedding.
+    val para1 = "the cat sat on the mat and it was a very good day for " +
+      "all of us to be out in the sun with a book and tea"
+    val para2 = "a feline rested upon its rug while everyone enjoyed " +
+      "fine weather outside reading novels and drinking beverages today"
+    val docs = Seq((10L, para1), (11L, para2), (30L, enB))
+      .toDF("doc_id", "text")
+    def unit(xs: Double*): Seq[Double] = {
+      val n = math.sqrt(xs.map(x => x * x).sum)
+      xs.map(_ / n)
+    }
+    val embs = Seq(
+      (10L, unit(1.0, 0.05, 0.0, 0.1)),
+      (11L, unit(0.99, 0.06, 0.01, 0.1)), // cos vs 10 ≈ 0.9999
+      (30L, unit(0.0, 0.1, 1.0, 0.0))     // orthogonal-ish
+    ).toDF("doc_id", "embedding")
+    // token-space only: all three survive (paraphrases are invisible)
+    val without = Curation.curate(docs, minQuality = 0.3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(without === Set(10L, 11L, 30L))
+    // semantic stage on: the paraphrase pair collapses, min id survives;
+    // the orthogonal doc is untouched
+    val withSem = Curation.curate(docs, minQuality = 0.3,
+        embeddings = Some(embs), semanticMinCos = 0.9, semanticLists = 2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(withSem === Set(10L, 30L))
+    // keepBestQuality spans the semantic pair graph too: the HIGHER
+    // quality paraphrase survives regardless of id order
+    val q10 = Curation.curate(docs.filter(col("doc_id") === 10L),
+      minQuality = 0).select("quality").as[Double].head()
+    val q11 = Curation.curate(docs.filter(col("doc_id") === 11L),
+      minQuality = 0).select("quality").as[Double].head()
+    val best = Curation.curate(docs, minQuality = 0.3,
+        embeddings = Some(embs), semanticMinCos = 0.9, semanticLists = 2,
+        keepBestQuality = true)
+      .select("doc_id").as[Long].collect().toSet
+    val expectBest = if (q11 > q10) 11L else 10L
+    assert(best === Set(expectBest, 30L))
+  }
+
+  test("semanticNearDupPairs: within-list cosine pairs, canonical ids, no cross-list pairs") {
+    import spark.implicits._
+    // Two tight clusters far apart: pairs form inside clusters only.
+    val embs = Seq(
+      (1L, Seq(1.0, 0.0, 0.0)), (2L, Seq(0.999, 0.04, 0.0)),
+      (3L, Seq(0.0, 1.0, 0.0)), (4L, Seq(0.0, 0.999, 0.04))
+    ).toDF("vec_id", "embedding")
+    val pairs = graft.operators.Ann
+      .semanticNearDupPairs(embs, minCos = 0.95, nLists = 2, iters = 3)
+      .as[(Long, Long, Double)].collect().toSeq.sortBy(p => (p._1, p._2))
+    assert(pairs.map(p => (p._1, p._2)) === Seq((1L, 2L), (3L, 4L)))
+    assert(pairs.forall(p => p._3 >= 0.95 && p._1 < p._2))
+  }
+
   test("mixBalance downsamples every source toward the min source size") {
     val docs = T.t(spark, sf(), "documents")
     val before = docs.groupBy("source").count().collect()
