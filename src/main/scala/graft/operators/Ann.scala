@@ -351,7 +351,17 @@ object Ann {
     val base = emb.select(col("vec_id"), embDouble(col("embedding")).as("emb"))
       .persist()
     val centroids = lloydCentroids(base, nLists, iters)
-    val assignments = assignTo(base, centroids, "cid").select("vec_id", "cid")
+    // Build epoch: both tables carry it, and every reader requires the
+    // two to MATCH — a crash between the two non-atomic table replaces
+    // (either order) leaves lists paired with foreign centroids, which
+    // without the stamp would silently misroute probes (recall loss with
+    // no signal). The epoch column is constant per table → parquet RLE
+    // stores it for free. Centroids land FIRST: they are the routing
+    // authority and the cheap write, so the torn window is the lists
+    // write, where the stale-epoch lists are what the check catches.
+    val epoch = java.util.UUID.randomUUID().toString
+    val assignments = assignTo(base, centroids, "cid")
+      .select(col("vec_id"), lit(epoch).as("epoch"), col("cid"))
     // managed-table replace with orphan-location cleanup (the Bucketing
     // rationale: an in-memory catalog forgets tables, warehouses do not)
     def replace(df: DataFrame, t: String)(
@@ -365,10 +375,28 @@ object Ann {
       if (fs.exists(loc)) fs.delete(loc, true)
       customize(df.write.mode("overwrite").format("parquet")).saveAsTable(t)
     }
-    replace(assignments, table)(_.partitionBy("cid"))
     import spark.implicits._
-    replace(centroids.toSeq.toDF("cid", "centroid"), table + "_centroids")(w => w)
+    replace(centroids.toSeq.toDF("cid", "centroid")
+      .withColumn("epoch", lit(epoch)), table + "_centroids")(w => w)
+    replace(assignments, table)(_.partitionBy("cid"))
     base.unpersist(blocking = false)
+  }
+
+  /** Load the centroid matrix, FAILING LOUDLY on a torn index: the lists
+    * table's epoch must equal the centroids table's (see the epoch note
+    * in [[writeIvfIndex]]).
+    */
+  private def checkedCentroids(spark: org.apache.spark.sql.SparkSession,
+      table: String): Array[(Int, Seq[Double])] = {
+    val cRows = spark.table(table + "_centroids").collect()
+    val cEpoch = cRows.head.getString(2)
+    val lEpoch = spark.table(table).select("epoch").limit(1)
+      .collect().headOption.map(_.getString(0))
+    if (!lEpoch.forall(_ == cEpoch))
+      throw new IllegalStateException(
+        s"IVF index `$table` is torn: lists epoch ${lEpoch.orNull} != " +
+          s"centroids epoch $cEpoch — a crash interrupted writeIvfIndex; rebuild it")
+    cRows.map(r => r.getInt(0) -> r.getSeq[Double](1))
   }
 
   /** Append new vectors to an IVF index WITHOUT retraining: assign them to
@@ -381,12 +409,76 @@ object Ann {
     */
   def appendToIvfIndex(emb: DataFrame, table: String): Unit = {
     val spark = emb.sparkSession
-    val centroids = spark.table(table + "_centroids")
-      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1))
+    val centroids = checkedCentroids(spark, table)
+    val epoch = spark.table(table + "_centroids")
+      .select("epoch").head().getString(0)
     val base = emb.select(col("vec_id"), embDouble(col("embedding")).as("emb"))
-    assignTo(base, centroids, "cid").select("vec_id", "cid")
+    assignTo(base, centroids, "cid")
+      .select(col("vec_id"), lit(epoch).as("epoch"), col("cid"))
       .write.mode("append").format("parquet")
       .partitionBy("cid").saveAsTable(table)
+  }
+
+  /** Per-list drift statistics for a [[writeIvfIndex]] table against the
+    * CURRENT member embeddings: list size and the L2 displacement of each
+    * list's member mean from its stored centroid. Appends route by the
+    * build-time centroids, so a drifted corpus shows up here as fat lists
+    * and walked-away means long before recall collapses.
+    *
+    * One aggregation over the index (ids + per-dim partial means — the
+    * shuffle is nLists × dim rows); centroid comparison happens on the
+    * driver over the nLists-sized matrix (§3.3 agg→decide).
+    */
+  def ivfDriftStats(spark: org.apache.spark.sql.SparkSession, table: String,
+      emb: DataFrame): Array[(Int, Long, Double)] = {
+    val centroids = checkedCentroids(spark, table).toMap
+    val means = spark.table(table)
+      .join(emb.select(col("vec_id"), embDouble(col("embedding")).as("emb")),
+        "vec_id")
+      .select(col("cid"), posexplode(col("emb")).as(Seq("dim", "v")))
+      .groupBy("cid", "dim").agg(avg("v").as("m"), count(lit(1)).as("n"))
+      .groupBy("cid")
+      .agg(expr("transform(array_sort(collect_list(struct(dim, m))), s -> s.m)").as("mean"),
+        max("n").as("n"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1), r.getLong(2)))
+    means.map { case (cid, mean, n) =>
+      val c = centroids(cid)
+      val disp = math.sqrt(mean.zip(c).map { case (a, b) =>
+        (a - b) * (a - b) }.sum)
+      (cid, n, disp)
+    }.sortBy(_._1)
+  }
+
+  /** Should this IVF index be retrained? True when EITHER
+    *  - imbalance: the fattest list exceeds `maxImbalance` × the mean
+    *    list size (appends concentrating in few lists — probing cost and
+    *    within-list scan degrade toward brute force), or
+    *  - displacement: some list's member mean has walked more than
+    *    `maxDrift` × the mean nearest-centroid spacing from its stored
+    *    centroid (the routing boundaries no longer bisect the data —
+    *    THE append-recall-decay mechanism AnnSpec measures).
+    * Both bounds are relative, so the trigger is scale- and
+    * distribution-free. The rebuild itself is [[writeIvfIndex]] — the
+    * compaction analog; wire this as the ingest loop's periodic check.
+    */
+  def needsRebuild(spark: org.apache.spark.sql.SparkSession, table: String,
+      emb: DataFrame, maxImbalance: Double = 4.0,
+      maxDrift: Double = 0.5): Boolean = {
+    val stats = ivfDriftStats(spark, table, emb)
+    if (stats.isEmpty) return false
+    val cs = checkedCentroids(spark, table)
+    // mean nearest-centroid spacing — the routing-boundary yardstick
+    val spacing =
+      if (cs.length < 2) 1.0
+      else cs.map { case (i, a) =>
+        cs.collect { case (j, b) if j != i =>
+          math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+        }.min
+      }.sum / cs.length
+    val meanN = stats.map(_._2).sum.toDouble / stats.length
+    stats.exists { case (_, n, disp) =>
+      n > maxImbalance * meanN || disp > maxDrift * spacing
+    }
   }
 
   /** Search a [[writeIvfIndex]] table: centroids load from the side table
@@ -400,8 +492,7 @@ object Ann {
     */
   def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, table: String,
       emb: DataFrame, probes: DataFrame, k: Int, nProbe: Int = 2): DataFrame = {
-    val centroids = spark.table(table + "_centroids")
-      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1))
+    val centroids = checkedCentroids(spark, table)
     val probeCids = probeRouting(probes, centroids, nProbe)
     val cids = probeCids.select("cid").distinct()
       .collect().map(_.getInt(0)).sorted

@@ -197,6 +197,74 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("IVF drift trigger: skewed append flags rebuild; rebuild restores recall and clears the flag") {
+    val even = emb.filter(col("vec_id") % 2 === 0)
+      .select("vec_id", "embedding")
+    // the drift source: the odd half SHIFTED off the training distribution
+    // (routes through the old centroids into whichever lists are nearest,
+    // walking those lists' means away from their stored centroids)
+    val shifted = emb.filter(col("vec_id") % 2 === 1)
+      .select((col("vec_id") + 100000L).as("vec_id"),
+        expr("transform(embedding, x -> cast(x + 3.0 as float))").as("embedding"))
+    val full = even.unionByName(shifted)
+    Ann.writeIvfIndex(even, "ann_ivf_drift", nLists = 8, iters = 3)
+    try {
+      // a fresh build on its own data does not flag
+      assert(!Ann.needsRebuild(spark, "ann_ivf_drift", even))
+      Ann.appendToIvfIndex(shifted, "ann_ivf_drift")
+      // past the bound: the off-distribution append must flag
+      assert(Ann.needsRebuild(spark, "ann_ivf_drift", full),
+        "skewed append did not trip the drift trigger")
+      val probesS = shifted.limit(5)
+      val brute = Ann.bruteTopK(full, probesS, 5).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      def recall(t: String): Double = {
+        val got = Ann.ivfTopKIndexed(spark, t, full, probesS, 5, nProbe = 3)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        (brute & got).size.toDouble / brute.size
+      }
+      val recDrift = recall("ann_ivf_drift")
+      // rebuild = the compaction analog: retrain on what the index holds
+      Ann.writeIvfIndex(full, "ann_ivf_drift", nLists = 8, iters = 3)
+      assert(!Ann.needsRebuild(spark, "ann_ivf_drift", full),
+        "rebuild did not clear the drift flag")
+      val recRebuilt = recall("ann_ivf_drift")
+      info(f"IVF recall@5 on shifted probes: drifted $recDrift%.2f -> rebuilt $recRebuilt%.2f")
+      assert(recRebuilt >= 0.5, f"rebuilt recall $recRebuilt%.2f below build grade")
+      assert(recRebuilt >= recDrift - 0.05,
+        f"rebuild lost recall: $recDrift%.2f -> $recRebuilt%.2f")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS ann_ivf_drift")
+      spark.sql("DROP TABLE IF EXISTS ann_ivf_drift_centroids")
+    }
+  }
+
+  test("IVF epoch stamp: a torn centroids/lists write fails loudly at read time") {
+    Ann.writeIvfIndex(emb.limit(100), "ann_ivf_torn", nLists = 4, iters = 2)
+    try {
+      // simulate the crash window: centroids replaced (new epoch), lists
+      // left from the previous build (old epoch)
+      val c = spark.table("ann_ivf_torn_centroids")
+      val rows = c.collect().toIndexedSeq.map(r =>
+        org.apache.spark.sql.Row(r.get(0), r.get(1), "torn-epoch"))
+      val schema = c.schema
+      spark.sql("DROP TABLE IF EXISTS ann_ivf_torn_centroids")
+      spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+        .write.format("parquet").saveAsTable("ann_ivf_torn_centroids")
+      val e = intercept[IllegalStateException] {
+        Ann.ivfTopKIndexed(spark, "ann_ivf_torn", emb, probes, 3)
+      }
+      assert(e.getMessage.contains("torn"))
+      val e2 = intercept[IllegalStateException] {
+        Ann.appendToIvfIndex(emb.limit(10), "ann_ivf_torn")
+      }
+      assert(e2.getMessage.contains("torn"))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS ann_ivf_torn")
+      spark.sql("DROP TABLE IF EXISTS ann_ivf_torn_centroids")
+    }
+  }
+
   test("annSearchStream: per-batch indexed search matches batch search") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
