@@ -686,6 +686,24 @@ object Similarity {
       base.join(broadcast(hist), "lang")
         .select("lang", "avg_chars", "label_hist", "c1", "c2", "c3", "c4")
         .orderBy("lang")
+    }),
+
+    // Multimodal BYTE-FEATURE path under the oracle: payloads are
+    // manufactured in-query (utf8 text bytes — the x_text_nfc device for
+    // a fixture with no real media blobs), then
+    // sources/BinaryMedia.hashFeatureCols computes the md5-derived
+    // fallback features the mapPartitions decode path emits for opaque
+    // blobs — value-identical on both engines because feature j is pure
+    // md5-prefix arithmetic: first 32 bits of md5(payload ∥ ":j") / 2^32.
+    // Narrow codegen'd map, no shuffle but the output sort; at 100 TB
+    // this is a select over the binary scan.
+    "x_media_hashfeat" -> ((s, d) => {
+      val fs = graft.sources.BinaryMedia
+        .hashFeatureCols(col("text").cast("binary"), 4)
+      t(s, d, "documents")
+        .select(col("doc_id") +: fs.zipWithIndex.map { case (c, i) =>
+          round(c, 6).as(s"f$i") }: _*)
+        .orderBy("doc_id")
     })
   )
 
@@ -1026,6 +1044,14 @@ object Similarity {
         "h AS (SELECT lang, coalesce(string_agg(CAST(label AS VARCHAR) || ':' || CAST(cnt AS VARCHAR), '|' ORDER BY label), '') AS label_hist " +
         "FROM (SELECT lang, label, count(*) AS cnt FROM dj GROUP BY lang, label) GROUP BY lang) " +
         "SELECT base.lang AS lang, avg_chars, label_hist, c1, c2, c3, c4 " +
-        "FROM base JOIN h ON base.lang = h.lang ORDER BY lang")
+        "FROM base JOIN h ON base.lang = h.lang ORDER BY lang"),
+    // feature j = first 32 md5 bits of text∥":j" / 2^32 — pure md5-prefix
+    // arithmetic over identical utf8 bytes on both engines
+    "x_media_hashfeat" ->
+      ("SELECT doc_id, " +
+        (0 until 4).map(j =>
+          s"round(CAST(('0x' || substring(md5(text || ':$j'), 1, 8)) AS BIGINT) / 4294967296.0, 6) AS f$j")
+          .mkString(", ") +
+        " FROM documents ORDER BY doc_id")
   )
 }

@@ -296,6 +296,26 @@ class LibrarySpec extends SparkSpec {
     assert(scaled.width === 32 && scaled.height === 32)
   }
 
+  test("BinaryMedia: hashFeatureCols == the mapPartitions fallback, value for value") {
+    import spark.implicits._
+    val docs = Seq((1L, "hello world"), (2L, "a"), (3L, "")).toDF("doc_id", "text")
+    val colSide = docs.select(col("doc_id") +: graft.sources.BinaryMedia
+        .hashFeatureCols(col("text").cast("binary"), 8)
+        .zipWithIndex.map { case (c, i) => c.as(s"f$i") }: _*)
+      .collect().map(r => r.getLong(0) ->
+        (1 to 8).map(i => r.getDouble(i))).toMap
+    val scalaSide = docs.collect().map { r =>
+      r.getLong(0) -> graft.sources.MediaCodec
+        .hashFeatures(r.getString(1).getBytes("UTF-8"), 8).toSeq
+    }.toMap
+    assert(colSide.keySet === scalaSide.keySet)
+    for (id <- colSide.keySet; (c, s) <- colSide(id).zip(scalaSide(id)))
+      assert(math.abs(c - s) < 1e-6, s"doc $id: column $c vs scala $s")
+    // features are in [0,1) and content-sensitive
+    assert(colSide.values.flatten.forall(v => v >= 0.0 && v < 1.0))
+    assert(colSide(1L) !== colSide(2L))
+  }
+
   test("Pipelines: MemoryStream tumbling agg equals batch on same rows") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
