@@ -121,13 +121,19 @@ object Dedup {
         s"connectedComponents did not converge in $maxIter rounds — the pair " +
           "graph's diameter exceeds maxIter; raise it rather than consume " +
           "partial labels (each extra round is one edge-linear shuffle)")
-    // Component sizes via a window over the final labels — ONE shuffle on
-    // lab, versus the agg + re-join form's two (and the join's second
-    // full pass over labels).
-    val byLab = org.apache.spark.sql.expressions.Window.partitionBy("lab")
-    labels
+    // Component sizes via agg + join, NOT a count-over-window: a window
+    // partition is indivisible — one degenerate giant component would
+    // put ALL its rows in a single buffering task (the window must
+    // materialize the partition before emitting). The agg partial-
+    // combines map-side (the hot label collapses to one row per task
+    // before the shuffle), the sizes frame is component-count-sized (so
+    // Spark broadcasts it when small and AQE can split the probe side
+    // when it is not), and the labels rows stream through the join
+    // without ever concentrating — the 100×-safe spelling.
+    val sizes = labels.groupBy("lab").agg(count(lit(1)).as("n_members"))
+    labels.join(sizes, "lab")
       .select(col("u").as("doc_id"), col("lab").as("cluster_id"),
-        count(lit(1)).over(byLab).as("n_members"))
+        col("n_members"))
       .orderBy("doc_id")
   }
 

@@ -225,26 +225,23 @@ object Similarity {
       val toks = t(s, d, "documents")
         .select(col("doc_id"), col("lang"),
           explode(array_distinct(split(col("text"), " "))).as("tok"))
-      // Dictionary build: one global-sort task over the DISTINCT VOCABULARY
-      // (not the corpus) — natural-language vocabularies are ~10^5-10^6
-      // tokens, so this is cheap at any corpus scale; for open-ended token
-      // domains swap in a hashed bitmap (ids need not be dense or ordered —
-      // intersection counts don't depend on the assignment).
-      val dict = broadcast(toks.select("tok").distinct()
-        .withColumn("id", row_number().over(
-          org.apache.spark.sql.expressions.Window.orderBy("tok")) - 1))
-      val nWords = (dict.count() / 64 + 1).toInt
-      val masks = cached(toks.join(dict, "tok")
-        .withColumn("word", (col("id") / 64).cast("int"))
-        .withColumn("bit", pmod(col("id"), lit(64)).cast("int"))
-        .groupBy("doc_id", "lang", "word")
-        .agg(expr("bit_or(shiftleft(1L, bit))").as("m"))
+      // HASHED token ids — 60-bit md5 prefixes, no dictionary at all: the
+      // former dense-id build cost a distinct + single-task global-sort
+      // window over the vocabulary (fine at ~10^6 words, but a named
+      // caveat). Jaccard over the hashed sets equals Jaccard over the
+      // tokens whenever the hash is injective on the corpus vocabulary —
+      // 60 bits ⇒ collision odds ~4e-7 at a 10^6-word vocab, and a
+      // collision would merge the two tokens GLOBALLY, i.e. consistently
+      // on both sides of every pair. Per-doc state is the sorted hash
+      // set; the per-pair intersection is array_intersect on longs
+      // (same O(na+nb) as the bitmap popcount it replaces, without the
+      // dictionary shuffle, broadcast, or driver-side vocabulary count).
+      val masks = cached(toks
+        .withColumn("h",
+          conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("bigint"))
         .groupBy("doc_id", "lang")
-        .agg(map_from_entries(collect_list(struct(col("word"), col("m")))).as("wm"),
-          count(lit(1)).as("nw"))
-        .withColumn("mask", expr(
-          s"transform(sequence(0, ${nWords - 1}), w -> coalesce(wm[w], 0L))"))
-        .withColumn("n", expr("aggregate(mask, 0, (acc, v) -> acc + bit_count(v))"))
+        .agg(array_sort(collect_set(col("h"))).as("mask"))
+        .withColumn("n", size(col("mask")))
         .select("doc_id", "lang", "mask", "n")) // both join sides; 1 row/doc
       // Pair generation is a SHUFFLED equi-join on lang — never a
       // corpus-sized broadcast (a 100 TB corpus's masks don't fit an
@@ -266,8 +263,7 @@ object Similarity {
           col("a_id") < col("b_id") &&
           col("na").cast("double") >= col("nb") * 0.6 &&
           col("nb").cast("double") >= col("na") * 0.6)
-        .withColumn("inter", expr(
-          "aggregate(zip_with(ma, mb, (x, y) -> bit_count(x & y)), 0, (acc, v) -> acc + v)")
+        .withColumn("inter", size(array_intersect(col("ma"), col("mb")))
           .cast("double"))
         .withColumn("jacc", col("inter") / (col("na") + col("nb") - col("inter")))
         .filter(col("jacc") >= 0.6)

@@ -263,6 +263,19 @@ class DedupSpec extends SparkSpec {
     assert(bad.isEmpty)
   }
 
+  test("component sizes use agg+join, not a window — one giant cluster stays distributed") {
+    // A degenerate single-component star: with the former count-over-
+    // window spelling, ALL rows land in one buffering window task; the
+    // agg+join form partial-combines map-side and streams the join.
+    val star = (2L to 2000L).map(i => (1L, i)).toDF("a_id", "b_id")
+    val cc = Dedup.connectedComponents(star)
+    assert(!cc.queryExecution.executedPlan.toString.contains("Window"),
+      "sizes regressed to a count-over-window")
+    val rows = cc.as[(Long, Long, Long)].collect()
+    assert(rows.length === 2000)
+    assert(rows.forall { case (_, lab, n) => lab === 1L && n === 2000L })
+  }
+
   // ---- substringSpans (exact-substring / repeated k-token span dedup) ----
 
   private def spans(docs: Seq[(Long, String)], k: Int = 4, minDocs: Int = 2) =
