@@ -67,8 +67,12 @@ object Bench {
     // NOT printed: sbt re-tags the forked JVM's stderr onto its own
     // stdout ("[error] <line>"), which would put the >2000-char detail
     // line right back into the captured tail. File only.
+    // timing provenance in BOTH outputs: these are per-query minima of
+    // two same-JVM passes (warm JIT/page cache on pass 2), not cold
+    // single-pass numbers — and the detail file carries both raw passes
+    // so a consumer can reconstruct either view.
     val detail =
-      s"""{"queries":${qmap(results, 3)},"sf":"$sfName","n":${results.size},"failed":$failed,"metric":"total","unit":"sec","value":${f(total, 3)}}"""
+      s"""{"queries":${qmap(results, 3)},"pass1":${qmap(pass1, 3)},"pass2":${qmap(pass2, 3)},"timing":"best_of_2_same_jvm","sf":"$sfName","n":${results.size},"failed":$failed,"metric":"total","unit":"sec","value":${f(total, 3)}}"""
     try {
       val w = new java.io.PrintWriter(new java.io.File("BENCH_DETAIL.json"), "UTF-8")
       try w.println(detail) finally w.close()
@@ -77,7 +81,7 @@ object Bench {
     // line/file) so the stdout line keeps the documented shape while
     // staying far inside the 2000-char capture window.
     val slowest = results.sortBy(-_._2).take(12)
-    println(s"""{"metric":"total","unit":"sec","sf":"$sfName","n":${results.size},"failed":$failed,"queries":${qmap(slowest, 2)},"value":${f(total, 3)}}""")
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfName","n":${results.size},"failed":$failed,"timing":"best_of_2_same_jvm","queries":${qmap(slowest, 2)},"value":${f(total, 3)}}""")
     spark.stop()
   }
 }

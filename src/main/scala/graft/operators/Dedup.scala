@@ -45,7 +45,11 @@ object Dedup {
     *              computes. Each round is one cheap edge-linear shuffle,
     *              so the default comfortably covers any real pair graph
     *              (rounds needed = diameter; LSH clusters are 1-3).
-    * @param jumpAfter first round (0-based) allowed to pointer-jump: the
+    * @param jumpAfter defer the pointer jump until the END of 0-based
+    *              round `jumpAfter − 1` (the guard `iter + 1 >= jumpAfter`
+    *              runs after round `iter`'s propagation): a graph that
+    *              converges within `jumpAfter` propagation rounds never
+    *              pays for a jump. It remains the
     *              label-of-label composition that halves remaining chain
     *              depth per round. Deferred because the jump is pure
     *              overhead on graphs that converge first — LSH duplicate
@@ -328,7 +332,24 @@ object Dedup {
     val side = table + "_compacting"
     // Crash recovery for the non-atomic swap below (two catalog
     // statements; a crash between DROP and RENAME strands the rows in the
-    // side table). On entry:
+    // side table).
+    //
+    // SCOPE: this recovery needs the catalog entries to have SURVIVED the
+    // crash — i.e. a persistent metastore (Hive/production), or a crash
+    // that kept the JVM (task failure, OOM-killed job) on the default
+    // in-memory catalog. After a whole-JVM crash on an in-memory catalog,
+    // a fresh session sees NO tables: tableExists(side) is false, this
+    // path never fires, the compacted rows sit orphaned in the
+    // warehouse's side-table directory, and reading `table` throws
+    // table-not-found. There is no filesystem-only repair — the bucket
+    // spec lives in the catalog, and re-registering bare parquet dirs
+    // would silently drop the zero-Exchange property the index exists
+    // for. The production posture is therefore: persistent metastore +
+    // this recovery; on an in-memory catalog treat the warehouse as
+    // scratch and rebuild via writeCorpusIndex (writeBucketed clears the
+    // orphaned locations on the way).
+    //
+    // On entry:
     //  - side exists, main missing → a prior run died inside the swap;
     //    the side table IS the compacted index — finish its rename.
     //  - side exists, main exists → a prior run died before its drop; the
