@@ -72,6 +72,15 @@ object Curation {
     * @param semanticLists inverted-list count for the semantic stage —
     *                    scale with the corpus (√N-ish) to keep the
     *                    per-list verification node-sized
+    * @param removeSpanK optional exact-substring pre-pass
+    *                    ([[Dedup.removeSpans]] with this window size):
+    *                    excise repeated k-token runs — boilerplate
+    *                    headers, license blocks, templated chrome —
+    *                    keeping one occurrence corpus-wide BEFORE
+    *                    quality scoring and document-level dedup. The
+    *                    production order (Lee et al.): shared chrome
+    *                    would otherwise both inflate quality signals and
+    *                    glue unrelated documents into near-dup pairs.
     */
   def curate(docs0: DataFrame, minQuality: Double = 0.3,
       nHashes: Int = 8, minBands: Int = 4,
@@ -81,13 +90,21 @@ object Curation {
       maxBandFreq: Option[Long] = None,
       embeddings: Option[DataFrame] = None,
       semanticMinCos: Double = 0.9,
-      semanticLists: Int = 8): DataFrame = {
+      semanticLists: Int = 8,
+      removeSpanK: Option[Int] = None): DataFrame = {
     // Stage 0 (optional): canonical Unicode bytes, a codegen'd narrow map
     // fused into the same scan stage as the feature columns below.
-    val docs = if (normalizeUnicode) {
+    val docsN = if (normalizeUnicode) {
       graft.ops.Custom.register(docs0.sparkSession)
       docs0.withColumn("text", TextAnalysis.normalizeNfc(col("text")))
     } else docs0
+    // Stage 0.5 (optional): exact-substring excision — AFTER byte
+    // canonicalization (window hashes need canonical bytes), BEFORE any
+    // scoring or hashing reads the text.
+    val docs = removeSpanK match {
+      case Some(k) => Dedup.removeSpans(docsN, "text", k)
+      case None => docsN
+    }
     // Stage 1+2: per-doc columnar features + quality/repetition gates
     // (narrow, pushed to the scan), then exact dedup = min doc_id per
     // content hash. Repetition gates default to off (1.0).

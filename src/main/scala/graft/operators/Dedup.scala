@@ -435,6 +435,59 @@ object Dedup {
     * @return (doc_id, span_start, span_len) — 0-based token offset and
     *         token length of each maximal duplicated span, ordered
     */
+  /** The excision step completing the exact-substring family: rewrite
+    * every document with its duplicated spans REMOVED, keeping exactly
+    * one occurrence corpus-wide (the one in the minimum doc_id — the
+    * same canonical-survivor convention as the pair policies). The
+    * Lee-et-al. production treatment: boilerplate/license/template runs
+    * vanish from every copy but one, and the documents themselves
+    * survive for document-level near-dup afterwards.
+    *
+    * Same corpus-linear machinery as [[substringSpans]] plus: a min-agg
+    * picks each repeated window's canonical doc; non-canonical hit
+    * windows explode to covered token indexes (k rows per hit); an
+    * anti-join drops those tokens; a per-doc sort-agg rebuilds the text.
+    * Every stage is an equi-shuffle on a hash or doc_id — no broadcast
+    * of anything corpus-sized, no pair materialization at all.
+    *
+    * @return (doc_id, text) for EVERY input doc — untouched docs pass
+    *         through byte-identical, fully-covered docs come back empty
+    */
+  def removeSpans(docs: DataFrame, textCol: String = "text", k: Int = 8,
+      minDocs: Int = 2): DataFrame = {
+    import graft.functions.TextAnalysis.windowHashes
+    val toks = T.cached(docs
+      .select(col("doc_id"), split(col(textCol), " ").as("tk"))
+      .withColumn("hs", transform(col("tk"), tk =>
+        pmod(conv(substring(md5(tk), 1, 8), 16, 10).cast("long"),
+          lit(graft.functions.TextAnalysis.fingerprintMod)))))
+    val wins = T.cached(toks.filter(size(col("hs")) >= k)
+      .select(col("doc_id"), posexplode(windowHashes(col("hs"), k)))
+      .toDF("doc_id", "pos", "wh"))
+    val repeated = wins.groupBy("wh")
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs).select("wh")
+    val hits = wins.join(repeated, Seq("wh"), "left_semi")
+    val canon = hits.groupBy("wh").agg(min("doc_id").as("cdoc"))
+    val cut = hits.join(canon, "wh")
+      .filter(col("doc_id") =!= col("cdoc"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("idx"))
+      .distinct()
+    val kept = toks
+      .select(col("doc_id"), posexplode(col("tk")).as(Seq("idx", "tok")))
+      .join(cut, Seq("doc_id", "idx"), "left_anti")
+      .groupBy("doc_id")
+      .agg(concat_ws(" ", expr(
+        "transform(array_sort(collect_list(struct(idx, tok))), s -> s.tok)"))
+        .as("kept_text"))
+    // left join back so fully-cut docs return as empty, not vanish
+    docs.select(col("doc_id"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("kept_text"), lit("")).as(textCol))
+      .orderBy("doc_id")
+  }
+
   def substringSpans(docs: DataFrame, textCol: String = "text", k: Int = 8,
       minDocs: Int = 2): DataFrame = {
     import graft.functions.TextAnalysis.{tokenHashesMd5, windowHashes}

@@ -244,6 +244,33 @@ class CurationSpec extends SparkSpec {
     assert(pairs.forall(p => p._3 >= 0.95 && p._1 < p._2))
   }
 
+  test("curate(removeSpanK): boilerplate chrome is excised instead of gluing docs into near-dups") {
+    import spark.implicits._
+    // Same long boilerplate header on three docs whose OWN content is
+    // unrelated. Header dominates the token sets, so document-level
+    // near-dup would collapse them to one survivor — losing two real
+    // documents. The substring pre-pass removes the shared run instead.
+    val header = ("the quick brown fox jumps over the lazy dog while " +
+      "every good boy deserves fudge and all of them are here now")
+    val docs = Seq(
+      (1L, s"$header $enA"),
+      (2L, s"$header $enB"),
+      (3L, s"$header $de")).toDF("doc_id", "text")
+    // without the pre-pass: the header glues 1/2/3 into one near-dup
+    // cluster — only the chain minimum survives
+    val glued = Curation.curate(docs, minQuality = 0.3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(glued === Set(1L))
+    // with it: doc 1 keeps the header (canonical), 2 and 3 lose it and
+    // all three distinct documents survive with their own content
+    val out = Curation.curate(docs, minQuality = 0.3, removeSpanK = Some(6))
+    val kept = out.select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 2L, 3L))
+    val texts = out.select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(texts(1L) === s"$header $enA")
+    assert(texts(2L) === enB && texts(3L) === de)
+  }
+
   test("mixBalance downsamples every source toward the min source size") {
     val docs = T.t(spark, sf(), "documents")
     val before = docs.groupBy("source").count().collect()

@@ -331,6 +331,56 @@ class DedupSpec extends SparkSpec {
     assert(got === Seq((3L, 0, 4), (4L, 0, 4)))
   }
 
+  private def cut(docs: Seq[(Long, String)], k: Int = 4) =
+    Dedup.removeSpans(docs.toDF("doc_id", "text"), k = k)
+      .as[(Long, String)].collect().toMap
+
+  test("removeSpans keeps exactly one occurrence of shared boilerplate (min doc_id)") {
+    val header = "h1 h2 h3 h4 h5 h6"
+    val got = cut(Seq(
+      1L -> s"$header a1 a2 a3",
+      2L -> s"$header b1 b2 b3",
+      3L -> s"$header c1 c2 c3"))
+    // canonical doc 1 untouched; 2 and 3 lose the header, keep their tails
+    assert(got(1L) === s"$header a1 a2 a3")
+    assert(got(2L) === "b1 b2 b3")
+    assert(got(3L) === "c1 c2 c3")
+  }
+
+  test("removeSpans leaves unshared and within-doc-repeated text alone") {
+    val got = cut(Seq(
+      1L -> "s1 s2 s3 s4 x1 s1 s2 s3 s4", // self-repeat only
+      2L -> "u1 u2 u3 u4 u5 u6"))
+    assert(got(1L) === "s1 s2 s3 s4 x1 s1 s2 s3 s4")
+    assert(got(2L) === "u1 u2 u3 u4 u5 u6")
+  }
+
+  test("removeSpans: a fully-duplicated doc comes back empty, not missing") {
+    val body = "d1 d2 d3 d4 d5"
+    val got = cut(Seq(1L -> body, 2L -> body))
+    assert(got(1L) === body && got(2L) === "")
+    assert(got.keySet === Set(1L, 2L))
+  }
+
+  test("removeSpans is idempotent: a second pass changes nothing") {
+    val docs = Seq(
+      1L -> "h1 h2 h3 h4 h5 a1 a2",
+      2L -> "h1 h2 h3 h4 h5 b1 b2",
+      3L -> "z1 z2 z3 z4 z5 z6")
+    val once = cut(docs)
+    val twice = cut(once.toSeq)
+    assert(twice === once)
+  }
+
+  test("removeSpans composes with substringSpans: no cross-doc spans remain after the cut") {
+    val docs = Seq(
+      1L -> "h1 h2 h3 h4 h5 h6 a1 a2 a3",
+      2L -> "h1 h2 h3 h4 h5 h6 b1 b2 b3",
+      3L -> "c1 c2 h1 h2 h3 h4 h5 h6 c3")
+    val after = cut(docs).toSeq
+    assert(spans(after).isEmpty)
+  }
+
   test("windowHashWeights(12) is fingerprintWeights reversed (same r/P family)") {
     assert(graft.functions.TextAnalysis.windowHashWeights(12) ===
       graft.functions.TextAnalysis.fingerprintWeights.reverse)
