@@ -325,6 +325,17 @@ object Similarity {
       graft.operators.Dedup.substringSpans(
         fan(s, t(s, d, "documents").select("doc_id", "text")), k = 8)),
 
+    // The EXCISION half of the substring family, graded end-to-end
+    // (operators/Dedup.removeSpans): every repeated 8-token window keeps
+    // exactly one occurrence corpus-wide (min doc_id canonical), covered
+    // tokens are cut everywhere else, and each document is rebuilt —
+    // fully-duplicated docs come back EMPTY, not missing. String-exact
+    // output, so the oracle replays the same canonical-min/cut/rebuild
+    // in SQL and compares the rewritten text byte for byte.
+    "x_dedup_spanremove" -> ((s, d) =>
+      graft.operators.Dedup.removeSpans(
+        fan(s, t(s, d, "documents").select("doc_id", "text")), k = 8)),
+
     // MinHash-LSH: 8 one-hash bands; pairs agreeing on >= 4 bands.
     // Candidate generation is the classic (seed, signature) band
     // EQUI-JOIN: signatures explode to one row per (doc, seed), the
@@ -845,6 +856,33 @@ object Similarity {
         "SELECT doc_id, CAST(min(pos) AS INTEGER) AS span_start, " +
         "CAST(max(pos) + 8 - min(pos) AS INTEGER) AS span_len " +
         "FROM grp GROUP BY doc_id, g ORDER BY doc_id, span_start"),
+    // same window-hash CTEs as x_dedup_substring, then: canonical doc =
+    // min(doc_id) per repeated window, non-canonical hits explode to
+    // covered token indexes, anti-join cut, ordered string_agg rebuild
+    "x_dedup_spanremove" ->
+      ("WITH tt AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents), " +
+        "hh AS (SELECT doc_id, len(tk) AS n, " +
+        "list_transform(tk, x -> CAST(('0x' || substring(md5(x), 1, 8)) AS BIGINT) % 2147483647) AS hs " +
+        "FROM tt WHERE len(tk) >= 8), " +
+        "pp AS (SELECT doc_id, hs, unnest(range(n - 7)) AS i FROM hh), " +
+        "pj AS (SELECT doc_id, i, unnest(range(8)) AS j, hs FROM pp), " +
+        "wv AS (SELECT doc_id, CAST(i AS INTEGER) AS pos, " +
+        "SUM((hs[CAST(i + j + 1 AS INTEGER)] * " +
+        "([57298384,2061642598,1953433226,1604566856,1049561761,1426104154,1000003,1])[CAST(j + 1 AS INTEGER)]) % 2147483647) " +
+        "% 2147483647 AS wh FROM pj GROUP BY doc_id, i), " +
+        "rep AS (SELECT wh FROM wv GROUP BY wh HAVING count(DISTINCT doc_id) >= 2), " +
+        "hits AS (SELECT w.doc_id, w.pos, w.wh FROM wv w JOIN rep USING (wh)), " +
+        "canon AS (SELECT wh, min(doc_id) AS cdoc FROM hits GROUP BY wh), " +
+        "cutidx AS (SELECT DISTINCT h.doc_id, CAST(h.pos + j AS INTEGER) AS idx " +
+        "FROM hits h JOIN canon c ON h.wh = c.wh AND h.doc_id <> c.cdoc, " +
+        "UNNEST(range(8)) AS r(j)), " +
+        "tokidx AS (SELECT doc_id, CAST(i AS INTEGER) AS idx, tk[CAST(i + 1 AS INTEGER)] AS tok " +
+        "FROM tt, UNNEST(range(len(tk))) AS rr(i)), " +
+        "keptagg AS (SELECT t.doc_id, string_agg(t.tok, ' ' ORDER BY t.idx) AS kept " +
+        "FROM tokidx t LEFT JOIN cutidx c ON t.doc_id = c.doc_id AND t.idx = c.idx " +
+        "WHERE c.doc_id IS NULL GROUP BY t.doc_id) " +
+        "SELECT d.doc_id, coalesce(k.kept, '') AS text " +
+        "FROM documents d LEFT JOIN keptagg k USING (doc_id) ORDER BY doc_id"),
     "x_dedup_minhash" ->
       ("WITH toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents), " +
         "sigs AS (SELECT doc_id, seed, min(md5(tok || '#' || CAST(seed AS VARCHAR))) AS mh " +
