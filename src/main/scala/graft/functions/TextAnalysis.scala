@@ -181,6 +181,24 @@ object TextAnalysis {
     merges.result()
   }
 
+  /** Flatten learned merges into a vocabulary for the NATIVE greedy
+    * longest-match encoder ([[subwordTokens]] / `graft_bpe`): all merge
+    * products plus their constituent symbols, longest-first is implicit
+    * in the encoder. Greedy longest-match over this vocab is the fast
+    * single-pass approximation of merge-order inference
+    * ([[bpeTokensByMerges]] is the exact form); both round-trip, and on
+    * text dominated by trained words they agree exactly.
+    */
+  def vocabFromMerges(merges: Seq[BpeMerge]): Seq[String] = {
+    val syms = scala.collection.mutable.LinkedHashSet[String]()
+    merges.foreach { m =>
+      m.lhs.foreach(c => syms += c.toString)
+      m.rhs.foreach(c => syms += c.toString)
+      syms += m.lhs; syms += m.rhs; syms += m.lhs + m.rhs
+    }
+    syms.toSeq.sorted
+  }
+
   /** Encode whitespace words by APPLYING learned merges in training order
     * — true BPE inference (vs [[subwordTokens]]'s greedy longest-match
     * against a flat vocab). Pure Column expression: each word char-splits
@@ -417,12 +435,15 @@ object TextAnalysis {
   def windowHashes(hs: Column, k: Int): Column = {
     val p = lit(fingerprintMod)
     val w = typedLit(windowHashWeights(k))
-    transform(sequence(lit(0), size(hs) - k), i =>
-      pmod(
-        aggregate(sequence(lit(0), lit(k - 1)), lit(0L), (acc, j) =>
-          acc + pmod(element_at(hs, (i + j + lit(1)).cast("int"))
-            * element_at(w, (j + lit(1)).cast("int")), p)),
-        p))
+    // guard: Spark's sequence(0, n) DESCENDS for n < 0, so arrays shorter
+    // than k must short-circuit to "no windows", not walk off the end
+    when(size(hs) < k, typedLit(Seq.empty[Long])).otherwise(
+      transform(sequence(lit(0), size(hs) - k), i =>
+        pmod(
+          aggregate(sequence(lit(0), lit(k - 1)), lit(0L), (acc, j) =>
+            acc + pmod(element_at(hs, (i + j + lit(1)).cast("int"))
+              * element_at(w, (j + lit(1)).cast("int")), p)),
+          p)))
   }
 
   /** PII scrub — the redaction stage of a curation pipeline: replace

@@ -507,6 +507,18 @@ class LibrarySpec extends SparkSpec {
     val nSeed = corpus.select(sum(size(
       TextAnalysis.subwordTokens(col("text"), vocab))).as("n")).head().getLong(0)
     assert(nMerge <= nSeed, s"merge-trained $nMerge > seeded $nSeed")
+    // the merge table also feeds the NATIVE greedy encoder: every merge
+    // product is vocab, trained words encode as single tokens, and
+    // everything round-trips
+    val mv = TextAnalysis.vocabFromMerges(all)
+    assert(Set("low", "lower", "lowest").subsetOf(mv.toSet))
+    def seg(text: String): Seq[String] =
+      Seq(text).toDF("text")
+        .select(TextAnalysis.subwordTokens(col("text"), mv).as("toks"))
+        .head().getSeq[String](0)
+    assert(seg("lowest") === Seq("lowest"))
+    for (w <- Seq("low", "lower", "slowest", "owl"))
+      assert(seg(w).mkString("") === w)
   }
 
   test("languageIdScript: CJK decided by character blocks, latin falls back to stopwords") {
