@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
   * of 10c yields ~50c² pairs) — the probe prints output rows so the two
   * effects can be told apart.
   *
-  * `runMain graft.tools.ScaleProbe [sfDir] [keys|sigs|curation|cc|vocab|spans|all]`
+  * `runMain graft.tools.ScaleProbe [sfDir] [keys|sigs|curation|cc|vocab|spans|bpe|all]`
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -102,13 +102,34 @@ object ScaleProbe {
     // corpus (vs the pair emitters' ~100×) is the design claim measured
     // here.
     if (mode == "all" || mode == "spans") {
-      def spansOf(dir: String) = graft.operators.Dedup.substringSpans(
-        spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "text"))
-      val (tp1, np1) = time(spansOf(sfDir))
+      def docsOf(dir: String) =
+        spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+      val (tp1, np1) = time(graft.operators.Dedup.substringSpans(docsOf(sfDir)))
       graft.ops.T.releaseCaches(blocking = true)
-      val (tp10, np10) = time(spansOf(bigDir))
+      val (tp10, np10) = time(graft.operators.Dedup.substringSpans(docsOf(bigDir)))
       graft.ops.T.releaseCaches(blocking = true)
       println(f"substringSpans     base ${tp1}%6.2fs ($np1 spans) -> 10x ${tp10}%7.2fs ($np10 spans; factor ${tp10 / tp1}%5.1f)")
+      val (tr1, nr1) = time(graft.operators.Dedup.removeSpans(docsOf(sfDir)))
+      graft.ops.T.releaseCaches(blocking = true)
+      val (tr10, nr10) = time(graft.operators.Dedup.removeSpans(docsOf(bigDir)))
+      graft.ops.T.releaseCaches(blocking = true)
+      println(f"removeSpans        base ${tr1}%6.2fs ($nr1 docs)  -> 10x ${tr10}%7.2fs ($nr10 docs; factor ${tr10 / tr1}%5.1f)")
+    }
+    // BPE merge training: the corpus is touched ONCE (the initial
+    // word-frequency agg); every merge round runs over the distinct-word
+    // symbol table, so a 10× corpus with a near-identical vocabulary
+    // should train in barely more time than 1× — the vocab-bounded claim
+    // measured directly.
+    if (mode == "all" || mode == "bpe") {
+      def trainOn(dir: String) = {
+        val m = graft.functions.TextAnalysis.trainBpeMerges(
+          spark.read.parquet(s"$dir/documents.parquet").select("text"),
+          "text", numMerges = 8)
+        spark.range(m.size.toLong).toDF() // time() wants a frame; rounds already ran
+      }
+      val (tb1, _) = time(trainOn(sfDir))
+      val (tb10, _) = time(trainOn(bigDir))
+      println(f"trainBpeMerges(8)  base ${tb1}%6.2fs -> 10x ${tb10}%7.2fs (factor ${tb10 / tb1}%5.1f; vocab-bounded rounds)")
     }
     // connectedComponents in ISOLATION: synthetic chain graphs (fixed
     // diameter 7, group count scaled 10×) so the probe measures the
