@@ -488,17 +488,54 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  def substringSpans(docs: DataFrame, textCol: String = "text", k: Int = 8,
-      minDocs: Int = 2): DataFrame = {
+  /** (doc_id, pos, wh): every k-token window hash of every doc — the
+    * shared inverted-index feedstock of the substring family
+    * ([[substringSpans]], [[decontaminate]]).
+    */
+  private def windowFrame(docs: DataFrame, textCol: String, k: Int): DataFrame = {
     import graft.functions.TextAnalysis.{tokenHashesMd5, windowHashes}
     // Token hashes materialize as their own projection so windowHashes
     // reads an attribute, not a re-derived expression (CollapseProject
     // keeps multi-use non-cheap aliases in their own stage).
-    val hs = docs.select(col("doc_id"), tokenHashesMd5(col(textCol)).as("hs"))
+    docs.select(col("doc_id"), tokenHashesMd5(col(textCol)).as("hs"))
       .filter(size(col("hs")) >= k)
-    val wins = T.cached(hs
       .select(col("doc_id"), posexplode(windowHashes(col("hs"), k)))
-      .toDF("doc_id", "pos", "wh"))
+      .toDF("doc_id", "pos", "wh")
+  }
+
+  /** Per-doc benchmark-contamination counts: how many of a document's
+    * k-token windows also occur ANYWHERE in `benchmark` (the
+    * Brown-et-al./Lee-et-al. train-test decontamination signal — an
+    * eval set leaking into pretraining data inflates every downstream
+    * score it touches). The benchmark's distinct window-hash set plays
+    * the corpus-index role: docs' windows left-semi join it (equi on the
+    * hash, benchmark side aggregated tiny), one count agg per doc. Docs
+    * with zero hits are absent from the result.
+    */
+  def contaminationHits(docs: DataFrame, benchmark: DataFrame,
+      textCol: String = "text", k: Int = 8): DataFrame = {
+    val benchWh = windowFrame(benchmark, textCol, k).select("wh").distinct()
+    windowFrame(docs, textCol, k)
+      .join(benchWh, Seq("wh"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+  }
+
+  /** Drop every doc whose benchmark overlap exceeds `maxHits` colliding
+    * k-token windows (default 0: any verbatim k-run shared with the
+    * benchmark kills the doc). The filter form of [[contaminationHits]];
+    * anti-join on ids only, so the surviving rows stream through
+    * untouched.
+    */
+  def decontaminate(docs: DataFrame, benchmark: DataFrame,
+      textCol: String = "text", k: Int = 8, maxHits: Long = 0): DataFrame = {
+    val doomed = contaminationHits(docs, benchmark, textCol, k)
+      .filter(col("n_hits") > maxHits).select("doc_id")
+    docs.join(doomed, Seq("doc_id"), "left_anti")
+  }
+
+  def substringSpans(docs: DataFrame, textCol: String = "text", k: Int = 8,
+      minDocs: Int = 2): DataFrame = {
+    val wins = T.cached(windowFrame(docs, textCol, k))
     val repeated = wins.groupBy("wh")
       .agg(count_distinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= minDocs)

@@ -325,6 +325,21 @@ object Similarity {
       graft.operators.Dedup.substringSpans(
         fan(s, t(s, d, "documents").select("doc_id", "text")), k = 8)),
 
+    // Train-test DECONTAMINATION, graded (Dedup.contaminationHits): eval
+    // docs (doc_id % 20 == 0 play the benchmark) leaking verbatim
+    // 8-token runs into the training split are the classic eval-
+    // inflation hazard; the benchmark's distinct window-hash set
+    // left-semi joins the training windows (equi on the hash — the
+    // corpus-index shape), one count agg per contaminated doc. The
+    // filter form (Dedup.decontaminate) drops docs above a hit budget.
+    "x_dedup_decontam" -> ((s, d) => {
+      val all = fan(s, t(s, d, "documents").select("doc_id", "text"))
+      graft.operators.Dedup.contaminationHits(
+          all.filter(col("doc_id") % 20 =!= 0),
+          all.filter(col("doc_id") % 20 === 0), k = 8)
+        .orderBy("doc_id")
+    }),
+
     // The EXCISION half of the substring family, graded end-to-end
     // (operators/Dedup.removeSpans): every repeated 8-token window keeps
     // exactly one occurrence corpus-wide (min doc_id canonical), covered
@@ -856,6 +871,23 @@ object Similarity {
         "SELECT doc_id, CAST(min(pos) AS INTEGER) AS span_start, " +
         "CAST(max(pos) + 8 - min(pos) AS INTEGER) AS span_len " +
         "FROM grp GROUP BY doc_id, g ORDER BY doc_id, span_start"),
+    // same window-hash CTEs as x_dedup_substring, restricted to the
+    // benchmark/train split; the JOIN plays contaminationHits' semi-join
+    "x_dedup_decontam" ->
+      ("WITH tt AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents), " +
+        "hh AS (SELECT doc_id, len(tk) AS n, " +
+        "list_transform(tk, x -> CAST(('0x' || substring(md5(x), 1, 8)) AS BIGINT) % 2147483647) AS hs " +
+        "FROM tt WHERE len(tk) >= 8), " +
+        "pp AS (SELECT doc_id, hs, unnest(range(n - 7)) AS i FROM hh), " +
+        "pj AS (SELECT doc_id, i, unnest(range(8)) AS j, hs FROM pp), " +
+        "wv AS (SELECT doc_id, CAST(i AS INTEGER) AS pos, " +
+        "SUM((hs[CAST(i + j + 1 AS INTEGER)] * " +
+        "([57298384,2061642598,1953433226,1604566856,1049561761,1426104154,1000003,1])[CAST(j + 1 AS INTEGER)]) % 2147483647) " +
+        "% 2147483647 AS wh FROM pj GROUP BY doc_id, i), " +
+        "bwh AS (SELECT DISTINCT wh FROM wv WHERE doc_id % 20 = 0) " +
+        "SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_hits " +
+        "FROM wv w JOIN bwh USING (wh) WHERE w.doc_id % 20 <> 0 " +
+        "GROUP BY w.doc_id ORDER BY w.doc_id"),
     // same window-hash CTEs as x_dedup_substring, then: canonical doc =
     // min(doc_id) per repeated window, non-canonical hits explode to
     // covered token indexes, anti-join cut, ordered string_agg rebuild

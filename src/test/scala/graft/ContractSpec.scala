@@ -2,13 +2,13 @@ package graft
 
 /** T1 blanket contract checks: every declared query runs on sf0.001,
   * the queries/oracleSql maps are mutually consistent, and the declared
-  * inventory matches SURVEY.md §2b (113 keys, 111 oracle-checked).
+  * inventory matches SURVEY.md §2b (114 keys, 112 oracle-checked).
   */
 class ContractSpec extends SparkSpec {
 
-  test("inventory matches SURVEY §2b: 113 queries, 111 with oracle SQL") {
-    assert(SparkEntry.queries.size === 113)
-    assert(SparkEntry.oracleSql.size === 111)
+  test("inventory matches SURVEY §2b: 114 queries, 112 with oracle SQL") {
+    assert(SparkEntry.queries.size === 114)
+    assert(SparkEntry.oracleSql.size === 112)
     assert(SparkEntry.queries.keySet.intersect(Set("a_approx_hll", "t_stream_runtime")).size === 2)
   }
 

@@ -381,6 +381,28 @@ class DedupSpec extends SparkSpec {
     assert(spans(after).isEmpty)
   }
 
+  test("decontaminate drops docs sharing a k-run with the benchmark, counts are exact") {
+    val leak = "q1 q2 q3 q4 q5"
+    val bench = Seq(100L -> s"intro words $leak closing words here too")
+      .toDF("doc_id", "text")
+    val train = Seq(
+      1L -> s"own a1 a2 a3 $leak tail t1 t2", // contaminated: 2 windows (k=4)
+      2L -> "clean c1 c2 c3 c4 c5 c6 c7",
+      3L -> "q1 q2 x q3 q4 y q5 z" // leak tokens but no shared 4-run
+    ).toDF("doc_id", "text")
+    val hits = Dedup.contaminationHits(train, bench, k = 4)
+      .as[(Long, Long)].collect().toMap
+    // the 5-token leak yields exactly two overlapping 4-windows
+    assert(hits === Map(1L -> 2L))
+    val kept = Dedup.decontaminate(train, bench, k = 4)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(2L, 3L))
+    // a hit budget tolerates bounded overlap
+    val keptLoose = Dedup.decontaminate(train, bench, k = 4, maxHits = 2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptLoose === Set(1L, 2L, 3L))
+  }
+
   test("windowHashWeights(12) is fingerprintWeights reversed (same r/P family)") {
     assert(graft.functions.TextAnalysis.windowHashWeights(12) ===
       graft.functions.TextAnalysis.fingerprintWeights.reverse)

@@ -12,7 +12,8 @@ class PlanShapeSpec extends SparkSpec {
   private val mustBeEquiJoin =
     Seq("x_dedup_minhash", "x_dedup_simhash", "x_dedup_jaccard",
       "x_dedup_ngram", "x_ann_bucket_topk", "x_ann_indexed_topk",
-      "x_text_vocab", "x_dedup_substring", "x_dedup_spanremove")
+      "x_text_vocab", "x_dedup_substring", "x_dedup_spanremove",
+      "x_dedup_decontam")
 
   mustBeEquiJoin.foreach { key =>
     test(s"$key plans no cartesian / nested-loop join") {
