@@ -379,6 +379,28 @@ object TextAnalysis {
       .otherwise(lit(0.0))
   }
 
+  /** Gopher-style duplicate n-gram fraction (Rae et al. 2021, appendix
+    * A1.1 family): the share of a document's token n-grams that repeat an
+    * earlier occurrence within the same document. Complements
+    * [[topNgramFraction]] — that metric catches ONE dominant phrase; this
+    * one catches diffuse internal repetition (listicles, keyword stuffing,
+    * concatenated boilerplate) where no single n-gram dominates. Pure
+    * per-row HOF pipeline, no shuffle; integer counts → one double
+    * division, so it grades exactly cross-engine (x_text_repetition).
+    */
+  def dupNgramFraction(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    // sequence(a, b) DESCENDS when a > b — guarded by the size test.
+    val grams = when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      .otherwise(expr("cast(array() as array<string>)"))
+    when(size(grams) > 0,
+      (size(grams) - size(array_distinct(grams))).cast("double") /
+        size(grams).cast("double"))
+      .otherwise(lit(0.0))
+  }
+
   /** Order-sensitive document fingerprint: polynomial rolling hash over the
     * Murmur3 hash of each token (aggregate HOF — sequential, deterministic,
     * cross-partition safe because it's per-row). Same token sequence ⇒ same

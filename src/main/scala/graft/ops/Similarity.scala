@@ -577,6 +577,54 @@ object Similarity {
           round(col("n_bpe").cast("double") / greatest(col("n_ws"), lit(1)), 6))
         .orderBy("doc_id")),
 
+    // Gopher-style repetition quality filters (TextAnalysis
+    // .topNgramFraction / .dupNgramFraction): top2_frac = share of tokens
+    // covered by the single most frequent bigram (one dominant phrase ⇒
+    // SEO spam); dup3_frac = share of trigrams repeating an earlier one
+    // (diffuse internal repetition ⇒ listicles, concatenated
+    // boilerplate). Integer counts → one double division each, so exact
+    // cross-engine. Pure map-side HOFs — no shuffle but the output sort.
+    "x_text_repetition" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), "\\s+")).as("n_tok"),
+          round(graft.functions.TextAnalysis.topNgramFraction(col("text"), 2), 6)
+            .as("top2_frac"),
+          round(graft.functions.TextAnalysis.dupNgramFraction(col("text"), 3), 6)
+            .as("dup3_frac"))
+        .orderBy("doc_id")),
+
+    // DSIR-style importance scoring (Curation.importanceWeights/
+    // importanceScore): target = the English split, background = the
+    // rest; per-doc score = mean add-one-smoothed log-likelihood ratio of
+    // its hashed-unigram buckets. The 64-row weight table is broadcast;
+    // both corpus passes partial-aggregate. English docs should score
+    // positive, others negative — the resampling signal.
+    "x_text_dsir" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val w = graft.operators.Curation.importanceWeights(
+        docs.filter(col("lang") === "en"), docs.filter(col("lang") =!= "en"))
+      graft.operators.Curation.importanceScore(docs, w)
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .select(col("doc_id"), col("lang"), col("n_tok"), col("score"))
+        .orderBy("doc_id")
+    }),
+
+    // Sequence packing (Curation.packSequences): docs hash-shuffled per
+    // lang, prefix-summed token counts, chunk = floor(tokens_before /
+    // 512) — the doc→training-chunk assignment a sequence loader makes.
+    // Graded as per-(lang, chunk) accounting so the contract pins the
+    // full assignment without a row per doc.
+    "x_pack_chunks" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          size(split(col("text"), "\\s+")).cast("bigint").as("n_tokens"))
+      graft.operators.Curation.packSequences(docs, 512)
+        .groupBy("lang", "chunk")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+        .orderBy("lang", "chunk")
+    }),
+
     // Document fingerprinting, north-star form: order-sensitive
     // polynomial rolling hash over the first 12 tokens — same sequence ⇒
     // same fingerprint, any reorder/edit ⇒ different (the complement of
@@ -1066,6 +1114,48 @@ object Similarity {
         "round(CAST(len(regexp_extract_all(text, '[aeiou]+[^aeiou ]*')) AS DOUBLE) " +
         "/ greatest(len(string_split(text, ' ')), 1), 6) AS ratio " +
         "FROM documents ORDER BY doc_id"),
+    // mode-count of bigrams + distinct-count of trigrams, both via
+    // UNNEST(range) positional n-gram builds (the x_dedup_substring
+    // device); LEFT JOIN + coalesce covers docs too short for a gram
+    "x_text_repetition" ->
+      ("WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS tk FROM documents), " +
+        "g2 AS (SELECT doc_id, tk[CAST(i + 1 AS INTEGER)] || ' ' || tk[CAST(i + 2 AS INTEGER)] AS gram " +
+        "FROM t, UNNEST(range(len(tk) - 1)) AS r(i) WHERE len(tk) >= 2), " +
+        "m2 AS (SELECT doc_id, max(c) AS best FROM " +
+        "(SELECT doc_id, gram, count(*) AS c FROM g2 GROUP BY doc_id, gram) GROUP BY doc_id), " +
+        "g3 AS (SELECT doc_id, tk[CAST(i + 1 AS INTEGER)] || ' ' || tk[CAST(i + 2 AS INTEGER)] || ' ' || tk[CAST(i + 3 AS INTEGER)] AS gram " +
+        "FROM t, UNNEST(range(len(tk) - 2)) AS r(i) WHERE len(tk) >= 3), " +
+        "m3 AS (SELECT doc_id, count(*) AS n3, count(DISTINCT gram) AS d3 FROM g3 GROUP BY doc_id) " +
+        "SELECT t.doc_id, CAST(len(tk) AS INTEGER) AS n_tok, " +
+        "round(coalesce(least(m2.best * 2.0 / len(tk), 1.0), 0.0), 6) AS top2_frac, " +
+        "round(coalesce((m3.n3 - m3.d3) * 1.0 / m3.n3, 0.0), 6) AS dup3_frac " +
+        "FROM t LEFT JOIN m2 USING (doc_id) LEFT JOIN m3 USING (doc_id) ORDER BY doc_id"),
+    // bucket = first 24 md5 bits mod 64 (the x_sample_hash device);
+    // weight = add-one-smoothed ln ratio, the tfidf key's ln precedent
+    "x_text_dsir" ->
+      ("WITH tk AS (SELECT doc_id, lang, unnest(regexp_split_to_array(text, '\\s+')) AS tok FROM documents), " +
+        "bk AS (SELECT doc_id, lang, CAST(('0x' || substring(md5(tok), 1, 6)) AS BIGINT) % 64 AS bucket FROM tk), " +
+        "tc AS (SELECT bucket, count(*) AS tcnt FROM bk WHERE lang = 'en' GROUP BY bucket), " +
+        "bc AS (SELECT bucket, count(*) AS bcnt FROM bk WHERE lang <> 'en' GROUP BY bucket), " +
+        "tot AS (SELECT (SELECT count(*) FROM bk WHERE lang = 'en') AS ttot, " +
+        "(SELECT count(*) FROM bk WHERE lang <> 'en') AS btot), " +
+        "w AS (SELECT r.bucket, ln((coalesce(tcnt, 0) + 1.0) / (ttot + 64)) " +
+        "- ln((coalesce(bcnt, 0) + 1.0) / (btot + 64)) AS wt " +
+        "FROM (SELECT unnest(range(64)) AS bucket) r " +
+        "LEFT JOIN tc USING (bucket) LEFT JOIN bc USING (bucket) CROSS JOIN tot), " +
+        "sc AS (SELECT doc_id, lang, count(*) AS n_tok, sum(wt) AS sw " +
+        "FROM bk JOIN w USING (bucket) GROUP BY doc_id, lang) " +
+        "SELECT doc_id, lang, n_tok, round(sw / n_tok, 6) AS score FROM sc ORDER BY doc_id"),
+    // hash-ordered prefix sum per lang (window), chunk = floor division —
+    // the packSequences contract aggregated per (lang, chunk)
+    "x_pack_chunks" ->
+      ("WITH d AS (SELECT doc_id, lang, len(regexp_split_to_array(text, '\\s+')) AS n_tokens, " +
+        "CAST(('0x' || substring(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS u FROM documents), " +
+        "p AS (SELECT lang, n_tokens, coalesce(SUM(n_tokens) OVER " +
+        "(PARTITION BY lang ORDER BY u, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_start FROM d), " +
+        "b AS (SELECT lang, n_tokens, CAST(floor(tok_start / 512.0) AS BIGINT) AS chunk FROM p) " +
+        "SELECT lang, chunk, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens " +
+        "FROM b GROUP BY lang, chunk ORDER BY lang, chunk"),
     // RE2 script classes (\p{Han}/\p{Hiragana}/\p{Katakana}/\p{Hangul})
     // detect INDEPENDENTLY of the Spark side's java.util.regex
     // \p{IsHan}-family — the grade is that both engines agree on Unicode

@@ -2,13 +2,13 @@ package graft
 
 /** T1 blanket contract checks: every declared query runs on sf0.001,
   * the queries/oracleSql maps are mutually consistent, and the declared
-  * inventory matches SURVEY.md §2b (114 keys, 112 oracle-checked).
+  * inventory matches SURVEY.md §2b (117 keys, 115 oracle-checked).
   */
 class ContractSpec extends SparkSpec {
 
-  test("inventory matches SURVEY §2b: 114 queries, 112 with oracle SQL") {
-    assert(SparkEntry.queries.size === 114)
-    assert(SparkEntry.oracleSql.size === 112)
+  test("inventory matches SURVEY §2b: 117 queries, 115 with oracle SQL") {
+    assert(SparkEntry.queries.size === 117)
+    assert(SparkEntry.oracleSql.size === 115)
     assert(SparkEntry.queries.keySet.intersect(Set("a_approx_hll", "t_stream_runtime")).size === 2)
   }
 
@@ -48,6 +48,7 @@ class ContractSpec extends SparkSpec {
     "x_dedup_embcos",   // exhaustive BY CONTRACT (§2b; Ann is the scale path)
     "x_mix_balance", "x_flex_intensity_range", "x_flex_threshold_otsu",
     "x_text_tfidf",     // 1-row corpus-count crossJoin
+    "x_text_dsir",      // two 1-row corpus-total crossJoins (importanceWeights)
     "x_flex_affine", "u_udaf_centroid") // 1-row param/centroid broadcast
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

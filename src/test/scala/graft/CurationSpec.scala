@@ -289,4 +289,71 @@ class CurationSpec extends SparkSpec {
     // schema passes through untouched
     assert(Curation.mixBalance(docs).columns.toSeq === docs.columns.toSeq)
   }
+
+  test("packSequences: per-group prefix-sum packing, docs never split, deterministic") {
+    val docs = T.t(spark, sf(), "documents")
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), "\\s+")).cast("bigint").as("n_tokens"))
+    val budget = 512
+    val packed = Curation.packSequences(docs, budget).cache()
+    try {
+      // chunk is exactly the floor-div of the prefix sum, for every row
+      assert(packed.filter(
+        col("chunk") =!= floor(col("tok_start") / budget.toDouble).cast("bigint"))
+        .count() === 0)
+      // per group: sorted by tok_start, consecutive diffs are exactly the
+      // doc token counts (a true prefix sum — no doc splits, none skipped)
+      val rows = packed.select("lang", "tok_start", "n_tokens").collect()
+        .groupBy(_.getString(0))
+      rows.foreach { case (lang, rs) =>
+        val sorted = rs.map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+        assert(sorted.head._1 === 0L, s"$lang first doc starts at 0")
+        sorted.sliding(2).foreach {
+          case Array((s1, n1), (s2, _)) => assert(s2 === s1 + n1, lang)
+          case _ =>
+        }
+        // chunk ids are contiguous 0..max within the group
+        val chunks = sorted.map { case (s, _) => s / budget }.distinct.toSeq
+        assert(chunks === (0L to chunks.max).toSeq, s"$lang chunk ids contiguous")
+      }
+      // deterministic: a fresh plan assigns identical chunks
+      val again = Curation.packSequences(docs, budget)
+      assert(packed.select("doc_id", "chunk").except(
+        again.select("doc_id", "chunk")).count() === 0)
+    } finally packed.unpersist()
+  }
+
+  test("importanceWeights/Score: target-like docs positive, background-like negative") {
+    import spark.implicits._
+    val target = Seq.tabulate(20)(i => (i.toLong, "alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    val background = Seq.tabulate(20)(i => (100L + i, "omega sigma kappa zeta"))
+      .toDF("doc_id", "text")
+    val w = Curation.importanceWeights(target, background, buckets = 64)
+    assert(w.count() === 64) // full bucket spine, even empty cells
+    val probes = Seq((1L, "alpha beta alpha gamma"), // pure target vocab
+      (2L, "omega sigma zeta"), // pure background vocab
+      (3L, "alpha omega")).toDF("doc_id", "text") // mixed
+    val scores = Curation.importanceScore(probes, w).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(scores(1L) > 0, s"target-like doc scored ${scores(1L)}")
+    assert(scores(2L) < 0, s"background-like doc scored ${scores(2L)}")
+    assert(scores(3L) > scores(2L) && scores(3L) < scores(1L),
+      s"mixed doc between: ${scores(3L)}")
+  }
+
+  test("dupNgramFraction: hand-computed repetition fractions") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b a b a b"),   // trigrams: aba bab aba bab → 4 grams, 2 distinct
+      (2L, "one two three four five"), // all distinct → 0
+      (3L, "x y")            // shorter than n → 0
+    ).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+        graft.functions.TextAnalysis.dupNgramFraction(col("text"), 3).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(1L) === 0.5)
+    assert(out(2L) === 0.0)
+    assert(out(3L) === 0.0)
+  }
 }
