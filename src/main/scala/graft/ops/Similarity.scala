@@ -625,6 +625,68 @@ object Similarity {
         .orderBy("lang", "chunk")
     }),
 
+    // CCNet-style LM quality filter (Curation.perplexityScore): mean
+    // add-one bigram surprisal under a model trained on the corpus
+    // itself — low score = fluent/typical text, high = gibberish. The
+    // bigram join shuffles on its (w1,w2) key (corpus-derived dim, not
+    // broadcast — the honest 100 TB shape); ln is the tfidf precedent.
+    "x_text_perplexity" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.operators.Curation.perplexityScore(docs, docs)
+        .orderBy("doc_id")
+    }),
+
+    // Temperature-based domain mixing (Curation.temperatureBalance):
+    // per-domain targets N·n^0.3/Σn^0.3 capped at the group size, kept
+    // rows decided by the exact md5 product-form accept. The stored
+    // `source` column is exactly uniform (temperature would be a no-op),
+    // so the domain is manufactured skewed IN-QUERY (the x_text_nfc
+    // device): 50/30/20 % by doc_id — the big domain visibly flattens
+    // and the small one hits the least() cap. Graded as per-domain
+    // accounting: natural size, target, surviving count.
+    "x_mix_temperature" -> ((s, d) => {
+      val dom = when(pmod(col("doc_id"), lit(10)) < 5, "d0")
+        .when(pmod(col("doc_id"), lit(10)) < 8, "d1").otherwise("d2")
+      val docs = t(s, d, "documents").withColumn("dom", dom)
+      val kept = graft.operators.Curation.temperatureBalance(docs, "dom")
+        .groupBy("dom").agg(count(lit(1)).as("n_kept"))
+      val counts = docs.groupBy("dom").agg(count(lit(1)).as("n_docs"))
+      counts
+        .crossJoin(counts.agg(sum(pow(col("n_docs"), 0.3)).as("sw"),
+          sum(col("n_docs")).as("nn")))
+        .select(col("dom"), col("n_docs"),
+          least(floor(round(col("nn") * pow(col("n_docs"), 0.3) / col("sw"), 6))
+            .cast("bigint"), col("n_docs")).as("n_target"))
+        .join(kept, Seq("dom"), "left")
+        .select(col("dom"), col("n_docs"), col("n_target"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+        .orderBy("dom")
+    }),
+
+    // SQ-8 embedding quantization under the oracle (Ann.sqQuantize —
+    // the ANN memory lever: 256 B float32 → 64 B codes + one scale).
+    // q0..q3 grade the library's actual codes; err is the mean squared
+    // round-trip error recomputed from the raw vector (identical to
+    // q·scale by construction). Pure map + one equi-join, no shuffle
+    // but the output sort.
+    "x_emb_quantize" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> cast(x as double))").as("e"))
+      graft.operators.Ann.sqQuantize(t(s, d, "embeddings"))
+        .join(e, "vec_id")
+        .select(col("vec_id"), round(col("scale"), 6).as("scale"),
+          element_at(col("q"), 1).cast("int").as("q0"),
+          element_at(col("q"), 2).cast("int").as("q1"),
+          element_at(col("q"), 3).cast("int").as("q2"),
+          element_at(col("q"), 4).cast("int").as("q3"),
+          round(expr("aggregate(transform(e, x -> " +
+            "(x - round(x / scale) * scale) * (x - round(x / scale) * scale)), " +
+            "cast(0.0 as double), (a, v) -> a + v)") / size(col("e")), 6)
+            .as("err"))
+        .orderBy("vec_id")
+    }),
+
     // Document fingerprinting, north-star form: order-sensitive
     // polynomial rolling hash over the first 12 tokens — same sequence ⇒
     // same fingerprint, any reorder/edit ⇒ different (the complement of
@@ -1156,6 +1218,51 @@ object Similarity {
         "b AS (SELECT lang, n_tokens, CAST(floor(tok_start / 512.0) AS BIGINT) AS chunk FROM p) " +
         "SELECT lang, chunk, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens " +
         "FROM b GROUP BY lang, chunk ORDER BY lang, chunk"),
+    // positional bigram build (UNNEST(range)), add-one counts, mean
+    // surprisal ln(c(w1)+V) − ln(c(w1,w2)+1) — the tfidf ln precedent
+    "x_text_perplexity" ->
+      ("WITH tt AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS tk FROM documents), " +
+        "bg AS (SELECT doc_id, tk[CAST(i + 1 AS INTEGER)] AS w1, tk[CAST(i + 2 AS INTEGER)] AS w2 " +
+        "FROM tt, UNNEST(range(len(tk) - 1)) AS r(i) WHERE len(tk) >= 2), " +
+        "bc AS (SELECT w1, w2, count(*) AS big_cnt FROM bg GROUP BY w1, w2), " +
+        "uc AS (SELECT tok AS w1, count(*) AS uni_cnt FROM " +
+        "(SELECT unnest(tk) AS tok FROM tt) GROUP BY tok), " +
+        "v AS (SELECT count(DISTINCT tok) AS vs FROM (SELECT unnest(tk) AS tok FROM tt)), " +
+        "sc AS (SELECT g.doc_id, count(*) AS n_big, " +
+        "round(avg(ln(uni_cnt + vs) - ln(big_cnt + 1)), 6) AS s " +
+        "FROM bg g JOIN bc USING (w1, w2) JOIN uc USING (w1) CROSS JOIN v GROUP BY g.doc_id) " +
+        "SELECT d.doc_id, coalesce(n_big, 0) AS n_big, coalesce(s, 0.0) AS score " +
+        "FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY doc_id"),
+    // skewed in-query domain (50/30/20 %), n^0.3 temperature targets
+    // with round-before-floor (equal-domain ulp guard), capped at group
+    // size; kept = exact md5 product-form accept (x_mix_balance device)
+    "x_mix_temperature" ->
+      ("WITH dd AS (SELECT doc_id, CASE WHEN doc_id % 10 < 5 THEN 'd0' " +
+        "WHEN doc_id % 10 < 8 THEN 'd1' ELSE 'd2' END AS dom FROM documents), " +
+        "c AS (SELECT dom, count(*) AS n_docs FROM dd GROUP BY dom), " +
+        "s AS (SELECT sum(pow(n_docs, 0.3)) AS sw, sum(n_docs) AS nn FROM c), " +
+        "t AS (SELECT dom, n_docs, least(CAST(floor(round(nn * pow(n_docs, 0.3) / sw, 6)) AS BIGINT), n_docs) AS n_target " +
+        "FROM c CROSS JOIN s), " +
+        "d AS (SELECT dd.dom, t.n_docs, t.n_target, " +
+        "CAST(('0x' || substring(md5('temp:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS u " +
+        "FROM dd JOIN t USING (dom)) " +
+        "SELECT dom, n_docs, n_target, " +
+        "count(*) FILTER (WHERE u * n_docs < n_target * 4294967296) AS n_kept " +
+        "FROM d GROUP BY dom, n_docs, n_target ORDER BY dom"),
+    // per-vector symmetric SQ-8: scale = max|x|/127, q = round(x/scale);
+    // err recomputed from x so the SQL needs no list zip
+    "x_emb_quantize" ->
+      ("WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings), " +
+        "m AS (SELECT vec_id, emb, list_aggregate(list_transform(emb, x -> abs(x)), 'max') / 127.0 AS scale FROM e) " +
+        "SELECT vec_id, round(scale, 6) AS scale, " +
+        "CAST(round(emb[1] / scale) AS INTEGER) AS q0, " +
+        "CAST(round(emb[2] / scale) AS INTEGER) AS q1, " +
+        "CAST(round(emb[3] / scale) AS INTEGER) AS q2, " +
+        "CAST(round(emb[4] / scale) AS INTEGER) AS q3, " +
+        "round(list_aggregate(list_transform(emb, x -> " +
+        "(x - round(x / scale) * scale) * (x - round(x / scale) * scale)), 'sum') " +
+        "/ len(emb), 6) AS err " +
+        "FROM m ORDER BY vec_id"),
     // RE2 script classes (\p{Han}/\p{Hiragana}/\p{Katakana}/\p{Hangul})
     // detect INDEPENDENTLY of the Spark side's java.util.regex
     // \p{IsHan}-family — the grade is that both engines agree on Unicode

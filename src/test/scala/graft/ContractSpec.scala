@@ -2,13 +2,13 @@ package graft
 
 /** T1 blanket contract checks: every declared query runs on sf0.001,
   * the queries/oracleSql maps are mutually consistent, and the declared
-  * inventory matches SURVEY.md §2b (117 keys, 115 oracle-checked).
+  * inventory matches SURVEY.md §2b (120 keys, 118 oracle-checked).
   */
 class ContractSpec extends SparkSpec {
 
-  test("inventory matches SURVEY §2b: 117 queries, 115 with oracle SQL") {
-    assert(SparkEntry.queries.size === 117)
-    assert(SparkEntry.oracleSql.size === 115)
+  test("inventory matches SURVEY §2b: 120 queries, 118 with oracle SQL") {
+    assert(SparkEntry.queries.size === 120)
+    assert(SparkEntry.oracleSql.size === 118)
     assert(SparkEntry.queries.keySet.intersect(Set("a_approx_hll", "t_stream_runtime")).size === 2)
   }
 
@@ -49,6 +49,8 @@ class ContractSpec extends SparkSpec {
     "x_mix_balance", "x_flex_intensity_range", "x_flex_threshold_otsu",
     "x_text_tfidf",     // 1-row corpus-count crossJoin
     "x_text_dsir",      // two 1-row corpus-total crossJoins (importanceWeights)
+    "x_text_perplexity", // 1-row vocab-size crossJoin (perplexityScore)
+    "x_mix_temperature", // 1-row Σn^α totals crossJoin (temperatureBalance)
     "x_flex_affine", "u_udaf_centroid") // 1-row param/centroid broadcast
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

@@ -342,6 +342,51 @@ class CurationSpec extends SparkSpec {
       s"mixed doc between: ${scores(3L)}")
   }
 
+  test("perplexityScore: hand-computed add-one bigram surprisal") {
+    import spark.implicits._
+    // corpus: V=5 {a,b,c,d,z}; unigrams a:2 b:2 c:1 d:1 z:1;
+    // bigrams (a,b):2 (b,a):1 (c,d):1
+    val corpus = Seq((1L, "a b a b"), (2L, "c d"), (3L, "z"))
+      .toDF("doc_id", "text")
+    val out = Curation.perplexityScore(corpus, corpus).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // doc1: (ln(7/3) + ln(7/2) + ln(7/3)) / 3; doc2: ln(6/2); doc3: none
+    val d1 = (2 * math.log(7.0 / 3) + math.log(7.0 / 2)) / 3
+    assert(out(1L)._1 === 3L && math.abs(out(1L)._2 - d1) < 1e-6)
+    assert(out(2L)._1 === 1L && math.abs(out(2L)._2 - math.log(3.0)) < 1e-6)
+    assert(out(3L) === ((0L, 0.0))) // <2 tokens: no bigrams, score 0
+    // a gibberish doc (every bigram unseen in the corpus) scores higher
+    // than an in-corpus doc: unseen bigram count 0 → surprisal ln(c+V)
+    val probe = Seq((9L, "b c a d"), (10L, "a b a b")).toDF("doc_id", "text")
+    val p = Curation.perplexityScore(probe, corpus).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(p(9L) > p(10L), s"gibberish ${p(9L)} vs fluent ${p(10L)}")
+  }
+
+  test("temperatureBalance: alpha=1 identity, alpha=0.3 flattens, caps at group size") {
+    val docs = T.t(spark, sf(), "documents")
+      .withColumn("dom", when(pmod(col("doc_id"), lit(10)) < 5, "big")
+        .when(pmod(col("doc_id"), lit(10)) < 8, "mid").otherwise("small"))
+    // alpha=1: targets = natural sizes exactly → nothing dropped
+    assert(Curation.temperatureBalance(docs, "dom", alpha = 1.0).count()
+      === docs.count())
+    val n = docs.groupBy("dom").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = Curation.temperatureBalance(docs, "dom", alpha = 0.3)
+      .groupBy("dom").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // flattening: the big domain is downsampled hardest; the small one's
+    // target exceeds its size (least() cap) so it keeps every row
+    assert(kept("small") === n("small"), "capped domain keeps all rows")
+    assert(kept("big") < n("big"), "big domain downsampled")
+    assert(kept("big").toDouble / n("big") < kept("mid").toDouble / n("mid"),
+      "keep rate increases as domain size decreases")
+    // deterministic: a rerun keeps the identical row set
+    val a = Curation.temperatureBalance(docs, "dom", alpha = 0.3).select("doc_id")
+    val b = Curation.temperatureBalance(docs, "dom", alpha = 0.3).select("doc_id")
+    assert(a.except(b).count() === 0 && b.except(a).count() === 0)
+  }
+
   test("dupNgramFraction: hand-computed repetition fractions") {
     import spark.implicits._
     val df = Seq(
