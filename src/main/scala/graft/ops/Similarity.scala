@@ -663,6 +663,31 @@ object Similarity {
         .orderBy("dom")
     }),
 
+    // PII redaction under the oracle (TextAnalysis.maskPii): the fixture
+    // corpus has no PII, so addresses are manufactured IN-QUERY (the
+    // x_text_nfc device) — emails / IPv4s / ≥7-digit numbers by
+    // doc_id % 3 — then masked. The grade is cross-engine regex
+    // semantics: java.util.regex (Spark) and RE2 (DuckDB) must agree on
+    // every replacement over byte-identical input; counts come from
+    // splitting on the literal placeholder. Pure map, no shuffle but
+    // the output sort.
+    "x_text_pii" -> ((s, d) => {
+      val synth = concat(substring(col("text"), 1, 20),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          lit(" contact alice@example.com or bob.smith@mail.co today"))
+          .when(pmod(col("doc_id"), lit(3)) === 1,
+            lit(" server at 10.0.0.1 and 192.168.1.10 responded"))
+          .otherwise(lit(" call 555-123-4567 or 555 987 6543 now")))
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          graft.functions.TextAnalysis.maskPii(synth).as("masked"))
+        .select(col("doc_id"), col("masked"),
+          (size(split(col("masked"), "<EMAIL>", -1)) - 1).as("n_email"),
+          (size(split(col("masked"), "<IP>", -1)) - 1).as("n_ip"),
+          (size(split(col("masked"), "<NUM>", -1)) - 1).as("n_num"))
+        .orderBy("doc_id")
+    }),
+
     // SQ-8 embedding quantization under the oracle (Ann.sqQuantize —
     // the ANN memory lever: 256 B float32 → 64 B codes + one scale).
     // q0..q3 grade the library's actual codes; err is the mean squared
@@ -1249,6 +1274,24 @@ object Similarity {
         "SELECT dom, n_docs, n_target, " +
         "count(*) FILTER (WHERE u * n_docs < n_target * 4294967296) AS n_kept " +
         "FROM d GROUP BY dom, n_docs, n_target ORDER BY dom"),
+    // same synth PII text, RE2 regexes with 'g' (replace-all) — the
+    // patterns avoid every Java-vs-RE2 divergence (no backrefs, no
+    // lookaround); counts via string_split on the literal placeholder
+    "x_text_pii" ->
+      ("WITH s AS (SELECT doc_id, substring(text, 1, 20) || " +
+        "CASE CAST(doc_id % 3 AS INTEGER) " +
+        "WHEN 0 THEN ' contact alice@example.com or bob.smith@mail.co today' " +
+        "WHEN 1 THEN ' server at 10.0.0.1 and 192.168.1.10 responded' " +
+        "ELSE ' call 555-123-4567 or 555 987 6543 now' END AS synth FROM documents), " +
+        "m AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(synth, " +
+        "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), " +
+        "'\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IP>', 'g'), " +
+        "'[0-9](?:[ .-]*[0-9]){6,}', '<NUM>', 'g') AS masked FROM s) " +
+        "SELECT doc_id, masked, " +
+        "CAST(len(string_split(masked, '<EMAIL>')) - 1 AS INTEGER) AS n_email, " +
+        "CAST(len(string_split(masked, '<IP>')) - 1 AS INTEGER) AS n_ip, " +
+        "CAST(len(string_split(masked, '<NUM>')) - 1 AS INTEGER) AS n_num " +
+        "FROM m ORDER BY doc_id"),
     // per-vector symmetric SQ-8: scale = max|x|/127, q = round(x/scale);
     // err recomputed from x so the SQL needs no list zip
     "x_emb_quantize" ->

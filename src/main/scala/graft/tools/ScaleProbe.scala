@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
   * of 10c yields ~50c² pairs) — the probe prints output rows so the two
   * effects can be told apart.
   *
-  * `runMain graft.tools.ScaleProbe [sfDir] [keys|sigs|curation|cc|vocab|spans|bpe|all]`
+  * `runMain graft.tools.ScaleProbe [sfDir] [keys|sigs|curation|cc|vocab|spans|bpe|quality|all]`
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -130,6 +130,37 @@ object ScaleProbe {
       val (tb1, _) = time(trainOn(sfDir))
       val (tb10, _) = time(trainOn(bigDir))
       println(f"trainBpeMerges(8)  base ${tb1}%6.2fs -> 10x ${tb10}%7.2fs (factor ${tb10 / tb1}%5.1f; vocab-bounded rounds)")
+    }
+    // Quality/accounting family: packSequences is one window per group
+    // (linear, factor ~10); DSIR's weight table is 64 rows NO MATTER the
+    // corpus (both passes are partial-aggregated explodes — linear);
+    // perplexityScore's bigram model grows with DISTINCT bigrams (near-
+    // constant on the copied corpus) while the scoring join is
+    // corpus-linear. Factors near 10 (or below, model-bounded) are the
+    // design claim; anything super-linear flags a hidden all-pairs path.
+    if (mode == "all" || mode == "quality") {
+      def docsOf(dir: String) = spark.read.parquet(s"$dir/documents.parquet")
+      def toks(dir: String) = docsOf(dir).select(col("doc_id"), col("lang"),
+        size(split(col("text"), "\\s+")).cast("bigint").as("n_tokens"))
+      val (tq1, nq1) = time(graft.operators.Curation.packSequences(toks(sfDir), 512))
+      val (tq10, nq10) = time(graft.operators.Curation.packSequences(toks(bigDir), 512))
+      println(f"packSequences      base ${tq1}%6.2fs ($nq1 rows) -> 10x ${tq10}%7.2fs ($nq10 rows; factor ${tq10 / tq1}%5.1f)")
+      def dsir(dir: String) = {
+        val d = docsOf(dir)
+        graft.operators.Curation.importanceScore(d,
+          graft.operators.Curation.importanceWeights(
+            d.filter(col("lang") === "en"), d.filter(col("lang") =!= "en")))
+      }
+      val (td1, nd1) = time(dsir(sfDir))
+      val (td10, nd10) = time(dsir(bigDir))
+      println(f"importanceScore    base ${td1}%6.2fs ($nd1 rows) -> 10x ${td10}%7.2fs ($nd10 rows; factor ${td10 / td1}%5.1f)")
+      def ppl(dir: String) = {
+        val d = docsOf(dir)
+        graft.operators.Curation.perplexityScore(d, d)
+      }
+      val (tl1, nl1) = time(ppl(sfDir))
+      val (tl10, nl10) = time(ppl(bigDir))
+      println(f"perplexityScore    base ${tl1}%6.2fs ($nl1 rows) -> 10x ${tl10}%7.2fs ($nl10 rows; factor ${tl10 / tl1}%5.1f)")
     }
     // connectedComponents in ISOLATION: synthetic chain graphs (fixed
     // diameter 7, group count scaled 10×) so the probe measures the
