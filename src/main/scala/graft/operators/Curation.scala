@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextAnalysis
@@ -366,6 +366,81 @@ object Curation {
     docs.join(broadcast(targets), domainCol)
       .filter(u * col("n_group") < col("n_target") * lit(4294967296L))
       .select(docs.columns.map(col).toIndexedSeq: _*)
+  }
+
+  /** Hashed bag-of-words features for the linear quality classifier:
+    * one row per (doc, bucket) with x = in-doc token share of the bucket
+    * and the binary label. Bucket = first 24 md5 bits mod `buckets` —
+    * the [[importanceWeights]] hashing, so both quality signals share
+    * one feature space. The per-doc normalizing window spans ≤ `buckets`
+    * rows per key — node-sized at any corpus scale.
+    */
+  private def classifierFeatures(docs: DataFrame, targetCond: Column,
+      textCol: String, buckets: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    docs.select(col("doc_id"),
+        when(targetCond, 1.0).otherwise(0.0).as("y"),
+        explode(split(col(textCol), "\\s+")).as("tok"))
+      .select(col("doc_id"), col("y"),
+        pmod(conv(substring(md5(col("tok")), 1, 6), 16, 10).cast("bigint"),
+          lit(buckets.toLong)).as("bucket"))
+      .groupBy("doc_id", "y", "bucket").agg(count(lit(1)).as("cnt"))
+      .withColumn("x", col("cnt").cast("double") / sum("cnt").over(w))
+  }
+
+  /** fastText-style linear quality classifier (the classifier filter of
+    * the GPT-3/LLaMA pipelines, dependency-free form): logistic
+    * regression over hashed bag-of-words buckets, trained full-batch for
+    * a PINNED number of gradient rounds — `w ← w + lr·Σ x·(y−σ(w·x))/N`,
+    * weights rounded to 9 decimals each round. The pinned rounds + the
+    * per-round rounding are what make training reproducible enough to
+    * grade cross-engine (the x_text_bpe driver-loop device: each round
+    * is one aggregation, unrolled into CTEs on the oracle side).
+    *
+    * Scale: each round touches the feature frame twice (per-doc z agg,
+    * per-bucket gradient agg) — both partial-aggregated shuffles; only
+    * the `buckets`-length weight vector ever reaches the driver (the
+    * sanctioned agg→decide pattern). Returns the learned weights.
+    */
+  def trainQualityClassifier(docs: DataFrame, targetCond: Column,
+      textCol: String = "text", buckets: Int = 64, rounds: Int = 4,
+      lr: Double = 8.0): Seq[Double] = {
+    def round9(v: Double): Double =
+      BigDecimal.valueOf(v).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ft = classifierFeatures(docs, targetCond, textCol, buckets)
+      .localCheckpoint(true) // flat plan across rounds, vocab-bounded rows
+    try {
+      val nDocs = docs.count().toDouble
+      var w = Array.fill(buckets)(0.0)
+      for (_ <- 0 until rounds) {
+        val wArr = array(w.toIndexedSeq.map(lit): _*)
+        val z = ft.groupBy("doc_id").agg(first(col("y")).as("y"),
+          sum(col("x") * element_at(wArr, col("bucket").cast("int") + 1)).as("z"))
+          .withColumn("p", lit(1.0) / (lit(1.0) + exp(-col("z"))))
+        val grads = ft.join(z.select("doc_id", "p"), Seq("doc_id"))
+          .groupBy("bucket")
+          .agg(sum(col("x") * (col("y") - col("p"))).as("g"))
+          .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+        w = Array.tabulate(buckets)(b =>
+          round9(w(b) + lr * grads.getOrElse(b.toLong, 0.0) / nDocs))
+      }
+      w.toIndexedSeq
+    } finally ft.unpersist()
+  }
+
+  /** Score documents with [[trainQualityClassifier]] weights: σ(w·x)
+    * over the same hashed features — >0.5 reads like the target class.
+    * The weight vector rides along as a literal array (no join); one
+    * narrow explode + per-doc agg.
+    */
+  def classifierScore(docs: DataFrame, weights: Seq[Double],
+      textCol: String = "text", buckets: Int = 64): DataFrame = {
+    val wArr = array(weights.map(lit): _*)
+    classifierFeatures(docs, lit(false), textCol, buckets)
+      .groupBy("doc_id")
+      .agg(sum(col("x") * element_at(wArr, col("bucket").cast("int") + 1)).as("z"))
+      .select(col("doc_id"),
+        round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 6).as("score"))
   }
 
   /** Per-language corpus accounting over a curated frame: documents,

@@ -663,6 +663,27 @@ object Similarity {
         .orderBy("dom")
     }),
 
+    // fastText-style trained quality classifier (Curation
+    // .trainQualityClassifier/classifierScore): hashed bag-of-words
+    // logistic regression, 4 pinned full-batch gradient rounds with
+    // per-round weight rounding (the x_text_bpe driver-loop device —
+    // the oracle unrolls the same 4 rounds into CTE stages). Labels:
+    // lang='en' vs rest — nearly independent of the fixture's shared
+    // vocabulary by construction, so the GRADE here is the training-loop
+    // arithmetic itself (CurationSpec shows real separation on a
+    // separable corpus). Completes the quality-filter family: heuristic,
+    // repetition, LM-perplexity, DSIR, and now the trained-classifier
+    // form.
+    "x_text_classifier" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val w = graft.operators.Curation.trainQualityClassifier(
+        docs, col("lang") === "en")
+      graft.operators.Curation.classifierScore(docs, w)
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .select(col("doc_id"), col("lang"), col("score"))
+        .orderBy("doc_id")
+    }),
+
     // PII redaction under the oracle (TextAnalysis.maskPii): the fixture
     // corpus has no PII, so addresses are manufactured IN-QUERY (the
     // x_text_nfc device) — emails / IPv4s / ≥7-digit numbers by
@@ -884,6 +905,37 @@ object Similarity {
     * joins symbols with; replace() is left-to-right non-overlapping on
     * both engines, which IS the BPE re-tokenization rule.
     */
+  /** Oracle for x_text_classifier: the 4-round driver loop UNROLLED into
+    * CTE stages (the bpeOracleSql device). Round r: per-doc z under
+    * w(r−1), per-bucket gradient Σ x·(y−σ(z)), weight update rounded to
+    * 9 decimals — the rounding grid (1e-9) re-syncs both engines' libm/
+    * summation-order noise (~1e-14) each round, exactly as the Spark
+    * driver loop does.
+    */
+  private def classifierOracleSql(rounds: Int, lr: Double, buckets: Int): String = {
+    val sb = new StringBuilder
+    sb ++= "WITH tk AS (SELECT doc_id, lang, unnest(regexp_split_to_array(text, '\\s+')) AS tok FROM documents), "
+    sb ++= s"ft AS (SELECT doc_id, any_value(lang) AS lang, " +
+      "CASE WHEN any_value(lang) = 'en' THEN 1.0 ELSE 0.0 END AS y, bucket, count(*) AS cnt " +
+      s"FROM (SELECT doc_id, lang, CAST(('0x' || substring(md5(tok), 1, 6)) AS BIGINT) % $buckets AS bucket FROM tk) " +
+      "GROUP BY doc_id, bucket), "
+    sb ++= "fx AS (SELECT doc_id, lang, y, bucket, cnt * 1.0 / sum(cnt) OVER (PARTITION BY doc_id) AS x FROM ft), "
+    sb ++= "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents), "
+    sb ++= s"w0 AS (SELECT unnest(range($buckets)) AS bucket, 0.0 AS w), "
+    for (r <- 1 to rounds) {
+      sb ++= s"z$r AS (SELECT f.doc_id, any_value(f.y) AS y, sum(f.x * w.w) AS z " +
+        s"FROM fx f JOIN w${r - 1} w USING (bucket) GROUP BY f.doc_id), "
+      sb ++= s"g$r AS (SELECT f.bucket, sum(f.x * (z.y - 1.0 / (1.0 + exp(-z.z)))) AS g " +
+        s"FROM fx f JOIN z$r z USING (doc_id) GROUP BY f.bucket), "
+      sb ++= s"w$r AS (SELECT w.bucket, round(w.w + $lr * coalesce(g.g, 0.0) / nn.n, 9) AS w " +
+        s"FROM w${r - 1} w LEFT JOIN g$r g USING (bucket) CROSS JOIN nn), "
+    }
+    sb ++= s"zf AS (SELECT f.doc_id, any_value(f.lang) AS lang, sum(f.x * w.w) AS z " +
+      s"FROM fx f JOIN w$rounds w USING (bucket) GROUP BY f.doc_id) "
+    sb ++= "SELECT doc_id, lang, round(1.0 / (1.0 + exp(-z)), 6) AS score FROM zf ORDER BY doc_id"
+    sb.toString
+  }
+
   private def bpeOracleSql(n: Int): String = {
     val sb = new StringBuilder
     sb ++= "WITH w0 AS (SELECT array_to_string(list_transform(range(1, length(w) + 1), " +
@@ -958,6 +1010,7 @@ object Similarity {
         "SELECT s, sf * len(s) AS score FROM agg WHERE len(s) > 1 " +
         "ORDER BY score DESC, s LIMIT 50"),
     "x_text_bpe" -> bpeOracleSql(8),
+    "x_text_classifier" -> classifierOracleSql(4, 8.0, 64),
     "x_ann_indexed_topk" ->
       ("WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings), " +
         "n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm, " +

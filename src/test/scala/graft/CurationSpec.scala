@@ -387,6 +387,34 @@ class CurationSpec extends SparkSpec {
     assert(a.except(b).count() === 0 && b.except(a).count() === 0)
   }
 
+  test("trainQualityClassifier: separable classes separate, training is deterministic") {
+    import spark.implicits._
+    // the fixture documents' lang label is (by construction) nearly
+    // independent of their shared vocabulary — no classifier can
+    // separate it, so separation is asserted on a separable corpus
+    val train = (Seq.tabulate(20)(i => (i.toLong, "good")) ++
+      Seq.tabulate(20)(i => (100L + i, "bad")))
+      .map { case (id, cls) =>
+        (id, cls, if (cls == "good") "alpha beta gamma delta clean prose here"
+          else "omega sigma kappa zeta spam noise junk")
+      }.toDF("doc_id", "cls", "text")
+    val w = Curation.trainQualityClassifier(train, col("cls") === "good")
+    assert(w.size === 64)
+    assert(w.exists(_ != 0.0), "training moved some weight")
+    val probes = Seq((1000L, "alpha beta clean prose"),
+      (1001L, "omega sigma spam junk")).toDF("doc_id", "text")
+    val s = Curation.classifierScore(probes, w).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(s(1000L) > 0.5 && s(1001L) < 0.5,
+      s"target-like ${s(1000L)} vs background-like ${s(1001L)}")
+    // pinned rounds + per-round rounding ⇒ bit-identical retrain,
+    // including on the real table (the graded key's training corpus)
+    assert(Curation.trainQualityClassifier(train, col("cls") === "good") === w)
+    val docs = T.t(spark, sf(), "documents")
+    assert(Curation.trainQualityClassifier(docs, col("lang") === "en") ===
+      Curation.trainQualityClassifier(docs, col("lang") === "en"))
+  }
+
   test("dupNgramFraction: hand-computed repetition fractions") {
     import spark.implicits._
     val df = Seq(
