@@ -663,6 +663,27 @@ object Similarity {
         .orderBy("dom")
     }),
 
+    // JSONL round trip under the oracle (sources/DocumentIO): the corpus
+    // is written as newline-delimited JSON (the pretraining interchange
+    // format) and read back with an explicit schema, then aggregated
+    // per lang with an order-independent md5 content checksum. The
+    // oracle aggregates the ORIGINAL parquet — so the grade is that the
+    // format hop preserved every value byte-for-byte (escaping
+    // included). Write = narrow map, read = splittable lines; the only
+    // shuffle is the final agg.
+    "x_io_jsonl" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
+      graft.sources.DocumentIO.writeJsonl(t(s, d, "documents"), dir)
+      graft.sources.DocumentIO.readJsonl(s, dir,
+          graft.sources.DocumentIO.documentsSchema)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("n_chars"),
+          sum(conv(substring(md5(col("text")), 1, 8), 16, 10).cast("bigint"))
+            .as("checksum"))
+        .orderBy("lang")
+    }),
+
     // fastText-style trained quality classifier (Curation
     // .trainQualityClassifier/classifierScore): hashed bag-of-words
     // logistic regression, 4 pinned full-batch gradient rounds with
@@ -1011,6 +1032,12 @@ object Similarity {
         "ORDER BY score DESC, s LIMIT 50"),
     "x_text_bpe" -> bpeOracleSql(8),
     "x_text_classifier" -> classifierOracleSql(4, 8.0, 64),
+    // the oracle never sees the JSONL — it aggregates the original
+    // parquet; matching totals+checksums = the round trip was lossless
+    "x_io_jsonl" ->
+      ("SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars, " +
+        "CAST(sum(CAST(('0x' || substring(md5(text), 1, 8)) AS BIGINT)) AS BIGINT) AS checksum " +
+        "FROM documents GROUP BY lang ORDER BY lang"),
     "x_ann_indexed_topk" ->
       ("WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings), " +
         "n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm, " +
