@@ -81,6 +81,20 @@ object Curation {
     *                    production order (Lee et al.): shared chrome
     *                    would otherwise both inflate quality signals and
     *                    glue unrelated documents into near-dup pairs.
+    * @param maxSurprisal optional [[perplexityScore]] gate: drop docs
+    *                    whose mean bigram surprisal (under a model
+    *                    trained on the quality-gated corpus itself)
+    *                    exceeds this — the CCNet fluency filter. Unlike
+    *                    the narrow heuristic gates this costs the bigram
+    *                    model aggs + one per-doc score join.
+    * @param classifierWeights optional [[classifierScore]] gate with
+    *                    caller-supplied [[trainQualityClassifier]]
+    *                    weights (training needs labels curate doesn't
+    *                    have — train once against a reference
+    *                    target/background split, reuse across runs);
+    *                    docs scoring below `minClassifierScore` drop.
+    * @param minClassifierScore classifier keep threshold (σ scale,
+    *                    0.5 = "more target-like than not")
     */
   def curate(docs0: DataFrame, minQuality: Double = 0.3,
       nHashes: Int = 8, minBands: Int = 4,
@@ -91,7 +105,10 @@ object Curation {
       embeddings: Option[DataFrame] = None,
       semanticMinCos: Double = 0.9,
       semanticLists: Int = 8,
-      removeSpanK: Option[Int] = None): DataFrame = {
+      removeSpanK: Option[Int] = None,
+      maxSurprisal: Option[Double] = None,
+      classifierWeights: Option[Seq[Double]] = None,
+      minClassifierScore: Double = 0.5): DataFrame = {
     // Stage 0 (optional): canonical Unicode bytes, a codegen'd narrow map
     // fused into the same scan stage as the feature columns below.
     val docsN = if (normalizeUnicode) {
@@ -116,9 +133,27 @@ object Curation {
       .filter(col("quality") >= minQuality &&
         TextAnalysis.duplicateLineFraction(col("text")) <= maxDupLines &&
         TextAnalysis.topNgramFraction(col("text"), 2) <= maxTopNgram)
+    // Stage 2b (optional): the corpus-model gates — LM fluency and
+    // trained-classifier. Both join a per-doc score frame (not narrow
+    // like the heuristic gates); the perplexity model trains on the
+    // quality-gated corpus so junk doesn't pollute its counts.
+    val lmGated = maxSurprisal match {
+      case Some(maxS) => scored
+        .join(perplexityScore(scored, scored)
+          .select(col("doc_id"), col("score").as("ppl")), "doc_id")
+        .filter(col("ppl") <= maxS).drop("ppl")
+      case None => scored
+    }
+    val clfGated = classifierWeights match {
+      case Some(w) => lmGated
+        .join(classifierScore(lmGated, w)
+          .select(col("doc_id"), col("score").as("clf")), "doc_id")
+        .filter(col("clf") >= minClassifierScore).drop("clf")
+      case None => lmGated
+    }
     // T.cached: feeds both band-join sides AND the final anti-join;
     // registered for post-materialization release by the harness.
-    val exactKept = graft.ops.T.cached(scored
+    val exactKept = graft.ops.T.cached(clfGated
       .withColumn("ch", md5(col("text")))
       .withColumn("keep", col("doc_id") === min("doc_id")
         .over(org.apache.spark.sql.expressions.Window.partitionBy("ch")))

@@ -387,6 +387,53 @@ class CurationSpec extends SparkSpec {
     assert(a.except(b).count() === 0 && b.except(a).count() === 0)
   }
 
+  test("curate(maxSurprisal): fluent-passing gibberish drops only with the LM gate on") {
+    import spark.implicits._
+    // ten fluent docs sharing bigram structure + one doc of rare tokens
+    // in an order (and token SET) no other doc uses: its bigrams are all
+    // unseen ⇒ high mean surprisal, but the heuristic quality gate
+    // passes it (length band ok, punctuation clean) and its distinct
+    // token set means NO hash-dedup stage can touch it — only the LM
+    // gate discriminates
+    val fluent = Seq.tabulate(10)(i =>
+      (i.toLong, s"the cat sat on the mat and it is a good day number$i"))
+    val scrambled = Seq((99L,
+      "zyx wvu tsr qpo nml kji hgf edc abc bbb ccc ddd"))
+    val docs = (fluent ++ scrambled).toDF("doc_id", "text")
+    val noGate = Curation.curate(docs, minQuality = 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(noGate.contains(99L), "without the gate the scrambled doc survives")
+    // threshold between the two populations, from the library's own scores
+    val s = Curation.perplexityScore(docs, docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(s(99L) > s(0L), "scrambled doc is more surprising")
+    val mid = (s(99L) + fluent.map(f => s(f._1)).max) / 2
+    val gated = Curation.curate(docs, minQuality = 0.3,
+      maxSurprisal = Some(mid))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!gated.contains(99L), "LM gate drops the scrambled doc")
+    assert(gated.exists(_ < 99L), "fluent docs survive the gate")
+  }
+
+  test("curate(classifierWeights): background-like docs drop at the sigma gate") {
+    import spark.implicits._
+    val target = Seq.tabulate(15)(i => (i.toLong, "alpha beta gamma delta clean prose here"))
+      .toDF("doc_id", "text")
+    val background = Seq.tabulate(15)(i => (100L + i, "omega sigma kappa zeta spam noise junk"))
+      .toDF("doc_id", "text")
+    val w = Curation.trainQualityClassifier(
+      target.unionByName(background).withColumn("y", col("doc_id") < 100),
+      col("y"))
+    val mixed = Seq((1L, "alpha beta clean prose delta gamma here today"),
+      (2L, "omega sigma spam junk kappa zeta noise here"))
+      .toDF("doc_id", "text")
+    val kept = Curation.curate(mixed, minQuality = 0.0,
+      classifierWeights = Some(w))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept.contains(1L) && !kept.contains(2L),
+      s"classifier gate keeps target-like, drops background-like: $kept")
+  }
+
   test("trainQualityClassifier: separable classes separate, training is deterministic") {
     import spark.implicits._
     // the fixture documents' lang label is (by construction) nearly
