@@ -89,7 +89,9 @@ object Pipelines {
     */
   def curateStream(docs: DataFrame, minQuality: Double = 0.3,
       maxDupLines: Double = 1.0, maxTopNgram: Double = 1.0,
-      watermarkDelay: String = "10 minutes"): DataFrame = {
+      watermarkDelay: String = "10 minutes",
+      classifierWeights: Option[Seq[Double]] = None,
+      minClassifierScore: Double = 0.5): DataFrame = {
     import graft.functions.TextAnalysis
     val gated = docs
       .select(col("doc_id"), col("ts"), col("text"),
@@ -99,8 +101,26 @@ object Pipelines {
       .filter(col("quality") >= minQuality &&
         TextAnalysis.duplicateLineFraction(col("text")) <= maxDupLines &&
         TextAnalysis.topNgramFraction(col("text"), 2) <= maxTopNgram)
-      .withColumn("content_key", md5(col("text")))
-    dedupKeyed(gated, Seq("content_key"), watermarkDelay)
+    // Trained-classifier gate, streaming form: the weights are FROZEN
+    // (trained batch-side via Curation.trainQualityClassifier) so σ(w·x)
+    // is a stateless per-row expression — no per-doc score join like the
+    // batch path needs, no streaming state. The corpus-model perplexity
+    // gate has NO streaming form by design: its model is a corpus
+    // aggregate (train batch-side, or use this gate).
+    val clfGated = classifierWeights match {
+      case Some(w) =>
+        val wArr = array(w.map(lit): _*)
+        val toks = split(col("text"), "\\s+")
+        val z = aggregate(
+          transform(toks, t => element_at(wArr,
+            pmod(conv(substring(md5(t), 1, 6), 16, 10).cast("bigint"),
+              lit(w.size.toLong)).cast("int") + 1)),
+          lit(0.0), (acc, v) => acc + v) / size(toks)
+        gated.filter(lit(1.0) / (lit(1.0) + exp(-z)) >= minClassifierScore)
+      case None => gated
+    }
+    val withKey = clfGated.withColumn("content_key", md5(col("text")))
+    dedupKeyed(withKey, Seq("content_key"), watermarkDelay)
       .drop("content_key")
   }
 

@@ -387,6 +387,40 @@ class CurationSpec extends SparkSpec {
     assert(a.except(b).count() === 0 && b.except(a).count() === 0)
   }
 
+  test("curateStream classifier gate == batch classifierScore on the same rows") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val target = Seq.tabulate(15)(i => (i.toLong, "alpha beta gamma delta clean prose here"))
+      .toDF("doc_id", "text")
+    val background = Seq.tabulate(15)(i => (100L + i, "omega sigma kappa zeta spam noise junk"))
+      .toDF("doc_id", "text")
+    val w = Curation.trainQualityClassifier(
+      target.unionByName(background).withColumn("y", col("doc_id") < 100),
+      col("y"))
+    val rows = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 00:00:01"), "alpha beta clean prose delta gamma here today"),
+      (2L, Timestamp.valueOf("2024-01-01 00:00:02"), "omega sigma spam junk kappa zeta noise here"))
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val q = graft.streaming.Pipelines.curateStream(
+        mem.toDF.toDF("doc_id", "ts", "text"), minQuality = 0.0,
+        classifierWeights = Some(w))
+      .writeStream.format("memory").queryName("clf_sink")
+      .outputMode("append").start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("clf_sink").collect().map(_.getLong(0)).toSet
+      // batch reference: same weights, same threshold, same rows
+      val batchKept = Curation.classifierScore(
+        rows.map(r => (r._1, r._3)).toDF("doc_id", "text"), w)
+        .filter(col("score") >= 0.5).collect().map(_.getLong(0)).toSet
+      assert(streamed === batchKept, s"stream $streamed vs batch $batchKept")
+      assert(streamed === Set(1L)) // and the split is the meaningful one
+    } finally q.stop()
+  }
+
   test("curate(maxSurprisal): fluent-passing gibberish drops only with the LM gate on") {
     import spark.implicits._
     // ten fluent docs sharing bigram structure + one doc of rare tokens
