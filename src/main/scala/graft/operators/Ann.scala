@@ -544,6 +544,107 @@ object Ann {
       .select("probe_id", "vec_id", "rn", "cos")
   }
 
+  /** Product quantization (the Jégou et al. 2011 ANN compression —
+    * completes the family next to SQ-8/IVF/LSH): the vector splits into
+    * `m` subspaces, each subspace learns `k` Lloyd centroids, a vector's
+    * code is its per-subspace nearest-centroid index — m·log₂k bits per
+    * vector, with asymmetric (ADC) distances computed from a per-probe
+    * k×m lookup table.
+    *
+    * Determinism (graded as x_emb_pq): seeds = the k smallest vec_ids'
+    * subvectors (no RNG), a PINNED number of Lloyd rounds, and centroids
+    * rounded to 9 decimals each round — the trainQualityClassifier
+    * driver-loop device, so the oracle can replay training as unrolled
+    * SQL. Ties in the argmin break to the LOWER centroid index on both
+    * engines (lexicographic struct min here, `ORDER BY d, j` there).
+    *
+    * Scale: training touches the corpus `rounds` times (narrow HOF
+    * distance map + one (code,pos) mean agg — partial-aggregated);
+    * only the m×k×(dim/m) centroid matrix reaches the driver.
+    */
+  def pqCodebook(emb: DataFrame, m: Int = 2, k: Int = 4,
+      rounds: Int = 1): Array[Array[Array[Double]]] = {
+    def round9(v: Double): Double =
+      BigDecimal.valueOf(v).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val e = emb.select(col("vec_id"), embDouble(col("embedding")).as("emb"))
+    val dim = e.select(size(col("emb"))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val sub = dim / m
+    val seeds = e.orderBy("vec_id").limit(k).collect().map(_.getSeq[Double](1))
+    require(seeds.length == k, s"need >= $k vectors to seed")
+    var cb = Array.tabulate(m, k)((s, j) =>
+      seeds(j).slice(s * sub, (s + 1) * sub).toArray)
+    for (_ <- 0 until rounds) {
+      cb = Array.tabulate(m) { s =>
+        val sv = slice(col("emb"), s * sub + 1, sub)
+        val assigned = e.select(sv.as("sv"),
+          array_min(pqDistStructs(sv, cb(s))).getField("j").as("code"))
+        val means = assigned
+          .select(col("code"), posexplode(col("sv")).as(Seq("pos", "v")))
+          .groupBy("code", "pos").agg(avg("v").as("mv"))
+          .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+        // empty cluster keeps its previous centroid (then re-rounds)
+        Array.tabulate(k, sub)((j, p) =>
+          round9(means.getOrElse((j, p), cb(s)(j)(p))))
+      }
+    }
+    cb
+  }
+
+  /** (squared-L2, centroid-index) structs of `sv` against one subspace's
+    * centroids — `array_min` over them is the tie-to-low-index argmin.
+    */
+  private def pqDistStructs(sv: Column,
+      cents: Array[Array[Double]]): Column =
+    array(cents.indices.map { j =>
+      val carr = array(cents(j).toIndexedSeq.map(lit): _*)
+      struct(aggregate(zip_with(sv, carr, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (a, v) => a + v).as("d"), lit(j).as("j"))
+    }: _*)
+
+  /** Per-subspace nearest-centroid codes: (vec_id, c0..c{m-1}). Narrow
+    * map — the codebook rides as literals, nothing joins.
+    */
+  def pqEncode(emb: DataFrame, cb: Array[Array[Array[Double]]]): DataFrame = {
+    val sub = cb(0)(0).length
+    val e = emb.select(col("vec_id"), embDouble(col("embedding")).as("emb"))
+    val codes = cb.indices.map(s =>
+      array_min(pqDistStructs(slice(col("emb"), s * sub + 1, sub), cb(s)))
+        .getField("j").as(s"c$s"))
+    e.select(col("vec_id") +: codes: _*)
+  }
+
+  /** Asymmetric-distance (ADC) top-k over PQ codes: each probe builds its
+    * k×m distance table ONCE (per-subspace squared-L2 to every centroid),
+    * then every corpus code row costs m array lookups + (m−1) adds — the
+    * PQ payoff: the corpus side never touches float vectors. Probes are
+    * tiny by contract → broadcast; the scan is exhaustive like
+    * [[bruteTopK]] (IVF lists bound the scan when both are combined).
+    */
+  def pqTopK(emb: DataFrame, probes: DataFrame, topK: Int,
+      cb: Array[Array[Array[Double]]]): DataFrame = {
+    val sub = cb(0)(0).length
+    val codes = pqEncode(emb, cb)
+    val dtables = cb.indices.map { s =>
+      array(cb(s).indices.map { j =>
+        val carr = array(cb(s)(j).toIndexedSeq.map(lit): _*)
+        aggregate(zip_with(slice(col("emb"), s * sub + 1, sub), carr,
+          (x, y) => (x - y) * (x - y)), lit(0.0), (a, v) => a + v)
+      }: _*).as(s"dt$s")
+    }
+    val pt = broadcast(probes
+      .select(col("vec_id").as("probe_id"), embDouble(col("embedding")).as("emb"))
+      .select(col("probe_id") +: dtables: _*))
+    val adc = cb.indices.map(s =>
+      element_at(col(s"dt$s"), col(s"c$s").cast("int") + 1)).reduce(_ + _)
+    val w = Window.partitionBy("probe_id").orderBy(col("adc").asc, col("vec_id").asc)
+    codes.join(pt, col("vec_id") =!= col("probe_id"))
+      .withColumn("adc", adc)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= topK)
+      .select("probe_id", "vec_id", "rn", "adc")
+  }
+
   /** Embedding-cosine near-duplicate pairs (cosine >= minCos), found via
     * signature-band blocking + exact verification. Self-join form of
     * lshTopK; output pairs are canonical (a_id < b_id).

@@ -663,6 +663,23 @@ object Similarity {
         .orderBy("dom")
     }),
 
+    // Product quantization under the oracle (Ann.pqCodebook/pqEncode —
+    // the ANN compression family's last member next to SQ-8/IVF/LSH):
+    // m=2 subspaces × k=4 centroids, seeds = the 4 smallest vec_ids'
+    // subvectors, ONE pinned Lloyd round with centroids rounded to 9
+    // decimals (the trainQualityClassifier driver-loop device), then
+    // every vector's per-subspace nearest-centroid code. Argmin ties
+    // break to the lower index on both engines (struct-min here,
+    // ORDER BY d, j there).
+    "x_emb_pq" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val cb = graft.operators.Ann.pqCodebook(e, m = 2, k = 4, rounds = 1)
+      graft.operators.Ann.pqEncode(e, cb)
+        .select(col("vec_id"), col("c0").cast("int").as("c0"),
+          col("c1").cast("int").as("c1"))
+        .orderBy("vec_id")
+    }),
+
     // JSONL round trip under the oracle (sources/DocumentIO): the corpus
     // is written as newline-delimited JSON (the pretraining interchange
     // format) and read back with an explicit schema, then aggregated
@@ -1032,6 +1049,41 @@ object Similarity {
         "ORDER BY score DESC, s LIMIT 50"),
     "x_text_bpe" -> bpeOracleSql(8),
     "x_text_classifier" -> classifierOracleSql(4, 8.0, 64),
+    // one Lloyd round unrolled: seed distances → argmin assignment →
+    // per-(subspace, code, dim) means coalesced to the seed on empty
+    // clusters, rounded to 9 — then the final assignment replayed
+    // against the updated centroids (the classifier-oracle device)
+    "x_emb_pq" ->
+      ("WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings), " +
+        "seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, emb " +
+        "FROM (SELECT vec_id, emb FROM e ORDER BY vec_id LIMIT 4)), " +
+        "rr AS (SELECT ss.s, ii.i FROM (SELECT unnest(range(2)) AS s) ss, " +
+        "(SELECT unnest(range(32)) AS i) ii), " +
+        "dists AS (SELECT v.vec_id, sd.j, r.s, " +
+        "SUM((v.emb[CAST(r.s * 32 + r.i + 1 AS INTEGER)] - sd.emb[CAST(r.s * 32 + r.i + 1 AS INTEGER)]) " +
+        "* (v.emb[CAST(r.s * 32 + r.i + 1 AS INTEGER)] - sd.emb[CAST(r.s * 32 + r.i + 1 AS INTEGER)])) AS d " +
+        "FROM e v CROSS JOIN seeds sd CROSS JOIN rr r GROUP BY v.vec_id, sd.j, r.s), " +
+        "asg AS (SELECT vec_id, s, j AS code FROM (SELECT vec_id, s, j, " +
+        "row_number() OVER (PARTITION BY vec_id, s ORDER BY d, j) AS rn FROM dists) WHERE rn = 1), " +
+        "mean AS (SELECT a.s, a.code, r.i AS pos, " +
+        "avg(v.emb[CAST(a.s * 32 + r.i + 1 AS INTEGER)]) AS mv " +
+        "FROM asg a JOIN e v USING (vec_id) CROSS JOIN (SELECT unnest(range(32)) AS i) r " +
+        "GROUP BY a.s, a.code, r.i), " +
+        "sp AS (SELECT ss.s, jj.j, ii.i FROM (SELECT unnest(range(2)) AS s) ss, " +
+        "(SELECT unnest(range(4)) AS j) jj, (SELECT unnest(range(32)) AS i) ii), " +
+        "cent AS (SELECT sp.s, sp.j AS code, sp.i AS pos, " +
+        "round(coalesce(m.mv, s2.emb[CAST(sp.s * 32 + sp.i + 1 AS INTEGER)]), 9) AS c " +
+        "FROM sp JOIN seeds s2 ON s2.j = sp.j " +
+        "LEFT JOIN mean m ON m.s = sp.s AND m.code = sp.j AND m.pos = sp.i), " +
+        "fd AS (SELECT v.vec_id, c.s, c.code, " +
+        "SUM((v.emb[CAST(c.s * 32 + c.pos + 1 AS INTEGER)] - c.c) " +
+        "* (v.emb[CAST(c.s * 32 + c.pos + 1 AS INTEGER)] - c.c)) AS d " +
+        "FROM e v CROSS JOIN cent c GROUP BY v.vec_id, c.s, c.code), " +
+        "fasg AS (SELECT vec_id, s, code FROM (SELECT vec_id, s, code, " +
+        "row_number() OVER (PARTITION BY vec_id, s ORDER BY d, code) AS rn FROM fd) WHERE rn = 1) " +
+        "SELECT a0.vec_id, CAST(a0.code AS INTEGER) AS c0, CAST(a1.code AS INTEGER) AS c1 " +
+        "FROM (SELECT vec_id, code FROM fasg WHERE s = 0) a0 " +
+        "JOIN (SELECT vec_id, code FROM fasg WHERE s = 1) a1 USING (vec_id) ORDER BY vec_id"),
     // the oracle never sees the JSONL — it aggregates the original
     // parquet; matching totals+checksums = the round trip was lossless
     "x_io_jsonl" ->

@@ -295,6 +295,45 @@ class AnnSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS ann_stream_idx")
   }
 
+  test("pqCodebook/pqEncode/pqTopK: Lloyd improves quantization error, ADC ranks sanely") {
+    def mse(cb: Array[Array[Array[Double]]]): Double = {
+      // mean over vectors and subspaces of the squared distance to the
+      // assigned centroid — the quantity one Lloyd round must not worsen
+      val codes = Ann.pqEncode(emb, cb)
+      val sub = cb(0)(0).length
+      val e = emb.select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("emb"))
+      codes.join(e, "vec_id").collect().map { r =>
+        val v = r.getSeq[Double](3)
+        (0 until cb.length).map { s =>
+          val c = cb(s)(r.getInt(1 + s))
+          v.slice(s * sub, (s + 1) * sub).zip(c)
+            .map { case (x, y) => (x - y) * (x - y) }.sum
+        }.sum
+      }.sum / 500
+    }
+    val cb0 = Ann.pqCodebook(emb, m = 2, k = 4, rounds = 0) // raw seeds
+    val cb1 = Ann.pqCodebook(emb, m = 2, k = 4, rounds = 1)
+    val cb3 = Ann.pqCodebook(emb, m = 2, k = 4, rounds = 3)
+    val (e0, e1, e3) = (mse(cb0), mse(cb1), mse(cb3))
+    info(f"PQ mse: seeds $e0%.4f -> 1 round $e1%.4f -> 3 rounds $e3%.4f")
+    assert(e1 < e0, "one Lloyd round must reduce quantization error")
+    assert(e3 <= e1 + 1e-9, "further rounds never worsen it")
+    // codes live in [0, k)
+    val codes = Ann.pqEncode(emb, cb1).collect()
+    assert(codes.forall(r => Seq(1, 2).forall { i =>
+      val c = r.getInt(i); c >= 0 && c < 4
+    }))
+    // ADC search: k rows per probe, self excluded, distances ascending
+    val top = Ann.pqTopK(emb, probes, 5, cb1).collect()
+    assert(top.length === 55)
+    top.groupBy(_.getLong(0)).foreach { case (pid, rows) =>
+      assert(rows.forall(_.getLong(1) != pid))
+      val byRank = rows.sortBy(_.getInt(2)).map(_.getDouble(3))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a <= b })
+    }
+  }
+
   test("sqQuantize/sqTopK: int8 codes rank nearly as well as float32") {
     val q = Ann.sqQuantize(emb)
     // codes are genuinely int8 and the dequantized error is bounded by
