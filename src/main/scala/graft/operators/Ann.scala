@@ -335,6 +335,79 @@ object Ann {
       .select("probe_id", "vec_id", "rn", "cos")
   }
 
+  /** IVF+PQ combined search — the production ANN layout (the FAISS
+    * IVFPQ shape): coarse IVF centroids route each probe to its nProbe
+    * nearest inverted lists, and WITHIN those lists candidates are
+    * scored by PQ asymmetric distance over their codes — so the scan
+    * touches (nProbe/nLists) of the corpus and none of its float
+    * vectors. This is the memory-AND-compute story at 100 TB: the list
+    * prunes the scan, the codes shrink what the scan reads (m·log₂k
+    * bits/vector vs 4·dim bytes), and both models train with the same
+    * deterministic driver-loop machinery ([[lloydCentroids]],
+    * [[pqCodebook]]).
+    *
+    * `refine` > 0 adds the standard re-rank: the ADC scan keeps its
+    * top-`refine` candidates per probe, ONLY those rows fetch their
+    * float vectors (one vec_id equi-join), and exact squared-L2 decides
+    * the final top-k. ADC alone ranks coarsely when codebook cells are
+    * wide relative to neighbor gaps (true for high-dim noisy data —
+    * the reason production IVFPQ deployments re-rank); refine restores
+    * recall to the probed-lists ceiling while still touching floats for
+    * refine×probes rows instead of the whole corpus.
+    */
+  def ivfPqTopK(emb: DataFrame, probes: DataFrame, k: Int,
+      nLists: Int = 8, nProbe: Int = 2, iters: Int = 3,
+      m: Int = 2, pqK: Int = 4, pqRounds: Int = 1,
+      refine: Int = 0): DataFrame = {
+    val base = emb.select(col("vec_id"), embDouble(col("embedding")).as("emb"))
+      .persist()
+    val centroids = lloydCentroids(base, nLists, iters)
+    val cb = pqCodebook(emb, m, pqK, pqRounds)
+    base.unpersist(blocking = false)
+    val sub = cb(0)(0).length
+    // corpus side: (vec_id, cid, c0..c{m-1}) — lists + codes, no floats
+    val coded = assignTo(base, centroids, "cid")
+      .select(col("vec_id") +: col("cid") +: cb.indices.map(s =>
+        array_min(pqDistStructs(slice(col("emb"), s * sub + 1, sub), cb(s)))
+          .getField("j").as(s"c$s")): _*)
+    // probe side: routed lists + the per-probe k×m ADC lookup table
+    val dtables = cb.indices.map { s =>
+      array(cb(s).indices.map { j =>
+        val carr = array(cb(s)(j).toIndexedSeq.map(lit): _*)
+        aggregate(zip_with(slice(col("p_emb"), s * sub + 1, sub), carr,
+          (x, y) => (x - y) * (x - y)), lit(0.0), (a, v) => a + v)
+      }: _*).as(s"dt$s")
+    }
+    val routed = broadcast(probeRouting(probes, centroids, nProbe)
+      .select(col("probe_id") +: col("cid") +: dtables: _*))
+    val adc = cb.indices.map(s =>
+      element_at(col(s"dt$s"), col(s"c$s").cast("int") + 1)).reduce(_ + _)
+    val w = Window.partitionBy("probe_id").orderBy(col("adc").asc, col("vec_id").asc)
+    val scanned = coded.join(routed,
+        coded("cid") === routed("cid") && col("vec_id") =!= col("probe_id"))
+      .withColumn("adc", adc)
+      .withColumn("rn", row_number().over(w))
+    if (refine <= 0)
+      scanned.filter(col("rn") <= k)
+        .select("probe_id", "vec_id", "rn", "adc")
+    else {
+      val floats = emb.select(col("vec_id"), embDouble(col("embedding")).as("v_emb"))
+      val pFloats = broadcast(probes.select(col("vec_id").as("probe_id"),
+        embDouble(col("embedding")).as("pf_emb")))
+      val l2 = aggregate(zip_with(col("v_emb"), col("pf_emb"),
+        (x, y) => (x - y) * (x - y)), lit(0.0), (a, v) => a + v)
+      val wr = Window.partitionBy("probe_id").orderBy(col("d2").asc, col("vec_id").asc)
+      scanned.filter(col("rn") <= refine)
+        .select("probe_id", "vec_id")
+        .join(floats, "vec_id")
+        .join(pFloats, "probe_id")
+        .withColumn("d2", l2)
+        .withColumn("rn", row_number().over(wr))
+        .filter(col("rn") <= k)
+        .select("probe_id", "vec_id", "rn", "d2")
+    }
+  }
+
   /** Persist the IVF structure — the third index family completing
     * build-once/search-many (gaussian LSH, sign LSH, now IVF): the
     * inverted lists (vec_id, cid) land as a parquet table PARTITIONED BY

