@@ -695,9 +695,18 @@ object Ann {
     * [[bruteTopK]] (IVF lists bound the scan when both are combined).
     */
   def pqTopK(emb: DataFrame, probes: DataFrame, topK: Int,
-      cb: Array[Array[Array[Double]]]): DataFrame = {
+      cb: Array[Array[Array[Double]]]): DataFrame =
+    adcTopK(pqEncode(emb, cb), probes, topK, cb, refine = 0, embOpt = None)
+
+  /** ADC ranking over a codes frame: the per-probe k×m distance tables
+    * broadcast, every code row costs m lookups + (m−1) adds; `refine`
+    * re-ranks the ADC top-R against float vectors from `embOpt` (one
+    * vec_id equi-join — required iff refine > 0).
+    */
+  private def adcTopK(codes: DataFrame, probes: DataFrame, topK: Int,
+      cb: Array[Array[Array[Double]]], refine: Int,
+      embOpt: Option[DataFrame]): DataFrame = {
     val sub = cb(0)(0).length
-    val codes = pqEncode(emb, cb)
     val dtables = cb.indices.map { s =>
       array(cb(s).indices.map { j =>
         val carr = array(cb(s)(j).toIndexedSeq.map(lit): _*)
@@ -711,11 +720,81 @@ object Ann {
     val adc = cb.indices.map(s =>
       element_at(col(s"dt$s"), col(s"c$s").cast("int") + 1)).reduce(_ + _)
     val w = Window.partitionBy("probe_id").orderBy(col("adc").asc, col("vec_id").asc)
-    codes.join(pt, col("vec_id") =!= col("probe_id"))
+    val scanned = codes.join(pt, col("vec_id") =!= col("probe_id"))
       .withColumn("adc", adc)
       .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= topK)
-      .select("probe_id", "vec_id", "rn", "adc")
+    if (refine <= 0)
+      scanned.filter(col("rn") <= topK)
+        .select("probe_id", "vec_id", "rn", "adc")
+    else {
+      val emb = embOpt.getOrElse(throw new IllegalArgumentException(
+        "refine > 0 needs the float vectors: pass embOpt"))
+      val floats = emb.select(col("vec_id"), embDouble(col("embedding")).as("v_emb"))
+      val pFloats = broadcast(probes.select(col("vec_id").as("probe_id"),
+        embDouble(col("embedding")).as("pf_emb")))
+      val l2 = aggregate(zip_with(col("v_emb"), col("pf_emb"),
+        (x, y) => (x - y) * (x - y)), lit(0.0), (a, v) => a + v)
+      val wr = Window.partitionBy("probe_id").orderBy(col("d2").asc, col("vec_id").asc)
+      scanned.filter(col("rn") <= refine)
+        .select("probe_id", "vec_id")
+        .join(floats, "vec_id")
+        .join(pFloats, "probe_id")
+        .withColumn("d2", l2)
+        .withColumn("rn", row_number().over(wr))
+        .filter(col("rn") <= topK)
+        .select("probe_id", "vec_id", "rn", "d2")
+    }
+  }
+
+  /** Persist the PQ structure — codes + codebook as two managed tables
+    * with a shared build EPOCH (the [[writeIvfIndex]] torn-write device:
+    * codebook lands first, every reader requires the epochs to match) —
+    * the build-once/search-many form: a search session reads m·log₂k
+    * bits per vector, never the float corpus, and never re-trains.
+    */
+  def writePqIndex(emb: DataFrame, table: String, m: Int = 2, k: Int = 4,
+      rounds: Int = 1): Unit = {
+    val spark = emb.sparkSession
+    val cb = pqCodebook(emb, m, k, rounds)
+    val epoch = java.util.UUID.randomUUID().toString
+    def replace(df: DataFrame, t: String): Unit = {
+      spark.sql(s"DROP TABLE IF EXISTS `$t`")
+      val ident = spark.sessionState.sqlParser.parseTableIdentifier(t)
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.sessionState.catalog.defaultTablePath(ident))
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+      df.write.mode("overwrite").format("parquet").saveAsTable(t)
+    }
+    import spark.implicits._
+    val cbRows = for (s <- cb.indices; j <- cb(s).indices)
+      yield (s, j, cb(s)(j).toSeq)
+    replace(cbRows.toDF("s", "j", "c").withColumn("epoch", lit(epoch)),
+      table + "_codebook")
+    replace(pqEncode(emb, cb).withColumn("epoch", lit(epoch)), table)
+  }
+
+  /** Search the persisted PQ index; throws on a torn build (epoch
+    * mismatch between codes and codebook). `refine` > 0 re-ranks against
+    * float vectors from `embOpt`.
+    */
+  def pqTopKIndexed(spark: org.apache.spark.sql.SparkSession, table: String,
+      probes: DataFrame, topK: Int, refine: Int = 0,
+      embOpt: Option[DataFrame] = None): DataFrame = {
+    val cbRows = spark.table(table + "_codebook").collect()
+    val cEpoch = cbRows.head.getString(3)
+    val codes = spark.table(table)
+    val lEpoch = codes.select("epoch").limit(1)
+      .collect().headOption.map(_.getString(0))
+    if (!lEpoch.forall(_ == cEpoch))
+      throw new IllegalStateException(
+        s"PQ index `$table` is torn: codes epoch ${lEpoch.orNull} != " +
+          s"codebook epoch $cEpoch — a crash interrupted writePqIndex; rebuild it")
+    val m = cbRows.map(_.getInt(0)).max + 1
+    val k = cbRows.map(_.getInt(1)).max + 1
+    val byKey = cbRows.map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2)).toMap
+    val cb = Array.tabulate(m, k)((s, j) => byKey((s, j)).toArray)
+    adcTopK(codes, probes, topK, cb, refine, embOpt)
   }
 
   /** Embedding-cosine near-duplicate pairs (cosine >= minCos), found via

@@ -379,6 +379,39 @@ class AnnSpec extends SparkSpec {
     info(f"  pure-ADC recall@5 = ${(exact & raw).size.toDouble / exact.size}%.2f")
   }
 
+  test("writePqIndex/pqTopKIndexed: indexed search == in-memory PQ; torn epoch throws") {
+    Ann.writePqIndex(emb, "ann_pq_idx", m = 2, k = 4, rounds = 1)
+    try {
+      // deterministic training ⇒ the persisted codebook equals a fresh
+      // one, so indexed search must reproduce the in-memory results
+      val cb = Ann.pqCodebook(emb, m = 2, k = 4, rounds = 1)
+      val mem = Ann.pqTopK(emb, probes, 5, cb).collect()
+        .map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(1)).toMap
+      val idx = Ann.pqTopKIndexed(spark, "ann_pq_idx", probes, 5).collect()
+        .map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(1)).toMap
+      assert(idx === mem)
+      // refine path needs floats and returns exact-L2-ordered rows
+      val refined = Ann.pqTopKIndexed(spark, "ann_pq_idx", probes, 5,
+        refine = 20, embOpt = Some(emb)).collect()
+      assert(refined.length === 55)
+      // torn window: codebook replaced with a foreign epoch → loud fail
+      val c = spark.table("ann_pq_idx_codebook")
+      val rows = c.collect().toIndexedSeq.map(r =>
+        org.apache.spark.sql.Row(r.get(0), r.get(1), r.get(2), "torn-epoch"))
+      val schema = c.schema
+      spark.sql("DROP TABLE IF EXISTS ann_pq_idx_codebook")
+      spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+        .write.format("parquet").saveAsTable("ann_pq_idx_codebook")
+      val e = intercept[IllegalStateException] {
+        Ann.pqTopKIndexed(spark, "ann_pq_idx", probes, 5)
+      }
+      assert(e.getMessage.contains("torn"))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS ann_pq_idx")
+      spark.sql("DROP TABLE IF EXISTS ann_pq_idx_codebook")
+    }
+  }
+
   test("sqQuantize/sqTopK: int8 codes rank nearly as well as float32") {
     val q = Ann.sqQuantize(emb)
     // codes are genuinely int8 and the dequantized error is bounded by
