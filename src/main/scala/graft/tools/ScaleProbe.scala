@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
   * of 10c yields ~50c² pairs) — the probe prints output rows so the two
   * effects can be told apart.
   *
-  * `runMain graft.tools.ScaleProbe [sfDir] [keys|sigs|curation|cc|vocab|spans|bpe|quality|all]`
+  * `runMain graft.tools.ScaleProbe [sfDir] [keys|sigs|curation|cc|vocab|spans|bpe|quality|pq|all]`
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -161,6 +161,28 @@ object ScaleProbe {
       val (tl1, nl1) = time(ppl(sfDir))
       val (tl10, nl10) = time(ppl(bigDir))
       println(f"perplexityScore    base ${tl1}%6.2fs ($nl1 rows) -> 10x ${tl10}%7.2fs ($nl10 rows; factor ${tl10 / tl1}%5.1f)")
+    }
+    // PQ: encoding is a narrow map (literal codebook, no join) — factor
+    // ~10 at 10× vectors; training cost scales with rows per round but
+    // the learned codebook is IDENTICAL on the copied corpus (same
+    // seeds, means invariant under duplication, round-9 sync) — printed
+    // as a check, not just a timing.
+    if (mode == "all" || mode == "pq") {
+      val baseE = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val bigE = (0 until 10).map { i =>
+        baseE.select((col("vec_id") + lit(i * 10000000L)).as("vec_id"),
+          col("label"), col("embedding"))
+      }.reduce(_ unionByName _)
+      val cb1 = graft.operators.Ann.pqCodebook(baseE, m = 2, k = 4, rounds = 1)
+      val (te1, ne1) = time(graft.operators.Ann.pqEncode(baseE, cb1))
+      val (te10, ne10) = time(graft.operators.Ann.pqEncode(bigE, cb1))
+      println(f"pqEncode           base ${te1}%6.2fs ($ne1 rows) -> 10x ${te10}%7.2fs ($ne10 rows; factor ${te10 / te1}%5.1f)")
+      val t0 = System.nanoTime()
+      val cb10 = graft.operators.Ann.pqCodebook(bigE, m = 2, k = 4, rounds = 1)
+      val tTrain = (System.nanoTime() - t0) / 1e9
+      val same = cb1.flatMap(_.flatMap(_.toSeq)).toSeq ==
+        cb10.flatMap(_.flatMap(_.toSeq)).toSeq
+      println(f"pqCodebook 10x train ${tTrain}%6.2fs; codebook identical to 1x: $same")
     }
     // connectedComponents in ISOLATION: synthetic chain graphs (fixed
     // diameter 7, group count scaled 10×) so the probe measures the
