@@ -774,17 +774,46 @@ object Ann {
     replace(pqEncode(emb, cb).withColumn("epoch", lit(epoch)), table)
   }
 
-  /** Search the persisted PQ index; throws on a torn build (epoch
-    * mismatch between codes and codebook). `refine` > 0 re-ranks against
-    * float vectors from `embOpt`.
+  /** Append new vectors to a persisted PQ index: encode with the FROZEN
+    * stored codebook (epoch-checked — appending through a torn index
+    * would stamp codes against foreign centroids) and append to the
+    * codes table. The PQ analog of [[appendToIvfIndex]], with the same
+    * lifecycle caveat: the codebook was trained on the BUILD corpus, so
+    * appended vectors quantize with whatever error the old cells give
+    * them — [[pqDriftStats]] measures that creep and rebuild
+    * ([[writePqIndex]]) is the compaction.
     */
-  def pqTopKIndexed(spark: org.apache.spark.sql.SparkSession, table: String,
-      probes: DataFrame, topK: Int, refine: Int = 0,
-      embOpt: Option[DataFrame] = None): DataFrame = {
+  def appendToPqIndex(emb: DataFrame, table: String): Unit = {
+    val spark = emb.sparkSession
+    val (cb, epoch) = checkedPqCodebook(spark, table)
+    pqEncode(emb, cb).withColumn("epoch", lit(epoch))
+      .write.mode("append").format("parquet").saveAsTable(table)
+  }
+
+  /** Mean squared quantization error of `emb`'s vectors under the
+    * stored codebook — the PQ staleness signal: on the build corpus this
+    * is the training MSE; a drifted append population quantizes worse
+    * (its mass sits far from every learned cell), so comparing the two
+    * bounds the ADC ranking degradation BEFORE recall collapses. One
+    * narrow pass + a scalar agg.
+    */
+  def pqDriftStats(spark: org.apache.spark.sql.SparkSession, table: String,
+      emb: DataFrame): Double = {
+    val (cb, _) = checkedPqCodebook(spark, table)
+    val sub = cb(0)(0).length
+    val e = emb.select(embDouble(col("embedding")).as("emb"))
+    val errs = cb.indices.map { s =>
+      val sv = slice(col("emb"), s * sub + 1, sub)
+      array_min(pqDistStructs(sv, cb(s))).getField("d")
+    }
+    e.select(errs.reduce(_ + _).as("err")).agg(avg("err")).head().getDouble(0)
+  }
+
+  private def checkedPqCodebook(spark: org.apache.spark.sql.SparkSession,
+      table: String): (Array[Array[Array[Double]]], String) = {
     val cbRows = spark.table(table + "_codebook").collect()
     val cEpoch = cbRows.head.getString(3)
-    val codes = spark.table(table)
-    val lEpoch = codes.select("epoch").limit(1)
+    val lEpoch = spark.table(table).select("epoch").limit(1)
       .collect().headOption.map(_.getString(0))
     if (!lEpoch.forall(_ == cEpoch))
       throw new IllegalStateException(
@@ -793,8 +822,18 @@ object Ann {
     val m = cbRows.map(_.getInt(0)).max + 1
     val k = cbRows.map(_.getInt(1)).max + 1
     val byKey = cbRows.map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2)).toMap
-    val cb = Array.tabulate(m, k)((s, j) => byKey((s, j)).toArray)
-    adcTopK(codes, probes, topK, cb, refine, embOpt)
+    (Array.tabulate(m, k)((s, j) => byKey((s, j)).toArray), cEpoch)
+  }
+
+  /** Search the persisted PQ index; throws on a torn build (epoch
+    * mismatch between codes and codebook). `refine` > 0 re-ranks against
+    * float vectors from `embOpt`.
+    */
+  def pqTopKIndexed(spark: org.apache.spark.sql.SparkSession, table: String,
+      probes: DataFrame, topK: Int, refine: Int = 0,
+      embOpt: Option[DataFrame] = None): DataFrame = {
+    val (cb, _) = checkedPqCodebook(spark, table)
+    adcTopK(spark.table(table), probes, topK, cb, refine, embOpt)
   }
 
   /** Embedding-cosine near-duplicate pairs (cosine >= minCos), found via

@@ -394,6 +394,23 @@ class AnnSpec extends SparkSpec {
       val refined = Ann.pqTopKIndexed(spark, "ann_pq_idx", probes, 5,
         refine = 20, embOpt = Some(emb)).collect()
       assert(refined.length === 55)
+      // append: frozen-codebook encode, searchable immediately
+      val extra = emb.select((col("vec_id") + 100000L).as("vec_id"),
+        col("label"), col("embedding")).limit(50)
+      Ann.appendToPqIndex(extra, "ann_pq_idx")
+      val withNew = Ann.pqTopKIndexed(spark, "ann_pq_idx", probes, 500)
+        .filter(col("vec_id") >= 100000L).count()
+      assert(withNew > 0, "appended vectors must be searchable")
+      // drift: a SHIFTED append population quantizes measurably worse
+      // under the frozen codebook than the build corpus — the rebuild
+      // signal, measured not asserted-by-magic-constant
+      val buildErr = Ann.pqDriftStats(spark, "ann_pq_idx", emb)
+      val shifted = emb.select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> x + cast(3.0 as float))").as("embedding"))
+      val driftErr = Ann.pqDriftStats(spark, "ann_pq_idx", shifted)
+      info(f"PQ quantization MSE: build $buildErr%.3f, shifted-population $driftErr%.3f")
+      assert(driftErr > buildErr * 1.5,
+        "shifted population must quantize worse under the frozen codebook")
       // torn window: codebook replaced with a foreign epoch → loud fail
       val c = spark.table("ann_pq_idx_codebook")
       val rows = c.collect().toIndexedSeq.map(r =>
