@@ -138,10 +138,14 @@ object Curation {
     // like the heuristic gates); the perplexity model trains on the
     // quality-gated corpus so junk doesn't pollute its counts.
     val lmGated = maxSurprisal match {
-      case Some(maxS) => scored
-        .join(perplexityScore(scored, scored)
+      case Some(maxS) =>
+        // the gated frame is read three times here (model corpus, score
+        // side, join left) — cache it or the narrow gate stack re-runs
+        // per reference (T.cached registers it for post-run release)
+        val sc = graft.ops.T.cached(scored)
+        sc.join(perplexityScore(sc, sc)
           .select(col("doc_id"), col("score").as("ppl")), "doc_id")
-        .filter(col("ppl") <= maxS).drop("ppl")
+          .filter(col("ppl") <= maxS).drop("ppl")
       case None => scored
     }
     val clfGated = classifierWeights match {
