@@ -767,11 +767,37 @@ object Ann {
       df.write.mode("overwrite").format("parquet").saveAsTable(t)
     }
     import spark.implicits._
+    // build-time quantization MSE rides in the codebook table (constant
+    // column, parquet-RLE-free) — the reference point pqNeedsRebuild
+    // compares future populations against
+    val sub = cb(0)(0).length
+    val buildErr = {
+      val e = emb.select(embDouble(col("embedding")).as("emb"))
+      val errs = cb.indices.map { s =>
+        array_min(pqDistStructs(slice(col("emb"), s * sub + 1, sub), cb(s)))
+          .getField("d")
+      }
+      e.select(errs.reduce(_ + _).as("err")).agg(avg("err")).head().getDouble(0)
+    }
     val cbRows = for (s <- cb.indices; j <- cb(s).indices)
       yield (s, j, cb(s)(j).toSeq)
-    replace(cbRows.toDF("s", "j", "c").withColumn("epoch", lit(epoch)),
-      table + "_codebook")
+    replace(cbRows.toDF("s", "j", "c").withColumn("epoch", lit(epoch))
+      .withColumn("build_mse", lit(buildErr)), table + "_codebook")
     replace(pqEncode(emb, cb).withColumn("epoch", lit(epoch)), table)
+  }
+
+  /** Should this PQ codebook be retrained? True when the CURRENT
+    * population's mean quantization error exceeds `maxErrRatio` × the
+    * build-time MSE stored in the codebook table — a relative,
+    * scale-free bound (the [[needsRebuild]] philosophy): appended mass
+    * drifting away from every learned cell degrades ADC ranking, and
+    * this flags it before recall collapses. Rebuild = [[writePqIndex]].
+    */
+  def pqNeedsRebuild(spark: org.apache.spark.sql.SparkSession, table: String,
+      emb: DataFrame, maxErrRatio: Double = 2.0): Boolean = {
+    val buildMse = spark.table(table + "_codebook")
+      .select("build_mse").head().getDouble(0)
+    pqDriftStats(spark, table, emb) > maxErrRatio * buildMse
   }
 
   /** Append new vectors to a persisted PQ index: encode with the FROZEN

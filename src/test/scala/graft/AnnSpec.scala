@@ -411,10 +411,16 @@ class AnnSpec extends SparkSpec {
       info(f"PQ quantization MSE: build $buildErr%.3f, shifted-population $driftErr%.3f")
       assert(driftErr > buildErr * 1.5,
         "shifted population must quantize worse under the frozen codebook")
+      // the trigger uses the STORED build MSE as its reference point
+      assert(!Ann.pqNeedsRebuild(spark, "ann_pq_idx", emb),
+        "build population must not trip the rebuild trigger")
+      assert(Ann.pqNeedsRebuild(spark, "ann_pq_idx", shifted),
+        "drifted population must trip the rebuild trigger")
       // torn window: codebook replaced with a foreign epoch → loud fail
       val c = spark.table("ann_pq_idx_codebook")
       val rows = c.collect().toIndexedSeq.map(r =>
-        org.apache.spark.sql.Row(r.get(0), r.get(1), r.get(2), "torn-epoch"))
+        org.apache.spark.sql.Row(r.get(0), r.get(1), r.get(2), "torn-epoch",
+          r.get(4)))
       val schema = c.schema
       spark.sql("DROP TABLE IF EXISTS ann_pq_idx_codebook")
       spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)

@@ -278,6 +278,28 @@ class LibrarySpec extends SparkSpec {
     assert(diff < 1.5 / 255, s"8-bit round-trip max err $diff") // quantization
   }
 
+  test("DocumentIO: JSONL round trip is lossless; corrupt lines FAIL, not null") {
+    import graft.sources.DocumentIO
+    val docs = T.t(spark, sf(), "documents")
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl_spec").toString
+    DocumentIO.writeJsonl(docs, s"$dir/ok")
+    val back = DocumentIO.readJsonl(spark, s"$dir/ok", DocumentIO.documentsSchema)
+    assert(back.orderBy("doc_id").collect().toSeq ===
+      docs.orderBy("doc_id").collect().toSeq) // byte-lossless, escaping included
+    // a truncated shard must ERROR loudly (FAILFAST) — the PERMISSIVE
+    // default would pass nulled rows into dedup as empty documents
+    val bad = new java.io.File(s"$dir/bad"); bad.mkdirs()
+    val w = new java.io.PrintWriter(s"$dir/bad/part-00000.json")
+    w.println("""{"doc_id": 1, "text": "fine", "lang": "en", "source": "s", "n_chars": 4}""")
+    w.println("""{"doc_id": 2, "text": "trunca""") // torn mid-record
+    w.close()
+    val e = intercept[org.apache.spark.SparkException] {
+      DocumentIO.readJsonl(spark, s"$dir/bad", DocumentIO.documentsSchema).count()
+    }
+    assert(e.getMessage.toLowerCase.contains("malformed") ||
+      Option(e.getCause).exists(_.getMessage.toLowerCase.contains("malformed")))
+  }
+
   test("BinaryMedia: fallback decode is deterministic, frames partition payload") {
     val media = BinaryMedia.fromDocuments(spark, sf())
     val f1 = BinaryMedia.extractFeatures(media, 16).collect()
