@@ -28,8 +28,15 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      // localCheckpoint BEFORE coalesce(1): coalesce collapses its whole
+      // upstream into the single output task (no shuffle boundary), which
+      // serializes expensive per-row expressions onto one core — the
+      // checkpoint materializes the result at full parallelism and the
+      // coalesce then just concatenates partitions in order (row order,
+      // which the comparator checks, is preserved; repartition(1) would
+      // keep parallelism but scramble it).
+      try fn(spark, sfDir).localCheckpoint(true).coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         failures += 1

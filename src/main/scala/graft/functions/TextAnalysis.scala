@@ -362,18 +362,27 @@ object TextAnalysis {
       array_sort(transform(sequence(lit(0), size(toks) - n),
         i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
       .otherwise(expr("cast(array() as array<string>)"))
-    // run-length the sorted grams: aggregate over indices tracking
-    // (current run, best run)
-    def bestRun(sorted: Column): Column = aggregate(
-      sequence(lit(1), size(sorted) - 1),
+    // Run-length the sorted grams from NEIGHBOR-EQUALITY FLAGS, built by
+    // zipping the array against itself shifted by one. HOFs evaluate
+    // interpreted (no codegen), and an array EXPRESSION referenced
+    // inside a lambda body is re-evaluated — re-sorted — on every fold
+    // step: the original element_at(sorted, i)-per-step form was
+    // O(n²·log n) per document and serialized Verify's one-task output
+    // stage for minutes at sf0.1. The slices evaluate `grams` a fixed
+    // number of times per row; the fold touches only booleans.
+    def bestRunFromEqs(eqs: Column): Column = aggregate(
+      eqs,
       struct(lit(1).as("run"), lit(1).as("best")),
-      (acc, i) => {
-        val run = when(element_at(sorted, i + 1) === element_at(sorted, i),
-          acc.getField("run") + 1).otherwise(lit(1))
+      (acc, e) => {
+        val run = when(e, acc.getField("run") + 1).otherwise(lit(1))
         struct(run.as("run"), greatest(acc.getField("best"), run).as("best"))
       },
       acc => acc.getField("best"))
-    val best = when(size(grams) > 1, bestRun(grams)).otherwise(size(grams))
+    val eqs = zip_with(
+      slice(grams, lit(1), greatest(size(grams) - 1, lit(0))),
+      slice(grams, lit(2), greatest(size(grams) - 1, lit(0))),
+      (a, b) => a === b)
+    val best = when(size(grams) > 1, bestRunFromEqs(eqs)).otherwise(size(grams))
     when(size(grams) > 0,
       least((best * n).cast("double") / greatest(size(toks), lit(1)), lit(1.0)))
       .otherwise(lit(0.0))
