@@ -33,7 +33,13 @@ object Bench {
     def runSuite(): Seq[(String, Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true } catch {
+        // toRdd.count(), not count(): DataFrame.count() re-plans as an
+        // empty aggregate and Catalyst PRUNES every unused projection —
+        // map-only queries would be billed for reading, not computing
+        // (the trap that hid topNgramFraction's O(n²) fold: 0.16 s
+        // "benched", minutes when actually evaluated). toRdd executes
+        // the query's own optimized plan, every output column computed.
+        val ok = try { fn(spark, sfDir).queryExecution.toRdd.count(); true } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
             false

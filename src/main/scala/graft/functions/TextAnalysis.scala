@@ -362,28 +362,27 @@ object TextAnalysis {
       array_sort(transform(sequence(lit(0), size(toks) - n),
         i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
       .otherwise(expr("cast(array() as array<string>)"))
-    // Run-length the sorted grams from NEIGHBOR-EQUALITY FLAGS, built by
-    // zipping the array against itself shifted by one. HOFs evaluate
-    // interpreted (no codegen), and an array EXPRESSION referenced
-    // inside a lambda body is re-evaluated — re-sorted — on every fold
-    // step: the original element_at(sorted, i)-per-step form was
-    // O(n²·log n) per document and serialized Verify's one-task output
-    // stage for minutes at sf0.1. The slices evaluate `grams` a fixed
-    // number of times per row; the fold touches only booleans.
-    def bestRunFromEqs(eqs: Column): Column = aggregate(
-      eqs,
-      struct(lit(1).as("run"), lit(1).as("best")),
-      (acc, e) => {
-        val run = when(e, acc.getField("run") + 1).otherwise(lit(1))
-        struct(run.as("run"), greatest(acc.getField("best"), run).as("best"))
+    // Run-length the sorted grams in ONE pass that carries the previous
+    // element in the fold state — so `grams` appears in the expression
+    // tree exactly ONCE. HOFs evaluate interpreted (no codegen, no
+    // common-subexpression elimination): every reference to the grams
+    // subtree re-splits, re-builds, and re-SORTS it per row, and the
+    // original element_at(sorted, i)-per-fold-step form re-sorted it per
+    // STEP — O(n²·log n)/doc, 60 s for 5 k docs on the one-task stage a
+    // single-row-group parquet gives. One reference makes the whole
+    // column O(n·log n) with no duplicated work.
+    val best = aggregate(
+      grams,
+      struct(lit(null).cast("string").as("prev"), lit(0).as("run"),
+        lit(0).as("best")),
+      (acc, g) => {
+        val run = when(g === acc.getField("prev"), acc.getField("run") + 1)
+          .otherwise(lit(1)) // null prev (first element) compares false
+        struct(g.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
       },
       acc => acc.getField("best"))
-    val eqs = zip_with(
-      slice(grams, lit(1), greatest(size(grams) - 1, lit(0))),
-      slice(grams, lit(2), greatest(size(grams) - 1, lit(0))),
-      (a, b) => a === b)
-    val best = when(size(grams) > 1, bestRunFromEqs(eqs)).otherwise(size(grams))
-    when(size(grams) > 0,
+    when(size(toks) >= n,
       least((best * n).cast("double") / greatest(size(toks), lit(1)), lit(1.0)))
       .otherwise(lit(0.0))
   }
@@ -400,13 +399,15 @@ object TextAnalysis {
   def dupNgramFraction(text: Column, n: Int): Column = {
     val toks = tokens(text)
     // sequence(a, b) DESCENDS when a > b — guarded by the size test.
-    val grams = when(size(toks) >= n,
-      transform(sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
-      .otherwise(expr("cast(array() as array<string>)"))
-    when(size(grams) > 0,
-      (size(grams) - size(array_distinct(grams))).cast("double") /
-        size(grams).cast("double"))
+    // The gram array appears ONCE (interpreted HOFs re-evaluate every
+    // reference — see topNgramFraction); the total gram count is
+    // size(toks) − n + 1 by construction, no second build needed.
+    val grams = transform(sequence(lit(0), size(toks) - n),
+      i => concat_ws(" ", slice(toks, i + 1, lit(n))))
+    val nGrams = size(toks) - (n - 1)
+    when(size(toks) >= n,
+      (nGrams - size(array_distinct(grams))).cast("double") /
+        nGrams.cast("double"))
       .otherwise(lit(0.0))
   }
 

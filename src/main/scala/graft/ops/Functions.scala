@@ -94,8 +94,14 @@ object Functions {
 
     // Truncation-toward-zero semantics pinned on both engines (DuckDB's
     // double→int cast rounds, so the oracle spells trunc()).
+    // repartition before the 8-cast projection: the fixture parquet is
+    // one row group (unsplittable), so without the exchange 600 k rows
+    // of decimal/string/timestamp materialization serialize onto one
+    // core; at 100 TB the scan has thousands of splits and the same
+    // plan parallelizes without it (the x_text_repetition rationale).
     "f_cast_try" -> ((s, d) =>
       t(s, d, "lineitem")
+        .repartition(col("l_orderkey"))
         .select(
           col("l_orderkey"), col("l_linenumber"),
           col("l_linenumber").cast("double").as("ln_dbl"),

@@ -584,15 +584,44 @@ object Similarity {
     // (diffuse internal repetition ⇒ listicles, concatenated
     // boilerplate). Integer counts → one double division each, so exact
     // cross-engine. Pure map-side HOFs — no shuffle but the output sort.
-    "x_text_repetition" -> ((s, d) =>
-      t(s, d, "documents")
+    // RELATIONAL form of the repetition metrics: posexplode + window
+    // leads build the n-grams, vectorized codegen'd aggs count them.
+    // The per-row HOF Column functions (TextAnalysis.topNgramFraction /
+    // dupNgramFraction) compute the same values and compose into narrow
+    // FILTERS (curate's gates) without any shuffle — but HOF lambdas
+    // evaluate interpreted (no codegen), ~30× slower per row than this
+    // exploded shape, so the ANALYSIS-scale query uses the relational
+    // plan (11.4 s → ~2 s at sf0.1; DuckDB's identical SQL is the
+    // comparand). Same trade the minhash family settled in round 5 —
+    // composition form ≠ analysis form, values identical, both spec'd.
+    "x_text_repetition" -> ((s, d) => {
+      val base = t(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), "\\s+").as("tk"))
+      val toks = base.select(col("doc_id"),
+        posexplode(col("tk")).as(Seq("pos", "tok")))
+      val wo = Window.partitionBy("doc_id").orderBy("pos")
+      val grams = toks
+        .withColumn("t2", lead("tok", 1).over(wo))
+        .withColumn("t3", lead("tok", 2).over(wo))
+      val m2 = grams.filter(col("t2").isNotNull)
+        .select(col("doc_id"), concat_ws(" ", col("tok"), col("t2")).as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(max("c").as("best"))
+      val m3 = grams.filter(col("t3").isNotNull)
         .select(col("doc_id"),
-          size(split(col("text"), "\\s+")).as("n_tok"),
-          round(graft.functions.TextAnalysis.topNgramFraction(col("text"), 2), 6)
-            .as("top2_frac"),
-          round(graft.functions.TextAnalysis.dupNgramFraction(col("text"), 3), 6)
-            .as("dup3_frac"))
-        .orderBy("doc_id")),
+          concat_ws(" ", col("tok"), col("t2"), col("t3")).as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(sum("c").as("n3"), count(lit(1)).as("d3"))
+      base.select(col("doc_id"), size(col("tk")).as("n_tok"))
+        .join(m2, Seq("doc_id"), "left")
+        .join(m3, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tok"),
+          round(coalesce(least(col("best") * 2.0 / col("n_tok"), lit(1.0)),
+            lit(0.0)), 6).as("top2_frac"),
+          round(coalesce((col("n3") - col("d3")).cast("double") / col("n3"),
+            lit(0.0)), 6).as("dup3_frac"))
+        .orderBy("doc_id")
+    }),
 
     // DSIR-style importance scoring (Curation.importanceWeights/
     // importanceScore): target = the English split, background = the
@@ -631,7 +660,13 @@ object Similarity {
     // bigram join shuffles on its (w1,w2) key (corpus-derived dim, not
     // broadcast — the honest 100 TB shape); ln is the tfidf precedent.
     "x_text_perplexity" -> ((s, d) => {
-      val docs = t(s, d, "documents")
+      // repartition (one-row-group fixture input would serialize the
+      // bigram struct build — the x_text_repetition rationale) and
+      // CACHE: perplexityScore reads its corpus ~5× (bigram counts,
+      // unigram counts, vocab scalar, scoring side, doc spine) — cached,
+      // those are 5 reads of one materialization, not 5 scans+builds
+      val docs = graft.ops.T.cached(
+        t(s, d, "documents").repartition(col("doc_id")))
       graft.operators.Curation.perplexityScore(docs, docs)
         .orderBy("doc_id")
     }),

@@ -214,12 +214,25 @@ class PropertySpec extends SparkSpec {
     }
   }
 
-  test("repetition fractions live in [0,1]; zero only without repeats") {
-    SparkEntry.queries("x_text_repetition")(spark, sf()).collect().foreach { r =>
+  test("repetition fractions live in [0,1]; relational form == HOF Column form") {
+    val rel = SparkEntry.queries("x_text_repetition")(spark, sf()).collect()
+    rel.foreach { r =>
       val (t2, d3) = (r.getDouble(2), r.getDouble(3))
       assert(t2 >= 0.0 && t2 <= 1.0, s"top2_frac $t2")
       assert(d3 >= 0.0 && d3 <= 1.0, s"dup3_frac $d3")
     }
+    // the graded exploded plan and the narrow filter-composable Column
+    // functions must agree value for value (the minhash native≡relational
+    // equivalence device)
+    val hof = T.t(spark, sf(), "documents")
+      .select(col("doc_id"),
+        size(split(col("text"), "\\s+")).as("n_tok"),
+        round(graft.functions.TextAnalysis.topNgramFraction(col("text"), 2), 6)
+          .as("top2_frac"),
+        round(graft.functions.TextAnalysis.dupNgramFraction(col("text"), 3), 6)
+          .as("dup3_frac"))
+      .orderBy("doc_id").collect()
+    assert(rel.toSeq === hof.toSeq)
   }
 
   test("pack chunks conserve docs and tokens per group; chunks near budget") {
