@@ -34,8 +34,11 @@ object Verify {
       // checkpoint materializes the result at full parallelism and the
       // coalesce then just concatenates partitions in order (row order,
       // which the comparator checks, is preserved; repartition(1) would
-      // keep parallelism but scramble it).
-      try fn(spark, sfDir).localCheckpoint(true).coalesce(1)
+      // keep parallelism but scramble it). T.checkpointed registers the
+      // blocks so the per-key releaseCaches below actually frees them —
+      // a bare localCheckpoint leaks every key's full result into
+      // storage memory for the rest of the 124-key sweep.
+      try ops.T.checkpointed(fn(spark, sfDir), eager = true).coalesce(1)
         .write.mode("overwrite").parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

@@ -109,10 +109,18 @@ object TextAnalysis {
     */
   final case class BpeMerge(step: Int, lhs: String, rhs: String, cnt: Long)
 
-  /** Symbol separator inside a word's in-training representation — a
-    * control char (U+001F) that whitespace tokens can never contain, so
-    * separator-joined symbol sequences stay unambiguous even when a
-    * merged symbol's text equals the concatenation of its parts.
+  /** Symbol boundary marker inside a word's in-training representation —
+    * a control char (U+001F) that whitespace tokens can never contain.
+    * The representation is SENTINEL-PADDED with a DOUBLED interior
+    * separator: `US s1 US US s2 US US … sn US`. Every symbol is flanked
+    * by its own pair of USes, so a merge pattern `US s1 US US s2 US` can
+    * only match at true symbol boundaries — a single-separator encoding
+    * is ambiguous (symbols ["ab","c"] contain "b␟c", so rule (b,c)
+    * would fuse mid-symbol, a merge BPE never chose) — and, because
+    * adjacent occurrences share no US (each occurrence carries its own),
+    * left-to-right non-overlapping replace() still fuses every
+    * occurrence, which is exactly the Sennrich re-tokenization rule. The
+    * replacement `US s1s2 US` restores the canonical form.
     */
   private val US = "\u001f"
 
@@ -143,18 +151,21 @@ object TextAnalysis {
     */
   def trainBpeMerges(docs: org.apache.spark.sql.DataFrame, textCol: String,
       numMerges: Int, maxWordLen: Int = 32): Seq[BpeMerge] = {
-    var words = docs
+    val words0 = docs
       .select(explode(tokens(col(textCol))).as("w"))
       .filter(length(col("w")).between(1, maxWordLen))
       .groupBy("w").agg(count(lit(1)).as("f"))
-      .select(array_join(transform(sequence(lit(1), length(col("w"))),
-        i => col("w").substr(i, lit(1))), US).as("seq"), col("f"))
-      .localCheckpoint(true)
+      .select(concat(lit(US), array_join(transform(sequence(lit(1), length(col("w"))),
+        i => col("w").substr(i, lit(1))), US + US), lit(US)).as("seq"), col("f"))
+    // T.checkpointed, not a bare localCheckpoint: Dataset.unpersist does
+    // not free checkpoint blocks (LogicalRDD leaf), so the per-round
+    // frames would otherwise linger in storage memory until GC.
+    var words = graft.ops.T.checkpointed(words0, eager = true)
     val merges = Seq.newBuilder[BpeMerge]
     var step = 1
     var done = false
     while (step <= numMerges && !done) {
-      val sp = split(col("seq"), US)
+      val sp = split(col("seq").substr(lit(2), length(col("seq")) - 2), US + US)
       // sequence(1, 0) DESCENDS in Spark — fully-fused single-symbol
       // words must leave before the pair explode, not hit element_at OOB.
       val best = words.filter(size(sp) >= 2)
@@ -171,10 +182,11 @@ object TextAnalysis {
           (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         merges += BpeMerge(step, s1, s2, cnt)
         val old = words
-        words = words.select(
-          replace(col("seq"), lit(s1 + US + s2), lit(s1 + s2)).as("seq"),
-          col("f")).localCheckpoint(true)
-        old.unpersist()
+        words = graft.ops.T.checkpointed(words.select(
+          replace(col("seq"), lit(US + s1 + US + US + s2 + US),
+            lit(US + s1 + s2 + US)).as("seq"),
+          col("f")), eager = true)
+        graft.ops.T.freeCheckpoint(old)
         step += 1
       }
     }
@@ -209,11 +221,12 @@ object TextAnalysis {
     */
   def bpeTokensByMerges(text: Column, merges: Seq[BpeMerge]): Column =
     flatten(transform(tokens(text), w => {
-      val seq0 = array_join(transform(sequence(lit(1), length(w)),
-        i => w.substr(i, lit(1))), US)
+      val seq0 = concat(lit(US), array_join(transform(sequence(lit(1), length(w)),
+        i => w.substr(i, lit(1))), US + US), lit(US))
       val fused = merges.foldLeft(seq0: Column)((acc, m) =>
-        replace(acc, lit(m.lhs + US + m.rhs), lit(m.lhs + m.rhs)))
-      split(fused, US)
+        replace(acc, lit(US + m.lhs + US + US + m.rhs + US),
+          lit(US + m.lhs + m.rhs + US)))
+      split(fused.substr(lit(2), length(fused) - 2), US + US)
     }))
 
   /** Canonical Unicode bytes (NFC): run before ANY hash-based stage on a

@@ -359,11 +359,17 @@ object Ann {
       nLists: Int = 8, nProbe: Int = 2, iters: Int = 3,
       m: Int = 2, pqK: Int = 4, pqRounds: Int = 1,
       refine: Int = 0): DataFrame = {
-    val base = emb.select(col("vec_id"), embDouble(col("embedding")).as("emb"))
-      .persist()
+    // T.cached, not persist + early unpersist: the lazy `coded` plan
+    // below reads `base` too, but only executes when the CALLER acts on
+    // the returned frame — an unpersist here would drop the cached
+    // corpus projection before that scan ever ran, so only
+    // lloydCentroids (whose driver loop materializes inside this call)
+    // benefited while the coded scan silently recomputed. The registry
+    // releases it after the consuming query materializes.
+    val base = graft.ops.T.cached(
+      emb.select(col("vec_id"), embDouble(col("embedding")).as("emb")))
     val centroids = lloydCentroids(base, nLists, iters)
     val cb = pqCodebook(emb, m, pqK, pqRounds)
-    base.unpersist(blocking = false)
     val sub = cb(0)(0).length
     // corpus side: (vec_id, cid, c0..c{m-1}) — lists + codes, no floats
     val coded = assignTo(base, centroids, "cid")
@@ -461,7 +467,16 @@ object Ann {
     */
   private def checkedCentroids(spark: org.apache.spark.sql.SparkSession,
       table: String): Array[(Int, Seq[Double])] = {
-    val cRows = spark.table(table + "_centroids").collect()
+    val cTable = spark.table(table + "_centroids")
+    val cRows = cTable.collect()
+    // Empty table or a pre-epoch layout (an index written by an older
+    // build with no epoch column) must raise the same actionable
+    // message, not a NoSuchElement/ArrayIndexOutOfBounds from head()
+    if (cRows.isEmpty || !cTable.columns.contains("epoch") ||
+        !spark.table(table).columns.contains("epoch"))
+      throw new IllegalStateException(
+        s"IVF index `$table` is unusable (empty or pre-epoch centroids " +
+          "table) — rebuild it with writeIvfIndex")
     val cEpoch = cRows.head.getString(2)
     val lEpoch = spark.table(table).select("epoch").limit(1)
       .collect().headOption.map(_.getString(0))
@@ -837,7 +852,14 @@ object Ann {
 
   private def checkedPqCodebook(spark: org.apache.spark.sql.SparkSession,
       table: String): (Array[Array[Array[Double]]], String) = {
-    val cbRows = spark.table(table + "_codebook").collect()
+    val cbTable = spark.table(table + "_codebook")
+    val cbRows = cbTable.collect()
+    // same guard as checkedCentroids: empty/pre-epoch → actionable error
+    if (cbRows.isEmpty || !cbTable.columns.contains("epoch") ||
+        !spark.table(table).columns.contains("epoch"))
+      throw new IllegalStateException(
+        s"PQ index `$table` is unusable (empty or pre-epoch codebook " +
+          "table) — rebuild it with writePqIndex")
     val cEpoch = cbRows.head.getString(3)
     val lEpoch = spark.table(table).select("epoch").limit(1)
       .collect().headOption.map(_.getString(0))

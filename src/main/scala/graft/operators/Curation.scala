@@ -446,8 +446,12 @@ object Curation {
       lr: Double = 8.0): Seq[Double] = {
     def round9(v: Double): Double =
       BigDecimal.valueOf(v).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
-    val ft = classifierFeatures(docs, targetCond, textCol, buckets)
-      .localCheckpoint(true) // flat plan across rounds, vocab-bounded rows
+    // flat plan across rounds, vocab-bounded rows; T.checkpointed (not a
+    // bare localCheckpoint) so the blocks are actually freed — Dataset
+    // .unpersist does NOT drop checkpoint blocks (LogicalRDD leaf, not a
+    // cached plan), they otherwise linger until the RDD object is GC'd
+    val ft = graft.ops.T.checkpointed(
+      classifierFeatures(docs, targetCond, textCol, buckets), eager = true)
     try {
       val nDocs = docs.count().toDouble
       var w = Array.fill(buckets)(0.0)
@@ -464,7 +468,7 @@ object Curation {
           round9(w(b) + lr * grads.getOrElse(b.toLong, 0.0) / nDocs))
       }
       w.toIndexedSeq
-    } finally ft.unpersist()
+    } finally graft.ops.T.freeCheckpoint(ft)
   }
 
   /** Score documents with [[trainQualityClassifier]] weights: σ(w·x)

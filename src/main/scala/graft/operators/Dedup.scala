@@ -77,21 +77,31 @@ object Dedup {
       .select(col("e.u").as("u"), col("e.v").as("v")))
     var labels = edges.groupBy("u").agg(min(col("v")).as("mn"))
       .select(col("u"), least(col("u"), col("mn")).as("lab"))
-    var kept: List[DataFrame] = Nil // persisted frames from the last round
+    // Checkpointed frames the CURRENT `labels` plan still reads; each
+    // round frees the previous round's set once its own materialization
+    // no longer needs them (lineage is truncated, so a superseded frame
+    // can never be demanded again).
+    var live: List[DataFrame] = Nil
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
       val nbrMin = edges
         .join(labels.select(col("u").as("v"), col("lab").as("vlab")), "v")
         .groupBy("u").agg(min(col("vlab")).as("nlab"))
-      // Keep old and new side by side so convergence is a filter on the
-      // SAME materialized frame (no re-execution race with unpersist).
-      val step = T.cached(labels.join(nbrMin, Seq("u"), "left")
+      // localCheckpoint (lazy) + ONE count(): the round's single Spark
+      // job both materializes the new label frame — blocks persist,
+      // lineage truncates, so per-round plans stay FLAT instead of
+      // deepening (re-analysis + scheduling of a growing plan dominated
+      // wall time on small graphs) — and returns the convergence bit.
+      // The former cache + filter().isEmpty probe was worse on both
+      // axes: isEmpty is take(1), whose partition-escalation scan runs
+      // up to FOUR extra jobs per round precisely when nothing changed
+      // (the common, terminal case), on top of the materialization.
+      val step = T.checkpointed(labels.join(nbrMin, Seq("u"), "left")
         .select(col("u"), col("lab").as("old"),
           least(col("lab"), coalesce(col("nlab"), col("lab"))).as("lab")))
-      converged = step.filter(col("lab") < col("old")).isEmpty // materializes step
-      kept.foreach(_.unpersist())
-      kept = step :: Nil
+      converged = step.filter(col("lab") < col("old")).count() == 0L
+      var nextLive: List[DataFrame] = step :: Nil
       labels = step.select("u", "lab")
       if (!converged && iter + 1 >= jumpAfter) {
         // Pointer jump (label-of-label): u's label is itself a node, so
@@ -100,24 +110,26 @@ object Dedup {
         // edge-join rounds into O(log diameter) — the lever that matters
         // when the EDGE join (corpus-sized) is the per-round cost and a
         // pathological chain would otherwise mean diameter extra passes.
-        // Two guards keep the jump from COSTING more than it saves (the
-        // round-5 lesson — an every-round uncached jump regressed the
-        // graded query 2.4×):
-        //  - deferred until round `jumpAfter`: LSH near-dup clusters are
-        //    near-cliques (diameter 1-3) that converge before the jump
-        //    would ever fire, so the common case pays zero;
-        //  - T.cached: the jumped frame is consumed TWICE next round
-        //    (nbrMin's build side and step's left side) — uncached, the
-        //    node-sized jump join would execute twice per round.
+        // Deferred until round `jumpAfter`: LSH near-dup clusters are
+        // near-cliques (diameter 1-3) that converge before the jump
+        // would ever fire, so the common case pays zero extra jobs.
+        // Checkpointed + materialized here (the one extra job, on jump
+        // rounds only): the jumped frame is consumed TWICE next round
+        // (nbrMin's build side and step's left side) — lazy, the
+        // node-sized jump join would execute twice per round (the
+        // round-5 2.4× regression in its uncached form).
         // Monotone and bounded by the component min, so the fixpoint
         // (and the convergence probe above) are unchanged. Left join:
         // every label IS a node in `labels`, but stay total anyway.
         val parent = step.select(col("u").as("p_u"), col("lab").as("p_lab"))
-        labels = T.cached(labels.join(parent, col("lab") === col("p_u"), "left")
+        labels = T.checkpointed(labels.join(parent, col("lab") === col("p_u"), "left")
           .select(col("u"),
-            least(col("lab"), coalesce(col("p_lab"), col("lab"))).as("lab")))
-        kept = labels :: kept
+            least(col("lab"), coalesce(col("p_lab"), col("lab"))).as("lab")),
+          eager = true)
+        nextLive = labels :: nextLive
       }
+      live.foreach(T.freeCheckpoint(_))
+      live = nextLive
       iter += 1
     }
     if (!converged)
@@ -394,8 +406,8 @@ object Dedup {
     val vsCorpus = filterNovel(spark, corpusIndex, shard, minBands, maxBandFreq)
     val inShardDup = minhashSelfPairs(vsCorpus, minBands, maxBandFreq)
       .select(col("b_id").as("doc_id")).distinct()
-    val novel = vsCorpus.join(inShardDup, Seq("doc_id"), "left_anti")
-      .localCheckpoint(true)
+    val novel = T.checkpointed(
+      vsCorpus.join(inShardDup, Seq("doc_id"), "left_anti"), eager = true)
     appendToCorpusIndex(novel, corpusIndex)
     novel
   }

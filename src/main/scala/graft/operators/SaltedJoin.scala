@@ -25,4 +25,23 @@ object SaltedJoin {
     val r = right.withColumn("_salt", explode(sequence(lit(0), lit(nSalts - 1))))
     l.join(r, Seq(key, "_salt")).drop("_salt")
   }
+
+  /** DATA-SIZED salt factors: one row per `key` value with
+    * `_nsalts = clamp(ceil(n_key / target), 1, cap)`. A fixed factor
+    * (worse: one tied to `spark.sql.shuffle.partitions`) replicates the
+    * right side in proportion to CONFIGURATION — at a real cluster's
+    * thousands of shuffle partitions the shuffle volume scales with
+    * cluster size at constant data. Deriving the factor from measured
+    * group sizes instead means: groups small enough for one task's
+    * share of the quadratic work pay ZERO replication (`_nsalts` = 1),
+    * and a hot group is split just enough (`target` rows per salt cell),
+    * never more than `cap`. One tiny aggregation (key-cardinality rows —
+    * broadcast it into the salted join); the declarative form keeps the
+    * whole decision inside the plan, no driver action.
+    */
+  def saltCounts(df: DataFrame, key: String, target: Long, cap: Int): DataFrame =
+    df.groupBy(key).agg(count(lit(1)).as("_n"))
+      .select(col(key),
+        least(lit(cap), greatest(lit(1),
+          ceil(col("_n").cast("double") / target))).cast("int").as("_nsalts"))
 }

@@ -114,6 +114,49 @@ private[graft] object T {
   /** Persisted intermediates awaiting release (see [[cached]]). */
   private val liveCaches = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
 
+  /** localCheckpoint'd RDDs awaiting release (see [[checkpointed]]). */
+  private val liveCheckpoints =
+    new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.rdd.RDD[_]]()
+
+  /** The persisted RDD backing a localCheckpoint'd frame. Checkpoint
+    * blocks are NOT freed by `DataFrame.unpersist` (the frame's plan is a
+    * LogicalRDD leaf, not an InMemoryRelation) — without an explicit
+    * rdd-level unpersist they die only when the RDD object is GC'd, so a
+    * long multi-query session accumulates them in storage memory (the
+    * round-7 pass-2 hazard).
+    */
+  def checkpointRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }
+
+  /** localCheckpoint + leak-proofing — the checkpoint twin of [[cached]]:
+    * truncates lineage (per-round plans in driver loops stay flat) and
+    * registers the backing RDD so [[releaseCaches]] frees its blocks once
+    * the consuming query has materialized. `eager = false` lets the
+    * CALLER's next action be the one materialization (a driver loop's
+    * convergence count doubles as the checkpoint job); pass true when no
+    * such action follows.
+    *
+    * Freeing is safe only after the frame is truly dead: lineage is
+    * truncated, so a consumer arriving after the blocks are dropped
+    * cannot recompute — it throws. The harness calls releaseCaches
+    * strictly after each query's materialization, and loop-internal
+    * frees go through [[freeCheckpoint]] on provably superseded rounds.
+    */
+  def checkpointed(df: DataFrame, eager: Boolean = false): DataFrame = {
+    val cp = df.localCheckpoint(eager)
+    checkpointRdd(cp).foreach(liveCheckpoints.add)
+    cp
+  }
+
+  /** Free a [[checkpointed]] frame's blocks NOW (idempotent; also still
+    * registered for the harness-level release, where a second unpersist
+    * is a no-op).
+    */
+  def freeCheckpoint(df: DataFrame, blocking: Boolean = false): Unit =
+    checkpointRdd(df).foreach(_.unpersist(blocking))
+
   /** persist() + leak-proofing. The §2b query contract returns a LAZY
     * frame, so a query lambda can never unpersist its own intermediates
     * (cleanup before return would forfeit the multi-consumer reuse the
@@ -141,6 +184,11 @@ private[graft] object T {
     while (df != null) {
       df.unpersist(blocking)
       df = liveCaches.poll()
+    }
+    var rdd = liveCheckpoints.poll()
+    while (rdd != null) {
+      rdd.unpersist(blocking)
+      rdd = liveCheckpoints.poll()
     }
   }
 

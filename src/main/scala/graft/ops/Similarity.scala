@@ -247,18 +247,27 @@ object Similarity {
       // corpus-sized broadcast (a 100 TB corpus's masks don't fit an
       // executor). Languages are few and skewed, so a plain lang join
       // would put each language's C(n,2) work in ONE task: salt it
-      // (operators/SaltedJoin pattern) — side a gets a deterministic salt
-      // from a_id, side b is replicated across all salts, and the join
-      // key becomes (lang, salt). Replication factor trades shuffle
-      // volume for parallelism; at 100 TB you'd compose with the minhash
+      // (operators/SaltedJoin) — side a gets a deterministic salt from
+      // a_id, side b is replicated across that lang's salts, and the
+      // join key becomes (lang, salt). The salt factor is DATA-SIZED
+      // (SaltedJoin.saltCounts: ceil(group/512) capped at the shuffle
+      // parallelism — one lang-cardinality agg, broadcast into both
+      // sides): a factor fixed to shuffle.partitions replicated the
+      // whole b side 32× here regardless of need, and on a real cluster
+      // would scale the shuffle volume with CONFIG, not data (the
+      // round-7 regression). At 100 TB you'd compose with the minhash
       // prefilter (module Scaladoc) before this exact verifier.
-      val nSalts = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
-      val a = masks.select(col("doc_id").as("a_id"), col("lang"),
-          col("mask").as("ma"), col("n").as("na"))
-        .withColumn("salt", pmod(hash(col("a_id")), lit(nSalts)))
-      val b = masks.select(col("doc_id").as("b_id"),
-          col("lang").as("lang_b"), col("mask").as("mb"), col("n").as("nb"))
-        .withColumn("salt_b", explode(sequence(lit(0), lit(nSalts - 1))))
+      val cap = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+      val salts = broadcast(graft.operators.SaltedJoin.saltCounts(
+        masks, "lang", target = 512L, cap = cap))
+      val a = masks.join(salts, "lang")
+        .select(col("doc_id").as("a_id"), col("lang"),
+          col("mask").as("ma"), col("n").as("na"),
+          pmod(hash(col("doc_id")), col("_nsalts")).as("salt"))
+      val b = masks.join(salts, "lang")
+        .select(col("doc_id").as("b_id"),
+          col("lang").as("lang_b"), col("mask").as("mb"), col("n").as("nb"),
+          explode(sequence(lit(0), col("_nsalts") - 1)).as("salt_b"))
       a.join(b, col("lang") === col("lang_b") && col("salt") === col("salt_b") &&
           col("a_id") < col("b_id") &&
           col("na").cast("double") >= col("nb") * 0.6 &&
@@ -724,7 +733,7 @@ object Similarity {
     // included). Write = narrow map, read = splittable lines; the only
     // shuffle is the final agg.
     "x_io_jsonl" -> ((s, d) => {
-      val dir = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
+      val dir = jsonlScratch
       graft.sources.DocumentIO.writeJsonl(t(s, d, "documents"), dir)
       graft.sources.DocumentIO.readJsonl(s, dir,
           graft.sources.DocumentIO.documentsSchema)
@@ -955,6 +964,43 @@ object Similarity {
         .select(col("doc_id") +: fs.zipWithIndex.map { case (c, i) =>
           round(c, 6).as(s"f$i") }: _*)
         .orderBy("doc_id")
+    }),
+
+    // Multimodal REAL-DECODE path under the oracle (the hashfeat key's
+    // missing half — that one grades only the opaque-blob fallback):
+    // per selected doc, a deterministic 8×8 grayscale test pattern
+    // (pixel (x,y) = (doc_id·31 + y·8 + x·7) mod 256) is encoded through
+    // the REAL ImageIO PNG writer and decoded back through the REAL
+    // MediaCodec.imageLuminance → meanPool(4) feature path inside
+    // mapPartitions — the exact plumbing a binary media column uses.
+    // Cross-engine exactness: the grayscale raster round-trips sample-
+    // exact (no colorspace math), luminance is v/255 in float32 and the
+    // 2×2-cell mean is Σ(v/255)/4 — multiplying back by 4·255 and
+    // rounding recovers the INTEGER pixel sum exactly (float error
+    // ≲3e-7·1020 ≪ 0.5), so the graded columns are pure integer
+    // arithmetic the oracle restates with UNNEST(range) — no decoder on
+    // the DuckDB side, no float comparison anywhere. Narrow map + final
+    // sort; at 100 TB the decode parallelizes per object like every
+    // BinaryMedia verb.
+    "x_media_decode" -> ((s, d) => {
+      import s.implicits._
+      val ids = fan(s, t(s, d, "documents")
+        .filter(col("doc_id") % 10 === 0).select(col("doc_id")))
+      ids.as[Long].mapPartitions { it =>
+        it.flatMap { id =>
+          val png = graft.sources.MediaCodec.grayPng(8, 8,
+            (x, y) => ((id * 31 + y * 8 + x * 7) % 256).toInt)
+          val (w, h, lum) = graft.sources.MediaCodec.imageLuminance(png)
+            .getOrElse(throw new IllegalStateException(
+              s"self-built PNG for doc $id failed to decode"))
+          val pooled = graft.sources.MediaCodec.meanPool(w, h, lum, 4)
+          pooled.iterator.zipWithIndex.map { case (m, i) =>
+            (id, i, math.round(m.toDouble * 4 * 255)) }
+        }
+      }.toDF("doc_id", "cell", "cell_sum")
+        .select(col("doc_id"), col("cell").cast("int").as("cell"),
+          col("cell_sum").cast("bigint").as("cell_sum"))
+        .orderBy("doc_id", "cell")
     })
   )
 
@@ -1009,19 +1055,74 @@ object Similarity {
     sb.toString
   }
 
-  private def bpeOracleSql(n: Int): String = {
+  /** Per-JVM scratch dir for x_io_jsonl: ONE directory, reused (the write
+    * is mode=overwrite) by every invocation and deleted recursively at
+    * JVM exit — a fresh `createTempDirectory` per call leaked a full
+    * corpus copy on disk per invocation (twice per Bench run, plus every
+    * spec that touches the key), with nothing ever deleting them.
+    */
+  private lazy val jsonlScratch: String = {
+    val p = java.nio.file.Files.createTempDirectory("graft_jsonl")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(p.toFile)
+    }))
+    p.toString
+  }
+
+  /** Unrolled min-label-propagation transitive closure over an existing
+    * `edges(u, v)` CTE — replaces `WITH RECURSIVE` reachability, whose
+    * walk set is quadratic in component size (the documented sf0.1 DuckDB
+    * non-terminator: >10 min on the minhash pair graph where Spark ran
+    * the same semantics in seconds). Each unrolled round is one
+    * neighbor-min propagation plus one pointer jump (lab(lab(u))), so
+    * label reach at least doubles per round: `rounds` = 16 covers any
+    * component diameter ≤ 2^16 — far beyond any real pair graph — while
+    * state stays node-sized throughout (the same algorithm the engine
+    * side runs in operators/Dedup.connectedComponents, whose fixpoint is
+    * the unique component-min labeling). A graph somehow needing more
+    * rounds would mismatch the engine's exact fixpoint LOUDLY in the
+    * hash compare, never silently truncate. Appends CTEs l0, p1, s1,
+    * l1, …; the final labels CTE is `l<rounds>`(u, lab).
+    */
+  private def ccClosureSql(rounds: Int): String = {
     val sb = new StringBuilder
-    sb ++= "WITH w0 AS (SELECT array_to_string(list_transform(range(1, length(w) + 1), " +
-      "i -> substring(w, CAST(i AS INTEGER), 1)), chr(31)) AS seq, f FROM (" +
-      "SELECT w, count(*) AS f FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) " +
+    sb ++= "l0 AS MATERIALIZED (SELECT u, least(u, min(v)) AS lab FROM edges GROUP BY u)"
+    for (i <- 1 to rounds) {
+      sb ++= s", p$i AS MATERIALIZED (SELECT e.u, min(l.lab) AS nlab FROM edges e " +
+        s"JOIN l${i - 1} l ON l.u = e.v GROUP BY e.u)"
+      sb ++= s", s$i AS MATERIALIZED (SELECT l.u, least(l.lab, coalesce(p.nlab, l.lab)) AS lab " +
+        s"FROM l${i - 1} l LEFT JOIN p$i p ON p.u = l.u)"
+      sb ++= s", l$i AS MATERIALIZED (SELECT s.u, least(s.lab, coalesce(t.lab, s.lab)) AS lab " +
+        s"FROM s$i s LEFT JOIN s$i t ON t.u = s.lab)"
+    }
+    sb.toString
+  }
+
+  private def bpeOracleSql(n: Int): String = {
+    // Representation mirrors TextAnalysis.US exactly: sentinel-padded,
+    // DOUBLED interior separator (chr(31)=U+001F) — merge patterns only
+    // match at true symbol boundaries (single-separator was ambiguous:
+    // symbols [ab,c] contain "b␟c") while adjacent occurrences still all
+    // fuse under non-overlapping replace (each carries its own USes).
+    // Tokenization is regexp \s+ — the same rule as TextAnalysis.tokens
+    // (string_split on ' ' would diverge on tabs/newlines/multi-space).
+    val sb = new StringBuilder
+    sb ++= "WITH w0 AS (SELECT chr(31) || array_to_string(list_transform(range(1, length(w) + 1), " +
+      "i -> substring(w, CAST(i AS INTEGER), 1)), chr(31) || chr(31)) || chr(31) AS seq, f FROM (" +
+      "SELECT w, count(*) AS f FROM (SELECT unnest(regexp_split_to_array(text, '\\s+')) AS w FROM documents) " +
       "WHERE length(w) BETWEEN 1 AND 32 GROUP BY w))"
     for (i <- 1 to n) {
-      sb ++= s", sp$i AS (SELECT f, string_split(seq, chr(31)) AS sp FROM w${i - 1})"
+      sb ++= s", sp$i AS (SELECT f, string_split(substring(seq, 2, length(seq) - 2), chr(31) || chr(31)) AS sp FROM w${i - 1})"
       sb ++= s", p$i AS (SELECT sp[CAST(j AS INTEGER)] AS s1, sp[CAST(j + 1 AS INTEGER)] AS s2, SUM(f) AS cnt " +
         s"FROM sp$i, UNNEST(range(1, len(sp))) AS r$i(j) GROUP BY s1, s2)"
       sb ++= s", b$i AS (SELECT s1, s2, cnt FROM p$i ORDER BY cnt DESC, s1 ASC, s2 ASC LIMIT 1)"
       if (i < n)
-        sb ++= s", w$i AS (SELECT replace(w.seq, b.s1 || chr(31) || b.s2, b.s1 || b.s2) AS seq, w.f " +
+        sb ++= s", w$i AS (SELECT replace(w.seq, chr(31) || b.s1 || chr(31) || chr(31) || b.s2 || chr(31), " +
+          s"chr(31) || b.s1 || b.s2 || chr(31)) AS seq, w.f " +
           s"FROM w${i - 1} w CROSS JOIN b$i b)"
     }
     sb ++= " SELECT * FROM (" + (1 to n).map(i =>
@@ -1225,30 +1326,26 @@ object Similarity {
         "SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_bands " +
         "FROM sigs a JOIN sigs b ON a.seed = b.seed AND a.mh = b.mh AND a.doc_id < b.doc_id " +
         "GROUP BY a_id, b_id HAVING count(*) >= 4 ORDER BY a_id, b_id"),
-    // ORACLE-scale trap (engine side is fine): this recursive
-    // reachability CTE materializes the full walk set, which explodes
-    // combinatorially on large components — at sf0.1 DuckDB did not
-    // finish in >10 min while the Spark label-propagation form ran the
-    // same semantics in ~8 s. Grading runs at sf0.01, where it completes;
-    // if the driver ever grades at a larger SF, the timeout will be the
-    // oracle, not the engine.
+    // Closure via the UNROLLED label-propagation CTEs (ccClosureSql) —
+    // the former WITH RECURSIVE reachability walk was quadratic in
+    // component size and did not terminate at sf0.1 (>10 min in DuckDB
+    // where the Spark label-propagation form ran the same semantics in
+    // seconds); the unrolled form verifies at every SF.
     "x_dedup_cluster" ->
-      ("WITH RECURSIVE toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents), " +
+      ("WITH toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents), " +
         "sigs AS (SELECT doc_id, seed, min(md5(tok || '#' || CAST(seed AS VARCHAR))) AS mh " +
         "FROM toks CROSS JOIN (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) seeds(seed) " +
         "GROUP BY doc_id, seed), " +
         "pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id " +
         "FROM sigs a JOIN sigs b ON a.seed = b.seed AND a.mh = b.mh AND a.doc_id < b.doc_id " +
         "GROUP BY a_id, b_id HAVING count(*) >= 4), " +
-        "edges AS (SELECT a_id AS u, b_id AS v FROM pairs UNION SELECT b_id AS u, a_id AS v FROM pairs), " +
-        "walk(u, v) AS (SELECT u, v FROM edges " +
-        "UNION SELECT w.u, e.v FROM walk w JOIN edges e ON w.v = e.u WHERE e.v <> w.u), " +
-        "lab AS (SELECT u, least(u, min(v)) AS cluster_id FROM walk GROUP BY u) " +
-        "SELECT u AS doc_id, cluster_id, " +
-        "count(*) OVER (PARTITION BY cluster_id) AS n_members " +
-        "FROM lab ORDER BY doc_id"),
+        "edges AS MATERIALIZED (SELECT a_id AS u, b_id AS v FROM pairs UNION ALL SELECT b_id AS u, a_id AS v FROM pairs), " +
+        ccClosureSql(16) + " " +
+        "SELECT u AS doc_id, lab AS cluster_id, " +
+        "count(*) OVER (PARTITION BY lab) AS n_members " +
+        "FROM l16 ORDER BY doc_id"),
     "x_dedup_keepbest" ->
-      ("WITH RECURSIVE d AS (SELECT doc_id, text, CAST(n_chars AS BIGINT) AS n_chars FROM documents WHERE doc_id % 2 = 0), " +
+      ("WITH d AS (SELECT doc_id, text, CAST(n_chars AS BIGINT) AS n_chars FROM documents WHERE doc_id % 2 = 0), " +
         "toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM d), " +
         "sigs AS (SELECT doc_id, seed, min(md5(tok || '#' || CAST(seed AS VARCHAR))) AS mh " +
         "FROM toks CROSS JOIN (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) seeds(seed) " +
@@ -1256,14 +1353,12 @@ object Similarity {
         "pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id " +
         "FROM sigs a JOIN sigs b ON a.seed = b.seed AND a.mh = b.mh AND a.doc_id < b.doc_id " +
         "GROUP BY a_id, b_id HAVING count(*) >= 8), " +
-        "edges AS (SELECT a_id AS u, b_id AS v FROM pairs UNION SELECT b_id AS u, a_id AS v FROM pairs), " +
-        "walk(u, v) AS (SELECT u, v FROM edges " +
-        "UNION SELECT w.u, e.v FROM walk w JOIN edges e ON w.v = e.u WHERE e.v <> w.u), " +
-        "lab AS (SELECT u, least(u, min(v)) AS cluster_id FROM walk GROUP BY u), " +
-        "mem AS (SELECT l.u AS doc_id, l.cluster_id, d.n_chars, " +
-        "count(*) OVER (PARTITION BY l.cluster_id) AS n_members, " +
-        "row_number() OVER (PARTITION BY l.cluster_id ORDER BY d.n_chars DESC, l.u ASC) AS rk " +
-        "FROM lab l JOIN d ON d.doc_id = l.u) " +
+        "edges AS MATERIALIZED (SELECT a_id AS u, b_id AS v FROM pairs UNION ALL SELECT b_id AS u, a_id AS v FROM pairs), " +
+        ccClosureSql(16) + ", " +
+        "mem AS (SELECT l.u AS doc_id, l.lab AS cluster_id, d.n_chars, " +
+        "count(*) OVER (PARTITION BY l.lab) AS n_members, " +
+        "row_number() OVER (PARTITION BY l.lab ORDER BY d.n_chars DESC, l.u ASC) AS rk " +
+        "FROM l16 l JOIN d ON d.doc_id = l.u) " +
         "SELECT cluster_id, doc_id AS survivor_id, n_members, n_chars " +
         "FROM mem WHERE rk = 1 ORDER BY cluster_id"),
     "x_dedup_incremental" ->
@@ -1525,6 +1620,20 @@ object Similarity {
         (0 until 4).map(j =>
           s"round(CAST(('0x' || substring(md5(text || ':$j'), 1, 8)) AS BIGINT) / 4294967296.0, 6) AS f$j")
           .mkString(", ") +
-        " FROM documents ORDER BY doc_id")
+        " FROM documents ORDER BY doc_id"),
+    // the engine really encodes + decodes a PNG; the oracle restates the
+    // graded integer cell sums directly (pixel (x,y) = (id·31+y·8+x·7)
+    // mod 256, cell (r,c) sums its 2×2 block) — see the query comment
+    // for why the decode round trip makes the two exactly equal
+    "x_media_decode" ->
+      ("WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 0), " +
+        "cells AS (SELECT r, c FROM (SELECT unnest(range(4)) AS r) rr " +
+        "CROSS JOIN (SELECT unnest(range(4)) AS c) cc), " +
+        "offs AS (SELECT dy, dx FROM (SELECT unnest(range(2)) AS dy) a " +
+        "CROSS JOIN (SELECT unnest(range(2)) AS dx) b) " +
+        "SELECT i.doc_id, CAST(g.r * 4 + g.c AS INTEGER) AS cell, " +
+        "CAST(SUM((i.doc_id * 31 + (g.r * 2 + o.dy) * 8 + (g.c * 2 + o.dx) * 7) % 256) AS BIGINT) AS cell_sum " +
+        "FROM ids i CROSS JOIN cells g CROSS JOIN offs o " +
+        "GROUP BY i.doc_id, g.r, g.c ORDER BY doc_id, cell")
   )
 }

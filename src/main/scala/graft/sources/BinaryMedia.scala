@@ -85,6 +85,29 @@ object MediaCodec {
     bos.toByteArray
   }
 
+  /** Deterministic grayscale test-pattern PNG: pixel (x, y) carries the
+    * 8-bit value `f(x, y) & 0xFF`, encoded through the REAL ImageIO PNG
+    * writer. TYPE_BYTE_GRAY stores raw samples, and [[imageLuminance]]'s
+    * grayscale fast path reads them back at native bit depth with no
+    * colorspace conversion — so the encode→decode round trip is
+    * bit-exact on the sample values. That exactness is what lets a pure
+    * integer-arithmetic SQL oracle grade the real decode path end to end
+    * (x_media_decode); it is also the natural synthetic fixture for
+    * decode specs.
+    */
+  def grayPng(w: Int, h: Int, f: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { raster.setSample(x, y, 0, f(x, y) & 0xFF); x += 1 }
+      y += 1
+    }
+    encodePng(img)
+  }
+
   /** Decode an image payload to (width, height, row-major luminance in
     * [0, 1]). Rec.601 luma weights. None if the bytes aren't a decodable
     * image (corrupt objects must not kill a 100 TB scan — callers drop or

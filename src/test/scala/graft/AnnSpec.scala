@@ -538,6 +538,27 @@ class AnnSpec extends SparkSpec {
     assert(salted === plain)
   }
 
+  test("SaltedJoin.saltCounts: factors are data-sized — ceil(n/target) clamped to [1, cap]") {
+    import spark.implicits._
+    // groups: sml×5 (fits one task → ZERO replication), med×1000,
+    // big×5000 (ceil = 10, clamped to cap) — the x_dedup_jaccard policy:
+    // replication derives from measured group sizes, never from
+    // shuffle.partitions (a config-sized factor replicates the corpus
+    // proportionally to CLUSTER size — the round-7 regression)
+    val rows = (1 to 5).map(i => ("sml", i)) ++
+      (1 to 1000).map(i => ("med", i)) ++ (1 to 5000).map(i => ("big", i))
+    val df = rows.toDF("k", "v")
+    val out = SaltedJoin.saltCounts(df, "k", target = 512L, cap = 4)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(out === Map("sml" -> 1, "med" -> 2, "big" -> 4))
+    // replication bound: the salted right side carries exactly
+    // Σ n_k · min(cap, max(1, ceil(n_k/target))) rows — never n × cap
+    val replicated = df.join(broadcast(SaltedJoin.saltCounts(df, "k", 512L, 4)), "k")
+      .select(col("k"), explode(sequence(lit(0), col("_nsalts") - 1)).as("s"))
+      .count()
+    assert(replicated === (5L * 1 + 1000L * 2 + 5000L * 4))
+  }
+
   test("GraftExtensions: function injected and degenerate clamp optimized away") {
     val prev = spark // keep shared session alive
     SparkSession.clearActiveSession()

@@ -2,13 +2,13 @@ package graft
 
 /** T1 blanket contract checks: every declared query runs on sf0.001,
   * the queries/oracleSql maps are mutually consistent, and the declared
-  * inventory matches SURVEY.md §2b (124 keys, 122 oracle-checked).
+  * inventory matches SURVEY.md §2b (125 keys, 123 oracle-checked).
   */
 class ContractSpec extends SparkSpec {
 
-  test("inventory matches SURVEY §2b: 124 queries, 122 with oracle SQL") {
-    assert(SparkEntry.queries.size === 124)
-    assert(SparkEntry.oracleSql.size === 122)
+  test("inventory matches SURVEY §2b: 125 queries, 123 with oracle SQL") {
+    assert(SparkEntry.queries.size === 125)
+    assert(SparkEntry.oracleSql.size === 123)
     assert(SparkEntry.queries.keySet.intersect(Set("a_approx_hll", "t_stream_runtime")).size === 2)
   }
 

@@ -477,6 +477,53 @@ class LibrarySpec extends SparkSpec {
     assert(cnt === 4) // four whole-word tokens
   }
 
+  test("trainBpeMerges: merges anchor at symbol boundaries (suffix-colliding corpus)") {
+    import spark.implicits._
+    // ab×3, bc×2, abc×1. Round 1 fuses (a,b) cnt 4 → "abc" becomes
+    // [ab, c]. Round 2 fuses (b,c) cnt 2 — whose pattern under a
+    // single-separator encoding is a SUFFIX of [ab, c]'s representation
+    // ("b␟c" matches inside "ab␟c"), which would fuse [ab, c] → [abc]:
+    // a merge BPE never chose. The sentinel-padded double-separator
+    // representation only matches true symbol boundaries, so [ab, c]
+    // survives round 2 and round 3 finds the genuine (ab, c) pair.
+    val docs = Seq((1L, "ab ab ab bc bc abc")).toDF("doc_id", "text")
+    val m = TextAnalysis.trainBpeMerges(docs, "text", numMerges = 3)
+    assert(m.map(r => (r.step, r.lhs, r.rhs, r.cnt)) === Seq(
+      (1, "a", "b", 4L), (2, "b", "c", 2L), (3, "ab", "c", 1L)))
+    // inference replays the same rule: "abc" under the first two merges
+    // must stay [ab, c] — the (b, c) rule may not fire mid-symbol
+    val toks = Seq("abc").toDF("text")
+      .select(TextAnalysis.bpeTokensByMerges(col("text"), m.take(2)).as("t"))
+      .head().getSeq[String](0)
+    assert(toks === Seq("ab", "c"))
+    // adjacent occurrences still all fuse (each carries its own
+    // boundary markers): "abab" under rule (a,b) → [ab, ab]
+    val mm = TextAnalysis.trainBpeMerges(
+      Seq((1L, "ab ab")).toDF("doc_id", "text"), "text", numMerges = 1)
+    val t2 = Seq("abab").toDF("text")
+      .select(TextAnalysis.bpeTokensByMerges(col("text"), mm).as("t"))
+      .head().getSeq[String](0)
+    assert(t2 === Seq("ab", "ab"))
+  }
+
+  test("grayPng → imageLuminance → meanPool recovers integer pixel sums exactly") {
+    import graft.sources.MediaCodec
+    // the x_media_decode device: real PNG encode + real decode, graded
+    // as integers — every sample and every 2×2 cell sum must be exact
+    val f = (x: Int, y: Int) => (x * 7 + y * 8 + 3) % 256
+    val png = MediaCodec.grayPng(8, 8, f)
+    val (w, h, lum) = MediaCodec.imageLuminance(png).get
+    assert((w, h) === ((8, 8)))
+    for (y <- 0 until 8; x <- 0 until 8)
+      assert(math.round(lum(y * 8 + x) * 255f) === f(x, y))
+    val pooled = MediaCodec.meanPool(8, 8, lum, 4)
+    val sums = pooled.map(m => math.round(m.toDouble * 4 * 255)).toSeq
+    val expect = for (r <- 0 until 4; c <- 0 until 4) yield
+      (for (dy <- 0 to 1; dx <- 0 to 1)
+        yield f(c * 2 + dx, r * 2 + dy)).sum.toLong
+    assert(sums === expect)
+  }
+
   test("trainBpeMerges: hand-computed merge sequence on the classic low/lower/lowest corpus") {
     import spark.implicits._
     // Word frequencies: low×3, lower×1, lowest×1. BPE by hand:
