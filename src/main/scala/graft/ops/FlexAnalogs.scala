@@ -152,6 +152,48 @@ object FlexAnalogs {
         .orderBy("user_id"))
       ,
 
+    // flexdata analog (data.py::read_flexraylog): scanner-settings text →
+    // canonical geometry record, through the REAL GeometryLog parser
+    // (regexp key/value split, case/whitespace-insensitive broadcast alias
+    // vocabulary, numeric-prefix extraction, per-dataset pivot agg, derived
+    // magnification/det_pixel/img_pixel). The fixture builds 6 datasets'
+    // worth of deliberately messy vendor lines (mixed case, ragged spacing,
+    // unit suffixes "kV"/"ms", an unknown "Comment" key carrying digits, a
+    // duplicate-alias voltage pair); the ORACLE states the expected record
+    // directly from the dataset index and never parses — so what is graded
+    // is parser fidelity against an engine that has no parser.
+    "x_flex_geometry" -> ((s, d) => {
+      val ids = s.range(6).select(col("id").cast("int").as("i"))
+      val lines = ids
+        .select(col("i"), explode(array(
+          lit("FlexRay acquisition settings"),
+          concat(lit("  SOD :  "), lit(300) + col("i") * 7),
+          concat(lit("SDD: "), lit(700) + col("i") * 11),
+          concat(lit("Binning value : "), lit(1) + col("i") % 2),
+          concat(lit("# Projections : "), lit(600) + col("i") * 10),
+          lit("Start Angle : 0"),
+          lit("Last Angle : 360"),
+          concat(lit("Tube Voltage : "), lit(90) + col("i"), lit(" kV")),
+          concat(lit("Voltage : "), lit(90) + col("i")),
+          concat(lit("Tube Power : "), lit(45) + col("i") * 2, lit(" W")),
+          concat(lit("Number of Averages : "), lit(1) + col("i") % 3),
+          concat(lit("Exposure time (ms) : "), lit(99) + col("i"), lit(" ms")),
+          concat(lit("ver_tube : "), lit(-2.5) + col("i") * 0.5),
+          concat(lit("tra_det : "), col("i") * 1.25),
+          concat(lit("Comment : calibration run "), col("i")),
+          concat(lit("ROI (LTRB) : "), lit(10) + col("i"), lit(", "),
+            lit(20) + col("i"), lit(", "), lit(950) - col("i"), lit(", "),
+            lit(760) - col("i")))).as("line"))
+        .select(concat(lit("scan"), col("i")).as("dataset_id"), col("line"))
+      graft.sources.GeometryLog.parseSettings(lines)
+        .select("dataset_id", "src2obj", "src2det", "det2obj", "binning",
+          "theta_count", "theta_first", "theta_last", "voltage", "power",
+          "averages", "exposure_ms", "src_vrt", "det_hrz",
+          "roi_l", "roi_t", "roi_r", "roi_b",
+          "magnification", "det_pixel", "img_pixel")
+        .orderBy("dataset_id")
+    }),
+
     // R11 analog (process.py::affine): a 4×16×16 integer voxel grid is
     // derived from events (cell value = min event_id % 65536, empty cells
     // 0), rotated 90° in-plane through the REAL Volume.affine gather path
@@ -184,6 +226,32 @@ object FlexAnalogs {
         .select(col("z"), col("y"), col("x").cast("bigint").as("x"),
           round(col("vf"), 0).cast("bigint").as("v"))
         .orderBy("z", "y", "x")
+    }),
+
+    // R11 analog, spline-order-3 half (process.py::affine with order=3):
+    // the REAL Volume.affineCubic (Keys 1981 cubic convolution) resamples
+    // the quadratic field f(y,x) = (x + 2y)² on a 1×8×8 slab under a
+    // half-voxel oblique shift — source = out − (0, ½, ½). Keys a=−½ has
+    // approximation order 3, so on the INTERIOR (full 4³ stencil inside)
+    // the result is exactly f(y−½, x−½) = (2x + 4y − 3)²/4; graded as the
+    // ×4 integer (exact in float: dyadic quarters ≤ 729/4), against an
+    // oracle that states the closed-form polynomial and never interpolates
+    // — any kernel/weight/stencil defect hash-fails.
+    "x_flex_affine_cubic" -> ((s, d) => {
+      val slab = s.range(8)
+        .select(lit("c").as("dataset_id"), lit(0).cast("int").as("z"),
+          col("id").cast("int").as("y"))
+        .withColumn("xs", expr(
+          "transform(sequence(0, 7), x -> cast((x + 2 * y) * (x + 2 * y) as float))"))
+      val ident = Array(Array(1.0, 0.0, 0.0), Array(0.0, 1.0, 0.0),
+        Array(0.0, 0.0, 1.0))
+      graft.operators.Volume.affineCubic(slab, ident, (0.0, 0.5, 0.5), (1, 8, 8))
+        .select(col("y").cast("bigint").as("y"),
+          posexplode(col("xs")).as(Seq("x", "vf")))
+        .filter(col("y").between(2, 5) && col("x").between(2, 5))
+        .select(col("y"), col("x").cast("bigint").as("x"),
+          round(col("vf") * 4, 0).cast("bigint").as("v4"))
+        .orderBy("y", "x")
     })
   )
 
@@ -252,6 +320,32 @@ object FlexAnalogs {
         "min(value) AS min_v, max(value) AS max_v, count(*) AS n " +
         "FROM (SELECT user_id, date_trunc('milliseconds', ts) AS ts_ms, value FROM events) " +
         "WHERE value > 100 GROUP BY user_id ORDER BY user_id"),
+    // The oracle never parses: it restates the canonical record straight
+    // from the dataset index (the same device as x_flex_affine's pure
+    // coordinate remap), so any parser defect — alias miss, unit-suffix
+    // leak, duplicate-key nondeterminism, ROI split drift — hash-fails.
+    "x_flex_geometry" ->
+      ("SELECT 'scan' || i AS dataset_id, " +
+        "CAST(300 + 7*i AS DOUBLE) AS src2obj, " +
+        "CAST(700 + 11*i AS DOUBLE) AS src2det, " +
+        "CAST(400 + 4*i AS DOUBLE) AS det2obj, " +
+        "CAST(1 + i % 2 AS BIGINT) AS binning, " +
+        "CAST(600 + 10*i AS BIGINT) AS theta_count, " +
+        "CAST(0 AS DOUBLE) AS theta_first, " +
+        "CAST(360 AS DOUBLE) AS theta_last, " +
+        "CAST(90 + i AS DOUBLE) AS voltage, " +
+        "CAST(45 + 2*i AS DOUBLE) AS power, " +
+        "CAST(1 + i % 3 AS BIGINT) AS averages, " +
+        "CAST(99 + i AS DOUBLE) AS exposure_ms, " +
+        "CAST(-2.5 + 0.5*i AS DOUBLE) AS src_vrt, " +
+        "CAST(1.25*i AS DOUBLE) AS det_hrz, " +
+        "CAST(10 + i AS BIGINT) AS roi_l, CAST(20 + i AS BIGINT) AS roi_t, " +
+        "CAST(950 - i AS BIGINT) AS roi_r, CAST(760 - i AS BIGINT) AS roi_b, " +
+        "round(CAST(700 + 11*i AS DOUBLE) / (300 + 7*i), 6) AS magnification, " +
+        "round(CAST((1 + i % 2) * 0.074833 AS DOUBLE), 6) AS det_pixel, " +
+        "round((1 + i % 2) * 0.074833 * (300 + 7*i) / (700 + 11*i), 6) AS img_pixel " +
+        "FROM range(0, 6) t(i) ORDER BY dataset_id"),
+
     "x_flex_affine" ->
       ("WITH cells AS (SELECT event_id % 4 AS z, (event_id // 4) % 16 AS y, " +
         "(event_id // 64) % 16 AS x, min(event_id) % 65536 AS v " +
@@ -262,6 +356,10 @@ object FlexAnalogs {
         "LEFT JOIN cells c ON c.z = g.z AND c.y = g.y AND c.x = g.x) " +
         "SELECT g.z AS z, g.y AS y, g.x AS x, f.v AS v " +
         "FROM grid g JOIN filled f ON f.z = g.z AND f.y = g.x AND f.x = 15 - g.y " +
-        "ORDER BY z, y, x")
+        "ORDER BY z, y, x"),
+    "x_flex_affine_cubic" ->
+      ("SELECT gy.range AS y, gx.range AS x, " +
+        "CAST((2 * gx.range + 4 * gy.range - 3) * (2 * gx.range + 4 * gy.range - 3) AS BIGINT) AS v4 " +
+        "FROM range(2, 6) gy, range(2, 6) gx ORDER BY y, x")
   )
 }

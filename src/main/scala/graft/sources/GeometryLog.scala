@@ -1,0 +1,151 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scanner-settings parsing: vendor acquisition logs → one canonical
+  * geometry record per dataset (reference: flexdata data.py::read_flexraylog
+  * / ::parse_flexray_metadata — mount empty at survey time, SURVEY §0; the
+  * key vocabulary and derived-field formulas below follow the PUBLIC
+  * flexdata semantics: src2obj/src2det in mm, magnification = src2det /
+  * src2obj, img_pixel = det_pixel / magnification, det_pixel = binning ×
+  * unbinned pitch).
+  *
+  * The reference parses one log file imperatively on one machine; a 100 TB
+  * volume store has one small log per dataset but MILLIONS of datasets, so
+  * the Spark-first shape is a line-frame pipeline: `(dataset_id, line)` →
+  * key/value regexp split → broadcast alias join (the vendor-key
+  * vocabulary is a few dozen rows) → one grouped pivot-aggregation per
+  * dataset. Everything is codegen'd Column work; the only shuffle is the
+  * final per-dataset agg, keyed on dataset_id (perfectly parallel, no
+  * skew — every dataset contributes the same ~dozen lines).
+  *
+  * Robustness mirrors the reference's parser: keys match case- and
+  * whitespace-insensitively, unknown keys are ignored, numeric values are
+  * extracted as the first decimal literal in the value (so "99 ms" and
+  * "0.1mm" parse), and missing fields surface as NULL (callers decide
+  * whether a null src2det is fatal — [[requireComplete]] gives the strict
+  * form).
+  */
+object GeometryLog {
+
+  /** FlexRay unbinned detector pixel pitch, mm (public flexdata constant). */
+  val DefaultDetPitchMm: Double = 0.074833
+
+  /** Vendor key (lower-cased, space-collapsed) → canonical field. The
+    * vocabulary is the public flexdata translation table plus the obvious
+    * aliases the reference accepts across log dialects ("scan settings" vs
+    * "data settings XRE").
+    */
+  val KeyAliases: Seq[(String, String)] = Seq(
+    "sod" -> "src2obj",
+    "sdd" -> "src2det",
+    "voxel size" -> "img_pixel_logged",
+    "binning value" -> "binning",
+    "binning" -> "binning",
+    "# projections" -> "theta_count",
+    "number of projections" -> "theta_count",
+    "start angle" -> "theta_first",
+    "first angle" -> "theta_first",
+    "last angle" -> "theta_last",
+    "tube voltage" -> "voltage",
+    "voltage" -> "voltage",
+    "tube power" -> "power",
+    "power" -> "power",
+    "number of averages" -> "averages",
+    "averages" -> "averages",
+    "exposure time (ms)" -> "exposure_ms",
+    "exposure time" -> "exposure_ms",
+    "exposure" -> "exposure_ms",
+    "ver_tube" -> "src_vrt",
+    "ver_det" -> "det_vrt",
+    "tra_det" -> "det_hrz",
+    "tra_obj" -> "axs_hrz",
+    "tra_tube" -> "src_hrz",
+    "roi (ltrb)" -> "roi",
+    "roi" -> "roi")
+
+  /** Numeric canonical fields, in output order. */
+  private val NumFields: Seq[String] = Seq(
+    "src2obj", "src2det", "binning", "theta_count", "theta_first",
+    "theta_last", "voltage", "power", "averages", "exposure_ms",
+    "src_vrt", "det_vrt", "det_hrz", "axs_hrz", "src_hrz")
+
+  /** Integer-typed subset of [[NumFields]] (counts, not measurements). */
+  private val IntFields = Set("binning", "theta_count", "averages")
+
+  /** Read per-dataset settings files under `glob` (one text file per
+    * dataset directory, the reference's on-disk layout) into the
+    * `(dataset_id, line)` frame [[parseSettings]] consumes. dataset_id is
+    * the file's parent directory name — the reference's convention of one
+    * scan folder per acquisition.
+    */
+  def readSettingsDir(spark: SparkSession, glob: String): DataFrame =
+    spark.read.textFile(glob).toDF("line")
+      .withColumn("dataset_id",
+        regexp_extract(input_file_name(), "([^/]+)/[^/]+$", 1))
+      .select("dataset_id", "line")
+
+  /** Parse `(dataset_id, line)` settings lines into one canonical geometry
+    * record per dataset. See object doc for the plan shape.
+    *
+    * @param detPitchMm unbinned detector pixel pitch (mm); det_pixel =
+    *        binning × detPitchMm, img_pixel = det_pixel / magnification.
+    */
+  def parseSettings(lines: DataFrame,
+      detPitchMm: Double = DefaultDetPitchMm): DataFrame = {
+    val aliases = broadcast(
+      lines.sparkSession.createDataFrame(KeyAliases).toDF("raw_key", "field"))
+    // key : value split; keys are case/whitespace-normalized (lower, trim,
+    // collapse runs of spaces) to match the vendor dialects.
+    val kv = lines
+      .withColumn("raw_key", regexp_replace(
+        lower(trim(regexp_extract(col("line"), "^([^:]+?)\\s*:", 1))),
+        "\\s+", " "))
+      .withColumn("val_str", trim(regexp_extract(col("line"), ":\\s*(.*)$", 1)))
+      .filter(col("raw_key") =!= "")
+      .join(aliases, Seq("raw_key")) // inner: unknown keys ignored
+      // first decimal literal in the value → numeric form ("99 ms" → 99)
+      .withColumn("num",
+        regexp_extract(col("val_str"), "([-+]?[0-9]+(?:\\.[0-9]+)?)", 1)
+          .cast("double"))
+    // One grouped agg pivots the ~dozen lines per dataset into one record;
+    // min() makes a duplicated key deterministic (the reference keeps the
+    // first occurrence; logs are tiny so any associative pick is sound —
+    // min is order-independent under Spark's partial aggregation).
+    val numAggs = NumFields.map(f =>
+      min(when(col("field") === f, col("num"))).as(f))
+    val roiAgg = min(when(col("field") === "roi", col("val_str"))).as("roi_str")
+    val rec = kv.groupBy("dataset_id").agg(numAggs.head, (numAggs.tail :+ roiAgg): _*)
+    // Derived fields (public flexdata formulas) + ROI corner split.
+    val typed = IntFields.foldLeft(rec)((df, f) =>
+      df.withColumn(f, col(f).cast("bigint")))
+    typed
+      .withColumn("det2obj", col("src2det") - col("src2obj"))
+      .withColumn("magnification",
+        round(col("src2det") / col("src2obj"), 6))
+      .withColumn("det_pixel",
+        round(col("binning") * lit(detPitchMm), 6))
+      .withColumn("img_pixel",
+        round(col("binning") * lit(detPitchMm) * col("src2obj") / col("src2det"), 6))
+      .withColumn("roi_arr", split(col("roi_str"), "\\s*,\\s*"))
+      .withColumn("roi_l", element_at(col("roi_arr"), 1).cast("bigint"))
+      .withColumn("roi_t", element_at(col("roi_arr"), 2).cast("bigint"))
+      .withColumn("roi_r", element_at(col("roi_arr"), 3).cast("bigint"))
+      .withColumn("roi_b", element_at(col("roi_arr"), 4).cast("bigint"))
+      .drop("roi_str", "roi_arr")
+  }
+
+  /** Strict form: fail fast when a record is missing the fields no
+    * reconstruction can proceed without (the reference raises on absent
+    * SOD/SDD too).
+    */
+  def requireComplete(geo: DataFrame): DataFrame = {
+    val bad = geo.filter(
+      col("src2obj").isNull || col("src2det").isNull || col("binning").isNull)
+      .select("dataset_id").limit(5).collect().map(_.getString(0))
+    require(bad.isEmpty,
+      s"settings incomplete (need sod/sdd/binning) for: ${bad.mkString(", ")}")
+    geo
+  }
+}

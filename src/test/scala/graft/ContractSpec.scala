@@ -2,13 +2,13 @@ package graft
 
 /** T1 blanket contract checks: every declared query runs on sf0.001,
   * the queries/oracleSql maps are mutually consistent, and the declared
-  * inventory matches SURVEY.md §2b (125 keys, 123 oracle-checked).
+  * inventory matches SURVEY.md §2b (127 keys, 125 oracle-checked).
   */
 class ContractSpec extends SparkSpec {
 
-  test("inventory matches SURVEY §2b: 125 queries, 123 with oracle SQL") {
-    assert(SparkEntry.queries.size === 125)
-    assert(SparkEntry.oracleSql.size === 123)
+  test("inventory matches SURVEY §2b: 127 queries, 125 with oracle SQL") {
+    assert(SparkEntry.queries.size === 127)
+    assert(SparkEntry.oracleSql.size === 125)
     assert(SparkEntry.queries.keySet.intersect(Set("a_approx_hll", "t_stream_runtime")).size === 2)
   }
 

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.GeometryLog
+
+/** T1 tests for scanner-settings parsing (flexdata
+  * data.py::read_flexraylog analog): vendor log text → canonical geometry
+  * record, including the derived magnification/pixel formulas, alias
+  * dialects, unit-suffix extraction, and the strict completeness gate.
+  */
+class GeometryLogSpec extends SparkSpec {
+
+  private def toLines(id: String, text: String) = {
+    import spark.implicits._
+    text.split("\n").toSeq.toDF("line").select(lit(id).as("dataset_id"), col("line"))
+  }
+
+  test("parses a FlexRay-style settings block into the canonical record") {
+    val log =
+      """FlexRay acquisition settings
+        |SOD : 304.0
+        |SDD : 742.0
+        |Binning value : 2
+        |# Projections : 1441
+        |Start angle : 0
+        |Last angle : 360
+        |Tube voltage : 90 kV
+        |Tube power : 45 W
+        |Number of averages : 1
+        |Exposure time (ms) : 99 ms
+        |ver_tube : -2.5
+        |tra_det : 1.25
+        |ROI (LTRB) : 10, 20, 950, 760
+        |Comment : calibration run 7""".stripMargin
+    val r = GeometryLog.parseSettings(toLines("s1", log)).head()
+    def d(n: String) = r.getDouble(r.fieldIndex(n))
+    def l(n: String) = r.getLong(r.fieldIndex(n))
+    assert(r.getString(r.fieldIndex("dataset_id")) === "s1")
+    assert(d("src2obj") === 304.0 && d("src2det") === 742.0)
+    assert(d("det2obj") === 438.0)
+    assert(l("binning") === 2L && l("theta_count") === 1441L)
+    assert(d("theta_first") === 0.0 && d("theta_last") === 360.0)
+    // unit suffixes must not leak into the numeric parse
+    assert(d("voltage") === 90.0 && d("power") === 45.0 && d("exposure_ms") === 99.0)
+    assert(d("src_vrt") === -2.5 && d("det_hrz") === 1.25)
+    assert(l("roi_l") === 10L && l("roi_t") === 20L &&
+      l("roi_r") === 950L && l("roi_b") === 760L)
+    // public flexdata formulas: mag = sdd/sod, det_pixel = binning × pitch,
+    // img_pixel = det_pixel / mag
+    assert(d("magnification") === math.rint(742.0 / 304.0 * 1e6) / 1e6)
+    assert(d("det_pixel") === 0.149666)
+    assert(d("img_pixel") === math.rint(2 * 0.074833 * 304.0 / 742.0 * 1e6) / 1e6)
+  }
+
+  test("alias dialects and case/whitespace-insensitive keys co-resolve") {
+    val a = GeometryLog.parseSettings(toLines("a",
+      "Number of projections : 600\nsdd:700\n  sod  :  300\nbinning : 1")).head()
+    assert(a.getLong(a.fieldIndex("theta_count")) === 600L)
+    assert(a.getDouble(a.fieldIndex("src2obj")) === 300.0)
+    assert(a.getDouble(a.fieldIndex("magnification")) ===
+      math.rint(700.0 / 300.0 * 1e6) / 1e6)
+  }
+
+  test("unknown keys are ignored; missing fields surface as null") {
+    val r = GeometryLog.parseSettings(toLines("m",
+      "SOD : 300\nSDD : 700\nSample name : widget 9\nOperator : 5")).head()
+    assert(r.isNullAt(r.fieldIndex("binning")))
+    assert(r.isNullAt(r.fieldIndex("voltage")))
+    assert(r.isNullAt(r.fieldIndex("roi_l")))
+    // derived fields needing binning stay null too, never garbage
+    assert(r.isNullAt(r.fieldIndex("det_pixel")))
+  }
+
+  test("requireComplete passes a full record, rejects a missing SDD") {
+    val ok = GeometryLog.parseSettings(toLines("ok",
+      "SOD : 300\nSDD : 700\nBinning value : 1"))
+    assert(GeometryLog.requireComplete(ok).count() === 1)
+    val bad = GeometryLog.parseSettings(toLines("bad", "SOD : 300\nBinning value : 1"))
+    val e = intercept[IllegalArgumentException](GeometryLog.requireComplete(bad))
+    assert(e.getMessage.contains("bad"))
+  }
+
+  test("readSettingsDir keys each file's lines by its parent directory") {
+    val root = java.nio.file.Files.createTempDirectory("graft_geo")
+    for ((ds, sod) <- Seq("scanA" -> 300, "scanB" -> 330)) {
+      val dir = root.resolve(ds)
+      java.nio.file.Files.createDirectory(dir)
+      java.nio.file.Files.write(dir.resolve("scan settings.txt"),
+        s"SOD : $sod\nSDD : 700\nBinning value : 1".getBytes("UTF-8"))
+    }
+    val geo = GeometryLog.parseSettings(
+      GeometryLog.readSettingsDir(spark, s"$root/*/*.txt"))
+      .orderBy("dataset_id").collect()
+    assert(geo.map(_.getString(0)).toSeq === Seq("scanA", "scanB"))
+    assert(geo.map(r => r.getDouble(r.fieldIndex("src2obj"))).toSeq ===
+      Seq(300.0, 330.0))
+  }
+}

@@ -24,6 +24,25 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("x_flex_geometry broadcasts the alias vocabulary (log lines never shuffle pre-agg)") {
+    // The vendor-key vocabulary is a few dozen rows — it must broadcast;
+    // the ONLY shuffle should be the per-dataset pivot agg. A shuffle of
+    // the line frame on raw_key would be a scale regression (at millions
+    // of datasets the lines side is corpus-sized).
+    val plan = SparkEntry.queries("x_flex_geometry")(spark, sf())
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected BHJ on alias key:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"x_flex_geometry:\n$plan")
+  }
+
+  test("x_flex_affine_cubic gathers via equi-join (64-tap fan-out, no cartesian)") {
+    val plan = SparkEntry.queries("x_flex_affine_cubic")(spark, sf())
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"x_flex_affine_cubic:\n$plan")
+  }
+
   test("x_ann_bucket_topk candidate join is a broadcast-hash join on the bucket key") {
     // The probe side is a fixed, tiny set by construction — the bucket
     // equi-join must broadcast it, never shuffle the corpus side.

@@ -314,6 +314,72 @@ class VolumeSpec extends SparkSpec {
     assert(math.abs(outMean) < 0.1, f"exterior $outMean%.3f should be ~0")
   }
 
+  test("affineCubic reproduces a quadratic field exactly on the interior (R11 order-3)") {
+    // f(y,x) = (x + 2y)²; half-voxel oblique shift. Keys a=−½ has
+    // approximation order 3 ⇒ interior result is EXACTLY f(y−½, x−½);
+    // trilinear is first-order and must miss on the same field — the gap
+    // between the two is the order-3 claim, not just agreement.
+    val slab = Volume.fromArray(spark, "q",
+      Array.tabulate(1, 8, 8)((_, y, x) => ((x + 2 * y) * (x + 2 * y)).toFloat))
+    val ident = Array(Array(1.0, 0.0, 0.0), Array(0.0, 1.0, 0.0), Array(0.0, 0.0, 1.0))
+    def interior(df: org.apache.spark.sql.DataFrame): Map[(Int, Int), Float] =
+      df.collect().flatMap { r =>
+        val y = r.getInt(2)
+        r.getSeq[Float](3).zipWithIndex.collect {
+          case (v, x) if y >= 2 && y <= 5 && x >= 2 && x <= 5 => (y, x) -> v
+        }
+      }.toMap
+    val cub = interior(Volume.affineCubic(slab, ident, (0.0, 0.5, 0.5), (1, 8, 8)))
+    val tri = interior(Volume.affine(slab, ident, (0.0, 0.5, 0.5), (1, 8, 8)))
+    var triMaxErr = 0.0
+    for (((y, x), v) <- cub) {
+      val exact = math.pow(x - 0.5 + 2 * (y - 0.5), 2)
+      assert(math.abs(v - exact) < 1e-3, s"cubic ($y,$x): $v vs $exact")
+      triMaxErr = math.max(triMaxErr, math.abs(tri((y, x)) - exact))
+    }
+    assert(triMaxErr > 0.5, f"trilinear err $triMaxErr%.3f should be visibly first-order")
+  }
+
+  test("affineCubic is exact on grid-aligned transforms (kernel collapses to identity)") {
+    val rot = Volume.affineCubic(vol4,
+      Array(Array(1.0, 0.0, 0.0), Array(0.0, 1.0, 0.0), Array(0.0, 0.0, 1.0)),
+      (0.0, 0.0, 0.0), (4, 4, 4)).collect()
+      .map(r => (r.getInt(1), r.getInt(2)) -> r.getSeq[Float](3)).toMap
+    for (z <- 0 until 4; y <- 0 until 4; x <- 0 until 4)
+      assert(math.abs(rot((z, y))(x) - (z * 100 + y * 10 + x)) < 1e-4)
+  }
+
+  test("fdk at r→∞ converges to parallel fbp; finite r stays a faithful disk (R23 cone)") {
+    val (w, nAng, outN, nRows) = (32, 24, 24, 3)
+    val sc = (w - 1) / 2.0
+    val r0 = 6.0
+    val chord = Array.tabulate(w) { x =>
+      val d = x - sc
+      if (math.abs(d) < r0) (2.0 * math.sqrt(r0 * r0 - d * d)).toFloat else 0f
+    }
+    val sino = Volume.fromArray(spark, "p",
+      Array.tabulate(nAng, nRows, w)((_, _, x) => chord(x)))
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(ro => (ro.getInt(1), ro.getInt(2)) -> ro.getSeq[Float](3)).toMap
+    val par = asMap(Volume.fbp(sino, nAng, outN))
+    val cone = asMap(Volume.fdk(sino, nAng, outN, 1e8, nRows))
+    assert(cone.keySet === par.keySet)
+    var maxDiff = 0.0
+    for ((k, pv) <- par; (a, b) <- pv.zip(cone(k)))
+      maxDiff = math.max(maxDiff, math.abs(a - b))
+    info(f"max |fdk(r=1e8) − fbp| = $maxDiff%.2e")
+    assert(maxDiff < 1e-3, f"fdk should converge to fbp, max diff $maxDiff%.2e")
+    // finite-r sanity: the centre slice still reconstructs the disk
+    val rec = asMap(Volume.fdk(sino, nAng, outN, 500.0, nRows))
+    val c = (outN - 1) / 2.0
+    val in = for {
+      ((sl, u), xs) <- rec.toSeq if sl == 1
+      v <- 0 until outN if math.hypot(u - c, v - c) < r0 - 3
+    } yield xs(v)
+    val inMean = in.sum / in.size
+    assert(math.abs(inMean - 1.0) < 0.15, f"finite-r interior $inMean%.3f should be ~1")
+  }
+
   test("registerTranslation recovers a known shift (R12) and normL2 (R21)") {
     val base = Volume.fromArray(spark, "r",
       Array.tabulate(5, 5, 5)((z, y, x) => if (z == 1 && y == 1 && x == 1) 4f else 0f))
