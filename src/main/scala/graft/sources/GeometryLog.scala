@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Scanner-settings parsing: vendor acquisition logs → one canonical
@@ -134,6 +134,52 @@ object GeometryLog {
       .withColumn("roi_r", element_at(col("roi_arr"), 3).cast("bigint"))
       .withColumn("roi_b", element_at(col("roi_arr"), 4).cast("bigint"))
       .drop("roi_str", "roi_arr")
+  }
+
+  /** Per-angle projection vectors from the canonical record (reference:
+    * flexdata data.py::astra_projection_geom / ::_vec_geom — the cone_vec
+    * form every downstream reconstructor consumes; mount empty at survey
+    * time, SURVEY §0). One row per (dataset, angle k):
+    * source position, detector-centre position, and the detector u
+    * (horizontal) / v (vertical) pixel basis vectors, all in mm, world
+    * frame with the rotation axis as +z.
+    *
+    * Convention (documented, self-consistent with [[parseSettings]]'s
+    * fields): at θ = 0 the source sits at (src_hrz − axs_hrz, −src2obj,
+    * src_vrt) and the detector centre at (det_hrz − axs_hrz, det2obj,
+    * det_vrt); the gantry rotates by θ_k = theta_first + k·span/count
+    * (endpoint-exclusive — a 0..360° scan of n projections steps 360/n,
+    * the reference's spacing) about +z; u rotates with the gantry, v is
+    * axial. Missing offsets default to 0 (the reference's behavior for
+    * absent motor positions); det_pixel carries the binning.
+    *
+    * Shape: pure narrow explode + trig Columns off the (tiny) geometry
+    * record — no shuffle, no action; a million-dataset record frame fans
+    * out to its per-angle table entirely map-side.
+    */
+  def projectionVectors(geo: DataFrame): DataFrame = {
+    val th = col("th")
+    def rotX(x: Column, y: Column) = cos(th) * x - sin(th) * y
+    def rotY(x: Column, y: Column) = sin(th) * x + cos(th) * y
+    val sx0 = coalesce(col("src_hrz"), lit(0.0)) - coalesce(col("axs_hrz"), lit(0.0))
+    val dx0 = coalesce(col("det_hrz"), lit(0.0)) - coalesce(col("axs_hrz"), lit(0.0))
+    geo
+      .withColumn("k", explode(expr("sequence(0, cast(theta_count as int) - 1)")))
+      .withColumn("theta_deg", col("theta_first") +
+        col("k") * (col("theta_last") - col("theta_first")) / col("theta_count"))
+      .withColumn("th", radians(col("theta_deg")))
+      .select(col("dataset_id"), col("k"), col("theta_deg"),
+        rotX(sx0, -col("src2obj")).as("src_x"),
+        rotY(sx0, -col("src2obj")).as("src_y"),
+        coalesce(col("src_vrt"), lit(0.0)).as("src_z"),
+        rotX(dx0, col("det2obj")).as("det_x"),
+        rotY(dx0, col("det2obj")).as("det_y"),
+        coalesce(col("det_vrt"), lit(0.0)).as("det_z"),
+        (cos(th) * col("det_pixel")).as("u_x"),
+        (sin(th) * col("det_pixel")).as("u_y"),
+        lit(0.0).as("u_z"),
+        lit(0.0).as("v_x"), lit(0.0).as("v_y"),
+        col("det_pixel").as("v_z"))
   }
 
   /** Strict form: fail fast when a record is missing the fields no

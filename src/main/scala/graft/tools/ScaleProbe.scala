@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
   * of 10c yields ~50c² pairs) — the probe prints output rows so the two
   * effects can be told apart.
   *
-  * `runMain graft.tools.ScaleProbe [sfDir] [keys|sigs|curation|cc|vocab|spans|bpe|quality|pq|all]`
+  * `runMain graft.tools.ScaleProbe [sfDir] [keys|sigs|curation|cc|vocab|spans|bpe|quality|pq|geo|all]`
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -196,6 +196,36 @@ object ScaleProbe {
         "explode(transform(sequence(0, 6), i -> " +
           "struct(id * 100 + i AS a_id, id * 100 + i + 1 AS b_id))) AS e")
         .select("e.a_id", "e.b_id")
+    // Geometry-log parsing: the reference parses one log per dataset on
+    // one machine; the Spark shape must stay corpus-linear in DATASET
+    // COUNT (regexp split + broadcast alias join are map-side; the only
+    // shuffle is the per-dataset pivot agg — no skew, every dataset
+    // contributes the same ~dozen lines). Factor ≈ 10 at 10× datasets is
+    // the linear claim, measured.
+    if (mode == "all" || mode == "geo") {
+      def geoLines(n: Long): DataFrame = {
+        val ids = spark.range(n)
+        ids.select(concat(lit("scan"), col("id")).as("dataset_id"),
+          explode(array(
+            concat(lit("  SOD :  "), lit(300) + col("id") % 50),
+            concat(lit("SDD: "), lit(700) + col("id") % 90),
+            concat(lit("Binning value : "), lit(1) + col("id") % 2),
+            concat(lit("# Projections : "), lit(600) + col("id") % 10),
+            lit("Start Angle : 0"), lit("Last Angle : 360"),
+            concat(lit("Tube Voltage : "), lit(90) + col("id") % 7, lit(" kV")),
+            concat(lit("Tube Power : "), lit(45) + col("id") % 13, lit(" W")),
+            concat(lit("Number of Averages : "), lit(1) + col("id") % 3),
+            concat(lit("Exposure time (ms) : "), lit(99) + col("id") % 5, lit(" ms")),
+            concat(lit("ver_tube : "), (col("id") % 11) * 0.5),
+            concat(lit("tra_det : "), (col("id") % 7) * 1.25),
+            concat(lit("Comment : calibration run "), col("id")),
+            concat(lit("ROI (LTRB) : "), lit(10) + col("id") % 4, lit(", 20, 950, 760"))
+          )).as("line"))
+      }
+      val (tg1, ng1) = time(graft.sources.GeometryLog.parseSettings(geoLines(100000L)))
+      val (tg10, ng10) = time(graft.sources.GeometryLog.parseSettings(geoLines(1000000L)))
+      println(f"geometry parse 100k datasets ${tg1}%6.2fs -> 1M ${tg10}%7.2fs  (factor ${tg10 / tg1}%5.1f; records $ng1 -> $ng10)")
+    }
     if (mode == "all" || mode == "cc") {
       val (tc1, nc1) = time(graft.operators.Dedup.connectedComponents(chainPairs(100000L)))
       val (tc10, nc10) = time(graft.operators.Dedup.connectedComponents(chainPairs(1000000L)))

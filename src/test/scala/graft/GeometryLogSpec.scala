@@ -80,6 +80,43 @@ class GeometryLogSpec extends SparkSpec {
     assert(e.getMessage.contains("bad"))
   }
 
+  test("projectionVectors: hand-checked θ=0/90° cone vectors from a parsed record") {
+    val geo = GeometryLog.parseSettings(toLines("v",
+      """SOD : 300
+        |SDD : 700
+        |Binning value : 2
+        |# Projections : 4
+        |Start angle : 0
+        |Last angle : 360
+        |ver_tube : -2.5
+        |tra_det : 1.25""".stripMargin))
+    val rows = GeometryLog.projectionVectors(geo).orderBy("k").collect()
+    assert(rows.length === 4) // endpoint-exclusive: 0, 90, 180, 270
+    def d(r: org.apache.spark.sql.Row, n: String) = r.getDouble(r.fieldIndex(n))
+    val p = 2 * 0.074833 // det_pixel carries the binning
+    val r0 = rows(0)
+    assert(d(r0, "theta_deg") === 0.0)
+    // θ=0: source behind the axis, detector ahead, u along +x, v axial
+    assert(math.abs(d(r0, "src_x") - 0.0) < 1e-9 &&
+      math.abs(d(r0, "src_y") + 300.0) < 1e-9 && d(r0, "src_z") === -2.5)
+    assert(math.abs(d(r0, "det_x") - 1.25) < 1e-9 &&
+      math.abs(d(r0, "det_y") - 400.0) < 1e-9)
+    assert(math.abs(d(r0, "u_x") - p) < 1e-12 && math.abs(d(r0, "u_y")) < 1e-12)
+    assert(d(r0, "v_x") === 0.0 && d(r0, "v_y") === 0.0 && d(r0, "v_z") === p)
+    val r90 = rows(1)
+    assert(d(r90, "theta_deg") === 90.0)
+    // R(90°): (x, y) → (−y, x)
+    assert(math.abs(d(r90, "src_x") - 300.0) < 1e-9 &&
+      math.abs(d(r90, "src_y")) < 1e-9)
+    assert(math.abs(d(r90, "det_x") + 400.0) < 1e-9 &&
+      math.abs(d(r90, "det_y") - 1.25) < 1e-9)
+    assert(math.abs(d(r90, "u_x")) < 1e-12 && math.abs(d(r90, "u_y") - p) < 1e-12)
+    // the per-angle fan-out is narrow: no shuffle in the plan
+    val plan = GeometryLog.projectionVectors(geo).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") || plan.indexOf("Exchange") >
+      plan.indexOf("Generate"), s"vector fan-out should not reshuffle:\n$plan")
+  }
+
   test("readSettingsDir keys each file's lines by its parent directory") {
     val root = java.nio.file.Files.createTempDirectory("graft_geo")
     for ((ds, sod) <- Seq("scanA" -> 300, "scanB" -> 330)) {
