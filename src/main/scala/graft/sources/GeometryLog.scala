@@ -182,6 +182,33 @@ object GeometryLog {
         col("det_pixel").as("v_z"))
   }
 
+  /** Inverse of [[parseSettings]] (reference: flexdata data.py::write_meta
+    * — the reference persists parsed geometry for downstream tools; mount
+    * empty at survey time, SURVEY §0): canonical record → `key : value`
+    * settings lines, one preferred vendor key per field, null fields
+    * omitted. Fixpoint contract (spec'd): re-parsing the emitted lines
+    * reproduces the record exactly — measurements render as doubles,
+    * counts as integers, ROI as its `l, t, r, b` list. Narrow map +
+    * explode, no shuffle; pair with `spark.write.text` partitioned by
+    * dataset for the reference's one-file-per-scan layout.
+    */
+  def formatSettings(geo: DataFrame): DataFrame = {
+    val numPairs: Seq[(String, String)] = Seq(
+      "sod" -> "src2obj", "sdd" -> "src2det", "binning" -> "binning",
+      "number of projections" -> "theta_count", "first angle" -> "theta_first",
+      "last angle" -> "theta_last", "voltage" -> "voltage", "power" -> "power",
+      "averages" -> "averages", "exposure time (ms)" -> "exposure_ms",
+      "ver_tube" -> "src_vrt", "ver_det" -> "det_vrt", "tra_det" -> "det_hrz",
+      "tra_obj" -> "axs_hrz", "tra_tube" -> "src_hrz")
+    val lineCols = numPairs.map { case (k, f) =>
+      when(col(f).isNotNull, concat(lit(s"$k : "), col(f).cast("string")))
+    } :+ when(col("roi_l").isNotNull,
+      concat(lit("roi (ltrb) : "), col("roi_l"), lit(", "), col("roi_t"),
+        lit(", "), col("roi_r"), lit(", "), col("roi_b")))
+    geo.select(col("dataset_id"),
+      explode(array_compact(array(lineCols: _*))).as("line"))
+  }
+
   /** Strict form: fail fast when a record is missing the fields no
     * reconstruction can proceed without (the reference raises on absent
     * SOD/SDD too).

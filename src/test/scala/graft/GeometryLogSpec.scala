@@ -117,6 +117,28 @@ class GeometryLogSpec extends SparkSpec {
       plan.indexOf("Generate"), s"vector fan-out should not reshuffle:\n$plan")
   }
 
+  test("formatSettings round-trips: parse(format(parse(x))) == parse(x), nulls omitted") {
+    val log =
+      """SOD : 304.0
+        |SDD : 742.0
+        |Binning value : 2
+        |# Projections : 1441
+        |Start angle : 0
+        |Last angle : 360
+        |Tube voltage : 90 kV
+        |ver_tube : -2.5
+        |ROI (LTRB) : 10, 20, 950, 760""".stripMargin
+    val rec1 = GeometryLog.parseSettings(toLines("rt", log))
+    val lines2 = GeometryLog.formatSettings(rec1)
+    // the partial record emits only its present fields (9 lines: 8 nums + roi)
+    assert(lines2.count() === 9)
+    val rec2 = GeometryLog.parseSettings(lines2)
+    val (a, b) = (rec1.head(), rec2.head())
+    assert(a.schema.fieldNames.toSeq === b.schema.fieldNames.toSeq)
+    for (f <- a.schema.fieldNames)
+      assert(a.get(a.fieldIndex(f)) === b.get(b.fieldIndex(f)), s"field $f drifted")
+  }
+
   test("readSettingsDir keys each file's lines by its parent directory") {
     val root = java.nio.file.Files.createTempDirectory("graft_geo")
     for ((ds, sod) <- Seq("scanA" -> 300, "scanB" -> 330)) {
