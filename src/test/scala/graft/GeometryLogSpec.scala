@@ -139,6 +139,37 @@ class GeometryLogSpec extends SparkSpec {
       assert(a.get(a.fieldIndex(f)) === b.get(b.fieldIndex(f)), s"field $f drifted")
   }
 
+  test("end-to-end chain: settings log → record → FDK with geometry-derived distance") {
+    // The reference user's day-one path: parse the scanner log, derive
+    // the source distance in isocenter-pixel units (src2obj / img_pixel —
+    // the virtual-detector pitch after magnification), reconstruct.
+    val geo = GeometryLog.parseSettings(toLines("e2e",
+      "SOD : 300\nSDD : 700\nBinning value : 2\n# Projections : 24")).head()
+    val src2obj = geo.getDouble(geo.fieldIndex("src2obj"))
+    val imgPixel = geo.getDouble(geo.fieldIndex("img_pixel"))
+    val rPix = src2obj / imgPixel
+    assert(math.abs(rPix - 300.0 / 0.064143) < 1.0) // unit conversion sanity
+    val (w, nAng, outN, nRows) = (32, 24, 24, 3)
+    val sc = (w - 1) / 2.0
+    val r0 = 6.0
+    val chord = Array.tabulate(w) { x =>
+      val d = x - sc
+      if (math.abs(d) < r0) (2.0 * math.sqrt(r0 * r0 - d * d)).toFloat else 0f
+    }
+    val sino = graft.operators.Volume.fromArray(spark, "e2e",
+      Array.tabulate(nAng, nRows, w)((_, _, x) => chord(x)))
+    val rec = graft.operators.Volume.fdk(sino, nAng, outN, rPix, nRows).collect()
+      .map(ro => (ro.getInt(1), ro.getInt(2)) -> ro.getSeq[Float](3)).toMap
+    val c = (outN - 1) / 2.0
+    val in = for {
+      ((sl, u), xs) <- rec.toSeq if sl == 1
+      v <- 0 until outN if math.hypot(u - c, v - c) < r0 - 3
+    } yield xs(v)
+    val inMean = in.sum / in.size
+    assert(math.abs(inMean - 1.0) < 0.15,
+      f"geometry-driven FDK interior $inMean%.3f should be ~1")
+  }
+
   test("readSettingsDir keys each file's lines by its parent directory") {
     val root = java.nio.file.Files.createTempDirectory("graft_geo")
     for ((ds, sod) <- Seq("scanA" -> 300, "scanB" -> 330)) {
