@@ -105,9 +105,13 @@ object GeometryLog {
       .withColumn("val_str", trim(regexp_extract(col("line"), ":\\s*(.*)$", 1)))
       .filter(col("raw_key") =!= "")
       .join(aliases, Seq("raw_key")) // inner: unknown keys ignored
-      // first decimal literal in the value → numeric form ("99 ms" → 99)
+      // first decimal literal in the value → numeric form ("99 ms" → 99).
+      // Exponent arm matters for round-tripping [[formatSettings]] output:
+      // Spark renders small doubles as "1.0E-5", and without it the match
+      // would stop at "1.0" — silently wrong by five orders of magnitude.
       .withColumn("num",
-        regexp_extract(col("val_str"), "([-+]?[0-9]+(?:\\.[0-9]+)?)", 1)
+        regexp_extract(col("val_str"),
+          "([-+]?[0-9]+(?:\\.[0-9]+)?(?:[eE][-+]?[0-9]+)?)", 1)
           .cast("double"))
     // One grouped agg pivots the ~dozen lines per dataset into one record;
     // min() makes a duplicated key deterministic (the reference keeps the

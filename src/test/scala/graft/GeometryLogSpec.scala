@@ -170,6 +170,41 @@ class GeometryLogSpec extends SparkSpec {
       f"geometry-driven FDK interior $inMean%.3f should be ~1")
   }
 
+  test("property: parse∘format∘parse fixpoint over random records incl. scientific notation") {
+    // Deterministic random corpus (house style: seeded, not forAll): 30
+    // datasets, each a random subset of vendor keys with values spanning
+    // plain decimals, negatives, and exponent notation (1.2E-6 … 9E8) —
+    // the rendering Spark's double→string cast produces, which the
+    // parser's exponent arm must survive for the fixpoint to hold.
+    val rnd = new scala.util.Random(77)
+    def v(): String = rnd.nextInt(3) match {
+      case 0 => f"${(rnd.nextDouble() - 0.5) * 2000}%.3f"
+      case 1 => (rnd.nextInt(2000) - 500).toString
+      case _ => s"${1 + rnd.nextInt(9)}.${rnd.nextInt(100)}E${rnd.nextInt(17) - 8}"
+    }
+    val vendorKeys = Seq("SOD", "SDD", "Binning value", "# Projections",
+      "Start angle", "Last angle", "Tube voltage", "Tube power",
+      "Number of averages", "Exposure time (ms)", "ver_tube", "ver_det",
+      "tra_det", "tra_obj", "tra_tube")
+    import spark.implicits._
+    val lines = (0 until 30).flatMap { i =>
+      val ks = vendorKeys.filter(_ => rnd.nextBoolean())
+      val num = ks.map(k => (f"ds$i%02d", s"$k : ${v()}"))
+      val roi = if (rnd.nextBoolean())
+        Seq((f"ds$i%02d", s"ROI (LTRB) : ${rnd.nextInt(100)}, ${rnd.nextInt(100)}, " +
+          s"${900 + rnd.nextInt(100)}, ${700 + rnd.nextInt(100)}")) else Nil
+      num ++ roi
+    }.toDF("dataset_id", "line")
+    val p1 = GeometryLog.parseSettings(lines)
+    val p2 = GeometryLog.parseSettings(GeometryLog.formatSettings(p1))
+    val (a, b) = (p1.orderBy("dataset_id").collect(), p2.orderBy("dataset_id").collect())
+    // datasets whose random subset was empty vanish from both sides alike
+    assert(a.map(_.getString(0)).toSeq === b.map(_.getString(0)).toSeq)
+    for ((ra, rb) <- a.zip(b); f <- ra.schema.fieldNames)
+      assert(ra.get(ra.fieldIndex(f)) === rb.get(rb.fieldIndex(f)),
+        s"${ra.getString(0)}.$f drifted: ${ra.get(ra.fieldIndex(f))} vs ${rb.get(rb.fieldIndex(f))}")
+  }
+
   test("readSettingsDir keys each file's lines by its parent directory") {
     val root = java.nio.file.Files.createTempDirectory("graft_geo")
     for ((ds, sod) <- Seq("scanA" -> 300, "scanB" -> 330)) {
