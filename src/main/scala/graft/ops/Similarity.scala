@@ -833,6 +833,39 @@ object Similarity {
           graft.functions.TextAnalysis.fingerprintMd5(col("text")).as("fp"))
         .orderBy("doc_id")),
 
+    // URL canonicalization + URL-level dedup (functions/UrlOps — the
+    // CCNet/RefinedWeb pre-dedup normalization; the corpus has no URL
+    // column, so the fixture manufactures TWO deliberately different
+    // messy spellings of the same logical URL per index (case-mangled
+    // scheme/host, www prefix, default port, trailing slash, tracking
+    // params, fragments, shuffled param order) IN-QUERY (the x_text_nfc
+    // device). The REAL canonicalUrl must collapse each pair to one
+    // canonical form (n = 2 for every group); the oracle states the
+    // canonical string directly from the index and never normalizes —
+    // any rule drift (port/slash/param-sort/tracking-filter) hash-fails.
+    "x_text_urlnorm" -> ((s, d) => {
+      val ids = s.range(12).select(col("id").cast("int").as("i"))
+      def schemeA = when(col("i") % 2 === 0, lit("HTTP")).otherwise(lit("https"))
+      def schemeB = when(col("i") % 2 === 0, lit("http")).otherwise(lit("HTTPS"))
+      val v1 = concat(schemeA, lit("://"),
+        when(col("i") % 3 === 0, lit("Example.COM"))
+          .when(col("i") % 3 === 1, lit("www.Example.com"))
+          .otherwise(lit("EXAMPLE.com")),
+        when(col("i") % 4 === 0 && col("i") % 2 === 0, lit(":80"))
+          .when(col("i") % 4 === 1, lit(":8080")).otherwise(lit("")),
+        lit("/A/b"), col("i") % 5,
+        when(col("i") % 2 === 0, lit("/")).otherwise(lit("")),
+        lit("?utm_source=news&b="), col("i") % 3, lit("&a=1#sec"), col("i"))
+      val v2 = concat(schemeB, lit("://WWW.example.COM"),
+        when(col("i") % 4 === 1, lit(":8080")).otherwise(lit("")),
+        lit("/A/b"), col("i") % 5,
+        lit("?a=1&b="), col("i") % 3, lit("&gclid=xyz#other"))
+      ids.select(col("i"), explode(array(v1, v2)).as("url"))
+        .select(graft.functions.UrlOps.canonicalUrl(col("url")).as("url_canon"))
+        .groupBy("url_canon").agg(count(lit(1)).as("n"))
+        .orderBy("url_canon")
+    }),
+
     // Unicode hygiene (functions/TextNorm.scala): hash-based dedup hashes
     // BYTES, so NFC/NFD mixed encodings of the same text silently defeat
     // it — every hash stage needs canonical bytes first. The fixture
@@ -1447,6 +1480,18 @@ object Similarity {
         "1953433226,2061642598,57298384,1544709545,1274554124,633364108,66148026])" +
         "[CAST(n - i AS INTEGER)] % 2147483647) % 2147483647 AS BIGINT) AS fp " +
         "FROM h GROUP BY doc_id ORDER BY doc_id"),
+    // The oracle never normalizes: it states the canonical URL straight
+    // from the index (the x_flex_geometry device), so every rule of
+    // canonicalUrl — scheme/host case, www strip, default-port drop,
+    // trailing-slash strip, tracking-param filter, param sort, fragment
+    // drop — is graded against a closed form.
+    "x_text_urlnorm" ->
+      ("SELECT CASE WHEN i % 2 = 0 THEN 'http' ELSE 'https' END || '://example.com' || " +
+        "CASE WHEN i % 4 = 1 THEN ':8080' ELSE '' END || " +
+        "'/A/b' || (i % 5) || '?a=1&b=' || (i % 3) AS url_canon, " +
+        "CAST(2 AS BIGINT) AS n " +
+        "FROM range(0, 12) t(i) ORDER BY url_canon"),
+
     // chr(769) = U+0301 COMBINING ACUTE: builds the same decomposed bytes
     // the Spark side builds; nfc_normalize is DuckDB's canonical
     // composition — h_nfc matches only if both engines implement NFC

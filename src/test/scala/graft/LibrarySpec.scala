@@ -690,4 +690,36 @@ class LibrarySpec extends SparkSpec {
     assert(got.toSet === Set((1L, "click"), (1L, "view")))
     assert(got.length === 2)
   }
+
+  test("UrlOps.canonicalUrl: hand-checked rule matrix") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val cases = Seq(
+      // scheme/host case + www + fragment
+      "HTTP://WWW.Example.COM/Path#frag" -> "http://example.com/Path",
+      // default ports drop, non-default kept
+      "http://example.com:80/a" -> "http://example.com/a",
+      "https://example.com:443/a" -> "https://example.com/a",
+      "https://example.com:8443/a" -> "https://example.com:8443/a",
+      // http default port does NOT drop under https and vice versa
+      "https://example.com:80/a" -> "https://example.com:80/a",
+      // root and empty paths; trailing-slash runs
+      "http://example.com" -> "http://example.com/",
+      "http://example.com///" -> "http://example.com/",
+      "http://example.com/a/b//" -> "http://example.com/a/b",
+      // missing scheme assumes http
+      "example.com/x" -> "http://example.com/x",
+      // tracking filtered, survivors sorted, empty query drops '?'
+      "http://example.com/p?utm_source=a&z=1&a=2" -> "http://example.com/p?a=2&z=1",
+      "http://example.com/p?utm_campaign=x&gclid=1" -> "http://example.com/p",
+      // path case preserved, host case folded
+      "http://ExAmple.com/CaSe" -> "http://example.com/CaSe")
+    val got = cases.map(_._1).toDF("u")
+      .select(graft.functions.UrlOps.canonicalUrl(col("u"))).as[String].collect()
+    for (((in, want), g) <- cases.zip(got))
+      assert(g === want, s"canonicalUrl($in)")
+    val hosts = Seq("HTTP://WWW.Example.COM:8080/p", "sub.www.site.org/q")
+      .toDF("u").select(graft.functions.UrlOps.urlHost(col("u"))).as[String].collect()
+    assert(hosts.toSeq === Seq("example.com", "sub.www.site.org"))
+  }
 }
