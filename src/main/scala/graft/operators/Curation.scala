@@ -486,6 +486,58 @@ object Curation {
         round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 6).as("score"))
   }
 
+  /** Per-domain quota capping (graded form: x_mix_domains) — the
+    * RefinedWeb-style "no single site dominates" rule: keep at most `cap`
+    * documents per canonical host (UrlOps.urlHost over `urlCol`), chosen
+    * by a deterministic per-doc hash order. Hash order matters: crawl
+    * order would bias survivors toward whatever was fetched first, and an
+    * RNG would make retried tasks disagree; the md5 rank is rerun-stable
+    * and partition-independent. Returns the surviving rows with the
+    * canonical `host` appended.
+    *
+    * Scale: ONE row_number window partitioned by host — embarrassingly
+    * parallel across hosts; a pathological mega-host costs the window
+    * sort of its own rows only (and is exactly the host the cap is FOR).
+    */
+  def capPerDomain(docs: DataFrame, urlCol: String = "url", cap: Int = 1000,
+      salt: String = "cap"): DataFrame = {
+    val u = conv(substring(md5(concat(lit(s"$salt:"), col("doc_id").cast("string"))), 1, 8), 16, 10)
+      .cast("bigint")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("host")).orderBy(col("cap_u"), col("doc_id"))
+    docs.withColumn("host", graft.functions.UrlOps.urlHost(col(urlCol)))
+      .withColumn("cap_u", u)
+      .withColumn("cap_rn", row_number().over(w))
+      .filter(col("cap_rn") <= cap)
+      .drop("cap_u", "cap_rn")
+  }
+
+  /** Probability-proportional-to-size Bernoulli sampling (graded form:
+    * x_sample_weighted): keep each row with probability
+    * `weight / max(weight)` — the curation primitive for length- or
+    * quality-proportional subsampling (longer/better documents survive
+    * proportionally more often). The keep decision is the exact integer
+    * product test `u · w_max < w · 2^32` (u = first 32 md5 bits of the
+    * salted doc_id): a pure function of (doc_id, weights), so reruns,
+    * retried tasks, and any partitioning keep the same rows, and the same
+    * arithmetic is expressible on any engine. Two corollaries the spec
+    * pins: weight 0 is never kept, weight = w_max always is.
+    *
+    * Scale: w_max is a 1-row agg crossJoined back (broadcast by
+    * construction); the corpus streams through a narrow filter. Exactness
+    * bound: int64 products need `w_max < 2^31` — weights are token/char
+    * counts, orders of magnitude below that.
+    */
+  def sampleProportional(docs: DataFrame, weightCol: String,
+      salt: String = "pps"): DataFrame = {
+    val u = conv(substring(md5(concat(lit(s"$salt:"), col("doc_id").cast("string"))), 1, 8), 16, 10)
+      .cast("bigint")
+    val mx = docs.agg(max(col(weightCol).cast("bigint")).as("pps_w_max"))
+    docs.crossJoin(broadcast(mx))
+      .filter(u * col("pps_w_max") < col(weightCol).cast("bigint") * lit(4294967296L))
+      .select(docs.columns.map(col).toIndexedSeq: _*)
+  }
+
   /** Per-language corpus accounting over a curated frame: documents,
     * tokens, mean quality — the report a curation run ends with. One
     * partial-aggregated shuffle.

@@ -565,4 +565,59 @@ object Dedup {
       .select("doc_id", "span_start", "span_len")
       .orderBy("doc_id", "span_start")
   }
+
+  /** Bloom-filter membership gate, build half (graded form:
+    * x_dedup_bloom): the constant-memory pre-dedup a 100 TB ingest runs
+    * BEFORE any pairwise machinery — build the bit set once from the
+    * frozen corpus, stream new shards through it (bloomMaybeDup), and
+    * only maybe-dups proceed to exact/near verification. The filter is
+    * represented relationally as the DISTINCT set bit positions — at
+    * most `m` rows of one int, broadcast-sized by construction for ANY
+    * corpus size (m is the filter's memory budget, not the corpus's).
+    * Positions are `k` disjoint 8-hex md5 windows mod m over the
+    * x_dedup_exact normalization (lower/trim) — deterministic
+    * cross-engine, no RNG. Build = one narrow explode + distinct
+    * (one shuffle bounded by m).
+    *
+    * Sizing note (standard Bloom math): false-positive rate ≈ fill^k
+    * where fill ≈ 1 − exp(−k·n/m); k·8 hex chars must fit md5's 32, so
+    * k ≤ 4.
+    */
+  def bloomBits(docs: DataFrame, textCol: String = "text", m: Int = 4096,
+      k: Int = 4): DataFrame = {
+    require(k >= 1 && k <= 4, s"k=$k: md5 has 32 hex chars = 4 disjoint 8-hex windows")
+    docs
+      .select(md5(lower(trim(col(textCol))).cast("binary")).as("bf_h"),
+        explode(sequence(lit(0), lit(k - 1))).as("j"))
+      .select(pmod(
+        conv(col("bf_h").substr(col("j") * 8 + 1, lit(8)), 16, 10).cast("bigint"),
+        lit(m.toLong)).cast("int").as("pos"))
+      .distinct()
+  }
+
+  /** Bloom-filter membership gate, probe half: flags each probe row
+    * `maybe_dup` iff ALL `k` of its bit positions are set in `bits`
+    * (no false negatives — a Bloom filter's defining guarantee, which
+    * the spec pins; false positives are deterministic md5 arithmetic).
+    * `bits` is broadcast (≤ m rows); the probe side pays one narrow
+    * position explode + a broadcast join + one doc-keyed count-agg —
+    * no corpus-sized shuffle anywhere.
+    */
+  def bloomMaybeDup(probes: DataFrame, bits: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id", m: Int = 4096,
+      k: Int = 4): DataFrame = {
+    val hits = probes
+      .select(col(idCol),
+        md5(lower(trim(col(textCol))).cast("binary")).as("bf_h"),
+        explode(sequence(lit(0), lit(k - 1))).as("j"))
+      .select(col(idCol), pmod(
+        conv(col("bf_h").substr(col("j") * 8 + 1, lit(8)), 16, 10).cast("bigint"),
+        lit(m.toLong)).cast("int").as("pos"))
+      .join(broadcast(bits), Seq("pos"), "left_semi")
+      .groupBy(idCol).agg(count(lit(1)).as("bf_hits"))
+      .filter(col("bf_hits") === k)
+      .select(col(idCol), lit(true).as("maybe_dup"))
+    probes.join(hits, Seq(idCol), "left")
+      .withColumn("maybe_dup", coalesce(col("maybe_dup"), lit(false)))
+  }
 }

@@ -960,6 +960,85 @@ object Similarity {
         .orderBy("source")
     }),
 
+    // Per-domain quota capping (Curation.capPerDomain + UrlOps.urlHost —
+    // the RefinedWeb "no single site dominates" rule): the corpus has no
+    // URL column, so two messy spellings of 7 hosts are manufactured
+    // IN-QUERY by doc_id parity (the x_text_urlnorm device) — urlHost
+    // must collapse case + www before the cap groups correctly. Survivors
+    // = first 40 per host in exact md5-rank order; graded as per-host
+    // (n_docs, n_kept, Σ kept doc_id) — the id checksum pins WHICH docs
+    // survived, so the hash ORDER itself is graded, not just the counts.
+    "x_mix_domains" -> ((s, d) => {
+      val docs = t(s, d, "documents").withColumn("url",
+        concat(
+          when(pmod(col("doc_id"), lit(2)) === 0, lit("HTTP://WWW.Site"))
+            .otherwise(lit("http://site")),
+          pmod(col("doc_id"), lit(7)), lit(".COM/p/"), col("doc_id")))
+      val kept = graft.operators.Curation.capPerDomain(docs, "url", cap = 40)
+        .groupBy("host")
+        .agg(count(lit(1)).as("n_kept"), sum("doc_id").as("kept_ids"))
+      docs
+        .groupBy(graft.functions.UrlOps.urlHost(col("url")).as("host"))
+        .agg(count(lit(1)).as("n_docs"))
+        .join(kept, Seq("host"))
+        .select("host", "n_docs", "n_kept", "kept_ids")
+        .orderBy("host")
+    }),
+
+    // Weight-proportional sampling (Curation.sampleProportional): keep
+    // probability = n_chars / max(n_chars) — longer documents survive
+    // proportionally more often (the PPS primitive behind length- and
+    // quality-weighted subsampling). Keep test is the exact integer
+    // product form u·w_max < w·2^32 (the x_mix_balance device), so both
+    // engines agree bit-for-bit. Graded per lang: totals, kept, kept
+    // char mass, achieved rate.
+    "x_sample_weighted" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val kept = graft.operators.Curation.sampleProportional(docs, "n_chars")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("n_chars").cast("bigint")).as("chars_kept"))
+      docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+        .join(kept, Seq("lang"), "left")
+        .select(col("lang"), col("n_docs"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("chars_kept"), lit(0L)).as("chars_kept"))
+        .withColumn("rate", round(col("n_kept").cast("double") / col("n_docs"), 6))
+        .orderBy("lang")
+    }),
+
+    // Bloom-filter pre-dedup (Dedup.bloomBits/bloomMaybeDup): the
+    // constant-memory membership gate ahead of exact/near verification.
+    // Corpus = even doc_ids; probes = odd doc_ids (novel) UNION every
+    // 4th corpus doc re-id'd +1000000 (planted true dups — the corpus
+    // has no cross-row exact dups of its own, so without planting, the
+    // no-false-negative guarantee would be graded on zero rows). m=1024
+    // bits, k=3 → a deliberately lossy filter whose false positives are
+    // themselves exact md5 arithmetic. Graded per lang: probes, bloom
+    // maybe-dups, exact-verified dups — n_maybe ≥ n_true must hold with
+    // equality exactly where the filter's determinism says so.
+    "x_dedup_bloom" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val h = md5(lower(trim(col("text"))).cast("binary"))
+      val corpus = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+      val probes = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+        .select(col("doc_id"), col("lang"), col("text"))
+        .unionByName(corpus.filter(pmod(col("doc_id"), lit(4)) === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("lang"), col("text")))
+      val bits = graft.operators.Dedup.bloomBits(corpus, m = 1024, k = 3)
+      val flagged = graft.operators.Dedup.bloomMaybeDup(
+        probes, bits, m = 1024, k = 3)
+      val truth = corpus.select(h.as("bf_h")).distinct()
+        .withColumn("is_dup", lit(true))
+      flagged.withColumn("bf_h", h)
+        .join(truth, Seq("bf_h"), "left")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_probes"),
+          count(when(col("maybe_dup"), lit(1))).as("n_maybe"),
+          count(when(coalesce(col("is_dup"), lit(false)), lit(1))).as("n_true"))
+        .orderBy("lang")
+    }),
+
     // Text + vector columns in one relational frame: per-lang profile.
     "x_multimodal" -> ((s, d) => {
       val dj = t(s, d, "documents")
@@ -1471,6 +1550,49 @@ object Similarity {
         "round(CAST(count(*) FILTER (WHERE d.u * c.n_src < t.n_target * 4294967296) AS DOUBLE) / c.n_src, 6) AS rate " +
         "FROM d JOIN c ON d.source = c.source CROSS JOIN t " +
         "GROUP BY d.source, c.n_src ORDER BY d.source"),
+    // The oracle states the canonical host closed-form from doc_id (the
+    // x_text_urlnorm device — it never parses a URL); the kept_ids
+    // checksum pins the exact md5-rank survivor set, not just counts.
+    "x_mix_domains" ->
+      ("WITH d AS (SELECT doc_id, 'site' || (doc_id % 7) || '.com' AS host, " +
+        "CAST(('0x' || substring(md5('cap:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS u FROM documents), " +
+        "r AS (SELECT doc_id, host, row_number() OVER (PARTITION BY host ORDER BY u, doc_id) AS rn FROM d), " +
+        "k AS (SELECT host, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS kept_ids " +
+        "FROM r WHERE rn <= 40 GROUP BY host), " +
+        "tt AS (SELECT host, count(*) AS n_docs FROM d GROUP BY host) " +
+        "SELECT tt.host AS host, n_docs, n_kept, kept_ids " +
+        "FROM tt JOIN k USING (host) ORDER BY host"),
+    // PPS keep test in the exact integer product form (x_mix_balance
+    // device): u·w_max < n_chars·2^32, no float tolerance anywhere.
+    "x_sample_weighted" ->
+      ("WITH w AS (SELECT max(n_chars) AS w_max FROM documents), " +
+        "d AS (SELECT lang, n_chars, " +
+        "CAST(('0x' || substring(md5('pps:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS u FROM documents) " +
+        "SELECT lang, count(*) AS n_docs, " +
+        "count(*) FILTER (WHERE u * w_max < n_chars * 4294967296) AS n_kept, " +
+        "CAST(coalesce(sum(n_chars) FILTER (WHERE u * w_max < n_chars * 4294967296), 0) AS BIGINT) AS chars_kept, " +
+        "round(CAST(count(*) FILTER (WHERE u * w_max < n_chars * 4294967296) AS DOUBLE) / count(*), 6) AS rate " +
+        "FROM d CROSS JOIN w GROUP BY lang ORDER BY lang"),
+    // Bit positions = k disjoint 8-hex md5 windows mod m over the
+    // x_dedup_exact normalization; membership = all k probe positions in
+    // the corpus bit set (count of exploded rows surviving the IN, the
+    // same multiset semantics as the engine's semi-join + count).
+    "x_dedup_bloom" ->
+      ("WITH corpus AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 2 = 0), " +
+        "probes AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 2 = 1 " +
+        "UNION ALL SELECT doc_id + 1000000 AS doc_id, lang, text FROM corpus WHERE doc_id % 4 = 0), " +
+        "bits AS (SELECT DISTINCT CAST(('0x' || substring(md5(lower(trim(text))), CAST(j * 8 + 1 AS INTEGER), 8)) AS BIGINT) % 1024 AS pos " +
+        "FROM corpus, UNNEST(range(3)) AS r(j)), " +
+        "pp AS (SELECT p.doc_id, CAST(('0x' || substring(md5(lower(trim(p.text))), CAST(j * 8 + 1 AS INTEGER), 8)) AS BIGINT) % 1024 AS pos " +
+        "FROM probes p, UNNEST(range(3)) AS r(j)), " +
+        "hits AS (SELECT doc_id, count(*) AS c FROM pp WHERE pos IN (SELECT pos FROM bits) GROUP BY doc_id), " +
+        "flag AS (SELECT p.doc_id, p.lang, p.text, coalesce(h.c, 0) = 3 AS maybe_dup " +
+        "FROM probes p LEFT JOIN hits h USING (doc_id)), " +
+        "ch AS (SELECT DISTINCT md5(lower(trim(text))) AS bf_h FROM corpus) " +
+        "SELECT lang, count(*) AS n_probes, " +
+        "count(*) FILTER (WHERE maybe_dup) AS n_maybe, " +
+        "count(*) FILTER (WHERE md5(lower(trim(text))) IN (SELECT bf_h FROM ch)) AS n_true " +
+        "FROM flag GROUP BY lang ORDER BY lang"),
     "x_text_fingerprint" ->
       ("WITH t AS (SELECT doc_id, (string_split(text, ' '))[1:12] AS toks FROM documents), " +
         "e AS (SELECT doc_id, len(toks) AS n, toks, unnest(range(len(toks))) AS i FROM t), " +

@@ -6,9 +6,9 @@ package graft
   */
 class ContractSpec extends SparkSpec {
 
-  test("inventory matches SURVEY §2b: 128 queries, 126 with oracle SQL") {
-    assert(SparkEntry.queries.size === 128)
-    assert(SparkEntry.oracleSql.size === 126)
+  test("inventory matches SURVEY §2b: 131 queries, 129 with oracle SQL") {
+    assert(SparkEntry.queries.size === 131)
+    assert(SparkEntry.oracleSql.size === 129)
     assert(SparkEntry.queries.keySet.intersect(Set("a_approx_hll", "t_stream_runtime")).size === 2)
   }
 
