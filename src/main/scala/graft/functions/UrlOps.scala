@@ -13,20 +13,30 @@ import org.apache.spark.sql.functions._
   *
   * Canonical form (documented, deterministic):
   *   - scheme lower-cased; missing scheme → "http"
-  *   - host lower-cased, one leading "www." stripped
+  *   - userinfo ("user:pass@") dropped — credentials are not page
+  *     identity, and leaving them in would split one page across keys
+  *   - host lower-cased, one leading "www." stripped (IPv6 bracket
+  *     literals are out of scope — crawl URL lists are hostname-based)
   *   - default ports dropped (":80" for http, ":443" for https); other
   *     ports kept
   *   - path: trailing "/" runs stripped (non-root); empty path → "/";
   *     case PRESERVED (paths are case-sensitive, hosts are not)
-  *   - query: tracking params dropped (utm_*, fbclid, gclid, msclkid,
-  *     igshid, ref, ref_src), the rest SORTED by "k=v" string, rejoined;
-  *     empty result drops the "?"
+  *   - query: tracking params dropped case-insensitively (utm_*, fbclid,
+  *     gclid, msclkid, igshid, ref, ref_src — "UTM_Source=" is as much a
+  *     tracker as "utm_source="), the rest SORTED by "k=v" string,
+  *     rejoined; empty result drops the "?"
   *   - fragment dropped
   */
 object UrlOps {
 
   private val TrackingRe =
-    "^(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|igshid|ref|ref_src)="
+    "(?i)^(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|igshid|ref|ref_src)="
+
+  // Userinfo lives only in the authority (before the first "/"), so it is
+  // stripped from the extracted host:port, never from the path — an "@"
+  // inside a path segment is untouched.
+  private def dropUserinfo(hostPort: Column): Column =
+    regexp_replace(hostPort, "^[^/@]*@", "")
 
   /** The canonical URL per the object doc's rules. */
   def canonicalUrl(u: Column): Column = {
@@ -38,7 +48,7 @@ object UrlOps {
     val rest = when(hasScheme,
       regexp_replace(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://", ""))
       .otherwise(noFrag)
-    val hostPort = regexp_extract(rest, "^([^/?]+)", 1)
+    val hostPort = dropUserinfo(regexp_extract(rest, "^([^/?]+)", 1))
     val host = regexp_replace(
       lower(regexp_extract(hostPort, "^([^:]+)", 1)), "^www\\.", "")
     val port = regexp_extract(hostPort, ":([0-9]+)$", 1)
@@ -66,7 +76,8 @@ object UrlOps {
     val noFrag = regexp_replace(trim(u), "#.*$", "")
     val rest = regexp_replace(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
     regexp_replace(
-      lower(regexp_extract(regexp_extract(rest, "^([^/?]+)", 1),
+      lower(regexp_extract(
+        dropUserinfo(regexp_extract(rest, "^([^/?]+)", 1)),
         "^([^:]+)", 1)),
       "^www\\.", "")
   }

@@ -838,7 +838,9 @@ object Similarity {
     // column, so the fixture manufactures TWO deliberately different
     // messy spellings of the same logical URL per index (case-mangled
     // scheme/host, www prefix, default port, trailing slash, tracking
-    // params, fragments, shuffled param order) IN-QUERY (the x_text_nfc
+    // params — one spelled UTM_Source to pin case-insensitive filtering —
+    // fragments, shuffled param order, and a userinfo "User:Pw@" segment
+    // that must drop) IN-QUERY (the x_text_nfc
     // device). The REAL canonicalUrl must collapse each pair to one
     // canonical form (n = 2 for every group); the oracle states the
     // canonical string directly from the index and never normalizes —
@@ -855,8 +857,10 @@ object Similarity {
           .when(col("i") % 4 === 1, lit(":8080")).otherwise(lit("")),
         lit("/A/b"), col("i") % 5,
         when(col("i") % 2 === 0, lit("/")).otherwise(lit("")),
-        lit("?utm_source=news&b="), col("i") % 3, lit("&a=1#sec"), col("i"))
-      val v2 = concat(schemeB, lit("://WWW.example.COM"),
+        lit("?UTM_Source=news&b="), col("i") % 3, lit("&a=1#sec"), col("i"))
+      val v2 = concat(schemeB, lit("://"),
+        when(col("i") % 3 === 0, lit("User:Pw@")).otherwise(lit("")),
+        lit("WWW.example.COM"),
         when(col("i") % 4 === 1, lit(":8080")).otherwise(lit("")),
         lit("/A/b"), col("i") % 5,
         lit("?a=1&b="), col("i") % 3, lit("&gclid=xyz#other"))

@@ -2,7 +2,7 @@ package graft
 
 /** T1 blanket contract checks: every declared query runs on sf0.001,
   * the queries/oracleSql maps are mutually consistent, and the declared
-  * inventory matches SURVEY.md §2b (127 keys, 125 oracle-checked).
+  * inventory matches SURVEY.md §2b (131 keys, 129 oracle-checked).
   */
 class ContractSpec extends SparkSpec {
 
@@ -51,6 +51,7 @@ class ContractSpec extends SparkSpec {
     "x_text_dsir",      // two 1-row corpus-total crossJoins (importanceWeights)
     "x_text_perplexity", // 1-row vocab-size crossJoin (perplexityScore)
     "x_mix_temperature", // 1-row Σn^α totals crossJoin (temperatureBalance)
+    "x_sample_weighted", // 1-row w_max crossJoin (sampleProportional)
     "x_flex_affine", "u_udaf_centroid") // 1-row param/centroid broadcast
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
