@@ -15,13 +15,24 @@ private[graft] object T {
   def t(s: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") events(s, sfDir) else s.read.parquet(s"$sfDir/$name.parquet")
 
-  /** events.ts is parquet TIMESTAMP(NANOS) (FIXTURES.md ⚠), which Spark 4
-    * rejects outright (PARQUET_TYPE_ILLEGAL). Read it as raw nanos and
-    * truncate to a µs timestamp — same value DuckDB sees after its own
-    * date_trunc to ≥ms (SURVEY §7.3 R4 keeps raw ts out of query output).
+  /** Schema-conditional events reader. The driver has shipped `events.ts`
+    * in two encodings across testdata generations:
     *
-    * The rebuilt ts is TIMESTAMP_NTZ: Spark's default TimestampType is
-    * tz-adjusted and writes parquet isAdjustedToUTC=true, which DuckDB
+    *  - parquet TIMESTAMP(NANOS): Spark 4 rejects it outright
+    *    (PARQUET_TYPE_ILLEGAL) unless `nanosAsLong=true` surfaces it as a
+    *    raw INT64 — then truncate nanos → µs timestamp, the same value
+    *    DuckDB sees after its own date_trunc to ≥ms.
+    *  - parquet timestamp[us] (current generation): Spark reads it
+    *    directly (isAdjustedToUTC=false → TIMESTAMP_NTZ); no shim needed.
+    *
+    * Dispatch on the OBSERVED column type, never on documentation: a
+    * LongType `ts` can only be the nanos encoding under the legacy flag,
+    * anything else is a native timestamp. (Round 9 regressed 20 contract
+    * keys by assuming the ns encoding unconditionally after the driver
+    * regenerated the data as µs.)
+    *
+    * The emitted ts is always TIMESTAMP_NTZ: Spark's default TimestampType
+    * is tz-adjusted and writes parquet isAdjustedToUTC=true, which DuckDB
     * reads as TIMESTAMPTZ while the oracle emits naive TIMESTAMP — equal
     * values but a schema/type mismatch a strict driver compare would
     * reject. NTZ keeps every derived event-time column naive end to end
@@ -29,10 +40,15 @@ private[graft] object T {
     */
   def events(s: SparkSession, sfDir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts",
-        org.apache.spark.sql.functions
-          .expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+    val df = s.read.parquet(s"$sfDir/events.parquet")
+    import org.apache.spark.sql.functions.{col, expr}
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts",
+          expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+      case _ =>
+        df.withColumn("ts", col("ts").cast("timestamp_ntz"))
+    }
   }
 
   def dec(c: Column): Column = c.cast("decimal(38,6)")

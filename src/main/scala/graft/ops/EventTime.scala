@@ -90,12 +90,18 @@ object EventTime {
     "t_stream_runtime" -> ((s, d) => {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val schema = s.read.parquet(s"$d/events.parquet").schema
-      // watermarks require the tz-adjusted TimestampType; the emitted
-      // window bound is cast back to NTZ to match the batch t_tumble.
+      // Same schema-conditional shim as T.events (ns-as-long legacy data
+      // vs native µs timestamps); watermarks require the tz-adjusted
+      // TimestampType, and the emitted window bound is cast back to NTZ
+      // to match the batch t_tumble.
+      val tsEvent = schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          expr("timestamp_micros(ts div 1000)")
+        case _ => col("ts").cast("timestamp")
+      }
       val stream = s.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(d)
-        .withColumn("ts_ms",
-          date_trunc("millisecond", expr("timestamp_micros(ts div 1000)")))
+        .withColumn("ts_ms", date_trunc("millisecond", tsEvent))
         .withWatermark("ts_ms", "10 minutes")
         .groupBy(col("user_id"), window(col("ts_ms"), "1 hour"))
         .agg(count(lit(1)).as("cnt"),
