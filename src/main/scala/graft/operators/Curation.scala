@@ -526,13 +526,21 @@ object Curation {
     * Scale: w_max is a 1-row agg crossJoined back (broadcast by
     * construction); the corpus streams through a narrow filter. Exactness
     * bound: int64 products need `w_max < 2^31` — weights are token/char
-    * counts, orders of magnitude below that.
+    * counts, orders of magnitude below that — and the bound is ENFORCED
+    * on the 1-row agg (raise_error), because with ANSI off an oversized
+    * weight would silently wrap `u · w_max` and corrupt keep decisions
+    * rather than fail.
     */
   def sampleProportional(docs: DataFrame, weightCol: String,
       salt: String = "pps"): DataFrame = {
     val u = conv(substring(md5(concat(lit(s"$salt:"), col("doc_id").cast("string"))), 1, 8), 16, 10)
       .cast("bigint")
     val mx = docs.agg(max(col(weightCol).cast("bigint")).as("pps_w_max"))
+      .select(when(col("pps_w_max") < lit(2147483648L), col("pps_w_max"))
+        .otherwise(raise_error(concat(
+          lit("sampleProportional: w_max >= 2^31 would overflow the exact int64 product test, w_max="),
+          col("pps_w_max").cast("string"))))
+        .as("pps_w_max"))
     docs.crossJoin(broadcast(mx))
       .filter(u * col("pps_w_max") < col(weightCol).cast("bigint") * lit(4294967296L))
       .select(docs.columns.map(col).toIndexedSeq: _*)

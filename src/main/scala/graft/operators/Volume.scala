@@ -65,17 +65,39 @@ object Volume {
     */
   def binPool(vol: DataFrame, k: Int): DataFrame = {
     val cen = udaf(CentroidAgg)
-    // greatest(..., -1) guard: for lines narrower than k, `size div k - 1`
-    // is negative and Spark's sequence(0, -2) would run DESCENDING,
-    // producing garbage slices — clamp so the pooled line is empty instead.
-    val pooledX = vol.withColumn("xs",
+    poolX(vol, k)
+      .groupBy(col("dataset_id"), (col("z") / k).cast("int").as("z"),
+        (col("y") / k).cast("int").as("y"))
+      .agg(cen(col("xs")).as("xs_d"))
+      .withColumn("xs", expr("transform(xs_d, v -> cast(v as float))"))
+      .select("dataset_id", "z", "y", "xs")
+  }
+
+  /** k× average pooling WITHIN the row only (x axis). The CASE guard: for
+    * lines narrower than k, `size div k - 1` is negative and Spark's
+    * sequence(0, -2) would run DESCENDING, producing garbage slices —
+    * clamp so the pooled line is empty instead.
+    */
+  private def poolX(vol: DataFrame, k: Int): DataFrame =
+    vol.withColumn("xs",
       expr(s"""CASE WHEN size(xs) >= $k THEN
         transform(sequence(0, size(xs) div $k - 1),
           i -> cast(aggregate(slice(xs, i * $k + 1, $k),
             cast(0.0 as double), (a, v) -> a + v) / $k as float))
         ELSE cast(array() as array<float>) END"""))
-    pooledX
-      .groupBy(col("dataset_id"), (col("z") / k).cast("int").as("z"),
+
+  /** R26 (bin node, PROJECTION form): k× average pooling of the detector
+    * axes only — x inside the row, y across rows — leaving z (the angle
+    * index) untouched. [[binPool]] pools all three axes, which is correct
+    * for a reconstructed volume but silently averages unrelated ANGLES
+    * when applied to a projection stack; detector binning on projections
+    * must go through here (and the geometry record through
+    * `GeometryLog.binGeometry` — see [[GeoProjections]]).
+    */
+  def binDetector(proj: DataFrame, k: Int): DataFrame = {
+    val cen = udaf(CentroidAgg)
+    poolX(proj, k)
+      .groupBy(col("dataset_id"), col("z"),
         (col("y") / k).cast("int").as("y"))
       .agg(cen(col("xs")).as("xs_d"))
       .withColumn("xs", expr("transform(xs_d, v -> cast(v as float))"))
@@ -817,6 +839,79 @@ object Volume {
     val r = vol.select(explode(col("xs")).as("v"))
       .agg(expr(s"percentile(v, ${p}D)"), expr(s"percentile(v, ${1 - p}D)")).head()
     (r.getDouble(0), r.getDouble(1))
+  }
+
+  /** A projection stack paired with its geometry record (SURVEY §1.1):
+    * flexcalc mutates the record in place when a pipeline crops, bins, or
+    * stitches projections, so a user who cropped a scan had to adjust
+    * detector offsets by hand before reconstructing. Here the pair is
+    * immutable and every op returns BOTH the new frame and the
+    * correspondingly-adjusted record (pure Column updates —
+    * `GeometryLog.cropGeometry`/`binGeometry`/`stitchGeometry`), so the
+    * chain crop → bin → [[Volume.fdk]] needs no manual bookkeeping.
+    *
+    * `proj` rows are the slab layout with z = angle index; `geo` is one
+    * `GeometryLog.parseSettings` record per dataset_id. The only driver
+    * actions are 1-row dimension/record aggs (the §3.3
+    * aggregate→decide→reapply shape) — the data path stays fully
+    * distributed.
+    */
+  final case class GeoProjections(proj: DataFrame,
+      geo: DataFrame) {
+    import graft.sources.GeometryLog
+
+    /** Current detector dims (rows, cols) — 1-row agg. */
+    private def dims: (Int, Int) = {
+      val d = proj.agg(max(col("y")), max(size(col("xs")))).head()
+      (d.getInt(0) + 1, d.getInt(1))
+    }
+
+    /** Crop the detector window [y0,y1)×[x0,x1) on every angle; the
+      * record's detector offsets absorb the window-centre shift. */
+    def cropDetector(y0: Int, y1: Int, x0: Int, x1: Int): GeoProjections = {
+      val (nRows, nCols) = dims
+      GeoProjections(
+        Volume.crop(proj, 0, Int.MaxValue, y0, y1, x0, x1),
+        GeometryLog.cropGeometry(geo, y0, y1, x0, x1, nRows, nCols))
+    }
+
+    /** Keep angles [z0,z1); the record's theta sweep narrows to match. */
+    def cropAngles(z0: Int, z1: Int): GeoProjections = {
+      val (nRows, nCols) = dims
+      GeoProjections(
+        Volume.crop(proj, z0, z1, 0, nRows, 0, nCols),
+        GeometryLog.cropAnglesGeometry(geo, z0, z1))
+    }
+
+    /** k× detector binning (angles untouched); binning/det_pixel/
+      * img_pixel scale in the record. */
+    def bin(k: Int): GeoProjections =
+      GeoProjections(Volume.binDetector(proj, k),
+        GeometryLog.binGeometry(geo, k))
+
+    /** Stitch tile stacks of the same acquisition onto one canvas
+      * (overlaps feather-blended); the canvas record unions the tile
+      * ROIs. Tiles must already sit on the canvas grid ([[Volume.stitch]]'s
+      * contract). */
+    def stitchWith(others: GeoProjections*): GeoProjections =
+      GeoProjections(
+        Volume.stitch((proj +: others.map(_.proj)).toIndexedSeq: _*),
+        GeometryLog.stitchGeometry((geo +: others.map(_.geo)).toIndexedSeq: _*))
+
+    /** Source-to-isocenter distance in CURRENT image-pixel units — the
+      * `r` [[Volume.fdk]] consumes — derived from the (possibly
+      * bin-adjusted) record. Single-dataset helper: 1-row collect. */
+    def rPix: Double = {
+      val r = geo.select(col("src2obj") / col("img_pixel")).head()
+      r.getDouble(0)
+    }
+
+    /** Geometry-driven FDK reconstruction: every scalar the kernel needs
+      * (source distance in pixel units, detector row count) comes from
+      * the propagated record and the frame itself — the no-hand-
+      * bookkeeping endpoint of the crop/bin chain. */
+    def fdk(nAngles: Int, outN: Int): DataFrame =
+      Volume.fdk(proj, nAngles, outN, rPix, dims._1)
   }
 
   /** R20 (analyze.py::binary_threshold, otsu mode): histogram →

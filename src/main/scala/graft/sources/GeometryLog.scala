@@ -213,6 +213,85 @@ object GeometryLog {
       explode(array_compact(array(lineCols: _*))).as("line"))
   }
 
+  // ---- Geometry propagation (SURVEY §1.1) -------------------------------
+  //
+  // flexcalc mutates the geometry record in place when a pipeline crops,
+  // bins, or stitches projection data (reference: flexcalc process.py —
+  // mount empty at survey time, SURVEY §0; the adjustments below follow
+  // the public flexdata conventions: det_pixel = binning × pitch,
+  // img_pixel = det_pixel / magnification, detector offsets in mm with
+  // +v axial). Here the record is an immutable frame and every update is
+  // a pure narrow Column transform — per-dataset, no shuffle, no action —
+  // so a million-record geometry table updates entirely map-side.
+
+  /** k× detector binning applied to the record: `binning`, `det_pixel`,
+    * `img_pixel` all scale by k (magnification is geometric — unchanged).
+    * Also correct for k× pooling of a RECONSTRUCTED volume, where the
+    * voxel pitch `img_pixel` scales identically. ROI stays in unbinned
+    * detector pixels (vendor convention) — untouched.
+    */
+  def binGeometry(geo: DataFrame, k: Int): DataFrame =
+    geo.withColumn("binning", col("binning") * k)
+      .withColumn("det_pixel", round(col("det_pixel") * k, 6))
+      .withColumn("img_pixel", round(col("img_pixel") * k, 6))
+
+  /** Detector-window crop `[y0,y1)×[x0,x1)` of an `nRows`×`nCols`
+    * detector (all in CURRENT binned pixels): the retained window's
+    * centre moves by `((y0+y1−1)−(nRows−1))/2` rows (resp. cols) relative
+    * to the full detector's centre, and the mounted detector offsets
+    * absorb the shift — `det_vrt`/`det_hrz` += shift × det_pixel (row
+    * index runs along +v = +z, column along +u; see
+    * [[projectionVectors]]). The ROI corners track the crop in unbinned
+    * pixels (absent ROI treated as the full window at origin 0).
+    */
+  def cropGeometry(geo: DataFrame, y0: Int, y1: Int, x0: Int, x1: Int,
+      nRows: Int, nCols: Int): DataFrame = {
+    val dvPix = ((y0 + y1 - 1) - (nRows - 1)) / 2.0
+    val dhPix = ((x0 + x1 - 1) - (nCols - 1)) / 2.0
+    geo
+      .withColumn("det_vrt", round(
+        coalesce(col("det_vrt"), lit(0.0)) + lit(dvPix) * col("det_pixel"), 6))
+      .withColumn("det_hrz", round(
+        coalesce(col("det_hrz"), lit(0.0)) + lit(dhPix) * col("det_pixel"), 6))
+      .withColumn("roi_l",
+        coalesce(col("roi_l"), lit(0L)) + lit(x0) * col("binning"))
+      .withColumn("roi_t",
+        coalesce(col("roi_t"), lit(0L)) + lit(y0) * col("binning"))
+      .withColumn("roi_r", col("roi_l") + lit(x1 - x0) * col("binning"))
+      .withColumn("roi_b", col("roi_t") + lit(y1 - y0) * col("binning"))
+  }
+
+  /** Angle-subset crop `[z0,z1)` of the projection stack: theta bounds
+    * narrow to the retained sweep (endpoint-exclusive spacing
+    * `span/count`, matching [[projectionVectors]]).
+    */
+  def cropAnglesGeometry(geo: DataFrame, z0: Int, z1: Int): DataFrame = {
+    val step = (col("theta_last") - col("theta_first")) / col("theta_count")
+    geo.withColumn("theta_first_new", col("theta_first") + lit(z0) * step)
+      .withColumn("theta_last", col("theta_first") + lit(z1) * step)
+      .withColumn("theta_first", col("theta_first_new"))
+      .withColumn("theta_count", lit(z1 - z0).cast("bigint"))
+      .drop("theta_first_new")
+  }
+
+  /** Stitch: tiles of one dataset share the acquisition geometry and
+    * differ only in their detector window, so the canvas record keeps the
+    * shared fields (min-aggregated — order-independent under partial
+    * aggregation, and equal across well-formed tiles) and the UNION of
+    * the tile ROIs. One per-dataset grouped agg, same key as the data
+    * stitch itself.
+    */
+  def stitchGeometry(geos: DataFrame*): DataFrame = {
+    val all = geos.reduce(_ unionByName _)
+    val shared = all.columns.filter(c =>
+      c != "dataset_id" && !c.startsWith("roi_"))
+    val aggs = shared.map(f => min(col(f)).as(f)) ++ Seq(
+      min(col("roi_l")).as("roi_l"), min(col("roi_t")).as("roi_t"),
+      max(col("roi_r")).as("roi_r"), max(col("roi_b")).as("roi_b"))
+    all.groupBy("dataset_id").agg(aggs.head, aggs.tail.toIndexedSeq: _*)
+      .select(all.columns.map(col).toIndexedSeq: _*)
+  }
+
   /** Strict form: fail fast when a record is missing the fields no
     * reconstruction can proceed without (the reference raises on absent
     * SOD/SDD too).

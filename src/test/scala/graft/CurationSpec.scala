@@ -496,6 +496,30 @@ class CurationSpec extends SparkSpec {
       Curation.trainQualityClassifier(docs, col("lang") === "en"))
   }
 
+  test("sampleProportional: keep corollaries hold and w_max >= 2^31 fails loudly") {
+    import spark.implicits._
+    val docs = Seq((1L, 0L), (2L, 50L), (3L, 100L), (4L, 100L))
+      .toDF("doc_id", "w")
+    val kept = Curation.sampleProportional(docs, "w")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // weight 0 is never kept; weight = w_max always is (module corollaries)
+    assert(!kept.contains(1L))
+    assert(kept.contains(3L) && kept.contains(4L))
+    // determinism: same frame, same survivors
+    val again = Curation.sampleProportional(docs, "w")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again === kept)
+    // the int64-exactness bound is ENFORCED, not just documented: an
+    // oversized weight must raise, never silently wrap the product test
+    val big = Seq((1L, 10L), (2L, 2147483648L)).toDF("doc_id", "w")
+    val ex = intercept[Exception] {
+      Curation.sampleProportional(big, "w").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("w_max >= 2^31")))
+  }
+
   test("dupNgramFraction: hand-computed repetition fractions") {
     import spark.implicits._
     val df = Seq(
