@@ -88,20 +88,7 @@ object EventTime {
     // (micro-batch, Trigger.AvailableNow, memory sink). No oracle — the
     // oracle can't run Spark streaming; T3 asserts equality with t_tumble.
     "t_stream_runtime" -> ((s, d) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val schema = s.read.parquet(s"$d/events.parquet").schema
-      // Same schema-conditional shim as T.events (ns-as-long legacy data
-      // vs native µs timestamps); watermarks require the tz-adjusted
-      // TimestampType, and the emitted window bound is cast back to NTZ
-      // to match the batch t_tumble.
-      val tsEvent = schema("ts").dataType match {
-        case org.apache.spark.sql.types.LongType =>
-          expr("timestamp_micros(ts div 1000)")
-        case _ => col("ts").cast("timestamp")
-      }
-      val stream = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(d)
-        .withColumn("ts_ms", date_trunc("millisecond", tsEvent))
+      val stream = streamEvents(s, d)
         .withWatermark("ts_ms", "10 minutes")
         .groupBy(col("user_id"), window(col("ts_ms"), "1 hour"))
         .agg(count(lit(1)).as("cnt"),
@@ -109,25 +96,72 @@ object EventTime {
         .select(col("user_id"),
           col("window.start").cast("timestamp_ntz").as("win_start"),
           col("cnt"), col("sum_value"))
-      // The stateful agg allocates one state-store instance per shuffle
-      // partition; with only ~15 distinct users the fixed per-store cost
-      // (checkpoint dirs, provider init, commit) dominates at 32
-      // partitions. Pin a small count for the stream's lifetime and
-      // restore — on a real cluster this is sized to executor count, and
-      // it's captured once at stream start.
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
-      try {
-        val q = stream.writeStream.format("memory")
-          .queryName("t_stream_runtime_sink")
-          .outputMode("complete")
-          .trigger(Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      s.table("t_stream_runtime_sink").orderBy("user_id", "win_start")
+      runToMemory(s, stream, "t_stream_runtime_sink", "complete")
+        .orderBy("user_id", "win_start")
+    }),
+
+    // Streaming keyed dedup: dropDuplicatesWithinWatermark over the same
+    // (user_id, event_type, minute-bucket) key as the batch t_dedup_keyed.
+    // The streaming operator keeps the FIRST-ENCOUNTERED row per key (not
+    // the earliest by event time), so only the KEY COLUMNS are emitted —
+    // the surviving key set is deterministic and equals the batch one
+    // row-for-row (T3 parity test). No oracle — the oracle can't run
+    // Spark streaming; driver records the rows-only check.
+    "t_stream_dedup" -> ((s, d) => {
+      val stream = streamEvents(s, d)
+        .withColumn("minute_b", date_trunc("minute", col("ts_ms")))
+        .withWatermark("ts_ms", "10 minutes")
+        .dropDuplicatesWithinWatermark("user_id", "event_type", "minute_b")
+        .select(col("user_id"), col("event_type"),
+          col("minute_b").cast("timestamp_ntz").as("minute_b"))
+      runToMemory(s, stream, "t_stream_dedup_sink", "append")
+        .orderBy("user_id", "event_type", "minute_b")
     })
   )
+
+  /** Streaming events source with the standard ms-truncated event-time
+    * column `ts_ms`. Same schema-conditional shim as `T.events` (ns-as-
+    * long legacy data vs native µs timestamps); watermarks require the
+    * tz-adjusted TimestampType, so emitted time columns are cast back to
+    * NTZ by the callers to match their batch twins.
+    */
+  private def streamEvents(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(s"$d/events.parquet").schema
+    val tsEvent = schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        expr("timestamp_micros(ts div 1000)")
+      case _ => col("ts").cast("timestamp")
+    }
+    s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+      .withColumn("ts_ms", date_trunc("millisecond", tsEvent))
+  }
+
+  /** Run a streaming frame to completion under Trigger.AvailableNow into
+    * a named memory sink and return the sink table.
+    *
+    * Stateful operators allocate one state-store instance per shuffle
+    * partition; with only ~15 distinct users the fixed per-store cost
+    * (checkpoint dirs, provider init, commit) dominates at 32
+    * partitions. Pin a small count for the stream's lifetime and
+    * restore — on a real cluster this is sized to executor count, and
+    * it's captured once at stream start.
+    */
+  private def runToMemory(s: SparkSession, stream: DataFrame,
+      sink: String, mode: String): DataFrame = {
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val q = stream.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode(mode)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    s.table(sink)
+  }
 
   val oracleSql: Map[String, String] = Map(
     "t_tumble" ->

@@ -2,20 +2,22 @@ package graft
 
 /** T1 blanket contract checks: every declared query runs on sf0.001,
   * the queries/oracleSql maps are mutually consistent, and the declared
-  * inventory matches SURVEY.md §2b (131 keys, 129 oracle-checked).
+  * inventory matches SURVEY.md §2b (132 keys, 129 oracle-checked).
   */
 class ContractSpec extends SparkSpec {
 
-  test("inventory matches SURVEY §2b: 131 queries, 129 with oracle SQL") {
-    assert(SparkEntry.queries.size === 131)
+  private val nonOracle =
+    Set("a_approx_hll", "t_stream_runtime", "t_stream_dedup")
+
+  test("inventory matches SURVEY §2b: 132 queries, 129 with oracle SQL") {
+    assert(SparkEntry.queries.size === 132)
     assert(SparkEntry.oracleSql.size === 129)
-    assert(SparkEntry.queries.keySet.intersect(Set("a_approx_hll", "t_stream_runtime")).size === 2)
+    assert(SparkEntry.queries.keySet.intersect(nonOracle).size === 3)
   }
 
-  test("every oracle key has a query; non-oracle keys are the declared two") {
+  test("every oracle key has a query; non-oracle keys are the declared three") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
-    assert(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet ===
-      Set("a_approx_hll", "t_stream_runtime"))
+    assert(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet === nonOracle)
   }
 
   test("entry returns rows on sf0.001 (driver smoke gate)") {

@@ -192,6 +192,15 @@ class PropertySpec extends SparkSpec {
     assert(stream === batch)
   }
 
+  test("t_stream_dedup (dropDuplicatesWithinWatermark) equals batch t_dedup_keyed keys") {
+    val stream = SparkEntry.queries("t_stream_dedup")(spark, sf())
+      .collect().map(_.toSeq).toSet
+    val batch = SparkEntry.queries("t_dedup_keyed")(spark, sf())
+      .select("user_id", "event_type", "minute_b")
+      .collect().map(_.toSeq).toSet
+    assert(stream === batch)
+  }
+
   test("approx_count_distinct within rsd envelope of exact") {
     val approx = SparkEntry.queries("a_approx_hll")(spark, sf())
       .select("event_type", "approx_users").collect()
