@@ -380,6 +380,50 @@ class VolumeSpec extends SparkSpec {
     assert(math.abs(inMean - 1.0) < 0.15, f"finite-r interior $inMean%.3f should be ~1")
   }
 
+  test("fdkShortScan: Parker-weighted short scan matches the full-scan disk; r→∞ reduces to fbp") {
+    val (w, nAng, outN, nRows) = (32, 36, 24, 3)
+    val sc = (w - 1) / 2.0
+    val r0 = 6.0
+    val chord = Array.tabulate(w) { x =>
+      val d = x - sc
+      if (math.abs(d) < r0) (2.0 * math.sqrt(r0 * r0 - d * d)).toFloat else 0f
+    }
+    // the centred disk's parallel projection is angle-independent, so the
+    // same sinogram serves any sweep interpretation
+    val sino = Volume.fromArray(spark, "ss",
+      Array.tabulate(nAng, nRows, w)((_, _, x) => chord(x)))
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(ro => (ro.getInt(1), ro.getInt(2)) -> ro.getSeq[Float](3)).toMap
+    // r → ∞: fan collapses, sweep → π, every Parker weight → 1 ⇒ fbp
+    val par = asMap(Volume.fbp(sino, nAng, outN))
+    val shortInf = asMap(Volume.fdkShortScan(sino, nAng, outN, 1e8, nRows))
+    var maxDiff = 0.0
+    for ((k, pv) <- par; (a, b) <- pv.zip(shortInf(k)))
+      maxDiff = math.max(maxDiff, math.abs(a - b))
+    info(f"max |fdkShortScan(r=1e8) − fbp| = $maxDiff%.2e")
+    assert(maxDiff < 1e-3, f"short-scan should reduce to fbp, max diff $maxDiff%.2e")
+    // finite r (real fan): the short-scan reconstruction's interior and
+    // exterior means match the full-scan fdk's on the same phantom
+    def means(rec: Map[(Int, Int), Seq[Float]]): (Double, Double) = {
+      val c = (outN - 1) / 2.0
+      val in = scala.collection.mutable.ArrayBuffer[Float]()
+      val out = scala.collection.mutable.ArrayBuffer[Float]()
+      for (((sl, u), xs) <- rec.toSeq if sl == 1; v <- 0 until outN) {
+        val d = math.hypot(u - c, v - c)
+        if (d < r0 - 3) in += xs(v)
+        else if (d > r0 + 3 && d < c) out += xs(v)
+      }
+      (in.sum.toDouble / in.size, out.sum.toDouble / out.size)
+    }
+    val (inS, outS) = means(asMap(Volume.fdkShortScan(sino, nAng, outN, 100.0, nRows)))
+    val (inF, outF) = means(asMap(Volume.fdk(sino, nAng, outN, 100.0, nRows)))
+    info(f"short-scan interior $inS%.3f / exterior $outS%.3f; full-scan $inF%.3f / $outF%.3f")
+    assert(math.abs(inS - 1.0) < 0.2, f"short-scan interior $inS%.3f should be ~1")
+    assert(math.abs(outS) < 0.1, f"short-scan exterior $outS%.3f should be ~0")
+    assert(math.abs(inS - inF) < 0.15 && math.abs(outS - outF) < 0.1,
+      "short-scan and full-scan means should agree")
+  }
+
   test("registerTranslation recovers a known shift (R12) and normL2 (R21)") {
     val base = Volume.fromArray(spark, "r",
       Array.tabulate(5, 5, 5)((z, y, x) => if (z == 1 && y == 1 && x == 1) 4f else 0f))
