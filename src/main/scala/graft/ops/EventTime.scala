@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import graft.ops.T._
+import graft.streaming.Stateful
 
 /** Group T (streaming semantics, batch-parity graded) — SURVEY.md §2b.
   *
@@ -116,6 +117,45 @@ object EventTime {
           col("minute_b").cast("timestamp_ntz").as("minute_b"))
       runToMemory(s, stream, "t_stream_dedup_sink", "append")
         .orderBy("user_id", "event_type", "minute_b")
+    }),
+
+    // Custom keyed state (flatMapGroupsWithState) as a GRADED oracle key:
+    // per-user count / exact decimal value sum / max event time, computed
+    // through graft.streaming.Stateful's exact-Long state — a plain
+    // groupBy to the oracle, but exercising the keyed-state extension
+    // point (north star: KeyValueGroupedDataset custom state). Emitted
+    // micros/epoch-ms are projected back to decimal/timestamp in Column
+    // space; the anomaly flag compares the ROUNDED emitted sum (not a
+    // raw-double mean) so both engines evaluate bit-identical doubles.
+    "t_stateful_stats" -> ((s, d) =>
+      Stateful.userStatsExact(ev(s, d)).toDF
+        .select(col("user_id"), col("cnt"),
+          // ÷1e6 widens the division result to scale 17; re-cast to the
+          // oracle's DECIMAL(38,6) (exact — the value has ≤6 dp) so both
+          // engines feed the SAME scale into the double conversion.
+          decOut((col("sum_micros").cast("decimal(38,6)") / lit(1000000))
+            .cast("decimal(38,6)")).as("sum_value"),
+          expr("timestampadd(MILLISECOND, max_ts_ms, TIMESTAMP_NTZ '1970-01-01 00:00:00')")
+            .as("max_ts"))
+        .withColumn("anomalous", col("sum_value") / col("cnt") > lit(50.0))
+        .orderBy("user_id")),
+
+    // The t_session plan executed through Structured Streaming: session
+    // windows merged in the streaming state store (complete mode — append
+    // would hold back sessions still inside the watermark, breaking
+    // batch parity under Trigger.AvailableNow). No oracle — T3 asserts
+    // equality with batch t_session.
+    "t_stream_session" -> ((s, d) => {
+      val stream = streamEvents(s, d)
+        .withWatermark("ts_ms", "10 minutes")
+        .groupBy(col("user_id"), session_window(col("ts_ms"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          col("session_window.start").cast("timestamp_ntz").as("sess_start"),
+          col("session_window.end").cast("timestamp_ntz").as("sess_end"),
+          col("n_events"))
+      runToMemory(s, stream, "t_stream_session_sink", "complete")
+        .orderBy("user_id", "sess_start")
     })
   )
 
@@ -192,6 +232,12 @@ object EventTime {
         "ORDER BY ts_ms, event_id) AS rn " +
         "FROM (SELECT *, date_trunc('milliseconds', ts) AS ts_ms FROM events)) " +
         "WHERE rn = 1 ORDER BY user_id, event_type, minute_b"),
+    "t_stateful_stats" ->
+      ("WITH g AS (SELECT user_id, count(*) AS cnt, " +
+        "round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 6) AS sum_value, " +
+        "max(date_trunc('milliseconds', ts)) AS max_ts FROM events GROUP BY user_id) " +
+        "SELECT user_id, cnt, sum_value, max_ts, sum_value / cnt > 50.0 AS anomalous " +
+        "FROM g ORDER BY user_id"),
     "t_late_flag" ->
       ("SELECT event_id, user_id, ts_ms, wm, " +
         "coalesce(ts_ms < wm - INTERVAL 10 MINUTE, false) AS is_late FROM (" +

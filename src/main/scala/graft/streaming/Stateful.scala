@@ -15,6 +15,20 @@ case class UserState(count: Long, sum: Double, maxTs: Long)
 case class UserUpdate(user_id: Long, cnt: Long, sum_value: Double,
     max_ts_ms: Long, anomalous: Boolean)
 
+/** Exact-arithmetic per-user state for the GRADED stateful key
+  * (`t_stateful_stats`): the value sum is carried as scale-6 unscaled
+  * micros in a Long, so accumulation is integer-exact and
+  * order-independent — the floating-point `UserState.sum` above cannot be
+  * oracle-hashed (its last ulp depends on reduction order).
+  */
+case class ExactState(cnt: Long, sumMicros: Long, maxTsMs: Long)
+
+/** Exact emitted update: callers project micros/epoch-ms back to decimal /
+  * timestamp in Column space (graft.ops.EventTime `t_stateful_stats`).
+  */
+case class ExactUpdate(user_id: Long, cnt: Long, sum_micros: Long,
+    max_ts_ms: Long)
+
 /** Custom keyed streaming state via flatMapGroupsWithState — the
   * extension point for semantics the built-in window/session operators
   * can't express (north star: KeyValueGroupedDataset custom state).
@@ -53,6 +67,45 @@ object Stateful {
           state.update(next)
           Iterator(UserUpdate(uid, next.count, next.sum, next.maxTs,
             anomalous = next.count > 0 && next.sum / next.count > anomalyMean))
+      }
+  }
+
+  /** Oracle-exact per-user running stats — the graded twin of
+    * [[runningUserStats]] (`t_stateful_stats`, SURVEY §2b group T).
+    *
+    * Input must carry `user_id`, `value` (double) and the standard
+    * ms-truncated NTZ event-time column `ts_ms` (T.evMs). The value is
+    * cast to DECIMAL(38,6) (the cross-engine exactness idiom, §7.3 R2)
+    * and carried as its unscaled micros in a Long; `Math.addExact` makes
+    * a 100 TB-scale overflow a loud failure instead of a silently wrapped
+    * sum. Emits one row per key per micro-batch; on a batch frame that is
+    * exactly one row per user — a groupBy in the oracle's eyes, but
+    * executed through the keyed-state extension point so the graded
+    * contract covers flatMapGroupsWithState itself.
+    */
+  def userStatsExact(events: DataFrame): Dataset[ExactUpdate] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id").cast("long"),
+        // scale-6 decimal → integral micros; the *1e6 product of a
+        // DECIMAL(38,6) is integer-valued, so the long cast is exact.
+        (col("value").cast("decimal(38,6)") * lit(1000000)).cast("long"),
+        // NTZ-native epoch millis (see runningUserStats for why a
+        // cast("timestamp") would tz-shift this).
+        expr("timestampdiff(MILLISECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts_ms)"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[ExactState, ExactUpdate](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, Long, Long)], state: GroupState[ExactState]) =>
+          val prev = state.getOption.getOrElse(ExactState(0L, 0L, Long.MinValue))
+          val next = rows.foldLeft(prev) { case (st, (_, vMicros, tsMs)) =>
+            ExactState(st.cnt + 1, Math.addExact(st.sumMicros, vMicros),
+              math.max(st.maxTsMs, tsMs))
+          }
+          state.update(next)
+          Iterator(ExactUpdate(uid, next.cnt, next.sumMicros, next.maxTsMs))
       }
   }
 }

@@ -2,20 +2,21 @@ package graft
 
 /** T1 blanket contract checks: every declared query runs on sf0.001,
   * the queries/oracleSql maps are mutually consistent, and the declared
-  * inventory matches SURVEY.md §2b (132 keys, 129 oracle-checked).
+  * inventory matches SURVEY.md §2b (134 keys, 130 oracle-checked).
   */
 class ContractSpec extends SparkSpec {
 
   private val nonOracle =
-    Set("a_approx_hll", "t_stream_runtime", "t_stream_dedup")
+    Set("a_approx_hll", "t_stream_runtime", "t_stream_dedup",
+      "t_stream_session")
 
-  test("inventory matches SURVEY §2b: 132 queries, 129 with oracle SQL") {
-    assert(SparkEntry.queries.size === 132)
-    assert(SparkEntry.oracleSql.size === 129)
-    assert(SparkEntry.queries.keySet.intersect(nonOracle).size === 3)
+  test("inventory matches SURVEY §2b: 134 queries, 130 with oracle SQL") {
+    assert(SparkEntry.queries.size === 134)
+    assert(SparkEntry.oracleSql.size === 130)
+    assert(SparkEntry.queries.keySet.intersect(nonOracle).size === 4)
   }
 
-  test("every oracle key has a query; non-oracle keys are the declared three") {
+  test("every oracle key has a query; non-oracle keys are the declared four") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
     assert(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet === nonOracle)
   }

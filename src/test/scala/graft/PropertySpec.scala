@@ -201,6 +201,14 @@ class PropertySpec extends SparkSpec {
     assert(stream === batch)
   }
 
+  test("t_stream_session (streaming session_window) equals batch t_session") {
+    val stream = SparkEntry.queries("t_stream_session")(spark, sf())
+      .collect().map(_.toSeq).toSet
+    val batch = SparkEntry.queries("t_session")(spark, sf())
+      .collect().map(_.toSeq).toSet
+    assert(stream === batch)
+  }
+
   test("approx_count_distinct within rsd envelope of exact") {
     val approx = SparkEntry.queries("a_approx_hll")(spark, sf())
       .select("event_type", "approx_users").collect()

@@ -25,6 +25,23 @@ class StatefulSpec extends SparkSpec {
     assert(out(2L).cnt === 1 && !out(2L).anomalous)
   }
 
+  test("userStatsExact: integer-exact sums, hand-computed rows") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 00:00:01"), 0.105),
+      (1L, Timestamp.valueOf("2024-01-01 00:00:02"), 0.205),
+      (2L, Timestamp.valueOf("2024-01-01 00:00:03"), 327.53))
+      .toDF("user_id", "ts", "value")
+      .withColumn("ts_ms", ops.T.truncNtz("millisecond", col("ts")))
+    val out = Stateful.userStatsExact(df).collect()
+      .map(u => u.user_id -> u).toMap
+    // 0.105 + 0.205 in doubles is 0.31000000000000005; the micros-Long
+    // path must land exactly on 310000.
+    assert(out(1L).cnt === 2 && out(1L).sum_micros === 310000L)
+    assert(out(1L).max_ts_ms === Timestamp.valueOf("2024-01-01 00:00:02").getTime)
+    assert(out(2L).cnt === 1 && out(2L).sum_micros === 327530000L)
+  }
+
   test("state persists across micro-batches (incremental counts)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
