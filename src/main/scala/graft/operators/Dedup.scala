@@ -251,6 +251,64 @@ object Dedup {
       .filter(col("n_bands") >= minBands)
   }
 
+  /** Duplicate CLUSTERS of the ≥`minBands` minhash pair graph, via
+    * identical-signature CONTRACTION — the 100 TB form of
+    * `connectedComponents(minhashSelfPairs(docs))`, with exactly the same
+    * result.
+    *
+    * A near-dup corpus is dominated by EXACT template copies: docs whose
+    * full 8-band signatures are identical. In the naive pair graph every
+    * such group of k docs is a k-clique (sf0.1 fixture: a 1762-doc group
+    * alone contributes 1.55 M of the graph's 9.2 M pairs), so both the
+    * band self-join (hot-bucket k² blowup) and every CC propagation round
+    * (edge-linear) pay quadratic cost for information a groupBy already
+    * has. Contract first:
+    *
+    *  1. group docs by FULL signature; rep = min(doc_id) per group —
+    *     one n-linear agg (sf0.1: 5000 docs → 937 reps);
+    *  2. band-join among REPS ONLY (identical sigs agree on all 8 bands,
+    *     so doc~doc band agreement ≡ rep~rep agreement — the quotient
+    *     graph has the same ≥minBands edges);
+    *  3. CC over {rep↔rep pairs} ∪ {rep→member stars}: the star edges
+    *     re-attach each group (its members are pairwise 8-band dups by
+    *     construction, ≥ minBands for any valid threshold), so
+    *     components, min-id cluster labels, and member counts all equal
+    *     the uncontracted graph's. Edge volume drops from Σk² to
+    *     n + Σ(rep pairs) — corpus-linear plus a reps-sized join.
+    *
+    * Requires minBands ≤ 8 (a group's internal agreement is all 8 bands);
+    * singleton reps with no rep-pairs correctly vanish (no edges), and a
+    * paired group surfaces every member via its star.
+    */
+  def minhashComponents(docs: DataFrame, minBands: Int = 4): DataFrame = {
+    val sigs = T.cached(minhashSignatures(docs))
+    // Full-signature contraction key: seeds are a fixed 0..7 enumeration,
+    // so the seed-ordered concat is deterministic per doc.
+    val full = sigs.groupBy("doc_id")
+      .agg(concat_ws("|", array_sort(collect_list(
+        concat_ws("#", col("seed"), col("mh"))))).as("sig"))
+    val groups = full.groupBy("sig")
+      .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("n_docs"))
+    val docRep = T.cached(full.join(groups, "sig")
+      .select(col("doc_id"), col("rep"), col("n_docs")))
+    // Star edges rep→member re-attach contracted groups (k−1 edges per
+    // k-doc group, vs the naive graph's k-clique).
+    val stars = docRep.filter(col("doc_id") =!= col("rep"))
+      .select(col("rep").as("a_id"), col("doc_id").as("b_id"))
+    // Band join among representatives only: the hot-bucket fan-out is now
+    // bounded by DISTINCT signatures per band value, not docs.
+    val repSigs = sigs.join(
+      docRep.filter(col("doc_id") === col("rep")).select("doc_id"), Seq("doc_id"))
+    val repPairs = repSigs.select(col("doc_id").as("a_id"), col("seed"), col("mh"))
+      .join(repSigs.select(col("doc_id").as("b_id"), col("seed"), col("mh")),
+        Seq("seed", "mh"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_bands"))
+      .filter(col("n_bands") >= minBands)
+      .select("a_id", "b_id")
+    connectedComponents(stars.union(repPairs))
+  }
+
   /** Build the persisted corpus index: signatures written as a managed
     * parquet table bucketed by the FULL band key (seed, mh) — the
     * incremental join's exact key set, which is what lets the planner

@@ -376,11 +376,16 @@ object Similarity {
     // LSH pairs → duplicate CLUSTERS: connected components over the
     // minhash pair graph (transitive chains a~b~c collapse to one
     // cluster; cluster_id = the component's min doc_id — the canonical
-    // survivor a curation pipeline keeps). Iterative min-label
-    // propagation (operators/Dedup.scala has the scale notes); the
-    // oracle computes the same fixpoint via a recursive reachability CTE.
+    // survivor a curation pipeline keeps). Computed via identical-
+    // signature contraction (Dedup.minhashComponents): template copies
+    // collapse to one super-node BEFORE the band join and the CC rounds,
+    // so edge volume is corpus-linear plus a distinct-signatures join —
+    // identical components to CC over the raw pair graph (the quotient-
+    // graph argument on minhashComponents), which is what the oracle's
+    // recursive reachability CTE computes.
     "x_dedup_cluster" -> ((s, d) =>
-      graft.operators.Dedup.connectedComponents(minhashPairs(s, d))),
+      graft.operators.Dedup.minhashComponents(
+        fan(s, t(s, d, "documents").select("doc_id", "text")))),
 
     // Quality-aware cluster survivors, graded (Dedup.keepBest semantics):
     // connected components over the all-8-bands minhash pair graph of the
@@ -396,11 +401,14 @@ object Similarity {
       val docs = t(s, d, "documents")
         .filter(col("doc_id") % 2 === 0)
         .select(col("doc_id"), col("text"), col("n_chars").cast("bigint").as("n_chars"))
-      val pairs = graft.operators.Dedup.minhashSelfPairs(
-        fan(s, docs.select("doc_id", "text")), minBands = 8)
       val w = Window.partitionBy("cluster_id")
         .orderBy(col("n_chars").desc, col("doc_id").asc)
-      graft.operators.Dedup.connectedComponents(pairs)
+      // minBands = 8 ⇒ the pair graph is exactly the identical-signature
+      // relation, so the contracted form's rep-pair join is empty and
+      // components are the signature groups themselves — same result as
+      // CC over minhashSelfPairs(minBands = 8), at star-edge cost.
+      graft.operators.Dedup.minhashComponents(
+          fan(s, docs.select("doc_id", "text")), minBands = 8)
         .join(docs.select("doc_id", "n_chars"), Seq("doc_id"))
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") === 1)

@@ -245,6 +245,34 @@ class DedupSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS ingest_idx")
   }
 
+  test("minhashComponents == CC over minhashSelfPairs (contraction is exact)") {
+    // Mixed corpus: an identical-text group {1,2,3} (one signature group,
+    // contracted to a star), a near-dup neighbor 4 of that group (reaches
+    // it only through a rep pair), an unrelated near pair {10,11}, and a
+    // singleton 20 that must appear in neither output.
+    val base = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      1L -> base, 2L -> base, 3L -> base,
+      4L -> (base + " extra"),
+      10L -> "one two three four five six seven eight",
+      11L -> "one two three four five six seven nine",
+      20L -> "totally unrelated vocabulary here indeed")
+      .toDF("doc_id", "text")
+    val naive = Dedup.connectedComponents(Dedup.minhashSelfPairs(docs))
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    val contracted = Dedup.minhashComponents(docs)
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    assert(contracted === naive)
+    assert(naive.map(_._1).contains(1L) && !naive.map(_._1).contains(20L))
+    // and at minBands = 8 both forms still agree (rep pairs vanish)
+    val naive8 = Dedup.connectedComponents(
+        Dedup.minhashSelfPairs(docs, minBands = 8))
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    val contracted8 = Dedup.minhashComponents(docs, minBands = 8)
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    assert(contracted8 === naive8)
+  }
+
   test("x_dedup_cluster agrees with x_dedup_minhash pairs on sf0.001") {
     val pairs = SparkEntry.queries("x_dedup_minhash")(spark, sf())
       .select(col("a_id"), col("b_id"))
