@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Per-user running state (count, running Double sum, high-water timestamp)
   * carried across micro-batches. The sum is floating-point and therefore
@@ -107,5 +108,59 @@ object Stateful {
           state.update(next)
           Iterator(ExactUpdate(uid, next.cnt, next.sumMicros, next.maxTsMs))
       }
+  }
+
+  /** [[userStatsExact]] re-expressed on the `transformWithState` API —
+    * Spark 4's replacement for the (deprecated) flatMapGroupsWithState:
+    * named state variables on a `StatefulProcessor` handle instead of one
+    * opaque GroupState, with TTL, timers, and schema evolution as
+    * first-class features. Semantically identical to [[userStatsExact]]
+    * (StatefulSpec asserts row-for-row parity on batch and cross-batch
+    * carry under a MemoryStream); BOTH execution paths (batch included)
+    * require the RocksDB state-store provider (`spark.sql.streaming
+    * .stateStore.providerClass` → RocksDBStateStoreProvider) — the
+    * default HDFS-backed store has no multi-column-family support and
+    * rejects the operator.
+    */
+  def userStatsExactTws(events: DataFrame): Dataset[ExactUpdate] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    // Batch execution wart: RocksDB's snapshot-upload report needs the
+    // StateStoreCoordinator RPC endpoint, which only a streaming query
+    // would otherwise register — force-register it (idempotent) so the
+    // batch path works in a fresh session.
+    org.apache.spark.sql.GraftBridge.ensureStateStoreCoordinator(spark)
+    events
+      .select(col("user_id").cast("long"),
+        (col("value").cast("decimal(38,6)") * lit(1000000)).cast("long"),
+        expr("timestampdiff(MILLISECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts_ms)"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new UserStatsProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
+}
+
+/** StatefulProcessor carrying the same exact-Long per-user stats as
+  * `Stateful.userStatsExact` in a named ValueState — one emitted
+  * [[ExactUpdate]] per key per micro-batch.
+  */
+class UserStatsProcessor
+    extends StatefulProcessor[Long, (Long, Long, Long), ExactUpdate] {
+  @transient private var state: ValueState[ExactState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    state = getHandle.getValueState[ExactState]("userStats",
+      Encoders.product[ExactState], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Long, Long)],
+      timerValues: TimerValues): Iterator[ExactUpdate] = {
+    val prev = if (state.exists()) state.get() else ExactState(0L, 0L, Long.MinValue)
+    val next = rows.foldLeft(prev) { case (st, (_, vMicros, tsMs)) =>
+      ExactState(st.cnt + 1, Math.addExact(st.sumMicros, vMicros),
+        math.max(st.maxTsMs, tsMs))
+    }
+    state.update(next)
+    Iterator(ExactUpdate(key, next.cnt, next.sumMicros, next.maxTsMs))
   }
 }

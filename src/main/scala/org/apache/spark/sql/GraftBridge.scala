@@ -10,4 +10,15 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 object GraftBridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Force-register the StateStoreCoordinator RPC endpoint (idempotent —
+    * `StreamingQueryManager.stateStoreCoordinator` is a lazily-created
+    * driver endpoint, but `private[sql]`). Needed before BATCH
+    * `transformWithState`: RocksDB's snapshot-upload report calls the
+    * coordinator, which otherwise only a started streaming query would
+    * have registered, and a fresh batch session fails the store load
+    * with RpcEndpointNotFound.
+    */
+  def ensureStateStoreCoordinator(spark: SparkSession): Unit =
+    spark.asInstanceOf[classic.SparkSession].streams.stateStoreCoordinator
 }

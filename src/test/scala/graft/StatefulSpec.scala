@@ -42,6 +42,64 @@ class StatefulSpec extends SparkSpec {
     assert(out(2L).cnt === 1 && out(2L).sum_micros === 327530000L)
   }
 
+  test("userStatsExactTws (transformWithState) matches userStatsExact on batch") {
+    // Batch transformWithState also instantiates a state store, and the
+    // default HDFS-backed provider rejects it (no multi-column-family
+    // support) — RocksDB is required on either execution path.
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // In a batch query no StreamingQueryManager ever registers the
+    // StateStoreCoordinator RPC endpoint, and RocksDB's snapshot-upload
+    // report then fails the whole store load (RpcEndpointNotFound) — turn
+    // the reporting off for the batch path.
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.coordinatorReportSnapshotUploadLag", "false")
+    try {
+      val events = ops.T.evMs(spark, sf())
+      val fmg = Stateful.userStatsExact(events).collect()
+        .map(u => (u.user_id, u.cnt, u.sum_micros, u.max_ts_ms)).toSet
+      val tws = Stateful.userStatsExactTws(events).collect()
+        .map(u => (u.user_id, u.cnt, u.sum_micros, u.max_ts_ms)).toSet
+      assert(tws === fmg)
+      assert(tws.nonEmpty)
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  test("transformWithState carries ValueState across micro-batches (RocksDB store)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[(Long, Timestamp, Double)]
+      val q = Stateful.userStatsExactTws(
+          mem.toDF.toDF("user_id", "ts", "value")
+            .withColumn("ts_ms", ops.T.truncNtz("millisecond", col("ts"))))
+        .writeStream.format("memory").queryName("tws_sink")
+        .outputMode("append").start()
+      try {
+        mem.addData((7L, Timestamp.valueOf("2024-01-01 00:00:01"), 0.105))
+        q.processAllAvailable()
+        mem.addData((7L, Timestamp.valueOf("2024-01-01 00:00:05"), 0.205))
+        q.processAllAvailable()
+        val rows = spark.table("tws_sink")
+          .select("user_id", "cnt", "sum_micros").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        // batch 2's emission includes batch 1's state: exact 310000 micros.
+        assert(rows.contains((7L, 1L, 105000L)))
+        assert(rows.contains((7L, 2L, 310000L)))
+      } finally q.stop()
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("state persists across micro-batches (incremental counts)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
