@@ -236,46 +236,74 @@ object Similarity {
       // set; the per-pair intersection is array_intersect on longs
       // (same O(na+nb) as the bitmap popcount it replaces, without the
       // dictionary shuffle, broadcast, or driver-side vocabulary count).
-      val masks = cached(toks
+      val masks = toks
         .withColumn("h",
           conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("bigint"))
         .groupBy("doc_id", "lang")
         .agg(array_sort(collect_set(col("h"))).as("mask"))
-        .withColumn("n", size(col("mask")))
-        .select("doc_id", "lang", "mask", "n")) // both join sides; 1 row/doc
-      // Pair generation is a SHUFFLED equi-join on lang — never a
-      // corpus-sized broadcast (a 100 TB corpus's masks don't fit an
-      // executor). Languages are few and skewed, so a plain lang join
-      // would put each language's C(n,2) work in ONE task: salt it
-      // (operators/SaltedJoin) — side a gets a deterministic salt from
-      // a_id, side b is replicated across that lang's salts, and the
-      // join key becomes (lang, salt). The salt factor is DATA-SIZED
-      // (SaltedJoin.saltCounts: ceil(group/512) capped at the shuffle
-      // parallelism — one lang-cardinality agg, broadcast into both
-      // sides): a factor fixed to shuffle.partitions replicated the
-      // whole b side 32× here regardless of need, and on a real cluster
-      // would scale the shuffle volume with CONFIG, not data (the
-      // round-7 regression). At 100 TB you'd compose with the minhash
-      // prefilter (module Scaladoc) before this exact verifier.
+        .select("doc_id", "lang", "mask") // 1 row/doc
+      // Identical-mask CONTRACTION (the x_dedup_cluster device): template
+      // copies share the exact token set, so group docs by (lang, mask)
+      // first — Jaccard is a function of the masks alone, so every
+      // within-group pair is exactly 1.0 and every cross-group pair's
+      // value is decided once between the two group REPRESENTATIVES. The
+      // O(C(n,2)) intersection work then runs over DISTINCT masks, not
+      // docs, and the quadratic within-group pairs are emitted as a pure
+      // combination explode (output-sized, no set arithmetic).
+      val groups = cached(masks.groupBy("lang", "mask")
+        .agg(min(col("doc_id")).as("rep"),
+          sort_array(collect_list(col("doc_id"))).as("members"),
+          count(lit(1)).as("k"))
+        .withColumn("n", size(col("mask"))))
+      val within = groups.filter(col("k") >= 2)
+        .select(explode(expr(
+          "flatten(transform(members, (x, i) -> " +
+            "transform(slice(members, i + 2, size(members)), " +
+            "y -> named_struct('a_id', x, 'b_id', y))))")).as("p"))
+        .select(col("p.a_id"), col("p.b_id"), lit(1.0).as("jacc"))
+      // Rep-pair generation is a SHUFFLED equi-join on lang — never a
+      // corpus-sized broadcast (a 100 TB corpus's distinct masks don't
+      // fit an executor: most real docs are unique). Languages are few
+      // and skewed, so a plain lang join would put each language's
+      // C(n,2) work in ONE task: salt it (operators/SaltedJoin) — side a
+      // gets a deterministic salt from its rep id, side b is replicated
+      // across that lang's salts, and the join key becomes (lang, salt).
+      // The salt factor is DATA-SIZED (SaltedJoin.saltCounts:
+      // ceil(group/512) capped at the shuffle parallelism — one
+      // lang-cardinality agg over the CONTRACTED frame, broadcast into
+      // both sides): a factor fixed to shuffle.partitions would scale
+      // the shuffle volume with CONFIG, not data (the round-7
+      // regression). At 100 TB you'd compose with the minhash prefilter
+      // (module Scaladoc) before this exact verifier.
       val cap = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
       val salts = broadcast(graft.operators.SaltedJoin.saltCounts(
-        masks, "lang", target = 512L, cap = cap))
-      val a = masks.join(salts, "lang")
-        .select(col("doc_id").as("a_id"), col("lang"),
+        groups, "lang", target = 512L, cap = cap))
+      val a = groups.join(salts, "lang")
+        .select(col("rep").as("a_rep"), col("lang"),
           col("mask").as("ma"), col("n").as("na"),
-          pmod(hash(col("doc_id")), col("_nsalts")).as("salt"))
-      val b = masks.join(salts, "lang")
-        .select(col("doc_id").as("b_id"),
+          col("members").as("mem_a"),
+          pmod(hash(col("rep")), col("_nsalts")).as("salt"))
+      val b = groups.join(salts, "lang")
+        .select(col("rep").as("b_rep"),
           col("lang").as("lang_b"), col("mask").as("mb"), col("n").as("nb"),
+          col("members").as("mem_b"),
           explode(sequence(lit(0), col("_nsalts") - 1)).as("salt_b"))
-      a.join(b, col("lang") === col("lang_b") && col("salt") === col("salt_b") &&
-          col("a_id") < col("b_id") &&
+      val cross = a.join(b,
+          col("lang") === col("lang_b") && col("salt") === col("salt_b") &&
+          col("a_rep") < col("b_rep") &&
           col("na").cast("double") >= col("nb") * 0.6 &&
           col("nb").cast("double") >= col("na") * 0.6)
         .withColumn("inter", size(array_intersect(col("ma"), col("mb")))
           .cast("double"))
         .withColumn("jacc", col("inter") / (col("na") + col("nb") - col("inter")))
         .filter(col("jacc") >= 0.6)
+        // expand the group pair to its member pairs; ids interleave
+        // across groups, so canonical ordering is least/greatest
+        .select(explode(col("mem_a")).as("x"), col("mem_b"), col("jacc"))
+        .select(col("x"), explode(col("mem_b")).as("y"), col("jacc"))
+        .select(least(col("x"), col("y")).as("a_id"),
+          greatest(col("x"), col("y")).as("b_id"), col("jacc"))
+      within.union(cross)
         .select(col("a_id"), col("b_id"), round(col("jacc"), 6).as("jacc"))
         .orderBy("a_id", "b_id")
     }),
