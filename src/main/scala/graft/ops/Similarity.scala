@@ -54,29 +54,54 @@ object Similarity {
       .filter(col("rn") <= 5)
   }
 
-  /** MinHash-LSH band-agreement candidate pairs — shared by
-    * x_dedup_minhash (pair form) and x_dedup_cluster (component form).
-    * Signatures via the native Md5MinHash expression (ops/Custom.scala):
-    * one codegen'd pass per document — no token explode, no groupBy
-    * shuffle (values identical to min(md5(tok ∥ '#' ∥ seed)) per seed).
-    * fan(): single-split parquet would otherwise run the signature pass
-    * and the band join's shuffle write in one task. cached(): both
-    * self-join sides read the signature frame; 8 rows/doc; registered so
-    * the harness releases it after the query materializes (T.cached).
+  /** MinHash-LSH band-agreement pairs (x_dedup_minhash): (a_id, b_id,
+    * n_bands) with ≥ 4 of 8 bands agreeing. Signatures via the native
+    * Md5MinHash expression (ops/Custom.scala): one codegen'd pass per
+    * document — no token explode, no groupBy shuffle (values identical to
+    * min(md5(tok ∥ '#' ∥ seed)) per seed). fan(): single-split parquet
+    * would otherwise run the signature pass in one task.
+    *
+    * Pair GENERATION contracts identical full signatures first (the
+    * x_dedup_cluster device): n_bands is a function of the two signatures
+    * alone, so a k-doc identical-signature group needs no band join at
+    * all (every within-group pair is n_bands = 8, a combination explode)
+    * and each cross-group count is decided once between representatives.
+    * The band self-join's hot buckets then hold distinct signatures, not
+    * docs — the Σk² candidate blowup (sf0.1: ~73 M intermediate rows for
+    * a 9.2 M-pair output) becomes reps-sized, while the emitted pair set
+    * is unchanged (PropertySpec pins equality with the naive form).
     */
   private def minhashPairs(s: org.apache.spark.sql.SparkSession, d: String) = {
     Custom.register(s)
-    val sigs = cached(fan(s, t(s, d, "documents"))
-      .select(col("doc_id"),
-        posexplode(expr("graft_minhash_md5(text)")).as(Seq("seed", "mh"))))
-    val a = sigs.select(col("doc_id").as("a_id"), col("seed"), col("mh"))
-    val b = sigs.select(col("doc_id").as("b_id"),
+    val sigs = fan(s, t(s, d, "documents"))
+      .select(col("doc_id"), expr("graft_minhash_md5(text)").as("sig"))
+    val groups = cached(sigs.groupBy("sig")
+      .agg(min(col("doc_id")).as("rep"),
+        sort_array(collect_list(col("doc_id"))).as("members"),
+        count(lit(1)).as("k")))
+    val within = groups.filter(col("k") >= 2)
+      .select(explode(expr(
+        "flatten(transform(members, (x, i) -> " +
+          "transform(slice(members, i + 2, size(members)), " +
+          "y -> named_struct('a_id', x, 'b_id', y))))")).as("p"))
+      .select(col("p.a_id"), col("p.b_id"), lit(8L).as("n_bands"))
+    val repSigs = groups.select(col("rep"),
+      posexplode(col("sig")).as(Seq("seed", "mh")))
+    val a = repSigs.select(col("rep").as("a_rep"), col("seed"), col("mh"))
+    val b = repSigs.select(col("rep").as("b_rep"),
       col("seed").as("seed_b"), col("mh").as("mh_b"))
-    a.join(b, col("seed") === col("seed_b") && col("mh") === col("mh_b") &&
-        col("a_id") < col("b_id"))
-      .groupBy("a_id", "b_id")
+    val cross = a.join(b, col("seed") === col("seed_b") &&
+        col("mh") === col("mh_b") && col("a_rep") < col("b_rep"))
+      .groupBy("a_rep", "b_rep")
       .agg(count(lit(1)).as("n_bands"))
       .filter(col("n_bands") >= 4)
+      .join(groups.select(col("rep").as("a_rep"), col("members").as("mem_a")), "a_rep")
+      .join(groups.select(col("rep").as("b_rep"), col("members").as("mem_b")), "b_rep")
+      .select(explode(col("mem_a")).as("x"), col("mem_b"), col("n_bands"))
+      .select(col("x"), explode(col("mem_b")).as("y"), col("n_bands"))
+      .select(least(col("x"), col("y")).as("a_id"),
+        greatest(col("x"), col("y")).as("b_id"), col("n_bands"))
+    within.union(cross)
   }
 
   val queries: Map[String, Q] = Map(
