@@ -510,27 +510,48 @@ object Similarity {
       // its parallelism from the agg exchange as a side effect).
       val sigs = fan(s, t(s, d, "documents"))
         .select(col("doc_id"), expr("graft_simhash_md5(text)").as("sig"))
+      // Identical-signature CONTRACTION (the cluster/jaccard/minhash
+      // device): hamming is a function of the two signatures alone, so a
+      // k-doc identical-signature group emits its pairs as a combination
+      // explode (ham = 0) and every cross-group distance is decided once
+      // between representatives — the band join's hot buckets then hold
+      // distinct signatures, not docs.
+      val groups = cached(sigs.groupBy("sig")
+        .agg(min(col("doc_id")).as("rep"),
+          sort_array(collect_list(col("doc_id"))).as("members"),
+          count(lit(1)).as("k")))
+      val within = groups.filter(col("k") >= 2)
+        .select(explode(expr(
+          "flatten(transform(members, (x, i) -> " +
+            "transform(slice(members, i + 2, size(members)), " +
+            "y -> named_struct('a_id', x, 'b_id', y))))")).as("p"))
+        .select(col("p.a_id"), col("p.b_id"), lit(0).cast("int").as("ham"))
       // 9 bands over bits 0..59: offsets/widths (0,7)(7,7)…(35,7)(42,6)(48,6)(54,6)
       val bandVals = (0 until 9).map { i =>
         val off = if (i < 6) 7 * i else 42 + 6 * (i - 6)
         val width = if (i < 6) 7 else 6
         shiftright(col("sig"), off).bitwiseAND(lit((1L << width) - 1))
       }
-      // cached(): same double-compute hazard as minhash — both self-join
-      // sides would otherwise re-run the tokenize+vote pipeline. 9 rows/doc.
-      val banded = cached(sigs.select(col("doc_id"), col("sig"),
-        posexplode(array(bandVals: _*)).as(Seq("band", "bits"))))
-      val a = banded.select(col("doc_id").as("a_id"), col("sig").as("sa"),
+      val banded = groups.select(col("rep"), col("sig"),
+        posexplode(array(bandVals: _*)).as(Seq("band", "bits")))
+      val a = banded.select(col("rep").as("a_rep"), col("sig").as("sa"),
         col("band"), col("bits"))
-      val b = banded.select(col("doc_id").as("b_id"), col("sig").as("sb"),
+      val b = banded.select(col("rep").as("b_rep"), col("sig").as("sb"),
         col("band").as("band_b"), col("bits").as("bits_b"))
-      a.join(b, col("band") === col("band_b") && col("bits") === col("bits_b") &&
-          col("a_id") < col("b_id"))
-        .select("a_id", "b_id", "sa", "sb")
-        .distinct() // a pair can agree on several bands
+      val cross = a.join(b,
+          col("band") === col("band_b") && col("bits") === col("bits_b") &&
+          col("a_rep") < col("b_rep"))
+        .select("a_rep", "b_rep", "sa", "sb")
+        .distinct() // a rep pair can agree on several bands
         .withColumn("ham", bit_count(col("sa").bitwiseXOR(col("sb"))).cast("int"))
         .filter(col("ham") <= 8)
-        .select("a_id", "b_id", "ham")
+        .join(groups.select(col("rep").as("a_rep"), col("members").as("mem_a")), "a_rep")
+        .join(groups.select(col("rep").as("b_rep"), col("members").as("mem_b")), "b_rep")
+        .select(explode(col("mem_a")).as("x"), col("mem_b"), col("ham"))
+        .select(col("x"), explode(col("mem_b")).as("y"), col("ham"))
+        .select(least(col("x"), col("y")).as("a_id"),
+          greatest(col("x"), col("y")).as("b_id"), col("ham"))
+      within.union(cross)
         .orderBy("a_id", "b_id")
     }),
 
