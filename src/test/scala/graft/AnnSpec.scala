@@ -590,4 +590,20 @@ class AnnSpec extends SparkSpec {
       SparkSession.setDefaultSession(prev)
     }
   }
+
+  test("x_dedup_semantic: pairs are a same-cluster subset of exhaustive cosine pairs") {
+    val sem = SparkEntry.queries("x_dedup_semantic")(spark, sf())
+      .collect().map(r => ((r.getLong(1), r.getLong(2)), r.getDouble(3)))
+    assert(sem.nonEmpty, "clustering found no semantic near-dups — fixture vacuous")
+    val exhaustive = SparkEntry.queries("x_dedup_embcos")(spark, sf())
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // every clustered pair is a true >= tau pair with the identical cosine
+    sem.foreach { case (pair, cos) =>
+      assert(exhaustive.contains(pair), s"semantic pair $pair not in exhaustive set")
+      assert(math.abs(exhaustive(pair) - cos) < 1e-9)
+    }
+    // the inverted lists PRUNE: strictly fewer verified pairs than the
+    // exhaustive C(n,2) scan admits (recall < 1 is the designed trade)
+    assert(sem.length < exhaustive.size)
+  }
 }

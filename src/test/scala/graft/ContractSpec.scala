@@ -2,7 +2,7 @@ package graft
 
 /** T1 blanket contract checks: every declared query runs on sf0.001,
   * the queries/oracleSql maps are mutually consistent, and the declared
-  * inventory matches SURVEY.md §2b (134 keys, 130 oracle-checked).
+  * inventory matches SURVEY.md §2b (137 keys, 133 oracle-checked).
   */
 class ContractSpec extends SparkSpec {
 
@@ -10,9 +10,9 @@ class ContractSpec extends SparkSpec {
     Set("a_approx_hll", "t_stream_runtime", "t_stream_dedup",
       "t_stream_session")
 
-  test("inventory matches SURVEY §2b: 134 queries, 130 with oracle SQL") {
-    assert(SparkEntry.queries.size === 134)
-    assert(SparkEntry.oracleSql.size === 130)
+  test("inventory matches SURVEY §2b: 137 queries, 133 with oracle SQL") {
+    assert(SparkEntry.queries.size === 137)
+    assert(SparkEntry.oracleSql.size === 133)
     assert(SparkEntry.queries.keySet.intersect(nonOracle).size === 4)
   }
 
@@ -55,6 +55,7 @@ class ContractSpec extends SparkSpec {
     "x_text_perplexity", // 1-row vocab-size crossJoin (perplexityScore)
     "x_mix_temperature", // 1-row Σn^α totals crossJoin (temperatureBalance)
     "x_sample_weighted", // 1-row w_max crossJoin (sampleProportional)
+    "x_sample_stratified", // 1-row n_total crossJoin (stratifiedQuota)
     "x_flex_affine", "u_udaf_centroid") // 1-row param/centroid broadcast
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

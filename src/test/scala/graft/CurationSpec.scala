@@ -534,4 +534,27 @@ class CurationSpec extends SparkSpec {
     assert(out(2L) === 0.0)
     assert(out(3L) === 0.0)
   }
+
+  test("stratifiedQuota: integer quotas sum exactly to the budget; kept = quota per stratum") {
+    val docs = T.t(spark, sf(), "documents")
+    val budget = 50
+    val (quota, kept) = Curation.stratifiedQuota(docs, Seq("lang", "source"), budget)
+    val q = quota.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(q.values.map(_._2).sum === budget.toLong, "quotas must sum to the budget")
+    // largest-remainder never over-allocates a stratum when budget <= total
+    q.foreach { case (k, (n, qt)) =>
+      assert(qt <= n, s"stratum $k got quota $qt > size $n")
+      assert(qt >= 0L)
+    }
+    val k = kept.groupBy("lang", "source").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(k.values.sum === budget.toLong, "kept rows must sum to the budget")
+    k.foreach { case (key, n) => assert(n === q(key)._2, s"stratum $key kept != quota") }
+    // pure function of (doc_id, strata): a rerun keeps the same rows
+    val ids1 = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids2 = Curation.stratifiedQuota(docs, Seq("lang", "source"), budget)
+      ._2.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids1 === ids2)
+  }
 }

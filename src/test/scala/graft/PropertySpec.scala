@@ -306,4 +306,41 @@ class PropertySpec extends SparkSpec {
         "the max-|x| element must quantize to ±127")
     }
   }
+
+  test("containment == naive shingle containment; catches subset docs jaccard dilutes") {
+    import spark.implicits._
+    // doc 3g: 12-token base; doc 3g+1: base + 10-token suffix (a SUPERSET —
+    // C(base→super) = 1.0 while jaccard is diluted to ~0.5); 3g+2 unrelated
+    val docs = (0 until 15).flatMap { g =>
+      val base = (0 until 12).map(j => s"w${(g * 5 + j * 3) % 60}")
+      val sup = base ++ (0 until 10).map(j => s"s${(g * 3 + j) % 40}")
+      val other = (0 until 12).map(j => s"q${(g * 7 + j) % 40}")
+      Seq((g * 3L, s"l${g % 2}", base.mkString(" ")),
+        (g * 3L + 1, s"l${g % 2}", sup.mkString(" ")),
+        (g * 3L + 2, s"l${g % 2}", other.mkString(" ")))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("contain").toString
+    docs.toDF("doc_id", "lang", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("x_dedup_containment")(spark, dir)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    def shingles(text: String): Set[String] = {
+      val t = text.split(" ")
+      (0 to t.length - 3).map(i => s"${t(i)} ${t(i + 1)} ${t(i + 2)}").toSet
+    }
+    val expected = (for {
+      a <- docs; b <- docs
+      if a._1 != b._1 && a._2 == b._2
+      sa = shingles(a._3); sb = shingles(b._3)
+      inter = (sa & sb).size.toDouble
+      cont = inter / sa.size
+      if cont >= 0.5
+    } yield ((a._1, b._1), math.rint(cont * 1e6) / 1e6)).toMap
+    assert(got.keySet === expected.keySet)
+    expected.foreach { case (k, c) => assert(math.abs(got(k) - c) < 1e-9) }
+    // the planted base→superset direction is always fully contained
+    (0 until 15).foreach { g =>
+      assert(got((g * 3L, g * 3L + 1)) === 1.0, s"base $g not contained in its superset")
+    }
+  }
 }
