@@ -1289,6 +1289,27 @@ object Similarity {
           coalesce(col("n_kept"), lit(0L)).as("n_kept"),
           coalesce(col("kept_ids"), lit(0L)).as("kept_ids"))
         .orderBy("lang", "source")
+    }),
+
+    // Host-graph PageRank (operators/Graph.pageRank) — the link-authority
+    // quality signal web-corpus curation weights documents by (the Common
+    // Crawl host-ranking shape). The corpus has no URL column, so a
+    // 7-host weighted digraph is manufactured in-query from doc_id's
+    // independent base-7 digits (the x_mix_domains device): edge
+    // host(id%7) → host((id div 7)%7), weight = doc count, self-loops
+    // dropped. 3 PINNED power iterations, per-round round-9 (the
+    // driver-loop device) — the oracle replays the loop as unrolled CTE
+    // stages. Per iteration: node-sized rank frame ⋈ edges + groupBy(dst)
+    // — edge-linear shuffle, checkpointed loop state, N via agg→literal.
+    "x_graph_pagerank" -> ((s, d) => {
+      val edges = t(s, d, "documents").select(
+          concat(lit("site"), pmod(col("doc_id"), lit(7))).as("src"),
+          concat(lit("site"), pmod(expr("doc_id div 7"), lit(7))).as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+      graft.operators.Graph.pageRank(edges, iters = 3)
+        .select(col("node").as("host"), round(col("rank"), 6).as("rank"))
+        .orderBy("host")
     })
   )
 
@@ -2053,6 +2074,39 @@ object Similarity {
         "SELECT q.lang AS lang, q.source AS source, q.n_docs AS n_docs, q.quota AS quota, " +
         "coalesce(n_kept, 0) AS n_kept, coalesce(kept_ids, 0) AS kept_ids " +
         "FROM quota q LEFT JOIN kept ON kept.lang = q.lang AND kept.source = q.source " +
-        "ORDER BY q.lang, q.source")
+        "ORDER BY q.lang, q.source"),
+    "x_graph_pagerank" -> pageRankOracleSql(3)
   )
+
+  /** x_graph_pagerank's oracle: the power-iteration driver loop UNROLLED
+    * (the bpeOracleSql/classifierOracleSql device) — per round one
+    * message CTE (Σ rank·frac into dst) and one rank CTE rounded to 9.
+    * `CAST(1 AS DOUBLE) - 0.85` matters: Spark computes 1.0−0.85 in IEEE
+    * doubles (= 0.15000000000000002); a bare SQL `0.15` is DuckDB
+    * DECIMAL(3,2) → double 0.1499999…, a different grid offset every
+    * round. Matching the OPERATION (double subtraction), not the printed
+    * constant, keeps both engines bit-identical before the round.
+    */
+  private def pageRankOracleSql(iters: Int): String = {
+    val sb = new StringBuilder
+    sb ++= "WITH dd AS (SELECT 'site' || (doc_id % 7) AS src, " +
+      "'site' || ((doc_id // 7) % 7) AS dst FROM documents), "
+    sb ++= "e0 AS (SELECT src, dst, count(*) AS w FROM dd WHERE src <> dst GROUP BY src, dst), "
+    sb ++= "ow AS (SELECT src, sum(w) AS w_out FROM e0 GROUP BY src), "
+    sb ++= "e AS (SELECT e0.src, e0.dst, CAST(e0.w AS DOUBLE) / CAST(ow.w_out AS DOUBLE) AS frac " +
+      "FROM e0 JOIN ow USING (src)), "
+    sb ++= "nodes AS (SELECT src AS node FROM e0 UNION SELECT dst FROM e0), "
+    sb ++= "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes), "
+    sb ++= "r0 AS (SELECT node, round(1.0 / nn.n, 9) AS rank FROM nodes CROSS JOIN nn), "
+    for (i <- 1 to iters) {
+      sb ++= s"m$i AS (SELECT e.dst, sum(r.rank * e.frac) AS m " +
+        s"FROM r${i - 1} r JOIN e ON r.node = e.src GROUP BY e.dst), "
+      sb ++= s"r$i AS (SELECT nodes.node, " +
+        "round((CAST(1 AS DOUBLE) - 0.85) / nn.n + 0.85 * coalesce(m.m, 0.0), 9) AS rank " +
+        s"FROM nodes CROSS JOIN nn LEFT JOIN m$i m ON m.dst = nodes.node), "
+    }
+    // trailing comma of the last CTE is spliced off by ending on a SELECT
+    val body = sb.toString.stripSuffix(", ")
+    s"$body SELECT node AS host, round(rank, 6) AS rank FROM r$iters ORDER BY host"
+  }
 }
