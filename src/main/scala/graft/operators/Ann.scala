@@ -690,6 +690,20 @@ object Ann {
         lit(0.0), (a, v) => a + v).as("d"), lit(j).as("j"))
     }: _*)
 
+  /** One-pass FULL-DIM nearest-centroid assignment that keeps the vector:
+    * (vec_id, emb, cid) from an m=1 codebook. The [[pqEncode]] shape drops
+    * the embedding, so a consumer needing both (semantic dedup's
+    * within-list cosine) would re-join on vec_id — a corpus-sized shuffle
+    * at scale for data the same narrow map already had in hand.
+    */
+  def assignCodebook(emb: DataFrame,
+      cb: Array[Array[Array[Double]]]): DataFrame = {
+    require(cb.length == 1, s"assignCodebook needs an m=1 codebook, got m=${cb.length}")
+    emb.select(col("vec_id"), embDouble(col("embedding")).as("emb"))
+      .withColumn("cid",
+        array_min(pqDistStructs(col("emb"), cb(0))).getField("j").cast("int"))
+  }
+
   /** Per-subspace nearest-centroid codes: (vec_id, c0..c{m-1}). Narrow
     * map — the codebook rides as literals, nothing joins.
     */

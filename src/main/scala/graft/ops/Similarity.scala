@@ -1218,13 +1218,12 @@ object Similarity {
       Custom.register(s)
       val e = t(s, d, "embeddings")
       val cb = graft.operators.Ann.pqCodebook(e, m = 1, k = 8, rounds = 1)
-      val n = graft.operators.Ann.pqEncode(e, cb)
-        .select(col("vec_id"), col("c0").cast("int").as("cid"))
-        .join(e.select(col("vec_id"),
-          expr("transform(embedding, x -> cast(x as double))").as("emb")), "vec_id")
+      // assignment + norm in ONE narrow pass (no vec_id re-join); the
+      // cid equi-join below redistributes, so no fan/pre-shuffle either
+      val n = graft.operators.Ann.assignCodebook(e, cb)
         .withColumn("nrm", sqrt(expr("graft_dot(emb, emb)")))
-      val a = fan(s, n.select(col("cid"), col("vec_id").as("a_id"),
-        col("emb").as("ea"), col("nrm").as("na")))
+      val a = n.select(col("cid"), col("vec_id").as("a_id"),
+        col("emb").as("ea"), col("nrm").as("na"))
       val b = n.select(col("cid").as("cid_b"), col("vec_id").as("b_id"),
         col("emb").as("eb"), col("nrm").as("nb"))
       a.join(b, col("cid") === col("cid_b") && col("a_id") < col("b_id"))
