@@ -140,6 +140,37 @@ object EventTime {
         .withColumn("anomalous", col("sum_value") / col("cnt") > lit(50.0))
         .orderBy("user_id")),
 
+    // Ordered-funnel analysis (view → click → purchase per user): the
+    // event-analytics staple. Each stage's timestamp is the MIN event
+    // time strictly AFTER the previous stage's — three chained
+    // conditional aggs, each a groupBy(user) + broadcast-back of the
+    // user-sized stage frame (users ≪ events, so the stage frames
+    // broadcast; the corpus streams through narrow filters). depth =
+    // deepest stage reached. min() is order-insensitive → deterministic
+    // on any partitioning, identical SQL on the oracle.
+    "t_funnel" -> ((s, d) => {
+      val e = ev(s, d).select(col("user_id"), col("event_type"), col("ts_ms"))
+      val v = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts_ms")).as("v_ts"))
+      val c = e.join(broadcast(v), "user_id")
+        .filter(col("event_type") === "click" && col("ts_ms") > col("v_ts"))
+        .groupBy("user_id").agg(min(col("ts_ms")).as("c_ts"))
+      val p = e.join(broadcast(c), "user_id")
+        .filter(col("event_type") === "purchase" && col("ts_ms") > col("c_ts"))
+        .groupBy("user_id").agg(min(col("ts_ms")).as("p_ts"))
+      e.select("user_id").distinct()
+        .join(broadcast(v), Seq("user_id"), "left")
+        .join(broadcast(c), Seq("user_id"), "left")
+        .join(broadcast(p), Seq("user_id"), "left")
+        .withColumn("depth",
+          when(col("p_ts").isNotNull, 3)
+            .when(col("c_ts").isNotNull, 2)
+            .when(col("v_ts").isNotNull, 1).otherwise(0))
+        .select(col("user_id"), col("v_ts"), col("c_ts"), col("p_ts"),
+          col("depth"))
+        .orderBy("user_id")
+    }),
+
     // The t_session plan executed through Structured Streaming: session
     // windows merged in the streaming state store (complete mode — append
     // would hold back sessions still inside the watermark, breaking
@@ -245,6 +276,19 @@ object EventTime {
         "PARTITION BY user_id ORDER BY event_id " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm " +
         "FROM (SELECT event_id, user_id, date_trunc('milliseconds', ts) AS ts_ms FROM events)) " +
-        "ORDER BY event_id")
+        "ORDER BY event_id"),
+    "t_funnel" ->
+      ("WITH e AS (SELECT user_id, event_type, date_trunc('milliseconds', ts) AS ts_ms FROM events), " +
+        "v AS (SELECT user_id, min(ts_ms) AS v_ts FROM e WHERE event_type = 'view' GROUP BY user_id), " +
+        "c AS (SELECT e.user_id, min(ts_ms) AS c_ts FROM e JOIN v USING (user_id) " +
+        "WHERE event_type = 'click' AND ts_ms > v_ts GROUP BY e.user_id), " +
+        "p AS (SELECT e.user_id, min(ts_ms) AS p_ts FROM e JOIN c USING (user_id) " +
+        "WHERE event_type = 'purchase' AND ts_ms > c_ts GROUP BY e.user_id), " +
+        "u AS (SELECT DISTINCT user_id FROM e) " +
+        "SELECT u.user_id, v_ts, c_ts, p_ts, " +
+        "CASE WHEN p_ts IS NOT NULL THEN 3 WHEN c_ts IS NOT NULL THEN 2 " +
+        "WHEN v_ts IS NOT NULL THEN 1 ELSE 0 END AS depth " +
+        "FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id) " +
+        "LEFT JOIN p USING (user_id) ORDER BY u.user_id")
   )
 }
