@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
   * of 10c yields ~50c² pairs) — the probe prints output rows so the two
   * effects can be told apart.
   *
-  * `runMain graft.tools.ScaleProbe [sfDir] [keys|sigs|curation|cc|cluster|vocab|spans|bpe|quality|pq|geo|all]`
+  * `runMain graft.tools.ScaleProbe [sfDir] [keys|sigs|curation|cc|cluster|vocab|spans|bpe|quality|pq|geo|graph|all]`
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -250,6 +250,23 @@ object ScaleProbe {
       graft.ops.T.releaseCaches(blocking = true)
       println(f"cluster naive-pairs base ${tn}%6.2fs vs contracted base ${tc}%6.2fs " +
         f"($nc nodes) -> 10x ${tcX}%7.2fs ($ncX nodes; factor ${tcX / tc}%5.1f)")
+    }
+    // pageRank edge-linearity: synthetic host graphs at 1 M and 10 M
+    // edges (100 k / 1 M nodes). Per-iteration work is one rank ⋈ edges
+    // join + one groupBy(dst) — the factor should track edge growth
+    // (~10), not anything quadratic.
+    if (mode == "all" || mode == "graph") {
+      def hostEdges(nEdges: Long, nNodes: Long): DataFrame =
+        spark.range(nEdges).select(
+          concat(lit("h"), pmod(col("id") * 40503L + 7L, lit(nNodes))).as("src"),
+          concat(lit("h"), pmod(col("id") * 2654435761L + 13L, lit(nNodes))).as("dst"),
+          (pmod(col("id"), lit(5L)) + 1L).as("w"))
+          .filter(col("src") =!= col("dst"))
+      val (tg1, ng1) = time(graft.operators.Graph.pageRank(hostEdges(1000000L, 100000L)))
+      graft.ops.T.releaseCaches(blocking = true)
+      val (tg10, ng10) = time(graft.operators.Graph.pageRank(hostEdges(10000000L, 1000000L)))
+      graft.ops.T.releaseCaches(blocking = true)
+      println(f"pageRank 1M edges ${tg1}%6.2fs ($ng1 nodes) -> 10M ${tg10}%7.2fs ($ng10 nodes; factor ${tg10 / tg1}%5.1f)")
     }
     spark.stop()
   }
