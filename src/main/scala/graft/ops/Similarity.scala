@@ -1290,6 +1290,46 @@ object Similarity {
         .orderBy("lang", "source")
     }),
 
+    // CSV round trip under the oracle (sources/DocumentIO.writeCsv /
+    // readCsv): the x_io_jsonl device over the lowest-common-denominator
+    // interchange format — RFC-4180 quote-doubling pinned on both sides,
+    // explicit schema + FAILFAST read. The oracle aggregates the ORIGINAL
+    // parquet, so the grade is byte-exact value preservation through the
+    // format hop (quoting/escaping included).
+    "x_io_csv" -> ((s, d) => {
+      val dir = csvScratch
+      graft.sources.DocumentIO.writeCsv(t(s, d, "documents"), dir)
+      graft.sources.DocumentIO.readCsv(s, dir,
+          graft.sources.DocumentIO.documentsSchema)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("n_chars"),
+          sum(conv(substring(md5(col("text")), 1, 8), 16, 10).cast("bigint"))
+            .as("checksum"))
+        .orderBy("lang")
+    }),
+
+    // Hive-partitioned corpus layout (DocumentIO.writePartitioned /
+    // readPartitioned): write partitioned by lang (`lang=en/…` dirs),
+    // read back filtering lang ∈ {en, zh} — the filter must become
+    // PartitionFilters on the scan (whole directories skipped, zero I/O:
+    // PlanShapeSpec pins it), THE layout lever at 100 TB. Values graded
+    // per (lang, source) with the jsonl checksum device; oracle filters
+    // the original parquet — so both pruning CORRECTNESS and round-trip
+    // fidelity are graded at once.
+    "x_io_partitioned" -> ((s, d) => {
+      val dir = partScratch
+      graft.sources.DocumentIO.writePartitioned(
+        t(s, d, "documents"), dir, "lang")
+      graft.sources.DocumentIO.readPartitioned(s, dir)
+        .filter(col("lang").isin("en", "zh"))
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(conv(substring(md5(col("text")), 1, 8), 16, 10).cast("bigint"))
+            .as("checksum"))
+        .orderBy("lang", "source")
+    }),
+
     // Host-graph PageRank (operators/Graph.pageRank) — the link-authority
     // quality signal web-corpus curation weights documents by (the Common
     // Crawl host-ranking shape). The corpus has no URL column, so a
@@ -1369,8 +1409,12 @@ object Similarity {
     * corpus copy on disk per invocation (twice per Bench run, plus every
     * spec that touches the key), with nothing ever deleting them.
     */
-  private lazy val jsonlScratch: String = {
-    val p = java.nio.file.Files.createTempDirectory("graft_jsonl")
+  private lazy val jsonlScratch: String = ioScratch("graft_jsonl")
+  private lazy val csvScratch: String = ioScratch("graft_csv")
+  private lazy val partScratch: String = ioScratch("graft_part")
+
+  private def ioScratch(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles).foreach(_.foreach(rm))
@@ -2074,6 +2118,15 @@ object Similarity {
         "coalesce(n_kept, 0) AS n_kept, coalesce(kept_ids, 0) AS kept_ids " +
         "FROM quota q LEFT JOIN kept ON kept.lang = q.lang AND kept.source = q.source " +
         "ORDER BY q.lang, q.source"),
+    "x_io_csv" ->
+      ("SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars, " +
+        "CAST(sum(CAST(('0x' || substring(md5(text), 1, 8)) AS BIGINT)) AS BIGINT) AS checksum " +
+        "FROM documents GROUP BY lang ORDER BY lang"),
+    "x_io_partitioned" ->
+      ("SELECT lang, source, count(*) AS n_docs, " +
+        "CAST(sum(CAST(('0x' || substring(md5(text), 1, 8)) AS BIGINT)) AS BIGINT) AS checksum " +
+        "FROM documents WHERE lang IN ('en', 'zh') " +
+        "GROUP BY lang, source ORDER BY lang, source"),
     "x_graph_pagerank" -> pageRankOracleSql(3)
   )
 

@@ -108,4 +108,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("Generate explode"),
       s"element explode in the quantize path (HOF regression):\n$plan")
   }
+
+  test("x_io_partitioned: the lang filter becomes PartitionFilters (directories pruned, not scanned)") {
+    // formatted mode prints the scan's PartitionFilters line even under
+    // AQE (executedPlan.collect can't see through AdaptiveSparkPlanExec
+    // before execution)
+    val plan = SparkEntry.queries("x_io_partitioned")(spark, sf())
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    // the IN (en, zh) predicate must prune at the DIRECTORY level —
+    // a data Filter over a full scan would pass correctness but read
+    // every partition's bytes at 100 TB
+    assert("PartitionFilters: \\[lang#\\d+ IN \\(en,zh\\)\\]".r
+      .findFirstIn(plan).nonEmpty,
+      s"lang IN (en,zh) not pushed to PartitionFilters:\n$plan")
+  }
 }
