@@ -600,6 +600,45 @@ object Curation {
     (quota, kept)
   }
 
+  /** Epoch-weighted up/down-sampling (graded form: x_mix_epochs): emit
+    * each document `rate(lang)` times in expectation — `floor(rate)`
+    * exact copies, plus one more when the deterministic doc hash falls
+    * under the fractional remainder. Rates above 1 are the mixture-EPOCH
+    * lever (high-quality subsets repeated per training epoch, the
+    * published LLM data-mixing practice); rates below 1 downsample, and
+    * rate 1 passes through untouched — one formula covers the whole
+    * mixture table.
+    *
+    * Determinism: the fractional accept is the sampleHash device (first
+    * 32 md5 bits of salt:doc_id), and the threshold
+    * `floor(frac · 2^32)` is precomputed on the DRIVER per language —
+    * the per-row test is one integer compare, exact on any engine, so
+    * reruns/retries/partitionings emit identical copy sets. The emitted
+    * `copy` index (1..n) keeps downstream shuffles from collapsing the
+    * duplicates and gives sequence packing distinct rows to place.
+    *
+    * Scale: narrow per-row explode — no shuffle, no driver state; output
+    * volume is Σ rate(lang)·n(lang) rows by construction, the budget the
+    * caller chose. Unlisted languages default to rate 1.
+    */
+  def upsampleEpochs(docs: DataFrame, rates: Map[String, Double],
+      langCol: String = "lang", salt: String = "ep"): DataFrame = {
+    val u = conv(substring(md5(concat(lit(s"$salt:"), col("doc_id").cast("string"))), 1, 8), 16, 10)
+      .cast("bigint")
+    val whole = rates.foldRight(lit(1): Column) { case ((k, v), els) =>
+      when(col(langCol) === lit(k), lit(v.toInt)).otherwise(els)
+    }
+    val thr = rates.foldRight(lit(0L): Column) { case ((k, v), els) =>
+      when(col(langCol) === lit(k),
+        lit(math.floor((v - v.toInt) * 4294967296.0).toLong)).otherwise(els)
+    }
+    docs
+      .withColumn("ep_n", whole + when(u < thr, lit(1)).otherwise(lit(0)))
+      .withColumn("copy", explode(when(col("ep_n") > 0,
+        sequence(lit(1), col("ep_n"))).otherwise(lit(Array.empty[Int]))))
+      .drop("ep_n")
+  }
+
   /** Per-language corpus accounting over a curated frame: documents,
     * tokens, mean quality — the report a curation run ends with. One
     * partial-aggregated shuffle.

@@ -164,7 +164,28 @@ object Aggregates {
           decOut(sum(dec(col("l_tax")))).as("tax"))
         .unpivot(Array(col("l_returnflag")),
           Array(col("qty"), col("disc"), col("tax")), "measure", "val")
-        .orderBy("l_returnflag", "measure"))
+        .orderBy("l_returnflag", "measure")),
+
+    // Two-phase SALTED aggregation — the hot-key lever when the group
+    // cardinality is tiny (3 returnflags here: a plain groupBy funnels
+    // the whole table through 3 reduce tasks, so 997 of 1000 cluster
+    // cores idle through the final agg at 100 TB). Phase 1 groups by
+    // (key, salt = l_orderkey mod 16) → 48 evenly-sized partials across
+    // the cluster; phase 2 recombines the 48-row frame. DECIMAL sums
+    // are associative-exact, so the salted recombination is bit-equal
+    // to the direct plan — the oracle IS the plain one-phase groupBy.
+    "a_skew_twophase" -> ((s, d) => {
+      val part = t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"), pmod(col("l_orderkey"), lit(16)).as("salt"))
+        .agg(sum(dec(col("l_quantity"))).as("p_qty"),
+          sum(dec(col("l_extendedprice"))).as("p_price"),
+          count(lit(1)).as("p_cnt"))
+      part.groupBy("l_returnflag")
+        .agg(decOut(sum(col("p_qty"))).as("sum_qty"),
+          decOut(sum(col("p_price"))).as("sum_price"),
+          sum(col("p_cnt")).as("n_rows"))
+        .orderBy("l_returnflag")
+    })
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -244,6 +265,14 @@ object Aggregates {
         "GROUP BY o_orderstatus ORDER BY o_orderstatus"),
     "a_collect_sorted" ->
       ("SELECT n_regionkey, coalesce(string_agg(n_name, ',' ORDER BY n_name), '') AS names " +
-        "FROM nation GROUP BY n_regionkey ORDER BY n_regionkey")
+        "FROM nation GROUP BY n_regionkey ORDER BY n_regionkey"),
+    // The PLAIN one-phase groupBy: the salted two-phase plan must be
+    // value-identical (decimal addition is associative-exact).
+    "a_skew_twophase" ->
+      ("SELECT l_returnflag, " +
+        "round(CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE), 6) AS sum_qty, " +
+        "round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE), 6) AS sum_price, " +
+        "count(*) AS n_rows " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag")
   )
 }

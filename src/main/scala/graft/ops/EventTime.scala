@@ -171,6 +171,33 @@ object EventTime {
         .orderBy("user_id")
     }),
 
+    // Cohort retention matrix — the other event-analytics staple next to
+    // the funnel: cohort = each user's FIRST active day; for every
+    // (cohort_day, day_offset) cell, how many of that cohort's users
+    // were active day_offset days later. The cohort frame is user-sized
+    // (users ≪ events) → broadcast back; the distinct-day frame is one
+    // partial-aggregated distinct; countDistinct is order-insensitive →
+    // deterministic on any partitioning, identical SQL on the oracle.
+    "t_retention" -> ((s, d) => {
+      // DATE internally (pure calendar truncation of the NTZ ts —
+      // DuckDB's date_trunc('day') is DATE too), but EMITTED as
+      // timestamp_ntz: raw DATE columns are banned output (§7.3 R6 —
+      // the graded comparator loads parquet DATE as pandas object vs
+      // the oracle's datetime64).
+      val e = ev(s, d)
+        .select(col("user_id"), col("ts_ms").cast("date").as("day"))
+        .distinct()
+      val c = e.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+      e.join(broadcast(c), "user_id")
+        .withColumn("day_offset",
+          datediff(col("day"), col("cohort_day")).cast("bigint"))
+        .groupBy("cohort_day", "day_offset")
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .select(col("cohort_day").cast("timestamp_ntz").as("cohort_day"),
+          col("day_offset"), col("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    }),
+
     // The t_session plan executed through Structured Streaming: session
     // windows merged in the streaming state store (complete mode — append
     // would hold back sessions still inside the watermark, breaking
@@ -277,6 +304,14 @@ object EventTime {
         "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm " +
         "FROM (SELECT event_id, user_id, date_trunc('milliseconds', ts) AS ts_ms FROM events)) " +
         "ORDER BY event_id"),
+    "t_retention" ->
+      ("WITH e AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events), " +
+        "c AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY user_id) " +
+        "SELECT CAST(cohort_day AS TIMESTAMP) AS cohort_day, " +
+        "date_diff('day', cohort_day, day) AS day_offset, " +
+        "count(DISTINCT user_id) AS n_users " +
+        "FROM e JOIN c USING (user_id) " +
+        "GROUP BY 1, 2 ORDER BY cohort_day, day_offset"),
     "t_funnel" ->
       ("WITH e AS (SELECT user_id, event_type, date_trunc('milliseconds', ts) AS ts_ms FROM events), " +
         "v AS (SELECT user_id, min(ts_ms) AS v_ts FROM e WHERE event_type = 'view' GROUP BY user_id), " +

@@ -1309,6 +1309,24 @@ object Similarity {
         .orderBy("lang")
     }),
 
+    // ORC round trip (DocumentIO.writeOrc / readOrc): the x_io_csv
+    // device over the OTHER columnar format (the Hive/Trino ecosystem
+    // standard) — Spark's built-in ORC source, explicit schema on read.
+    // The oracle aggregates the original parquet, so the grade is
+    // byte-exact value preservation through the columnar format hop.
+    "x_io_orc" -> ((s, d) => {
+      val dir = orcScratch
+      graft.sources.DocumentIO.writeOrc(t(s, d, "documents"), dir)
+      graft.sources.DocumentIO.readOrc(s, dir,
+          graft.sources.DocumentIO.documentsSchema)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("n_chars"),
+          sum(conv(substring(md5(col("text")), 1, 8), 16, 10).cast("bigint"))
+            .as("checksum"))
+        .orderBy("lang")
+    }),
+
     // Hive-partitioned corpus layout (DocumentIO.writePartitioned /
     // readPartitioned): write partitioned by lang (`lang=en/…` dirs),
     // read back filtering lang ∈ {en, zh} — the filter must become
@@ -1349,6 +1367,47 @@ object Similarity {
       graft.operators.Graph.pageRank(edges, iters = 3)
         .select(col("node").as("host"), round(col("rank"), 6).as("rank"))
         .orderBy("host")
+    }),
+
+    // Connected components on a LONG-PATH graph (operators/Dedup
+    // .connectedComponents — the same engine x_dedup_cluster grades, but
+    // in the regime that machinery never sees there): LSH duplicate
+    // clusters are near-cliques (diameter 1-3, converge before the
+    // pointer jump fires), while this graph is six 15-node PATHS
+    // (node u = doc_id mod 84, edge u → u+6 ⇒ components = the residue
+    // classes mod 6, diameter 14) — the shape where label propagation
+    // alone needs diameter rounds and the label-of-label pointer jump
+    // earns its O(log diameter). Oracle: the ccClosureSql unrolled
+    // min-label fixpoint — both engines compute the identical canonical
+    // (min-member) labeling. Emits (node, component, n_members).
+    "x_graph_cc" -> ((s, d) => {
+      val pairs = t(s, d, "documents")
+        .select(pmod(col("doc_id"), lit(84)).as("a_id"),
+          (pmod(col("doc_id"), lit(84)) + lit(6)).as("b_id"))
+        .distinct()
+      graft.operators.Dedup.connectedComponents(pairs)
+        .select(col("doc_id").as("node"), col("cluster_id").as("component"),
+          col("n_members"))
+        .orderBy("node")
+    }),
+
+    // Epoch-weighted mixture sampling (Curation.upsampleEpochs): emit
+    // each doc rate(lang) times in expectation — floor(rate) exact
+    // copies + a deterministic-hash fractional copy. Rates >1 are the
+    // mixture-EPOCH lever (repeat high-quality subsets per training
+    // epoch — the published data-mixing practice); <1 downsamples; the
+    // copy index keeps duplicates distinct for sequence packing. Graded
+    // per lang: rows out, distinct docs, Σ doc_id·copy checksum (exact
+    // integer — catches any copy-set or multiplicity drift).
+    "x_mix_epochs" -> ((s, d) => {
+      val up = graft.operators.Curation.upsampleEpochs(
+        t(s, d, "documents"),
+        Map("en" -> 0.5, "zh" -> 2.5, "de" -> 1.25))
+      up.groupBy("lang")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          sum(col("doc_id") * col("copy")).as("checksum"))
+        .orderBy("lang")
     })
   )
 
@@ -1412,6 +1471,7 @@ object Similarity {
   private lazy val jsonlScratch: String = ioScratch("graft_jsonl")
   private lazy val csvScratch: String = ioScratch("graft_csv")
   private lazy val partScratch: String = ioScratch("graft_part")
+  private lazy val orcScratch: String = ioScratch("graft_orc")
 
   private def ioScratch(prefix: String): String = {
     val p = java.nio.file.Files.createTempDirectory(prefix)
@@ -2127,7 +2187,35 @@ object Similarity {
         "CAST(sum(CAST(('0x' || substring(md5(text), 1, 8)) AS BIGINT)) AS BIGINT) AS checksum " +
         "FROM documents WHERE lang IN ('en', 'zh') " +
         "GROUP BY lang, source ORDER BY lang, source"),
-    "x_graph_pagerank" -> pageRankOracleSql(3)
+    "x_graph_pagerank" -> pageRankOracleSql(3),
+    // Identical aggregation to x_io_csv's oracle: the grade IS "the ORC
+    // hop changed nothing vs the original parquet".
+    "x_io_orc" ->
+      ("SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars, " +
+        "CAST(sum(CAST(('0x' || substring(md5(text), 1, 8)) AS BIGINT)) AS BIGINT) AS checksum " +
+        "FROM documents GROUP BY lang ORDER BY lang"),
+    "x_graph_cc" ->
+      ("WITH ed AS (SELECT DISTINCT doc_id % 84 AS a, doc_id % 84 + 6 AS b FROM documents), " +
+        "edges AS (SELECT a AS u, b AS v FROM ed UNION SELECT b, a FROM ed), " +
+        ccClosureSql(16) + ", " +
+        "sz AS (SELECT lab, count(*) AS n_members FROM l16 GROUP BY lab) " +
+        "SELECT l.u AS node, l.lab AS component, sz.n_members " +
+        "FROM l16 l JOIN sz USING (lab) ORDER BY node"),
+    // Thresholds are the SAME driver-precomputed integers the Spark side
+    // embeds: floor(frac(rate) · 2^32) — en/zh frac .5 → 2147483648,
+    // de frac .25 → 1073741824; whole copies floor(rate).
+    "x_mix_epochs" ->
+      ("WITH p AS (SELECT doc_id, lang, " +
+        "CAST(('0x' || substring(md5('ep:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS u " +
+        "FROM documents), " +
+        "n AS (SELECT doc_id, lang, " +
+        "(CASE lang WHEN 'en' THEN 0 WHEN 'zh' THEN 2 WHEN 'de' THEN 1 ELSE 1 END) + " +
+        "(CASE WHEN u < (CASE lang WHEN 'en' THEN 2147483648 WHEN 'zh' THEN 2147483648 " +
+        "WHEN 'de' THEN 1073741824 ELSE 0 END) THEN 1 ELSE 0 END) AS k FROM p), " +
+        "ex AS (SELECT doc_id, lang, unnest(range(1, k + 1)) AS copy FROM n WHERE k > 0) " +
+        "SELECT lang, count(*) AS n_rows, count(DISTINCT doc_id) AS n_docs, " +
+        "CAST(sum(doc_id * copy) AS BIGINT) AS checksum " +
+        "FROM ex GROUP BY lang ORDER BY lang")
   )
 
   /** x_graph_pagerank's oracle: the power-iteration driver loop UNROLLED

@@ -2,7 +2,7 @@ package graft
 
 /** T1 blanket contract checks: every declared query runs on sf0.001,
   * the queries/oracleSql maps are mutually consistent, and the declared
-  * inventory matches SURVEY.md §2b (141 keys, 137 oracle-checked).
+  * inventory matches SURVEY.md §2b (146 keys, 142 oracle-checked).
   */
 class ContractSpec extends SparkSpec {
 
@@ -10,9 +10,9 @@ class ContractSpec extends SparkSpec {
     Set("a_approx_hll", "t_stream_runtime", "t_stream_dedup",
       "t_stream_session")
 
-  test("inventory matches SURVEY §2b: 141 queries, 137 with oracle SQL") {
-    assert(SparkEntry.queries.size === 141)
-    assert(SparkEntry.oracleSql.size === 137)
+  test("inventory matches SURVEY §2b: 146 queries, 142 with oracle SQL") {
+    assert(SparkEntry.queries.size === 146)
+    assert(SparkEntry.oracleSql.size === 142)
     assert(SparkEntry.queries.keySet.intersect(nonOracle).size === 4)
   }
 

@@ -557,4 +557,37 @@ class CurationSpec extends SparkSpec {
       ._2.select("doc_id").collect().map(_.getLong(0)).toSet
     assert(ids1 === ids2)
   }
+
+  test("upsampleEpochs: copy counts honor the rate table; copies are contiguous and rerun-stable") {
+    val docs = T.t(spark, sf(), "documents")
+    val rates = Map("en" -> 0.5, "zh" -> 2.5, "de" -> 1.25)
+    val up = Curation.upsampleEpochs(docs, rates)
+    val in = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val out = up.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // unlisted langs pass through exactly once
+    Seq("es", "fr").foreach(l => assert(out(l) === in(l), s"$l must be 1:1"))
+    // en rate .5: strict subset, nonempty at any realistic corpus
+    assert(out("en") < in("en") && out("en") > 0L)
+    // zh rate 2.5: between 2n and 3n
+    assert(out("zh") >= 2 * in("zh") && out("zh") <= 3 * in("zh"))
+    // de rate 1.25: between n and 2n
+    assert(out("de") >= in("de") && out("de") <= 2 * in("de"))
+    // per-doc copy indices are contiguous 1..n (sequence packing relies
+    // on distinct, dense copy ids)
+    val bad = up.groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), min(col("copy")).as("lo"),
+        max(col("copy")).as("hi"))
+      .filter(col("lo") =!= 1 || col("hi") =!= col("n"))
+      .count()
+    assert(bad === 0L)
+    // deterministic: a rerun emits the identical multiset
+    val a = up.groupBy("lang").agg(sum(expr("doc_id * copy")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val b = Curation.upsampleEpochs(docs, rates).groupBy("lang")
+      .agg(sum(expr("doc_id * copy")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a === b)
+  }
 }

@@ -44,4 +44,17 @@ class GraphSpec extends SparkSpec {
     // a receives from both b and c -> the hub outranks the spokes
     assert(ranks("a") > ranks("b"))
   }
+
+  test("x_graph_cc: the path graph resolves to the mod-6 residue components") {
+    // node u = doc_id mod 84, edge u -> u+6: six 15-node PATHS (diameter
+    // 14) — the regime where the pointer jump earns its O(log d); the
+    // canonical min-member label of node u is exactly u mod 6.
+    val rows = SparkEntry.queries("x_graph_cc")(spark, sf()).collect()
+    assert(rows.length === 90)
+    rows.foreach { r =>
+      val (node, comp, n) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(comp === node % 6, s"node $node labeled $comp")
+      assert(n === 15L, s"component of $node sized $n")
+    }
+  }
 }

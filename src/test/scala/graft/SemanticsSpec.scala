@@ -128,4 +128,27 @@ class SemanticsSpec extends SparkSpec {
     val total = T.t(spark, sf(), "events").count()
     assert(out(0).getAs[Long]("n_below") + out(0).getAs[Long]("n_above") === total)
   }
+
+  test("t_retention: every user is active on their cohort day (offset-0 cells cover all users)") {
+    val ret = SparkEntry.queries("t_retention")(spark, sf())
+    val zeroUsers = ret.filter(col("day_offset") === 0L)
+      .agg(sum(col("n_users"))).collect()(0).getLong(0)
+    val users = T.t(spark, sf(), "events").select("user_id").distinct().count()
+    assert(zeroUsers === users)
+    // offsets are bounded by the fixture's 30-day span and never negative
+    val range = ret.agg(min(col("day_offset")), max(col("day_offset"))).collect()(0)
+    assert(range.getLong(0) === 0L)
+    assert(range.getLong(1) < 31L)
+  }
+
+  test("a_skew_twophase: the salted two-phase plan is bit-equal to the direct groupBy") {
+    val salted = SparkEntry.queries("a_skew_twophase")(spark, sf())
+    val direct = T.t(spark, sf(), "lineitem")
+      .groupBy("l_returnflag")
+      .agg(T.decOut(sum(T.dec(col("l_quantity")))).as("sum_qty"),
+        T.decOut(sum(T.dec(col("l_extendedprice")))).as("sum_price"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+    assert(salted.collect().toSeq === direct.collect().toSeq)
+  }
 }
