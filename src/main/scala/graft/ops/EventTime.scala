@@ -198,6 +198,35 @@ object EventTime {
         .orderBy("cohort_day", "day_offset")
     }),
 
+    // Stream-STREAM interval join (the fourth streaming-runtime key):
+    // clicks joined to the same user's views within (view_ts, view_ts +
+    // 10 min], BOTH sides watermarked — the watermark + time-range bound
+    // lets Spark evict join state instead of buffering both streams
+    // forever, the lever that makes a 100 TB/day stream-stream join
+    // finite. Inner join in append mode emits matches as they form, so
+    // Trigger.AvailableNow yields exactly the batch join's pairs. No
+    // oracle — T3 asserts equality with the identical batch interval
+    // join.
+    "t_stream_join" -> ((s, d) => {
+      val v = streamEvents(s, d).filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("event_id").as("v_id"),
+          col("ts_ms").as("v_ts"))
+        .withWatermark("v_ts", "10 minutes")
+      val c = streamEvents(s, d).filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("event_id").as("c_id"),
+          col("ts_ms").as("c_ts"))
+        .withWatermark("c_ts", "10 minutes")
+      val j = v.join(c,
+          col("v_user") === col("c_user") &&
+            col("c_ts") > col("v_ts") &&
+            col("c_ts") <= col("v_ts") + expr("INTERVAL 10 MINUTES"))
+        .select(col("v_user").as("user_id"), col("v_id"), col("c_id"),
+          col("v_ts").cast("timestamp_ntz").as("v_ts"),
+          col("c_ts").cast("timestamp_ntz").as("c_ts"))
+      runToMemory(s, j, "t_stream_join_sink", "append")
+        .orderBy("v_id", "c_id")
+    }),
+
     // The t_session plan executed through Structured Streaming: session
     // windows merged in the streaming state store (complete mode — append
     // would hold back sessions still inside the watermark, breaking

@@ -28,6 +28,13 @@ import graft.ops.T._
   */
 object Similarity {
 
+  /** x_sample_split's fraction table — 90/5/5 (not the production
+    * 98/1/1) so every (lang, split) cell is reliably populated at
+    * sf0.001's 500 docs; the query and its oracle both read THIS.
+    */
+  private val splitFracs =
+    Seq("train" -> 0.90, "val" -> 0.05, "test" -> 0.05)
+
   /** Embeddings with double-precision vector + L2 norm (float arithmetic
     * differs across engines; double is reproducible — SURVEY §7.3).
     */
@@ -1391,6 +1398,22 @@ object Similarity {
         .orderBy("node")
     }),
 
+    // Deterministic train/val/test split (Curation.assignSplit): each
+    // doc lands in one bucket by where its salted 32-bit md5 falls
+    // against driver-precomputed cumulative thresholds — stable under
+    // reruns AND corpus growth (new docs never move old docs' splits,
+    // the property that keeps eval sets uncontaminated across
+    // re-crawls). 90/5/5 here so every (lang, split) cell is populated
+    // at sf0.001. Graded per (lang, split): count + Σ doc_id checksum.
+    "x_sample_split" -> ((s, d) => {
+      graft.operators.Curation.assignSplit(
+          t(s, d, "documents"), splitFracs)
+        .groupBy("lang", "split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).as("checksum"))
+        .orderBy("lang", "split")
+    }),
+
     // Epoch-weighted mixture sampling (Curation.upsampleEpochs): emit
     // each doc rate(lang) times in expectation — floor(rate) exact
     // copies + a deterministic-hash fractional copy. Rates >1 are the
@@ -2201,6 +2224,19 @@ object Similarity {
         "sz AS (SELECT lab, count(*) AS n_members FROM l16 GROUP BY lab) " +
         "SELECT l.u AS node, l.lab AS component, sz.n_members " +
         "FROM l16 l JOIN sz USING (lab) ORDER BY node"),
+    // The CASE thresholds are Curation.splitThresholds' exact integers —
+    // interpolated, never re-derived in SQL float arithmetic.
+    "x_sample_split" -> {
+      val Seq(t1, t2) =
+        graft.operators.Curation.splitThresholds(splitFracs)
+      ("WITH p AS (SELECT doc_id, lang, " +
+        "CAST(('0x' || substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS u " +
+        "FROM documents), " +
+        "sp AS (SELECT doc_id, lang, " +
+        s"CASE WHEN u < $t1 THEN 'train' WHEN u < $t2 THEN 'val' ELSE 'test' END AS split FROM p) " +
+        "SELECT lang, split, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS checksum " +
+        "FROM sp GROUP BY lang, split ORDER BY lang, split")
+    },
     // Thresholds are the SAME driver-precomputed integers the Spark side
     // embeds: floor(frac(rate) · 2^32) — en/zh frac .5 → 2147483648,
     // de frac .25 → 1073741824; whole copies floor(rate).

@@ -2,21 +2,21 @@ package graft
 
 /** T1 blanket contract checks: every declared query runs on sf0.001,
   * the queries/oracleSql maps are mutually consistent, and the declared
-  * inventory matches SURVEY.md §2b (146 keys, 142 oracle-checked).
+  * inventory matches SURVEY.md §2b (148 keys, 143 oracle-checked).
   */
 class ContractSpec extends SparkSpec {
 
   private val nonOracle =
     Set("a_approx_hll", "t_stream_runtime", "t_stream_dedup",
-      "t_stream_session")
+      "t_stream_session", "t_stream_join")
 
-  test("inventory matches SURVEY §2b: 146 queries, 142 with oracle SQL") {
-    assert(SparkEntry.queries.size === 146)
-    assert(SparkEntry.oracleSql.size === 142)
-    assert(SparkEntry.queries.keySet.intersect(nonOracle).size === 4)
+  test("inventory matches SURVEY §2b: 148 queries, 143 with oracle SQL") {
+    assert(SparkEntry.queries.size === 148)
+    assert(SparkEntry.oracleSql.size === 143)
+    assert(SparkEntry.queries.keySet.intersect(nonOracle).size === 5)
   }
 
-  test("every oracle key has a query; non-oracle keys are the declared four") {
+  test("every oracle key has a query; non-oracle keys are the declared five") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
     assert(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet === nonOracle)
   }

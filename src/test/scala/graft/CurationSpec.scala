@@ -558,6 +558,26 @@ class CurationSpec extends SparkSpec {
     assert(ids1 === ids2)
   }
 
+  test("assignSplit: total partition, roughly proportional, and invariant under corpus growth") {
+    val docs = T.t(spark, sf(), "documents")
+    val split = Curation.assignSplit(docs)
+    val n = docs.count()
+    val byS = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // total partition: every doc in exactly one of the three buckets
+    assert(byS.values.sum === n)
+    assert(byS.keySet.subsetOf(Set("train", "val", "test")))
+    // 98/1/1 in expectation; at 500 docs allow a wide but telling band
+    assert(byS("train") > (n * 0.9).toLong)
+    // growth invariance: assigning on a HALF corpus gives every common
+    // doc the same split (new crawls never reshuffle old eval sets)
+    val half = Curation.assignSplit(docs.filter(col("doc_id") % 2 === 0))
+      .select(col("doc_id"), col("split").as("half_split"))
+    val moved = split.join(half, "doc_id")
+      .filter(col("split") =!= col("half_split")).count()
+    assert(moved === 0L)
+  }
+
   test("upsampleEpochs: copy counts honor the rate table; copies are contiguous and rerun-stable") {
     val docs = T.t(spark, sf(), "documents")
     val rates = Map("en" -> 0.5, "zh" -> 2.5, "de" -> 1.25)

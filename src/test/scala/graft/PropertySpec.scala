@@ -201,6 +201,27 @@ class PropertySpec extends SparkSpec {
     assert(stream === batch)
   }
 
+  test("t_stream_join (stream-stream interval join) equals the batch interval join") {
+    val stream = SparkEntry.queries("t_stream_join")(spark, sf())
+      .collect().map(_.toSeq).toSet
+    // the identical batch plan: clicks within (view_ts, view_ts + 10 min]
+    val e = graft.ops.T.evMs(spark, sf())
+    val v = e.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("v_id"),
+        col("ts_ms").as("v_ts"))
+    val c = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("c_id"),
+        col("ts_ms").as("c_ts"))
+    val batch = v.join(c,
+        col("v_user") === col("c_user") &&
+          col("c_ts") > col("v_ts") &&
+          col("c_ts") <= col("v_ts") + expr("INTERVAL 10 MINUTES"))
+      .select(col("v_user").as("user_id"), col("v_id"), col("c_id"),
+        col("v_ts"), col("c_ts"))
+      .collect().map(_.toSeq).toSet
+    assert(stream.nonEmpty && stream === batch)
+  }
+
   test("t_stream_session (streaming session_window) equals batch t_session") {
     val stream = SparkEntry.queries("t_stream_session")(spark, sf())
       .collect().map(_.toSeq).toSet
