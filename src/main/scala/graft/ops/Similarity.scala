@@ -1334,6 +1334,50 @@ object Similarity {
         .orderBy("lang")
     }),
 
+    // Small-file compaction (DocumentIO.compact): manufacture the
+    // 64-shard small-files problem, compact to 4 files with a
+    // shuffle-free coalesce, grade content preservation with the csv
+    // checksum device (PlanShapeSpec pins the file-count drop — the
+    // part the oracle can't see).
+    "x_io_compact" -> ((s, d) => {
+      val (src, dst) = (compactSrcScratch, compactDstScratch)
+      t(s, d, "documents").repartition(64)
+        .write.mode("overwrite").parquet(src)
+      graft.sources.DocumentIO.compact(s, src, dst, targetFiles = 4)
+      s.read.parquet(dst)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("n_chars"),
+          sum(conv(substring(md5(col("text")), 1, 8), 16, 10).cast("bigint"))
+            .as("checksum"))
+        .orderBy("lang")
+    }),
+
+    // Schema-evolution read (DocumentIO.readMerged): generation 1 =
+    // even doc_ids with the base schema; generation 2 = odd doc_ids
+    // plus a new n_tokens_est column (n_chars div 5 — integer-exact so
+    // the cross-generation sum needs no float canonicalization). One
+    // mergeSchema scan reads both; gen-1 rows surface NULL for the new
+    // column. Graded per lang: rows, evolved-rows, exact token sum,
+    // text checksum.
+    "x_io_schema_evo" -> ((s, d) => {
+      val root = schemaEvoScratch
+      val docs = t(s, d, "documents")
+      docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+        .write.mode("overwrite").parquet(s"$root/gen1")
+      docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+        .withColumn("n_tokens_est", expr("n_chars div 5"))
+        .write.mode("overwrite").parquet(s"$root/gen2")
+      graft.sources.DocumentIO.readMerged(s, s"$root/gen1", s"$root/gen2")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          count(col("n_tokens_est")).as("n_evolved"),
+          coalesce(sum(col("n_tokens_est")), lit(0L)).as("tok_sum"),
+          sum(conv(substring(md5(col("text")), 1, 8), 16, 10).cast("bigint"))
+            .as("checksum"))
+        .orderBy("lang")
+    }),
+
     // Hive-partitioned corpus layout (DocumentIO.writePartitioned /
     // readPartitioned): write partitioned by lang (`lang=en/…` dirs),
     // read back filtering lang ∈ {en, zh} — the filter must become
@@ -1495,6 +1539,9 @@ object Similarity {
   private lazy val csvScratch: String = ioScratch("graft_csv")
   private lazy val partScratch: String = ioScratch("graft_part")
   private lazy val orcScratch: String = ioScratch("graft_orc")
+  private lazy val compactSrcScratch: String = ioScratch("graft_cmp_src")
+  private lazy val compactDstScratch: String = ioScratch("graft_cmp_dst")
+  private lazy val schemaEvoScratch: String = ioScratch("graft_evo")
 
   private def ioScratch(prefix: String): String = {
     val p = java.nio.file.Files.createTempDirectory(prefix)
@@ -2211,6 +2258,20 @@ object Similarity {
         "FROM documents WHERE lang IN ('en', 'zh') " +
         "GROUP BY lang, source ORDER BY lang, source"),
     "x_graph_pagerank" -> pageRankOracleSql(3),
+    // Compaction must be content-neutral: the oracle is the plain
+    // aggregation of the original parquet.
+    "x_io_compact" ->
+      ("SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars, " +
+        "CAST(sum(CAST(('0x' || substring(md5(text), 1, 8)) AS BIGINT)) AS BIGINT) AS checksum " +
+        "FROM documents GROUP BY lang ORDER BY lang"),
+    "x_io_schema_evo" ->
+      ("WITH u AS (SELECT lang, text, " +
+        "CASE WHEN doc_id % 2 = 1 THEN n_chars // 5 END AS n_tokens_est " +
+        "FROM documents) " +
+        "SELECT lang, count(*) AS n_docs, count(n_tokens_est) AS n_evolved, " +
+        "CAST(coalesce(sum(n_tokens_est), 0) AS BIGINT) AS tok_sum, " +
+        "CAST(sum(CAST(('0x' || substring(md5(text), 1, 8)) AS BIGINT)) AS BIGINT) AS checksum " +
+        "FROM u GROUP BY lang ORDER BY lang"),
     // Identical aggregation to x_io_csv's oracle: the grade IS "the ORC
     // hop changed nothing vs the original parquet".
     "x_io_orc" ->
