@@ -145,7 +145,31 @@ object Joins {
           col("s_nationkey") === col("c_nationkey") &&
             col("s_acctbal") > col("c_acctbal"))
         .select("s_suppkey", "c_custkey")
-        .orderBy("s_suppkey", "c_custkey"))
+        .orderBy("s_suppkey", "c_custkey")),
+
+    // The SQL FRONT DOOR, graded: TPC-H Q3's shape (segment filter →
+    // 3-way join → revenue agg → top 10) submitted as a `spark.sql`
+    // string over registered temp views — every other key drives the
+    // DataFrame API; this one proves the same engine, optimizer, and
+    // determinism idioms (decimal sum, decOut rounding, tie-broken
+    // LIMIT) hold for a SQL-string user. Catalyst plans it identically
+    // to the DataFrame twin (one logical plan either way).
+    "j_sql_q3" -> ((s, d) => {
+      t(s, d, "customer").createOrReplaceTempView("graft_customer")
+      t(s, d, "orders").createOrReplaceTempView("graft_orders")
+      t(s, d, "lineitem").createOrReplaceTempView("graft_lineitem")
+      s.sql(
+        "SELECT o_orderkey, " +
+          "round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE), 6) AS revenue, " +
+          "o_orderdate, o_orderpriority " +
+          "FROM graft_customer JOIN graft_orders ON c_custkey = o_custkey " +
+          "JOIN graft_lineitem ON l_orderkey = o_orderkey " +
+          "WHERE c_mktsegment = 'BUILDING' " +
+          "AND o_orderdate < TIMESTAMP_NTZ '1998-01-01 00:00:00' " +
+          "AND l_shipdate > TIMESTAMP_NTZ '1998-01-01 00:00:00' " +
+          "GROUP BY o_orderkey, o_orderdate, o_orderpriority " +
+          "ORDER BY revenue DESC, o_orderkey LIMIT 10")
+    })
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -207,6 +231,17 @@ object Joins {
     "j_theta_ineq" ->
       ("SELECT s_suppkey, c_custkey FROM supplier JOIN customer " +
         "ON s_nationkey = c_nationkey AND s_acctbal > c_acctbal " +
-        "ORDER BY s_suppkey, c_custkey")
+        "ORDER BY s_suppkey, c_custkey"),
+    "j_sql_q3" ->
+      ("SELECT o_orderkey, " +
+        "round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE), 6) AS revenue, " +
+        "o_orderdate, o_orderpriority " +
+        "FROM customer JOIN orders ON c_custkey = o_custkey " +
+        "JOIN lineitem ON l_orderkey = o_orderkey " +
+        "WHERE c_mktsegment = 'BUILDING' " +
+        "AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00' " +
+        "AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00' " +
+        "GROUP BY o_orderkey, o_orderdate, o_orderpriority " +
+        "ORDER BY revenue DESC, o_orderkey LIMIT 10")
   )
 }
