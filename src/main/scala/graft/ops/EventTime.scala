@@ -227,6 +227,38 @@ object EventTime {
         .orderBy("v_id", "c_id")
     }),
 
+    // The streaming PRODUCTION-SINK path, ORACLE-graded end to end (the
+    // other four runtime keys self-parity against their batch twins;
+    // this one closes the loop through durable storage): the events
+    // stream lands in parquet via foreachBatch under
+    // Trigger.AvailableNow, and the graded aggregation reads the LANDED
+    // FILES — so the plain-SQL oracle checks stream → sink → scan, not
+    // a memory-sink approximation. Sink + checkpoint dirs are cleared
+    // at the start of every invocation: a fresh checkpoint replays the
+    // whole fixture exactly once, making the landed set deterministic
+    // (in production the checkpoint SURVIVES and the same code becomes
+    // incremental ingest — StreamSinkSpec proves that resume path).
+    "t_stream_sink" -> ((s, d) => {
+      val dir = freshStreamSinkDirs()
+      val q = streamEvents(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), col("ts_ms"))
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          batch.write.mode("append").parquet(s"$dir/data")
+        }
+        .option("checkpointLocation", s"$dir/chk")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$dir/data")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"),
+          decOut(sum(dec(col("value")))).as("sum_value"),
+          max(col("ts_ms")).cast("timestamp_ntz").as("max_ts"))
+        .orderBy("event_type")
+    }),
+
     // The t_session plan executed through Structured Streaming: session
     // windows merged in the streaming state store (complete mode — append
     // would hold back sessions still inside the watermark, breaking
@@ -263,6 +295,28 @@ object EventTime {
     s.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(d)
       .withColumn("ts_ms", date_trunc("millisecond", tsEvent))
+  }
+
+  /** One per-JVM scratch root for t_stream_sink, CLEARED on every call:
+    * the graded semantics are "fresh checkpoint replays the fixture
+    * exactly once", so stale sink files or a surviving checkpoint from a
+    * previous invocation would double or skip data. Registered for
+    * deletion at JVM exit like the Similarity io scratches.
+    */
+  private lazy val streamSinkRoot: java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory("graft_stream_sink")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => rmTree(p.toFile)))
+    p
+  }
+
+  private def rmTree(f: java.io.File): Unit = {
+    Option(f.listFiles).foreach(_.foreach(rmTree))
+    f.delete(); ()
+  }
+
+  private def freshStreamSinkDirs(): String = {
+    Option(streamSinkRoot.toFile.listFiles).foreach(_.foreach(rmTree))
+    streamSinkRoot.toString
   }
 
   /** Run a streaming frame to completion under Trigger.AvailableNow into
@@ -333,6 +387,11 @@ object EventTime {
         "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm " +
         "FROM (SELECT event_id, user_id, date_trunc('milliseconds', ts) AS ts_ms FROM events)) " +
         "ORDER BY event_id"),
+    "t_stream_sink" ->
+      ("SELECT event_type, count(*) AS cnt, " +
+        "round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 6) AS sum_value, " +
+        "max(date_trunc('milliseconds', ts)) AS max_ts " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
     "t_retention" ->
       ("WITH e AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events), " +
         "c AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY user_id) " +
