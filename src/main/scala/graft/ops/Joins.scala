@@ -169,6 +169,27 @@ object Joins {
           "AND l_shipdate > TIMESTAMP_NTZ '1998-01-01 00:00:00' " +
           "GROUP BY o_orderkey, o_orderdate, o_orderpriority " +
           "ORDER BY revenue DESC, o_orderkey LIMIT 10")
+    }),
+
+    // Co-bucketed join through the catalog (sources/Bucketing), graded:
+    // both sides land as managed tables bucketed 8 ways on the join key
+    // — the pay-the-shuffle-ONCE-at-write-time layout; the join then
+    // reads co-located buckets. THIS key grades value correctness
+    // through the bucketed write→catalog→scan→join path (the part an
+    // oracle can check); BucketingSpec separately pins the zero-Exchange
+    // SortMergeJoin plan with broadcast disabled — the part it can't.
+    "j_bucketed" -> ((s, d) => {
+      val cust = t(s, d, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val ords = t(s, d, "orders")
+        .select(col("o_custkey").as("c_custkey"), col("o_totalprice"))
+      graft.sources.Bucketing.writeBucketed(cust, "graft_jb_cust", "c_custkey", 8)
+      graft.sources.Bucketing.writeBucketed(ords, "graft_jb_ords", "c_custkey", 8)
+      graft.sources.Bucketing.bucketJoin(s, "graft_jb_cust", "graft_jb_ords", "c_custkey")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          decOut(sum(dec(col("o_totalprice")))).as("total"))
+        .orderBy("c_mktsegment")
     })
   )
 
@@ -242,6 +263,11 @@ object Joins {
         "AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00' " +
         "AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00' " +
         "GROUP BY o_orderkey, o_orderdate, o_orderpriority " +
-        "ORDER BY revenue DESC, o_orderkey LIMIT 10")
+        "ORDER BY revenue DESC, o_orderkey LIMIT 10"),
+    "j_bucketed" ->
+      ("SELECT c_mktsegment, count(*) AS n_orders, " +
+        "round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE), 6) AS total " +
+        "FROM customer JOIN orders ON c_custkey = o_custkey " +
+        "GROUP BY c_mktsegment ORDER BY c_mktsegment")
   )
 }
