@@ -11,45 +11,61 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   *    engine-specific decimal-division result types.
   */
 private[graft] object T {
-  /** Read one driver-generated parquet table (TESTDATA.md). */
-  def t(s: SparkSession, sfDir: String, name: String): DataFrame =
-    if (name == "events") events(s, sfDir) else s.read.parquet(s"$sfDir/$name.parquet")
-
-  /** Schema-conditional events reader. The driver has shipped `events.ts`
-    * in two encodings across testdata generations:
-    *
-    *  - parquet TIMESTAMP(NANOS): Spark 4 rejects it outright
-    *    (PARQUET_TYPE_ILLEGAL) unless `nanosAsLong=true` surfaces it as a
-    *    raw INT64 — then truncate nanos → µs timestamp, the same value
-    *    DuckDB sees after its own date_trunc to ≥ms.
-    *  - parquet timestamp[us] (current generation): Spark reads it
-    *    directly (isAdjustedToUTC=false → TIMESTAMP_NTZ); no shim needed.
-    *
-    * Dispatch on the OBSERVED column type, never on documentation: a
-    * LongType `ts` can only be the nanos encoding under the legacy flag,
-    * anything else is a native timestamp. (Round 9 regressed 20 contract
-    * keys by assuming the ns encoding unconditionally after the driver
-    * regenerated the data as µs.)
-    *
-    * The emitted ts is always TIMESTAMP_NTZ: Spark's default TimestampType
-    * is tz-adjusted and writes parquet isAdjustedToUTC=true, which DuckDB
-    * reads as TIMESTAMPTZ while the oracle emits naive TIMESTAMP — equal
-    * values but a schema/type mismatch a strict driver compare would
-    * reject. NTZ keeps every derived event-time column naive end to end
-    * (session tz pinned UTC, so wall-clock values are unchanged).
+  /** Read one driver-generated parquet table (TESTDATA.md), with every
+    * timestamp column normalized through [[normalizeTs]]. The driver has
+    * regenerated /root/testdata between rounds before (r8→r9 flipped
+    * `events.ts` from TIMESTAMP(NANOS) to timestamp[us] and broke 20
+    * contract keys whose reader assumed the old encoding) — so ALL
+    * tables go through one schema-conditional normalizer, not just the
+    * table that happened to be hit last time: `o_orderdate`/`l_shipdate`
+    * have exactly the same exposure.
     */
-  def events(s: SparkSession, sfDir: String): DataFrame = {
+  def t(s: SparkSession, sfDir: String, name: String): DataFrame = {
+    // harmless when no ns columns exist; REQUIRED to even read a
+    // TIMESTAMP(NANOS) parquet (Spark 4 rejects it outright otherwise)
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = s.read.parquet(s"$sfDir/events.parquet")
+    normalizeTs(s.read.parquet(s"$sfDir/$name.parquet"))
+  }
+
+  /** Known timestamp-bearing fixture columns: the ONLY names the ns-as-
+    * long shim may fire for (a LongType column with any other name is a
+    * genuine bigint and must pass through untouched).
+    */
+  private val tsColumns = Set("ts", "o_orderdate", "l_shipdate")
+
+  /** Schema-conditional timestamp normalization — dispatch on the
+    * OBSERVED column type, never on documentation (SURVEY §1.2):
+    *
+    *  - LongType under a known timestamp name: the TIMESTAMP(NANOS)
+    *    encoding surfaced as raw INT64 by `nanosAsLong=true` → truncate
+    *    nanos → µs timestamp, the same value DuckDB sees after its own
+    *    date_trunc to ≥ms.
+    *  - tz-adjusted TimestampType (parquet isAdjustedToUTC=true): cast
+    *    to NTZ — session tz is pinned UTC, so wall-clock values are
+    *    unchanged, and emitted schemas stay naive end to end (DuckDB
+    *    reads tz-adjusted parquet as TIMESTAMPTZ while the oracle emits
+    *    naive TIMESTAMP; a strict compare rejects the type drift).
+    *  - timestamp[us] isAdjustedToUTC=false (current generation): Spark
+    *    already reads TIMESTAMP_NTZ; cast is a no-op.
+    */
+  def normalizeTs(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr}
-    df.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        df.withColumn("ts",
-          expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
-      case _ =>
-        df.withColumn("ts", col("ts").cast("timestamp_ntz"))
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    df.schema.fields.foldLeft(df) { (acc, f) =>
+      f.dataType match {
+        case LongType if tsColumns(f.name) =>
+          acc.withColumn(f.name,
+            expr(s"cast(timestamp_micros(${f.name} div 1000) as timestamp_ntz)"))
+        case TimestampType =>
+          acc.withColumn(f.name, col(f.name).cast("timestamp_ntz"))
+        case _ => acc
+      }
     }
   }
+
+  /** The events table (kept for callers that name it explicitly). */
+  def events(s: SparkSession, sfDir: String): DataFrame =
+    t(s, sfDir, "events")
 
   def dec(c: Column): Column = c.cast("decimal(38,6)")
 

@@ -129,6 +129,21 @@ class SemanticsSpec extends SparkSpec {
     assert(out(0).getAs[Long]("n_below") + out(0).getAs[Long]("n_above") === total)
   }
 
+  test("normalizeTs: ns shim fires only for known ts columns; LTZ re-cast; bigints untouched") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    // 1700000000123456789 ns = 2023-11-14 22:13:20.123456 UTC
+    val df = Seq((1L, 1700000000123456789L, 42L)).toDF("id", "l_shipdate", "other")
+      .withColumn("evt", lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+    val out = T.normalizeTs(df)
+    assert(out.schema("l_shipdate").dataType === TimestampNTZType)
+    assert(out.schema("other").dataType === LongType)
+    assert(out.schema("id").dataType === LongType)
+    assert(out.schema("evt").dataType === TimestampNTZType)
+    val r = out.select(col("l_shipdate").cast("string")).collect()(0).getString(0)
+    assert(r === "2023-11-14 22:13:20.123456")
+  }
+
   test("t_retention: every user is active on their cohort day (offset-0 cells cover all users)") {
     val ret = SparkEntry.queries("t_retention")(spark, sf())
     val zeroUsers = ret.filter(col("day_offset") === 0L)
