@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
   * of 10c yields ~50c² pairs) — the probe prints output rows so the two
   * effects can be told apart.
   *
-  * `runMain graft.tools.ScaleProbe [sfDir] [keys|sigs|curation|cc|cluster|vocab|spans|bpe|quality|pq|geo|graph|all]`
+  * `runMain graft.tools.ScaleProbe [sfDir] [keys|sigs|curation|cc|cluster|vocab|spans|bpe|quality|pq|geo|graph|streamjoin|all]`
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -267,6 +267,40 @@ object ScaleProbe {
       val (tg10, ng10) = time(graft.operators.Graph.pageRank(hostEdges(10000000L, 1000000L)))
       graft.ops.T.releaseCaches(blocking = true)
       println(f"pageRank 1M edges ${tg1}%6.2fs ($ng1 nodes) -> 10M ${tg10}%7.2fs ($ng10 nodes; factor ${tg10 / tg1}%5.1f)")
+    }
+    // Stream-stream interval join at 10× events AND 10× users: per-key
+    // state stays constant (watermark + 10-min interval bounds it), so
+    // the claim is linear wall growth — a super-linear factor would flag
+    // state-store blowup or a per-batch recomputation hiding in the
+    // join. Users are offset per copy, so the join NEVER matches across
+    // copies: output pairs scale exactly 10×, isolating engine cost.
+    if (mode == "all" || mode == "streamjoin") {
+      def evDir(mult: Int): String = {
+        val e = spark.read.parquet(s"$sfDir/events.parquet")
+        val big = (0 until mult).map { i =>
+          e.select((col("event_id") + lit(i * 100000000L)).as("event_id"),
+            col("ts"),
+            (col("user_id") + lit(i * 1000000L)).as("user_id"),
+            col("event_type"), col("value"), col("props"))
+        }.reduce(_ unionByName _)
+        // streamEvents globs for a FILE literally named events.parquet
+        // (the fixture layout) — land one part file under that name
+        val d = java.nio.file.Files.createTempDirectory("probe_sj").toString
+        big.coalesce(1).write.mode("overwrite").parquet(s"$d/tmp")
+        val part = new java.io.File(s"$d/tmp").listFiles
+          .find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(part.toPath,
+          java.nio.file.Paths.get(d, "events.parquet"))
+        d
+      }
+      val d1 = evDir(1)
+      val d10 = evDir(10)
+      val q = graft.SparkEntry.queries("t_stream_join")
+      val (tj1, nj1) = time(q(spark, d1))
+      graft.ops.T.releaseCaches(blocking = true)
+      val (tj10, nj10) = time(q(spark, d10))
+      graft.ops.T.releaseCaches(blocking = true)
+      println(f"streamjoin 1x ${tj1}%6.2fs ($nj1 pairs) -> 10x ${tj10}%7.2fs ($nj10 pairs; factor ${tj10 / tj1}%5.1f)")
     }
     spark.stop()
   }
