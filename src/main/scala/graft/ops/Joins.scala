@@ -171,6 +171,41 @@ object Joins {
           "ORDER BY revenue DESC, o_orderkey LIMIT 10")
     }),
 
+    // Correlated SCALAR subqueries, graded: one count + one max per
+    // customer row, written as correlated subselects — Catalyst's
+    // decorrelation (RewriteCorrelatedScalarSubquery) turns each into a
+    // left outer aggregate join, so the plan that executes is
+    // shuffle-sane even though the query is written row-at-a-time. Both
+    // aggregates are order-insensitive-exact (integer count, double max
+    // over identical parquet values) — no float-summation boundary for
+    // engines to disagree on.
+    "j_sql_corr" -> ((s, d) => {
+      t(s, d, "customer").createOrReplaceTempView("graft_corr_cust")
+      t(s, d, "orders").createOrReplaceTempView("graft_corr_ords")
+      s.sql(
+        "SELECT c_custkey, " +
+          "(SELECT count(*) FROM graft_corr_ords o WHERE o.o_custkey = c.c_custkey) AS n_orders, " +
+          "(SELECT round(max(o_totalprice), 6) FROM graft_corr_ords o WHERE o.o_custkey = c.c_custkey) AS max_price " +
+          "FROM graft_corr_cust c ORDER BY c_custkey")
+    }),
+
+    // LATERAL correlated subquery, graded: top order per customer via
+    // `, LATERAL (... ORDER BY ... LIMIT 1)` — the SQL spelling of
+    // o_topk_per_group; inner-lateral semantics drop order-less
+    // customers. Deterministic: identical parquet doubles on both
+    // engines, ties broken by o_orderkey.
+    "j_lateral" -> ((s, d) => {
+      t(s, d, "customer").createOrReplaceTempView("graft_lat_cust")
+      t(s, d, "orders").createOrReplaceTempView("graft_lat_ords")
+      s.sql(
+        "SELECT c_custkey, l.o_orderkey, l.o_totalprice " +
+          "FROM graft_lat_cust c, " +
+          "LATERAL (SELECT o_orderkey, o_totalprice FROM graft_lat_ords o " +
+          "WHERE o.o_custkey = c.c_custkey " +
+          "ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) l " +
+          "ORDER BY c_custkey")
+    }),
+
     // Co-bucketed join through the catalog (sources/Bucketing), graded:
     // both sides land as managed tables bucketed 8 ways on the join key
     // — the pay-the-shuffle-ONCE-at-write-time layout; the join then
@@ -264,6 +299,18 @@ object Joins {
         "AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00' " +
         "GROUP BY o_orderkey, o_orderdate, o_orderpriority " +
         "ORDER BY revenue DESC, o_orderkey LIMIT 10"),
+    "j_sql_corr" ->
+      ("SELECT c_custkey, " +
+        "(SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders, " +
+        "(SELECT round(max(o_totalprice), 6) FROM orders o WHERE o.o_custkey = c.c_custkey) AS max_price " +
+        "FROM customer c ORDER BY c_custkey"),
+    "j_lateral" ->
+      ("SELECT c_custkey, l.o_orderkey, l.o_totalprice " +
+        "FROM customer c, " +
+        "LATERAL (SELECT o_orderkey, o_totalprice FROM orders o " +
+        "WHERE o.o_custkey = c.c_custkey " +
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) l " +
+        "ORDER BY c_custkey"),
     "j_bucketed" ->
       ("SELECT c_mktsegment, count(*) AS n_orders, " +
         "round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE), 6) AS total " +
