@@ -416,4 +416,58 @@ class GeneratedPropertySpec extends SparkSpec {
       if (n == target) assert(after(g) === n, s"min group $g must keep all")
     }
   }
+
+  test("property: upsampleEpochs gives every doc floor(rate) or floor(rate)+1 copies, deterministically") {
+    import spark.implicits._
+    val langs = Vector("aa", "bb", "cc", "dd")
+    val assign = sample(Gen.listOfN(200, Gen.choose(0, 3)), 77L)
+    val df = assign.zipWithIndex
+      .map { case (l, i) => (i.toLong + 1000L, langs(l)) }
+      .toDF("doc_id", "lang")
+    val rates = Map(
+      "aa" -> sample(Gen.choose(0.0, 3.0), 78L),
+      "bb" -> 1.0,
+      "cc" -> 2.75) // dd unlisted -> rate 1
+    val up = graft.operators.Curation.upsampleEpochs(df, rates)
+    // per-doc multiplicity is floor(rate) or floor(rate)+1 — never more,
+    // never negative (docs at 0 copies simply vanish from the output)
+    up.groupBy("doc_id", "lang").count().collect().foreach { r =>
+      val rate = rates.getOrElse(r.getString(1), 1.0)
+      val c = r.getLong(2)
+      val lo = math.floor(rate).toLong
+      assert(c === lo || c === lo + 1, s"doc ${r.getLong(0)} got $c copies at rate $rate")
+    }
+    // integer-rate languages are exact: bb and dd emit exactly n rows
+    val in = df.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val out = up.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    Seq("bb", "dd").filter(in.contains)
+      .foreach(l => assert(out(l) === in(l), s"$l must be exactly 1:1"))
+    // deterministic: rerun emits the identical multiset
+    val k1 = up.agg(sum(expr("doc_id * copy"))).collect()(0).getLong(0)
+    val k2 = graft.operators.Curation.upsampleEpochs(df, rates)
+      .agg(sum(expr("doc_id * copy"))).collect()(0).getLong(0)
+    assert(k1 === k2)
+  }
+
+  test("property: assignSplit totally partitions any corpus and never moves a doc as the corpus grows") {
+    import spark.implicits._
+    val raw = sample(Gen.listOfN(2, Gen.choose(0.05, 0.6)), 91L)
+    val a = raw(0) / (raw.sum + 1.0)
+    val b = raw(1) / (raw.sum + 1.0)
+    val fracs = Seq("a" -> a, "b" -> b, "c" -> (1.0 - a - b))
+    val df = (1L to 500L).map(i => (i, "x")).toDF("doc_id", "lang")
+    val sp = graft.operators.Curation.assignSplit(df, fracs)
+    assert(sp.count() === 500L) // total: one row per doc, none dropped
+    val names = sp.select("split").distinct().collect().map(_.getString(0)).toSet
+    assert(names.subsetOf(Set("a", "b", "c")))
+    // growth invariance: assigning on the first half gives every common
+    // doc the identical split
+    val half = graft.operators.Curation.assignSplit(
+        df.filter(col("doc_id") <= 250), fracs)
+      .select(col("doc_id"), col("split").as("half_split"))
+    assert(sp.join(half, "doc_id")
+      .filter(col("split") =!= col("half_split")).count() === 0L)
+  }
 }
