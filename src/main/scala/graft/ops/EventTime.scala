@@ -238,6 +238,11 @@ object EventTime {
     // whole fixture exactly once, making the landed set deterministic
     // (in production the checkpoint SURVIVES and the same code becomes
     // incremental ingest — StreamSinkSpec proves that resume path).
+    // Honesty note: a bare append is exactly-once only because a
+    // completed AvailableNow epoch is never re-fired against a live
+    // checkpoint; a sink that must survive a mid-epoch CRASH keys its
+    // files by batchId (or writes through a transactional table format)
+    // so a replayed epoch overwrites instead of doubling.
     "t_stream_sink" -> ((s, d) => {
       val dir = freshStreamSinkDirs()
       val q = streamEvents(s, d)

@@ -35,6 +35,13 @@ object Similarity {
   private val splitFracs =
     Seq("train" -> 0.90, "val" -> 0.05, "test" -> 0.05)
 
+  /** x_mix_epochs' rate table — one source of truth for the query AND
+    * the oracle (whole copies + fractional thresholds are derived from
+    * it in both, so editing a rate can never desynchronize them).
+    */
+  private val epochRates =
+    Map("en" -> 0.5, "zh" -> 2.5, "de" -> 1.25)
+
   /** Embeddings with double-precision vector + L2 norm (float arithmetic
     * differs across engines; double is reproducible — SURVEY §7.3).
     */
@@ -1468,8 +1475,7 @@ object Similarity {
     // integer — catches any copy-set or multiplicity drift).
     "x_mix_epochs" -> ((s, d) => {
       val up = graft.operators.Curation.upsampleEpochs(
-        t(s, d, "documents"),
-        Map("en" -> 0.5, "zh" -> 2.5, "de" -> 1.25))
+        t(s, d, "documents"), epochRates)
       up.groupBy("lang")
         .agg(count(lit(1)).as("n_rows"),
           countDistinct(col("doc_id")).as("n_docs"),
@@ -2298,21 +2304,28 @@ object Similarity {
         "SELECT lang, split, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS checksum " +
         "FROM sp GROUP BY lang, split ORDER BY lang, split")
     },
-    // Thresholds are the SAME driver-precomputed integers the Spark side
-    // embeds: floor(frac(rate) · 2^32) — en/zh frac .5 → 2147483648,
-    // de frac .25 → 1073741824; whole copies floor(rate).
-    "x_mix_epochs" ->
+    // Whole-copy counts and fractional thresholds are INTERPOLATED from
+    // epochRates — the same driver-computed integers the Spark side
+    // embeds (floor(rate) and floor(frac(rate)·2^32)), never re-derived
+    // in SQL float arithmetic or hand-copied literals.
+    "x_mix_epochs" -> {
+      val whole = epochRates.toSeq.sortBy(_._1)
+        .map { case (l, r) => s"WHEN '$l' THEN ${r.toInt}" }.mkString(" ")
+      val thr = epochRates.toSeq.sortBy(_._1)
+        .map { case (l, r) =>
+          s"WHEN '$l' THEN ${math.floor((r - r.toInt) * 4294967296.0).toLong}"
+        }.mkString(" ")
       ("WITH p AS (SELECT doc_id, lang, " +
         "CAST(('0x' || substring(md5('ep:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS u " +
         "FROM documents), " +
         "n AS (SELECT doc_id, lang, " +
-        "(CASE lang WHEN 'en' THEN 0 WHEN 'zh' THEN 2 WHEN 'de' THEN 1 ELSE 1 END) + " +
-        "(CASE WHEN u < (CASE lang WHEN 'en' THEN 2147483648 WHEN 'zh' THEN 2147483648 " +
-        "WHEN 'de' THEN 1073741824 ELSE 0 END) THEN 1 ELSE 0 END) AS k FROM p), " +
+        s"(CASE lang $whole ELSE 1 END) + " +
+        s"(CASE WHEN u < (CASE lang $thr ELSE 0 END) THEN 1 ELSE 0 END) AS k FROM p), " +
         "ex AS (SELECT doc_id, lang, unnest(range(1, k + 1)) AS copy FROM n WHERE k > 0) " +
         "SELECT lang, count(*) AS n_rows, count(DISTINCT doc_id) AS n_docs, " +
         "CAST(sum(doc_id * copy) AS BIGINT) AS checksum " +
         "FROM ex GROUP BY lang ORDER BY lang")
+    }
   )
 
   /** x_graph_pagerank's oracle: the power-iteration driver loop UNROLLED
