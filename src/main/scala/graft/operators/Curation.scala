@@ -623,6 +623,9 @@ object Curation {
     */
   def upsampleEpochs(docs: DataFrame, rates: Map[String, Double],
       langCol: String = "lang", salt: String = "ep"): DataFrame = {
+    require(rates.values.forall(r => r >= 0 && r <= 1000),
+      s"rates must be in [0, 1000], got $rates — a negative rate is " +
+        "meaningless and a huge one is almost certainly a unit mistake")
     val u = conv(substring(md5(concat(lit(s"$salt:"), col("doc_id").cast("string"))), 1, 8), 16, 10)
       .cast("bigint")
     val whole = rates.foldRight(lit(1): Column) { case ((k, v), els) =>
@@ -655,6 +658,9 @@ object Curation {
       salt: String = "split"): DataFrame = {
     require(math.abs(fracs.map(_._2).sum - 1.0) < 1e-9,
       "split fractions must sum to 1")
+    require(fracs.forall(_._2 > 0),
+      s"every split fraction must be positive, got $fracs — a zero or " +
+        "negative fraction makes its bucket (or a later one) unreachable")
     val u = conv(substring(md5(concat(lit(s"$salt:"), col("doc_id").cast("string"))), 1, 8), 16, 10)
       .cast("bigint")
     val thresholds = splitThresholds(fracs)
