@@ -1449,6 +1449,30 @@ object Similarity {
         .orderBy("node")
     }),
 
+    // Overlapping token-window chunking — the embedding/RAG windowing
+    // staple (x_pack_chunks assigns whole docs to training chunks; THIS
+    // splits one long doc into size-40 windows every 20 tokens so each
+    // piece fits an encoder context with stride-overlap continuity).
+    // Narrow per-row explode over the window starts; rows out =
+    // Σ ceil(n_tok/stride) by construction. Graded per (doc, chunk):
+    // token count + chunk-text hash — any off-by-one in slicing or
+    // stride shows up in the hash.
+    "x_text_chunk" -> ((s, d) => {
+      val win = 40
+      val stride = 20
+      t(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .withColumn("start",
+          explode(sequence(lit(0), size(col("toks")) - 1, lit(stride))))
+        .withColumn("ctoks", slice(col("toks"), col("start") + 1, lit(win)))
+        .select(col("doc_id"),
+          expr(s"start div $stride").as("chunk_idx"),
+          size(col("ctoks")).cast("bigint").as("n_tokens"),
+          conv(substring(md5(concat_ws(" ", col("ctoks"))), 1, 8), 16, 10)
+            .cast("bigint").as("chunk_hash"))
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
     // Deterministic train/val/test split (Curation.assignSplit): each
     // doc lands in one bucket by where its salted 32-bit md5 falls
     // against driver-precomputed cumulative thresholds — stable under
@@ -2291,6 +2315,15 @@ object Similarity {
         "sz AS (SELECT lab, count(*) AS n_members FROM l16 GROUP BY lab) " +
         "SELECT l.u AS node, l.lab AS component, sz.n_members " +
         "FROM l16 l JOIN sz USING (lab) ORDER BY node"),
+    "x_text_chunk" ->
+      ("WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+        "st AS (SELECT doc_id, toks, unnest(range(0, len(toks), 20)) AS start FROM tk), " +
+        "ch AS (SELECT doc_id, start // 20 AS chunk_idx, " +
+        "list_slice(toks, start + 1, start + 40) AS ctoks FROM st) " +
+        "SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx, " +
+        "CAST(len(ctoks) AS BIGINT) AS n_tokens, " +
+        "CAST(('0x' || substring(md5(array_to_string(ctoks, ' ')), 1, 8)) AS BIGINT) AS chunk_hash " +
+        "FROM ch ORDER BY doc_id, chunk_idx"),
     // The CASE thresholds are Curation.splitThresholds' exact integers —
     // interpolated, never re-derived in SQL float arithmetic.
     "x_sample_split" -> {
