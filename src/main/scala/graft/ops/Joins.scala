@@ -225,6 +225,30 @@ object Joins {
         .agg(count(lit(1)).as("n_orders"),
           decOut(sum(dec(col("o_totalprice")))).as("total"))
         .orderBy("c_mktsegment")
+    }),
+
+    // Skew-SALTED equi-join (operators/SaltedJoin), graded end to end on
+    // the contract's skew fixture: events has very few distinct user_id
+    // (15 at sf0.001), so a plain shuffled join funnels each user's whole
+    // event history through ONE task — at 100 TB that's a handful of
+    // reduce tasks doing all the work. SaltedJoin scatters the big side
+    // over (user_id, hash(event_id) mod 8) and replicates the user-sized
+    // dim side 8×: identical results, even tasks, shuffle growth only on
+    // the SMALL side — the standard trade. The dim is manufactured from
+    // the corpus (distinct user → tier label) so the key needs no extra
+    // fixture; the oracle is the PLAIN join+group, i.e. the grade IS
+    // "salting changed nothing but the distribution".
+    "j_skew_salted" -> ((s, d) => {
+      val ev = t(s, d, "events").select("user_id", "event_id", "value")
+      val dim = t(s, d, "events").select("user_id").distinct()
+        .withColumn("tier",
+          concat(lit("tier"), pmod(col("user_id"), lit(3))))
+      graft.operators.SaltedJoin
+        .join(ev, dim, "user_id", spread = col("event_id"), nSalts = 8)
+        .groupBy("user_id", "tier")
+        .agg(count(lit(1)).as("n_events"),
+          decOut(sum(dec(col("value")))).as("value_sum"))
+        .orderBy("user_id")
     })
   )
 
@@ -315,6 +339,14 @@ object Joins {
       ("SELECT c_mktsegment, count(*) AS n_orders, " +
         "round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE), 6) AS total " +
         "FROM customer JOIN orders ON c_custkey = o_custkey " +
-        "GROUP BY c_mktsegment ORDER BY c_mktsegment")
+        "GROUP BY c_mktsegment ORDER BY c_mktsegment"),
+    // The oracle is the UNSALTED join+group — the salted plan must be
+    // value-identical to the plain one. (dim join contributes nothing
+    // beyond the tier label: every user is in the distinct-user dim.)
+    "j_skew_salted" ->
+      ("SELECT user_id, 'tier' || CAST(user_id % 3 AS VARCHAR) AS tier, " +
+        "count(*) AS n_events, " +
+        "round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 6) AS value_sum " +
+        "FROM events GROUP BY user_id ORDER BY user_id")
   )
 }

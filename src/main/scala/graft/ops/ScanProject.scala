@@ -84,8 +84,41 @@ object ScanProject {
             .otherwise("high"))
         .groupBy("bucket")
         .agg(count(lit(1)).as("cnt"))
-        .orderBy("bucket"))
+        .orderBy("bucket")),
+
+    // Per-column profiling (ANALYZE shape) — see profileStats below.
+    "s_profile_stats" -> profileStats
   )
+
+  /** Column-profiling key (split out of the map literal for readability):
+    * the ANALYZE/data-profiling staple every corpus pipeline runs before
+    * planning — per column: non-null count, exact distinct count, min,
+    * max. ONE pass over lineitem: Catalyst plans the 4-way multi-distinct
+    * as a single Expand (×5 replication) + two-level aggregate — the same
+    * shape as `a_multi_distinct`, profiled columns only (never doubles:
+    * a double's string form is engine-specific; int64/string render
+    * identically). `stack` pivots the 1-row wide agg into the per-column
+    * frame. 100 TB note: exact NDV on a wide table is one Expand-scan per
+    * profile run; production profiling swaps countDistinct for
+    * approx_count_distinct (graded separately as `a_approx_hll`) —
+    * everything else here is identical.
+    */
+  private def profileStats: Q = (s, d) => {
+    val li = t(s, d, "lineitem")
+    val cols = Seq("l_orderkey", "l_suppkey", "l_linenumber", "l_returnflag")
+    val aggs = cols.flatMap(c => Seq(
+      count(col(c)).as(s"n_$c"),
+      countDistinct(col(c)).as(s"nd_$c"),
+      min(col(c)).cast("string").as(s"min_$c"),
+      max(col(c)).cast("string").as(s"max_$c")))
+    val wide = li.agg(aggs.head, aggs.tail: _*)
+    val stackExpr = cols.map(c =>
+      s"'$c', n_$c, nd_$c, min_$c, max_$c").mkString(", ")
+    wide.select(expr(
+      s"stack(${cols.size}, $stackExpr) AS " +
+        "(col_name, n_nonnull, n_distinct, min_val, max_val)"))
+      .orderBy("col_name")
+  }
 
   val oracleSql: Map[String, String] = Map(
     "s_scan_full" ->
@@ -116,6 +149,16 @@ object ScanProject {
     "p_case_when" ->
       ("SELECT CASE WHEN o_totalprice < 50000 THEN 'low' " +
         "WHEN o_totalprice < 150000 THEN 'mid' ELSE 'high' END AS bucket, " +
-        "count(*) AS cnt FROM orders GROUP BY 1 ORDER BY bucket")
+        "count(*) AS cnt FROM orders GROUP BY 1 ORDER BY bucket"),
+    // One UNION ALL branch per profiled column — the relational spelling
+    // of the stack() pivot.
+    "s_profile_stats" -> Seq(
+      "l_orderkey", "l_suppkey", "l_linenumber", "l_returnflag")
+      .map(c =>
+        s"SELECT '$c' AS col_name, count($c) AS n_nonnull, " +
+          s"count(DISTINCT $c) AS n_distinct, " +
+          s"CAST(min($c) AS VARCHAR) AS min_val, " +
+          s"CAST(max($c) AS VARCHAR) AS max_val FROM lineitem")
+      .mkString("", " UNION ALL ", " ORDER BY col_name")
   )
 }

@@ -1406,6 +1406,60 @@ object Similarity {
         .orderBy("lang", "source")
     }),
 
+    // CDC-style partitioned MERGE (DocumentIO.upsertPartitioned) — the
+    // corpus-refresh operation every long-lived 100 TB corpus needs (a
+    // re-crawl revises some documents and adds new ones; full rewrite is
+    // a corpus-sized job, MERGE is a changed-partitions-sized one).
+    // Updates touch ONLY en/zh: revised text ("… v2") for doc_id%10==0
+    // plus brand-new ids (+1e6) for doc_id%100==0. The grade covers both
+    // halves of the contract at once: en/zh checksums must equal the
+    // merged corpus AND de/es/fr checksums must equal the UNTOUCHED
+    // original (dynamic overwrite never rewrote those directories —
+    // UpsertSpec additionally pins their files byte-identical).
+    "x_io_upsert" -> ((s, d) => {
+      val dir = upsertScratch
+      val docs = t(s, d, "documents")
+      graft.sources.DocumentIO.writePartitioned(docs, dir, "lang")
+      val touched = docs.filter(col("lang").isin("en", "zh"))
+      val revised = touched.filter(pmod(col("doc_id"), lit(10)) === 0)
+        .withColumn("text", concat(col("text"), lit(" v2")))
+        .withColumn("n_chars", col("n_chars") + 3)
+      val fresh = touched.filter(pmod(col("doc_id"), lit(100)) === 0)
+        .withColumn("doc_id", col("doc_id") + lit(1000000L))
+      graft.sources.DocumentIO.upsertPartitioned(
+        s, dir, revised.unionByName(fresh), "doc_id", "lang")
+      graft.sources.DocumentIO.readPartitioned(s, dir)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("n_chars"),
+          sum(conv(substring(md5(col("text")), 1, 8), 16, 10).cast("bigint"))
+            .as("checksum"))
+        .orderBy("lang")
+    }),
+
+    // Range-clustered layout (DocumentIO.writeClustered): global sort on
+    // doc_id into 4 disjoint-range files → parquet min/max footer stats
+    // prune files/row groups for range predicates — the scan-skipping
+    // lever for keys too high-cardinality to hive-partition on. Graded
+    // through a ranged read-back (doc_id < 120 — the filter reaches the
+    // scan as PushedFilters and the footer stats skip the 3 files whose
+    // ranges lie wholly above); oracle = same filter on the original
+    // parquet, so both pruning correctness and layout neutrality grade
+    // at once. ClusteredLayoutSpec pins the disjoint per-file ranges.
+    "x_io_clustered" -> ((s, d) => {
+      val dir = clusteredScratch
+      graft.sources.DocumentIO.writeClustered(
+        t(s, d, "documents"), dir, nFiles = 4, sortCol = "doc_id")
+      s.read.parquet(dir)
+        .filter(col("doc_id") < 120)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("n_chars"),
+          sum(conv(substring(md5(col("text")), 1, 8), 16, 10).cast("bigint"))
+            .as("checksum"))
+        .orderBy("lang")
+    }),
+
     // Host-graph PageRank (operators/Graph.pageRank) — the link-authority
     // quality signal web-corpus curation weights documents by (the Common
     // Crawl host-ranking shape). The corpus has no URL column, so a
@@ -1572,6 +1626,8 @@ object Similarity {
   private lazy val compactSrcScratch: String = ioScratch("graft_cmp_src")
   private lazy val compactDstScratch: String = ioScratch("graft_cmp_dst")
   private lazy val schemaEvoScratch: String = ioScratch("graft_evo")
+  private lazy val upsertScratch: String = ioScratch("graft_upsert")
+  private lazy val clusteredScratch: String = ioScratch("graft_clust")
 
   private def ioScratch(prefix: String): String = {
     val p = java.nio.file.Files.createTempDirectory(prefix)
@@ -2287,6 +2343,32 @@ object Similarity {
         "CAST(sum(CAST(('0x' || substring(md5(text), 1, 8)) AS BIGINT)) AS BIGINT) AS checksum " +
         "FROM documents WHERE lang IN ('en', 'zh') " +
         "GROUP BY lang, source ORDER BY lang, source"),
+    // Relational MERGE semantics replayed in SQL: base rows whose key an
+    // update claims drop out, updates append. de/es/fr rows pass through
+    // untouched — their cells must equal the plain original aggregation.
+    "x_io_upsert" ->
+      ("WITH upd AS (" +
+        "SELECT doc_id, text || ' v2' AS text, lang, source, " +
+        "n_chars + 3 AS n_chars FROM documents " +
+        "WHERE lang IN ('en','zh') AND doc_id % 10 = 0 " +
+        "UNION ALL " +
+        "SELECT doc_id + 1000000, text, lang, source, n_chars " +
+        "FROM documents WHERE lang IN ('en','zh') AND doc_id % 100 = 0), " +
+        "merged AS (" +
+        "SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars " +
+        "FROM documents d WHERE d.doc_id NOT IN (SELECT doc_id FROM upd) " +
+        "UNION ALL SELECT * FROM upd) " +
+        "SELECT lang, count(*) AS n_docs, " +
+        "CAST(sum(n_chars) AS BIGINT) AS n_chars, " +
+        "CAST(sum(CAST(('0x' || substring(md5(text), 1, 8)) AS BIGINT)) AS BIGINT) AS checksum " +
+        "FROM merged GROUP BY lang ORDER BY lang"),
+    // The clustered layout must be content-neutral under the range
+    // predicate: oracle = the same filter on the original parquet.
+    "x_io_clustered" ->
+      ("SELECT lang, count(*) AS n_docs, " +
+        "CAST(sum(n_chars) AS BIGINT) AS n_chars, " +
+        "CAST(sum(CAST(('0x' || substring(md5(text), 1, 8)) AS BIGINT)) AS BIGINT) AS checksum " +
+        "FROM documents WHERE doc_id < 120 GROUP BY lang ORDER BY lang"),
     "x_graph_pagerank" -> pageRankOracleSql(3),
     // Compaction must be content-neutral: the oracle is the plain
     // aggregation of the original parquet.

