@@ -185,6 +185,28 @@ object Aggregates {
           decOut(sum(col("p_price"))).as("sum_price"),
           sum(col("p_cnt")).as("n_rows"))
         .orderBy("l_returnflag")
+    }),
+
+    // Exact MODE per group with a DETERMINISTIC tiebreak — the built-in
+    // `mode()` is tie-arbitrary on both engines, so the contract form is
+    // the two-level shape: count per (group, value), then rank by
+    // (count desc, value asc) and keep rank 1. Scale: the first groupBy
+    // shuffles on the COMPOSITE key (cardinality |groups|·|values| —
+    // parallel even when |groups| is tiny), the window then runs over
+    // value-cardinality-sized groups, never raw rows. l_quantity's
+    // values are exact integral doubles, so value ordering is identical
+    // across engines.
+    "a_mode" -> ((s, d) => {
+      val counts = t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_quantity"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("l_returnflag").orderBy(col("cnt").desc, col("l_quantity").asc)
+      counts.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("l_returnflag"),
+          round(col("l_quantity"), 6).as("mode_qty"), col("cnt"))
+        .orderBy("l_returnflag")
     })
   )
 
@@ -273,6 +295,14 @@ object Aggregates {
         "round(CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE), 6) AS sum_qty, " +
         "round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE), 6) AS sum_price, " +
         "count(*) AS n_rows " +
-        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag")
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    // Deterministic-tiebreak mode: NOT the tie-arbitrary built-in mode().
+    "a_mode" ->
+      ("WITH c AS (SELECT l_returnflag, l_quantity, count(*) AS cnt " +
+        "FROM lineitem GROUP BY l_returnflag, l_quantity), " +
+        "r AS (SELECT l_returnflag, l_quantity, cnt, row_number() OVER " +
+        "(PARTITION BY l_returnflag ORDER BY cnt DESC, l_quantity ASC) AS rn FROM c) " +
+        "SELECT l_returnflag, round(l_quantity, 6) AS mode_qty, cnt " +
+        "FROM r WHERE rn = 1 ORDER BY l_returnflag")
   )
 }

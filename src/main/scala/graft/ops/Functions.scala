@@ -162,7 +162,31 @@ object Functions {
         .select(col("n_nationkey"),
           to_json(struct(col("n_nationkey").as("k"), col("n_name").as("name")))
             .as("packed"))
-        .orderBy("n_nationkey"))
+        .orderBy("n_nationkey")),
+
+    // Bit-manipulation surface — per-row &, ^, shifts, popcount feeding
+    // the bit_or/bit_and/bit_xor AGGREGATES (the bitmap/bloom/flag-word
+    // primitives x_dedup_bloom and x_sample_split build on). All-integer
+    // arithmetic — exact on both engines; one narrow scan-side
+    // projection into a tiny 3-group aggregate.
+    "f_bitwise" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .select(col("l_returnflag"),
+          col("l_orderkey").bitwiseAND(lit(255L)).as("band"),
+          col("l_orderkey").bitwiseXOR(col("l_linenumber").cast("bigint"))
+            .as("bxor"),
+          shiftleft(col("l_linenumber"), 3).as("shl"),
+          shiftright(col("l_orderkey"), 2).as("shr"),
+          bit_count(col("l_orderkey")).as("bcnt"))
+        .groupBy("l_returnflag")
+        .agg(bit_or(col("band")).as("or_band"),
+          bit_and(col("band")).as("and_band"),
+          bit_xor(col("bxor")).as("xor_all"),
+          sum(col("bcnt").cast("bigint")).as("sum_popcnt"),
+          max(col("shl")).as("max_shl"),
+          min(col("shr")).as("min_shr"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag"))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -241,6 +265,20 @@ object Functions {
         "GROUP BY event_type ORDER BY event_type"),
     "f_struct_json" ->
       ("SELECT n_nationkey, CAST(to_json(struct_pack(k := n_nationkey, name := n_name)) AS VARCHAR) AS packed " +
-        "FROM nation ORDER BY n_nationkey")
+        "FROM nation ORDER BY n_nationkey"),
+    // DuckDB: xor() is the function form; bit_count returns TINYINT →
+    // cast; << / >> and & match Spark's two's-complement semantics on
+    // BIGINT. Aggregate bit_or/bit_and/bit_xor exist on both engines.
+    "f_bitwise" ->
+      ("WITH b AS (SELECT l_returnflag, " +
+        "l_orderkey & 255 AS band, " +
+        "xor(l_orderkey, CAST(l_linenumber AS BIGINT)) AS bxor, " +
+        "l_linenumber << 3 AS shl, " +
+        "l_orderkey >> 2 AS shr, " +
+        "CAST(bit_count(l_orderkey) AS INTEGER) AS bcnt FROM lineitem) " +
+        "SELECT l_returnflag, bit_or(band) AS or_band, bit_and(band) AS and_band, " +
+        "bit_xor(bxor) AS xor_all, CAST(sum(bcnt) AS BIGINT) AS sum_popcnt, " +
+        "max(shl) AS max_shl, min(shr) AS min_shr, count(*) AS n " +
+        "FROM b GROUP BY l_returnflag ORDER BY l_returnflag")
   )
 }

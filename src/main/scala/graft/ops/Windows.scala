@@ -116,6 +116,33 @@ object Windows {
           round(percent_rank().over(w), 6).as("pct_rank"),
           round(cume_dist().over(w), 6).as("cume"))
         .orderBy("o_orderkey")
+    }),
+
+    // GAPS-AND-ISLANDS: maximal runs of consecutive active minutes per
+    // user — the classic row_number-difference device (a run of
+    // consecutive minute indexes m has constant m − row_number, so that
+    // difference IS the island key; no self-join, no recursion). Shape:
+    // distinct (user, minute) → per-user window → per-island agg — two
+    // shuffles, both partitioned by user, fully parallel at 100 TB (the
+    // window never spans users). Minute index = whole minutes since
+    // 2024-01-01 via timestampdiff — an exact integer on both engines
+    // (ts is minute-truncated first, so no sub-minute precision feeds
+    // the difference; DuckDB's date_diff('minute', …) is the same
+    // function).
+    "w_islands" -> ((s, d) => {
+      val mins = evMs(s, d)
+        .withColumn("ts_min", truncNtz("minute", col("ts_ms")))
+        .select(col("user_id"),
+          expr("timestampdiff(MINUTE, TIMESTAMP_NTZ'2024-01-01 00:00:00', ts_min)")
+            .as("m"))
+        .distinct()
+      val w = Window.partitionBy("user_id").orderBy("m")
+      mins.withColumn("isl", col("m") - row_number().over(w))
+        .groupBy("user_id", "isl")
+        .agg(min("m").as("start_min"), max("m").as("end_min"),
+          count(lit(1)).as("n_minutes"))
+        .select("user_id", "start_min", "end_min", "n_minutes")
+        .orderBy("user_id", "start_min")
     })
   )
 
@@ -176,6 +203,18 @@ object Windows {
         "round(cume_dist() OVER w, 6) AS cume " +
         "FROM orders WINDOW w AS (PARTITION BY o_orderstatus " +
         "ORDER BY o_totalprice, o_orderkey) " +
-        "ORDER BY o_orderkey")
+        "ORDER BY o_orderkey"),
+    // Same row_number-difference device; date_diff on the minute-
+    // truncated ts yields the identical integer minute index.
+    "w_islands" ->
+      ("WITH mins AS (SELECT DISTINCT user_id, " +
+        "date_diff('minute', TIMESTAMP '2024-01-01 00:00:00', " +
+        "date_trunc('minute', ts)) AS m FROM events), " +
+        "isl AS (SELECT user_id, m, " +
+        "m - row_number() OVER (PARTITION BY user_id ORDER BY m) AS isl " +
+        "FROM mins) " +
+        "SELECT user_id, min(m) AS start_min, max(m) AS end_min, " +
+        "count(*) AS n_minutes FROM isl GROUP BY user_id, isl " +
+        "ORDER BY user_id, start_min")
   )
 }
