@@ -67,4 +67,65 @@ object Graph {
     }
     ranks
   }
+
+  /** Per-node TRIANGLE counts over an undirected simple graph `(u, v)` —
+    * the local-clustering / community-structure signal next to PageRank
+    * (authority) and connected components (duplication islands); web
+    * curation uses it to spot link farms (abnormally triangle-dense
+    * hosts) and isolated spam stars (triangle-free hubs).
+    *
+    * Algorithm: DEGREE-ORDERED wedge counting (the published scalable
+    * shape — Suri & Vassilvitskii's MapReduce triangle count): orient
+    * every edge from its lower-(degree, id) endpoint to the higher, form
+    * wedges only at each node's OUT-neighbors, and close each wedge with
+    * a semi-join against the canonical edge set. Orientation makes every
+    * triangle counted from exactly one vertex AND bounds per-node wedge
+    * fan-out by the effective degree O(√E) — a raw a<b<c id-ordering is
+    * result-identical (the oracle replays that simple form) but lets one
+    * low-id high-degree hub generate deg² wedges; at a 100 TB host graph
+    * the hub IS the common case, so orientation is the difference
+    * between edge^1.5 and edge·hub_degree work. Shuffles: degree agg,
+    * orientation join, one self-join on wedge center, one closure
+    * semi-join — all equi-joins on node keys, no cartesian anywhere.
+    *
+    * Returns `(node, n_triangles)` with zero-count nodes included.
+    */
+  def triangleCount(edges: DataFrame): DataFrame = {
+    // canonical simple undirected edge set: a < b, loops dropped
+    val canon = T.cached(edges
+      .select(least(col("u"), col("v")).as("a"),
+        greatest(col("u"), col("v")).as("b"))
+      .filter(col("a") =!= col("b")).distinct())
+    val nodes = canon.select(col("a").as("n"))
+      .union(canon.select(col("b"))).distinct()
+    val deg = nodes.join(
+      canon.select(col("a").as("n")).union(canon.select(col("b")))
+        .groupBy("n").agg(count(lit(1)).as("deg")), Seq("n"))
+    // orient each edge low→high by (deg, id); the total (deg, id) order
+    // is what makes the orientation acyclic and every wedge unique
+    val oriented = canon
+      .join(deg.select(col("n").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("n").as("b"), col("deg").as("db")), Seq("b"))
+      .select(
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")), col("a"))
+          .otherwise(col("b")).as("src"),
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")), col("b"))
+          .otherwise(col("a")).as("dst"))
+    // wedges centered at src between two of its out-neighbors (p < q
+    // dedups the unordered neighbor pair), closed by a canonical edge
+    val o1 = oriented.select(col("src"), col("dst").as("p"))
+    val o2 = oriented.select(col("src"), col("dst").as("q"))
+    val tri = o1.join(o2, Seq("src")).filter(col("p") < col("q"))
+      .join(canon,
+        least(col("p"), col("q")) === col("a") &&
+          greatest(col("p"), col("q")) === col("b"), "left_semi")
+    val perNode = tri
+      .select(explode(array(col("src"), col("p"), col("q"))).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("n_triangles"))
+    nodes.join(perNode, Seq("n"), "left")
+      .select(col("n").as("node"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+  }
 }

@@ -1503,6 +1503,24 @@ object Similarity {
         .orderBy("node")
     }),
 
+    // Per-node TRIANGLE counts (operators/Graph.triangleCount) — the
+    // local-clustering signal completing the graph family (pagerank =
+    // authority, cc = islands, triangles = community density; curation
+    // uses it to spot link farms). Graph manufactured from doc_id's
+    // independent base-29 digits (the x_mix_domains device) — ~29 nodes,
+    // mixed degrees, nonzero AND zero triangle counts at sf0.01. The
+    // operator runs the degree-ORIENTED wedge algorithm (fan-out bounded
+    // by effective degree — the 100 TB hub-graph shape); the oracle
+    // replays the result-identical naive a<b<c enumeration, so the grade
+    // proves orientation changed the work, not the triangles.
+    "x_graph_triangles" -> ((s, d) => {
+      val edges = t(s, d, "documents")
+        .select(pmod(col("doc_id"), lit(29)).as("u"),
+          pmod(expr("doc_id div 29"), lit(29)).as("v"))
+      graft.operators.Graph.triangleCount(edges)
+        .orderBy("node")
+    }),
+
     // Overlapping token-window chunking — the embedding/RAG windowing
     // staple (x_pack_chunks assigns whole docs to training chunks; THIS
     // splits one long doc into size-40 windows every 20 tokens so each
@@ -2370,6 +2388,24 @@ object Similarity {
         "CAST(sum(CAST(('0x' || substring(md5(text), 1, 8)) AS BIGINT)) AS BIGINT) AS checksum " +
         "FROM documents WHERE doc_id < 120 GROUP BY lang ORDER BY lang"),
     "x_graph_pagerank" -> pageRankOracleSql(3),
+    // Naive a<b<c triangle enumeration — result-identical to the
+    // operator's degree-oriented form (orientation changes work, never
+    // the triangle set); UNION ALL unnests each triangle's 3 corners.
+    "x_graph_triangles" ->
+      ("WITH ed AS (SELECT DISTINCT " +
+        "least(doc_id % 29, (doc_id // 29) % 29) AS a, " +
+        "greatest(doc_id % 29, (doc_id // 29) % 29) AS b " +
+        "FROM documents WHERE doc_id % 29 <> (doc_id // 29) % 29), " +
+        "tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z " +
+        "FROM ed e1 JOIN ed e2 ON e1.b = e2.a " +
+        "JOIN ed e3 ON e3.a = e1.a AND e3.b = e2.b), " +
+        "corners AS (SELECT x AS n FROM tri UNION ALL " +
+        "SELECT y FROM tri UNION ALL SELECT z FROM tri), " +
+        "nodes AS (SELECT a AS n FROM ed UNION SELECT b FROM ed), " +
+        "cnt AS (SELECT n, count(*) AS n_triangles FROM corners GROUP BY n) " +
+        "SELECT nodes.n AS node, " +
+        "CAST(coalesce(cnt.n_triangles, 0) AS BIGINT) AS n_triangles " +
+        "FROM nodes LEFT JOIN cnt ON nodes.n = cnt.n ORDER BY node"),
     // Compaction must be content-neutral: the oracle is the plain
     // aggregation of the original parquet.
     "x_io_compact" ->

@@ -57,4 +57,41 @@ class GraphSpec extends SparkSpec {
       assert(n === 15L, s"component of $node sized $n")
     }
   }
+
+  test("triangleCount: known counts on a hand graph; hub star stays triangle-free") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} (every node in C(3,2)=3 triangles) plus a star
+    // hub 5 -> {6,7,8} (no closing edges: zero triangles), bridged 4-5.
+    val k4 = for (i <- 1 to 4; j <- (i + 1) to 4) yield (i.toLong, j.toLong)
+    val star = Seq((5L, 6L), (5L, 7L), (5L, 8L), (4L, 5L))
+    // feed edges in MIXED orientation + a duplicate + a self-loop: the
+    // operator must canonicalize all three away
+    val edges = (k4 ++ star).map { case (u, v) => (v, u) }
+      .toDF("u", "v").unionByName(Seq((1L, 2L), (6L, 6L)).toDF("u", "v"))
+    val got = Graph.triangleCount(edges).as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L,
+      5L -> 0L, 6L -> 0L, 7L -> 0L, 8L -> 0L))
+  }
+
+  test("triangleCount: oriented form equals naive a<b<c enumeration on the fixture graph") {
+    import spark.implicits._
+    val edges = spark.read.parquet(s"${sf("sf0.01")}/documents.parquet")
+      .select(pmod(col("doc_id"), lit(29)).as("u"),
+        pmod(expr("doc_id div 29"), lit(29)).as("v"))
+    val got = Graph.triangleCount(edges).as[(Long, Long)].collect().toMap
+    // naive: canonical edges, join e1(a,b) e2(b,c) close e3(a,c)
+    val e = edges.select(least($"u", $"v").as("a"), greatest($"u", $"v").as("b"))
+      .filter($"a" =!= $"b").distinct()
+    val tri = e.as("e1")
+      .join(e.as("e2"), col("e1.b") === col("e2.a"))
+      .join(e.as("e3"),
+        col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+    val naive = tri.select(explode(array($"x", $"y", $"z")).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("c"))
+      .as[(Long, Long)].collect().toMap
+    got.foreach { case (n, c) => assert(c === naive.getOrElse(n, 0L)) }
+    assert(naive.keySet.subsetOf(got.keySet))
+    assert(got.values.sum > 0, "fixture graph must contain triangles")
+  }
 }
