@@ -280,6 +280,59 @@ object EventTime {
           col("n_events"))
       runToMemory(s, stream, "t_stream_session_sink", "complete")
         .orderBy("user_id", "sess_start")
+    }),
+
+    // OHLC bars per (user, hour) — the standard event-time downsampling
+    // shape (metrics rollup / market bars): open/close = value at the
+    // earliest/latest event in the bar, high/low = extremes. Determinism:
+    // open/close use min_by/max_by over the zero-padded (epoch-millis,
+    // event_id) string (the a_minmax_by device — the unique event_id
+    // tiebreaks same-millisecond events identically on both engines).
+    // One groupBy shuffle on the composite (user, hour) key — bar count
+    // grows with time×users, never raw events; partial aggregation
+    // map-side-combines the per-bar extremes.
+    "t_ohlc" -> ((s, d) => {
+      val e = ev(s, d)
+        .withColumn("hour", truncNtz("hour", col("ts_ms")))
+        .withColumn("ord", concat(
+          lpad(unix_millis(col("ts_ms").cast("timestamp")).cast("string"),
+            14, "0"),
+          lit("#"), lpad(col("event_id").cast("string"), 10, "0")))
+      e.groupBy("user_id", "hour")
+        .agg(min_by(round(col("value"), 6), col("ord")).as("open"),
+          round(max(col("value")), 6).as("high"),
+          round(min(col("value")), 6).as("low"),
+          max_by(round(col("value"), 6), col("ord")).as("close"),
+          count(lit(1)).as("n_events"))
+        .orderBy("user_id", "hour")
+    }),
+
+    // Fixed-grid RESAMPLING with forward fill — the gap-filling staple
+    // (sensor/metric series are irregular; models want a dense grid):
+    // per user, an hourly grid spans that user's [min, max] observed
+    // hour (sequence explode over the 2-column bounds frame — rows out
+    // = users × hours, never raw events), left-joined with the observed
+    // hourly aggregate, then `last(value, ignoreNulls)` over an
+    // unbounded-preceding row frame carries the last observation
+    // forward. First grid hour per user is its first observed hour, so
+    // the fill is total. Both shuffles key on user — parallel at any
+    // scale; hour values are exact decimal-grid means (avgOut device).
+    "t_resample_ffill" -> ((s, d) => {
+      val e = ev(s, d).withColumn("hour", truncNtz("hour", col("ts_ms")))
+      val hourly = e.groupBy("user_id", "hour")
+        .agg(avgOut(sum(dec(col("value"))), count(lit(1))).as("v"),
+          count(lit(1)).as("n_obs"))
+      val grid = e.groupBy("user_id")
+        .agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
+        .select(col("user_id"),
+          explode(expr("sequence(h0, h1, interval 1 hour)")).as("hour"))
+      val w = Window.partitionBy("user_id").orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(hourly, Seq("user_id", "hour"), "left")
+        .select(col("user_id"), col("hour"),
+          last(col("v"), ignoreNulls = true).over(w).as("value_ffill"),
+          coalesce(col("n_obs"), lit(0L)).as("n_obs"))
+        .orderBy("user_id", "hour")
     })
   )
 
@@ -417,6 +470,29 @@ object EventTime {
         "CASE WHEN p_ts IS NOT NULL THEN 3 WHEN c_ts IS NOT NULL THEN 2 " +
         "WHEN v_ts IS NOT NULL THEN 1 ELSE 0 END AS depth " +
         "FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id) " +
-        "LEFT JOIN p USING (user_id) ORDER BY u.user_id")
+        "LEFT JOIN p USING (user_id) ORDER BY u.user_id"),
+    // arg_min/arg_max over the identical zero-padded ordering string.
+    "t_ohlc" ->
+      ("WITH e AS (SELECT user_id, date_trunc('hour', ts) AS hour, value, " +
+        "lpad(CAST(epoch_ms(date_trunc('milliseconds', ts)) AS VARCHAR), 14, '0') " +
+        "|| '#' || lpad(CAST(event_id AS VARCHAR), 10, '0') AS ord FROM events) " +
+        "SELECT user_id, hour, round(arg_min(value, ord), 6) AS open, " +
+        "round(max(value), 6) AS high, round(min(value), 6) AS low, " +
+        "round(arg_max(value, ord), 6) AS close, count(*) AS n_events " +
+        "FROM e GROUP BY user_id, hour ORDER BY user_id, hour"),
+    // generate_series grid + IGNORE NULLS carry-forward window.
+    "t_resample_ffill" ->
+      ("WITH e AS (SELECT user_id, date_trunc('hour', ts) AS hour, value FROM events), " +
+        "h AS (SELECT user_id, hour, " +
+        "round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / count(*), 6) AS v, " +
+        "count(*) AS n_obs FROM e GROUP BY user_id, hour), " +
+        "b AS (SELECT user_id, min(hour) AS h0, max(hour) AS h1 FROM e GROUP BY user_id), " +
+        "g AS (SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour FROM b) " +
+        "SELECT g.user_id, g.hour, " +
+        "last_value(h.v IGNORE NULLS) OVER (PARTITION BY g.user_id ORDER BY g.hour " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ffill, " +
+        "CAST(coalesce(h.n_obs, 0) AS BIGINT) AS n_obs " +
+        "FROM g LEFT JOIN h ON g.user_id = h.user_id AND g.hour = h.hour " +
+        "ORDER BY g.user_id, g.hour")
   )
 }

@@ -1437,6 +1437,27 @@ object Similarity {
         .orderBy("lang")
     }),
 
+    // Parquet bloom-filter layout (DocumentIO.writeBloomFiltered): point
+    // lookups on a key the data is NOT sorted by — min/max stats are
+    // useless on unsorted doc_id, the bloom filter answers per row
+    // group. Graded through an IN-list point lookup (12 present + 3
+    // absent keys — the absent ones prove a miss stays a miss through
+    // the bloom path) vs the same filter on the original parquet;
+    // BloomLayoutSpec pins the footer carrying the filter, which the
+    // value oracle can't see.
+    "x_io_bloom" -> ((s, d) => {
+      val dir = bloomScratch
+      graft.sources.DocumentIO.writeBloomFiltered(
+        t(s, d, "documents"), dir, "doc_id", expectedNdv = 10000L)
+      val probes = (0 to 11).map(i => i * 37L) ++ Seq(777777L, 888888L, 999999L)
+      s.read.parquet(dir)
+        .filter(col("doc_id").isin(probes: _*))
+        .select(col("doc_id"), col("lang"),
+          conv(substring(md5(col("text")), 1, 8), 16, 10).cast("bigint")
+            .as("checksum"))
+        .orderBy("doc_id")
+    }),
+
     // Range-clustered layout (DocumentIO.writeClustered): global sort on
     // doc_id into 4 disjoint-range files → parquet min/max footer stats
     // prune files/row groups for range predicates — the scan-skipping
@@ -1646,6 +1667,7 @@ object Similarity {
   private lazy val schemaEvoScratch: String = ioScratch("graft_evo")
   private lazy val upsertScratch: String = ioScratch("graft_upsert")
   private lazy val clusteredScratch: String = ioScratch("graft_clust")
+  private lazy val bloomScratch: String = ioScratch("graft_bloom")
 
   private def ioScratch(prefix: String): String = {
     val p = java.nio.file.Files.createTempDirectory(prefix)
@@ -2380,6 +2402,16 @@ object Similarity {
         "CAST(sum(n_chars) AS BIGINT) AS n_chars, " +
         "CAST(sum(CAST(('0x' || substring(md5(text), 1, 8)) AS BIGINT)) AS BIGINT) AS checksum " +
         "FROM merged GROUP BY lang ORDER BY lang"),
+    // Bloom layout is content-neutral under the point lookup: oracle =
+    // the same IN filter on the original parquet (absent probes match
+    // nothing on either side).
+    "x_io_bloom" ->
+      ("SELECT doc_id, lang, " +
+        "CAST(('0x' || substring(md5(text), 1, 8)) AS BIGINT) AS checksum " +
+        "FROM documents WHERE doc_id IN (" +
+        ((0 to 11).map(i => i * 37L) ++ Seq(777777L, 888888L, 999999L))
+          .mkString(", ") +
+        ") ORDER BY doc_id"),
     // The clustered layout must be content-neutral under the range
     // predicate: oracle = the same filter on the original parquet.
     "x_io_clustered" ->

@@ -158,6 +158,27 @@ object DocumentIO {
       .write.mode("overwrite").parquet(dir)
   }
 
+  /** Parquet BLOOM-FILTER layout, graded by x_io_bloom: write the corpus
+    * with a split-block bloom filter on a point-lookup key. Footer
+    * min/max stats only help when data is CLUSTERED on the key
+    * (`writeClustered`); a bloom filter answers "is key k possibly in
+    * this row group?" on UNSORTED data — the point-lookup lever for the
+    * second key you didn't sort by (fetch-by-doc_id in a lang-ordered
+    * corpus, membership probes during incremental ingest). Parquet-mr
+    * evaluates eq/IN pushed filters against the bloom before reading a
+    * row group, so a miss costs a footer read only. `expectedNdv` sizes
+    * the filter (~1 byte/key at 1% fpp) — it must scale with the real
+    * per-file key count or the fpp degrades to useless.
+    * BloomLayoutSpec pins the footer actually carrying the filter.
+    */
+  def writeBloomFiltered(docs: DataFrame, dir: String, bloomCol: String,
+      expectedNdv: Long): Unit =
+    docs.write.mode("overwrite")
+      .option(s"parquet.bloom.filter.enabled#$bloomCol", "true")
+      .option(s"parquet.bloom.filter.expected.ndv#$bloomCol",
+        expectedNdv.toString)
+      .parquet(dir)
+
   /** The documents-table schema (TESTDATA.md). */
   val documentsSchema: StructType = StructType.fromDDL(
     "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
