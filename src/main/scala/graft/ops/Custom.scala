@@ -1,11 +1,12 @@
 package graft.ops
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, TernaryExpression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, Generator, ImplicitCastInputTypes, TernaryExpression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import graft.ops.T._
@@ -82,6 +83,40 @@ case class ArrayDotProduct(left: Expression, right: Expression)
   * explode pipeline (interpreted CodegenFallback lambdas, SURVEY §7.5b);
   * a native expression is the right tool: codegen emits one static call.
   */
+/** Custom catalyst GENERATOR — the real UDTF extension point (SURVEY
+  * §7.4: `u_udtf_posexplode` grades the built-in Generator surface; THIS
+  * proves a user can add one): emits (pos, bigram) per adjacent token
+  * pair of a space-separated text. A Generator beats the
+  * explode(udf(...)) spelling because no intermediate array is
+  * materialized per row — rows stream out of eval — and beats a join-
+  * with-offsets because it stays a NARROW per-row op. CodegenFallback is
+  * the standard posture for generators (Spark's own inline/json_tuple
+  * fall back too — generator codegen buys little since the lazy iterator
+  * dominates).
+  */
+case class SlidingBigrams(child: Expression)
+  extends UnaryExpression with Generator with CodegenFallback
+  with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("pos", IntegerType, nullable = false),
+    StructField("bigram", StringType, nullable = false)))
+  override def prettyName: String = "graft_bigrams"
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val v = child.eval(input)
+    if (v == null) Nil
+    else {
+      // split(" ", -1): keep empty tokens, matching SQL split semantics
+      val toks = v.asInstanceOf[UTF8String].toString.split(" ", -1)
+      (0 until toks.length - 1).map { i =>
+        InternalRow(i, UTF8String.fromString(toks(i) + " " + toks(i + 1)))
+      }
+    }
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class Md5SimHash(child: Expression)
   extends UnaryExpression with ImplicitCastInputTypes {
   override def inputTypes: Seq[DataType] = Seq(StringType)
@@ -269,6 +304,9 @@ object Custom {
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_bpe", (args: Seq[Expression]) =>
         graft.functions.BpeEncode(args(0), args(1)), "scala_udf")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bigrams", (args: Seq[Expression]) => SlidingBigrams(args(0)),
+      "scala_udf")
   }
 
   private val normalizeText = udf((s: String) =>
@@ -313,6 +351,19 @@ object Custom {
         .withColumnRenamed("col", "token")
         .orderBy("doc_id", "pos")),
 
+    // CUSTOM Generator (SlidingBigrams above) registered in the
+    // FunctionRegistry and invoked as a SQL generator function — the
+    // user-defined table function extension path, one step beyond the
+    // built-in generator u_udtf_posexplode grades. Narrow per-row op;
+    // rows stream from eval without an intermediate array.
+    "u_udtf_custom" -> ((s, d) => {
+      register(s)
+      t(s, d, "documents")
+        .filter(col("doc_id") <= 20)
+        .select(col("doc_id"), expr("graft_bigrams(text)"))
+        .orderBy("doc_id", "pos")
+    }),
+
     // Custom Expression registered in the session FunctionRegistry and
     // invoked through SQL text — proves the full extension path.
     "u_expr_custom" -> ((s, d) => {
@@ -355,6 +406,12 @@ object Custom {
       ("SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, toks[i] AS token " +
         "FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE doc_id <= 20), " +
         "UNNEST(range(1, len(toks) + 1)) AS r(i) ORDER BY doc_id, pos"),
+    // One row per ADJACENT pair: i runs to len-1, bigram = toks[i,i+1].
+    "u_udtf_custom" ->
+      ("SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, " +
+        "toks[i] || ' ' || toks[i + 1] AS bigram " +
+        "FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE doc_id <= 20), " +
+        "UNNEST(range(1, len(toks))) AS r(i) ORDER BY doc_id, pos"),
     "u_expr_custom" ->
       ("SELECT l_orderkey, l_linenumber, " +
         "least(greatest(l_extendedprice, 1000.0), 50000.0) AS clamped " +

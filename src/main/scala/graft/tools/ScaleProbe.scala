@@ -268,6 +268,28 @@ object ScaleProbe {
       graft.ops.T.releaseCaches(blocking = true)
       println(f"pageRank 1M edges ${tg1}%6.2fs ($ng1 nodes) -> 10M ${tg10}%7.2fs ($ng10 nodes; factor ${tg10 / tg1}%5.1f)")
     }
+    // Triangle counting at 10× edges on a CONSTANT-density host graph
+    // (nodes scale with edges → mean degree stays ~10). The degree
+    // orientation bounds wedge fan-out by effective degree, so work —
+    // and the wedge-join shuffle — should scale near edge-linearly; a
+    // super-linear factor would flag the hub blow-up the orientation
+    // exists to prevent (the naive a<b<c form IS super-linear here:
+    // the skewed generator hands low ids high degree).
+    if (mode == "all" || mode == "triangles") {
+      def triEdges(nEdges: Long, nNodes: Long): DataFrame =
+        spark.range(nEdges).select(
+          pmod(col("id") * 40503L + 7L, lit(nNodes)).as("u"),
+          // quadratic residue mixes poorly on purpose: a few hub nodes
+          // with outsized degree, the real host-graph shape
+          pmod(col("id") * col("id") + 13L, lit(nNodes)).as("v"))
+      val (tt1, nt1) = time(graft.operators.Graph.triangleCount(
+        triEdges(1000000L, 100000L)))
+      graft.ops.T.releaseCaches(blocking = true)
+      val (tt10, nt10) = time(graft.operators.Graph.triangleCount(
+        triEdges(10000000L, 1000000L)))
+      graft.ops.T.releaseCaches(blocking = true)
+      println(f"triangles 1M edges ${tt1}%6.2fs ($nt1 nodes) -> 10M ${tt10}%7.2fs ($nt10 nodes; factor ${tt10 / tt1}%5.1f)")
+    }
     // Stream-stream interval join at 10× events AND 10× users: per-key
     // state stays constant (watermark + 10-min interval bounds it), so
     // the claim is linear wall growth — a super-linear factor would flag
