@@ -1437,6 +1437,29 @@ object Similarity {
         .orderBy("lang")
     }),
 
+    // Z-ordered layout (DocumentIO.writeZOrdered over ops/ZInterleave):
+    // cluster on the Morton interleave of (doc_id, n_chars) so every
+    // file covers a bounded 2-D box — ONE sorted layout prunes range
+    // predicates on EITHER dimension (x_io_clustered's 1-D sort prunes
+    // only its own key). Graded through a 2-D box read-back
+    // (doc_id < 200 AND n_chars 200..400) vs the same filter on the
+    // original; ZOrderSpec pins the interleave arithmetic and the
+    // per-file z-range disjointness the oracle can't see.
+    "x_io_zorder" -> ((s, d) => {
+      val dir = zorderScratch
+      graft.sources.DocumentIO.writeZOrdered(
+        t(s, d, "documents"), dir, nFiles = 4,
+        colA = "doc_id", colB = "n_chars")
+      s.read.parquet(dir)
+        .filter(col("doc_id") < 200 && col("n_chars").between(200, 400))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("n_chars"),
+          sum(conv(substring(md5(col("text")), 1, 8), 16, 10).cast("bigint"))
+            .as("checksum"))
+        .orderBy("lang")
+    }),
+
     // Parquet bloom-filter layout (DocumentIO.writeBloomFiltered): point
     // lookups on a key the data is NOT sorted by — min/max stats are
     // useless on unsorted doc_id, the bloom filter answers per row
@@ -1668,6 +1691,7 @@ object Similarity {
   private lazy val upsertScratch: String = ioScratch("graft_upsert")
   private lazy val clusteredScratch: String = ioScratch("graft_clust")
   private lazy val bloomScratch: String = ioScratch("graft_bloom")
+  private lazy val zorderScratch: String = ioScratch("graft_zorder")
 
   private def ioScratch(prefix: String): String = {
     val p = java.nio.file.Files.createTempDirectory(prefix)
@@ -2402,6 +2426,14 @@ object Similarity {
         "CAST(sum(n_chars) AS BIGINT) AS n_chars, " +
         "CAST(sum(CAST(('0x' || substring(md5(text), 1, 8)) AS BIGINT)) AS BIGINT) AS checksum " +
         "FROM merged GROUP BY lang ORDER BY lang"),
+    // Z-order layout is content-neutral under the 2-D box: oracle = the
+    // same box filter on the original parquet.
+    "x_io_zorder" ->
+      ("SELECT lang, count(*) AS n_docs, " +
+        "CAST(sum(n_chars) AS BIGINT) AS n_chars, " +
+        "CAST(sum(CAST(('0x' || substring(md5(text), 1, 8)) AS BIGINT)) AS BIGINT) AS checksum " +
+        "FROM documents WHERE doc_id < 200 AND n_chars BETWEEN 200 AND 400 " +
+        "GROUP BY lang ORDER BY lang"),
     // Bloom layout is content-neutral under the point lookup: oracle =
     // the same IN filter on the original parquet (absent probes match
     // nothing on either side).

