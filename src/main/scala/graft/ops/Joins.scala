@@ -249,6 +249,42 @@ object Joins {
         .agg(count(lit(1)).as("n_events"),
           decOut(sum(dec(col("value")))).as("value_sum"))
         .orderBy("user_id")
+    }),
+
+    // INTERVAL-×-INTERVAL overlap join — the range-join class j_theta_band
+    // (point-in-window) doesn't cover: open-order windows [date, +7d]
+    // overlapping finished-order windows [date, +3d] per customer. The
+    // grid-bucket device generalizes: each interval EXPLODES to the week
+    // cells it covers (≤ 2 cells at these widths), the join is an
+    // equi-join on (customer, cell) — overlapping intervals always share
+    // a cell — then the exact overlap predicate filters and a distinct
+    // collapses pairs that met in 2 cells. At 100 TB this is the
+    // standard interval-join shape (genomics/session overlap): work is
+    // cells×density per key, never |A|×|B|, and Catalyst plans a plain
+    // shuffled hash join on the composite key.
+    "j_interval_overlap" -> ((s, d) => {
+      val day0 = "TIMESTAMP_NTZ'1995-01-01 00:00:00'"
+      def cellsOf(startC: String, endC: String) = expr(
+        s"explode(sequence(timestampdiff(DAY, $day0, $startC) div 7, " +
+          s"timestampdiff(DAY, $day0, $endC) div 7))")
+      val o = t(s, d, "orders")
+      val a = o.filter(col("o_orderstatus") === "O")
+        .select(col("o_custkey").as("ck"), col("o_orderkey").as("a_key"),
+          col("o_orderdate").as("a_start"),
+          (col("o_orderdate") + expr("INTERVAL 7 DAYS")).as("a_end"))
+        .withColumn("cell", cellsOf("a_start", "a_end"))
+      val b = o.filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey").as("ck2"), col("o_orderkey").as("b_key"),
+          col("o_orderdate").as("b_start"),
+          (col("o_orderdate") + expr("INTERVAL 3 DAYS")).as("b_end"))
+        .withColumn("cell2", cellsOf("b_start", "b_end"))
+      a.join(b, col("ck") === col("ck2") && col("cell") === col("cell2") &&
+          col("a_start") <= col("b_end") && col("b_start") <= col("a_end"))
+        .select(col("ck").as("custkey"), col("a_key"), col("b_key"),
+          expr("timestampdiff(DAY, greatest(a_start, b_start), " +
+            "least(a_end, b_end))").as("overlap_days"))
+        .distinct()
+        .orderBy("custkey", "a_key", "b_key")
     })
   )
 
@@ -347,6 +383,21 @@ object Joins {
       ("SELECT user_id, 'tier' || CAST(user_id % 3 AS VARCHAR) AS tier, " +
         "count(*) AS n_events, " +
         "round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 6) AS value_sum " +
-        "FROM events GROUP BY user_id ORDER BY user_id")
+        "FROM events GROUP BY user_id ORDER BY user_id"),
+    // The oracle is the DIRECT overlap join (quadratic per customer is
+    // fine for DuckDB at sf0.01) — the grid bucketing must be invisible
+    // in the result.
+    "j_interval_overlap" ->
+      ("WITH a AS (SELECT o_custkey AS ck, o_orderkey AS a_key, " +
+        "o_orderdate AS a_start, o_orderdate + INTERVAL 7 DAY AS a_end " +
+        "FROM orders WHERE o_orderstatus = 'O'), " +
+        "b AS (SELECT o_custkey AS ck, o_orderkey AS b_key, " +
+        "o_orderdate AS b_start, o_orderdate + INTERVAL 3 DAY AS b_end " +
+        "FROM orders WHERE o_orderstatus = 'F') " +
+        "SELECT a.ck AS custkey, a_key, b_key, " +
+        "date_diff('day', greatest(a_start, b_start), least(a_end, b_end)) AS overlap_days " +
+        "FROM a JOIN b ON a.ck = b.ck " +
+        "AND a_start <= b_end AND b_start <= a_end " +
+        "ORDER BY custkey, a_key, b_key")
   )
 }

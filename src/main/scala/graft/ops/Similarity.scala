@@ -759,6 +759,32 @@ object Similarity {
         .orderBy("lang", "chunk")
     }),
 
+    // BALANCED bin packing per shard — the length-balancing twin of
+    // x_pack_chunks (that one fills 512-token budgets greedily in id
+    // order; THIS spreads long docs evenly over k worker bins so no bin
+    // owns all the long sequences — the batch-balancing move that keeps
+    // training-step time flat): within each of 16 hash shards, rank docs
+    // by (n_tokens desc, doc_id) and deal round-robin into 4 bins —
+    // longest docs land in distinct bins by construction. Shard-local
+    // windows = the honest distributed shape (a GLOBAL rank would funnel
+    // the corpus through one sort task; sharding keeps every window
+    // partition-parallel and the balance property holds per shard).
+    // Graded per (shard, bin): doc count, token sum, extremes.
+    "x_pack_bins" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"),
+          pmod(col("doc_id"), lit(16)).as("shard"),
+          size(split(col("text"), " ")).cast("bigint").as("n_tokens"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("shard").orderBy(col("n_tokens").desc, col("doc_id").asc)
+      docs.withColumn("bin",
+          pmod(row_number().over(w) - 1, lit(4)).cast("bigint"))
+        .groupBy("shard", "bin")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("tok_sum"),
+          max("n_tokens").as("max_tok"), min("n_tokens").as("min_tok"))
+        .orderBy("shard", "bin")
+    }),
+
     // CCNet-style LM quality filter (Curation.perplexityScore): mean
     // add-one bigram surprisal under a model trained on the corpus
     // itself — low score = fluent/typical text, high = gibberish. The
@@ -2192,6 +2218,18 @@ object Similarity {
         "b AS (SELECT lang, n_tokens, CAST(floor(tok_start / 512.0) AS BIGINT) AS chunk FROM p) " +
         "SELECT lang, chunk, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens " +
         "FROM b GROUP BY lang, chunk ORDER BY lang, chunk"),
+    // Same round-robin deal over the identical (n_tokens desc, doc_id)
+    // shard-local rank.
+    "x_pack_bins" ->
+      ("WITH d AS (SELECT doc_id, doc_id % 16 AS shard, " +
+        "len(string_split(text, ' ')) AS n_tokens FROM documents), " +
+        "r AS (SELECT shard, n_tokens, (row_number() OVER " +
+        "(PARTITION BY shard ORDER BY n_tokens DESC, doc_id ASC) - 1) % 4 AS bin FROM d) " +
+        "SELECT shard, bin, count(*) AS n_docs, " +
+        "CAST(sum(n_tokens) AS BIGINT) AS tok_sum, " +
+        "CAST(max(n_tokens) AS BIGINT) AS max_tok, " +
+        "CAST(min(n_tokens) AS BIGINT) AS min_tok " +
+        "FROM r GROUP BY shard, bin ORDER BY shard, bin"),
     // positional bigram build (UNNEST(range)), add-one counts, mean
     // surprisal ln(c(w1)+V) − ln(c(w1,w2)+1) — the tfidf ln precedent
     "x_text_perplexity" ->
