@@ -187,6 +187,31 @@ object Aggregates {
         .orderBy("l_returnflag")
     }),
 
+    // IQR OUTLIER detection per group — the data-validation twin of
+    // a_stats (Tukey fences: outside [q1 − 1.5·IQR, q3 + 1.5·IQR]): the
+    // aggregate-decide-reapply pattern (SURVEY §1.1 — flexcalc's
+    // analyze-then-apply shape): one stats pass computes the per-group
+    // fences, the |groups|-row fence frame broadcasts back, one counting
+    // pass flags. Fences round to the 6-dp grid on BOTH engines before
+    // comparison so quantile-interpolation ulp noise can't flip a count.
+    "a_outliers" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val fences = li.groupBy("l_returnflag")
+        .agg(expr("percentile(l_extendedprice, 0.25D)").as("q1"),
+          expr("percentile(l_extendedprice, 0.75D)").as("q3"))
+        .select(col("l_returnflag"),
+          round(col("q1") - lit(1.5) * (col("q3") - col("q1")), 6).as("lo"),
+          round(col("q3") + lit(1.5) * (col("q3") - col("q1")), 6).as("hi"))
+      li.join(broadcast(fences), Seq("l_returnflag"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("l_extendedprice") < col("lo") ||
+            col("l_extendedprice") > col("hi"), 1L).otherwise(0L))
+            .as("n_outliers"),
+          first(col("lo")).as("lo"), first(col("hi")).as("hi"))
+        .orderBy("l_returnflag")
+    }),
+
     // Exact MODE per group with a DETERMINISTIC tiebreak — the built-in
     // `mode()` is tie-arbitrary on both engines, so the contract form is
     // the two-level shape: count per (group, value), then rank by
@@ -296,6 +321,21 @@ object Aggregates {
         "round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE), 6) AS sum_price, " +
         "count(*) AS n_rows " +
         "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    // Tukey fences from quantile_cont (same interpolation family as
+    // Spark's percentile — a_stats precedent), rounded to the shared
+    // 6-dp grid before the comparison.
+    "a_outliers" ->
+      ("WITH st AS (SELECT l_returnflag, " +
+        "quantile_cont(l_extendedprice, 0.25) AS q1, " +
+        "quantile_cont(l_extendedprice, 0.75) AS q3 " +
+        "FROM lineitem GROUP BY l_returnflag), " +
+        "b AS (SELECT l_returnflag, round(q1 - 1.5 * (q3 - q1), 6) AS lo, " +
+        "round(q3 + 1.5 * (q3 - q1), 6) AS hi FROM st) " +
+        "SELECT l.l_returnflag, count(*) AS n_rows, " +
+        "CAST(sum(CASE WHEN l_extendedprice < lo OR l_extendedprice > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers, " +
+        "any_value(lo) AS lo, any_value(hi) AS hi " +
+        "FROM lineitem l JOIN b USING (l_returnflag) " +
+        "GROUP BY l.l_returnflag ORDER BY l.l_returnflag"),
     // Deterministic-tiebreak mode: NOT the tie-arbitrary built-in mode().
     "a_mode" ->
       ("WITH c AS (SELECT l_returnflag, l_quantity, count(*) AS cnt " +

@@ -1463,6 +1463,36 @@ object Similarity {
         .orderBy("lang")
     }),
 
+    // Declarative data-quality expectations (operators/Validate) — the
+    // Great-Expectations/dbt-test class: a rule suite compiles to ONE
+    // scan (all row rules fuse into a single agg), one groupBy per
+    // uniqueness rule, one anti-join per referential rule, and reports
+    // uniform (rule, n_checked, n_violations). The suite mixes rules
+    // that PASS and rules that deliberately FAIL on the fixture
+    // (lang ∉ {de,en,es,fr} flags every zh doc; n_chars ≤ 400 flags the
+    // longer tail; documents→embeddings referential breaks at sf0.1
+    // where embeddings stops scaling 1:1 — TESTDATA) so the grade
+    // covers violation COUNTING, not just all-zeros.
+    "x_quality_checks" -> ((s, d) => {
+      import graft.operators.Validate
+      val docs = t(s, d, "documents")
+      val docReport = Validate.run(docs, Seq(
+        Validate.notNull("text"),
+        Validate.inSet("lang", Seq("de", "en", "es", "fr")),
+        Validate.range("n_chars", 0, 400),
+        Validate.check("n_chars_is_len", col("n_chars") === length(col("text"))),
+        Validate.unique("doc_id"),
+        Validate.unique("lang", "source")))
+      val refOrders = Validate.refIntegrity("orders_customer",
+        t(s, d, "orders"), "o_custkey",
+        t(s, d, "customer").select(col("c_custkey").as("o_custkey")), "o_custkey")
+      val refEmb = Validate.refIntegrity("documents_embeddings",
+        docs.select(col("doc_id")), "doc_id",
+        t(s, d, "embeddings").select(col("vec_id").as("doc_id")), "doc_id")
+      docReport.unionByName(refOrders).unionByName(refEmb)
+        .orderBy("rule")
+    }),
+
     // Z-ordered layout (DocumentIO.writeZOrdered over ops/ZInterleave):
     // cluster on the Morton interleave of (doc_id, n_chars) so every
     // file covers a bounded 2-D box — ONE sorted layout prunes range
@@ -2464,6 +2494,27 @@ object Similarity {
         "CAST(sum(n_chars) AS BIGINT) AS n_chars, " +
         "CAST(sum(CAST(('0x' || substring(md5(text), 1, 8)) AS BIGINT)) AS BIGINT) AS checksum " +
         "FROM merged GROUP BY lang ORDER BY lang"),
+    // Each rule replayed as one UNION ALL branch; HUGEINT sums cast.
+    "x_quality_checks" ->
+      ("SELECT 'check:n_chars_is_len' AS rule, count(*) AS n_checked, " +
+        "CAST(sum(CASE WHEN NOT coalesce(n_chars = length(text), false) THEN 1 ELSE 0 END) AS BIGINT) AS n_violations FROM documents " +
+        "UNION ALL SELECT 'in_set:lang', count(*), " +
+        "CAST(sum(CASE WHEN lang NOT IN ('de','en','es','fr') THEN 1 ELSE 0 END) AS BIGINT) FROM documents " +
+        "UNION ALL SELECT 'not_null:text', count(*), " +
+        "CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM documents " +
+        "UNION ALL SELECT 'range:n_chars', count(*), " +
+        "CAST(sum(CASE WHEN n_chars < 0 OR n_chars > 400 THEN 1 ELSE 0 END) AS BIGINT) FROM documents " +
+        "UNION ALL SELECT 'ref:documents_embeddings', count(*), " +
+        "CAST((SELECT count(*) FROM documents d WHERE NOT EXISTS " +
+        "(SELECT 1 FROM embeddings e WHERE e.vec_id = d.doc_id)) AS BIGINT) FROM documents " +
+        "UNION ALL SELECT 'ref:orders_customer', count(*), " +
+        "CAST((SELECT count(*) FROM orders o WHERE NOT EXISTS " +
+        "(SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) AS BIGINT) FROM orders " +
+        "UNION ALL SELECT 'unique:doc_id', count(*), " +
+        "CAST(count(*) - count(DISTINCT doc_id) AS BIGINT) FROM documents " +
+        "UNION ALL SELECT 'unique:lang,source', count(*), " +
+        "CAST(count(*) - (SELECT count(*) FROM (SELECT DISTINCT lang, source FROM documents)) AS BIGINT) FROM documents " +
+        "ORDER BY rule"),
     // Z-order layout is content-neutral under the 2-D box: oracle = the
     // same box filter on the original parquet.
     "x_io_zorder" ->

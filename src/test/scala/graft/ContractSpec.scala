@@ -2,7 +2,7 @@ package graft
 
 /** T1 blanket contract checks: every declared query runs on sf0.001,
   * the queries/oracleSql maps are mutually consistent, and the declared
-  * inventory matches SURVEY.md §2b (171 keys, 166 oracle-checked).
+  * inventory matches SURVEY.md §2b (173 keys, 168 oracle-checked).
   */
 class ContractSpec extends SparkSpec {
 
@@ -10,9 +10,9 @@ class ContractSpec extends SparkSpec {
     Set("a_approx_hll", "t_stream_runtime", "t_stream_dedup",
       "t_stream_session", "t_stream_join")
 
-  test("inventory matches SURVEY §2b: 171 queries, 166 with oracle SQL") {
-    assert(SparkEntry.queries.size === 171)
-    assert(SparkEntry.oracleSql.size === 166)
+  test("inventory matches SURVEY §2b: 173 queries, 168 with oracle SQL") {
+    assert(SparkEntry.queries.size === 173)
+    assert(SparkEntry.oracleSql.size === 168)
     assert(SparkEntry.queries.keySet.intersect(nonOracle).size === 5)
   }
 
@@ -56,6 +56,7 @@ class ContractSpec extends SparkSpec {
     "x_mix_temperature", // 1-row Σn^α totals crossJoin (temperatureBalance)
     "x_sample_weighted", // 1-row w_max crossJoin (sampleProportional)
     "x_sample_stratified", // 1-row n_total crossJoin (stratifiedQuota)
+    "x_quality_checks",  // 1-row × 1-row report crossJoin (refIntegrity)
     "x_flex_affine", "u_udaf_centroid") // 1-row param/centroid broadcast
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
