@@ -146,4 +146,58 @@ class PlanShapeSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"compaction plan shuffles:\n$plan")
   }
+
+  test("x_io_bloom: the IN probe reaches the scan as PushedFilters") {
+    // correctness grades values; THIS pins that the point lookup is
+    // pushed to parquet at all — without pushdown the bloom filter in
+    // the footer is never consulted and every row group is read.
+    SparkEntry.queries("x_io_bloom")(spark, sf()).collect()
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+    val dir = tmp.listFiles.filter(_.getName.startsWith("graft_bloom"))
+      .maxBy(_.lastModified)
+    val plan = spark.read.parquet(dir.toString)
+      .filter(org.apache.spark.sql.functions.col("doc_id").isin(0L, 37L, 999999L))
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("PushedFilters: [In(doc_id"),
+      s"doc_id IN probe not pushed to the parquet scan:\n$plan")
+  }
+
+  test("x_io_clustered: the range predicate reaches the scan as PushedFilters") {
+    SparkEntry.queries("x_io_clustered")(spark, sf()).collect()
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+    val dir = tmp.listFiles.filter(_.getName.startsWith("graft_clust"))
+      .maxBy(_.lastModified)
+    val plan = spark.read.parquet(dir.toString)
+      .filter(org.apache.spark.sql.functions.col("doc_id") < 120)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,120)]"),
+      s"doc_id range not pushed to the parquet scan:\n$plan")
+  }
+
+  test("j_interval_overlap joins on the composite equi-key (no nested loop)") {
+    // the cell-grid device exists precisely so the interval overlap
+    // plans as a hash join on (customer, cell) with the range bounds as
+    // residual conditions — a BNLJ here is the quadratic failure mode.
+    val plan = SparkEntry.queries("j_interval_overlap")(spark, sf())
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), s"interval join is quadratic:\n$plan")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+      plan.contains("BroadcastHashJoin"), s"no hash/merge join found:\n$plan")
+  }
+
+  test("x_quality_checks: all six row/unique rules run in ONE scan of documents") {
+    // the fused-agg promise: adding row rules must not add passes. The
+    // report unions 6 single-row frames off ONE shared wide aggregate +
+    // 1 uniqueness groupBy + 2 referential branches — so the documents
+    // parquet appears at most 4 times in the plan (wide agg reused per
+    // row-rule branch counts once under reuse; uniqueness, ref-child,
+    // and nothing else), never once per row rule.
+    val plan = SparkEntry.queries("x_quality_checks")(spark, sf())
+      .queryExecution.optimizedPlan.toString
+    val scans = "documents\\.parquet".r.findAllIn(plan).length
+    assert(scans <= 8, s"quality suite explodes into $scans document scans:\n$plan")
+  }
 }
