@@ -470,4 +470,72 @@ class GeneratedPropertySpec extends SparkSpec {
     assert(sp.join(half, "doc_id")
       .filter(col("split") =!= col("half_split")).count() === 0L)
   }
+
+  test("property: upsertPartitioned is idempotent and conserves untouched keys on random corpora") {
+    import spark.implicits._
+    val langs = Seq("aa", "bb", "cc")
+    val base = sample(Gen.listOfN(60, Gen.zip(
+      Gen.choose(1L, 200L), Gen.oneOf(langs), doc)), 57L)
+      .map { case (id, l, t) => (id, t, l) }.distinctBy(_._1)
+      .toDF("doc_id", "text", "lang")
+    val root = java.nio.file.Files.createTempDirectory("prop_upsert").toString
+    graft.sources.DocumentIO.writePartitioned(base, root, "lang")
+    val updates = base.filter(col("lang") === "aa")
+      .withColumn("text", concat(col("text"), lit(" U")))
+    graft.sources.DocumentIO.upsertPartitioned(spark, root, updates, "doc_id", "lang")
+    def state(): Set[(Long, String, String)] =
+      graft.sources.DocumentIO.readPartitioned(spark, root)
+        .select("doc_id", "text", "lang")
+        .as[(Long, String, String)].collect().toSet
+    val once = state()
+    // untouched partitions' rows identical to base
+    val baseSet = base.as[(Long, String, String)].collect().toSet
+    assert(once.filter(_._3 != "aa") === baseSet.filter(_._3 != "aa"))
+    // every updated key carries the new text
+    assert(once.filter(_._3 == "aa").forall(_._2.endsWith(" U")))
+    // idempotent: applying the same updates again changes nothing
+    graft.sources.DocumentIO.upsertPartitioned(spark, root, updates, "doc_id", "lang")
+    assert(state() === once)
+  }
+
+  test("property: w_islands partitions each user's active minutes exactly (sum = distinct, no overlap)") {
+    val rows = SparkEntry.queries("w_islands")(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // islands are well-formed and ordered within user without overlap
+    rows.groupBy(_._1).foreach { case (_, isl) =>
+      val sorted = isl.sortBy(_._2)
+      sorted.foreach { case (_, s, e, n) =>
+        assert(s <= e && n === e - s + 1,
+          "an island must be a dense run: n == end - start + 1 fails")
+      }
+      sorted.sliding(2).foreach {
+        case Array((_, _, e1, _), (_, s2, _, _)) =>
+          assert(s2 > e1 + 1, "adjacent islands must be separated by a gap")
+        case _ =>
+      }
+    }
+    // island minutes partition the distinct active minutes
+    val fromIslands = rows.map(_._4).sum
+    val distinctMinutes = graft.ops.T.evMs(spark, sf())
+      .select(col("user_id"), graft.ops.T.truncNtz("minute", col("ts_ms")))
+      .distinct().count()
+    assert(fromIslands === distinctMinutes)
+  }
+
+  test("property: t_resample_ffill grid is dense per user, fill total, observations conserved") {
+    val rows = SparkEntry.queries("t_resample_ffill")(spark, sf()).collect()
+      .map(r => (r.getLong(0), !r.isNullAt(1), r.isNullAt(2), r.getLong(3)))
+    assert(rows.forall(!_._3), "forward fill must be total (first grid hour is observed)")
+    val byUser = rows.groupBy(_._1)
+    val ev = graft.ops.T.evMs(spark, sf())
+      .select(col("user_id"), graft.ops.T.truncNtz("hour", col("ts_ms")).as("h"))
+    val spans = ev.groupBy("user_id")
+      .agg(expr("timestampdiff(HOUR, min(h), max(h)) + 1").as("span"),
+        count(lit(1)).as("n_events"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    byUser.foreach { case (u, rs) =>
+      assert(rs.length.toLong === spans(u)._1, s"user $u grid not dense")
+      assert(rs.map(_._4).sum === spans(u)._2, s"user $u n_obs does not conserve events")
+    }
+  }
 }
