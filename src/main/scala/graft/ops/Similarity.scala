@@ -1463,6 +1463,28 @@ object Similarity {
         .orderBy("lang")
     }),
 
+    // Snapshot MANIFEST round trip (DocumentIO.writeManifest /
+    // readVerified) — the integrity/atomic-publish device plain parquet
+    // lacks (table formats get it from the commit log): write snapshot →
+    // cut per-file manifest (rows + checksum) → verified read refuses
+    // half-written/corrupted/lost-file snapshots. The graded read goes
+    // THROUGH verification, so the grade is "a verified snapshot yields
+    // exactly the original corpus"; ManifestSpec pins the refusal paths
+    // (tampered file, deleted file) the oracle can't see.
+    "x_io_manifest" -> ((s, d) => {
+      val dir = manifestScratch
+      t(s, d, "documents").repartition(4)
+        .write.mode("overwrite").parquet(dir)
+      graft.sources.DocumentIO.writeManifest(s, dir, "text")
+      graft.sources.DocumentIO.readVerified(s, dir, "text")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("n_chars"),
+          sum(conv(substring(md5(col("text")), 1, 8), 16, 10).cast("bigint"))
+            .as("checksum"))
+        .orderBy("lang")
+    }),
+
     // Declarative data-quality expectations (operators/Validate) — the
     // Great-Expectations/dbt-test class: a rule suite compiles to ONE
     // scan (all row rules fuse into a single agg), one groupBy per
@@ -1748,6 +1770,7 @@ object Similarity {
   private lazy val clusteredScratch: String = ioScratch("graft_clust")
   private lazy val bloomScratch: String = ioScratch("graft_bloom")
   private lazy val zorderScratch: String = ioScratch("graft_zorder")
+  private lazy val manifestScratch: String = ioScratch("graft_manifest")
 
   private def ioScratch(prefix: String): String = {
     val p = java.nio.file.Files.createTempDirectory(prefix)
@@ -2494,6 +2517,12 @@ object Similarity {
         "CAST(sum(n_chars) AS BIGINT) AS n_chars, " +
         "CAST(sum(CAST(('0x' || substring(md5(text), 1, 8)) AS BIGINT)) AS BIGINT) AS checksum " +
         "FROM merged GROUP BY lang ORDER BY lang"),
+    // Verified snapshot must equal the original corpus.
+    "x_io_manifest" ->
+      ("SELECT lang, count(*) AS n_docs, " +
+        "CAST(sum(n_chars) AS BIGINT) AS n_chars, " +
+        "CAST(sum(CAST(('0x' || substring(md5(text), 1, 8)) AS BIGINT)) AS BIGINT) AS checksum " +
+        "FROM documents GROUP BY lang ORDER BY lang"),
     // Each rule replayed as one UNION ALL branch; HUGEINT sums cast.
     "x_quality_checks" ->
       ("SELECT 'check:n_chars_is_len' AS rule, count(*) AS n_checked, " +
