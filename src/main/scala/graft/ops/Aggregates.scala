@@ -187,6 +187,24 @@ object Aggregates {
         .orderBy("l_returnflag")
     }),
 
+    // Per-group OLS REGRESSION (closed form): slope/intercept/R² of
+    // extendedprice on quantity — the trend-estimation staple next to
+    // a_stats' corr/covar; both engines compute the same
+    // sums-of-products closed form over identical parquet doubles, so
+    // round-6 re-syncs summation-order noise (the corr precedent). One
+    // groupBy, map-side partials — scale-free.
+    "a_regression" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(round(regr_slope(col("l_extendedprice"), col("l_quantity")), 6)
+          .as("slope"),
+          round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 6)
+            .as("intercept"),
+          round(regr_r2(col("l_extendedprice"), col("l_quantity")), 6)
+            .as("r2"),
+          regr_count(col("l_extendedprice"), col("l_quantity")).as("n"))
+        .orderBy("l_returnflag")),
+
     // IQR OUTLIER detection per group — the data-validation twin of
     // a_stats (Tukey fences: outside [q1 − 1.5·IQR, q3 + 1.5·IQR]): the
     // aggregate-decide-reapply pattern (SURVEY §1.1 — flexcalc's
@@ -320,6 +338,15 @@ object Aggregates {
         "round(CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE), 6) AS sum_qty, " +
         "round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE), 6) AS sum_price, " +
         "count(*) AS n_rows " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    // DuckDB's regr_* family computes the identical closed form; note
+    // the (y, x) argument order matches Spark's.
+    "a_regression" ->
+      ("SELECT l_returnflag, " +
+        "round(regr_slope(l_extendedprice, l_quantity), 6) AS slope, " +
+        "round(regr_intercept(l_extendedprice, l_quantity), 6) AS intercept, " +
+        "round(regr_r2(l_extendedprice, l_quantity), 6) AS r2, " +
+        "CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n " +
         "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
     // Tukey fences from quantile_cont (same interpolation family as
     // Spark's percentile — a_stats precedent), rounded to the shared
