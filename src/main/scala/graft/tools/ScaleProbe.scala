@@ -290,6 +290,40 @@ object ScaleProbe {
       graft.ops.T.releaseCaches(blocking = true)
       println(f"triangles 1M edges ${tt1}%6.2fs ($nt1 nodes) -> 10M ${tt10}%7.2fs ($nt10 nodes; factor ${tt10 / tt1}%5.1f)")
     }
+    // Interval-overlap join at 10× intervals with CONSTANT per-key
+    // density (keys scale with rows → ~100 intervals/key both sizes):
+    // the cell-grid device makes work cells×density per key, so the
+    // claim is linear wall growth; a super-linear factor would flag the
+    // per-key quadratic the grid exists to avoid leaking back in.
+    if (mode == "all" || mode == "intervals") {
+      def ivJoin(n: Long): DataFrame = {
+        // murmur hash, NOT a linear congruence: affine maps mod the even
+        // key/position counts correlate with the even/odd SIDE split and
+        // with each other (first attempts produced literally zero
+        // overlapping pairs — every same-key interval shared one start)
+        val base = spark.range(n).select(col("id"),
+          pmod(hash(expr("id div 2")).cast("bigint"), lit(n / 100)).as("k"),
+          pmod(hash(col("id"), lit(17)).cast("bigint"), lit(10000L)).as("st"))
+        val a = base.filter(pmod(col("id"), lit(2)) === 0)
+          .select(col("k"), col("id").as("a_id"), col("st").as("a_lo"),
+            (col("st") + 7L).as("a_hi"))
+          .withColumn("cell", explode(sequence(
+            expr("a_lo div 7"), expr("a_hi div 7"))))
+        val b = base.filter(pmod(col("id"), lit(2)) === 1)
+          .select(col("k").as("k2"), col("id").as("b_id"),
+            col("st").as("b_lo"), (col("st") + 3L).as("b_hi"))
+          .withColumn("cell2", explode(sequence(
+            expr("b_lo div 7"), expr("b_hi div 7"))))
+        a.join(b, col("k") === col("k2") && col("cell") === col("cell2") &&
+            col("a_lo") <= col("b_hi") && col("b_lo") <= col("a_hi"))
+          .select("a_id", "b_id").distinct()
+      }
+      val (ti1, ni1) = time(ivJoin(1000000L))
+      graft.ops.T.releaseCaches(blocking = true)
+      val (ti10, ni10) = time(ivJoin(10000000L))
+      graft.ops.T.releaseCaches(blocking = true)
+      println(f"intervals 1M ${ti1}%6.2fs ($ni1 pairs) -> 10M ${ti10}%7.2fs ($ni10 pairs; factor ${ti10 / ti1}%5.1f)")
+    }
     // Stream-stream interval join at 10× events AND 10× users: per-key
     // state stays constant (watermark + 10-min interval bounds it), so
     // the claim is linear wall growth — a super-linear factor would flag
