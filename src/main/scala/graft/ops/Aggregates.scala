@@ -140,6 +140,32 @@ object Aggregates {
           round(expr("approx_percentile(value, 0.5D)"), 6).as("approx_median"))
         .orderBy("event_type")),
 
+    // MERGEABLE HLL sketch lifecycle (DataSketches via hll_sketch_agg /
+    // hll_union_agg, Spark 3.5+) — the production shape for incremental
+    // distinct counts: build one sketch PER DAY (the nightly job), then
+    // UNION the stored daily sketches for any window's estimate without
+    // touching raw events again. Graded self-parity (no SQL oracle —
+    // DuckDB has no binary-compatible HLL): the union of daily sketches
+    // must estimate EXACTLY what one global sketch estimates (HLL union
+    // at equal lgK is lossless — PropertySpec pins merged == global ==
+    // within 5% of the true count). Sketch updates are order-insensitive
+    // ⇒ deterministic across partitionings and reruns.
+    "a_hll_merge" -> ((s, d) => {
+      val ev = evMs(s, d)
+        .withColumn("day", truncNtz("day", col("ts_ms")))
+      val daily = ev.groupBy("day")
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      val merged = daily.agg(
+        count(lit(1)).as("n_days"),
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_merged"))
+      val global = ev.agg(
+        hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est_global"),
+        countDistinct(col("user_id")).as("exact_users"))
+      merged.crossJoin(global)
+        .select(col("n_days"), col("est_merged"), col("est_global"),
+          col("exact_users"))
+    }),
+
     // PIVOT: order counts spread across status columns per priority.
     // Values are pinned (F/O/P) so both engines emit the same columns;
     // pivot cells with no group are 0, not null.

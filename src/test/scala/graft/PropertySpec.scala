@@ -243,6 +243,19 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("a_hll_merge: daily-sketch union is lossless vs one global sketch, near exact") {
+    val r = SparkEntry.queries("a_hll_merge")(spark, sf()).collect()
+    assert(r.length === 1)
+    val (nDays, merged, global, exact) =
+      (r(0).getLong(0), r(0).getLong(1), r(0).getLong(2), r(0).getLong(3))
+    assert(nDays > 1, "fixture must span multiple days for the merge to mean anything")
+    // HLL union at equal lgK is lossless: merging the daily sketches
+    // must reproduce the single-pass sketch's estimate EXACTLY
+    assert(merged === global, s"union estimate $merged != global $global")
+    assert(math.abs(merged - exact) <= math.max(2L, (0.05 * exact).toLong),
+      s"estimate $merged vs exact $exact outside the HLL envelope")
+  }
+
   test("topk-per-group rows are a subset of their group ordered by rank") {
     val rows = SparkEntry.queries("o_topk_per_group")(spark, sf())
       .groupBy("o_custkey").agg(count(lit(1)).as("k"), max("rn").as("maxrn"))
