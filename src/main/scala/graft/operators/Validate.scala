@@ -46,6 +46,9 @@ object Validate {
   /** Run row + uniqueness rules against one frame. One scan evaluates
     * every RowRule; each UniqueRule adds one groupBy on its key. */
   def run(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    require(rules.nonEmpty,
+      "Validate.run needs at least one rule — an empty suite would " +
+        "report nothing and read as a passing gate")
     val rowRules = rules.collect { case r: RowRule => r }
     val uniqueRules = rules.collect { case r: UniqueRule => r }
     val rowReport = if (rowRules.isEmpty) Seq.empty[DataFrame] else {

@@ -44,6 +44,11 @@ class ValidateSpec extends SparkSpec {
     assert(r === (("ref:child_parent", 3L, 1L)))
   }
 
+  test("an empty rule suite is rejected loudly, not silently green") {
+    val e = intercept[IllegalArgumentException](Validate.run(frame, Nil))
+    assert(e.getMessage.contains("at least one rule"))
+  }
+
   test("an all-green suite reports zero violations everywhere") {
     val clean = frame.filter(col("doc_id") <= 2).dropDuplicates("doc_id")
     val report = Validate.run(clean, Seq(
