@@ -282,6 +282,35 @@ object EventTime {
         .orderBy("user_id", "sess_start")
     }),
 
+    // Incremental MATERIALIZED-ROLLUP maintenance (operators/Rollup) —
+    // the nightly-ETL staple: day-partitioned rollup over a day-
+    // partitioned event store; a late batch (the last days PLUS
+    // scattered late events into older days via event_id % 101)
+    // triggers a refresh that rebuilds ONLY the touched day partitions
+    // (PartitionFilters prune the event scan; dynamic overwrite leaves
+    // other rollup days' files alone — RollupSpec pins both). The
+    // oracle is the FULL single-shot rollup: incremental maintenance
+    // must be indistinguishable from recomputing everything. day_key is
+    // yyyyMMdd as INT — a yyyy-MM-dd string partition would be
+    // type-inferred back as DATE, which the comparator bans (§7.3 R6).
+    "t_rollup_incremental" -> ((s, d) => {
+      val root = freshRollupDirs()
+      val (evDir, ruDir) = (s"$root/events", s"$root/rollup")
+      val all = ev(s, d).withColumn("day_key",
+          date_format(col("ts_ms"), "yyyyMMdd").cast("int"))
+        .select("day_key", "event_id", "event_type", "value")
+      val isDelta = col("day_key") >= 20240128 ||
+        pmod(col("event_id"), lit(101)) === 0
+      graft.operators.Rollup.buildDaily(
+        s, all.filter(!isDelta), evDir, ruDir, "day_key")
+      graft.operators.Rollup.refreshDaily(
+        s, evDir, ruDir, all.filter(isDelta), "day_key")
+      s.read.parquet(ruDir)
+        .select(col("day_key"), col("event_type"), col("n_events"),
+          decOut(col("value_sum")).as("value_sum"))
+        .orderBy("day_key", "event_type")
+    }),
+
     // OHLC bars per (user, hour) — the standard event-time downsampling
     // shape (metrics rollup / market bars): open/close = value at the
     // earliest/latest event in the bar, high/low = extremes. Determinism:
@@ -375,6 +404,21 @@ object EventTime {
   private def freshStreamSinkDirs(): String = {
     Option(streamSinkRoot.toFile.listFiles).foreach(_.foreach(rmTree))
     streamSinkRoot.toString
+  }
+
+  /** Per-JVM scratch for t_rollup_incremental, CLEARED per invocation:
+    * the refresh APPENDS to the event store, so a surviving store from a
+    * previous invocation (Bench runs every key twice) would double every
+    * delta event. */
+  private lazy val rollupRoot: java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory("graft_rollup")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => rmTree(p.toFile)))
+    p
+  }
+
+  private def freshRollupDirs(): String = {
+    Option(rollupRoot.toFile.listFiles).foreach(_.foreach(rmTree))
+    rollupRoot.toString
   }
 
   /** Run a streaming frame to completion under Trigger.AvailableNow into
@@ -471,6 +515,13 @@ object EventTime {
         "WHEN v_ts IS NOT NULL THEN 1 ELSE 0 END AS depth " +
         "FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id) " +
         "LEFT JOIN p USING (user_id) ORDER BY u.user_id"),
+    // The FULL single-shot rollup — incremental maintenance must be
+    // indistinguishable from recomputing everything.
+    "t_rollup_incremental" ->
+      ("SELECT CAST(strftime(date_trunc('milliseconds', ts), '%Y%m%d') AS INTEGER) AS day_key, " +
+        "event_type, count(*) AS n_events, " +
+        "round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 6) AS value_sum " +
+        "FROM events GROUP BY 1, 2 ORDER BY day_key, event_type"),
     // arg_min/arg_max over the identical zero-padded ordering string.
     "t_ohlc" ->
       ("WITH e AS (SELECT user_id, date_trunc('hour', ts) AS hour, value, " +
