@@ -38,6 +38,13 @@ def main():
             print(f"COUNT LINE MISMATCH: sum={total} declared={declared} "
                   f"actual={len(keys)}")
             return 1 + len(missing) + len(extra)
+    else:
+        # A reworded count line must FAIL, not silently skip the check —
+        # otherwise the script reports "in sync" while the declared count
+        # can disagree with the key inventory.
+        print("COUNT LINE NOT FOUND: expected '**Count: a+b+... = N declared'"
+              " in SURVEY.md §2b")
+        return 1 + len(missing) + len(extra)
     if not missing and not extra:
         print("SURVEY §2b and the code contract are in sync.")
     return len(missing) + len(extra)

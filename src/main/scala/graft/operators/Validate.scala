@@ -30,6 +30,19 @@ object Validate {
   /** Key-uniqueness rule over one or more columns. */
   final case class UniqueRule(name: String, keys: Seq[String]) extends Rule
 
+  /** NULL semantics are deliberately ASYMMETRIC between rule kinds, per
+    * SQL convention — the same split as CHECK constraints vs WHERE:
+    *  - `inSet`/`range`: a NULL value PASSES (the comparison is NULL →
+    *    `when` takes the otherwise-branch → not counted as a violation).
+    *    These rules constrain the DOMAIN of present values; absence is
+    *    `notNull`'s job — compose `notNull(c)` alongside when NULL must
+    *    also fail, instead of every domain rule re-policing nullability.
+    *  - `check`: a NULL expectation VIOLATES (`!coalesce(holds, false)`).
+    *    A custom expectation that can't even evaluate is treated as
+    *    broken, because silent-pass here would let an ill-typed or
+    *    mistyped predicate read as a green gate.
+    * ValidateSpec pins both behaviors.
+    */
   def notNull(col_ : String): Rule =
     RowRule(s"not_null:$col_", col(col_).isNull)
   def inSet(col_ : String, allowed: Seq[String]): Rule =
@@ -37,7 +50,8 @@ object Validate {
   def range(col_ : String, lo: Double, hi: Double): Rule =
     RowRule(s"range:$col_", col(col_) < lo || col(col_) > hi)
   /** Arbitrary row expectation — `holds` is the EXPECTATION (violation =
-    * !holds, with null treated as a violation). */
+    * !holds, with null treated as a violation — see the NULL-semantics
+    * note above). */
   def check(name: String, holds: Column): Rule =
     RowRule(s"check:$name", !coalesce(holds, lit(false)))
   def unique(keys: String*): Rule =

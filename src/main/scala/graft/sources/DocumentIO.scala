@@ -252,10 +252,15 @@ object DocumentIO {
       .agg(count(lit(1)).as("a_rows"),
         sum(conv(substring(md5(col(checksumCol)), 1, 8), 16, 10)
           .cast("bigint")).as("a_checksum"))
+    // Null-SAFE comparisons (<=>): with =!= a NULL checksum on either
+    // side (all-NULL column, tampered replacement) evaluates to NULL and
+    // the row silently drops out of the bad list — a hole in a gate
+    // whose whole contract is refusing damaged snapshots. <=> also
+    // subsumes the file-presence checks: a missing side leaves the other
+    // side's stats non-null, so the equality fails.
     val bad = manifest.join(actual, Seq("file"), "full")
-      .filter(col("n_rows").isNull || col("a_rows").isNull ||
-        col("n_rows") =!= col("a_rows") ||
-        col("checksum") =!= col("a_checksum"))
+      .filter(!(col("n_rows") <=> col("a_rows")) ||
+        !(col("checksum") <=> col("a_checksum")))
       .select("file").collect().map(_.getString(0))
     require(bad.isEmpty,
       s"snapshot $dir fails manifest verification; bad files: ${bad.mkString(", ")}")

@@ -53,6 +53,29 @@ class ManifestSpec extends SparkSpec {
     assert(e.getMessage.contains(victim.getName))
   }
 
+  test("a same-rowcount tamper with an all-NULL checksum column still fails") {
+    // Regression for the null-unsafe compare: sum(md5-prefix) over an
+    // all-NULL text column is NULL, and with =!= the predicate evaluated
+    // to NULL — the corrupted file silently dropped out of the bad list
+    // whenever its ROW COUNT was unchanged. The <=> fix must catch it.
+    val dir = freshSnapshot()
+    val victim = dataFiles(dir).head
+    val nRows = spark.read.parquet(victim.toString).count()
+    spark.range(nRows)
+      .selectExpr("id AS doc_id", "CAST(NULL AS STRING) AS text",
+        "'en' AS lang", "'web' AS source", "0L AS n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/_tmp")
+    val replacement = new java.io.File(s"$dir/_tmp").listFiles
+      .find(_.getName.endsWith(".parquet")).get
+    Files.move(replacement.toPath, victim.toPath,
+      StandardCopyOption.REPLACE_EXISTING)
+    Files.deleteIfExists(Paths.get(dir, s".${victim.getName}.crc"))
+    org.apache.spark.sql.execution.datasources.FileStatusCache.resetForTesting()
+    val e = intercept[IllegalArgumentException](
+      DocumentIO.readVerified(spark, dir, "text").count())
+    assert(e.getMessage.contains(victim.getName))
+  }
+
   test("a deleted data file fails verification") {
     val dir = freshSnapshot()
     val victim = dataFiles(dir).head

@@ -49,6 +49,23 @@ class ValidateSpec extends SparkSpec {
     assert(e.getMessage.contains("at least one rule"))
   }
 
+  test("NULL semantics: domain rules pass NULL values, check violates on NULL") {
+    // The documented asymmetry (Validate.scala NULL-semantics note):
+    // range/inSet constrain the domain of PRESENT values — a NULL n_chars
+    // passes range (absence is notNull's job); check treats an
+    // unevaluable (NULL) expectation as broken, i.e. a violation.
+    val withNulls = Seq(
+      (1L, Option(5L)), (2L, None), (3L, Option(99L))
+    ).toDF("doc_id", "n_chars")
+    val report = Validate.run(withNulls, Seq(
+      Validate.range("n_chars", 0, 10),
+      Validate.check("n_chars_small", col("n_chars") < 50)))
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert(report("range:n_chars") === 1L)       // only 99 violates; NULL passes
+    assert(report("check:n_chars_small") === 2L) // 99 AND the NULL violate
+  }
+
   test("an all-green suite reports zero violations everywhere") {
     val clean = frame.filter(col("doc_id") <= 2).dropDuplicates("doc_id")
     val report = Validate.run(clean, Seq(
