@@ -30,7 +30,7 @@ object Bench {
     // releaseCaches(blocking = true): each query's cache cleanup is billed
     // to ITSELF — async unpersist lands in the next query's timed window
     // (the round-5 x_dedup_exact +2 s phantom).
-    def runSuite(): Seq[(String, Double)] =
+    def runSuite(): Seq[(String, Double, Long)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
         // toRdd.count(), not count(): DataFrame.count() re-plans as an
@@ -39,22 +39,30 @@ object Bench {
         // (the trap that hid topNgramFraction's O(n²) fold: 0.16 s
         // "benched", minutes when actually evaluated). toRdd executes
         // the query's own optimized plan, every output column computed.
-        val ok = try { fn(spark, sfDir).queryExecution.toRdd.count(); true } catch {
+        // The returned row count is kept (BENCH_DETAIL.json "rows") so a
+        // timing outlier can be attributed to output VOLUME vs plan cost
+        // (x_dedup_jaccard emits ~1.8M pairs on the template-heavy
+        // fixture — 10× the next key — which driver-side contention
+        // amplifies; the count makes that visible without a rerun).
+        val rows = try { fn(spark, sfDir).queryExecution.toRdd.count() } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-            false
+            -1L
         } finally graft.ops.T.releaseCaches(blocking = true)
-        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+        (name, if (rows >= 0) (System.nanoTime() - t0) / 1e9 else -1.0, rows)
       }
     // Two passes in the same JVM, per-query MINIMUM: a transiently loaded
     // host (the rounds-4/5 driver boxes doubled several unchanged narrow
     // maps) must hit the same query in BOTH passes to pollute its graded
     // number. A failure in either pass still reports -1.
-    val pass1 = runSuite()
-    val pass2 = runSuite()
+    val pass1full = runSuite()
+    val pass2full = runSuite()
+    val pass1 = pass1full.map(r => r._1 -> r._2)
+    val pass2 = pass2full.map(r => r._1 -> r._2)
     val results = pass1.zip(pass2).map { case ((name, a), (_, b)) =>
       name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
+    val rowCounts = pass1full.map(r => r._1 -> r._3)
     // The harness capturing stdout keeps only a bounded 2000-char TAIL.
     // 92 per-query entries push a single all-queries line past that
     // budget, truncating the opening '{' and breaking json.loads (rounds
@@ -77,8 +85,10 @@ object Bench {
     // two same-JVM passes (warm JIT/page cache on pass 2), not cold
     // single-pass numbers — and the detail file carries both raw passes
     // so a consumer can reconstruct either view.
+    val rmap = rowCounts
+      .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val detail =
-      s"""{"queries":${qmap(results, 3)},"pass1":${qmap(pass1, 3)},"pass2":${qmap(pass2, 3)},"timing":"best_of_2_same_jvm","sf":"$sfName","n":${results.size},"failed":$failed,"metric":"total","unit":"sec","value":${f(total, 3)}}"""
+      s"""{"queries":${qmap(results, 3)},"pass1":${qmap(pass1, 3)},"pass2":${qmap(pass2, 3)},"rows":$rmap,"timing":"best_of_2_same_jvm","sf":"$sfName","n":${results.size},"failed":$failed,"metric":"total","unit":"sec","value":${f(total, 3)}}"""
     try {
       val w = new java.io.PrintWriter(new java.io.File("BENCH_DETAIL.json"), "UTF-8")
       try w.println(detail) finally w.close()

@@ -317,17 +317,21 @@ object Similarity {
       val cap = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
       val salts = broadcast(graft.operators.SaltedJoin.saltCounts(
         groups, "lang", target = 512L, cap = cap))
+      // The salted shuffle carries ONLY (rep, mask, n): the member-id
+      // arrays ride along nowhere — they'd be replicated _nsalts× on the
+      // b side and dragged through every candidate pair only to matter
+      // AFTER the jacc >= 0.6 filter kills almost all of them. Surviving
+      // rep pairs re-attach members by two output-sized equi-joins on
+      // the rep ids against the (cached) contracted frame.
       val a = groups.join(salts, "lang")
         .select(col("rep").as("a_rep"), col("lang"),
           col("mask").as("ma"), col("n").as("na"),
-          col("members").as("mem_a"),
           pmod(hash(col("rep")), col("_nsalts")).as("salt"))
       val b = groups.join(salts, "lang")
         .select(col("rep").as("b_rep"),
           col("lang").as("lang_b"), col("mask").as("mb"), col("n").as("nb"),
-          col("members").as("mem_b"),
           explode(sequence(lit(0), col("_nsalts") - 1)).as("salt_b"))
-      val cross = a.join(b,
+      val repPairs = a.join(b,
           col("lang") === col("lang_b") && col("salt") === col("salt_b") &&
           col("a_rep") < col("b_rep") &&
           col("na").cast("double") >= col("nb") * 0.6 &&
@@ -336,6 +340,12 @@ object Similarity {
           .cast("double"))
         .withColumn("jacc", col("inter") / (col("na") + col("nb") - col("inter")))
         .filter(col("jacc") >= 0.6)
+        .select(col("a_rep"), col("b_rep"), col("jacc"))
+      val cross = repPairs
+        .join(groups.select(col("rep").as("a_rep"), col("members").as("mem_a")),
+          "a_rep")
+        .join(groups.select(col("rep").as("b_rep"), col("members").as("mem_b")),
+          "b_rep")
         // expand the group pair to its member pairs; ids interleave
         // across groups, so canonical ordering is least/greatest
         .select(explode(col("mem_a")).as("x"), col("mem_b"), col("jacc"))
