@@ -1495,6 +1495,41 @@ object Similarity {
         .orderBy("lang")
     }),
 
+    // Versioned-snapshot ATOMIC PUBLISH (sources/Snapshot) — the
+    // table-format core x_io_manifest/x_io_upsert stop short of: every
+    // write stages under an immutable v{N}/ directory with a #files-sized
+    // manifest, and ONE atomic pointer flip commits it, so readers
+    // resolve a consistent file list (never a half-swapped partition
+    // set), a crashed refresh is invisible and retry-safe, and an upsert
+    // carries untouched partitions forward BY REFERENCE (zero rewrite —
+    // SnapshotSpec pins all three plus vacuum's exact-garbage deletion).
+    // Graded end to end: publish the corpus, copy-on-write upsert the
+    // same revised+fresh delta as x_io_upsert, vacuum the superseded
+    // files, then aggregate a VERIFIED read — the oracle is the logical
+    // MERGE result, identical economics at 100 TB (refresh cost tracks
+    // the touched partitions, not the table).
+    "x_io_snapshot" -> ((s, d) => {
+      val dir = snapshotScratch
+      val docs = t(s, d, "documents")
+      graft.sources.Snapshot.publish(s, dir, docs, "lang", "text")
+      val touched = docs.filter(col("lang").isin("en", "zh"))
+      val revised = touched.filter(pmod(col("doc_id"), lit(10)) === 0)
+        .withColumn("text", concat(col("text"), lit(" v2")))
+        .withColumn("n_chars", col("n_chars") + 3)
+      val fresh = touched.filter(pmod(col("doc_id"), lit(100)) === 0)
+        .withColumn("doc_id", col("doc_id") + lit(1000000L))
+      graft.sources.Snapshot.upsert(
+        s, dir, revised.unionByName(fresh), "doc_id", "lang", "text")
+      graft.sources.Snapshot.vacuum(s, dir)
+      graft.sources.Snapshot.readVerified(s, dir, "text")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("n_chars"),
+          sum(conv(substring(md5(col("text")), 1, 8), 16, 10).cast("bigint"))
+            .as("checksum"))
+        .orderBy("lang")
+    }),
+
     // Declarative data-quality expectations (operators/Validate) — the
     // Great-Expectations/dbt-test class: a rule suite compiles to ONE
     // scan (all row rules fuse into a single agg), one groupBy per
@@ -1781,6 +1816,7 @@ object Similarity {
   private lazy val bloomScratch: String = ioScratch("graft_bloom")
   private lazy val zorderScratch: String = ioScratch("graft_zorder")
   private lazy val manifestScratch: String = ioScratch("graft_manifest")
+  private lazy val snapshotScratch: String = ioScratch("graft_snapshot")
 
   private def ioScratch(prefix: String): String = {
     val p = java.nio.file.Files.createTempDirectory(prefix)
@@ -2512,6 +2548,25 @@ object Similarity {
     // update claims drop out, updates append. de/es/fr rows pass through
     // untouched — their cells must equal the plain original aggregation.
     "x_io_upsert" ->
+      ("WITH upd AS (" +
+        "SELECT doc_id, text || ' v2' AS text, lang, source, " +
+        "n_chars + 3 AS n_chars FROM documents " +
+        "WHERE lang IN ('en','zh') AND doc_id % 10 = 0 " +
+        "UNION ALL " +
+        "SELECT doc_id + 1000000, text, lang, source, n_chars " +
+        "FROM documents WHERE lang IN ('en','zh') AND doc_id % 100 = 0), " +
+        "merged AS (" +
+        "SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars " +
+        "FROM documents d WHERE d.doc_id NOT IN (SELECT doc_id FROM upd) " +
+        "UNION ALL SELECT * FROM upd) " +
+        "SELECT lang, count(*) AS n_docs, " +
+        "CAST(sum(n_chars) AS BIGINT) AS n_chars, " +
+        "CAST(sum(CAST(('0x' || substring(md5(text), 1, 8)) AS BIGINT)) AS BIGINT) AS checksum " +
+        "FROM merged GROUP BY lang ORDER BY lang"),
+    // Atomic-publish lifecycle is invisible to semantics: the committed,
+    // vacuumed, verified snapshot must equal the logical MERGE result —
+    // the same relational replay as x_io_upsert.
+    "x_io_snapshot" ->
       ("WITH upd AS (" +
         "SELECT doc_id, text || ' v2' AS text, lang, source, " +
         "n_chars + 3 AS n_chars FROM documents " +

@@ -1,0 +1,152 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.sources.Snapshot
+
+/** T1 checks for sources/Snapshot (graded by `x_io_snapshot`): the
+  * atomicity / isolation / lifecycle properties the value oracle can't
+  * see — a reader between stage and commit sees the OLD version in full
+  * (never a mix), a crashed staging attempt is invisible and retry-safe,
+  * untouched partitions are carried forward by reference (zero rewrite),
+  * verification refuses tampered committed files, and vacuum removes
+  * exactly the unreferenced files.
+  */
+class SnapshotSpec extends SparkSpec {
+
+  private def docs: DataFrame =
+    spark.read.parquet(s"${sf()}/documents.parquet")
+
+  private def freshDir(): String =
+    Files.createTempDirectory("graft_snapshot_spec").toString
+
+  /** Order-insensitive content fingerprint. */
+  private def fingerprint(df: DataFrame): (Long, Long) = {
+    val r = df.agg(
+      count(lit(1)).as("n"),
+      sum(conv(substring(md5(concat_ws("|", col("doc_id"), col("text"),
+        col("lang"), col("source"), col("n_chars"))), 1, 8), 16, 10)
+        .cast("bigint")).as("h")).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  private def updates: DataFrame =
+    docs.filter(col("lang") === "en" && pmod(col("doc_id"), lit(10)) === 0)
+      .withColumn("text", concat(col("text"), lit(" v2")))
+
+  private def mergedExpected: DataFrame =
+    docs.join(updates.select("doc_id"), Seq("doc_id"), "left_anti")
+      .unionByName(updates)
+
+  test("publish -> read round-trips the corpus through the pointer") {
+    val dir = freshDir()
+    val v = Snapshot.publish(spark, dir, docs, "lang", "text")
+    assert(v === 1)
+    assert(Snapshot.currentVersion(spark, dir) === 1)
+    assert(fingerprint(Snapshot.read(spark, dir)) === fingerprint(docs))
+  }
+
+  test("a reader between stage and commit sees the old version in full, never a mix") {
+    val dir = freshDir()
+    Snapshot.publish(spark, dir, docs, "lang", "text")
+    val before = fingerprint(docs)
+    // stage the next version (data + manifest fully written)…
+    val v2 = Snapshot.stageUpsert(spark, dir, updates, "doc_id", "lang", "text")
+    assert(v2 === 2)
+    // …and the committed read is STILL byte-for-byte version 1
+    assert(Snapshot.currentVersion(spark, dir) === 1)
+    assert(fingerprint(Snapshot.read(spark, dir)) === before)
+    // the flip publishes v2 exactly
+    Snapshot.commit(spark, dir, v2)
+    assert(fingerprint(Snapshot.read(spark, dir)) === fingerprint(mergedExpected))
+  }
+
+  test("a crashed staging attempt is invisible and a retry does not duplicate") {
+    val dir = freshDir()
+    Snapshot.publish(spark, dir, docs, "lang", "text")
+    // crash: stage v2 and never commit
+    Snapshot.stageUpsert(spark, dir, updates, "doc_id", "lang", "text")
+    assert(Snapshot.currentVersion(spark, dir) === 1)
+    // retry the whole refresh — restages v2 with overwrite, then commits
+    Snapshot.upsert(spark, dir, updates, "doc_id", "lang", "text")
+    assert(Snapshot.currentVersion(spark, dir) === 2)
+    assert(fingerprint(Snapshot.read(spark, dir)) === fingerprint(mergedExpected))
+  }
+
+  test("untouched partitions are carried forward by reference, not rewritten") {
+    val dir = freshDir()
+    Snapshot.publish(spark, dir, docs, "lang", "text")
+    // key by partition-dir/name: partitionBy reuses the same task file
+    // name across partition directories, so bare names collide
+    val v1Files = new java.io.File(s"$dir/v1").listFiles
+      .filter(_.getName.startsWith("_p=")).flatMap(_.listFiles)
+      .map(f => s"${f.getParentFile.getName}/${f.getName}" -> f.lastModified)
+      .toMap
+    Snapshot.upsert(spark, dir, updates, "doc_id", "lang", "text")
+    // only en was touched: every non-en manifest row still points into v1
+    val m = spark.read
+      .schema("path STRING, part STRING, n_rows BIGINT, checksum BIGINT")
+      .json(s"$dir/_manifest.v2")
+    val carried = m.filter(col("part") =!= "en").select("path")
+      .collect().map(_.getString(0))
+    assert(carried.nonEmpty)
+    assert(carried.forall(_.startsWith("v1/")))
+    // and those v1 files were not rewritten (same mtime)
+    carried.foreach { p =>
+      val f = new java.io.File(s"$dir/$p")
+      val key = s"${f.getParentFile.getName}/${f.getName}"
+      assert(v1Files(key) === f.lastModified, s"$p was rewritten")
+    }
+    // en rows all come from v2
+    val fresh = m.filter(col("part") === "en").select("path")
+      .collect().map(_.getString(0))
+    assert(fresh.nonEmpty && fresh.forall(_.startsWith("v2/")))
+  }
+
+  test("readWhere prunes files from the manifest before the scan") {
+    val dir = freshDir()
+    Snapshot.publish(spark, dir, docs, "lang", "text")
+    val en = Snapshot.readWhere(spark, dir, Seq("en"))
+    assert(en.inputFiles.length <
+      Snapshot.read(spark, dir).inputFiles.length)
+    assert(fingerprint(en) === fingerprint(docs.filter(col("lang") === "en")))
+  }
+
+  test("readVerified refuses a tampered committed file") {
+    val dir = freshDir()
+    Snapshot.publish(spark, dir, docs, "lang", "text")
+    val victim = new java.io.File(s"$dir/v1").listFiles
+      .filter(_.getName.startsWith("_p=")).flatMap(_.listFiles)
+      .find(_.getName.endsWith(".parquet")).get
+    val donorDir = s"$dir/_tmp_donor"
+    docs.filter(col("lang") === "zh").limit(3).drop("lang")
+      .coalesce(1).write.mode("overwrite").parquet(donorDir)
+    val donor = new java.io.File(donorDir).listFiles
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(donor.toPath, victim.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    java.nio.file.Files.deleteIfExists(
+      victim.toPath.resolveSibling(s".${victim.getName}.crc"))
+    org.apache.spark.sql.execution.datasources.FileStatusCache.resetForTesting()
+    val e = intercept[IllegalArgumentException](
+      Snapshot.readVerified(spark, dir, "text").count())
+    assert(e.getMessage.contains("fails verification"))
+  }
+
+  test("vacuum deletes crashed staging and superseded files but never live ones") {
+    val dir = freshDir()
+    Snapshot.publish(spark, dir, docs, "lang", "text")
+    Snapshot.upsert(spark, dir, updates, "doc_id", "lang", "text")
+    // plus a crashed v3 staging attempt
+    Snapshot.stageUpsert(spark, dir, updates, "doc_id", "lang", "text")
+    val expected = fingerprint(Snapshot.read(spark, dir))
+    val removed = Snapshot.vacuum(spark, dir)
+    // dead: v1's en files (superseded) + all of staged v3
+    assert(removed > 0)
+    assert(!new java.io.File(s"$dir/v3").exists)
+    assert(!new java.io.File(s"$dir/_manifest.v1").exists)
+    org.apache.spark.sql.execution.datasources.FileStatusCache.resetForTesting()
+    assert(fingerprint(Snapshot.readVerified(spark, dir, "text")) === expected)
+  }
+}
