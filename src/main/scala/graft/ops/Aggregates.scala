@@ -166,6 +166,39 @@ object Aggregates {
           col("exact_users"))
     }),
 
+    // MERGEABLE KLL quantile-sketch lifecycle (functions/Kll, DataSketches
+    // KllDoublesSketch via TypedImperativeAggregate) — the percentile twin
+    // of a_hll_merge, closing the incremental-lifecycle pair: exact
+    // percentiles are HOLISTIC (a rolling window at 100 TB cannot re-sort
+    // history nightly), so build one compact sketch per day, store the
+    // bytes, and answer any window by MERGING the stored sketches — raw
+    // events never re-read, and the KLL merge theorem keeps the rank-error
+    // bound of the inputs. Graded self-parity (no SQL oracle — DuckDB has
+    // no KLL; KLL compaction is randomized by design): PropertySpec pins
+    // merged-vs-global-vs-exact inside the 2ε rank envelope, the
+    // run-independent contract. Output: merged(day sketches) and global
+    // (one sketch) p50/p90 estimates beside the EXACT percentiles.
+    "a_kll_merge" -> ((s, d) => {
+      graft.functions.Kll.register(s)
+      val ev = evMs(s, d)
+        .withColumn("day", truncNtz("day", col("ts_ms")))
+      val daily = ev.groupBy("day")
+        .agg(expr("graft_kll_agg(value, 200)").as("sk"))
+      val merged = daily.agg(
+        count(lit(1)).as("n_days"),
+        expr("graft_kll_quantile(graft_kll_merge(sk, 200), 0.5D)").as("p50_merged"),
+        expr("graft_kll_quantile(graft_kll_merge(sk, 200), 0.9D)").as("p90_merged"))
+      val global = ev.agg(
+        expr("graft_kll_quantile(graft_kll_agg(value, 200), 0.5D)").as("p50_global"),
+        expr("graft_kll_quantile(graft_kll_agg(value, 200), 0.9D)").as("p90_global"),
+        expr("percentile(value, 0.5D)").as("exact_p50"),
+        expr("percentile(value, 0.9D)").as("exact_p90"))
+      merged.crossJoin(global)
+        .select(col("n_days"), col("p50_merged"), col("p90_merged"),
+          col("p50_global"), col("p90_global"),
+          col("exact_p50"), col("exact_p90"))
+    }),
+
     // PIVOT: order counts spread across status columns per priority.
     // Values are pinned (F/O/P) so both engines emit the same columns;
     // pivot cells with no group are 0, not null.

@@ -2,21 +2,21 @@ package graft
 
 /** T1 blanket contract checks: every declared query runs on sf0.001,
   * the queries/oracleSql maps are mutually consistent, and the declared
-  * inventory matches SURVEY.md §2b (178 keys, 172 oracle-checked).
+  * inventory matches SURVEY.md §2b (179 keys, 172 oracle-checked).
   */
 class ContractSpec extends SparkSpec {
 
   private val nonOracle =
-    Set("a_approx_hll", "a_hll_merge", "t_stream_runtime",
+    Set("a_approx_hll", "a_hll_merge", "a_kll_merge", "t_stream_runtime",
       "t_stream_dedup", "t_stream_session", "t_stream_join")
 
-  test("inventory matches SURVEY §2b: 178 queries, 172 with oracle SQL") {
-    assert(SparkEntry.queries.size === 178)
+  test("inventory matches SURVEY §2b: 179 queries, 172 with oracle SQL") {
+    assert(SparkEntry.queries.size === 179)
     assert(SparkEntry.oracleSql.size === 172)
-    assert(SparkEntry.queries.keySet.intersect(nonOracle).size === 6)
+    assert(SparkEntry.queries.keySet.intersect(nonOracle).size === 7)
   }
 
-  test("every oracle key has a query; non-oracle keys are the declared six") {
+  test("every oracle key has a query; non-oracle keys are the declared seven") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
     assert(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet === nonOracle)
   }
@@ -58,6 +58,7 @@ class ContractSpec extends SparkSpec {
     "x_sample_stratified", // 1-row n_total crossJoin (stratifiedQuota)
     "x_quality_checks",  // 1-row × 1-row report crossJoin (refIntegrity)
     "a_hll_merge",       // 1-row × 1-row merged/global estimate crossJoin
+    "a_kll_merge",       // same 1-row × 1-row shape as a_hll_merge
     "x_flex_affine", "u_udaf_centroid") // 1-row param/centroid broadcast
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

@@ -256,6 +256,53 @@ class PropertySpec extends SparkSpec {
       s"estimate $merged vs exact $exact outside the HLL envelope")
   }
 
+  test("a_kll_merge: merged and global estimates sit inside the KLL rank envelope") {
+    val r = SparkEntry.queries("a_kll_merge")(spark, sf()).collect()
+    assert(r.length === 1)
+    val row = r(0)
+    assert(row.getLong(0) > 1, "fixture must span multiple days")
+    // KLL at k=200 bounds normalized rank error at ~1.65% (99% conf);
+    // verify through RANKS, not values (value-space distance depends on
+    // the data's density at the quantile). 2ε slack absorbs the merge
+    // and the randomized compaction; the bound is run-independent even
+    // though individual estimates are not.
+    import spark.implicits._
+    val values = graft.ops.T.t(spark, sf(), "events")
+      .select(col("value").cast("double")).as[Double].collect().sorted
+    def rankOf(v: Double): Double =
+      values.count(_ <= v).toDouble / values.length
+    val eps = 0.033
+    for ((idx, target) <- Seq(1 -> 0.5, 2 -> 0.9, 3 -> 0.5, 4 -> 0.9)) {
+      val est = row.getDouble(idx)
+      assert(math.abs(rankOf(est) - target) <= eps,
+        s"col $idx: rank(${est}) = ${rankOf(est)} vs target $target")
+    }
+    // exact percentiles from the percentile() columns agree with a
+    // direct sort (sanity that the comparison baseline itself is right)
+    assert(math.abs(rankOf(row.getDouble(5)) - 0.5) <= 0.01)
+    assert(math.abs(rankOf(row.getDouble(6)) - 0.9) <= 0.01)
+  }
+
+  test("kll sketch bytes round-trip serialize/heapify and merge preserves counts") {
+    graft.functions.Kll.register(spark)
+    import spark.implicits._
+    val df = (1 to 1000).map(_.toDouble).toDF("v")
+    val halves = df.withColumn("half", when(col("v") <= 500, 1).otherwise(2))
+      .groupBy("half").agg(expr("graft_kll_agg(v, 200)").as("sk"))
+    val merged = halves.agg(
+      expr("graft_kll_quantile(graft_kll_merge(sk, 200), 0.25D)").as("q25"),
+      expr("graft_kll_rank(graft_kll_merge(sk, 200), 750.0D)").as("r750"))
+      .head()
+    // 1..1000 uniform: p25 ≈ 250, rank(750) ≈ 0.75 — generous envelope
+    assert(math.abs(merged.getDouble(0) - 250.0) <= 40.0)
+    assert(math.abs(merged.getDouble(1) - 0.75) <= 0.04)
+    // empty sketch → NULL quantile, not an exception
+    val empty = df.filter(col("v") < 0)
+      .agg(expr("graft_kll_quantile(graft_kll_agg(v, 200), 0.5D)").as("q"))
+      .head()
+    assert(empty.isNullAt(0))
+  }
+
   test("topk-per-group rows are a subset of their group ordered by rank") {
     val rows = SparkEntry.queries("o_topk_per_group")(spark, sf())
       .groupBy("o_custkey").agg(count(lit(1)).as("k"), max("rn").as("maxrn"))
