@@ -237,26 +237,27 @@ object EventTime {
     // at the start of every invocation: a fresh checkpoint replays the
     // whole fixture exactly once, making the landed set deterministic
     // (in production the checkpoint SURVIVES and the same code becomes
-    // incremental ingest — StreamSinkSpec proves that resume path).
-    // Honesty note: a bare append is exactly-once only because a
-    // completed AvailableNow epoch is never re-fired against a live
-    // checkpoint; a sink that must survive a mid-epoch CRASH keys its
-    // files by batchId (or writes through a transactional table format)
-    // so a replayed epoch overwrites instead of doubling.
+    // incremental ingest — StreamSinkSpec proves that resume path). The
+    // sink is CRASH-SURVIVING (streaming/IdempotentSink): each epoch
+    // owns a batch=<id> directory written with mode=overwrite, so an
+    // epoch re-fired after a crash between sink write and checkpoint
+    // commit REPLACES its own partial output instead of doubling it —
+    // StreamSinkSpec proves the replay by deleting the commit marker
+    // and re-running against the same checkpoint.
     "t_stream_sink" -> ((s, d) => {
       val dir = freshStreamSinkDirs()
       val q = streamEvents(s, d)
         .select(col("event_id"), col("user_id"), col("event_type"),
           col("value"), col("ts_ms"))
         .writeStream
-        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-          batch.write.mode("append").parquet(s"$dir/data")
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          graft.streaming.IdempotentSink.landBatch(batch, s"$dir/data", batchId)
         }
         .option("checkpointLocation", s"$dir/chk")
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      s.read.parquet(s"$dir/data")
+      graft.streaming.IdempotentSink.readLanded(s, s"$dir/data")
         .groupBy("event_type")
         .agg(count(lit(1)).as("cnt"),
           decOut(sum(dec(col("value")))).as("sum_value"),

@@ -8,12 +8,14 @@ import org.apache.spark.sql.streaming.Trigger
 
 import graft.ops.T
 
-/** T3 coverage for the durable streaming-sink path behind t_stream_sink:
-  * the property production cares about is EXACTLY-ONCE RESUME — a stream
-  * restarted against a surviving checkpoint must process only files that
-  * arrived since, never re-landing old rows. (The graded key itself runs
-  * the fresh-checkpoint full-replay case; this spec runs the incremental
-  * one the key's scaladoc promises.)
+/** T3 coverage for the durable streaming-sink path behind t_stream_sink
+  * (streaming/IdempotentSink): the two properties production cares about —
+  * EXACTLY-ONCE RESUME (a stream restarted against a surviving checkpoint
+  * processes only files that arrived since), and CRASH-REPLAY IDEMPOTENCE
+  * (an epoch whose commit marker was lost — data landed, checkpoint not
+  * advanced — re-fires on restart and must OVERWRITE its own output, not
+  * double it; simulated here by deleting the commit file). The graded key
+  * itself runs the fresh-checkpoint full-replay case.
   */
 class StreamSinkSpec extends SparkSpec {
 
@@ -33,8 +35,8 @@ class StreamSinkSpec extends SparkSpec {
         .schema(events.schema)
         .parquet(src)
         .writeStream
-        .foreachBatch { (batch: Dataset[Row], _: Long) =>
-          batch.write.mode("append").parquet(data)
+        .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+          graft.streaming.IdempotentSink.landBatch(batch, data, batchId)
         }
         .option("checkpointLocation", chk)
         .trigger(Trigger.AvailableNow())
@@ -56,15 +58,34 @@ class StreamSinkSpec extends SparkSpec {
     // shard 1 arrives, stream runs to quiescence
     land(events.filter(col("event_id") <= half), "shard1")
     runStream()
-    val afterFirst = spark.read.parquet(data).count()
+    val afterFirst = graft.streaming.IdempotentSink.readLanded(spark, data).count()
     assert(afterFirst === events.filter(col("event_id") <= half).count())
 
     // shard 2 arrives later; SAME checkpoint → only the new file lands
     land(events.filter(col("event_id") > half), "shard2")
     runStream()
-    val landed = spark.read.parquet(data)
+    val landed = graft.streaming.IdempotentSink.readLanded(spark, data)
     assert(landed.count() === n, "resume must land each row exactly once")
     assert(landed.select("event_id").distinct().count() === n,
       "no row may land twice across the two runs")
+
+    // CRASH REPLAY: lose the last epoch's commit marker (the crash window
+    // is "sink wrote, checkpoint didn't advance") and restart against the
+    // same checkpoint. The source re-fires that epoch; the batchId-keyed
+    // sink must overwrite its own directory, landing nothing twice.
+    val commits = new java.io.File(s"$chk/commits").listFiles
+      .filter(_.getName.matches("\\d+")).sortBy(_.getName.toInt)
+    assert(commits.nonEmpty)
+    Files.delete(commits.last.toPath)
+    // LocalFileSystem .crc sidecar: the re-commit renames a temp file onto
+    // commits/<id>, which fails if the stale checksum sidecar survives
+    Files.deleteIfExists(
+      commits.last.toPath.resolveSibling(s".${commits.last.getName}.crc"))
+    org.apache.spark.sql.execution.datasources.FileStatusCache.resetForTesting()
+    runStream()
+    val replayed = graft.streaming.IdempotentSink.readLanded(spark, data)
+    assert(replayed.count() === n,
+      "a replayed epoch must overwrite its batch directory, not double it")
+    assert(replayed.select("event_id").distinct().count() === n)
   }
 }
