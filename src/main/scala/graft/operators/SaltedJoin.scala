@@ -21,9 +21,16 @@ object SaltedJoin {
 
   def join(left: DataFrame, right: DataFrame, key: String, spread: Column,
       nSalts: Int): DataFrame = {
-    val l = left.withColumn("_salt", pmod(hash(spread), lit(nSalts)))
-    val r = right.withColumn("_salt", explode(sequence(lit(0), lit(nSalts - 1))))
-    l.join(r, Seq(key, "_salt")).drop("_salt")
+    // collision-free helper name: an input frame legitimately owning a
+    // `_salt` column (e.g. output of another salting pass) would
+    // otherwise silently join on the wrong thing
+    val taken = (left.columns ++ right.columns).toSet
+    val salt = Iterator.from(0)
+      .map(i => if (i == 0) "_salt" else s"_salt$i")
+      .find(!taken(_)).get
+    val l = left.withColumn(salt, pmod(hash(spread), lit(nSalts)))
+    val r = right.withColumn(salt, explode(sequence(lit(0), lit(nSalts - 1))))
+    l.join(r, Seq(key, salt)).drop(salt)
   }
 
   /** DATA-SIZED salt factors: one row per `key` value with
@@ -38,10 +45,18 @@ object SaltedJoin {
     * never more than `cap`. One tiny aggregation (key-cardinality rows —
     * broadcast it into the salted join); the declarative form keeps the
     * whole decision inside the plan, no driver action.
+    *
+    * `_nsalts` is this function's OUTPUT CONTRACT (consumers join it in
+    * and read it by name), so unlike [[join]]'s internal salt it cannot
+    * be renamed per call — the require below makes a caller whose frame
+    * already owns `_nsalts` fail loudly instead of mis-joining.
     */
-  def saltCounts(df: DataFrame, key: String, target: Long, cap: Int): DataFrame =
+  def saltCounts(df: DataFrame, key: String, target: Long, cap: Int): DataFrame = {
+    require(!df.columns.contains("_nsalts"),
+      "saltCounts reserves the output column name _nsalts; rename it in the input frame")
     df.groupBy(key).agg(count(lit(1)).as("_n"))
       .select(col(key),
         least(lit(cap), greatest(lit(1),
           ceil(col("_n").cast("double") / target))).cast("int").as("_nsalts"))
+  }
 }

@@ -42,4 +42,24 @@ class SaltedJoinSpec extends SparkSpec {
     assert(counts(1L) === 6, "hot key: ceil(900/100)=9 clamps to cap 6")
     assert((2L to 51L).forall(counts(_) === 1), "singletons pay zero replication")
   }
+
+  test("an input frame already owning _salt joins correctly (collision-free helper)") {
+    // the left frame legitimately carries a _salt column (e.g. from a
+    // previous salting pass); join must not silently use it as its own
+    val l = skewed.withColumn("_salt", lit(999))
+    val r = dim.withColumn("_salt", lit(-1))
+    val salted = SaltedJoin.join(l, r, "k", col("payload"), nSalts = 4)
+    val plain = skewed.join(dim, Seq("k")).select("k")
+    assert(salted.count() === plain.count())
+    // caller columns survive untouched
+    assert(salted.columns.count(_ == "_salt") === 2)
+    assert(salted.select("k", "payload", "attr").exceptAll(
+      skewed.join(dim, Seq("k")).select("k", "payload", "attr")).isEmpty)
+  }
+
+  test("saltCounts refuses an input frame that already owns _nsalts") {
+    val e = intercept[IllegalArgumentException](
+      SaltedJoin.saltCounts(skewed.withColumn("_nsalts", lit(1)), "k", 100L, 6))
+    assert(e.getMessage.contains("_nsalts"))
+  }
 }
