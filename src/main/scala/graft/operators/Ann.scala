@@ -95,6 +95,57 @@ object Ann {
       signSignature(col("embedding"), nBits).as("sig")),
       bandCol, bvCol, nBits, nBands)
 
+  /** Margin-guided MULTI-PROBE band frame for the sign family (the
+    * multi-probe LSH recall lever, Lv et al. 2007, specialized to sign
+    * bits): per (probe, band), emit the `nprobe` most PROMISING buckets —
+    * the base bucket plus perturbations ranked by cost = Σ|margin| of the
+    * flipped bits, where bit i's margin is |emb[i]| (how close the
+    * component sits to the separating hyperplane; a near-zero component
+    * is the bit most likely to differ for a true neighbor). Candidate
+    * masks are all Hamming-weight ≤ 2 perturbations of the band
+    * (1 + b + b(b−1)/2 for b band bits), sorted by cost — for small
+    * nprobe that prefix equals the full multi-probe sequence, because any
+    * weight-3 mask costs at least as much as its own weight-2 subsets,
+    * which enumerate earlier.
+    *
+    * Scale shape: everything here is per-PROBE Column arithmetic on the
+    * (broadcast, tiny) probe side; the corpus/index side is untouched, so
+    * candidate generation stays the same bucketed equi-join at any nprobe
+    * — recall becomes a dial that costs probe-side fan-out only, never a
+    * corpus rescan (the single-probe limitation VERDICT r10 flagged).
+    */
+  def signBandedMultiProbe(df: DataFrame, idCol: String, bandCol: String,
+      bvCol: String, nBits: Int, nBands: Int, nprobe: Int): DataFrame = {
+    val bandBits = nBits / nBands
+    val maxProbes = 1 + bandBits + bandBits * (bandBits - 1) / 2
+    require(nprobe >= 1 && nprobe <= maxProbes,
+      s"nprobe must be in [1, $maxProbes] for $bandBits band bits")
+    val mask = (1L << bandBits) - 1
+    val sigged = df.select(col("vec_id").as(idCol),
+      embDouble(col("embedding")).as("_e"),
+      signSignature(col("embedding"), nBits).as("sig"))
+    val perBand = sigged
+      .withColumn(bandCol, explode(sequence(lit(0), lit(nBands - 1))))
+      .withColumn("_bv0", call_function("shiftright", col("sig"),
+        col(bandCol) * bandBits).bitwiseAND(lit(mask)))
+    def margin(j: Int): Column =
+      abs(element_at(col("_e"), col(bandCol) * bandBits + j + 1))
+    val cands: Seq[Column] =
+      Seq(struct(lit(0.0).as("score"), lit(0).as("mask"))) ++
+        (0 until bandBits).map(j =>
+          struct(margin(j).as("score"), lit(1 << j).as("mask"))) ++
+        (for (i <- 0 until bandBits; j <- i + 1 until bandBits)
+          yield struct((margin(i) + margin(j)).as("score"),
+            lit((1 << i) | (1 << j)).as("mask")))
+    perBand
+      // struct sort is field-lexicographic: cost asc, mask asc tiebreak
+      .withColumn("_probes", slice(sort_array(array(cands: _*)), 1, nprobe))
+      .select(col(idCol), col(bandCol),
+        col("_bv0"), explode(col("_probes")).as("_c"))
+      .select(col(idCol), col(bandCol),
+        col("_bv0").bitwiseXOR(col("_c.mask").cast("long")).as(bvCol))
+  }
+
   /** Normalized-projection frame: id, double embedding, L2 norm. */
   private def withNorm(df: DataFrame, idCol: String, embCol: String,
       nrmCol: String): DataFrame =
@@ -245,11 +296,19 @@ object Ann {
   def signTopKIndexed(spark: org.apache.spark.sql.SparkSession, indexTable: String,
       emb: DataFrame, probes: DataFrame, k: Int,
       nBits: Int = 8, nBands: Int = 1, probeRadius: Int = 0,
-      broadcastProbes: Boolean = true): DataFrame = {
+      broadcastProbes: Boolean = true, nprobe: Int = 1): DataFrame = {
     require(nBits % nBands == 0)
+    require(nprobe == 1 || probeRadius == 0,
+      "nprobe (margin-guided) and probeRadius (exhaustive radius-1) are " +
+        "alternative multi-probe modes — use one")
+    val probeBands =
+      if (nprobe <= 1)
+        signBanded(probes, "probe_id", "p_band", "p_bv", nBits, nBands)
+      else
+        signBandedMultiProbe(probes, "probe_id", "p_band", "p_bv",
+          nBits, nBands, nprobe)
     topKFromBands(spark.table(indexTable).select("vec_id", "band", "bv"),
-      signBanded(probes, "probe_id", "p_band", "p_bv", nBits, nBands),
-      emb, probes, k, nBits / nBands, probeRadius, broadcastProbes)
+      probeBands, emb, probes, k, nBits / nBands, probeRadius, broadcastProbes)
   }
 
   /** IVF (inverted-file) top-k — the other classic ANN scale path. Build:
