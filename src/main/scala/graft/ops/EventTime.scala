@@ -312,6 +312,37 @@ object EventTime {
         .orderBy("day_key", "event_type")
     }),
 
+    // The SNAPSHOT-BACKED rollup refresh (Rollup.refreshDailySnapshot
+    // over sources/Snapshot) — same maintenance logic as
+    // t_rollup_incremental but EXACTLY-ONCE under crash-retry: both
+    // stores are versioned-snapshot tables, every commit is tagged with
+    // the delta's identity, and a retry that finds its own tag skips the
+    // append instead of doubling it. The graded path EXERCISES the
+    // idempotence: refresh runs TWICE with the same deltaId, and the
+    // oracle is still the full single-shot rollup — any double-apply
+    // fails the hash, not just a spec. Refresh reads are manifest-pruned
+    // to the delta's days; untouched partitions carry by reference.
+    "t_rollup_snapshot" -> ((s, d) => {
+      val root = freshRollupSnapDirs()
+      val (evDir, ruDir) = (s"$root/events", s"$root/rollup")
+      val all = ev(s, d).withColumn("day_key",
+          date_format(col("ts_ms"), "yyyyMMdd").cast("int"))
+        .select("day_key", "event_id", "event_type", "value")
+      val isDelta = col("day_key") >= 20240128 ||
+        pmod(col("event_id"), lit(101)) === 0
+      graft.operators.Rollup.buildDailySnapshot(
+        s, all.filter(!isDelta), evDir, ruDir, "day_key")
+      graft.operators.Rollup.refreshDailySnapshot(
+        s, evDir, ruDir, all.filter(isDelta), "day_key", "delta-1")
+      // the crashed-then-retried nightly job: same deltaId → no-op
+      graft.operators.Rollup.refreshDailySnapshot(
+        s, evDir, ruDir, all.filter(isDelta), "day_key", "delta-1")
+      graft.sources.Snapshot.read(s, ruDir)
+        .select(col("day_key"), col("event_type"), col("n_events"),
+          decOut(col("value_sum")).as("value_sum"))
+        .orderBy("day_key", "event_type")
+    }),
+
     // OHLC bars per (user, hour) — the standard event-time downsampling
     // shape (metrics rollup / market bars): open/close = value at the
     // earliest/latest event in the bar, high/low = extremes. Determinism:
@@ -422,6 +453,20 @@ object EventTime {
     rollupRoot.toString
   }
 
+  /** Per-JVM scratch for t_rollup_snapshot, CLEARED per invocation: a
+    * surviving store would carry last invocation's "delta-1" commit tag,
+    * and the fresh refresh would wrongly skip as already-applied. */
+  private lazy val rollupSnapRoot: java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory("graft_rollup_snap")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => rmTree(p.toFile)))
+    p
+  }
+
+  private def freshRollupSnapDirs(): String = {
+    Option(rollupSnapRoot.toFile.listFiles).foreach(_.foreach(rmTree))
+    rollupSnapRoot.toString
+  }
+
   /** Run a streaming frame to completion under Trigger.AvailableNow into
     * a named memory sink and return the sink table.
     *
@@ -519,6 +564,14 @@ object EventTime {
     // The FULL single-shot rollup — incremental maintenance must be
     // indistinguishable from recomputing everything.
     "t_rollup_incremental" ->
+      ("SELECT CAST(strftime(date_trunc('milliseconds', ts), '%Y%m%d') AS INTEGER) AS day_key, " +
+        "event_type, count(*) AS n_events, " +
+        "round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 6) AS value_sum " +
+        "FROM events GROUP BY 1, 2 ORDER BY day_key, event_type"),
+    // Same single-shot-rollup oracle as t_rollup_incremental: the graded
+    // path runs the refresh TWICE with one deltaId, so the oracle's hash
+    // is also the idempotence check — a double-applied delta fails here.
+    "t_rollup_snapshot" ->
       ("SELECT CAST(strftime(date_trunc('milliseconds', ts), '%Y%m%d') AS INTEGER) AS day_key, " +
         "event_type, count(*) AS n_events, " +
         "round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 6) AS value_sum " +

@@ -64,35 +64,58 @@ object Snapshot {
   private def fc(spark: SparkSession): FileContext =
     FileContext.getFileContext(spark.sparkContext.hadoopConfiguration)
 
-  /** The committed version, 0 when the table has never been published. */
-  def currentVersion(spark: SparkSession, dir: String): Int = {
+  private def readPointer(spark: SparkSession, dir: String): Option[String] = {
     val ctx = fc(spark)
     val ptr = new Path(dir, PtrName)
-    if (!ctx.util.exists(ptr)) 0
+    if (!ctx.util.exists(ptr)) None
     else {
       val in = ctx.open(ptr)
-      try {
-        val txt = scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        """"version"\s*:\s*(\d+)""".r.findFirstMatchIn(txt)
-          .map(_.group(1).toInt)
-          .getOrElse(sys.error(s"unparseable snapshot pointer $ptr: $txt"))
-      } finally in.close()
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+      finally in.close()
     }
   }
 
+  /** The committed version, 0 when the table has never been published. */
+  def currentVersion(spark: SparkSession, dir: String): Int =
+    readPointer(spark, dir).map { txt =>
+      """"version"\s*:\s*(\d+)""".r.findFirstMatchIn(txt)
+        .map(_.group(1).toInt)
+        .getOrElse(sys.error(s"unparseable snapshot pointer $dir/$PtrName: $txt"))
+    }.getOrElse(0)
+
+  /** The commit TAG of the current version (None when untagged or never
+    * published) — the exactly-once handle for idempotent ingest: a
+    * writer that tags each commit with its input's identity (delta id,
+    * stream batch id) can see on retry that the current version ALREADY
+    * incorporates this input, and skip straight past the data write
+    * (`Rollup.refreshDailySnapshot` is the worked example).
+    */
+  def currentTag(spark: SparkSession, dir: String): Option[String] =
+    readPointer(spark, dir).flatMap { txt =>
+      """"tag"\s*:\s*"((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(txt)
+        .map(_.group(1))
+    }
+
   /** Atomic pointer flip: version `n` (already staged) becomes the
     * committed snapshot. Write-temp + rename(OVERWRITE) — the only
-    * mutation of shared state in the whole lifecycle.
+    * mutation of shared state in the whole lifecycle. `tag` stamps the
+    * commit with the identity of the input that produced it (see
+    * [[currentTag]]); tags must not contain '"' or '\\'.
     */
-  def commit(spark: SparkSession, dir: String, n: Int): Unit = {
+  def commit(spark: SparkSession, dir: String, n: Int,
+      tag: Option[String] = None): Unit = {
     require(n >= 1, s"version must be >= 1, got $n")
+    require(tag.forall(t => !t.exists(c => c == '"' || c == '\\')),
+      "commit tags must not contain quote or backslash characters")
     val ctx = fc(spark)
     val tmp = new Path(dir, s"$PtrName.tmp.${java.util.UUID.randomUUID}")
     val out = ctx.create(tmp,
       java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE,
         org.apache.hadoop.fs.CreateFlag.OVERWRITE),
       Options.CreateOpts.createParent())
-    try out.write(s"""{"version":$n}""".getBytes("UTF-8")) finally out.close()
+    val body = tag.fold(s"""{"version":$n}""")(t =>
+      s"""{"version":$n,"tag":"$t"}""")
+    try out.write(body.getBytes("UTF-8")) finally out.close()
     ctx.rename(tmp, new Path(dir, PtrName), Options.Rename.OVERWRITE)
   }
 
@@ -107,7 +130,7 @@ object Snapshot {
     spark.read.parquet(vDir)
       .groupBy(input_file_name().as("abs"), col("_p"))
       .agg(count(lit(1)).as("n_rows"),
-        sum(conv(substring(md5(col(checksumCol)), 1, 8), 16, 10)
+        sum(conv(substring(md5(col(checksumCol).cast("string")), 1, 8), 16, 10)
           .cast("bigint")).as("checksum"))
       // root-relative ("v{n}/_p=…/part-….parquet") — the manifest must
       // survive relocating/copying the table root. Every data file path
@@ -152,22 +175,52 @@ object Snapshot {
     * MERGE contract, same as `DocumentIO.upsertPartitioned`).
     */
   def stageUpsert(spark: SparkSession, dir: String, updates: DataFrame,
-      keyCol: String, partCol: String, checksumCol: String): Int = {
+      keyCol: String, partCol: String, checksumCol: String): Int =
+    stageCow(spark, dir, updates, partCol, checksumCol) { base =>
+      base.join(updates.select(keyCol), Seq(keyCol), "left_anti")
+        .unionByName(updates)
+    }
+
+  /** Stage a copy-on-write APPEND as version current+1 (no commit): the
+    * delta's rows are ADDED to their partitions (no key replacement —
+    * the event-ingest verb, vs [[stageUpsert]]'s CDC merge). Only the
+    * delta's partitions are rewritten; the rest carry forward by
+    * reference.
+    */
+  def stageAppend(spark: SparkSession, dir: String, delta: DataFrame,
+      partCol: String, checksumCol: String): Int =
+    stageCow(spark, dir, delta, partCol, checksumCol)(_.unionByName(delta))
+
+  /** Stage a copy-on-write partition REPLACEMENT as version current+1
+    * (no commit): the affected partitions' content becomes exactly
+    * `replacement` (which must contain only those partitions' rows) —
+    * the materialized-rollup refresh verb.
+    */
+  def stageReplacePartitions(spark: SparkSession, dir: String,
+      replacement: DataFrame, partCol: String, checksumCol: String): Int =
+    stageCow(spark, dir, replacement, partCol, checksumCol)(_ => replacement)
+
+  /** The shared copy-on-write core: `touching`'s distinct partition
+    * values define the affected set; `rebuild` maps the affected
+    * partitions' base rows to their new content; everything else is
+    * carried forward by manifest reference.
+    */
+  private def stageCow(spark: SparkSession, dir: String, touching: DataFrame,
+      partCol: String, checksumCol: String)
+      (rebuild: DataFrame => DataFrame): Int = {
     val cur = currentVersion(spark, dir)
-    require(cur >= 1, s"snapshot table $dir has no committed version to upsert into")
+    require(cur >= 1, s"snapshot table $dir has no committed version to refresh")
     val n = cur + 1
     val manifest = readManifest(spark, dir, cur)
-    val affected = updates.select(col(partCol).cast("string")).distinct()
+    val affected = touching.select(col(partCol).cast("string")).distinct()
       .collect().map(_.getString(0)).toSet
     val affectedFiles = manifest
       .filter(col("part").isin(affected.toSeq: _*))
       .select("path").collect().map(r => s"$dir/${r.getString(0)}")
     val base =
-      if (affectedFiles.isEmpty) updates.limit(0)
+      if (affectedFiles.isEmpty) touching.limit(0)
       else spark.read.parquet(affectedFiles.toIndexedSeq: _*)
-    val merged = base
-      .join(updates.select(keyCol), Seq(keyCol), "left_anti")
-      .unionByName(updates)
+    val merged = rebuild(base)
       .select(base.columns.map(col).toIndexedSeq: _*)
     // localCheckpoint: the merged frame reads files of version `cur`;
     // materialize before writing so the new version's write never races
@@ -242,7 +295,7 @@ object Snapshot {
     val actual = spark.read.parquet(files.toIndexedSeq: _*)
       .groupBy(input_file_name().as("abs"))
       .agg(count(lit(1)).as("a_rows"),
-        sum(conv(substring(md5(col(checksumCol)), 1, 8), 16, 10)
+        sum(conv(substring(md5(col(checksumCol).cast("string")), 1, 8), 16, 10)
           .cast("bigint")).as("a_checksum"))
       .select(regexp_extract(col("abs"), "/(v\\d+/.*)$", 1).as("path"),
         col("a_rows"), col("a_checksum"))

@@ -52,6 +52,49 @@ class RollupSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("snapshot refresh is exactly-once: retry after every crash point converges") {
+    import graft.sources.Snapshot
+    val root = Files.createTempDirectory("graft_rollup_snap_spec").toString
+    val (evDir, ruDir) = (s"$root/ev", s"$root/ru")
+    val base = (events(1 to 40, 1) ++ events(41 to 80, 2) ++ events(81 to 90, 3))
+      .toDF("day_key", "event_id", "event_type", "value")
+    val delta = events(91 to 120, 3)
+      .toDF("day_key", "event_id", "event_type", "value")
+    Rollup.buildDailySnapshot(spark, base, evDir, ruDir, "day_key")
+
+    def rollupContent() = Snapshot.read(spark, ruDir)
+      .select("day_key", "event_type", "n_events", "value_sum")
+      .as[(Int, String, Long, java.math.BigDecimal)].collect().toSet
+    val want = Rollup.dailyRollup(base.unionByName(delta), "day_key")
+      .as[(Int, String, Long, java.math.BigDecimal)].collect().toSet
+
+    // crash point A: events staged but NOT committed — invisible; a full
+    // retry restages and completes
+    Snapshot.stageAppend(spark, evDir, delta, "day_key", "event_id")
+    Rollup.refreshDailySnapshot(spark, evDir, ruDir, delta, "day_key", "d1")
+    assert(rollupContent() === want, "retry after stage-only crash")
+
+    // crash point B (the refreshDaily killer): events COMMITTED with the
+    // delta tag, rollup not yet refreshed — the retry must see its own
+    // tag, skip the append (no doubling), and only redo the rollup
+    val root2 = Files.createTempDirectory("graft_rollup_snap_spec2").toString
+    val (evDir2, ruDir2) = (s"$root2/ev", s"$root2/ru")
+    Rollup.buildDailySnapshot(spark, base, evDir2, ruDir2, "day_key")
+    val v = Snapshot.stageAppend(spark, evDir2, delta, "day_key", "event_id")
+    Snapshot.commit(spark, evDir2, v, Some("d1"))   // …crash here
+    Rollup.refreshDailySnapshot(spark, evDir2, ruDir2, delta, "day_key", "d1")
+    val got2 = Snapshot.read(spark, ruDir2)
+      .select("day_key", "event_type", "n_events", "value_sum")
+      .as[(Int, String, Long, java.math.BigDecimal)].collect().toSet
+    assert(got2 === want, "retry after events-committed crash must not double the delta")
+
+    // crash point C: both committed — a further retry is a pure no-op
+    val evVer = Snapshot.currentVersion(spark, evDir2)
+    Rollup.refreshDailySnapshot(spark, evDir2, ruDir2, delta, "day_key", "d1")
+    assert(Snapshot.currentVersion(spark, evDir2) === evVer,
+      "completed refresh re-run must not create new versions")
+  }
+
   test("the rebuild's event scan prunes to the affected day directories") {
     val root = Files.createTempDirectory("graft_rollup_spec2").toString
     val (evDir, ruDir) = (s"$root/ev", s"$root/ru")
