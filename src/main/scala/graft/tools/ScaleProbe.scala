@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
   * of 10c yields ~50c² pairs) — the probe prints output rows so the two
   * effects can be told apart.
   *
-  * `runMain graft.tools.ScaleProbe [sfDir] [keys|sigs|curation|cc|cluster|vocab|spans|bpe|quality|pq|geo|graph|streamjoin|all]`
+  * `runMain graft.tools.ScaleProbe [sfDir] [keys|sigs|curation|cc|cluster|vocab|spans|bpe|quality|pq|geo|graph|streamjoin|snapshot|kll|all]`
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -357,6 +357,68 @@ object ScaleProbe {
       val (tj10, nj10) = time(q(spark, d10))
       graft.ops.T.releaseCaches(blocking = true)
       println(f"streamjoin 1x ${tj1}%6.2fs ($nj1 pairs) -> 10x ${tj10}%7.2fs ($nj10 pairs; factor ${tj10 / tj1}%5.1f)")
+    }
+    // Snapshot-backed rollup refresh at a 10× event STORE with a FIXED
+    // delta: the whole design claim is "refresh cost ∝ the delta's day
+    // span, never the store" (copy-on-write partitions + manifest-pruned
+    // rebuild reads), so the honest scale probe holds the delta constant
+    // while the store grows 10× — the refresh factor should be ~1, not
+    // ~10. (The initial build is measured too and is data-linear by
+    // construction; it is the once-ever cost.)
+    if (mode == "all" || mode == "snapshot") {
+      import graft.operators.Rollup
+      import graft.sources.Snapshot
+      def evts(mult: Int) = {
+        val e = graft.ops.T.t(spark, sfDir, "events")
+        (0 until mult).map { i =>
+          e.select((col("event_id") + lit(i * 100000000L)).as("event_id"),
+            col("ts"), col("event_type"), col("value"))
+        }.reduce(_ unionByName _)
+          .withColumn("day_key", date_format(col("ts"), "yyyyMMdd").cast("int"))
+          .select("day_key", "event_id", "event_type", "value")
+      }
+      def probe(mult: Int): (Double, Double) = {
+        val all = evts(mult)
+        val isDelta = col("day_key") >= 20240130 // last ~2 days, fixed span
+        val root = java.nio.file.Files.createTempDirectory("probe_snap").toString
+        val t0 = System.nanoTime()
+        Rollup.buildDailySnapshot(spark, all.filter(!isDelta),
+          s"$root/ev", s"$root/ru", "day_key")
+        val tBuild = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        Rollup.refreshDailySnapshot(spark, s"$root/ev", s"$root/ru",
+          all.filter(isDelta).limit(2000), "day_key", "probe-delta")
+        val tRefresh = (System.nanoTime() - t1) / 1e9
+        (tBuild, tRefresh)
+      }
+      val (b1, r1) = probe(1)
+      graft.ops.T.releaseCaches(blocking = true)
+      val (b10, r10) = probe(10)
+      graft.ops.T.releaseCaches(blocking = true)
+      println(f"snapshot build 1x ${b1}%6.2fs -> 10x ${b10}%7.2fs (factor ${b10 / b1}%5.1f); " +
+        f"FIXED-delta refresh 1x ${r1}%6.2fs -> 10x-store ${r10}%7.2fs (factor ${r10 / r1}%5.1f, claim ~1)")
+    }
+    // KLL daily-sketch lifecycle at 10× events: the build is one pass
+    // (data-linear, map-side partials), the merge is #days-sized. A
+    // super-linear factor would flag the sketch buffer being serialized
+    // per row instead of per shuffle boundary.
+    if (mode == "all" || mode == "kll") {
+      graft.functions.Kll.register(spark)
+      def kllBuild(mult: Int): DataFrame = {
+        val e = graft.ops.T.t(spark, sfDir, "events")
+        val big = (0 until mult).map { i =>
+          e.select((col("event_id") + lit(i * 100000000L)).as("event_id"),
+            col("ts"), col("value"))
+        }.reduce(_ unionByName _)
+        big.withColumn("day", date_trunc("day", col("ts")))
+          .groupBy("day").agg(expr("graft_kll_agg(value, 200)").as("sk"))
+          .agg(expr("graft_kll_quantile(graft_kll_merge(sk, 200), 0.5D)").as("p50"))
+      }
+      val (tk1, _) = time(kllBuild(1))
+      graft.ops.T.releaseCaches(blocking = true)
+      val (tk10, _) = time(kllBuild(10))
+      graft.ops.T.releaseCaches(blocking = true)
+      println(f"kll daily-sketch+merge 1x ${tk1}%6.2fs -> 10x ${tk10}%7.2fs (factor ${tk10 / tk1}%5.1f)")
     }
     spark.stop()
   }
