@@ -265,6 +265,41 @@ object EventTime {
         .orderBy("event_type")
     }),
 
+    // EXACTLY-ONCE streaming ingest into a VERSIONED snapshot table
+    // (streaming/SnapshotSink over sources/Snapshot) — the transactional
+    // sibling of t_stream_sink: each epoch stages a copy-on-write append
+    // and commits with tag "batch-<id>", so a replayed epoch (crash
+    // between sink write and checkpoint commit) finds its own tag and is
+    // a NO-OP — the table-format (queryId, epochId) protocol on plain
+    // parquet. Downstream readers get snapshot isolation over the
+    // growing table: one pointer resolve, one immutable file list, never
+    // a torn epoch. Graded through a VERIFIED read (manifest integrity
+    // checked) against the plain-SQL oracle; StreamSinkSpec proves the
+    // replay no-op by deleting the commit marker and re-running.
+    "t_stream_snapshot" -> ((s, d) => {
+      val dir = freshStreamSnapDirs()
+      val q = streamEvents(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), col("ts_ms"))
+        .withColumn("day_key",
+          date_format(col("ts_ms"), "yyyyMMdd").cast("int"))
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          graft.streaming.SnapshotSink.landBatch(
+            batch, s"$dir/table", "day_key", "event_id", batchId)
+        }
+        .option("checkpointLocation", s"$dir/chk")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.sources.Snapshot.readVerified(s, s"$dir/table", "event_id")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"),
+          decOut(sum(dec(col("value")))).as("sum_value"),
+          max(col("ts_ms")).cast("timestamp_ntz").as("max_ts"))
+        .orderBy("event_type")
+    }),
+
     // The t_session plan executed through Structured Streaming: session
     // windows merged in the streaming state store (complete mode — append
     // would hold back sessions still inside the watermark, breaking
@@ -438,6 +473,20 @@ object EventTime {
     streamSinkRoot.toString
   }
 
+  /** Per-JVM scratch for t_stream_snapshot, CLEARED per invocation: a
+    * surviving table would carry last invocation's "batch-0" commit tag
+    * and the fresh stream's epoch 0 would wrongly no-op as a replay. */
+  private lazy val streamSnapRoot: java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory("graft_stream_snap")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => rmTree(p.toFile)))
+    p
+  }
+
+  private def freshStreamSnapDirs(): String = {
+    Option(streamSnapRoot.toFile.listFiles).foreach(_.foreach(rmTree))
+    streamSnapRoot.toString
+  }
+
   /** Per-JVM scratch for t_rollup_incremental, CLEARED per invocation:
     * the refresh APPENDS to the event store, so a surviving store from a
     * previous invocation (Bench runs every key twice) would double every
@@ -536,6 +585,15 @@ object EventTime {
         "FROM (SELECT event_id, user_id, date_trunc('milliseconds', ts) AS ts_ms FROM events)) " +
         "ORDER BY event_id"),
     "t_stream_sink" ->
+      ("SELECT event_type, count(*) AS cnt, " +
+        "round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 6) AS sum_value, " +
+        "max(date_trunc('milliseconds', ts)) AS max_ts " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
+    // Same aggregation as t_stream_sink — the versioned transactional
+    // landing (tags, manifests, pointer commits) is invisible to
+    // semantics; the hash also grades the tag dedup (a re-landed epoch
+    // would double counts).
+    "t_stream_snapshot" ->
       ("SELECT event_type, count(*) AS cnt, " +
         "round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 6) AS sum_value, " +
         "max(date_trunc('milliseconds', ts)) AS max_ts " +

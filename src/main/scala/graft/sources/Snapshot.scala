@@ -150,7 +150,14 @@ object Snapshot {
     require(!df.columns.contains("_p"),
       "snapshot tables reserve the layout column name _p")
     val n = currentVersion(spark, dir) + 1
+    // repartition on the partition value so each task writes whole
+    // partitions: without it every one of the shuffle-partition tasks
+    // opens a file in EVERY partition directory it sees rows for —
+    // tasks×partitions files and manifest rows instead of ~partitions
+    // (a giant skewed partition would re-split via AQE or an explicit
+    // (n, col) repartition; at fixture scale one file per partition)
     df.withColumn("_p", col(partCol))
+      .repartition(col("_p"))
       .write.mode("overwrite").partitionBy("_p").parquet(s"$dir/v$n")
     manifestRowsFor(spark, dir, n, partCol, checksumCol)
       .coalesce(1).write.mode("overwrite").json(s"$dir/_manifest.v$n")
@@ -229,6 +236,7 @@ object Snapshot {
     // so this is belt-and-braces rather than load-bearing)
     val staged = merged.localCheckpoint()
     staged.withColumn("_p", col(partCol))
+      .repartition(col("_p")) // whole partitions per task — see stagePublish
       .write.mode("overwrite").partitionBy("_p").parquet(s"$dir/v$n")
     staged.unpersist(blocking = true)
     val carried = manifest.filter(!col("part").isin(affected.toSeq: _*))

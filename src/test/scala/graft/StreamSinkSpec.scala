@@ -88,4 +88,67 @@ class StreamSinkSpec extends SparkSpec {
       "a replayed epoch must overwrite its batch directory, not double it")
     assert(replayed.select("event_id").distinct().count() === n)
   }
+
+  test("SnapshotSink: tagged commits make a replayed epoch a no-op") {
+    import graft.sources.Snapshot
+    val root = Files.createTempDirectory("graft_snap_sink_spec").toString
+    val src = s"$root/src"
+    val table = s"$root/table"
+    val chk = s"$root/chk"
+
+    val events = T.t(spark, sf(), "events")
+      .select(col("event_id"), col("user_id"), col("value"))
+      .withColumn("day_key", pmod(col("event_id"), lit(3)).cast("int"))
+    val n = events.count()
+    val half = events.agg(expr("percentile(event_id, 0.5D)"))
+      .collect()(0).getDouble(0).toLong
+
+    def runStream(): Unit = {
+      val q = spark.readStream
+        .schema(events.schema)
+        .parquet(src)
+        .writeStream
+        .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+          graft.streaming.SnapshotSink.landBatch(
+            batch, table, "day_key", "event_id", batchId)
+        }
+        .option("checkpointLocation", chk)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    def land(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = s"$root/tmp_$name"
+      df.coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles
+        .find(_.getName.endsWith(".parquet")).get
+      Files.createDirectories(java.nio.file.Paths.get(src))
+      Files.move(part.toPath, java.nio.file.Paths.get(src, s"$name.parquet"))
+    }
+
+    land(events.filter(col("event_id") <= half), "shard1")
+    runStream()
+    land(events.filter(col("event_id") > half), "shard2")
+    runStream()
+    assert(Snapshot.read(spark, table).count() === n)
+    val verBefore = Snapshot.currentVersion(spark, table)
+
+    // crash replay: lose the last commit marker; the re-fired epoch must
+    // find its own "batch-<id>" tag and land NOTHING — same version, same
+    // rows, no new snapshot
+    val commits = new java.io.File(s"$chk/commits").listFiles
+      .filter(_.getName.matches("\\d+")).sortBy(_.getName.toInt)
+    Files.delete(commits.last.toPath)
+    Files.deleteIfExists(
+      commits.last.toPath.resolveSibling(s".${commits.last.getName}.crc"))
+    org.apache.spark.sql.execution.datasources.FileStatusCache.resetForTesting()
+    runStream()
+    assert(Snapshot.currentVersion(spark, table) === verBefore,
+      "replayed epoch must not commit a new version")
+    val replayed = Snapshot.readVerified(spark, table, "event_id")
+    assert(replayed.count() === n,
+      "a replayed epoch must be a tag no-op, not a double append")
+    assert(replayed.select("event_id").distinct().count() === n)
+  }
 }
