@@ -73,8 +73,13 @@ object Functions {
           date_format(col("od"), "E").as("dow"))
         .orderBy("o_orderkey")),
 
+    // Same single-row-group parallelization note as f_cast_try below:
+    // without the exchange, 600 k rows × 12 transcendental/rounding
+    // columns compute on ONE core before the sort's range exchange
+    // (Catalyst keeps the projection below the sort, on the scan tasks).
     "f_math" -> ((s, d) =>
       t(s, d, "lineitem")
+        .repartition(col("l_orderkey"))
         .select(
           col("l_orderkey"), col("l_linenumber"),
           round(col("l_extendedprice"), 2).as("rnd"),
