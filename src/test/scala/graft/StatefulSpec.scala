@@ -124,4 +124,26 @@ class StatefulSpec extends SparkSpec {
       assert(rows.contains((8L, 1L, 1.0)))
     } finally q.stop()
   }
+
+  test("graded streaming keys are state-store-provider-agnostic (RocksDB == default)") {
+    // The production state store at scale is RocksDB (bounded heap, spill
+    // to disk); the graded runtime keys run on the default HDFS-backed
+    // provider. Pin that the provider is an EXECUTION choice, not a
+    // semantic one: the watermarked session-window key must produce
+    // identical rows under both.
+    val defaultRows = graft.SparkEntry.queries("t_stream_session")(spark, sf())
+      .collect().map(_.toString).sorted
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val rocksRows = graft.SparkEntry.queries("t_stream_session")(spark, sf())
+        .collect().map(_.toString).sorted
+      assert(rocksRows.nonEmpty)
+      assert(rocksRows.toSeq === defaultRows.toSeq)
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
 }
