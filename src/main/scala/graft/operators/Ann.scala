@@ -115,21 +115,53 @@ object Ann {
     * corpus rescan (the single-probe limitation VERDICT r10 flagged).
     */
   def signBandedMultiProbe(df: DataFrame, idCol: String, bandCol: String,
-      bvCol: String, nBits: Int, nBands: Int, nprobe: Int): DataFrame = {
+      bvCol: String, nBits: Int, nBands: Int, nprobe: Int): DataFrame =
+    multiProbeBands(
+      df.select(col("vec_id").as(idCol),
+        signSignature(col("embedding"), nBits).as("sig"),
+        // sign-family margins: |emb[i]| — distance of component i from
+        // its separating (axis) hyperplane
+        expr(s"transform(slice(transform(embedding, x -> " +
+          s"cast(x as double)), 1, $nBits), x -> abs(x))").as("_m")),
+      idCol, bandCol, bvCol, nBits, nBands, nprobe)
+
+  /** [[signBandedMultiProbe]] for the gaussian [[signature]] family: bit
+    * i's margin is |dot(emb, plane_i)| — the projection's distance from
+    * the hyperplane, computed once per probe against the same seeded
+    * plane literals the signature used.
+    */
+  def gaussBandedMultiProbe(df: DataFrame, idCol: String, bandCol: String,
+      bvCol: String, nBits: Int, nBands: Int, dim: Int, seed: Long,
+      nprobe: Int): DataFrame = {
+    val ps = planes(nBits, dim, seed)
+    val e = embDouble(col("embedding"))
+    multiProbeBands(
+      df.select(col("vec_id").as(idCol),
+        signature(col("embedding"), nBits, dim, seed).as("sig"),
+        array(ps.toIndexedSeq.map(p =>
+          abs(dot(e, array(p.map(lit).toIndexedSeq: _*)))): _*).as("_m")),
+      idCol, bandCol, bvCol, nBits, nBands, nprobe)
+  }
+
+  /** Shared multi-probe core over a pre-signed frame carrying `sig` (the
+    * full signature) and `_m` (per-bit margins, one per signature bit):
+    * per band, emit the `nprobe` cheapest Hamming-weight ≤ 2
+    * perturbations ranked by summed margin of the flipped bits.
+    */
+  private def multiProbeBands(sigged: DataFrame, idCol: String,
+      bandCol: String, bvCol: String, nBits: Int, nBands: Int,
+      nprobe: Int): DataFrame = {
     val bandBits = nBits / nBands
     val maxProbes = 1 + bandBits + bandBits * (bandBits - 1) / 2
     require(nprobe >= 1 && nprobe <= maxProbes,
       s"nprobe must be in [1, $maxProbes] for $bandBits band bits")
     val mask = (1L << bandBits) - 1
-    val sigged = df.select(col("vec_id").as(idCol),
-      embDouble(col("embedding")).as("_e"),
-      signSignature(col("embedding"), nBits).as("sig"))
     val perBand = sigged
       .withColumn(bandCol, explode(sequence(lit(0), lit(nBands - 1))))
       .withColumn("_bv0", call_function("shiftright", col("sig"),
         col(bandCol) * bandBits).bitwiseAND(lit(mask)))
     def margin(j: Int): Column =
-      abs(element_at(col("_e"), col(bandCol) * bandBits + j + 1))
+      element_at(col("_m"), col(bandCol) * bandBits + j + 1)
     val cands: Seq[Column] =
       Seq(struct(lit(0.0).as("score"), lit(0).as("mask"))) ++
         (0 until bandBits).map(j =>
@@ -269,11 +301,20 @@ object Ann {
   def lshTopKIndexed(spark: org.apache.spark.sql.SparkSession, indexTable: String,
       emb: DataFrame, probes: DataFrame, k: Int,
       nBits: Int = 16, nBands: Int = 4, dim: Int = 64, seed: Long = 42L,
-      probeRadius: Int = 0, broadcastProbes: Boolean = true): DataFrame = {
+      probeRadius: Int = 0, broadcastProbes: Boolean = true,
+      nprobe: Int = 1): DataFrame = {
     require(nBits % nBands == 0)
+    require(nprobe == 1 || probeRadius == 0,
+      "nprobe (margin-guided) and probeRadius (exhaustive radius-1) are " +
+        "alternative multi-probe modes — use one")
+    val probeBands =
+      if (nprobe <= 1)
+        banded(probes, "probe_id", "p_band", "p_bv", nBits, nBands, dim, seed)
+      else
+        gaussBandedMultiProbe(probes, "probe_id", "p_band", "p_bv",
+          nBits, nBands, dim, seed, nprobe)
     topKFromBands(spark.table(indexTable).select("vec_id", "band", "bv"),
-      banded(probes, "probe_id", "p_band", "p_bv", nBits, nBands, dim, seed),
-      emb, probes, k, nBits / nBands, probeRadius, broadcastProbes)
+      probeBands, emb, probes, k, nBits / nBands, probeRadius, broadcastProbes)
   }
 
   /** Persisted index over the axis-aligned [[signSignature]] family — the
