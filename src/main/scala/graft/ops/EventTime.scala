@@ -292,6 +292,12 @@ object EventTime {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      // post-ingest lifecycle in the graded path: compact the per-epoch
+      // small files (layout-only version; tag preserved so replay dedup
+      // survives), then aggregate a VERIFIED read — the oracle hash
+      // covers ingest + compaction + integrity check end to end
+      graft.sources.Snapshot.compactPartitions(
+        s, s"$dir/table", "day_key", "event_id", maxFiles = 1)
       graft.sources.Snapshot.readVerified(s, s"$dir/table", "event_id")
         .groupBy("event_type")
         .agg(count(lit(1)).as("cnt"),

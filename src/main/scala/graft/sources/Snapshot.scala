@@ -188,15 +188,31 @@ object Snapshot {
         .unionByName(updates)
     }
 
-  /** Stage a copy-on-write APPEND as version current+1 (no commit): the
-    * delta's rows are ADDED to their partitions (no key replacement —
-    * the event-ingest verb, vs [[stageUpsert]]'s CDC merge). Only the
-    * delta's partitions are rewritten; the rest carry forward by
-    * reference.
+  /** Stage an APPEND as version current+1 (no commit): the delta's rows
+    * are ADDED to their partitions (no key replacement — the event-
+    * ingest verb, vs [[stageUpsert]]'s CDC merge). A TRUE file append:
+    * only the delta's own files are written, and EVERY existing file —
+    * including the affected partitions' — carries forward by manifest
+    * reference. Zero write amplification at any append frequency (an
+    * early draft rewrote the touched partitions wholesale, which turns
+    * per-epoch ingest into rewriting each day's accumulated data every
+    * epoch); the cost is file-count growth, which is exactly what
+    * [[compactPartitions]] exists to roll up.
     */
   def stageAppend(spark: SparkSession, dir: String, delta: DataFrame,
-      partCol: String, checksumCol: String): Int =
-    stageCow(spark, dir, delta, partCol, checksumCol)(_.unionByName(delta))
+      partCol: String, checksumCol: String): Int = {
+    val cur = currentVersion(spark, dir)
+    require(cur >= 1, s"snapshot table $dir has no committed version to append to")
+    if (delta.isEmpty) return cur // nothing to stage; caller may re-tag cur
+    val n = cur + 1
+    delta.withColumn("_p", col(partCol))
+      .repartition(col("_p"))
+      .write.mode("overwrite").partitionBy("_p").parquet(s"$dir/v$n")
+    readManifest(spark, dir, cur)
+      .unionByName(manifestRowsFor(spark, dir, n, partCol, checksumCol))
+      .coalesce(1).write.mode("overwrite").json(s"$dir/_manifest.v$n")
+    n
+  }
 
   /** Stage a copy-on-write partition REPLACEMENT as version current+1
     * (no commit): the affected partitions' content becomes exactly
@@ -274,6 +290,66 @@ object Snapshot {
   def read(spark: SparkSession, dir: String): DataFrame = {
     val (_, files) = resolveFiles(spark, dir, None)
     spark.read.parquet(files.toIndexedSeq: _*)
+  }
+
+  /** TIME TRAVEL: read version `n` exactly as it was committed — every
+    * version's manifest and data files are immutable, so any
+    * not-yet-vacuumed version reads back byte-identically (audits,
+    * reproducing a training run, diffing two corpus cuts). Fails loudly
+    * if `n`'s manifest was vacuumed away.
+    */
+  def readVersion(spark: SparkSession, dir: String, n: Int): DataFrame = {
+    require(n >= 1, s"version must be >= 1, got $n")
+    require(fc(spark).util.exists(new Path(dir, s"_manifest.v$n")),
+      s"snapshot $dir has no manifest for v$n (never committed, or vacuumed)")
+    val files = readManifest(spark, dir, n)
+      .select("path").collect().map(r => s"$dir/${r.getString(0)}")
+    spark.read.parquet(files.toIndexedSeq: _*)
+  }
+
+  /** One row per retained version: (version, n_files, n_rows, current) —
+    * the audit/history view. #versions × #files-sized metadata reads,
+    * zero data I/O.
+    */
+  def history(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cur = currentVersion(spark, dir)
+    val ctx = fc(spark)
+    val versions = ctx.util.listStatus(new Path(dir))
+      .map(_.getPath.getName)
+      .collect { case n if n.matches("_manifest\\.v\\d+") =>
+        n.stripPrefix("_manifest.v").toInt }
+      .sorted
+    versions.map { v =>
+      val m = readManifest(spark, dir, v)
+        .agg(count(lit(1)), coalesce(sum(col("n_rows")), lit(0L))).head()
+      (v, m.getLong(0), m.getLong(1), v == cur)
+    }.toSeq.toDF("version", "n_files", "n_rows", "is_current")
+  }
+
+  /** Small-file COMPACTION as a new version (the natural pairing with
+    * per-epoch streaming ingest, which accumulates one file per epoch
+    * per partition): partitions whose file count exceeds `maxFiles` are
+    * rewritten into one file each; everything else carries forward by
+    * reference. Content-identical by construction — only layout changes —
+    * and atomic like every other commit (readers on the old version are
+    * untouched until vacuum). Returns the new version, or the current
+    * one if nothing needed compaction.
+    */
+  def compactPartitions(spark: SparkSession, dir: String, partCol: String,
+      checksumCol: String, maxFiles: Int = 4): Int = {
+    val cur = currentVersion(spark, dir)
+    require(cur >= 1, s"snapshot table $dir has no committed version")
+    val fragmented = readManifest(spark, dir, cur)
+      .groupBy("part").agg(count(lit(1)).as("nf"))
+      .filter(col("nf") > maxFiles)
+      .select("part").collect().map(_.getString(0))
+    if (fragmented.isEmpty) return cur
+    val rows = readWhere(spark, dir, fragmented.toIndexedSeq)
+      .repartition(col(partCol)) // one file per compacted partition
+    val n = stageReplacePartitions(spark, dir, rows, partCol, checksumCol)
+    commit(spark, dir, n, currentTag(spark, dir)) // layout-only: keep the tag
+    n
   }
 
   /** [[read]] restricted to the given partition values — files are pruned

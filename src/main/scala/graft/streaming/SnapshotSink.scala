@@ -9,8 +9,9 @@ import graft.sources.Snapshot
   * an epoch overwrite its own directory, this one makes it a NO-OP by
   * recording each epoch's identity in the snapshot commit tag.
   *
-  * Per micro-batch: stage the batch as the next snapshot version
-  * (copy-on-write append to its partitions) and commit with
+  * Per micro-batch: stage the batch as the next snapshot version (a
+  * true file append — only the epoch's own files are written, everything
+  * else carries by manifest reference) and commit with
   * `tag = "batch-<id>"`. Structured Streaming replays at most the LAST
   * uncommitted epoch (earlier epochs are sealed by the checkpoint), so
   * the single-tag check is exactly the dedup needed: a replayed epoch

@@ -134,6 +134,63 @@ class SnapshotSpec extends SparkSpec {
     assert(e.getMessage.contains("fails verification"))
   }
 
+  test("time travel: every retained version reads back exactly as committed") {
+    val dir = freshDir()
+    Snapshot.publish(spark, dir, docs, "lang", "text")
+    val v1Fp = fingerprint(docs)
+    Snapshot.upsert(spark, dir, updates, "doc_id", "lang", "text")
+    // v2 is current; v1 still reads as the ORIGINAL corpus
+    assert(fingerprint(Snapshot.readVersion(spark, dir, 1)) === v1Fp)
+    assert(fingerprint(Snapshot.readVersion(spark, dir, 2)) ===
+      fingerprint(mergedExpected))
+    val hist = Snapshot.history(spark, dir)
+      .orderBy("version").collect()
+      .map(r => (r.getInt(0), r.getLong(2), r.getBoolean(3)))
+    assert(hist.map(_._1).toSeq === Seq(1, 2))
+    assert(hist.last._3 && !hist.head._3, "only v2 is current")
+    assert(hist.forall(_._2 > 0))
+    // a vacuumed-away version refuses loudly instead of a partial read
+    Snapshot.vacuum(spark, dir)
+    val e = intercept[IllegalArgumentException](
+      Snapshot.readVersion(spark, dir, 1))
+    assert(e.getMessage.contains("vacuumed"))
+  }
+
+  test("compaction rewrites only fragmented partitions, preserves content and tag") {
+    val dir = freshDir()
+    Snapshot.publish(spark, dir, docs, "lang", "text")
+    // fragment en: three successive single-partition appends (the
+    // per-epoch ingest shape)
+    for (i <- 1 to 3) {
+      val delta = docs.filter(col("lang") === "en").limit(5)
+        .withColumn("doc_id", col("doc_id") + lit(i * 100000L))
+      val v = Snapshot.stageAppend(spark, dir, delta, "lang", "text")
+      Snapshot.commit(spark, dir, v, Some(s"batch-$i"))
+    }
+    val before = fingerprint(Snapshot.read(spark, dir))
+    val m = spark.read
+      .schema("path STRING, part STRING, n_rows BIGINT, checksum BIGINT")
+      .json(s"$dir/_manifest.v4")
+    val enFilesBefore = m.filter(col("part") === "en").count()
+    assert(enFilesBefore > 2, "appends must have fragmented en")
+    val v5 = Snapshot.compactPartitions(spark, dir, "lang", "text", maxFiles = 2)
+    assert(v5 === 5)
+    val m5 = spark.read
+      .schema("path STRING, part STRING, n_rows BIGINT, checksum BIGINT")
+      .json(s"$dir/_manifest.v5")
+    assert(m5.filter(col("part") === "en").count() === 1,
+      "en must compact to one file")
+    // un-fragmented partitions carry forward by reference (still v1 paths)
+    assert(m5.filter(col("part") === "de").select("path")
+      .collect().forall(_.getString(0).startsWith("v1/")))
+    // content identical, verified; the ingest tag survives (replay dedup
+    // must keep working after a layout-only commit)
+    assert(fingerprint(Snapshot.readVerified(spark, dir, "text")) === before)
+    assert(Snapshot.currentTag(spark, dir) === Some("batch-3"))
+    // nothing fragmented -> no-op, same version
+    assert(Snapshot.compactPartitions(spark, dir, "lang", "text", 2) === 5)
+  }
+
   test("vacuum deletes crashed staging and superseded files but never live ones") {
     val dir = freshDir()
     Snapshot.publish(spark, dir, docs, "lang", "text")
