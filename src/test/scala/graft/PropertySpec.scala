@@ -303,6 +303,35 @@ class PropertySpec extends SparkSpec {
     assert(empty.isNullAt(0))
   }
 
+  test("kll sliding-window percentile from stored daily sketches stays in envelope") {
+    // The lifecycle's actual production shape: nightly job stores one
+    // sketch per day; ANY trailing window's percentile is answered by
+    // merging stored sketches — raw events never re-read. Check every
+    // 3-day trailing window against the exact percentile of that
+    // window's raw values.
+    graft.functions.Kll.register(spark)
+    val ev = graft.ops.T.t(spark, sf(), "events")
+      .select(date_trunc("day", col("ts")).as("day"),
+        col("value").cast("double").as("v"))
+    val daily = ev.groupBy("day")
+      .agg(expr("graft_kll_agg(v, 200)").as("sk")).cache()
+    val days = daily.select("day").orderBy("day").collect()
+      .map(_.getTimestamp(0))
+    assert(days.length >= 3)
+    for (i <- 2 until days.length) {
+      val win = Seq(days(i - 2), days(i - 1), days(i))
+      val est = daily.filter(col("day").isin(win: _*))
+        .agg(expr("graft_kll_quantile(graft_kll_merge(sk, 200), 0.5D)"))
+        .head().getDouble(0)
+      val vals = ev.filter(col("day").isin(win: _*))
+        .select("v").collect().map(_.getDouble(0)).sorted
+      val rank = vals.count(_ <= est).toDouble / vals.length
+      assert(math.abs(rank - 0.5) <= 0.033,
+        s"window ending ${days(i)}: rank($est) = $rank")
+    }
+    daily.unpersist()
+  }
+
   test("topk-per-group rows are a subset of their group ordered by rank") {
     val rows = SparkEntry.queries("o_topk_per_group")(spark, sf())
       .groupBy("o_custkey").agg(count(lit(1)).as("k"), max("rn").as("maxrn"))
