@@ -1530,6 +1530,32 @@ object Similarity {
         .orderBy("lang")
     }),
 
+    // File-level STATS SKIPPING from snapshot manifest metadata
+    // (Snapshot.publishClustered / readWhereBetween) — the second
+    // metadata-pruning lever after partition values, what Iceberg/Delta
+    // keep as per-file column stats: publish range-clusters the corpus
+    // on n_chars so each file owns a tight [min, max], the manifest
+    // records it, and a range query prunes files from #files-sized
+    // METADATA before the scan is planned (no footer reads, no
+    // listing); the surviving files still get Catalyst's row-group
+    // pushdown — the two layers compose. Graded: clustered publish →
+    // metadata-pruned read → residual filter → agg, vs the plain WHERE
+    // oracle; SnapshotSpec pins the actual file-count reduction and the
+    // disjoint per-file ranges the oracle can't see.
+    "x_io_stats_skip" -> ((s, d) => {
+      val dir = statsSkipScratch
+      graft.sources.Snapshot.publishClustered(
+        s, dir, t(s, d, "documents"), "lang", "n_chars", "text", nFiles = 8)
+      graft.sources.Snapshot.readWhereBetween(s, dir, 150.0, 300.0)
+        .filter(col("n_chars").between(150, 300))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("n_chars"),
+          sum(conv(substring(md5(col("text")), 1, 8), 16, 10).cast("bigint"))
+            .as("checksum"))
+        .orderBy("lang")
+    }),
+
     // Declarative data-quality expectations (operators/Validate) — the
     // Great-Expectations/dbt-test class: a rule suite compiles to ONE
     // scan (all row rules fuse into a single agg), one groupBy per
@@ -1817,6 +1843,7 @@ object Similarity {
   private lazy val zorderScratch: String = ioScratch("graft_zorder")
   private lazy val manifestScratch: String = ioScratch("graft_manifest")
   private lazy val snapshotScratch: String = ioScratch("graft_snapshot")
+  private lazy val statsSkipScratch: String = ioScratch("graft_statsskip")
 
   private def ioScratch(prefix: String): String = {
     val p = java.nio.file.Files.createTempDirectory(prefix)
@@ -2582,6 +2609,14 @@ object Similarity {
         "CAST(sum(n_chars) AS BIGINT) AS n_chars, " +
         "CAST(sum(CAST(('0x' || substring(md5(text), 1, 8)) AS BIGINT)) AS BIGINT) AS checksum " +
         "FROM merged GROUP BY lang ORDER BY lang"),
+    // Metadata skipping is invisible to semantics: pruned read +
+    // residual filter must equal the plain WHERE.
+    "x_io_stats_skip" ->
+      ("SELECT lang, count(*) AS n_docs, " +
+        "CAST(sum(n_chars) AS BIGINT) AS n_chars, " +
+        "CAST(sum(CAST(('0x' || substring(md5(text), 1, 8)) AS BIGINT)) AS BIGINT) AS checksum " +
+        "FROM documents WHERE n_chars BETWEEN 150 AND 300 " +
+        "GROUP BY lang ORDER BY lang"),
     // Verified snapshot must equal the original corpus.
     "x_io_manifest" ->
       ("SELECT lang, count(*) AS n_docs, " +

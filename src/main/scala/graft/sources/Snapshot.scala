@@ -136,7 +136,11 @@ object Snapshot {
       // survive relocating/copying the table root. Every data file path
       // contains exactly one "/v<digits>/" segment under the root.
       .select(regexp_extract(col("abs"), "/(v\\d+/.*)$", 1).as("path"),
-        col("_p").cast("string").as("part"), col("n_rows"), col("checksum"))
+        col("_p").cast("string").as("part"), col("n_rows"), col("checksum"),
+        // stats columns stay aligned with clustered manifests (carried
+        // rows union with fresh ones); a non-clustered stage has none
+        lit(null).cast("double").as("stat_lo"),
+        lit(null).cast("double").as("stat_hi"))
   }
 
   /** Stage a FULL snapshot as version current+1 (no commit): data under
@@ -271,8 +275,65 @@ object Snapshot {
 
   private def readManifest(spark: SparkSession, dir: String, n: Int): DataFrame =
     spark.read
-      .schema("path STRING, part STRING, n_rows BIGINT, checksum BIGINT")
+      .schema("path STRING, part STRING, n_rows BIGINT, checksum BIGINT, " +
+        "stat_lo DOUBLE, stat_hi DOUBLE")
       .json(s"$dir/_manifest.v$n")
+
+  /** Publish a snapshot CLUSTERED on a numeric `statsCol` with per-FILE
+    * min/max recorded in the manifest — the second metadata-skipping
+    * lever after partition values (what Iceberg/Delta keep as file
+    * column stats): `repartitionByRange` on (partition, statsCol) gives
+    * each file a tight contiguous statsCol range, and a range query then
+    * prunes files from #files-sized MANIFEST METADATA before the scan is
+    * planned ([[readWhereBetween]]) — no footer reads, no directory
+    * listing, which at 100 TB is the difference between touching
+    * thousands of files and a handful. One range shuffle at publish
+    * time, the same pay-once economics as `DocumentIO.writeClustered`,
+    * plus the atomic-commit lifecycle for free.
+    */
+  def publishClustered(spark: SparkSession, dir: String, df: DataFrame,
+      partCol: String, statsCol: String, checksumCol: String,
+      nFiles: Int): Int = {
+    require(!df.columns.contains("_p"),
+      "snapshot tables reserve the layout column name _p")
+    val n = currentVersion(spark, dir) + 1
+    df.withColumn("_p", col(partCol))
+      .repartitionByRange(nFiles, col("_p"), col(statsCol))
+      .sortWithinPartitions("_p", statsCol)
+      .write.mode("overwrite").partitionBy("_p").parquet(s"$dir/v$n")
+    spark.read.parquet(s"$dir/v$n")
+      .groupBy(input_file_name().as("abs"), col("_p"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(conv(substring(md5(col(checksumCol).cast("string")), 1, 8), 16, 10)
+          .cast("bigint")).as("checksum"),
+        min(col(statsCol)).cast("double").as("stat_lo"),
+        max(col(statsCol)).cast("double").as("stat_hi"))
+      .select(regexp_extract(col("abs"), "/(v\\d+/.*)$", 1).as("path"),
+        col("_p").cast("string").as("part"), col("n_rows"), col("checksum"),
+        col("stat_lo"), col("stat_hi"))
+      .coalesce(1).write.mode("overwrite").json(s"$dir/_manifest.v$n")
+    commit(spark, dir, n)
+    n
+  }
+
+  /** [[read]] pruned to files whose recorded [stat_lo, stat_hi] range
+    * can intersect [lo, hi] — pure manifest-metadata skipping; files
+    * without stats (written by a non-clustered stage) are conservatively
+    * kept. Rows are NOT filtered — callers apply their own predicate
+    * (which Catalyst then also pushes into the surviving files' row
+    * groups — the two skipping layers compose).
+    */
+  def readWhereBetween(spark: SparkSession, dir: String,
+      lo: Double, hi: Double): DataFrame = {
+    val n = currentVersion(spark, dir)
+    require(n >= 1, s"snapshot table $dir has no committed version")
+    val files = readManifest(spark, dir, n)
+      .filter(col("stat_lo").isNull || col("stat_hi").isNull ||
+        (col("stat_lo") <= hi && col("stat_hi") >= lo))
+      .select("path").collect().map(r => s"$dir/${r.getString(0)}")
+    if (files.isEmpty) read(spark, dir).limit(0)
+    else spark.read.parquet(files.toIndexedSeq: _*)
+  }
 
   private def resolveFiles(spark: SparkSession, dir: String,
       partValues: Option[Seq[String]]): (Int, Array[String]) = {

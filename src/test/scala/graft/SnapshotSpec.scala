@@ -191,6 +191,32 @@ class SnapshotSpec extends SparkSpec {
     assert(Snapshot.compactPartitions(spark, dir, "lang", "text", 2) === 5)
   }
 
+  test("publishClustered stats prune files by range; surviving ranges overlap the query") {
+    val dir = freshDir()
+    Snapshot.publishClustered(spark, dir, docs, "lang", "n_chars", "text",
+      nFiles = 8)
+    val all = Snapshot.read(spark, dir)
+    val pruned = Snapshot.readWhereBetween(spark, dir, 150.0, 300.0)
+    assert(pruned.inputFiles.length < all.inputFiles.length,
+      s"no files were skipped (${pruned.inputFiles.length} of ${all.inputFiles.length})")
+    // pruning is conservative: pruned ∪ filter == plain filter
+    val expect = docs.filter(col("n_chars").between(150, 300))
+    assert(fingerprint(pruned.filter(col("n_chars").between(150, 300)))
+      === fingerprint(expect))
+    // manifest ranges are honest: every surviving file's [lo, hi]
+    // intersects the query range; every skipped file's does not
+    val m = spark.read
+      .schema("path STRING, part STRING, n_rows BIGINT, checksum BIGINT, " +
+        "stat_lo DOUBLE, stat_hi DOUBLE")
+      .json(s"$dir/_manifest.v1")
+      .collect().map(r => (r.getString(0), r.getDouble(4), r.getDouble(5)))
+    val kept = pruned.inputFiles.map(f => f.split("/").takeRight(3).mkString("/")).toSet
+    m.foreach { case (p, lo, hi) =>
+      val intersects = lo <= 300.0 && hi >= 150.0
+      assert(kept.contains(p) === intersects, s"$p [$lo,$hi] kept=${kept.contains(p)}")
+    }
+  }
+
   test("vacuum deletes crashed staging and superseded files but never live ones") {
     val dir = freshDir()
     Snapshot.publish(spark, dir, docs, "lang", "text")
