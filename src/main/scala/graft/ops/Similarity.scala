@@ -1530,6 +1530,34 @@ object Similarity {
         .orderBy("lang")
     }),
 
+    // Version DIFF from manifest metadata (Snapshot.diffVersions) — the
+    // corpus-governance view ("what changed between these two training
+    // cuts") at metadata cost: files present in both versions' manifests
+    // are immutable and identical, so the diff reads ONLY the symmetric
+    // difference of the file sets — here the rewritten en/zh partitions;
+    // de/es/fr never leave disk (SnapshotSpec pins the read set).
+    // Unchanged rows inside a rewritten partition cancel in the
+    // exceptAll. Graded: publish → upsert → diff(v1, v2) as (op, row)
+    // vs the relational replay of exactly the replaced-and-added rows.
+    "x_io_snapshot_diff" -> ((s, d) => {
+      val dir = snapshotDiffScratch
+      val docs = t(s, d, "documents")
+      graft.sources.Snapshot.publish(s, dir, docs, "lang", "text")
+      val touched = docs.filter(col("lang").isin("en", "zh"))
+      val revised = touched.filter(pmod(col("doc_id"), lit(10)) === 0)
+        .withColumn("text", concat(col("text"), lit(" v2")))
+        .withColumn("n_chars", col("n_chars") + 3)
+      val fresh = touched.filter(pmod(col("doc_id"), lit(100)) === 0)
+        .withColumn("doc_id", col("doc_id") + lit(1000000L))
+      graft.sources.Snapshot.upsert(
+        s, dir, revised.unionByName(fresh), "doc_id", "lang", "text")
+      graft.sources.Snapshot.diffVersions(s, dir, 1, 2)
+        .select(col("op"), col("doc_id"), col("lang"), col("n_chars"),
+          conv(substring(md5(col("text")), 1, 8), 16, 10).cast("bigint")
+            .as("text_hash"))
+        .orderBy("op", "doc_id")
+    }),
+
     // File-level STATS SKIPPING from snapshot manifest metadata
     // (Snapshot.publishClustered / readWhereBetween) — the second
     // metadata-pruning lever after partition values, what Iceberg/Delta
@@ -1844,6 +1872,7 @@ object Similarity {
   private lazy val manifestScratch: String = ioScratch("graft_manifest")
   private lazy val snapshotScratch: String = ioScratch("graft_snapshot")
   private lazy val statsSkipScratch: String = ioScratch("graft_statsskip")
+  private lazy val snapshotDiffScratch: String = ioScratch("graft_snapdiff")
 
   private def ioScratch(prefix: String): String = {
     val p = java.nio.file.Files.createTempDirectory(prefix)
@@ -2609,6 +2638,24 @@ object Similarity {
         "CAST(sum(n_chars) AS BIGINT) AS n_chars, " +
         "CAST(sum(CAST(('0x' || substring(md5(text), 1, 8)) AS BIGINT)) AS BIGINT) AS checksum " +
         "FROM merged GROUP BY lang ORDER BY lang"),
+    // The diff is exactly the replaced rows (del: originals whose key an
+    // update claims) plus the update set (add) — fresh keys delete
+    // nothing; untouched-partition rows never appear.
+    "x_io_snapshot_diff" ->
+      ("WITH upd AS (" +
+        "SELECT doc_id, text || ' v2' AS text, lang, source, " +
+        "n_chars + 3 AS n_chars FROM documents " +
+        "WHERE lang IN ('en','zh') AND doc_id % 10 = 0 " +
+        "UNION ALL " +
+        "SELECT doc_id + 1000000, text, lang, source, n_chars " +
+        "FROM documents WHERE lang IN ('en','zh') AND doc_id % 100 = 0) " +
+        "SELECT 'del' AS op, doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars, " +
+        "CAST(('0x' || substring(md5(text), 1, 8)) AS BIGINT) AS text_hash " +
+        "FROM documents WHERE lang IN ('en','zh') AND doc_id % 10 = 0 " +
+        "UNION ALL " +
+        "SELECT 'add', doc_id, lang, CAST(n_chars AS BIGINT), " +
+        "CAST(('0x' || substring(md5(text), 1, 8)) AS BIGINT) FROM upd " +
+        "ORDER BY op, doc_id"),
     // Metadata skipping is invisible to semantics: pruned read +
     // residual filter must equal the plain WHERE.
     "x_io_stats_skip" ->

@@ -316,6 +316,41 @@ object Snapshot {
     n
   }
 
+  /** Row-level DIFF between two retained versions, computed from files
+    * only: files present in BOTH manifests are immutable and identical,
+    * so only the symmetric difference of the manifests' file sets is
+    * ever read — a one-partition upsert on a thousand-partition table
+    * diffs by reading one partition's files, not the table. Unchanged
+    * rows inside a rewritten partition cancel in the exceptAll. Returns
+    * (op 'add'/'del', <row columns>): 'del' rows exist only in `va`,
+    * 'add' rows only in `vb` — the corpus-governance view ("what changed
+    * between these two training cuts") as a #changed-rows-sized frame.
+    */
+  def diffVersions(spark: SparkSession, dir: String, va: Int, vb: Int): DataFrame = {
+    require(va >= 1 && vb >= 1, "versions must be >= 1")
+    val ma = readManifest(spark, dir, va).select("path")
+    val mb = readManifest(spark, dir, vb).select("path")
+    def readSide(only: DataFrame, other: DataFrame): Option[DataFrame] = {
+      val files = only.join(other, Seq("path"), "left_anti")
+        .collect().map(r => s"$dir/${r.getString(0)}")
+      if (files.isEmpty) None else Some(spark.read.parquet(files.toIndexedSeq: _*))
+    }
+    (readSide(ma, mb), readSide(mb, ma)) match {
+      case (None, None) =>
+        // identical file sets → empty diff with the data schema
+        readVersion(spark, dir, va).limit(0).withColumn("op", lit("del"))
+          .select(col("op") +: readVersion(spark, dir, va).columns.map(col): _*)
+      case (a, b) =>
+        val left = a.orElse(b.map(_.limit(0))).get
+        val right = b.orElse(a.map(_.limit(0))).get
+        val cols = left.columns.map(col).toIndexedSeq
+        left.exceptAll(right).withColumn("op", lit("del"))
+          .select(col("op") +: cols: _*)
+          .unionByName(right.exceptAll(left).withColumn("op", lit("add"))
+            .select(col("op") +: cols: _*))
+    }
+  }
+
   /** [[read]] pruned to files whose recorded [stat_lo, stat_hi] range
     * can intersect [lo, hi] — pure manifest-metadata skipping; files
     * without stats (written by a non-clustered stage) are conservatively

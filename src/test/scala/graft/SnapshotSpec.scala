@@ -217,6 +217,27 @@ class SnapshotSpec extends SparkSpec {
     }
   }
 
+  test("diffVersions reads only the changed partitions' files") {
+    val dir = freshDir()
+    Snapshot.publish(spark, dir, docs, "lang", "text")
+    Snapshot.upsert(spark, dir, updates, "doc_id", "lang", "text")
+    val diff = Snapshot.diffVersions(spark, dir, 1, 2)
+    // only en was touched: every file the diff plan reads is an en file
+    // (v1's removed ones + v2's fresh ones); de/es/fr never leave disk
+    assert(diff.inputFiles.nonEmpty)
+    assert(diff.inputFiles.forall(_.contains("_p=en")),
+      s"diff read untouched partitions:\n${diff.inputFiles.mkString("\n")}")
+    // content: del = originals whose key the update claims; add = the
+    // update set; unchanged en rows cancel
+    val expectedDel = docs.join(updates.select("doc_id"), Seq("doc_id"), "left_semi")
+    val del = diff.filter(col("op") === "del").drop("op")
+    val add = diff.filter(col("op") === "add").drop("op")
+    assert(fingerprint(del) === fingerprint(expectedDel))
+    assert(fingerprint(add) === fingerprint(updates))
+    // identical versions diff to empty
+    assert(Snapshot.diffVersions(spark, dir, 2, 2).count() === 0)
+  }
+
   test("vacuum deletes crashed staging and superseded files but never live ones") {
     val dir = freshDir()
     Snapshot.publish(spark, dir, docs, "lang", "text")
