@@ -215,6 +215,13 @@ class SnapshotSpec extends SparkSpec {
       val intersects = lo <= 300.0 && hi >= 150.0
       assert(kept.contains(p) === intersects, s"$p [$lo,$hi] kept=${kept.contains(p)}")
     }
+    // the two skipping layers compose: the residual predicate still
+    // reaches the surviving files' parquet scan as a pushed filter
+    // (row-group stats skipping inside the files the manifest kept)
+    val plan = pruned.filter(col("n_chars").between(150, 300))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("n_chars"),
+      s"residual range predicate not pushed to the parquet scan:\n$plan")
   }
 
   test("diffVersions reads only the changed partitions' files") {
