@@ -440,7 +440,8 @@ object Snapshot {
     * one if nothing needed compaction.
     */
   def compactPartitions(spark: SparkSession, dir: String, partCol: String,
-      checksumCol: String, maxFiles: Int = 4): Int = {
+      checksumCol: String, maxFiles: Int = 4,
+      statsCol: Option[String] = None): Int = {
     val cur = currentVersion(spark, dir)
     require(cur >= 1, s"snapshot table $dir has no committed version")
     val fragmented = readManifest(spark, dir, cur)
@@ -450,7 +451,33 @@ object Snapshot {
     if (fragmented.isEmpty) return cur
     val rows = readWhere(spark, dir, fragmented.toIndexedSeq)
       .repartition(col(partCol)) // one file per compacted partition
-    val n = stageReplacePartitions(spark, dir, rows, partCol, checksumCol)
+    // statsCol: a clustered table's compaction would otherwise NULL the
+    // compacted files' stats (conservatively kept by readWhereBetween —
+    // correct but degraded skipping); passing the cluster column keeps
+    // the files sorted and their manifest ranges populated
+    val sorted = statsCol.fold(rows)(c => rows.sortWithinPartitions(partCol, c))
+    val n = stageReplacePartitions(spark, dir, sorted, partCol, checksumCol)
+    statsCol.foreach { c =>
+      // recompute the staged files' stats into the just-written manifest
+      val m = readManifest(spark, dir, n)
+      val fresh = m.filter(col("path").startsWith(s"v$n/"))
+        .select("path").collect().map(r => s"$dir/${r.getString(0)}")
+      val stats = spark.read.parquet(fresh.toIndexedSeq: _*)
+        .groupBy(input_file_name().as("abs"))
+        .agg(min(col(c)).cast("double").as("new_lo"),
+          max(col(c)).cast("double").as("new_hi"))
+        .select(regexp_extract(col("abs"), "/(v\\d+/.*)$", 1).as("path"),
+          col("new_lo"), col("new_hi"))
+      // localCheckpoint: the rewrite reads the same manifest dir it
+      // overwrites — materialize (#files-sized) before writing
+      val updated = m.join(stats, Seq("path"), "left")
+        .select(col("path"), col("part"), col("n_rows"), col("checksum"),
+          coalesce(col("new_lo"), col("stat_lo")).as("stat_lo"),
+          coalesce(col("new_hi"), col("stat_hi")).as("stat_hi"))
+        .localCheckpoint()
+      updated.coalesce(1).write.mode("overwrite").json(s"$dir/_manifest.v$n")
+      updated.unpersist(blocking = true)
+    }
     commit(spark, dir, n, currentTag(spark, dir)) // layout-only: keep the tag
     n
   }

@@ -245,6 +245,40 @@ class SnapshotSpec extends SparkSpec {
     assert(Snapshot.diffVersions(spark, dir, 2, 2).count() === 0)
   }
 
+  test("readWhereBetween on a stat-less table conservatively keeps everything") {
+    val dir = freshDir()
+    Snapshot.publish(spark, dir, docs, "lang", "text")
+    val all = Snapshot.read(spark, dir)
+    val ranged = Snapshot.readWhereBetween(spark, dir, 150.0, 300.0)
+    assert(ranged.inputFiles.sorted.toSeq === all.inputFiles.sorted.toSeq,
+      "files without stats must never be skipped")
+    assert(fingerprint(ranged) === fingerprint(docs))
+  }
+
+  test("stats-aware compaction keeps range skipping effective") {
+    val dir = freshDir()
+    Snapshot.publishClustered(spark, dir, docs, "lang", "n_chars", "text", 8)
+    // fragment en with per-epoch appends (stat-less files)
+    for (i <- 1 to 3) {
+      val delta = docs.filter(col("lang") === "en").limit(4)
+        .withColumn("doc_id", col("doc_id") + lit(i * 100000L))
+      val v = Snapshot.stageAppend(spark, dir, delta, "lang", "text")
+      Snapshot.commit(spark, dir, v)
+    }
+    val before = fingerprint(Snapshot.read(spark, dir))
+    Snapshot.compactPartitions(spark, dir, "lang", "text", maxFiles = 2,
+      statsCol = Some("n_chars"))
+    // content unchanged, and the compacted files carry recomputed stats:
+    // a range read still skips a strict subset of files
+    assert(fingerprint(Snapshot.readVerified(spark, dir, "text")) === before)
+    val all = Snapshot.read(spark, dir)
+    val ranged = Snapshot.readWhereBetween(spark, dir, 150.0, 300.0)
+    assert(ranged.inputFiles.length < all.inputFiles.length,
+      "post-compaction range read must still skip files")
+    assert(fingerprint(ranged.filter(col("n_chars").between(150, 300))) ===
+      fingerprint(Snapshot.read(spark, dir).filter(col("n_chars").between(150, 300))))
+  }
+
   test("vacuum deletes crashed staging and superseded files but never live ones") {
     val dir = freshDir()
     Snapshot.publish(spark, dir, docs, "lang", "text")
