@@ -332,6 +332,22 @@ class PropertySpec extends SparkSpec {
     daily.unpersist()
   }
 
+  test("theta union over stored per-day sketch rows equals the global sketch") {
+    // The re-aggregation verb (graft_theta_union) on the storage shape:
+    // one sketch row per day, any window answered by unioning stored
+    // bytes. Exact mode on the fixture => merged == global == exact.
+    graft.functions.Theta.register(spark)
+    val ev = graft.ops.T.t(spark, sf(), "events")
+      .select(date_trunc("day", col("ts")).as("day"), col("user_id"))
+    val daily = ev.groupBy("day")
+      .agg(expr("graft_theta_agg(user_id, 4096)").as("sk"))
+    val merged = daily
+      .agg(expr("CAST(graft_theta_estimate(graft_theta_union(sk, 4096)) AS BIGINT)"))
+      .head().getLong(0)
+    val exact = ev.select("user_id").distinct().count()
+    assert(merged === exact, s"union estimate $merged != exact $exact")
+  }
+
   test("theta sketches in estimation mode keep set-op estimates in envelope") {
     // The graded key runs in exact mode (fixture cardinalities « k);
     // force ESTIMATION mode with a tiny k on a synthetic overlap and pin
