@@ -522,20 +522,35 @@ object Snapshot {
     spark.read.parquet(files.toIndexedSeq: _*)
   }
 
-  /** Delete everything the COMMITTED manifest does not reference: data
+  /** Delete everything the RETAINED manifests do not reference: data
     * files of unreferenced older versions, crashed staging attempts, and
-    * stale manifests. Returns the number of deleted data files. Unsafe
-    * only for a reader concurrently holding an OLD resolved file list —
-    * see the retention note in the module doc.
+    * expired manifests. `keepVersions` is the TIME-TRAVEL RETENTION
+    * policy (the standard table-format lever): the newest `keepVersions`
+    * committed manifests — and every data file any of them references —
+    * survive, so `readVersion` keeps working that far back; the default
+    * 1 keeps only the current snapshot. Returns the number of deleted
+    * data files. Unsafe only for a reader concurrently holding a
+    * resolved file list OLDER than the retention window — see the
+    * retention note in the module doc.
     */
-  def vacuum(spark: SparkSession, dir: String): Int = {
+  def vacuum(spark: SparkSession, dir: String, keepVersions: Int = 1): Int = {
+    require(keepVersions >= 1, s"keepVersions must be >= 1, got $keepVersions")
     val n = currentVersion(spark, dir)
     require(n >= 1, s"snapshot table $dir has no committed version")
-    val live = readManifest(spark, dir, n)
-      .select("path").collect().map(_.getString(0)).toSet
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new Path(dir)
     val fs = root.getFileSystem(conf)
+    // retained = the newest keepVersions manifests AT OR BELOW the
+    // committed version (a staged-but-uncommitted v(n+1) manifest is a
+    // crashed attempt, not history — it expires like its data files)
+    val retained = fs.listStatus(root)
+      .map(_.getPath.getName)
+      .collect { case m if m.matches("_manifest\\.v\\d+") =>
+        m.stripPrefix("_manifest.v").toInt }
+      .filter(_ <= n).sorted.takeRight(keepVersions).toSet
+    val live = retained.flatMap(v =>
+      readManifest(spark, dir, v).select("path")
+        .collect().map(_.getString(0)).toSet)
     val rootPrefix = fs.makeQualified(root).toString + "/"
     var removed = 0
     fs.listStatus(root).foreach { st =>
@@ -561,7 +576,7 @@ object Snapshot {
           }
         }
       } else if (st.isDirectory && name.matches("_manifest\\.v\\d+") &&
-          name != s"_manifest.v$n") {
+          !retained.contains(name.stripPrefix("_manifest.v").toInt)) {
         fs.delete(st.getPath, true)
       }
     }

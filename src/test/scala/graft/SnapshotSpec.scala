@@ -279,6 +279,25 @@ class SnapshotSpec extends SparkSpec {
       fingerprint(Snapshot.read(spark, dir).filter(col("n_chars").between(150, 300))))
   }
 
+  test("vacuum retention keeps the last N versions time-travelable") {
+    val dir = freshDir()
+    Snapshot.publish(spark, dir, docs, "lang", "text")
+    Snapshot.upsert(spark, dir, updates, "doc_id", "lang", "text")
+    val more = updates.withColumn("doc_id", col("doc_id") + lit(500000L))
+    Snapshot.upsert(spark, dir, more, "doc_id", "lang", "text")   // v3
+    val v2Fp = fingerprint(Snapshot.readVersion(spark, dir, 2))
+    Snapshot.vacuum(spark, dir, keepVersions = 2)
+    // v2 and v3 retained and intact; v1's exclusive files + manifest gone
+    assert(fingerprint(Snapshot.readVersion(spark, dir, 2)) === v2Fp)
+    assert(fingerprint(Snapshot.read(spark, dir)) ===
+      fingerprint(Snapshot.readVersion(spark, dir, 3)))
+    assert(!new java.io.File(s"$dir/_manifest.v1").exists)
+    // files v2 still references from v1 (untouched partitions) survive
+    org.apache.spark.sql.execution.datasources.FileStatusCache.resetForTesting()
+    assert(fingerprint(Snapshot.readVerified(spark, dir, "text")) ===
+      fingerprint(Snapshot.read(spark, dir)))
+  }
+
   test("vacuum deletes crashed staging and superseded files but never live ones") {
     val dir = freshDir()
     Snapshot.publish(spark, dir, docs, "lang", "text")
