@@ -435,6 +435,59 @@ object EventTime {
           last(col("v"), ignoreNulls = true).over(w).as("value_ffill"),
           coalesce(col("n_obs"), lit(0L)).as("n_obs"))
         .orderBy("user_id", "hour")
+    }),
+
+    // SCD TYPE-2 dimension build — the warehouse-standard "history table"
+    // verb: compress each user's event stream into validity intervals
+    // [valid_from, valid_to) of their CURRENT state (here: the last
+    // event_type seen), one row per state RUN. Composition: change flag
+    // via lag over the (ts, event_id) total order → run id via running
+    // sum (the gaps-and-islands device w_islands grades on values, here
+    // on state changes) → one row per run → valid_to = next run's
+    // valid_from via lead over the RUN ID (NOT valid_from — adjacent runs
+    // can share a ms-truncated timestamp, and the run id is unique per
+    // user, so the window order is total); open rows keep valid_to NULL.
+    // At 100 TB: two window passes + one groupBy, all partitioned by
+    // user — no self-join, no skew beyond the per-user history a SCD2
+    // build inherently serializes.
+    "t_scd2" -> ((s, d) => {
+      val ord = Window.partitionBy("user_id").orderBy(col("ts_ms"), col("event_id"))
+      val byVer = Window.partitionBy("user_id").orderBy(col("scd_ver"))
+      ev(s, d)
+        .withColumn("chg",
+          when(lag(col("event_type"), 1).over(ord).isNull ||
+            lag(col("event_type"), 1).over(ord) =!= col("event_type"), 1L)
+            .otherwise(0L))
+        .withColumn("scd_ver", sum(col("chg")).over(
+          ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("scd_ver"))
+        .agg(first(col("event_type")).as("state"),
+          min(col("ts_ms")).as("valid_from"),
+          count(lit(1)).as("n_events"))
+        .withColumn("valid_to", lead(col("valid_from"), 1).over(byVer))
+        .select(col("user_id"), col("scd_ver"), col("state"),
+          col("valid_from"), col("valid_to"), col("n_events"))
+        .orderBy("user_id", "scd_ver")
+    }),
+
+    // Event-path mining: the per-user transition matrix (bigram counts
+    // over each user's time-ordered event-type stream) — the Markov-chain
+    // input behind funnel discovery and bot detection (a user whose
+    // transitions concentrate on one loop is a crawler). lag over the
+    // same total order as t_scd2, then one global count per (src, dst)
+    // pair — output is |types|² regardless of event volume, so at 100 TB
+    // the shuffle carries at most the type-pair cardinality after
+    // map-side partial aggregation. Top-20 with a TOTAL tiebreak
+    // (cnt desc, src, dst), so the limit boundary is deterministic.
+    "t_event_paths" -> ((s, d) => {
+      val ord = Window.partitionBy("user_id").orderBy(col("ts_ms"), col("event_id"))
+      ev(s, d)
+        .withColumn("src", lag(col("event_type"), 1).over(ord))
+        .filter(col("src").isNotNull)
+        .groupBy(col("src"), col("event_type").as("dst"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("src").asc, col("dst").asc)
+        .limit(20)
     })
   )
 
@@ -662,6 +715,26 @@ object EventTime {
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ffill, " +
         "CAST(coalesce(h.n_obs, 0) AS BIGINT) AS n_obs " +
         "FROM g LEFT JOIN h ON g.user_id = h.user_id AND g.hour = h.hour " +
-        "ORDER BY g.user_id, g.hour")
+        "ORDER BY g.user_id, g.hour"),
+    "t_scd2" ->
+      ("WITH e AS (SELECT user_id, event_id, event_type, date_trunc('milliseconds', ts) AS ts_ms FROM events), " +
+        "flagged AS (SELECT user_id, event_type, ts_ms, " +
+        "CASE WHEN lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) IS NULL " +
+        "OR lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) <> event_type " +
+        "THEN 1 ELSE 0 END AS chg, event_id FROM e), " +
+        "vers AS (SELECT user_id, event_type, ts_ms, " +
+        "CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS scd_ver FROM flagged), " +
+        "runs AS (SELECT user_id, scd_ver, min(event_type) AS state, " +
+        "min(ts_ms) AS valid_from, count(*) AS n_events FROM vers GROUP BY user_id, scd_ver) " +
+        "SELECT user_id, scd_ver, state, valid_from, " +
+        "lead(valid_from) OVER (PARTITION BY user_id ORDER BY scd_ver) AS valid_to, n_events " +
+        "FROM runs ORDER BY user_id, scd_ver"),
+    "t_event_paths" ->
+      ("WITH e AS (SELECT user_id, event_id, event_type, date_trunc('milliseconds', ts) AS ts_ms FROM events), " +
+        "lagged AS (SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) AS src, " +
+        "event_type AS dst FROM e) " +
+        "SELECT src, dst, count(*) AS cnt FROM lagged WHERE src IS NOT NULL " +
+        "GROUP BY src, dst ORDER BY cnt DESC, src, dst LIMIT 20")
   )
 }

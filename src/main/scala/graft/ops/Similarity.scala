@@ -245,6 +245,47 @@ object Similarity {
         .orderBy("probe_id", "rn")
     }),
 
+    // MULTI-PROBE ANN (full Hamming-1 ball), graded with an EXACT oracle —
+    // the recall lever on top of x_ann_bucket_topk's single-probe search:
+    // a probe whose true neighbor hashed one sign-bit away misses it at
+    // nprobe 1, so each probe EXPLODES its 8-bit sign key into the 9
+    // variants at Hamming distance <= 1 (identity + one flip per bit) and
+    // meets the corpus through the SAME bucket equi-join. Variant keys are
+    // distinct, so a candidate meets a probe at most once — no dedup step.
+    // At 100 TB the economics are unchanged: the corpus side still carries
+    // ONE bucket key per vector (no index growth), the fan-out is
+    // nprobe x |probes| on the broadcast-sized probe side only, and the
+    // plan stays a bucketed equi-join at any ball radius. The
+    // margin-GUIDED variant (operators/Ann.multiProbe — probe the nprobe
+    // cheapest flips when a probe budget matters) picks a data-dependent
+    // SUBSET of this ball; AnnSpec grades its recall curve, while this key
+    // grades the deterministic full-ball pipeline end to end.
+    "x_ann_multiprobe" -> ((s, d) => {
+      val e = normed(s, d).withColumn("bucket",
+        expr("array_join(transform(slice(emb, 1, 8), x -> CASE WHEN x > 0 THEN '1' ELSE '0' END), '')"))
+      val probes = broadcast(
+        e.filter(col("vec_id").between(21, 30))
+          .select(col("vec_id").as("probe_id"), col("emb").as("p_emb"),
+            col("nrm").as("p_nrm"), col("bucket").as("b0"))
+          .withColumn("pos", explode(sequence(lit(0), lit(8))))
+          .withColumn("p_bucket", expr(
+            "CASE WHEN pos = 0 THEN b0 ELSE concat(substring(b0, 1, pos - 1), " +
+              "CASE substring(b0, pos, 1) WHEN '1' THEN '0' ELSE '1' END, " +
+              "substring(b0, pos + 1, 8 - pos)) END")))
+      val w = Window.partitionBy("probe_id")
+        .orderBy(col("cos_raw").desc, col("vec_id").asc)
+      fan(s, e).join(probes,
+          col("bucket") === col("p_bucket") && col("vec_id") =!= col("probe_id"))
+        .withColumn("cos_raw",
+          expr("aggregate(zip_with(emb, p_emb, (x, y) -> x * y), cast(0.0 as double), (a, v) -> a + v)")
+            / (col("nrm") * col("p_nrm")))
+        .withColumn("rn", row_number().over(w).cast("bigint"))
+        .filter(col("rn") <= 3)
+        .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("rn"),
+          round(col("cos_raw"), 6).as("cosine"))
+        .orderBy("probe_id", "rn")
+    }),
+
     // Exact dedup: content-hash groups with canonical (min) doc_id.
     "x_dedup_exact" -> ((s, d) =>
       t(s, d, "documents")
@@ -635,6 +676,57 @@ object Similarity {
         .select(col("doc_id"), col("rn"), col("term"),
           round(col("tfidf_raw"), 6).as("tfidf"))
         .orderBy("doc_id", "rn")
+    }),
+
+    // BM25 RETRIEVAL (Robertson/Lucene form), graded: rank the corpus for
+    // a fixed 3-term query — the scoring half of a search/decontamination
+    // stack (x_text_tfidf weighs terms per doc; this key answers "which
+    // docs match THIS query", the primitive behind contamination lookup
+    // and eval-set retrieval). Per doc: tf of each query term + doc
+    // length; corpus scalars (N, avgdl, per-term df) reduce to ONE
+    // broadcast row; score = sum_t idf_t * tf*(k1+1)/(tf + k1*(1-b+b*dl/avgdl)),
+    // k1=1.2 b=0.75, idf = ln(1 + (N-df+.5)/(df+.5)) (Lucene's
+    // non-negative variant). Determinism across engines: the 3 term
+    // contributions are PIVOTED to columns and added in fixed textual
+    // order (a double `sum()` over rows would be addition-order-dependent);
+    // ln/round(…,6) follow the x_text_tfidf precedent. At 100 TB: the
+    // doc-stats scan is one pass, scalars broadcast, score is map-side,
+    // and only the top-k window shuffles — retrieval never joins
+    // doc-to-doc.
+    "x_text_bm25" -> ((s, d) => {
+      val toks = t(s, d, "documents")
+        .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("term"))
+      val perDoc = toks.groupBy("doc_id").agg(
+        count(lit(1)).as("dl"),
+        sum(when(col("term") === "table", 1L).otherwise(0L)).as("tf_table"),
+        sum(when(col("term") === "scan", 1L).otherwise(0L)).as("tf_scan"),
+        sum(when(col("term") === "merge", 1L).otherwise(0L)).as("tf_merge"))
+      val scalars = perDoc.agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("dl")).as("sum_dl"),
+        sum((col("tf_table") > 0).cast("long")).as("df_table"),
+        sum((col("tf_scan") > 0).cast("long")).as("df_scan"),
+        sum((col("tf_merge") > 0).cast("long")).as("df_merge"))
+      def part(tf: String, df: String) = // identical text to the oracle
+        s"ln(1.0 + (CAST(n_docs AS DOUBLE) - $df + 0.5) / ($df + 0.5)) * " +
+          s"($tf * 2.2) / ($tf + 1.2 * (0.25 + 0.75 * dl / (CAST(sum_dl AS DOUBLE) / n_docs)))"
+      // orderBy+limit plans as TakeOrderedAndProject (distributed
+      // per-partition top-10 + driver merge); the row_number window then
+      // runs over 10 rows, never the corpus — a bare global window here
+      // would funnel every matched doc through ONE task.
+      val top10 = perDoc
+        .filter(col("tf_table") + col("tf_scan") + col("tf_merge") > 0)
+        .crossJoin(broadcast(scalars))
+        .withColumn("score_raw", expr(
+          part("tf_table", "df_table") + " + " + part("tf_scan", "df_scan") +
+            " + " + part("tf_merge", "df_merge")))
+        .orderBy(col("score_raw").desc, col("doc_id").asc)
+        .limit(10)
+      val w = Window.orderBy(col("score_raw").desc, col("doc_id").asc)
+      top10
+        .withColumn("rn", row_number().over(w).cast("bigint"))
+        .select(col("rn"), col("doc_id"), round(col("score_raw"), 6).as("bm25"))
+        .orderBy("rn")
     }),
 
     // Bigram counts per lang via positional zip (0-based subscripts).
@@ -1588,6 +1680,33 @@ object Similarity {
         .orderBy("lang")
     }),
 
+    // TARGETED DELETE on the snapshot table (Snapshot.purgeKeys) — the
+    // GDPR / right-to-be-forgotten lifecycle verb, graded on the LOGICAL
+    // content after the purge: publish documents clustered on doc_id
+    // (per-file [lo, hi] key ranges in the manifest), delete a
+    // request-sized doc_id set, read the committed result back. The scale
+    // property (only files whose stat range covers a purge key are
+    // rewritten; all others carry forward byte-identical; fresh files
+    // re-record tight stats so skipping survives) is invisible to the
+    // oracle and pinned by SnapshotSpec. Oracle = the same aggregation
+    // over `documents` WHERE doc_id NOT IN the purge set.
+    "x_io_purge" -> ((s, d) => {
+      val dir = purgeScratch
+      graft.sources.Snapshot.publishClustered(
+        s, dir, t(s, d, "documents"), "lang", "doc_id", "text", nFiles = 8)
+      graft.sources.Snapshot.purgeKeys(s, dir,
+        Seq(3L, 7L, 11L, 101L, 204L, 309L), "doc_id", "lang", "text",
+        statsCol = Some("doc_id"))
+      graft.sources.Snapshot.read(s, dir)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("n_chars"),
+          min("doc_id").as("min_id"), max("doc_id").as("max_id"),
+          sum(conv(substring(md5(col("text")), 1, 8), 16, 10).cast("bigint"))
+            .as("checksum"))
+        .orderBy("lang")
+    }),
+
     // Declarative data-quality expectations (operators/Validate) — the
     // Great-Expectations/dbt-test class: a rule suite compiles to ONE
     // scan (all row rules fuse into a single agg), one groupBy per
@@ -1877,6 +1996,7 @@ object Similarity {
   private lazy val snapshotScratch: String = ioScratch("graft_snapshot")
   private lazy val statsSkipScratch: String = ioScratch("graft_statsskip")
   private lazy val snapshotDiffScratch: String = ioScratch("graft_snapdiff")
+  private lazy val purgeScratch: String = ioScratch("graft_purge")
 
   private def ioScratch(prefix: String): String = {
     val p = java.nio.file.Files.createTempDirectory(prefix)
@@ -2055,6 +2175,22 @@ object Similarity {
         "WHERE p.vec_id BETWEEN 11 AND 20) " +
         "SELECT probe_id, neighbor_id, rn, round(cos_raw, 6) AS cosine " +
         "FROM pairs WHERE rn <= 3 ORDER BY probe_id, rn"),
+    "x_ann_multiprobe" ->
+      ("WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings), " +
+        "n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm, " +
+        "array_to_string(list_transform(emb[1:8], x -> CASE WHEN x > 0 THEN '1' ELSE '0' END), '') AS bucket FROM e), " +
+        "var AS (SELECT vec_id AS probe_id, emb AS p_emb, nrm AS p_nrm, " +
+        "CASE WHEN r.pos = 0 THEN bucket ELSE substring(bucket, 1, r.pos - 1) || " +
+        "(CASE substring(bucket, r.pos, 1) WHEN '1' THEN '0' ELSE '1' END) || " +
+        "substring(bucket, r.pos + 1, 8 - r.pos) END AS p_bucket " +
+        "FROM n, UNNEST(range(0, 9)) AS r(pos) WHERE vec_id BETWEEN 21 AND 30), " +
+        "pairs AS (SELECT v.probe_id, c.vec_id AS neighbor_id, " +
+        "list_dot_product(v.p_emb, c.emb) / (v.p_nrm * c.nrm) AS cos_raw, " +
+        "row_number() OVER (PARTITION BY v.probe_id " +
+        "ORDER BY list_dot_product(v.p_emb, c.emb) / (v.p_nrm * c.nrm) DESC, c.vec_id ASC) AS rn " +
+        "FROM var v JOIN n c ON v.p_bucket = c.bucket AND c.vec_id <> v.probe_id) " +
+        "SELECT probe_id, neighbor_id, rn, round(cos_raw, 6) AS cosine " +
+        "FROM pairs WHERE rn <= 3 ORDER BY probe_id, rn"),
     "x_dedup_ngram" ->
       ("WITH tk AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents), " +
         "sh AS (SELECT DISTINCT doc_id, lang, toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS sh " +
@@ -2224,6 +2360,24 @@ object Similarity {
         "ORDER BY tf * ln(CAST(n_docs AS DOUBLE) / df) DESC, tf.term ASC) AS rn " +
         "FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n) " +
         "WHERE rn <= 5 ORDER BY doc_id, rn"),
+    "x_text_bm25" ->
+      ("WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS term FROM documents), " +
+        "perdoc AS (SELECT doc_id, count(*) AS dl, " +
+        "sum(CASE WHEN term = 'table' THEN 1 ELSE 0 END) AS tf_table, " +
+        "sum(CASE WHEN term = 'scan' THEN 1 ELSE 0 END) AS tf_scan, " +
+        "sum(CASE WHEN term = 'merge' THEN 1 ELSE 0 END) AS tf_merge " +
+        "FROM toks GROUP BY doc_id), " +
+        "scalars AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl, " +
+        "sum(CASE WHEN tf_table > 0 THEN 1 ELSE 0 END) AS df_table, " +
+        "sum(CASE WHEN tf_scan > 0 THEN 1 ELSE 0 END) AS df_scan, " +
+        "sum(CASE WHEN tf_merge > 0 THEN 1 ELSE 0 END) AS df_merge FROM perdoc), " +
+        "scored AS (SELECT doc_id, " +
+        "ln(1.0 + (CAST(n_docs AS DOUBLE) - df_table + 0.5) / (df_table + 0.5)) * (tf_table * 2.2) / (tf_table + 1.2 * (0.25 + 0.75 * dl / (CAST(sum_dl AS DOUBLE) / n_docs))) + " +
+        "ln(1.0 + (CAST(n_docs AS DOUBLE) - df_scan + 0.5) / (df_scan + 0.5)) * (tf_scan * 2.2) / (tf_scan + 1.2 * (0.25 + 0.75 * dl / (CAST(sum_dl AS DOUBLE) / n_docs))) + " +
+        "ln(1.0 + (CAST(n_docs AS DOUBLE) - df_merge + 0.5) / (df_merge + 0.5)) * (tf_merge * 2.2) / (tf_merge + 1.2 * (0.25 + 0.75 * dl / (CAST(sum_dl AS DOUBLE) / n_docs))) AS score_raw " +
+        "FROM perdoc CROSS JOIN scalars WHERE tf_table + tf_scan + tf_merge > 0) " +
+        "SELECT rn, doc_id, bm25 FROM (SELECT row_number() OVER (ORDER BY score_raw DESC, doc_id ASC) AS rn, " +
+        "doc_id, round(score_raw, 6) AS bm25 FROM scored) WHERE rn <= 10 ORDER BY rn"),
     "x_text_ngram" ->
       ("WITH tk AS (SELECT lang, string_split(text, ' ') AS toks FROM documents) " +
         "SELECT lang, toks[i] || ' ' || toks[i + 1] AS bigram, count(*) AS cnt " +
@@ -2667,6 +2821,13 @@ object Similarity {
         "CAST(sum(n_chars) AS BIGINT) AS n_chars, " +
         "CAST(sum(CAST(('0x' || substring(md5(text), 1, 8)) AS BIGINT)) AS BIGINT) AS checksum " +
         "FROM documents WHERE n_chars BETWEEN 150 AND 300 " +
+        "GROUP BY lang ORDER BY lang"),
+    "x_io_purge" ->
+      ("SELECT lang, count(*) AS n_docs, " +
+        "CAST(sum(n_chars) AS BIGINT) AS n_chars, " +
+        "min(doc_id) AS min_id, max(doc_id) AS max_id, " +
+        "CAST(sum(CAST(('0x' || substring(md5(text), 1, 8)) AS BIGINT)) AS BIGINT) AS checksum " +
+        "FROM documents WHERE doc_id NOT IN (3, 7, 11, 101, 204, 309) " +
         "GROUP BY lang ORDER BY lang"),
     // Verified snapshot must equal the original corpus.
     "x_io_manifest" ->

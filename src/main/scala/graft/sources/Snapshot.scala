@@ -280,6 +280,86 @@ object Snapshot {
     n
   }
 
+  /** Stage a TARGETED DELETE (the GDPR / right-to-be-forgotten verb) as
+    * version current+1 (no commit): every row whose `keyCol` value is in
+    * `keys` is removed from the table. FILE-granular copy-on-write guided
+    * by MANIFEST STATS — the lever that makes point deletes affordable at
+    * 100 TB: on a table published via [[publishClustered]] with
+    * `statsCol = keyCol`, only files whose recorded [stat_lo, stat_hi]
+    * range can contain a purge key are rewritten; every other file —
+    * including other files of the SAME partition — carries forward by
+    * reference, byte-identical (SnapshotSpec pins both properties). Files
+    * without stats are conservatively rewritten, so the op is correct on
+    * any table and merely cheaper on a clustered one.
+    *
+    * `keys` is REQUEST-sized (a deletion request, not a data set), so the
+    * manifest prune happens driver-side and the delete predicate is a
+    * NOT-isin that Catalyst pushes into the rewritten files' parquet scan.
+    * For a data-sized delete set, use [[stageReplacePartitions]] with an
+    * anti-join instead. Rewritten rows are re-range-partitioned and
+    * re-sorted on `statsCol` with fresh per-file stats, so range skipping
+    * survives the purge (the [[compactPartitions]] device).
+    */
+  def stagePurge(spark: SparkSession, dir: String, keys: Seq[Long],
+      keyCol: String, partCol: String, checksumCol: String,
+      statsCol: Option[String] = None): Int = {
+    val cur = currentVersion(spark, dir)
+    require(cur >= 1, s"snapshot table $dir has no committed version to purge")
+    require(keys.nonEmpty, "empty purge key set — nothing to delete")
+    val manifest = readManifest(spark, dir, cur)
+    val entries = manifest
+      .select("path", "stat_lo", "stat_hi").collect()
+    val hit = entries.filter { r =>
+      r.isNullAt(1) || r.isNullAt(2) ||
+        keys.exists(k => k >= r.getDouble(1) && k <= r.getDouble(2))
+    }.map(r => r.getString(0))
+    if (hit.isEmpty) return cur // no file can contain any key
+    val n = cur + 1
+    val base = spark.read.parquet(hit.map(p => s"$dir/$p").toIndexedSeq: _*)
+    val kept = base.filter(!col(keyCol).isin(keys: _*))
+    // keep ~the affected file count so purge neither fragments nor
+    // collapses the clustered layout; sort restores tight stat ranges
+    val laid = statsCol match {
+      case Some(c) => kept.withColumn("_p", col(partCol))
+        .repartitionByRange(hit.length, col("_p"), col(c))
+        .sortWithinPartitions("_p", c)
+      case None => kept.withColumn("_p", col(partCol)).repartition(col("_p"))
+    }
+    val staged = laid.localCheckpoint() // see stageCow: never race own input
+    val purgedAll = staged.isEmpty // every affected row deleted → no v$n files
+    if (!purgedAll)
+      staged.write.mode("overwrite").partitionBy("_p").parquet(s"$dir/v$n")
+    staged.unpersist(blocking = true)
+    val hitSet = hit.toSet
+    val carried = manifest.filter(!col("path").isin(hitSet.toSeq: _*))
+    val fresh = if (purgedAll) manifest.limit(0) else statsCol match {
+      case Some(c) =>
+        spark.read.parquet(s"$dir/v$n")
+          .groupBy(input_file_name().as("abs"), col("_p"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(conv(substring(md5(col(checksumCol).cast("string")), 1, 8), 16, 10)
+              .cast("bigint")).as("checksum"),
+            min(col(c)).cast("double").as("stat_lo"),
+            max(col(c)).cast("double").as("stat_hi"))
+          .select(regexp_extract(col("abs"), "/(v\\d+/.*)$", 1).as("path"),
+            col("_p").cast("string").as("part"), col("n_rows"),
+            col("checksum"), col("stat_lo"), col("stat_hi"))
+      case None => manifestRowsFor(spark, dir, n, partCol, checksumCol)
+    }
+    carried.unionByName(fresh)
+      .coalesce(1).write.mode("overwrite").json(s"$dir/_manifest.v$n")
+    n
+  }
+
+  /** Targeted delete: stage + atomic commit. */
+  def purgeKeys(spark: SparkSession, dir: String, keys: Seq[Long],
+      keyCol: String, partCol: String, checksumCol: String,
+      statsCol: Option[String] = None): Int = {
+    val n = stagePurge(spark, dir, keys, keyCol, partCol, checksumCol, statsCol)
+    if (n > currentVersion(spark, dir)) commit(spark, dir, n)
+    n
+  }
+
   private def readManifest(spark: SparkSession, dir: String, n: Int): DataFrame =
     spark.read
       .schema("path STRING, part STRING, n_rows BIGINT, checksum BIGINT, " +

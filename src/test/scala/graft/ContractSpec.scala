@@ -2,21 +2,22 @@ package graft
 
 /** T1 blanket contract checks: every declared query runs on sf0.001,
   * the queries/oracleSql maps are mutually consistent, and the declared
-  * inventory matches SURVEY.md §2b (184 keys, 177 oracle-checked).
+  * inventory matches SURVEY.md §2b (191 keys, 183 oracle-checked).
   */
 class ContractSpec extends SparkSpec {
 
   private val nonOracle =
-    Set("a_approx_hll", "a_hll_merge", "a_kll_merge", "t_stream_runtime",
-      "t_stream_dedup", "t_stream_session", "t_stream_join")
+    Set("a_approx_hll", "a_hll_merge", "a_kll_merge", "a_kll_window",
+      "t_stream_runtime", "t_stream_dedup", "t_stream_session",
+      "t_stream_join")
 
-  test("inventory matches SURVEY §2b: 184 queries, 177 with oracle SQL") {
-    assert(SparkEntry.queries.size === 184)
-    assert(SparkEntry.oracleSql.size === 177)
-    assert(SparkEntry.queries.keySet.intersect(nonOracle).size === 7)
+  test("inventory matches SURVEY §2b: 191 queries, 183 with oracle SQL") {
+    assert(SparkEntry.queries.size === 191)
+    assert(SparkEntry.oracleSql.size === 183)
+    assert(SparkEntry.queries.keySet.intersect(nonOracle).size === 8)
   }
 
-  test("every oracle key has a query; non-oracle keys are the declared seven") {
+  test("every oracle key has a query; non-oracle keys are the declared eight") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
     assert(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet === nonOracle)
   }
@@ -59,6 +60,8 @@ class ContractSpec extends SparkSpec {
     "x_quality_checks",  // 1-row × 1-row report crossJoin (refIntegrity)
     "a_hll_merge",       // 1-row × 1-row merged/global estimate crossJoin
     "a_kll_merge",       // same 1-row × 1-row shape as a_hll_merge
+    "a_kll_window",      // days×days sketch-row band join (span-bounded)
+    "x_text_bm25",       // 1-row corpus-scalars (N/avgdl/df) crossJoin
     "x_flex_affine", "u_udaf_centroid") // 1-row param/centroid broadcast
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

@@ -332,6 +332,33 @@ class PropertySpec extends SparkSpec {
     daily.unpersist()
   }
 
+  test("a_kll_window: every trailing-7-day estimate sits in its window's rank envelope") {
+    // The graded key's run-independent contract (the key itself is
+    // self-parity: KLL compaction is randomized): for EVERY output day,
+    // n_events matches the window's true event count and the p50/p90
+    // estimates land within 2ε normalized rank of the exact window
+    // distribution — the same envelope a_kll_merge pins globally.
+    val rows = SparkEntry.queries("a_kll_window")(spark, sf()).collect()
+    assert(rows.length > 7, "fixture must span more than one window")
+    val ev = graft.ops.T.t(spark, sf(), "events")
+      .select(date_trunc("day", col("ts")).cast("timestamp_ntz").as("day"),
+        col("value").cast("double").as("v"))
+      .collect().map(r => (r.getAs[java.time.LocalDateTime](0), r.getDouble(1)))
+    for (row <- rows) {
+      val day = row.getAs[java.time.LocalDateTime](0)
+      val win = ev.filter { case (d, _) =>
+        !d.isAfter(day) && !d.isBefore(day.minusDays(6)) }
+      assert(row.getLong(2) === win.length.toLong,
+        s"$day: n_events ${row.getLong(2)} vs ${win.length}")
+      val sorted = win.map(_._2).sorted
+      def rankOf(est: Double) = sorted.count(_ <= est).toDouble / sorted.length
+      assert(math.abs(rankOf(row.getDouble(3)) - 0.5) <= 0.033,
+        s"$day p50: rank(${row.getDouble(3)}) = ${rankOf(row.getDouble(3))}")
+      assert(math.abs(rankOf(row.getDouble(4)) - 0.9) <= 0.033,
+        s"$day p90: rank(${row.getDouble(4)}) = ${rankOf(row.getDouble(4))}")
+    }
+  }
+
   test("theta union over stored per-day sketch rows equals the global sketch") {
     // The re-aggregation verb (graft_theta_union) on the storage shape:
     // one sketch row per day, any window answered by unioning stored

@@ -313,4 +313,62 @@ class SnapshotSpec extends SparkSpec {
     org.apache.spark.sql.execution.datasources.FileStatusCache.resetForTesting()
     assert(fingerprint(Snapshot.readVerified(spark, dir, "text")) === expected)
   }
+
+  test("stagePurge rewrites only stat-covering files; the rest carry by reference") {
+    val dir = freshDir()
+    Snapshot.publishClustered(spark, dir, docs, "lang", "doc_id", "text",
+      nFiles = 8)
+    def manifest(v: Int) = spark.read
+      .schema("path STRING, part STRING, n_rows BIGINT, checksum BIGINT, " +
+        "stat_lo DOUBLE, stat_hi DOUBLE")
+      .json(s"$dir/_manifest.v$v").collect()
+      .map(r => (r.getString(0), r.getLong(3), r.getDouble(4), r.getDouble(5)))
+    val m1 = manifest(1)
+    // purge keys chosen INSIDE one file's [lo, hi] range so stats can prune
+    val (_, _, lo, _) = m1.minBy(t => t._4 - t._3)
+    val keys = Seq(lo.toLong, lo.toLong + 1)
+    val before = fingerprint(Snapshot.read(spark, dir))
+    val v2 = Snapshot.stagePurge(spark, dir, keys, "doc_id", "lang", "text",
+      statsCol = Some("doc_id"))
+    assert(v2 === 2)
+    // pre-commit isolation: committed read is still all of v1
+    assert(Snapshot.currentVersion(spark, dir) === 1)
+    assert(fingerprint(Snapshot.read(spark, dir)) === before)
+    Snapshot.commit(spark, dir, v2)
+    // logical content: exactly the keyed rows are gone
+    assert(fingerprint(Snapshot.read(spark, dir)) ===
+      fingerprint(docs.filter(!col("doc_id").isin(keys: _*))))
+    // file-granular CoW: every v1 file whose stat range does NOT cover a
+    // purge key is carried forward with an IDENTICAL manifest row; at
+    // least one file was skipped and at least one rewritten
+    val m2 = manifest(2)
+    val covered = m1.filter { case (_, _, l, h) =>
+      keys.exists(k => k >= l && k <= h) }.map(_._1).toSet
+    assert(covered.nonEmpty && covered.size < m1.length,
+      s"degenerate fixture: ${covered.size} of ${m1.length} files covered")
+    val carried = m2.filter(_._1.startsWith("v1/"))
+    assert(carried.map(_._1).toSet === m1.map(_._1).toSet -- covered)
+    assert(carried.toSet.subsetOf(m1.toSet), "carried rows must be identical")
+    // rewritten files re-record tight stats so range skipping survives
+    val fresh = m2.filter(_._1.startsWith("v2/"))
+    assert(fresh.nonEmpty)
+    fresh.foreach { case (p, _, l, h) =>
+      assert(l <= h, s"fresh file $p has no stats") }
+    // purge keys no longer covered by any fresh range that claims them
+    assert(Snapshot.read(spark, dir)
+      .filter(col("doc_id").isin(keys: _*)).count() === 0)
+  }
+
+  test("purgeKeys with no stat-covering file is a version no-op") {
+    val dir = freshDir()
+    Snapshot.publishClustered(spark, dir, docs, "lang", "doc_id", "text",
+      nFiles = 4)
+    val before = fingerprint(Snapshot.read(spark, dir))
+    // no doc_id is negative → stats prune every file → nothing staged
+    val n = Snapshot.purgeKeys(spark, dir, Seq(-5L, -6L), "doc_id", "lang",
+      "text", statsCol = Some("doc_id"))
+    assert(n === 1)
+    assert(Snapshot.currentVersion(spark, dir) === 1)
+    assert(fingerprint(Snapshot.read(spark, dir)) === before)
+  }
 }
