@@ -227,6 +227,44 @@ object Joins {
         .orderBy("c_mktsegment")
     }),
 
+    // INCREMENTAL VIEW MAINTENANCE of a JOIN — the delta algebra that
+    // completes t_rollup_incremental (aggregate IVM) for joined views:
+    // a materialized join view V = A ⋈ B is refreshed from deltas as
+    // ΔV = ΔA⋈B₀ ∪ A₀⋈ΔB ∪ ΔA⋈ΔB, then merged (count/sum are
+    // re-aggregable, so V₁ = re-agg(V₀ ∪ agg(ΔV)) with no retraction
+    // algebra needed for inserts). Graded: the incremental result must
+    // EQUAL the full recompute — the oracle is the plain full join, so
+    // the grade IS "the delta algebra changed nothing but the work".
+    // At 100 TB: ΔA⋈B₀ and A₀⋈ΔB are delta×base joins whose shuffles
+    // carry the DELTA plus the base's matching keys only (with the base
+    // bucketed on the join key — x_dedup_incremental's device — the
+    // base side doesn't even shuffle); nightly cost scales with the
+    // delta, never the store. Splits here: orders after 2000-07-01 are
+    // ΔA, lineitems shipped after 2000-07-01 are ΔB — both non-empty at
+    // every SF, and every A-month appears in V so the merge exercises
+    // both update and carry-over groups.
+    "j_ivm_delta" -> ((s, d) => {
+      val cutoff = lit("2000-07-01").cast("timestamp_ntz")
+      val a = t(s, d, "orders").select(col("o_orderkey"),
+        truncNtz("month", col("o_orderdate")).as("month"))
+      val b = t(s, d, "lineitem").select(col("l_orderkey").as("o_orderkey"),
+        col("l_quantity"), col("l_shipdate"))
+      val (a0, da) = (a.filter(col("month") < cutoff),
+        a.filter(col("month") >= cutoff))
+      val (b0, db) = (b.filter(col("l_shipdate") < cutoff),
+        b.filter(col("l_shipdate") >= cutoff))
+      def agg0(v: org.apache.spark.sql.DataFrame) = v.groupBy("month")
+        .agg(count(lit(1)).as("cnt"), sum(dec(col("l_quantity"))).as("qty"))
+      val v0 = agg0(a0.join(b0, "o_orderkey"))
+      val dv = agg0(da.join(b0, "o_orderkey")
+        .unionByName(a0.join(db, "o_orderkey"))
+        .unionByName(da.join(db, "o_orderkey")))
+      v0.unionByName(dv)
+        .groupBy("month")
+        .agg(sum(col("cnt")).as("cnt"), decOut(sum(col("qty"))).as("sum_qty"))
+        .orderBy("month")
+    }),
+
     // Skew-SALTED equi-join (operators/SaltedJoin), graded end to end on
     // the contract's skew fixture: events has very few distinct user_id
     // (15 at sf0.001), so a plain shuffled join funnels each user's whole
@@ -379,6 +417,14 @@ object Joins {
     // The oracle is the UNSALTED join+group — the salted plan must be
     // value-identical to the plain one. (dim join contributes nothing
     // beyond the tier label: every user is in the distinct-user dim.)
+    // the full recompute IS the oracle — grading that the delta algebra
+    // changed nothing
+    "j_ivm_delta" ->
+      // CAST: DuckDB date_trunc('month') returns DATE; Spark stays NTZ
+      ("SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month, count(*) AS cnt, " +
+        "round(CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE), 6) AS sum_qty " +
+        "FROM orders JOIN lineitem ON o_orderkey = l_orderkey " +
+        "GROUP BY month ORDER BY month"),
     "j_skew_salted" ->
       ("SELECT user_id, 'tier' || CAST(user_id % 3 AS VARCHAR) AS tier, " +
         "count(*) AS n_events, " +

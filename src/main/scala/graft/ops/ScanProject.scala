@@ -87,7 +87,37 @@ object ScanProject {
         .orderBy("bucket")),
 
     // Per-column profiling (ANALYZE shape) — see profileStats below.
-    "s_profile_stats" -> profileStats
+    "s_profile_stats" -> profileStats,
+
+    // KEY-SKEW profile — the diagnostic that decides every skew
+    // intervention in this library (SaltedJoin.saltCounts sizes its
+    // factors from exactly these group sizes; AQE's skew-join threshold
+    // is this distribution's tail): group-size distribution of a join/agg
+    // key in two levels — groupBy(key) → sizes (data-sized shuffle with
+    // map-side partial combine), then ONE agg over the #groups-sized
+    // frame. The hottest key travels via orderBy+limit
+    // (TakeOrderedAndProject, total tiebreak) and meets the stats row in
+    // a 1-row × 1-row crossJoin. skew_ratio = max/avg is the headline
+    // number: ~1 ⇒ even, » 1 ⇒ salt (events.user_id is the contract's
+    // deliberately skewed key).
+    "s_skew_profile" -> ((s, d) => {
+      val sizes = t(s, d, "events")
+        .groupBy("user_id").agg(count(lit(1)).as("sz"))
+      val top = sizes.orderBy(col("sz").desc, col("user_id").asc).limit(1)
+        .select(col("user_id").as("top_key"), col("sz").as("top_sz"))
+      sizes.agg(
+          count(lit(1)).as("n_groups"),
+          sum(col("sz")).as("n_rows"),
+          max(col("sz")).as("max_sz"),
+          round(expr("percentile(sz, 0.5D)"), 6).as("p50_sz"),
+          round(expr("percentile(sz, 0.9D)"), 6).as("p90_sz"))
+        .crossJoin(broadcast(top))
+        .select(col("n_groups"), col("n_rows"), col("max_sz"),
+          col("p50_sz"), col("p90_sz"),
+          round(col("max_sz") / (col("n_rows").cast("double") / col("n_groups")), 6)
+            .as("skew_ratio"),
+          col("top_key"), col("top_sz"))
+    })
   )
 
   /** Column-profiling key (split out of the map literal for readability):
@@ -151,6 +181,17 @@ object ScanProject {
       ("SELECT CASE WHEN o_totalprice < 50000 THEN 'low' " +
         "WHEN o_totalprice < 150000 THEN 'mid' ELSE 'high' END AS bucket, " +
         "count(*) AS cnt FROM orders GROUP BY 1 ORDER BY bucket"),
+    "s_skew_profile" ->
+      ("WITH sizes AS (SELECT user_id, count(*) AS sz FROM events GROUP BY user_id), " +
+        "top AS (SELECT user_id AS top_key, sz AS top_sz FROM sizes " +
+        "ORDER BY sz DESC, user_id LIMIT 1), " +
+        "stats AS (SELECT count(*) AS n_groups, CAST(sum(sz) AS BIGINT) AS n_rows, " +
+        "max(sz) AS max_sz, " +
+        "round(percentile_cont(0.5) WITHIN GROUP (ORDER BY sz), 6) AS p50_sz, " +
+        "round(percentile_cont(0.9) WITHIN GROUP (ORDER BY sz), 6) AS p90_sz FROM sizes) " +
+        "SELECT n_groups, n_rows, max_sz, p50_sz, p90_sz, " +
+        "round(max_sz / (CAST(n_rows AS DOUBLE) / n_groups), 6) AS skew_ratio, " +
+        "top_key, top_sz FROM stats CROSS JOIN top"),
     // One UNION ALL branch per profiled column — the relational spelling
     // of the stack() pivot.
     "s_profile_stats" -> Seq(

@@ -2,7 +2,7 @@ package graft
 
 /** T1 blanket contract checks: every declared query runs on sf0.001,
   * the queries/oracleSql maps are mutually consistent, and the declared
-  * inventory matches SURVEY.md §2b (191 keys, 183 oracle-checked).
+  * inventory matches SURVEY.md §2b (193 keys, 185 oracle-checked).
   */
 class ContractSpec extends SparkSpec {
 
@@ -11,9 +11,9 @@ class ContractSpec extends SparkSpec {
       "t_stream_runtime", "t_stream_dedup", "t_stream_session",
       "t_stream_join")
 
-  test("inventory matches SURVEY §2b: 191 queries, 183 with oracle SQL") {
-    assert(SparkEntry.queries.size === 191)
-    assert(SparkEntry.oracleSql.size === 183)
+  test("inventory matches SURVEY §2b: 193 queries, 185 with oracle SQL") {
+    assert(SparkEntry.queries.size === 193)
+    assert(SparkEntry.oracleSql.size === 185)
     assert(SparkEntry.queries.keySet.intersect(nonOracle).size === 8)
   }
 
@@ -61,6 +61,7 @@ class ContractSpec extends SparkSpec {
     "a_hll_merge",       // 1-row × 1-row merged/global estimate crossJoin
     "a_kll_merge",       // same 1-row × 1-row shape as a_hll_merge
     "a_kll_window",      // days×days sketch-row band join (span-bounded)
+    "s_skew_profile",    // 1-row stats × 1-row hottest-key crossJoin
     "x_text_bm25",       // 1-row corpus-scalars (N/avgdl/df) crossJoin
     "x_flex_affine", "u_udaf_centroid") // 1-row param/centroid broadcast
 
