@@ -227,6 +227,59 @@ object Joins {
         .orderBy("c_mktsegment")
     }),
 
+    // RUNTIME BLOOM-FILTER join reduction — Spark's runtime row-level
+    // filtering, the scan-side lever AQE can't give you: a selective
+    // predicate on the DIM side is compiled at optimization time into a
+    // bloom-filter AGGREGATE over the dim's join keys, and the fact side
+    // gains a might_contain() filter BEFORE its shuffle — at 100 TB the
+    // fact rows that would never find a match die at the scan instead of
+    // crossing the wire (the difference between shuffling a day of
+    // lineitems and shuffling the 5 % with urgent orders). The fact side
+    // carries a shuffle_hash hint so the fixture-sized dim doesn't
+    // broadcast (broadcast joins need no runtime filter — at production
+    // scale BOTH sides exceed the broadcast threshold, which is exactly
+    // when this rule fires). Confs (enable + zero the application-side
+    // size gate, which defaults to 10 GB) are scoped to the closure:
+    // the join MATERIALIZES here via T.checkpointed(eager) and the
+    // session confs are restored before returning, so no other graded
+    // plan is perturbed. PlanShapeSpec pins the bloom aggregate and the
+    // pushed might_contain; the oracle is the plain join — the grade IS
+    // "the bloom filter changed nothing but the shuffle volume".
+    "j_runtime_filter" -> ((s, d) => {
+      val enabledK = "spark.sql.optimizer.runtime.bloomFilter.enabled"
+      val gateK =
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+      // the injection rule declines when EITHER side can broadcast by
+      // size (a broadcast join needs no runtime filter), so the
+      // production regime — both sides over the threshold — is simulated
+      // by zeroing the threshold for the closure's lifetime
+      val bcastK = "spark.sql.autoBroadcastJoinThreshold"
+      val oldEnabled = s.conf.getOption(enabledK)
+      val oldGate = s.conf.getOption(gateK)
+      val oldBcast = s.conf.getOption(bcastK)
+      s.conf.set(enabledK, "true")
+      s.conf.set(gateK, "0")
+      s.conf.set(bcastK, "-1")
+      try {
+        val dim = t(s, d, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderkey"), col("o_orderdate"))
+        val fact = t(s, d, "lineitem")
+          .select(col("l_orderkey").as("o_orderkey"), col("l_quantity"))
+        checkpointed(
+          fact.hint("shuffle_hash").join(dim, "o_orderkey")
+            .groupBy(truncNtz("month", col("o_orderdate")).as("month"))
+            .agg(count(lit(1)).as("n_lines"),
+              decOut(sum(dec(col("l_quantity")))).as("sum_qty"))
+            .orderBy("month"),
+          eager = true)
+      } finally {
+        oldEnabled.fold(s.conf.unset(enabledK))(s.conf.set(enabledK, _))
+        oldGate.fold(s.conf.unset(gateK))(s.conf.set(gateK, _))
+        oldBcast.fold(s.conf.unset(bcastK))(s.conf.set(bcastK, _))
+      }
+    }),
+
     // INCREMENTAL VIEW MAINTENANCE of a JOIN — the delta algebra that
     // completes t_rollup_incremental (aggregate IVM) for joined views:
     // a materialized join view V = A ⋈ B is refreshed from deltas as
@@ -417,6 +470,12 @@ object Joins {
     // The oracle is the UNSALTED join+group — the salted plan must be
     // value-identical to the plain one. (dim join contributes nothing
     // beyond the tier label: every user is in the distinct-user dim.)
+    "j_runtime_filter" ->
+      ("SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month, " +
+        "count(*) AS n_lines, " +
+        "round(CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE), 6) AS sum_qty " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "WHERE o_orderpriority = '1-URGENT' GROUP BY month ORDER BY month"),
     // the full recompute IS the oracle — grading that the delta algebra
     // changed nothing
     "j_ivm_delta" ->

@@ -286,6 +286,53 @@ object Similarity {
         .orderBy("probe_id", "rn")
     }),
 
+    // ANN RECALL EVALUATION — the measurement that closes the ANN loop
+    // (an approximate index you can't measure is an index you can't
+    // tune): recall@3 of the Hamming-1 multi-probe search against the
+    // EXACT top-3, computed entirely in-query per probe. Both sides are
+    // deterministic, so the whole evaluation is ORACLE-graded — the
+    // number a 100 TB owner reads before turning the nprobe dial
+    // (AnnSpec measures the margin-guided dial's curve; this key grades
+    // the evaluation harness itself). Shapes: exact side is the
+    // broadcast-probe exhaustive scan (the x_sim_cosine_topk contract
+    // shape — ground truth is allowed to be expensive on a 10-probe
+    // sample); approx side is the multiprobe bucket equi-join; the
+    // hit-join keys on (probe, neighbor) pairs — k-bounded frames.
+    "x_ann_recall" -> ((s, d) => {
+      val e = normed(s, d).withColumn("bucket",
+        expr("array_join(transform(slice(emb, 1, 8), x -> CASE WHEN x > 0 THEN '1' ELSE '0' END), '')"))
+      val probes = broadcast(e.filter(col("vec_id").between(21, 30))
+        .select(col("vec_id").as("probe_id"), col("emb").as("p_emb"),
+          col("nrm").as("p_nrm"), col("bucket").as("b0")))
+      val w = Window.partitionBy("probe_id")
+        .orderBy(col("cos_raw").desc, col("vec_id").asc)
+      def top3(joined: org.apache.spark.sql.DataFrame) = joined
+        .withColumn("cos_raw",
+          expr("aggregate(zip_with(emb, p_emb, (x, y) -> x * y), cast(0.0 as double), (a, v) -> a + v)")
+            / (col("nrm") * col("p_nrm")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("probe_id"), col("vec_id").as("neighbor_id"))
+      val exact = top3(fan(s, e).join(probes, col("vec_id") =!= col("probe_id")))
+      val variants = probes
+        .withColumn("pos", explode(sequence(lit(0), lit(8))))
+        .withColumn("p_bucket", expr(
+          "CASE WHEN pos = 0 THEN b0 ELSE concat(substring(b0, 1, pos - 1), " +
+            "CASE substring(b0, pos, 1) WHEN '1' THEN '0' ELSE '1' END, " +
+            "substring(b0, pos + 1, 8 - pos)) END"))
+      val approx = top3(fan(s, e).join(broadcast(variants),
+        col("bucket") === col("p_bucket") && col("vec_id") =!= col("probe_id")))
+      exact
+        .join(approx.withColumn("hit", lit(1L)),
+          Seq("probe_id", "neighbor_id"), "left")
+        .groupBy("probe_id")
+        .agg(count(lit(1)).as("n_exact"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+        .select(col("probe_id"), col("n_exact"), col("n_hit"),
+          round(col("n_hit").cast("double") / col("n_exact"), 6).as("recall"))
+        .orderBy("probe_id")
+    }),
+
     // Exact dedup: content-hash groups with canonical (min) doc_id.
     "x_dedup_exact" -> ((s, d) =>
       t(s, d, "documents")
@@ -2191,6 +2238,30 @@ object Similarity {
         "FROM var v JOIN n c ON v.p_bucket = c.bucket AND c.vec_id <> v.probe_id) " +
         "SELECT probe_id, neighbor_id, rn, round(cos_raw, 6) AS cosine " +
         "FROM pairs WHERE rn <= 3 ORDER BY probe_id, rn"),
+    "x_ann_recall" ->
+      ("WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings), " +
+        "n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm, " +
+        "array_to_string(list_transform(emb[1:8], x -> CASE WHEN x > 0 THEN '1' ELSE '0' END), '') AS bucket FROM e), " +
+        "p AS (SELECT vec_id AS probe_id, emb AS p_emb, nrm AS p_nrm, bucket AS b0 " +
+        "FROM n WHERE vec_id BETWEEN 21 AND 30), " +
+        "exact AS (SELECT probe_id, neighbor_id FROM (" +
+        "SELECT p.probe_id, c.vec_id AS neighbor_id, row_number() OVER (PARTITION BY p.probe_id " +
+        "ORDER BY list_dot_product(p.p_emb, c.emb) / (p.p_nrm * c.nrm) DESC, c.vec_id ASC) AS rn " +
+        "FROM p, n c WHERE c.vec_id <> p.probe_id) WHERE rn <= 3), " +
+        "var AS (SELECT probe_id, p_emb, p_nrm, " +
+        "CASE WHEN r.pos = 0 THEN b0 ELSE substring(b0, 1, r.pos - 1) || " +
+        "(CASE substring(b0, r.pos, 1) WHEN '1' THEN '0' ELSE '1' END) || " +
+        "substring(b0, r.pos + 1, 8 - r.pos) END AS pb " +
+        "FROM p, UNNEST(range(0, 9)) AS r(pos)), " +
+        "approx AS (SELECT probe_id, neighbor_id FROM (" +
+        "SELECT v.probe_id, c.vec_id AS neighbor_id, row_number() OVER (PARTITION BY v.probe_id " +
+        "ORDER BY list_dot_product(v.p_emb, c.emb) / (v.p_nrm * c.nrm) DESC, c.vec_id ASC) AS rn " +
+        "FROM var v JOIN n c ON v.pb = c.bucket AND c.vec_id <> v.probe_id) WHERE rn <= 3) " +
+        "SELECT x.probe_id, count(*) AS n_exact, " +
+        "CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit, " +
+        "round(CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS recall " +
+        "FROM exact x LEFT JOIN approx a ON x.probe_id = a.probe_id AND x.neighbor_id = a.neighbor_id " +
+        "GROUP BY x.probe_id ORDER BY x.probe_id"),
     "x_dedup_ngram" ->
       ("WITH tk AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents), " +
         "sh AS (SELECT DISTINCT doc_id, lang, toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS sh " +

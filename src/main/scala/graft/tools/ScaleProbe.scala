@@ -420,6 +420,37 @@ object ScaleProbe {
       graft.ops.T.releaseCaches(blocking = true)
       println(f"kll daily-sketch+merge 1x ${tk1}%6.2fs -> 10x ${tk10}%7.2fs (factor ${tk10 / tk1}%5.1f)")
     }
+    // Stats-guided purge at a 10× store: the deletion request is FIXED
+    // (6 keys), the table grows 10× in rows AND files — but the stats
+    // prune bounds the rewrite to the ≤6 covered files either way, so
+    // the purge step itself should be ~flat (the claim that makes point
+    // deletes affordable at 100 TB). Publish cost is reported beside it
+    // as the pay-once baseline.
+    if (mode == "all" || mode == "purge") {
+      def purgeProbe(mult: Int): (Double, Double) = {
+        val dir = java.nio.file.Files.createTempDirectory("probe_purge").toString
+        val docs = (0 until mult).map { i =>
+          base.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+            col("text"), col("lang"), col("source"), col("n_chars"))
+        }.reduce(_ unionByName _)
+        val t0 = System.nanoTime()
+        graft.sources.Snapshot.publishClustered(spark, dir, docs, "lang",
+          "doc_id", "text", nFiles = 8 * mult)
+        val tPub = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        graft.sources.Snapshot.purgeKeys(spark, dir,
+          Seq(3L, 7L, 11L, 101L, 204L, 309L), "doc_id", "lang", "text",
+          statsCol = Some("doc_id"))
+        ((System.nanoTime() - t1) / 1e9, tPub)
+      }
+      val (p1, pub1) = purgeProbe(1)
+      graft.ops.T.releaseCaches(blocking = true)
+      val (p10, pub10) = purgeProbe(10)
+      graft.ops.T.releaseCaches(blocking = true)
+      println(f"purge publish 1x ${pub1}%6.2fs -> 10x ${pub10}%7.2fs; " +
+        f"FIXED-request purge 1x ${p1}%6.2fs -> 10x-store ${p10}%7.2fs " +
+        f"(factor ${p10 / p1}%5.1f, claim ~1)")
+    }
     spark.stop()
   }
 }

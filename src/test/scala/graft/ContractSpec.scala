@@ -2,7 +2,7 @@ package graft
 
 /** T1 blanket contract checks: every declared query runs on sf0.001,
   * the queries/oracleSql maps are mutually consistent, and the declared
-  * inventory matches SURVEY.md §2b (193 keys, 185 oracle-checked).
+  * inventory matches SURVEY.md §2b (195 keys, 187 oracle-checked).
   */
 class ContractSpec extends SparkSpec {
 
@@ -11,9 +11,9 @@ class ContractSpec extends SparkSpec {
       "t_stream_runtime", "t_stream_dedup", "t_stream_session",
       "t_stream_join")
 
-  test("inventory matches SURVEY §2b: 193 queries, 185 with oracle SQL") {
-    assert(SparkEntry.queries.size === 193)
-    assert(SparkEntry.oracleSql.size === 185)
+  test("inventory matches SURVEY §2b: 195 queries, 187 with oracle SQL") {
+    assert(SparkEntry.queries.size === 195)
+    assert(SparkEntry.oracleSql.size === 187)
     assert(SparkEntry.queries.keySet.intersect(nonOracle).size === 8)
   }
 
@@ -46,6 +46,7 @@ class ContractSpec extends SparkSpec {
     "j_theta_ineq",     // pure inequality condition
     "x_sim_dot",        // 1-row broadcast probe vector
     "x_sim_cosine_topk", "x_knn_label_vote", // broadcast probe set, != join
+    "x_ann_recall",      // ground-truth side IS the broadcast-probe exhaustive scan
     // x_ann_bucket_topk is NOT exempt: PlanShapeSpec pins its bucket
     // equi-join to a BroadcastHashJoin, so a regression to BNLJ must
     // fail this blanket contract too (the two suites agree).

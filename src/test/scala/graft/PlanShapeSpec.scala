@@ -188,6 +188,50 @@ class PlanShapeSpec extends SparkSpec {
       plan.contains("BroadcastHashJoin"), s"no hash/merge join found:\n$plan")
   }
 
+  test("j_runtime_filter: the dim predicate becomes a bloom filter on the fact scan") {
+    // the graded key returns a checkpointed frame (confs are closure-
+    // scoped), so the bloom machinery is pinned here on the INNER join
+    // built under the same confs: the selective dim predicate must
+    // compile into a BloomFilter aggregate whose might_contain lands on
+    // the fact side BEFORE its shuffle.
+    import org.apache.spark.sql.functions._
+    val enabledK = "spark.sql.optimizer.runtime.bloomFilter.enabled"
+    val gateK =
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    val bcastK = "spark.sql.autoBroadcastJoinThreshold"
+    val oldE = spark.conf.getOption(enabledK)
+    val oldG = spark.conf.getOption(gateK)
+    val oldB = spark.conf.getOption(bcastK)
+    spark.conf.set(enabledK, "true")
+    spark.conf.set(gateK, "0")
+    // the rule declines when either side can broadcast by size — zero
+    // the threshold to simulate the both-sides-big production regime
+    spark.conf.set(bcastK, "-1")
+    try {
+      val dim = graft.ops.T.t(spark, sf(), "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_orderdate"))
+      val fact = graft.ops.T.t(spark, sf(), "lineitem")
+        .select(col("l_orderkey").as("o_orderkey"), col("l_quantity"))
+      val joined = fact.hint("shuffle_hash").join(dim, "o_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("might_contain"),
+        s"no runtime bloom filter injected:\n$plan")
+      assert(plan.toLowerCase.contains("bloomfilter"),
+        s"no bloom aggregate on the dim side:\n$plan")
+      // semantics unchanged: same count as the un-filtered-plan join
+      spark.conf.set(enabledK, "false")
+      val plain = fact.join(dim, "o_orderkey")
+      assert(!plain.queryExecution.executedPlan.toString.contains("might_contain"))
+      spark.conf.set(enabledK, "true")
+      assert(joined.count() === plain.count())
+    } finally {
+      oldE.fold(spark.conf.unset(enabledK))(spark.conf.set(enabledK, _))
+      oldG.fold(spark.conf.unset(gateK))(spark.conf.set(gateK, _))
+      oldB.fold(spark.conf.unset(bcastK))(spark.conf.set(bcastK, _))
+    }
+  }
+
   test("x_quality_checks: all six row/unique rules run in ONE scan of documents") {
     // the fused-agg promise: adding row rules must not add passes. The
     // report unions 6 single-row frames off ONE shared wide aggregate +
