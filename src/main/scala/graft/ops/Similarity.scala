@@ -1727,6 +1727,47 @@ object Similarity {
         .orderBy("lang")
     }),
 
+    // WRITE-AUDIT-PUBLISH on the snapshot table (Snapshot branches) —
+    // the staging discipline every production corpus refresh wants: the
+    // refresh lands on a BRANCH (a pointer file — zero copy at any table
+    // size), a Validate suite audits the branch's content while main's
+    // readers still see the old snapshot, and only a green audit
+    // fast-forwards main — one atomic rename, so consumers jump from old
+    // to fully-validated new with no intermediate state. Graded on the
+    // logical content main serves AFTER the publish (oracle = the merged
+    // expected corpus); the zero-copy branch, main-isolation-during-
+    // write, and audit-refuses-bad-branch properties are pinned by
+    // SnapshotSpec.
+    "x_io_wap" -> ((s, d) => {
+      val dir = wapScratch
+      val docs = t(s, d, "documents")
+      graft.sources.Snapshot.publish(s, dir, docs, "lang", "text")
+      graft.sources.Snapshot.createBranch(s, dir, "audit")
+      val updates = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+        .withColumn("text", concat(col("text"), lit(" wap2")))
+        .withColumn("n_chars", col("n_chars") + lit(5L))
+      graft.sources.Snapshot.upsertOnBranch(s, dir, "audit", updates,
+        "doc_id", "lang", "text")
+      // the AUDIT: content rules must pass on the branch before publish
+      val report = graft.operators.Validate.run(
+        graft.sources.Snapshot.readBranch(s, dir, "audit"),
+        Seq(graft.operators.Validate.notNull("text"),
+          graft.operators.Validate.check("n_chars_is_len",
+            col("n_chars") === length(col("text"))),
+          graft.operators.Validate.unique("doc_id")))
+      val violations = report.agg(sum(col("n_violations"))).head().getLong(0)
+      require(violations == 0L,
+        s"audit failed with $violations violations — branch NOT published")
+      graft.sources.Snapshot.publishBranch(s, dir, "audit")
+      graft.sources.Snapshot.read(s, dir)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("n_chars"),
+          sum(conv(substring(md5(col("text")), 1, 8), 16, 10).cast("bigint"))
+            .as("checksum"))
+        .orderBy("lang")
+    }),
+
     // TARGETED DELETE on the snapshot table (Snapshot.purgeKeys) — the
     // GDPR / right-to-be-forgotten lifecycle verb, graded on the LOGICAL
     // content after the purge: publish documents clustered on doc_id
@@ -2044,6 +2085,7 @@ object Similarity {
   private lazy val statsSkipScratch: String = ioScratch("graft_statsskip")
   private lazy val snapshotDiffScratch: String = ioScratch("graft_snapdiff")
   private lazy val purgeScratch: String = ioScratch("graft_purge")
+  private lazy val wapScratch: String = ioScratch("graft_wap")
 
   private def ioScratch(prefix: String): String = {
     val p = java.nio.file.Files.createTempDirectory(prefix)
@@ -2893,6 +2935,15 @@ object Similarity {
         "CAST(sum(CAST(('0x' || substring(md5(text), 1, 8)) AS BIGINT)) AS BIGINT) AS checksum " +
         "FROM documents WHERE n_chars BETWEEN 150 AND 300 " +
         "GROUP BY lang ORDER BY lang"),
+    // the merged expected corpus is what main serves after the publish
+    "x_io_wap" ->
+      ("WITH merged AS (SELECT doc_id, " +
+        "CASE WHEN doc_id % 7 = 0 THEN text || ' wap2' ELSE text END AS text, lang, " +
+        "CASE WHEN doc_id % 7 = 0 THEN n_chars + 5 ELSE n_chars END AS n_chars " +
+        "FROM documents) " +
+        "SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars, " +
+        "CAST(sum(CAST(('0x' || substring(md5(text), 1, 8)) AS BIGINT)) AS BIGINT) AS checksum " +
+        "FROM merged GROUP BY lang ORDER BY lang"),
     "x_io_purge" ->
       ("SELECT lang, count(*) AS n_docs, " +
         "CAST(sum(n_chars) AS BIGINT) AS n_chars, " +

@@ -35,11 +35,15 @@ import org.apache.spark.sql.functions._
   *    list — they see version N or N+1 in full, never a mix, with no
   *    locks and no read-side coordination.
   *
-  * Crash analysis: everything before `commit` writes only to `v{N+1}`
-  * staging paths that no pointer references — a crash leaves the table
-  * exactly at version N, and a RETRY restages `v{N+1}` with
-  * `mode=overwrite` (idempotent, no duplication — the fix for the
-  * `Rollup.refreshDaily` append-retry hazard). `stage*` + `commit` are
+  * Crash analysis: everything before `commit` writes only to staging
+  * paths that no pointer references — a crash leaves the table exactly
+  * at version N, and a RETRY stages a FRESH version number
+  * ([[nextVersion]] allocates past every existing `v*` dir, so a retry
+  * never overwrites a directory another lineage might reference — since
+  * branches share the version store this is load-bearing, not just
+  * object-store hygiene); the crashed attempt is unreferenced garbage
+  * that `vacuum` collects. No duplication either way — the fix for the
+  * `Rollup.refreshDaily` append-retry hazard. `stage*` + `commit` are
   * exposed separately so callers can interpose validation
   * (`operators/Validate`) between materializing a snapshot and
   * publishing it — the promote-gate shape — and so SnapshotSpec can
@@ -67,13 +71,15 @@ import org.apache.spark.sql.functions._
 object Snapshot {
 
   private val PtrName = "_latest"
+  private val BranchPrefix = "_branch."
 
   private def fc(spark: SparkSession): FileContext =
     FileContext.getFileContext(spark.sparkContext.hadoopConfiguration)
 
-  private def readPointer(spark: SparkSession, dir: String): Option[String] = {
+  private def readPointerFile(spark: SparkSession, dir: String,
+      ptrName: String): Option[String] = {
     val ctx = fc(spark)
-    val ptr = new Path(dir, PtrName)
+    val ptr = new Path(dir, ptrName)
     if (!ctx.util.exists(ptr)) None
     else {
       val in = ctx.open(ptr)
@@ -82,13 +88,18 @@ object Snapshot {
     }
   }
 
+  private def readPointer(spark: SparkSession, dir: String): Option[String] =
+    readPointerFile(spark, dir, PtrName)
+
+  private def parseVersion(dir: String, ptrName: String, txt: String): Int =
+    """"version"\s*:\s*(\d+)""".r.findFirstMatchIn(txt)
+      .map(_.group(1).toInt)
+      .getOrElse(sys.error(s"unparseable snapshot pointer $dir/$ptrName: $txt"))
+
   /** The committed version, 0 when the table has never been published. */
   def currentVersion(spark: SparkSession, dir: String): Int =
-    readPointer(spark, dir).map { txt =>
-      """"version"\s*:\s*(\d+)""".r.findFirstMatchIn(txt)
-        .map(_.group(1).toInt)
-        .getOrElse(sys.error(s"unparseable snapshot pointer $dir/$PtrName: $txt"))
-    }.getOrElse(0)
+    readPointer(spark, dir)
+      .map(parseVersion(dir, PtrName, _)).getOrElse(0)
 
   /** The commit TAG of the current version (None when untagged or never
     * published) — the exactly-once handle for idempotent ingest: a
@@ -110,12 +121,16 @@ object Snapshot {
     * [[currentTag]]); tags must not contain '"' or '\\'.
     */
   def commit(spark: SparkSession, dir: String, n: Int,
-      tag: Option[String] = None): Unit = {
+      tag: Option[String] = None): Unit =
+    flipPointer(spark, dir, PtrName, n, tag)
+
+  private def flipPointer(spark: SparkSession, dir: String, ptrName: String,
+      n: Int, tag: Option[String]): Unit = {
     require(n >= 1, s"version must be >= 1, got $n")
     require(tag.forall(t => !t.exists(c => c == '"' || c == '\\')),
       "commit tags must not contain quote or backslash characters")
     val ctx = fc(spark)
-    val tmp = new Path(dir, s"$PtrName.tmp.${java.util.UUID.randomUUID}")
+    val tmp = new Path(dir, s"$ptrName.tmp.${java.util.UUID.randomUUID}")
     val out = ctx.create(tmp,
       java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE,
         org.apache.hadoop.fs.CreateFlag.OVERWRITE),
@@ -123,7 +138,124 @@ object Snapshot {
     val body = tag.fold(s"""{"version":$n}""")(t =>
       s"""{"version":$n,"tag":"$t"}""")
     try out.write(body.getBytes("UTF-8")) finally out.close()
-    ctx.rename(tmp, new Path(dir, PtrName), Options.Rename.OVERWRITE)
+    ctx.rename(tmp, new Path(dir, ptrName), Options.Rename.OVERWRITE)
+  }
+
+  // ------------------------------------------------------------------
+  // BRANCHES — named pointers over the same immutable version store
+  // (the Iceberg-branch / WAP "write-audit-publish" device): a branch is
+  // ONE tiny pointer file, so creating it copies nothing; writes on the
+  // branch stage ordinary new versions (globally-unique numbers via
+  // [[nextVersion]], so branch and main never collide in v{N}/) and flip
+  // only the branch pointer; main's readers are untouched until
+  // [[publishBranch]] fast-forwards `_latest` — the same single atomic
+  // rename as every other commit. The audit step between write and
+  // publish is the point: run `operators/Validate` on [[readBranch]] and
+  // publish only a green branch. Same single-writer caveat as the main
+  // pointer, per branch.
+  // ------------------------------------------------------------------
+
+  private def branchPtr(name: String): String = {
+    require(name.matches("[A-Za-z0-9_-]+"),
+      s"branch names must match [A-Za-z0-9_-]+, got '$name'")
+    s"$BranchPrefix$name"
+  }
+
+  /** The branch's committed version. Throws when the branch is absent. */
+  def branchVersion(spark: SparkSession, dir: String, name: String): Int =
+    readPointerFile(spark, dir, branchPtr(name))
+      .map(parseVersion(dir, branchPtr(name), _))
+      .getOrElse(sys.error(s"snapshot table $dir has no branch '$name'"))
+
+  /** Create (or reset) branch `name` at the current committed version —
+    * a pointer write, ZERO data copied at any table size.
+    */
+  def createBranch(spark: SparkSession, dir: String, name: String): Int = {
+    val n = currentVersion(spark, dir)
+    require(n >= 1, s"snapshot table $dir has no committed version to branch")
+    flipPointer(spark, dir, branchPtr(name), n, None)
+    n
+  }
+
+  /** First unused version number across ALL lineages (main + branches +
+    * crashed stages): branch writes must not collide with main's next
+    * `v{N}/` directory, so version numbers are allocated from the
+    * manifest listing, not from any one pointer.
+    */
+  private def nextVersion(spark: SparkSession, dir: String): Int = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return 1 // first publish creates the table dir
+    val vs = fs.listStatus(root).map(_.getPath.getName).collect {
+      case m if m.matches("_manifest\\.v\\d+") =>
+        m.stripPrefix("_manifest.v").toInt
+      case d if d.matches("v\\d+") => d.stripPrefix("v").toInt
+    }
+    if (vs.isEmpty) 1 else vs.max + 1
+  }
+
+  /** Copy-on-write MERGE committed to branch `name` only: same semantics
+    * as [[upsert]], but the base is the BRANCH head and main's pointer —
+    * and therefore every main reader — is untouched.
+    */
+  def upsertOnBranch(spark: SparkSession, dir: String, name: String,
+      updates: DataFrame, keyCol: String, partCol: String,
+      checksumCol: String): Int = {
+    val base = branchVersion(spark, dir, name)
+    val n = stageCowFrom(spark, dir, base, nextVersion(spark, dir),
+      updates, partCol, checksumCol) { b =>
+      b.join(updates.select(keyCol), Seq(keyCol), "left_anti")
+        .unionByName(updates)
+    }
+    flipPointer(spark, dir, branchPtr(name), n, None)
+    n
+  }
+
+  /** Read branch `name`'s committed content (same snapshot isolation as
+    * [[read]] — one pointer resolve, one immutable file list).
+    */
+  def readBranch(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val v = branchVersion(spark, dir, name)
+    val files = readManifest(spark, dir, v)
+      .select("path").collect().map(r => s"$dir/${r.getString(0)}")
+    spark.read.parquet(files.toIndexedSeq: _*)
+  }
+
+  /** PUBLISH the branch: fast-forward main's `_latest` to the branch
+    * head — one atomic rename, so main's readers jump from the old
+    * snapshot to the fully-written branch state with no intermediate.
+    * This is the "P" of write-audit-publish; the caller audits
+    * [[readBranch]] first (ValidateSpec-style gates) and only then
+    * promotes.
+    */
+  def publishBranch(spark: SparkSession, dir: String, name: String,
+      tag: Option[String] = None): Int = {
+    val v = branchVersion(spark, dir, name)
+    commit(spark, dir, v, tag)
+    v
+  }
+
+  /** Drop the branch pointer. Its versions become unreferenced (unless
+    * published) and fall to [[vacuum]].
+    */
+  def dropBranch(spark: SparkSession, dir: String, name: String): Unit = {
+    val ctx = fc(spark)
+    val p = new Path(dir, branchPtr(name))
+    if (ctx.util.exists(p)) { ctx.delete(p, false); () }
+  }
+
+  /** All live branch names with their head versions (vacuum retains
+    * these heads' manifests and files).
+    */
+  def branches(spark: SparkSession, dir: String): Map[String, Int] = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) Map.empty
+    else fs.listStatus(root).map(_.getPath.getName).collect {
+      case p if p.startsWith(BranchPrefix) && !p.contains(".tmp.") =>
+        val name = p.stripPrefix(BranchPrefix)
+        name -> branchVersion(spark, dir, name)
+    }.toMap
   }
 
   /** Per-file stats over a freshly staged version directory (hive layout
@@ -160,7 +292,7 @@ object Snapshot {
       partCol: String, checksumCol: String): Int = {
     require(!df.columns.contains("_p"),
       "snapshot tables reserve the layout column name _p")
-    val n = currentVersion(spark, dir) + 1
+    val n = nextVersion(spark, dir)
     // repartition on the partition value so each task writes whole
     // partitions: without it every one of the shuffle-partition tasks
     // opens a file in EVERY partition directory it sees rows for —
@@ -215,7 +347,7 @@ object Snapshot {
     val cur = currentVersion(spark, dir)
     require(cur >= 1, s"snapshot table $dir has no committed version to append to")
     if (delta.isEmpty) return cur // nothing to stage; caller may re-tag cur
-    val n = cur + 1
+    val n = nextVersion(spark, dir)
     delta.withColumn("_p", col(partCol))
       .repartition(col("_p"))
       .write.mode("overwrite").partitionBy("_p").parquet(s"$dir/v$n")
@@ -244,19 +376,29 @@ object Snapshot {
       (rebuild: DataFrame => DataFrame): Int = {
     val cur = currentVersion(spark, dir)
     require(cur >= 1, s"snapshot table $dir has no committed version to refresh")
-    val n = cur + 1
-    val manifest = readManifest(spark, dir, cur)
+    stageCowFrom(spark, dir, cur, nextVersion(spark, dir), touching, partCol, checksumCol)(rebuild)
+  }
+
+  /** [[stageCow]] generalized over its BASE version and staged version
+    * number — the branch-write core: main staging passes
+    * (currentVersion, currentVersion + 1); a branch write passes its own
+    * head and a globally-unique [[nextVersion]].
+    */
+  private def stageCowFrom(spark: SparkSession, dir: String, base: Int,
+      n: Int, touching: DataFrame, partCol: String, checksumCol: String)
+      (rebuild: DataFrame => DataFrame): Int = {
+    val manifest = readManifest(spark, dir, base)
     val affected = touching.select(col(partCol).cast("string")).distinct()
       .collect().map(_.getString(0)).toSet
     val affectedFiles = manifest
       .filter(col("part").isin(affected.toSeq: _*))
       .select("path").collect().map(r => s"$dir/${r.getString(0)}")
-    val base =
+    val baseRows =
       if (affectedFiles.isEmpty) touching.limit(0)
       else spark.read.parquet(affectedFiles.toIndexedSeq: _*)
-    val merged = rebuild(base)
-      .select(base.columns.map(col).toIndexedSeq: _*)
-    // localCheckpoint: the merged frame reads files of version `cur`;
+    val merged = rebuild(baseRows)
+      .select(baseRows.columns.map(col).toIndexedSeq: _*)
+    // localCheckpoint: the merged frame reads files of the base version;
     // materialize before writing so the new version's write never races
     // its own input plan (affected partitions only — same economics as
     // upsertPartitioned's staging, but here old files are never deleted,
@@ -314,7 +456,7 @@ object Snapshot {
         keys.exists(k => k >= r.getDouble(1) && k <= r.getDouble(2))
     }.map(r => r.getString(0))
     if (hit.isEmpty) return cur // no file can contain any key
-    val n = cur + 1
+    val n = nextVersion(spark, dir)
     val base = spark.read.parquet(hit.map(p => s"$dir/$p").toIndexedSeq: _*)
     val kept = base.filter(!col(keyCol).isin(keys: _*))
     // keep ~the affected file count so purge neither fragments nor
@@ -383,7 +525,7 @@ object Snapshot {
       nFiles: Int): Int = {
     require(!df.columns.contains("_p"),
       "snapshot tables reserve the layout column name _p")
-    val n = currentVersion(spark, dir) + 1
+    val n = nextVersion(spark, dir)
     df.withColumn("_p", col(partCol))
       .repartitionByRange(nFiles, col("_p"), col(statsCol))
       .sortWithinPartitions("_p", statsCol)
@@ -622,12 +764,15 @@ object Snapshot {
     val fs = root.getFileSystem(conf)
     // retained = the newest keepVersions manifests AT OR BELOW the
     // committed version (a staged-but-uncommitted v(n+1) manifest is a
-    // crashed attempt, not history — it expires like its data files)
+    // crashed attempt, not history — it expires like its data files),
+    // PLUS every live branch head — an unpublished audit branch must
+    // survive a concurrent vacuum or WAP would race retention
     val retained = fs.listStatus(root)
       .map(_.getPath.getName)
       .collect { case m if m.matches("_manifest\\.v\\d+") =>
         m.stripPrefix("_manifest.v").toInt }
-      .filter(_ <= n).sorted.takeRight(keepVersions).toSet
+      .filter(_ <= n).sorted.takeRight(keepVersions).toSet ++
+      branches(spark, dir).values
     val live = retained.flatMap(v =>
       readManifest(spark, dir, v).select("path")
         .collect().map(_.getString(0)).toSet)

@@ -68,9 +68,11 @@ class SnapshotSpec extends SparkSpec {
     // crash: stage v2 and never commit
     Snapshot.stageUpsert(spark, dir, updates, "doc_id", "lang", "text")
     assert(Snapshot.currentVersion(spark, dir) === 1)
-    // retry the whole refresh — restages v2 with overwrite, then commits
+    // retry the whole refresh — allocates a FRESH version (never
+    // overwrites a staged dir another lineage might reference; the
+    // crashed v2 becomes vacuum garbage), then commits
     Snapshot.upsert(spark, dir, updates, "doc_id", "lang", "text")
-    assert(Snapshot.currentVersion(spark, dir) === 2)
+    assert(Snapshot.currentVersion(spark, dir) === 3)
     assert(fingerprint(Snapshot.read(spark, dir)) === fingerprint(mergedExpected))
   }
 
@@ -312,6 +314,61 @@ class SnapshotSpec extends SparkSpec {
     assert(!new java.io.File(s"$dir/_manifest.v1").exists)
     org.apache.spark.sql.execution.datasources.FileStatusCache.resetForTesting()
     assert(fingerprint(Snapshot.readVerified(spark, dir, "text")) === expected)
+  }
+
+  test("branches: zero-copy creation, main isolation during writes, atomic publish") {
+    val dir = freshDir()
+    Snapshot.publish(spark, dir, docs, "lang", "text")
+    val before = fingerprint(Snapshot.read(spark, dir))
+    def versionDirs = new java.io.File(dir).listFiles
+      .map(_.getName).count(_.matches("v\\d+"))
+    val dirsBefore = versionDirs
+    // creation = one pointer file, zero data
+    Snapshot.createBranch(spark, dir, "audit")
+    assert(versionDirs === dirsBefore, "branch creation copied data")
+    assert(fingerprint(Snapshot.readBranch(spark, dir, "audit")) === before)
+    // writes on the branch never move main
+    Snapshot.upsertOnBranch(spark, dir, "audit", updates, "doc_id", "lang", "text")
+    assert(Snapshot.currentVersion(spark, dir) === 1)
+    assert(fingerprint(Snapshot.read(spark, dir)) === before)
+    assert(fingerprint(Snapshot.readBranch(spark, dir, "audit"))
+      === fingerprint(mergedExpected))
+    // publish = one pointer flip; main jumps to exactly the branch state
+    Snapshot.publishBranch(spark, dir, "audit")
+    assert(fingerprint(Snapshot.read(spark, dir)) === fingerprint(mergedExpected))
+  }
+
+  test("main and branch lineages never collide on version numbers") {
+    val dir = freshDir()
+    Snapshot.publish(spark, dir, docs, "lang", "text") // v1
+    Snapshot.createBranch(spark, dir, "wip")
+    val bv = Snapshot.upsertOnBranch(spark, dir, "wip", updates,
+      "doc_id", "lang", "text") // v2
+    // a MAIN write after the branch write must allocate past v2 —
+    // overwriting it would corrupt the branch
+    val mv = Snapshot.upsert(spark, dir,
+      updates.withColumn("text", concat(col("text"), lit(" main"))),
+      "doc_id", "lang", "text")
+    assert(mv > bv, s"main staged v$mv over branch head v$bv")
+    // the branch still reads back its own state, untouched
+    assert(fingerprint(Snapshot.readBranch(spark, dir, "wip"))
+      === fingerprint(mergedExpected))
+  }
+
+  test("vacuum retains an unpublished branch head; dropBranch releases it") {
+    val dir = freshDir()
+    Snapshot.publish(spark, dir, docs, "lang", "text")
+    Snapshot.createBranch(spark, dir, "wip")
+    Snapshot.upsertOnBranch(spark, dir, "wip", updates, "doc_id", "lang", "text")
+    val expect = fingerprint(Snapshot.readBranch(spark, dir, "wip"))
+    assert(Snapshot.vacuum(spark, dir) === 0,
+      "vacuum deleted files under a live branch")
+    org.apache.spark.sql.execution.datasources.FileStatusCache.resetForTesting()
+    assert(fingerprint(Snapshot.readBranch(spark, dir, "wip")) === expect)
+    // dropped branch -> its exclusive files become garbage
+    Snapshot.dropBranch(spark, dir, "wip")
+    assert(Snapshot.vacuum(spark, dir) > 0)
+    assert(fingerprint(Snapshot.read(spark, dir)) === fingerprint(docs))
   }
 
   test("stagePurge rewrites only stat-covering files; the rest carry by reference") {
