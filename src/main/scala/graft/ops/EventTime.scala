@@ -140,6 +140,44 @@ object EventTime {
         .withColumn("anomalous", col("sum_value") / col("cnt") > lit(50.0))
         .orderBy("user_id")),
 
+    // STREAMING QUANTILE state (streaming/Stateful.userValueSketch over
+    // transformWithState + RocksDB): the per-key state IS a serialized
+    // KLL sketch, updated per micro-batch — the streaming half of the
+    // sketch lifecycle (a_kll_merge stores per-day sketches; a stream
+    // carries per-key sketches in the state store; both answer
+    // percentile questions from KB-sized state, events never re-read).
+    // ORACLE-graded, not self-parity: the emission is INCLUSIVE RANK of
+    // two fixed probe values, a pure counting function — in the
+    // no-compaction regime (per-user counts « k=2048 at every graded SF)
+    // it equals #(value <= probe)/n exactly, so DuckDB states it as a
+    // conditional count; StatefulSpec pins cross-batch state carry and
+    // the estimation-mode envelope at tiny k. Confs (RocksDB provider —
+    // transformWithState rejects the default HDFS store — and the
+    // batch-path snapshot-lag wart) are closure-scoped via the eager
+    // checkpoint device (j_runtime_filter's pattern).
+    "t_stream_kll" -> ((s, d) => {
+      val provK = "spark.sql.streaming.stateStore.providerClass"
+      val lagK =
+        "spark.sql.streaming.stateStore.coordinatorReportSnapshotUploadLag"
+      val oldProv = s.conf.getOption(provK)
+      val oldLag = s.conf.getOption(lagK)
+      s.conf.set(provK, "org.apache.spark.sql.execution.streaming.state" +
+        ".RocksDBStateStoreProvider")
+      s.conf.set(lagK, "false")
+      try {
+        checkpointed(
+          Stateful.userValueSketch(ev(s, d)).toDF
+            .select(col("user_id"), col("n"),
+              round(col("r50"), 6).as("rank_50"),
+              round(col("r150"), 6).as("rank_150"))
+            .orderBy("user_id"),
+          eager = true)
+      } finally {
+        oldProv.fold(s.conf.unset(provK))(s.conf.set(provK, _))
+        oldLag.fold(s.conf.unset(lagK))(s.conf.set(lagK, _))
+      }
+    }),
+
     // Ordered-funnel analysis (view → click → purchase per user): the
     // event-analytics staple. Each stage's timestamp is the MIN event
     // time strictly AFTER the previous stage's — three chained
@@ -716,6 +754,12 @@ object EventTime {
         "CAST(coalesce(h.n_obs, 0) AS BIGINT) AS n_obs " +
         "FROM g LEFT JOIN h ON g.user_id = h.user_id AND g.hour = h.hour " +
         "ORDER BY g.user_id, g.hour"),
+    // inclusive rank in the no-compaction regime = conditional count
+    "t_stream_kll" ->
+      ("SELECT user_id, count(*) AS n, " +
+        "round(CAST(sum(CASE WHEN value <= 50.0 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS rank_50, " +
+        "round(CAST(sum(CASE WHEN value <= 150.0 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS rank_150 " +
+        "FROM events GROUP BY user_id ORDER BY user_id"),
     "t_scd2" ->
       ("WITH e AS (SELECT user_id, event_id, event_type, date_trunc('milliseconds', ts) AS ts_ms FROM events), " +
         "flagged AS (SELECT user_id, event_type, ts_ms, " +

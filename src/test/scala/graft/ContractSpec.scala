@@ -2,7 +2,7 @@ package graft
 
 /** T1 blanket contract checks: every declared query runs on sf0.001,
   * the queries/oracleSql maps are mutually consistent, and the declared
-  * inventory matches SURVEY.md §2b (196 keys, 188 oracle-checked).
+  * inventory matches SURVEY.md §2b (197 keys, 189 oracle-checked).
   */
 class ContractSpec extends SparkSpec {
 
@@ -11,9 +11,9 @@ class ContractSpec extends SparkSpec {
       "t_stream_runtime", "t_stream_dedup", "t_stream_session",
       "t_stream_join")
 
-  test("inventory matches SURVEY §2b: 196 queries, 188 with oracle SQL") {
-    assert(SparkEntry.queries.size === 196)
-    assert(SparkEntry.oracleSql.size === 188)
+  test("inventory matches SURVEY §2b: 197 queries, 189 with oracle SQL") {
+    assert(SparkEntry.queries.size === 197)
+    assert(SparkEntry.oracleSql.size === 189)
     assert(SparkEntry.queries.keySet.intersect(nonOracle).size === 8)
   }
 

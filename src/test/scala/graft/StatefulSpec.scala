@@ -100,6 +100,54 @@ class StatefulSpec extends SparkSpec {
     }
   }
 
+  test("userValueSketch carries KLL state across batches; tiny k stays in envelope") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // cross-batch carry in the EXACT regime: 1..100 then 101..200 for
+      // one user — the second emission must see all 200 values, and
+      // inclusive rank is then a pure count: rank(50) = 50/200
+      val mem = MemoryStream[(Long, Double)]
+      val q = Stateful.userValueSketch(mem.toDF.toDF("user_id", "value"))
+        .writeStream.format("memory").queryName("kll_sink")
+        .outputMode("append").start()
+      try {
+        mem.addData((1L to 100L).map(v => (7L, v.toDouble)): _*)
+        q.processAllAvailable()
+        mem.addData((101L to 200L).map(v => (7L, v.toDouble)): _*)
+        q.processAllAvailable()
+        val rows = spark.table("kll_sink")
+          .select("user_id", "n", "r50").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        assert(rows.contains((7L, 100L, 0.5)))
+        assert(rows.contains((7L, 200L, 0.25)))
+      } finally q.stop()
+      // estimation regime at k=64 over 10k values: compaction fires, the
+      // rank probe keeps the KLL normalized-rank envelope
+      val mem2 = MemoryStream[(Long, Double)]
+      val q2 = Stateful.userValueSketch(
+          mem2.toDF.toDF("user_id", "value"), k = 64)
+        .writeStream.format("memory").queryName("kll_sink_est")
+        .outputMode("append").start()
+      try {
+        (0 until 10).foreach { b =>
+          mem2.addData((1L to 1000L).map(v => (9L, (b * 1000 + v).toDouble)): _*)
+          q2.processAllAvailable()
+        }
+        val last = spark.table("kll_sink_est")
+          .filter(col("n") === 10000L).select("r50").head().getDouble(0)
+        // rank(50.0) over 1..10000 ≈ 0.005; k=64 bounds rank error ~5%
+        assert(math.abs(last - 0.005) <= 0.08, s"rank(50) = $last")
+      } finally q2.stop()
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("state persists across micro-batches (incremental counts)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
