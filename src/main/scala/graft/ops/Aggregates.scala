@@ -259,6 +259,30 @@ object Aggregates {
           expr("CAST(graft_theta_estimate(graft_theta_anotb(a, b)) AS BIGINT)").as("n_view_only"))
     }),
 
+    // Per-group Shannon ENTROPY — the diversity score data curation
+    // reads before mixing (a lang whose docs concentrate in one source
+    // is a scrape artifact; a flat source distribution is healthy): two
+    // cascaded aggs — (lang, source) counts, then per-lang
+    // H = -Σ p·ln(p) over the #sources-sized inner frame — plus the
+    // normalized H/ln(n_sources) ∈ [0,1] that makes groups of different
+    // fan-out comparable. ln/round(…,6) follow the tf-idf precedent.
+    "a_entropy" -> ((s, d) => {
+      val bySource = t(s, d, "documents")
+        .groupBy("lang", "source").agg(count(lit(1)).as(("cnt")))
+      val byLang = bySource.groupBy("lang")
+        .agg(sum(col("cnt")).as("n_docs"),
+          count(lit(1)).as("n_sources"))
+      bySource.join(byLang, "lang")
+        .withColumn("p", col("cnt").cast("double") / col("n_docs"))
+        .groupBy(col("lang"), col("n_docs"), col("n_sources"))
+        .agg(sum(expr("-p * ln(p)")).as("h"))
+        .select(col("lang"), col("n_docs"), col("n_sources"),
+          round(col("h"), 6).as("entropy"),
+          round(col("h") / log(col("n_sources").cast("double")), 6)
+            .as("norm_entropy"))
+        .orderBy("lang")
+    }),
+
     // MERGEABLE FREQUENT-ITEMS (heavy-hitter) sketch lifecycle
     // (functions/Freq, DataSketches LongsSketch — Misra–Gries family):
     // the fourth sketch verb beside HLL/KLL/theta, answering "which keys
@@ -412,6 +436,16 @@ object Aggregates {
         "(SELECT count(*) FROM b) AS n_purchase, " +
         "(SELECT count(*) FROM (SELECT v FROM a INTERSECT SELECT v FROM b)) AS n_both, " +
         "(SELECT count(*) FROM (SELECT v FROM a EXCEPT SELECT v FROM b)) AS n_view_only"),
+    "a_entropy" ->
+      ("WITH bs AS (SELECT lang, source, count(*) AS cnt FROM documents GROUP BY lang, source), " +
+        "bl AS (SELECT lang, CAST(sum(cnt) AS BIGINT) AS n_docs, count(*) AS n_sources " +
+        "FROM bs GROUP BY lang) " +
+        "SELECT bs.lang, n_docs, n_sources, " +
+        "round(sum(-(CAST(cnt AS DOUBLE) / n_docs) * ln(CAST(cnt AS DOUBLE) / n_docs)), 6) AS entropy, " +
+        "round(sum(-(CAST(cnt AS DOUBLE) / n_docs) * ln(CAST(cnt AS DOUBLE) / n_docs)) " +
+        "/ ln(CAST(n_sources AS DOUBLE)), 6) AS norm_entropy " +
+        "FROM bs JOIN bl ON bs.lang = bl.lang " +
+        "GROUP BY bs.lang, n_docs, n_sources ORDER BY bs.lang"),
     // exact-regime contract: no purge ⇒ estimates are exact counts and
     // max_err is 0 — the oracle states both
     "a_freq_topk" ->

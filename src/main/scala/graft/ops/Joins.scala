@@ -227,6 +227,54 @@ object Joins {
         .orderBy("c_mktsegment")
     }),
 
+    // POINT-IN-TIME join against an SCD2 dimension — the feature-store
+    // staple (training-data assembly asks "what was this entity's state
+    // AT each observation time", and joining the current state instead
+    // is the classic label-leakage bug): materialize each user's state
+    // intervals (the t_scd2 build), then resolve the prevailing state at
+    // every hourly grid point. NOT an interval join: the UNION-WINDOW
+    // device plans it as one sort per user — dim changes and grid points
+    // interleave on (ts, kind, ver) and `last(state, ignoreNulls)`
+    // carries the prevailing state forward, so each observation pays
+    // O(log) in a per-user sort instead of a range-join fan-out. The
+    // (ts, kind, ver) order is TOTAL: kind puts a same-timestamp state
+    // change BEFORE the grid point that must see it (valid_from is
+    // inclusive), ver breaks same-ms change ties by recency. Grid points
+    // before a user's first change are dropped (no prevailing state).
+    "j_pit_scd2" -> ((s, d) => {
+      val e = t(s, d, "events")
+        .withColumn("ts_ms", truncNtz("millisecond", col("ts")))
+      val ord = Window.partitionBy("user_id").orderBy(col("ts_ms"), col("event_id"))
+      val dim = e
+        .withColumn("chg",
+          when(lag(col("event_type"), 1).over(ord).isNull ||
+            lag(col("event_type"), 1).over(ord) =!= col("event_type"), 1L)
+            .otherwise(0L))
+        .withColumn("ver", sum(col("chg")).over(
+          ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("ver"))
+        .agg(first(col("event_type")).as("state"),
+          min(col("ts_ms")).as("pt"))
+        .select(col("user_id"), col("pt"), lit(0).as("kind"),
+          col("ver"), col("state"))
+      val grid = e.groupBy("user_id")
+        .agg(min(truncNtz("hour", col("ts_ms"))).as("h0"),
+          max(truncNtz("hour", col("ts_ms"))).as("h1"))
+        .select(col("user_id"),
+          explode(expr("sequence(h0, h1, interval 1 hour)")).as("pt"))
+        .select(col("user_id"), col("pt"), lit(1).as("kind"),
+          lit(Long.MaxValue).as("ver"),
+          lit(null).cast("string").as("state"))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("pt"), col("kind"), col("ver"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      dim.unionByName(grid)
+        .withColumn("state_at", last(col("state"), ignoreNulls = true).over(w))
+        .filter(col("kind") === 1 && col("state_at").isNotNull)
+        .select(col("user_id"), col("pt").as("hour"), col("state_at"))
+        .orderBy("user_id", "hour")
+    }),
+
     // RUNTIME BLOOM-FILTER join reduction — Spark's runtime row-level
     // filtering, the scan-side lever AQE can't give you: a selective
     // predicate on the DIM side is compiled at optimization time into a
@@ -470,6 +518,27 @@ object Joins {
     // The oracle is the UNSALTED join+group — the salted plan must be
     // value-identical to the plain one. (dim join contributes nothing
     // beyond the tier label: every user is in the distinct-user dim.)
+    "j_pit_scd2" ->
+      ("WITH e AS (SELECT user_id, event_id, event_type, date_trunc('milliseconds', ts) AS ts_ms FROM events), " +
+        "flagged AS (SELECT user_id, event_type, ts_ms, event_id, " +
+        "CASE WHEN lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) IS NULL " +
+        "OR lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) <> event_type " +
+        "THEN 1 ELSE 0 END AS chg FROM e), " +
+        "vers AS (SELECT user_id, event_type, ts_ms, " +
+        "CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ver FROM flagged), " +
+        "dim AS (SELECT user_id, min(ts_ms) AS pt, 0 AS kind, ver, min(event_type) AS state " +
+        "FROM vers GROUP BY user_id, ver), " +
+        "b AS (SELECT user_id, min(date_trunc('hour', ts_ms)) AS h0, " +
+        "max(date_trunc('hour', ts_ms)) AS h1 FROM e GROUP BY user_id), " +
+        "grid AS (SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS pt, " +
+        "1 AS kind, 9223372036854775807 AS ver, CAST(NULL AS VARCHAR) AS state FROM b), " +
+        "r AS (SELECT user_id, pt, kind, last_value(state IGNORE NULLS) OVER (" +
+        "PARTITION BY user_id ORDER BY pt, kind, ver " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS state_at " +
+        "FROM (SELECT * FROM dim UNION ALL SELECT * FROM grid)) " +
+        "SELECT user_id, pt AS hour, state_at FROM r " +
+        "WHERE kind = 1 AND state_at IS NOT NULL ORDER BY user_id, hour"),
     "j_runtime_filter" ->
       ("SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month, " +
         "count(*) AS n_lines, " +
