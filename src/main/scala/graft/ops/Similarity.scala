@@ -1727,6 +1727,40 @@ object Similarity {
         .orderBy("lang")
     }),
 
+    // END-TO-END CURATION PIPELINE — the composition the library exists
+    // for, graded as ONE query: exact dedup (canonical-per-hash) →
+    // quality gate (length window) → per-lang stratified quota (keep the
+    // first 80 % by doc_id — the boundary test is INTEGER 5k ≤ 4n, never
+    // a float fraction, so the cut is bit-identical across engines) →
+    // greedy sequential packing into ~2000-char chunks via the per-lang
+    // prefix-sum window (x_pack_chunks' device) → per-chunk stats. Every
+    // stage is an already-graded verb; what this key adds is the proof
+    // that they COMPOSE into the produce-a-training-cut path with one
+    // deterministic end-to-end oracle. Plan: two window passes + one
+    // groupBy, all partitioned by hash/lang — no stage materializes.
+    "x_curate_e2e" -> ((s, d) => {
+      val wHash = Window.partitionBy("h").orderBy("doc_id")
+      val wLang = Window.partitionBy("lang").orderBy("doc_id")
+      val deduped = t(s, d, "documents")
+        .withColumn("h", md5(lower(trim(col("text"))).cast("binary")))
+        .withColumn("rn", row_number().over(wHash))
+        .filter(col("rn") === 1)
+      val quota = deduped
+        .filter(col("n_chars").between(100, 380))
+        .withColumn("k", row_number().over(wLang))
+        .withColumn("n_lang", count(lit(1)).over(Window.partitionBy("lang")))
+        .filter(col("k") * 5 <= col("n_lang") * 4)
+      quota
+        .withColumn("cum_prev", coalesce(sum(col("n_chars")).over(
+          wLang.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("chunk_id",
+          floor(col("cum_prev") / lit(2000.0)).cast("bigint"))
+        .groupBy("lang", "chunk_id")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+          min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+        .orderBy("lang", "chunk_id")
+    }),
+
     // WRITE-AUDIT-PUBLISH on the snapshot table (Snapshot branches) —
     // the staging discipline every production corpus refresh wants: the
     // refresh lands on a BRANCH (a pointer file — zero copy at any table
@@ -2935,6 +2969,22 @@ object Similarity {
         "CAST(sum(CAST(('0x' || substring(md5(text), 1, 8)) AS BIGINT)) AS BIGINT) AS checksum " +
         "FROM documents WHERE n_chars BETWEEN 150 AND 300 " +
         "GROUP BY lang ORDER BY lang"),
+    "x_curate_e2e" ->
+      ("WITH dedup AS (SELECT * FROM (SELECT doc_id, text, lang, n_chars, " +
+        "row_number() OVER (PARTITION BY md5(lower(trim(text))) ORDER BY doc_id) AS rn " +
+        "FROM documents) WHERE rn = 1), " +
+        "q AS (SELECT doc_id, lang, n_chars, " +
+        "row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS k, " +
+        "count(*) OVER (PARTITION BY lang) AS n_lang " +
+        "FROM dedup WHERE n_chars BETWEEN 100 AND 380), " +
+        "quota AS (SELECT * FROM q WHERE k * 5 <= n_lang * 4), " +
+        "packed AS (SELECT lang, doc_id, n_chars, " +
+        "CAST(floor(CAST(coalesce(sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE) / 2000.0) AS BIGINT) AS chunk_id " +
+        "FROM quota) " +
+        "SELECT lang, chunk_id, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars, " +
+        "min(doc_id) AS first_doc, max(doc_id) AS last_doc " +
+        "FROM packed GROUP BY lang, chunk_id ORDER BY lang, chunk_id"),
     // the merged expected corpus is what main serves after the publish
     "x_io_wap" ->
       ("WITH merged AS (SELECT doc_id, " +

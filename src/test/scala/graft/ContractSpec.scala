@@ -2,7 +2,7 @@ package graft
 
 /** T1 blanket contract checks: every declared query runs on sf0.001,
   * the queries/oracleSql maps are mutually consistent, and the declared
-  * inventory matches SURVEY.md §2b (199 keys, 191 oracle-checked).
+  * inventory matches SURVEY.md §2b (200 keys, 192 oracle-checked).
   */
 class ContractSpec extends SparkSpec {
 
@@ -11,9 +11,9 @@ class ContractSpec extends SparkSpec {
       "t_stream_runtime", "t_stream_dedup", "t_stream_session",
       "t_stream_join")
 
-  test("inventory matches SURVEY §2b: 199 queries, 191 with oracle SQL") {
-    assert(SparkEntry.queries.size === 199)
-    assert(SparkEntry.oracleSql.size === 191)
+  test("inventory matches SURVEY §2b: 200 queries, 192 with oracle SQL") {
+    assert(SparkEntry.queries.size === 200)
+    assert(SparkEntry.oracleSql.size === 192)
     assert(SparkEntry.queries.keySet.intersect(nonOracle).size === 8)
   }
 
