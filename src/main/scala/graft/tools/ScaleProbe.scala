@@ -420,6 +420,52 @@ object ScaleProbe {
       graft.ops.T.releaseCaches(blocking = true)
       println(f"kll daily-sketch+merge 1x ${tk1}%6.2fs -> 10x ${tk10}%7.2fs (factor ${tk10 / tk1}%5.1f)")
     }
+    // Incremental join-view maintenance at a 10× base with a FIXED
+    // delta: the three delta joins' SHUFFLE volume is delta-sized, but
+    // the base sides are plain parquet scans here (unbucketed), so the
+    // honest expectation is scan-linear growth WELL BELOW 10× wall
+    // (the delta joins dominate setup, the base scan streams) — with the
+    // base bucketed on the join key (j_bucketed's device) the base-side
+    // Exchange disappears entirely; this probe records the unbucketed
+    // floor so the bucketing claim has a measured baseline.
+    if (mode == "all" || mode == "ivm") {
+      def ivmProbe(mult: Int): Double = {
+        val o = spark.read.parquet(s"$sfDir/orders.parquet")
+        val l = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        val bigO = (0 until mult).map { i =>
+          o.select((col("o_orderkey") + lit(i * 100000000L)).as("o_orderkey"),
+            col("o_orderdate"))
+        }.reduce(_ unionByName _)
+        val bigL = (0 until mult).map { i =>
+          l.select((col("l_orderkey") + lit(i * 100000000L)).as("o_orderkey"),
+            col("l_quantity"), col("l_shipdate"))
+        }.reduce(_ unionByName _)
+        // FIXED delta: copy 0's post-cutoff rows only
+        val cutoff = lit("2001-06-01").cast("timestamp_ntz")
+        val a0 = bigO.filter(col("o_orderdate") < cutoff)
+        val da = o.filter(col("o_orderdate") >= cutoff)
+          .select(col("o_orderkey"), col("o_orderdate"))
+        val b0 = bigL.filter(col("l_shipdate") < cutoff)
+        val db = l.filter(col("l_shipdate") >= cutoff)
+          .select(col("l_orderkey").as("o_orderkey"), col("l_quantity"),
+            col("l_shipdate"))
+        val (t, _) = time {
+          da.join(b0, "o_orderkey")
+            .unionByName(a0.join(db, "o_orderkey"))
+            .unionByName(da.join(db.drop("l_shipdate")
+              .withColumn("l_shipdate", cutoff), "o_orderkey"))
+            .groupBy(date_trunc("month", col("o_orderdate")).as("m"))
+            .agg(count(lit(1)).as("c"))
+        }
+        t
+      }
+      val i1 = ivmProbe(1)
+      graft.ops.T.releaseCaches(blocking = true)
+      val i10 = ivmProbe(10)
+      graft.ops.T.releaseCaches(blocking = true)
+      println(f"ivm FIXED-delta refresh 1x ${i1}%6.2fs -> 10x-base ${i10}%7.2fs " +
+        f"(factor ${i10 / i1}%5.1f; unbucketed base scan is the linear floor)")
+    }
     // Stats-guided purge at a 10× store: the deletion request is FIXED
     // (6 keys), the table grows 10× in rows AND files — but the stats
     // prune bounds the rewrite to the ≤6 covered files either way, so
