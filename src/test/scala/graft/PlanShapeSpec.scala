@@ -232,6 +232,28 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("j_pit_scd2 resolves point-in-time state with ZERO joins") {
+    // the union-window device's whole point: the PIT resolution that a
+    // naive implementation writes as a range join (grid × intervals,
+    // quadratic per user) must plan as union + per-user window — no
+    // join operator of any kind in the physical plan.
+    val plan = SparkEntry.queries("j_pit_scd2")(spark, sf())
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"PIT resolution planned a join:\n$plan")
+    assert(plan.contains("Window"), s"no window found:\n$plan")
+  }
+
+  test("x_curate_e2e composes four stages without a join or extra scan") {
+    // dedup → gate → quota → pack is windows + one final aggregate;
+    // a join (or a second documents scan beyond the single pipeline
+    // read) would mean a stage materialized instead of composing.
+    val df = SparkEntry.queries("x_curate_e2e")(spark, sf())
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"pipeline planned a join:\n$plan")
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans === 1, s"expected ONE documents scan, found $scans:\n$plan")
+  }
+
   test("x_quality_checks: all six row/unique rules run in ONE scan of documents") {
     // the fused-agg promise: adding row rules must not add passes. The
     // report unions 6 single-row frames off ONE shared wide aggregate +
