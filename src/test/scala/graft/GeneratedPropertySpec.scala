@@ -22,6 +22,42 @@ class GeneratedPropertySpec extends SparkSpec {
   private val doc: Gen[String] =
     Gen.choose(1, 40).flatMap(n => Gen.listOfN(n, word).map(_.mkString(" ")))
 
+  test("property: frequent-items sketch brackets true counts on random streams, any split") {
+    // The run-independent contract of functions/Freq under purging: for
+    // a random skewed stream split arbitrarily across groups, the
+    // merged sketch's [lb, ub] must bracket every emitted item's TRUE
+    // count, and no item whose count exceeds the error bound may be
+    // missing (Misra–Gries guarantee survives the merge).
+    graft.functions.Freq.register(spark)
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(42)
+    for (split <- Seq(1, 5, 13)) {
+      val stream = Seq.fill(2000)(
+        math.min(20L, (1.0 / (rnd.nextDouble() + 0.01)).toLong)) ++
+        Seq.fill(500)(100L + rnd.nextInt(400))
+      val truth = stream.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      val rows = stream.zipWithIndex.map { case (v, i) => (i % split, v) }
+        .toDF("g", "v").groupBy("g")
+        .agg(expr("graft_freq_agg(v, 32)").as("sk"))
+        .agg(expr("graft_freq_merge(sk, 32)").as("sk"))
+        .select(expr("graft_freq_maxerr(sk)").as("err"),
+          explode(expr("graft_freq_items(sk)")).as("r"))
+        .select(col("err"), col("r.item"), col("r.lb"), col("r.ub"))
+        .collect()
+      val err = rows.head.getLong(0)
+      assert(err > 0, "stream must force purges at map size 32")
+      rows.foreach { r =>
+        val c = truth(r.getLong(1))
+        assert(r.getLong(2) <= c && c <= r.getLong(3),
+          s"split $split item ${r.getLong(1)}: true $c outside [${r.getLong(2)}, ${r.getLong(3)}]")
+      }
+      val emitted = rows.map(_.getLong(1)).toSet
+      truth.filter(_._2 > err).keys.foreach(k =>
+        assert(emitted.contains(k), s"split $split: heavy hitter $k missing"))
+    }
+  }
+
   test("property: trainVocab covers the charset and its vocab round-trips every corpus word") {
     import spark.implicits._
     graft.ops.Custom.register(spark)
