@@ -278,7 +278,10 @@ object Aggregates {
         .agg(sum(expr("-p * ln(p)")).as("h"))
         .select(col("lang"), col("n_docs"), col("n_sources"),
           round(col("h"), 6).as("entropy"),
-          round(col("h") / log(col("n_sources").cast("double")), 6)
+          // a single-source group is 0/0 (H = 0, ln(1) = 0): define the
+          // degenerate case as 0 rather than emit engine-specific NaN
+          when(col("n_sources") === 1, lit(0.0))
+            .otherwise(round(col("h") / log(col("n_sources").cast("double")), 6))
             .as("norm_entropy"))
         .orderBy("lang")
     }),
@@ -442,8 +445,9 @@ object Aggregates {
         "FROM bs GROUP BY lang) " +
         "SELECT bs.lang, n_docs, n_sources, " +
         "round(sum(-(CAST(cnt AS DOUBLE) / n_docs) * ln(CAST(cnt AS DOUBLE) / n_docs)), 6) AS entropy, " +
+        "CASE WHEN n_sources = 1 THEN 0.0 ELSE " +
         "round(sum(-(CAST(cnt AS DOUBLE) / n_docs) * ln(CAST(cnt AS DOUBLE) / n_docs)) " +
-        "/ ln(CAST(n_sources AS DOUBLE)), 6) AS norm_entropy " +
+        "/ ln(CAST(n_sources AS DOUBLE)), 6) END AS norm_entropy " +
         "FROM bs JOIN bl ON bs.lang = bl.lang " +
         "GROUP BY bs.lang, n_docs, n_sources ORDER BY bs.lang"),
     // exact-regime contract: no purge ⇒ estimates are exact counts and
