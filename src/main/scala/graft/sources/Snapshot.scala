@@ -59,11 +59,13 @@ import org.apache.spark.sql.functions._
   * touched partitions, never the table. `vacuum` is the only deleter and
   * removes nothing the live manifest references.
   *
-  * Single-writer assumption: concurrent WRITERS would race the pointer
-  * (last flip wins, the loser's version becomes unreferenced garbage for
-  * `vacuum`); real multi-writer needs a conditional swap on the pointer
-  * (table formats use a log store / conditional PUT). Readers are always
-  * safe. `vacuum` while a reader holds a resolved file list of an OLD
+  * Writers: plain `commit` is last-flip-wins (single-writer fast path —
+  * a concurrent writer's update would be silently lost);
+  * `commitIfBase` closes that hazard with OPTIMISTIC CONCURRENCY: an
+  * exclusive-create claim marker makes exactly one writer the successor
+  * of any base version, the loser restages from the new current
+  * (Iceberg's protocol; the claim file is the conditional-PUT key on an
+  * object store). Readers are always safe. `vacuum` while a reader holds a resolved file list of an OLD
   * version can delete files under that reader — retain-then-vacuum
   * policies exist for exactly this; here vacuum keeps only the committed
   * version's files.
@@ -139,6 +141,45 @@ object Snapshot {
       s"""{"version":$n,"tag":"$t"}""")
     try out.write(body.getBytes("UTF-8")) finally out.close()
     ctx.rename(tmp, new Path(dir, ptrName), Options.Rename.OVERWRITE)
+  }
+
+  /** Thrown by [[commitIfBase]] when another writer already committed on
+    * top of the same base — the caller restages from the NEW current
+    * version and retries (optimistic concurrency, Iceberg's protocol).
+    */
+  final class CommitConflictException(dir: String, base: Int)
+    extends RuntimeException(
+      s"snapshot table $dir: base version $base was already built upon " +
+        "by another writer; restage from the current version and retry")
+
+  /** OPTIMISTIC-CONCURRENCY commit: atomically claim the right to be THE
+    * successor of `base`, then flip the pointer to `n`. The claim is an
+    * EXCLUSIVE file create (`_claim.v{base}` with CreateFlag.CREATE and
+    * no OVERWRITE — atomic on HDFS/local; the conditional-PUT key on
+    * object stores), so of two writers that both staged against `base`,
+    * exactly ONE wins; the loser gets [[CommitConflictException]] and
+    * must restage from the new current version — the lost-update hazard
+    * the module doc's single-writer caveat described is closed for
+    * writers that commit through here. Plain [[commit]] remains the
+    * single-writer fast path. Claim markers are version-lineage garbage
+    * and fall to [[vacuum]] with their manifests.
+    */
+  def commitIfBase(spark: SparkSession, dir: String, n: Int, base: Int,
+      tag: Option[String] = None): Unit = {
+    val cur = currentVersion(spark, dir)
+    if (cur != base) throw new CommitConflictException(dir, base)
+    val ctx = fc(spark)
+    val marker = new Path(dir, s"_claim.v$base")
+    try {
+      val out = ctx.create(marker,
+        java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE),
+        Options.CreateOpts.createParent())
+      out.close()
+    } catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+        throw new CommitConflictException(dir, base)
+    }
+    flipPointer(spark, dir, PtrName, n, tag)
   }
 
   // ------------------------------------------------------------------
@@ -803,6 +844,11 @@ object Snapshot {
       } else if (st.isDirectory && name.matches("_manifest\\.v\\d+") &&
           !retained.contains(name.stripPrefix("_manifest.v").toInt)) {
         fs.delete(st.getPath, true)
+      } else if (st.isFile && name.matches("_claim\\.v\\d+") &&
+          !retained.contains(name.stripPrefix("_claim.v").toInt)) {
+        // expired optimistic-commit claims: the pointer moved past this
+        // base, so the version precheck alone now rejects late writers
+        fs.delete(st.getPath, false)
       }
     }
     removed

@@ -371,6 +371,36 @@ class SnapshotSpec extends SparkSpec {
     assert(fingerprint(Snapshot.read(spark, dir)) === fingerprint(docs))
   }
 
+  test("commitIfBase: of two writers on one base, exactly one wins; the loser rebases") {
+    val dir = freshDir()
+    Snapshot.publish(spark, dir, docs, "lang", "text") // v1
+    // both writers stage against base 1 (distinct staged versions —
+    // nextVersion keeps their dirs apart; the POINTER is the contended
+    // resource)
+    val vA = Snapshot.stageUpsert(spark, dir, updates, "doc_id", "lang", "text")
+    val updB = docs.filter(col("lang") === "de")
+      .withColumn("text", concat(col("text"), lit(" b-edit")))
+    val vB = Snapshot.stageUpsert(spark, dir, updB, "doc_id", "lang", "text")
+    assert(vA !== vB)
+    // A commits first and wins the base-1 claim
+    Snapshot.commitIfBase(spark, dir, vA, base = 1)
+    assert(Snapshot.currentVersion(spark, dir) === vA)
+    // B's commit on the same base must CONFLICT, not silently win —
+    // with plain commit, A's update would now be lost
+    intercept[Snapshot.CommitConflictException] {
+      Snapshot.commitIfBase(spark, dir, vB, base = 1)
+    }
+    assert(Snapshot.currentVersion(spark, dir) === vA)
+    // the loser rebases: restage the SAME logical update on the new
+    // current, commit against it — both edits land
+    val vB2 = Snapshot.stageUpsert(spark, dir, updB, "doc_id", "lang", "text")
+    Snapshot.commitIfBase(spark, dir, vB2, base = vA)
+    val expect = mergedExpected
+      .join(updB.select("doc_id"), Seq("doc_id"), "left_anti")
+      .unionByName(updB)
+    assert(fingerprint(Snapshot.read(spark, dir)) === fingerprint(expect))
+  }
+
   test("stagePurge rewrites only stat-covering files; the rest carry by reference") {
     val dir = freshDir()
     Snapshot.publishClustered(spark, dir, docs, "lang", "doc_id", "text",
