@@ -776,6 +776,41 @@ object Similarity {
         .orderBy("rn")
     }),
 
+    // PMI COLLOCATIONS — the association-strength verb the text family
+    // still lacked (tf-idf weighs terms per doc, ngram counts pairs;
+    // PMI asks which adjacent pairs co-occur MORE than their unigram
+    // frequencies predict — multiword expressions, the tokenizer-merge
+    // and stop-phrase signal): pmi(a,b) = ln(c_ab·N / (c_a·c_b)) over
+    // corpus bigram/unigram counts, min-support 5 so rare-pair noise
+    // (whose PMI is inflated by construction) never ranks. All inputs
+    // integer counts feeding ONE ln per row — no double accumulation
+    // anywhere, so cross-engine determinism needs no pivot device.
+    // Two broadcast joins against the #vocab-sized unigram frame; the
+    // corpus never self-joins.
+    "x_text_pmi" -> ((s, d) => {
+      val toks = t(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+      val uni = toks.select(explode(col("w")).as("t"))
+        .groupBy("t").agg(count(lit(1)).as("c"))
+      val bi = toks
+        .filter(size(col("w")) >= 2) // sequence(0, -1) would DESCEND
+        .select(explode(expr(
+          "transform(sequence(0, size(w) - 2), i -> struct(w[i] AS a, w[i + 1] AS b))"))
+          .as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
+      val nBi = bi.agg(count(lit(1)).as("n_bi"))
+      bi.groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+        .filter(col("c_ab") >= 5)
+        .join(broadcast(uni.select(col("t").as("a"), col("c").as("c_a"))), "a")
+        .join(broadcast(uni.select(col("t").as("b"), col("c").as("c_b"))), "b")
+        .crossJoin(broadcast(nBi))
+        .select(col("a"), col("b"), col("c_ab"),
+          round(expr("ln(CAST(c_ab AS DOUBLE) * n_bi / (CAST(c_a AS DOUBLE) * c_b))"), 6)
+            .as("pmi"))
+        .orderBy(col("pmi").desc, col("a").asc, col("b").asc)
+        .limit(20)
+    }),
+
     // Bigram counts per lang via positional zip (0-based subscripts).
     "x_text_ngram" -> ((s, d) =>
       t(s, d, "documents")
@@ -2525,6 +2560,16 @@ object Similarity {
         "FROM perdoc CROSS JOIN scalars WHERE tf_table + tf_scan + tf_merge > 0) " +
         "SELECT rn, doc_id, bm25 FROM (SELECT row_number() OVER (ORDER BY score_raw DESC, doc_id ASC) AS rn, " +
         "doc_id, round(score_raw, 6) AS bm25 FROM scored) WHERE rn <= 10 ORDER BY rn"),
+    "x_text_pmi" ->
+      ("WITH tk AS (SELECT string_split(text, ' ') AS w FROM documents), " +
+        "uc AS (SELECT t, count(*) AS c FROM (SELECT unnest(w) AS t FROM tk) GROUP BY t), " +
+        "bi AS (SELECT w[i] AS a, w[i + 1] AS b FROM tk, UNNEST(range(1, len(w))) AS r(i)), " +
+        "nb AS (SELECT count(*) AS n_bi FROM bi), " +
+        "bc AS (SELECT a, b, count(*) AS c_ab FROM bi GROUP BY a, b HAVING count(*) >= 5) " +
+        "SELECT a, b, c_ab, " +
+        "round(ln(CAST(c_ab AS DOUBLE) * n_bi / (CAST(ca.c AS DOUBLE) * cb.c)), 6) AS pmi " +
+        "FROM bc JOIN uc ca ON ca.t = bc.a JOIN uc cb ON cb.t = bc.b CROSS JOIN nb " +
+        "ORDER BY pmi DESC, a, b LIMIT 20"),
     "x_text_ngram" ->
       ("WITH tk AS (SELECT lang, string_split(text, ' ') AS toks FROM documents) " +
         "SELECT lang, toks[i] || ' ' || toks[i + 1] AS bigram, count(*) AS cnt " +

@@ -2,7 +2,7 @@ package graft
 
 /** T1 blanket contract checks: every declared query runs on sf0.001,
   * the queries/oracleSql maps are mutually consistent, and the declared
-  * inventory matches SURVEY.md §2b (200 keys, 192 oracle-checked).
+  * inventory matches SURVEY.md §2b (201 keys, 193 oracle-checked).
   */
 class ContractSpec extends SparkSpec {
 
@@ -11,9 +11,9 @@ class ContractSpec extends SparkSpec {
       "t_stream_runtime", "t_stream_dedup", "t_stream_session",
       "t_stream_join")
 
-  test("inventory matches SURVEY §2b: 200 queries, 192 with oracle SQL") {
-    assert(SparkEntry.queries.size === 200)
-    assert(SparkEntry.oracleSql.size === 192)
+  test("inventory matches SURVEY §2b: 201 queries, 193 with oracle SQL") {
+    assert(SparkEntry.queries.size === 201)
+    assert(SparkEntry.oracleSql.size === 193)
     assert(SparkEntry.queries.keySet.intersect(nonOracle).size === 8)
   }
 
@@ -53,6 +53,7 @@ class ContractSpec extends SparkSpec {
     "x_dedup_embcos",   // exhaustive BY CONTRACT (§2b; Ann is the scale path)
     "x_mix_balance", "x_flex_intensity_range", "x_flex_threshold_otsu",
     "x_text_tfidf",     // 1-row corpus-count crossJoin
+    "x_text_pmi",       // 1-row bigram-total crossJoin
     "x_text_dsir",      // two 1-row corpus-total crossJoins (importanceWeights)
     "x_text_perplexity", // 1-row vocab-size crossJoin (perplexityScore)
     "x_mix_temperature", // 1-row Σn^α totals crossJoin (temperatureBalance)
