@@ -364,6 +364,15 @@ object Snapshot {
     * the committed snapshot is still one consistent file list. Requires
     * the partition column to be stable per key (the standard partitioned-
     * MERGE contract, same as `DocumentIO.upsertPartitioned`).
+    *
+    * Schema evolution is deliberately NOT implicit: `updates` carrying a
+    * column the table lacks fails LOUDLY (the strict `unionByName`)
+    * rather than silently dropping the new column or null-padding old
+    * rows — widening a 100 TB table is a migration decision (a full
+    * republish, or a table-format ADD COLUMN with default), not a side
+    * effect of one upsert. SnapshotSpec pins the loud refusal; read-side
+    * evolution across generation-mixed parquet is `x_io_schema_evo`'s
+    * territory.
     */
   def stageUpsert(spark: SparkSession, dir: String, updates: DataFrame,
       keyCol: String, partCol: String, checksumCol: String): Int =

@@ -371,6 +371,19 @@ class SnapshotSpec extends SparkSpec {
     assert(fingerprint(Snapshot.read(spark, dir)) === fingerprint(docs))
   }
 
+  test("an upsert with a widened schema refuses loudly, never drops the column") {
+    val dir = freshDir()
+    Snapshot.publish(spark, dir, docs, "lang", "text")
+    val widened = updates.withColumn("quality", lit(0.9))
+    val before = fingerprint(Snapshot.read(spark, dir))
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Snapshot.stageUpsert(spark, dir, widened, "doc_id", "lang", "text")
+    }
+    // and the failed attempt left the committed table untouched
+    assert(Snapshot.currentVersion(spark, dir) === 1)
+    assert(fingerprint(Snapshot.read(spark, dir)) === before)
+  }
+
   test("commitIfBase: of two writers on one base, exactly one wins; the loser rebases") {
     val dir = freshDir()
     Snapshot.publish(spark, dir, docs, "lang", "text") // v1
