@@ -475,6 +475,31 @@ object EventTime {
         .orderBy("user_id", "hour")
     }),
 
+    // GAP DETECTION — the monitoring twin of t_resample_ffill (resample
+    // FILLS holes; an operator also needs to REPORT them — a sensor that
+    // went dark, an ingest partition that never landed): per user,
+    // consecutive distinct active hours more than 1h apart become one
+    // gap row [gap_start, gap_end) with its missing-hour count. One
+    // dedup-to-hours agg + one lag window, both keyed on user — rows
+    // scale with ACTIVE hours, never raw events, and the output is
+    // gaps-only (silence is the common case at 100 TB, so the report is
+    // tiny by construction).
+    "t_gap_detect" -> ((s, d) => {
+      val hours = ev(s, d)
+        .select(col("user_id"), truncNtz("hour", col("ts_ms")).as("h"))
+        .distinct()
+      val w = Window.partitionBy("user_id").orderBy("h")
+      hours
+        .withColumn("prev_h", lag(col("h"), 1).over(w))
+        .filter(col("prev_h").isNotNull &&
+          col("h") > col("prev_h") + expr("INTERVAL 1 HOUR"))
+        .select(col("user_id"),
+          (col("prev_h") + expr("INTERVAL 1 HOUR")).as("gap_start"),
+          col("h").as("gap_end"),
+          expr("timestampdiff(HOUR, prev_h, h) - 1").as("n_missing"))
+        .orderBy("user_id", "gap_start")
+    }),
+
     // SCD TYPE-2 dimension build — the warehouse-standard "history table"
     // verb: compress each user's event stream into validity intervals
     // [valid_from, valid_to) of their CURRENT state (here: the last
@@ -754,6 +779,13 @@ object EventTime {
         "CAST(coalesce(h.n_obs, 0) AS BIGINT) AS n_obs " +
         "FROM g LEFT JOIN h ON g.user_id = h.user_id AND g.hour = h.hour " +
         "ORDER BY g.user_id, g.hour"),
+    "t_gap_detect" ->
+      ("WITH hrs AS (SELECT DISTINCT user_id, date_trunc('hour', date_trunc('milliseconds', ts)) AS h FROM events), " +
+        "lagged AS (SELECT user_id, h, lag(h) OVER (PARTITION BY user_id ORDER BY h) AS prev_h FROM hrs) " +
+        "SELECT user_id, prev_h + INTERVAL 1 HOUR AS gap_start, h AS gap_end, " +
+        "CAST(date_diff('hour', prev_h, h) - 1 AS BIGINT) AS n_missing " +
+        "FROM lagged WHERE prev_h IS NOT NULL AND h > prev_h + INTERVAL 1 HOUR " +
+        "ORDER BY user_id, gap_start"),
     // inclusive rank in the no-compaction regime = conditional count
     "t_stream_kll" ->
       ("SELECT user_id, count(*) AS n, " +

@@ -38,6 +38,21 @@ object SetSort {
         .offset(25)
         .limit(25)),
 
+    // FIXED-SIZE deterministic sample — the verb x_sample_hash's
+    // FRACTION contract can't give ("exactly 200 eval docs", not "2 %"):
+    // order by a salted content hash and take k, which is uniform over
+    // any key distribution, reproducible across runs/partitionings, and
+    // plans as TakeOrderedAndProject (per-partition top-k + driver
+    // merge — no reservoir state, no global sort, no second pass to
+    // count). The salt pins the sample; changing it redraws.
+    "o_sample_fixed" -> ((s, d) =>
+      t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          md5(concat(lit("s1|"), col("o_orderkey").cast("string"))).as("hk"))
+        .orderBy(col("hk").asc, col("o_orderkey").asc)
+        .limit(200)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "hk")),
+
     "o_topk_per_group" -> ((s, d) => {
       val w = Window.partitionBy("o_custkey")
         .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
@@ -91,6 +106,10 @@ object SetSort {
     "o_offset_page" ->
       ("SELECT o_orderkey, o_custkey, o_totalprice FROM orders " +
         "ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 25 OFFSET 25"),
+    "o_sample_fixed" ->
+      ("SELECT o_orderkey, o_custkey, o_totalprice, " +
+        "md5('s1|' || CAST(o_orderkey AS VARCHAR)) AS hk FROM orders " +
+        "ORDER BY hk ASC, o_orderkey ASC LIMIT 200"),
     "o_topk_per_group" ->
       ("SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (" +
         "SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER (" +
