@@ -36,8 +36,18 @@ object Ann {
   private def embDouble(c: Column): Column =
     transform(c, x => x.cast("double"))
 
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+  // codegen'd fused loops (ops/Custom) — HOF aggregate(zip_with) forms
+  // evaluate interpreted lambdas per element and allocate the zipped
+  // array per row; same left-to-right folds, bit-identical values
+  private def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftBridge.{columnOf, exprOf}
+    columnOf(graft.ops.ArrayDotProduct(exprOf(a), exprOf(b)))
+  }
+
+  private def l2sq(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftBridge.{columnOf, exprOf}
+    columnOf(graft.ops.ArrayL2Sq(exprOf(a), exprOf(b)))
+  }
 
   /** nBits-bit signature column for an array<float/double> embedding. */
   def signature(emb: Column, nBits: Int, dim: Int, seed: Long = 42L): Column = {
@@ -368,8 +378,7 @@ object Ann {
       cs: Array[(Int, Seq[Double])]): Seq[Column] =
     cs.sortBy(_._1).toIndexedSeq.map { case (cid, c) =>
       val carr = array(c.map(lit).toIndexedSeq: _*)
-      struct(aggregate(zip_with(embCol, carr, (x, y) => (x - y) * (x - y)),
-        lit(0.0), (a, v) => a + v).as("d"), lit(cid).as("cid"))
+      struct(l2sq(embCol, carr).as("d"), lit(cid).as("cid"))
     }
 
   /** Nearest-centroid assignment: adds `outCol` = argmin cid. */
@@ -480,8 +489,7 @@ object Ann {
     val dtables = cb.indices.map { s =>
       array(cb(s).indices.map { j =>
         val carr = array(cb(s)(j).toIndexedSeq.map(lit): _*)
-        aggregate(zip_with(slice(col("p_emb"), s * sub + 1, sub), carr,
-          (x, y) => (x - y) * (x - y)), lit(0.0), (a, v) => a + v)
+        l2sq(slice(col("p_emb"), s * sub + 1, sub), carr)
       }: _*).as(s"dt$s")
     }
     val routed = broadcast(probeRouting(probes, centroids, nProbe)
@@ -500,8 +508,7 @@ object Ann {
       val floats = emb.select(col("vec_id"), embDouble(col("embedding")).as("v_emb"))
       val pFloats = broadcast(probes.select(col("vec_id").as("probe_id"),
         embDouble(col("embedding")).as("pf_emb")))
-      val l2 = aggregate(zip_with(col("v_emb"), col("pf_emb"),
-        (x, y) => (x - y) * (x - y)), lit(0.0), (a, v) => a + v)
+      val l2 = l2sq(col("v_emb"), col("pf_emb"))
       val wr = Window.partitionBy("probe_id").orderBy(col("d2").asc, col("vec_id").asc)
       scanned.filter(col("rn") <= refine)
         .select("probe_id", "vec_id")
@@ -786,8 +793,7 @@ object Ann {
       cents: Array[Array[Double]]): Column =
     array(cents.indices.map { j =>
       val carr = array(cents(j).toIndexedSeq.map(lit): _*)
-      struct(aggregate(zip_with(sv, carr, (x, y) => (x - y) * (x - y)),
-        lit(0.0), (a, v) => a + v).as("d"), lit(j).as("j"))
+      struct(l2sq(sv, carr).as("d"), lit(j).as("j"))
     }: _*)
 
   /** One-pass FULL-DIM nearest-centroid assignment that keeps the vector:
@@ -839,8 +845,7 @@ object Ann {
     val dtables = cb.indices.map { s =>
       array(cb(s).indices.map { j =>
         val carr = array(cb(s)(j).toIndexedSeq.map(lit): _*)
-        aggregate(zip_with(slice(col("emb"), s * sub + 1, sub), carr,
-          (x, y) => (x - y) * (x - y)), lit(0.0), (a, v) => a + v)
+        l2sq(slice(col("emb"), s * sub + 1, sub), carr)
       }: _*).as(s"dt$s")
     }
     val pt = broadcast(probes
@@ -861,8 +866,7 @@ object Ann {
       val floats = emb.select(col("vec_id"), embDouble(col("embedding")).as("v_emb"))
       val pFloats = broadcast(probes.select(col("vec_id").as("probe_id"),
         embDouble(col("embedding")).as("pf_emb")))
-      val l2 = aggregate(zip_with(col("v_emb"), col("pf_emb"),
-        (x, y) => (x - y) * (x - y)), lit(0.0), (a, v) => a + v)
+      val l2 = l2sq(col("v_emb"), col("pf_emb"))
       val wr = Window.partitionBy("probe_id").orderBy(col("d2").asc, col("vec_id").asc)
       scanned.filter(col("rn") <= refine)
         .select("probe_id", "vec_id")

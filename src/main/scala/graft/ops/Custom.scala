@@ -74,6 +74,55 @@ case class ArrayDotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Codegen'd squared-L2 distance Σ(xᵢ−yᵢ)² over two array<double>
+  * columns — the distance twin of [[ArrayDotProduct]] for the IVF/PQ
+  * paths (operators/Ann), replacing their `aggregate(zip_with)` HOF
+  * folds. Same left-to-right summation order as the HOF form, so every
+  * oracle that replays the fold in SQL stays bit-identical; deliberately
+  * NOT rewritten as dot(a,a)−2dot(a,b)+dot(b,b), which is algebraically
+  * equal but floating-point DIFFERENT. Assumes dense (no-null-element)
+  * arrays, like the embeddings it serves.
+  */
+case class ArrayL2Sq(left: Expression, right: Expression)
+  extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_l2sq"
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val d = x.getDouble(i) - y.getDouble(i)
+      s += d * d
+      i += 1
+    }
+    s
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val dv = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $dv = $a.getDouble($i) - $b.getDouble($i);
+         |  $s += $dv * $dv;
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ArrayL2Sq =
+    copy(left = newLeft, right = newRight)
+}
+
 /** 60-bit MD5 SimHash of a space-tokenized string, one tight JVM pass per
   * row. Bit-for-bit equal to the relational formulation the oracle runs —
   * per DISTINCT token h = first 15 hex digits of md5(utf8) as a 60-bit

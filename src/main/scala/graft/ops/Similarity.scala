@@ -45,12 +45,17 @@ object Similarity {
   /** Embeddings with double-precision vector + L2 norm (float arithmetic
     * differs across engines; double is reproducible — SURVEY §7.3).
     */
-  private def normed(s: org.apache.spark.sql.SparkSession, d: String) =
+  private def normed(s: org.apache.spark.sql.SparkSession, d: String) = {
+    // graft_dot (Custom.ArrayDotProduct): codegen'd fused loop — the
+    // aggregate(zip_with) HOF composition it replaces evaluates an
+    // interpreted lambda per element and allocates the zipped array per
+    // row; identical left-to-right summation, bit-identical values
+    graft.ops.Custom.register(s)
     t(s, d, "embeddings")
       .select(col("vec_id"), col("label"),
         expr("transform(embedding, x -> cast(x as double))").as("emb"))
-      .withColumn("nrm",
-        sqrt(expr("aggregate(emb, cast(0.0 as double), (a, x) -> a + x * x)")))
+      .withColumn("nrm", sqrt(expr("graft_dot(emb, emb)")))
+  }
 
   /** Top-5 cosine neighbors for probes vec_id <= 10 (shared by topk/vote). */
   private def topk(s: org.apache.spark.sql.SparkSession, d: String) = {
@@ -62,7 +67,7 @@ object Similarity {
       .orderBy(col("cos_raw").desc, col("vec_id").asc)
     fan(s, e).join(probes, col("vec_id") =!= col("probe_id"))
       .withColumn("cos_raw",
-        expr("aggregate(zip_with(emb, p_emb, (x, y) -> x * y), cast(0.0 as double), (a, v) -> a + v)")
+        expr("graft_dot(emb, p_emb)")
           / (col("nrm") * col("p_nrm")))
       .withColumn("rn", row_number().over(w).cast("bigint"))
       .filter(col("rn") <= 5)
@@ -120,6 +125,7 @@ object Similarity {
 
   val queries: Map[String, Q] = Map(
     "x_sim_dot" -> ((s, d) => {
+      graft.ops.Custom.register(s)
       val e = t(s, d, "embeddings")
         .select(col("vec_id"),
           expr("transform(embedding, x -> cast(x as double))").as("emb"))
@@ -127,8 +133,8 @@ object Similarity {
         .select(col("emb").as("p_emb")))
       e.crossJoin(probe)
         .select(col("vec_id"),
-          round(expr("aggregate(zip_with(emb, p_emb, (x, y) -> x * y), cast(0.0 as double), (a, v) -> a + v)"), 6).as("dot"),
-          round(sqrt(expr("aggregate(emb, cast(0.0 as double), (a, x) -> a + x * x)")), 6).as("l2"))
+          round(expr("graft_dot(emb, p_emb)"), 6).as("dot"),
+          round(sqrt(expr("graft_dot(emb, emb)")), 6).as("l2"))
         .orderBy("vec_id")
     }),
 
@@ -170,7 +176,7 @@ object Similarity {
       fan(s, e).join(probes,
           col("bucket") === col("p_bucket") && col("vec_id") =!= col("probe_id"))
         .withColumn("cos_raw",
-          expr("aggregate(zip_with(emb, p_emb, (x, y) -> x * y), cast(0.0 as double), (a, v) -> a + v)")
+          expr("graft_dot(emb, p_emb)")
             / (col("nrm") * col("p_nrm")))
         .withColumn("rn", row_number().over(w).cast("bigint"))
         .filter(col("rn") <= 3)
@@ -277,7 +283,7 @@ object Similarity {
       fan(s, e).join(probes,
           col("bucket") === col("p_bucket") && col("vec_id") =!= col("probe_id"))
         .withColumn("cos_raw",
-          expr("aggregate(zip_with(emb, p_emb, (x, y) -> x * y), cast(0.0 as double), (a, v) -> a + v)")
+          expr("graft_dot(emb, p_emb)")
             / (col("nrm") * col("p_nrm")))
         .withColumn("rn", row_number().over(w).cast("bigint"))
         .filter(col("rn") <= 3)
@@ -308,7 +314,7 @@ object Similarity {
         .orderBy(col("cos_raw").desc, col("vec_id").asc)
       def top3(joined: org.apache.spark.sql.DataFrame) = joined
         .withColumn("cos_raw",
-          expr("aggregate(zip_with(emb, p_emb, (x, y) -> x * y), cast(0.0 as double), (a, v) -> a + v)")
+          expr("graft_dot(emb, p_emb)")
             / (col("nrm") * col("p_nrm")))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)

@@ -21,4 +21,17 @@ object GraftBridge {
     */
   def ensureStateStoreCoordinator(spark: SparkSession): Unit =
     spark.asInstanceOf[classic.SparkSession].streams.stateStoreCoordinator
+
+  /** Column over a hand-built Expression (`Column(expr)` is package-
+    * private) — lets operator code use graft's codegen'd expressions
+    * (ArrayDotProduct, ArrayL2Sq) without registry round-trips.
+    */
+  def columnOf(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    classic.ExpressionUtils.column(e)
+
+  /** The Catalyst Expression behind a Column (`Column.expr` left the
+    * public API when Column became a ColumnNode wrapper in Spark 4).
+    */
+  def exprOf(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    classic.ExpressionUtils.expression(c)
 }
