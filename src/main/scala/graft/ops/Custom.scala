@@ -123,6 +123,58 @@ case class ArrayL2Sq(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Codegen'd SORTED-set intersection COUNT over two array<bigint>
+  * columns — the jaccard pair loop's inner operation (x_dedup_jaccard:
+  * quadratic-over-distinct-masks pairs × O(na+nb) each). PRECONDITION:
+  * both arrays ascending-sorted with distinct elements (the
+  * `array_sort(collect_set(...))` build guarantees it) — then a
+  * two-pointer merge counts common elements with ZERO allocation,
+  * replacing `size(array_intersect(...))`, which builds a hash set AND
+  * materializes the intersection array per pair only to take its length.
+  * Identical result on the preconditioned inputs (count of distinct
+  * common elements), so oracle hashes are unchanged.
+  */
+case class SortedIntersectCount(left: Expression, right: Expression)
+  extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_sorted_intersect_count"
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    var i = 0; var j = 0; var c = 0
+    val nx = x.numElements(); val ny = y.numElements()
+    while (i < nx && j < ny) {
+      val xv = x.getLong(i); val yv = y.getLong(j)
+      if (xv == yv) { c += 1; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    c
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
+      val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
+      s"""
+         |int $i = 0; int $j = 0; int $c = 0;
+         |int $nx = $a.numElements(); int $ny = $b.numElements();
+         |while ($i < $nx && $j < $ny) {
+         |  long $xv = $a.getLong($i); long $yv = $b.getLong($j);
+         |  if ($xv == $yv) { $c++; $i++; $j++; }
+         |  else if ($xv < $yv) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectCount =
+    copy(left = newLeft, right = newRight)
+}
+
 /** 60-bit MD5 SimHash of a space-tokenized string, one tight JVM pass per
   * row. Bit-for-bit equal to the relational formulation the oracle runs —
   * per DISTINCT token h = first 15 hex digits of md5(utf8) as a 60-bit

@@ -436,7 +436,13 @@ object Similarity {
           col("a_rep") < col("b_rep") &&
           col("na").cast("double") >= col("nb") * 0.6 &&
           col("nb").cast("double") >= col("na") * 0.6)
-        .withColumn("inter", size(array_intersect(col("ma"), col("mb")))
+        // graft.ops.SortedIntersectCount: codegen'd two-pointer count
+        // over the sorted masks — zero allocation per pair, vs
+        // array_intersect's per-pair hash set + materialized array
+        .withColumn("inter", org.apache.spark.sql.GraftBridge.columnOf(
+          graft.ops.SortedIntersectCount(
+            org.apache.spark.sql.GraftBridge.exprOf(col("ma")),
+            org.apache.spark.sql.GraftBridge.exprOf(col("mb"))))
           .cast("double"))
         .withColumn("jacc", col("inter") / (col("na") + col("nb") - col("inter")))
         .filter(col("jacc") >= 0.6)
