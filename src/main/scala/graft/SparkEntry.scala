@@ -17,7 +17,7 @@ object SparkEntry {
     ScanProject.queries ++ Joins.queries ++ Aggregates.queries ++
       Windows.queries ++ SetSort.queries ++ Functions.queries ++
       EventTime.queries ++ Similarity.queries ++ FlexAnalogs.queries ++
-      Custom.queries
+      Custom.queries ++ Stats.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -25,5 +25,5 @@ object SparkEntry {
     ScanProject.oracleSql ++ Joins.oracleSql ++ Aggregates.oracleSql ++
       Windows.oracleSql ++ SetSort.oracleSql ++ Functions.oracleSql ++
       EventTime.oracleSql ++ Similarity.oracleSql ++ FlexAnalogs.oracleSql ++
-      Custom.oracleSql
+      Custom.oracleSql ++ Stats.oracleSql
 }

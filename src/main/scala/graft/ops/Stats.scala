@@ -1,0 +1,221 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ops.T._
+
+/** Statistical profiling & drift detection (groups A and X) — SURVEY.md §2b.
+  *
+  * The corpus-health verbs a curation pipeline runs BEFORE and AFTER every
+  * intervention: association tests (did the dedup change the lang×source
+  * mix?), robust outlier counts (MAD survives the heavy tails that wreck
+  * z-scores), winsorized means (report stats that one 10 MB document can't
+  * drag), exact correlation matrices (feature redundancy before training a
+  * quality classifier), and distribution-drift scores between corpus
+  * generations (PSI / KS — the monitoring numbers a 100 TB nightly refresh
+  * alerts on).
+  *
+  * Determinism engineering (SURVEY §7.3): every statistic is computed from
+  * EXACT integer counts or DECIMAL-quantized sums; doubles appear only in
+  * final closed-form arithmetic where both engines receive bit-identical
+  * operands and apply the same IEEE-754 operations in the same written
+  * order (the a_regression / x_text_perplexity precedent), with `round(…,6)`
+  * re-syncing the emitted grid. Quantile-derived fences round BEFORE any
+  * comparison (the a_outliers precedent) so interpolation ulp noise cannot
+  * flip a count.
+  */
+object Stats {
+
+  val queries: Map[String, Q] = Map(
+    // Pearson chi-square test of independence between nation and market
+    // segment — the association test behind "is this categorical mix an
+    // artifact?". Shape: ONE data-sized groupBy to the contingency cells
+    // (map-side combine; 125 cells here, |A|·|B| generally), then row and
+    // column totals as window sums over the CELLS frame — the raw table
+    // is never rescanned, so at 100 TB the test costs one aggregation
+    // pass regardless of cell count. Expected counts and the chi-square
+    // terms are derived from exact integer totals with identical IEEE
+    // arithmetic on both engines; per-cell terms round to the 6-dp grid
+    // and sum as decimals (order-insensitive-exact).
+    "a_chi2" -> ((s, d) => {
+      val cells = t(s, d, "customer")
+        .groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("obs"))
+      val withTot = cells
+        .withColumn("rt", sum("obs").over(Window.partitionBy("c_nationkey")))
+        .withColumn("ct", sum("obs").over(Window.partitionBy("c_mktsegment")))
+        .withColumn("n", sum("obs").over(Window.partitionBy()))
+      val e = (col("rt") * col("ct")).cast("double") / col("n")
+      val obsD = col("obs").cast("double")
+      val term = round((obsD - e) * (obsD - e) / e, 6)
+      withTot.select(col("c_nationkey"), term.as("term"))
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_cells"),
+          decOut(sum(dec(col("term")))).as("chi2_part"))
+        .orderBy("c_nationkey")
+    }),
+
+    // Median-absolute-deviation robust outliers per group — the
+    // heavy-tail-safe twin of a_outliers' IQR fences (a single extreme
+    // value moves a mean/stddev fence arbitrarily; the MAD moves by at
+    // most one rank). Two exact-percentile passes (median, then median
+    // of |x − med|) with the |groups|-row frames broadcast back — the
+    // aggregate-decide-reapply shape. Exact percentiles are holistic;
+    // the 100 TB rolling form swaps them for the KLL sketches graded at
+    // a_kll_merge — the fences here are the nightly full-table form.
+    // med/mad round to the 6-dp grid BEFORE the threshold comparison
+    // (a_outliers precedent); 4.4478 = 3·1.4826 (the normal-consistency
+    // constant) written as one literal so neither engine re-derives it.
+    "a_mad" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val med = li.groupBy("l_returnflag")
+        .agg(round(expr("percentile(l_extendedprice, 0.5D)"), 6).as("med"))
+      val dev = li.join(broadcast(med), Seq("l_returnflag"))
+        .withColumn("dev", abs(col("l_extendedprice") - col("med")))
+      val mad = dev.groupBy("l_returnflag")
+        .agg(round(expr("percentile(dev, 0.5D)"), 6).as("mad"))
+      dev.join(broadcast(mad), Seq("l_returnflag"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          first(col("med")).as("med"), first(col("mad")).as("mad"),
+          sum(when(col("dev") > round(lit(4.4478) * col("mad"), 6), 1L)
+            .otherwise(0L)).as("n_robust_out"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Exact Pearson correlation matrix over the four lineitem measures in
+    // ONE scan: every Σx, Σx² and cross Σxy accumulates as an exact
+    // DECIMAL over 6-dp-quantized values (decimal products are exact, so
+    // the sums are order-insensitive — no engine-summation-order noise),
+    // then each pairwise corr evaluates the closed form in doubles built
+    // from those identical decimals. This is deliberately NOT the
+    // built-in corr(): its double accumulation is summation-order
+    // dependent, which round(…,6) only probabilistically repairs. Shape:
+    // one pass, 15 decimal partials, 1-row shuffle — the d² moment matrix
+    // a 1000-executor job reduces in a single tree aggregation.
+    "a_corr_matrix" -> ((s, d) => {
+      val cols = Seq("l_quantity" -> "qty", "l_extendedprice" -> "price",
+        "l_discount" -> "disc", "l_tax" -> "tax")
+      def q(c: String) = col(c).cast("decimal(18,6)")
+      val sums =
+        cols.map { case (c, a) => sum(q(c)).as(s"s_$a") } ++
+          (for {
+            i <- cols.indices; j <- i until cols.size
+          } yield sum(q(cols(i)._1) * q(cols(j)._1))
+            .as(s"p_${cols(i)._2}_${cols(j)._2}"))
+      val ag = t(s, d, "lineitem")
+        .agg(count(lit(1)).as("n"), sums: _*)
+      val dn = col("n").cast("double")
+      def dp(name: String) = col(name).cast("double")
+      def corr(a: String, b: String) = {
+        val num = dn * dp(s"p_${a}_$b") - dp(s"s_$a") * dp(s"s_$b")
+        val denA = dn * dp(s"p_${a}_$a") - dp(s"s_$a") * dp(s"s_$a")
+        val denB = dn * dp(s"p_${b}_$b") - dp(s"s_$b") * dp(s"s_$b")
+        round(num / nullif(sqrt(denA * denB), lit(0.0)), 6)
+      }
+      val pairs = for {
+        i <- cols.indices; j <- (i + 1) until cols.size
+      } yield (s"${cols(i)._2}~${cols(j)._2}", cols(i)._2, cols(j)._2)
+      val named = ag.select(col("n") +: pairs.zipWithIndex.flatMap {
+        case ((label, a, b), i) =>
+          Seq(lit(label).as(s"l$i"), corr(a, b).as(s"c$i"))
+      }: _*)
+      val stackExpr = pairs.indices.map(i => s"l$i, c$i").mkString(", ")
+      named.select(col("n"),
+        expr(s"stack(${pairs.size}, $stackExpr)").as(Seq("pair", "corr")))
+        .select(col("pair"), col("n"), col("corr"))
+        .orderBy("pair")
+    }),
+
+    // Winsorized per-group statistics — report means a single pathological
+    // document cannot drag: clamp to the [p05, p95] exact percentiles
+    // (rounded to the 6-dp grid BEFORE clamping — the fence precedent),
+    // then exact decimal means of the clamped values next to the raw
+    // means. Same aggregate-decide-reapply shape as a_mad; the percentile
+    // pass is per-lang so fence frames stay |groups|-sized broadcasts.
+    "x_quality_winsorize" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val p = docs.groupBy("lang").agg(
+        round(expr("percentile(n_chars, 0.05D)"), 6).as("lo"),
+        round(expr("percentile(n_chars, 0.95D)"), 6).as("hi"))
+      docs.join(broadcast(p), Seq("lang"))
+        .withColumn("wv",
+          least(greatest(col("n_chars").cast("double"), col("lo")), col("hi")))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          first(col("lo")).as("lo"), first(col("hi")).as("hi"),
+          avgOut(sum(dec(col("wv"))), count(lit(1))).as("wmean"),
+          avgOut(sum(dec(col("n_chars"))), count(lit(1))).as("rmean"))
+        .orderBy("lang")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "a_chi2" ->
+      ("WITH cells AS (SELECT c_nationkey, c_mktsegment, count(*) AS obs " +
+        "FROM customer GROUP BY c_nationkey, c_mktsegment), " +
+        "tot AS (SELECT c_nationkey, obs, " +
+        "sum(obs) OVER (PARTITION BY c_nationkey) AS rt, " +
+        "sum(obs) OVER (PARTITION BY c_mktsegment) AS ct, " +
+        "sum(obs) OVER () AS n FROM cells), " +
+        "term AS (SELECT c_nationkey, " +
+        "round((CAST(obs AS DOUBLE) - CAST(rt*ct AS DOUBLE)/n) * " +
+        "(CAST(obs AS DOUBLE) - CAST(rt*ct AS DOUBLE)/n) / " +
+        "(CAST(rt*ct AS DOUBLE)/n), 6) AS term FROM tot) " +
+        "SELECT c_nationkey, count(*) AS n_cells, " +
+        "round(CAST(sum(CAST(term AS DECIMAL(38,6))) AS DOUBLE), 6) AS chi2_part " +
+        "FROM term GROUP BY c_nationkey ORDER BY c_nationkey"),
+    "a_mad" ->
+      ("WITH m AS (SELECT l_returnflag, " +
+        "round(quantile_cont(l_extendedprice, 0.5), 6) AS med " +
+        "FROM lineitem GROUP BY l_returnflag), " +
+        "dv AS (SELECT l.l_returnflag, med, " +
+        "abs(l_extendedprice - med) AS dev " +
+        "FROM lineitem l JOIN m USING (l_returnflag)), " +
+        "md AS (SELECT l_returnflag, round(quantile_cont(dev, 0.5), 6) AS mad " +
+        "FROM dv GROUP BY l_returnflag) " +
+        "SELECT dv.l_returnflag, count(*) AS n_rows, " +
+        "any_value(med) AS med, any_value(mad) AS mad, " +
+        "CAST(sum(CASE WHEN dev > round(4.4478 * mad, 6) THEN 1 ELSE 0 END) AS BIGINT) AS n_robust_out " +
+        "FROM dv JOIN md USING (l_returnflag) " +
+        "GROUP BY dv.l_returnflag ORDER BY dv.l_returnflag"),
+    "a_corr_matrix" -> {
+      val cols = Seq("l_quantity" -> "qty", "l_extendedprice" -> "price",
+        "l_discount" -> "disc", "l_tax" -> "tax")
+      // DECIMAL(19,6), not (18,6): DuckDB multiplies (18,6) operands in
+      // their int64 physical representation and overflows on price²;
+      // 19 digits forces hugeint. The PRODUCT values are identical
+      // (scale-12 exact) to Spark's (18,6)×(18,6) → (37,12).
+      def q(c: String) = s"CAST($c AS DECIMAL(19,6))"
+      val sums =
+        cols.map { case (c, a) => s"sum(${q(c)}) AS s_$a" } ++
+          (for { i <- cols.indices; j <- i until cols.size } yield
+            s"sum(${q(cols(i)._1)} * ${q(cols(j)._1)}) AS p_${cols(i)._2}_${cols(j)._2}")
+      def dp(n: String) = s"CAST($n AS DOUBLE)"
+      def corr(a: String, b: String) =
+        s"round((CAST(n AS DOUBLE) * ${dp(s"p_${a}_$b")} - ${dp(s"s_$a")} * ${dp(s"s_$b")}) / " +
+          s"nullif(sqrt((CAST(n AS DOUBLE) * ${dp(s"p_${a}_$a")} - ${dp(s"s_$a")} * ${dp(s"s_$a")}) * " +
+          s"(CAST(n AS DOUBLE) * ${dp(s"p_${b}_$b")} - ${dp(s"s_$b")} * ${dp(s"s_$b")})), 0.0), 6)"
+      val pairs = for { i <- cols.indices; j <- (i + 1) until cols.size }
+        yield (s"${cols(i)._2}~${cols(j)._2}", cols(i)._2, cols(j)._2)
+      val branches = pairs.map { case (label, a, b) =>
+        s"SELECT '$label' AS pair, n, ${corr(a, b)} AS corr FROM s"
+      }
+      s"WITH s AS (SELECT count(*) AS n, ${sums.mkString(", ")} FROM lineitem) " +
+        branches.mkString(" UNION ALL ") + " ORDER BY pair"
+    },
+    "x_quality_winsorize" ->
+      ("WITH p AS (SELECT lang, " +
+        "round(quantile_cont(n_chars, 0.05), 6) AS lo, " +
+        "round(quantile_cont(n_chars, 0.95), 6) AS hi " +
+        "FROM documents GROUP BY lang), " +
+        "c AS (SELECT d.lang, lo, hi, n_chars, " +
+        "least(greatest(CAST(n_chars AS DOUBLE), lo), hi) AS wv " +
+        "FROM documents d JOIN p USING (lang)) " +
+        "SELECT lang, count(*) AS n_docs, " +
+        "any_value(lo) AS lo, any_value(hi) AS hi, " +
+        "round(CAST(sum(CAST(wv AS DECIMAL(38,6))) AS DOUBLE)/count(*), 6) AS wmean, " +
+        "round(CAST(sum(CAST(n_chars AS DECIMAL(38,6))) AS DOUBLE)/count(*), 6) AS rmean " +
+        "FROM c GROUP BY lang ORDER BY lang")
+  )
+}
