@@ -127,6 +127,70 @@ object Stats {
         .orderBy("pair")
     }),
 
+    // Two-sample Kolmogorov–Smirnov distance between corpus slices —
+    // distribution drift on a CONTINUOUS metric (document length),
+    // computed EXACTLY in integers: D = max_v |F1(v) − F2(v)| evaluated
+    // as |c1·t2 − c2·t1| over the distinct-value frame (cumulative
+    // counts via windows), so no floating point exists until the final
+    // emitted ratio. Shape: one groupBy to per-value slice counts
+    // (|distinct values|-sized), windows over that frame, TakeOrdered 1
+    // with a value tiebreak — at 100 TB the value frame is the only
+    // state, never raw rows.
+    "x_drift_ks" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .withColumn("is_ref", (col("doc_id") % 2) === 0)
+      val perValue = docs.groupBy(col("n_chars").as("v"))
+        .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("d1"),
+          sum(when(!col("is_ref"), 1L).otherwise(0L)).as("d2"))
+      val cum = Window.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = Window.partitionBy()
+      perValue
+        .withColumn("c1", sum("d1").over(cum))
+        .withColumn("c2", sum("d2").over(cum))
+        .withColumn("t1", sum("d1").over(tot))
+        .withColumn("t2", sum("d2").over(tot))
+        .withColumn("d_num", abs(col("c1") * col("t2") - col("c2") * col("t1")))
+        .orderBy(col("d_num").desc, col("v").asc)
+        .limit(1)
+        .select(col("v").as("at_value"), col("t1"), col("t2"),
+          col("d_num"),
+          round(col("d_num").cast("double") / (col("t1") * col("t2")), 6)
+            .as("ks"))
+    }),
+
+    // Population Stability Index between corpus slices — the per-bin
+    // drift report a nightly refresh alerts on: 10 equal-width bins over
+    // the observed [min, max] (integer-exact bin assignment via `div`),
+    // Laplace-smoothed bin shares from exact integer counts (identical
+    // doubles both engines), per-bin (p−q)·ln(p/q) terms rounded to the
+    // 6-dp grid, PSI = exact decimal sum of the terms. The raw table is
+    // aggregated ONCE to the bins frame; min/max ride a 1-row broadcast
+    // (exempted as such in ContractSpec).
+    "x_drift_psi" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .withColumn("is_ref", length(col("source")) === 4)
+      val mm = docs.agg(min("n_chars").as("mn"), max("n_chars").as("mx"))
+      val cells = docs.crossJoin(broadcast(mm))
+        .withColumn("bin", expr("(n_chars - mn) * 10 div (mx - mn + 1)"))
+        .groupBy("bin")
+        .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("n_ref"),
+          sum(when(!col("is_ref"), 1L).otherwise(0L)).as("n_cur"))
+      val tot = Window.partitionBy()
+      val p = (col("n_ref") + lit(1)).cast("double") / (col("t_ref") + lit(10))
+      val q = (col("n_cur") + lit(1)).cast("double") / (col("t_cur") + lit(10))
+      cells
+        .withColumn("t_ref", sum("n_ref").over(tot))
+        .withColumn("t_cur", sum("n_cur").over(tot))
+        .withColumn("p", p).withColumn("q", q)
+        .withColumn("term", round((col("p") - col("q")) * log(col("p") / col("q")), 6))
+        .withColumn("psi", decOut(sum(dec(col("term"))).over(tot)))
+        .select(col("bin"), col("n_ref"), col("n_cur"),
+          round(col("p"), 6).as("p"), round(col("q"), 6).as("q"),
+          col("term"), col("psi"))
+        .orderBy("bin")
+    }),
+
     // Winsorized per-group statistics — report means a single pathological
     // document cannot drag: clamp to the [p05, p95] exact percentiles
     // (rounded to the 6-dp grid BEFORE clamping — the fence precedent),
@@ -204,6 +268,37 @@ object Stats {
       s"WITH s AS (SELECT count(*) AS n, ${sums.mkString(", ")} FROM lineitem) " +
         branches.mkString(" UNION ALL ") + " ORDER BY pair"
     },
+    "x_drift_ks" ->
+      ("WITH pv AS (SELECT n_chars AS v, " +
+        "sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS d1, " +
+        "sum(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END) AS d2 " +
+        "FROM documents GROUP BY n_chars), " +
+        "cum AS (SELECT v, " +
+        "CAST(sum(d1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c1, " +
+        "CAST(sum(d2) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c2, " +
+        "CAST(sum(d1) OVER () AS BIGINT) AS t1, " +
+        "CAST(sum(d2) OVER () AS BIGINT) AS t2 FROM pv) " +
+        "SELECT v AS at_value, t1, t2, " +
+        "abs(c1*t2 - c2*t1) AS d_num, " +
+        "round(CAST(abs(c1*t2 - c2*t1) AS DOUBLE) / (t1*t2), 6) AS ks " +
+        "FROM cum ORDER BY abs(c1*t2 - c2*t1) DESC, v ASC LIMIT 1"),
+    "x_drift_psi" ->
+      ("WITH mm AS (SELECT min(n_chars) AS mn, max(n_chars) AS mx FROM documents), " +
+        "cells AS (SELECT (n_chars - mn) * 10 // (mx - mn + 1) AS bin, " +
+        "sum(CASE WHEN length(source) = 4 THEN 1 ELSE 0 END) AS n_ref, " +
+        "sum(CASE WHEN length(source) = 4 THEN 0 ELSE 1 END) AS n_cur " +
+        "FROM documents, mm GROUP BY 1), " +
+        "tt AS (SELECT bin, CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur, " +
+        "CAST(sum(n_ref) OVER () AS BIGINT) AS t_ref, " +
+        "CAST(sum(n_cur) OVER () AS BIGINT) AS t_cur FROM cells), " +
+        "tm AS (SELECT bin, n_ref, n_cur, " +
+        "CAST(n_ref + 1 AS DOUBLE) / (t_ref + 10) AS p, " +
+        "CAST(n_cur + 1 AS DOUBLE) / (t_cur + 10) AS q FROM tt), " +
+        "term AS (SELECT bin, n_ref, n_cur, p, q, " +
+        "round((p - q) * ln(p / q), 6) AS term FROM tm) " +
+        "SELECT bin, n_ref, n_cur, round(p, 6) AS p, round(q, 6) AS q, term, " +
+        "round(CAST(sum(CAST(term AS DECIMAL(38,6))) OVER () AS DOUBLE), 6) AS psi " +
+        "FROM term ORDER BY bin"),
     "x_quality_winsorize" ->
       ("WITH p AS (SELECT lang, " +
         "round(quantile_cont(n_chars, 0.05), 6) AS lo, " +
