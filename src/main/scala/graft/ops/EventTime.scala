@@ -500,6 +500,54 @@ object EventTime {
         .orderBy("user_id", "gap_start")
     }),
 
+    // CDC APPLY (batch) — materialize the CURRENT state of a keyed table
+    // from a change log: each event is an upsert ('U') except errors,
+    // which are tombstones ('D'); the winner per key is the LAST record
+    // under the (ts_ms, event_id) total sequence order, and a deleted key
+    // is absent from the result. The window spelling: one row_number pass
+    // partitioned by key (plus a count window over the same partition) —
+    // at 100 TB both windows share one shuffle on the key, and the state
+    // per key is a single record. The streaming twin (t_stream_cdc)
+    // computes the identical result through keyed state; the two keys
+    // share one oracle.
+    "t_cdc_apply" -> ((s, d) => {
+      val log = ev(s, d).select(col("user_id"), col("ts_ms"), col("event_id"),
+        when(col("event_type") === "error", lit("D")).otherwise(lit("U")).as("op"),
+        col("value"))
+      val byKey = Window.partitionBy("user_id")
+      val seqDesc = byKey.orderBy(col("ts_ms").desc, col("event_id").desc)
+      log
+        .withColumn("rn", row_number().over(seqDesc))
+        .withColumn("n_ops", count(lit(1)).over(byKey))
+        .filter(col("rn") === 1 && col("op") =!= "D")
+        .select(col("user_id"), round(col("value"), 6).as("last_value"),
+          col("ts_ms").as("last_ts"), col("n_ops"))
+        .orderBy("user_id")
+    }),
+
+    // CDC APPLY (streaming) — the SAME materialization computed through
+    // keyed state (streaming/Stateful.cdcLatest, flatMapGroupsWithState):
+    // last-writer-wins by the total sequence order is an associative,
+    // commutative merge, so the converged state is independent of row
+    // order AND micro-batch slicing — which is what lets a streaming CDC
+    // consumer share the batch key's DuckDB oracle verbatim (StatefulSpec
+    // proves the cross-batch carry under a MemoryStream). Value travels
+    // as exact decimal micros in state (the userStatsExact idiom) and is
+    // projected back in Column space.
+    "t_stream_cdc" -> ((s, d) =>
+      Stateful.cdcLatest(
+        ev(s, d).withColumn("op",
+          when(col("event_type") === "error", lit("D")).otherwise(lit("U"))))
+        .toDF
+        .filter(col("last_op") =!= "D")
+        .select(col("user_id"),
+          decOut((col("value_micros").cast("decimal(38,6)") / lit(1000000))
+            .cast("decimal(38,6)")).as("last_value"),
+          expr("timestampadd(MILLISECOND, last_ts_ms, TIMESTAMP_NTZ '1970-01-01 00:00:00')")
+            .as("last_ts"),
+          col("n_ops"))
+        .orderBy("user_id")),
+
     // SCD TYPE-2 dimension build — the warehouse-standard "history table"
     // verb: compress each user's event stream into validity intervals
     // [valid_from, valid_to) of their CURRENT state (here: the last
@@ -663,6 +711,20 @@ object EventTime {
     s.table(sink)
   }
 
+  /** Shared by t_cdc_apply (window spelling) and t_stream_cdc (keyed
+    * state) — the two implementations must converge to one state.
+    */
+  private val cdcApplySql: String =
+    "WITH log AS (SELECT user_id, date_trunc('milliseconds', ts) AS ts_ms, " +
+      "event_id, CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op, " +
+      "value FROM events), " +
+      "r AS (SELECT user_id, ts_ms, op, value, " +
+      "row_number() OVER (PARTITION BY user_id ORDER BY ts_ms DESC, event_id DESC) AS rn, " +
+      "count(*) OVER (PARTITION BY user_id) AS n_ops FROM log) " +
+      "SELECT user_id, round(value, 6) AS last_value, ts_ms AS last_ts, " +
+      "CAST(n_ops AS BIGINT) AS n_ops " +
+      "FROM r WHERE rn = 1 AND op <> 'D' ORDER BY user_id"
+
   val oracleSql: Map[String, String] = Map(
     "t_tumble" ->
       ("SELECT user_id, time_bucket(INTERVAL '1 hour', date_trunc('milliseconds', ts)) AS win_start, " +
@@ -792,6 +854,9 @@ object EventTime {
         "round(CAST(sum(CASE WHEN value <= 50.0 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS rank_50, " +
         "round(CAST(sum(CASE WHEN value <= 150.0 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS rank_150 " +
         "FROM events GROUP BY user_id ORDER BY user_id"),
+    "t_cdc_apply" -> cdcApplySql,
+    // the streaming spelling converges to the identical state — one oracle
+    "t_stream_cdc" -> cdcApplySql,
     "t_scd2" ->
       ("WITH e AS (SELECT user_id, event_id, event_type, date_trunc('milliseconds', ts) AS ts_ms FROM events), " +
         "flagged AS (SELECT user_id, event_type, ts_ms, " +

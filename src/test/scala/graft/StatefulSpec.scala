@@ -148,6 +148,49 @@ class StatefulSpec extends SparkSpec {
     }
   }
 
+  test("cdcLatest: last-writer-wins carries across micro-batches; batch run converges") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def frame(df: org.apache.spark.sql.DataFrame) =
+      df.toDF("user_id", "ms", "event_id", "op", "value")
+        .withColumn("ts_ms",
+          expr("timestampadd(MILLISECOND, ms, TIMESTAMP_NTZ '1970-01-01 00:00:00')"))
+    val records = Seq(
+      (1L, 100L, 1L, "U", 1.5), (1L, 200L, 2L, "U", 2.5),
+      (2L, 100L, 3L, "U", 9.0),
+      // second batch: an OLDER record for user 1 (must bump n_ops but not
+      // win) and a tombstone for user 2
+      (1L, 150L, 4L, "U", 7.0), (2L, 300L, 5L, "D", 0.0))
+    val mem = MemoryStream[(Long, Long, Long, String, Double)]
+    val q = Stateful.cdcLatest(frame(mem.toDF))
+      .writeStream.format("memory").queryName("cdc_sink")
+      .outputMode("append").start()
+    val fin =
+      try {
+        mem.addData(records.take(3): _*)
+        q.processAllAvailable()
+        mem.addData(records.drop(3): _*)
+        q.processAllAvailable()
+        // n_ops grows monotonically → the max-n_ops row per key IS the
+        // final state
+        spark.table("cdc_sink").collect()
+          .groupBy(_.getAs[Long]("user_id"))
+          .map { case (k, rows) => k -> rows.maxBy(_.getAs[Long]("n_ops")) }
+      } finally q.stop()
+    assert(fin(1L).getAs[Long]("last_event_id") === 2L) // late lower-seq lost
+    assert(fin(1L).getAs[Long]("value_micros") === 2500000L)
+    assert(fin(1L).getAs[Long]("n_ops") === 3L)
+    assert(fin(2L).getAs[String]("last_op") === "D") // tombstone retained
+    assert(fin(2L).getAs[Long]("n_ops") === 2L)
+    // single-batch (batch-mode) run over the SAME records converges to the
+    // identical state — the merge is order/slicing-independent
+    val batch = Stateful.cdcLatest(frame(records.toDF())).collect()
+      .map(u => u.user_id -> u).toMap
+    assert(batch(1L).last_event_id === 2L && batch(1L).n_ops === 3L &&
+      batch(1L).value_micros === 2500000L)
+    assert(batch(2L).last_op === "D" && batch(2L).n_ops === 2L)
+  }
+
   test("state persists across micro-batches (incremental counts)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
