@@ -67,6 +67,23 @@ private[graft] object T {
   def events(s: SparkSession, sfDir: String): DataFrame =
     t(s, sfDir, "events")
 
+  /** One scratch directory per (JVM, prefix), removed at JVM exit — the
+    * shared device for keys whose contract includes a WRITE phase
+    * (layout/lifecycle keys build their table once per session and the
+    * graded read phase reuses it).
+    */
+  def scratchDir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(p.toFile)
+    }))
+    p.toString
+  }
+
   def dec(c: Column): Column = c.cast("decimal(38,6)")
 
   /** date_trunc that STAYS TIMESTAMP_NTZ. Spark's date_trunc coerces NTZ

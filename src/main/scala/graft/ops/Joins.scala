@@ -293,6 +293,43 @@ object Joins {
     // plan is perturbed. PlanShapeSpec pins the bloom aggregate and the
     // pushed might_contain; the oracle is the plain join — the grade IS
     // "the bloom filter changed nothing but the shuffle volume".
+    // DYNAMIC PARTITION PRUNING graded end to end — the OTHER scan-side
+    // runtime lever beside j_runtime_filter (that one kills fact ROWS via
+    // a bloom filter; this one kills whole fact PARTITIONS before the
+    // scan even lists them): the fact table is laid out hive-partitioned
+    // by day, the dim side carries a selective predicate, and Catalyst
+    // compiles the dim's surviving join keys into a runtime
+    // `dynamicpruning` subquery on the fact scan's PartitionFilters —
+    // reusing the join's own broadcast, so the pruning costs nothing
+    // extra (reuseBroadcastOnly, the default). At 100 TB on a
+    // date-partitioned fact this is the difference between scanning the
+    // store and scanning the qualifying days. Both tables are WRITTEN
+    // then read back (scan-over-layout is the thing under test);
+    // PlanShapeSpec pins the dynamicpruning expression in the fact scan.
+    // Dim day is a DATE on both sides so the fact join key stays the
+    // BARE partition attribute (a cast there would disqualify DPP);
+    // emitted day re-cast to string (DATE output ban, §7.3 R6).
+    "j_dpp" -> ((s, d) => {
+      val factDir = dppFactScratch
+      val dimDir = dppDimScratch
+      val fact = evMs(s, d)
+        .select(col("event_id"), col("user_id"), col("value"),
+          truncNtz("day", col("ts_ms")).cast("date").as("day"))
+      fact.write.mode("overwrite").partitionBy("day").parquet(factDir)
+      fact.select(col("day")).distinct()
+        .withColumn("dow", date_format(col("day"), "E"))
+        .write.mode("overwrite").parquet(dimDir)
+      val factR = s.read.parquet(factDir)
+      val dimR = s.read.parquet(dimDir).filter(col("dow") === "Mon")
+      factR.join(dimR, "day")
+        .groupBy("day")
+        .agg(count(lit(1)).as("n_events"),
+          decOut(sum(dec(col("value")))).as("sum_value"))
+        .select(col("day").cast("string").as("day"),
+          col("n_events"), col("sum_value"))
+        .orderBy("day")
+    }),
+
     "j_runtime_filter" -> ((s, d) => {
       val enabledK = "spark.sql.optimizer.runtime.bloomFilter.enabled"
       val gateK =
@@ -427,7 +464,20 @@ object Joins {
     })
   )
 
+  /** j_dpp scratch tables: one per JVM, graded read phase reuses them. */
+  private lazy val dppFactScratch: String = T.scratchDir("graft_dpp_fact")
+  private lazy val dppDimScratch: String = T.scratchDir("graft_dpp_dim")
+
   val oracleSql: Map[String, String] = Map(
+    "j_dpp" ->
+      ("WITH f AS (SELECT event_id, value, " +
+        "CAST(date_trunc('day', date_trunc('milliseconds', ts)) AS DATE) AS day " +
+        "FROM events), " +
+        "dim AS (SELECT DISTINCT day, strftime(day, '%a') AS dow FROM f) " +
+        "SELECT CAST(f.day AS VARCHAR) AS day, count(*) AS n_events, " +
+        "round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 6) AS sum_value " +
+        "FROM f JOIN dim ON f.day = dim.day WHERE dim.dow = 'Mon' " +
+        "GROUP BY f.day ORDER BY day"),
     "j_inner_eq" ->
       ("SELECT c_custkey, c_name, count(*) AS order_cnt, " +
         "round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE), 6) AS total_spent " +

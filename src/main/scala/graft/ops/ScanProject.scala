@@ -41,6 +41,41 @@ object ScanProject {
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
         .orderBy("l_orderkey", "l_linenumber")),
 
+    // PARQUET AGGREGATE PUSHDOWN — COUNT/MIN/MAX answered from row-group
+    // FOOTER STATISTICS instead of data pages: the scan reads ~KB of
+    // metadata per file where a normal plan decompresses every page of
+    // the aggregated columns (at 100 TB: a metadata-only sweep vs a full
+    // column scan). Requires the DSv2 parquet path (`useV1SourceList=""`)
+    // plus `parquet.aggregatePushdown` — both CLOSURE-scoped via the
+    // eager-checkpoint device (the j_runtime_filter precedent) so no
+    // other graded plan is perturbed. The raw-file read is deliberate:
+    // T.t's normalizeTs projection would sit between scan and agg and
+    // disqualify the rewrite (fixture longs/doubles need no shim).
+    // PlanShapeSpec pins `PushedAggregation: [COUNT(*), MIN(...)…]` in
+    // the executed plan. MIN/MAX only — parquet footers can answer
+    // nothing order-sensitive, and COUNT(DISTINCT) stays a real agg.
+    "s_agg_pushdown" -> ((s, d) => {
+      val v1K = "spark.sql.sources.useV1SourceList"
+      val aggK = "spark.sql.parquet.aggregatePushdown"
+      val oldV1 = s.conf.getOption(v1K)
+      val oldAgg = s.conf.getOption(aggK)
+      s.conf.set(v1K, "")
+      s.conf.set(aggK, "true")
+      try
+        checkpointed(
+          s.read.parquet(s"$d/lineitem.parquet")
+            .agg(expr("count(*)").as("n_rows"),
+              min(col("l_orderkey")).as("min_okey"),
+              max(col("l_orderkey")).as("max_okey"),
+              min(col("l_quantity")).as("min_qty"),
+              max(col("l_quantity")).as("max_qty")),
+          eager = true)
+      finally {
+        oldV1.fold(s.conf.unset(v1K))(s.conf.set(v1K, _))
+        oldAgg.fold(s.conf.unset(aggK))(s.conf.set(aggK, _))
+      }
+    }),
+
     // Projection arithmetic in double, emitted as round(…, 6) (§7.3 R6 —
     // per-row arithmetic is order-independent so no decimal needed) — same
     // charge expression as TPC-H.
@@ -152,6 +187,11 @@ object ScanProject {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "s_agg_pushdown" ->
+      ("SELECT count(*) AS n_rows, " +
+        "min(l_orderkey) AS min_okey, max(l_orderkey) AS max_okey, " +
+        "min(l_quantity) AS min_qty, max(l_quantity) AS max_qty " +
+        "FROM lineitem"),
     "s_scan_full" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "s_scan_prune" ->
