@@ -127,6 +127,47 @@ object Stats {
         .orderBy("pair")
     }),
 
+    // Distributed GRAM / COVARIANCE matrix of the embedding corpus in ONE
+    // pass (`functions/Gram.GramAgg`): the aggregation buffer IS the
+    // upper-triangular moment matrix, so each executor folds its
+    // partition locally and only fixed d + d(d+1)/2 integer accumulators
+    // cross the shuffle — never a d²× row explode. Input pre-quantized to
+    // scale-6 decimal micros in Column space (the cross-engine-verified
+    // decimal cast); all accumulation is exact integer (Math.addExact,
+    // loud overflow), so the emitted statistics are order-independent and
+    // oracle-hashable. Final projection derives E[x_i x_j] and
+    // cov(i,j) = Sxy/n − (Sx/n)(Sy/n) in doubles built from identical
+    // decimals on both engines. The 2080-row (pos → i,j) triangle index
+    // is a driver-built broadcast.
+    "x_emb_cov" -> ((s, dd) => {
+      graft.functions.Gram.register(s)
+      val d = 64
+      val nProds = d * (d + 1) / 2
+      val q = transform(col("embedding"),
+        e => (e.cast("decimal(18,6)") * lit(1000000)).cast("long"))
+      val g = t(s, dd, "embeddings")
+        .select(q.as("q"))
+        .agg(expr(s"graft_gram_agg(q, $d)").as("g"))
+        .select(col("g.n").as("n"),
+          slice(col("g.m"), 1, d).as("sums"),
+          slice(col("g.m"), d + 1, nProds).as("prods"))
+      import s.implicits._
+      val idx = (for { i <- 0 until d; j <- i until d } yield
+        (graft.functions.Gram.triIndex(d, i, j), i.toLong, j.toLong))
+        .toDF("pos", "i", "j")
+      g.select(col("n"), col("sums"),
+        posexplode(col("prods")).as(Seq("pos", "sxy")))
+        .join(broadcast(idx), "pos")
+        .withColumn("sx", element_at(col("sums"), (col("i") + 1).cast("int")))
+        .withColumn("sy", element_at(col("sums"), (col("j") + 1).cast("int")))
+        .select(col("i"), col("j"), col("n"),
+          round(col("sxy").cast("double") / col("n"), 6).as("gram_mean"),
+          round(col("sxy").cast("double") / col("n") -
+            (col("sx").cast("double") / col("n")) *
+              (col("sy").cast("double") / col("n")), 6).as("cov"))
+        .orderBy("i", "j")
+    }),
+
     // Two-sample Kolmogorov–Smirnov distance between corpus slices —
     // distribution drift on a CONTINUOUS metric (document length),
     // computed EXACTLY in integers: D = max_v |F1(v) − F2(v)| evaluated
@@ -268,6 +309,22 @@ object Stats {
       s"WITH s AS (SELECT count(*) AS n, ${sums.mkString(", ")} FROM lineitem) " +
         branches.mkString(" UNION ALL ") + " ORDER BY pair"
     },
+    // the quadratic index explode is fine for DuckDB at 500 vectors — the
+    // Spark side's whole point is NOT doing this
+    "x_emb_cov" ->
+      ("WITH idx AS (SELECT a.i, b.j FROM range(0,64) a(i) CROSS JOIN range(0,64) b(j) WHERE b.j >= a.i), " +
+        "cell AS (SELECT i, j, count(*) AS n, " +
+        "sum(CAST(CAST(embedding[i+1] AS DOUBLE) AS DECIMAL(19,6)) * " +
+        "CAST(CAST(embedding[j+1] AS DOUBLE) AS DECIMAL(19,6))) AS sxy " +
+        "FROM embeddings CROSS JOIN idx GROUP BY i, j), " +
+        "ds AS (SELECT r.i, " +
+        "sum(CAST(CAST(embedding[r.i+1] AS DOUBLE) AS DECIMAL(19,6))) AS sx " +
+        "FROM embeddings CROSS JOIN range(0,64) r(i) GROUP BY r.i) " +
+        "SELECT c.i, c.j, c.n, " +
+        "round(CAST(sxy AS DOUBLE) / n, 6) AS gram_mean, " +
+        "round(CAST(sxy AS DOUBLE) / n - (CAST(sa.sx AS DOUBLE) / n) * (CAST(sb.sx AS DOUBLE) / n), 6) AS cov " +
+        "FROM cell c JOIN ds sa ON sa.i = c.i JOIN ds sb ON sb.i = c.j " +
+        "ORDER BY c.i, c.j"),
     "x_drift_ks" ->
       ("WITH pv AS (SELECT n_chars AS v, " +
         "sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS d1, " +

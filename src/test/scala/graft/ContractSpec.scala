@@ -2,7 +2,7 @@ package graft
 
 /** T1 blanket contract checks: every declared query runs on sf0.001,
   * the queries/oracleSql maps are mutually consistent, and the declared
-  * inventory matches SURVEY.md §2b (213 keys, 205 oracle-checked).
+  * inventory matches SURVEY.md §2b (214 keys, 206 oracle-checked).
   */
 class ContractSpec extends SparkSpec {
 
@@ -11,9 +11,9 @@ class ContractSpec extends SparkSpec {
       "t_stream_runtime", "t_stream_dedup", "t_stream_session",
       "t_stream_join")
 
-  test("inventory matches SURVEY §2b: 213 queries, 205 with oracle SQL") {
-    assert(SparkEntry.queries.size === 213)
-    assert(SparkEntry.oracleSql.size === 205)
+  test("inventory matches SURVEY §2b: 214 queries, 206 with oracle SQL") {
+    assert(SparkEntry.queries.size === 214)
+    assert(SparkEntry.oracleSql.size === 206)
     assert(SparkEntry.queries.keySet.intersect(nonOracle).size === 8)
   }
 
