@@ -168,6 +168,71 @@ object Stats {
         .orderBy("i", "j")
     }),
 
+    // PCA TOP COMPONENT by pinned-round POWER ITERATION over the
+    // single-pass gram matrix — the engine's iterative-linear-algebra
+    // class (the x_graph_pagerank device applied to d×d instead of the
+    // edge list): ONE corpus-sized pass builds the exact covariance cells
+    // (GramAgg, see x_emb_cov), then 8 matvec+normalize rounds run
+    // entirely on the d²-cell frame — corpus-INDEPENDENT cost, so at
+    // 100 TB the eigenvector costs one gram pass plus fixed tiny-frame
+    // rounds. Every round is decimal-exact between roundings: matvec
+    // products/sums in DECIMAL (order-free), re-round to the 6-dp grid,
+    // norm² as exact decimal, and only then the IEEE sqrt/divide both
+    // engines evaluate on identical operands (the pagerank precedent).
+    // The oracle is the SAME iteration unrolled as 8 CTE rounds.
+    "x_emb_pca" -> ((s, dd) => {
+      graft.functions.Gram.register(s)
+      val d = 64
+      val nProds = d * (d + 1) / 2
+      val q = transform(col("embedding"),
+        e => (e.cast("decimal(18,6)") * lit(1000000)).cast("long"))
+      val g = t(s, dd, "embeddings")
+        .select(q.as("q"))
+        .agg(expr(s"graft_gram_agg(q, $d)").as("g"))
+        .select(col("g.n").as("n"),
+          slice(col("g.m"), 1, d).as("sums"),
+          slice(col("g.m"), d + 1, nProds).as("prods"))
+      import s.implicits._
+      val idx = (for { i <- 0 until d; j <- i until d } yield
+        (graft.functions.Gram.triIndex(d, i, j), i.toLong, j.toLong))
+        .toDF("pos", "i", "j")
+      val covTri = g.select(col("n"), col("sums"),
+        posexplode(col("prods")).as(Seq("pos", "sxy")))
+        .join(broadcast(idx), "pos")
+        .withColumn("sx", element_at(col("sums"), (col("i") + 1).cast("int")))
+        .withColumn("sy", element_at(col("sums"), (col("j") + 1).cast("int")))
+        .select(col("i"), col("j"),
+          round(col("sxy").cast("double") / col("n") -
+            (col("sx").cast("double") / col("n")) *
+              (col("sy").cast("double") / col("n")), 6)
+            .cast("decimal(18,6)").as("cv"))
+      val covFull = checkpointed(
+        covTri.union(covTri.filter(col("i") =!= col("j"))
+          .select(col("j").as("i"), col("i").as("j"), col("cv"))),
+        eager = true)
+      var v = s.range(0, d)
+        .select(col("id").as("jv"), lit(0.125).cast("decimal(18,6)").as("vj"))
+      var lastWr: org.apache.spark.sql.DataFrame = null
+      for (_ <- 1 to 8) {
+        val w = covFull.join(v, col("j") === col("jv"))
+          .groupBy("i").agg(sum(col("cv") * col("vj")).as("wd"))
+        lastWr = w.select(col("i"),
+          round(col("wd").cast("double"), 6).cast("decimal(18,6)").as("wr"))
+        val n2 = lastWr.agg(sum(col("wr") * col("wr")).as("n2"))
+        v = lastWr.crossJoin(broadcast(n2))
+          .select(col("i").as("jv"),
+            round(col("wr").cast("double") /
+              nullif(sqrt(col("n2").cast("double")), lit(0.0)), 6)
+              .cast("decimal(18,6)").as("vj"))
+      }
+      val eig = lastWr.agg(
+        round(sqrt(sum(col("wr") * col("wr")).cast("double")), 6).as("eigval"))
+      v.crossJoin(broadcast(eig))
+        .select(col("jv").cast("long").as("i"),
+          col("vj").cast("double").as("v"), col("eigval"))
+        .orderBy("i")
+    }),
+
     // Two-sample Kolmogorov–Smirnov distance between corpus slices —
     // distribution drift on a CONTINUOUS metric (document length),
     // computed EXACTLY in integers: D = max_v |F1(v) − F2(v)| evaluated
@@ -325,6 +390,37 @@ object Stats {
         "round(CAST(sxy AS DOUBLE) / n - (CAST(sa.sx AS DOUBLE) / n) * (CAST(sb.sx AS DOUBLE) / n), 6) AS cov " +
         "FROM cell c JOIN ds sa ON sa.i = c.i JOIN ds sb ON sb.i = c.j " +
         "ORDER BY c.i, c.j"),
+    // the same 8-round power iteration UNROLLED as CTE rounds (the
+    // pagerank oracle device); decimals (19,6) for hugeint physical
+    "x_emb_pca" -> {
+      val base =
+        "WITH idx AS MATERIALIZED (SELECT a.i, b.j FROM range(0,64) a(i) CROSS JOIN range(0,64) b(j) WHERE b.j >= a.i), " +
+          "cell AS MATERIALIZED (SELECT i, j, count(*) AS n, " +
+          "sum(CAST(CAST(embedding[i+1] AS DOUBLE) AS DECIMAL(19,6)) * " +
+          "CAST(CAST(embedding[j+1] AS DOUBLE) AS DECIMAL(19,6))) AS sxy " +
+          "FROM embeddings CROSS JOIN idx GROUP BY i, j), " +
+          "ds AS MATERIALIZED (SELECT r.i, " +
+          "sum(CAST(CAST(embedding[r.i+1] AS DOUBLE) AS DECIMAL(19,6))) AS sx " +
+          "FROM embeddings CROSS JOIN range(0,64) r(i) GROUP BY r.i), " +
+          "covt AS MATERIALIZED (SELECT c.i, c.j, " +
+          "CAST(round(CAST(sxy AS DOUBLE)/n - (CAST(sa.sx AS DOUBLE)/n) * (CAST(sb.sx AS DOUBLE)/n), 6) AS DECIMAL(19,6)) AS cv " +
+          "FROM cell c JOIN ds sa ON sa.i = c.i JOIN ds sb ON sb.i = c.j), " +
+          "covf AS MATERIALIZED (SELECT i, j, cv FROM covt " +
+          "UNION ALL SELECT j AS i, i AS j, cv FROM covt WHERE i <> j), " +
+          "v0 AS MATERIALIZED (SELECT r.i AS j, CAST(0.125 AS DECIMAL(19,6)) AS vj FROM range(0,64) r(i)), "
+      val rounds = (1 to 8).map { r =>
+        s"w$r AS MATERIALIZED (SELECT m.i, sum(m.cv * v.vj) AS wd FROM covf m " +
+          s"JOIN v${r - 1} v ON m.j = v.j GROUP BY m.i), " +
+          s"wr$r AS MATERIALIZED (SELECT i, CAST(round(CAST(wd AS DOUBLE), 6) AS DECIMAL(19,6)) AS wr FROM w$r), " +
+          s"v$r AS MATERIALIZED (SELECT i AS j, " +
+          s"CAST(round(CAST(wr AS DOUBLE) / nullif(sqrt((SELECT CAST(sum(wr*wr) AS DOUBLE) FROM wr$r)), 0), 6) AS DECIMAL(19,6)) AS vj " +
+          s"FROM wr$r), "
+      }.mkString
+      base + rounds.stripSuffix(", ") + " " +
+        "SELECT CAST(v8.j AS BIGINT) AS i, CAST(v8.vj AS DOUBLE) AS v, " +
+        "(SELECT round(sqrt(CAST(sum(wr*wr) AS DOUBLE)), 6) FROM wr8) AS eigval " +
+        "FROM v8 ORDER BY i"
+    },
     "x_drift_ks" ->
       ("WITH pv AS (SELECT n_chars AS v, " +
         "sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS d1, " +

@@ -79,6 +79,35 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("x_emb_pca: unit-norm vector whose Rayleigh quotient beats the start vector") {
+    val d = 64
+    val out = SparkEntry.queries("x_emb_pca")(spark, sf()).collect()
+    assert(out.length === d)
+    val v = out.sortBy(_.getAs[Long]("i")).map(_.getAs[Double]("v"))
+    val eig = out.head.getAs[Double]("eigval")
+    assert(math.abs(v.map(x => x * x).sum - 1.0) < 1e-3, "not unit norm")
+    assert(eig > 0.0)
+    // rebuild the matrix from the graded cov key and check the invariant
+    // that holds REGARDLESS of spectral gap: 8 power rounds cannot
+    // decrease the Rayleigh quotient vs the uniform start vector
+    val m = Array.ofDim[Double](d, d)
+    SparkEntry.queries("x_emb_cov")(spark, sf()).collect().foreach { r =>
+      val i = r.getAs[Long]("i").toInt
+      val j = r.getAs[Long]("j").toInt
+      m(i)(j) = r.getAs[Double]("cov")
+      m(j)(i) = r.getAs[Double]("cov")
+    }
+    def rayleigh(x: Array[Double]): Double = {
+      val mx = (0 until d).map(i => (0 until d).map(j => m(i)(j) * x(j)).sum)
+      (0 until d).map(i => x(i) * mx(i)).sum / x.map(a => a * a).sum
+    }
+    val v0 = Array.fill(d)(0.125)
+    assert(rayleigh(v) >= rayleigh(v0) - 1e-9,
+      s"Rayleigh ${rayleigh(v)} fell below start ${rayleigh(v0)}")
+    // and the emitted eigenvalue estimate is consistent with the quotient
+    assert(math.abs(rayleigh(v) - eig) <= 0.2 * math.max(eig, 1e-9))
+  }
+
   test("a_chi2 on a uniform table is ~0; x_drift_ks on identical slices is 0") {
     // chi2: the graded key's per-nation partials must sum to a small value
     // only when mix is independent — sanity: all partials finite, >= 0
