@@ -293,6 +293,33 @@ object Joins {
     // plan is perturbed. PlanShapeSpec pins the bloom aggregate and the
     // pushed might_contain; the oracle is the plain join — the grade IS
     // "the bloom filter changed nothing but the shuffle volume".
+    // FUZZY STRING JOIN with blocking — approximate entity matching
+    // (catalog reconciliation, crawl-URL titles, OCR noise): pairs of
+    // part names within Levenshtein distance 3, restricted by a blocking
+    // contract (shared first character + length band ≤ 2) that is PART
+    // of the graded semantics, so the oracle states it verbatim. The
+    // scale discipline is the identical-signature CONTRACTION (the dedup
+    // family's device): duplicates collapse to DISTINCT names first
+    // (64 here; vocabulary-sized generally), the quadratic edit-distance
+    // work runs on the names frame only, and per-name multiplicities ride
+    // along as counts — never a row-pair explosion over the data.
+    "j_fuzzy_levenshtein" -> ((s, d) => {
+      val names = t(s, d, "part").groupBy(col("p_name"))
+        .agg(count(lit(1)).as("n"))
+      val a = names.select(col("p_name").as("name_a"), col("n").as("n_a"),
+        substring(col("p_name"), 1, 1).as("blk"))
+      val b = names.select(col("p_name").as("name_b"), col("n").as("n_b"),
+        substring(col("p_name"), 1, 1).as("blk"))
+      a.join(b, "blk")
+        .filter(col("name_a") < col("name_b") &&
+          abs(length(col("name_a")) - length(col("name_b"))) <= 2)
+        .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
+        .filter(col("dist") <= 3)
+        .select(col("name_a"), col("name_b"), col("dist"),
+          col("n_a"), col("n_b"))
+        .orderBy("name_a", "name_b")
+    }),
+
     // DYNAMIC PARTITION PRUNING graded end to end — the OTHER scan-side
     // runtime lever beside j_runtime_filter (that one kills fact ROWS via
     // a bloom filter; this one kills whole fact PARTITIONS before the
@@ -469,6 +496,18 @@ object Joins {
   private lazy val dppDimScratch: String = T.scratchDir("graft_dpp_dim")
 
   val oracleSql: Map[String, String] = Map(
+    // the blocking predicate is the graded contract, stated verbatim
+    "j_fuzzy_levenshtein" ->
+      ("WITH names AS (SELECT p_name, count(*) AS n FROM part GROUP BY p_name) " +
+        "SELECT a.p_name AS name_a, b.p_name AS name_b, " +
+        "CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist, " +
+        "a.n AS n_a, b.n AS n_b " +
+        "FROM names a JOIN names b " +
+        "ON substring(a.p_name, 1, 1) = substring(b.p_name, 1, 1) " +
+        "AND a.p_name < b.p_name " +
+        "AND abs(length(a.p_name) - length(b.p_name)) <= 2 " +
+        "AND levenshtein(a.p_name, b.p_name) <= 3 " +
+        "ORDER BY name_a, name_b"),
     "j_dpp" ->
       ("WITH f AS (SELECT event_id, value, " +
         "CAST(date_trunc('day', date_trunc('milliseconds', ts)) AS DATE) AS day " +

@@ -41,6 +41,23 @@ object ScanProject {
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
         .orderBy("l_orderkey", "l_linenumber")),
 
+    // GENERATED source — a table from NO input at all (the dbt
+    // date-spine / calendar-dimension verb): sequence() + explode
+    // produces the rows, so the only data is the generator's bounds.
+    // Distributed note: a year of days is driver-trivial; for a
+    // billion-row series the same shape runs `spark.range(n)` +
+    // timestampadd so generation parallelizes across executors.
+    "s_gen_series" -> ((s, d) => {
+      s.range(0, 1)
+        .select(explode(expr(
+          "sequence(TIMESTAMP_NTZ '1995-01-01 00:00:00', " +
+            "TIMESTAMP_NTZ '1995-12-31 00:00:00', INTERVAL 1 DAY)")).as("day"))
+        .select(col("day"),
+          date_format(col("day"), "E").as("dow"),
+          date_format(col("day"), "E").isin("Sat", "Sun").as("is_weekend"))
+        .orderBy("day")
+    }),
+
     // PARQUET AGGREGATE PUSHDOWN — COUNT/MIN/MAX answered from row-group
     // FOOTER STATISTICS instead of data pages: the scan reads ~KB of
     // metadata per file where a normal plan decompresses every page of
@@ -187,6 +204,11 @@ object ScanProject {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "s_gen_series" ->
+      ("SELECT ts AS day, strftime(ts, '%a') AS dow, " +
+        "strftime(ts, '%a') IN ('Sat', 'Sun') AS is_weekend " +
+        "FROM generate_series(TIMESTAMP '1995-01-01', TIMESTAMP '1995-12-31', " +
+        "INTERVAL 1 DAY) t(ts) ORDER BY day"),
     "s_agg_pushdown" ->
       ("SELECT count(*) AS n_rows, " +
         "min(l_orderkey) AS min_okey, max(l_orderkey) AS max_okey, " +
