@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.ops.T._
@@ -125,6 +126,95 @@ object Stats {
         expr(s"stack(${pairs.size}, $stackExpr)").as(Seq("pair", "corr")))
         .select(col("pair"), col("n"), col("corr"))
         .orderBy("pair")
+    }),
+
+    // Welch's two-sample t-test — the numeric twin of a_chi2's
+    // categorical association test: does a measure differ between two
+    // slices beyond noise? ONE conditional-aggregation pass accumulates
+    // exact decimal Σx and Σx² per slice (quantized — order-free), then
+    // means, sample variances, the t statistic and the Welch–
+    // Satterthwaite df all evaluate in doubles built from identical
+    // decimals, written in one shared operation order. 1-row output; at
+    // 100 TB the cost is one scan with map-side combine into 6 partials.
+    "a_ttest" -> ((s, d) => {
+      def q(c: Column) = c.cast("decimal(18,6)")
+      val zero = lit(0).cast("decimal(18,6)")
+      val ag = t(s, d, "lineitem")
+        .filter(col("l_returnflag").isin("A", "R"))
+        .agg(
+          sum(when(col("l_returnflag") === "A", 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("n_r"),
+          sum(when(col("l_returnflag") === "A", q(col("l_extendedprice")))
+            .otherwise(zero)).as("s_a"),
+          sum(when(col("l_returnflag") === "R", q(col("l_extendedprice")))
+            .otherwise(zero)).as("s_r"),
+          sum(when(col("l_returnflag") === "A",
+            q(col("l_extendedprice")) * q(col("l_extendedprice")))
+            .otherwise(zero.cast("decimal(38,12)"))).as("ss_a"),
+          sum(when(col("l_returnflag") === "R",
+            q(col("l_extendedprice")) * q(col("l_extendedprice")))
+            .otherwise(zero.cast("decimal(38,12)"))).as("ss_r"))
+      val mA = col("s_a").cast("double") / col("n_a")
+      val mR = col("s_r").cast("double") / col("n_r")
+      val vA = (col("ss_a").cast("double") - col("n_a") * mA * mA) / (col("n_a") - 1)
+      val vR = (col("ss_r").cast("double") - col("n_r") * mR * mR) / (col("n_r") - 1)
+      val se2A = vA / col("n_a")
+      val se2R = vR / col("n_r")
+      val tStat = (mA - mR) / sqrt(se2A + se2R)
+      val dfW = (se2A + se2R) * (se2A + se2R) /
+        (se2A * se2A / (col("n_a") - 1) + se2R * se2R / (col("n_r") - 1))
+      ag.select(col("n_a"), col("n_r"),
+        round(mA, 6).as("mean_a"), round(mR, 6).as("mean_r"),
+        round(tStat, 6).as("t_stat"), round(dfW, 6).as("df"))
+    }),
+
+    // EMBEDDING-CENTROID drift between corpus slices — the vector-space
+    // twin of x_drift_psi/ks (those watch scalar distributions; a
+    // semantic shift moves the embedding centroid while scalars look
+    // flat): per-dimension exact decimal sums per slice in ONE pass over
+    // the exploded vectors (64 groups, map-side combine), centroids
+    // rounded to the 6-dp grid, then cosine and L2 between them from
+    // exact decimal dot products — doubles only in the final
+    // sqrt/divide. The most-drifted dimension rides a TakeOrdered 1.
+    "x_drift_embed" -> ((s, dd) => {
+      def zero6 = lit(0).cast("decimal(18,6)")
+      val e = t(s, dd, "embeddings")
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      val sums = e.groupBy("pos").agg(
+        sum(when(col("vec_id") % 2 === 0, col("v").cast("decimal(18,6)"))
+          .otherwise(zero6)).as("s_ref"),
+        sum(when(col("vec_id") % 2 =!= 0, col("v").cast("decimal(18,6)"))
+          .otherwise(zero6)).as("s_cur"),
+        sum(when(col("vec_id") % 2 === 0, 1L).otherwise(0L)).as("n_ref"),
+        sum(when(col("vec_id") % 2 =!= 0, 1L).otherwise(0L)).as("n_cur"))
+      val m = sums.select(col("pos"), col("n_ref"), col("n_cur"),
+        round(col("s_ref").cast("double") / col("n_ref"), 6)
+          .cast("decimal(18,6)").as("m_ref"),
+        round(col("s_cur").cast("double") / col("n_cur"), 6)
+          .cast("decimal(18,6)").as("m_cur"))
+      val mC = checkpointed(m, eager = true)
+      val agg = mC.agg(
+        first(col("n_ref")).as("n_ref"), first(col("n_cur")).as("n_cur"),
+        sum(col("m_ref") * col("m_cur")).as("num"),
+        sum(col("m_ref") * col("m_ref")).as("nr2"),
+        sum(col("m_cur") * col("m_cur")).as("nc2"),
+        // re-cast the diff to scale 6 (exact) before squaring: a
+        // (19,6)×(19,6) product would exceed precision 38 on both engines
+        sum((col("m_ref") - col("m_cur")).cast("decimal(18,6)") *
+          (col("m_ref") - col("m_cur")).cast("decimal(18,6)")).as("l2sq"))
+      val top = mC
+        .orderBy(abs(col("m_ref") - col("m_cur")).desc, col("pos").asc)
+        .limit(1)
+        .select(col("pos").cast("long").as("max_dim"),
+          round(abs(col("m_ref") - col("m_cur")).cast("double"), 6)
+            .as("max_abs_delta"))
+      agg.crossJoin(top)
+        .select(col("n_ref"), col("n_cur"),
+          round(col("num").cast("double") /
+            nullif(sqrt(col("nr2").cast("double")) * sqrt(col("nc2").cast("double")),
+              lit(0.0)), 6).as("centroid_cos"),
+          round(sqrt(col("l2sq").cast("double")), 6).as("centroid_l2"),
+          col("max_dim"), col("max_abs_delta"))
     }),
 
     // Distributed GRAM / COVARIANCE matrix of the embedding corpus in ONE
@@ -374,6 +464,47 @@ object Stats {
       s"WITH s AS (SELECT count(*) AS n, ${sums.mkString(", ")} FROM lineitem) " +
         branches.mkString(" UNION ALL ") + " ORDER BY pair"
     },
+    "a_ttest" ->
+      ("WITH s AS (SELECT " +
+        "CAST(sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a, " +
+        "CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_r, " +
+        "sum(CASE WHEN l_returnflag = 'A' THEN CAST(l_extendedprice AS DECIMAL(19,6)) ELSE CAST(0 AS DECIMAL(19,6)) END) AS s_a, " +
+        "sum(CASE WHEN l_returnflag = 'R' THEN CAST(l_extendedprice AS DECIMAL(19,6)) ELSE CAST(0 AS DECIMAL(19,6)) END) AS s_r, " +
+        "sum(CASE WHEN l_returnflag = 'A' THEN CAST(l_extendedprice AS DECIMAL(19,6)) * CAST(l_extendedprice AS DECIMAL(19,6)) ELSE CAST(0 AS DECIMAL(38,12)) END) AS ss_a, " +
+        "sum(CASE WHEN l_returnflag = 'R' THEN CAST(l_extendedprice AS DECIMAL(19,6)) * CAST(l_extendedprice AS DECIMAL(19,6)) ELSE CAST(0 AS DECIMAL(38,12)) END) AS ss_r " +
+        "FROM lineitem WHERE l_returnflag IN ('A', 'R')), " +
+        "m AS (SELECT n_a, n_r, " +
+        "CAST(s_a AS DOUBLE)/n_a AS m_a, CAST(s_r AS DOUBLE)/n_r AS m_r, " +
+        "CAST(ss_a AS DOUBLE) AS ssa, CAST(ss_r AS DOUBLE) AS ssr FROM s), " +
+        "v AS (SELECT *, (ssa - n_a * m_a * m_a)/(n_a - 1) AS v_a, " +
+        "(ssr - n_r * m_r * m_r)/(n_r - 1) AS v_r FROM m), " +
+        "se AS (SELECT *, v_a/n_a AS se2a, v_r/n_r AS se2r FROM v) " +
+        "SELECT n_a, n_r, round(m_a, 6) AS mean_a, round(m_r, 6) AS mean_r, " +
+        "round((m_a - m_r)/sqrt(se2a + se2r), 6) AS t_stat, " +
+        "round((se2a + se2r)*(se2a + se2r)/(se2a*se2a/(n_a - 1) + se2r*se2r/(n_r - 1)), 6) AS df " +
+        "FROM se"),
+    "x_drift_embed" ->
+      ("WITH e AS (SELECT vec_id, r.i AS pos, embedding[r.i+1] AS v " +
+        "FROM embeddings CROSS JOIN range(0,64) r(i)), " +
+        "sums AS (SELECT pos, " +
+        "sum(CASE WHEN vec_id % 2 = 0 THEN CAST(CAST(v AS DOUBLE) AS DECIMAL(19,6)) ELSE CAST(0 AS DECIMAL(19,6)) END) AS s_ref, " +
+        "sum(CASE WHEN vec_id % 2 <> 0 THEN CAST(CAST(v AS DOUBLE) AS DECIMAL(19,6)) ELSE CAST(0 AS DECIMAL(19,6)) END) AS s_cur, " +
+        "CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ref, " +
+        "CAST(sum(CASE WHEN vec_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_cur " +
+        "FROM e GROUP BY pos), " +
+        "m AS (SELECT pos, n_ref, n_cur, " +
+        "CAST(round(CAST(s_ref AS DOUBLE)/n_ref, 6) AS DECIMAL(19,6)) AS m_ref, " +
+        "CAST(round(CAST(s_cur AS DOUBLE)/n_cur, 6) AS DECIMAL(19,6)) AS m_cur FROM sums), " +
+        "ag AS (SELECT any_value(n_ref) AS n_ref, any_value(n_cur) AS n_cur, " +
+        "sum(m_ref*m_cur) AS num, sum(m_ref*m_ref) AS nr2, sum(m_cur*m_cur) AS nc2, " +
+        "sum(CAST(m_ref - m_cur AS DECIMAL(19,6)) * CAST(m_ref - m_cur AS DECIMAL(19,6))) AS l2sq FROM m), " +
+        "top AS (SELECT CAST(pos AS BIGINT) AS max_dim, " +
+        "round(CAST(abs(m_ref - m_cur) AS DOUBLE), 6) AS max_abs_delta " +
+        "FROM m ORDER BY abs(m_ref - m_cur) DESC, pos ASC LIMIT 1) " +
+        "SELECT n_ref, n_cur, " +
+        "round(CAST(num AS DOUBLE)/nullif(sqrt(CAST(nr2 AS DOUBLE))*sqrt(CAST(nc2 AS DOUBLE)), 0), 6) AS centroid_cos, " +
+        "round(sqrt(CAST(l2sq AS DOUBLE)), 6) AS centroid_l2, max_dim, max_abs_delta " +
+        "FROM ag CROSS JOIN top"),
     // the quadratic index explode is fine for DuckDB at 500 vectors — the
     // Spark side's whole point is NOT doing this
     "x_emb_cov" ->

@@ -2,7 +2,7 @@ package graft
 
 /** T1 blanket contract checks: every declared query runs on sf0.001,
   * the queries/oracleSql maps are mutually consistent, and the declared
-  * inventory matches SURVEY.md §2b (217 keys, 209 oracle-checked).
+  * inventory matches SURVEY.md §2b (219 keys, 211 oracle-checked).
   */
 class ContractSpec extends SparkSpec {
 
@@ -11,9 +11,9 @@ class ContractSpec extends SparkSpec {
       "t_stream_runtime", "t_stream_dedup", "t_stream_session",
       "t_stream_join")
 
-  test("inventory matches SURVEY §2b: 217 queries, 209 with oracle SQL") {
-    assert(SparkEntry.queries.size === 217)
-    assert(SparkEntry.oracleSql.size === 209)
+  test("inventory matches SURVEY §2b: 219 queries, 211 with oracle SQL") {
+    assert(SparkEntry.queries.size === 219)
+    assert(SparkEntry.oracleSql.size === 211)
     assert(SparkEntry.queries.keySet.intersect(nonOracle).size === 8)
   }
 
@@ -67,6 +67,7 @@ class ContractSpec extends SparkSpec {
     "x_text_bm25",       // 1-row corpus-scalars (N/avgdl/df) crossJoin
     "x_drift_psi",       // 1-row min/max frame crossJoin (bin boundaries)
     "x_emb_pca",         // 1-row norm/eig crossJoins per pinned round
+    "x_drift_embed",     // 1-row stats × 1-row argmax-dim crossJoin
     "x_flex_affine", "u_udaf_centroid") // 1-row param/centroid broadcast
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
