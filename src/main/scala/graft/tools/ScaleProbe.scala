@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
   * of 10c yields ~50c² pairs) — the probe prints output rows so the two
   * effects can be told apart.
   *
-  * `runMain graft.tools.ScaleProbe [sfDir] [keys|sigs|curation|cc|cluster|vocab|spans|bpe|quality|pq|geo|graph|streamjoin|snapshot|kll|all]`
+  * `runMain graft.tools.ScaleProbe [sfDir] [keys|sigs|curation|cc|cluster|vocab|spans|bpe|quality|pq|geo|graph|streamjoin|snapshot|kll|gram|cdc|all]`
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -419,6 +419,57 @@ object ScaleProbe {
       val (tk10, _) = time(kllBuild(10))
       graft.ops.T.releaseCaches(blocking = true)
       println(f"kll daily-sketch+merge 1x ${tk1}%6.2fs -> 10x ${tk10}%7.2fs (factor ${tk10 / tk1}%5.1f)")
+    }
+    // GRAM matrix at 10× vectors: the buffer is fixed d + d(d+1)/2 longs
+    // per partial, so wall time must grow with the SCAN, never with the
+    // matrix — a super-linear factor would flag the d²-row explode the
+    // TypedImperativeAggregate exists to avoid.
+    if (mode == "all" || mode == "gram") {
+      graft.functions.Gram.register(spark)
+      def gram(mult: Int): DataFrame = {
+        val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        val big = (0 until mult).map { i =>
+          e.select((col("vec_id") + lit(i * 100000000L)).as("vec_id"),
+            col("embedding"))
+        }.reduce(_ unionByName _)
+        val q = transform(col("embedding"),
+          x => (x.cast("decimal(18,6)") * lit(1000000)).cast("long"))
+        big.select(q.as("q"))
+          .agg(expr("graft_gram_agg(q, 64)").as("g"))
+          .select(col("g.n"))
+      }
+      val (tg1, _) = time(gram(1))
+      graft.ops.T.releaseCaches(blocking = true)
+      val (tg10, _) = time(gram(10))
+      graft.ops.T.releaseCaches(blocking = true)
+      println(f"gram one-pass moment matrix 1x ${tg1}%6.2fs -> 10x ${tg10}%7.2fs (factor ${tg10 / tg1}%5.1f)")
+    }
+    // CDC apply at 10× log volume with FIXED key cardinality: state per
+    // key is one record, so the window spelling's cost is the shuffle of
+    // the log itself — linear in records, never in history × keys.
+    if (mode == "all" || mode == "cdc") {
+      def cdc(mult: Int): DataFrame = {
+        val e = graft.ops.T.t(spark, sfDir, "events")
+        val big = (0 until mult).map { i =>
+          e.select((col("event_id") + lit(i * 100000000L)).as("event_id"),
+            col("ts"), col("user_id"), col("event_type"), col("value"))
+        }.reduce(_ unionByName _)
+        val log = big.select(col("user_id"),
+          date_trunc("millisecond", col("ts")).as("ts_ms"), col("event_id"),
+          when(col("event_type") === "error", lit("D")).otherwise(lit("U")).as("op"),
+          col("value"))
+        val byKey = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+        val seqD = byKey.orderBy(col("ts_ms").desc, col("event_id").desc)
+        log.withColumn("rn", row_number().over(seqD))
+          .withColumn("n_ops", count(lit(1)).over(byKey))
+          .filter(col("rn") === 1 && col("op") =!= "D")
+          .select(col("user_id"), col("n_ops"))
+      }
+      val (tc1, nc1) = time(cdc(1))
+      graft.ops.T.releaseCaches(blocking = true)
+      val (tc10, nc10) = time(cdc(10))
+      graft.ops.T.releaseCaches(blocking = true)
+      println(f"cdc apply (window LWW) 1x ${tc1}%6.2fs -> 10x ${tc10}%7.2fs (factor ${tc10 / tc1}%5.1f; live keys $nc1 -> $nc10)")
     }
     // Incremental join-view maintenance at a 10× base with a FIXED
     // delta: the three delta joins' SHUFFLE volume is delta-sized, but
