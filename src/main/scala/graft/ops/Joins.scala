@@ -137,6 +137,47 @@ object Joins {
         .orderBy("event_id")
     }),
 
+    // NEAREST-event as-of (round-11 addition) — the bidirectional variant
+    // of j_asof (backward-only): for each purchase, the view event
+    // closest in time in EITHER direction, ties to the earlier side.
+    // Same zero-join window device: backward max / forward min of the
+    // conditional event time over one (user, ts, id) total order — two
+    // frames sharing one shuffle+sort, per-user state a single timestamp
+    // each way at any scale. Millisecond deltas are exact integers.
+    "j_asof_nearest" -> ((s, d) => {
+      val e = t(s, d, "events")
+        .filter(col("event_type").isin("view", "purchase"))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          truncNtz("millisecond", col("ts")).as("ts_ms"))
+      val ord = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+      val prevW = ord.rowsBetween(Window.unboundedPreceding, -1)
+      val nextW = ord.rowsBetween(1, Window.unboundedFollowing)
+      e.withColumn("prev_view_ts",
+          max(when(col("event_type") === "view", col("ts_ms"))).over(prevW))
+        .withColumn("next_view_ts",
+          min(when(col("event_type") === "view", col("ts_ms"))).over(nextW))
+        .filter(col("event_type") === "purchase")
+        .withColumn("d_prev",
+          expr("timestampdiff(MILLISECOND, prev_view_ts, ts_ms)"))
+        .withColumn("d_next",
+          expr("timestampdiff(MILLISECOND, ts_ms, next_view_ts)"))
+        .withColumn("direction",
+          when(col("d_prev").isNotNull &&
+            (col("d_next").isNull || col("d_prev") <= col("d_next")), "prev")
+            .when(col("d_next").isNotNull, "next")
+            .otherwise("none"))
+        .withColumn("nearest_view_ts",
+          when(col("direction") === "prev", col("prev_view_ts"))
+            .when(col("direction") === "next", col("next_view_ts")))
+        .withColumn("delta_ms",
+          when(col("direction") === "prev", col("d_prev"))
+            .when(col("direction") === "next", col("d_next")))
+        .select(col("user_id"), col("event_id"),
+          col("ts_ms").as("purchase_ts"), col("nearest_view_ts"),
+          col("direction"), col("delta_ms"))
+        .orderBy("event_id")
+    }),
+
     // Theta inequality join, bounded by the nation equi-key; the bigger
     // side is fanned so the ~n_s×n_c/|nation| pair work parallelizes.
     "j_theta_ineq" -> ((s, d) =>
@@ -508,6 +549,30 @@ object Joins {
         "AND abs(length(a.p_name) - length(b.p_name)) <= 2 " +
         "AND levenshtein(a.p_name, b.p_name) <= 3 " +
         "ORDER BY name_a, name_b"),
+    "j_asof_nearest" ->
+      ("WITH e AS (SELECT event_id, user_id, event_type, " +
+        "date_trunc('milliseconds', ts) AS ts_ms " +
+        "FROM events WHERE event_type IN ('view','purchase')), " +
+        "fr AS (SELECT event_id, user_id, event_type, ts_ms, " +
+        "max(CASE WHEN event_type = 'view' THEN ts_ms END) OVER " +
+        "(PARTITION BY user_id ORDER BY ts_ms, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_view_ts, " +
+        "min(CASE WHEN event_type = 'view' THEN ts_ms END) OVER " +
+        "(PARTITION BY user_id ORDER BY ts_ms, event_id " +
+        "ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_view_ts " +
+        "FROM e), " +
+        "p AS (SELECT user_id, event_id, ts_ms, prev_view_ts, next_view_ts, " +
+        "date_diff('millisecond', prev_view_ts, ts_ms) AS d_prev, " +
+        "date_diff('millisecond', ts_ms, next_view_ts) AS d_next " +
+        "FROM fr WHERE event_type = 'purchase'), " +
+        "dir AS (SELECT *, CASE " +
+        "WHEN d_prev IS NOT NULL AND (d_next IS NULL OR d_prev <= d_next) THEN 'prev' " +
+        "WHEN d_next IS NOT NULL THEN 'next' ELSE 'none' END AS direction FROM p) " +
+        "SELECT user_id, event_id, ts_ms AS purchase_ts, " +
+        "CASE direction WHEN 'prev' THEN prev_view_ts WHEN 'next' THEN next_view_ts END AS nearest_view_ts, " +
+        "direction, " +
+        "CASE direction WHEN 'prev' THEN d_prev WHEN 'next' THEN d_next END AS delta_ms " +
+        "FROM dir ORDER BY event_id"),
     "j_dpp" ->
       ("WITH f AS (SELECT event_id, value, " +
         "CAST(date_trunc('day', date_trunc('milliseconds', ts)) AS DATE) AS day " +

@@ -128,6 +128,29 @@ object Stats {
         .orderBy("pair")
     }),
 
+    // Pareto / concentration profile — "what share of revenue comes from
+    // each customer decile": the curation-relevant concentration verb
+    // (the same shape answers "what share of tokens comes from the top
+    // domains"). Two-level: data-sized groupBy to per-customer exact
+    // decimal revenue, ntile(10) under a TOTAL order (revenue desc, key),
+    // per-decile re-agg, shares from exact decimal totals. The window
+    // runs over the |customers|-sized frame, never raw orders.
+    "a_pareto" -> ((s, d) => {
+      val rev = t(s, d, "orders").groupBy("o_custkey")
+        .agg(sum(dec(col("o_totalprice"))).as("rev"))
+      val w = Window.orderBy(col("rev").desc, col("o_custkey").asc)
+      val tot = Window.partitionBy()
+      rev.withColumn("decile", ntile(10).over(w))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_cust"), sum(col("rev")).as("rev_dec"))
+        .withColumn("share",
+          round(col("rev_dec").cast("double") /
+            sum(col("rev_dec")).over(tot).cast("double"), 6))
+        .select(col("decile").cast("long").as("decile"), col("n_cust"),
+          decOut(col("rev_dec")).as("rev_dec"), col("share"))
+        .orderBy("decile")
+    }),
+
     // Welch's two-sample t-test — the numeric twin of a_chi2's
     // categorical association test: does a measure differ between two
     // slices beyond noise? ONE conditional-aggregation pass accumulates
@@ -464,6 +487,18 @@ object Stats {
       s"WITH s AS (SELECT count(*) AS n, ${sums.mkString(", ")} FROM lineitem) " +
         branches.mkString(" UNION ALL ") + " ORDER BY pair"
     },
+    "a_pareto" ->
+      ("WITH rev AS (SELECT o_custkey, " +
+        "sum(CAST(o_totalprice AS DECIMAL(38,6))) AS rev " +
+        "FROM orders GROUP BY o_custkey), " +
+        "dc AS (SELECT o_custkey, rev, " +
+        "ntile(10) OVER (ORDER BY rev DESC, o_custkey ASC) AS decile FROM rev), " +
+        "agg AS (SELECT decile, count(*) AS n_cust, sum(rev) AS rev_dec " +
+        "FROM dc GROUP BY decile) " +
+        "SELECT decile, n_cust, " +
+        "round(CAST(rev_dec AS DOUBLE), 6) AS rev_dec, " +
+        "round(CAST(rev_dec AS DOUBLE) / CAST(sum(rev_dec) OVER () AS DOUBLE), 6) AS share " +
+        "FROM agg ORDER BY decile"),
     "a_ttest" ->
       ("WITH s AS (SELECT " +
         "CAST(sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a, " +
