@@ -319,18 +319,29 @@ object Stats {
             (col("sx").cast("double") / col("n")) *
               (col("sy").cast("double") / col("n")), 6)
             .cast("decimal(18,6)").as("cv"))
+      // one partition for the whole iteration: the d² cell frame is 4160
+      // rows — spreading it over the session's 32 shuffle partitions
+      // costs 8 rounds × 32 near-empty tasks of pure scheduling (~6 s at
+      // sf0.1); a single task per round is the right plan up to d ≈ 10³
       val covFull = checkpointed(
         covTri.union(covTri.filter(col("i") =!= col("j"))
-          .select(col("j").as("i"), col("i").as("j"), col("cv"))),
+          .select(col("j").as("i"), col("i").as("j"), col("cv")))
+          .coalesce(1),
         eager = true)
       var v = s.range(0, d)
         .select(col("id").as("jv"), lit(0.125).cast("decimal(18,6)").as("vj"))
       var lastWr: org.apache.spark.sql.DataFrame = null
       for (_ <- 1 to 8) {
-        val w = covFull.join(v, col("j") === col("jv"))
-          .groupBy("i").agg(sum(col("cv") * col("vj")).as("wd"))
-        lastWr = w.select(col("i"),
-          round(col("wd").cast("double"), 6).cast("decimal(18,6)").as("wr"))
+        val w = covFull.join(broadcast(v), col("j") === col("jv"))
+          .groupBy("i").agg(sum(col("cv") * col("vj")).as("wd")).coalesce(1)
+        // checkpoint each round's wr: BOTH the norm and the next v read
+        // it, so an unbroken lineage doubles the subtree per round —
+        // 2⁸ re-evaluations of the matvec by round 8 (measured 20 s at
+        // sf0.1; ~1 s checkpointed). Same pinned-round device as
+        // pageRank; frames are 64 rows, so the checkpoint jobs are noise.
+        lastWr = checkpointed(w.select(col("i"),
+          round(col("wd").cast("double"), 6).cast("decimal(18,6)").as("wr")),
+          eager = true)
         val n2 = lastWr.agg(sum(col("wr") * col("wr")).as("n2"))
         v = lastWr.crossJoin(broadcast(n2))
           .select(col("i").as("jv"),
