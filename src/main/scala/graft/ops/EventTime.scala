@@ -500,6 +500,37 @@ object EventTime {
         .orderBy("user_id", "gap_start")
     }),
 
+    // BURST / rate-spike detection — the monitoring twin of t_gap_detect
+    // (that one finds missing activity; this one finds anomalous spikes):
+    // per-minute event counts, then a TRAILING 60-minute baseline from
+    // exact integer window sums (Σc and Σc² → mean and sample variance
+    // derived in doubles both engines build from identical integers —
+    // never a windowed stddev(), whose accumulation order is
+    // engine-specific), flagging minutes above mean + 3σ. Work scales
+    // with ACTIVE MINUTES after the first aggregation, never raw events.
+    "t_burst_detect" -> ((s, d) => {
+      val perMin = ev(s, d)
+        .groupBy(truncNtz("minute", col("ts_ms")).as("minute"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.orderBy("minute").rowsBetween(-60, -1)
+      val withStats = perMin
+        .withColumn("n_base", count(col("cnt")).over(w))
+        .withColumn("s1", sum(col("cnt")).over(w))
+        .withColumn("s2", sum(col("cnt") * col("cnt")).over(w))
+        .filter(col("n_base") >= 30)
+      val m = col("s1").cast("double") / col("n_base")
+      val v = (col("s2").cast("double") - col("n_base") * m * m) /
+        (col("n_base") - 1)
+      withStats
+        .withColumn("mean_base", round(m, 6))
+        .withColumn("sd_base", round(sqrt(v), 6))
+        .withColumn("is_burst",
+          col("cnt").cast("double") > m + lit(3.0) * sqrt(v))
+        .select(col("minute"), col("cnt"), col("n_base"),
+          col("mean_base"), col("sd_base"), col("is_burst"))
+        .orderBy("minute")
+    }),
+
     // CDC APPLY (batch) — materialize the CURRENT state of a keyed table
     // from a change log: each event is an upsert ('U') except errors,
     // which are tombstones ('D'); the winner per key is the LAST record
@@ -854,6 +885,22 @@ object EventTime {
         "round(CAST(sum(CASE WHEN value <= 50.0 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS rank_50, " +
         "round(CAST(sum(CASE WHEN value <= 150.0 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS rank_150 " +
         "FROM events GROUP BY user_id ORDER BY user_id"),
+    "t_burst_detect" ->
+      ("WITH pm AS (SELECT date_trunc('minute', date_trunc('milliseconds', ts)) AS minute, " +
+        "count(*) AS cnt FROM events GROUP BY 1), " +
+        "st AS (SELECT minute, cnt, " +
+        "CAST(count(cnt) OVER tw AS BIGINT) AS n_base, " +
+        "CAST(sum(cnt) OVER tw AS BIGINT) AS s1, " +
+        "CAST(sum(cnt * cnt) OVER tw AS BIGINT) AS s2 FROM pm " +
+        "WINDOW tw AS (ORDER BY minute ROWS BETWEEN 60 PRECEDING AND 1 PRECEDING)), " +
+        "fl AS (SELECT minute, CAST(cnt AS BIGINT) AS cnt, n_base, " +
+        "CAST(s1 AS DOUBLE) / n_base AS m, " +
+        "(CAST(s2 AS DOUBLE) - n_base * (CAST(s1 AS DOUBLE) / n_base) * (CAST(s1 AS DOUBLE) / n_base)) / (n_base - 1) AS v " +
+        "FROM st WHERE n_base >= 30) " +
+        "SELECT minute, cnt, n_base, round(m, 6) AS mean_base, " +
+        "round(sqrt(v), 6) AS sd_base, " +
+        "CAST(cnt AS DOUBLE) > m + 3.0 * sqrt(v) AS is_burst " +
+        "FROM fl ORDER BY minute"),
     "t_cdc_apply" -> cdcApplySql,
     // the streaming spelling converges to the identical state — one oracle
     "t_stream_cdc" -> cdcApplySql,

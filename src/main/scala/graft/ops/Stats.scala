@@ -151,6 +151,31 @@ object Stats {
         .orderBy("decile")
     }),
 
+    // GINI COEFFICIENT of the revenue distribution — a_pareto's scalar
+    // summary (deciles show the shape; Gini is the single inequality
+    // number dashboards track): the rank-sum closed form
+    // G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over ascending ranks, with Σ(i·xᵢ)
+    // as an EXACT decimal (rank cast DECIMAL(12,0) × revenue re-cast
+    // DECIMAL(25,6): product precision lands exactly at 38 — one digit
+    // more overflows DuckDB and triggers Spark's precision-loss
+    // rounding). One data-sized groupBy, then rank + sums over the
+    // |customers| frame.
+    "a_gini" -> ((s, d) => {
+      val rev = t(s, d, "orders").groupBy("o_custkey")
+        .agg(sum(dec(col("o_totalprice"))).cast("decimal(25,6)").as("rev"))
+      val rk = Window.orderBy(col("rev").asc, col("o_custkey").asc)
+      val ranked = rev.withColumn("i",
+        row_number().over(rk).cast("decimal(12,0)"))
+      val ag = ranked.agg(count(lit(1)).as("n"),
+        sum(col("i") * col("rev")).as("swr"),
+        sum(col("rev")).as("tot"))
+      ag.select(col("n"),
+        decOut(col("tot")).as("total_rev"),
+        round(lit(2.0) * col("swr").cast("double") /
+          (col("n") * col("tot").cast("double")) -
+          (col("n") + lit(1)).cast("double") / col("n"), 6).as("gini"))
+    }),
+
     // Welch's two-sample t-test — the numeric twin of a_chi2's
     // categorical association test: does a measure differ between two
     // slices beyond noise? ONE conditional-aggregation pass accumulates
@@ -510,6 +535,15 @@ object Stats {
         "round(CAST(rev_dec AS DOUBLE), 6) AS rev_dec, " +
         "round(CAST(rev_dec AS DOUBLE) / CAST(sum(rev_dec) OVER () AS DOUBLE), 6) AS share " +
         "FROM agg ORDER BY decile"),
+    "a_gini" ->
+      ("WITH rev AS (SELECT o_custkey, " +
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DECIMAL(25,6)) AS rev " +
+        "FROM orders GROUP BY o_custkey), " +
+        "rk AS (SELECT rev, CAST(row_number() OVER (ORDER BY rev ASC, o_custkey ASC) AS DECIMAL(12,0)) AS i FROM rev), " +
+        "ag AS (SELECT count(*) AS n, sum(i * rev) AS swr, sum(rev) AS tot FROM rk) " +
+        "SELECT n, round(CAST(tot AS DOUBLE), 6) AS total_rev, " +
+        "round(2.0 * CAST(swr AS DOUBLE) / (n * CAST(tot AS DOUBLE)) - " +
+        "CAST(n + 1 AS DOUBLE) / n, 6) AS gini FROM ag"),
     "a_ttest" ->
       ("WITH s AS (SELECT " +
         "CAST(sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a, " +
