@@ -128,4 +128,119 @@ object Graph {
       .select(col("n").as("node"),
         coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
   }
+
+  /** Multi-source BFS hop distance over an undirected graph `(u, v)` —
+    * the reachability/radius primitive next to components (is a page
+    * within k link-hops of a trusted seed set? how deep does a duplicate
+    * chain run?). `sources` is one column `node`.
+    *
+    * Algorithm: FRONTIER-PROPAGATED label relaxation. In an unweighted
+    * graph a node's distance is FINAL the first round it is reached, so
+    * each round joins the edge list against only the NEWLY-settled
+    * frontier — per-round shuffle is frontier-incident-edge-sized, and
+    * the total work over the whole run is one pass over each edge per
+    * direction (the textbook parallel-BFS bound), not rounds×edges as a
+    * full relaxation would pay. Termination = empty frontier, probed by
+    * the same lazy-localCheckpoint + count device as
+    * `Dedup.connectedComponents` (one job per round). The settled frame
+    * is node-sized; per-round plans stay flat via checkpointing.
+    *
+    * Result: `(node, hops)` for every node of the graph; unreachable
+    * nodes carry NULL hops. An oracle replays the simple full-relaxation
+    * form (min over neighbors each round) — result-identical because
+    * first-reach minimality makes relaxation and frontier propagation
+    * converge to the same fixpoint.
+    */
+  def bfsHops(edges: DataFrame, sources: DataFrame,
+      maxIter: Int = 50): DataFrame = {
+    val e = T.cached(edges
+      .select(explode(array(
+        struct(col("u").cast("long").as("s"), col("v").cast("long").as("t")),
+        struct(col("v").cast("long").as("s"), col("u").cast("long").as("t"))))
+        .as("e"))
+      .select(col("e.s").as("s"), col("e.t").as("t"))
+      .filter(col("s") =!= col("t")).distinct())
+    val nodes = T.cached(e.select(col("s").as("node")).distinct())
+    val src = sources.select(col("node").cast("long").as("node")).distinct()
+    // settled = (node, hops) so far; frontier = the nodes settled LAST
+    // round (messages originate only there). Both checkpointed; a
+    // round's inputs are freed only after its own frames materialize.
+    var settled = T.checkpointed(
+      nodes.join(src, Seq("node"), "left_semi")
+        .select(col("node"), lit(0L).as("hops")))
+    var frontier = settled
+    var round = 0
+    var done = frontier.count() == 0L
+    while (!done && round < maxIter) {
+      round += 1
+      val reached = e
+        .join(frontier.select(col("node").as("s"), col("hops")), "s")
+        .select(col("t").as("node"), (col("hops") + 1L).as("hops"))
+        .groupBy("node").agg(min("hops").as("hops"))
+      val next = T.checkpointed(
+        reached.join(settled, Seq("node"), "left_anti"))
+      done = next.count() == 0L // also materializes `next`
+      if (!done) {
+        val union = T.checkpointed(settled.unionByName(next))
+        union.count() // materialize before freeing the frames it read
+        T.freeCheckpoint(settled)
+        if (frontier ne settled) T.freeCheckpoint(frontier)
+        settled = union
+        frontier = next
+      } else {
+        T.freeCheckpoint(next)
+      }
+    }
+    nodes.join(settled, Seq("node"), "left")
+      .select(col("node"), col("hops"))
+  }
+
+  /** k-CORE of an undirected simple graph `(u, v)`: the maximal subgraph
+    * in which every node has degree ≥ k — the standard density filter
+    * for link graphs (spam farms and boilerplate-link rings live in high
+    * cores; pendant chains and isolated pages peel away). Returns the
+    * surviving `(node, core_deg)` with each node's degree INSIDE the
+    * core.
+    *
+    * Algorithm: iterative peeling to a fixpoint — drop every node whose
+    * current degree is < k, drop edges incident to dropped nodes,
+    * repeat. Each round is one degree aggregation + one semi-join on
+    * both endpoints (edge-linear, partial-aggregated); the round count
+    * is the peel depth of the graph (the longest chain hanging off the
+    * core), not the node count. Edge state is checkpointed per round so
+    * plans stay flat (the `connectedComponents` device); termination is
+    * the same single-job count probe. The fixpoint is unique (the k-core
+    * is order-independent), so an oracle can replay the same peeling as
+    * unrolled rounds — too few unrolled rounds mismatches LOUDLY rather
+    * than truncating silently.
+    */
+  def kCore(edges: DataFrame, k: Int, maxIter: Int = 50): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    var e = T.checkpointed(edges
+      .select(least(col("u"), col("v")).cast("long").as("a"),
+        greatest(col("u"), col("v")).cast("long").as("b"))
+      .filter(col("a") =!= col("b")).distinct())
+    var nEdges = e.count()
+    var changed = true
+    var round = 0
+    while (changed && round < maxIter) {
+      round += 1
+      val deg = e.select(col("a").as("n")).union(e.select(col("b")))
+        .groupBy("n").agg(count(lit(1)).as("deg"))
+      val keep = deg.filter(col("deg") >= k).select("n")
+      val pruned = T.checkpointed(
+        e.join(keep.select(col("n").as("a")), Seq("a"), "left_semi")
+          .join(keep.select(col("n").as("b")), Seq("b"), "left_semi")
+          .select("a", "b"))
+      val nPruned = pruned.count() // one job: materialize + converge probe
+      changed = nPruned != nEdges
+      T.freeCheckpoint(e)
+      e = pruned
+      nEdges = nPruned
+    }
+    val out = e.select(col("a").as("n")).union(e.select(col("b")))
+      .groupBy("n").agg(count(lit(1)).as("core_deg"))
+      .select(col("n").as("node"), col("core_deg"))
+    out
+  }
 }

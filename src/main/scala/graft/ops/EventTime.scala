@@ -34,6 +34,59 @@ object EventTime {
           col("cnt"), col("sum_value"))
         .orderBy("user_id", "win_start")),
 
+    // Exponentially-weighted activity score per user — the recency-
+    // weighted signal behind freshness scoring and engagement decay
+    // ("how active is this user NOW", with yesterday counting half).
+    // Closed form over ONE window pass: with α = 1/2, the weight of the
+    // i-th of n events is 0.5^(n−i) — a power of two, hence EXACT in
+    // IEEE doubles on both engines up to 2^-1074 (then exactly 0), so
+    // the only rounding needed is the house 9-dp grid on each term
+    // before the order-insensitive decimal sum. Normalizer Σ 0.5^(n−i)
+    // = 2 − 0.5^(n−1), also exact. Linear in events (no per-row
+    // recursion, no O(n²) re-scan); the window runs per user under the
+    // (ts, event_id) total order.
+    "t_ewma" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts_ms"), col("event_id"))
+      val terms = ev(s, d)
+        .withColumn("i", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("user_id")))
+        .withColumn("term",
+          round(col("value") * pow(lit(0.5), col("n") - col("i")), 9))
+      // decimal(38,9), not dec()'s (38,6): the 9-dp-rounded terms must
+      // enter the exact sum unchanged (a 6-dp re-cast would re-round,
+      // with engine-specific tie behavior on the x.xxxxxx5 knife edge)
+      val d9 = col("term").cast("decimal(38,9)")
+      terms.groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(d9).cast("double"), 6).as("w_sum"),
+          round(sum(d9).cast("double") /
+            (lit(2.0) - pow(lit(0.5), first(col("n")) - 1)), 6).as("ewma"))
+        .orderBy("user_id")
+    }),
+
+    // Seasonal hour-of-day profile per event type — the baseline a
+    // burst detector normalizes against (t_burst_detect flags deviations
+    // in TIME; this is the deviation-by-CLOCK-POSITION twin): per
+    // (event_type, hour) counts, seasonal index = share vs the uniform
+    // 1/24 expectation, peak flag on the ROUNDED index (round-before-
+    // compare so ulp noise can't flip the flag). Integer counts → one
+    // data-sized groupBy; the 24×|types| profile frame is tiny at any
+    // corpus size.
+    "t_seasonality" -> ((s, d) => {
+      val hr = ev(s, d)
+        .groupBy(col("event_type"), hour(col("ts_ms")).as("hr"))
+        .agg(count(lit(1)).as("n_events"))
+      val tot = hr.groupBy("event_type")
+        .agg(sum("n_events").as("tot"))
+      hr.join(broadcast(tot), Seq("event_type"))
+        .withColumn("idx",
+          round(col("n_events") * lit(24.0) / col("tot"), 6))
+        .select(col("event_type"), col("hr"), col("n_events"),
+          col("idx"), (col("idx") >= 1.1).as("is_peak"))
+        .orderBy("event_type", "hr")
+    }),
+
     // Sliding 1h/15min windows: global event counts per window.
     "t_slide" -> ((s, d) =>
       ev(s, d)
@@ -757,6 +810,28 @@ object EventTime {
       "FROM r WHERE rn = 1 AND op <> 'D' ORDER BY user_id"
 
   val oracleSql: Map[String, String] = Map(
+    "t_ewma" ->
+      ("WITH e AS (SELECT user_id, event_id, value, " +
+        "date_trunc('milliseconds', ts) AS ts_ms FROM events), " +
+        "r AS (SELECT user_id, value, " +
+        "row_number() OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) AS i, " +
+        "count(*) OVER (PARTITION BY user_id) AS n FROM e), " +
+        "t AS (SELECT user_id, n, " +
+        "CAST(round(value * power(0.5, n - i), 9) AS DECIMAL(38,9)) AS term FROM r) " +
+        "SELECT user_id, count(*) AS n_events, " +
+        "round(CAST(sum(term) AS DOUBLE), 6) AS w_sum, " +
+        "round(CAST(sum(term) AS DOUBLE) / (2.0 - power(0.5, any_value(n) - 1)), 6) AS ewma " +
+        "FROM t GROUP BY user_id ORDER BY user_id"),
+    "t_seasonality" ->
+      ("WITH hr AS (SELECT event_type, " +
+        "CAST(hour(date_trunc('milliseconds', ts)) AS INTEGER) AS hr, " +
+        "count(*) AS n_events FROM events GROUP BY event_type, hr), " +
+        "tot AS (SELECT event_type, sum(n_events) AS tot FROM hr GROUP BY event_type) " +
+        "SELECT hr.event_type, hr.hr, hr.n_events, " +
+        "round(hr.n_events * 24.0 / tot.tot, 6) AS idx, " +
+        "round(hr.n_events * 24.0 / tot.tot, 6) >= 1.1 AS is_peak " +
+        "FROM hr JOIN tot ON hr.event_type = tot.event_type " +
+        "ORDER BY hr.event_type, hr.hr"),
     "t_tumble" ->
       ("SELECT user_id, time_bucket(INTERVAL '1 hour', date_trunc('milliseconds', ts)) AS win_start, " +
         "count(*) AS cnt, round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 6) AS sum_value " +

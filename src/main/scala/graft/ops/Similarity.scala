@@ -2034,6 +2034,49 @@ object Similarity {
         .orderBy("node")
     }),
 
+    // Multi-source BFS hop distance (operators/Graph.bfsHops) — the
+    // reachability/radius verb (is a page within k link-hops of a
+    // trusted seed set?). Graph: the x_graph_cc six-path shape (node
+    // u = doc_id mod 84, edge u → u+6, diameter 14 — the deep regime)
+    // PLUS the same shape shifted +100 with NO sources, so the graded
+    // result covers both real hop counts (node div 6 on the reachable
+    // half) and NULL unreachable nodes. Engine runs FRONTIER propagation
+    // (per-round shuffle ∝ newly-settled nodes' edges); the oracle
+    // replays the result-identical full relaxation as 16 unrolled
+    // rounds — first-reach minimality makes the two forms converge to
+    // the same fixpoint, and 14 < 16 rounds would mismatch LOUDLY.
+    "x_graph_bfs" -> ((s, d) => {
+      val base = t(s, d, "documents")
+        .select(pmod(col("doc_id"), lit(84)).as("u"),
+          (pmod(col("doc_id"), lit(84)) + lit(6)).as("v"))
+      val edges = base.unionByName(
+        base.select((col("u") + 100).as("u"), (col("v") + 100).as("v")))
+      val sources = s.range(0, 6).select(col("id").as("node"))
+      graft.operators.Graph.bfsHops(edges, sources)
+        .orderBy("node")
+    }),
+
+    // k-CORE decomposition (operators/Graph.kCore) — the density filter
+    // that strips pendant chains and low-degree fringe from a link graph
+    // (spam rings and boilerplate link farms live in high cores). Graph
+    // manufactured with both regimes: a 24-cycle with quadratic-residue
+    // chords (m, m² mod 24) — the surviving varied-degree core — and
+    // depth-6 chains (u in 24..71, edge u → u−8) hanging off it, which
+    // peel under k = 3. Engine peels to the FIXPOINT (one degree agg +
+    // endpoint semi-joins per round); the oracle replays the identical
+    // peeling as 10 unrolled rounds — the k-core is order-independent
+    // and unique, and too few rounds mismatches loudly.
+    "x_graph_kcore" -> ((s, d) => {
+      val ids = t(s, d, "documents").select(col("doc_id"))
+      val u72 = pmod(col("doc_id"), lit(72))
+      val cyc = ids.select(u72.as("u"),
+        when(u72 < 24, pmod(u72 + 1, lit(24))).otherwise(u72 - 8).as("v"))
+      val chords = ids.select(pmod(col("doc_id"), lit(24)).as("u"),
+        pmod(col("doc_id") * col("doc_id"), lit(24)).as("v"))
+      graft.operators.Graph.kCore(cyc.unionByName(chords), k = 3)
+        .orderBy("node")
+    }),
+
     // Overlapping token-window chunking — the embedding/RAG windowing
     // staple (x_pack_chunks assigns whole docs to training chunks; THIS
     // splits one long doc into size-40 windows every 20 tokens so each
@@ -2205,6 +2248,43 @@ object Similarity {
         s"FROM l${i - 1} l LEFT JOIN p$i p ON p.u = l.u)"
       sb ++= s", l$i AS MATERIALIZED (SELECT s.u, least(s.lab, coalesce(t.lab, s.lab)) AS lab " +
         s"FROM s$i s LEFT JOIN s$i t ON t.u = s.lab)"
+    }
+    sb.toString
+  }
+
+  /** Unrolled BFS relaxation rounds over CTEs `edges` (s, t directed
+    * both ways) and `d0` (node, hops with NULL = unreached). Round i:
+    * every node takes min(own, min over in-neighbors + 1). Result-
+    * identical to the engine's frontier propagation; `rounds` must
+    * cover the graph diameter or the compare fails loudly.
+    */
+  private def bfsRelaxSql(rounds: Int): String = {
+    val sb = new StringBuilder
+    for (i <- 1 to rounds) {
+      sb ++= s", p$i AS (SELECT e.t AS node, min(d.hops) + 1 AS nh " +
+        s"FROM edges e JOIN d${i - 1} d ON d.node = e.s " +
+        s"WHERE d.hops IS NOT NULL GROUP BY e.t)"
+      sb ++= s", d$i AS MATERIALIZED (SELECT d.node, " +
+        s"least(coalesce(d.hops, p.nh), coalesce(p.nh, d.hops)) AS hops " +
+        s"FROM d${i - 1} d LEFT JOIN p$i p ON p.node = d.node)"
+    }
+    sb.toString
+  }
+
+  /** Unrolled k-core peel rounds over CTE `e0` (a, b canonical edges).
+    * Round i drops edges incident to any node of degree < k. The k-core
+    * fixpoint is unique and order-independent, so the unrolled replay
+    * matches the engine's peel-to-fixpoint exactly when `rounds` covers
+    * the peel depth (and mismatches loudly when it doesn't).
+    */
+  private def kcorePeelSql(k: Int, rounds: Int): String = {
+    val sb = new StringBuilder
+    for (i <- 1 to rounds) {
+      sb ++= s", deg$i AS (SELECT n, count(*) AS deg FROM (" +
+        s"SELECT a AS n FROM e${i - 1} UNION ALL SELECT b FROM e${i - 1}) GROUP BY n)"
+      sb ++= s", k$i AS (SELECT n FROM deg$i WHERE deg >= $k)"
+      sb ++= s", e$i AS MATERIALIZED (SELECT e.a, e.b FROM e${i - 1} e " +
+        s"JOIN k$i ka ON ka.n = e.a JOIN k$i kb ON kb.n = e.b)"
     }
     sb.toString
   }
@@ -3129,6 +3209,28 @@ object Similarity {
         "SELECT nodes.n AS node, " +
         "CAST(coalesce(cnt.n_triangles, 0) AS BIGINT) AS n_triangles " +
         "FROM nodes LEFT JOIN cnt ON nodes.n = cnt.n ORDER BY node"),
+    // Full relaxation unrolled 16 rounds (diameter 14) — result-
+    // identical to the engine's frontier-propagated BFS.
+    "x_graph_bfs" ->
+      ("WITH base AS (SELECT DISTINCT doc_id % 84 AS u, doc_id % 84 + 6 AS v FROM documents), " +
+        "edges AS MATERIALIZED (SELECT u AS s, v AS t FROM base UNION ALL SELECT v, u FROM base " +
+        "UNION ALL SELECT u + 100, v + 100 FROM base UNION ALL SELECT v + 100, u + 100 FROM base), " +
+        "nodes AS (SELECT DISTINCT s AS node FROM edges), " +
+        "d0 AS MATERIALIZED (SELECT node, CASE WHEN node <= 5 THEN 0 ELSE NULL END AS hops FROM nodes)" +
+        bfsRelaxSql(16) + " " +
+        "SELECT node, CAST(hops AS BIGINT) AS hops FROM d16 ORDER BY node"),
+    // The identical peel unrolled 10 rounds; the k-core fixpoint is
+    // unique, so engine fixpoint == oracle replay (or a loud mismatch).
+    "x_graph_kcore" ->
+      ("WITH raw AS (SELECT doc_id % 72 AS u, CASE WHEN doc_id % 72 < 24 " +
+        "THEN (doc_id % 72 + 1) % 24 ELSE doc_id % 72 - 8 END AS v FROM documents " +
+        "UNION ALL SELECT doc_id % 24, (doc_id * doc_id) % 24 FROM documents), " +
+        "e0 AS MATERIALIZED (SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b " +
+        "FROM raw WHERE u <> v)" +
+        kcorePeelSql(3, 10) + " " +
+        "SELECT n AS node, count(*) AS core_deg FROM (" +
+        "SELECT a AS n FROM e10 UNION ALL SELECT b FROM e10) " +
+        "GROUP BY n ORDER BY node"),
     // Compaction must be content-neutral: the oracle is the plain
     // aggregation of the original parquet.
     "x_io_compact" ->

@@ -128,6 +128,52 @@ object Stats {
         .orderBy("pair")
     }),
 
+    // Multi-feature OLS by NORMAL EQUATIONS — the closed-form companion
+    // to a_regression's per-group simple OLS and the 2-feature special
+    // case of the x_emb_cov Gram machinery: fit
+    // price ≈ β₀ + β₁·quantity + β₂·discount in ONE scan. Every moment
+    // (Σx, Σx², Σxy up to Σy²) accumulates as an exact decimal over
+    // 6-dp-quantized values (order-insensitive — no summation-order
+    // noise), then the 3×3 system solves by CRAMER'S RULE in doubles
+    // built from those identical decimals, written in the same operation
+    // order on both engines. At 100 TB this is the shape that matters:
+    // a d-feature fit is d² tree-aggregated accumulators and a d×d
+    // driver-side solve — the data is scanned once and never shuffled
+    // (the 1-row agg is the only exchange).
+    "a_ols_multi" -> ((s, d) => {
+      def q(c: String) = col(c).cast("decimal(18,6)")
+      val ag = t(s, d, "lineitem").agg(
+        count(lit(1)).as("n"),
+        sum(q("l_quantity")).as("s1"), sum(q("l_discount")).as("s2"),
+        sum(q("l_extendedprice")).as("sy"),
+        sum(q("l_quantity") * q("l_quantity")).as("s11"),
+        sum(q("l_quantity") * q("l_discount")).as("s12"),
+        sum(q("l_discount") * q("l_discount")).as("s22"),
+        sum(q("l_quantity") * q("l_extendedprice")).as("s1y"),
+        sum(q("l_discount") * q("l_extendedprice")).as("s2y"),
+        sum(q("l_extendedprice") * q("l_extendedprice")).as("syy"))
+      val nD = col("n").cast("double")
+      def dp(c: String) = col(c).cast("double")
+      val (s1, s2, sy) = (dp("s1"), dp("s2"), dp("sy"))
+      val (s11, s12, s22) = (dp("s11"), dp("s12"), dp("s22"))
+      val (s1y, s2y, syy) = (dp("s1y"), dp("s2y"), dp("syy"))
+      val det = nD * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) +
+        s2 * (s1 * s12 - s11 * s2)
+      val det0 = sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y) +
+        s2 * (s1y * s12 - s11 * s2y)
+      val det1 = nD * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2) +
+        s2 * (s1 * s2y - s1y * s2)
+      val det2 = nD * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2) +
+        sy * (s1 * s12 - s11 * s2)
+      val dd = nullif(det, lit(0.0))
+      val (b0, b1, b2) = (det0 / dd, det1 / dd, det2 / dd)
+      val sse = syy - b0 * sy - b1 * s1y - b2 * s2y
+      val sst = syy - sy * sy / nD
+      ag.select(col("n"),
+        round(b0, 6).as("b0"), round(b1, 6).as("b1"), round(b2, 6).as("b2"),
+        round(lit(1.0) - sse / nullif(sst, lit(0.0)), 6).as("r2"))
+    }),
+
     // Pareto / concentration profile — "what share of revenue comes from
     // each customer decile": the curation-relevant concentration verb
     // (the same shape answers "what share of tokens comes from the top
@@ -523,6 +569,40 @@ object Stats {
       s"WITH s AS (SELECT count(*) AS n, ${sums.mkString(", ")} FROM lineitem) " +
         branches.mkString(" UNION ALL ") + " ORDER BY pair"
     },
+    "a_ols_multi" -> {
+      // DECIMAL(19,6) per the a_corr_matrix lesson: DuckDB multiplies
+      // (18,6) physically in int64 and overflows on price² — 19 digits
+      // forces hugeint; the product VALUES are identical to Spark's.
+      def q(c: String) = s"CAST($c AS DECIMAL(19,6))"
+      def dp(c: String) = s"CAST($c AS DOUBLE)"
+      val (s1, s2, sy) = (dp("s1"), dp("s2"), dp("sy"))
+      val (s11, s12, s22) = (dp("s11"), dp("s12"), dp("s22"))
+      val (s1y, s2y, syy) = (dp("s1y"), dp("s2y"), dp("syy"))
+      val nD = "CAST(n AS DOUBLE)"
+      val det = s"$nD * ($s11 * $s22 - $s12 * $s12) - $s1 * ($s1 * $s22 - $s12 * $s2) + $s2 * ($s1 * $s12 - $s11 * $s2)"
+      val det0 = s"$sy * ($s11 * $s22 - $s12 * $s12) - $s1 * ($s1y * $s22 - $s12 * $s2y) + $s2 * ($s1y * $s12 - $s11 * $s2y)"
+      val det1 = s"$nD * ($s1y * $s22 - $s12 * $s2y) - $sy * ($s1 * $s22 - $s12 * $s2) + $s2 * ($s1 * $s2y - $s1y * $s2)"
+      val det2 = s"$nD * ($s11 * $s2y - $s1y * $s12) - $s1 * ($s1 * $s2y - $s1y * $s2) + $sy * ($s1 * $s12 - $s11 * $s2)"
+      "WITH m AS (SELECT count(*) AS n, " +
+        s"sum(${q("l_quantity")}) AS s1, sum(${q("l_discount")}) AS s2, " +
+        s"sum(${q("l_extendedprice")}) AS sy, " +
+        s"sum(${q("l_quantity")} * ${q("l_quantity")}) AS s11, " +
+        s"sum(${q("l_quantity")} * ${q("l_discount")}) AS s12, " +
+        s"sum(${q("l_discount")} * ${q("l_discount")}) AS s22, " +
+        s"sum(${q("l_quantity")} * ${q("l_extendedprice")}) AS s1y, " +
+        s"sum(${q("l_discount")} * ${q("l_extendedprice")}) AS s2y, " +
+        s"sum(${q("l_extendedprice")} * ${q("l_extendedprice")}) AS syy " +
+        "FROM lineitem), " +
+        s"b AS (SELECT n, ($det0) / nullif($det, 0.0) AS b0, " +
+        s"($det1) / nullif($det, 0.0) AS b1, " +
+        s"($det2) / nullif($det, 0.0) AS b2, " +
+        s"$sy AS syD, $s1y AS s1yD, $s2y AS s2yD, $syy AS syyD, " +
+        s"$sy * $sy / $nD AS sy2n FROM m) " +
+        "SELECT n, round(b0, 6) AS b0, round(b1, 6) AS b1, round(b2, 6) AS b2, " +
+        "round(1.0 - (syyD - b0 * syD - b1 * s1yD - b2 * s2yD) / " +
+        "nullif(syyD - sy2n, 0.0), 6) AS r2 FROM b"
+    },
+
     "a_pareto" ->
       ("WITH rev AS (SELECT o_custkey, " +
         "sum(CAST(o_totalprice AS DECIMAL(38,6))) AS rev " +

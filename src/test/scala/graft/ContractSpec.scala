@@ -2,7 +2,7 @@ package graft
 
 /** T1 blanket contract checks: every declared query runs on sf0.001,
   * the queries/oracleSql maps are mutually consistent, and the declared
-  * inventory matches SURVEY.md §2b (223 keys, 215 oracle-checked).
+  * inventory matches SURVEY.md §2b (228 keys, 220 oracle-checked).
   */
 class ContractSpec extends SparkSpec {
 
@@ -11,9 +11,9 @@ class ContractSpec extends SparkSpec {
       "t_stream_runtime", "t_stream_dedup", "t_stream_session",
       "t_stream_join")
 
-  test("inventory matches SURVEY §2b: 223 queries, 215 with oracle SQL") {
-    assert(SparkEntry.queries.size === 223)
-    assert(SparkEntry.oracleSql.size === 215)
+  test("inventory matches SURVEY §2b: 228 queries, 220 with oracle SQL") {
+    assert(SparkEntry.queries.size === 228)
+    assert(SparkEntry.oracleSql.size === 220)
     assert(SparkEntry.queries.keySet.intersect(nonOracle).size === 8)
   }
 

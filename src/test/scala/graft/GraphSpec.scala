@@ -73,6 +73,52 @@ class GraphSpec extends SparkSpec {
       5L -> 0L, 6L -> 0L, 7L -> 0L, 8L -> 0L))
   }
 
+  test("bfsHops: hand graph — hops settle on shortest paths; unreachable stays NULL") {
+    import spark.implicits._
+    // path 1-2-3-4 plus shortcut 1-3 (so 4 is 2 hops, not 3), and an
+    // island 9-10 with no source; sources = {1}
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 3L), (9L, 10L))
+      .toDF("u", "v")
+    val src = Seq(1L).toDF("node")
+    val got = Graph.bfsHops(edges, src).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toMap
+    assert(got === Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L,
+      9L -> -1L, 10L -> -1L))
+  }
+
+  test("bfsHops: multi-source takes the nearer seed; chain depth settles at fixpoint") {
+    import spark.implicits._
+    // chain 1-2-...-7 with sources at both ends: hops = min distance to
+    // an end — exercises >1 propagation round and frontier termination
+    val edges = (1L to 6L).map(i => (i, i + 1)).toDF("u", "v")
+    val src = Seq(1L, 7L).toDF("node")
+    val got = Graph.bfsHops(edges, src).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L,
+      5L -> 2L, 6L -> 1L, 7L -> 0L))
+  }
+
+  test("kCore: triangle with pendant path peels the path over multiple rounds") {
+    import spark.implicits._
+    // triangle {1,2,3} is the 2-core; pendant path 3-4-5-6 peels one
+    // node per round from the free end (3 rounds) — pins the iterative
+    // cascade, not just a single-round degree filter
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+      .toDF("u", "v")
+    val got = Graph.kCore(edges, k = 2).as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
+  test("kCore: k above the densest core returns empty; mixed orientation + dups canonicalize") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (1L, 3L), (3L, 3L))
+      .toDF("u", "v")
+    assert(Graph.kCore(edges, k = 3).isEmpty) // a triangle has no 3-core
+    val core2 = Graph.kCore(edges, k = 2).as[(Long, Long)].collect().toMap
+    assert(core2 === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
   test("triangleCount: oriented form equals naive a<b<c enumeration on the fixture graph") {
     import spark.implicits._
     val edges = spark.read.parquet(s"${sf("sf0.01")}/documents.parquet")
