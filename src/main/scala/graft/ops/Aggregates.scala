@@ -35,6 +35,36 @@ object Aggregates {
         .orderBy("l_returnflag", "l_linestatus")
     }),
 
+    // Incremental AGGREGATE-view maintenance — the agg twin of
+    // j_ivm_delta's join view (and the in-memory form of
+    // t_rollup_incremental's partition rewrite): a materialized
+    // per-(status, month) revenue rollup built over the base split
+    // (orderkey % 10 ≠ 0), refreshed by MERGING the delta's partial
+    // aggregates — count/sum add, min/max combine, avg derives at read.
+    // The grade: merged(base ⊎ Δ) must hash-equal the oracle's FULL
+    // recompute over base ∪ Δ — the algebraic-mergeability property
+    // every incremental pipeline rests on. Cost shape at 100 TB: the
+    // refresh aggregates the DELTA only and merges |view|-sized frames —
+    // the store is never rescanned (decimal sums make merge exact, so
+    // merged ≡ recomputed bit-for-bit, not approximately).
+    "a_ivm_agg" -> ((s, d) => {
+      def aggOf(df: org.apache.spark.sql.DataFrame) = df
+        .groupBy(col("o_orderstatus").as("status"),
+          truncNtz("month", col("o_orderdate")).as("mon"))
+        .agg(count(lit(1)).as("n"), sum(dec(col("o_totalprice"))).as("rev"),
+          min(col("o_totalprice")).as("lo"), max(col("o_totalprice")).as("hi"))
+      val orders = t(s, d, "orders")
+      val base = aggOf(orders.filter(pmod(col("o_orderkey"), lit(10)) =!= 0))
+      val delta = aggOf(orders.filter(pmod(col("o_orderkey"), lit(10)) === 0))
+      base.unionByName(delta)
+        .groupBy("status", "mon")
+        .agg(sum(col("n")).as("n_orders"),
+          decOut(sum(col("rev"))).as("revenue"),
+          min(col("lo")).as("min_price"), max(col("hi")).as("max_price"),
+          avgOut(sum(col("rev")), sum(col("n"))).as("avg_price"))
+        .orderBy("status", "mon")
+    }),
+
     "a_count_distinct" -> ((s, d) =>
       t(s, d, "customer")
         .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"))
@@ -466,6 +496,16 @@ object Aggregates {
         "round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / count(*), 6) AS avg_price, " +
         "count(*) AS count_order " +
         "FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),
+    // Full recompute over base ∪ delta — the merged incremental view
+    // must hash-equal it (algebraic mergeability, the IVM contract).
+    "a_ivm_agg" ->
+      ("SELECT o_orderstatus AS status, " +
+        "CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS mon, " +
+        "count(*) AS n_orders, " +
+        "round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE), 6) AS revenue, " +
+        "min(o_totalprice) AS min_price, max(o_totalprice) AS max_price, " +
+        "round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) / count(*), 6) AS avg_price " +
+        "FROM orders GROUP BY status, mon ORDER BY status, mon"),
     "a_count_distinct" ->
       ("SELECT c_mktsegment, count(DISTINCT c_custkey) AS n_cust, " +
         "count(DISTINCT o_orderkey) AS n_orders " +

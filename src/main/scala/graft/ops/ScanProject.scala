@@ -93,6 +93,36 @@ object ScanProject {
       }
     }),
 
+    // Equi-width HISTOGRAM of a numeric column — the profiling verb next
+    // to s_profile_stats' scalar stats (ANALYZE-style distribution
+    // sketching; the optimizer-statistics and data-drift input). Two
+    // passes: one 1-row min/max agg broadcast back as a crossJoin'd
+    // literal frame, then one data-sized groupBy on the bin index
+    // floor((x − min)/w) clamped to the last bin — exact same IEEE ops
+    // on both engines from identical parquet doubles, so bin boundaries
+    // can't drift. Bin count fixed at 20; empty bins are emitted via a
+    // generated spine so the histogram shape is complete (a 100 TB
+    // profile must distinguish "empty bin" from "absent row").
+    "s_hist_numeric" -> ((s, d) => {
+      val mm = t(s, d, "orders")
+        .agg(min(col("o_totalprice")).as("lo"), max(col("o_totalprice")).as("hi"))
+      val binned = t(s, d, "orders").crossJoin(broadcast(mm))
+        .withColumn("w", (col("hi") - col("lo")) / lit(20.0))
+        .withColumn("bin",
+          least(floor((col("o_totalprice") - col("lo")) / col("w")), lit(19L))
+            .cast("long"))
+        .groupBy("bin").agg(count(lit(1)).as("n"))
+      val spine = s.range(0, 20).select(col("id").as("bin"))
+        .crossJoin(broadcast(mm))
+        .withColumn("w", (col("hi") - col("lo")) / lit(20.0))
+      spine.join(binned, Seq("bin"), "left")
+        .select(col("bin"),
+          round(col("lo") + col("bin") * col("w"), 6).as("bin_lo"),
+          round(col("lo") + (col("bin") + 1) * col("w"), 6).as("bin_hi"),
+          coalesce(col("n"), lit(0L)).as("n"))
+        .orderBy("bin")
+    }),
+
     // Projection arithmetic in double, emitted as round(…, 6) (§7.3 R6 —
     // per-row arithmetic is order-independent so no decimal needed) — same
     // charge expression as TPC-H.
@@ -204,6 +234,17 @@ object ScanProject {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "s_hist_numeric" ->
+      ("WITH mm AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders), " +
+        "b AS (SELECT least(CAST(floor((o_totalprice - lo) / ((hi - lo) / 20.0)) AS BIGINT), 19) AS bin, " +
+        "count(*) AS n FROM orders CROSS JOIN mm GROUP BY bin), " +
+        "spine AS (SELECT CAST(range AS BIGINT) AS bin FROM range(0, 20)) " +
+        "SELECT s.bin, " +
+        "round(lo + s.bin * ((hi - lo) / 20.0), 6) AS bin_lo, " +
+        "round(lo + (s.bin + 1) * ((hi - lo) / 20.0), 6) AS bin_hi, " +
+        "CAST(coalesce(b.n, 0) AS BIGINT) AS n " +
+        "FROM spine s CROSS JOIN mm LEFT JOIN b ON b.bin = s.bin " +
+        "ORDER BY s.bin"),
     "s_gen_series" ->
       ("SELECT ts AS day, strftime(ts, '%a') AS dow, " +
         "strftime(ts, '%a') IN ('Sat', 'Sun') AS is_weekend " +

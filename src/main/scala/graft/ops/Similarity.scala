@@ -2077,6 +2077,78 @@ object Similarity {
         .orderBy("node")
     }),
 
+    // Readability / lexical-complexity profile per language — the
+    // quality-scoring verb next to x_text_profile's length/stopword
+    // ratios: words (whitespace tokens), "syllables" (vowel-group runs —
+    // the standard heuristic proxy), long words (≥ 7 letters), and a
+    // Flesch-style ease score. The fixture corpus has no sentence
+    // punctuation, so each DOC is one sentence by documented convention
+    // (words-per-sentence = words-per-doc); the score's value is the
+    // deterministic cross-engine arithmetic over exact integer counts,
+    // composed in identical written order from identical int sums. One
+    // narrow map over docs + one groupBy(lang) — scan-shaped at any
+    // corpus size.
+    "x_text_readability" -> ((s, d) => {
+      val perDoc = t(s, d, "documents").select(col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_words"),
+        size(regexp_extract_all(col("text"), lit("[aeiouy]+"), lit(0)))
+          .cast("long").as("n_syll"),
+        size(regexp_extract_all(col("text"), lit("[a-z]{7,}"), lit(0)))
+          .cast("long").as("n_long"))
+      val ag = perDoc.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_words").as("w"), sum("n_syll").as("sy"),
+          sum("n_long").as("lw"))
+      val wpd = col("w").cast("double") / col("n_docs")
+      val spw = col("sy").cast("double") / col("w")
+      ag.select(col("lang"), col("n_docs"),
+          round(wpd, 6).as("words_per_doc"),
+          round(spw, 6).as("syll_per_word"),
+          round(col("lw").cast("double") / col("w"), 6).as("long_word_ratio"),
+          round(lit(206.835) - lit(1.015) * wpd - lit(84.6) * spw, 6)
+            .as("flesch"))
+        .orderBy("lang")
+    }),
+
+    // ENTITY RESOLUTION end to end — the record-linkage pipeline
+    // (dedupe/Splink shape) composed from graded parts: noisy records
+    // manufactured in-query (each distinct part name + a 3rd-char-'q'
+    // typo variant), candidate pairs via first-char BLOCKING + length
+    // band + levenshtein ≤ 1 (the blocking contract is the documented
+    // recall bound, as in j_fuzzy_levenshtein), transitive closure via
+    // connectedComponents (min-member canonical entity id), singletons
+    // kept with themselves as entity. Scale: blocks bound the quadratic
+    // strictly (names-per-block², over DISTINCT names — never raw rows);
+    // the closure is the O(log d) pointer-jump engine. Oracle replays
+    // blocking + ccClosureSql.
+    "x_entity_resolution" -> ((s, d) => {
+      val names = t(s, d, "part").groupBy(col("p_name"))
+        .agg(min(col("p_partkey")).as("pk"))
+      val clean = names.select((col("pk") * 2).as("record_id"),
+        col("p_name").as("name"))
+      val noisy = names.select((col("pk") * 2 + 1).as("record_id"),
+        concat(substring(col("p_name"), 1, 2), lit("q"),
+          substring(col("p_name"), 4, 1000)).as("name"))
+      val recs = T.cached(clean.unionByName(noisy))
+      val a = recs.select(col("record_id").as("a_id"), col("name").as("na"),
+        substring(col("name"), 1, 1).as("blk"))
+      val b = recs.select(col("record_id").as("b_id"), col("name").as("nb"),
+        substring(col("name"), 1, 1).as("blk"))
+      val pairs = a.join(b, "blk")
+        .filter(col("a_id") < col("b_id") &&
+          abs(length(col("na")) - length(col("nb"))) <= 1 &&
+          levenshtein(col("na"), col("nb")) <= 1)
+        .select(col("a_id"), col("b_id"))
+      val cc = graft.operators.Dedup.connectedComponents(pairs)
+        .select(col("doc_id").as("record_id"), col("cluster_id"),
+          col("n_members").as("nm"))
+      recs.join(cc, Seq("record_id"), "left")
+        .select(col("record_id"),
+          coalesce(col("cluster_id"), col("record_id")).as("entity_id"),
+          coalesce(col("nm"), lit(1L)).as("n_members"), col("name"))
+        .orderBy("record_id")
+    }),
+
     // Overlapping token-window chunking — the embedding/RAG windowing
     // staple (x_pack_chunks assigns whole docs to training chunks; THIS
     // splits one long doc into size-40 windows every 20 tokens so each
@@ -3231,6 +3303,42 @@ object Similarity {
         "SELECT n AS node, count(*) AS core_deg FROM (" +
         "SELECT a AS n FROM e10 UNION ALL SELECT b FROM e10) " +
         "GROUP BY n ORDER BY node"),
+    "x_text_readability" ->
+      ("WITH pd AS (SELECT lang, " +
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words, " +
+        "CAST(len(regexp_extract_all(text, '[aeiouy]+')) AS BIGINT) AS n_syll, " +
+        "CAST(len(regexp_extract_all(text, '[a-z]{7,}')) AS BIGINT) AS n_long " +
+        "FROM documents), " +
+        "ag AS (SELECT lang, count(*) AS n_docs, sum(n_words) AS w, " +
+        "sum(n_syll) AS sy, sum(n_long) AS lw FROM pd GROUP BY lang) " +
+        "SELECT lang, n_docs, " +
+        "round(CAST(w AS DOUBLE) / n_docs, 6) AS words_per_doc, " +
+        "round(CAST(sy AS DOUBLE) / w, 6) AS syll_per_word, " +
+        "round(CAST(lw AS DOUBLE) / w, 6) AS long_word_ratio, " +
+        "round(206.835 - 1.015 * (CAST(w AS DOUBLE) / n_docs) - " +
+        "84.6 * (CAST(sy AS DOUBLE) / w), 6) AS flesch " +
+        "FROM ag ORDER BY lang"),
+    // Blocking + closure replayed verbatim; the blocking contract (first
+    // char + length band) is the documented recall bound on both sides.
+    "x_entity_resolution" ->
+      ("WITH names AS (SELECT p_name, min(p_partkey) AS pk FROM part GROUP BY p_name), " +
+        "recs AS (SELECT pk * 2 AS record_id, p_name AS name FROM names " +
+        "UNION ALL SELECT pk * 2 + 1, " +
+        "substring(p_name, 1, 2) || 'q' || substring(p_name, 4) FROM names), " +
+        "pairs AS (SELECT a.record_id AS a_id, b.record_id AS b_id " +
+        "FROM recs a JOIN recs b ON substring(a.name, 1, 1) = substring(b.name, 1, 1) " +
+        "AND a.record_id < b.record_id " +
+        "AND abs(length(a.name) - length(b.name)) <= 1 " +
+        "AND levenshtein(a.name, b.name) <= 1), " +
+        "edges AS MATERIALIZED (SELECT a_id AS u, b_id AS v FROM pairs " +
+        "UNION ALL SELECT b_id, a_id FROM pairs), " +
+        ccClosureSql(16) + ", " +
+        "cc AS (SELECT u AS record_id, lab AS cluster_id, " +
+        "count(*) OVER (PARTITION BY lab) AS nm FROM l16) " +
+        "SELECT r.record_id, coalesce(cc.cluster_id, r.record_id) AS entity_id, " +
+        "CAST(coalesce(cc.nm, 1) AS BIGINT) AS n_members, r.name " +
+        "FROM recs r LEFT JOIN cc ON cc.record_id = r.record_id " +
+        "ORDER BY r.record_id"),
     // Compaction must be content-neutral: the oracle is the plain
     // aggregation of the original parquet.
     "x_io_compact" ->
