@@ -632,6 +632,25 @@ object EventTime {
           col("n_ops"))
         .orderBy("user_id")),
 
+    // Streaming per-key TOP-K (streaming/Stateful.topKPerUser) — the
+    // leaderboard / best-n-per-entity verb under keyed state: each user
+    // carries their 3 best (value, event) entries; insert-then-trim is
+    // associative+commutative under the (value DESC, event_id) total
+    // order, so the converged state is independent of micro-batch
+    // slicing and the streaming key shares the BATCH oracle verbatim
+    // (the t_stream_cdc device; StatefulSpec walks a two-batch
+    // MemoryStream to the same rows). State is k-bounded per key at any
+    // stream length. Values ride as exact scale-6 micros, so the order
+    // graded is the 6-dp-quantized value — stated in the oracle's
+    // ORDER BY CAST(value AS DECIMAL(38,6)).
+    "t_stream_topk" -> ((s, d) =>
+      Stateful.topKPerUser(ev(s, d)).toDF
+        .select(col("user_id"), col("rank"),
+          decOut((col("value_micros").cast("decimal(38,6)") / lit(1000000))
+            .cast("decimal(38,6)")).as("value"),
+          col("event_id"))
+        .orderBy("user_id", "rank")),
+
     // SCD TYPE-2 dimension build — the warehouse-standard "history table"
     // verb: compress each user's event stream into validity intervals
     // [valid_from, valid_to) of their CURRENT state (here: the last
@@ -979,6 +998,14 @@ object EventTime {
     "t_cdc_apply" -> cdcApplySql,
     // the streaming spelling converges to the identical state — one oracle
     "t_stream_cdc" -> cdcApplySql,
+    "t_stream_topk" ->
+      ("WITH r AS (SELECT user_id, event_id, value, " +
+        "row_number() OVER (PARTITION BY user_id " +
+        "ORDER BY CAST(value AS DECIMAL(38,6)) DESC, event_id ASC) AS rn " +
+        "FROM events) " +
+        "SELECT user_id, CAST(rn AS INTEGER) AS rank, " +
+        "round(CAST(CAST(value AS DECIMAL(38,6)) AS DOUBLE), 6) AS value, " +
+        "event_id FROM r WHERE rn <= 3 ORDER BY user_id, rank"),
     "t_scd2" ->
       ("WITH e AS (SELECT user_id, event_id, event_type, date_trunc('milliseconds', ts) AS ts_ms FROM events), " +
         "flagged AS (SELECT user_id, event_type, ts_ms, " +

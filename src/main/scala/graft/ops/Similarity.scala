@@ -1876,6 +1876,38 @@ object Similarity {
         .orderBy("lang")
     }),
 
+    // MERGE-ON-READ delete (Snapshot.deleteMorKeys — the Delta deletion-
+    // vector / Iceberg equality-delete verb, the WRITE-optimized twin of
+    // x_io_purge's copy-on-write): the delete commits as an O(#keys)
+    // sidecar with ZERO data files rewritten (SnapshotSpec pins the
+    // manifest's data file set byte-identical across the delete), and
+    // the graded read applies the DV anti-join; applyMorDeletes then
+    // MATERIALIZES the mask (stats-guided rewrite, manifest sheds the
+    // sidecar) and the graded read re-checks the same content through a
+    // VERIFIED read — delete-fast, maintain-later, exactly the 100 TB
+    // right-to-be-forgotten lifecycle.
+    "x_io_mor_delete" -> ((s, d) => {
+      val dir = T.scratchDir("graft_mor")
+      val gone = Seq(5L, 8L, 13L, 101L, 204L, 309L)
+      graft.sources.Snapshot.publishClustered(
+        s, dir, t(s, d, "documents"), "lang", "doc_id", "text", nFiles = 8)
+      graft.sources.Snapshot.deleteMorKeys(s, dir, gone, "doc_id")
+      val morRead = graft.sources.Snapshot.read(s, dir)
+        .agg(count(lit(1)).as("n_mor")).localCheckpoint()
+      graft.sources.Snapshot.applyMorDeletes(
+        s, dir, "lang", "text", statsCol = Some("doc_id"))
+      graft.sources.Snapshot.readVerified(s, dir, "text")
+        .crossJoin(broadcast(morRead))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("n_chars"),
+          min("doc_id").as("min_id"), max("doc_id").as("max_id"),
+          sum(conv(substring(md5(col("text")), 1, 8), 16, 10).cast("bigint"))
+            .as("checksum"),
+          first(col("n_mor")).as("n_mor"))
+        .orderBy("lang")
+    }),
+
     // Declarative data-quality expectations (operators/Validate) — the
     // Great-Expectations/dbt-test class: a rule suite compiles to ONE
     // scan (all row rules fuse into a single agg), one groupBy per
@@ -3209,6 +3241,16 @@ object Similarity {
         "min(doc_id) AS min_id, max(doc_id) AS max_id, " +
         "CAST(sum(CAST(('0x' || substring(md5(text), 1, 8)) AS BIGINT)) AS BIGINT) AS checksum " +
         "FROM documents WHERE doc_id NOT IN (3, 7, 11, 101, 204, 309) " +
+        "GROUP BY lang ORDER BY lang"),
+    // Logical content after a merge-on-read delete == plain NOT IN;
+    // the delete-then-materialize lifecycle must be content-neutral.
+    "x_io_mor_delete" ->
+      ("SELECT lang, count(*) AS n_docs, " +
+        "CAST(sum(n_chars) AS BIGINT) AS n_chars, " +
+        "min(doc_id) AS min_id, max(doc_id) AS max_id, " +
+        "CAST(sum(CAST(('0x' || substring(md5(text), 1, 8)) AS BIGINT)) AS BIGINT) AS checksum, " +
+        "(SELECT count(*) FROM documents WHERE doc_id NOT IN (5, 8, 13, 101, 204, 309)) AS n_mor " +
+        "FROM documents WHERE doc_id NOT IN (5, 8, 13, 101, 204, 309) " +
         "GROUP BY lang ORDER BY lang"),
     // Verified snapshot must equal the original corpus.
     "x_io_manifest" ->

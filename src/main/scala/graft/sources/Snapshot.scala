@@ -257,9 +257,9 @@ object Snapshot {
     */
   def readBranch(spark: SparkSession, dir: String, name: String): DataFrame = {
     val v = branchVersion(spark, dir, name)
-    val files = readManifest(spark, dir, v)
+    val files = dataRows(readManifest(spark, dir, v))
       .select("path").collect().map(r => s"$dir/${r.getString(0)}")
-    spark.read.parquet(files.toIndexedSeq: _*)
+    applyDv(spark, dir, v, spark.read.parquet(files.toIndexedSeq: _*))
   }
 
   /** PUBLISH the branch: fast-forward main's `_latest` to the branch
@@ -320,7 +320,8 @@ object Snapshot {
         // stats columns stay aligned with clustered manifests (carried
         // rows union with fresh ones); a non-clustered stage has none
         lit(null).cast("double").as("stat_lo"),
-        lit(null).cast("double").as("stat_hi"))
+        lit(null).cast("double").as("stat_hi"),
+        lit(null).cast("string").as("kind"))
   }
 
   /** Stage a FULL snapshot as version current+1 (no commit): data under
@@ -396,6 +397,7 @@ object Snapshot {
       partCol: String, checksumCol: String): Int = {
     val cur = currentVersion(spark, dir)
     require(cur >= 1, s"snapshot table $dir has no committed version to append to")
+    requireNoDv(spark, dir, cur, "append") // a re-inserted key would stay masked
     if (delta.isEmpty) return cur // nothing to stage; caller may re-tag cur
     val n = nextVersion(spark, dir)
     delta.withColumn("_p", col(partCol))
@@ -437,6 +439,7 @@ object Snapshot {
   private def stageCowFrom(spark: SparkSession, dir: String, base: Int,
       n: Int, touching: DataFrame, partCol: String, checksumCol: String)
       (rebuild: DataFrame => DataFrame): Int = {
+    requireNoDv(spark, dir, base, "copy-on-write maintenance")
     val manifest = readManifest(spark, dir, base)
     val affected = touching.select(col(partCol).cast("string")).distinct()
       .collect().map(_.getString(0)).toSet
@@ -497,15 +500,36 @@ object Snapshot {
       statsCol: Option[String] = None): Int = {
     val cur = currentVersion(spark, dir)
     require(cur >= 1, s"snapshot table $dir has no committed version to purge")
+    requireNoDv(spark, dir, cur, "copy-on-write purge")
+    stagePurgeImpl(spark, dir, keys, keyCol, partCol, checksumCol,
+      statsCol, dropDv = false)
+  }
+
+  /** [[stagePurge]] core, shared with [[applyMorDeletes]] (which passes
+    * `dropDv = true` so the staged manifest sheds the now-materialized
+    * delete vectors along with the rewritten files).
+    */
+  private def stagePurgeImpl(spark: SparkSession, dir: String, keys: Seq[Long],
+      keyCol: String, partCol: String, checksumCol: String,
+      statsCol: Option[String], dropDv: Boolean): Int = {
+    val cur = currentVersion(spark, dir)
     require(keys.nonEmpty, "empty purge key set — nothing to delete")
     val manifest = readManifest(spark, dir, cur)
-    val entries = manifest
+    val entries = dataRows(manifest)
       .select("path", "stat_lo", "stat_hi").collect()
     val hit = entries.filter { r =>
       r.isNullAt(1) || r.isNullAt(2) ||
         keys.exists(k => k >= r.getDouble(1) && k <= r.getDouble(2))
     }.map(r => r.getString(0))
-    if (hit.isEmpty) return cur // no file can contain any key
+    if (hit.isEmpty && !dropDv) return cur // no file can contain any key
+    if (hit.isEmpty) {
+      // materializing DVs whose keys no file can contain: nothing to
+      // rewrite — stage a manifest-only version that sheds the DV rows
+      val n = nextVersion(spark, dir)
+      dataRows(manifest).coalesce(1)
+        .write.mode("overwrite").json(s"$dir/_manifest.v$n")
+      return n
+    }
     val n = nextVersion(spark, dir)
     val base = spark.read.parquet(hit.map(p => s"$dir/$p").toIndexedSeq: _*)
     val kept = base.filter(!col(keyCol).isin(keys: _*))
@@ -523,7 +547,8 @@ object Snapshot {
       staged.write.mode("overwrite").partitionBy("_p").parquet(s"$dir/v$n")
     staged.unpersist(blocking = true)
     val hitSet = hit.toSet
-    val carried = manifest.filter(!col("path").isin(hitSet.toSeq: _*))
+    val carryBase = if (dropDv) dataRows(manifest) else manifest
+    val carried = carryBase.filter(!col("path").isin(hitSet.toSeq: _*))
     val fresh = if (purgedAll) manifest.limit(0) else statsCol match {
       case Some(c) =>
         spark.read.parquet(s"$dir/v$n")
@@ -535,7 +560,8 @@ object Snapshot {
             max(col(c)).cast("double").as("stat_hi"))
           .select(regexp_extract(col("abs"), "/(v\\d+/.*)$", 1).as("path"),
             col("_p").cast("string").as("part"), col("n_rows"),
-            col("checksum"), col("stat_lo"), col("stat_hi"))
+            col("checksum"), col("stat_lo"), col("stat_hi"),
+            lit(null).cast("string").as("kind"))
       case None => manifestRowsFor(spark, dir, n, partCol, checksumCol)
     }
     carried.unionByName(fresh)
@@ -552,11 +578,133 @@ object Snapshot {
     n
   }
 
+  /** Stage a MERGE-ON-READ delete (the Delta deletion-vector / Iceberg
+    * equality-delete verb) as version current+1 (no commit): the keys
+    * are recorded in a DELETE-VECTOR sidecar parquet under the new
+    * version dir, EVERY existing file — data and prior DVs — carries
+    * forward by manifest reference, and all readers anti-join the DV
+    * keys at scan time ([[read]]/[[readVersion]]/[[readWhere]]/
+    * [[readWhereBetween]]/[[readVerified]] all apply them). This is the
+    * WRITE-optimized half of the delete trade: O(#keys) I/O at commit
+    * time — at 100 TB a right-to-be-forgotten request lands in
+    * milliseconds regardless of table size — while reads pay one
+    * broadcast anti-join until [[applyMorDeletes]] (or a [[purgeKeys]]
+    * on a DV-free table) materializes the mask; [[stagePurge]] is the
+    * READ-optimized copy-on-write half. The DV parquet's single column
+    * is NAMED `keyCol`, making the sidecar self-describing; repeated
+    * deletes accumulate sidecars that readers union and distinct.
+    * Copy-on-write maintenance (upsert/append/replace/compact/diff)
+    * REFUSES while DVs are pending — rewritten rows would stay masked
+    * and re-inserted keys would silently vanish ([[requireNoDv]]).
+    */
+  def stageDeleteMor(spark: SparkSession, dir: String, keys: Seq[Long],
+      keyCol: String): Int = {
+    import spark.implicits._
+    val cur = currentVersion(spark, dir)
+    require(cur >= 1, s"snapshot table $dir has no committed version to delete from")
+    require(keys.nonEmpty, "empty delete key set — nothing to delete")
+    val n = nextVersion(spark, dir)
+    keys.toDS.toDF(keyCol).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/v$n/_dv")
+    val dvManifest = spark.read.parquet(s"$dir/v$n/_dv")
+      .groupBy(input_file_name().as("abs"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(conv(substring(md5(col(keyCol).cast("string")), 1, 8), 16, 10)
+          .cast("bigint")).as("checksum"))
+      .select(regexp_extract(col("abs"), "/(v\\d+/.*)$", 1).as("path"),
+        lit("__dv__").as("part"), col("n_rows"), col("checksum"),
+        lit(null).cast("double").as("stat_lo"),
+        lit(null).cast("double").as("stat_hi"),
+        lit("dv").as("kind"))
+    readManifest(spark, dir, cur).unionByName(dvManifest)
+      .coalesce(1).write.mode("overwrite").json(s"$dir/_manifest.v$n")
+    n
+  }
+
+  /** Merge-on-read delete: stage + atomic commit. */
+  def deleteMorKeys(spark: SparkSession, dir: String, keys: Seq[Long],
+      keyCol: String): Int = {
+    val n = stageDeleteMor(spark, dir, keys, keyCol)
+    commit(spark, dir, n)
+    n
+  }
+
+  /** MATERIALIZE pending merge-on-read deletes (the maintenance half of
+    * [[deleteMorKeys]]): rewrite exactly the files that can contain a
+    * deleted key (stats-guided, the [[stagePurge]] machinery), shed the
+    * DV sidecar rows from the manifest, and commit. After this the
+    * table is DV-free: reads drop the anti-join and copy-on-write
+    * maintenance is legal again. Returns the new version (or the
+    * current one when no DVs were pending).
+    */
+  def applyMorDeletes(spark: SparkSession, dir: String, partCol: String,
+      checksumCol: String, statsCol: Option[String] = None): Int = {
+    val cur = currentVersion(spark, dir)
+    require(cur >= 1, s"snapshot table $dir has no committed version")
+    dvKeysOf(spark, dir, cur) match {
+      case None => cur
+      case Some((kc, keyFrame)) =>
+        val keys = keyFrame.collect().map(_.getLong(0)).toSeq
+        val n = stagePurgeImpl(spark, dir, keys, kc, partCol, checksumCol,
+          statsCol, dropDv = true)
+        if (n > cur) commit(spark, dir, n, currentTag(spark, dir))
+        n
+    }
+  }
+
+  /** Manifest rows. `kind` is NULL for data files and 'dv' for
+    * merge-on-read DELETE-VECTOR sidecars ([[stageDeleteMor]]); old
+    * manifests lack the column and read back NULL — data, as before.
+    */
   private def readManifest(spark: SparkSession, dir: String, n: Int): DataFrame =
     spark.read
       .schema("path STRING, part STRING, n_rows BIGINT, checksum BIGINT, " +
-        "stat_lo DOUBLE, stat_hi DOUBLE")
+        "stat_lo DOUBLE, stat_hi DOUBLE, kind STRING")
       .json(s"$dir/_manifest.v$n")
+
+  private def dataRows(m: DataFrame): DataFrame =
+    m.filter(!(col("kind") <=> lit("dv")))
+
+  private def dvRows(m: DataFrame): DataFrame =
+    m.filter(col("kind") <=> lit("dv"))
+
+  /** The committed DELETE VECTORS of version `n`: the key column name
+    * (self-described — it is the DV parquet's only column) and the
+    * distinct key frame, or None when no MoR deletes are pending.
+    */
+  private def dvKeysOf(spark: SparkSession, dir: String,
+      n: Int): Option[(String, DataFrame)] = {
+    val paths = dvRows(readManifest(spark, dir, n))
+      .select("path").collect().map(r => s"$dir/${r.getString(0)}")
+    if (paths.isEmpty) None
+    else {
+      val df = spark.read.parquet(paths.toIndexedSeq: _*)
+      Some((df.columns.head, df.distinct()))
+    }
+  }
+
+  /** Apply version `n`'s delete vectors to a data frame — an anti-join
+    * on the DV's self-described key column; the DV set is request-sized
+    * by contract, so it broadcasts.
+    */
+  private def applyDv(spark: SparkSession, dir: String, n: Int,
+      data: DataFrame): DataFrame =
+    dvKeysOf(spark, dir, n) match {
+      case None => data
+      case Some((kc, keys)) =>
+        data.join(broadcast(keys), Seq(kc), "left_anti")
+    }
+
+  /** CoW maintenance under pending MoR deletes would resurrect or
+    * double-mask rows (a rewritten file's rows still anti-join the DV
+    * keys; an upsert re-inserting a deleted key would stay hidden) —
+    * refuse loudly; [[applyMorDeletes]] materializes first.
+    */
+  private def requireNoDv(spark: SparkSession, dir: String, n: Int,
+      what: String): Unit =
+    require(dvRows(readManifest(spark, dir, n)).isEmpty,
+      s"snapshot table $dir v$n has pending merge-on-read deletes — " +
+        s"run applyMorDeletes before $what")
 
   /** Publish a snapshot CLUSTERED on a numeric `statsCol` with per-FILE
     * min/max recorded in the manifest — the second metadata-skipping
@@ -589,7 +737,8 @@ object Snapshot {
         max(col(statsCol)).cast("double").as("stat_hi"))
       .select(regexp_extract(col("abs"), "/(v\\d+/.*)$", 1).as("path"),
         col("_p").cast("string").as("part"), col("n_rows"), col("checksum"),
-        col("stat_lo"), col("stat_hi"))
+        col("stat_lo"), col("stat_hi"),
+        lit(null).cast("string").as("kind"))
       .coalesce(1).write.mode("overwrite").json(s"$dir/_manifest.v$n")
     commit(spark, dir, n)
     n
@@ -607,6 +756,10 @@ object Snapshot {
     */
   def diffVersions(spark: SparkSession, dir: String, va: Int, vb: Int): DataFrame = {
     require(va >= 1 && vb >= 1, "versions must be >= 1")
+    // a DV delta would need a key-level re-read of UNCHANGED files to
+    // translate into row diffs — out of this file-level diff's contract
+    requireNoDv(spark, dir, va, "version diff (materialize with applyMorDeletes first)")
+    requireNoDv(spark, dir, vb, "version diff (materialize with applyMorDeletes first)")
     val ma = readManifest(spark, dir, va).select("path")
     val mb = readManifest(spark, dir, vb).select("path")
     def readSide(only: DataFrame, other: DataFrame): Option[DataFrame] = {
@@ -641,30 +794,32 @@ object Snapshot {
       lo: Double, hi: Double): DataFrame = {
     val n = currentVersion(spark, dir)
     require(n >= 1, s"snapshot table $dir has no committed version")
-    val files = readManifest(spark, dir, n)
+    val files = dataRows(readManifest(spark, dir, n))
       .filter(col("stat_lo").isNull || col("stat_hi").isNull ||
         (col("stat_lo") <= hi && col("stat_hi") >= lo))
       .select("path").collect().map(r => s"$dir/${r.getString(0)}")
     if (files.isEmpty) read(spark, dir).limit(0)
-    else spark.read.parquet(files.toIndexedSeq: _*)
+    else applyDv(spark, dir, n, spark.read.parquet(files.toIndexedSeq: _*))
   }
 
   private def resolveFiles(spark: SparkSession, dir: String,
       partValues: Option[Seq[String]]): (Int, Array[String]) = {
     val n = currentVersion(spark, dir)
     require(n >= 1, s"snapshot table $dir has no committed version")
-    val m = readManifest(spark, dir, n)
+    val m = dataRows(readManifest(spark, dir, n))
     val pruned = partValues.fold(m)(vs => m.filter(col("part").isin(vs: _*)))
     (n, pruned.select("path").collect().map(r => s"$dir/${r.getString(0)}"))
   }
 
   /** Read the committed snapshot: resolve the pointer ONCE, then scan the
     * manifest's explicit file list — immutable, so the read is consistent
-    * even while a writer stages and commits the next version.
+    * even while a writer stages and commits the next version. Pending
+    * merge-on-read deletes ([[deleteMorKeys]]) are applied here — every
+    * reader sees post-delete content without any data file rewritten.
     */
   def read(spark: SparkSession, dir: String): DataFrame = {
-    val (_, files) = resolveFiles(spark, dir, None)
-    spark.read.parquet(files.toIndexedSeq: _*)
+    val (n, files) = resolveFiles(spark, dir, None)
+    applyDv(spark, dir, n, spark.read.parquet(files.toIndexedSeq: _*))
   }
 
   /** TIME TRAVEL: read version `n` exactly as it was committed — every
@@ -677,9 +832,9 @@ object Snapshot {
     require(n >= 1, s"version must be >= 1, got $n")
     require(fc(spark).util.exists(new Path(dir, s"_manifest.v$n")),
       s"snapshot $dir has no manifest for v$n (never committed, or vacuumed)")
-    val files = readManifest(spark, dir, n)
+    val files = dataRows(readManifest(spark, dir, n))
       .select("path").collect().map(r => s"$dir/${r.getString(0)}")
-    spark.read.parquet(files.toIndexedSeq: _*)
+    applyDv(spark, dir, n, spark.read.parquet(files.toIndexedSeq: _*))
   }
 
   /** One row per retained version: (version, n_files, n_rows, current) —
@@ -696,7 +851,8 @@ object Snapshot {
         n.stripPrefix("_manifest.v").toInt }
       .sorted
     versions.map { v =>
-      val m = readManifest(spark, dir, v)
+      // data rows/files only — DV sidecars are masks, not content
+      val m = dataRows(readManifest(spark, dir, v))
         .agg(count(lit(1)), coalesce(sum(col("n_rows")), lit(0L))).head()
       (v, m.getLong(0), m.getLong(1), v == cur)
     }.toSeq.toDF("version", "n_files", "n_rows", "is_current")
@@ -716,6 +872,7 @@ object Snapshot {
       statsCol: Option[String] = None): Int = {
     val cur = currentVersion(spark, dir)
     require(cur >= 1, s"snapshot table $dir has no committed version")
+    requireNoDv(spark, dir, cur, "compaction")
     val fragmented = readManifest(spark, dir, cur)
       .groupBy("part").agg(count(lit(1)).as("nf"))
       .filter(col("nf") > maxFiles)
@@ -745,7 +902,8 @@ object Snapshot {
       val updated = m.join(stats, Seq("path"), "left")
         .select(col("path"), col("part"), col("n_rows"), col("checksum"),
           coalesce(col("new_lo"), col("stat_lo")).as("stat_lo"),
-          coalesce(col("new_hi"), col("stat_hi")).as("stat_hi"))
+          coalesce(col("new_hi"), col("stat_hi")).as("stat_hi"),
+          col("kind"))
         .localCheckpoint()
       updated.coalesce(1).write.mode("overwrite").json(s"$dir/_manifest.v$n")
       updated.unpersist(blocking = true)
@@ -759,9 +917,9 @@ object Snapshot {
     */
   def readWhere(spark: SparkSession, dir: String,
       partValues: Seq[String]): DataFrame = {
-    val (_, files) = resolveFiles(spark, dir, Some(partValues))
+    val (n, files) = resolveFiles(spark, dir, Some(partValues))
     if (files.isEmpty) read(spark, dir).limit(0)
-    else spark.read.parquet(files.toIndexedSeq: _*)
+    else applyDv(spark, dir, n, spark.read.parquet(files.toIndexedSeq: _*))
   }
 
   /** [[read]] with integrity verification first: every manifested file
@@ -774,24 +932,38 @@ object Snapshot {
   def readVerified(spark: SparkSession, dir: String,
       checksumCol: String): DataFrame = {
     val (n, files) = resolveFiles(spark, dir, None)
+    val m = readManifest(spark, dir, n)
+    val dvPaths = dvRows(m).select("path")
+      .collect().map(r => s"$dir/${r.getString(0)}")
     val ctx = fc(spark)
-    val missing = files.filterNot(f => ctx.util.exists(new Path(f)))
+    val missing = (files ++ dvPaths).filterNot(f => ctx.util.exists(new Path(f)))
     require(missing.isEmpty,
       s"snapshot $dir v$n fails verification; missing files: ${missing.mkString(", ")}")
-    val actual = spark.read.parquet(files.toIndexedSeq: _*)
-      .groupBy(input_file_name().as("abs"))
-      .agg(count(lit(1)).as("a_rows"),
-        sum(conv(substring(md5(col(checksumCol).cast("string")), 1, 8), 16, 10)
-          .cast("bigint")).as("a_checksum"))
-      .select(regexp_extract(col("abs"), "/(v\\d+/.*)$", 1).as("path"),
-        col("a_rows"), col("a_checksum"))
-    val bad = readManifest(spark, dir, n).join(actual, Seq("path"), "full")
+    def fileStats(paths: Array[String], cksum: String): DataFrame =
+      spark.read.parquet(paths.toIndexedSeq: _*)
+        .groupBy(input_file_name().as("abs"))
+        .agg(count(lit(1)).as("a_rows"),
+          sum(conv(substring(md5(col(cksum).cast("string")), 1, 8), 16, 10)
+            .cast("bigint")).as("a_checksum"))
+        .select(regexp_extract(col("abs"), "/(v\\d+/.*)$", 1).as("path"),
+          col("a_rows"), col("a_checksum"))
+    // DV sidecars verify against their OWN key column (self-described —
+    // the sidecar's only column); a tampered delete vector is an
+    // integrity failure exactly like a tampered data file: it silently
+    // changes what every reader sees.
+    val actual = fileStats(files, checksumCol).unionByName(
+      if (dvPaths.isEmpty) spark.emptyDataFrame
+        .withColumn("path", lit("")).withColumn("a_rows", lit(0L))
+        .withColumn("a_checksum", lit(0L)).limit(0)
+      else fileStats(dvPaths,
+        spark.read.parquet(dvPaths.toIndexedSeq: _*).columns.head))
+    val bad = m.join(actual, Seq("path"), "full")
       .filter(!(col("n_rows") <=> col("a_rows")) ||
         !(col("checksum") <=> col("a_checksum")))
       .select("path").collect().map(_.getString(0))
     require(bad.isEmpty,
       s"snapshot $dir v$n fails verification; bad files: ${bad.mkString(", ")}")
-    spark.read.parquet(files.toIndexedSeq: _*)
+    applyDv(spark, dir, n, spark.read.parquet(files.toIndexedSeq: _*))
   }
 
   /** Delete everything the RETAINED manifests do not reference: data

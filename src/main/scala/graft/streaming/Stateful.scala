@@ -33,6 +33,18 @@ case class ExactUpdate(user_id: Long, cnt: Long, sum_micros: Long,
 /** Last-writer-wins CDC state per key: the winning change record under
   * the (tsMs, eventId) total sequence order, plus a running op count.
   */
+/** Bounded per-key TOP-K state: the k best (valueMicros, eventId)
+  * entries seen so far under the (value DESC, eventId ASC) total order.
+  * Inserting a batch then trimming to k is associative and commutative
+  * over that total order, so the converged state is independent of
+  * micro-batch slicing — the property that makes the streaming key
+  * share its batch oracle verbatim (the cdcLatest argument).
+  */
+case class TopKState(valuesMicros: Seq[Long], eventIds: Seq[Long])
+
+case class TopKUpdate(user_id: Long, rank: Int, value_micros: Long,
+    event_id: Long)
+
 case class CdcState(tsMs: Long, eventId: Long, op: String,
     valueMicros: Long, nOps: Long)
 
@@ -191,6 +203,43 @@ object Stateful {
           state.update(next)
           Iterator(CdcUpdate(uid, next.tsMs, next.eventId, next.op,
             next.valueMicros, next.nOps))
+      }
+  }
+
+  /** Streaming per-key TOP-K via `flatMapGroupsWithState`: each key
+    * carries its k best (value, event) entries; a batch's rows fold in
+    * and the list trims back to k. Values ride as exact scale-6 micros
+    * (the cdcLatest idiom) so the order compared is the 6-dp-quantized
+    * value — exactly what the oracle's `ORDER BY CAST(value AS
+    * DECIMAL(38,6)) DESC, event_id` compares. State is k-bounded per
+    * key at any stream length; one [[TopKUpdate]] row per (key, rank)
+    * per micro-batch (consumers keep the latest). Batch-run = one
+    * "micro-batch" = the final answer, which StatefulSpec proves equal
+    * to any slicing (insert-then-trim is order-insensitive under the
+    * total order).
+    */
+  def topKPerUser(events: DataFrame, k: Int = 3): Dataset[TopKUpdate] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id").cast("long"),
+        (col("value").cast("decimal(38,6)") * lit(1000000)).cast("long"),
+        col("event_id").cast("long"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[TopKState, TopKUpdate](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, Long, Long)],
+            state: GroupState[TopKState]) =>
+          val prev = state.getOption.getOrElse(TopKState(Nil, Nil))
+          val merged = (prev.valuesMicros.zip(prev.eventIds) ++
+            rows.map(r => (r._2, r._3)))
+            .sortBy { case (v, eid) => (-v, eid) }
+            .take(k)
+          state.update(TopKState(merged.map(_._1), merged.map(_._2)))
+          merged.iterator.zipWithIndex.map { case ((v, eid), i) =>
+            TopKUpdate(uid, i + 1, v, eid)
+          }
       }
   }
 

@@ -2,7 +2,7 @@ package graft
 
 /** T1 blanket contract checks: every declared query runs on sf0.001,
   * the queries/oracleSql maps are mutually consistent, and the declared
-  * inventory matches SURVEY.md §2b (232 keys, 224 oracle-checked).
+  * inventory matches SURVEY.md §2b (234 keys, 226 oracle-checked).
   */
 class ContractSpec extends SparkSpec {
 
@@ -11,9 +11,9 @@ class ContractSpec extends SparkSpec {
       "t_stream_runtime", "t_stream_dedup", "t_stream_session",
       "t_stream_join")
 
-  test("inventory matches SURVEY §2b: 232 queries, 224 with oracle SQL") {
-    assert(SparkEntry.queries.size === 232)
-    assert(SparkEntry.oracleSql.size === 224)
+  test("inventory matches SURVEY §2b: 234 queries, 226 with oracle SQL") {
+    assert(SparkEntry.queries.size === 234)
+    assert(SparkEntry.oracleSql.size === 226)
     assert(SparkEntry.queries.keySet.intersect(nonOracle).size === 8)
   }
 
@@ -65,6 +65,7 @@ class ContractSpec extends SparkSpec {
     "a_kll_window",      // days×days sketch-row band join (span-bounded)
     "s_skew_profile",    // 1-row stats × 1-row hottest-key crossJoin
     "s_hist_numeric",    // 1-row min/max frame crossJoin (bin boundaries)
+    "x_io_mor_delete",   // 1-row pre-materialize count crossJoin
     "x_text_bm25",       // 1-row corpus-scalars (N/avgdl/df) crossJoin
     "x_drift_psi",       // 1-row min/max frame crossJoin (bin boundaries)
     "x_emb_pca",         // 1-row norm/eig crossJoins per pinned round

