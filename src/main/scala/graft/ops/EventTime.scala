@@ -632,6 +632,50 @@ object EventTime {
           col("n_ops"))
         .orderBy("user_id")),
 
+    // MULTI-TOUCH ATTRIBUTION (position-based / U-shaped) — the
+    // marketing-analytics verb t_funnel's ordered stages stop short of:
+    // each purchase distributes credit over the user's views in the
+    // preceding 30 minutes — 40/20/40 (first / middles split / last),
+    // full credit when one touch, half-half when two. The view↔purchase
+    // pairing is the j_interval_overlap CELL-GRID device (views
+    // replicate to their 30-min cell and the next; purchases join their
+    // own cell only), so candidate work is cells × per-cell density —
+    // never per-user views × purchases. Credits are exact small
+    // rationals computed identically in doubles, rounded to the 9-dp
+    // grid per touch, decimal-summed per channel (hour-of-day proxy).
+    "t_attribution" -> ((s, d) => {
+      val e = ev(s, d)
+      def cell(c: org.apache.spark.sql.Column) =
+        expr(s"timestampdiff(MINUTE, TIMESTAMP_NTZ '1970-01-01 00:00:00', ${c.toString}) div 30")
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("pe"), col("user_id"),
+          col("ts_ms").as("pts"))
+        .withColumn("cell", cell(col("pts")))
+      val v = e.filter(col("event_type") === "view")
+        .select(col("event_id").as("ve"), col("user_id"),
+          col("ts_ms").as("vts"))
+        .withColumn("vcell", cell(col("vts")))
+        .withColumn("cell", explode(array(col("vcell"), col("vcell") + 1)))
+        .drop("vcell")
+      val matched = p.join(v, Seq("user_id", "cell"))
+        .filter(col("vts") <= col("pts") &&
+          col("vts") > col("pts") - expr("INTERVAL 30 MINUTES"))
+      val wOrd = Window.partitionBy("pe").orderBy(col("vts"), col("ve"))
+      val wAll = Window.partitionBy("pe")
+      val credited = matched
+        .withColumn("rn", row_number().over(wOrd))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .withColumn("credit", when(col("n") === 1, lit(1.0))
+          .when(col("rn") === 1 || col("rn") === col("n"),
+            when(col("n") === 2, lit(0.5)).otherwise(lit(0.4)))
+          .otherwise(lit(0.2) / (col("n") - 2)))
+      credited.groupBy(hour(col("vts")).as("hr"))
+        .agg(count(lit(1)).as("n_touches"),
+          round(sum(round(col("credit"), 9).cast("decimal(38,9)"))
+            .cast("double"), 6).as("credit"))
+        .orderBy("hr")
+    }),
+
     // Streaming per-key TOP-K (streaming/Stateful.topKPerUser) — the
     // leaderboard / best-n-per-entity verb under keyed state: each user
     // carries their 3 best (value, event) entries; insert-then-trim is
@@ -998,6 +1042,29 @@ object EventTime {
     "t_cdc_apply" -> cdcApplySql,
     // the streaming spelling converges to the identical state — one oracle
     "t_stream_cdc" -> cdcApplySql,
+    "t_attribution" ->
+      ("WITH e AS (SELECT event_id, user_id, event_type, " +
+        "date_trunc('milliseconds', ts) AS ts_ms FROM events), " +
+        "p AS (SELECT event_id AS pe, user_id, ts_ms AS pts, " +
+        "date_diff('minute', TIMESTAMP '1970-01-01 00:00:00', ts_ms) // 30 AS cell " +
+        "FROM e WHERE event_type = 'purchase'), " +
+        "v0 AS (SELECT event_id AS ve, user_id, ts_ms AS vts, " +
+        "date_diff('minute', TIMESTAMP '1970-01-01 00:00:00', ts_ms) // 30 AS vcell " +
+        "FROM e WHERE event_type = 'view'), " +
+        "v AS (SELECT ve, user_id, vts, vcell + k AS cell FROM v0 " +
+        "CROSS JOIN (VALUES (0), (1)) o(k)), " +
+        "m AS (SELECT p.pe, p.pts, v.ve, v.vts FROM p JOIN v " +
+        "ON p.user_id = v.user_id AND p.cell = v.cell " +
+        "WHERE v.vts <= p.pts AND v.vts > p.pts - INTERVAL 30 MINUTE), " +
+        "r AS (SELECT pe, vts, ve, " +
+        "row_number() OVER (PARTITION BY pe ORDER BY vts, ve) AS rn, " +
+        "count(*) OVER (PARTITION BY pe) AS n FROM m), " +
+        "c AS (SELECT vts, CASE WHEN n = 1 THEN CAST(1.0 AS DOUBLE) " +
+        "WHEN rn = 1 OR rn = n THEN (CASE WHEN n = 2 THEN CAST(0.5 AS DOUBLE) ELSE CAST(0.4 AS DOUBLE) END) " +
+        "ELSE CAST(0.2 AS DOUBLE) / (n - 2) END AS credit FROM r) " +
+        "SELECT CAST(hour(vts) AS INTEGER) AS hr, count(*) AS n_touches, " +
+        "round(CAST(sum(CAST(round(credit, 9) AS DECIMAL(38,9))) AS DOUBLE), 6) AS credit " +
+        "FROM c GROUP BY hr ORDER BY hr"),
     "t_stream_topk" ->
       ("WITH r AS (SELECT user_id, event_id, value, " +
         "row_number() OVER (PARTITION BY user_id " +

@@ -63,6 +63,24 @@ object SetSort {
         .orderBy("o_custkey", "rn")
     }),
 
+    // BAG set operations — EXCEPT ALL / INTERSECT ALL multiset
+    // semantics, the half o_except/o_intersect's DISTINCT forms can't
+    // express: per key the result multiplicity is max(0, cnt_a − cnt_b)
+    // / min(cnt_a, cnt_b), visible in the graded counts precisely where
+    // a key repeats on both sides. Spark plans exceptAll/intersectAll
+    // as a generate-over-counts rewrite (sum ±1 per side, replicate) —
+    // two aggregations, no join explosion, scale-safe.
+    "o_except_all" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val a = li.filter(col("l_quantity") > 25).select(col("l_orderkey").as("k"))
+      val b = li.filter(col("l_tax") > 0.05).select(col("l_orderkey").as("k"))
+      val ex = a.exceptAll(b).groupBy("k")
+        .agg(count(lit(1)).as("n")).withColumn("op", lit("except_all"))
+      val ia = a.intersectAll(b).groupBy("k")
+        .agg(count(lit(1)).as("n")).withColumn("op", lit("intersect_all"))
+      ex.unionByName(ia).select("op", "k", "n").orderBy("op", "k")
+    }),
+
     // Overlapping slices → duplicates preserved; (okey, src) unique.
     "o_union_all" -> ((s, d) => {
       val o = t(s, d, "orders")
@@ -97,6 +115,16 @@ object SetSort {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "o_except_all" ->
+      ("WITH a AS (SELECT l_orderkey AS k FROM lineitem WHERE l_quantity > 25), " +
+        "b AS (SELECT l_orderkey AS k FROM lineitem WHERE l_tax > 0.05), " +
+        "ex AS (SELECT * FROM a EXCEPT ALL SELECT * FROM b), " +
+        "ia AS (SELECT * FROM a INTERSECT ALL SELECT * FROM b) " +
+        "SELECT * FROM (" +
+        "SELECT 'except_all' AS op, k, count(*) AS n FROM ex GROUP BY k " +
+        "UNION ALL " +
+        "SELECT 'intersect_all' AS op, k, count(*) AS n FROM ia GROUP BY k) " +
+        "ORDER BY op, k"),
     "o_sort_multi" ->
       ("SELECT p_partkey, p_brand, nullif(p_size, 15) AS size_n FROM part " +
         "ORDER BY p_brand ASC, size_n DESC NULLS FIRST, p_partkey ASC"),

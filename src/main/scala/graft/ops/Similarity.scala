@@ -2181,6 +2181,40 @@ object Similarity {
         .orderBy("record_id")
     }),
 
+    // Suffix STEMMING (Harman s-stemmer) — the lightweight morphology
+    // normalizer between raw tokens and BPE: three ordered suffix rules
+    // (ies→y unless eies/aies; drop the s of -es unless aes/ees/oes;
+    // drop final s unless us/ss), pure string surgery that both engines
+    // replay character-identically. The fixture vocabulary has no
+    // inflected forms, so variants are manufactured per occurrence (the
+    // house device): suffix ∈ {'', s, es, ies} chosen by (doc_id + pos)
+    // mod 4 — every rule fires somewhere and the grade covers the full
+    // rule cascade, collisions included. Shape: one narrow posexplode +
+    // one groupBy(stem) — scan-shaped.
+    "x_text_stem" -> ((s, d) => {
+      val toks = t(s, d, "documents")
+        .select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .select(col("doc_id"), (col("pos") + 1).as("j"), col("col").as("base"))
+        .withColumn("tok", concat(col("base"),
+          element_at(array(lit(""), lit("s"), lit("es"), lit("ies")),
+            (pmod(col("doc_id") + col("j"), lit(4)) + 1).cast("int"))))
+      val stem = when(col("tok").endsWith("ies") &&
+          !col("tok").endsWith("eies") && !col("tok").endsWith("aies"),
+          concat(expr("substring(tok, 1, length(tok) - 3)"), lit("y")))
+        .when(col("tok").endsWith("es") && !col("tok").endsWith("aes") &&
+          !col("tok").endsWith("ees") && !col("tok").endsWith("oes"),
+          expr("substring(tok, 1, length(tok) - 1)"))
+        .when(col("tok").endsWith("s") && !col("tok").endsWith("us") &&
+          !col("tok").endsWith("ss"),
+          expr("substring(tok, 1, length(tok) - 1)"))
+        .otherwise(col("tok"))
+      toks.withColumn("stem", stem)
+        .groupBy("stem")
+        .agg(count(lit(1)).as("n_tokens"),
+          countDistinct(col("tok")).as("n_forms"))
+        .orderBy("stem")
+    }),
+
     // Overlapping token-window chunking — the embedding/RAG windowing
     // staple (x_pack_chunks assigns whole docs to training chunks; THIS
     // splits one long doc into size-40 windows every 20 tokens so each
@@ -3345,6 +3379,21 @@ object Similarity {
         "SELECT n AS node, count(*) AS core_deg FROM (" +
         "SELECT a AS n FROM e10 UNION ALL SELECT b FROM e10) " +
         "GROUP BY n ORDER BY node"),
+    "x_text_stem" ->
+      ("WITH sp AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+        "tk AS (SELECT doc_id, CAST(j AS BIGINT) AS j, toks[CAST(j AS INTEGER)] AS base " +
+        "FROM sp, UNNEST(range(1, len(toks) + 1)) AS r(j)), " +
+        "inf AS (SELECT base || (['', 's', 'es', 'ies'])[CAST((doc_id + j) % 4 + 1 AS INTEGER)] AS tok FROM tk), " +
+        "st AS (SELECT tok, CASE " +
+        "WHEN tok LIKE '%ies' AND tok NOT LIKE '%eies' AND tok NOT LIKE '%aies' " +
+        "THEN substring(tok, 1, length(tok) - 3) || 'y' " +
+        "WHEN tok LIKE '%es' AND tok NOT LIKE '%aes' AND tok NOT LIKE '%ees' AND tok NOT LIKE '%oes' " +
+        "THEN substring(tok, 1, length(tok) - 1) " +
+        "WHEN tok LIKE '%s' AND tok NOT LIKE '%us' AND tok NOT LIKE '%ss' " +
+        "THEN substring(tok, 1, length(tok) - 1) " +
+        "ELSE tok END AS stem FROM inf) " +
+        "SELECT stem, count(*) AS n_tokens, count(DISTINCT tok) AS n_forms " +
+        "FROM st GROUP BY stem ORDER BY stem"),
     "x_text_readability" ->
       ("WITH pd AS (SELECT lang, " +
         "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words, " +

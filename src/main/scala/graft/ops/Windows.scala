@@ -118,6 +118,26 @@ object Windows {
         .orderBy("o_orderkey")
     }),
 
+    // ROLLING EXACT MEDIAN over the last-5-rows frame per user — the
+    // robust moving baseline (a_mad's rolling twin: one spike moves a
+    // rolling mean arbitrarily, the rolling median by at most one rank).
+    // percentile() as a WINDOW aggregate over a ROWS frame — the frame
+    // is 5 rows, so per-row cost is O(frame log frame) and the window
+    // parallelizes per user; Spark percentile and DuckDB quantile_cont
+    // share linear interpolation (the a_mad precedent), re-synced to
+    // the 6-dp grid. The (ts, event_id) order is total, so frames are
+    // identical on both engines.
+    "w_moving_median" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts_ms"), col("event_id"))
+        .rowsBetween(-4, 0)
+      evMs(s, d)
+        .select(col("user_id"), col("event_id"),
+          round(col("value"), 6).as("value"),
+          round(expr("percentile(value, 0.5D)").over(w), 6).as("med5"))
+        .orderBy("user_id", "event_id")
+    }),
+
     // GAPS-AND-ISLANDS: maximal runs of consecutive active minutes per
     // user — the classic row_number-difference device (a run of
     // consecutive minute indexes m has constant m − row_number, so that
@@ -147,6 +167,14 @@ object Windows {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "w_moving_median" ->
+      ("WITH e AS (SELECT user_id, event_id, value, " +
+        "date_trunc('milliseconds', ts) AS ts_ms FROM events) " +
+        "SELECT user_id, event_id, round(value, 6) AS value, " +
+        "round(quantile_cont(CAST(value AS DOUBLE), 0.5) OVER (" +
+        "PARTITION BY user_id ORDER BY ts_ms, event_id " +
+        "ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS med5 " +
+        "FROM e ORDER BY user_id, event_id"),
     "w_rownum" ->
       ("SELECT o_custkey, o_orderkey, o_orderdate, " +
         "row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn " +
