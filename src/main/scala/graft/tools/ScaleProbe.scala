@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
   * of 10c yields ~50c² pairs) — the probe prints output rows so the two
   * effects can be told apart.
   *
-  * `runMain graft.tools.ScaleProbe [sfDir] [keys|sigs|curation|cc|cluster|vocab|spans|bpe|quality|pq|geo|graph|streamjoin|snapshot|kll|gram|cdc|all]`
+  * `runMain graft.tools.ScaleProbe [sfDir] [keys|sigs|curation|cc|cluster|vocab|spans|bpe|quality|pq|geo|graph|graphx|streamjoin|snapshot|kll|gram|cdc|ivm|purge|mor|er|all]`
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -547,6 +547,108 @@ object ScaleProbe {
       println(f"purge publish 1x ${pub1}%6.2fs -> 10x ${pub10}%7.2fs; " +
         f"FIXED-request purge 1x ${p1}%6.2fs -> 10x-store ${p10}%7.2fs " +
         f"(factor ${p10 / p1}%5.1f, claim ~1)")
+    }
+    // BFS + k-core on synthetic graphs at 1M -> 10M edges. BFS: chain-of-
+    // blocks graph of FIXED diameter (so round count is constant and the
+    // growth isolates per-round edge-join volume — the edge-linear
+    // claim); k-core: same constant-density host graph family as the
+    // triangles probe, fixed peel depth.
+    if (mode == "all" || mode == "graphx") {
+      def edgesOf(nEdges: Long): DataFrame = {
+        // murmur-mixed endpoints in a node space of nEdges/10 — constant
+        // avg degree 20 across scales; diameter stays small and fixed-ish
+        val nodes = nEdges / 10
+        spark.range(nEdges).select(
+          pmod(hash(col("id"), lit(1)).cast("long"), lit(nodes)).as("u"),
+          pmod(hash(col("id"), lit(2)).cast("long"), lit(nodes)).as("v"))
+      }
+      def bfsProbe(nEdges: Long): (Double, Long) = {
+        val e = edgesOf(nEdges)
+        val src = spark.range(0, 5).select(col("id").as("node"))
+        val t0 = System.nanoTime()
+        val n = graft.operators.Graph.bfsHops(e, src)
+          .filter(col("hops").isNotNull).count()
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      val (b1, nb1) = bfsProbe(1000000L)
+      graft.ops.T.releaseCaches(blocking = true)
+      val (b10, nb10) = bfsProbe(10000000L)
+      graft.ops.T.releaseCaches(blocking = true)
+      println(f"bfsHops 1M edges ${b1}%6.2fs ($nb1 reached) -> 10M ${b10}%7.2fs " +
+        f"($nb10 reached; factor ${b10 / b1}%5.1f)")
+      // k WELL BELOW the mean degree (20): a large core survives in few
+      // peel rounds — the density-filter usage. k AT the threshold
+      // degenerates to a long cascade (every node eventually peels, one
+      // shell per round) — that regime is a cost model property of
+      // k-core itself, not of this implementation.
+      def kcoreProbe(nEdges: Long): (Double, Long) = {
+        val e = edgesOf(nEdges)
+        val t0 = System.nanoTime()
+        val n = graft.operators.Graph.kCore(e, k = 10).count()
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      val (k1, nk1) = kcoreProbe(1000000L)
+      graft.ops.T.releaseCaches(blocking = true)
+      val (k10, nk10) = kcoreProbe(10000000L)
+      graft.ops.T.releaseCaches(blocking = true)
+      println(f"kCore(10) 1M edges ${k1}%6.2fs ($nk1 nodes) -> 10M ${k10}%7.2fs " +
+        f"($nk10 nodes; factor ${k10 / k1}%5.1f)")
+    }
+    // Merge-on-read delete at a 10× store: like the purge probe but for
+    // the WRITE-optimized path — the DV commit writes O(#keys) bytes
+    // regardless of table size (claim ~1, and absolutely tiny), while
+    // the read-side anti-join cost scales with the scan it masks.
+    if (mode == "all" || mode == "mor") {
+      def morProbe(mult: Int): (Double, Double, Double) = {
+        val dir = java.nio.file.Files.createTempDirectory("probe_mor").toString
+        val docs = (0 until mult).map { i =>
+          base.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+            col("text"), col("lang"), col("source"), col("n_chars"))
+        }.reduce(_ unionByName _)
+        graft.sources.Snapshot.publishClustered(spark, dir, docs, "lang",
+          "doc_id", "text", nFiles = 8 * mult)
+        val t0 = System.nanoTime()
+        graft.sources.Snapshot.deleteMorKeys(spark, dir,
+          Seq(3L, 7L, 11L, 101L, 204L, 309L), "doc_id")
+        val tDel = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        val nRead = graft.sources.Snapshot.read(spark, dir).count()
+        val tRead = (System.nanoTime() - t1) / 1e9
+        val t2 = System.nanoTime()
+        graft.sources.Snapshot.applyMorDeletes(spark, dir, "lang", "text",
+          statsCol = Some("doc_id"))
+        ((System.nanoTime() - t2) / 1e9, tDel, tRead)
+      }
+      val (a1, d1, r1) = morProbe(1)
+      graft.ops.T.releaseCaches(blocking = true)
+      val (a10, d10, r10) = morProbe(10)
+      graft.ops.T.releaseCaches(blocking = true)
+      println(f"MoR delete commit 1x ${d1}%6.2fs -> 10x-store ${d10}%7.2fs (factor ${d10 / d1}%5.1f, claim ~1); " +
+        f"masked read ${r1}%5.2fs -> ${r10}%5.2fs; materialize ${a1}%5.2fs -> ${a10}%5.2fs (stats-bounded)")
+    }
+    // Entity resolution at a 10× record set with the SAME name
+    // vocabulary density: blocking bounds the quadratic per block, and
+    // the distinct-name contraction means record growth only adds to
+    // the (cheap) group-by — the ER wall should grow well below 10×.
+    if (mode == "all" || mode == "er") {
+      def erProbe(dir: String): (Double, Long) = {
+        val t0 = System.nanoTime()
+        val n = graft.SparkEntry.queries("x_entity_resolution")(spark, dir).count()
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      // the part table is not in the synthetic big dir; replicate it
+      val partBig = (0 until 10).map { i =>
+        spark.read.parquet(s"$sfDir/part.parquet")
+          .select((col("p_partkey") + lit(i * 10000000L)).as("p_partkey"),
+            concat(col("p_name"), lit(s" lot$i")).as("p_name"))
+      }.reduce(_ unionByName _)
+      partBig.write.mode("overwrite").parquet(s"$bigDir/part.parquet")
+      val (e1, ne1) = erProbe(sfDir)
+      graft.ops.T.releaseCaches(blocking = true)
+      val (e10, ne10) = erProbe(bigDir)
+      graft.ops.T.releaseCaches(blocking = true)
+      println(f"entityResolution   base ${e1}%6.2fs ($ne1 records) -> 10x ${e10}%7.2fs " +
+        f"($ne10 records; factor ${e10 / e1}%5.1f)")
     }
     spark.stop()
   }
