@@ -737,6 +737,38 @@ object EventTime {
     // the shuffle carries at most the type-pair cardinality after
     // map-side partial aggregation. Top-20 with a TOTAL tiebreak
     // (cnt desc, src, dst), so the limit boundary is deterministic.
+    // SEQUENCE-PATTERN matching (MATCH_RECOGNIZE-lite) — the behavioral
+    // regex verb over per-user event strings: each user's ordered
+    // history compresses to one initial-per-event string (array_sort of
+    // (ts, event_id, initial) structs — the total order makes the
+    // string engine-identical; DuckDB replays it as an ORDER BY
+    // string_agg), then plain regexes count conversion shapes
+    // ('vc*p' = view→clicks→purchase, leftmost non-overlapping — java
+    // and RE2 agree on this lookaround-free class), the longest view
+    // streak, and error density. Per-user strings are history-sized; at
+    // 100 TB the sequence build is one groupBy and the regex pass is
+    // scan-shaped over user-sized rows.
+    "t_pattern_match" -> ((s, d) => {
+      val seqs = ev(s, d)
+        .withColumn("ini", substring(col("event_type"), 1, 1))
+        .groupBy("user_id")
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("ts_ms"), col("event_id"),
+            col("ini")))),
+          x => x.getField("ini")), "").as("seq"))
+      seqs.select(col("user_id"),
+          length(col("seq")).cast("long").as("seq_len"),
+          size(regexp_extract_all(col("seq"), lit("vc*p"), lit(0)))
+            .cast("long").as("n_conversions"),
+          coalesce(array_max(transform(
+            regexp_extract_all(col("seq"), lit("v+"), lit(0)),
+            x => length(x))), lit(0)).cast("long").as("max_view_run"),
+          (length(col("seq")) -
+            length(regexp_replace(col("seq"), "e", "")))
+            .cast("long").as("n_errors"))
+        .orderBy("user_id")
+    }),
+
     "t_event_paths" -> ((s, d) => {
       val ord = Window.partitionBy("user_id").orderBy(col("ts_ms"), col("event_id"))
       ev(s, d)
@@ -1087,6 +1119,18 @@ object EventTime {
         "SELECT user_id, scd_ver, state, valid_from, " +
         "lead(valid_from) OVER (PARTITION BY user_id ORDER BY scd_ver) AS valid_to, n_events " +
         "FROM runs ORDER BY user_id, scd_ver"),
+    "t_pattern_match" ->
+      ("WITH e AS (SELECT user_id, event_id, " +
+        "substring(event_type, 1, 1) AS ini, " +
+        "date_trunc('milliseconds', ts) AS ts_ms FROM events), " +
+        "seqs AS (SELECT user_id, " +
+        "string_agg(ini, '' ORDER BY ts_ms, event_id) AS seq " +
+        "FROM e GROUP BY user_id) " +
+        "SELECT user_id, CAST(length(seq) AS BIGINT) AS seq_len, " +
+        "CAST(len(regexp_extract_all(seq, 'vc*p')) AS BIGINT) AS n_conversions, " +
+        "CAST(coalesce(list_max(list_transform(regexp_extract_all(seq, 'v+'), x -> length(x))), 0) AS BIGINT) AS max_view_run, " +
+        "CAST(length(seq) - length(replace(seq, 'e', '')) AS BIGINT) AS n_errors " +
+        "FROM seqs ORDER BY user_id"),
     "t_event_paths" ->
       ("WITH e AS (SELECT user_id, event_id, event_type, date_trunc('milliseconds', ts) AS ts_ms FROM events), " +
         "lagged AS (SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) AS src, " +

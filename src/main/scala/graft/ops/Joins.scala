@@ -344,6 +344,43 @@ object Joins {
     // (64 here; vocabulary-sized generally), the quadratic edit-distance
     // work runs on the names frame only, and per-name multiplicities ride
     // along as counts — never a row-pair explosion over the data.
+    // SPATIAL RADIUS JOIN via 2-D GRID BUCKETING — the geospatial twin
+    // of j_interval_overlap's 1-D cell grid (and the join-side sibling
+    // of x_io_zorder's storage-side 2-D clustering): points within
+    // Euclidean distance r pair up by equi-joining r-sized grid cells —
+    // one side replicates to its 3×3 cell neighborhood, the other joins
+    // its own cell, the exact distance refines. LOSSLESS blocking (any
+    // pair within r spans adjacent cells when the cell size is r), so
+    // the oracle replays the PLAIN quadratic radius join and the grade
+    // proves the grid changed the work, never the pairs. Coordinates
+    // are manufactured integers (multiplier-mod scatter), so distances
+    // compare exactly — no haversine/libm divergence. At 100 TB:
+    // candidate work is cells × per-cell density², the all-pairs
+    // product never forms, skewed cells salt like any hot equi-key.
+    "j_spatial_grid" -> ((s, d) => {
+      val cust = t(s, d, "customer").select(col("c_custkey").as("cid"),
+        pmod(col("c_custkey") * 7919, lit(1000)).cast("long").as("ax"),
+        pmod(col("c_custkey") * 104729, lit(1000)).cast("long").as("ay"))
+      val supp = t(s, d, "supplier").select(col("s_suppkey").as("sid"),
+        pmod(col("s_suppkey") * 7919 + 500, lit(1000)).cast("long").as("sx"),
+        pmod(col("s_suppkey") * 104729 + 500, lit(1000)).cast("long").as("sy"))
+      val c = cust
+        .withColumn("cx", expr("ax div 30")).withColumn("cy", expr("ay div 30"))
+      val offsets = for { dx <- -1 to 1; dy <- -1 to 1 }
+        yield struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy"))
+      val sRep = supp
+        .withColumn("o", explode(array(offsets: _*)))
+        .select(col("sid"), col("sx"), col("sy"),
+          (expr("sx div 30") + col("o.dx")).as("cx"),
+          (expr("sy div 30") + col("o.dy")).as("cy"))
+      val dist2 = (col("ax") - col("sx")) * (col("ax") - col("sx")) +
+        (col("ay") - col("sy")) * (col("ay") - col("sy"))
+      c.join(sRep, Seq("cx", "cy"))
+        .filter(dist2 <= 900)
+        .select(col("cid"), col("sid"), dist2.as("dist2"))
+        .orderBy("cid", "sid")
+    }),
+
     "j_fuzzy_levenshtein" -> ((s, d) => {
       val names = t(s, d, "part").groupBy(col("p_name"))
         .agg(count(lit(1)).as("n"))
@@ -538,6 +575,20 @@ object Joins {
 
   val oracleSql: Map[String, String] = Map(
     // the blocking predicate is the graded contract, stated verbatim
+    // Plain quadratic radius join — result-identical to the grid form
+    // (the blocking is lossless), so the grade proves the optimization
+    // preserved the pairs.
+    "j_spatial_grid" ->
+      ("WITH c AS (SELECT c_custkey AS cid, " +
+        "CAST((c_custkey * 7919) % 1000 AS BIGINT) AS ax, " +
+        "CAST((c_custkey * 104729) % 1000 AS BIGINT) AS ay FROM customer), " +
+        "sp AS (SELECT s_suppkey AS sid, " +
+        "CAST((s_suppkey * 7919 + 500) % 1000 AS BIGINT) AS sx, " +
+        "CAST((s_suppkey * 104729 + 500) % 1000 AS BIGINT) AS sy FROM supplier) " +
+        "SELECT cid, sid, " +
+        "(ax - sx) * (ax - sx) + (ay - sy) * (ay - sy) AS dist2 " +
+        "FROM c JOIN sp ON (ax - sx) * (ax - sx) + (ay - sy) * (ay - sy) <= 900 " +
+        "ORDER BY cid, sid"),
     "j_fuzzy_levenshtein" ->
       ("WITH names AS (SELECT p_name, count(*) AS n FROM part GROUP BY p_name) " +
         "SELECT a.p_name AS name_a, b.p_name AS name_b, " +
