@@ -144,6 +144,33 @@ object Similarity {
           round(col("cos_raw"), 6).as("cosine"))
         .orderBy("probe_id", "rn")),
 
+    // MATRYOSHKA prefix-dimension retrieval — the serving trick of
+    // nested-representation embeddings (MRL): rank with only the FIRST
+    // 16 of 64 dims (4× less dot-product work and memory bandwidth, the
+    // coarse pass a re-rank then refines; x_emb_pq grades the codebook
+    // analog). Same exhaustive shape as x_sim_cosine_topk, cosine over
+    // the sliced prefix with prefix norms — the grade pins that slicing
+    // happens BEFORE normalization (a full-norm denominator is the
+    // classic implementation bug, and it would hash-mismatch).
+    "x_emb_prefix_topk" -> ((s, d) => {
+      val pre = normed(s, d)
+        .select(col("vec_id"), slice(col("emb"), 1, 16).as("emb16"))
+        .withColumn("nrm16", sqrt(expr("graft_dot(emb16, emb16)")))
+      val probes = broadcast(pre.filter(col("vec_id") <= 10)
+        .select(col("vec_id").as("probe_id"), col("emb16").as("p_emb"),
+          col("nrm16").as("p_nrm")))
+      val w = Window.partitionBy("probe_id")
+        .orderBy(col("cos_raw").desc, col("vec_id").asc)
+      fan(s, pre).join(probes, col("vec_id") =!= col("probe_id"))
+        .withColumn("cos_raw",
+          expr("graft_dot(emb16, p_emb)") / (col("nrm16") * col("p_nrm")))
+        .withColumn("rn", row_number().over(w).cast("bigint"))
+        .filter(col("rn") <= 5)
+        .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("rn"),
+          round(col("cos_raw"), 6).as("cosine16"))
+        .orderBy("probe_id", "rn")
+    }),
+
     // k-NN classification: majority label among the 5 neighbors,
     // ties broken toward the smaller label.
     "x_knn_label_vote" -> ((s, d) => {
@@ -2467,6 +2494,17 @@ object Similarity {
     "x_sim_cosine_topk" ->
       (topkSql +
         "SELECT probe_id, neighbor_id, rn, round(cos_raw, 6) AS cosine " +
+        "FROM pairs WHERE rn <= 5 ORDER BY probe_id, rn"),
+    "x_emb_prefix_topk" ->
+      ("WITH e AS (" + embDouble + "), " +
+        "n AS (SELECT vec_id, emb[1:16] AS emb16, " +
+        "sqrt(list_dot_product(emb[1:16], emb[1:16])) AS nrm16 FROM e), " +
+        "pairs AS (SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id, " +
+        "list_dot_product(c.emb16, p.emb16) / (c.nrm16 * p.nrm16) AS cos_raw, " +
+        "row_number() OVER (PARTITION BY p.vec_id " +
+        "ORDER BY list_dot_product(c.emb16, p.emb16) / (c.nrm16 * p.nrm16) DESC, c.vec_id ASC) AS rn " +
+        "FROM n p JOIN n c ON c.vec_id <> p.vec_id WHERE p.vec_id <= 10) " +
+        "SELECT probe_id, neighbor_id, rn, round(cos_raw, 6) AS cosine16 " +
         "FROM pairs WHERE rn <= 5 ORDER BY probe_id, rn"),
     "x_knn_label_vote" ->
       (topkSql +

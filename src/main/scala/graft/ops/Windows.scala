@@ -81,6 +81,28 @@ object Windows {
         .orderBy("o_orderstatus", "o_totalprice", "o_orderkey")
     }),
 
+    // TIME-interval RANGE frame — the trailing-window rolling metric
+    // (events in the last hour per user): w_frame_range's RANGE device
+    // applied to event TIME. Spark's rangeBetween needs a numeric order
+    // column, so the order key is exact integer seconds-since-epoch
+    // (timestampdiff — the same function DuckDB spells date_diff), and
+    // the frame [now−3600 s, now] is the interval DuckDB writes as
+    // RANGE INTERVAL 1 HOUR PRECEDING. Ties (same second) share a frame
+    // by RANGE semantics on both engines, so no tiebreak is needed for
+    // determinism; the count/sum aggregates are order-insensitive.
+    "w_range_time" -> ((s, d) => {
+      val secs = expr(
+        "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts_ms)")
+      val w = Window.partitionBy("user_id").orderBy(col("epoch_s"))
+        .rangeBetween(-3600, 0)
+      evMs(s, d)
+        .withColumn("epoch_s", secs)
+        .select(col("user_id"), col("event_id"), col("ts_ms"),
+          count(lit(1)).over(w).as("n_1h"),
+          decOut(sum(dec(col("value"))).over(w)).as("sum_1h"))
+        .orderBy("user_id", "ts_ms", "event_id")
+    }),
+
     // Cumulative revenue + post-window filter (QUALIFY analog).
     "w_running_total" -> ((s, d) => {
       val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
@@ -167,6 +189,17 @@ object Windows {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "w_range_time" ->
+      ("WITH e AS (SELECT user_id, event_id, value, " +
+        "date_trunc('milliseconds', ts) AS ts_ms FROM events), " +
+        "s AS (SELECT user_id, event_id, value, ts_ms, " +
+        "date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts_ms) AS epoch_s FROM e) " +
+        "SELECT user_id, event_id, ts_ms, " +
+        "count(*) OVER w AS n_1h, " +
+        "round(CAST(sum(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE), 6) AS sum_1h " +
+        "FROM s WINDOW w AS (PARTITION BY user_id ORDER BY epoch_s " +
+        "RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) " +
+        "ORDER BY user_id, ts_ms, event_id"),
     "w_moving_median" ->
       ("WITH e AS (SELECT user_id, event_id, value, " +
         "date_trunc('milliseconds', ts) AS ts_ms FROM events) " +

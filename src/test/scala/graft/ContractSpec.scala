@@ -2,7 +2,7 @@ package graft
 
 /** T1 blanket contract checks: every declared query runs on sf0.001,
   * the queries/oracleSql maps are mutually consistent, and the declared
-  * inventory matches SURVEY.md §2b (240 keys, 232 oracle-checked).
+  * inventory matches SURVEY.md §2b (242 keys, 234 oracle-checked).
   */
 class ContractSpec extends SparkSpec {
 
@@ -11,9 +11,9 @@ class ContractSpec extends SparkSpec {
       "t_stream_runtime", "t_stream_dedup", "t_stream_session",
       "t_stream_join")
 
-  test("inventory matches SURVEY §2b: 240 queries, 232 with oracle SQL") {
-    assert(SparkEntry.queries.size === 240)
-    assert(SparkEntry.oracleSql.size === 232)
+  test("inventory matches SURVEY §2b: 242 queries, 234 with oracle SQL") {
+    assert(SparkEntry.queries.size === 242)
+    assert(SparkEntry.oracleSql.size === 234)
     assert(SparkEntry.queries.keySet.intersect(nonOracle).size === 8)
   }
 
@@ -46,6 +46,7 @@ class ContractSpec extends SparkSpec {
     "j_theta_ineq",     // pure inequality condition
     "x_sim_dot",        // 1-row broadcast probe vector
     "x_sim_cosine_topk", "x_knn_label_vote", // broadcast probe set, != join
+    "x_emb_prefix_topk", // same broadcast-probe != join, sliced dims
     "x_ann_recall",      // ground-truth side IS the broadcast-probe exhaustive scan
     // x_ann_bucket_topk is NOT exempt: PlanShapeSpec pins its bucket
     // equi-join to a BroadcastHashJoin, so a regression to BNLJ must
