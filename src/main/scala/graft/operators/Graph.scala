@@ -162,34 +162,35 @@ object Graph {
       .filter(col("s") =!= col("t")).distinct())
     val nodes = T.cached(e.select(col("s").as("node")).distinct())
     val src = sources.select(col("node").cast("long").as("node")).distinct()
-    // settled = (node, hops) so far; frontier = the nodes settled LAST
-    // round (messages originate only there). Both checkpointed; a
-    // round's inputs are freed only after its own frames materialize.
+    // settled = (node, hops) so far. The frontier (nodes settled LAST
+    // round) is a FILTER over the checkpointed settled frame — hops ==
+    // round−1 — so each round is exactly ONE Spark job: the union of
+    // settled and the newly-reached nodes materializes under a lazy
+    // localCheckpoint + count, and the same count doubles as the
+    // termination probe (count unchanged ⇒ empty frontier). This is the
+    // connectedComponents one-job-per-round discipline; a two-frame
+    // settled/next spelling measured ~2× the wall at fixture scale
+    // purely in per-round scheduling.
     var settled = T.checkpointed(
       nodes.join(src, Seq("node"), "left_semi")
         .select(col("node"), lit(0L).as("hops")))
-    var frontier = settled
+    var nSettled = settled.count()
     var round = 0
-    var done = frontier.count() == 0L
+    var done = nSettled == 0L
     while (!done && round < maxIter) {
       round += 1
+      val frontier = settled.filter(col("hops") === (round - 1).toLong)
       val reached = e
         .join(frontier.select(col("node").as("s"), col("hops")), "s")
         .select(col("t").as("node"), (col("hops") + 1L).as("hops"))
         .groupBy("node").agg(min("hops").as("hops"))
-      val next = T.checkpointed(
-        reached.join(settled, Seq("node"), "left_anti"))
-      done = next.count() == 0L // also materializes `next`
-      if (!done) {
-        val union = T.checkpointed(settled.unionByName(next))
-        union.count() // materialize before freeing the frames it read
-        T.freeCheckpoint(settled)
-        if (frontier ne settled) T.freeCheckpoint(frontier)
-        settled = union
-        frontier = next
-      } else {
-        T.freeCheckpoint(next)
-      }
+      val next = reached.join(settled, Seq("node"), "left_anti")
+      val union = T.checkpointed(settled.unionByName(next))
+      val n2 = union.count() // one job: materialize + termination probe
+      done = n2 == nSettled
+      T.freeCheckpoint(settled)
+      settled = union
+      nSettled = n2
     }
     nodes.join(settled, Seq("node"), "left")
       .select(col("node"), col("hops"))
