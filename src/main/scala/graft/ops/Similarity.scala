@@ -581,6 +581,56 @@ object Similarity {
     // where the earlier cluster×cluster formulation degraded to O(n²).
     "x_dedup_minhash" -> ((s, d) => minhashPairs(s, d).orderBy("a_id", "b_id")),
 
+    // LSH PARAMETER CALIBRATION — the tuning harness run BEFORE a 100 TB
+    // dedup job (x_ann_recall's dedup twin): on a 1/5 sample, measure
+    // each band threshold's empirical candidate count, true-positive
+    // count (token-Jaccard ≥ 0.6 among candidates), and precision, so
+    // the b-of-8 threshold is CHOSEN from data instead of folklore.
+    // Candidates via the same (seed, mh) band equi-join the graded
+    // minhash key uses (≥ 1 band here — the calibration needs the full
+    // agreement histogram); true Jaccard via exact integer intersection
+    // counts from a token equi-join (pair-bounded output, no all-pairs
+    // scan anywhere); the 4 thresholds evaluate over ONE pair frame via
+    // a threshold explode. Sampling bounds the quadratic: calibration
+    // cost is sample-sized regardless of corpus.
+    "x_dedup_lsh_calibrate" -> ((s, d) => {
+      val docs = fan(s, t(s, d, "documents")
+        .filter(pmod(col("doc_id"), lit(5)) === 0)
+        .select("doc_id", "text"))
+      graft.ops.Custom.register(s)
+      val sigs = docs.select(col("doc_id"),
+        posexplode(expr("graft_minhash_md5(text)")).as(Seq("seed", "mh")))
+      val pairs = sigs.as("a").join(sigs.as("b"),
+          col("a.seed") === col("b.seed") && col("a.mh") === col("b.mh") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .agg(count(lit(1)).as("n_bands"))
+      val toks = docs.select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("tok"))
+      val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("n_toks"))
+      val ints = pairs
+        .join(toks.select(col("doc_id").as("a_id"), col("tok")), Seq("a_id"))
+        .join(toks.select(col("doc_id").as("b_id"), col("tok")),
+          Seq("b_id", "tok"))
+        .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_int"))
+      val judged = pairs
+        .join(ints, Seq("a_id", "b_id"), "left")
+        .join(sizes.select(col("doc_id").as("a_id"), col("n_toks").as("n_a")), Seq("a_id"))
+        .join(sizes.select(col("doc_id").as("b_id"), col("n_toks").as("n_b")), Seq("b_id"))
+        .withColumn("ni", coalesce(col("n_int"), lit(0L)))
+        .withColumn("jacc", round(col("ni").cast("double") /
+          (col("n_a") + col("n_b") - col("ni")), 6))
+      judged
+        .withColumn("b_min", explode(array(lit(2), lit(4), lit(6), lit(8))))
+        .filter(col("n_bands") >= col("b_min"))
+        .groupBy("b_min")
+        .agg(count(lit(1)).as("n_candidates"),
+          sum(when(col("jacc") >= 0.6, 1L).otherwise(0L)).as("n_true"),
+          round(sum(when(col("jacc") >= 0.6, 1L).otherwise(0L))
+            .cast("double") / count(lit(1)), 6).as("prec"))
+        .orderBy("b_min")
+    }),
+
     // LSH pairs → duplicate CLUSTERS: connected components over the
     // minhash pair graph (transitive chains a~b~c collapse to one
     // cluster; cluster_id = the component's min doc_id — the canonical
@@ -2495,6 +2545,33 @@ object Similarity {
       (topkSql +
         "SELECT probe_id, neighbor_id, rn, round(cos_raw, 6) AS cosine " +
         "FROM pairs WHERE rn <= 5 ORDER BY probe_id, rn"),
+    // The same sample, band join, and exact-intersection Jaccard
+    // replayed verbatim; thresholds via a VALUES lateral.
+    "x_dedup_lsh_calibrate" ->
+      ("WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0), " +
+        "toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM docs), " +
+        "sigs AS (SELECT doc_id, seed, min(md5(tok || '#' || CAST(seed AS VARCHAR))) AS mh " +
+        "FROM toks CROSS JOIN (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) seeds(seed) " +
+        "GROUP BY doc_id, seed), " +
+        "pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_bands " +
+        "FROM sigs a JOIN sigs b ON a.seed = b.seed AND a.mh = b.mh AND a.doc_id < b.doc_id " +
+        "GROUP BY a_id, b_id), " +
+        "sizes AS (SELECT doc_id, count(*) AS n_toks FROM toks GROUP BY doc_id), " +
+        "ints AS (SELECT p.a_id, p.b_id, count(*) AS n_int FROM pairs p " +
+        "JOIN toks ta ON ta.doc_id = p.a_id " +
+        "JOIN toks tb ON tb.doc_id = p.b_id AND tb.tok = ta.tok " +
+        "GROUP BY p.a_id, p.b_id), " +
+        "judged AS (SELECT p.n_bands, " +
+        "round(CAST(coalesce(i.n_int, 0) AS DOUBLE) / " +
+        "(sa.n_toks + sb.n_toks - coalesce(i.n_int, 0)), 6) AS jacc " +
+        "FROM pairs p LEFT JOIN ints i ON i.a_id = p.a_id AND i.b_id = p.b_id " +
+        "JOIN sizes sa ON sa.doc_id = p.a_id " +
+        "JOIN sizes sb ON sb.doc_id = p.b_id) " +
+        "SELECT b_min, count(*) AS n_candidates, " +
+        "CAST(sum(CASE WHEN jacc >= 0.6 THEN 1 ELSE 0 END) AS BIGINT) AS n_true, " +
+        "round(CAST(sum(CASE WHEN jacc >= 0.6 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS prec " +
+        "FROM judged CROSS JOIN (VALUES (2), (4), (6), (8)) t(b_min) " +
+        "WHERE n_bands >= b_min GROUP BY b_min ORDER BY b_min"),
     "x_emb_prefix_topk" ->
       ("WITH e AS (" + embDouble + "), " +
         "n AS (SELECT vec_id, emb[1:16] AS emb16, " +
