@@ -1953,6 +1953,39 @@ object Similarity {
         .orderBy("lang")
     }),
 
+    // Metadata-only ADD COLUMN with initial defaults
+    // (Snapshot.addColumn — the Iceberg/Delta schema-evolution verb):
+    // widening the table writes ZERO data bytes (SnapshotSpec pins the
+    // file set identical across the add); pre-add files read back with
+    // the recorded default, post-add writes must carry the column
+    // physically so genuine NULLs survive (the blanket-coalesce bug the
+    // since-version fill avoids). Graded through the full lifecycle:
+    // publish → add column (default 0.5) → upsert a scored subset →
+    // aggregate over the MIXED generations — default-filled old files
+    // and physical new ones must blend into one schema.
+    "x_io_add_column" -> ((s, d) => {
+      val dir = T.scratchDir("graft_addcol")
+      val docs = t(s, d, "documents")
+      graft.sources.Snapshot.publish(s, dir, docs, "lang", "text")
+      graft.sources.Snapshot.addColumn(s, dir, "quality", "DOUBLE", "0.5")
+      // scope the rewrite to ONE partition so the graded read spans
+      // genuinely mixed generations: 'en' files carry quality
+      // physically, every other lang's files predate the column and
+      // fill the default at read time
+      val scored = docs
+        .filter(col("lang") === "en" && pmod(col("doc_id"), lit(50)) === 0)
+        .withColumn("quality", lit(0.9))
+      graft.sources.Snapshot.upsert(s, dir, scored, "doc_id", "lang", "text")
+      graft.sources.Snapshot.read(s, dir)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("quality") === 0.9, 1L).otherwise(0L)).as("n_scored"),
+          decOut(sum(dec(col("quality")))).as("sum_quality"),
+          sum(conv(substring(md5(col("text")), 1, 8), 16, 10).cast("bigint"))
+            .as("checksum"))
+        .orderBy("lang")
+    }),
+
     // MERGE-ON-READ delete (Snapshot.deleteMorKeys — the Delta deletion-
     // vector / Iceberg equality-delete verb, the WRITE-optimized twin of
     // x_io_purge's copy-on-write): the delete commits as an O(#keys)
@@ -3391,6 +3424,14 @@ object Similarity {
         "CAST(sum(CAST(('0x' || substring(md5(text), 1, 8)) AS BIGINT)) AS BIGINT) AS checksum " +
         "FROM documents WHERE doc_id NOT IN (3, 7, 11, 101, 204, 309) " +
         "GROUP BY lang ORDER BY lang"),
+    // Logical content after the add + upsert == the CASE expression the
+    // schema evolution encodes: default for old rows, 0.9 for scored.
+    "x_io_add_column" ->
+      ("SELECT lang, count(*) AS n_docs, " +
+        "CAST(sum(CASE WHEN lang = 'en' AND doc_id % 50 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_scored, " +
+        "round(CAST(sum(CAST(CASE WHEN lang = 'en' AND doc_id % 50 = 0 THEN 0.9 ELSE 0.5 END AS DECIMAL(38,6))) AS DOUBLE), 6) AS sum_quality, " +
+        "CAST(sum(CAST(('0x' || substring(md5(text), 1, 8)) AS BIGINT)) AS BIGINT) AS checksum " +
+        "FROM documents GROUP BY lang ORDER BY lang"),
     // Logical content after a merge-on-read delete == plain NOT IN;
     // the delete-then-materialize lifecycle must be content-neutral.
     "x_io_mor_delete" ->

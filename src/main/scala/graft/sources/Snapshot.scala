@@ -258,8 +258,8 @@ object Snapshot {
   def readBranch(spark: SparkSession, dir: String, name: String): DataFrame = {
     val v = branchVersion(spark, dir, name)
     val files = dataRows(readManifest(spark, dir, v))
-      .select("path").collect().map(r => s"$dir/${r.getString(0)}")
-    applyDv(spark, dir, v, spark.read.parquet(files.toIndexedSeq: _*))
+      .select("path").collect().map(_.getString(0))
+    applyDv(spark, dir, v, readFiles(spark, dir, v, files))
   }
 
   /** PUBLISH the branch: fast-forward main's `_latest` to the branch
@@ -334,6 +334,9 @@ object Snapshot {
       partCol: String, checksumCol: String): Int = {
     require(!df.columns.contains("_p"),
       "snapshot tables reserve the layout column name _p")
+    // a full republish after addColumn must materialize the column —
+    // its files postdate the add, so readers never fill them
+    requireAddedCols(spark, dir, currentVersion(spark, dir), df, "published snapshot")
     val n = nextVersion(spark, dir)
     // repartition on the partition value so each task writes whole
     // partitions: without it every one of the shuffle-partition tasks
@@ -398,6 +401,7 @@ object Snapshot {
     val cur = currentVersion(spark, dir)
     require(cur >= 1, s"snapshot table $dir has no committed version to append to")
     requireNoDv(spark, dir, cur, "append") // a re-inserted key would stay masked
+    requireAddedCols(spark, dir, cur, delta, "appended delta")
     if (delta.isEmpty) return cur // nothing to stage; caller may re-tag cur
     val n = nextVersion(spark, dir)
     delta.withColumn("_p", col(partCol))
@@ -440,15 +444,16 @@ object Snapshot {
       n: Int, touching: DataFrame, partCol: String, checksumCol: String)
       (rebuild: DataFrame => DataFrame): Int = {
     requireNoDv(spark, dir, base, "copy-on-write maintenance")
+    requireAddedCols(spark, dir, base, touching, "copy-on-write updates")
     val manifest = readManifest(spark, dir, base)
     val affected = touching.select(col(partCol).cast("string")).distinct()
       .collect().map(_.getString(0)).toSet
     val affectedFiles = manifest
       .filter(col("part").isin(affected.toSeq: _*))
-      .select("path").collect().map(r => s"$dir/${r.getString(0)}")
+      .select("path").collect().map(_.getString(0))
     val baseRows =
       if (affectedFiles.isEmpty) touching.limit(0)
-      else spark.read.parquet(affectedFiles.toIndexedSeq: _*)
+      else readFiles(spark, dir, base, affectedFiles)
     val merged = rebuild(baseRows)
       .select(baseRows.columns.map(col).toIndexedSeq: _*)
     // localCheckpoint: the merged frame reads files of the base version;
@@ -531,7 +536,7 @@ object Snapshot {
       return n
     }
     val n = nextVersion(spark, dir)
-    val base = spark.read.parquet(hit.map(p => s"$dir/$p").toIndexedSeq: _*)
+    val base = readFiles(spark, dir, cur, hit)
     val kept = base.filter(!col(keyCol).isin(keys: _*))
     // keep ~the affected file count so purge neither fragments nor
     // collapses the clustered layout; sort restores tight stat ranges
@@ -695,6 +700,121 @@ object Snapshot {
         data.join(broadcast(keys), Seq(kc), "left_anti")
     }
 
+  // ------------------------------------------------------------------
+  // SCHEMA EVOLUTION — metadata-only ADD COLUMN with INITIAL DEFAULTS
+  // (the Iceberg/Delta add-column semantics): widening the table never
+  // rewrites a byte. A `_schema.v{N}` sidecar records every added
+  // column (name, SQL type, default expression, since-version); readers
+  // resolve the newest sidecar at-or-below the version they read and
+  // fill the default ONLY for files written BEFORE the column existed
+  // (writer version < since — so a genuine NULL written after the add
+  // stays NULL, which a blanket coalesce would destroy). Writers after
+  // the add must supply the column — stage functions refuse otherwise,
+  // keeping every new file physically complete.
+  // ------------------------------------------------------------------
+
+  /** One added-column record: resolver state for [[readFiles]]. */
+  private case class AddedCol(name: String, sqlType: String,
+      defaultSql: String, since: Int)
+
+  private def addedColumnsAt(spark: SparkSession, dir: String,
+      n: Int): Seq[AddedCol] = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Nil
+    val vs = fs.listStatus(root).map(_.getPath.getName).collect {
+      case m if m.matches("_schema\\.v\\d+") => m.stripPrefix("_schema.v").toInt
+    }.filter(_ <= n)
+    if (vs.isEmpty) Nil
+    else spark.read
+      .schema("name STRING, sql_type STRING, default_sql STRING, since INT")
+      .json(s"$dir/_schema.v${vs.max}")
+      .collect()
+      .map(r => AddedCol(r.getString(0), r.getString(1), r.getString(2),
+        r.getInt(3)))
+      .toSeq
+  }
+
+  /** The writer version of a root-relative data file path ("v7/…" → 7). */
+  private def writerVersion(path: String): Int =
+    "^v(\\d+)/".r.findFirstMatchIn(path)
+      .map(_.group(1).toInt)
+      .getOrElse(sys.error(s"data file path without version segment: $path"))
+
+  /** Read an explicit file list under version `n`'s schema: files are
+    * grouped by writer version, each group reads its own physical
+    * schema, and added columns the group predates are filled with their
+    * recorded defaults — then the groups union to one canonical-order
+    * frame. Group count = distinct writer versions in the list (small:
+    * carried files compact away over time).
+    */
+  private def readFiles(spark: SparkSession, dir: String, n: Int,
+      relPaths: Array[String]): DataFrame = {
+    val added = addedColumnsAt(spark, dir, n)
+    if (added.isEmpty)
+      return spark.read.parquet(relPaths.map(p => s"$dir/$p").toIndexedSeq: _*)
+    val groups = relPaths.groupBy(writerVersion)
+    val frames = groups.toSeq.sortBy(_._1).map { case (wv, paths) =>
+      val df = spark.read.parquet(paths.map(p => s"$dir/$p").toIndexedSeq: _*)
+      added.foldLeft(df) { (acc, c) =>
+        if (wv < c.since) {
+          require(!acc.columns.contains(c.name),
+            s"file written at v$wv already carries '${c.name}' added at v${c.since}")
+          acc.withColumn(c.name, expr(c.defaultSql).cast(c.sqlType))
+        } else acc
+      }
+    }
+    val canonical = frames.head.columns
+    frames.map(_.select(canonical.map(col).toIndexedSeq: _*))
+      .reduce(_ unionByName _)
+  }
+
+  /** Metadata-only ADD COLUMN: commits a new version whose manifest is
+    * the current one VERBATIM (zero data I/O at any table size) plus a
+    * schema sidecar recording (name, type, default). Rows in existing
+    * files read back with the default (initial-default semantics); rows
+    * written from now on must carry the column physically — the stage
+    * functions refuse updates without it, so a later file can never
+    * masquerade as pre-add. `defaultSql` is any constant-foldable SQL
+    * expression ("0", "'unknown'", "CAST(NULL AS STRING)").
+    */
+  def addColumn(spark: SparkSession, dir: String, name: String,
+      sqlType: String, defaultSql: String): Int = {
+    import spark.implicits._
+    val cur = currentVersion(spark, dir)
+    require(cur >= 1, s"snapshot table $dir has no committed version")
+    val existing = addedColumnsAt(spark, dir, cur)
+    require(!existing.exists(_.name == name),
+      s"column '$name' was already added to $dir")
+    require(!read(spark, dir).columns.contains(name),
+      s"column '$name' already exists physically in $dir")
+    val n = nextVersion(spark, dir)
+    // manifest first (nextVersion allocates from manifests, so a crashed
+    // attempt can't leak its sidecar onto a reused version number)
+    readManifest(spark, dir, cur)
+      .coalesce(1).write.mode("overwrite").json(s"$dir/_manifest.v$n")
+    // tuples, not the private case class: the product encoder would
+    // codegen against inaccessible accessors
+    (existing :+ AddedCol(name, sqlType, defaultSql, n))
+      .map(c => (c.name, c.sqlType, c.defaultSql, c.since))
+      .toDF("name", "sql_type", "default_sql", "since")
+      .coalesce(1).write.mode("overwrite").json(s"$dir/_schema.v$n")
+    commit(spark, dir, n, currentTag(spark, dir))
+    n
+  }
+
+  /** Stage-side guard: after an ADD COLUMN, every write must carry the
+    * added columns physically (see [[addColumn]]).
+    */
+  private def requireAddedCols(spark: SparkSession, dir: String, base: Int,
+      df: DataFrame, what: String): Unit = {
+    val missing = addedColumnsAt(spark, dir, base)
+      .map(_.name).filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"$what must supply added column(s) ${missing.mkString(", ")} — " +
+        s"they are part of $dir's schema (addColumn)")
+  }
+
   /** CoW maintenance under pending MoR deletes would resurrect or
     * double-mask rows (a rewritten file's rows still anti-join the DV
     * keys; an upsert re-inserting a deleted key would stay hidden) —
@@ -723,6 +843,8 @@ object Snapshot {
       nFiles: Int): Int = {
     require(!df.columns.contains("_p"),
       "snapshot tables reserve the layout column name _p")
+    requireAddedCols(spark, dir, currentVersion(spark, dir), df,
+      "published snapshot") // see stagePublish
     val n = nextVersion(spark, dir)
     df.withColumn("_p", col(partCol))
       .repartitionByRange(nFiles, col("_p"), col(statsCol))
@@ -760,12 +882,18 @@ object Snapshot {
     // translate into row diffs — out of this file-level diff's contract
     requireNoDv(spark, dir, va, "version diff (materialize with applyMorDeletes first)")
     requireNoDv(spark, dir, vb, "version diff (materialize with applyMorDeletes first)")
+    // a column added BETWEEN the versions makes "row equality" ambiguous
+    // (under which schema?) — refuse rather than guess
+    require(addedColumnsAt(spark, dir, va) == addedColumnsAt(spark, dir, vb),
+      s"snapshot $dir: schema changed between v$va and v$vb (addColumn) — " +
+        "diff within one schema generation")
     val ma = readManifest(spark, dir, va).select("path")
     val mb = readManifest(spark, dir, vb).select("path")
+    val schemaV = math.max(va, vb)
     def readSide(only: DataFrame, other: DataFrame): Option[DataFrame] = {
       val files = only.join(other, Seq("path"), "left_anti")
-        .collect().map(r => s"$dir/${r.getString(0)}")
-      if (files.isEmpty) None else Some(spark.read.parquet(files.toIndexedSeq: _*))
+        .collect().map(_.getString(0))
+      if (files.isEmpty) None else Some(readFiles(spark, dir, schemaV, files))
     }
     (readSide(ma, mb), readSide(mb, ma)) match {
       case (None, None) =>
@@ -797,29 +925,32 @@ object Snapshot {
     val files = dataRows(readManifest(spark, dir, n))
       .filter(col("stat_lo").isNull || col("stat_hi").isNull ||
         (col("stat_lo") <= hi && col("stat_hi") >= lo))
-      .select("path").collect().map(r => s"$dir/${r.getString(0)}")
+      .select("path").collect().map(_.getString(0))
     if (files.isEmpty) read(spark, dir).limit(0)
-    else applyDv(spark, dir, n, spark.read.parquet(files.toIndexedSeq: _*))
+    else applyDv(spark, dir, n, readFiles(spark, dir, n, files))
   }
 
+  /** Resolve the committed version's DATA file list (root-relative). */
   private def resolveFiles(spark: SparkSession, dir: String,
       partValues: Option[Seq[String]]): (Int, Array[String]) = {
     val n = currentVersion(spark, dir)
     require(n >= 1, s"snapshot table $dir has no committed version")
     val m = dataRows(readManifest(spark, dir, n))
     val pruned = partValues.fold(m)(vs => m.filter(col("part").isin(vs: _*)))
-    (n, pruned.select("path").collect().map(r => s"$dir/${r.getString(0)}"))
+    (n, pruned.select("path").collect().map(_.getString(0)))
   }
 
   /** Read the committed snapshot: resolve the pointer ONCE, then scan the
     * manifest's explicit file list — immutable, so the read is consistent
     * even while a writer stages and commits the next version. Pending
-    * merge-on-read deletes ([[deleteMorKeys]]) are applied here — every
-    * reader sees post-delete content without any data file rewritten.
+    * merge-on-read deletes ([[deleteMorKeys]]) are applied here, and
+    * columns added by [[addColumn]] fill their initial defaults for
+    * pre-add files — every reader sees the current logical schema and
+    * content without any data file rewritten.
     */
   def read(spark: SparkSession, dir: String): DataFrame = {
     val (n, files) = resolveFiles(spark, dir, None)
-    applyDv(spark, dir, n, spark.read.parquet(files.toIndexedSeq: _*))
+    applyDv(spark, dir, n, readFiles(spark, dir, n, files))
   }
 
   /** TIME TRAVEL: read version `n` exactly as it was committed — every
@@ -833,8 +964,8 @@ object Snapshot {
     require(fc(spark).util.exists(new Path(dir, s"_manifest.v$n")),
       s"snapshot $dir has no manifest for v$n (never committed, or vacuumed)")
     val files = dataRows(readManifest(spark, dir, n))
-      .select("path").collect().map(r => s"$dir/${r.getString(0)}")
-    applyDv(spark, dir, n, spark.read.parquet(files.toIndexedSeq: _*))
+      .select("path").collect().map(_.getString(0))
+    applyDv(spark, dir, n, readFiles(spark, dir, n, files))
   }
 
   /** One row per retained version: (version, n_files, n_rows, current) —
@@ -919,7 +1050,7 @@ object Snapshot {
       partValues: Seq[String]): DataFrame = {
     val (n, files) = resolveFiles(spark, dir, Some(partValues))
     if (files.isEmpty) read(spark, dir).limit(0)
-    else applyDv(spark, dir, n, spark.read.parquet(files.toIndexedSeq: _*))
+    else applyDv(spark, dir, n, readFiles(spark, dir, n, files))
   }
 
   /** [[read]] with integrity verification first: every manifested file
@@ -931,10 +1062,14 @@ object Snapshot {
     */
   def readVerified(spark: SparkSession, dir: String,
       checksumCol: String): DataFrame = {
-    val (n, files) = resolveFiles(spark, dir, None)
+    val (n, relFiles) = resolveFiles(spark, dir, None)
+    val files = relFiles.map(p => s"$dir/$p")
     val m = readManifest(spark, dir, n)
     val dvPaths = dvRows(m).select("path")
       .collect().map(r => s"$dir/${r.getString(0)}")
+    require(!addedColumnsAt(spark, dir, n).exists(_.name == checksumCol),
+      s"checksum column '$checksumCol' is a metadata-added column — " +
+        "verify against a physical column")
     val ctx = fc(spark)
     val missing = (files ++ dvPaths).filterNot(f => ctx.util.exists(new Path(f)))
     require(missing.isEmpty,
@@ -963,7 +1098,7 @@ object Snapshot {
       .select("path").collect().map(_.getString(0))
     require(bad.isEmpty,
       s"snapshot $dir v$n fails verification; bad files: ${bad.mkString(", ")}")
-    applyDv(spark, dir, n, spark.read.parquet(files.toIndexedSeq: _*))
+    applyDv(spark, dir, n, readFiles(spark, dir, n, relFiles))
   }
 
   /** Delete everything the RETAINED manifests do not reference: data
@@ -1030,6 +1165,14 @@ object Snapshot {
         // expired optimistic-commit claims: the pointer moved past this
         // base, so the version precheck alone now rejects late writers
         fs.delete(st.getPath, false)
+      } else if (st.isDirectory && name.matches("_schema\\.v\\d+") &&
+          name.stripPrefix("_schema.v").toInt > n) {
+        // a crashed addColumn staging above the committed version: its
+        // number could be re-allocated and the stale sidecar would then
+        // poison an unrelated version. Sidecars AT OR BELOW current stay
+        // forever — they are tiny, and older versions resolve THROUGH
+        // them (newest-at-or-below lookup).
+        fs.delete(st.getPath, true)
       }
     }
     removed

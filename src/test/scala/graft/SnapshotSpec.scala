@@ -581,6 +581,76 @@ class SnapshotSpec extends SparkSpec {
     assert(e.getMessage.contains("fails verification"))
   }
 
+  test("addColumn: metadata-only — zero data files written, defaults fill pre-add rows only") {
+    val dir = freshDir()
+    Snapshot.publish(spark, dir, docs, "lang", "text")
+    val m1 = manifestPaths(dir, 1)
+    val v2 = Snapshot.addColumn(spark, dir, "quality", "DOUBLE", "0.5")
+    assert(v2 === 2)
+    assert(manifestPaths(dir, 2) === m1, "the add must not touch a data file")
+    val r = Snapshot.read(spark, dir)
+    assert(r.columns.contains("quality"))
+    assert(r.filter(col("quality") =!= 0.5).count() === 0)
+    // post-add writers must carry the column — including a GENUINE null,
+    // which must survive (a blanket coalesce would overwrite it)
+    val nullId = docs.filter(col("lang") === "en")
+      .agg(min(col("doc_id"))).head().getLong(0)
+    val upd = docs.filter(col("lang") === "en")
+      .withColumn("quality",
+        when(col("doc_id") === nullId, lit(null).cast("double"))
+          .otherwise(lit(0.9)))
+    Snapshot.upsert(spark, dir, upd, "doc_id", "lang", "text")
+    val after = Snapshot.read(spark, dir)
+    assert(after.filter(col("doc_id") === nullId && col("quality").isNull)
+      .count() === 1)
+    assert(after.filter(col("quality") === 0.9).count() ===
+      upd.filter(col("doc_id") =!= nullId).count())
+    // untouched partitions still read the default (pre-add files)
+    assert(after.filter(col("lang") =!= "en" && col("quality") =!= 0.5).count() === 0)
+    // time travel BEFORE the add shows the old schema
+    assert(!Snapshot.readVersion(spark, dir, 1).columns.contains("quality"))
+  }
+
+  test("addColumn: writers without the added column refuse; double-add refuses") {
+    val dir = freshDir()
+    Snapshot.publish(spark, dir, docs, "lang", "text")
+    Snapshot.addColumn(spark, dir, "quality", "DOUBLE", "0.5")
+    intercept[IllegalArgumentException] {
+      Snapshot.upsert(spark, dir, docs.filter(col("doc_id") === 3L),
+        "doc_id", "lang", "text")
+    }
+    intercept[IllegalArgumentException] {
+      Snapshot.stageAppend(spark, dir, docs.filter(col("doc_id") === 3L),
+        "lang", "text")
+    }
+    intercept[IllegalArgumentException] {
+      Snapshot.addColumn(spark, dir, "quality", "DOUBLE", "1.0")
+    }
+    intercept[IllegalArgumentException] {
+      Snapshot.addColumn(spark, dir, "text", "STRING", "''")
+    }
+  }
+
+  test("addColumn: compaction materializes the default and content is preserved") {
+    val dir = freshDir()
+    Snapshot.publish(spark, dir, docs, "lang", "text")
+    Snapshot.addColumn(spark, dir, "quality", "DOUBLE", "0.5")
+    // append post-add rows (carrying the column) to fragment a partition
+    val extra = docs.filter(col("lang") === "en").limit(30)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+      .withColumn("quality", lit(0.7))
+    (1 to 5).foreach { _ =>
+      Snapshot.commit(spark, dir,
+        Snapshot.stageAppend(spark, dir, extra.limit(5), "lang", "text"))
+    }
+    val before = Snapshot.read(spark, dir)
+      .agg(count(lit(1)), sum(col("quality").cast("decimal(38,6)"))).head()
+    Snapshot.compactPartitions(spark, dir, "lang", "text", maxFiles = 2)
+    val after = Snapshot.read(spark, dir)
+      .agg(count(lit(1)), sum(col("quality").cast("decimal(38,6)"))).head()
+    assert(after === before)
+  }
+
   test("vacuum keeps delete vectors with their manifests") {
     val dir = freshDir()
     Snapshot.publishClustered(spark, dir, docs, "lang", "doc_id", "text",
