@@ -62,7 +62,7 @@ object Dedup {
     *         deterministic, ordered by doc_id
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 50,
-      jumpAfter: Int = 2): DataFrame = {
+      jumpAfter: Int = 2, seed: Option[DataFrame] = None): DataFrame = {
     // Both directions from ONE pass over pairs (a union of two selects
     // would run the upstream pair-generation plan twice inside the same
     // materialization — for LSH pair inputs that is the expensive part).
@@ -75,8 +75,23 @@ object Dedup {
         struct(col("b_id").cast("long").as("u"), col("a_id").cast("long").as("v"))))
         .as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v")))
-    var labels = edges.groupBy("u").agg(min(col("v")).as("mn"))
-      .select(col("u"), least(col("u"), col("mn")).as("lab"))
+    // Optional INCREMENTAL seed: labels of a previous run over a
+    // subgraph, folded into the initialization with least(). Label
+    // propagation is monotone toward each component's min MEMBER id and
+    // every seed label IS a member id of its (possibly since-merged)
+    // component, so any seed converges to the identical fixpoint — just
+    // in fewer rounds, because unchanged regions START at their answer.
+    // The incremental-maintenance verb: re-cluster after a shard lands
+    // without paying the full graph's diameter again.
+    var labels = {
+      val init = edges.groupBy("u").agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("lab"))
+      seed.fold(init) { sd =>
+        init.join(sd.select(col("u"), col("lab").as("seed_lab")), Seq("u"), "left")
+          .select(col("u"),
+            least(col("lab"), coalesce(col("seed_lab"), col("lab"))).as("lab"))
+      }
+    }
     // Checkpointed frames the CURRENT `labels` plan still reads; each
     // round frees the previous round's set once its own materialization
     // no longer needs them (lineage is truncated, so a superseded frame

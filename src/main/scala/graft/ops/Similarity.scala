@@ -645,6 +645,31 @@ object Similarity {
       graft.operators.Dedup.minhashComponents(
         fan(s, t(s, d, "documents").select("doc_id", "text")))),
 
+    // INCREMENTAL connected-components maintenance — re-cluster after a
+    // shard lands WITHOUT paying the full graph's convergence again:
+    // the previous run's labels seed the new run's initialization
+    // (label propagation is monotone toward each component's min member
+    // and every seed label is a member id, so any seed converges to the
+    // IDENTICAL fixpoint — a_ivm_agg's algebraic-merge argument, in
+    // graph form). Graded on the diameter-14 path graph split at u = 60:
+    // base edges cluster first, the delta extends the paths, and the
+    // seeded re-run must hash-equal the oracle's FULL recompute. At
+    // 100 TB: unchanged regions start AT their answer, so incremental
+    // rounds ∝ how far the delta perturbs, never graph diameter.
+    "x_dedup_cc_incremental" -> ((s, d) => {
+      val all = t(s, d, "documents")
+        .select(pmod(col("doc_id"), lit(84)).as("a_id"),
+          (pmod(col("doc_id"), lit(84)) + lit(6)).as("b_id"))
+        .distinct()
+      val base = all.filter(col("a_id") < 60)
+      val seed = graft.operators.Dedup.connectedComponents(base)
+        .select(col("doc_id").as("u"), col("cluster_id").as("lab"))
+      graft.operators.Dedup.connectedComponents(all, seed = Some(seed))
+        .select(col("doc_id").as("node"), col("cluster_id").as("component"),
+          col("n_members"))
+        .orderBy("node")
+    }),
+
     // Quality-aware cluster survivors, graded (Dedup.keepBest semantics):
     // connected components over the all-8-bands minhash pair graph of the
     // EVEN-id half of the corpus (the restrictions keep the oracle's
@@ -3606,6 +3631,16 @@ object Similarity {
       ("SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars, " +
         "CAST(sum(CAST(('0x' || substring(md5(text), 1, 8)) AS BIGINT)) AS BIGINT) AS checksum " +
         "FROM documents GROUP BY lang ORDER BY lang"),
+    // FULL recompute — the seeded incremental run must converge to the
+    // identical fixpoint (the monotone-seed argument on
+    // connectedComponents).
+    "x_dedup_cc_incremental" ->
+      ("WITH ed AS (SELECT DISTINCT doc_id % 84 AS a, doc_id % 84 + 6 AS b FROM documents), " +
+        "edges AS (SELECT a AS u, b AS v FROM ed UNION SELECT b, a FROM ed), " +
+        ccClosureSql(16) + ", " +
+        "sz AS (SELECT lab, count(*) AS n_members FROM l16 GROUP BY lab) " +
+        "SELECT l.u AS node, l.lab AS component, sz.n_members " +
+        "FROM l16 l JOIN sz USING (lab) ORDER BY node"),
     "x_graph_cc" ->
       ("WITH ed AS (SELECT DISTINCT doc_id % 84 AS a, doc_id % 84 + 6 AS b FROM documents), " +
         "edges AS (SELECT a AS u, b AS v FROM ed UNION SELECT b, a FROM ed), " +

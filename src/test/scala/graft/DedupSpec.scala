@@ -45,6 +45,28 @@ class DedupSpec extends SparkSpec {
     assert(e.getMessage.contains("did not converge"))
   }
 
+  test("seeded (incremental) CC converges to the identical fixpoint") {
+    import spark.implicits._
+    // two chains 1-2-3 and 10-11; the delta adds 3-10, MERGING them —
+    // the seeded labels (10's old component min = 10) must fall to the
+    // merged component's min (1), proving a seed can never pin a stale
+    // label
+    val base = Seq((1L, 2L), (2L, 3L), (10L, 11L))
+    val all = base ++ Seq((3L, 10L))
+    val seed = Dedup.connectedComponents(base.toDF("a_id", "b_id"))
+      .select(col("doc_id").as("u"), col("cluster_id").as("lab"))
+    val seeded = Dedup.connectedComponents(all.toDF("a_id", "b_id"),
+        seed = Some(seed))
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    assert(seeded === cc(all))
+    assert(seeded.forall { case (_, lab, n) => lab === 1L && n === 5L })
+    // an unrelated/empty seed is also harmless
+    val empty = seed.limit(0)
+    assert(Dedup.connectedComponents(all.toDF("a_id", "b_id"),
+      seed = Some(empty)).as[(Long, Long, Long)].collect().toSeq.sorted ===
+      cc(all))
+  }
+
   test("pair direction is irrelevant") {
     assert(cc(Seq((5L, 3L))) === Seq((3L, 3L, 2L), (5L, 3L, 2L)))
   }
