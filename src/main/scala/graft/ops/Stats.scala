@@ -346,9 +346,13 @@ object Stats {
         .withColumn("sy", element_at(col("sums"), (col("j") + 1).cast("int")))
         .select(col("i"), col("j"), col("n"),
           round(col("sxy").cast("double") / col("n"), 6).as("gram_mean"),
-          round(col("sxy").cast("double") / col("n") -
+          // + 0.0 (both engines): a tiny negative cell rounds to -0.0 on
+          // one engine and 0.0 on the other — numerically equal, but the
+          // driver's pandas hash distinguishes the sign bit. IEEE
+          // -0.0 + 0.0 = +0.0 normalizes both.
+          (round(col("sxy").cast("double") / col("n") -
             (col("sx").cast("double") / col("n")) *
-              (col("sy").cast("double") / col("n")), 6).as("cov"))
+              (col("sy").cast("double") / col("n")), 6) + lit(0.0)).as("cov"))
         .orderBy("i", "j")
     }),
 
@@ -678,7 +682,7 @@ object Stats {
         "FROM embeddings CROSS JOIN range(0,64) r(i) GROUP BY r.i) " +
         "SELECT c.i, c.j, c.n, " +
         "round(CAST(sxy AS DOUBLE) / n, 6) AS gram_mean, " +
-        "round(CAST(sxy AS DOUBLE) / n - (CAST(sa.sx AS DOUBLE) / n) * (CAST(sb.sx AS DOUBLE) / n), 6) AS cov " +
+        "round(CAST(sxy AS DOUBLE) / n - (CAST(sa.sx AS DOUBLE) / n) * (CAST(sb.sx AS DOUBLE) / n), 6) + 0.0 AS cov " +
         "FROM cell c JOIN ds sa ON sa.i = c.i JOIN ds sb ON sb.i = c.j " +
         "ORDER BY c.i, c.j"),
     // the same 8-round power iteration UNROLLED as CTE rounds (the
