@@ -516,6 +516,31 @@ object Custom {
         .orderBy("l_orderkey", "l_linenumber")
     }),
 
+    // Custom OPTIMIZER RULE under oracle grading — the last extension
+    // point of the U taxonomy (Expression / Generator / UDAF / UDF /
+    // Strategy / RULE): plans/SimplifyDegenerateClamp rewrites a Clamp
+    // whose constant bounds are degenerate (lo >= hi) into the literal
+    // hi (null/NaN preserved) — the constant-folding class Catalyst's
+    // own ConstantFolding cannot reach because the input is non-literal.
+    // The query evaluates one DEGENERATE clamp (rewritten away — the
+    // optimized plan carries no Clamp for it, pinned in LibrarySpec)
+    // and one live clamp side by side; the oracle grades the semantics
+    // both ways, so a rule that changed VALUES would hash-fail and a
+    // rule that stopped firing would fail the plan pin.
+    "u_rule_rewrite" -> ((s, d) => {
+      register(s)
+      if (!s.experimental.extraOptimizations
+          .contains(graft.plans.SimplifyDegenerateClamp))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+
+            graft.plans.SimplifyDegenerateClamp
+      t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          expr("graft_clamp(l_quantity, 30.0D, 30.0D)").as("pinned"),
+          expr("graft_clamp(l_extendedprice, 5000.0D, 40000.0D)").as("clamped"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
     // Custom PLANNER STRATEGY under oracle grading: exact top-3 orders
     // per status through plans/TopKPerKey (LogicalPlan + Strategy +
     // heap-based SparkPlan — no per-partition sort). Deterministic
@@ -557,6 +582,13 @@ object Custom {
     "u_expr_custom" ->
       ("SELECT l_orderkey, l_linenumber, " +
         "least(greatest(l_extendedprice, 1000.0), 50000.0) AS clamped " +
+        "FROM lineitem ORDER BY l_orderkey, l_linenumber"),
+    // The degenerate clamp's SEMANTICS (hi for every finite non-null
+    // input) and the live clamp, graded together.
+    "u_rule_rewrite" ->
+      ("SELECT l_orderkey, l_linenumber, " +
+        "CAST(30.0 AS DOUBLE) AS pinned, " +
+        "least(greatest(l_extendedprice, 5000.0), 40000.0) AS clamped " +
         "FROM lineitem ORDER BY l_orderkey, l_linenumber"),
     "u_strategy_topk" ->
       ("SELECT o_orderstatus, o_orderkey FROM (" +

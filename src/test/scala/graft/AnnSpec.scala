@@ -651,6 +651,14 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("u_rule_rewrite: the graded plan keeps ONE live clamp; the degenerate one is gone") {
+    val df = SparkEntry.queries("u_rule_rewrite")(spark, sf())
+    val plan = df.queryExecution.optimizedPlan.toString
+    val n = "graft_clamp".r.findAllIn(plan).size
+    assert(n === 1,
+      s"expected exactly the live clamp to survive SimplifyDegenerateClamp, got $n in:\n$plan")
+  }
+
   test("x_dedup_semantic: pairs are a same-cluster subset of exhaustive cosine pairs") {
     val sem = SparkEntry.queries("x_dedup_semantic")(spark, sf())
       .collect().map(r => ((r.getLong(1), r.getLong(2)), r.getDouble(3)))
