@@ -777,6 +777,14 @@ object Snapshot {
     * functions refuse updates without it, so a later file can never
     * masquerade as pre-add. `defaultSql` is any constant-foldable SQL
     * expression ("0", "'unknown'", "CAST(NULL AS STRING)").
+    *
+    * Lineage note: version numbers — and therefore since-versions — are
+    * GLOBAL across branches. A branch created BEFORE the add whose
+    * writes stage AFTER the add's version number must carry the column
+    * itself (the branch base predates the add, so the stage guard
+    * cannot see it); otherwise the branch READ fails loudly at column
+    * resolution — never a silent fill. Treat addColumn as a
+    * main-lineage migration: publish or drop audit branches first.
     */
   def addColumn(spark: SparkSession, dir: String, name: String,
       sqlType: String, defaultSql: String): Int = {
