@@ -55,13 +55,23 @@ object EventTime {
           round(col("value") * pow(lit(0.5), col("n") - col("i")), 9))
       // decimal(38,9), not dec()'s (38,6): the 9-dp-rounded terms must
       // enter the exact sum unchanged (a 6-dp re-cast would re-round,
-      // with engine-specific tie behavior on the x.xxxxxx5 knife edge)
+      // with engine-specific tie behavior on the x.xxxxxx5 knife edge).
+      // ewma divides the ROUNDED w_sum (the raw decimal128 → double
+      // cast can differ by one ulp between engines) and is emitted
+      // UNROUNDED: both operands are bit-identical by construction —
+      // w_sum is the shared 6-dp grid, the normalizer is built from
+      // exact powers of two — and IEEE division of identical doubles is
+      // identical, while rounding the quotient would CREATE ties (a
+      // halved 6-dp value with an odd last digit sits exactly on the
+      // half grid, where the engines' tie rules differ — observed at
+      // sf0.1).
       val d9 = col("term").cast("decimal(38,9)")
+      val wSum = round(sum(d9).cast("double"), 6)
       terms.groupBy("user_id")
         .agg(count(lit(1)).as("n_events"),
-          round(sum(d9).cast("double"), 6).as("w_sum"),
-          round(sum(d9).cast("double") /
-            (lit(2.0) - pow(lit(0.5), first(col("n")) - 1)), 6).as("ewma"))
+          wSum.as("w_sum"),
+          (wSum /
+            (lit(2.0) - pow(lit(0.5), first(col("n")) - 1))).as("ewma"))
         .orderBy("user_id")
     }),
 
@@ -915,7 +925,7 @@ object EventTime {
         "CAST(round(value * power(0.5, n - i), 9) AS DECIMAL(38,9)) AS term FROM r) " +
         "SELECT user_id, count(*) AS n_events, " +
         "round(CAST(sum(term) AS DOUBLE), 6) AS w_sum, " +
-        "round(CAST(sum(term) AS DOUBLE) / (2.0 - power(0.5, any_value(n) - 1)), 6) AS ewma " +
+        "round(CAST(sum(term) AS DOUBLE), 6) / (2.0 - power(0.5, any_value(n) - 1)) AS ewma " +
         "FROM t GROUP BY user_id ORDER BY user_id"),
     "t_seasonality" ->
       ("WITH hr AS (SELECT event_type, " +
