@@ -2316,6 +2316,42 @@ object Similarity {
         .orderBy("record_id")
     }),
 
+    // PARAGRAPH-level duplicate fraction — dedup at SUB-document
+    // granularity (the RefinedWeb/C4-style corpus-QA signal the
+    // doc-level keys can't see: a unique page wrapping one boilerplate
+    // paragraph): docs split into fixed 20-token chunks (x_text_chunk's
+    // windowing), each chunk hashed, a chunk is DUPLICATED when its
+    // hash occurs in ≥ 2 distinct docs, and the graded value is each
+    // doc's duplicated-chunk fraction plus the corpus histogram input
+    // (n_chunks, n_dup). Distinct from x_dedup_substring: spans find
+    // arbitrary-position runs via an inverted index; this is the cheap
+    // fixed-grid screen a pipeline runs FIRST (one explode + two
+    // hash-keyed aggs, no position reconstruction). Work is
+    // chunk-linear; the dup decision is a broadcast-sized distinct-doc
+    // count per hash at fixture scale and a plain shuffled agg at any
+    // scale.
+    "x_dedup_paragraph" -> ((s, d) => {
+      val chunks = t(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .withColumn("start",
+          explode(sequence(lit(0), size(col("toks")) - 1, lit(20))))
+        .select(col("doc_id"),
+          md5(concat_ws(" ", slice(col("toks"), col("start") + 1, lit(20))))
+            .as("h"))
+      val dupHashes = chunks.groupBy("h")
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 2).select("h")
+      chunks.join(dupHashes, Seq("h"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
+        .join(chunks.groupBy("doc_id").agg(count(lit(1)).as("n_chunks")),
+          Seq("doc_id"), "right")
+        .select(col("doc_id"), col("n_chunks"),
+          coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+          round(coalesce(col("n_dup"), lit(0L)).cast("double") /
+            col("n_chunks"), 6).as("dup_frac"))
+        .orderBy("doc_id")
+    }),
+
     // Suffix STEMMING (Harman s-stemmer) — the lightweight morphology
     // normalizer between raw tokens and BPE: three ordered suffix rules
     // (ies→y unless eies/aies; drop the s of -es unless aes/ees/oes;
@@ -3560,6 +3596,17 @@ object Similarity {
         "SELECT n AS node, count(*) AS core_deg FROM (" +
         "SELECT a AS n FROM e10 UNION ALL SELECT b FROM e10) " +
         "GROUP BY n ORDER BY node"),
+    "x_dedup_paragraph" ->
+      ("WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+        "ch AS (SELECT doc_id, md5(array_to_string(toks[CAST(st + 1 AS INTEGER):CAST(st + 20 AS INTEGER)], ' ')) AS h " +
+        "FROM tk, UNNEST(range(0, len(toks), 20)) AS r(st)), " +
+        "dup AS (SELECT h FROM ch GROUP BY h HAVING count(DISTINCT doc_id) >= 2), " +
+        "nd AS (SELECT doc_id, count(*) AS n_dup FROM ch SEMI JOIN dup USING (h) GROUP BY doc_id), " +
+        "nc AS (SELECT doc_id, count(*) AS n_chunks FROM ch GROUP BY doc_id) " +
+        "SELECT nc.doc_id, nc.n_chunks, " +
+        "CAST(coalesce(nd.n_dup, 0) AS BIGINT) AS n_dup, " +
+        "round(CAST(coalesce(nd.n_dup, 0) AS DOUBLE) / nc.n_chunks, 6) AS dup_frac " +
+        "FROM nc LEFT JOIN nd ON nd.doc_id = nc.doc_id ORDER BY nc.doc_id"),
     "x_text_stem" ->
       ("WITH sp AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
         "tk AS (SELECT doc_id, CAST(j AS BIGINT) AS j, toks[CAST(j AS INTEGER)] AS base " +
