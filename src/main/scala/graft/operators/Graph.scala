@@ -192,6 +192,12 @@ object Graph {
       settled = union
       nSettled = n2
     }
+    if (!done)
+      throw new IllegalStateException(
+        s"bfsHops did not settle in $maxIter rounds — the graph's " +
+          "source-eccentricity exceeds maxIter; raise it rather than " +
+          "consume partial (wrong) hop counts (the connectedComponents " +
+          "posture: silent truncation has no signal)")
     nodes.join(settled, Seq("node"), "left")
       .select(col("node"), col("hops"))
   }
@@ -239,6 +245,11 @@ object Graph {
       e = pruned
       nEdges = nPruned
     }
+    if (changed)
+      throw new IllegalStateException(
+        s"kCore did not reach its fixpoint in $maxIter peel rounds — " +
+          "the peel depth exceeds maxIter; raise it rather than consume " +
+          "a partially-peeled (superset) core")
     val out = e.select(col("a").as("n")).union(e.select(col("b")))
       .groupBy("n").agg(count(lit(1)).as("core_deg"))
       .select(col("n").as("node"), col("core_deg"))
