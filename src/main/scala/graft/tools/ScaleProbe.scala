@@ -42,7 +42,11 @@ object ScaleProbe {
     val nBig = spark.read.parquet(s"$bigDir/documents.parquet").count()
 
     val keys = Seq("x_dedup_exact", "x_dedup_minhash", "x_dedup_simhash",
-      "x_dedup_ngram", "x_dedup_jaccard")
+      "x_dedup_ngram", "x_dedup_jaccard",
+      // the fixed-grid paragraph screen: output is DOC-bounded (one row
+      // per doc), so unlike the pair emitters its 10× factor should be
+      // ~linear even on the template-heavy corpus
+      "x_dedup_paragraph")
     def time(fn: => DataFrame): (Double, Long) = {
       val t0 = System.nanoTime()
       val n = fn.count()
