@@ -109,6 +109,27 @@ object FlexAnalogs {
         .select(col("user_id"), col("window.start").as("bucket_start"), col("avg_value"))
         .orderBy("user_id", "bucket_start")),
 
+    // MAXIMUM-INTENSITY PROJECTION analog (the classic volume-rendering
+    // verb next to R16's histogram and R19's bbox: project the max
+    // voxel along each ray, keeping WHERE it came from): rays = hour
+    // columns of the (user × hour) intensity grid, voxel = each user's
+    // exact decimal intensity sum in that hour, MIP = the per-ray max
+    // with its argmax user (min-user tiebreak under the total order).
+    // Two aggregations — grid build partial-combines map-side, the
+    // projection window runs over the grid frame, never raw events.
+    "x_flex_mip" -> ((s, d) => {
+      val cells = ev(s, d)
+        .groupBy(col("user_id"), hour(col("ts_ms")).as("hr"))
+        .agg(sum(dec(col("value"))).as("v"))
+      val w = Window.partitionBy("hr")
+        .orderBy(col("v").desc, col("user_id").asc)
+      cells.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("hr"), col("user_id").as("argmax_user"),
+          decOut(col("v")).as("mip"))
+        .orderBy("hr")
+    }),
+
     // R10 analog (process.py::append_tile): stitch two overlapping
     // event ranges; in the 1h overlap, feather-blend (average) the two
     // sources' per-minute sums.
@@ -291,6 +312,16 @@ object FlexAnalogs {
         "round((value - min(value) OVER (PARTITION BY event_type)) / " +
         "nullif(max(value) OVER (PARTITION BY event_type) - min(value) OVER (PARTITION BY event_type), 0.0), 6) AS norm " +
         "FROM events ORDER BY event_id"),
+    "x_flex_mip" ->
+      ("WITH cells AS (SELECT user_id, " +
+        "CAST(hour(date_trunc('milliseconds', ts)) AS INTEGER) AS hr, " +
+        "sum(CAST(value AS DECIMAL(38,6))) AS v " +
+        "FROM events GROUP BY user_id, hr), " +
+        "r AS (SELECT hr, user_id, v, " +
+        "row_number() OVER (PARTITION BY hr ORDER BY v DESC, user_id ASC) AS rn " +
+        "FROM cells) " +
+        "SELECT hr, user_id AS argmax_user, " +
+        "round(CAST(v AS DOUBLE), 6) AS mip FROM r WHERE rn = 1 ORDER BY hr"),
     "x_flex_bin_downsample" ->
       ("SELECT user_id, time_bucket(INTERVAL '6 hours', date_trunc('milliseconds', ts)) AS bucket_start, " +
         "round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / count(*), 6) AS avg_value " +

@@ -2,7 +2,7 @@ package graft
 
 /** T1 blanket contract checks: every declared query runs on sf0.001,
   * the queries/oracleSql maps are mutually consistent, and the declared
-  * inventory matches SURVEY.md §2b (247 keys, 239 oracle-checked).
+  * inventory matches SURVEY.md §2b (248 keys, 240 oracle-checked).
   */
 class ContractSpec extends SparkSpec {
 
@@ -11,9 +11,9 @@ class ContractSpec extends SparkSpec {
       "t_stream_runtime", "t_stream_dedup", "t_stream_session",
       "t_stream_join")
 
-  test("inventory matches SURVEY §2b: 247 queries, 239 with oracle SQL") {
-    assert(SparkEntry.queries.size === 247)
-    assert(SparkEntry.oracleSql.size === 239)
+  test("inventory matches SURVEY §2b: 248 queries, 240 with oracle SQL") {
+    assert(SparkEntry.queries.size === 248)
+    assert(SparkEntry.oracleSql.size === 240)
     assert(SparkEntry.queries.keySet.intersect(nonOracle).size === 8)
   }
 
