@@ -651,6 +651,43 @@ class SnapshotSpec extends SparkSpec {
     assert(after === before)
   }
 
+  test("full lifecycle composes: publish -> add column -> MoR delete -> materialize -> upsert -> append -> compact -> vacuum -> verified read") {
+    val dir = freshDir()
+    Snapshot.publishClustered(spark, dir, docs, "lang", "doc_id", "text",
+      nFiles = 6)
+    Snapshot.addColumn(spark, dir, "quality", "DOUBLE", "0.5")
+    Snapshot.deleteMorKeys(spark, dir, Seq(3L, 7L), "doc_id")
+    assert(Snapshot.read(spark, dir).count() === docs.count() - 2)
+    // CoW refuses while the DVs pend…
+    intercept[IllegalArgumentException] {
+      Snapshot.upsert(spark, dir,
+        docs.filter(col("doc_id") === 11L).withColumn("quality", lit(0.9)),
+        "doc_id", "lang", "text")
+    }
+    // …materialize, then the whole CoW surface is legal again
+    Snapshot.applyMorDeletes(spark, dir, "lang", "text",
+      statsCol = Some("doc_id"))
+    val upd = docs.filter(col("lang") === "en" && col("doc_id") % 100 === 0)
+      .withColumn("quality", lit(0.9))
+    Snapshot.upsert(spark, dir, upd, "doc_id", "lang", "text")
+    val extra = docs.filter(col("lang") === "zh").limit(10)
+      .withColumn("doc_id", col("doc_id") + 5000000L)
+      .withColumn("quality", lit(0.7))
+    (1 to 4).foreach { _ =>
+      Snapshot.commit(spark, dir,
+        Snapshot.stageAppend(spark, dir, extra.limit(3), "lang", "text"))
+    }
+    Snapshot.compactPartitions(spark, dir, "lang", "text", maxFiles = 3,
+      statsCol = Some("doc_id"))
+    Snapshot.vacuum(spark, dir)
+    val r = Snapshot.readVerified(spark, dir, "text")
+    assert(r.filter(col("doc_id").isin(3L, 7L)).count() === 0)
+    assert(r.filter(col("quality") === 0.9).count() === upd.count())
+    assert(r.filter(col("quality") === 0.7).count() === 12)
+    assert(r.filter(col("quality") === 0.5).count() ===
+      docs.count() - 2 - upd.count())
+  }
+
   test("vacuum keeps delete vectors with their manifests") {
     val dir = freshDir()
     Snapshot.publishClustered(spark, dir, docs, "lang", "doc_id", "text",
