@@ -449,6 +449,16 @@ object Custom {
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_zorder", (args: Seq[Expression]) => ZInterleave(args(0), args(1)),
       "scala_udf")
+    // The optimizer rule installs HERE, with the functions, not inside
+    // any one query lambda: extraOptimizations is SESSION-global, so a
+    // lambda-side install would make every later clamp-using key's
+    // optimized plan depend on whether u_rule_rewrite ran first —
+    // values unaffected, but plan-pin tests become order-sensitive.
+    if (!s.experimental.extraOptimizations
+        .contains(graft.plans.SimplifyDegenerateClamp))
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+
+          graft.plans.SimplifyDegenerateClamp
   }
 
   private val normalizeText = udf((s: String) =>
@@ -526,14 +536,11 @@ object Custom {
     // optimized plan carries no Clamp for it, pinned in LibrarySpec)
     // and one live clamp side by side; the oracle grades the semantics
     // both ways, so a rule that changed VALUES would hash-fail and a
-    // rule that stopped firing would fail the plan pin.
+    // rule that stopped firing would fail the plan pin. The rule itself
+    // installs in [[register]] (session setup), so plan shapes don't
+    // depend on key execution order.
     "u_rule_rewrite" -> ((s, d) => {
       register(s)
-      if (!s.experimental.extraOptimizations
-          .contains(graft.plans.SimplifyDegenerateClamp))
-        s.experimental.extraOptimizations =
-          s.experimental.extraOptimizations :+
-            graft.plans.SimplifyDegenerateClamp
       t(s, d, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber"),
           expr("graft_clamp(l_quantity, 30.0D, 30.0D)").as("pinned"),

@@ -747,6 +747,17 @@ object EventTime {
     // the shuffle carries at most the type-pair cardinality after
     // map-side partial aggregation. Top-20 with a TOTAL tiebreak
     // (cnt desc, src, dst), so the limit boundary is deterministic.
+    "t_event_paths" -> ((s, d) => {
+      val ord = Window.partitionBy("user_id").orderBy(col("ts_ms"), col("event_id"))
+      ev(s, d)
+        .withColumn("src", lag(col("event_type"), 1).over(ord))
+        .filter(col("src").isNotNull)
+        .groupBy(col("src"), col("event_type").as("dst"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("src").asc, col("dst").asc)
+        .limit(20)
+    }),
+
     // SEQUENCE-PATTERN matching (MATCH_RECOGNIZE-lite) — the behavioral
     // regex verb over per-user event strings: each user's ordered
     // history compresses to one initial-per-event string (array_sort of
@@ -777,17 +788,6 @@ object EventTime {
             length(regexp_replace(col("seq"), "e", "")))
             .cast("long").as("n_errors"))
         .orderBy("user_id")
-    }),
-
-    "t_event_paths" -> ((s, d) => {
-      val ord = Window.partitionBy("user_id").orderBy(col("ts_ms"), col("event_id"))
-      ev(s, d)
-        .withColumn("src", lag(col("event_type"), 1).over(ord))
-        .filter(col("src").isNotNull)
-        .groupBy(col("src"), col("event_type").as("dst"))
-        .agg(count(lit(1)).as("cnt"))
-        .orderBy(col("cnt").desc, col("src").asc, col("dst").asc)
-        .limit(20)
     })
   )
 

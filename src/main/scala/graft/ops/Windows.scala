@@ -143,20 +143,33 @@ object Windows {
     // ROLLING EXACT MEDIAN over the last-5-rows frame per user — the
     // robust moving baseline (a_mad's rolling twin: one spike moves a
     // rolling mean arbitrarily, the rolling median by at most one rank).
-    // percentile() as a WINDOW aggregate over a ROWS frame — the frame
-    // is 5 rows, so per-row cost is O(frame log frame) and the window
-    // parallelizes per user; Spark percentile and DuckDB quantile_cont
-    // share linear interpolation (the a_mad precedent), re-synced to
-    // the 6-dp grid. The (ts, event_id) order is total, so frames are
-    // identical on both engines.
+    // The frame is 5 rows, so per-row cost is O(frame log frame) and
+    // the window parallelizes per user. Emission is TIE-SAFE by
+    // construction: a percentile()/quantile_cont interpolation over
+    // even-size leading frames (sizes 2 and 4 at each partition start)
+    // halves a 6-dp value onto the exact x.xxxxxx5 half grid, where a
+    // 1-ulp cross-engine difference in (a+b)/2 vs a+(b-a)*0.5 flips the
+    // final round — the t_ewma comment's observed hazard. So instead of
+    // interpolating in double, the frame's values quantize to
+    // DECIMAL(18,6), sort, and emit 2×median as an EXACT decimal sum
+    // (odd frame: 2×mid; even frame: the two middle elements' sum) —
+    // integer arithmetic on the 6-dp grid, no division, no ties; the
+    // final cast to double is correctly rounded from the same exact
+    // decimal on both engines.
     "w_moving_median" -> ((s, d) => {
       val w = Window.partitionBy("user_id")
         .orderBy(col("ts_ms"), col("event_id"))
         .rowsBetween(-4, 0)
       evMs(s, d)
+        .withColumn("arr", array_sort(collect_list(
+          round(col("value"), 6).cast("decimal(18,6)")).over(w)))
         .select(col("user_id"), col("event_id"),
           round(col("value"), 6).as("value"),
-          round(expr("percentile(value, 0.5D)").over(w), 6).as("med5"))
+          when(size(col("arr")) % 2 === 1,
+            element_at(col("arr"), expr("int((size(arr) + 1) div 2)")) * 2)
+            .otherwise(element_at(col("arr"), expr("int(size(arr) div 2)")) +
+              element_at(col("arr"), expr("int(size(arr) div 2) + 1")))
+            .cast("double").as("med5_x2"))
         .orderBy("user_id", "event_id")
     }),
 
@@ -202,12 +215,15 @@ object Windows {
         "ORDER BY user_id, ts_ms, event_id"),
     "w_moving_median" ->
       ("WITH e AS (SELECT user_id, event_id, value, " +
-        "date_trunc('milliseconds', ts) AS ts_ms FROM events) " +
-        "SELECT user_id, event_id, round(value, 6) AS value, " +
-        "round(quantile_cont(CAST(value AS DOUBLE), 0.5) OVER (" +
+        "date_trunc('milliseconds', ts) AS ts_ms FROM events), " +
+        "f AS (SELECT user_id, event_id, value, " +
+        "list_sort(list(CAST(round(value, 6) AS DECIMAL(18,6))) OVER (" +
         "PARTITION BY user_id ORDER BY ts_ms, event_id " +
-        "ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS med5 " +
-        "FROM e ORDER BY user_id, event_id"),
+        "ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)) AS arr FROM e) " +
+        "SELECT user_id, event_id, round(value, 6) AS value, " +
+        "CAST(CASE WHEN len(arr) % 2 = 1 THEN arr[(len(arr) + 1) // 2] * 2 " +
+        "ELSE arr[len(arr) // 2] + arr[len(arr) // 2 + 1] END AS DOUBLE) AS med5_x2 " +
+        "FROM f ORDER BY user_id, event_id"),
     "w_rownum" ->
       ("SELECT o_custkey, o_orderkey, o_orderdate, " +
         "row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn " +
