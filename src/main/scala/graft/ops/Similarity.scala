@@ -2043,6 +2043,43 @@ object Similarity {
         .orderBy("lang")
     }),
 
+    // BULK merge-on-read delete (Snapshot.deleteMorKeys' DataFrame
+    // overload → applyMorDeletes) — the same MoR lifecycle as
+    // x_io_mor_delete but with a JOIN-DERIVED key FRAME, the shape
+    // deletes actually arrive in at 100 TB ("every doc flagged by this
+    // quality predicate"), and NO key set ever on the driver: the DV
+    // sidecar writes distributed, materialization prunes rewrite
+    // candidates with a broadcast range join of the #files-sized
+    // manifest stats against the key frame (only file PATHS come back),
+    // and the delete itself is a distributed anti-join — the whole path
+    // is bounded by cluster memory, not driver memory (round 11's one
+    // scale boundary, removed; SnapshotSpec pins the no-collect shape
+    // and carries a 200k-key frame through it).
+    "x_io_mor_bulk" -> ((s, d) => {
+      val dir = T.scratchDir("graft_morbulk")
+      val docs = t(s, d, "documents")
+      graft.sources.Snapshot.publishClustered(
+        s, dir, docs, "lang", "doc_id", "text", nFiles = 8)
+      val gone = docs
+        .filter(col("doc_id").between(40, 160) && col("n_chars") > 500)
+        .select("doc_id")
+      graft.sources.Snapshot.deleteMorKeys(s, dir, gone, "doc_id")
+      val morRead = graft.sources.Snapshot.read(s, dir)
+        .agg(count(lit(1)).as("n_mor")).localCheckpoint()
+      graft.sources.Snapshot.applyMorDeletes(
+        s, dir, "lang", "text", statsCol = Some("doc_id"))
+      graft.sources.Snapshot.readVerified(s, dir, "text")
+        .crossJoin(broadcast(morRead))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("n_chars"),
+          min("doc_id").as("min_id"), max("doc_id").as("max_id"),
+          sum(conv(substring(md5(col("text")), 1, 8), 16, 10).cast("bigint"))
+            .as("checksum"),
+          first(col("n_mor")).as("n_mor"))
+        .orderBy("lang")
+    }),
+
     // Declarative data-quality expectations (operators/Validate) — the
     // Great-Expectations/dbt-test class: a rule suite compiles to ONE
     // scan (all row rules fuse into a single agg), one groupBy per
@@ -3502,6 +3539,16 @@ object Similarity {
         "CAST(sum(CAST(('0x' || substring(md5(text), 1, 8)) AS BIGINT)) AS BIGINT) AS checksum, " +
         "(SELECT count(*) FROM documents WHERE doc_id NOT IN (5, 8, 13, 101, 204, 309)) AS n_mor " +
         "FROM documents WHERE doc_id NOT IN (5, 8, 13, 101, 204, 309) " +
+        "GROUP BY lang ORDER BY lang"),
+    // Same content-neutrality law for the bulk frame path: logical
+    // content after delete-frame-then-materialize == NOT the predicate.
+    "x_io_mor_bulk" ->
+      ("SELECT lang, count(*) AS n_docs, " +
+        "CAST(sum(n_chars) AS BIGINT) AS n_chars, " +
+        "min(doc_id) AS min_id, max(doc_id) AS max_id, " +
+        "CAST(sum(CAST(('0x' || substring(md5(text), 1, 8)) AS BIGINT)) AS BIGINT) AS checksum, " +
+        "(SELECT count(*) FROM documents WHERE NOT (doc_id BETWEEN 40 AND 160 AND n_chars > 500)) AS n_mor " +
+        "FROM documents WHERE NOT (doc_id BETWEEN 40 AND 160 AND n_chars > 500) " +
         "GROUP BY lang ORDER BY lang"),
     // Verified snapshot must equal the original corpus.
     "x_io_manifest" ->

@@ -510,15 +510,16 @@ object Snapshot {
       statsCol, dropDv = false)
   }
 
-  /** [[stagePurge]] core, shared with [[applyMorDeletes]] (which passes
-    * `dropDv = true` so the staged manifest sheds the now-materialized
-    * delete vectors along with the rewritten files).
+  /** REQUEST-sized [[stagePurge]] front half: the driver-side stats
+    * prune and NOT-isin delete predicate (pushed into the rewritten
+    * files' parquet scan) are the right shape when `keys` is a deletion
+    * REQUEST. Data-sized delete sets go through [[stagePurgeFrameImpl]].
     */
   private def stagePurgeImpl(spark: SparkSession, dir: String, keys: Seq[Long],
       keyCol: String, partCol: String, checksumCol: String,
       statsCol: Option[String], dropDv: Boolean): Int = {
-    val cur = currentVersion(spark, dir)
     require(keys.nonEmpty, "empty purge key set — nothing to delete")
+    val cur = currentVersion(spark, dir)
     val manifest = readManifest(spark, dir, cur)
     val entries = dataRows(manifest)
       .select("path", "stat_lo", "stat_hi").collect()
@@ -526,6 +527,62 @@ object Snapshot {
       r.isNullAt(1) || r.isNullAt(2) ||
         keys.exists(k => k >= r.getDouble(1) && k <= r.getDouble(2))
     }.map(r => r.getString(0))
+    stagePurgeCore(spark, dir, manifest, hit,
+      base => base.filter(!col(keyCol).isin(keys: _*)),
+      partCol, checksumCol, statsCol, dropDv)
+  }
+
+  /** DATA-sized purge front half — nothing about the key set ever
+    * transits the driver: the stats prune is a BROADCAST RANGE JOIN of
+    * the (#files-sized) manifest against the key frame — only file
+    * PATHS, never keys, come back to plan the rewrite — and the delete
+    * itself is [[antiKeep]]'s distributed anti-join. This is the path
+    * [[applyMorDeletes]] drives, so a join-derived GDPR delete set of
+    * tens of millions of keys materializes without touching driver
+    * memory.
+    */
+  private def stagePurgeFrameImpl(spark: SparkSession, dir: String,
+      keys: DataFrame, keyCol: String, partCol: String, checksumCol: String,
+      statsCol: Option[String], dropDv: Boolean): Int = {
+    val cur = currentVersion(spark, dir)
+    val manifest = readManifest(spark, dir, cur)
+    val entries = dataRows(manifest).select("path", "stat_lo", "stat_hi")
+    val unstatted = entries
+      .filter(col("stat_lo").isNull || col("stat_hi").isNull)
+      .select("path").collect().map(_.getString(0))
+    val statted = entries
+      .filter(col("stat_lo").isNotNull && col("stat_hi").isNotNull)
+    // keys × files range join, file side broadcast (#files-sized by
+    // construction); the distinct-path result is again #files-sized
+    val hitStatted = keys.select(col(keyCol).cast("double").as("_k"))
+      .join(broadcast(statted),
+        col("_k") >= col("stat_lo") && col("_k") <= col("stat_hi"))
+      .select("path").distinct().collect().map(_.getString(0))
+    val hit = (unstatted ++ hitStatted).distinct
+    stagePurgeCore(spark, dir, manifest, hit, antiKeep(_, keys, keyCol),
+      partCol, checksumCol, statsCol, dropDv)
+  }
+
+  /** The distributed delete predicate of the frame purge path: a plain
+    * anti-join on the key column — shuffles when the key set is big,
+    * broadcasts (via AQE) when it is small, never an isin over
+    * collected keys. Package-visible so PlanShapeSpec can pin the
+    * no-driver-materialization shape directly.
+    */
+  private[graft] def antiKeep(base: DataFrame, keys: DataFrame,
+      keyCol: String): DataFrame =
+    base.join(keys.select(keyCol).distinct(), Seq(keyCol), "left_anti")
+
+  /** Shared purge back half ([[stagePurgeImpl]] / [[stagePurgeFrameImpl]]):
+    * given the hit-file list and the keep transform, stage the rewrite
+    * as a new version; `dropDv = true` (the [[applyMorDeletes]] caller)
+    * sheds the now-materialized delete vectors from the staged manifest.
+    */
+  private def stagePurgeCore(spark: SparkSession, dir: String,
+      manifest: DataFrame, hit: Array[String], keep: DataFrame => DataFrame,
+      partCol: String, checksumCol: String,
+      statsCol: Option[String], dropDv: Boolean): Int = {
+    val cur = currentVersion(spark, dir)
     if (hit.isEmpty && !dropDv) return cur // no file can contain any key
     if (hit.isEmpty) {
       // materializing DVs whose keys no file can contain: nothing to
@@ -537,7 +594,7 @@ object Snapshot {
     }
     val n = nextVersion(spark, dir)
     val base = readFiles(spark, dir, cur, hit)
-    val kept = base.filter(!col(keyCol).isin(keys: _*))
+    val kept = keep(base)
     // keep ~the affected file count so purge neither fragments nor
     // collapses the clustered layout; sort restores tight stat ranges
     val laid = statsCol match {
@@ -605,11 +662,33 @@ object Snapshot {
   def stageDeleteMor(spark: SparkSession, dir: String, keys: Seq[Long],
       keyCol: String): Int = {
     import spark.implicits._
+    require(keys.nonEmpty, "empty delete key set — nothing to delete")
+    // request-sized by contract → one tidy sidecar file
+    stageDeleteMor(spark, dir, keys.toDS.toDF(keyCol).coalesce(1), keyCol)
+  }
+
+  /** DATA-sized merge-on-read delete — [[stageDeleteMor]] for a
+    * join-derived key FRAME (the shape deletes actually arrive in at
+    * 100 TB: "every doc_id flagged by this quality join"). The DV
+    * sidecar parquet is written DISTRIBUTED — the key set never visits
+    * the driver at stage time, and [[applyMorDeletes]]' materialization
+    * prunes and anti-joins it distributed too ([[stagePurgeFrameImpl]]),
+    * so the whole delete lifecycle is bounded by cluster memory, not
+    * driver memory. The sidecar's single column is named `keyCol`
+    * (self-describing, same as the request-sized overload); `keyCol`
+    * must resolve against the table's PHYSICAL data schema — a typo'd
+    * or metadata-added column fails HERE, before anything commits,
+    * instead of wedging every read surface at analysis time.
+    */
+  def stageDeleteMor(spark: SparkSession, dir: String, keys: DataFrame,
+      keyCol: String): Int = {
     val cur = currentVersion(spark, dir)
     require(cur >= 1, s"snapshot table $dir has no committed version to delete from")
-    require(keys.nonEmpty, "empty delete key set — nothing to delete")
+    require(keys.columns.contains(keyCol),
+      s"delete key frame lacks column '$keyCol' (has: ${keys.columns.mkString(", ")})")
+    requireDataKeyCol(spark, dir, cur, keyCol)
     val n = nextVersion(spark, dir)
-    keys.toDS.toDF(keyCol).coalesce(1)
+    keys.select(keyCol).distinct()
       .write.mode("overwrite").parquet(s"$dir/v$n/_dv")
     val dvManifest = spark.read.parquet(s"$dir/v$n/_dv")
       .groupBy(input_file_name().as("abs"))
@@ -634,13 +713,49 @@ object Snapshot {
     n
   }
 
+  /** Data-sized merge-on-read delete: stage the key FRAME + atomic
+    * commit (see the [[stageDeleteMor]] frame overload).
+    */
+  def deleteMorKeys(spark: SparkSession, dir: String, keys: DataFrame,
+      keyCol: String): Int = {
+    val n = stageDeleteMor(spark, dir, keys, keyCol)
+    commit(spark, dir, n)
+    n
+  }
+
+  /** [[stageDeleteMor]]'s pre-commit guard: the delete key column must
+    * exist PHYSICALLY in the table's data files. A typo'd name would
+    * commit a DV sidecar whose anti-join fails every read surface at
+    * analysis time — wedging the table with no API-level recovery — and
+    * a metadata-added column ([[addColumn]]) only exists after the
+    * read-side default fill, which the purge rewrite and stats prune
+    * never see; both fail here instead.
+    */
+  private def requireDataKeyCol(spark: SparkSession, dir: String, cur: Int,
+      keyCol: String): Unit = {
+    val added = addedColumnsAt(spark, dir, cur).map(_.name)
+    require(!added.contains(keyCol),
+      s"delete key column '$keyCol' is a metadata-added column of $dir — " +
+        "delete on a physical column")
+    val cols = read(spark, dir).columns.filterNot(added.contains)
+    require(cols.contains(keyCol),
+      s"delete key column '$keyCol' does not exist in $dir " +
+        s"(data columns: ${cols.mkString(", ")})")
+  }
+
   /** MATERIALIZE pending merge-on-read deletes (the maintenance half of
     * [[deleteMorKeys]]): rewrite exactly the files that can contain a
-    * deleted key (stats-guided, the [[stagePurge]] machinery), shed the
-    * DV sidecar rows from the manifest, and commit. After this the
-    * table is DV-free: reads drop the anti-join and copy-on-write
+    * deleted key (stats-guided, the [[stagePurgeFrameImpl]] machinery),
+    * shed the DV sidecar rows from the manifest, and commit. After this
+    * the table is DV-free: reads drop the anti-join and copy-on-write
     * maintenance is legal again. Returns the new version (or the
     * current one when no DVs were pending).
+    *
+    * FULLY DISTRIBUTED: the DV key set stays a DataFrame end to end —
+    * file pruning is a broadcast range join of the #files-sized manifest
+    * stats against the key frame, and the delete is [[antiKeep]]'s
+    * anti-join — so a join-derived delete set of any size materializes
+    * without a driver-side key collect (the round-11 boundary, removed).
     */
   def applyMorDeletes(spark: SparkSession, dir: String, partCol: String,
       checksumCol: String, statsCol: Option[String] = None): Int = {
@@ -649,9 +764,8 @@ object Snapshot {
     dvKeysOf(spark, dir, cur) match {
       case None => cur
       case Some((kc, keyFrame)) =>
-        val keys = keyFrame.collect().map(_.getLong(0)).toSeq
-        val n = stagePurgeImpl(spark, dir, keys, kc, partCol, checksumCol,
-          statsCol, dropDv = true)
+        val n = stagePurgeFrameImpl(spark, dir, keyFrame, kc, partCol,
+          checksumCol, statsCol, dropDv = true)
         if (n > cur) commit(spark, dir, n, currentTag(spark, dir))
         n
     }
@@ -688,16 +802,29 @@ object Snapshot {
     }
   }
 
+  /** Broadcast the read-side DV anti-join only when the manifest's
+    * recorded sidecar row counts say the key set is small — a zero-cost
+    * decision (the counts are already metadata). Request-sized deletes
+    * keep the broadcast fast path; a bulk frame delete
+    * ([[stageDeleteMor]]'s DataFrame overload) falls through to a
+    * shuffle anti-join instead of forcing a driver-memory-sized
+    * broadcast build.
+    */
+  private val DvBroadcastMaxKeys = 1000000L
+
   /** Apply version `n`'s delete vectors to a data frame — an anti-join
-    * on the DV's self-described key column; the DV set is request-sized
-    * by contract, so it broadcasts.
+    * on the DV's self-described key column, broadcast when the manifest
+    * says the key set is small (see [[DvBroadcastMaxKeys]]).
     */
   private def applyDv(spark: SparkSession, dir: String, n: Int,
       data: DataFrame): DataFrame =
     dvKeysOf(spark, dir, n) match {
       case None => data
       case Some((kc, keys)) =>
-        data.join(broadcast(keys), Seq(kc), "left_anti")
+        val nKeys = dvRows(readManifest(spark, dir, n))
+          .agg(coalesce(sum(col("n_rows")), lit(0L))).head().getLong(0)
+        val side = if (nKeys <= DvBroadcastMaxKeys) broadcast(keys) else keys
+        data.join(side, Seq(kc), "left_anti")
     }
 
   // ------------------------------------------------------------------

@@ -697,4 +697,88 @@ class SnapshotSpec extends SparkSpec {
     val expected = fingerprint(docs.filter(!col("doc_id").isin(3L, 7L)))
     assert(fingerprint(Snapshot.read(spark, dir)) === expected)
   }
+
+  test("bulk MoR delete: a 200k-key FRAME flows stage -> read -> materialize with no driver key set") {
+    import spark.implicits._
+    val dir = freshDir()
+    Snapshot.publishClustered(spark, dir, docs, "lang", "doc_id", "text",
+      nFiles = 8)
+    val m1 = manifestPaths(dir, 1)
+    // join-derived delete frame far beyond any request-sized contract:
+    // a present range [100, 140] plus 200k absent keys — at 100 TB this
+    // is the GDPR/join-derived shape that killed the Seq path
+    val gone = spark.range(100L, 141L).toDF("doc_id")
+      .unionByName(spark.range(1000000L, 1200000L).toDF("doc_id"))
+    val v2 = Snapshot.deleteMorKeys(spark, dir, gone, "doc_id")
+    // the delete wrote ONLY DV sidecars: data file set identical
+    val m2 = manifestPaths(dir, v2)
+    assert(m2.filter(_._2 == "data").keySet === m1.keySet)
+    val expected =
+      fingerprint(docs.filter(!col("doc_id").between(100, 140)))
+    assert(fingerprint(Snapshot.read(spark, dir)) === expected)
+    // materialize: stats prune from a BROADCAST RANGE JOIN against the
+    // key frame — files whose range intersects neither [100,140] nor
+    // the absent block carry forward by reference, byte-identical
+    val v3 = Snapshot.applyMorDeletes(spark, dir, "lang", "text",
+      statsCol = Some("doc_id"))
+    val m3 = manifestPaths(dir, v3)
+    assert(!m3.values.exists(_ == "dv"), "materialize must shed the DVs")
+    assert(fingerprint(Snapshot.read(spark, dir)) === expected)
+    val stats1 = spark.read
+      .schema("path STRING, stat_lo DOUBLE, stat_hi DOUBLE")
+      .json(s"$dir/_manifest.v1").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    val uncovered = stats1.filter { case (_, lo, hi) =>
+      hi < 100 || lo > 140 }.map(_._1).toSet
+    assert(uncovered.nonEmpty, "degenerate fixture: every file covered")
+    assert(uncovered.subsetOf(m3.keySet),
+      "files no delete key can touch must carry forward by reference")
+    // CoW maintenance legal again; verified read agrees
+    assert(fingerprint(Snapshot.readVerified(spark, dir, "text")) === expected)
+  }
+
+  test("the bulk delete predicate is a distributed anti-join, never a collected key list") {
+    import spark.implicits._
+    val keys = spark.range(0L, 500000L).toDF("doc_id")
+    val plan = Snapshot.antiKeep(docs, keys, "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"),
+      s"bulk delete must keep rows via an anti-join, got:\n$plan")
+    // an isin/driver-materialized key set would render as an IN list or
+    // a LocalTableScan of literals — neither may appear
+    assert(!plan.contains(" IN ("), s"collected IN-list in plan:\n$plan")
+    assert(!plan.contains("LocalTableScan"),
+      s"driver-materialized key set in plan:\n$plan")
+  }
+
+  test("stageDeleteMor refuses a typo'd or metadata-added key column before anything commits") {
+    import spark.implicits._
+    val dir = freshDir()
+    Snapshot.publish(spark, dir, docs, "lang", "text")
+    val before = fingerprint(Snapshot.read(spark, dir))
+    // typo'd column: fails at stage time — the table never sees the DV
+    intercept[IllegalArgumentException] {
+      Snapshot.stageDeleteMor(spark, dir,
+        spark.range(3).toDF("doc_idz"), "doc_idz")
+    }
+    // frame/column mismatch is its own loud failure
+    intercept[IllegalArgumentException] {
+      Snapshot.stageDeleteMor(spark, dir,
+        spark.range(3).toDF("doc_id"), "text")
+    }
+    // a metadata-added column only exists after the read-side fill —
+    // the purge rewrite and stats prune never see it; refuse
+    Snapshot.addColumn(spark, dir, "quality", "DOUBLE", "0.5")
+    intercept[IllegalArgumentException] {
+      Snapshot.stageDeleteMor(spark, dir, spark.range(3).toDF("quality"),
+        "quality")
+    }
+    // the Seq overload goes through the same guard
+    intercept[IllegalArgumentException] {
+      Snapshot.stageDeleteMor(spark, dir, Seq(1L), "nope")
+    }
+    // nothing committed, nothing wedged: every read surface still works
+    assert(fingerprint(Snapshot.read(spark, dir).drop("quality")) === before)
+    assert(Snapshot.readVerified(spark, dir, "text").count() === docs.count())
+  }
 }
