@@ -2080,6 +2080,42 @@ object Similarity {
         .orderBy("lang")
     }),
 
+    // PARTITION-GRANULAR optimistic commit (Snapshot.commitIfCompatible)
+    // — the conflict validation real table formats do on top of the
+    // whole-table CAS x_io_wap/commitIfBase grade: two writers stage
+    // against the SAME base, the first lands the fast path, and the
+    // SECOND — which whole-table CAS would force into a full restage —
+    // proves from manifest metadata alone that its write footprint
+    // ('de' partitions) is disjoint from the winner's ('en'), stages a
+    // merged manifest (winner's rows for untouched partitions + its own
+    // for touched ones), and lands too. At 100 TB this is the
+    // difference between hourly per-domain curation jobs running
+    // concurrently and serializing on one pointer. Overlapping
+    // footprints still conflict loudly (SnapshotSpec pins both sides).
+    "x_io_commit_merge" -> ((s, d) => {
+      val dir = T.scratchDir("graft_cmerge")
+      val docs = t(s, d, "documents")
+      graft.sources.Snapshot.publish(s, dir, docs, "lang", "text")
+      val enEdit = docs
+        .filter(col("lang") === "en" && pmod(col("doc_id"), lit(10)) === 0)
+        .withColumn("text", concat(col("text"), lit(" a-edit")))
+      val deEdit = docs.filter(col("lang") === "de")
+        .withColumn("text", concat(col("text"), lit(" b-edit")))
+      val vA = graft.sources.Snapshot.stageUpsert(
+        s, dir, enEdit, "doc_id", "lang", "text")
+      val vB = graft.sources.Snapshot.stageUpsert(
+        s, dir, deEdit, "doc_id", "lang", "text")
+      graft.sources.Snapshot.commitIfCompatible(s, dir, vA, base = 1)
+      graft.sources.Snapshot.commitIfCompatible(s, dir, vB, base = 1)
+      graft.sources.Snapshot.read(s, dir)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("n_chars"),
+          sum(conv(substring(md5(col("text")), 1, 8), 16, 10).cast("bigint"))
+            .as("checksum"))
+        .orderBy("lang")
+    }),
+
     // Declarative data-quality expectations (operators/Validate) — the
     // Great-Expectations/dbt-test class: a rule suite compiles to ONE
     // scan (all row rules fuse into a single agg), one groupBy per
@@ -3550,6 +3586,16 @@ object Similarity {
         "(SELECT count(*) FROM documents WHERE NOT (doc_id BETWEEN 40 AND 160 AND n_chars > 500)) AS n_mor " +
         "FROM documents WHERE NOT (doc_id BETWEEN 40 AND 160 AND n_chars > 500) " +
         "GROUP BY lang ORDER BY lang"),
+    // Both disjoint writers' edits must land — the merged table is the
+    // base with each writer's CASE branch applied.
+    "x_io_commit_merge" ->
+      ("SELECT lang, count(*) AS n_docs, " +
+        "CAST(sum(n_chars) AS BIGINT) AS n_chars, " +
+        "CAST(sum(CAST(('0x' || substring(md5(" +
+        "CASE WHEN lang = 'en' AND doc_id % 10 = 0 THEN text || ' a-edit' " +
+        "WHEN lang = 'de' THEN text || ' b-edit' ELSE text END" +
+        "), 1, 8)) AS BIGINT)) AS BIGINT) AS checksum " +
+        "FROM documents GROUP BY lang ORDER BY lang"),
     // Verified snapshot must equal the original corpus.
     "x_io_manifest" ->
       ("SELECT lang, count(*) AS n_docs, " +

@@ -145,12 +145,17 @@ object Snapshot {
 
   /** Thrown by [[commitIfBase]] when another writer already committed on
     * top of the same base — the caller restages from the NEW current
-    * version and retries (optimistic concurrency, Iceberg's protocol).
+    * version and retries (optimistic concurrency, Iceberg's protocol) —
+    * and by [[commitIfCompatible]] when the concurrent commits TOUCH THE
+    * SAME PARTITIONS (or raced a schema/DV change), where a silent merge
+    * would lose one writer's rows.
     */
-  final class CommitConflictException(dir: String, base: Int)
-    extends RuntimeException(
+  final class CommitConflictException(msg: String)
+    extends RuntimeException(msg) {
+    def this(dir: String, base: Int) = this(
       s"snapshot table $dir: base version $base was already built upon " +
         "by another writer; restage from the current version and retry")
+  }
 
   /** OPTIMISTIC-CONCURRENCY commit: atomically claim the right to be THE
     * successor of `base`, then flip the pointer to `n`. The claim is an
@@ -180,6 +185,103 @@ object Snapshot {
         throw new CommitConflictException(dir, base)
     }
     flipPointer(spark, dir, PtrName, n, tag)
+  }
+
+  /** The partitions whose FILE SET differs between manifests `a` and
+    * `b` — the commit's write footprint, derived from metadata the
+    * manifest already records (per-file `part`), never from data.
+    * #files-sized driver work.
+    */
+  private def touchedParts(spark: SparkSession, dir: String,
+      a: Int, b: Int): Set[String] = {
+    def filesByPart(v: Int): Map[String, Set[String]] =
+      dataRows(readManifest(spark, dir, v)).select("part", "path")
+        .collect().groupBy(_.getString(0))
+        .map { case (p, rs) => p -> rs.map(_.getString(1)).toSet }
+    val fa = filesByPart(a)
+    val fb = filesByPart(b)
+    (fa.keySet ++ fb.keySet)
+      .filter(p => fa.getOrElse(p, Set.empty) != fb.getOrElse(p, Set.empty))
+  }
+
+  private def dvPaths(spark: SparkSession, dir: String, v: Int): Set[String] =
+    dvRows(readManifest(spark, dir, v)).select("path")
+      .collect().map(_.getString(0)).toSet
+
+  /** PARTITION-GRANULAR optimistic commit — [[commitIfBase]] upgraded
+    * with the conflict validation real table formats do: whole-table CAS
+    * aborts EVERY concurrent pair, even two writers refreshing disjoint
+    * partitions of a thousand-partition table, which at 100 TB (hourly
+    * rollups, per-domain curation jobs) serializes writers that never
+    * touch each other's data. Here the loser of the pointer race checks
+    * its write FOOTPRINT (the touched-partition set, derived from the
+    * manifest's per-file `part` — [[touchedParts]]) against every
+    * version committed since its base:
+    *
+    *  - **Disjoint** → RETRY-MERGE: stage a fresh manifest = the
+    *    winner's rows for every partition we didn't touch + OUR staged
+    *    rows for the partitions we did (the winner provably left those
+    *    at the base state, so nothing is lost), then CAS onto the new
+    *    current. Bounded by `maxRetries` re-races.
+    *  - **Overlapping** → [[CommitConflictException]], loudly: both
+    *    writers rewrote the same partition; a merge would pick one and
+    *    silently drop the other's rows. The caller restages from
+    *    current, exactly as with [[commitIfBase]].
+    *  - **Schema or DV drift** (an addColumn or merge-on-read delete
+    *    landed in between, or our stage carries DV changes) → conflict,
+    *    loudly: partition footprints can't prove those safe.
+    *
+    * Returns the version that actually committed: `n` on the fast path,
+    * the merged version otherwise. Readers are untouched either way —
+    * every landing is still one atomic pointer flip of a fully-staged
+    * immutable manifest.
+    */
+  def commitIfCompatible(spark: SparkSession, dir: String, n: Int, base: Int,
+      tag: Option[String] = None, maxRetries: Int = 5): Int = {
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      if (attempt > maxRetries)
+        throw new CommitConflictException(
+          s"snapshot table $dir: lost the commit race $maxRetries times " +
+            s"while merging version $n staged on base $base; restage and retry")
+      val cur = currentVersion(spark, dir)
+      if (cur == base) {
+        try { commitIfBase(spark, dir, n, base, tag); return n }
+        catch { case _: CommitConflictException => () } // re-race: loop
+      } else {
+        require(cur > base,
+          s"snapshot table $dir: staged base $base is ahead of current $cur")
+        if (addedColumnsAt(spark, dir, base) != addedColumnsAt(spark, dir, cur))
+          throw new CommitConflictException(
+            s"snapshot table $dir: schema changed (addColumn) between " +
+              s"base $base and current $cur — restage under the new schema")
+        val dvBase = dvPaths(spark, dir, base)
+        if (dvPaths(spark, dir, cur) != dvBase || dvPaths(spark, dir, n) != dvBase)
+          throw new CommitConflictException(
+            s"snapshot table $dir: merge-on-read delete vectors changed " +
+              s"between base $base, staged $n, and current $cur — partition " +
+              "footprints cannot prove a DV merge safe; restage")
+        val ours = touchedParts(spark, dir, n, base)
+        val winners = touchedParts(spark, dir, cur, base)
+        val overlap = ours.intersect(winners)
+        if (overlap.nonEmpty)
+          throw new CommitConflictException(
+            s"snapshot table $dir: version $n (base $base) and current $cur " +
+              s"both touch partition(s) ${overlap.toSeq.sorted.mkString(", ")} — " +
+              "restage from the current version and retry")
+        val m = nextVersion(spark, dir)
+        val manifestCur = readManifest(spark, dir, cur)
+        dataRows(manifestCur).filter(!col("part").isin(ours.toSeq: _*))
+          .unionByName(dataRows(readManifest(spark, dir, n))
+            .filter(col("part").isin(ours.toSeq: _*)))
+          .unionByName(dvRows(manifestCur))
+          .coalesce(1).write.mode("overwrite").json(s"$dir/_manifest.v$m")
+        try { commitIfBase(spark, dir, m, cur, tag); return m }
+        catch { case _: CommitConflictException => () } // re-race: loop
+      }
+    }
+    -1 // unreachable
   }
 
   // ------------------------------------------------------------------

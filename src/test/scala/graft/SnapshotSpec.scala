@@ -414,6 +414,70 @@ class SnapshotSpec extends SparkSpec {
     assert(fingerprint(Snapshot.read(spark, dir)) === fingerprint(expect))
   }
 
+  test("commitIfCompatible: two disjoint-partition writers on one base both land") {
+    val dir = freshDir()
+    Snapshot.publish(spark, dir, docs, "lang", "text") // v1
+    // both stage against base 1, touching DISJOINT partitions
+    val updA = docs.filter(col("lang") === "en" && pmod(col("doc_id"), lit(10)) === 0)
+      .withColumn("text", concat(col("text"), lit(" a-edit")))
+    val updB = docs.filter(col("lang") === "de")
+      .withColumn("text", concat(col("text"), lit(" b-edit")))
+    val vA = Snapshot.stageUpsert(spark, dir, updA, "doc_id", "lang", "text")
+    val vB = Snapshot.stageUpsert(spark, dir, updB, "doc_id", "lang", "text")
+    // A lands the fast path
+    assert(Snapshot.commitIfCompatible(spark, dir, vA, base = 1) === vA)
+    // B lost the pointer race but its footprint is disjoint → the
+    // retry-MERGE lands it WITHOUT restaging any data
+    val m = Snapshot.commitIfCompatible(spark, dir, vB, base = 1)
+    assert(m > vB, "the merge commits a fresh merged manifest version")
+    assert(Snapshot.currentVersion(spark, dir) === m)
+    val expect = docs
+      .join(updA.select("doc_id"), Seq("doc_id"), "left_anti")
+      .join(updB.select("doc_id"), Seq("doc_id"), "left_anti")
+      .unionByName(updA).unionByName(updB)
+    assert(fingerprint(Snapshot.read(spark, dir)) === fingerprint(expect))
+    // the merged manifest references BOTH writers' staged files — no
+    // third copy of any data was written
+    val paths = manifestPaths(dir, m).keySet
+    assert(paths.exists(_.startsWith(s"v$vA/")) &&
+      paths.exists(_.startsWith(s"v$vB/")))
+  }
+
+  test("commitIfCompatible: overlapping-partition writers conflict loudly") {
+    val dir = freshDir()
+    Snapshot.publish(spark, dir, docs, "lang", "text")
+    val updA = updates // touches 'en'
+    val updB = docs.filter(col("lang") === "en" && pmod(col("doc_id"), lit(7)) === 0)
+      .withColumn("text", concat(col("text"), lit(" b-edit"))) // also 'en'
+    val vA = Snapshot.stageUpsert(spark, dir, updA, "doc_id", "lang", "text")
+    val vB = Snapshot.stageUpsert(spark, dir, updB, "doc_id", "lang", "text")
+    Snapshot.commitIfCompatible(spark, dir, vA, base = 1)
+    val before = fingerprint(Snapshot.read(spark, dir))
+    intercept[Snapshot.CommitConflictException] {
+      Snapshot.commitIfCompatible(spark, dir, vB, base = 1)
+    }
+    // the loser changed nothing; a restage from current lands cleanly
+    assert(fingerprint(Snapshot.read(spark, dir)) === before)
+    val vB2 = Snapshot.stageUpsert(spark, dir, updB, "doc_id", "lang", "text")
+    assert(Snapshot.commitIfCompatible(spark, dir, vB2,
+      base = Snapshot.currentVersion(spark, dir)) === vB2)
+  }
+
+  test("commitIfCompatible: a schema change landing in between conflicts loudly") {
+    val dir = freshDir()
+    Snapshot.publish(spark, dir, docs, "lang", "text")
+    val vB = Snapshot.stageUpsert(spark, dir,
+      docs.filter(col("lang") === "de")
+        .withColumn("text", concat(col("text"), lit(" b-edit"))),
+      "doc_id", "lang", "text")
+    // an addColumn commits between B's stage and B's commit: B's staged
+    // files lack the new column's physical requirement context — refuse
+    Snapshot.addColumn(spark, dir, "quality", "DOUBLE", "0.5")
+    intercept[Snapshot.CommitConflictException] {
+      Snapshot.commitIfCompatible(spark, dir, vB, base = 1)
+    }
+  }
+
   test("stagePurge rewrites only stat-covering files; the rest carry by reference") {
     val dir = freshDir()
     Snapshot.publishClustered(spark, dir, docs, "lang", "doc_id", "text",
