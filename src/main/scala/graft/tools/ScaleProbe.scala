@@ -424,6 +424,70 @@ object ScaleProbe {
       graft.ops.T.releaseCaches(blocking = true)
       println(f"kll daily-sketch+merge 1x ${tk1}%6.2fs -> 10x ${tk10}%7.2fs (factor ${tk10 / tk1}%5.1f)")
     }
+    // STREAMING STATE-STORE probe: the watermarked session-window state
+    // at 1× and 10× KEYS under the default HDFS-backed provider and the
+    // production RocksDB provider. What to read off the numbers: state
+    // ROWS must grow with the KEY count (10× keys → ~10× live sessions),
+    // wall time with the scan, and the two providers must land the same
+    // session count (the provider is an execution choice, not a semantic
+    // one — StatefulSpec pins row-identical output). RocksDB's win at
+    // 100 TB is BOUNDED HEAP (state spills to native memory + local SST
+    // files instead of growing the JVM heap with the key count), which
+    // is why it's the production default; at probe scale its absolute
+    // seconds may trail the in-memory map — that is expected and not a
+    // regression signal.
+    if (mode == "all" || mode == "state") {
+      import org.apache.spark.sql.streaming.Trigger
+      def eventsAt(mult: Int): String = {
+        val e = graft.ops.T.evMs(spark, sfDir)
+          .select("event_id", "user_id", "ts_ms", "value")
+        val big = (0 until mult).map { i =>
+          e.select((col("event_id") + lit(i * 100000000L)).as("event_id"),
+            (col("user_id") + lit(i * 100000000L)).as("user_id"),
+            col("ts_ms"), col("value"))
+        }.reduce(_ unionByName _)
+        val d = java.nio.file.Files.createTempDirectory("stateprobe").toString
+        big.coalesce(4).write.mode("overwrite").parquet(s"$d/events.parquet")
+        d
+      }
+      def runSession(dir: String, provider: String, label: String): Unit = {
+        val provK = "spark.sql.streaming.stateStore.providerClass"
+        val old = spark.conf.getOption(provK)
+        if (provider.nonEmpty) spark.conf.set(provK, provider)
+        else spark.conf.unset(provK)
+        try {
+          val src = spark.readStream
+            .schema(spark.read.parquet(s"$dir/events.parquet").schema)
+            .parquet(s"$dir/events.parquet")
+            .withColumn("ts_w", col("ts_ms").cast("timestamp"))
+          val agg = src.withWatermark("ts_w", "10 minutes")
+            .groupBy(col("user_id"), session_window(col("ts_w"), "30 minutes"))
+            .agg(count(lit(1)).as("n_events"))
+          val name = s"state_probe_${label.replace('-', '_')}"
+          val t0 = System.nanoTime()
+          val q = agg.writeStream.format("memory").queryName(name)
+            .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+          val secs = (System.nanoTime() - t0) / 1e9
+          val ops = q.recentProgress.toSeq
+            .flatMap(p => Option(p.stateOperators).toSeq.flatten)
+          val rows = if (ops.isEmpty) 0L else ops.map(_.numRowsTotal).max
+          val mem = if (ops.isEmpty) 0L else ops.map(_.memoryUsedBytes).max
+          val out = spark.table(name).count()
+          println(f"state $label%-12s ${secs}%6.2fs  stateRows=$rows%-9d " +
+            f"stateMem=${mem / 1024}%8d KiB  sessions=$out")
+          spark.sql(s"DROP TABLE IF EXISTS $name")
+        } finally old.fold(spark.conf.unset(provK))(spark.conf.set(provK, _))
+      }
+      val d1 = eventsAt(1)
+      val d10 = eventsAt(10)
+      val rocks = "org.apache.spark.sql.execution.streaming.state" +
+        ".RocksDBStateStoreProvider"
+      runSession(d1, "", "hdfs-1x")
+      runSession(d10, "", "hdfs-10x")
+      runSession(d1, rocks, "rocksdb-1x")
+      runSession(d10, rocks, "rocksdb-10x")
+    }
     // GRAM matrix at 10× vectors: the buffer is fixed d + d(d+1)/2 longs
     // per partial, so wall time must grow with the SCAN, never with the
     // matrix — a super-linear factor would flag the d²-row explode the

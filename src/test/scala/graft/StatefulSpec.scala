@@ -269,21 +269,28 @@ class StatefulSpec extends SparkSpec {
     // The production state store at scale is RocksDB (bounded heap, spill
     // to disk); the graded runtime keys run on the default HDFS-backed
     // provider. Pin that the provider is an EXECUTION choice, not a
-    // semantic one: the watermarked session-window key must produce
-    // identical rows under both.
-    val defaultRows = graft.SparkEntry.queries("t_stream_session")(spark, sf())
-      .collect().map(_.toString).sorted
-    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
-      val rocksRows = graft.SparkEntry.queries("t_stream_session")(spark, sf())
+    // semantic one: the watermarked session-window key AND the
+    // watermarked streaming-dedup key must produce identical rows under
+    // both. (t_stream_kll needs no parity pin — its transformWithState
+    // runtime rejects the default provider, so the graded key is
+    // RocksDB-scoped ALWAYS; t_stateful_stats' flatMapGroupsWithState is
+    // covered by the session/dedup pair sharing its state machinery.)
+    for (key <- Seq("t_stream_session", "t_stream_dedup")) {
+      val defaultRows = graft.SparkEntry.queries(key)(spark, sf())
         .collect().map(_.toString).sorted
-      assert(rocksRows.nonEmpty)
-      assert(rocksRows.toSeq === defaultRows.toSeq)
-    } finally prev match {
-      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
-      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val rocksRows = graft.SparkEntry.queries(key)(spark, sf())
+          .collect().map(_.toString).sorted
+        assert(rocksRows.nonEmpty, s"$key returned no rows under RocksDB")
+        assert(rocksRows.toSeq === defaultRows.toSeq,
+          s"$key rows differ across state-store providers")
+      } finally prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
     }
   }
 }
