@@ -2116,6 +2116,40 @@ object Similarity {
         .orderBy("lang")
     }),
 
+    // DSv2 SQL FRONT DOOR for the snapshot format
+    // (sources/SnapshotSource, format "graft-snapshot"): the format's
+    // guarantees — pointer-resolved committed reads, TIME TRAVEL via a
+    // version option — reached through spark.read.format + temp views +
+    // spark.sql, the surface a real platform exposes, with the scan
+    // DELEGATED to Spark's vectorized DSv2 parquet stack over the
+    // manifest's explicit file list (pushdown/codegen for free —
+    // SnapshotSpec pins PushedFilters reaching the scan and schema
+    // parity with the Scala read). Graded: publish → upsert → one SQL
+    // statement joins the CURRENT cut against the TIME-TRAVELED v1 and
+    // aggregates both sides' checksums per lang — correct only if both
+    // versioned reads serve exactly their committed content.
+    "x_io_sql" -> ((s, d) => {
+      val dir = T.scratchDir("graft_sqlfmt")
+      val docs = t(s, d, "documents")
+      graft.sources.Snapshot.publish(s, dir, docs, "lang", "text")
+      val edits = docs
+        .filter(col("lang") === "en" && pmod(col("doc_id"), lit(10)) === 0)
+        .withColumn("text", concat(col("text"), lit(" v2")))
+      graft.sources.Snapshot.upsert(s, dir, edits, "doc_id", "lang", "text")
+      s.read.format("graft-snapshot").option("path", dir).load()
+        .createOrReplaceTempView("graft_snap_cur")
+      s.read.format("graft-snapshot").option("path", dir)
+        .option("version", "1").load()
+        .createOrReplaceTempView("graft_snap_v1")
+      s.sql(
+        "SELECT c.lang, count(*) AS n_docs, " +
+          "CAST(sum(CASE WHEN c.text <> v.text THEN 1 ELSE 0 END) AS BIGINT) AS n_changed, " +
+          "CAST(sum(conv(substring(md5(c.text), 1, 8), 16, 10)) AS BIGINT) AS checksum, " +
+          "CAST(sum(conv(substring(md5(v.text), 1, 8), 16, 10)) AS BIGINT) AS checksum_v1 " +
+          "FROM graft_snap_cur c JOIN graft_snap_v1 v USING (doc_id) " +
+          "GROUP BY c.lang ORDER BY c.lang")
+    }),
+
     // Declarative data-quality expectations (operators/Validate) — the
     // Great-Expectations/dbt-test class: a rule suite compiles to ONE
     // scan (all row rules fuse into a single agg), one groupBy per
@@ -3586,6 +3620,16 @@ object Similarity {
         "(SELECT count(*) FROM documents WHERE NOT (doc_id BETWEEN 40 AND 160 AND n_chars > 500)) AS n_mor " +
         "FROM documents WHERE NOT (doc_id BETWEEN 40 AND 160 AND n_chars > 500) " +
         "GROUP BY lang ORDER BY lang"),
+    // The SQL join of current vs time-traveled v1 replays as the base
+    // table joined against its CASE-edited self.
+    "x_io_sql" ->
+      ("SELECT lang, count(*) AS n_docs, " +
+        "CAST(sum(CASE WHEN lang = 'en' AND doc_id % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_changed, " +
+        "CAST(sum(CAST(('0x' || substring(md5(" +
+        "CASE WHEN lang = 'en' AND doc_id % 10 = 0 THEN text || ' v2' ELSE text END" +
+        "), 1, 8)) AS BIGINT)) AS BIGINT) AS checksum, " +
+        "CAST(sum(CAST(('0x' || substring(md5(text), 1, 8)) AS BIGINT)) AS BIGINT) AS checksum_v1 " +
+        "FROM documents GROUP BY lang ORDER BY lang"),
     // Both disjoint writers' edits must land — the merged table is the
     // base with each writer's CASE branch applied.
     "x_io_commit_merge" ->

@@ -1177,6 +1177,43 @@ object Snapshot {
     (n, pruned.select("path").collect().map(_.getString(0)))
   }
 
+  /** Resolve a version's DATA file list (absolute paths) for the DSv2
+    * SQL front door ([[SnapshotSource]]): `version = None` reads the
+    * committed pointer, `Some(n)` time-travels. The SQL path delegates
+    * to Spark's vectorized parquet stack over this EXPLICIT list, so it
+    * serves exactly the states that list fully describes — and REFUSES
+    * LOUDLY otherwise rather than silently diverging from
+    * [[read]]/[[readVersion]]:
+    *
+    *  - pending merge-on-read deletes need the read-side anti-join →
+    *    run [[applyMorDeletes]] first (or read through the Scala API);
+    *  - a metadata-added column that pre-add files must FILL needs the
+    *    per-writer-version default resolution of [[readFiles]] → full
+    *    republish first, or the Scala API. Once every live file carries
+    *    the column physically (post-add rewrites / compaction), the SQL
+    *    path serves it fine.
+    */
+  private[sources] def sqlFiles(spark: SparkSession, dir: String,
+      version: Option[Int]): Seq[String] = {
+    val n = version.getOrElse(currentVersion(spark, dir))
+    require(n >= 1, s"snapshot table $dir has no committed version")
+    require(fc(spark).util.exists(new Path(dir, s"_manifest.v$n")),
+      s"snapshot $dir has no manifest for v$n (never committed, or vacuumed)")
+    val m = readManifest(spark, dir, n)
+    require(dvRows(m).isEmpty,
+      s"snapshot table $dir v$n has pending merge-on-read deletes — the " +
+        "SQL front door serves materialized tables; run applyMorDeletes " +
+        "first (or read through Snapshot.read)")
+    val files = dataRows(m).select("path").collect().map(_.getString(0))
+    val needFill = addedColumnsAt(spark, dir, n)
+      .filter(c => files.exists(writerVersion(_) < c.since))
+    require(needFill.isEmpty,
+      s"snapshot table $dir v$n: column(s) ${needFill.map(_.name).mkString(", ")} " +
+        "need read-side default fill for pre-add files, which the SQL " +
+        "front door cannot express — republish, or read through Snapshot.read")
+    files.map(p => s"$dir/$p").toIndexedSeq
+  }
+
   /** Read the committed snapshot: resolve the pointer ONCE, then scan the
     * manifest's explicit file list — immutable, so the read is consistent
     * even while a writer stages and commits the next version. Pending

@@ -1,0 +1,101 @@
+package graft.sources
+
+import java.util.{Map => JMap}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.catalog.{Table, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DataSource V2 front door for the [[Snapshot]] table format — the
+  * piece that makes the format's guarantees reachable from the SQL
+  * surface a real platform exposes (`spark.read.format(...)`, temp
+  * views, `spark.sql`), not only from the Scala API:
+  *
+  * {{{
+  *   spark.read.format("graft-snapshot")
+  *     .option("path", dir)          // the table root
+  *     .option("version", "3")      // optional TIME TRAVEL; default =
+  *     .load()                      //   the committed pointer
+  * }}}
+  *
+  * Design: the provider resolves the snapshot pointer + manifest ONCE
+  * per read (snapshot isolation — the resolved version is cached across
+  * the inferSchema/getTable calls of one load, so a concurrent commit
+  * between them cannot tear the read) and DELEGATES to Spark's own
+  * [[ParquetTable]] over the manifest's EXPLICIT file list. That buys
+  * the whole vectorized DSv2 parquet stack — whole-stage codegen,
+  * filter/column pushdown into footers and row groups, AQE — for free;
+  * a hand-rolled row-based PartitionReader would re-implement all of it
+  * slower. `recursiveFileLookup` suppresses partition-directory
+  * inference of the `_p=` layout dirs (the partition value lives INSIDE
+  * the data files by design — Snapshot's `_p` copy — so the SQL schema
+  * equals the Scala read's schema exactly).
+  *
+  * States the explicit file list cannot fully describe REFUSE LOUDLY at
+  * load time instead of silently diverging from `Snapshot.read`:
+  * pending merge-on-read deletes (run `applyMorDeletes` first) and
+  * metadata-added columns still needing read-side default fill
+  * ([[Snapshot.sqlFiles]] documents both). Read-only: `write.format
+  * ("graft-snapshot")` is refused — writes go through the staged-commit
+  * API, which is the format's whole point.
+  */
+class SnapshotSource extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-snapshot"
+
+  override def supportsExternalMetadata(): Boolean = false
+
+  /** One resolution per (path, version) load — see snapshot-isolation
+    * note in the class doc. TableProvider instances are per-load, so
+    * this never caches across reads.
+    */
+  @transient private var cached: Option[(String, ParquetTable)] = None
+
+  private def resolve(options: CaseInsensitiveStringMap): ParquetTable = {
+    val dir = Option(options.get("path")).getOrElse(sys.error(
+      "graft-snapshot requires option 'path' (the snapshot table root)"))
+    val version = Option(options.get("version")).map(_.toInt)
+    val key = s"$dir@${version.getOrElse(-1)}"
+    cached match {
+      case Some((k, t)) if k == key => t
+      case _ =>
+        val spark = SparkSession.active
+        val files = Snapshot.sqlFiles(spark, dir, version)
+        val opts = new java.util.HashMap[String, String]()
+        opts.put("recursiveFileLookup", "true") // no _p= dir inference
+        val t = ParquetTable(s"graft-snapshot $key", spark,
+          new CaseInsensitiveStringMap(opts), files, None,
+          classOf[ParquetFileFormat])
+        cached = Some((key, t))
+        t
+    }
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    resolve(options).schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table = {
+    val parquet = resolve(new CaseInsensitiveStringMap(properties))
+    // wrap to (a) carry the snapshot identity in name() and (b) refuse
+    // the write path — the format's invariants live in the staged-commit
+    // API, and a raw parquet write under the root would corrupt nothing
+    // (unreferenced files) but silently vanish, which is worse.
+    new Table with org.apache.spark.sql.connector.catalog.SupportsRead {
+      override def name(): String = parquet.name
+      override def capabilities(): java.util.Set[
+          org.apache.spark.sql.connector.catalog.TableCapability] =
+        java.util.EnumSet.of(
+          org.apache.spark.sql.connector.catalog.TableCapability.BATCH_READ)
+      override def schema(): StructType = parquet.schema
+      override def newScanBuilder(options: CaseInsensitiveStringMap)
+          : org.apache.spark.sql.connector.read.ScanBuilder =
+        parquet.newScanBuilder(options)
+    }
+  }
+}

@@ -815,6 +815,54 @@ class SnapshotSpec extends SparkSpec {
       s"driver-materialized key set in plan:\n$plan")
   }
 
+  test("DSv2 SQL front door: committed read, time travel, pushdown, and schema parity") {
+    val dir = freshDir()
+    Snapshot.publish(spark, dir, docs, "lang", "text") // v1
+    Snapshot.upsert(spark, dir, updates, "doc_id", "lang", "text") // v2
+    def sql(version: Option[Int]) = {
+      val r = spark.read.format("graft-snapshot").option("path", dir)
+      version.fold(r)(v => r.option("version", v.toString)).load()
+    }
+    // schema parity with the Scala read (no _p leakage from layout dirs)
+    assert(sql(None).schema === Snapshot.read(spark, dir).schema)
+    // committed read == Scala read; time travel == the committed v1
+    assert(fingerprint(sql(None)) === fingerprint(mergedExpected))
+    assert(fingerprint(sql(Some(1))) === fingerprint(docs))
+    // the actual SQL surface: temp views + spark.sql, joining two cuts
+    sql(None).createOrReplaceTempView("snap_cur")
+    sql(Some(1)).createOrReplaceTempView("snap_v1")
+    val changed = spark.sql(
+      """SELECT count(*) AS n FROM snap_cur c JOIN snap_v1 v USING (doc_id)
+        |WHERE c.text <> v.text""".stripMargin).head().getLong(0)
+    assert(changed === updates.count())
+    // the delegation buys real pushdown: a lang filter reaches the scan
+    val plan = sql(None).filter(col("lang") === "de").select("doc_id")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(lang), EqualTo(lang,de)]"),
+      s"filter not pushed into the snapshot scan:\n$plan")
+  }
+
+  test("DSv2 SQL front door refuses states the file list cannot describe, and writes") {
+    val dir = freshDir()
+    Snapshot.publish(spark, dir, docs, "lang", "text")
+    def load() = spark.read.format("graft-snapshot").option("path", dir).load()
+    assert(load().count() === docs.count())
+    // pending MoR deletes need the read-side anti-join → refuse loudly
+    Snapshot.deleteMorKeys(spark, dir, Seq(3L), "doc_id")
+    val e1 = intercept[IllegalArgumentException] { load() }
+    assert(e1.getMessage.contains("applyMorDeletes"))
+    Snapshot.applyMorDeletes(spark, dir, "lang", "text")
+    assert(load().count() === docs.count() - 1)
+    // a metadata-added column needing fill → refuse loudly
+    Snapshot.addColumn(spark, dir, "quality", "DOUBLE", "0.5")
+    val e2 = intercept[IllegalArgumentException] { load() }
+    assert(e2.getMessage.contains("quality"))
+    // the write path is refused — mutations go through the staged-commit API
+    intercept[Exception] {
+      docs.write.format("graft-snapshot").option("path", dir).save()
+    }
+  }
+
   test("stageDeleteMor refuses a typo'd or metadata-added key column before anything commits") {
     import spark.implicits._
     val dir = freshDir()
