@@ -124,6 +124,11 @@ object Aggregates {
         .filter(col("cust_cnt") > 55)
         .orderBy("n_name")),
 
+    // Moment statistics + one exact median per group. The median is the
+    // holistic term: at 100 TB route it through ops/Percentiles.grouped
+    // (exact at or under a group-size threshold, KLL sketch above —
+    // PropertySpec pins both sides); the exact spelling here is the
+    // graded nightly-exact form.
     "a_stats" -> ((s, d) =>
       t(s, d, "lineitem")
         .groupBy("l_returnflag")

@@ -63,7 +63,10 @@ object Stats {
     // of |x − med|) with the |groups|-row frames broadcast back — the
     // aggregate-decide-reapply shape. Exact percentiles are holistic;
     // the 100 TB rolling form swaps them for the KLL sketches graded at
-    // a_kll_merge — the fences here are the nightly full-table form.
+    // a_kll_merge — the fences here are the nightly full-table form,
+    // and ops/Percentiles.grouped is the DATA-DRIVEN router between the
+    // two (exact at or under a group-size threshold, sketch above it;
+    // PropertySpec pins the split and both sides' guarantees).
     // med/mad round to the 6-dp grid BEFORE the threshold comparison
     // (a_outliers precedent); 4.4478 = 3·1.4826 (the normal-consistency
     // constant) written as one literal so neither engine re-derives it.

@@ -523,4 +523,44 @@ class PropertySpec extends SparkSpec {
       assert(got((g * 3L, g * 3L + 1)) === 1.0, s"base $g not contained in its superset")
     }
   }
+
+  test("Percentiles.grouped routes by size: exact side == percentile(), kll side in the rank envelope") {
+    import spark.implicits._
+    // deliberately skewed group sizes around the threshold: 'small'
+    // routes exact, 'big' routes to the sketch
+    val df = spark.range(0, 30000).toDF("id")
+      .withColumn("g", when(col("id") < 1000, "small").otherwise("big"))
+      // non-trivial value distribution (id² mod p spreads ranks around)
+      .withColumn("v", pmod(col("id") * col("id") + col("id") * 7, lit(9973))
+        .cast("double"))
+    val out = graft.ops.Percentiles.grouped(df, Seq("g"), "v",
+      Seq(0.5, 0.9), exactMaxRows = 5000L, k = 200)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) ->
+        (r.getDouble(2), r.getLong(3), r.getString(4))).toMap
+    assert(out.size === 4)
+    // routing split + counts
+    assert(out(("small", 0.5))._3 === "exact" && out(("small", 0.5))._2 === 1000L)
+    assert(out(("big", 0.9))._3 === "kll" && out(("big", 0.9))._2 === 29000L)
+    // exact side agrees with percentile() computed directly
+    val direct = df.filter(col("g") === "small")
+      .agg(expr("percentile(v, array(0.5D, 0.9D))")).head()
+      .getSeq[Double](0)
+    assert(out(("small", 0.5))._1 === direct(0))
+    assert(out(("small", 0.9))._1 === direct(1))
+    // sketch side sits inside the established 2ε rank envelope
+    val bigVals = df.filter(col("g") === "big")
+      .select(col("v")).as[Double].collect().sorted
+    def rankOf(x: Double): Double =
+      bigVals.count(_ <= x).toDouble / bigVals.length
+    for (p <- Seq(0.5, 0.9))
+      assert(math.abs(rankOf(out(("big", p))._1) - p) <= 0.033,
+        s"kll p=$p estimate outside the rank envelope")
+    // the global-group spelling (no group columns) works and routes big
+    val global = graft.ops.Percentiles.grouped(df, Seq.empty, "v",
+      Seq(0.5), exactMaxRows = 5000L).collect()
+    assert(global.length === 1 && global(0).getString(3) === "kll")
+    val allVals = df.select(col("v")).as[Double].collect().sorted
+    val gRank = allVals.count(_ <= global(0).getDouble(1)).toDouble / allVals.length
+    assert(math.abs(gRank - 0.5) <= 0.033)
+  }
 }
