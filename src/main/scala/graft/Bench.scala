@@ -78,6 +78,19 @@ object Bench {
     val failed = results.count(_._2 < 0)
     val total = if (failed > 0) -1.0 else results.map(_._2).sum
     val sfName = new java.io.File(sfDir).getName
+    // CONTAINER-LOAD CANARY: f_cast_try is a fixed narrow scan whose
+    // code never changes round to round, yet its wall time swings with
+    // host load (observed 1.78 ↔ 4.45 s on identical code). Publishing
+    // its two raw passes + spread IN the artifact lets a consumer
+    // attribute a cross-round swing on any key to the box, not the
+    // code, without cross-referencing builder notes.
+    val canaryKey = "f_cast_try"
+    val c1 = pass1.toMap.getOrElse(canaryKey, -1.0)
+    val c2 = pass2.toMap.getOrElse(canaryKey, -1.0)
+    val cSpread =
+      if (c1 > 0 && c2 > 0) math.max(c1, c2) / math.min(c1, c2) else -1.0
+    val canary =
+      s"""{"key":"$canaryKey","pass1":${f(c1, 3)},"pass2":${f(c2, 3)},"spread":${f(cSpread, 2)}}"""
     // NOT printed: sbt re-tags the forked JVM's stderr onto its own
     // stdout ("[error] <line>"), which would put the >2000-char detail
     // line right back into the captured tail. File only.
@@ -88,7 +101,7 @@ object Bench {
     val rmap = rowCounts
       .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val detail =
-      s"""{"queries":${qmap(results, 3)},"pass1":${qmap(pass1, 3)},"pass2":${qmap(pass2, 3)},"rows":$rmap,"timing":"best_of_2_same_jvm","sf":"$sfName","n":${results.size},"failed":$failed,"metric":"total","unit":"sec","value":${f(total, 3)}}"""
+      s"""{"queries":${qmap(results, 3)},"pass1":${qmap(pass1, 3)},"pass2":${qmap(pass2, 3)},"rows":$rmap,"canary":$canary,"timing":"best_of_2_same_jvm","sf":"$sfName","n":${results.size},"failed":$failed,"metric":"total","unit":"sec","value":${f(total, 3)}}"""
     try {
       val w = new java.io.PrintWriter(new java.io.File("BENCH_DETAIL.json"), "UTF-8")
       try w.println(detail) finally w.close()
@@ -97,7 +110,7 @@ object Bench {
     // line/file) so the stdout line keeps the documented shape while
     // staying far inside the 2000-char capture window.
     val slowest = results.sortBy(-_._2).take(12)
-    println(s"""{"metric":"total","unit":"sec","sf":"$sfName","n":${results.size},"failed":$failed,"timing":"best_of_2_same_jvm","queries":${qmap(slowest, 2)},"value":${f(total, 3)}}""")
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfName","n":${results.size},"failed":$failed,"timing":"best_of_2_same_jvm","canary":$canary,"queries":${qmap(slowest, 2)},"value":${f(total, 3)}}""")
     spark.stop()
   }
 }
