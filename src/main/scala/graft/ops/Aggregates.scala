@@ -349,6 +349,25 @@ object Aggregates {
         .limit(10)
     }),
 
+    // 2-D HISTOGRAM (price bin × order month) — the heatmap binning
+    // behind drift dashboards and joint-distribution profiling, which
+    // the 1-D s_hist_numeric can't see (a marginal histogram hides a
+    // seasonal price shift; the joint one shows it). Bin keys are
+    // row-local arithmetic on literals (floor(x/width), month()), so
+    // the whole op is ONE groupBy whose shuffle carries #bins rows
+    // after map-side partial aggregation — at 100 TB the scan
+    // dominates and the heatmap is KB-sized. Exact boundaries: prices
+    // on an exact multiple of the width divide exactly in IEEE (both
+    // operands exact), so bin edges are engine-identical.
+    "a_hist2d" -> ((s, d) =>
+      t(s, d, "orders")
+        .select(floor(col("o_totalprice") / 25000).cast("bigint")
+            .as("price_bin"),
+          month(col("o_orderdate")).cast("bigint").as("order_month"))
+        .groupBy("price_bin", "order_month")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("price_bin", "order_month")),
+
     // PIVOT: order counts spread across status columns per priority.
     // Values are pinned (F/O/P) so both engines emit the same columns;
     // pivot cells with no group are 0, not null.
@@ -491,6 +510,10 @@ object Aggregates {
       ("SELECT user_id, count(*) AS est_cnt, CAST(0 AS BIGINT) AS max_err " +
         "FROM events GROUP BY user_id " +
         "ORDER BY est_cnt DESC, user_id LIMIT 10"),
+    "a_hist2d" ->
+      ("SELECT CAST(floor(o_totalprice / 25000) AS BIGINT) AS price_bin, " +
+        "month(o_orderdate) AS order_month, count(*) AS cnt " +
+        "FROM orders GROUP BY 1, 2 ORDER BY 1, 2"),
     "a_group_sum_q1" ->
       ("SELECT l_returnflag, l_linestatus, " +
         "round(CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE), 6) AS sum_qty, " +

@@ -45,6 +45,24 @@ object Functions {
             .cast("int").as("lev_bucket"))
         .orderBy("p_partkey")),
 
+    // REGEX function surface (extract / extract-all / replace / match)
+    // — the text-wrangling quartet every cleaning pipeline leans on,
+    // graded cross-engine on the lookaround-free character-class
+    // subset java.util.regex and DuckDB's RE2 agree on (the same class
+    // t_pattern_match relies on; backrefs/lookarounds diverge between
+    // the engines and stay out of graded SQL). All four are row-local
+    // codegen'd expressions — scan-shaped at any scale.
+    "f_regex" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          size(expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
+            .cast("bigint").as("n_words"),
+          regexp_extract(col("text"), "[0-9]+", 0).as("first_num"),
+          length(regexp_replace(lower(col("text")), "[aeiou]", ""))
+            .cast("bigint").as("len_novowel"),
+          coalesce(col("text").rlike("data"), lit(false)).as("has_data"))
+        .orderBy("doc_id")),
+
     // Cross-engine-identical hex digests — the basis for dedup/minhash (X).
     "f_hash" -> ((s, d) =>
       t(s, d, "documents")
@@ -195,6 +213,13 @@ object Functions {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "f_regex" ->
+      ("SELECT doc_id, " +
+        "CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT) AS n_words, " +
+        "regexp_extract(text, '[0-9]+') AS first_num, " +
+        "CAST(length(regexp_replace(lower(text), '[aeiou]', '', 'g')) AS BIGINT) AS len_novowel, " +
+        "coalesce(regexp_matches(text, 'data'), false) AS has_data " +
+        "FROM documents ORDER BY doc_id"),
     "f_string" ->
       ("SELECT p_partkey, upper(p_name) AS up, substring(p_name, 1, 5) AS sub, " +
         "trim(' ' || p_name || ' ') AS tr, lpad(p_brand, 12, '*') AS lp, " +

@@ -178,6 +178,38 @@ object Joins {
         .orderBy("event_id")
     }),
 
+    // STALENESS-BOUNDED as-of (round-12 addition) — the feature-store
+    // "max feature age" rule j_asof stops short of: a backward match is
+    // accepted only while the matched feature is FRESH ENOUGH (here 30
+    // minutes); an older match is flagged stale and yields NULL, and
+    // no-match stays distinct from stale (the three states mean
+    // different things to a training job: use / refuse / impute). Same
+    // zero-join window device as j_asof — the tolerance is a row-local
+    // CASE after the window, so the scale shape (one per-user
+    // shuffle+sort, single-timestamp state) is unchanged at 100 TB.
+    "j_asof_tolerance" -> ((s, d) => {
+      val e = t(s, d, "events")
+        .filter(col("event_type").isin("view", "purchase"))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          truncNtz("millisecond", col("ts")).as("ts_ms"))
+      val w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      e.withColumn("prev_view_ts",
+          max(when(col("event_type") === "view", col("ts_ms"))).over(w))
+        .filter(col("event_type") === "purchase")
+        .withColumn("age_all",
+          expr("timestampdiff(MILLISECOND, prev_view_ts, ts_ms)"))
+        .select(col("user_id"), col("event_id"),
+          col("ts_ms").as("purchase_ts"),
+          when(col("age_all") <= 1800000L, col("prev_view_ts"))
+            .as("fresh_view_ts"),
+          when(col("age_all") <= 1800000L, col("age_all")).as("age_ms"),
+          when(col("prev_view_ts").isNull, "none")
+            .when(col("age_all") <= 1800000L, "fresh")
+            .otherwise("stale").as("status"))
+        .orderBy("event_id")
+    }),
+
     // Theta inequality join, bounded by the nation equi-key; the bigger
     // side is fanned so the ~n_s×n_c/|nation| pair work parallelizes.
     "j_theta_ineq" -> ((s, d) =>
@@ -688,6 +720,22 @@ object Joins {
         "PARTITION BY user_id ORDER BY ts_ms, event_id " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_view_ts FROM e) " +
         "WHERE event_type = 'purchase' ORDER BY event_id"),
+    "j_asof_tolerance" ->
+      ("WITH e AS (SELECT event_id, user_id, event_type, date_trunc('milliseconds', ts) AS ts_ms " +
+        "FROM events WHERE event_type IN ('view','purchase')), " +
+        "m AS (SELECT user_id, event_id, event_type, ts_ms, " +
+        "max(CASE WHEN event_type = 'view' THEN ts_ms END) OVER (" +
+        "PARTITION BY user_id ORDER BY ts_ms, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_view_ts FROM e), " +
+        "a AS (SELECT user_id, event_id, ts_ms, prev_view_ts, " +
+        "date_diff('millisecond', prev_view_ts, ts_ms) AS age_all FROM m " +
+        "WHERE event_type = 'purchase') " +
+        "SELECT user_id, event_id, ts_ms AS purchase_ts, " +
+        "CASE WHEN age_all <= 1800000 THEN prev_view_ts END AS fresh_view_ts, " +
+        "CASE WHEN age_all <= 1800000 THEN age_all END AS age_ms, " +
+        "CASE WHEN prev_view_ts IS NULL THEN 'none' " +
+        "WHEN age_all <= 1800000 THEN 'fresh' ELSE 'stale' END AS status " +
+        "FROM a ORDER BY event_id"),
     "j_theta_ineq" ->
       ("SELECT s_suppkey, c_custkey FROM supplier JOIN customer " +
         "ON s_nationkey = c_nationkey AND s_acctbal > c_acctbal " +

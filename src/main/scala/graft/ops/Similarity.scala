@@ -1359,6 +1359,26 @@ object Similarity {
         .select("lang", "n_total", "n_kept", "rate")
         .orderBy("lang")),
 
+    // PER-GROUP CAPPED deterministic sample (round-12 addition) — the
+    // domain-cap verb x_sample_hash's RATE sampling can't express: "at
+    // most k docs per lang", chosen by CONTENT-INDEPENDENT hash rank
+    // (md5 of the id, ties on the id), so the cap is stable across
+    // runs, clusters, and re-partitions, and adding documents only
+    // displaces picks at the rank boundary — the property that keeps a
+    // capped training mix reproducible while the corpus grows. Shape:
+    // one window shuffle partitioned by the GROUP (never a global
+    // sort); per-group state is a counter, and k is a constant, so at
+    // 100 TB the cost is the scan + one hash-partition exchange.
+    "x_sample_pergroup" -> ((s, d) => {
+      val w = Window.partitionBy("lang")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      t(s, d, "documents")
+        .withColumn("rk", row_number().over(w).cast("bigint"))
+        .filter(col("rk") <= 20)
+        .select(col("lang"), col("rk"), col("doc_id"))
+        .orderBy("lang", "rk")
+    }),
+
     // Domain mixing / balanced sampling: downsample every source to the
     // smallest source's size using per-source acceptance rates — the
     // §3.3 aggregate→decide→reapply pattern at corpus scale. The keep
@@ -3138,6 +3158,11 @@ object Similarity {
         "count(*) FILTER (WHERE u % 8 = 0) AS n_kept, " +
         "round(CAST(count(*) FILTER (WHERE u % 8 = 0) AS DOUBLE) / count(*), 6) AS rate " +
         "FROM d GROUP BY lang ORDER BY lang"),
+    "x_sample_pergroup" ->
+      ("SELECT lang, rk, doc_id FROM (" +
+        "SELECT lang, doc_id, row_number() OVER (PARTITION BY lang " +
+        "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk FROM documents) " +
+        "WHERE rk <= 20 ORDER BY lang, rk"),
     "x_mix_balance" ->
       ("WITH c AS (SELECT source, count(*) AS n_src FROM documents GROUP BY source), " +
         "t AS (SELECT min(n_src) AS n_target FROM c), " +
