@@ -203,6 +203,43 @@ object EventTime {
         .withColumn("anomalous", col("sum_value") / col("cnt") > lit(50.0))
         .orderBy("user_id")),
 
+    // The SAME exact keyed state through the MODERN runtime
+    // (transformWithState StatefulProcessor + the RocksDB provider it
+    // requires — the production state-store at 100 TB, bounded heap
+    // with native/SST-backed state; ScaleProbe's `state` mode measures
+    // the heap difference at 10× keys). t_stateful_stats grades the
+    // flatMapGroupsWithState spelling on the default store; this key
+    // grades the successor API end to end against the SAME batch
+    // oracle, so the two runtimes are pinned to one semantics by the
+    // grading itself (StatefulSpec additionally pins cross-batch state
+    // carry). Confs are closure-scoped via the eager checkpoint device
+    // (t_stream_kll's pattern).
+    "t_stream_tws" -> ((s, d) => {
+      val provK = "spark.sql.streaming.stateStore.providerClass"
+      val lagK =
+        "spark.sql.streaming.stateStore.coordinatorReportSnapshotUploadLag"
+      val oldProv = s.conf.getOption(provK)
+      val oldLag = s.conf.getOption(lagK)
+      s.conf.set(provK, "org.apache.spark.sql.execution.streaming.state" +
+        ".RocksDBStateStoreProvider")
+      s.conf.set(lagK, "false")
+      try {
+        checkpointed(
+          Stateful.userStatsExactTws(ev(s, d)).toDF
+            .select(col("user_id"), col("cnt"),
+              decOut((col("sum_micros").cast("decimal(38,6)") / lit(1000000))
+                .cast("decimal(38,6)")).as("sum_value"),
+              expr("timestampadd(MILLISECOND, max_ts_ms, TIMESTAMP_NTZ '1970-01-01 00:00:00')")
+                .as("max_ts"))
+            .withColumn("anomalous", col("sum_value") / col("cnt") > lit(50.0))
+            .orderBy("user_id"),
+          eager = true)
+      } finally {
+        oldProv.fold(s.conf.unset(provK))(s.conf.set(provK, _))
+        oldLag.fold(s.conf.unset(lagK))(s.conf.set(lagK, _))
+      }
+    }),
+
     // STREAMING QUANTILE state (streaming/Stateful.userValueSketch over
     // transformWithState + RocksDB): the per-key state IS a serialized
     // KLL sketch, updated per micro-batch — the streaming half of the
@@ -966,6 +1003,14 @@ object EventTime {
         "FROM (SELECT *, date_trunc('milliseconds', ts) AS ts_ms FROM events)) " +
         "WHERE rn = 1 ORDER BY user_id, event_type, minute_b"),
     "t_stateful_stats" ->
+      ("WITH g AS (SELECT user_id, count(*) AS cnt, " +
+        "round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 6) AS sum_value, " +
+        "max(date_trunc('milliseconds', ts)) AS max_ts FROM events GROUP BY user_id) " +
+        "SELECT user_id, cnt, sum_value, max_ts, sum_value / cnt > 50.0 AS anomalous " +
+        "FROM g ORDER BY user_id"),
+    // Same semantics through the transformWithState runtime: one oracle
+    // pins both keyed-state APIs to one answer.
+    "t_stream_tws" ->
       ("WITH g AS (SELECT user_id, count(*) AS cnt, " +
         "round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 6) AS sum_value, " +
         "max(date_trunc('milliseconds', ts)) AS max_ts FROM events GROUP BY user_id) " +
