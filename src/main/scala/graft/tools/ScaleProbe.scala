@@ -694,6 +694,48 @@ object ScaleProbe {
       println(f"MoR delete commit 1x ${d1}%6.2fs -> 10x-store ${d10}%7.2fs (factor ${d10 / d1}%5.1f, claim ~1); " +
         f"masked read ${r1}%5.2fs -> ${r10}%5.2fs; materialize ${a1}%5.2fs -> ${a10}%5.2fs (stats-bounded)")
     }
+    // BULK MoR delete through the DataFrame path (round-12, the
+    // distributed DV write + broadcast-stats prune + anti-join
+    // materialize that replaced the driver-side key collect). Two
+    // delete shapes, separate lifecycles: a SPREAD set (10 % of every
+    // file — materialize must rewrite everything it touches, so its
+    // factor tracks the store) and a RANGE-confined set (one fixed
+    // doc_id band — the stats prune should keep materialize roughly
+    // FLAT as the store grows 10×, because the hit-file set doesn't
+    // grow with the table; that flatness is the money number).
+    if (mode == "all" || mode == "morbulk") {
+      def bulkProbe(mult: Int, rangeConfined: Boolean): (Double, Double) = {
+        val dir = java.nio.file.Files.createTempDirectory("probe_morbulk").toString
+        val docs = (0 until mult).map { i =>
+          base.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+            col("text"), col("lang"), col("source"), col("n_chars"))
+        }.reduce(_ unionByName _)
+        graft.sources.Snapshot.publishClustered(spark, dir, docs, "lang",
+          "doc_id", "text", nFiles = 8 * mult)
+        val gone =
+          if (rangeConfined) docs.filter(col("doc_id") < 300).select("doc_id")
+          else docs.filter(pmod(col("doc_id"), lit(10)) === 3).select("doc_id")
+        val t0 = System.nanoTime()
+        graft.sources.Snapshot.deleteMorKeys(spark, dir, gone, "doc_id")
+        val tDel = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        graft.sources.Snapshot.applyMorDeletes(spark, dir, "lang", "text",
+          statsCol = Some("doc_id"))
+        (tDel, (System.nanoTime() - t1) / 1e9)
+      }
+      val (sd1, sm1) = bulkProbe(1, rangeConfined = false)
+      graft.ops.T.releaseCaches(blocking = true)
+      val (sd10, sm10) = bulkProbe(10, rangeConfined = false)
+      graft.ops.T.releaseCaches(blocking = true)
+      val (rd1, rm1) = bulkProbe(1, rangeConfined = true)
+      graft.ops.T.releaseCaches(blocking = true)
+      val (rd10, rm10) = bulkProbe(10, rangeConfined = true)
+      graft.ops.T.releaseCaches(blocking = true)
+      println(f"MoR BULK spread: commit ${sd1}%5.2fs -> ${sd10}%5.2fs, " +
+        f"materialize ${sm1}%5.2fs -> ${sm10}%5.2fs (factor ${sm10 / sm1}%4.1f, store-bound by design); " +
+        f"range-confined: commit ${rd1}%5.2fs -> ${rd10}%5.2fs, " +
+        f"materialize ${rm1}%5.2fs -> ${rm10}%5.2fs (factor ${rm10 / rm1}%4.1f, stats-pruned ~flat)")
+    }
     // Entity resolution at a 10× record set with the SAME name
     // vocabulary density: blocking bounds the quadratic per block, and
     // the distinct-name contraction means record growth only adds to
