@@ -1193,8 +1193,8 @@ object Snapshot {
     *    the column physically (post-add rewrites / compaction), the SQL
     *    path serves it fine.
     */
-  private[sources] def sqlFiles(spark: SparkSession, dir: String,
-      version: Option[Int]): Seq[String] = {
+  private[graft] def sqlFiles(spark: SparkSession, dir: String,
+      version: Option[Int], partValues: Option[Seq[String]] = None): Seq[String] = {
     val n = version.getOrElse(currentVersion(spark, dir))
     require(n >= 1, s"snapshot table $dir has no committed version")
     require(fc(spark).util.exists(new Path(dir, s"_manifest.v$n")),
@@ -1204,7 +1204,16 @@ object Snapshot {
       s"snapshot table $dir v$n has pending merge-on-read deletes — the " +
         "SQL front door serves materialized tables; run applyMorDeletes " +
         "first (or read through Snapshot.read)")
-    val files = dataRows(m).select("path").collect().map(_.getString(0))
+    val pruned = partValues.fold(dataRows(m))(vs =>
+      dataRows(m).filter(col("part").isin(vs: _*)))
+    val files = pruned.select("path").collect().map(_.getString(0))
+    require(files.nonEmpty, partValues match {
+      case Some(vs) =>
+        s"snapshot table $dir v$n has no files for partition(s) " +
+          s"${vs.mkString(", ")} — check the partition values (the SQL " +
+          "front door cannot serve an empty scan: no files, no schema)"
+      case None => s"snapshot table $dir v$n has no data files"
+    })
     val needFill = addedColumnsAt(spark, dir, n)
       .filter(c => files.exists(writerVersion(_) < c.since))
     require(needFill.isEmpty,

@@ -20,7 +20,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *   spark.read.format("graft-snapshot")
   *     .option("path", dir)          // the table root
   *     .option("version", "3")      // optional TIME TRAVEL; default =
-  *     .load()                      //   the committed pointer
+  *     .option("parts", "en,de")    //   the committed pointer; optional
+  *     .load()                      //   manifest-level partition prune
   * }}}
   *
   * Design: the provider resolves the snapshot pointer + manifest ONCE
@@ -60,12 +61,19 @@ class SnapshotSource extends TableProvider with DataSourceRegister {
     val dir = Option(options.get("path")).getOrElse(sys.error(
       "graft-snapshot requires option 'path' (the snapshot table root)"))
     val version = Option(options.get("version")).map(_.toInt)
-    val key = s"$dir@${version.getOrElse(-1)}"
+    // manifest-level PARTITION PRUNING through the SQL door: a csv of
+    // partition values restricts the explicit file list BEFORE the scan
+    // is planned — the same #files-sized metadata prune as
+    // Snapshot.readWhere, available to pure-SQL consumers who can't
+    // rely on a pushed filter reaching footer stats.
+    val parts = Option(options.get("parts"))
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+    val key = s"$dir@${version.getOrElse(-1)}@${parts.map(_.mkString("|")).getOrElse("*")}"
     cached match {
       case Some((k, t)) if k == key => t
       case _ =>
         val spark = SparkSession.active
-        val files = Snapshot.sqlFiles(spark, dir, version)
+        val files = Snapshot.sqlFiles(spark, dir, version, parts)
         val opts = new java.util.HashMap[String, String]()
         opts.put("recursiveFileLookup", "true") // no _p= dir inference
         val t = ParquetTable(s"graft-snapshot $key", spark,

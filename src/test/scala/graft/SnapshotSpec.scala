@@ -840,6 +840,26 @@ class SnapshotSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters: [IsNotNull(lang), EqualTo(lang,de)]"),
       s"filter not pushed into the snapshot scan:\n$plan")
+    // manifest-level partition pruning through the SQL door: the 'parts'
+    // option restricts the explicit file list BEFORE the scan is planned
+    val pruned = spark.read.format("graft-snapshot").option("path", dir)
+      .option("parts", "de").load()
+    // the prune happens in the resolver the provider plans from —
+    // strictly fewer files enter the scan plan (inputFiles is opaque on
+    // a wrapped DSv2 relation, so pin the resolved list itself)
+    assert(Snapshot.sqlFiles(spark, dir, None, Some(Seq("de"))).size <
+      Snapshot.sqlFiles(spark, dir, None, None).size,
+      "parts option must prune the planned file list, not filter rows")
+    assert(pruned.select("lang").distinct().collect().map(_.getString(0))
+      .toSeq === Seq("de"))
+    assert(pruned.count() ===
+      Snapshot.read(spark, dir).filter(col("lang") === "de").count())
+    // an unknown partition value refuses loudly (no files, no schema)
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("graft-snapshot").option("path", dir)
+        .option("parts", "klingon").load()
+    }
+    assert(e.getMessage.contains("klingon"))
   }
 
   test("DSv2 SQL front door refuses states the file list cannot describe, and writes") {
