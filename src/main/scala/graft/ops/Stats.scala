@@ -348,7 +348,11 @@ object Stats {
         .withColumn("sx", element_at(col("sums"), (col("i") + 1).cast("int")))
         .withColumn("sy", element_at(col("sums"), (col("j") + 1).cast("int")))
         .select(col("i"), col("j"), col("n"),
-          round(col("sxy").cast("double") / col("n"), 6).as("gram_mean"),
+          // + 0.0 on gram_mean too (both engines): caught live at sf0.1
+          // round 12 — a tiny negative mean rounds to -0.0 on one engine
+          // and +0.0 on the other, same class as cov below.
+          (round(col("sxy").cast("double") / col("n"), 6) + lit(0.0))
+            .as("gram_mean"),
           // + 0.0 (both engines): a tiny negative cell rounds to -0.0 on
           // one engine and 0.0 on the other — numerically equal, but the
           // driver's pandas hash distinguishes the sign bit. IEEE
@@ -684,7 +688,7 @@ object Stats {
         "sum(CAST(CAST(embedding[r.i+1] AS DOUBLE) AS DECIMAL(19,6))) AS sx " +
         "FROM embeddings CROSS JOIN range(0,64) r(i) GROUP BY r.i) " +
         "SELECT c.i, c.j, c.n, " +
-        "round(CAST(sxy AS DOUBLE) / n, 6) AS gram_mean, " +
+        "round(CAST(sxy AS DOUBLE) / n, 6) + 0.0 AS gram_mean, " +
         "round(CAST(sxy AS DOUBLE) / n - (CAST(sa.sx AS DOUBLE) / n) * (CAST(sb.sx AS DOUBLE) / n), 6) + 0.0 AS cov " +
         "FROM cell c JOIN ds sa ON sa.i = c.i JOIN ds sb ON sb.i = c.j " +
         "ORDER BY c.i, c.j"),
