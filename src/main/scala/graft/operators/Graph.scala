@@ -129,6 +129,40 @@ object Graph {
         coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
   }
 
+  /** COMMON-NEIGHBOR candidates over an undirected graph `(u, v)` — the
+    * link-prediction / entity-merge primitive next to triangles: two
+    * nodes that are NOT adjacent but share many neighbors are the
+    * canonical "should probably be linked/merged" pair (friend
+    * suggestion, near-duplicate clusters that banding narrowly missed,
+    * citation gaps). Returns `(u, v, n_common)` for every non-adjacent
+    * pair with at least `minCommon` shared neighbors, u < v canonical.
+    *
+    * Algorithm: wedge enumeration — one self-join of the adjacency list
+    * on the wedge CENTER (every shared neighbor contributes exactly one
+    * (center, u<v) wedge), then a count per endpoint pair and an
+    * anti-join against the edge set to keep only non-edges. Work is
+    * Σ deg(w)² over centers, the same hub hazard triangleCount's
+    * orientation tames — here the pair COUNT is the output, so
+    * orientation can't halve it; at a 100 TB host graph you cap or
+    * sample hub centers instead (deg(w) ≤ D bound ⇒ work ≤ |E|·D), and
+    * every shuffle is an equi-join on node keys — no cartesian anywhere.
+    */
+  def commonNeighbors(edges: DataFrame, minCommon: Int = 1): DataFrame = {
+    val canon = T.cached(edges
+      .select(least(col("u"), col("v")).as("a"),
+        greatest(col("u"), col("v")).as("b"))
+      .filter(col("a") =!= col("b")).distinct())
+    val adj = canon.select(col("a").as("w"), col("b").as("n"))
+      .union(canon.select(col("b").as("w"), col("a").as("n")))
+    val wedges = adj.select(col("w"), col("n").as("u"))
+      .join(adj.select(col("w"), col("n").as("v")), Seq("w"))
+      .filter(col("u") < col("v"))
+    wedges.groupBy("u", "v").agg(count(lit(1)).as("n_common"))
+      .join(canon, col("u") === col("a") && col("v") === col("b"),
+        "left_anti")
+      .filter(col("n_common") >= minCommon)
+  }
+
   /** Multi-source BFS hop distance over an undirected graph `(u, v)` —
     * the reachability/radius primitive next to components (is a page
     * within k link-hops of a trusted seed set? how deep does a duplicate

@@ -2328,6 +2328,23 @@ object Similarity {
         .orderBy("node")
     }),
 
+    // COMMON-NEIGHBOR link prediction (operators/Graph.commonNeighbors,
+    // round-12 addition) — the "should these be linked/merged" verb
+    // completing the graph family (pagerank = authority, cc = islands,
+    // triangles = density, bfs = reach, kcore = peel, THIS = missing
+    // edges): non-adjacent pairs sharing ≥ 2 neighbors on the same
+    // base-29 two-digit graph as x_graph_triangles. Wedge enumeration —
+    // one adjacency self-join on the shared CENTER, count per endpoint
+    // pair, anti-join out the existing edges; Σ deg² work, every
+    // shuffle an equi-join (the oracle replays the identical SQL).
+    "x_graph_commonnbrs" -> ((s, d) => {
+      val edges = t(s, d, "documents")
+        .select(pmod(col("doc_id"), lit(29)).as("u"),
+          pmod(expr("doc_id div 29"), lit(29)).as("v"))
+      graft.operators.Graph.commonNeighbors(edges, minCommon = 2)
+        .orderBy(col("n_common").desc, col("u"), col("v"))
+    }),
+
     // Multi-source BFS hop distance (operators/Graph.bfsHops) — the
     // reachability/radius verb (is a page within k link-hops of a
     // trusted seed set?). Graph: the x_graph_cc six-path shape (node
@@ -3736,6 +3753,20 @@ object Similarity {
         "SELECT nodes.n AS node, " +
         "CAST(coalesce(cnt.n_triangles, 0) AS BIGINT) AS n_triangles " +
         "FROM nodes LEFT JOIN cnt ON nodes.n = cnt.n ORDER BY node"),
+    // Identical wedge enumeration: adjacency self-join on the shared
+    // center, count per u<v pair, existing edges anti-joined out.
+    "x_graph_commonnbrs" ->
+      ("WITH ed AS (SELECT DISTINCT " +
+        "least(doc_id % 29, (doc_id // 29) % 29) AS a, " +
+        "greatest(doc_id % 29, (doc_id // 29) % 29) AS b " +
+        "FROM documents WHERE doc_id % 29 <> (doc_id // 29) % 29), " +
+        "adj AS (SELECT a AS w, b AS n FROM ed UNION ALL SELECT b, a FROM ed), " +
+        "wedges AS (SELECT x.n AS u, y.n AS v FROM adj x " +
+        "JOIN adj y ON x.w = y.w AND x.n < y.n), " +
+        "c AS (SELECT u, v, count(*) AS n_common FROM wedges GROUP BY u, v) " +
+        "SELECT u, v, n_common FROM c " +
+        "WHERE NOT EXISTS (SELECT 1 FROM ed WHERE ed.a = c.u AND ed.b = c.v) " +
+        "AND n_common >= 2 ORDER BY n_common DESC, u, v"),
     // Full relaxation unrolled 16 rounds (diameter 14) — result-
     // identical to the engine's frontier-propagated BFS.
     "x_graph_bfs" ->

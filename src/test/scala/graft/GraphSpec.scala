@@ -140,4 +140,29 @@ class GraphSpec extends SparkSpec {
     assert(naive.keySet.subsetOf(got.keySet))
     assert(got.values.sum > 0, "fixture graph must contain triangles")
   }
+
+  test("commonNeighbors: hand graph — non-edges ranked by shared neighbors; edges excluded") {
+    import spark.implicits._
+    // square 1-2-3-4-1 plus a chord-free diagonal candidate: (1,3) and
+    // (2,4) each share TWO neighbors and are non-adjacent; every
+    // adjacent pair shares none (no triangles). Add a pendant 5-1:
+    // (5,2) and (5,4) share exactly neighbor 1.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (5L, 1L),
+      (2L, 1L) /* duplicate, reversed — must canonicalize away */)
+      .toDF("u", "v")
+    val got = Graph.commonNeighbors(edges)
+      .as[(Long, Long, Long)].collect()
+      .map { case (u, v, c) => (u, v) -> c }.toMap
+    assert(got((1L, 3L)) === 2L && got((2L, 4L)) === 2L)
+    assert(got((2L, 5L)) === 1L && got((4L, 5L)) === 1L)
+    assert(!got.contains((3L, 5L)), "3 and 5 share no neighbor")
+    // adjacent pairs never appear, whatever their wedge count
+    Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (1L, 5L)).foreach { e =>
+      assert(!got.contains(e), s"edge $e must be excluded")
+    }
+    // minCommon filters the tail
+    val strong = Graph.commonNeighbors(edges, minCommon = 2)
+      .as[(Long, Long, Long)].collect().map(t => (t._1, t._2)).toSet
+    assert(strong === Set((1L, 3L), (2L, 4L)))
+  }
 }
