@@ -331,7 +331,12 @@ object Curation {
     toks.join(broadcast(weights), "bucket")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tok"),
-        round(sum("weight") / count(lit(1)), 6).as("score"))
+        // + 0.0 (and on the oracle): the mean of signed log-ratio
+        // weights lives near zero on balanced docs — a tiny negative
+        // rounds to -0.0 on DuckDB but +0.0 through Spark's BigDecimal
+        // round, and the driver's pandas hash is sign-aware (the
+        // x_emb_cov class, caught at sf0.1 round 12).
+        (round(sum("weight") / count(lit(1)), 6) + lit(0.0)).as("score"))
   }
 
   /** CCNet-style LM quality scoring (graded form: x_text_perplexity):

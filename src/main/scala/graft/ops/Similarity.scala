@@ -133,7 +133,9 @@ object Similarity {
         .select(col("emb").as("p_emb")))
       e.crossJoin(probe)
         .select(col("vec_id"),
-          round(expr("graft_dot(emb, p_emb)"), 6).as("dot"),
+          // + 0.0 both engines: a signed dot that rounds to zero must
+          // not differ in sign bit (the x_emb_cov class)
+          (round(expr("graft_dot(emb, p_emb)"), 6) + lit(0.0)).as("dot"),
           round(sqrt(expr("graft_dot(emb, emb)")), 6).as("l2"))
         .orderBy("vec_id")
     }),
@@ -2776,7 +2778,7 @@ object Similarity {
     "x_sim_dot" ->
       ("WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings) " +
         "SELECT vec_id, " +
-        "round(list_dot_product(emb, (SELECT emb FROM e WHERE vec_id = 1)), 6) AS dot, " +
+        "round(list_dot_product(emb, (SELECT emb FROM e WHERE vec_id = 1)), 6) + 0.0 AS dot, " +
         "round(sqrt(list_dot_product(emb, emb)), 6) AS l2 " +
         "FROM e ORDER BY vec_id"),
     "x_sim_cosine_topk" ->
@@ -3300,7 +3302,7 @@ object Similarity {
         "LEFT JOIN tc USING (bucket) LEFT JOIN bc USING (bucket) CROSS JOIN tot), " +
         "sc AS (SELECT doc_id, lang, count(*) AS n_tok, sum(wt) AS sw " +
         "FROM bk JOIN w USING (bucket) GROUP BY doc_id, lang) " +
-        "SELECT doc_id, lang, n_tok, round(sw / n_tok, 6) AS score FROM sc ORDER BY doc_id"),
+        "SELECT doc_id, lang, n_tok, round(sw / n_tok, 6) + 0.0 AS score FROM sc ORDER BY doc_id"),
     // hash-ordered prefix sum per lang (window), chunk = floor division —
     // the packSequences contract aggregated per (lang, chunk)
     "x_pack_chunks" ->
