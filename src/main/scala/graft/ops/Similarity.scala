@@ -2340,7 +2340,12 @@ object Similarity {
     // pair, anti-join out the existing edges; Σ deg² work, every
     // shuffle an equi-join (the oracle replays the identical SQL).
     "x_graph_commonnbrs" -> ((s, d) => {
+      // fixed doc_id prefix: the modulus graph DENSIFIES with SF until
+      // every candidate pair is already an edge (0 rows at sf0.1) — the
+      // 500-doc prefix exists at every SF, so the graded graph is
+      // identical and non-degenerate everywhere
       val edges = t(s, d, "documents")
+        .filter(col("doc_id") < 500)
         .select(pmod(col("doc_id"), lit(29)).as("u"),
           pmod(expr("doc_id div 29"), lit(29)).as("v"))
       graft.operators.Graph.commonNeighbors(edges, minCommon = 2)
@@ -3761,7 +3766,8 @@ object Similarity {
       ("WITH ed AS (SELECT DISTINCT " +
         "least(doc_id % 29, (doc_id // 29) % 29) AS a, " +
         "greatest(doc_id % 29, (doc_id // 29) % 29) AS b " +
-        "FROM documents WHERE doc_id % 29 <> (doc_id // 29) % 29), " +
+        "FROM documents WHERE doc_id < 500 " +
+        "AND doc_id % 29 <> (doc_id // 29) % 29), " +
         "adj AS (SELECT a AS w, b AS n FROM ed UNION ALL SELECT b, a FROM ed), " +
         "wedges AS (SELECT x.n AS u, y.n AS v FROM adj x " +
         "JOIN adj y ON x.w = y.w AND x.n < y.n), " +
