@@ -244,6 +244,26 @@ object Joins {
           "ORDER BY revenue DESC, o_orderkey LIMIT 10")
     }),
 
+    // EXISTENCE join (round-12 addition): EXISTS predicates in the
+    // SELECT list — not a filter — so Catalyst plans the dedicated
+    // ExistenceJoin variant (a semi-join that EMITS the boolean instead
+    // of dropping rows; j_semi/j_anti grade the filtering forms, this
+    // grades the flag form a feature pipeline uses: "has any X" as a
+    // column). Two existence probes against the same fact side, each a
+    // hash join on the customer key — never a per-row subquery loop;
+    // at 100 TB both probes shuffle/broadcast by the same key.
+    "j_exists_flag" -> ((s, d) => {
+      t(s, d, "customer").createOrReplaceTempView("graft_customer")
+      t(s, d, "orders").createOrReplaceTempView("graft_orders")
+      s.sql(
+        "SELECT c_custkey, " +
+          "EXISTS(SELECT 1 FROM graft_orders o WHERE o.o_custkey = c.c_custkey " +
+          "AND o.o_totalprice > 150000.0) AS has_big, " +
+          "EXISTS(SELECT 1 FROM graft_orders o WHERE o.o_custkey = c.c_custkey " +
+          "AND o.o_orderpriority = '1-URGENT') AS has_urgent " +
+          "FROM graft_customer c ORDER BY c_custkey")
+    }),
+
     // Correlated SCALAR subqueries, graded: one count + one max per
     // customer row, written as correlated subselects — Catalyst's
     // decorrelation (RewriteCorrelatedScalarSubquery) turns each into a
@@ -736,6 +756,13 @@ object Joins {
         "CASE WHEN prev_view_ts IS NULL THEN 'none' " +
         "WHEN age_all <= 1800000 THEN 'fresh' ELSE 'stale' END AS status " +
         "FROM a ORDER BY event_id"),
+    "j_exists_flag" ->
+      ("SELECT c_custkey, " +
+        "EXISTS(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey " +
+        "AND o.o_totalprice > 150000.0) AS has_big, " +
+        "EXISTS(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey " +
+        "AND o.o_orderpriority = '1-URGENT') AS has_urgent " +
+        "FROM customer c ORDER BY c_custkey"),
     "j_theta_ineq" ->
       ("SELECT s_suppkey, c_custkey FROM supplier JOIN customer " +
         "ON s_nationkey = c_nationkey AND s_acctbal > c_acctbal " +
