@@ -559,6 +559,35 @@ object Custom {
           Seq("o_orderstatus"), "o_orderkey", 3)
         .select(col("o_orderstatus"), col("o_orderkey"))
         .orderBy("o_orderstatus", "o_orderkey"))
+,
+    // PARSER extension graded end to end (round-12 addition, the last
+    // U-taxonomy extension point: Expression / Generator / UDAF / UDF /
+    // Strategy / Rule / PARSER): plans/GraftSqlParser adds ONE statement
+    // — GRAFT SNAPSHOT HISTORY '<root>' — and delegates everything else
+    // to Spark's parser verbatim (the Delta/Iceberg SQL-extension
+    // shape). Parsers bind at session CONSTRUCTION, so the key builds
+    // the snapshot lifecycle on the graded session, then opens an
+    // extension-bearing SIBLING session over the same context and
+    // SharedState (GraftBridge.sessionWithExtensions) and runs the
+    // added statement there — proving the packaged GraftExtensions
+    // installer wires the parser, not just a test harness. The history
+    // frame is #versions-sized manifest metadata; the oracle states the
+    // expected (version, n_rows, is_current) rows directly.
+    "u_parser_snapshot" -> ((s, d) => {
+      val dir = T.scratchDir("graft_parser")
+      val docs = t(s, d, "documents")
+      graft.sources.Snapshot.publish(s, dir, docs, "lang", "text")
+      val edits = docs
+        .filter(col("lang") === "en" && pmod(col("doc_id"), lit(10)) === 0)
+        .withColumn("text", concat(col("text"), lit(" v2")))
+      graft.sources.Snapshot.upsert(s, dir, edits, "doc_id", "lang", "text")
+      val ext = org.apache.spark.sql.GraftBridge.sessionWithExtensions(
+        s, new graft.plans.GraftExtensions)
+      ext.sql(s"GRAFT SNAPSHOT HISTORY '$dir'")
+        .select(col("version").cast("bigint").as("version"), col("n_rows"),
+          col("is_current"))
+        .orderBy("version")
+    })
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -601,6 +630,13 @@ object Custom {
       ("SELECT o_orderstatus, o_orderkey FROM (" +
         "SELECT o_orderstatus, o_orderkey, " +
         "row_number() OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey DESC) AS rn " +
-        "FROM orders) WHERE rn <= 3 ORDER BY o_orderstatus, o_orderkey")
+        "FROM orders) WHERE rn <= 3 ORDER BY o_orderstatus, o_orderkey"),
+    // The two-version history stated directly: the upsert replaces keys,
+    // so both versions carry the full corpus row count.
+    "u_parser_snapshot" ->
+      ("SELECT CAST(1 AS BIGINT) AS version, " +
+        "(SELECT count(*) FROM documents) AS n_rows, false AS is_current " +
+        "UNION ALL SELECT CAST(2 AS BIGINT), " +
+        "(SELECT count(*) FROM documents), true ORDER BY version")
   )
 }

@@ -56,5 +56,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => graft.functions.BpeEncode(args(0), args(1))))
     ext.injectOptimizerRule(_ => SimplifyDegenerateClamp)
     ext.injectPlannerStrategy(_ => TopKPerKeyStrategy)
+    // the PARSER extension point: one added statement (GRAFT SNAPSHOT
+    // HISTORY), everything else delegated verbatim — see GraftSqlParser
+    ext.injectParser((session, delegate) =>
+      new GraftSqlParser(session, delegate))
   }
 }

@@ -34,4 +34,35 @@ object GraftBridge {
     */
   def exprOf(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
     classic.ExpressionUtils.expression(c)
+
+  /** The analyzed LogicalPlan behind a DataFrame — what a custom parser
+    * returns for an eagerly-resolved statement (GraftSqlParser).
+    */
+  def planOf(df: DataFrame): LogicalPlan =
+    df.asInstanceOf[classic.DataFrame].queryExecution.analyzed
+
+  /** A SIBLING session over the SAME SparkContext with `install`ed
+    * extensions — the device that lets extension-dependent surfaces
+    * (the injected parser; packaged functions/rules) be graded from a
+    * session that was built plain: extensions bind at session
+    * construction, so a new session is the only way to add a parser.
+    * Built through the public builder (`withExtensions` + getOrCreate
+    * reusing the live SparkContext); the active/default session is
+    * cleared for the construction and RESTORED in a finally, so the
+    * calling session stays the harness default throughout.
+    */
+  def sessionWithExtensions(spark: SparkSession,
+      install: SparkSessionExtensions => Unit): SparkSession = {
+    val prevActive = SparkSession.getActiveSession
+    val prevDefault = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try SparkSession.builder().withExtensions(e => install(e)).getOrCreate()
+    finally {
+      prevActive.fold(SparkSession.clearActiveSession())(
+        SparkSession.setActiveSession)
+      prevDefault.fold(SparkSession.clearDefaultSession())(
+        SparkSession.setDefaultSession)
+    }
+  }
 }

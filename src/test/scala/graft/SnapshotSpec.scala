@@ -883,6 +883,24 @@ class SnapshotSpec extends SparkSpec {
     }
   }
 
+  test("the injected parser adds GRAFT SNAPSHOT HISTORY and delegates everything else") {
+    val dir = freshDir()
+    Snapshot.publish(spark, dir, docs, "lang", "text")
+    val ext = org.apache.spark.sql.GraftBridge.sessionWithExtensions(
+      spark, new graft.plans.GraftExtensions)
+    // the added statement parses and answers from manifest metadata
+    val h = ext.sql(s"GRAFT SNAPSHOT HISTORY '$dir'").collect()
+    assert(h.length === 1 && h(0).getInt(0) === 1 && h(0).getBoolean(3))
+    // ordinary SQL delegates verbatim
+    assert(ext.sql("SELECT 1 + 1 AS two").head().getInt(0) === 2)
+    // the packaged function surface rides along in the same extensions
+    assert(ext.sql("SELECT graft_clamp(5.0D, 0.0D, 2.0D) AS c")
+      .head().getDouble(0) === 2.0)
+    // the calling session is untouched: still the default, no statement
+    assert(org.apache.spark.sql.SparkSession.getDefaultSession.contains(spark))
+    intercept[Exception] { spark.sql(s"GRAFT SNAPSHOT HISTORY '$dir'") }
+  }
+
   test("stageDeleteMor refuses a typo'd or metadata-added key column before anything commits") {
     import spark.implicits._
     val dir = freshDir()
