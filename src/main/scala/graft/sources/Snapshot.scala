@@ -248,7 +248,15 @@ object Snapshot {
       val cur = currentVersion(spark, dir)
       if (cur == base) {
         try { commitIfBase(spark, dir, n, base, tag); return n }
-        catch { case _: CommitConflictException => () } // re-race: loop
+        catch { case _: CommitConflictException =>
+          // lost the claim while the pointer still reads `base`: the
+          // winner is BETWEEN claim and flip. Spinning would burn every
+          // retry inside that microsecond window (caught live by the
+          // two-thread race test) — wait for the pointer to move before
+          // the next attempt; if the claim holder crashed mid-commit,
+          // the deadline turns this into the loud retry-exhaustion path.
+          awaitPointerPast(spark, dir, cur)
+        }
       } else {
         require(cur > base,
           s"snapshot table $dir: staged base $base is ahead of current $cur")
@@ -278,10 +286,24 @@ object Snapshot {
           .unionByName(dvRows(manifestCur))
           .coalesce(1).write.mode("overwrite").json(s"$dir/_manifest.v$m")
         try { commitIfBase(spark, dir, m, cur, tag); return m }
-        catch { case _: CommitConflictException => () } // re-race: loop
+        catch { case _: CommitConflictException =>
+          awaitPointerPast(spark, dir, cur) // see the fast-path note
+        }
       }
     }
     -1 // unreachable
+  }
+
+  /** Bounded wait for `_latest` to move past `v` — the claim-lost
+    * backoff of [[commitIfCompatible]] (a writer that lost the claim
+    * CAS must not spin through its retries inside the winner's
+    * claim→flip window).
+    */
+  private def awaitPointerPast(spark: SparkSession, dir: String, v: Int,
+      timeoutMs: Long = 30000): Unit = {
+    val deadline = System.nanoTime() + timeoutMs * 1000000L
+    while (currentVersion(spark, dir) == v && System.nanoTime() < deadline)
+      Thread.sleep(20)
   }
 
   // ------------------------------------------------------------------

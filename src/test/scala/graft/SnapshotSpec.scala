@@ -463,6 +463,38 @@ class SnapshotSpec extends SparkSpec {
       base = Snapshot.currentVersion(spark, dir)) === vB2)
   }
 
+  test("commitIfCompatible under a real two-thread race: both disjoint writers land") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val dir = freshDir()
+    Snapshot.publish(spark, dir, docs, "lang", "text") // v1
+    val updA = docs.filter(col("lang") === "en" && pmod(col("doc_id"), lit(10)) === 0)
+      .withColumn("text", concat(col("text"), lit(" a-edit")))
+    val updB = docs.filter(col("lang") === "de")
+      .withColumn("text", concat(col("text"), lit(" b-edit")))
+    // stage sequentially (Spark jobs), COMMIT concurrently — the commit
+    // protocol (claim CAS + footprint merge) is what the race exercises
+    val vA = Snapshot.stageUpsert(spark, dir, updA, "doc_id", "lang", "text")
+    val vB = Snapshot.stageUpsert(spark, dir, updB, "doc_id", "lang", "text")
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    def race(v: Int): Future[Int] = Future {
+      barrier.await()
+      Snapshot.commitIfCompatible(spark, dir, v, base = 1)
+    }
+    val (ra, rb) = (race(vA), race(vB))
+    val landedA = Await.result(ra, 120.seconds)
+    val landedB = Await.result(rb, 120.seconds)
+    // both commits returned (one fast path, one merged — order is the
+    // race's to decide) and the final table carries BOTH edits
+    assert(landedA >= vA && landedB >= vB)
+    val expect = docs
+      .join(updA.select("doc_id"), Seq("doc_id"), "left_anti")
+      .join(updB.select("doc_id"), Seq("doc_id"), "left_anti")
+      .unionByName(updA).unionByName(updB)
+    assert(fingerprint(Snapshot.read(spark, dir)) === fingerprint(expect))
+  }
+
   test("commitIfCompatible: a schema change landing in between conflicts loudly") {
     val dir = freshDir()
     Snapshot.publish(spark, dir, docs, "lang", "text")
