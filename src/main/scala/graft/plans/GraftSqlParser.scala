@@ -38,9 +38,22 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   private val History =
     """(?is)\s*GRAFT\s+SNAPSHOT\s+HISTORY\s+'([^']+)'\s*;?\s*""".r
 
+  /** `GRAFT SNAPSHOT READ '<root>' [VERSION n]` — the committed (or
+    * time-traveled) snapshot content as a statement, the pure-SQL twin
+    * of `Snapshot.read`/`readVersion`. The VERSION and file list
+    * resolve at parse time (snapshot isolation — the statement is
+    * pinned to one manifest); the data scan itself stays lazy.
+    */
+  private val ReadV =
+    """(?is)\s*GRAFT\s+SNAPSHOT\s+READ\s+'([^']+)'(?:\s+VERSION\s+(\d+))?\s*;?\s*""".r
+
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case History(path) =>
       GraftBridge.planOf(graft.sources.Snapshot.history(session, path))
+    case ReadV(path, v) =>
+      GraftBridge.planOf(
+        if (v == null) graft.sources.Snapshot.read(session, path)
+        else graft.sources.Snapshot.readVersion(session, path, v.toInt))
     case _ => delegate.parsePlan(sqlText)
   }
 

@@ -928,6 +928,12 @@ class SnapshotSpec extends SparkSpec {
     // the packaged function surface rides along in the same extensions
     assert(ext.sql("SELECT graft_clamp(5.0D, 0.0D, 2.0D) AS c")
       .head().getDouble(0) === 2.0)
+    // GRAFT SNAPSHOT READ serves the committed content, VERSION travels
+    Snapshot.upsert(spark, dir, updates, "doc_id", "lang", "text")
+    assert(fingerprint(ext.sql(s"GRAFT SNAPSHOT READ '$dir'")) ===
+      fingerprint(mergedExpected))
+    assert(fingerprint(ext.sql(s"GRAFT SNAPSHOT READ '$dir' VERSION 1")) ===
+      fingerprint(docs))
     // the calling session is untouched: still the default, no statement
     assert(org.apache.spark.sql.SparkSession.getDefaultSession.contains(spark))
     intercept[Exception] { spark.sql(s"GRAFT SNAPSHOT HISTORY '$dir'") }
