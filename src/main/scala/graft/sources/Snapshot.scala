@@ -140,7 +140,25 @@ object Snapshot {
     val body = tag.fold(s"""{"version":$n}""")(t =>
       s"""{"version":$n,"tag":"$t"}""")
     try out.write(body.getBytes("UTF-8")) finally out.close()
-    ctx.rename(tmp, new Path(dir, ptrName), Options.Rename.OVERWRITE)
+    val ptr = new Path(dir, ptrName)
+    // the ONE atomicity-critical rename: on the LOCAL scheme, Hadoop's
+    // FileContext.rename(OVERWRITE) deletes the destination BEFORE
+    // renaming — a concurrent reader then sees NO pointer at all and
+    // concludes version 0 (caught live by the SnapshotSpec two-thread
+    // race). NIO ATOMIC_MOVE is kernel rename(2): readers see the old
+    // or the new pointer, never neither. HDFS's rename is atomic at
+    // the namenode, so the FileContext path stays for remote schemes
+    // (object stores pin this single key to a conditional PUT instead —
+    // module doc).
+    if (ptr.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .getScheme == "file") {
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(tmp.toUri.getPath),
+        java.nio.file.Paths.get(ptr.toUri.getPath),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      ()
+    } else ctx.rename(tmp, ptr, Options.Rename.OVERWRITE)
   }
 
   /** Thrown by [[commitIfBase]] when another writer already committed on
@@ -173,18 +191,42 @@ object Snapshot {
       tag: Option[String] = None): Unit = {
     val cur = currentVersion(spark, dir)
     if (cur != base) throw new CommitConflictException(dir, base)
-    val ctx = fc(spark)
     val marker = new Path(dir, s"_claim.v$base")
-    try {
-      val out = ctx.create(marker,
-        java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE),
-        Options.CreateOpts.createParent())
-      out.close()
-    } catch {
-      case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
-        throw new CommitConflictException(dir, base)
-    }
+    if (!exclusiveCreate(spark, marker))
+      throw new CommitConflictException(dir, base)
     flipPointer(spark, dir, PtrName, n, tag)
+  }
+
+  /** Atomically create `marker` as the claim token; false = already
+    * claimed. On the LOCAL scheme this must be NIO `Files.createFile`
+    * (O_CREAT|O_EXCL — the kernel arbitrates): Hadoop's local
+    * create-without-overwrite is a check-then-act whose race window and
+    * exception type are both unreliable under two genuinely concurrent
+    * writers (the SnapshotSpec two-thread race flushed this out). On
+    * HDFS the namenode's create IS the atomic arbiter; both
+    * already-exists exception shapes are treated as a lost claim.
+    */
+  private def exclusiveCreate(spark: SparkSession, marker: Path): Boolean = {
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.getScheme == "file") {
+      try {
+        java.nio.file.Files.createFile(
+          java.nio.file.Paths.get(marker.toUri.getPath))
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      }
+    } else {
+      try {
+        fc(spark).create(marker,
+          java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE),
+          Options.CreateOpts.createParent()).close()
+        true
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case _: java.nio.file.FileAlreadyExistsException => false
+      }
+    }
   }
 
   /** The partitions whose FILE SET differs between manifests `a` and

@@ -482,9 +482,24 @@ class SnapshotSpec extends SparkSpec {
       barrier.await()
       Snapshot.commitIfCompatible(spark, dir, v, base = 1)
     }
+    // a concurrent READER hammering the pointer: it must see SOME
+    // committed version at every instant — never 0 (the unreadable
+    // window Hadoop's delete-then-rename OVERWRITE had on local FS)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val reader = Future {
+      var bad = List.empty[Int]
+      while (!stop.get()) {
+        val v = Snapshot.currentVersion(spark, dir)
+        if (v < 1) bad ::= v
+      }
+      bad
+    }
     val (ra, rb) = (race(vA), race(vB))
     val landedA = Await.result(ra, 120.seconds)
     val landedB = Await.result(rb, 120.seconds)
+    stop.set(true)
+    assert(Await.result(reader, 30.seconds).isEmpty,
+      "a reader observed a missing/unreadable pointer mid-commit")
     // both commits returned (one fast path, one merged — order is the
     // race's to decide) and the final table carries BOTH edits
     assert(landedA >= vA && landedB >= vB)
