@@ -44,7 +44,14 @@ object Percentiles {
     *                    exact buffer well under executor memory
     * @param k           KLL accuracy parameter (200 ≈ 1.65 % rank error)
     * @return one row per group per rank:
-    *         groupCols ++ (p, value, n, method['exact'|'kll'])
+    *         groupCols ++ (p, value, n, method['exact'|'kll']).
+    *         Groups whose valueCol is ENTIRELY NULL are OMITTED — no row
+    *         at any rank (count(v) = 0 routes to neither regime; there
+    *         is no value to rank, and `percentile()` itself would return
+    *         NULL). Downstream consumers that must distinguish a missing
+    *         group from missing data should left-join this result back
+    *         onto their group spine and treat an absent row as
+    *         "no non-null values".
     */
   def grouped(df: DataFrame, groupCols: Seq[String], valueCol: String,
       ps: Seq[Double], exactMaxRows: Long = 10000000L,

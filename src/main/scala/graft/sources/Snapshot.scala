@@ -279,7 +279,8 @@ object Snapshot {
     * immutable manifest.
     */
   def commitIfCompatible(spark: SparkSession, dir: String, n: Int, base: Int,
-      tag: Option[String] = None, maxRetries: Int = 5): Int = {
+      tag: Option[String] = None, maxRetries: Int = 5,
+      claimWaitMs: Long = 30000): Int = {
     var attempt = 0
     while (true) {
       attempt += 1
@@ -295,9 +296,11 @@ object Snapshot {
           // winner is BETWEEN claim and flip. Spinning would burn every
           // retry inside that microsecond window (caught live by the
           // two-thread race test) — wait for the pointer to move before
-          // the next attempt; if the claim holder crashed mid-commit,
-          // the deadline turns this into the loud retry-exhaustion path.
-          awaitPointerPast(spark, dir, cur)
+          // the next attempt; a deadline expiry with the pointer unmoved
+          // means the claim holder crashed mid-commit: name the wedged
+          // marker and the recovery step instead of a misleading
+          // "lost the race".
+          if (!awaitPointerPast(spark, dir, cur, claimWaitMs)) throwStaleClaim(dir, cur)
         }
       } else {
         require(cur > base,
@@ -320,7 +323,7 @@ object Snapshot {
             s"snapshot table $dir: version $n (base $base) and current $cur " +
               s"both touch partition(s) ${overlap.toSeq.sorted.mkString(", ")} — " +
               "restage from the current version and retry")
-        val m = nextVersion(spark, dir)
+        val m = claimVersion(spark, dir)
         val manifestCur = readManifest(spark, dir, cur)
         dataRows(manifestCur).filter(!col("part").isin(ours.toSeq: _*))
           .unionByName(dataRows(readManifest(spark, dir, n))
@@ -329,23 +332,54 @@ object Snapshot {
           .coalesce(1).write.mode("overwrite").json(s"$dir/_manifest.v$m")
         try { commitIfBase(spark, dir, m, cur, tag); return m }
         catch { case _: CommitConflictException =>
-          awaitPointerPast(spark, dir, cur) // see the fast-path note
+          // see the fast-path note
+          if (!awaitPointerPast(spark, dir, cur, claimWaitMs)) throwStaleClaim(dir, cur)
         }
       }
     }
     -1 // unreachable
   }
 
+  /** The wedged-base diagnosis of [[commitIfCompatible]]'s backoff. */
+  private def throwStaleClaim(dir: String, base: Int): Nothing =
+    throw new CommitConflictException(
+      s"snapshot table $dir: _claim.v$base exists but the pointer has not " +
+        s"moved past $base within the wait deadline — the claim holder " +
+        "likely crashed between claim and flip, wedging this base. Confirm " +
+        "no writer is alive, then Snapshot.releaseStaleClaim(dir, " +
+        s"$base) and retry the commit")
+
   /** Bounded wait for `_latest` to move past `v` — the claim-lost
     * backoff of [[commitIfCompatible]] (a writer that lost the claim
     * CAS must not spin through its retries inside the winner's
-    * claim→flip window).
+    * claim→flip window). Returns false when the deadline expires with
+    * the pointer unmoved — the claim holder is either very slow or
+    * CRASHED between claim and flip, in which case that base is wedged
+    * until [[releaseStaleClaim]]; the caller turns false into a loud,
+    * named diagnosis instead of a misleading "lost the race".
     */
   private def awaitPointerPast(spark: SparkSession, dir: String, v: Int,
-      timeoutMs: Long = 30000): Unit = {
+      timeoutMs: Long = 30000): Boolean = {
     val deadline = System.nanoTime() + timeoutMs * 1000000L
     while (currentVersion(spark, dir) == v && System.nanoTime() < deadline)
       Thread.sleep(20)
+    currentVersion(spark, dir) != v
+  }
+
+  /** MANUAL recovery for a claim holder that crashed between creating
+    * `_claim.v{base}` and flipping the pointer: that base can never be
+    * committed on again — every writer loses the claim CAS forever.
+    * There is deliberately NO automatic expiry (a timeout cannot
+    * distinguish a crashed holder from a slow one, and releasing a slow
+    * holder's claim would let TWO pointers flip on one base — the exact
+    * lost-update the claim exists to prevent), so recovery is an
+    * operator decision: confirm no writer is alive, delete the marker,
+    * retry the commit. No-op when no claim exists.
+    */
+  def releaseStaleClaim(spark: SparkSession, dir: String, base: Int): Unit = {
+    val ctx = fc(spark)
+    val p = new Path(dir, s"_claim.v$base")
+    if (ctx.util.exists(p)) { ctx.delete(p, false); () }
   }
 
   // ------------------------------------------------------------------
@@ -387,7 +421,14 @@ object Snapshot {
   /** First unused version number across ALL lineages (main + branches +
     * crashed stages): branch writes must not collide with main's next
     * `v{N}/` directory, so version numbers are allocated from the
-    * manifest listing, not from any one pointer.
+    * manifest listing, not from any one pointer. `_stage.v*` claim
+    * markers ([[claimVersion]]) count too, so a number claimed by a
+    * concurrent writer — or left by a crashed one — is never re-offered.
+    *
+    * This listing is a non-atomic read (list-max+1): two concurrent
+    * callers CAN see the same maximum. It is therefore only a STARTING
+    * GUESS — every staging path allocates through [[claimVersion]],
+    * whose exclusive create is the actual arbiter.
     */
   private def nextVersion(spark: SparkSession, dir: String): Int = {
     val root = new Path(dir)
@@ -397,8 +438,36 @@ object Snapshot {
       case m if m.matches("_manifest\\.v\\d+") =>
         m.stripPrefix("_manifest.v").toInt
       case d if d.matches("v\\d+") => d.stripPrefix("v").toInt
+      case s if s.matches("_stage\\.v\\d+") => s.stripPrefix("_stage.v").toInt
     }
     if (vs.isEmpty) 1 else vs.max + 1
+  }
+
+  /** Atomically ALLOCATE a fresh version number — the unique-metadata-
+    * file protocol (what Iceberg does with its metadata file names).
+    * [[nextVersion]]'s list-max+1 is not atomic: two concurrent writers
+    * (e.g. two losers of a [[commitIfCompatible]] race, each staging a
+    * merged manifest) can pick the same number and, with
+    * `mode("overwrite")`, silently overwrite each other's staged
+    * `_manifest.v{m}` BEFORE any claim CAS — the pointer claim protects
+    * the flip, not the staged manifest's identity, so the flip could
+    * publish the OTHER loser's merge and lose rows. Here the number
+    * itself is claimed by an EXCLUSIVE create of `_stage.v{m}` (the same
+    * kernel/namenode-arbitrated primitive as the commit claim), retrying
+    * past collisions, so no two writers ever hold the same version
+    * number. Markers are lineage garbage: [[vacuum]] deletes them once
+    * their version falls out of retention.
+    */
+  private def claimVersion(spark: SparkSession, dir: String): Int = {
+    // first publish: the table dir may not exist yet — the marker create
+    // must be able to create parents, which exclusiveCreate's local-NIO
+    // path does not; make the root first (idempotent).
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) fs.mkdirs(root)
+    var m = nextVersion(spark, dir)
+    while (!exclusiveCreate(spark, new Path(dir, s"_stage.v$m"))) m += 1
+    m
   }
 
   /** Copy-on-write MERGE committed to branch `name` only: same semantics
@@ -409,7 +478,7 @@ object Snapshot {
       updates: DataFrame, keyCol: String, partCol: String,
       checksumCol: String): Int = {
     val base = branchVersion(spark, dir, name)
-    val n = stageCowFrom(spark, dir, base, nextVersion(spark, dir),
+    val n = stageCowFrom(spark, dir, base, claimVersion(spark, dir),
       updates, partCol, checksumCol) { b =>
       b.join(updates.select(keyCol), Seq(keyCol), "left_anti")
         .unionByName(updates)
@@ -503,7 +572,7 @@ object Snapshot {
     // a full republish after addColumn must materialize the column —
     // its files postdate the add, so readers never fill them
     requireAddedCols(spark, dir, currentVersion(spark, dir), df, "published snapshot")
-    val n = nextVersion(spark, dir)
+    val n = claimVersion(spark, dir)
     // repartition on the partition value so each task writes whole
     // partitions: without it every one of the shuffle-partition tasks
     // opens a file in EVERY partition directory it sees rows for —
@@ -569,7 +638,7 @@ object Snapshot {
     requireNoDv(spark, dir, cur, "append") // a re-inserted key would stay masked
     requireAddedCols(spark, dir, cur, delta, "appended delta")
     if (delta.isEmpty) return cur // nothing to stage; caller may re-tag cur
-    val n = nextVersion(spark, dir)
+    val n = claimVersion(spark, dir)
     delta.withColumn("_p", col(partCol))
       .repartition(col("_p"))
       .write.mode("overwrite").partitionBy("_p").parquet(s"$dir/v$n")
@@ -598,7 +667,7 @@ object Snapshot {
       (rebuild: DataFrame => DataFrame): Int = {
     val cur = currentVersion(spark, dir)
     require(cur >= 1, s"snapshot table $dir has no committed version to refresh")
-    stageCowFrom(spark, dir, cur, nextVersion(spark, dir), touching, partCol, checksumCol)(rebuild)
+    stageCowFrom(spark, dir, cur, claimVersion(spark, dir), touching, partCol, checksumCol)(rebuild)
   }
 
   /** [[stageCow]] generalized over its BASE version and staged version
@@ -753,12 +822,12 @@ object Snapshot {
     if (hit.isEmpty) {
       // materializing DVs whose keys no file can contain: nothing to
       // rewrite — stage a manifest-only version that sheds the DV rows
-      val n = nextVersion(spark, dir)
+      val n = claimVersion(spark, dir)
       dataRows(manifest).coalesce(1)
         .write.mode("overwrite").json(s"$dir/_manifest.v$n")
       return n
     }
-    val n = nextVersion(spark, dir)
+    val n = claimVersion(spark, dir)
     val base = readFiles(spark, dir, cur, hit)
     val kept = keep(base)
     // keep ~the affected file count so purge neither fragments nor
@@ -853,7 +922,12 @@ object Snapshot {
     require(keys.columns.contains(keyCol),
       s"delete key frame lacks column '$keyCol' (has: ${keys.columns.mkString(", ")})")
     requireDataKeyCol(spark, dir, cur, keyCol)
-    val n = nextVersion(spark, dir)
+    // same guard as the Seq overload: an empty frame would either fail
+    // the sidecar read-back with a confusing no-schema error (zero part
+    // files written) or commit a pointless no-op version
+    require(!keys.select(keyCol).isEmpty,
+      "empty delete key set — nothing to delete")
+    val n = claimVersion(spark, dir)
     keys.select(keyCol).distinct()
       .write.mode("overwrite").parquet(s"$dir/v$n/_dv")
     val dvManifest = spark.read.parquet(s"$dir/v$n/_dv")
@@ -1089,7 +1163,7 @@ object Snapshot {
       s"column '$name' was already added to $dir")
     require(!read(spark, dir).columns.contains(name),
       s"column '$name' already exists physically in $dir")
-    val n = nextVersion(spark, dir)
+    val n = claimVersion(spark, dir)
     // manifest first (nextVersion allocates from manifests, so a crashed
     // attempt can't leak its sidecar onto a reused version number)
     readManifest(spark, dir, cur)
@@ -1146,7 +1220,7 @@ object Snapshot {
       "snapshot tables reserve the layout column name _p")
     requireAddedCols(spark, dir, currentVersion(spark, dir), df,
       "published snapshot") // see stagePublish
-    val n = nextVersion(spark, dir)
+    val n = claimVersion(spark, dir)
     df.withColumn("_p", col(partCol))
       .repartitionByRange(nFiles, col("_p"), col(statsCol))
       .sortWithinPartitions("_p", statsCol)
@@ -1210,6 +1284,118 @@ object Snapshot {
           .unionByName(right.exceptAll(left).withColumn("op", lit("add"))
             .select(col("op") +: cols: _*))
     }
+  }
+
+  /** CHANGE DATA FEED between two retained versions — [[diffVersions]]
+    * generalized to the full lifecycle (the Delta-CDF / Iceberg
+    * incremental-scan verb): the ROW-LEVEL net changes of the table's
+    * LOGICAL content (data files minus pending delete-vector masks)
+    * from `fromV` to `toV`, as `(_change_type ∈ {'insert','delete'},
+    * <row columns>)`. An append surfaces as inserts; an upsert as
+    * delete+insert of the changed rows; a merge-on-read delete as
+    * deletes of the newly-masked rows WITHOUT materialization (the DV
+    * sidecar is part of the logical content); [[applyMorDeletes]] and
+    * [[compactPartitions]] emit NOTHING — content-preserving rewrites
+    * cancel row-for-row. This turns the version history into the input
+    * of incremental view maintenance: a consumer holding an aggregate
+    * of `fromV` applies these deltas (insert = +, delete = −) and lands
+    * exactly on the aggregate of `toV` (`x_io_cdf` grades that law end
+    * to end; SnapshotSpec pins each lifecycle verb's emission).
+    *
+    * Cost shape (100 TB): files present in BOTH manifests are immutable
+    * and identical, so they cancel by identity and are read ONLY where a
+    * delete-vector's mask status changed — restricted to the CHANGED dv
+    * keys (semi-join), with statted files range-pruned from #files-sized
+    * manifest metadata first (the [[stagePurgeFrameImpl]] device, same
+    * numeric-key-stats contract). Everything else reads only the
+    * SYMMETRIC DIFFERENCE of the file sets, and unchanged rows inside a
+    * rewritten partition cancel in the exceptAll — a one-partition
+    * upsert on a thousand-partition table feeds IVM by reading one
+    * partition, and a pure append reads only the appended files.
+    *
+    * Refuses across an [[addColumn]] boundary (under which schema would
+    * row equality be decided?) — same contract as [[diffVersions]].
+    */
+  def readChanges(spark: SparkSession, dir: String, fromV: Int,
+      toV: Int): DataFrame = {
+    require(fromV >= 1 && toV >= 1, "versions must be >= 1")
+    val ctx = fc(spark)
+    Seq(fromV, toV).foreach(v =>
+      require(ctx.util.exists(new Path(dir, s"_manifest.v$v")),
+        s"snapshot $dir has no manifest for v$v (never committed, or vacuumed)"))
+    require(addedColumnsAt(spark, dir, fromV) == addedColumnsAt(spark, dir, toV),
+      s"snapshot $dir: schema changed between v$fromV and v$toV (addColumn) — " +
+        "read changes within one schema generation")
+    val ma = readManifest(spark, dir, fromV)
+    val mb = readManifest(spark, dir, toV)
+    val fa = dataRows(ma).select("path").collect().map(_.getString(0)).toSet
+    val fb = dataRows(mb).select("path").collect().map(_.getString(0)).toSet
+    val onlyA = (fa -- fb).toArray
+    val onlyB = (fb -- fa).toArray
+    val shared = fa.intersect(fb)
+    val schemaV = math.max(fromV, toV)
+    val dvA = dvKeysOf(spark, dir, fromV)
+    val dvB = dvKeysOf(spark, dir, toV)
+    for { (ka, _) <- dvA; (kb, _) <- dvB } require(ka == kb,
+      s"snapshot $dir: delete-vector key column changed between v$fromV " +
+        s"('$ka') and v$toV ('$kb')")
+    def mask(df: DataFrame, dv: Option[(String, DataFrame)]): DataFrame =
+      dv.fold(df) { case (kc, keys) => df.join(keys, Seq(kc), "left_anti") }
+    // the dv keys whose MASK STATUS differs between the versions — the
+    // only keys for which a shared (identity-cancelled) file can hold a
+    // logical change. #sidecar-sized frames; the emptiness probe keeps
+    // the no-dv-change path from touching shared files at all.
+    val changed: Option[(String, DataFrame)] = ((dvA, dvB) match {
+      case (None, None) => None
+      case (Some((k, a)), Some((_, b))) =>
+        Some((k, a.exceptAll(b).union(b.exceptAll(a))))
+      case (Some((k, a)), None) => Some((k, a))
+      case (None, Some((k, b))) => Some((k, b))
+    }).filter { case (_, ck) => !ck.isEmpty }
+    // shared-file rows whose key mask changed, read once per side under
+    // each side's full mask; stats-statted shared files are range-pruned
+    // against the changed keys before any data I/O
+    val sharedExtra: Option[(DataFrame, DataFrame)] =
+      if (shared.isEmpty) None
+      else changed.flatMap { case (kc, ck) =>
+        val entries = dataRows(mb)
+          .filter(col("path").isin(shared.toSeq: _*))
+          .select("path", "stat_lo", "stat_hi")
+        val unstatted = entries
+          .filter(col("stat_lo").isNull || col("stat_hi").isNull)
+          .select("path").collect().map(_.getString(0))
+        val hitStatted = ck.select(col(kc).cast("double").as("_k"))
+          .join(broadcast(entries.filter(
+            col("stat_lo").isNotNull && col("stat_hi").isNotNull)),
+            col("_k") >= col("stat_lo") && col("_k") <= col("stat_hi"))
+          .select("path").distinct().collect().map(_.getString(0))
+        val hit = (unstatted ++ hitStatted).distinct
+        if (hit.isEmpty) None
+        else {
+          val rows = readFiles(spark, dir, schemaV, hit)
+            .join(ck, Seq(kc), "left_semi")
+          Some((mask(rows, dvA), mask(rows, dvB)))
+        }
+      }
+    // L_from ∖ L_to restricted to where they can differ: the common
+    // sub-multiset (shared files at unchanged mask status) cancels in
+    // the multiset difference, so both sides carry only their exclusive
+    // files (under their full dv mask) plus the mask-changed shared rows
+    val template = readVersion(spark, dir, schemaV).limit(0)
+    val canonical = template.columns.toIndexedSeq
+    def canon(df: DataFrame): DataFrame = df.select(canonical.map(col): _*)
+    def rowsOf(paths: Array[String]): Option[DataFrame] =
+      if (paths.isEmpty) None else Some(readFiles(spark, dir, schemaV, paths))
+    def side(only: Array[String], dv: Option[(String, DataFrame)],
+        extra: Option[DataFrame]): DataFrame =
+      (rowsOf(only).map(mask(_, dv)).toSeq ++ extra.toSeq)
+        .map(canon).reduceOption(_ union _).getOrElse(canon(template))
+    val left = side(onlyA, dvA, sharedExtra.map(_._1))
+    val right = side(onlyB, dvB, sharedExtra.map(_._2))
+    left.exceptAll(right).withColumn("_change_type", lit("delete"))
+      .unionByName(
+        right.exceptAll(left).withColumn("_change_type", lit("insert")))
+      .select(col("_change_type") +: canonical.map(col): _*)
   }
 
   /** [[read]] pruned to files whose recorded [stat_lo, stat_hi] range
@@ -1511,6 +1697,11 @@ object Snapshot {
           !retained.contains(name.stripPrefix("_claim.v").toInt)) {
         // expired optimistic-commit claims: the pointer moved past this
         // base, so the version precheck alone now rejects late writers
+        fs.delete(st.getPath, false)
+      } else if (st.isFile && name.matches("_stage\\.v\\d+") &&
+          !retained.contains(name.stripPrefix("_stage.v").toInt)) {
+        // expired version-number claims (claimVersion): the version is
+        // out of retention, so nothing can reference or re-stage it
         fs.delete(st.getPath, false)
       } else if (st.isDirectory && name.matches("_schema\\.v\\d+") &&
           name.stripPrefix("_schema.v").toInt > n) {

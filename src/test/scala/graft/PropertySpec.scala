@@ -155,12 +155,50 @@ class PropertySpec extends SparkSpec {
     val target = rows.map(_._2).min
     rows.foreach { case (src, nSrc, nKept, rate) =>
       assert(nKept <= nSrc, src)
-      // u*n_src < n_target*2^32 is always true when n_src == n_target
+      // u < u_max = floor(1.0 * 2^32) is always true when n_src ==
+      // n_target (u is 32 bits, strictly under 2^32)
       if (nSrc == target) assert(rate === 1.0, s"$src is the min source")
       // acceptance is binomial(n_src, target/n_src): 5 sd slack
       val sd = math.sqrt(target.toDouble * (1 - target.toDouble / nSrc))
       assert(math.abs(nKept.toDouble - target) <= 5 * sd + 1, s"$src kept $nKept vs target $target")
     }
+  }
+
+  test("mix balance threshold form is exact past 2^31-row sources (no 64-bit wrap)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // the RETIRED integer product test u·n_src < n_target·2^32 wraps in
+    // signed 64-bit once n_src ≥ 2^31 in non-ANSI Spark: a big u times a
+    // 3e9-row group overflows negative and silently KEEPS a row the rate
+    // says to drop. The graded key now precomputes the per-group
+    // threshold u_max = floor(n_target/n_src · 2^32) — a double product
+    // that never exceeds 2^32 because n_target/n_src ≤ 1 — and compares
+    // u < u_max, exact at ANY group size. Pin both facts at the sizes a
+    // fixture cannot reach: synthetic group counts ≥ 2^31.
+    val rows = Seq(
+      // (n_src, n_target, u): u chosen just above the true threshold
+      (3000000000L, 2500000000L, 3579139413L), // rate 5/6 → u_max 3579139413
+      (4000000000L, 1000000000L, 1073741824L), // rate 1/4 → u_max 2^30
+      (4000000000L, 1000000000L, 1073741823L)  // just UNDER → kept
+    ).toDF("n_src", "n_target", "u")
+    val got = rows.select(
+      (col("u") < floor(col("n_target").cast("double") / col("n_src") * lit(4294967296.0))
+        .cast("bigint")).as("kept_threshold"))
+      .collect()
+    assert(got.map(_.getBoolean(0)).toSeq === Seq(false, false, true))
+    // the retired product form in this regime: under ANSI (this
+    // session's default) the 64-bit overflow ABORTS the whole query;
+    // with ANSI off it would wrap silently and keep the wrong rows —
+    // either way, unusable past 2^31-row sources
+    val ex = intercept[Throwable] {
+      rows.select((col("u") * col("n_src") <
+        col("n_target") * lit(4294967296L)).as("kept_product")).collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    assert(chain(ex).exists(t => t.getMessage != null &&
+        t.getMessage.contains("ARITHMETIC_OVERFLOW")),
+      s"expected the retired product form to overflow at n_src >= 2^31: $ex")
   }
 
   test("minhash cluster formulation == naive band join (same pair set)") {

@@ -954,6 +954,73 @@ class SnapshotSpec extends SparkSpec {
     intercept[Exception] { spark.sql(s"GRAFT SNAPSHOT HISTORY '$dir'") }
   }
 
+  test("SQL WRITE statements stage+commit through optimistic concurrency; CHANGES feeds CDF from SQL") {
+    val dir = freshDir()
+    Snapshot.publish(spark, dir, docs, "lang", "text") // v1
+    val ext = org.apache.spark.sql.GraftBridge.sessionWithExtensions(
+      spark, new graft.plans.GraftExtensions)
+    graft.ops.T.t(ext, sf(), "documents").createOrReplaceTempView("sw_docs")
+    // APPEND: the tail is full Spark SQL parsed by the delegate; the
+    // receipt names the committed version
+    val r1 = ext.sql(s"GRAFT SNAPSHOT APPEND '$dir' PARTITION lang CHECKSUM text AS " +
+      "SELECT doc_id + 7000000 AS doc_id, text, lang, source, n_chars " +
+      "FROM sw_docs WHERE lang = 'de'").head()
+    assert(r1.getString(0) === "append" && r1.getInt(2) === 2)
+    // UPSERT: replaces by key, commits v3
+    val r2 = ext.sql(s"GRAFT SNAPSHOT UPSERT '$dir' KEY doc_id PARTITION lang CHECKSUM text AS " +
+      "SELECT doc_id, text || ' sqlw' AS text, lang, source, n_chars " +
+      "FROM sw_docs WHERE lang = 'en' AND doc_id % 10 = 0").head()
+    assert(r2.getString(0) === "upsert" && r2.getInt(2) === 3)
+    // the committed content is exactly the relational replay
+    val appended = docs.filter(col("lang") === "de")
+      .withColumn("doc_id", col("doc_id") + lit(7000000L))
+    val edited = docs.filter(col("lang") === "en" && pmod(col("doc_id"), lit(10)) === 0)
+      .withColumn("text", concat(col("text"), lit(" sqlw")))
+    val expect = docs.join(edited.select("doc_id"), Seq("doc_id"), "left_anti")
+      .unionByName(edited).unionByName(appended)
+    assert(fingerprint(Snapshot.read(spark, dir)) === fingerprint(expect))
+    // CHANGES: the CDF reachable from SQL — the upsert step's deltas
+    val c = ext.sql(s"GRAFT SNAPSHOT CHANGES '$dir' FROM 2 TO 3")
+    assert(fingerprint(c.filter(col("_change_type") === "insert")
+      .drop("_change_type")) === fingerprint(edited))
+    // writes inherit the OPTIMISTIC protocol: the statement observes the
+    // current version at start and CASes onto it — a claim already held
+    // on that base makes the statement fail LOUDLY, nothing committed
+    java.nio.file.Files.createFile(java.nio.file.Paths.get(dir, "_claim.v3"))
+    intercept[Snapshot.CommitConflictException] {
+      ext.sql(s"GRAFT SNAPSHOT APPEND '$dir' PARTITION lang CHECKSUM text AS " +
+        "SELECT doc_id + 9000000 AS doc_id, text, lang, source, n_chars " +
+        "FROM sw_docs WHERE lang = 'fr'")
+    }
+    assert(Snapshot.currentVersion(spark, dir) === 3)
+  }
+
+  test("parser hardening: escaped-quote paths, graft-specific errors, near-miss delegation") {
+    val ext = org.apache.spark.sql.GraftBridge.sessionWithExtensions(
+      spark, new graft.plans.GraftExtensions)
+    // a path containing a quote round-trips through SQL '' escaping
+    val odd = new java.io.File(freshDir(), "o'brien").getAbsolutePath
+    Snapshot.publish(spark, odd, docs, "lang", "text")
+    val h = ext.sql(s"GRAFT SNAPSHOT HISTORY '${odd.replace("'", "''")}'").collect()
+    assert(h.length === 1 && h(0).getInt(0) === 1)
+    // a malformed statement that CLAIMS the graft prefix gets a graft
+    // diagnosis with the grammar, not delegate ANTLR noise
+    val ex = intercept[graft.plans.GraftParseException] {
+      ext.sql("GRAFT SNAPSHOT HISTROY '/tmp/x'")
+    }
+    assert(ex.getMessage.contains("HISTROY") && ex.getMessage.contains("expected one of"))
+    // trailing garbage after a well-formed head is also ours to refuse
+    intercept[graft.plans.GraftParseException] {
+      ext.sql("GRAFT SNAPSHOT READ '/tmp/x' VERSION 2 garbage")
+    }
+    // a NEAR-MISS that does not claim the prefix delegates VERBATIM and
+    // fails with Spark's own parse error (never a graft message)
+    val near = intercept[Exception] { ext.sql("GRAFT SNAPSHOTT HISTORY '/tmp/x'") }
+    assert(!near.isInstanceOf[graft.plans.GraftParseException])
+    // and ordinary SQL still parses through the delegate untouched
+    assert(ext.sql("SELECT 41 + 1 AS x").head().getInt(0) === 42)
+  }
+
   test("stageDeleteMor refuses a typo'd or metadata-added key column before anything commits") {
     import spark.implicits._
     val dir = freshDir()
@@ -983,5 +1050,158 @@ class SnapshotSpec extends SparkSpec {
     // nothing committed, nothing wedged: every read surface still works
     assert(fingerprint(Snapshot.read(spark, dir).drop("quality")) === before)
     assert(Snapshot.readVerified(spark, dir, "text").count() === docs.count())
+  }
+
+  test("an empty delete key FRAME refuses loudly instead of a confusing sidecar failure") {
+    import spark.implicits._
+    val dir = freshDir()
+    Snapshot.publish(spark, dir, docs, "lang", "text")
+    val before = fingerprint(Snapshot.read(spark, dir))
+    intercept[IllegalArgumentException] {
+      Snapshot.stageDeleteMor(spark, dir,
+        spark.range(0).toDF("doc_id"), "doc_id")
+    }
+    assert(Snapshot.currentVersion(spark, dir) === 1)
+    assert(fingerprint(Snapshot.read(spark, dir)) === before)
+  }
+
+  test("concurrent stagers are allocated DISTINCT version numbers (claimed, not guessed)") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val dir = freshDir()
+    Snapshot.publish(spark, dir, docs, "lang", "text") // v1
+    // two writers stage appends CONCURRENTLY from the same base: before
+    // claimVersion, both list-max+1 to the same number and the second
+    // mode("overwrite") silently clobbers the first's staged files AND
+    // manifest — the staged-manifest-identity hole the commit claim
+    // cannot see (it protects only the pointer flip)
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    def stage(lang: String, suffix: String): Future[Int] = Future {
+      barrier.await()
+      Snapshot.stageAppend(spark, dir,
+        docs.filter(col("lang") === lang)
+          .withColumn("doc_id", col("doc_id") + lit(3000000L))
+          .withColumn("text", concat(col("text"), lit(suffix))),
+        "lang", "text")
+    }
+    val (fa, fb) = (stage("en", " s-a"), stage("de", " s-b"))
+    val va = Await.result(fa, 120.seconds)
+    val vb = Await.result(fb, 120.seconds)
+    assert(va !== vb, "two concurrent stagers were handed the same version number")
+    // both staged manifests exist intact and each reads back its own rows
+    Seq(va, vb).foreach { v =>
+      val got = Snapshot.readVersion(spark, dir, v).count()
+      assert(got > docs.count(), s"staged v$v lost its appended rows")
+    }
+  }
+
+  test("THREE-writer commitIfCompatible race: two concurrent losers never clobber each other's merge") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val dir = freshDir()
+    Snapshot.publish(spark, dir, docs, "lang", "text") // v1
+    // three writers on DISJOINT partitions staged from the same base:
+    // whoever wins the first flip leaves TWO losers re-staging merged
+    // manifests concurrently — the exact two-loser window where a
+    // non-atomic version pick overwrites the other loser's merge and
+    // silently loses rows (ADVICE r12, high)
+    val edits = Seq("en" -> " e1", "de" -> " e2", "fr" -> " e3").map {
+      case (lang, sfx) =>
+        docs.filter(col("lang") === lang)
+          .withColumn("text", concat(col("text"), lit(sfx)))
+    }
+    val staged = edits.map(u =>
+      Snapshot.stageUpsert(spark, dir, u, "doc_id", "lang", "text"))
+    val barrier = new java.util.concurrent.CyclicBarrier(3)
+    val landed = staged.map(v => Future {
+      barrier.await()
+      Snapshot.commitIfCompatible(spark, dir, v, base = 1)
+    })
+    val results = landed.map(Await.result(_, 180.seconds))
+    assert(results.distinct.size === 3)
+    // the final table carries ALL THREE writers' edits — nothing lost
+    val expect = edits.foldLeft(
+      docs.filter(!col("lang").isin("en", "de", "fr")))(_ unionByName _)
+    assert(fingerprint(Snapshot.read(spark, dir)) === fingerprint(expect))
+  }
+
+  test("a crashed claim holder is diagnosed by name; releaseStaleClaim unwedges the base") {
+    val dir = freshDir()
+    Snapshot.publish(spark, dir, docs, "lang", "text") // v1
+    val v2 = Snapshot.stageUpsert(spark, dir, updates, "doc_id", "lang", "text")
+    // simulate a writer that claimed base 1 and crashed before the flip
+    java.nio.file.Files.createFile(java.nio.file.Paths.get(dir, "_claim.v1"))
+    val ex = intercept[Snapshot.CommitConflictException] {
+      Snapshot.commitIfCompatible(spark, dir, v2, base = 1, claimWaitMs = 200)
+    }
+    assert(ex.getMessage.contains("_claim.v1"),
+      s"the wedged-base diagnosis must NAME the stale marker: ${ex.getMessage}")
+    assert(ex.getMessage.contains("releaseStaleClaim"))
+    // recovery: release the stale claim, then the same commit lands
+    Snapshot.releaseStaleClaim(spark, dir, 1)
+    assert(Snapshot.commitIfCompatible(spark, dir, v2, base = 1) === v2)
+    assert(fingerprint(Snapshot.read(spark, dir)) === fingerprint(mergedExpected))
+  }
+
+  test("CDF: append, upsert, and MoR delete emit exactly their deltas; compaction and materialization emit NOTHING") {
+    val dir = freshDir()
+    val v1 = Snapshot.publish(spark, dir, docs, "lang", "text")
+    // v2: append — CDF = pure inserts of the appended rows
+    val fresh = docs.filter(col("lang") === "en" && pmod(col("doc_id"), lit(100)) === 0)
+      .withColumn("doc_id", col("doc_id") + lit(5000000L))
+    val v2 = Snapshot.stageAppend(spark, dir, fresh, "lang", "text")
+    Snapshot.commit(spark, dir, v2)
+    val c12 = Snapshot.readChanges(spark, dir, v1, v2)
+    assert(c12.filter(col("_change_type") === "delete").isEmpty)
+    assert(fingerprint(c12.filter(col("_change_type") === "insert")
+      .drop("_change_type")) === fingerprint(fresh))
+    // v3: compaction of the append-fragmented en partition — layout
+    // only, the CDF MUST emit nothing
+    val v3 = Snapshot.compactPartitions(spark, dir, "lang", "text", maxFiles = 1)
+    assert(v3 > v2, "fixture must actually fragment so compaction runs")
+    assert(Snapshot.readChanges(spark, dir, v2, v3).isEmpty,
+      "compaction is content-preserving; the CDF must not see it")
+    // v4: upsert — CDF = delete(old row) + insert(new row), changed rows only
+    val v4 = Snapshot.upsert(spark, dir, updates, "doc_id", "lang", "text")
+    val c34 = Snapshot.readChanges(spark, dir, v3, v4)
+    val oldRows = docs.join(updates.select("doc_id"), Seq("doc_id"), "left_semi")
+    assert(fingerprint(c34.filter(col("_change_type") === "delete")
+      .drop("_change_type")) === fingerprint(oldRows))
+    assert(fingerprint(c34.filter(col("_change_type") === "insert")
+      .drop("_change_type")) === fingerprint(updates))
+    // v5: merge-on-read delete — CDF = deletes of the masked rows, read
+    // from UNCHANGED shared files (no rewrite happened)
+    val v5 = Snapshot.deleteMorKeys(spark, dir, Seq(3L, 11L), "doc_id")
+    val c45 = Snapshot.readChanges(spark, dir, v4, v5)
+    assert(c45.filter(col("_change_type") === "insert").isEmpty)
+    assert(fingerprint(c45.filter(col("_change_type") === "delete")
+      .drop("_change_type")) ===
+      fingerprint(Snapshot.readVersion(spark, dir, v4)
+        .filter(col("doc_id").isin(3L, 11L))))
+    // v6: materializing the DVs — content-preserving, CDF emits nothing
+    val v6 = Snapshot.applyMorDeletes(spark, dir, "lang", "text")
+    assert(v6 > v5)
+    assert(Snapshot.readChanges(spark, dir, v5, v6).isEmpty,
+      "applyMorDeletes is content-preserving; the CDF must not see it")
+    // the IVM law end to end: v1's content + all net changes = v6's content
+    val net = Snapshot.readChanges(spark, dir, v1, v6)
+    val maintained = Snapshot.readVersion(spark, dir, v1)
+      .unionByName(net.filter(col("_change_type") === "insert").drop("_change_type"))
+      .exceptAll(net.filter(col("_change_type") === "delete").drop("_change_type"))
+    assert(fingerprint(maintained) === fingerprint(Snapshot.read(spark, dir)))
+  }
+
+  test("CDF refuses across an addColumn boundary and a vacuumed horizon") {
+    val dir = freshDir()
+    val v1 = Snapshot.publish(spark, dir, docs, "lang", "text")
+    val v2 = Snapshot.addColumn(spark, dir, "quality", "DOUBLE", "0.5")
+    intercept[IllegalArgumentException] {
+      Snapshot.readChanges(spark, dir, v1, v2)
+    }
+    intercept[IllegalArgumentException] {
+      Snapshot.readChanges(spark, dir, 7, v2) // no such manifest
+    }
   }
 }
