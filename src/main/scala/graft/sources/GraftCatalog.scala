@@ -1,0 +1,127 @@
+package graft.sources
+
+import java.util.{Map => JMap}
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
+import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Spark `TableCatalog` plugin over a directory of snapshot tables —
+  * the CATALOG front door (the third SQL surface after the path-option
+  * DSv2 source and the parser statements): catalog-managed identifiers
+  * and native SQL time travel, no path options anywhere in the query:
+  *
+  * {{{
+  *   spark.sql.catalog.graft      = graft.sources.GraftCatalog
+  *   spark.sql.catalog.graft.root = /data/graft        // the warehouse
+  *
+  *   SELECT * FROM graft.corpus.docs                   -- committed
+  *   SELECT * FROM graft.corpus.docs VERSION AS OF 3   -- time travel
+  * }}}
+  *
+  * Layout contract: identifier `graft.<ns…>.<table>` maps to the
+  * snapshot root `<root>/<ns…>/<table>` — a table IS a directory with a
+  * committed `_latest` pointer, so the catalog needs no metastore: the
+  * filesystem tree is the namespace, `listTables` is one directory
+  * listing, and two engines pointed at the same root see the same
+  * catalog (the Delta-on-path / Hadoop-catalog-Iceberg shape). Each
+  * `loadTable` resolves pointer + manifest ONCE (snapshot isolation per
+  * query) and delegates the scan to Spark's vectorized parquet stack
+  * over the manifest's explicit file list ([[SnapshotTables]] — shared
+  * with [[SnapshotSource]], so pushdown/codegen/refusal semantics are
+  * identical through every door). `VERSION AS OF n` routes to the
+  * time-travel overload; `TIMESTAMP AS OF` stays unsupported (versions
+  * are the format's time axis — the pointer records no wall clock,
+  * deliberately: wall-clock lineage is the commit TAG's job).
+  *
+  * READ-ONLY by design: every mutation verb (CREATE/ALTER/DROP/RENAME
+  * through the catalog) refuses loudly and names the staged-commit API —
+  * writes must go through `Snapshot.stage*` + commit (or the parser's
+  * `GRAFT SNAPSHOT APPEND/UPSERT`), which carry the format's atomicity
+  * and optimistic-concurrency invariants; a catalog-path write that
+  * bypassed them would be the silent-corruption side door the DSv2
+  * source already refuses.
+  */
+class GraftCatalog extends TableCatalog {
+
+  private var catalogName: String = _
+  private var root: String = _
+
+  override def initialize(name: String,
+      options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    root = Option(options.get("root")).getOrElse(sys.error(
+      s"catalog '$name' requires spark.sql.catalog.$name.root " +
+        "(the directory whose subdirectories are snapshot tables)"))
+  }
+
+  override def name(): String = catalogName
+
+  private def spark: SparkSession = SparkSession.active
+
+  private def dirOf(ident: Identifier): String =
+    (ident.namespace() :+ ident.name()).mkString(s"$root/", "/", "")
+
+  private def isTable(dir: String): Boolean = {
+    val p = new Path(dir, "_latest")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  override def tableExists(ident: Identifier): Boolean = isTable(dirOf(ident))
+
+  private def load(ident: Identifier, version: Option[Int]): Table = {
+    val dir = dirOf(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    SnapshotTables.readOnly(SnapshotTables.parquetTable(spark, dir, version, None))
+  }
+
+  override def loadTable(ident: Identifier): Table = load(ident, None)
+
+  /** `VERSION AS OF <v>` — native SQL time travel onto the format's
+    * immutable version history.
+    */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val v = version.toIntOption.getOrElse(sys.error(
+      s"catalog '$catalogName': VERSION AS OF takes a snapshot version " +
+        s"number, got '$version'"))
+    load(ident, Some(v))
+  }
+
+  /** One directory listing — a table is any child dir with a committed
+    * pointer (crashed/staging dirs are invisible, exactly like reads).
+    */
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val nsDir = (root +: namespace).mkString("/")
+    val p = new Path(nsDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) throw new NoSuchNamespaceException(namespace)
+    fs.listStatus(p).filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(n => isTable(s"$nsDir/$n"))
+      .map(Identifier.of(namespace, _))
+  }
+
+  private def readOnlyRefusal(verb: String): Nothing =
+    throw new UnsupportedOperationException(
+      s"graft catalog '$catalogName' is read-only: $verb must go through " +
+        "the staged-commit API (Snapshot.publish/stage*+commit, or the " +
+        "GRAFT SNAPSHOT APPEND/UPSERT SQL statements), which carry the " +
+        "format's atomicity and optimistic-concurrency invariants")
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: JMap[String, String]): Table =
+    readOnlyRefusal(s"CREATE TABLE $ident")
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    readOnlyRefusal(s"ALTER TABLE $ident")
+
+  override def dropTable(ident: Identifier): Boolean =
+    readOnlyRefusal(s"DROP TABLE $ident")
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    readOnlyRefusal(s"RENAME TABLE $oldIdent")
+}

@@ -72,13 +72,8 @@ class SnapshotSource extends TableProvider with DataSourceRegister {
     cached match {
       case Some((k, t)) if k == key => t
       case _ =>
-        val spark = SparkSession.active
-        val files = Snapshot.sqlFiles(spark, dir, version, parts)
-        val opts = new java.util.HashMap[String, String]()
-        opts.put("recursiveFileLookup", "true") // no _p= dir inference
-        val t = ParquetTable(s"graft-snapshot $key", spark,
-          new CaseInsensitiveStringMap(opts), files, None,
-          classOf[ParquetFileFormat])
+        val t = SnapshotTables.parquetTable(SparkSession.active, dir,
+          version, parts)
         cached = Some((key, t))
         t
     }
@@ -88,12 +83,40 @@ class SnapshotSource extends TableProvider with DataSourceRegister {
     resolve(options).schema
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: JMap[String, String]): Table = {
-    val parquet = resolve(new CaseInsensitiveStringMap(properties))
-    // wrap to (a) carry the snapshot identity in name() and (b) refuse
-    // the write path — the format's invariants live in the staged-commit
-    // API, and a raw parquet write under the root would corrupt nothing
-    // (unreferenced files) but silently vanish, which is worse.
+      properties: JMap[String, String]): Table =
+    SnapshotTables.readOnly(
+      resolve(new CaseInsensitiveStringMap(properties)))
+}
+
+/** Shared DSv2 table construction for the snapshot format's two SQL
+  * doors — the path-option [[SnapshotSource]] and the catalog-identifier
+  * [[GraftCatalog]]: both resolve pointer+manifest once and delegate the
+  * scan to Spark's vectorized [[ParquetTable]] over the explicit file
+  * list, wrapped read-only.
+  */
+private[sources] object SnapshotTables {
+
+  /** One snapshot-pinned ParquetTable (see [[SnapshotSource]] class doc
+    * for why delegation buys pushdown/codegen for free).
+    */
+  def parquetTable(spark: SparkSession, dir: String, version: Option[Int],
+      parts: Option[Seq[String]]): ParquetTable = {
+    val files = Snapshot.sqlFiles(spark, dir, version, parts)
+    val opts = new java.util.HashMap[String, String]()
+    opts.put("recursiveFileLookup", "true") // no _p= dir inference
+    ParquetTable(
+      s"graft-snapshot $dir@${version.getOrElse(-1)}@${parts.map(_.mkString("|")).getOrElse("*")}",
+      spark, new CaseInsensitiveStringMap(opts), files, None,
+      classOf[ParquetFileFormat])
+  }
+
+  /** Wrap to (a) carry the snapshot identity in name() and (b) refuse
+    * the write path — the format's invariants live in the staged-commit
+    * API (Scala, or the parser's GRAFT SNAPSHOT APPEND/UPSERT
+    * statements), and a raw parquet write under the root would corrupt
+    * nothing (unreferenced files) but silently vanish, which is worse.
+    */
+  def readOnly(parquet: ParquetTable): Table =
     new Table with org.apache.spark.sql.connector.catalog.SupportsRead {
       override def name(): String = parquet.name
       override def capabilities(): java.util.Set[
@@ -105,5 +128,4 @@ class SnapshotSource extends TableProvider with DataSourceRegister {
           : org.apache.spark.sql.connector.read.ScanBuilder =
         parquet.newScanBuilder(options)
     }
-  }
 }

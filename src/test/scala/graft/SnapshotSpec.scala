@@ -1021,6 +1021,44 @@ class SnapshotSpec extends SparkSpec {
     assert(ext.sql("SELECT 41 + 1 AS x").head().getInt(0) === 42)
   }
 
+  test("TableCatalog: identifier reads, VERSION AS OF, listing, and read-only refusals") {
+    val root = freshDir()
+    val dir = s"$root/ns1/tbl"
+    Snapshot.publish(spark, dir, docs, "lang", "text") // v1
+    Snapshot.upsert(spark, dir, updates, "doc_id", "lang", "text") // v2
+    // a second child dir WITHOUT a pointer must be invisible (it is a
+    // crashed/staging dir, not a table)
+    new java.io.File(s"$root/ns1/not_a_table").mkdirs()
+    spark.conf.set("spark.sql.catalog.gcat_spec", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gcat_spec.root", root)
+    // committed read by identifier — no path option anywhere
+    assert(fingerprint(spark.sql("SELECT * FROM gcat_spec.ns1.tbl")) ===
+      fingerprint(mergedExpected))
+    // native SQL time travel
+    assert(fingerprint(
+      spark.sql("SELECT * FROM gcat_spec.ns1.tbl VERSION AS OF 1")) ===
+      fingerprint(docs))
+    // catalog listing: exactly the pointer-bearing dirs
+    assert(spark.sql("SHOW TABLES IN gcat_spec.ns1").collect()
+      .map(_.getString(1)).toSeq === Seq("tbl"))
+    // unknown identifiers and mutation verbs refuse loudly
+    intercept[Exception] { spark.sql("SELECT * FROM gcat_spec.ns1.nope").collect() }
+    val ex = intercept[Exception] {
+      spark.sql("DROP TABLE gcat_spec.ns1.tbl")
+    }
+    def msgs(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs(ex).contains("staged-commit API"),
+      s"DROP must refuse toward the staged-commit API: ${msgs(ex)}")
+    // the refusal semantics match the other SQL doors: pending DVs refuse
+    Snapshot.deleteMorKeys(spark, dir, Seq(3L), "doc_id")
+    val dv = intercept[Exception] {
+      spark.sql("SELECT * FROM gcat_spec.ns1.tbl").collect()
+    }
+    assert(msgs(dv).contains("applyMorDeletes"), msgs(dv))
+  }
+
   test("stageDeleteMor refuses a typo'd or metadata-added key column before anything commits") {
     import spark.implicits._
     val dir = freshDir()
