@@ -1473,6 +1473,54 @@ object Snapshot {
     files.map(p => s"$dir/$p").toIndexedSeq
   }
 
+  /** The APPEND-ONLY step contract of the version-log STREAMING source
+    * ([[graft.streaming.SnapshotStreamSource]]): the absolute paths of
+    * data files ADDED between two committed versions — exactly the rows
+    * a stream tailing the version log must emit for that step, derived
+    * from #files-sized manifest metadata (immutable files ⇒ the added
+    * rows ARE the added files' rows). Refuses LOUDLY when the step is
+    * not a pure append, rather than silently emitting wrong deltas:
+    *
+    *  - files REMOVED in the step (upsert / purge / replace / compact
+    *    rewrote something) — re-emitting rewritten files would duplicate
+    *    carried rows, skipping them would lose edits (Delta's streaming
+    *    source draws the same line and calls it ignoreChanges territory);
+    *  - delete-vector drift (a MoR delete landed) — an append stream has
+    *    no verb for retraction;
+    *  - an [[addColumn]] boundary — the stream's schema is pinned at
+    *    start.
+    *
+    * `fromV = 0` is the INITIAL LOAD: the full file list of `toV` via
+    * [[sqlFiles]] (which already refuses pending DVs and fill-needing
+    * added columns — states an explicit file list cannot express).
+    */
+  private[graft] def appendedFiles(spark: SparkSession, dir: String,
+      fromV: Int, toV: Int): Seq[String] = {
+    require(toV >= 1, s"version must be >= 1, got $toV")
+    if (fromV == 0) return sqlFiles(spark, dir, Some(toV))
+    def files(v: Int): Set[String] =
+      dataRows(readManifest(spark, dir, v))
+        .select("path").collect().map(_.getString(0)).toSet
+    val fa = files(fromV)
+    val fb = files(toV)
+    val removed = fa -- fb
+    if (removed.nonEmpty) throw new IllegalStateException(
+      s"snapshot table $dir: versions $fromV -> $toV removed/rewrote " +
+        s"${removed.size} file(s) (upsert, purge, replace, or compaction) — " +
+        "the version-log stream serves pure appends only; restart the " +
+        "stream from the current snapshot for a fresh initial load")
+    if (dvPaths(spark, dir, fromV) != dvPaths(spark, dir, toV))
+      throw new IllegalStateException(
+        s"snapshot table $dir: delete vectors changed between $fromV and " +
+          s"$toV — an append stream has no retraction verb; materialize " +
+          "with applyMorDeletes and restart the stream")
+    if (addedColumnsAt(spark, dir, fromV) != addedColumnsAt(spark, dir, toV))
+      throw new IllegalStateException(
+        s"snapshot table $dir: schema changed (addColumn) between $fromV " +
+          s"and $toV — restart the stream to pick up the new schema")
+    (fb -- fa).toSeq.sorted.map(p => s"$dir/$p")
+  }
+
   /** Read the committed snapshot: resolve the pointer ONCE, then scan the
     * manifest's explicit file list — immutable, so the read is consistent
     * even while a writer stages and commits the next version. Pending

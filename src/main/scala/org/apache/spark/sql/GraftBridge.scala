@@ -41,6 +41,19 @@ object GraftBridge {
   def planOf(df: DataFrame): LogicalPlan =
     df.asInstanceOf[classic.DataFrame].queryExecution.analyzed
 
+  /** Re-tag a batch DataFrame as STREAMING — what a v1 streaming
+    * `Source.getBatch` must return (MicroBatchExecution asserts
+    * `isStreaming` on the returned plan; `internalCreateDataFrame` is
+    * `private[sql]`, the same reason FileStreamSource builds its
+    * batches inside the sql package). The physical work stays lazy:
+    * `toRdd` is a plan, not a materialization.
+    */
+  def asStreamingFrame(spark: SparkSession, df: DataFrame): DataFrame = {
+    val cls = spark.asInstanceOf[classic.SparkSession]
+    val qe = df.asInstanceOf[classic.DataFrame].queryExecution
+    cls.internalCreateDataFrame(qe.toRdd, df.schema, isStreaming = true)
+  }
+
   /** A SIBLING session over the SAME SparkContext with `install`ed
     * extensions — the device that lets extension-dependent surfaces
     * (the injected parser; packaged functions/rules) be graded from a

@@ -2,7 +2,7 @@ package graft
 
 /** T1 blanket contract checks: every declared query runs on sf0.001,
   * the queries/oracleSql maps are mutually consistent, and the declared
-  * inventory matches SURVEY.md §2b (262 keys, 254 oracle-checked).
+  * inventory matches SURVEY.md §2b (263 keys, 255 oracle-checked).
   */
 class ContractSpec extends SparkSpec {
 
@@ -11,9 +11,9 @@ class ContractSpec extends SparkSpec {
       "t_stream_runtime", "t_stream_dedup", "t_stream_session",
       "t_stream_join")
 
-  test("inventory matches SURVEY §2b: 262 queries, 254 with oracle SQL") {
-    assert(SparkEntry.queries.size === 262)
-    assert(SparkEntry.oracleSql.size === 254)
+  test("inventory matches SURVEY §2b: 263 queries, 255 with oracle SQL") {
+    assert(SparkEntry.queries.size === 263)
+    assert(SparkEntry.oracleSql.size === 255)
     assert(SparkEntry.queries.keySet.intersect(nonOracle).size === 8)
   }
 

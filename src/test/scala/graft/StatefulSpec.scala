@@ -293,4 +293,68 @@ class StatefulSpec extends SparkSpec {
       }
     }
   }
+
+  test("version-log stream: one batch per commit, restart resumes exactly once, non-append refuses") {
+    val root = java.nio.file.Files.createTempDirectory("graft_vstream_spec").toString
+    val table = s"$root/table"
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val S = graft.sources.Snapshot
+    def third(k: Int) =
+      docs.filter(pmod(col("doc_id"), lit(3)) === k)
+    S.publish(spark, table, third(0), "lang", "text") // v1
+    S.commit(spark, table, S.stageAppend(spark, table, third(1), "lang", "text")) // v2
+    S.commit(spark, table, S.stageAppend(spark, table, third(2), "lang", "text")) // v3
+    def fp(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)),
+        coalesce(sum(conv(substring(md5(concat_ws("|", col("doc_id"), col("text"))),
+          1, 8), 16, 10).cast("bigint")), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val batches = new java.util.concurrent.ConcurrentLinkedQueue[(Long, (Long, Long))]()
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft-snapshot-stream")
+        .option("path", table).load()
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          batches.add((id, fp(b.toDF()))); ()
+        }
+        .option("checkpointLocation", s"$root/chk")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // run 1: exactly one batch per committed version, each = its appends
+    drain()
+    val run1 = batches.toArray(Array.empty[(Long, (Long, Long))]).sortBy(_._1)
+    assert(run1.length === 3, s"expected one batch per commit, got ${run1.length}")
+    assert(run1.map(_._2).toSeq === Seq(fp(third(0)), fp(third(1)), fp(third(2))))
+    // run 2 against the SAME checkpoint: a commit that landed while the
+    // stream was down is emitted exactly once — no replay of v1..v3
+    val late = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+      .withColumn("doc_id", col("doc_id") + lit(8000000L))
+    S.commit(spark, table, S.stageAppend(spark, table, late, "lang", "text")) // v4
+    batches.clear()
+    drain()
+    val run2 = batches.toArray(Array.empty[(Long, (Long, Long))])
+    assert(run2.length === 1, s"restart must emit only the new commit, got ${run2.length}")
+    assert(run2(0)._2 === fp(late))
+    // a fixed offset range is DETERMINISTIC (what makes a crash-retry
+    // of an uncommitted epoch exact): same range -> same file list ->
+    // same rows (files are immutable)
+    val f1 = graft.sources.Snapshot.appendedFiles(spark, table, 1, 2)
+    val f2 = graft.sources.Snapshot.appendedFiles(spark, table, 1, 2)
+    assert(f1 === f2 && f1.nonEmpty)
+    assert(fp(spark.read.parquet(f1: _*)) === fp(third(1)))
+    // a NON-APPEND commit (upsert rewrote files) fails the stream LOUDLY
+    S.upsert(spark, table,
+      third(0).withColumn("text", concat(col("text"), lit(" edit"))),
+      "doc_id", "lang", "text") // v5
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drain()
+    }
+    def msgs(t: Throwable): String =
+      Iterator.iterate(t: Throwable)(_.getCause).takeWhile(_ != null).take(8)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs(ex).contains("pure appends"), msgs(ex))
+  }
 }
