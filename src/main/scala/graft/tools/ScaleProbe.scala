@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
   * of 10c yields ~50c² pairs) — the probe prints output rows so the two
   * effects can be told apart.
   *
-  * `runMain graft.tools.ScaleProbe [sfDir] [keys|sigs|curation|cc|cluster|vocab|spans|bpe|quality|pq|geo|graph|graphx|streamjoin|snapshot|kll|gram|cdc|ivm|purge|mor|er|all]`
+  * `runMain graft.tools.ScaleProbe [sfDir] [keys|sigs|curation|cc|cluster|vocab|spans|bpe|quality|pq|geo|graph|graphx|streamjoin|snapshot|kll|gram|cdc|ivm|purge|mor|sqlread|commitrace|cdf|er|all]`
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -735,6 +735,109 @@ object ScaleProbe {
         f"materialize ${sm1}%5.2fs -> ${sm10}%5.2fs (factor ${sm10 / sm1}%4.1f, store-bound by design); " +
         f"range-confined: commit ${rd1}%5.2fs -> ${rd10}%5.2fs, " +
         f"materialize ${rm1}%5.2fs -> ${rm10}%5.2fs (factor ${rm10 / rm1}%4.1f, stats-pruned ~flat)")
+    }
+    // DSv2 SQL front door (round-13 probe): manifest-level partition
+    // prune vs full scan as the PARTITION COUNT grows 10× with one
+    // partition's size held fixed — the pruned read must stay ~FLAT (it
+    // plans from the #files-sized manifest and reads one partition's
+    // files), while the full read tracks the store. This is the prune's
+    // 100 TB claim measured: the `parts` option's cost is a metadata
+    // decision, not a scan.
+    if (mode == "all" || mode == "sqlread") {
+      def sqlProbe(mult: Int): (Double, Double) = {
+        val dir = java.nio.file.Files.createTempDirectory("probe_sqlread").toString
+        val docs = (0 until mult).map { i =>
+          base.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+            col("text"),
+            (if (i == 0) col("lang")
+             else concat(col("lang"), lit(s"_$i"))).as("lang"),
+            col("source"), col("n_chars"))
+        }.reduce(_ unionByName _)
+        graft.sources.Snapshot.publish(spark, dir, docs, "lang", "text")
+        def full() =
+          spark.read.format("graft-snapshot").option("path", dir).load().count()
+        def pruned() = spark.read.format("graft-snapshot").option("path", dir)
+          .option("parts", "en").load().count()
+        full(); pruned() // warm (JIT + codegen dominate the tiny fixture)
+        val t0 = System.nanoTime()
+        full()
+        val tFull = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        pruned()
+        (tFull, (System.nanoTime() - t1) / 1e9)
+      }
+      val (f1, p1) = sqlProbe(1)
+      val (f10, p10) = sqlProbe(10)
+      println(f"DSv2 read: full 1x ${f1}%5.2fs -> 10x-partitions ${f10}%5.2fs " +
+        f"(factor ${f10 / f1}%4.1f, store-bound); parts=en prune ${p1}%5.2fs -> " +
+        f"${p10}%5.2fs (factor ${p10 / p1}%4.1f, manifest-pruned ~flat)")
+    }
+    // commitIfCompatible under real contention (round-13 probe): N
+    // writers stage disjoint-partition upserts against ONE base and
+    // commit concurrently — every loser footprint-checks and re-merges
+    // (#files-sized metadata each), so the wall should grow ~linearly
+    // in writers (the serialized CAS chain), never quadratically in
+    // data. All writers must land; none may wedge or lose rows.
+    if (mode == "all" || mode == "commitrace") {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      def race(nWriters: Int): Double = {
+        val dir = java.nio.file.Files.createTempDirectory("probe_race").toString
+        val docs = base.withColumn("pk", pmod(col("doc_id"), lit(16)))
+        graft.sources.Snapshot.publish(spark, dir, docs, "pk", "text")
+        val staged = (0 until nWriters).map { w =>
+          graft.sources.Snapshot.stageUpsert(spark, dir,
+            docs.filter(col("pk") === w)
+              .withColumn("text", concat(col("text"), lit(s" w$w"))),
+            "doc_id", "pk", "text")
+        }
+        val barrier = new java.util.concurrent.CyclicBarrier(nWriters)
+        val t0 = System.nanoTime()
+        val landed = staged.map(v => Future {
+          barrier.await()
+          graft.sources.Snapshot.commitIfCompatible(spark, dir, v, base = 1,
+            maxRetries = nWriters + 2)
+        })
+        val vs = landed.map(Await.result(_, 300.seconds))
+        val wall = (System.nanoTime() - t0) / 1e9
+        require(vs.distinct.size == nWriters, s"writer lost: $vs")
+        wall
+      }
+      val w2 = race(2); val w4 = race(4); val w8 = race(8)
+      println(f"commitIfCompatible contention: 2 writers ${w2}%5.2fs, " +
+        f"4 writers ${w4}%5.2fs, 8 writers ${w8}%5.2fs " +
+        f"(8/2 factor ${w8 / w2}%4.1f; ~linear CAS chain, all landed)")
+    }
+    // Change-data-feed (round-13 probe): a ONE-partition upsert's CDF
+    // on a store with 10× the partitions — readChanges reads only the
+    // file-set symmetric difference, so the wall must stay ~FLAT as
+    // untouched partitions multiply (the one-partition-change-at-
+    // one-partition-cost claim, measured).
+    if (mode == "all" || mode == "cdf") {
+      def cdfProbe(mult: Int): (Double, Long) = {
+        val dir = java.nio.file.Files.createTempDirectory("probe_cdf").toString
+        val docs = (0 until mult).map { i =>
+          base.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+            col("text"),
+            (if (i == 0) col("lang")
+             else concat(col("lang"), lit(s"_$i"))).as("lang"),
+            col("source"), col("n_chars"))
+        }.reduce(_ unionByName _)
+        val v1 = graft.sources.Snapshot.publish(spark, dir, docs, "lang", "text")
+        val v2 = graft.sources.Snapshot.upsert(spark, dir,
+          docs.filter(col("lang") === "en" && pmod(col("doc_id"), lit(10)) === 0)
+            .withColumn("text", concat(col("text"), lit(" cdfp"))),
+          "doc_id", "lang", "text")
+        val t0 = System.nanoTime()
+        val n = graft.sources.Snapshot.readChanges(spark, dir, v1, v2).count()
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      val (c1, n1) = cdfProbe(1)
+      val (c10, n10) = cdfProbe(10)
+      println(f"CDF one-partition upsert: 1x ${c1}%5.2fs ($n1 changes) -> " +
+        f"10x-partitions ${c10}%5.2fs ($n10 changes; factor ${c10 / c1}%4.1f, " +
+        "symmetric-difference-bound ~flat)")
     }
     // Entity resolution at a 10× record set with the SAME name
     // vocabulary density: blocking bounds the quadratic per block, and
