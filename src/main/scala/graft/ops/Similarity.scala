@@ -2298,6 +2298,42 @@ object Similarity {
         .orderBy("lang")
     }),
 
+    // FULL SQL LIFECYCLE (GraftSqlParser maintenance verbs — COMPACT /
+    // APPLY DELETES / VACUUM alongside PUBLISH/APPEND/DELETE): the
+    // entire snapshot lifecycle — create, ingest, merge-on-read delete,
+    // materialize, compact, retention-vacuum, read — executed WITHOUT
+    // ONE SCALA CALL, the Delta OPTIMIZE/VACUUM surface on this format.
+    // Graded: per-lang aggregate of the post-lifecycle content PLUS the
+    // retained-version count from HISTORY (proves vacuum actually
+    // trimmed time travel to KEEP 1, and that every maintenance step
+    // was content-preserving).
+    "x_io_sql_maint" -> ((s, d) => {
+      val dir = T.scratchDir("graft_sqlmaint")
+      val ext = org.apache.spark.sql.GraftBridge.sessionWithExtensions(
+        s, new graft.plans.GraftExtensions)
+      t(ext, d, "documents").createOrReplaceTempView("maint_docs")
+      ext.sql(s"GRAFT SNAPSHOT PUBLISH '$dir' PARTITION lang CHECKSUM text AS " +
+        "SELECT * FROM maint_docs")
+      ext.sql(s"GRAFT SNAPSHOT APPEND '$dir' PARTITION lang CHECKSUM text AS " +
+        "SELECT doc_id + 6000000 AS doc_id, text, lang, source, n_chars " +
+        "FROM maint_docs WHERE lang = 'fr' AND doc_id % 40 = 0")
+      ext.sql(s"GRAFT SNAPSHOT COMPACT '$dir' PARTITION lang CHECKSUM text MAXFILES 1")
+      ext.sql(s"GRAFT SNAPSHOT DELETE '$dir' KEY doc_id AS " +
+        "SELECT doc_id FROM maint_docs WHERE doc_id IN (9, 44, 123)")
+      ext.sql(s"GRAFT SNAPSHOT APPLY DELETES '$dir' PARTITION lang CHECKSUM text")
+      ext.sql(s"GRAFT SNAPSHOT VACUUM '$dir' KEEP 1")
+      val nVersions = ext.sql(s"GRAFT SNAPSHOT HISTORY '$dir'")
+        .agg(count(lit(1)).as("n_versions"))
+      ext.sql(s"GRAFT SNAPSHOT READ '$dir'")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("n_chars"),
+          sum(conv(substring(md5(col("text")), 1, 8), 16, 10).cast("bigint"))
+            .as("checksum"))
+        .crossJoin(broadcast(nVersions))
+        .orderBy("lang")
+    }),
+
     // Declarative data-quality expectations (operators/Validate) — the
     // Great-Expectations/dbt-test class: a rule suite compiles to ONE
     // scan (all row rules fuse into a single agg), one groupBy per
@@ -3853,6 +3889,20 @@ object Similarity {
         "SELECT lang, count(*) AS n_docs, " +
         "CAST(sum(n_chars) AS BIGINT) AS n_chars, " +
         "CAST(sum(CAST(('0x' || substring(md5(text), 1, 8)) AS BIGINT)) AS BIGINT) AS checksum " +
+        "FROM finald GROUP BY lang ORDER BY lang"),
+    // The SQL lifecycle is content-preserving: final content = base
+    // minus MoR-deleted ids plus the appended fr slice; vacuum KEEP 1
+    // leaves exactly one retained version.
+    "x_io_sql_maint" ->
+      ("WITH finald AS (" +
+        "SELECT lang, text, n_chars FROM documents WHERE doc_id NOT IN (9, 44, 123) " +
+        "UNION ALL " +
+        "SELECT lang, text, n_chars FROM documents " +
+        "WHERE lang = 'fr' AND doc_id % 40 = 0) " +
+        "SELECT lang, count(*) AS n_docs, " +
+        "CAST(sum(n_chars) AS BIGINT) AS n_chars, " +
+        "CAST(sum(CAST(('0x' || substring(md5(text), 1, 8)) AS BIGINT)) AS BIGINT) AS checksum, " +
+        "CAST(1 AS BIGINT) AS n_versions " +
         "FROM finald GROUP BY lang ORDER BY lang"),
     // Both disjoint writers' edits must land — the merged table is the
     // base with each writer's CASE branch applied.

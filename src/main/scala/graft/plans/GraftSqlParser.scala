@@ -28,9 +28,24 @@ final class GraftParseException(msg: String) extends RuntimeException(msg)
   *   GRAFT SNAPSHOT HISTORY '<root>'
   *   GRAFT SNAPSHOT READ '<root>' [VERSION n]
   *   GRAFT SNAPSHOT CHANGES '<root>' FROM <n> TO <m>
+  *   GRAFT SNAPSHOT PUBLISH '<root>' PARTITION <col> CHECKSUM <col> AS <query>
   *   GRAFT SNAPSHOT APPEND '<root>' PARTITION <col> CHECKSUM <col> AS <query>
   *   GRAFT SNAPSHOT UPSERT '<root>' KEY <col> PARTITION <col> CHECKSUM <col> AS <query>
+  *   GRAFT SNAPSHOT DELETE '<root>' KEY <col> AS <query>
+  *   GRAFT SNAPSHOT COMPACT '<root>' PARTITION <col> CHECKSUM <col> [MAXFILES n]
+  *   GRAFT SNAPSHOT APPLY DELETES '<root>' PARTITION <col> CHECKSUM <col>
+  *   GRAFT SNAPSHOT VACUUM '<root>' [KEEP n]
   * }}}
+  *
+  * MAINTENANCE statements (Delta's OPTIMIZE/VACUUM shape) complete the
+  * lifecycle from SQL: COMPACT rolls fragmented partitions into one
+  * file each (layout-only, tag-preserving), APPLY DELETES materializes
+  * pending merge-on-read delete vectors, VACUUM enforces time-travel
+  * retention (receipt's `version` column carries the deleted-file
+  * count). With these plus the read/write statements, a pure-SQL user
+  * can run the ENTIRE snapshot lifecycle — `x_io_sql_maint` grades
+  * ingest → MoR delete → materialize → compact → vacuum → verified
+  * read end to end without one Scala call.
   *
   * READ statements: HISTORY returns the [[graft.sources.Snapshot.history]]
   * frame (#versions × #files-sized manifest metadata, zero data I/O);
@@ -85,11 +100,30 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   private val Changes =
     s"""(?is)\\s*GRAFT\\s+SNAPSHOT\\s+CHANGES\\s+$P\\s+FROM\\s+(\\d+)\\s+TO\\s+(\\d+)\\s*;?\\s*""".r
 
+  private val Publish =
+    s"""(?is)\\s*GRAFT\\s+SNAPSHOT\\s+PUBLISH\\s+$P\\s+PARTITION\\s+$Ident\\s+CHECKSUM\\s+$Ident\\s+AS\\s+(.+)""".r
+
   private val Append =
     s"""(?is)\\s*GRAFT\\s+SNAPSHOT\\s+APPEND\\s+$P\\s+PARTITION\\s+$Ident\\s+CHECKSUM\\s+$Ident\\s+AS\\s+(.+)""".r
 
   private val Upsert =
     s"""(?is)\\s*GRAFT\\s+SNAPSHOT\\s+UPSERT\\s+$P\\s+KEY\\s+$Ident\\s+PARTITION\\s+$Ident\\s+CHECKSUM\\s+$Ident\\s+AS\\s+(.+)""".r
+
+  private val Delete =
+    s"""(?is)\\s*GRAFT\\s+SNAPSHOT\\s+DELETE\\s+$P\\s+KEY\\s+$Ident\\s+AS\\s+(.+)""".r
+
+  // MAINTENANCE verbs — the lifecycle ops a table needs on a schedule,
+  // reachable from the same pure-SQL surface (Delta's OPTIMIZE/VACUUM
+  // shape): layout-only compaction, MoR-delete materialization, and
+  // retention vacuum. Each returns a one-row receipt.
+  private val Compact =
+    s"""(?is)\\s*GRAFT\\s+SNAPSHOT\\s+COMPACT\\s+$P\\s+PARTITION\\s+$Ident\\s+CHECKSUM\\s+$Ident(?:\\s+MAXFILES\\s+(\\d+))?\\s*;?\\s*""".r
+
+  private val ApplyDel =
+    s"""(?is)\\s*GRAFT\\s+SNAPSHOT\\s+APPLY\\s+DELETES\\s+$P\\s+PARTITION\\s+$Ident\\s+CHECKSUM\\s+$Ident\\s*;?\\s*""".r
+
+  private val Vacuum =
+    s"""(?is)\\s*GRAFT\\s+SNAPSHOT\\s+VACUUM\\s+$P(?:\\s+KEEP\\s+(\\d+))?\\s*;?\\s*""".r
 
   /** Text that CLAIMS the graft statement prefix: ours to parse — a
     * malformed tail is a graft error, never delegate noise. The word
@@ -101,8 +135,13 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     "GRAFT SNAPSHOT HISTORY '<root>'",
     "GRAFT SNAPSHOT READ '<root>' [VERSION n]",
     "GRAFT SNAPSHOT CHANGES '<root>' FROM <n> TO <m>",
+    "GRAFT SNAPSHOT PUBLISH '<root>' PARTITION <col> CHECKSUM <col> AS <query>",
     "GRAFT SNAPSHOT APPEND '<root>' PARTITION <col> CHECKSUM <col> AS <query>",
-    "GRAFT SNAPSHOT UPSERT '<root>' KEY <col> PARTITION <col> CHECKSUM <col> AS <query>")
+    "GRAFT SNAPSHOT UPSERT '<root>' KEY <col> PARTITION <col> CHECKSUM <col> AS <query>",
+    "GRAFT SNAPSHOT DELETE '<root>' KEY <col> AS <query>",
+    "GRAFT SNAPSHOT COMPACT '<root>' PARTITION <col> CHECKSUM <col> [MAXFILES n]",
+    "GRAFT SNAPSHOT APPLY DELETES '<root>' PARTITION <col> CHECKSUM <col>",
+    "GRAFT SNAPSHOT VACUUM '<root>' [KEEP n]")
 
   /** One-row receipt of an executed write statement. */
   private def receipt(op: String, root: String, version: Int): DataFrame = {
@@ -134,6 +173,12 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     case Changes(path, from, to) =>
       GraftBridge.planOf(graft.sources.Snapshot.readChanges(
         session, unq(path), from.toInt, to.toInt))
+    case Publish(path, partCol, ckCol, query) =>
+      // full-snapshot publish: legal on an empty root (base 0) — the
+      // verb that lets a pure-SQL user CREATE the table
+      write("publish", unq(path), query)(df =>
+        graft.sources.Snapshot.stagePublish(session, unq(path), df,
+          partCol, ckCol))
     case Append(path, partCol, ckCol, query) =>
       write("append", unq(path), query)(df =>
         graft.sources.Snapshot.stageAppend(session, unq(path), df, partCol, ckCol))
@@ -141,6 +186,27 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       write("upsert", unq(path), query)(df =>
         graft.sources.Snapshot.stageUpsert(session, unq(path), df, keyCol,
           partCol, ckCol))
+    case Delete(path, keyCol, query) =>
+      // merge-on-read delete: the key frame is the AS-query's result —
+      // O(#keys) at commit, readers mask until APPLY DELETES
+      write("delete", unq(path), query)(df =>
+        graft.sources.Snapshot.stageDeleteMor(session, unq(path), df, keyCol))
+    case Compact(path, partCol, ckCol, maxFiles) =>
+      val root = unq(path)
+      val v = graft.sources.Snapshot.compactPartitions(session, root,
+        partCol, ckCol,
+        maxFiles = if (maxFiles == null) 4 else maxFiles.toInt)
+      GraftBridge.planOf(receipt("compact", root, v))
+    case ApplyDel(path, partCol, ckCol) =>
+      val root = unq(path)
+      val v = graft.sources.Snapshot.applyMorDeletes(session, root,
+        partCol, ckCol)
+      GraftBridge.planOf(receipt("apply_deletes", root, v))
+    case Vacuum(path, keep) =>
+      val root = unq(path)
+      val removed = graft.sources.Snapshot.vacuum(session, root,
+        keepVersions = if (keep == null) 1 else keep.toInt)
+      GraftBridge.planOf(receipt("vacuum", root, removed))
     case GraftPrefix() =>
       // claims our prefix but matches no statement: diagnose with the
       // verb position and the grammar, not the delegate's ANTLR error

@@ -2,7 +2,7 @@ package graft
 
 /** T1 blanket contract checks: every declared query runs on sf0.001,
   * the queries/oracleSql maps are mutually consistent, and the declared
-  * inventory matches SURVEY.md §2b (263 keys, 255 oracle-checked).
+  * inventory matches SURVEY.md §2b (264 keys, 256 oracle-checked).
   */
 class ContractSpec extends SparkSpec {
 
@@ -11,9 +11,9 @@ class ContractSpec extends SparkSpec {
       "t_stream_runtime", "t_stream_dedup", "t_stream_session",
       "t_stream_join")
 
-  test("inventory matches SURVEY §2b: 263 queries, 255 with oracle SQL") {
-    assert(SparkEntry.queries.size === 263)
-    assert(SparkEntry.oracleSql.size === 255)
+  test("inventory matches SURVEY §2b: 264 queries, 256 with oracle SQL") {
+    assert(SparkEntry.queries.size === 264)
+    assert(SparkEntry.oracleSql.size === 256)
     assert(SparkEntry.queries.keySet.intersect(nonOracle).size === 8)
   }
 
@@ -62,6 +62,7 @@ class ContractSpec extends SparkSpec {
     "x_sample_stratified", // 1-row n_total crossJoin (stratifiedQuota)
     "x_quality_checks",  // 1-row × 1-row report crossJoin (refIntegrity)
     "a_hll_merge",       // 1-row × 1-row merged/global estimate crossJoin
+    "x_io_sql_maint",    // 1-row HISTORY version-count crossJoin
     "a_kll_merge",       // same 1-row × 1-row shape as a_hll_merge
     "a_kll_window",      // days×days sketch-row band join (span-bounded)
     "s_skew_profile",    // 1-row stats × 1-row hottest-key crossJoin

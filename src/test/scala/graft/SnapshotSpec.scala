@@ -995,6 +995,33 @@ class SnapshotSpec extends SparkSpec {
     assert(Snapshot.currentVersion(spark, dir) === 3)
   }
 
+  test("SQL lifecycle verbs: PUBLISH creates, DELETE masks, APPLY DELETES materializes, COMPACT/VACUUM maintain") {
+    val dir = freshDir() + "/tbl"
+    val ext = org.apache.spark.sql.GraftBridge.sessionWithExtensions(
+      spark, new graft.plans.GraftExtensions)
+    graft.ops.T.t(ext, sf(), "documents").createOrReplaceTempView("lc_docs")
+    // PUBLISH creates the table from SQL (base 0, optimistic commit)
+    val r = ext.sql(s"GRAFT SNAPSHOT PUBLISH '$dir' PARTITION lang CHECKSUM text AS " +
+      "SELECT * FROM lc_docs").head()
+    assert(r.getString(0) === "publish" && r.getInt(2) === 1)
+    assert(fingerprint(Snapshot.read(spark, dir)) === fingerprint(docs))
+    // DELETE stages a MoR delete vector — zero data files rewritten,
+    // every read masks immediately
+    ext.sql(s"GRAFT SNAPSHOT DELETE '$dir' KEY doc_id AS " +
+      "SELECT doc_id FROM lc_docs WHERE doc_id IN (5, 17)")
+    assert(Snapshot.read(spark, dir).filter(col("doc_id").isin(5L, 17L)).isEmpty)
+    // APPLY DELETES materializes; COMPACT is content-neutral; VACUUM
+    // trims retention and reports the deleted-file count
+    ext.sql(s"GRAFT SNAPSHOT APPLY DELETES '$dir' PARTITION lang CHECKSUM text")
+    val expect = docs.filter(!col("doc_id").isin(5L, 17L))
+    assert(fingerprint(Snapshot.read(spark, dir)) === fingerprint(expect))
+    ext.sql(s"GRAFT SNAPSHOT COMPACT '$dir' PARTITION lang CHECKSUM text MAXFILES 1")
+    val vac = ext.sql(s"GRAFT SNAPSHOT VACUUM '$dir' KEEP 1").head()
+    assert(vac.getString(0) === "vacuum" && vac.getInt(2) > 0)
+    assert(ext.sql(s"GRAFT SNAPSHOT HISTORY '$dir'").count() === 1)
+    assert(fingerprint(Snapshot.read(spark, dir)) === fingerprint(expect))
+  }
+
   test("parser hardening: escaped-quote paths, graft-specific errors, near-miss delegation") {
     val ext = org.apache.spark.sql.GraftBridge.sessionWithExtensions(
       spark, new graft.plans.GraftExtensions)
