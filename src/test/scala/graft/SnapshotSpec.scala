@@ -1258,6 +1258,68 @@ class SnapshotSpec extends SparkSpec {
     assert(fingerprint(maintained) === fingerprint(Snapshot.read(spark, dir)))
   }
 
+  test("property: random lifecycle sequences satisfy the CDF law (base ⊕ net changes = head)") {
+    // the law x_io_cdf grades on ONE fixed lifecycle, here over RANDOM
+    // op sequences (seeded): for any mix of append / upsert / MoR-delete
+    // / materialize / compact, the publish version's content plus the
+    // net CDF deltas must equal the head's content — two independent
+    // computation paths (file-diff feed vs direct read) agreeing.
+    import spark.implicits._
+    val rnd = new scala.util.Random(1313)
+    def mk(ids: Seq[Long], tag: String): DataFrame =
+      ids.toDF("id").select(col("id"),
+        concat(lit(s"$tag-"), col("id")).as("text"),
+        pmod(col("id"), lit(4)).cast("string").as("pk"))
+    def fpLaw(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)),
+        coalesce(sum(conv(substring(md5(concat_ws("|", col("id"), col("text"),
+          col("pk"))), 1, 8), 16, 10).cast("bigint")), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    (0 until 2).foreach { trial =>
+      val dir = freshDir()
+      var nextId = 300L
+      val v1 = Snapshot.publish(spark, dir, mk(0L until 300L, s"b$trial"), "pk", "text")
+      var dvPending = false
+      (0 until 6).foreach { step =>
+        val op = rnd.nextInt(5)
+        if (dvPending && op != 3) {
+          // CoW maintenance refuses while DVs pend — materialize first
+          Snapshot.applyMorDeletes(spark, dir, "pk", "text")
+          dvPending = false
+        }
+        op match {
+          case 0 => // append fresh ids
+            val ids = nextId until (nextId + 40); nextId += 40
+            Snapshot.commit(spark, dir,
+              Snapshot.stageAppend(spark, dir, mk(ids, s"a$step"), "pk", "text"))
+          case 1 => // upsert: rewrite a slice of CURRENT ids with new text
+            Snapshot.upsert(spark, dir,
+              mk((0L until nextId).filter(i => i % 7 == step % 7), s"u$step"),
+              "id", "pk", "text")
+          case 2 => // compact (may no-op; either way content-neutral)
+            Snapshot.compactPartitions(spark, dir, "pk", "text", maxFiles = 1)
+          case 3 => // MoR delete a few ids (possibly already absent)
+            Snapshot.deleteMorKeys(spark, dir,
+              Seq.fill(5)(rnd.nextInt(nextId.toInt).toLong).distinct, "id")
+            dvPending = true
+          case 4 => // materialize (no-op when nothing pending)
+            Snapshot.applyMorDeletes(spark, dir, "pk", "text")
+            dvPending = false
+        }
+      }
+      val head = Snapshot.currentVersion(spark, dir)
+      val net = Snapshot.readChanges(spark, dir, v1, head)
+      val maintained = Snapshot.readVersion(spark, dir, v1)
+        .unionByName(net.filter(col("_change_type") === "insert")
+          .drop("_change_type"))
+        .exceptAll(net.filter(col("_change_type") === "delete")
+          .drop("_change_type"))
+      assert(fpLaw(maintained) === fpLaw(Snapshot.read(spark, dir)),
+        s"CDF law violated on trial $trial (head v$head)")
+    }
+  }
+
   test("CDF refuses across an addColumn boundary and a vacuumed horizon") {
     val dir = freshDir()
     val v1 = Snapshot.publish(spark, dir, docs, "lang", "text")
