@@ -18,8 +18,17 @@ import graft.sources.Snapshot
   *   spark.readStream.format("graft-snapshot-stream")
   *     .option("path", dir)                  // the snapshot table root
   *     .option("maxVersionsPerBatch", "1")  // admission control (default 1)
+  *     .option("startingVersion", "7")      // attach WITHOUT initial load
   *     .load()
   * }}}
+  *
+  * `startingVersion` is the attach-to-a-live-table lever that matters
+  * at 100 TB: without it a new stream's first batch is the FULL
+  * committed snapshot (fine for a fresh pipeline, catastrophic for
+  * attaching a consumer to a petabyte table); with it the stream emits
+  * only appends COMMITTED AFTER that version — Delta's startingVersion
+  * semantics. The named version must still be retained (vacuum) when
+  * the first batch plans.
   *
   * **Offsets ARE version numbers.** The first batch is the INITIAL LOAD
   * (the full committed snapshot at stream start — `Snapshot.sqlFiles`,
@@ -84,7 +93,11 @@ class SnapshotStreamSource extends StreamSourceProvider with DataSourceRegister 
       .getOrElse(1)
     require(maxVersions >= 1,
       s"maxVersionsPerBatch must be >= 1, got $maxVersions")
-    new SnapshotVersionSource(spark, dir, pinned, maxVersions)
+    val startingVersion = parameters.get("startingVersion").map(_.toInt)
+      .getOrElse(0)
+    require(startingVersion >= 0,
+      s"startingVersion must be >= 0, got $startingVersion")
+    new SnapshotVersionSource(spark, dir, pinned, maxVersions, startingVersion)
   }
 }
 
@@ -92,7 +105,7 @@ class SnapshotStreamSource extends StreamSourceProvider with DataSourceRegister 
   * [[SnapshotStreamSource]]. Offset json = the committed version number.
   */
 private[graft] class SnapshotVersionSource(spark: SparkSession, dir: String,
-    pinned: StructType, maxVersions: Int)
+    pinned: StructType, maxVersions: Int, startingVersion: Int = 0)
     extends Source with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
@@ -119,7 +132,9 @@ private[graft] class SnapshotVersionSource(spark: SparkSession, dir: String,
     * (bounded catch-up after lag), never past an AvailableNow target.
     */
   override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 = {
-    val from = Option(start).map(ver).getOrElse(0)
+    // startingVersion > 0: that version counts as already consumed, so
+    // the first batch is the NEXT commit's appends, never an initial load
+    val from = Option(start).map(ver).getOrElse(startingVersion)
     val cur = availableNowTarget.getOrElse(Snapshot.currentVersion(spark, dir))
     val to = math.min(cur, from + maxVersions)
     if (to <= from) null else VersionOffset(to)
@@ -132,7 +147,7 @@ private[graft] class SnapshotVersionSource(spark: SparkSession, dir: String,
     "latestOffset(Offset, ReadLimit) should be called instead of this method")
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
-    val from = start.map(o => ver(o)).getOrElse(0)
+    val from = start.map(o => ver(o)).getOrElse(startingVersion)
     val to = ver(end)
     val files = Snapshot.appendedFiles(spark, dir, from, to)
     val batch =

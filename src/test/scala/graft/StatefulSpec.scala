@@ -357,4 +357,35 @@ class StatefulSpec extends SparkSpec {
         .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
     assert(msgs(ex).contains("pure appends"), msgs(ex))
   }
+
+  test("version-log stream: startingVersion attaches without the initial load") {
+    val root = java.nio.file.Files.createTempDirectory("graft_vstream_sv").toString
+    val table = s"$root/table"
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val S = graft.sources.Snapshot
+    S.publish(spark, table, docs.filter(col("lang") === "en"), "lang", "text") // v1
+    S.commit(spark, table, S.stageAppend(spark, table,
+      docs.filter(col("lang") === "de"), "lang", "text")) // v2
+    S.commit(spark, table, S.stageAppend(spark, table,
+      docs.filter(col("lang") === "fr"), "lang", "text")) // v3
+    // attach AT v2: no initial load — only v3's appends are emitted
+    val got = new java.util.concurrent.atomic.AtomicLong(0)
+    val langs = java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]())
+    val q = spark.readStream.format("graft-snapshot-stream")
+      .option("path", table).option("startingVersion", "2").load()
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        got.addAndGet(b.count())
+        b.select("lang").distinct().collect().foreach(r => langs.add(r.getString(0)))
+        ()
+      }
+      .option("checkpointLocation", s"$root/chk")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(got.get() === docs.filter(col("lang") === "fr").count())
+    assert(langs.size === 1 && langs.contains("fr"),
+      s"startingVersion=2 must skip the v1/v2 content, got langs $langs")
+  }
 }
