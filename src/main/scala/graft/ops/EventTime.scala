@@ -492,6 +492,53 @@ object EventTime {
         .orderBy("event_type")
     }),
 
+    // CDF STREAMING mode of the version-log source (readChanges=true —
+    // the Delta CDF-stream shape): where append mode must refuse
+    // non-append commits, this stream emits each commit's ROW-LEVEL
+    // deltas (_change_type insert/delete) from Snapshot.readChanges —
+    // upsert ⇒ delete+insert, MoR delete ⇒ deletes, the initial
+    // snapshot ⇒ inserts — i.e. the streaming IVM feed. Graded as the
+    // IVM law through the STREAM: publish → append → upsert →
+    // MoR-delete on documents, drain the CDF stream into a sink, and
+    // the SIGNED aggregate of everything emitted (+insert/−delete) must
+    // hash-equal DuckDB's direct aggregate of the final logical content.
+    "t_stream_changes" -> ((s, d) => {
+      val root = freshStreamChgDirs()
+      val table = s"$root/table"
+      val docs = t(s, d, "documents")
+      val S = graft.sources.Snapshot
+      S.publish(s, table, docs, "lang", "text")
+      val fresh = docs
+        .filter(col("lang") === "de" && pmod(col("doc_id"), lit(30)) === 0)
+        .withColumn("doc_id", col("doc_id") + lit(3000000L))
+      S.commit(s, table, S.stageAppend(s, table, fresh, "lang", "text"))
+      val edits = docs
+        .filter(col("lang") === "en" && pmod(col("doc_id"), lit(15)) === 0)
+        .withColumn("text", concat(col("text"), lit(" scf")))
+        .withColumn("n_chars", col("n_chars") + 4)
+      S.upsert(s, table, edits, "doc_id", "lang", "text")
+      S.deleteMorKeys(s, table, Seq(2L, 77L, 310L), "doc_id")
+      val q = s.readStream.format("graft-snapshot-stream")
+        .option("path", table).option("readChanges", "true").load()
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          b.write.mode("append").parquet(s"$root/out"); ()
+        }
+        .option("checkpointLocation", s"$root/chk")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val sign = when(col("_change_type") === "insert", lit(1L))
+        .otherwise(lit(-1L))
+      val ck = conv(substring(md5(col("text")), 1, 8), 16, 10).cast("bigint")
+      s.read.parquet(s"$root/out")
+        .groupBy("lang")
+        .agg(sum(sign).as("n_docs"),
+          sum(sign * col("n_chars")).as("n_chars"),
+          sum(sign * ck).as("checksum"))
+        .orderBy("lang")
+    }),
+
     // The t_session plan executed through Structured Streaming: session
     // windows merged in the streaming state store (complete mode — append
     // would hold back sessions still inside the watermark, breaking
@@ -946,6 +993,20 @@ object EventTime {
     streamVerRoot.toString
   }
 
+  /** Per-JVM scratch for t_stream_changes, CLEARED per invocation (same
+    * rerun hazards as t_stream_versions).
+    */
+  private lazy val streamChgRoot: java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory("graft_stream_chg")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => rmTree(p.toFile)))
+    p
+  }
+
+  private def freshStreamChgDirs(): String = {
+    Option(streamChgRoot.toFile.listFiles).foreach(_.foreach(rmTree))
+    streamChgRoot.toString
+  }
+
   /** Per-JVM scratch for t_rollup_incremental, CLEARED per invocation:
     * the refresh APPENDS to the event store, so a surviving store from a
     * previous invocation (Bench runs every key twice) would double every
@@ -1108,6 +1169,23 @@ object EventTime {
         "round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 6) AS sum_value, " +
         "max(date_trunc('milliseconds', ts)) AS max_ts " +
         "FROM events GROUP BY event_type ORDER BY event_type"),
+    // The signed (+insert/−delete) aggregate of the CDF stream's whole
+    // output == the final logical content: base docs minus the
+    // MoR-deleted ids, with the upsert's CASE edit, plus the appended
+    // de slice.
+    "t_stream_changes" ->
+      ("WITH finald AS (" +
+        "SELECT lang, " +
+        "CASE WHEN lang = 'en' AND doc_id % 15 = 0 THEN text || ' scf' ELSE text END AS text, " +
+        "CASE WHEN lang = 'en' AND doc_id % 15 = 0 THEN n_chars + 4 ELSE n_chars END AS n_chars " +
+        "FROM documents WHERE doc_id NOT IN (2, 77, 310) " +
+        "UNION ALL " +
+        "SELECT lang, text, n_chars FROM documents " +
+        "WHERE lang = 'de' AND doc_id % 30 = 0) " +
+        "SELECT lang, count(*) AS n_docs, " +
+        "CAST(sum(n_chars) AS BIGINT) AS n_chars, " +
+        "CAST(sum(CAST(('0x' || substring(md5(text), 1, 8)) AS BIGINT)) AS BIGINT) AS checksum " +
+        "FROM finald GROUP BY lang ORDER BY lang"),
     "t_retention" ->
       ("WITH e AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events), " +
         "c AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY user_id) " +

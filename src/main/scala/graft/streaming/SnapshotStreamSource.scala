@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, GraftBridge, SQLContext, SparkSession}
 import org.apache.spark.sql.connector.read.streaming.{Offset => OffsetV2, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
 import graft.sources.Snapshot
 
@@ -19,6 +19,7 @@ import graft.sources.Snapshot
   *     .option("path", dir)                  // the snapshot table root
   *     .option("maxVersionsPerBatch", "1")  // admission control (default 1)
   *     .option("startingVersion", "7")      // attach WITHOUT initial load
+  *     .option("readChanges", "true")       // CDF mode (see below)
   *     .load()
   * }}}
   *
@@ -53,6 +54,17 @@ import graft.sources.Snapshot
   * swallows after a stream lags or restarts; `Trigger.AvailableNow`
   * drains to the version observed at start, then stops.
   *
+  * **CDF MODE** (`readChanges=true`, the Delta CDF-streaming shape):
+  * batches are `(_change_type insert/delete, <row…>)` frames from
+  * [[Snapshot.readChanges]] instead of raw appends — the initial batch
+  * is the starting snapshot AS INSERTS, and every later batch is one
+  * commit's row-level deltas, so the stream tolerates the ENTIRE
+  * lifecycle (upsert ⇒ delete+insert, MoR delete ⇒ deletes, compaction
+  * and materialization ⇒ empty batches) where append mode must refuse.
+  * This is the streaming IVM feed: a downstream consumer applying
+  * +insert/−delete per batch tracks the table's logical content exactly
+  * (`t_stream_changes` grades it end to end).
+  *
   * V1 `Source` by design: `getBatch` can hand the engine a lazy
   * DataFrame over the explicit file list (re-tagged streaming via
   * [[GraftBridge.asStreamingFrame]]), which buys the whole vectorized
@@ -71,15 +83,24 @@ class SnapshotStreamSource extends StreamSourceProvider with DataSourceRegister 
 
   /** The schema is pinned at stream start from the COMMITTED snapshot's
     * file list (sqlFiles' refusals apply — a stream cannot start on a
-    * table whose state an explicit file list cannot express).
+    * table whose state an explicit file list cannot express). CDF mode
+    * prepends `_change_type`.
     */
   override def sourceSchema(sqlContext: SQLContext,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): (String, StructType) = {
     val dir = dirOf(parameters)
     val spark = sqlContext.sparkSession
-    val pinned = schema.getOrElse(
-      spark.read.parquet(Snapshot.sqlFiles(spark, dir, None): _*).schema)
+    val pinned = schema.getOrElse {
+      if (parameters.get("readChanges").exists(_.toBoolean))
+        // CDF mode serves LOGICAL content (DV masks applied, added
+        // columns filled) — pin the logical schema; pending DVs are
+        // legal here, unlike append mode
+        StructType(StructField("_change_type", StringType, nullable = false) +:
+          Snapshot.read(spark, dir).schema.fields)
+      else
+        spark.read.parquet(Snapshot.sqlFiles(spark, dir, None): _*).schema
+    }
     (s"graft-snapshot-stream $dir", pinned)
   }
 
@@ -97,7 +118,9 @@ class SnapshotStreamSource extends StreamSourceProvider with DataSourceRegister 
       .getOrElse(0)
     require(startingVersion >= 0,
       s"startingVersion must be >= 0, got $startingVersion")
-    new SnapshotVersionSource(spark, dir, pinned, maxVersions, startingVersion)
+    val changes = parameters.get("readChanges").exists(_.toBoolean)
+    new SnapshotVersionSource(spark, dir, pinned, maxVersions,
+      startingVersion, changes)
   }
 }
 
@@ -105,7 +128,8 @@ class SnapshotStreamSource extends StreamSourceProvider with DataSourceRegister 
   * [[SnapshotStreamSource]]. Offset json = the committed version number.
   */
 private[graft] class SnapshotVersionSource(spark: SparkSession, dir: String,
-    pinned: StructType, maxVersions: Int, startingVersion: Int = 0)
+    pinned: StructType, maxVersions: Int, startingVersion: Int = 0,
+    changes: Boolean = false)
     extends Source with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
@@ -147,15 +171,29 @@ private[graft] class SnapshotVersionSource(spark: SparkSession, dir: String,
     "latestOffset(Offset, ReadLimit) should be called instead of this method")
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
     val from = start.map(o => ver(o)).getOrElse(startingVersion)
     val to = ver(end)
-    val files = Snapshot.appendedFiles(spark, dir, from, to)
+    val cols = pinned.fieldNames.map(col).toIndexedSeq
     val batch =
-      if (files.isEmpty) spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], pinned)
-      else spark.read.schema(pinned).parquet(files: _*)
-        .select(pinned.fieldNames.map(org.apache.spark.sql.functions.col)
-          .toIndexedSeq: _*)
+      if (changes) {
+        // CDF mode: the initial snapshot arrives as inserts; every later
+        // range is readChanges' row-level deltas — tolerates the whole
+        // lifecycle (non-append commits included)
+        val df =
+          if (from == 0)
+            // initial snapshot as inserts — readVersion is the LOGICAL
+            // content (DV masks applied, added columns filled)
+            Snapshot.readVersion(spark, dir, to)
+              .withColumn("_change_type", lit("insert"))
+          else Snapshot.readChanges(spark, dir, from, to)
+        df.select(cols: _*)
+      } else {
+        val files = Snapshot.appendedFiles(spark, dir, from, to)
+        if (files.isEmpty) spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], pinned)
+        else spark.read.schema(pinned).parquet(files: _*).select(cols: _*)
+      }
     GraftBridge.asStreamingFrame(spark, batch)
   }
 

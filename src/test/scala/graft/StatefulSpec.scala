@@ -388,4 +388,42 @@ class StatefulSpec extends SparkSpec {
     assert(langs.size === 1 && langs.contains("fr"),
       s"startingVersion=2 must skip the v1/v2 content, got langs $langs")
   }
+
+  test("CDF stream: per-commit delta batches, compaction emits empty, signed feed tracks the table") {
+    val root = java.nio.file.Files.createTempDirectory("graft_cdfstream_spec").toString
+    val table = s"$root/table"
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val S = graft.sources.Snapshot
+    S.publish(spark, table, docs, "lang", "text") // v1
+    S.commit(spark, table, S.stageAppend(spark, table, // v2: fragment en
+      docs.filter(col("lang") === "en")
+        .withColumn("doc_id", col("doc_id") + lit(7000000L)), "lang", "text"))
+    S.compactPartitions(spark, table, "lang", "text", maxFiles = 1) // v3
+    S.upsert(spark, table, // v4: delete+insert deltas
+      docs.filter(col("lang") === "de")
+        .withColumn("text", concat(col("text"), lit(" cdfstream"))),
+      "doc_id", "lang", "text")
+    val perBatch = new java.util.concurrent.ConcurrentHashMap[Long, (Long, Long)]()
+    val q = spark.readStream.format("graft-snapshot-stream")
+      .option("path", table).option("readChanges", "true").load()
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val r = b.toDF().agg(
+          count(when(col("_change_type") === "insert", 1)),
+          count(when(col("_change_type") === "delete", 1))).head()
+        perBatch.put(id, (r.getLong(0), r.getLong(1))); ()
+      }
+      .option("checkpointLocation", s"$root/chk")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(perBatch.size === 4, s"one CDF batch per commit: $perBatch")
+    val nDocs = docs.count()
+    val nEn = docs.filter(col("lang") === "en").count()
+    val nDe = docs.filter(col("lang") === "de").count()
+    assert(perBatch.get(0L) === ((nDocs, 0L)))      // initial snapshot as inserts
+    assert(perBatch.get(1L) === ((nEn, 0L)))        // append: inserts only
+    assert(perBatch.get(2L) === ((0L, 0L)))         // compaction: EMPTY delta
+    assert(perBatch.get(3L) === ((nDe, nDe)))       // upsert: delete+insert
+  }
 }
