@@ -539,6 +539,55 @@ object EventTime {
         .orderBy("lang")
     }),
 
+    // INCREMENTAL PIPELINE between two snapshot tables (the medallion
+    // bronze→silver shape): the version-log SOURCE tails the bronze
+    // table one commit per batch, a per-batch transform filters/derives,
+    // and the transactional SnapshotSink lands each batch into silver
+    // exactly-once (epoch tags) — composition of t_stream_versions +
+    // t_stream_snapshot into the thing platforms actually run:
+    // committed-table-in, committed-table-out incremental ETL, restart-
+    // safe at both ends (offsets upstream, tags downstream). Graded:
+    // bronze = publish + 2 appends of event thirds; silver must equal
+    // the transform of ALL bronze content, read through readVerified.
+    "t_stream_pipeline" -> ((s, d) => {
+      val root = freshStreamPipeDirs()
+      val bronze = s"$root/bronze"
+      val silver = s"$root/silver"
+      val ev = evMs(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), col("ts_ms"))
+        .withColumn("day_key",
+          date_format(col("ts_ms"), "yyyyMMdd").cast("int"))
+      val S = graft.sources.Snapshot
+      S.publish(s, bronze,
+        ev.filter(pmod(col("event_id"), lit(3)) === 0), "day_key", "event_id")
+      S.commit(s, bronze, S.stageAppend(s, bronze,
+        ev.filter(pmod(col("event_id"), lit(3)) === 1), "day_key", "event_id"))
+      S.commit(s, bronze, S.stageAppend(s, bronze,
+        ev.filter(pmod(col("event_id"), lit(3)) === 2), "day_key", "event_id"))
+      val q = s.readStream.format("graft-snapshot-stream")
+        .option("path", bronze).load()
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          // the silver transform: keep even event_ids, derive a value band
+          val refined = b.toDF()
+            .filter(pmod(col("event_id"), lit(2)) === 0)
+            .withColumn("band",
+              when(col("value") >= 50, lit("high")).otherwise(lit("low")))
+          graft.streaming.SnapshotSink.landBatch(
+            refined, silver, "day_key", "event_id", id)
+        }
+        .option("checkpointLocation", s"$root/chk")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.sources.Snapshot.readVerified(s, silver, "event_id")
+        .groupBy("event_type", "band")
+        .agg(count(lit(1)).as("cnt"),
+          decOut(sum(dec(col("value")))).as("sum_value"))
+        .orderBy("event_type", "band")
+    }),
+
     // The t_session plan executed through Structured Streaming: session
     // windows merged in the streaming state store (complete mode — append
     // would hold back sessions still inside the watermark, breaking
@@ -1007,6 +1056,20 @@ object EventTime {
     streamChgRoot.toString
   }
 
+  /** Per-JVM scratch for t_stream_pipeline, CLEARED per invocation (a
+    * surviving silver table or checkpoint would double the rerun).
+    */
+  private lazy val streamPipeRoot: java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory("graft_stream_pipe")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => rmTree(p.toFile)))
+    p
+  }
+
+  private def freshStreamPipeDirs(): String = {
+    Option(streamPipeRoot.toFile.listFiles).foreach(_.foreach(rmTree))
+    streamPipeRoot.toString
+  }
+
   /** Per-JVM scratch for t_rollup_incremental, CLEARED per invocation:
     * the refresh APPENDS to the event store, so a surviving store from a
     * previous invocation (Bench runs every key twice) would double every
@@ -1169,6 +1232,14 @@ object EventTime {
         "round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 6) AS sum_value, " +
         "max(date_trunc('milliseconds', ts)) AS max_ts " +
         "FROM events GROUP BY event_type ORDER BY event_type"),
+    // Silver == the transform of all bronze content: even event_ids,
+    // banded by value.
+    "t_stream_pipeline" ->
+      ("SELECT event_type, CASE WHEN value >= 50 THEN 'high' ELSE 'low' END AS band, " +
+        "count(*) AS cnt, " +
+        "round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 6) AS sum_value " +
+        "FROM events WHERE event_id % 2 = 0 " +
+        "GROUP BY 1, 2 ORDER BY event_type, band"),
     // The signed (+insert/−delete) aggregate of the CDF stream's whole
     // output == the final logical content: base docs minus the
     // MoR-deleted ids, with the upsert's CASE edit, plus the appended
