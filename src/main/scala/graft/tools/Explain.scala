@@ -13,7 +13,8 @@ object Explain {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     // t_stream_runtime EXECUTES a streaming job when constructed — skip it
     // in sweep mode (still inspectable when named explicitly).
-    val eager = Set("t_stream_runtime", "t_stream_dedup")
+    val eager = Set("t_stream_runtime", "t_stream_dedup",
+      "t_stream_versions", "t_stream_changes", "t_stream_pipeline")
     val keys = if (args.length > 1) args.drop(1).toSeq
                else SparkEntry.queries.keys.toSeq.sorted.filterNot(eager)
     val spark = SparkSession.builder()
