@@ -91,6 +91,19 @@ class GraftCatalog extends TableCatalog {
     load(ident, Some(v))
   }
 
+  /** `TIMESTAMP AS OF` — deliberately unsupported with a graft-specific
+    * diagnosis: versions are the format's time axis (the pointer records
+    * no wall clock; wall-clock lineage is the commit TAG's job), so the
+    * honest answer is "travel by version", not a lossy timestamp→version
+    * guess.
+    */
+  override def loadTable(ident: Identifier, timestamp: Long): Table =
+    throw new UnsupportedOperationException(
+      s"graft catalog '$catalogName': TIMESTAMP AS OF is not supported — " +
+        "snapshot versions are the format's time axis; use VERSION AS OF n " +
+        "(GRAFT SNAPSHOT HISTORY lists them, and commit tags carry " +
+        "caller-owned lineage)")
+
   /** One directory listing — a table is any child dir with a committed
     * pointer (crashed/staging dirs are invisible, exactly like reads).
     */

@@ -1315,6 +1315,13 @@ object Snapshot {
     *
     * Refuses across an [[addColumn]] boundary (under which schema would
     * row equality be decided?) — same contract as [[diffVersions]].
+    *
+    * LINEAGE contract (shared with [[diffVersions]]): both versions must
+    * belong to ONE lineage — main's history, or one branch's. Version
+    * numbers are globally unique across lineages but manifests record no
+    * parentage, so a cross-lineage pair (a branch head vs a main
+    * version) would "diff" two unrelated states; pass versions you
+    * observed on one pointer's history.
     */
   def readChanges(spark: SparkSession, dir: String, fromV: Int,
       toV: Int): DataFrame = {

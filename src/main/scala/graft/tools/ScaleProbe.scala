@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
   * of 10c yields ~50c² pairs) — the probe prints output rows so the two
   * effects can be told apart.
   *
-  * `runMain graft.tools.ScaleProbe [sfDir] [keys|sigs|curation|cc|cluster|vocab|spans|bpe|quality|pq|geo|graph|graphx|streamjoin|snapshot|kll|gram|cdc|ivm|purge|mor|sqlread|commitrace|cdf|er|all]`
+  * `runMain graft.tools.ScaleProbe [sfDir] [keys|sigs|curation|cc|cluster|vocab|spans|bpe|quality|pq|geo|graph|graphx|streamjoin|snapshot|kll|gram|cdc|ivm|purge|mor|sqlread|commitrace|cdf|vstream|er|all]`
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -838,6 +838,43 @@ object ScaleProbe {
       println(f"CDF one-partition upsert: 1x ${c1}%5.2fs ($n1 changes) -> " +
         f"10x-partitions ${c10}%5.2fs ($n10 changes; factor ${c10 / c1}%4.1f, " +
         "symmetric-difference-bound ~flat)")
+    }
+    // Version-log stream ATTACH (round-13 probe): startingVersion on a
+    // 10× table — attaching a consumer must cost the NEW commit's rows,
+    // never the table (the no-initial-load claim measured): the drain
+    // wall should stay ~flat as the pre-attach content grows 10×.
+    if (mode == "all" || mode == "vstream") {
+      def attachProbe(mult: Int): Double = {
+        val root = java.nio.file.Files.createTempDirectory("probe_vstream").toString
+        val table = s"$root/table"
+        val docs = (0 until mult).map { i =>
+          base.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+            col("text"), col("lang"), col("source"), col("n_chars"))
+        }.reduce(_ unionByName _)
+        graft.sources.Snapshot.publish(spark, table, docs, "lang", "text")
+        val sv = graft.sources.Snapshot.currentVersion(spark, table)
+        graft.sources.Snapshot.commit(spark, table,
+          graft.sources.Snapshot.stageAppend(spark, table,
+            base.filter(col("lang") === "en")
+              .withColumn("doc_id", col("doc_id") + lit(990000000L)),
+            "lang", "text"))
+        val t0 = System.nanoTime()
+        val q = spark.readStream.format("graft-snapshot-stream")
+          .option("path", table).option("startingVersion", sv.toString).load()
+          .writeStream
+          .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            b.count(); ()
+          }
+          .option("checkpointLocation", s"$root/chk")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val a1 = attachProbe(1)
+      val a10 = attachProbe(10)
+      println(f"vstream attach (startingVersion): 1x table ${a1}%5.2fs -> " +
+        f"10x table ${a10}%5.2fs (factor ${a10 / a1}%4.1f, no-initial-load ~flat)")
     }
     // Entity resolution at a 10× record set with the SAME name
     // vocabulary density: blocking bounds the quadratic per block, and
