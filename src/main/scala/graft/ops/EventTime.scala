@@ -475,7 +475,9 @@ object EventTime {
       S.commit(s, table, S.stageAppend(s, table,
         ev.filter(pmod(col("event_id"), lit(3)) === 2), "day_key", "event_id"))
       val q = s.readStream.format("graft-snapshot-stream")
-        .option("path", table).load()
+        .option("path", table)
+        .option("startingVersion", "0") // explicit FULL-HISTORY replay
+        .load()
         .writeStream
         .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
           b.write.mode("append").parquet(s"$root/out"); ()
@@ -519,7 +521,9 @@ object EventTime {
       S.upsert(s, table, edits, "doc_id", "lang", "text")
       S.deleteMorKeys(s, table, Seq(2L, 77L, 310L), "doc_id")
       val q = s.readStream.format("graft-snapshot-stream")
-        .option("path", table).option("readChanges", "true").load()
+        .option("path", table).option("readChanges", "true")
+        .option("startingVersion", "0") // per-commit delta replay
+        .load()
         .writeStream
         .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
           b.write.mode("append").parquet(s"$root/out"); ()
@@ -567,7 +571,9 @@ object EventTime {
       S.commit(s, bronze, S.stageAppend(s, bronze,
         ev.filter(pmod(col("event_id"), lit(2)) === 1), "day_key", "event_id"))
       val q = s.readStream.format("graft-snapshot-stream")
-        .option("path", bronze).load()
+        .option("path", bronze)
+        .option("startingVersion", "0") // move each commit separately
+        .load()
         .writeStream
         .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
           // the silver transform: keep even event_ids, derive a value band

@@ -159,6 +159,18 @@ object Snapshot {
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       ()
     } else ctx.rename(tmp, ptr, Options.Rename.OVERWRITE)
+    // MAIN-lineage commit marker (AFTER the flip — a marker must never
+    // name a version the pointer has not reached): version numbers are
+    // allocated globally across lineages (claimVersion), so "every
+    // integer in (a, b]" is NOT main's history — abandoned merge-loser
+    // stages, branch commits, and crashed claims all hold numbers. The
+    // version-log stream walks THESE markers ([[committedVersionsIn]]),
+    // never dense integers. A crash between flip and marker is benign:
+    // the pointer version itself always counts as committed, and a
+    // later step's manifest diff folds the unmarked commit in.
+    if (ptrName == PtrName)
+      exclusiveCreate(spark, new Path(dir, s"_committed.v$n")) // idempotent
+    ()
   }
 
   /** Thrown by [[commitIfBase]] when another writer already committed on
@@ -556,6 +568,7 @@ object Snapshot {
         // rows union with fresh ones); a non-clustered stage has none
         lit(null).cast("double").as("stat_lo"),
         lit(null).cast("double").as("stat_hi"),
+        lit(null).cast("string").as("stat_col"),
         lit(null).cast("string").as("kind"))
   }
 
@@ -757,9 +770,12 @@ object Snapshot {
     val cur = currentVersion(spark, dir)
     val manifest = readManifest(spark, dir, cur)
     val entries = dataRows(manifest)
-      .select("path", "stat_lo", "stat_hi").collect()
+      .select("path", "stat_lo", "stat_hi", "stat_col").collect()
     val hit = entries.filter { r =>
+      // stats on a different column than the delete key prove nothing —
+      // conservatively rewrite (statsHitPaths has the same rule)
       r.isNullAt(1) || r.isNullAt(2) ||
+        r.isNullAt(3) || r.getString(3) != keyCol ||
         keys.exists(k => k >= r.getDouble(1) && k <= r.getDouble(2))
     }.map(r => r.getString(0))
     stagePurgeCore(spark, dir, manifest, hit,
@@ -781,21 +797,37 @@ object Snapshot {
       statsCol: Option[String], dropDv: Boolean): Int = {
     val cur = currentVersion(spark, dir)
     val manifest = readManifest(spark, dir, cur)
-    val entries = dataRows(manifest).select("path", "stat_lo", "stat_hi")
-    val unstatted = entries
-      .filter(col("stat_lo").isNull || col("stat_hi").isNull)
-      .select("path").collect().map(_.getString(0))
-    val statted = entries
-      .filter(col("stat_lo").isNotNull && col("stat_hi").isNotNull)
     // keys × files range join, file side broadcast (#files-sized by
-    // construction); the distinct-path result is again #files-sized
-    val hitStatted = keys.select(col(keyCol).cast("double").as("_k"))
-      .join(broadcast(statted),
-        col("_k") >= col("stat_lo") && col("_k") <= col("stat_hi"))
-      .select("path").distinct().collect().map(_.getString(0))
-    val hit = (unstatted ++ hitStatted).distinct
+    // construction); files whose stats are absent or on a DIFFERENT
+    // column are conservatively rewritten (statsHitPaths)
+    val hit = statsHitPaths(dataRows(manifest), keys, keyCol)
     stagePurgeCore(spark, dir, manifest, hit, antiKeep(_, keys, keyCol),
       partCol, checksumCol, statsCol, dropDv)
+  }
+
+  /** SHARED stats prune of the key-based rewrite/CDF paths
+    * ([[stagePurgeFrameImpl]], [[readChanges]]): of the given manifest
+    * DATA rows, the paths that could contain a key from `keys` —
+    * statted files range-join the key frame (broadcast, #files-sized);
+    * files with NULL stats are conservatively hit; and, load-bearing for
+    * correctness, files whose recorded `stat_col` is NOT the key column
+    * are conservatively hit too — ranges over a DIFFERENT column say
+    * nothing about key containment (a table clustered on n_chars must
+    * not skip files for a doc_id delete; old manifests read stat_col =
+    * NULL and stay conservative).
+    */
+  private def statsHitPaths(entries0: DataFrame, keys: DataFrame,
+      keyCol: String): Array[String] = {
+    val entries = entries0.select("path", "stat_lo", "stat_hi", "stat_col")
+    val prunable = col("stat_lo").isNotNull && col("stat_hi").isNotNull &&
+      (col("stat_col") <=> lit(keyCol))
+    val unprunable = entries.filter(!prunable)
+      .select("path").collect().map(_.getString(0))
+    val hitStatted = keys.select(col(keyCol).cast("double").as("_k"))
+      .join(broadcast(entries.filter(prunable)),
+        col("_k") >= col("stat_lo") && col("_k") <= col("stat_hi"))
+      .select("path").distinct().collect().map(_.getString(0))
+    (unprunable ++ hitStatted).distinct
   }
 
   /** The distributed delete predicate of the frame purge path: a plain
@@ -858,7 +890,7 @@ object Snapshot {
           .select(regexp_extract(col("abs"), "/(v\\d+/.*)$", 1).as("path"),
             col("_p").cast("string").as("part"), col("n_rows"),
             col("checksum"), col("stat_lo"), col("stat_hi"),
-            lit(null).cast("string").as("kind"))
+            lit(c).as("stat_col"), lit(null).cast("string").as("kind"))
       case None => manifestRowsFor(spark, dir, n, partCol, checksumCol)
     }
     carried.unionByName(fresh)
@@ -939,6 +971,7 @@ object Snapshot {
         lit("__dv__").as("part"), col("n_rows"), col("checksum"),
         lit(null).cast("double").as("stat_lo"),
         lit(null).cast("double").as("stat_hi"),
+        lit(null).cast("string").as("stat_col"),
         lit("dv").as("kind"))
     readManifest(spark, dir, cur).unionByName(dvManifest)
       .coalesce(1).write.mode("overwrite").json(s"$dir/_manifest.v$n")
@@ -1018,7 +1051,7 @@ object Snapshot {
   private def readManifest(spark: SparkSession, dir: String, n: Int): DataFrame =
     spark.read
       .schema("path STRING, part STRING, n_rows BIGINT, checksum BIGINT, " +
-        "stat_lo DOUBLE, stat_hi DOUBLE, kind STRING")
+        "stat_lo DOUBLE, stat_hi DOUBLE, stat_col STRING, kind STRING")
       .json(s"$dir/_manifest.v$n")
 
   private def dataRows(m: DataFrame): DataFrame =
@@ -1234,7 +1267,7 @@ object Snapshot {
         max(col(statsCol)).cast("double").as("stat_hi"))
       .select(regexp_extract(col("abs"), "/(v\\d+/.*)$", 1).as("path"),
         col("_p").cast("string").as("part"), col("n_rows"), col("checksum"),
-        col("stat_lo"), col("stat_hi"),
+        col("stat_lo"), col("stat_hi"), lit(statsCol).as("stat_col"),
         lit(null).cast("string").as("kind"))
       .coalesce(1).write.mode("overwrite").json(s"$dir/_manifest.v$n")
     commit(spark, dir, n)
@@ -1365,18 +1398,8 @@ object Snapshot {
     val sharedExtra: Option[(DataFrame, DataFrame)] =
       if (shared.isEmpty) None
       else changed.flatMap { case (kc, ck) =>
-        val entries = dataRows(mb)
-          .filter(col("path").isin(shared.toSeq: _*))
-          .select("path", "stat_lo", "stat_hi")
-        val unstatted = entries
-          .filter(col("stat_lo").isNull || col("stat_hi").isNull)
-          .select("path").collect().map(_.getString(0))
-        val hitStatted = ck.select(col(kc).cast("double").as("_k"))
-          .join(broadcast(entries.filter(
-            col("stat_lo").isNotNull && col("stat_hi").isNotNull)),
-            col("_k") >= col("stat_lo") && col("_k") <= col("stat_hi"))
-          .select("path").distinct().collect().map(_.getString(0))
-        val hit = (unstatted ++ hitStatted).distinct
+        val hit = statsHitPaths(
+          dataRows(mb).filter(col("path").isin(shared.toSeq: _*)), ck, kc)
         if (hit.isEmpty) None
         else {
           val rows = readFiles(spark, dir, schemaV, hit)
@@ -1478,6 +1501,25 @@ object Snapshot {
         "need read-side default fill for pre-add files, which the SQL " +
         "front door cannot express — republish, or read through Snapshot.read")
     files.map(p => s"$dir/$p").toIndexedSeq
+  }
+
+  /** MAIN-lineage committed versions in `(afterV, upToV]`, from the
+    * `_committed.v*` markers [[commit]] drops on every pointer flip —
+    * the step list the version-log stream walks (dense integers would
+    * include abandoned merge-loser stages, branch commits, and crashed
+    * claims: claimVersion allocates numbers globally). `upToV` (the
+    * observed pointer) always counts even if its marker write crashed.
+    */
+  private[graft] def committedVersionsIn(spark: SparkSession, dir: String,
+      afterV: Int, upToV: Int): Seq[Int] = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Nil
+    val marked = fs.listStatus(root).map(_.getPath.getName).collect {
+      case m if m.matches("_committed\\.v\\d+") =>
+        m.stripPrefix("_committed.v").toInt
+    }.toSet
+    (marked + upToV).filter(v => v > afterV && v <= upToV).toSeq.sorted
   }
 
   /** The APPEND-ONLY step contract of the version-log STREAMING source
@@ -1622,6 +1664,8 @@ object Snapshot {
         .select(col("path"), col("part"), col("n_rows"), col("checksum"),
           coalesce(col("new_lo"), col("stat_lo")).as("stat_lo"),
           coalesce(col("new_hi"), col("stat_hi")).as("stat_hi"),
+          when(col("new_lo").isNotNull, lit(c))
+            .otherwise(col("stat_col")).as("stat_col"),
           col("kind"))
         .localCheckpoint()
       updated.coalesce(1).write.mode("overwrite").json(s"$dir/_manifest.v$n")
@@ -1753,10 +1797,19 @@ object Snapshot {
         // expired optimistic-commit claims: the pointer moved past this
         // base, so the version precheck alone now rejects late writers
         fs.delete(st.getPath, false)
+      } else if (st.isFile && name.matches("_committed\\.v\\d+") &&
+          !retained.contains(name.stripPrefix("_committed.v").toInt)) {
+        // commit markers expire with their manifests: a stream lagging
+        // past retention already fails loudly on the missing manifest
+        fs.delete(st.getPath, false)
       } else if (st.isFile && name.matches("_stage\\.v\\d+") &&
+          name.stripPrefix("_stage.v").toInt <= n &&
           !retained.contains(name.stripPrefix("_stage.v").toInt)) {
-        // expired version-number claims (claimVersion): the version is
-        // out of retention, so nothing can reference or re-stage it
+        // expired version-number claims (claimVersion), only AT OR BELOW
+        // the committed version: a marker ABOVE current may be an
+        // IN-FLIGHT writer's allocation — deleting it would let a second
+        // writer claim the same number and clobber the first's staged
+        // manifest, the exact lost-update claimVersion exists to prevent
         fs.delete(st.getPath, false)
       } else if (st.isDirectory && name.matches("_schema\\.v\\d+") &&
           name.stripPrefix("_schema.v").toInt > n) {

@@ -795,7 +795,10 @@ object ScaleProbe {
         val barrier = new java.util.concurrent.CyclicBarrier(nWriters)
         val t0 = System.nanoTime()
         val landed = staged.map(v => Future {
-          barrier.await()
+          // blocking{}: the global EC sizes to the core count — on a
+          // small box 8 parked awaits would starve the pool and deadlock
+          // the barrier without compensation threads
+          scala.concurrent.blocking(barrier.await())
           graft.sources.Snapshot.commitIfCompatible(spark, dir, v, base = 1,
             maxRetries = nWriters + 2)
         })

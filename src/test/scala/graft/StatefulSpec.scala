@@ -313,7 +313,9 @@ class StatefulSpec extends SparkSpec {
     val batches = new java.util.concurrent.ConcurrentLinkedQueue[(Long, (Long, Long))]()
     def drain(): Unit = {
       val q = spark.readStream.format("graft-snapshot-stream")
-        .option("path", table).load()
+        .option("path", table)
+        .option("startingVersion", "0") // full-history replay under test
+        .load()
         .writeStream
         .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
           batches.add((id, fp(b.toDF()))); ()
@@ -405,7 +407,9 @@ class StatefulSpec extends SparkSpec {
       "doc_id", "lang", "text")
     val perBatch = new java.util.concurrent.ConcurrentHashMap[Long, (Long, Long)]()
     val q = spark.readStream.format("graft-snapshot-stream")
-      .option("path", table).option("readChanges", "true").load()
+      .option("path", table).option("readChanges", "true")
+      .option("startingVersion", "0") // per-commit delta replay under test
+      .load()
       .writeStream
       .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
         val r = b.toDF().agg(
@@ -425,5 +429,61 @@ class StatefulSpec extends SparkSpec {
     assert(perBatch.get(1L) === ((nEn, 0L)))        // append: inserts only
     assert(perBatch.get(2L) === ((0L, 0L)))         // compaction: EMPTY delta
     assert(perBatch.get(3L) === ((nDe, nDe)))       // upsert: delete+insert
+  }
+
+  test("fresh stream attach survives vacuumed, non-append, and orphan-numbered history") {
+    val root = java.nio.file.Files.createTempDirectory("graft_vstream_attach").toString
+    val table = s"$root/table"
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val S = graft.sources.Snapshot
+    S.publish(spark, table, docs, "lang", "text") // v1
+    S.upsert(spark, table, // v2: NON-append history
+      docs.filter(col("lang") === "de")
+        .withColumn("text", concat(col("text"), lit(" att"))),
+      "doc_id", "lang", "text")
+    // an ORPHAN version number: staged but never committed (the
+    // abandoned-merge-loser shape a dense-integer walk would trip on)
+    S.stageUpsert(spark, table,
+      docs.filter(col("lang") === "fr")
+        .withColumn("text", concat(col("text"), lit(" orphan"))),
+      "doc_id", "lang", "text") // claims v3, never flips
+    S.commit(spark, table, S.stageAppend(spark, table, // v4: a real commit
+      docs.filter(col("lang") === "zh")
+        .withColumn("doc_id", col("doc_id") + lit(6000000L)),
+      "lang", "text"))
+    S.vacuum(spark, table) // v1/v2 manifests gone; orphan v3 swept
+    val expect = S.read(spark, table)
+    val counts = new java.util.concurrent.atomic.AtomicLong(0)
+    val nBatches = new java.util.concurrent.atomic.AtomicLong(0)
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft-snapshot-stream")
+        .option("path", table).load() // DEFAULT attach: snapshot-at-start
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          counts.addAndGet(b.count()); nBatches.incrementAndGet(); ()
+        }
+        .option("checkpointLocation", s"$root/chk")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // one full-snapshot batch despite vacuumed v1/v2, the upsert, and
+    // the orphan number — the attach never walks history
+    drain()
+    assert(nBatches.get() === 1, s"fresh attach must be ONE snapshot batch, got ${nBatches.get()}")
+    assert(counts.get() === expect.count())
+    // and the tail keeps working: an orphan number between commits is
+    // skipped (the committed-marker walk), the next commit arrives alone
+    S.stageUpsert(spark, table, // another orphan (claims a number, no flip)
+      docs.filter(col("lang") === "es")
+        .withColumn("text", concat(col("text"), lit(" orphan2"))),
+      "doc_id", "lang", "text")
+    val late = docs.filter(col("lang") === "en")
+      .withColumn("doc_id", col("doc_id") + lit(9000000L))
+    S.commit(spark, table, S.stageAppend(spark, table, late, "lang", "text"))
+    counts.set(0); nBatches.set(0)
+    drain()
+    assert(nBatches.get() === 1 && counts.get() === late.count(),
+      s"tail must emit exactly the new commit: ${nBatches.get()} batches, ${counts.get()} rows")
   }
 }
