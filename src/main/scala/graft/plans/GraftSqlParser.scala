@@ -31,6 +31,11 @@ final class GraftParseException(msg: String) extends RuntimeException(msg)
   *   GRAFT SNAPSHOT PUBLISH '<root>' PARTITION <col> CHECKSUM <col> AS <query>
   *   GRAFT SNAPSHOT APPEND '<root>' PARTITION <col> CHECKSUM <col> AS <query>
   *   GRAFT SNAPSHOT UPSERT '<root>' KEY <col> PARTITION <col> CHECKSUM <col> AS <query>
+  *   GRAFT SNAPSHOT MERGE '<root>' KEY <col> PARTITION <col> CHECKSUM <col>
+  *     WHEN MATCHED [AND <cond>] THEN UPDATE [SET <col> = <expr>, ...]
+  *     WHEN MATCHED [AND <cond>] THEN DELETE
+  *     WHEN NOT MATCHED [AND <cond>] THEN INSERT
+  *     AS <source query>
   *   GRAFT SNAPSHOT DELETE '<root>' KEY <col> AS <query>
   *   GRAFT SNAPSHOT COMPACT '<root>' PARTITION <col> CHECKSUM <col> [MAXFILES n]
   *   GRAFT SNAPSHOT APPLY DELETES '<root>' PARTITION <col> CHECKSUM <col>
@@ -63,12 +68,25 @@ final class GraftParseException(msg: String) extends RuntimeException(msg)
   * statement start — SQL writes inherit the OPTIMISTIC-CONCURRENCY
   * protocol (a concurrent writer makes the statement fail loudly with
   * the restage message, never lose an update) rather than the
-  * single-writer fast path. Executed EAGERLY when `spark.sql(...)`
-  * parses the statement — exactly when a DDL/DML command would run —
-  * and returning a one-row (op, root, version) receipt. A raw
+  * single-writer fast path. Every mutation verb parses to a LAZY
+  * [[GraftSnapshotCommand]] (the RunnableCommand shape): staging and
+  * commit run at EXECUTION time — when `spark.sql(...)` executes the
+  * command, exactly like any DDL/DML — so a caller that only PARSES
+  * (dry-run validation, EXPLAIN, a double-parse path) commits nothing;
+  * the AS-tail's syntax is still delegate-checked at parse time. Each
+  * returns a one-row (op, root, version) receipt. A raw
   * `write.format("graft-snapshot")` still refuses (SnapshotSpec): the
   * SQL write door is THESE statements, which go through the staged
   * commit protocol, not a path-shaped side door around it.
+  *
+  * `GRAFT SNAPSHOT MERGE` is the full conditional verb (Delta/Iceberg
+  * `MERGE INTO` semantics — per-column UPDATE SET, DELETE branch,
+  * conditional INSERT, first-satisfied-clause-wins in declaration
+  * order; see `Snapshot.stageMerge`). Its WHEN clauses come BEFORE the
+  * AS-query — the tail after AS belongs to the delegate and may contain
+  * anything — and the clause region splits on TOP-LEVEL keywords, so
+  * conditions/SET expressions containing WHEN/THEN/AS or commas must be
+  * parenthesized. Conditions reference the pair as `t.<col>`/`s.<col>`.
   *
   * Everything that is not the graft statement — plans, expressions,
   * identifiers, types — delegates verbatim, so the extension can never
@@ -112,6 +130,15 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   private val Delete =
     s"""(?is)\\s*GRAFT\\s+SNAPSHOT\\s+DELETE\\s+$P\\s+KEY\\s+$Ident\\s+AS\\s+(.+)""".r
 
+  // CONDITIONAL MERGE — the warehouse staple (Delta/Iceberg MERGE INTO):
+  // WHEN clauses precede the AS-query because the tail after AS belongs
+  // to the DELEGATE (full Spark SQL — it may contain anything, including
+  // these keywords); the clause region is split on TOP-LEVEL keywords
+  // (outside quotes/parens), so a condition or SET expression that
+  // itself contains WHEN/THEN/AS or a comma must be parenthesized.
+  private val MergeHead =
+    s"""(?is)\\s*GRAFT\\s+SNAPSHOT\\s+MERGE\\s+$P\\s+KEY\\s+$Ident\\s+PARTITION\\s+$Ident\\s+CHECKSUM\\s+$Ident\\s+(.+)""".r
+
   // MAINTENANCE verbs — the lifecycle ops a table needs on a schedule,
   // reachable from the same pure-SQL surface (Delta's OPTIMIZE/VACUUM
   // shape): layout-only compaction, MoR-delete materialization, and
@@ -138,29 +165,165 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     "GRAFT SNAPSHOT PUBLISH '<root>' PARTITION <col> CHECKSUM <col> AS <query>",
     "GRAFT SNAPSHOT APPEND '<root>' PARTITION <col> CHECKSUM <col> AS <query>",
     "GRAFT SNAPSHOT UPSERT '<root>' KEY <col> PARTITION <col> CHECKSUM <col> AS <query>",
+    "GRAFT SNAPSHOT MERGE '<root>' KEY <col> PARTITION <col> CHECKSUM <col> " +
+      "{WHEN MATCHED [AND <cond>] THEN UPDATE [SET <col> = <expr>, ...] | " +
+      "WHEN MATCHED [AND <cond>] THEN DELETE | " +
+      "WHEN NOT MATCHED [AND <cond>] THEN INSERT}... AS <source query> " +
+      "(conditions reference t.<col>/s.<col>; parenthesize a condition " +
+      "containing WHEN/THEN/AS or commas)",
     "GRAFT SNAPSHOT DELETE '<root>' KEY <col> AS <query>",
     "GRAFT SNAPSHOT COMPACT '<root>' PARTITION <col> CHECKSUM <col> [MAXFILES n]",
     "GRAFT SNAPSHOT APPLY DELETES '<root>' PARTITION <col> CHECKSUM <col>",
     "GRAFT SNAPSHOT VACUUM '<root>' [KEEP n]")
 
-  /** One-row receipt of an executed write statement. */
-  private def receipt(op: String, root: String, version: Int): DataFrame = {
-    import session.implicits._
-    Seq((op, root, version)).toDF("op", "root", "version")
+  /** Build a write statement's LAZY command: the AS-tail is parsed by
+    * the DELEGATE at parse time (full Spark SQL, syntax errors surface
+    * immediately), but staging + optimistic-concurrency commit run at
+    * EXECUTION time inside [[GraftSnapshotCommand]] — a caller that only
+    * parses (dry-run tooling, EXPLAIN) commits nothing.
+    */
+  private def writeCmd(op: String, root: String, query: String)
+      (stage: (SparkSession, DataFrame) => Int): LogicalPlan = {
+    val parsed = delegate.parsePlan(query)
+    GraftSnapshotCommand(op, root) { sess =>
+      val df = GraftBridge.ofRows(sess, parsed)
+      val base = graft.sources.Snapshot.currentVersion(sess, root)
+      val n = stage(sess, df)
+      // stageAppend returns the base version for an empty delta — a
+      // no-op statement re-commits nothing
+      if (n > base) graft.sources.Snapshot.commitIfBase(sess, root, n, base)
+      math.max(n, base)
+    }
   }
 
-  /** Run a write statement's query tail through the DELEGATE (full
-    * Spark SQL) and stage+commit with optimistic concurrency.
+  /** Index of the first TOP-LEVEL occurrence of word `kw` (case-
+    * insensitive, word-bounded) in `text` at or after `from` — top-level
+    * = outside single-quoted strings (`''` = escaped quote) and outside
+    * parentheses; -1 when absent. The MERGE clause region splits on
+    * top-level WHEN/THEN/AS/commas, which is why a condition or SET
+    * expression containing those must be parenthesized (grammar note).
     */
-  private def write(op: String, root: String, query: String)
-      (stage: DataFrame => Int): LogicalPlan = {
-    val df = GraftBridge.ofRows(session, delegate.parsePlan(query))
-    val base = graft.sources.Snapshot.currentVersion(session, root)
-    val n = stage(df)
-    // stageAppend returns the base version for an empty delta — a
-    // no-op statement re-commits nothing
-    if (n > base) graft.sources.Snapshot.commitIfBase(session, root, n, base)
-    GraftBridge.planOf(receipt(op, root, math.max(n, base)))
+  private def topLevel(text: String, kw: String, from: Int = 0): Int = {
+    def isWord(c: Char) = c.isLetterOrDigit || c == '_'
+    var depth = 0
+    var inStr = false
+    var i = from
+    while (i < text.length) {
+      val ch = text(i)
+      if (inStr) {
+        if (ch == '\'') {
+          if (i + 1 < text.length && text(i + 1) == '\'') i += 1
+          else inStr = false
+        }
+      } else ch match {
+        case '\'' => inStr = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ =>
+          if (depth == 0) {
+            if (kw == ",") { if (ch == ',') return i }
+            else if (ch.isLetter && (i == 0 || !isWord(text(i - 1))) &&
+                text.regionMatches(true, i, kw, 0, kw.length) &&
+                (i + kw.length >= text.length || !isWord(text(i + kw.length))))
+              return i
+          }
+      }
+      i += 1
+    }
+    -1
+  }
+
+  /** All top-level occurrences of `kw` in `text` (see [[topLevel]]). */
+  private def topLevelAll(text: String, kw: String): Seq[Int] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var i = topLevel(text, kw)
+    while (i >= 0) {
+      out += i
+      i = topLevel(text, kw, i + math.max(kw.length, 1))
+    }
+    out.toSeq
+  }
+
+  private def mergeError(detail: String): Nothing =
+    throw new GraftParseException(
+      s"malformed GRAFT SNAPSHOT MERGE statement: $detail\n  grammar: " +
+        Grammar.find(_.contains("MERGE")).get)
+
+  /** Parse the MERGE statement's tail — the WHEN-clause chain followed
+    * by `AS <source query>` — into clause values plus the query text.
+    * Clause order is preserved: [[graft.sources.Snapshot.stageMerge]]
+    * dispatches first-match-wins in declaration order.
+    */
+  private def parseMergeTail(tail: String)
+      : (Seq[graft.sources.Snapshot.MergeClause], String) = {
+    import graft.sources.Snapshot.{WhenMatchedDelete, WhenMatchedUpdate, WhenNotMatchedInsert}
+    // LEFT-TO-RIGHT structural scan — the AS-query may itself contain
+    // top-level WHEN/AS (CASE WHEN, column aliases), so clause boundaries
+    // must be found clause by clause, never by a global split: each
+    // clause runs from its WHEN through its THEN-action to the NEXT
+    // top-level WHEN (another clause) or AS (the query starts) —
+    // whichever comes first. Conditions/SET expressions containing these
+    // keywords are parenthesized per the grammar, so inside a clause the
+    // first top-level WHEN/AS after THEN is always a real boundary.
+    val first = topLevel(tail, "WHEN")
+    if (first < 0 || tail.take(first).trim.nonEmpty)
+      mergeError("expected at least one WHEN clause after CHECKSUM <col>")
+    val segments = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var pos = first
+    var query: String = null
+    while (query == null) {
+      val thenAt = topLevel(tail, "THEN", pos + 4)
+      if (thenAt < 0)
+        mergeError(s"WHEN clause without THEN: '${tail.substring(pos).take(60)}'")
+      val head = tail.substring(pos + 4, thenAt).trim
+      val nextWhen = topLevel(tail, "WHEN", thenAt + 4)
+      val nextAs = topLevel(tail, "AS", thenAt + 4)
+      if (nextAs < 0) mergeError("expected AS <source query> after the WHEN clauses")
+      val end = if (nextWhen >= 0 && nextWhen < nextAs) nextWhen else nextAs
+      segments += ((head, tail.substring(thenAt + 4, end).trim))
+      if (end == nextAs && (nextWhen < 0 || nextWhen >= nextAs)) {
+        query = tail.substring(nextAs + 2).trim
+        if (query.isEmpty) mergeError("empty source query after AS")
+      } else pos = nextWhen
+    }
+    val clauses = segments.toSeq.map { case (head, action) =>
+      val HeadRe = """(?is)^(NOT\s+)?MATCHED(?:\s+AND\s+(.+))?$""".r
+      val (negated, cond) = head match {
+        case HeadRe(n, c) => (n != null, Option(c).map(_.trim).filter(_.nonEmpty))
+        case _ => mergeError(s"expected [NOT] MATCHED [AND <cond>], got '${head.take(60)}'")
+      }
+      val UpdateRe = """(?is)^UPDATE(?:\s+SET\s+(.+))?$""".r
+      action match {
+        case _ if negated =>
+          if (!action.equalsIgnoreCase("INSERT"))
+            mergeError(s"WHEN NOT MATCHED supports only THEN INSERT, got '${action.take(60)}'")
+          WhenNotMatchedInsert(cond)
+        case a if a.equalsIgnoreCase("DELETE") => WhenMatchedDelete(cond)
+        case UpdateRe(setTxt) =>
+          val set = Option(setTxt).fold(Seq.empty[(String, String)]) { txt =>
+            // split assignments on top-level commas; each at its FIRST
+            // top-level '=' (column names cannot contain '=')
+            val cuts = topLevelAll(txt, ",")
+            val parts = (-1 +: cuts).zip(cuts :+ txt.length).map {
+              case (s0, e) => txt.substring(s0 + 1, e)
+            }
+            parts.map { p =>
+              val eq = p.indexOf('=')
+              if (eq < 0) mergeError(s"SET assignment without '=': '${p.trim.take(60)}'")
+              val c = p.substring(0, eq).trim
+              val e = p.substring(eq + 1).trim
+              if (!c.matches("[A-Za-z_][A-Za-z0-9_]*"))
+                mergeError(s"SET target is not a column name: '${c.take(60)}'")
+              if (e.isEmpty) mergeError(s"empty SET expression for column '$c'")
+              c -> e
+            }
+          }
+          WhenMatchedUpdate(cond, set)
+        case other =>
+          mergeError(s"WHEN MATCHED supports THEN UPDATE [SET …] or THEN DELETE, got '${other.take(60)}'")
+      }
+    }.toSeq
+    (clauses, query)
   }
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
@@ -176,37 +339,41 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     case Publish(path, partCol, ckCol, query) =>
       // full-snapshot publish: legal on an empty root (base 0) — the
       // verb that lets a pure-SQL user CREATE the table
-      write("publish", unq(path), query)(df =>
-        graft.sources.Snapshot.stagePublish(session, unq(path), df,
+      writeCmd("publish", unq(path), query)((sess, df) =>
+        graft.sources.Snapshot.stagePublish(sess, unq(path), df,
           partCol, ckCol))
     case Append(path, partCol, ckCol, query) =>
-      write("append", unq(path), query)(df =>
-        graft.sources.Snapshot.stageAppend(session, unq(path), df, partCol, ckCol))
+      writeCmd("append", unq(path), query)((sess, df) =>
+        graft.sources.Snapshot.stageAppend(sess, unq(path), df, partCol, ckCol))
     case Upsert(path, keyCol, partCol, ckCol, query) =>
-      write("upsert", unq(path), query)(df =>
-        graft.sources.Snapshot.stageUpsert(session, unq(path), df, keyCol,
+      writeCmd("upsert", unq(path), query)((sess, df) =>
+        graft.sources.Snapshot.stageUpsert(sess, unq(path), df, keyCol,
           partCol, ckCol))
+    case MergeHead(path, keyCol, partCol, ckCol, tail) =>
+      val (clauses, query) = parseMergeTail(tail)
+      writeCmd("merge", unq(path), query)((sess, df) =>
+        graft.sources.Snapshot.stageMerge(sess, unq(path), df, keyCol,
+          partCol, ckCol, clauses))
     case Delete(path, keyCol, query) =>
       // merge-on-read delete: the key frame is the AS-query's result —
       // O(#keys) at commit, readers mask until APPLY DELETES
-      write("delete", unq(path), query)(df =>
-        graft.sources.Snapshot.stageDeleteMor(session, unq(path), df, keyCol))
+      writeCmd("delete", unq(path), query)((sess, df) =>
+        graft.sources.Snapshot.stageDeleteMor(sess, unq(path), df, keyCol))
     case Compact(path, partCol, ckCol, maxFiles) =>
       val root = unq(path)
-      val v = graft.sources.Snapshot.compactPartitions(session, root,
-        partCol, ckCol,
-        maxFiles = if (maxFiles == null) 4 else maxFiles.toInt)
-      GraftBridge.planOf(receipt("compact", root, v))
+      GraftSnapshotCommand("compact", root)(sess =>
+        graft.sources.Snapshot.compactPartitions(sess, root, partCol, ckCol,
+          maxFiles = if (maxFiles == null) 4 else maxFiles.toInt))
     case ApplyDel(path, partCol, ckCol) =>
       val root = unq(path)
-      val v = graft.sources.Snapshot.applyMorDeletes(session, root,
-        partCol, ckCol)
-      GraftBridge.planOf(receipt("apply_deletes", root, v))
+      GraftSnapshotCommand("apply_deletes", root)(sess =>
+        graft.sources.Snapshot.applyMorDeletes(sess, root, partCol, ckCol))
     case Vacuum(path, keep) =>
       val root = unq(path)
-      val removed = graft.sources.Snapshot.vacuum(session, root,
-        keepVersions = if (keep == null) 1 else keep.toInt)
-      GraftBridge.planOf(receipt("vacuum", root, removed))
+      // receipt's `version` column carries the deleted-file count
+      GraftSnapshotCommand("vacuum", root)(sess =>
+        graft.sources.Snapshot.vacuum(sess, root,
+          keepVersions = if (keep == null) 1 else keep.toInt))
     case GraftPrefix() =>
       // claims our prefix but matches no statement: diagnose with the
       // verb position and the grammar, not the delegate's ANTLR error

@@ -168,8 +168,18 @@ object Snapshot {
     // never dense integers. A crash between flip and marker is benign:
     // the pointer version itself always counts as committed, and a
     // later step's manifest diff folds the unmarked commit in.
-    if (ptrName == PtrName)
-      exclusiveCreate(spark, new Path(dir, s"_committed.v$n")) // idempotent
+    if (ptrName == PtrName) {
+      // The marker doubles as the commit's WALL-CLOCK record: its body is
+      // {"ts": <epoch millis>}, surfaced by [[history]] as committed_at.
+      // Version numbers stay the format's time axis (TIMESTAMP AS OF
+      // still refuses — a timestamp→version guess is lossy); the wall
+      // clock is GOVERNANCE metadata ("what did we serve last Tuesday"),
+      // mapped to a version by the user reading history. Advisory by
+      // construction: a crash between create and write leaves an empty
+      // marker → committed_at NULL, never a wedged commit.
+      exclusiveCreateWith(spark, new Path(dir, s"_committed.v$n"),
+        s"""{"ts":${System.currentTimeMillis()}}""") // idempotent
+    }
     ()
   }
 
@@ -207,6 +217,41 @@ object Snapshot {
     if (!exclusiveCreate(spark, marker))
       throw new CommitConflictException(dir, base)
     flipPointer(spark, dir, PtrName, n, tag)
+  }
+
+  /** [[exclusiveCreate]] with a small advisory BODY written after the
+    * atomic create (commit markers carry their wall-clock timestamp).
+    * The create is the atomicity-critical step; a crash before the body
+    * lands leaves an empty marker, which every reader treats as
+    * present-but-metadata-less. False = already claimed/created.
+    */
+  private def exclusiveCreateWith(spark: SparkSession, marker: Path,
+      body: String): Boolean = {
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.getScheme == "file") {
+      try {
+        // CREATE_NEW: kernel-arbitrated exclusive create + content in one
+        // call on the local scheme
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(marker.toUri.getPath),
+          body.getBytes("UTF-8"),
+          java.nio.file.StandardOpenOption.CREATE_NEW)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      }
+    } else {
+      try {
+        val out = fc(spark).create(marker,
+          java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE),
+          Options.CreateOpts.createParent())
+        try out.write(body.getBytes("UTF-8")) finally out.close()
+        true
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case _: java.nio.file.FileAlreadyExistsException => false
+      }
+    }
   }
 
   /** Atomically create `marker` as the claim token; false = already
@@ -292,7 +337,8 @@ object Snapshot {
     */
   def commitIfCompatible(spark: SparkSession, dir: String, n: Int, base: Int,
       tag: Option[String] = None, maxRetries: Int = 5,
-      claimWaitMs: Long = 30000): Int = {
+      claimWaitMs: Long = DefaultClaimWaitMs): Int = {
+    val waitMs = effectiveClaimWaitMs(spark, claimWaitMs)
     var attempt = 0
     while (true) {
       attempt += 1
@@ -312,7 +358,7 @@ object Snapshot {
           // means the claim holder crashed mid-commit: name the wedged
           // marker and the recovery step instead of a misleading
           // "lost the race".
-          if (!awaitPointerPast(spark, dir, cur, claimWaitMs)) throwStaleClaim(dir, cur)
+          if (!awaitPointerPast(spark, dir, cur, waitMs)) throwStaleClaim(dir, cur)
         }
       } else {
         require(cur > base,
@@ -345,21 +391,45 @@ object Snapshot {
         try { commitIfBase(spark, dir, m, cur, tag); return m }
         catch { case _: CommitConflictException =>
           // see the fast-path note
-          if (!awaitPointerPast(spark, dir, cur, claimWaitMs)) throwStaleClaim(dir, cur)
+          if (!awaitPointerPast(spark, dir, cur, waitMs)) throwStaleClaim(dir, cur)
         }
       }
     }
     -1 // unreachable
   }
 
+  /** The session conf that overrides [[commitIfCompatible]]'s default
+    * 30 s claim-wait deadline — deployments whose commits legitimately
+    * hold the claim longer (a large merged-manifest write between claim
+    * and flip) raise it instead of mis-diagnosing a slow writer as
+    * crashed.
+    */
+  val ClaimWaitConf = "spark.graft.commit.claimWaitMs"
+
+  /** Resolve the effective claim wait: an explicitly-passed argument
+    * wins; the default defers to [[ClaimWaitConf]] when set.
+    */
+  private def effectiveClaimWaitMs(spark: SparkSession,
+      claimWaitMs: Long): Long =
+    if (claimWaitMs != DefaultClaimWaitMs) claimWaitMs
+    else spark.conf.getOption(ClaimWaitConf).map(_.toLong)
+      .getOrElse(DefaultClaimWaitMs)
+
+  private val DefaultClaimWaitMs = 30000L
+
   /** The wedged-base diagnosis of [[commitIfCompatible]]'s backoff. */
   private def throwStaleClaim(dir: String, base: Int): Nothing =
     throw new CommitConflictException(
       s"snapshot table $dir: _claim.v$base exists but the pointer has not " +
         s"moved past $base within the wait deadline — the claim holder " +
-        "likely crashed between claim and flip, wedging this base. Confirm " +
-        "no writer is alive, then Snapshot.releaseStaleClaim(dir, " +
-        s"$base) and retry the commit")
+        "either crashed between claim and flip (wedging this base) or is " +
+        "merely SLOW (a large merged-manifest write holds the claim " +
+        "legitimately). Check the _claim marker's age/mtime against your " +
+        "longest expected commit and confirm no writer is alive before " +
+        s"acting — releasing a LIVE holder's claim reopens the lost-update " +
+        s"window the claim exists to close. Then Snapshot.releaseStaleClaim" +
+        s"(dir, $base) and retry; for slow-commit deployments raise " +
+        s"$ClaimWaitConf instead")
 
   /** Bounded wait for `_latest` to move past `v` — the claim-lost
     * backoff of [[commitIfCompatible]] (a writer that lost the claim
@@ -726,6 +796,164 @@ object Snapshot {
     val n = stageUpsert(spark, dir, updates, keyCol, partCol, checksumCol)
     commit(spark, dir, n)
     n
+  }
+
+  // ------------------------------------------------------------------
+  // CONDITIONAL MERGE — the warehouse staple [[stageUpsert]] is the
+  // degenerate case of (Delta/Iceberg `MERGE INTO … WHEN MATCHED [AND
+  // cond] THEN UPDATE SET … | DELETE, WHEN NOT MATCHED [AND cond] THEN
+  // INSERT`): per-row clause dispatch, per-column assignments, and a
+  // delete branch, decided by SQL conditions over the matched (target,
+  // source) pair. Clauses are evaluated IN DECLARATION ORDER and the
+  // first satisfied clause wins (the standard MERGE contract); a
+  // matched target row no clause claims carries through unchanged, an
+  // unmatched source row no insert clause claims is dropped.
+  // ------------------------------------------------------------------
+
+  /** One `WHEN` clause of [[stageMerge]]. Conditions and assignment
+    * expressions are SQL over the aliased pair — reference target
+    * columns as `t.<col>` and source columns as `s.<col>` (bare names
+    * are ambiguous and fail loudly at analysis).
+    */
+  sealed trait MergeClause
+
+  /** `WHEN MATCHED [AND condSql] THEN UPDATE [SET col -> exprSql, …]`.
+    * An EMPTY `set` is whole-row replacement from the source (upsert's
+    * verb); a non-empty `set` assigns exactly the named columns and
+    * carries every other column from the target row. The key and
+    * partition columns are not assignable ([[stageMerge]] refuses) —
+    * re-keying or moving a row between partitions is a delete+insert,
+    * not an update.
+    */
+  final case class WhenMatchedUpdate(condSql: Option[String] = None,
+      set: Seq[(String, String)] = Nil) extends MergeClause
+
+  /** `WHEN MATCHED [AND condSql] THEN DELETE`. */
+  final case class WhenMatchedDelete(condSql: Option[String] = None)
+    extends MergeClause
+
+  /** `WHEN NOT MATCHED [AND condSql] THEN INSERT` — inserts the source
+    * row whole (the source schema must equal the table schema).
+    */
+  final case class WhenNotMatchedInsert(condSql: Option[String] = None)
+    extends MergeClause
+
+  /** Stage a conditional MERGE of `source` into the table as version
+    * current+1 (no commit) — see the clause types above for semantics.
+    * Same copy-on-write economics as [[stageUpsert]]: only the
+    * partitions `source` touches are read or rewritten; every other
+    * partition's files carry forward by manifest reference, so merge
+    * cost scales with the touched partitions, never the table. Same
+    * contracts too: the partition column must be stable per key (a
+    * matched target row lives in its source row's partition), the
+    * source schema must equal the table schema, and pending
+    * merge-on-read deletes refuse (CoW under a DV mask would resurrect
+    * masked rows).
+    *
+    * The source must have AT MOST ONE row per key — a target row
+    * matching two source rows has no well-defined result, so the
+    * ambiguity fails loudly (the same runtime check Delta does) instead
+    * of letting join multiplicity silently duplicate or pick a winner.
+    *
+    * Plan shape: one full-outer join of the affected partitions' rows
+    * against the source on the key (shuffle-or-broadcast, Catalyst's
+    * call), clause dispatch as one CASE chain — no per-clause passes,
+    * no driver-side rows.
+    */
+  def stageMerge(spark: SparkSession, dir: String, source: DataFrame,
+      keyCol: String, partCol: String, checksumCol: String,
+      clauses: Seq[MergeClause]): Int = {
+    require(clauses.nonEmpty,
+      "merge with no WHEN clauses is a no-op — declare at least one")
+    val tableCols = read(spark, dir).columns
+    require(source.columns.toSet == tableCols.toSet,
+      s"merge source schema (${source.columns.sorted.mkString(", ")}) must " +
+        s"equal the table schema (${tableCols.sorted.mkString(", ")}) — " +
+        "widening is addColumn's job, not a merge side effect")
+    val reserved = Seq("_graft_act", "_t_row", "_s_row")
+    require(!tableCols.exists(reserved.contains),
+      s"merge reserves column names ${reserved.mkString(", ")}")
+    clauses.foreach {
+      case WhenMatchedUpdate(_, set) => set.foreach { case (c, _) =>
+        require(tableCols.contains(c),
+          s"merge UPDATE SET assigns unknown column '$c' " +
+            s"(table columns: ${tableCols.mkString(", ")})")
+        require(c != keyCol && c != partCol,
+          s"merge UPDATE SET may not assign the key or partition column " +
+            s"('$c') — re-keying or moving a row is a delete+insert")
+      }
+      case _ => ()
+    }
+    val dupKeys = source.groupBy(keyCol).agg(count(lit(1)).as("_n"))
+      .filter(col("_n") > 1).limit(5).collect()
+    require(dupKeys.isEmpty,
+      s"merge source has duplicate keys (e.g. " +
+        s"${dupKeys.map(_.get(0)).mkString(", ")}) — a target row would " +
+        "match more than one source row, which has no well-defined result")
+    stageCow(spark, dir, source, partCol, checksumCol)(base =>
+      mergeRebuild(base, source, keyCol, clauses))
+  }
+
+  /** Conditional merge: stage + atomic commit. */
+  def merge(spark: SparkSession, dir: String, source: DataFrame,
+      keyCol: String, partCol: String, checksumCol: String,
+      clauses: Seq[MergeClause]): Int = {
+    val n = stageMerge(spark, dir, source, keyCol, partCol, checksumCol, clauses)
+    commit(spark, dir, n)
+    n
+  }
+
+  /** The merge plan over one CoW rebuild's base rows: full-outer join
+    * target (`t`) vs source (`s`) on the key, then ONE CASE chain
+    * labels each row with the first satisfied clause — matched rows
+    * dispatch across the matched clauses in declaration order, unmatched
+    * source rows across the insert clauses, unmatched target rows keep.
+    * Delete/drop labels filter out; every output column is one CASE
+    * over the label (assignment expr, source value, or target value).
+    */
+  private def mergeRebuild(base: DataFrame, source: DataFrame,
+      keyCol: String, clauses: Seq[MergeClause]): DataFrame = {
+    val t = base.withColumn("_t_row", lit(1)).alias("t")
+    val s = source.withColumn("_s_row", lit(1)).alias("s")
+    val j = t.join(s, col(s"t.$keyCol") === col(s"s.$keyCol"), "full_outer")
+    def condOf(o: Option[String]): org.apache.spark.sql.Column =
+      o.map(expr).getOrElse(lit(true))
+    // label per clause kind; Some(set) = update, None = delete
+    val matchedClauses = clauses.zipWithIndex.collect {
+      case (c: WhenMatchedUpdate, i) => (s"u$i", c.condSql, Some(c.set))
+      case (c: WhenMatchedDelete, i) => (s"d$i", c.condSql, None)
+    }
+    val insertClauses = clauses.zipWithIndex.collect {
+      case (c: WhenNotMatchedInsert, i) => (s"i$i", c.condSql)
+    }
+    val matchedAct = matchedClauses.foldRight(lit("keep")) {
+      case ((name, c, _), els) => when(condOf(c), lit(name)).otherwise(els)
+    }
+    val insertAct = insertClauses.foldRight(lit("drop")) {
+      case ((name, c), els) => when(condOf(c), lit(name)).otherwise(els)
+    }
+    val act =
+      when(col("t._t_row").isNotNull && col("s._s_row").isNotNull, matchedAct)
+        .when(col("t._t_row").isNull, insertAct)
+        .otherwise(lit("keep"))
+    val deleteNames = matchedClauses.collect { case (n, _, None) => n }
+    val kept = j.withColumn("_graft_act", act)
+      .filter(!col("_graft_act").isin(("drop" +: deleteNames): _*))
+    val out = base.columns.toIndexedSeq.map { c =>
+      val fromT = col(s"t.$c")
+      val fromS = col(s"s.$c")
+      val branches: Seq[(org.apache.spark.sql.Column, org.apache.spark.sql.Column)] =
+        insertClauses.map { case (n, _) =>
+          (col("_graft_act") === n) -> fromS
+        } ++ matchedClauses.collect { case (n, _, Some(set)) =>
+          (col("_graft_act") === n) -> set.toMap.get(c).map(expr)
+            .getOrElse(if (set.isEmpty) fromS else fromT)
+        }
+      branches.foldRight(fromT) { case ((p, v), els) =>
+        when(p, v).otherwise(els)
+      }.as(c)
+    }
+    kept.select(out: _*)
   }
 
   /** Stage a TARGETED DELETE (the GDPR / right-to-be-forgotten verb) as
@@ -1547,6 +1775,15 @@ object Snapshot {
       fromV: Int, toV: Int): Seq[String] = {
     require(toV >= 1, s"version must be >= 1, got $toV")
     if (fromV == 0) return sqlFiles(spark, dir, Some(toV))
+    // same existence diagnosis as readChanges: a stream lagging past
+    // vacuum retention must hear "vacuumed" and the restart remedy, not
+    // a raw path-not-found from inside the manifest read
+    val ctx = fc(spark)
+    Seq(fromV, toV).foreach(v =>
+      require(ctx.util.exists(new Path(dir, s"_manifest.v$v")),
+        s"snapshot $dir has no manifest for v$v (never committed, or " +
+          "vacuumed) — restart the stream from the current snapshot for " +
+          "a fresh initial load"))
     def files(v: Int): Set[String] =
       dataRows(readManifest(spark, dir, v))
         .select("path").collect().map(_.getString(0)).toSet
@@ -1569,6 +1806,70 @@ object Snapshot {
           s"and $toV — restart the stream to pick up the new schema")
     (fb -- fa).toSeq.sorted.map(p => s"$dir/$p")
   }
+
+  /** The SCHEMA-TRACKING step contract of the version-log stream's
+    * `evolveSchema` mode — [[appendedFiles]] with the [[addColumn]]
+    * refusal REPLACED by the read-side default fill: the rows appended
+    * between two committed versions AS A FRAME under version `toV`'s
+    * LOGICAL schema (files grouped by writer version, columns the group
+    * predates filled with their recorded defaults — the [[readFiles]]
+    * device), so a long-running pipeline survives the one schema change
+    * the format has a verb for. Every OTHER non-append shape (file
+    * rewrites, DV drift) still refuses exactly like append mode — only
+    * the evolution the fill can express is tolerated. `fromV = 0` is the
+    * initial load: the full logical content of `toV` (pending DVs refuse
+    * — an append stream has no retraction verb, same as [[sqlFiles]]).
+    * None = the step appended nothing (e.g. the addColumn commit itself,
+    * whose manifest is the prior one verbatim).
+    */
+  private[graft] def appendedRowsFilled(spark: SparkSession, dir: String,
+      fromV: Int, toV: Int): Option[DataFrame] = {
+    require(toV >= 1, s"version must be >= 1, got $toV")
+    val ctx = fc(spark)
+    Seq(fromV, toV).filter(_ >= 1).foreach(v =>
+      require(ctx.util.exists(new Path(dir, s"_manifest.v$v")),
+        s"snapshot $dir has no manifest for v$v (never committed, or " +
+          "vacuumed) — restart the stream from the current snapshot for " +
+          "a fresh initial load"))
+    requireNoDv(spark, dir, toV,
+      "the version-log stream (an append stream has no retraction verb; " +
+        "materialize with applyMorDeletes and restart the stream)")
+    if (fromV == 0)
+      return Some(readFiles(spark, dir, toV,
+        dataRows(readManifest(spark, dir, toV))
+          .select("path").collect().map(_.getString(0))))
+    def files(v: Int): Set[String] =
+      dataRows(readManifest(spark, dir, v))
+        .select("path").collect().map(_.getString(0)).toSet
+    val fa = files(fromV)
+    val fb = files(toV)
+    val removed = fa -- fb
+    if (removed.nonEmpty) throw new IllegalStateException(
+      s"snapshot table $dir: versions $fromV -> $toV removed/rewrote " +
+        s"${removed.size} file(s) (upsert, purge, replace, or compaction) — " +
+        "the version-log stream serves pure appends only; restart the " +
+        "stream from the current snapshot for a fresh initial load")
+    if (dvPaths(spark, dir, fromV) != dvPaths(spark, dir, toV))
+      throw new IllegalStateException(
+        s"snapshot table $dir: delete vectors changed between $fromV and " +
+          s"$toV — an append stream has no retraction verb; materialize " +
+          "with applyMorDeletes and restart the stream")
+    val added = (fb -- fa).toArray.sorted
+    if (added.isEmpty) None
+    else Some(readFiles(spark, dir, toV, added))
+  }
+
+  /** The logical-schema fingerprint the `evolveSchema` stream tracks in
+    * its checkpoint sidecar: the added-column records at version `n`,
+    * rendered one per line. Generations are APPEND-ONLY (addColumn
+    * refuses re-adds), so a tracked fingerprint must be a PREFIX of the
+    * table's current one — anything else is divergence (a replaced or
+    * rewound table) the stream refuses to guess about.
+    */
+  private[graft] def schemaGeneration(spark: SparkSession, dir: String,
+      n: Int): Seq[String] =
+    addedColumnsAt(spark, dir, n).map(c =>
+      s"${c.name}\t${c.sqlType}\t${c.defaultSql}\t${c.since}")
 
   /** Read the committed snapshot: resolve the pointer ONCE, then scan the
     * manifest's explicit file list — immutable, so the read is consistent
@@ -1598,9 +1899,16 @@ object Snapshot {
     applyDv(spark, dir, n, readFiles(spark, dir, n, files))
   }
 
-  /** One row per retained version: (version, n_files, n_rows, current) —
-    * the audit/history view. #versions × #files-sized metadata reads,
-    * zero data I/O.
+  /** One row per retained version: (version, n_files, n_rows, current,
+    * committed_at) — the audit/history view. #versions × #files-sized
+    * metadata reads, zero data I/O. `committed_at` is the wall clock the
+    * `_committed.v{n}` marker recorded at pointer-flip time ([[commit]])
+    * — governance metadata ("what did we serve last Tuesday" maps to a
+    * version by reading this column), NULL for versions without a marker
+    * (branch-only heads, pre-upgrade commits, or a crash between flip
+    * and marker body). Versions stay the format's time axis: `TIMESTAMP
+    * AS OF` still refuses, because a timestamp→version guess is lossy
+    * where this column is honest.
     */
   def history(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -1615,9 +1923,23 @@ object Snapshot {
       // data rows/files only — DV sidecars are masks, not content
       val m = dataRows(readManifest(spark, dir, v))
         .agg(count(lit(1)), coalesce(sum(col("n_rows")), lit(0L))).head()
-      (v, m.getLong(0), m.getLong(1), v == cur)
-    }.toSeq.toDF("version", "n_files", "n_rows", "is_current")
+      (v, m.getLong(0), m.getLong(1), v == cur, committedAtMs(spark, dir, v))
+    }.toSeq.toDF("version", "n_files", "n_rows", "is_current",
+        "committed_at_ms")
+      .withColumn("committed_at",
+        (col("committed_at_ms") / 1000).cast("timestamp").cast("timestamp_ntz"))
+      .drop("committed_at_ms")
   }
+
+  /** The wall-clock millis the commit marker of version `v` recorded,
+    * None when the marker is absent or carries no parseable body (see
+    * [[history]] — advisory metadata, never load-bearing).
+    */
+  private def committedAtMs(spark: SparkSession, dir: String,
+      v: Int): Option[Long] =
+    readPointerFile(spark, dir, s"_committed.v$v").flatMap { txt =>
+      """"ts"\s*:\s*(\d+)""".r.findFirstMatchIn(txt).map(_.group(1).toLong)
+    }
 
   /** Small-file COMPACTION as a new version (the natural pairing with
     * per-epoch streaming ingest, which accumulates one file per epoch

@@ -54,6 +54,14 @@ object GraftBridge {
     cls.internalCreateDataFrame(qe.toRdd, df.schema, isStreaming = true)
   }
 
+  /** The session's bound SQL parser (`sessionState` is `private[sql]`) —
+    * lets specs prove the parse/execute split of the lazy mutation
+    * commands: `parsePlan` alone must commit nothing.
+    */
+  def sessionStateParser(
+      spark: SparkSession): org.apache.spark.sql.catalyst.parser.ParserInterface =
+    spark.asInstanceOf[classic.SparkSession].sessionState.sqlParser
+
   /** A SIBLING session over the SAME SparkContext with `install`ed
     * extensions — the device that lets extension-dependent surfaces
     * (the injected parser; packaged functions/rules) be graded from a

@@ -2,7 +2,7 @@ package graft
 
 /** T1 blanket contract checks: every declared query runs on sf0.001,
   * the queries/oracleSql maps are mutually consistent, and the declared
-  * inventory matches SURVEY.md §2b (266 keys, 258 oracle-checked).
+  * inventory matches SURVEY.md §2b (267 keys, 259 oracle-checked).
   */
 class ContractSpec extends SparkSpec {
 
@@ -11,9 +11,9 @@ class ContractSpec extends SparkSpec {
       "t_stream_runtime", "t_stream_dedup", "t_stream_session",
       "t_stream_join")
 
-  test("inventory matches SURVEY §2b: 266 queries, 258 with oracle SQL") {
-    assert(SparkEntry.queries.size === 266)
-    assert(SparkEntry.oracleSql.size === 258)
+  test("inventory matches SURVEY §2b: 267 queries, 259 with oracle SQL") {
+    assert(SparkEntry.queries.size === 267)
+    assert(SparkEntry.oracleSql.size === 259)
     assert(SparkEntry.queries.keySet.intersect(nonOracle).size === 8)
   }
 
