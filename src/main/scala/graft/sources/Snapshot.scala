@@ -1823,8 +1823,9 @@ object Snapshot {
     * whose manifest is the prior one verbatim).
     */
   private[graft] def appendedRowsFilled(spark: SparkSession, dir: String,
-      fromV: Int, toV: Int): Option[DataFrame] = {
+      fromV: Int, toV: Int, schemaV: Int): Option[DataFrame] = {
     require(toV >= 1, s"version must be >= 1, got $toV")
+    require(schemaV >= toV, s"schema version $schemaV behind batch end $toV")
     val ctx = fc(spark)
     Seq(fromV, toV).filter(_ >= 1).foreach(v =>
       require(ctx.util.exists(new Path(dir, s"_manifest.v$v")),
@@ -1835,7 +1836,7 @@ object Snapshot {
       "the version-log stream (an append stream has no retraction verb; " +
         "materialize with applyMorDeletes and restart the stream)")
     if (fromV == 0)
-      return Some(readFiles(spark, dir, toV,
+      return Some(readFiles(spark, dir, schemaV,
         dataRows(readManifest(spark, dir, toV))
           .select("path").collect().map(_.getString(0))))
     def files(v: Int): Set[String] =
@@ -1856,7 +1857,7 @@ object Snapshot {
           "with applyMorDeletes and restart the stream")
     val added = (fb -- fa).toArray.sorted
     if (added.isEmpty) None
-    else Some(readFiles(spark, dir, toV, added))
+    else Some(readFiles(spark, dir, schemaV, added))
   }
 
   /** The logical-schema fingerprint the `evolveSchema` stream tracks in

@@ -20,8 +20,27 @@ import graft.sources.Snapshot
   *     .option("maxVersionsPerBatch", "1")  // admission control (default 1)
   *     .option("startingVersion", "7")      // attach WITHOUT initial load
   *     .option("readChanges", "true")       // CDF mode (see below)
+  *     .option("evolveSchema", "true")      // schema tracking (see below)
   *     .load()
   * }}}
+  *
+  * **SCHEMA TRACKING** (`evolveSchema=true`, append mode — the Delta
+  * schema-tracking-location shape): without it the stream pins the
+  * PHYSICAL schema at start and refuses addColumn steps — correct but
+  * wedging for a long-running pipeline over a table that evolves. With
+  * it the stream pins the LOGICAL schema (added columns filled), records
+  * the schema GENERATION in a checkpoint sidecar, and serves steps
+  * ACROSS an addColumn boundary: files are grouped by writer version and
+  * pre-add groups fill the recorded default (`Snapshot.readFiles`'s
+  * device), so the addColumn commit itself is an empty batch and history
+  * replays under the current schema. A column added MID-RUN still
+  * refuses loudly (a running query's output schema is fixed; projecting
+  * the new column away would silently drop data) — the restart re-pins
+  * through the tracked generation and the same offsets replay with the
+  * fill, which is exactly Delta's restart-with-new-schema contract.
+  * Divergence (the tracked generation not a prefix of the table's —
+  * a replaced or rewound table) refuses at stream start. Everything
+  * else keeps append-mode semantics: rewrites and DV drift refuse.
   *
   * ATTACH semantics: a FRESH stream (no `startingVersion`) starts with
   * ONE batch — the full committed snapshot at first planning — then
@@ -88,26 +107,52 @@ class SnapshotStreamSource extends StreamSourceProvider with DataSourceRegister 
     parameters.getOrElse("path", sys.error(
       "graft-snapshot-stream requires option 'path' (the snapshot table root)"))
 
+  /** The pinned schema per parameter set, computed ONCE per provider
+    * instance: the engine calls `sourceSchema` (for the
+    * StreamingRelation) and then `createSource` on the SAME instance —
+    * without the memo the pin would resolve pointer+manifest and read
+    * parquet footers across the entire committed file list TWICE at
+    * stream start, a doubled metadata pass on a big table.
+    */
+  @volatile private var memo: Option[(Map[String, String], StructType)] = None
+
+  private def pinnedSchema(spark: SparkSession,
+      parameters: Map[String, String]): StructType = {
+    memo match {
+      case Some((p, s)) if p == parameters => s
+      case _ =>
+        val dir = dirOf(parameters)
+        val s =
+          if (parameters.get("readChanges").exists(_.toBoolean))
+            // CDF mode serves LOGICAL content (DV masks applied, added
+            // columns filled) — pin the logical schema; pending DVs are
+            // legal here, unlike append mode
+            StructType(StructField("_change_type", StringType, nullable = false) +:
+              Snapshot.read(spark, dir).schema.fields)
+          else if (parameters.get("evolveSchema").exists(_.toBoolean))
+            // schema-tracking mode pins the LOGICAL schema (physical
+            // files + added-column fill), so old-generation batches can
+            // be served under it after a restart crosses an addColumn
+            Snapshot.read(spark, dir).schema
+          else
+            spark.read.parquet(Snapshot.sqlFiles(spark, dir, None): _*).schema
+        memo = Some((parameters, s))
+        s
+    }
+  }
+
   /** The schema is pinned at stream start from the COMMITTED snapshot's
     * file list (sqlFiles' refusals apply — a stream cannot start on a
     * table whose state an explicit file list cannot express). CDF mode
-    * prepends `_change_type`.
+    * prepends `_change_type`; `evolveSchema` mode pins the logical
+    * (fill-aware) schema instead of the physical one.
     */
   override def sourceSchema(sqlContext: SQLContext,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): (String, StructType) = {
     val dir = dirOf(parameters)
-    val spark = sqlContext.sparkSession
-    val pinned = schema.getOrElse {
-      if (parameters.get("readChanges").exists(_.toBoolean))
-        // CDF mode serves LOGICAL content (DV masks applied, added
-        // columns filled) — pin the logical schema; pending DVs are
-        // legal here, unlike append mode
-        StructType(StructField("_change_type", StringType, nullable = false) +:
-          Snapshot.read(spark, dir).schema.fields)
-      else
-        spark.read.parquet(Snapshot.sqlFiles(spark, dir, None): _*).schema
-    }
+    val pinned = schema.getOrElse(
+      pinnedSchema(sqlContext.sparkSession, parameters))
     (s"graft-snapshot-stream $dir", pinned)
   }
 
@@ -116,7 +161,7 @@ class SnapshotStreamSource extends StreamSourceProvider with DataSourceRegister 
       parameters: Map[String, String]): Source = {
     val dir = dirOf(parameters)
     val spark = sqlContext.sparkSession
-    val pinned = sourceSchema(sqlContext, schema, providerName, parameters)._2
+    val pinned = schema.getOrElse(pinnedSchema(spark, parameters))
     val maxVersions = parameters.get("maxVersionsPerBatch").map(_.toInt)
       .getOrElse(1)
     require(maxVersions >= 1,
@@ -125,8 +170,54 @@ class SnapshotStreamSource extends StreamSourceProvider with DataSourceRegister 
     require(startingVersion.forall(_ >= 0),
       s"startingVersion must be >= 0, got ${startingVersion.get}")
     val changes = parameters.get("readChanges").exists(_.toBoolean)
+    val evolve = parameters.get("evolveSchema").exists(_.toBoolean)
+    require(!(changes && evolve),
+      "evolveSchema applies to the append-mode version-log stream; CDF " +
+        "mode (readChanges) draws its own schema line at readChanges' " +
+        "addColumn refusal")
+    if (evolve)
+      SnapshotVersionSource.trackSchemaGeneration(spark, dir, metadataPath)
     new SnapshotVersionSource(spark, dir, pinned, maxVersions,
-      startingVersion, changes)
+      startingVersion, changes, evolve)
+  }
+}
+
+private[graft] object SnapshotVersionSource {
+
+  /** SCHEMA-TRACKING sidecar of the `evolveSchema` stream (the Delta
+    * schema-tracking-location shape): the checkpoint records the
+    * added-column GENERATION each run pinned, so a restart can tell the
+    * one evolution the format has a verb for — more columns appended
+    * (legal: this run pins the new logical schema and old-generation
+    * batches replay with the fill default) — from DIVERGENCE (the
+    * tracked generation is not a prefix of the table's: a replaced,
+    * rewound, or different table under the same path), which refuses
+    * loudly instead of silently re-reading history under the wrong
+    * schema. Called once per stream start, before the source exists.
+    */
+  private[graft] def trackSchemaGeneration(spark: SparkSession, dir: String,
+      metadataPath: String): Unit = {
+    val cur = Snapshot.currentVersion(spark, dir)
+    val gen = Snapshot.schemaGeneration(spark, dir, cur)
+    val p = new org.apache.hadoop.fs.Path(metadataPath, "graft-schema-generation")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      val prev =
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+          .filter(_.nonEmpty).toList // an empty generation is zero lines
+        finally in.close()
+      require(gen.take(prev.length) == prev,
+        s"graft-snapshot-stream checkpoint $metadataPath tracked schema " +
+          s"generation [${prev.mkString("; ")}] which is NOT a prefix of " +
+          s"table $dir's current generation [${gen.mkString("; ")}] — " +
+          "generations are append-only (addColumn), so this checkpoint " +
+          "belongs to a different or replaced table; start a fresh " +
+          "checkpoint instead of replaying history under the wrong schema")
+    }
+    val out = fs.create(p, true)
+    try out.write((gen.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
   }
 }
 
@@ -135,16 +226,35 @@ class SnapshotStreamSource extends StreamSourceProvider with DataSourceRegister 
   */
 private[graft] class SnapshotVersionSource(spark: SparkSession, dir: String,
     pinned: StructType, maxVersions: Int,
-    startingVersion: Option[Int] = None, changes: Boolean = false)
+    startingVersion: Option[Int] = None, changes: Boolean = false,
+    evolve: Boolean = false)
     extends Source with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
   override def schema: StructType = pinned
 
+  /** The committed version this run PINNED its schema at (evolve mode's
+    * fill anchor): replay batches at older versions fill added columns
+    * up to THIS generation, so the whole run emits one schema.
+    */
+  private val pinVersion: Int =
+    if (evolve) Snapshot.currentVersion(spark, dir) else 0
+
   /** The version a v1/v2 offset names (restart hands back a
     * SerializedOffset carrying the same json).
     */
-  private def ver(o: OffsetV2): Int = o.json.trim.toInt
+  private def ver(o: OffsetV2): Int = {
+    val txt = o.json.trim
+    // graft-named diagnosis, not a bare NumberFormatException: the one
+    // way a non-integer arrives here is a foreign or corrupted
+    // checkpoint handed back as a SerializedOffset
+    txt.toIntOption.getOrElse(throw new IllegalStateException(
+      s"graft-snapshot-stream $dir: checkpoint offset '$txt' is not an " +
+        "integer version number — the version-log source writes integer " +
+        "offsets, so this checkpoint is foreign or corrupted; start a " +
+        "fresh checkpoint (a fresh stream attaches to the current " +
+        "snapshot without replaying history)"))
+  }
 
   private case class VersionOffset(v: Int) extends Offset {
     override def json: String = v.toString
@@ -203,6 +313,30 @@ private[graft] class SnapshotVersionSource(spark: SparkSession, dir: String,
               .withColumn("_change_type", lit("insert"))
           else Snapshot.readChanges(spark, dir, from, to)
         df.select(cols: _*)
+      } else if (evolve) {
+        // SCHEMA-TRACKING append mode: steps may cross an addColumn
+        // boundary — files are grouped by writer version and columns a
+        // group predates fill their recorded defaults, all under the
+        // schema this RUN pinned. A column added AFTER the pin cannot be
+        // served mid-run (a running query's output schema is fixed, and
+        // projecting it away would silently drop data) — refuse loudly;
+        // the restart re-pins through the tracked generation and these
+        // same offsets replay with the fill.
+        val genNow = Snapshot.schemaGeneration(spark, dir, to)
+          .map(_.split("\t")(0))
+        val unseen = genNow.filterNot(pinned.fieldNames.contains)
+        if (unseen.nonEmpty) throw new IllegalStateException(
+          s"snapshot table $dir: column(s) ${unseen.mkString(", ")} were " +
+            "added after this stream pinned its schema — a running query " +
+            "cannot change its output schema; restart the stream " +
+            "(evolveSchema re-pins through the tracked generation and " +
+            "replays these offsets with the fill default)")
+        Snapshot.appendedRowsFilled(spark, dir, from, to,
+            math.max(to, pinVersion)) match {
+          case None => spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], pinned)
+          case Some(df) => df.select(cols: _*)
+        }
       } else {
         val files = Snapshot.appendedFiles(spark, dir, from, to)
         if (files.isEmpty) spark.createDataFrame(

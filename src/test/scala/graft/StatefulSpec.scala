@@ -486,4 +486,103 @@ class StatefulSpec extends SparkSpec {
     assert(nBatches.get() === 1 && counts.get() === late.count(),
       s"tail must emit exactly the new commit: ${nBatches.get()} batches, ${counts.get()} rows")
   }
+
+  test("evolveSchema: a restart crosses addColumn with the fill; incompatible evolution refuses") {
+    val root = java.nio.file.Files.createTempDirectory("graft_vstream_evo").toString
+    val table = s"$root/table"
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val S = graft.sources.Snapshot
+    def third(k: Int) = docs.filter(pmod(col("doc_id"), lit(3)) === k)
+    S.publish(spark, table, third(0), "lang", "text") // v1
+    val batches =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Long, Array[String], Long, Long)]()
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft-snapshot-stream")
+        .option("path", table).option("evolveSchema", "true").load()
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          val df = b.toDF()
+          val filled = if (df.columns.contains("quality"))
+            df.filter(col("quality") === 0.5).count() else -1L
+          batches.add((id, df.columns, df.count(), filled)); ()
+        }
+        .option("checkpointLocation", s"$root/chk")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // run 1: pre-add generation — one snapshot batch, no quality column
+    drain()
+    val run1 = batches.toArray(Array.empty[(Long, Array[String], Long, Long)])
+    assert(run1.length === 1 && !run1(0)._2.contains("quality"))
+    assert(run1(0)._3 === third(0).count())
+    // the table evolves while the stream is down: addColumn + an append
+    // that carries the column physically
+    S.addColumn(spark, table, "quality", "DOUBLE", "0.5") // v2
+    S.commit(spark, table, S.stageAppend(spark, table,
+      third(1).withColumn("quality", lit(0.9)), "lang", "text")) // v3
+    // run 2 against the SAME checkpoint: the restart re-pins through the
+    // tracked generation — the addColumn step is an EMPTY batch, the
+    // append arrives physical, both under the NEW schema
+    batches.clear()
+    drain()
+    val run2 = batches.toArray(Array.empty[(Long, Array[String], Long, Long)]).sortBy(_._1)
+    assert(run2.length === 2, s"addColumn step + append step, got ${run2.length}")
+    assert(run2.forall(_._2.contains("quality")),
+      "every post-restart batch serves the evolved schema")
+    assert(run2(0)._3 === 0L, "the addColumn commit itself appends nothing")
+    assert(run2(1)._3 === third(1).count() && run2(1)._4 === 0L,
+      "post-add files arrive physical (no fill)")
+    // FULL-HISTORY replay from a fresh checkpoint: the v1 batch now
+    // fills the default for every pre-add row — Delta's
+    // restart-with-new-schema contract
+    val q2 = spark.readStream.format("graft-snapshot-stream")
+      .option("path", table).option("evolveSchema", "true")
+      .option("startingVersion", "0").load()
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        if (id == 0) {
+          val df = b.toDF()
+          assert(df.count() === third(0).count())
+          assert(df.filter(col("quality") === 0.5).count() === df.count(),
+            "pre-add files must fill the recorded default")
+        }
+        ()
+      }
+      .option("checkpointLocation", s"$root/chk2")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination()
+    // MID-RUN evolution refuses loudly (a running query's schema is
+    // fixed): a source pinned BEFORE a second addColumn must refuse the
+    // step that crosses it, naming the restart remedy
+    val pinned = S.read(spark, table).schema
+    val pinnedAt = S.currentVersion(spark, table)
+    val src = new graft.streaming.SnapshotVersionSource(
+      spark, table, pinned, maxVersions = 10, startingVersion = Some(0),
+      changes = false, evolve = true)
+    S.addColumn(spark, table, "quality2", "DOUBLE", "0.1") // v4
+    S.commit(spark, table, S.stageAppend(spark, table,
+      third(2).withColumn("quality", lit(0.9)).withColumn("quality2", lit(0.2)),
+      "lang", "text")) // v5
+    val cur = S.currentVersion(spark, table)
+    assert(pinnedAt < cur)
+    val ex = intercept[IllegalStateException] {
+      src.getBatch(None,
+        org.apache.spark.sql.execution.streaming.SerializedOffset(cur.toString))
+    }
+    assert(ex.getMessage.contains("quality2") && ex.getMessage.contains("restart"),
+      ex.getMessage)
+    // DIVERGENCE refuses at stream start: a checkpoint whose tracked
+    // generation is not a prefix of the table's (here: reused on a table
+    // with NO added columns) names the wrong-table diagnosis
+    val freshTable = s"$root/other"
+    S.publish(spark, freshTable, third(0), "lang", "text")
+    val div = intercept[IllegalArgumentException] {
+      graft.streaming.SnapshotVersionSource.trackSchemaGeneration(
+        spark, freshTable, s"$root/chk/sources/0")
+    }
+    assert(div.getMessage.contains("not a prefix") ||
+      div.getMessage.contains("NOT a prefix"), div.getMessage)
+  }
 }
