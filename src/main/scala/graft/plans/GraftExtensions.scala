@@ -56,6 +56,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => graft.functions.BpeEncode(args(0), args(1))))
     ext.injectOptimizerRule(_ => SimplifyDegenerateClamp)
     ext.injectPlannerStrategy(_ => TopKPerKeyStrategy)
+    // catalog CTAS → Snapshot.publish through the staged-commit protocol
+    // (see GraftCtasRule) — a resolution rule, so the V2 write path that
+    // would bypass the format's atomicity never engages
+    ext.injectResolutionRule(_ => GraftCtasRule)
     // the PARSER extension point: one added statement (GRAFT SNAPSHOT
     // HISTORY), everything else delegated verbatim — see GraftSqlParser
     ext.injectParser((session, delegate) =>

@@ -4,8 +4,8 @@ import java.util.{Map => JMap}
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
-import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -46,7 +46,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * bypassed them would be the silent-corruption side door the DSv2
   * source already refuses.
   */
-class GraftCatalog extends TableCatalog {
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   private var catalogName: String = _
   private var root: String = _
@@ -65,6 +65,12 @@ class GraftCatalog extends TableCatalog {
 
   private def dirOf(ident: Identifier): String =
     (ident.namespace() :+ ident.name()).mkString(s"$root/", "/", "")
+
+  /** The snapshot root an identifier maps to — the layout contract,
+    * exposed for the CTAS rule ([[graft.plans.GraftCtasRule]]), which
+    * routes `CREATE TABLE … AS` through `Snapshot.publish` on this dir.
+    */
+  private[graft] def tableDir(ident: Identifier): String = dirOf(ident)
 
   private def isTable(dir: String): Boolean = {
     val p = new Path(dir, "_latest")
@@ -127,7 +133,12 @@ class GraftCatalog extends TableCatalog {
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: JMap[String, String]): Table =
-    readOnlyRefusal(s"CREATE TABLE $ident")
+    throw new UnsupportedOperationException(
+      s"graft catalog '$catalogName': schema-only CREATE TABLE $ident is not " +
+        "supported — a snapshot table is born from its first committed " +
+        "content. Use CREATE TABLE … TBLPROPERTIES('partition'='<col>', " +
+        "'checksum'='<col>') AS <query> (routed through Snapshot.publish's " +
+        "staged commit), or the Scala/SQL write surface")
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
     readOnlyRefusal(s"ALTER TABLE $ident")
@@ -137,4 +148,92 @@ class GraftCatalog extends TableCatalog {
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     readOnlyRefusal(s"RENAME TABLE $oldIdent")
+
+  // ------------------------------------------------------------------
+  // Namespaces — the filesystem tree IS the namespace hierarchy: a
+  // namespace is a directory under the warehouse root that is not
+  // itself a table (no committed `_latest`), so SHOW NAMESPACES is a
+  // directory listing and CREATE NAMESPACE is mkdir — the same
+  // no-metastore contract as the table mapping, and two engines pointed
+  // at one root see the same tree.
+  // ------------------------------------------------------------------
+
+  private def nsDir(namespace: Array[String]): String =
+    (root +: namespace).mkString("/")
+
+  private def childDirs(dir: String): Array[String] = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Array.empty
+    else fs.listStatus(p).filter(_.isDirectory).map(_.getPath.getName)
+      .filterNot(_.startsWith("_")) // table internals are never namespaces
+  }
+
+  override def listNamespaces(): Array[Array[String]] =
+    childDirs(root).filterNot(n => isTable(s"$root/$n")).sorted
+      .map(Array(_))
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    if (namespace.nonEmpty && !namespaceExists(namespace))
+      throw new NoSuchNamespaceException(namespace)
+    childDirs(nsDir(namespace))
+      .filterNot(n => isTable(s"${nsDir(namespace)}/$n")).sorted
+      .map(namespace :+ _)
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean = {
+    val dir = nsDir(namespace)
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    namespace.isEmpty || (fs.exists(p) && fs.getFileStatus(p).isDirectory &&
+      !isTable(dir)) // a table dir is a table, not a namespace
+  }
+
+  override def loadNamespaceMetadata(
+      namespace: Array[String]): JMap[String, String] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    java.util.Collections.singletonMap("location", nsDir(namespace))
+  }
+
+  /** CREATE NAMESPACE = mkdir; namespace properties have nowhere to
+    * live in a filesystem-tree catalog, so any are refused loudly
+    * rather than silently dropped.
+    */
+  override def createNamespace(namespace: Array[String],
+      metadata: JMap[String, String]): Unit = {
+    require(metadata == null || metadata.isEmpty ||
+      // Spark itself stamps owner/location-style reserved props; only
+      // USER properties have nowhere to live
+      metadata.keySet().stream().allMatch(k => k == "owner" || k == "location" || k == "comment"),
+      s"graft catalog '$catalogName': namespace properties are not " +
+        "supported — the filesystem tree is the catalog; nothing stores them")
+    if (namespaceExists(namespace))
+      throw new NamespaceAlreadyExistsException(namespace)
+    val p = new Path(nsDir(namespace))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(p)
+    ()
+  }
+
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit =
+    readOnlyRefusal(s"ALTER NAMESPACE ${namespace.mkString(".")}")
+
+  /** DROP NAMESPACE removes an EMPTY directory only; cascade would
+    * delete committed tables — that destruction stays with the staged
+    * API (vacuum / operator action), never a catalog verb.
+    */
+  override def dropNamespace(namespace: Array[String],
+      cascade: Boolean): Boolean = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    if (cascade) readOnlyRefusal(
+      s"DROP NAMESPACE ${namespace.mkString(".")} CASCADE (would delete tables)")
+    val dir = nsDir(namespace)
+    require(childDirs(dir).isEmpty,
+      s"graft catalog '$catalogName': namespace ${namespace.mkString(".")} " +
+        "is not empty — drop its tables/namespaces first (or use the " +
+        "staged-commit API for table lifecycle)")
+    val p = new Path(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, false)
+  }
 }

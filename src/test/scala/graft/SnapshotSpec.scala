@@ -1086,6 +1086,79 @@ class SnapshotSpec extends SparkSpec {
     assert(msgs(dv).contains("applyMorDeletes"), msgs(dv))
   }
 
+  test("catalog namespaces + CTAS: tree-backed namespaces, CTAS publishes through the staged protocol") {
+    val root = freshDir()
+    val ext = org.apache.spark.sql.GraftBridge.sessionWithExtensions(
+      spark, new graft.plans.GraftExtensions)
+    ext.conf.set("spark.sql.catalog.gctas_spec", "graft.sources.GraftCatalog")
+    ext.conf.set("spark.sql.catalog.gctas_spec.root", root)
+    def msgs(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+    // namespaces are directories: CREATE NAMESPACE = mkdir, SHOW lists it
+    ext.sql("CREATE NAMESPACE gctas_spec.corpus")
+    assert(ext.sql("SHOW NAMESPACES IN gctas_spec").collect()
+      .map(_.getString(0)).toSeq === Seq("corpus"))
+    intercept[Exception] { ext.sql("CREATE NAMESPACE gctas_spec.corpus") }
+    // CTAS lands VERSION 1 with manifest + pointer — Snapshot.publish's
+    // staged commit, never a bypassing V2 write
+    graft.ops.T.t(ext, sf(), "documents").createOrReplaceTempView("ctas_docs")
+    val r = ext.sql("CREATE TABLE gctas_spec.corpus.docs " +
+      "TBLPROPERTIES('partition'='lang','checksum'='text') " +
+      "AS SELECT * FROM ctas_docs").head()
+    assert(r.getString(0) === "ctas" && r.getInt(2) === 1)
+    val dir = s"$root/corpus/docs"
+    assert(Snapshot.currentVersion(spark, dir) === 1)
+    assert(new java.io.File(s"$dir/_manifest.v1").exists())
+    assert(fingerprint(ext.sql("SELECT * FROM gctas_spec.corpus.docs")) ===
+      fingerprint(docs))
+    // IF NOT EXISTS on an existing table: no-op at the current version;
+    // a bare CTAS on one refuses loudly
+    val r2 = ext.sql("CREATE TABLE IF NOT EXISTS gctas_spec.corpus.docs " +
+      "TBLPROPERTIES('partition'='lang','checksum'='text') " +
+      "AS SELECT * FROM ctas_docs").head()
+    assert(r2.getInt(2) === 1 && Snapshot.currentVersion(spark, dir) === 1)
+    val dup = intercept[Exception] {
+      ext.sql("CREATE TABLE gctas_spec.corpus.docs " +
+        "TBLPROPERTIES('partition'='lang','checksum'='text') " +
+        "AS SELECT * FROM ctas_docs")
+    }
+    assert(msgs(dup).toLowerCase.contains("already exists"), msgs(dup))
+    // the layout columns have no other CTAS channel: missing properties
+    // and PARTITIONED BY both refuse with the remedy
+    val noProps = intercept[Exception] {
+      ext.sql("CREATE TABLE gctas_spec.corpus.t2 AS SELECT * FROM ctas_docs")
+    }
+    assert(msgs(noProps).contains("partition"), msgs(noProps))
+    val partBy = intercept[Exception] {
+      ext.sql("CREATE TABLE gctas_spec.corpus.t3 " +
+        "TBLPROPERTIES('partition'='lang','checksum'='text') " +
+        "PARTITIONED BY (lang) AS SELECT * FROM ctas_docs")
+    }
+    assert(msgs(partBy).contains("PARTITIONED BY"), msgs(partBy))
+    // nothing from the refused statements leaked onto disk
+    assert(!new java.io.File(s"$root/corpus/t2").exists())
+    assert(!new java.io.File(s"$root/corpus/t3").exists())
+    // schema-only CREATE TABLE still refuses (a snapshot table is born
+    // from committed content), and non-CTAS mutations stay read-only
+    val bare = intercept[Exception] {
+      ext.sql("CREATE TABLE gctas_spec.corpus.t4 (a INT) ")
+    }
+    assert(msgs(bare).contains("first committed content"), msgs(bare))
+    // empty namespace drops; non-empty refuses; cascade refuses
+    ext.sql("CREATE NAMESPACE gctas_spec.scratch")
+    ext.sql("DROP NAMESPACE gctas_spec.scratch")
+    assert(ext.sql("SHOW NAMESPACES IN gctas_spec").collect()
+      .map(_.getString(0)).toSeq === Seq("corpus"))
+    val full = intercept[Exception] { ext.sql("DROP NAMESPACE gctas_spec.corpus") }
+    assert(msgs(full).contains("not empty"), msgs(full))
+    val casc = intercept[Exception] {
+      ext.sql("DROP NAMESPACE gctas_spec.corpus CASCADE")
+    }
+    assert(msgs(casc).contains("staged-commit API"), msgs(casc))
+    assert(Snapshot.currentVersion(spark, dir) === 1, "tables survive refusals")
+  }
+
   test("stageDeleteMor refuses a typo'd or metadata-added key column before anything commits") {
     import spark.implicits._
     val dir = freshDir()
