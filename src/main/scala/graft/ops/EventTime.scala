@@ -479,14 +479,18 @@ object EventTime {
         .option("startingVersion", "0") // explicit FULL-HISTORY replay
         .load()
         .writeStream
-        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-          b.write.mode("append").parquet(s"$root/out"); ()
+        // batchId-keyed overwrite (IdempotentSink): a foreachBatch epoch
+        // retry REPLACES its own partial output instead of doubling it —
+        // exactly-once SIDE EFFECTS need sink idempotence, not just
+        // checkpoint offsets (the t_stream_sink lesson, applied here)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          graft.streaming.IdempotentSink.landBatch(b, s"$root/out", id)
         }
         .option("checkpointLocation", s"$root/chk")
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      s.read.parquet(s"$root/out")
+      graft.streaming.IdempotentSink.readLanded(s, s"$root/out")
         .groupBy("event_type")
         .agg(count(lit(1)).as("cnt"),
           decOut(sum(dec(col("value")))).as("sum_value"),
@@ -525,8 +529,10 @@ object EventTime {
         .option("startingVersion", "0") // per-commit delta replay
         .load()
         .writeStream
-        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-          b.write.mode("append").parquet(s"$root/out"); ()
+        // batchId-keyed overwrite: epoch retries replace, never double
+        // (see t_stream_versions)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          graft.streaming.IdempotentSink.landBatch(b, s"$root/out", id)
         }
         .option("checkpointLocation", s"$root/chk")
         .trigger(Trigger.AvailableNow())
@@ -535,7 +541,7 @@ object EventTime {
       val sign = when(col("_change_type") === "insert", lit(1L))
         .otherwise(lit(-1L))
       val ck = conv(substring(md5(col("text")), 1, 8), 16, 10).cast("bigint")
-      s.read.parquet(s"$root/out")
+      graft.streaming.IdempotentSink.readLanded(s, s"$root/out")
         .groupBy("lang")
         .agg(sum(sign).as("n_docs"),
           sum(sign * col("n_chars")).as("n_chars"),
