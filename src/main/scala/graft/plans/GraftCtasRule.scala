@@ -1,8 +1,8 @@
 package graft.plans
 
 import org.apache.spark.sql.GraftBridge
-import org.apache.spark.sql.catalyst.analysis.{ResolvedIdentifier, TableAlreadyExistsException}
-import org.apache.spark.sql.catalyst.plans.logical.{CreateTableAsSelect, LogicalPlan, TableSpec}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, ResolvedIdentifier, TableAlreadyExistsException}
+import org.apache.spark.sql.catalyst.plans.logical.{CreateTableAsSelect, LogicalPlan, ReplaceTableAsSelect, TableSpec}
 import org.apache.spark.sql.catalyst.rules.Rule
 
 import graft.sources.{GraftCatalog, Snapshot}
@@ -60,9 +60,44 @@ object GraftCtasRule extends Rule[LogicalPlan] {
         } else Snapshot.publish(sess, dir, GraftBridge.ofRows(sess, query),
           partCol, ckCol)
       }
+
+    // REPLACE TABLE AS SELECT / CREATE OR REPLACE — the companion verb:
+    // a replace is simply the NEXT FULL SNAPSHOT VERSION of the same
+    // table (stagePublish + atomic pointer flip), so the old content
+    // stays time-travelable until vacuum reclaims it — strictly safer
+    // than the drop-and-recreate most catalogs implement, and exactly
+    // what the format's immutable version store is for. Bare REPLACE on
+    // a non-existent table refuses (the standard contract); OR CREATE
+    // publishes version 1.
+    case rtas: ReplaceTableAsSelect if isGraftName(rtas.name) &&
+        rtas.query.resolved && rtas.tableSpec.isInstanceOf[TableSpec] =>
+      val r = rtas.name.asInstanceOf[ResolvedIdentifier]
+      val cat = r.catalog.asInstanceOf[GraftCatalog]
+      val props = rtas.tableSpec.asInstanceOf[TableSpec].properties
+      require(rtas.partitioning.isEmpty,
+        s"graft catalog REPLACE TABLE: PARTITIONED BY is not supported — " +
+          "declare TBLPROPERTIES('partition'='<col>') instead")
+      def prop(k: String): String = props.getOrElse(k, sys.error(
+        s"graft catalog REPLACE TABLE requires TBLPROPERTIES('partition'=" +
+          s"'<col>', 'checksum'='<col>') — missing '$k'"))
+      val partCol = prop("partition")
+      val ckCol = prop("checksum")
+      val dir = cat.tableDir(r.identifier)
+      val query = rtas.query
+      val ident = r.identifier
+      val orCreate = rtas.orCreate
+      GraftSnapshotCommand("replace", dir) { sess =>
+        val cur = Snapshot.currentVersion(sess, dir)
+        if (cur < 1 && !orCreate) throw new NoSuchTableException(ident)
+        Snapshot.publish(sess, dir, GraftBridge.ofRows(sess, query),
+          partCol, ckCol)
+      }
   }
 
-  private def isGraft(ctas: CreateTableAsSelect): Boolean = ctas.name match {
+  private def isGraft(ctas: CreateTableAsSelect): Boolean =
+    isGraftName(ctas.name)
+
+  private def isGraftName(name: LogicalPlan): Boolean = name match {
     case r: ResolvedIdentifier => r.catalog.isInstanceOf[GraftCatalog]
     case _ => false
   }

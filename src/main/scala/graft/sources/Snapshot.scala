@@ -890,16 +890,22 @@ object Snapshot {
       s"merge source has duplicate keys (e.g. " +
         s"${dupKeys.map(_.get(0)).mkString(", ")}) — a target row would " +
         "match more than one source row, which has no well-defined result")
+    // an empty source touches nothing: return the current version rather
+    // than staging a no-op rewrite (the stageAppend empty-delta contract)
+    if (source.isEmpty) return currentVersion(spark, dir)
     stageCow(spark, dir, source, partCol, checksumCol)(base =>
       mergeRebuild(base, source, keyCol, clauses))
   }
 
-  /** Conditional merge: stage + atomic commit. */
+  /** Conditional merge: stage + atomic commit. An empty source is a
+    * no-op at the current version (nothing staged, tag untouched).
+    */
   def merge(spark: SparkSession, dir: String, source: DataFrame,
       keyCol: String, partCol: String, checksumCol: String,
       clauses: Seq[MergeClause]): Int = {
+    val base = currentVersion(spark, dir)
     val n = stageMerge(spark, dir, source, keyCol, partCol, checksumCol, clauses)
-    commit(spark, dir, n)
+    if (n > base) commit(spark, dir, n)
     n
   }
 

@@ -1145,6 +1145,30 @@ class SnapshotSpec extends SparkSpec {
       ext.sql("CREATE TABLE gctas_spec.corpus.t4 (a INT) ")
     }
     assert(msgs(bare).contains("first committed content"), msgs(bare))
+    // REPLACE TABLE = the next full snapshot version: the pointer flips
+    // atomically, and the PRE-replace content stays time-travelable —
+    // strictly safer than drop-and-recreate
+    val rr = ext.sql("CREATE OR REPLACE TABLE gctas_spec.corpus.docs " +
+      "TBLPROPERTIES('partition'='lang','checksum'='text') " +
+      "AS SELECT * FROM ctas_docs WHERE lang = 'en'").head()
+    assert(rr.getString(0) === "replace" && rr.getInt(2) === 2)
+    assert(fingerprint(ext.sql("SELECT * FROM gctas_spec.corpus.docs")) ===
+      fingerprint(docs.filter(col("lang") === "en")))
+    assert(fingerprint(
+      ext.sql("SELECT * FROM gctas_spec.corpus.docs VERSION AS OF 1")) ===
+      fingerprint(docs), "pre-replace content must stay time-travelable")
+    // bare REPLACE on a missing table refuses; OR CREATE publishes v1
+    val nope = intercept[Exception] {
+      ext.sql("REPLACE TABLE gctas_spec.corpus.absent " +
+        "TBLPROPERTIES('partition'='lang','checksum'='text') " +
+        "AS SELECT * FROM ctas_docs")
+    }
+    assert(msgs(nope).toLowerCase.contains("cannot be found") ||
+      msgs(nope).toLowerCase.contains("not found"), msgs(nope))
+    val oc = ext.sql("CREATE OR REPLACE TABLE gctas_spec.corpus.fresh " +
+      "TBLPROPERTIES('partition'='lang','checksum'='text') " +
+      "AS SELECT * FROM ctas_docs WHERE lang = 'de'").head()
+    assert(oc.getString(0) === "replace" && oc.getInt(2) === 1)
     // empty namespace drops; non-empty refuses; cascade refuses
     ext.sql("CREATE NAMESPACE gctas_spec.scratch")
     ext.sql("DROP NAMESPACE gctas_spec.scratch")
@@ -1156,7 +1180,7 @@ class SnapshotSpec extends SparkSpec {
       ext.sql("DROP NAMESPACE gctas_spec.corpus CASCADE")
     }
     assert(msgs(casc).contains("staged-commit API"), msgs(casc))
-    assert(Snapshot.currentVersion(spark, dir) === 1, "tables survive refusals")
+    assert(Snapshot.currentVersion(spark, dir) === 2, "tables survive refusals")
   }
 
   test("stageDeleteMor refuses a typo'd or metadata-added key column before anything commits") {
@@ -1499,6 +1523,10 @@ class SnapshotSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Snapshot.merge(spark, dir, mergeSource, "doc_id", "lang", "text", Nil)
     }
+    // an EMPTY source is a version no-op (the stageAppend contract),
+    // never a pointless rewrite commit
+    assert(Snapshot.merge(spark, dir, docs.limit(0), "doc_id", "lang", "text",
+      mergeClauses) === 1)
     assert(Snapshot.currentVersion(spark, dir) === 1) // nothing committed
   }
 
