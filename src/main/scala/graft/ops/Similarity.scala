@@ -2379,6 +2379,145 @@ object Similarity {
         .orderBy("lang")
     }),
 
+    // PREDICATE DELETE (Snapshot.deleteWhere / GRAFT SNAPSHOT DELETE …
+    // WHERE — Delta's `DELETE FROM t WHERE`, the row-level verb KEY
+    // deletes don't cover): copy-on-write pruned by a small honest
+    // DATA-SKIPPING step — the partition value decides partition-column
+    // atoms exactly, the per-file stat interval decides numeric
+    // comparisons on the stats column, anything unprovable rewrites
+    // conservatively (SnapshotSpec pins both directions plus the
+    // three-valued NULL-keeps contract). On the clustered fixture the
+    // range predicate rewrites only the covering files; at 100 TB a
+    // range delete on the cluster column is a handful of file rewrites
+    // + one manifest. Graded: clustered publish → one SQL DELETE WHERE
+    // (range ∧ length) → per-lang aggregate of the survivors.
+    "x_io_delete_where" -> ((s, d) => {
+      val dir = T.scratchDir("graft_delwhere")
+      val ext = org.apache.spark.sql.GraftBridge.sessionWithExtensions(
+        s, new graft.plans.GraftExtensions)
+      graft.sources.Snapshot.publishClustered(
+        ext, dir, t(ext, d, "documents"), "lang", "doc_id", "text", nFiles = 8)
+      ext.sql(s"GRAFT SNAPSHOT DELETE '$dir' PARTITION lang CHECKSUM text " +
+        "STATS doc_id WHERE doc_id BETWEEN 100 AND 260 AND n_chars > 400")
+      ext.sql(s"GRAFT SNAPSHOT READ '$dir'")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("n_chars"),
+          min("doc_id").as("min_id"), max("doc_id").as("max_id"),
+          sum(conv(substring(md5(col("text")), 1, 8), 16, 10).cast("bigint"))
+            .as("checksum"))
+        .orderBy("lang")
+    }),
+
+    // PREDICATE UPDATE (Snapshot.updateWhere / GRAFT SNAPSHOT UPDATE …
+    // SET … WHERE — Delta's `UPDATE t SET … WHERE`): same stats/
+    // partition-pruned CoW as the predicate delete; every RHS evaluates
+    // against the PRE-update row (SnapshotSpec pins the swap law) and
+    // casts to the column's existing type so rewritten files stay
+    // schema-identical to carried ones; the partition column is not
+    // assignable (a move is delete+insert, the MERGE contract). The
+    // graded predicate names the partition column, so non-en files
+    // carry by reference — metadata decided, zero data read. Graded:
+    // publish → one SQL UPDATE (two assignments, one referencing the
+    // other's pre-image) → per-lang aggregate.
+    "x_io_update_where" -> ((s, d) => {
+      val dir = T.scratchDir("graft_updwhere")
+      val ext = org.apache.spark.sql.GraftBridge.sessionWithExtensions(
+        s, new graft.plans.GraftExtensions)
+      graft.sources.Snapshot.publish(ext, dir, t(ext, d, "documents"),
+        "lang", "text")
+      ext.sql(s"GRAFT SNAPSHOT UPDATE '$dir' PARTITION lang CHECKSUM text " +
+        "SET text = concat(text, ' upd'), n_chars = n_chars + 4 " +
+        "WHERE lang = 'en' AND doc_id % 10 = 0")
+      ext.sql(s"GRAFT SNAPSHOT READ '$dir'")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("n_chars"),
+          sum(conv(substring(md5(col("text")), 1, 8), 16, 10).cast("bigint"))
+            .as("checksum"))
+        .orderBy("lang")
+    }),
+
+    // CHECK CONSTRAINTS (Snapshot.addConstraint/requireConstraints /
+    // GRAFT SNAPSHOT CONSTRAINT ADD … CHECK — Delta's ALTER TABLE ADD
+    // CONSTRAINT): adding validates the EXISTING table once (the only
+    // full scan), then every stage validates ONLY its own rows before
+    // anything can commit — at 100 TB enforcement costs one column-
+    // pruned pass per commit, never the table. Violations refuse at
+    // STAGE (SnapshotSpec pins append/CoW/update refusals, three-valued
+    // UNKNOWN-passes, and restore rolling the rule set back). Graded:
+    // publish → SQL CONSTRAINT ADD (n_chars > 0) → a VIOLATING SQL
+    // append REFUSES (content must stay untouched) → a valid append
+    // commits → per-lang aggregate crossed with the live rule count.
+    "x_io_constraints" -> ((s, d) => {
+      val dir = T.scratchDir("graft_cons")
+      val ext = org.apache.spark.sql.GraftBridge.sessionWithExtensions(
+        s, new graft.plans.GraftExtensions)
+      t(ext, d, "documents").createOrReplaceTempView("consq_docs")
+      ext.sql(s"GRAFT SNAPSHOT PUBLISH '$dir' PARTITION lang CHECKSUM text " +
+        "AS SELECT * FROM consq_docs")
+      ext.sql(s"GRAFT SNAPSHOT CONSTRAINT ADD '$dir' NAME chars_pos " +
+        "CHECK n_chars > 0")
+      // the violating write must refuse and leave no trace
+      val refused =
+        try {
+          ext.sql(s"GRAFT SNAPSHOT APPEND '$dir' PARTITION lang CHECKSUM text " +
+            "AS SELECT doc_id + 8000000 AS doc_id, text, lang, source, " +
+            "-n_chars AS n_chars FROM consq_docs WHERE doc_id % 100 = 0")
+            .collect()
+          false
+        } catch { case e: Exception => e.getMessage.contains("chars_pos") }
+      require(refused, "violating append must refuse naming the constraint")
+      ext.sql(s"GRAFT SNAPSHOT APPEND '$dir' PARTITION lang CHECKSUM text " +
+        "AS SELECT doc_id + 8000000 AS doc_id, text, lang, source, n_chars " +
+        "FROM consq_docs WHERE lang = 'fr' AND doc_id % 30 = 0")
+      val nRules = ext.sql(s"GRAFT SNAPSHOT CONSTRAINTS '$dir'")
+        .agg(count(lit(1)).as("n_constraints")).localCheckpoint()
+      ext.sql(s"GRAFT SNAPSHOT READ '$dir'")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("n_chars"),
+          sum(conv(substring(md5(col("text")), 1, 8), 16, 10).cast("bigint"))
+            .as("checksum"))
+        .crossJoin(broadcast(nRules))
+        .orderBy("lang")
+    }),
+
+    // RESTORE (Snapshot.restore / GRAFT SNAPSHOT RESTORE … VERSION n —
+    // Delta's `RESTORE TABLE … TO VERSION AS OF`): rollback as a NEW
+    // COMMIT whose manifest is the target's VERBATIM — zero data bytes
+    // move at any table size, the undone versions stay time-travelable
+    // until vacuum (strictly safer than a pointer rewind), schema
+    // generations roll back with the data (SnapshotSpec pins the
+    // addColumn round trip), and the commit is tagged `restore:v<n>`
+    // for the history. Graded: publish (filtered corpus) → append →
+    // predicate delete → RESTORE VERSION 1 → the read-back must equal
+    // the ORIGINAL publish exactly, both later mutations undone.
+    "x_io_restore" -> ((s, d) => {
+      val dir = T.scratchDir("graft_restore")
+      val ext = org.apache.spark.sql.GraftBridge.sessionWithExtensions(
+        s, new graft.plans.GraftExtensions)
+      val docs = t(ext, d, "documents")
+      graft.sources.Snapshot.publish(ext, dir,
+        docs.filter(col("n_chars") >= 60), "lang", "text")
+      graft.sources.Snapshot.stageAppend(ext, dir,
+        docs.filter(col("lang") === "de" && pmod(col("doc_id"), lit(25)) === 0)
+          .withColumn("doc_id", col("doc_id") + 6000000L),
+        "lang", "text")
+      graft.sources.Snapshot.commit(ext, dir, 2)
+      graft.sources.Snapshot.deleteWhere(ext, dir, "lang = 'fr'",
+        "lang", "text")
+      ext.sql(s"GRAFT SNAPSHOT RESTORE '$dir' VERSION 1")
+      ext.sql(s"GRAFT SNAPSHOT READ '$dir'")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("n_chars"),
+          min("doc_id").as("min_id"), max("doc_id").as("max_id"),
+          sum(conv(substring(md5(col("text")), 1, 8), 16, 10).cast("bigint"))
+            .as("checksum"))
+        .orderBy("lang")
+    }),
+
     // FULL SQL LIFECYCLE (GraftSqlParser maintenance verbs — COMPACT /
     // APPLY DELETES / VACUUM alongside PUBLISH/APPEND/DELETE): the
     // entire snapshot lifecycle — create, ingest, merge-on-read delete,
@@ -4004,6 +4143,45 @@ object Similarity {
         "min(doc_id) AS min_id, max(doc_id) AS max_id, " +
         "CAST(sum(CAST(('0x' || substring(md5(text), 1, 8)) AS BIGINT)) AS BIGINT) AS checksum " +
         "FROM finald GROUP BY lang ORDER BY lang"),
+    // Predicate delete replays as the NEGATED filter — NULL-free data,
+    // so NOT(cond) is exactly the survivor set.
+    "x_io_delete_where" ->
+      ("SELECT lang, count(*) AS n_docs, " +
+        "CAST(sum(n_chars) AS BIGINT) AS n_chars, " +
+        "min(doc_id) AS min_id, max(doc_id) AS max_id, " +
+        "CAST(sum(CAST(('0x' || substring(md5(text), 1, 8)) AS BIGINT)) AS BIGINT) AS checksum " +
+        "FROM documents WHERE NOT (doc_id BETWEEN 100 AND 260 AND n_chars > 400) " +
+        "GROUP BY lang ORDER BY lang"),
+    // Predicate update replays as the CASE edit over the hit rows.
+    "x_io_update_where" ->
+      ("SELECT lang, count(*) AS n_docs, " +
+        "CAST(sum(CASE WHEN lang = 'en' AND doc_id % 10 = 0 THEN n_chars + 4 ELSE n_chars END) AS BIGINT) AS n_chars, " +
+        "CAST(sum(CAST(('0x' || substring(md5(" +
+        "CASE WHEN lang = 'en' AND doc_id % 10 = 0 THEN text || ' upd' ELSE text END" +
+        "), 1, 8)) AS BIGINT)) AS BIGINT) AS checksum " +
+        "FROM documents GROUP BY lang ORDER BY lang"),
+    // Constraint lifecycle: the violating append contributed NOTHING,
+    // the valid fr slice landed, one rule stays in force.
+    "x_io_constraints" ->
+      ("WITH finald AS (" +
+        "SELECT lang, text, n_chars FROM documents " +
+        "UNION ALL " +
+        "SELECT lang, text, n_chars FROM documents " +
+        "WHERE lang = 'fr' AND doc_id % 30 = 0) " +
+        "SELECT lang, count(*) AS n_docs, " +
+        "CAST(sum(n_chars) AS BIGINT) AS n_chars, " +
+        "CAST(sum(CAST(('0x' || substring(md5(text), 1, 8)) AS BIGINT)) AS BIGINT) AS checksum, " +
+        "CAST(1 AS BIGINT) AS n_constraints " +
+        "FROM finald GROUP BY lang ORDER BY lang"),
+    // Restore undoes the append and the predicate delete: the final
+    // content is exactly the ORIGINAL v1 publish (the n_chars filter).
+    "x_io_restore" ->
+      ("SELECT lang, count(*) AS n_docs, " +
+        "CAST(sum(n_chars) AS BIGINT) AS n_chars, " +
+        "min(doc_id) AS min_id, max(doc_id) AS max_id, " +
+        "CAST(sum(CAST(('0x' || substring(md5(text), 1, 8)) AS BIGINT)) AS BIGINT) AS checksum " +
+        "FROM documents WHERE n_chars >= 60 " +
+        "GROUP BY lang ORDER BY lang"),
     // The SQL lifecycle is content-preserving: final content = base
     // minus MoR-deleted ids plus the appended fr slice; vacuum KEEP 1
     // leaves exactly one retained version.

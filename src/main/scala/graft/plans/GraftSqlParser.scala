@@ -130,6 +130,36 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   private val Delete =
     s"""(?is)\\s*GRAFT\\s+SNAPSHOT\\s+DELETE\\s+$P\\s+KEY\\s+$Ident\\s+AS\\s+(.+)""".r
 
+  // PREDICATE row-level verbs (Delta's `DELETE FROM … WHERE` /
+  // `UPDATE … SET … WHERE`): the condition is the statement TAIL (full
+  // Spark SQL boolean expression — it may contain anything), so the
+  // layout columns come BEFORE it; STATS re-clusters the rewritten
+  // remainder like the Scala API's statsCol.
+  private val DeleteWhere =
+    s"""(?is)\\s*GRAFT\\s+SNAPSHOT\\s+DELETE\\s+$P\\s+PARTITION\\s+$Ident\\s+CHECKSUM\\s+$Ident(?:\\s+STATS\\s+$Ident)?\\s+WHERE\\s+(.+)""".r
+
+  private val Update =
+    s"""(?is)\\s*GRAFT\\s+SNAPSHOT\\s+UPDATE\\s+$P\\s+PARTITION\\s+$Ident\\s+CHECKSUM\\s+$Ident(?:\\s+STATS\\s+$Ident)?\\s+SET\\s+(.+)""".r
+
+  // RESTORE — roll back to a retained version as a NEW commit
+  // (Snapshot.restore: manifest copied by reference, zero data moved,
+  // schema generation rolled back with it).
+  private val Restore =
+    s"""(?is)\\s*GRAFT\\s+SNAPSHOT\\s+RESTORE\\s+$P\\s+VERSION\\s+(\\d+)\\s*;?\\s*""".r
+
+  // CHECK constraints (Delta's ALTER TABLE … ADD CONSTRAINT … CHECK):
+  // ADD validates existing content once then commits the rule as
+  // metadata; every later stage validates its own rows (Snapshot
+  // requireConstraints); CONSTRAINTS lists the rules in force.
+  private val ConstraintAdd =
+    s"""(?is)\\s*GRAFT\\s+SNAPSHOT\\s+CONSTRAINT\\s+ADD\\s+$P\\s+NAME\\s+$Ident\\s+CHECK\\s+(.+)""".r
+
+  private val ConstraintDrop =
+    s"""(?is)\\s*GRAFT\\s+SNAPSHOT\\s+CONSTRAINT\\s+DROP\\s+$P\\s+NAME\\s+$Ident\\s*;?\\s*""".r
+
+  private val ConstraintList =
+    s"""(?is)\\s*GRAFT\\s+SNAPSHOT\\s+CONSTRAINTS\\s+$P\\s*;?\\s*""".r
+
   // CONDITIONAL MERGE — the warehouse staple (Delta/Iceberg MERGE INTO):
   // WHEN clauses precede the AS-query because the tail after AS belongs
   // to the DELEGATE (full Spark SQL — it may contain anything, including
@@ -172,6 +202,15 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       "(conditions reference t.<col>/s.<col>; parenthesize a condition " +
       "containing WHEN/THEN/AS or commas)",
     "GRAFT SNAPSHOT DELETE '<root>' KEY <col> AS <query>",
+    "GRAFT SNAPSHOT DELETE '<root>' PARTITION <col> CHECKSUM <col> " +
+      "[STATS <col>] WHERE <cond>",
+    "GRAFT SNAPSHOT UPDATE '<root>' PARTITION <col> CHECKSUM <col> " +
+      "[STATS <col>] SET <col> = <expr>[, ...] [WHERE <cond>] " +
+      "(parenthesize a SET expression containing WHERE or commas)",
+    "GRAFT SNAPSHOT RESTORE '<root>' VERSION <n>",
+    "GRAFT SNAPSHOT CONSTRAINT ADD '<root>' NAME <name> CHECK <cond>",
+    "GRAFT SNAPSHOT CONSTRAINT DROP '<root>' NAME <name>",
+    "GRAFT SNAPSHOT CONSTRAINTS '<root>'",
     "GRAFT SNAPSHOT COMPACT '<root>' PARTITION <col> CHECKSUM <col> [MAXFILES n]",
     "GRAFT SNAPSHOT APPLY DELETES '<root>' PARTITION <col> CHECKSUM <col>",
     "GRAFT SNAPSHOT VACUUM '<root>' [KEEP n]")
@@ -185,16 +224,31 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   private def writeCmd(op: String, root: String, query: String)
       (stage: (SparkSession, DataFrame) => Int): LogicalPlan = {
     val parsed = delegate.parsePlan(query)
+    mutateCmd(op, root)((sess) =>
+      stage(sess, GraftBridge.ofRows(sess, parsed)))
+  }
+
+  /** The query-less mutation command (predicate delete/update, restore):
+    * same lazy staging + optimistic-concurrency commit as [[writeCmd]],
+    * without an AS-tail to pre-parse.
+    */
+  private def mutateCmd(op: String, root: String)
+      (stage: SparkSession => Int): LogicalPlan =
     GraftSnapshotCommand(op, root) { sess =>
-      val df = GraftBridge.ofRows(sess, parsed)
       val base = graft.sources.Snapshot.currentVersion(sess, root)
-      val n = stage(sess, df)
-      // stageAppend returns the base version for an empty delta — a
-      // no-op statement re-commits nothing
+      val n = stage(sess)
+      // a no-op stage (empty delta, unprunable-nothing predicate,
+      // restore-to-current) returns the base version — re-commit nothing
       if (n > base) graft.sources.Snapshot.commitIfBase(sess, root, n, base)
       math.max(n, base)
     }
-  }
+
+  /** A statement-tail expression with the optional terminating ';'
+    * (and surrounding whitespace) removed — ';' is never part of a SQL
+    * expression, so one trailing semicolon is statement syntax.
+    */
+  private def stripStmtEnd(s: String): String =
+    s.trim.stripSuffix(";").trim
 
   /** Index of the first TOP-LEVEL occurrence of word `kw` (case-
     * insensitive, word-bounded) in `text` at or after `from` — top-level
@@ -249,6 +303,34 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       s"malformed GRAFT SNAPSHOT MERGE statement: $detail\n  grammar: " +
         Grammar.find(_.contains("MERGE")).get)
 
+  private def updateError(detail: String): Nothing =
+    throw new GraftParseException(
+      s"malformed GRAFT SNAPSHOT UPDATE statement: $detail\n  grammar: " +
+        Grammar.find(_.contains("UPDATE '<root>'")).get)
+
+  /** Parse a `SET` assignment list (MERGE's UPDATE SET and the UPDATE
+    * statement share it): split on top-level commas, each assignment at
+    * its FIRST '=' — column names cannot contain '=', so everything
+    * after it is the expression; malformed input reports through `err`.
+    */
+  private def parseSetList(txt: String,
+      err: String => Nothing): Seq[(String, String)] = {
+    val cuts = topLevelAll(txt, ",")
+    val parts = (-1 +: cuts).zip(cuts :+ txt.length).map {
+      case (s0, e) => txt.substring(s0 + 1, e)
+    }
+    parts.map { p =>
+      val eq = p.indexOf('=')
+      if (eq < 0) err(s"SET assignment without '=': '${p.trim.take(60)}'")
+      val c = p.substring(0, eq).trim
+      val e = p.substring(eq + 1).trim
+      if (!c.matches("[A-Za-z_][A-Za-z0-9_]*"))
+        err(s"SET target is not a column name: '${c.take(60)}'")
+      if (e.isEmpty) err(s"empty SET expression for column '$c'")
+      c -> e
+    }
+  }
+
   /** Parse the MERGE statement's tail — the WHEN-clause chain followed
     * by `AS <source query>` — into clause values plus the query text.
     * Clause order is preserved: [[graft.sources.Snapshot.stageMerge]]
@@ -300,24 +382,8 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
           WhenNotMatchedInsert(cond)
         case a if a.equalsIgnoreCase("DELETE") => WhenMatchedDelete(cond)
         case UpdateRe(setTxt) =>
-          val set = Option(setTxt).fold(Seq.empty[(String, String)]) { txt =>
-            // split assignments on top-level commas; each at its FIRST
-            // top-level '=' (column names cannot contain '=')
-            val cuts = topLevelAll(txt, ",")
-            val parts = (-1 +: cuts).zip(cuts :+ txt.length).map {
-              case (s0, e) => txt.substring(s0 + 1, e)
-            }
-            parts.map { p =>
-              val eq = p.indexOf('=')
-              if (eq < 0) mergeError(s"SET assignment without '=': '${p.trim.take(60)}'")
-              val c = p.substring(0, eq).trim
-              val e = p.substring(eq + 1).trim
-              if (!c.matches("[A-Za-z_][A-Za-z0-9_]*"))
-                mergeError(s"SET target is not a column name: '${c.take(60)}'")
-              if (e.isEmpty) mergeError(s"empty SET expression for column '$c'")
-              c -> e
-            }
-          }
+          val set = Option(setTxt).fold(Seq.empty[(String, String)])(
+            parseSetList(_, mergeError))
           WhenMatchedUpdate(cond, set)
         case other =>
           mergeError(s"WHEN MATCHED supports THEN UPDATE [SET …] or THEN DELETE, got '${other.take(60)}'")
@@ -359,6 +425,47 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       // O(#keys) at commit, readers mask until APPLY DELETES
       writeCmd("delete", unq(path), query)((sess, df) =>
         graft.sources.Snapshot.stageDeleteMor(sess, unq(path), df, keyCol))
+    case DeleteWhere(path, partCol, ckCol, statsCol, cond) =>
+      // predicate delete: stats-pruned copy-on-write — only files whose
+      // manifest metadata says the condition could match are rewritten
+      mutateCmd("delete_where", unq(path))(sess =>
+        graft.sources.Snapshot.stageDeleteWhere(sess, unq(path),
+          stripStmtEnd(cond), partCol, ckCol, Option(statsCol)))
+    case Update(path, partCol, ckCol, statsCol, tail) =>
+      // SET region runs to the top-level WHERE (absent = all rows, the
+      // Delta contract); both regions are full Spark SQL expressions
+      val whereAt = topLevel(tail, "WHERE")
+      val (setTxt, cond) =
+        if (whereAt < 0) (stripStmtEnd(tail), "true")
+        else (tail.substring(0, whereAt).trim,
+          stripStmtEnd(tail.substring(whereAt + 5)))
+      if (setTxt.isEmpty) updateError("empty SET assignment list")
+      if (cond.isEmpty) updateError("empty condition after WHERE")
+      val set = parseSetList(setTxt, updateError)
+      mutateCmd("update", unq(path))(sess =>
+        graft.sources.Snapshot.stageUpdateWhere(sess, unq(path), cond, set,
+          partCol, ckCol, Option(statsCol)))
+    case Restore(path, v) =>
+      val root = unq(path)
+      GraftSnapshotCommand("restore", root) { sess =>
+        val base = graft.sources.Snapshot.currentVersion(sess, root)
+        val n = graft.sources.Snapshot.stageRestore(sess, root, v.toInt)
+        if (n > base) graft.sources.Snapshot.commitIfBase(sess, root, n,
+          base, Some(s"restore:v${v.toInt}"))
+        math.max(n, base)
+      }
+    case ConstraintAdd(path, name, cond) =>
+      // addConstraint validates + self-commits (metadata-only, the
+      // addColumn shape); the lazy command defers it to execution time
+      GraftSnapshotCommand("constraint_add", unq(path))(sess =>
+        graft.sources.Snapshot.addConstraint(sess, unq(path), name,
+          stripStmtEnd(cond)))
+    case ConstraintDrop(path, name) =>
+      GraftSnapshotCommand("constraint_drop", unq(path))(sess =>
+        graft.sources.Snapshot.dropConstraint(sess, unq(path), name))
+    case ConstraintList(path) =>
+      GraftBridge.planOf(
+        graft.sources.Snapshot.listConstraints(session, unq(path)))
     case Compact(path, partCol, ckCol, maxFiles) =>
       val root = unq(path)
       GraftSnapshotCommand("compact", root)(sess =>

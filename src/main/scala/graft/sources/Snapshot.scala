@@ -654,7 +654,8 @@ object Snapshot {
       "snapshot tables reserve the layout column name _p")
     // a full republish after addColumn must materialize the column —
     // its files postdate the add, so readers never fill them
-    requireAddedCols(spark, dir, currentVersion(spark, dir), df, "published snapshot")
+    val cur = currentVersion(spark, dir)
+    requireAddedCols(spark, dir, cur, df, "published snapshot")
     val n = claimVersion(spark, dir)
     // repartition on the partition value so each task writes whole
     // partitions: without it every one of the shuffle-partition tasks
@@ -665,6 +666,11 @@ object Snapshot {
     df.withColumn("_p", col(partCol))
       .repartition(col("_p"))
       .write.mode("overwrite").partitionBy("_p").parquet(s"$dir/v$n")
+    // CHECK enforcement reads the staged files back column-pruned (one
+    // agg over the referenced columns) rather than re-running the
+    // input query; a violation leaves v$n as uncommitted vacuum garbage
+    requireConstraints(spark, dir, cur,
+      spark.read.parquet(s"$dir/v$n"), "published snapshot")
     manifestRowsFor(spark, dir, n, partCol, checksumCol)
       .coalesce(1).write.mode("overwrite").json(s"$dir/_manifest.v$n")
     n
@@ -725,9 +731,22 @@ object Snapshot {
     delta.withColumn("_p", col(partCol))
       .repartition(col("_p"))
       .write.mode("overwrite").partitionBy("_p").parquet(s"$dir/v$n")
+    // CHECK enforcement on exactly the appended files — carried files
+    // were validated when they were written (see requireConstraints)
+    requireConstraints(spark, dir, cur,
+      spark.read.parquet(s"$dir/v$n"), "appended delta")
     readManifest(spark, dir, cur)
       .unionByName(manifestRowsFor(spark, dir, n, partCol, checksumCol))
       .coalesce(1).write.mode("overwrite").json(s"$dir/_manifest.v$n")
+    n
+  }
+
+  /** File append: stage + atomic commit (no-op on an empty delta). */
+  def append(spark: SparkSession, dir: String, delta: DataFrame,
+      partCol: String, checksumCol: String): Int = {
+    val base = currentVersion(spark, dir)
+    val n = stageAppend(spark, dir, delta, partCol, checksumCol)
+    if (n > base) commit(spark, dir, n)
     n
   }
 
@@ -780,6 +799,12 @@ object Snapshot {
     // upsertPartitioned's staging, but here old files are never deleted,
     // so this is belt-and-braces rather than load-bearing)
     val staged = merged.localCheckpoint()
+    // CHECK enforcement on the rebuilt partitions only (in-memory
+    // blocks — the checkpoint just materialized them); release the
+    // checkpoint before a refusal propagates
+    try requireConstraints(spark, dir, base, staged, "copy-on-write update")
+    catch { case e: Throwable =>
+      staged.unpersist(blocking = true); throw e }
     staged.withColumn("_p", col(partCol))
       .repartition(col("_p")) // whole partitions per task — see stagePublish
       .write.mode("overwrite").partitionBy("_p").parquet(s"$dir/v$n")
@@ -1106,8 +1131,16 @@ object Snapshot {
     }
     val staged = laid.localCheckpoint() // see stageCow: never race own input
     val purgedAll = staged.isEmpty // every affected row deleted → no v$n files
-    if (!purgedAll)
+    // CHECK enforcement on the kept/transformed rows (a pure delete
+    // cannot violate, but updateWhere routes here and can); release the
+    // checkpoint before a refusal propagates
+    if (!purgedAll) {
+      try requireConstraints(spark, dir, cur, staged.drop("_p"),
+        "rewritten rows")
+      catch { case e: Throwable =>
+        staged.unpersist(blocking = true); throw e }
       staged.write.mode("overwrite").partitionBy("_p").parquet(s"$dir/v$n")
+    }
     staged.unpersist(blocking = true)
     val hitSet = hit.toSet
     val carryBase = if (dropDv) dataRows(manifest) else manifest
@@ -1138,6 +1171,288 @@ object Snapshot {
       statsCol: Option[String] = None): Int = {
     val n = stagePurge(spark, dir, keys, keyCol, partCol, checksumCol, statsCol)
     if (n > currentVersion(spark, dir)) commit(spark, dir, n)
+    n
+  }
+
+  // ------------------------------------------------------------------
+  // PREDICATE DELETE / UPDATE — the row-level SQL staples (Delta's
+  // `DELETE FROM t WHERE …` / `UPDATE t SET … WHERE …`, Iceberg's
+  // row-level CoW operations). [[stagePurge]] covers the KEY-addressed
+  // delete; these cover the PREDICATE-addressed verbs, with the same
+  // copy-on-write economics driven by a small honest DATA-SKIPPING
+  // step: a file is rewritten only when its manifest metadata says the
+  // predicate COULD match a row in it — the partition value decides
+  // atoms on the partition column exactly (every row of a file shares
+  // it), and the recorded stat_lo/stat_hi interval decides numeric
+  // comparisons on the file's stats column; everything the metadata
+  // cannot prove is conservatively rewritten. On a table clustered on
+  // the predicate column, a range delete at 100 TB therefore rewrites a
+  // handful of files and carries everything else by manifest reference
+  // (SnapshotSpec pins both the pruning and the conservatism).
+  // ------------------------------------------------------------------
+
+  /** Of the manifest DATA rows `entries0`, the paths whose rows COULD
+    * satisfy `condSql` — the data-skipping core of the predicate verbs.
+    * Decided entirely from #files-sized metadata on the driver: no
+    * footer reads, no scan. The walker is SOUND, never complete: AND
+    * intersects, OR unions, `part = <literal>` / `IN` prunes by the
+    * file's partition value (string/integral literals only — their
+    * string rendering is unambiguous), numeric comparisons against the
+    * file's OWN `stat_col` prune by interval overlap, and any shape it
+    * does not recognize (IS NULL, NOT, arithmetic, other columns,
+    * non-numeric literals, stats on a different column) returns
+    * may-match = true, i.e. the file is rewritten rather than skipped.
+    */
+  private def predicateHitPaths(spark: SparkSession, entries0: DataFrame,
+      condSql: String, partCol: String): Array[String] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types.{BooleanType, ByteType, IntegerType, LongType, NumericType, ShortType, StringType}
+    val pred =
+      try spark.sessionState.sqlParser.parseExpression(condSql)
+      catch {
+        case e: Exception => throw new IllegalArgumentException(
+          s"unparseable predicate '$condSql': ${e.getMessage}", e)
+      }
+    def attrOf(e: Expression): Option[String] = e match {
+      case a: UnresolvedAttribute => Some(a.name)
+      case _ => None
+    }
+    def numOf(e: Expression): Option[Double] = e match {
+      case Literal(v, _: NumericType) if v != null => Some(v.toString.toDouble)
+      case _ => None
+    }
+    // exact only where the literal's rendering matches the manifest's
+    // string cast byte-for-byte; doubles/decimals stay conservative
+    def partLitOf(e: Expression): Option[String] = e match {
+      case Literal(v, StringType) if v != null => Some(v.toString)
+      case Literal(v, ByteType | ShortType | IntegerType | LongType)
+        if v != null => Some(v.toString)
+      case _ => None
+    }
+    val rows = entries0
+      .select("path", "part", "stat_lo", "stat_hi", "stat_col").collect()
+    rows.filter { r =>
+      val part = if (r.isNullAt(1)) null else r.getString(1)
+      val bounds: Option[(String, Double, Double)] =
+        if (r.isNullAt(2) || r.isNullAt(3) || r.isNullAt(4)) None
+        else Some((r.getString(4), r.getDouble(2), r.getDouble(3)))
+      // '>'/'<'/'=' with eq folded in; name must be the file's OWN stats
+      // column or the verdict is "may match"
+      def cmpNum(name: String, op: Char, eq: Boolean, v: Double): Boolean =
+        bounds match {
+          case Some((sc, lo, hi)) if sc.equalsIgnoreCase(name) => op match {
+            case '>' => if (eq) hi >= v else hi > v
+            case '<' => if (eq) lo <= v else lo < v
+            case _ => lo <= v && v <= hi
+          }
+          case _ => true
+        }
+      def eqAtom(a: Expression, b: Expression): Boolean = attrOf(a) match {
+        case Some(n) if n.equalsIgnoreCase(partCol) =>
+          partLitOf(b) match {
+            case Some(s) => part == null || part == s
+            case None => true
+          }
+        case Some(n) => numOf(b) match {
+          case Some(v) => cmpNum(n, '=', eq = true, v)
+          case None => true
+        }
+        case None => true
+      }
+      // attr-vs-literal inequality, flipped when the literal is on the
+      // left (`5 > c` ≡ `c < 5`); anything else may match
+      def ineq(a: Expression, b: Expression, op: Char, eq: Boolean): Boolean =
+        (attrOf(a), numOf(b), attrOf(b), numOf(a)) match {
+          case (Some(n), Some(v), _, _) => cmpNum(n, op, eq, v)
+          case (_, _, Some(n), Some(v)) =>
+            cmpNum(n, if (op == '>') '<' else '>', eq, v)
+          case _ => true
+        }
+      def may(e: Expression): Boolean = e match {
+        case And(l, rr) => may(l) && may(rr)
+        case Or(l, rr) => may(l) || may(rr)
+        case Literal(b: Boolean, BooleanType) => b
+        case EqualTo(a, b) if attrOf(a).isDefined => eqAtom(a, b)
+        case EqualTo(a, b) if attrOf(b).isDefined => eqAtom(b, a)
+        case EqualNullSafe(a, b) if attrOf(a).isDefined => eqAtom(a, b)
+        case EqualNullSafe(a, b) if attrOf(b).isDefined => eqAtom(b, a)
+        case In(a, list) if attrOf(a).isDefined => list.exists(eqAtom(a, _))
+        case GreaterThan(a, b) => ineq(a, b, '>', eq = false)
+        case GreaterThanOrEqual(a, b) => ineq(a, b, '>', eq = true)
+        case LessThan(a, b) => ineq(a, b, '<', eq = false)
+        case LessThanOrEqual(a, b) => ineq(a, b, '<', eq = true)
+        case _ => true
+      }
+      may(pred)
+    }.map(_.getString(0))
+  }
+
+  /** The predicate as a DELETE row filter: a row is deleted only when
+    * the condition is TRUE — a NULL verdict KEEPS the row (the SQL
+    * `DELETE WHERE` three-valued contract; a bare `!expr` would delete
+    * NULL-verdict rows too).
+    */
+  private def keepUnlessTrue(condSql: String): org.apache.spark.sql.Column =
+    !coalesce(expr(condSql), lit(false))
+
+  /** Stage `DELETE WHERE condSql` as version current+1 (no commit):
+    * metadata-decided file pruning ([[predicateHitPaths]]), then
+    * [[stagePurgeCore]]'s rewrite of only the hit files — untouched
+    * files carry by manifest reference, `statsCol` restores the
+    * clustered layout of the rewritten remainder. Returns the CURRENT
+    * version untouched when no file can match. Refuses under pending
+    * MoR deletes like every CoW verb.
+    */
+  def stageDeleteWhere(spark: SparkSession, dir: String, condSql: String,
+      partCol: String, checksumCol: String,
+      statsCol: Option[String] = None): Int = {
+    val cur = currentVersion(spark, dir)
+    require(cur >= 1,
+      s"snapshot table $dir has no committed version to delete from")
+    requireNoDv(spark, dir, cur, "predicate delete")
+    val manifest = readManifest(spark, dir, cur)
+    val hit = predicateHitPaths(spark, dataRows(manifest), condSql, partCol)
+    stagePurgeCore(spark, dir, manifest, hit,
+      base => base.filter(keepUnlessTrue(condSql)),
+      partCol, checksumCol, statsCol, dropDv = false)
+  }
+
+  /** Predicate delete: stage + atomic commit (no-op when no file can
+    * match — nothing staged, nothing committed).
+    */
+  def deleteWhere(spark: SparkSession, dir: String, condSql: String,
+      partCol: String, checksumCol: String,
+      statsCol: Option[String] = None): Int = {
+    val n = stageDeleteWhere(spark, dir, condSql, partCol, checksumCol, statsCol)
+    if (n > currentVersion(spark, dir)) commit(spark, dir, n)
+    n
+  }
+
+  /** Stage `UPDATE SET … WHERE condSql` as version current+1 (no
+    * commit): the same metadata-decided pruning and CoW rewrite as
+    * [[stageDeleteWhere]], with rows the condition marks TRUE rewritten
+    * through the assignments. Assignment semantics are standard SQL
+    * UPDATE: every right-hand side evaluates against the PRE-update row
+    * (so `SET a = b, b = a` swaps), each assignment casts to the
+    * column's existing type (the rewritten files must stay
+    * schema-identical to the carried ones), and the partition column is
+    * not assignable — moving a row between partitions is a
+    * delete+insert, the [[stageMerge]] contract.
+    */
+  def stageUpdateWhere(spark: SparkSession, dir: String, condSql: String,
+      set: Seq[(String, String)], partCol: String, checksumCol: String,
+      statsCol: Option[String] = None): Int = {
+    require(set.nonEmpty, "UPDATE with no SET assignments is a no-op")
+    val cur = currentVersion(spark, dir)
+    require(cur >= 1,
+      s"snapshot table $dir has no committed version to update")
+    requireNoDv(spark, dir, cur, "predicate update")
+    val fields = read(spark, dir).schema.fields
+    set.foreach { case (c, _) =>
+      require(fields.exists(_.name.equalsIgnoreCase(c)),
+        s"UPDATE SET assigns unknown column '$c' " +
+          s"(table columns: ${fields.map(_.name).mkString(", ")})")
+      require(!c.equalsIgnoreCase(partCol),
+        s"UPDATE SET may not assign the partition column ('$c') — " +
+          "moving a row between partitions is a delete+insert")
+    }
+    require(set.map(_._1.toLowerCase).distinct.size == set.size,
+      s"duplicate UPDATE SET assignment: ${set.map(_._1).mkString(", ")}")
+    val manifest = readManifest(spark, dir, cur)
+    val hit = predicateHitPaths(spark, dataRows(manifest), condSql, partCol)
+    stagePurgeCore(spark, dir, manifest, hit, base => {
+      val hitRow = coalesce(expr(condSql), lit(false))
+      // one select evaluates every column against the ORIGINAL row
+      base.select(fields.map { f =>
+        set.find(_._1.equalsIgnoreCase(f.name)) match {
+          case Some((_, e)) =>
+            when(hitRow, expr(e).cast(f.dataType)).otherwise(col(f.name))
+              .as(f.name)
+          case None => col(f.name)
+        }
+      }.toIndexedSeq: _*)
+    }, partCol, checksumCol, statsCol, dropDv = false)
+  }
+
+  /** Predicate update: stage + atomic commit (no-op when no file can
+    * match).
+    */
+  def updateWhere(spark: SparkSession, dir: String, condSql: String,
+      set: Seq[(String, String)], partCol: String, checksumCol: String,
+      statsCol: Option[String] = None): Int = {
+    val n = stageUpdateWhere(spark, dir, condSql, set, partCol, checksumCol,
+      statsCol)
+    if (n > currentVersion(spark, dir)) commit(spark, dir, n)
+    n
+  }
+
+  // ------------------------------------------------------------------
+  // RESTORE — roll the table back to a retained version (Delta's
+  // `RESTORE TABLE … TO VERSION AS OF n`): a restore is a NEW COMMIT
+  // whose manifest is the target version's VERBATIM — zero data bytes
+  // move at any table size, the rolled-back content stays
+  // time-travelable (the bad versions remain readable until vacuum,
+  // strictly safer than rewinding the pointer, which would let
+  // [[nextVersion]] re-allocate their numbers), and vacuum keeps the
+  // target's files live because the NEWEST manifest references them.
+  // Schema rolls back with the data: if the target predates an
+  // [[addColumn]], the restore records the target's sidecar state under
+  // the new version, so the restored table reads (and stages) exactly
+  // as the target did. A restore is NOT an append — version-log streams
+  // in append mode refuse across it (their contract), and [[readChanges]]
+  // emits the inverse deltas of what it undid (the CDF law holds).
+  // ------------------------------------------------------------------
+
+  /** Stage a restore of version `toV` as version current+1 (no commit).
+    * Returns the CURRENT version untouched when `toV` is already
+    * current. Refuses when the target's manifest fell to vacuum —
+    * restore reaches only into retained history.
+    */
+  def stageRestore(spark: SparkSession, dir: String, toV: Int): Int = {
+    val cur = currentVersion(spark, dir)
+    require(cur >= 1, s"snapshot table $dir has no committed version")
+    require(toV >= 1 && toV <= cur,
+      s"restore target v$toV out of range — committed history is v1..v$cur")
+    if (toV == cur) return cur
+    require(fc(spark).util.exists(new Path(dir, s"_manifest.v$toV")),
+      s"snapshot $dir has no manifest for v$toV (vacuumed) — restore " +
+        "targets must be within vacuum retention")
+    val n = claimVersion(spark, dir)
+    readManifest(spark, dir, toV)
+      .coalesce(1).write.mode("overwrite").json(s"$dir/_manifest.v$n")
+    // roll the SCHEMA back too: record the target's added-column state
+    // under the new number so newest-at-or-below resolution serves the
+    // target's generation (a post-target addColumn disappears — its
+    // fill would resurrect a column the restored state never had)
+    val want = addedColumnsAt(spark, dir, toV)
+    if (want != addedColumnsAt(spark, dir, cur)) {
+      import spark.implicits._
+      want.map(c => (c.name, c.sqlType, c.defaultSql, c.since))
+        .toDF("name", "sql_type", "default_sql", "since")
+        .coalesce(1).write.mode("overwrite").json(s"$dir/_schema.v$n")
+    }
+    // CHECK constraints roll back with the data too: the restored
+    // content was validated against the TARGET's constraint set, not
+    // against rules added since
+    val wantCs = constraintsAt(spark, dir, toV)
+    if (wantCs != constraintsAt(spark, dir, cur)) {
+      import spark.implicits._
+      wantCs.map(c => (c.name, c.condSql, c.since))
+        .toDF("name", "cond_sql", "since")
+        .coalesce(1).write.mode("overwrite").json(s"$dir/_constraints.v$n")
+    }
+    n
+  }
+
+  /** Restore: stage + atomic commit, tagged `restore:v<target>` so the
+    * history records what the commit rolled back to. No-op when the
+    * target is already current.
+    */
+  def restore(spark: SparkSession, dir: String, toV: Int): Int = {
+    val base = currentVersion(spark, dir)
+    val n = stageRestore(spark, dir, toV)
+    if (n > base) commit(spark, dir, n, Some(s"restore:v$toV"))
     n
   }
 
@@ -1455,6 +1770,137 @@ object Snapshot {
     require(missing.isEmpty,
       s"$what must supply added column(s) ${missing.mkString(", ")} — " +
         s"they are part of $dir's schema (addColumn)")
+  }
+
+  // ------------------------------------------------------------------
+  // CHECK CONSTRAINTS — table-level data-quality invariants (Delta's
+  // `ALTER TABLE … ADD CONSTRAINT … CHECK`): a `_constraints.v{N}`
+  // sidecar (the [[addColumn]] sidecar machinery) records (name,
+  // condition, since-version); adding one validates the EXISTING table
+  // once — the only full scan in the lifecycle — and from then on every
+  // stage validates ONLY the rows it writes (appends validate the
+  // delta, CoW rebuilds validate the rewritten partitions, carried
+  // files were validated when written), so at 100 TB enforcement costs
+  // one pass over each commit's own data, never the table. Violations
+  // refuse at STAGE time — nothing commits, the staged dir is vacuum
+  // garbage. CHECK follows the SQL standard's three-valued contract: a
+  // row passes when the condition is TRUE or UNKNOWN, fails only on
+  // FALSE (`x IS NOT NULL` is how you demand non-null).
+  // ------------------------------------------------------------------
+
+  /** One CHECK constraint record: resolver state mirroring [[AddedCol]]. */
+  private case class Constraint(name: String, condSql: String, since: Int)
+
+  private def constraintsAt(spark: SparkSession, dir: String,
+      n: Int): Seq[Constraint] = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Nil
+    val vs = fs.listStatus(root).map(_.getPath.getName).collect {
+      case m if m.matches("_constraints\\.v\\d+") =>
+        m.stripPrefix("_constraints.v").toInt
+    }.filter(_ <= n)
+    if (vs.isEmpty) Nil
+    else spark.read
+      .schema("name STRING, cond_sql STRING, since INT")
+      .json(s"$dir/_constraints.v${vs.max}")
+      .collect()
+      .map(r => Constraint(r.getString(0), r.getString(1), r.getInt(2)))
+      .toSeq
+  }
+
+  /** The violation predicate of one CHECK: FALSE fails, TRUE and
+    * UNKNOWN pass (the SQL standard).
+    */
+  private def violatesCheck(condSql: String): org.apache.spark.sql.Column =
+    coalesce(expr(condSql), lit(true)) === false
+
+  /** Stage-side enforcement: the staged rows `df` must satisfy every
+    * CHECK constraint in force at `base`. ONE pass evaluates all
+    * constraints (a column-pruned agg over only the referenced
+    * columns); the error names each violated constraint with its
+    * condition and violation count.
+    */
+  private def requireConstraints(spark: SparkSession, dir: String, base: Int,
+      df: DataFrame, what: String): Unit = {
+    val cs = constraintsAt(spark, dir, base)
+    if (cs.isEmpty) return
+    val aggs = cs.map(c =>
+      sum(when(violatesCheck(c.condSql), 1L).otherwise(0L)).as(c.name))
+    val r = df.agg(aggs.head, aggs.tail: _*).head()
+    val violated = cs.zipWithIndex
+      .map { case (c, i) => (c, if (r.isNullAt(i)) 0L else r.getLong(i)) }
+      .filter(_._2 > 0)
+    require(violated.isEmpty,
+      s"$what violates CHECK constraint(s) on $dir: " +
+        violated.map { case (c, k) =>
+          s"${c.name} [${c.condSql}] fails on $k row(s)" }.mkString("; ") +
+        " — nothing was committed")
+  }
+
+  /** Add a CHECK constraint: validates the EXISTING committed content
+    * (one scan — refuses loudly if any current row fails), then commits
+    * a metadata-only version (manifest verbatim + constraints sidecar,
+    * tag preserved) after which every stage validates its own rows
+    * against the constraint before anything can commit. `condSql` is
+    * any boolean SQL expression over the table's columns.
+    */
+  def addConstraint(spark: SparkSession, dir: String, name: String,
+      condSql: String): Int = {
+    import spark.implicits._
+    val cur = currentVersion(spark, dir)
+    require(cur >= 1, s"snapshot table $dir has no committed version")
+    require(name.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"constraint name '$name' is not an identifier")
+    val existing = constraintsAt(spark, dir, cur)
+    require(!existing.exists(_.name.equalsIgnoreCase(name)),
+      s"constraint '$name' already exists on $dir")
+    val bad = read(spark, dir).filter(violatesCheck(condSql)).count()
+    require(bad == 0L,
+      s"cannot add CHECK constraint '$name' [$condSql] to $dir: " +
+        s"$bad existing row(s) violate it — repair the data first " +
+        "(deleteWhere/updateWhere), then add the constraint")
+    val n = claimVersion(spark, dir)
+    readManifest(spark, dir, cur)
+      .coalesce(1).write.mode("overwrite").json(s"$dir/_manifest.v$n")
+    (existing :+ Constraint(name, condSql, n))
+      .map(c => (c.name, c.condSql, c.since))
+      .toDF("name", "cond_sql", "since")
+      .coalesce(1).write.mode("overwrite").json(s"$dir/_constraints.v$n")
+    commit(spark, dir, n, currentTag(spark, dir))
+    n
+  }
+
+  /** Drop a CHECK constraint by name: a metadata-only version whose
+    * sidecar no longer lists it.
+    */
+  def dropConstraint(spark: SparkSession, dir: String, name: String): Int = {
+    import spark.implicits._
+    val cur = currentVersion(spark, dir)
+    require(cur >= 1, s"snapshot table $dir has no committed version")
+    val existing = constraintsAt(spark, dir, cur)
+    require(existing.exists(_.name.equalsIgnoreCase(name)),
+      s"no constraint '$name' on $dir (existing: " +
+        s"${existing.map(_.name).mkString(", ")})")
+    val n = claimVersion(spark, dir)
+    readManifest(spark, dir, cur)
+      .coalesce(1).write.mode("overwrite").json(s"$dir/_manifest.v$n")
+    existing.filterNot(_.name.equalsIgnoreCase(name))
+      .map(c => (c.name, c.condSql, c.since))
+      .toDF("name", "cond_sql", "since")
+      .coalesce(1).write.mode("overwrite").json(s"$dir/_constraints.v$n")
+    commit(spark, dir, n, currentTag(spark, dir))
+    n
+  }
+
+  /** The CHECK constraints in force at the current version, as a frame
+    * `(name, cond_sql, since)` — the governance listing.
+    */
+  def listConstraints(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    constraintsAt(spark, dir, currentVersion(spark, dir))
+      .map(c => (c.name, c.condSql, c.since))
+      .toDF("name", "cond_sql", "since")
   }
 
   /** CoW maintenance under pending MoR deletes would resurrect or
@@ -2147,6 +2593,10 @@ object Snapshot {
         // poison an unrelated version. Sidecars AT OR BELOW current stay
         // forever — they are tiny, and older versions resolve THROUGH
         // them (newest-at-or-below lookup).
+        fs.delete(st.getPath, true)
+      } else if (st.isDirectory && name.matches("_constraints\\.v\\d+") &&
+          name.stripPrefix("_constraints.v").toInt > n) {
+        // same rule for crashed addConstraint/dropConstraint sidecars
         fs.delete(st.getPath, true)
       }
     }

@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
   * of 10c yields ~50c² pairs) — the probe prints output rows so the two
   * effects can be told apart.
   *
-  * `runMain graft.tools.ScaleProbe [sfDir] [keys|sigs|curation|cc|cluster|vocab|spans|bpe|quality|pq|geo|graph|graphx|streamjoin|snapshot|kll|gram|cdc|ivm|purge|mor|sqlread|commitrace|cdf|vstream|cdfstream|sqlmaint|er|all]`
+  * `runMain graft.tools.ScaleProbe [sfDir] [keys|sigs|curation|cc|cluster|vocab|spans|bpe|quality|pq|geo|graph|graphx|streamjoin|snapshot|kll|gram|cdc|ivm|purge|mor|sqlread|commitrace|cdf|vstream|cdfstream|sqlmaint|er|delwhere|all]`
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -615,6 +615,37 @@ object ScaleProbe {
       println(f"purge publish 1x ${pub1}%6.2fs -> 10x ${pub10}%7.2fs; " +
         f"FIXED-request purge 1x ${p1}%6.2fs -> 10x-store ${p10}%7.2fs " +
         f"(factor ${p10 / p1}%5.1f, claim ~1)")
+    }
+    // Predicate DELETE WHERE on a clustered store at 1x -> 10x: the
+    // fixed doc_id range hits a ~constant file count at both scales
+    // (files narrow as the store grows), so seconds and rewritten-file
+    // counts should stay ~flat — the metadata-decided CoW claim.
+    if (mode == "all" || mode == "delwhere") {
+      def delProbe(mult: Int): (Double, Int, Int) = {
+        val dir = java.nio.file.Files.createTempDirectory("probe_delw").toString
+        val docs = (0 until mult).map { i =>
+          base.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+            col("text"), col("lang"), col("source"), col("n_chars"))
+        }.reduce(_ unionByName _)
+        graft.sources.Snapshot.publishClustered(spark, dir, docs, "lang",
+          "doc_id", "text", nFiles = 8 * mult)
+        val t0 = System.nanoTime()
+        graft.sources.Snapshot.deleteWhere(spark, dir,
+          "doc_id BETWEEN 100 AND 260 AND n_chars > 400", "lang", "text",
+          statsCol = Some("doc_id"))
+        val sec = (System.nanoTime() - t0) / 1e9
+        val m2 = spark.read.schema("path STRING")
+          .json(s"$dir/_manifest.v2").select("path").collect()
+          .map(_.getString(0))
+        (sec, m2.count(_.startsWith("v2/")), m2.length)
+      }
+      val (d1, rw1, tot1) = delProbe(1)
+      graft.ops.T.releaseCaches(blocking = true)
+      val (d10, rw10, tot10) = delProbe(10)
+      graft.ops.T.releaseCaches(blocking = true)
+      println(f"deleteWhere FIXED range 1x ${d1}%6.2fs ($rw1 of $tot1 files " +
+        f"rewritten) -> 10x-store ${d10}%7.2fs ($rw10 of $tot10; " +
+        f"factor ${d10 / d1}%5.1f, claim ~1)")
     }
     // BFS + k-core on synthetic graphs at 1M -> 10M edges. BFS: chain-of-
     // blocks graph of FIXED diameter (so round count is constant and the

@@ -2,7 +2,7 @@ package graft
 
 /** T1 blanket contract checks: every declared query runs on sf0.001,
   * the queries/oracleSql maps are mutually consistent, and the declared
-  * inventory matches SURVEY.md §2b (269 keys, 261 oracle-checked).
+  * inventory matches SURVEY.md §2b (273 keys, 265 oracle-checked).
   */
 class ContractSpec extends SparkSpec {
 
@@ -11,9 +11,9 @@ class ContractSpec extends SparkSpec {
       "t_stream_runtime", "t_stream_dedup", "t_stream_session",
       "t_stream_join")
 
-  test("inventory matches SURVEY §2b: 269 queries, 261 with oracle SQL") {
-    assert(SparkEntry.queries.size === 269)
-    assert(SparkEntry.oracleSql.size === 261)
+  test("inventory matches SURVEY §2b: 273 queries, 265 with oracle SQL") {
+    assert(SparkEntry.queries.size === 273)
+    assert(SparkEntry.oracleSql.size === 265)
     assert(SparkEntry.queries.keySet.intersect(nonOracle).size === 8)
   }
 

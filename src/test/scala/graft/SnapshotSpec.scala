@@ -1606,4 +1606,277 @@ class SnapshotSpec extends SparkSpec {
     // TIMESTAMP AS OF still refuses: versions stay the time axis, the
     // wall clock is governance metadata the user maps to a version
   }
+
+  test("deleteWhere: stats prune the rewrite to range-covering files; content is the filter") {
+    val dir = freshDir()
+    Snapshot.publishClustered(spark, dir, docs, "lang", "doc_id", "text",
+      nFiles = 8)
+    val m1 = manifestPaths(dir, 1)
+    // a range predicate inside ONE file's stat interval: only covering
+    // files rewrite, everything else carries by identical reference
+    val v2 = Snapshot.deleteWhere(spark, dir,
+      "doc_id >= 10 AND doc_id <= 25 AND n_chars >= 0",
+      "lang", "text", statsCol = Some("doc_id"))
+    assert(v2 === 2)
+    assert(fingerprint(Snapshot.read(spark, dir)) === fingerprint(
+      docs.filter(!(col("doc_id") >= 10 && col("doc_id") <= 25 &&
+        col("n_chars") >= 0))))
+    val m2 = manifestPaths(dir, 2)
+    val carried = m2.keySet.filter(_.startsWith("v1/"))
+    assert(carried.nonEmpty, "some file must carry by reference")
+    assert(m2.keySet.exists(_.startsWith("v2/")), "some file must rewrite")
+    assert(carried.subsetOf(m1.keySet))
+  }
+
+  test("deleteWhere: a partition-column predicate prunes other partitions' files") {
+    val dir = freshDir()
+    Snapshot.publish(spark, dir, docs, "lang", "text")
+    val m1 = manifestPaths(dir, 1)
+    Snapshot.deleteWhere(spark, dir, "lang = 'en' AND doc_id % 3 = 0",
+      "lang", "text")
+    assert(fingerprint(Snapshot.read(spark, dir)) === fingerprint(
+      docs.filter(!(col("lang") === "en" && pmod(col("doc_id"), lit(3)) === 0))))
+    // every non-en file is carried verbatim: the partition atom decided
+    // it from metadata even though doc_id % 3 is unprunable
+    val m2 = manifestPaths(dir, 2)
+    val carried = m2.keySet.filter(_.startsWith("v1/"))
+    assert(carried === m1.keySet.filter(p => !p.contains("_p=en")))
+  }
+
+  test("deleteWhere keeps NULL-verdict rows (three-valued SQL), and no-ops when nothing can match") {
+    val dir = freshDir()
+    import spark.implicits._
+    val df = Seq((1L, "a", Some(5L)), (2L, "a", None), (3L, "b", Some(50L)))
+      .toDF("id", "part", "x")
+    Snapshot.publish(spark, dir, df, "part", "id")
+    // x > 10 is NULL for id=2 — DELETE must keep it
+    Snapshot.deleteWhere(spark, dir, "x > 10", "part", "id")
+    assert(Snapshot.read(spark, dir).select("id").as[Long].collect().sorted
+      === Array(1L, 2L))
+    // a predicate no file can satisfy (id is 1..3, stats absent here so
+    // conservatism rewrites — use the clustered table for the prune)
+    val dir2 = freshDir()
+    Snapshot.publishClustered(spark, dir2, docs, "lang", "doc_id", "text",
+      nFiles = 4)
+    val n = Snapshot.deleteWhere(spark, dir2, "doc_id < 0", "lang", "text",
+      statsCol = Some("doc_id"))
+    assert(n === 1, "fully-pruned predicate must be a version no-op")
+    assert(Snapshot.currentVersion(spark, dir2) === 1)
+  }
+
+  test("updateWhere: RHS reads the PRE-update row (swap law), casts to the column type, prunes by partition") {
+    val dir = freshDir()
+    Snapshot.publish(spark, dir, docs, "lang", "text")
+    val m1 = manifestPaths(dir, 1)
+    val schemaBefore = Snapshot.read(spark, dir).schema
+    // swap: both assignments must see the original values
+    Snapshot.updateWhere(spark, dir, "lang = 'fr'",
+      Seq("doc_id" -> "n_chars", "n_chars" -> "doc_id"), "lang", "text")
+    val expected = docs.withColumn("_hit", col("lang") === "fr")
+      .select(
+        when(col("_hit"), col("n_chars")).otherwise(col("doc_id")).as("doc_id"),
+        col("text"), col("lang"), col("source"),
+        when(col("_hit"), col("doc_id")).otherwise(col("n_chars")).as("n_chars"))
+    assert(fingerprint(Snapshot.read(spark, dir)) === fingerprint(expected))
+    assert(Snapshot.read(spark, dir).schema === schemaBefore,
+      "assignments must cast to the existing column types")
+    // only fr files rewrote
+    val m2 = manifestPaths(dir, 2)
+    assert(m2.keySet.filter(_.startsWith("v1/"))
+      === m1.keySet.filter(p => !p.contains("_p=fr")))
+  }
+
+  test("updateWhere refusals: partition column, unknown column, duplicate assignment, empty set") {
+    val dir = freshDir()
+    Snapshot.publish(spark, dir, docs, "lang", "text")
+    val e1 = intercept[IllegalArgumentException](Snapshot.updateWhere(spark,
+      dir, "true", Seq("lang" -> "'xx'"), "lang", "text"))
+    assert(e1.getMessage.contains("partition column"))
+    val e2 = intercept[IllegalArgumentException](Snapshot.updateWhere(spark,
+      dir, "true", Seq("nope" -> "1"), "lang", "text"))
+    assert(e2.getMessage.contains("unknown column"))
+    val e3 = intercept[IllegalArgumentException](Snapshot.updateWhere(spark,
+      dir, "true", Seq("n_chars" -> "1", "N_CHARS" -> "2"), "lang", "text"))
+    assert(e3.getMessage.contains("duplicate"))
+    val e4 = intercept[IllegalArgumentException](Snapshot.updateWhere(spark,
+      dir, "true", Nil, "lang", "text"))
+    assert(e4.getMessage.contains("no SET"))
+    assert(Snapshot.currentVersion(spark, dir) === 1, "refusals stage nothing")
+  }
+
+  test("restore: zero-copy rollback, history stays time-travelable, vacuum honors the restored set") {
+    val dir = freshDir()
+    Snapshot.publish(spark, dir, docs, "lang", "text")           // v1
+    val v1Print = fingerprint(Snapshot.read(spark, dir))
+    Snapshot.upsert(spark, dir, updates, "doc_id", "lang", "text") // v2
+    Snapshot.deleteWhere(spark, dir, "lang = 'de'", "lang", "text") // v3
+    val v3Print = fingerprint(Snapshot.read(spark, dir))
+    val v4 = Snapshot.restore(spark, dir, 1)
+    assert(v4 === 4)
+    // content is v1 again, via v1's EXACT file set — nothing copied
+    assert(fingerprint(Snapshot.read(spark, dir)) === v1Print)
+    assert(manifestPaths(dir, 4) === manifestPaths(dir, 1))
+    assert(Snapshot.currentTag(spark, dir) === Some("restore:v1"))
+    // the rolled-back versions stay readable (restore is a new commit,
+    // not a pointer rewind)
+    assert(fingerprint(Snapshot.readVersion(spark, dir, 3)) === v3Print)
+    // restore-to-current is a version no-op
+    assert(Snapshot.restore(spark, dir, 4) === 4)
+    // vacuum keeps the newest manifest's (= v1's) files live
+    Snapshot.vacuum(spark, dir, keepVersions = 1)
+    assert(fingerprint(Snapshot.read(spark, dir)) === v1Print)
+    // out-of-range and vacuumed targets refuse loudly
+    assert(intercept[IllegalArgumentException](
+      Snapshot.restore(spark, dir, 99)).getMessage.contains("out of range"))
+    assert(intercept[IllegalArgumentException](
+      Snapshot.restore(spark, dir, 2)).getMessage.contains("vacuumed"))
+  }
+
+  test("restore across addColumn rolls the schema back with the data") {
+    val dir = freshDir()
+    Snapshot.publish(spark, dir, docs, "lang", "text")             // v1
+    Snapshot.addColumn(spark, dir, "quality", "DOUBLE", "0.5")     // v2
+    val scored = updates.withColumn("quality", lit(0.9))
+    Snapshot.upsert(spark, dir, scored, "doc_id", "lang", "text")  // v3
+    assert(Snapshot.read(spark, dir).columns.contains("quality"))
+    Snapshot.restore(spark, dir, 1)                                // v4
+    // the restored read serves v1's schema — no resurrected column
+    assert(!Snapshot.read(spark, dir).columns.contains("quality"))
+    assert(fingerprint(Snapshot.read(spark, dir)) === fingerprint(docs))
+    // and writers are back on the v1 contract: no quality required
+    Snapshot.upsert(spark, dir, updates, "doc_id", "lang", "text") // v5
+    assert(fingerprint(Snapshot.read(spark, dir)) === fingerprint(mergedExpected))
+    // rolling FORWARD again restores the post-add generation intact
+    Snapshot.restore(spark, dir, 3)                                // v6
+    assert(Snapshot.read(spark, dir).columns.contains("quality"))
+    val q = Snapshot.read(spark, dir)
+      .agg(sum(when(col("quality") === 0.9, 1L).otherwise(0L))).head().getLong(0)
+    assert(q === scored.count())
+  }
+
+  test("SQL DELETE WHERE / UPDATE / RESTORE: lazy commands, receipts, and the content laws") {
+    val dir = freshDir()
+    val ext = org.apache.spark.sql.GraftBridge.sessionWithExtensions(
+      spark, new graft.plans.GraftExtensions)
+    Snapshot.publish(ext, dir, docs, "lang", "text")
+    // parse-only commits nothing (the RunnableCommand contract)
+    val parser = org.apache.spark.sql.GraftBridge.sessionStateParser(ext)
+    Seq(
+      s"GRAFT SNAPSHOT DELETE '$dir' PARTITION lang CHECKSUM text WHERE doc_id < 0",
+      s"GRAFT SNAPSHOT UPDATE '$dir' PARTITION lang CHECKSUM text SET n_chars = 0 WHERE doc_id < 0",
+      s"GRAFT SNAPSHOT RESTORE '$dir' VERSION 1"
+    ).foreach { stmt =>
+      assert(parser.parsePlan(stmt)
+        .isInstanceOf[graft.plans.GraftSnapshotCommand], stmt)
+    }
+    assert(Snapshot.currentVersion(ext, dir) === 1)
+    // DELETE WHERE executes through optimistic commit
+    val r1 = ext.sql(s"GRAFT SNAPSHOT DELETE '$dir' PARTITION lang " +
+      "CHECKSUM text WHERE lang = 'es' AND n_chars < 300;").head()
+    assert(r1.getString(0) === "delete_where" && r1.getInt(2) === 2)
+    assert(fingerprint(Snapshot.read(ext, dir)) === fingerprint(
+      docs.filter(!(col("lang") === "es" && col("n_chars") < 300))))
+    // UPDATE with a multi-assignment SET and a string-function RHS
+    val r2 = ext.sql(s"GRAFT SNAPSHOT UPDATE '$dir' PARTITION lang " +
+      "CHECKSUM text SET text = concat(text, ' u'), n_chars = n_chars + 2 " +
+      "WHERE lang = 'en' AND doc_id % 10 = 0").head()
+    assert(r2.getString(0) === "update" && r2.getInt(2) === 3)
+    val hit = col("lang") === "en" && pmod(col("doc_id"), lit(10)) === 0
+    assert(fingerprint(Snapshot.read(ext, dir)) === fingerprint(
+      docs.filter(!(col("lang") === "es" && col("n_chars") < 300))
+        .withColumn("text", when(hit, concat(col("text"), lit(" u")))
+          .otherwise(col("text")))
+        .withColumn("n_chars", when(hit, col("n_chars") + 2)
+          .otherwise(col("n_chars")))))
+    // RESTORE rolls back to v1 as a fourth commit
+    val r3 = ext.sql(s"GRAFT SNAPSHOT RESTORE '$dir' VERSION 1").head()
+    assert(r3.getString(0) === "restore" && r3.getInt(2) === 4)
+    assert(fingerprint(Snapshot.read(ext, dir)) === fingerprint(docs))
+    assert(Snapshot.currentTag(ext, dir) === Some("restore:v1"))
+  }
+
+  test("CHECK constraints: add validates existing data, stages validate their own rows only") {
+    val dir = freshDir()
+    Snapshot.publish(spark, dir, docs, "lang", "text")
+    // an unsatisfiable rule refuses at ADD time, nothing committed
+    val e0 = intercept[IllegalArgumentException](
+      Snapshot.addConstraint(spark, dir, "neg_chars", "n_chars < 0"))
+    assert(e0.getMessage.contains("existing row(s) violate"))
+    assert(Snapshot.currentVersion(spark, dir) === 1)
+    // a satisfiable rule commits as metadata only (file set identical)
+    val v2 = Snapshot.addConstraint(spark, dir, "chars_pos", "n_chars > 0")
+    assert(v2 === 2)
+    assert(manifestPaths(dir, 2) === manifestPaths(dir, 1))
+    assert(Snapshot.listConstraints(spark, dir).count() === 1)
+    // an append whose delta violates refuses at STAGE; nothing commits
+    val badDelta = docs.limit(3).withColumn("n_chars", lit(-1L))
+      .withColumn("doc_id", col("doc_id") + 9000000L)
+    val e1 = intercept[IllegalArgumentException](
+      Snapshot.append(spark, dir, badDelta, "lang", "text"))
+    assert(e1.getMessage.contains("chars_pos") &&
+      e1.getMessage.contains("3 row(s)"))
+    assert(Snapshot.currentVersion(spark, dir) === 2)
+    assert(fingerprint(Snapshot.read(spark, dir)) === fingerprint(docs))
+    // a valid append commits; a CoW update violating refuses
+    Snapshot.append(spark, dir,
+      badDelta.withColumn("n_chars", lit(7L)), "lang", "text")
+    val e2 = intercept[IllegalArgumentException](
+      Snapshot.updateWhere(spark, dir, "lang = 'en'",
+        Seq("n_chars" -> "-5"), "lang", "text"))
+    assert(e2.getMessage.contains("chars_pos"))
+    // duplicate names refuse; drop releases the rule and the write lands
+    val e3 = intercept[IllegalArgumentException](
+      Snapshot.addConstraint(spark, dir, "CHARS_POS", "true"))
+    assert(e3.getMessage.contains("already exists"))
+    Snapshot.dropConstraint(spark, dir, "chars_pos")
+    assert(Snapshot.listConstraints(spark, dir).count() === 0)
+    Snapshot.updateWhere(spark, dir, "doc_id = 1", Seq("n_chars" -> "-5"),
+      "lang", "text")
+    assert(Snapshot.read(spark, dir).filter(col("n_chars") === -5L).count() === 1)
+  }
+
+  test("CHECK follows three-valued SQL: UNKNOWN passes; restore rolls the rule set back") {
+    val dir = freshDir()
+    import spark.implicits._
+    val df = Seq((1L, "a", Some(5L)), (2L, "a", None)).toDF("id", "part", "x")
+    Snapshot.publish(spark, dir, df, "part", "id")
+    // x > 0 is UNKNOWN on the null row — the rule still adds, and a
+    // null-x append still lands (NOT NULL is an explicit rule)
+    Snapshot.addConstraint(spark, dir, "x_pos", "x > 0")
+    Snapshot.append(spark, dir,
+      Seq((3L, "b", None: Option[Long])).toDF("id", "part", "x"), "part", "id")
+    assert(Snapshot.read(spark, dir).count() === 3)
+    val e = intercept[IllegalArgumentException](
+      Snapshot.addConstraint(spark, dir, "x_set", "x IS NOT NULL"))
+    assert(e.getMessage.contains("violate"))
+    // restore to v1 sheds the rule with the data
+    Snapshot.restore(spark, dir, 1)
+    assert(Snapshot.listConstraints(spark, dir).count() === 0)
+    Snapshot.append(spark, dir,
+      Seq((4L, "b", Some(-9L))).toDF("id", "part", "x"), "part", "id")
+    assert(Snapshot.read(spark, dir).count() === 3)
+  }
+
+  test("SQL CONSTRAINT verbs: ADD enforces later SQL writes, CONSTRAINTS lists, DROP releases") {
+    val dir = freshDir()
+    val ext = org.apache.spark.sql.GraftBridge.sessionWithExtensions(
+      spark, new graft.plans.GraftExtensions)
+    Snapshot.publish(ext, dir, docs, "lang", "text")
+    // temp views are per-session: register on the sibling that runs SQL
+    ext.read.parquet(s"${sf()}/documents.parquet")
+      .createOrReplaceTempView("cons_docs")
+    val r = ext.sql(s"GRAFT SNAPSHOT CONSTRAINT ADD '$dir' NAME chars_pos " +
+      "CHECK n_chars > 0 AND lang IS NOT NULL").head()
+    assert(r.getString(0) === "constraint_add" && r.getInt(2) === 2)
+    val listed = ext.sql(s"GRAFT SNAPSHOT CONSTRAINTS '$dir'").collect()
+    assert(listed.map(_.getString(0)).toSeq === Seq("chars_pos"))
+    val e = intercept[Exception](
+      ext.sql(s"GRAFT SNAPSHOT APPEND '$dir' PARTITION lang CHECKSUM text " +
+        "AS SELECT doc_id + 1000000 AS doc_id, text, lang, source, " +
+        "-n_chars AS n_chars FROM cons_docs LIMIT 5").collect())
+    assert(e.getMessage.contains("chars_pos"))
+    assert(Snapshot.currentVersion(ext, dir) === 2)
+    ext.sql(s"GRAFT SNAPSHOT CONSTRAINT DROP '$dir' NAME chars_pos")
+    assert(ext.sql(s"GRAFT SNAPSHOT CONSTRAINTS '$dir'").count() === 0)
+  }
 }
