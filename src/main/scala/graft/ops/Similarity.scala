@@ -2483,6 +2483,40 @@ object Similarity {
         .orderBy("lang")
     }),
 
+    // COLUMN RENAME + DROP (Snapshot.renameColumn/dropColumn / GRAFT
+    // SNAPSHOT RENAME COLUMN / DROP COLUMN — Delta's column-mapping
+    // schema evolution, completing addColumn): METADATA-ONLY commits
+    // (manifest verbatim + an evolution sidecar; zero bytes move at any
+    // table size); readers apply each step to files whose writer
+    // version predates it — pre-rename files map to the new name at
+    // scan, dropped columns project away — while post-step files carry
+    // the new shape physically; writers refuse retired names, streams
+    // refuse the step mid-run and replay history under the new schema
+    // after restart, time travel serves each version's own schema
+    // (SnapshotSpec pins all of it). Graded: publish → SQL RENAME
+    // (source→origin) → SQL DROP (n_chars) → SQL APPEND under the NEW
+    // shape → per-lang aggregate over the mixed generations.
+    "x_io_rename_drop" -> ((s, d) => {
+      val dir = T.scratchDir("graft_renamedrop")
+      val ext = org.apache.spark.sql.GraftBridge.sessionWithExtensions(
+        s, new graft.plans.GraftExtensions)
+      t(ext, d, "documents").createOrReplaceTempView("rd_docs")
+      ext.sql(s"GRAFT SNAPSHOT PUBLISH '$dir' PARTITION lang CHECKSUM text " +
+        "AS SELECT * FROM rd_docs")
+      ext.sql(s"GRAFT SNAPSHOT RENAME COLUMN '$dir' FROM source TO origin")
+      ext.sql(s"GRAFT SNAPSHOT DROP COLUMN '$dir' NAME n_chars")
+      ext.sql(s"GRAFT SNAPSHOT APPEND '$dir' PARTITION lang CHECKSUM text " +
+        "AS SELECT doc_id + 9000000 AS doc_id, text, lang, " +
+        "source AS origin FROM rd_docs WHERE lang = 'de' AND doc_id % 25 = 0")
+      ext.sql(s"GRAFT SNAPSHOT READ '$dir'")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("origin")).as("n_origins"),
+          sum(conv(substring(md5(col("text")), 1, 8), 16, 10).cast("bigint"))
+            .as("checksum"))
+        .orderBy("lang")
+    }),
+
     // RESTORE (Snapshot.restore / GRAFT SNAPSHOT RESTORE … VERSION n —
     // Delta's `RESTORE TABLE … TO VERSION AS OF`): rollback as a NEW
     // COMMIT whose manifest is the target's VERBATIM — zero data bytes
@@ -4172,6 +4206,18 @@ object Similarity {
         "CAST(sum(n_chars) AS BIGINT) AS n_chars, " +
         "CAST(sum(CAST(('0x' || substring(md5(text), 1, 8)) AS BIGINT)) AS BIGINT) AS checksum, " +
         "CAST(1 AS BIGINT) AS n_constraints " +
+        "FROM finald GROUP BY lang ORDER BY lang"),
+    // Rename+drop replay relationally: source AS origin, n_chars gone,
+    // plus the appended new-shape de slice.
+    "x_io_rename_drop" ->
+      ("WITH finald AS (" +
+        "SELECT lang, text, source AS origin FROM documents " +
+        "UNION ALL " +
+        "SELECT lang, text, source AS origin FROM documents " +
+        "WHERE lang = 'de' AND doc_id % 25 = 0) " +
+        "SELECT lang, count(*) AS n_docs, " +
+        "CAST(count(DISTINCT origin) AS BIGINT) AS n_origins, " +
+        "CAST(sum(CAST(('0x' || substring(md5(text), 1, 8)) AS BIGINT)) AS BIGINT) AS checksum " +
         "FROM finald GROUP BY lang ORDER BY lang"),
     // Restore undoes the append and the predicate delete: the final
     // content is exactly the ORIGINAL v1 publish (the n_chars filter).

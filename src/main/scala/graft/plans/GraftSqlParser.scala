@@ -160,6 +160,14 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   private val ConstraintList =
     s"""(?is)\\s*GRAFT\\s+SNAPSHOT\\s+CONSTRAINTS\\s+$P\\s*;?\\s*""".r
 
+  // metadata-only column evolution (Delta's ALTER TABLE RENAME/DROP
+  // COLUMN): zero data bytes move; readers map old files at scan time.
+  private val RenameColumnV =
+    s"""(?is)\\s*GRAFT\\s+SNAPSHOT\\s+RENAME\\s+COLUMN\\s+$P\\s+FROM\\s+$Ident\\s+TO\\s+$Ident\\s*;?\\s*""".r
+
+  private val DropColumnV =
+    s"""(?is)\\s*GRAFT\\s+SNAPSHOT\\s+DROP\\s+COLUMN\\s+$P\\s+NAME\\s+$Ident\\s*;?\\s*""".r
+
   // CONDITIONAL MERGE — the warehouse staple (Delta/Iceberg MERGE INTO):
   // WHEN clauses precede the AS-query because the tail after AS belongs
   // to the DELEGATE (full Spark SQL — it may contain anything, including
@@ -211,6 +219,8 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     "GRAFT SNAPSHOT CONSTRAINT ADD '<root>' NAME <name> CHECK <cond>",
     "GRAFT SNAPSHOT CONSTRAINT DROP '<root>' NAME <name>",
     "GRAFT SNAPSHOT CONSTRAINTS '<root>'",
+    "GRAFT SNAPSHOT RENAME COLUMN '<root>' FROM <old> TO <new>",
+    "GRAFT SNAPSHOT DROP COLUMN '<root>' NAME <col>",
     "GRAFT SNAPSHOT COMPACT '<root>' PARTITION <col> CHECKSUM <col> [MAXFILES n]",
     "GRAFT SNAPSHOT APPLY DELETES '<root>' PARTITION <col> CHECKSUM <col>",
     "GRAFT SNAPSHOT VACUUM '<root>' [KEEP n]")
@@ -466,6 +476,12 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     case ConstraintList(path) =>
       GraftBridge.planOf(
         graft.sources.Snapshot.listConstraints(session, unq(path)))
+    case RenameColumnV(path, from, to) =>
+      GraftSnapshotCommand("rename_column", unq(path))(sess =>
+        graft.sources.Snapshot.renameColumn(sess, unq(path), from, to))
+    case DropColumnV(path, name) =>
+      GraftSnapshotCommand("drop_column", unq(path))(sess =>
+        graft.sources.Snapshot.dropColumn(sess, unq(path), name))
     case Compact(path, partCol, ckCol, maxFiles) =>
       val root = unq(path)
       GraftSnapshotCommand("compact", root)(sess =>

@@ -34,9 +34,9 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * over the manifest's explicit file list ([[SnapshotTables]] — shared
   * with [[SnapshotSource]], so pushdown/codegen/refusal semantics are
   * identical through every door). `VERSION AS OF n` routes to the
-  * time-travel overload; `TIMESTAMP AS OF` stays unsupported (versions
-  * are the format's time axis — the pointer records no wall clock,
-  * deliberately: wall-clock lineage is the commit TAG's job).
+  * time-travel overload; `TIMESTAMP AS OF` resolves through the
+  * RECORDED commit wall clocks (refusing, never guessing, when clocks
+  * are missing — versions remain the format's canonical time axis).
   *
   * READ-ONLY by design: every mutation verb (CREATE/ALTER/DROP/RENAME
   * through the catalog) refuses loudly and names the staged-commit API —
@@ -97,18 +97,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     load(ident, Some(v))
   }
 
-  /** `TIMESTAMP AS OF` — deliberately unsupported with a graft-specific
-    * diagnosis: versions are the format's time axis (the pointer records
-    * no wall clock; wall-clock lineage is the commit TAG's job), so the
-    * honest answer is "travel by version", not a lossy timestamp→version
-    * guess.
+  /** `TIMESTAMP AS OF` — resolved through the RECORDED commit wall
+    * clocks ([[graft.sources.Snapshot.versionAsOf]]: newest retained
+    * commit at or before the instant; refuses rather than guesses when
+    * any retained commit lacks a clock or the instant predates retained
+    * history). Spark hands the instant as MICROseconds since epoch.
+    * Versions stay the canonical axis — this is the governance
+    * convenience over `history()`'s committed_at metadata.
     */
   override def loadTable(ident: Identifier, timestamp: Long): Table =
-    throw new UnsupportedOperationException(
-      s"graft catalog '$catalogName': TIMESTAMP AS OF is not supported — " +
-        "snapshot versions are the format's time axis; use VERSION AS OF n " +
-        "(GRAFT SNAPSHOT HISTORY lists them, and commit tags carry " +
-        "caller-owned lineage)")
+    load(ident, Some(graft.sources.Snapshot.versionAsOf(
+      spark, dirOf(ident), timestamp / 1000L)))
 
   /** One directory listing — a table is any child dir with a committed
     * pointer (crashed/staging dirs are invisible, exactly like reads).

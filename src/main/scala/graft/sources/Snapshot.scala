@@ -726,6 +726,14 @@ object Snapshot {
     require(cur >= 1, s"snapshot table $dir has no committed version to append to")
     requireNoDv(spark, dir, cur, "append") // a re-inserted key would stay masked
     requireAddedCols(spark, dir, cur, delta, "appended delta")
+    // appends must carry EXACTLY the logical schema: a missing column
+    // would write files that silently diverge from the table (the read
+    // would resolve whichever footer it samples), an extra one would
+    // poison the union — both refuse here, not at some later read
+    val logicalCols = read(spark, dir).columns
+    require(delta.columns.toSet == logicalCols.toSet,
+      s"appended delta columns (${delta.columns.sorted.mkString(", ")}) " +
+        s"must equal the table schema (${logicalCols.sorted.mkString(", ")})")
     if (delta.isEmpty) return cur // nothing to stage; caller may re-tag cur
     val n = claimVersion(spark, dir)
     delta.withColumn("_p", col(partCol))
@@ -1442,6 +1450,10 @@ object Snapshot {
         .toDF("name", "cond_sql", "since")
         .coalesce(1).write.mode("overwrite").json(s"$dir/_constraints.v$n")
     }
+    // rename/drop evolution rolls back the same way
+    val wantEvo = evolutionAt(spark, dir, toV)
+    if (wantEvo != evolutionAt(spark, dir, cur))
+      writeEvolution(spark, dir, n, wantEvo)
     n
   }
 
@@ -1690,28 +1702,186 @@ object Snapshot {
       .map(_.group(1).toInt)
       .getOrElse(sys.error(s"data file path without version segment: $path"))
 
+  // ------------------------------------------------------------------
+  // COLUMN RENAME / DROP — the other half of metadata-only schema
+  // evolution (Delta's column-mapping rename/drop): an
+  // `_evolution.v{N}` sidecar records (op ∈ rename|drop, col,
+  // new_name, since); readers apply each step to files whose WRITER
+  // VERSION predates it (a pre-rename file reads its physical name and
+  // is renamed at scan; a post-rename file already carries the new
+  // name; dropped columns are projected away from the files that still
+  // carry them) — zero bytes rewritten at any table size. Steps merge
+  // with the [[addColumn]] fills into ONE since-ordered pipeline, so
+  // add→rename→drop chains resolve per writer generation. Writers
+  // after a step must use the CURRENT names (stage guards refuse old
+  // or dropped names); version-log streams refuse a rename/drop step
+  // mid-run and replay history under the new schema after a restart
+  // (the schema-tracking contract); the raw-parquet SQL front door
+  // refuses file lists that would need read-side mapping, exactly like
+  // the add-fill refusal. Re-adding a dropped PUBLISHED column works
+  // (the drop step projects the old bytes away, the new add fills its
+  // default); re-adding a dropped SIDECAR-ADDED column is refused by
+  // addColumn's one-add-per-name rule — loud, not lossy.
+  // ------------------------------------------------------------------
+
+  /** One evolution step: resolver state like [[AddedCol]]. */
+  private sealed trait EvoStep { def since: Int }
+  private case class RenameCol(from: String, to: String,
+      since: Int) extends EvoStep
+  private case class DropCol(name: String, since: Int) extends EvoStep
+
+  private def evolutionAt(spark: SparkSession, dir: String,
+      n: Int): Seq[EvoStep] = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Nil
+    val vs = fs.listStatus(root).map(_.getPath.getName).collect {
+      case m if m.matches("_evolution\\.v\\d+") =>
+        m.stripPrefix("_evolution.v").toInt
+    }.filter(_ <= n)
+    if (vs.isEmpty) Nil
+    else spark.read
+      .schema("op STRING, col STRING, new_name STRING, since INT")
+      .json(s"$dir/_evolution.v${vs.max}")
+      .collect()
+      .map { r =>
+        r.getString(0) match {
+          case "rename" => RenameCol(r.getString(1), r.getString(2), r.getInt(3))
+          case "drop" => DropCol(r.getString(1), r.getInt(3))
+          case other => sys.error(s"unknown evolution op '$other' in $dir")
+        }
+      }.toSeq.sortBy(_.since)
+  }
+
+  /** Write the evolution sidecar under version `n`. */
+  private def writeEvolution(spark: SparkSession, dir: String, n: Int,
+      steps: Seq[EvoStep]): Unit = {
+    import spark.implicits._
+    steps.map {
+      case RenameCol(f, t, s) => ("rename", f, t, s)
+      case DropCol(c, s) => ("drop", c, null: String, s)
+    }.toDF("op", "col", "new_name", "since")
+      .coalesce(1).write.mode("overwrite").json(s"$dir/_evolution.v$n")
+  }
+
+  /** Column names an expression references (for the constraint/rename
+    * interaction guard) — unresolved attribute names, lowercased.
+    */
+  private def exprRefs(spark: SparkSession, condSql: String): Set[String] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    spark.sessionState.sqlParser.parseExpression(condSql).collect {
+      case a: UnresolvedAttribute => a.nameParts.last.toLowerCase
+    }.toSet
+  }
+
+  /** Active CHECK constraints referencing `colName` refuse a rename or
+    * drop — the rule text would silently stop matching the data.
+    */
+  private def requireNoConstraintRefs(spark: SparkSession, dir: String,
+      cur: Int, colName: String, what: String): Unit = {
+    val refs = constraintsAt(spark, dir, cur)
+      .filter(c => exprRefs(spark, c.condSql).contains(colName.toLowerCase))
+    require(refs.isEmpty,
+      s"$what '$colName' on $dir is referenced by CHECK constraint(s) " +
+        s"${refs.map(_.name).mkString(", ")} — drop the constraint(s) " +
+        "first, then evolve the column")
+  }
+
+  /** Metadata-only COLUMN RENAME: commits a new version whose manifest
+    * is the current one verbatim plus an evolution step — zero data I/O;
+    * files written before the rename read back under the new name, files
+    * written after carry it physically (stage guards refuse the old
+    * name). Refuses under pending MoR deletes (the DV sidecar is
+    * self-described by column name) and when an active CHECK constraint
+    * references the column.
+    */
+  def renameColumn(spark: SparkSession, dir: String, from: String,
+      to: String): Int = {
+    val cur = currentVersion(spark, dir)
+    require(cur >= 1, s"snapshot table $dir has no committed version")
+    requireNoDv(spark, dir, cur, "column rename")
+    require(to.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"new column name '$to' is not an identifier")
+    val cols = read(spark, dir).columns
+    require(cols.exists(_.equalsIgnoreCase(from)),
+      s"no column '$from' on $dir (columns: ${cols.mkString(", ")})")
+    require(!cols.exists(_.equalsIgnoreCase(to)),
+      s"column '$to' already exists on $dir")
+    requireNoConstraintRefs(spark, dir, cur, from, "renaming column")
+    val n = claimVersion(spark, dir)
+    readManifest(spark, dir, cur)
+      .coalesce(1).write.mode("overwrite").json(s"$dir/_manifest.v$n")
+    writeEvolution(spark, dir, n,
+      evolutionAt(spark, dir, cur) :+ RenameCol(from, to, n))
+    commit(spark, dir, n, currentTag(spark, dir))
+    n
+  }
+
+  /** Metadata-only COLUMN DROP: commits a new version whose manifest is
+    * the current one verbatim plus an evolution step — zero data I/O;
+    * readers project the column away from the files that still carry it
+    * physically (the bytes become dead weight that the next compaction
+    * or rewrite of each file sheds). Refusals mirror [[renameColumn]];
+    * re-adding the same name later is refused by [[addColumn]]'s
+    * one-add-per-name rule.
+    */
+  def dropColumn(spark: SparkSession, dir: String, name: String): Int = {
+    val cur = currentVersion(spark, dir)
+    require(cur >= 1, s"snapshot table $dir has no committed version")
+    requireNoDv(spark, dir, cur, "column drop")
+    val cols = read(spark, dir).columns
+    require(cols.exists(_.equalsIgnoreCase(name)),
+      s"no column '$name' on $dir (columns: ${cols.mkString(", ")})")
+    require(cols.length > 1,
+      s"cannot drop the last column of $dir")
+    requireNoConstraintRefs(spark, dir, cur, name, "dropping column")
+    val n = claimVersion(spark, dir)
+    readManifest(spark, dir, cur)
+      .coalesce(1).write.mode("overwrite").json(s"$dir/_manifest.v$n")
+    writeEvolution(spark, dir, n,
+      evolutionAt(spark, dir, cur) :+ DropCol(name, n))
+    commit(spark, dir, n, currentTag(spark, dir))
+    n
+  }
+
   /** Read an explicit file list under version `n`'s schema: files are
     * grouped by writer version, each group reads its own physical
-    * schema, and added columns the group predates are filled with their
-    * recorded defaults — then the groups union to one canonical-order
-    * frame. Group count = distinct writer versions in the list (small:
-    * carried files compact away over time).
+    * schema, and the SINCE-ORDERED schema pipeline is applied to the
+    * steps each group predates — added columns fill their recorded
+    * defaults, renamed columns map to their new names, dropped columns
+    * project away — then the groups union to one canonical-order frame.
+    * Group count = distinct writer versions in the list (small: carried
+    * files compact away over time).
     */
   private def readFiles(spark: SparkSession, dir: String, n: Int,
       relPaths: Array[String]): DataFrame = {
     val added = addedColumnsAt(spark, dir, n)
-    if (added.isEmpty)
+    val evo = evolutionAt(spark, dir, n)
+    if (added.isEmpty && evo.isEmpty)
       return spark.read.parquet(relPaths.map(p => s"$dir/$p").toIndexedSeq: _*)
+    // one merged timeline: each step applies only to files written
+    // BEFORE it (later files already reflect it physically)
+    val steps: Seq[(Int, (DataFrame, Int) => DataFrame)] =
+      (added.map { c =>
+        (c.since, (acc: DataFrame, wv: Int) =>
+          if (wv >= c.since) acc
+          else {
+            require(!acc.columns.contains(c.name),
+              s"file written at v$wv already carries '${c.name}' added at v${c.since}")
+            acc.withColumn(c.name, expr(c.defaultSql).cast(c.sqlType))
+          })
+      } ++ evo.map {
+        case RenameCol(f, t, s) =>
+          (s, (acc: DataFrame, wv: Int) =>
+            if (wv < s) acc.withColumnRenamed(f, t) else acc)
+        case DropCol(nm, s) =>
+          (s, (acc: DataFrame, wv: Int) =>
+            if (wv < s && acc.columns.contains(nm)) acc.drop(nm) else acc)
+      }).sortBy(_._1)
     val groups = relPaths.groupBy(writerVersion)
     val frames = groups.toSeq.sortBy(_._1).map { case (wv, paths) =>
       val df = spark.read.parquet(paths.map(p => s"$dir/$p").toIndexedSeq: _*)
-      added.foldLeft(df) { (acc, c) =>
-        if (wv < c.since) {
-          require(!acc.columns.contains(c.name),
-            s"file written at v$wv already carries '${c.name}' added at v${c.since}")
-          acc.withColumn(c.name, expr(c.defaultSql).cast(c.sqlType))
-        } else acc
-      }
+      steps.foldLeft(df) { (acc, st) => st._2(acc, wv) }
     }
     val canonical = frames.head.columns
     frames.map(_.select(canonical.map(col).toIndexedSeq: _*))
@@ -1761,15 +1931,44 @@ object Snapshot {
   }
 
   /** Stage-side guard: after an ADD COLUMN, every write must carry the
-    * added columns physically (see [[addColumn]]).
+    * added columns physically — under their CURRENT names (an added
+    * column renamed later is required under the new name; one dropped
+    * later is not required at all). And no write may use a RETIRED name
+    * (the old side of a rename, or a dropped column): the file would
+    * silently diverge from the logical schema.
     */
   private def requireAddedCols(spark: SparkSession, dir: String, base: Int,
       df: DataFrame, what: String): Unit = {
+    val evo = evolutionAt(spark, dir, base)
+    // follow one added column's name through later renames/drops
+    def survivingName(name: String, since: Int): Option[String] =
+      evo.filter(_.since > since).foldLeft(Option(name)) {
+        case (Some(cur), RenameCol(f, t, _)) if f.equalsIgnoreCase(cur) =>
+          Some(t)
+        case (Some(cur), DropCol(nm, _)) if nm.equalsIgnoreCase(cur) => None
+        case (acc, _) => acc
+      }
     val missing = addedColumnsAt(spark, dir, base)
-      .map(_.name).filterNot(df.columns.contains)
+      .flatMap(c => survivingName(c.name, c.since))
+      .filterNot(df.columns.contains)
     require(missing.isEmpty,
       s"$what must supply added column(s) ${missing.mkString(", ")} — " +
         s"they are part of $dir's schema (addColumn)")
+    // retired names: replay the merged timeline (a later rename or
+    // re-add can make a name active again)
+    val timeline: Seq[(Int, Set[String] => Set[String])] =
+      (evo.map {
+        case RenameCol(f, t, s) =>
+          (s, (r: Set[String]) => r + f.toLowerCase - t.toLowerCase)
+        case DropCol(nm, s) => (s, (r: Set[String]) => r + nm.toLowerCase)
+      } ++ addedColumnsAt(spark, dir, base).map(c =>
+        (c.since, (r: Set[String]) => r - c.name.toLowerCase))).sortBy(_._1)
+    val retired = timeline.foldLeft(Set.empty[String])((r, st) => st._2(r))
+    val bad = df.columns.filter(c => retired.contains(c.toLowerCase))
+    require(bad.isEmpty,
+      s"$what uses retired column name(s) ${bad.mkString(", ")} — " +
+        s"renamed or dropped on $dir (renameColumn/dropColumn); write " +
+        "under the current schema")
   }
 
   // ------------------------------------------------------------------
@@ -1972,9 +2171,10 @@ object Snapshot {
     requireNoDv(spark, dir, vb, "version diff (materialize with applyMorDeletes first)")
     // a column added BETWEEN the versions makes "row equality" ambiguous
     // (under which schema?) — refuse rather than guess
-    require(addedColumnsAt(spark, dir, va) == addedColumnsAt(spark, dir, vb),
-      s"snapshot $dir: schema changed between v$va and v$vb (addColumn) — " +
-        "diff within one schema generation")
+    require(addedColumnsAt(spark, dir, va) == addedColumnsAt(spark, dir, vb) &&
+        evolutionAt(spark, dir, va) == evolutionAt(spark, dir, vb),
+      s"snapshot $dir: schema changed between v$va and v$vb (addColumn/" +
+        "renameColumn/dropColumn) — diff within one schema generation")
     val ma = readManifest(spark, dir, va).select("path")
     val mb = readManifest(spark, dir, vb).select("path")
     val schemaV = math.max(va, vb)
@@ -2043,9 +2243,10 @@ object Snapshot {
     Seq(fromV, toV).foreach(v =>
       require(ctx.util.exists(new Path(dir, s"_manifest.v$v")),
         s"snapshot $dir has no manifest for v$v (never committed, or vacuumed)"))
-    require(addedColumnsAt(spark, dir, fromV) == addedColumnsAt(spark, dir, toV),
-      s"snapshot $dir: schema changed between v$fromV and v$toV (addColumn) — " +
-        "read changes within one schema generation")
+    require(addedColumnsAt(spark, dir, fromV) == addedColumnsAt(spark, dir, toV) &&
+        evolutionAt(spark, dir, fromV) == evolutionAt(spark, dir, toV),
+      s"snapshot $dir: schema changed between v$fromV and v$toV (addColumn/" +
+        "renameColumn/dropColumn) — read changes within one schema generation")
     val ma = readManifest(spark, dir, fromV)
     val mb = readManifest(spark, dir, toV)
     val fa = dataRows(ma).select("path").collect().map(_.getString(0)).toSet
@@ -2180,6 +2381,12 @@ object Snapshot {
       s"snapshot table $dir v$n: column(s) ${needFill.map(_.name).mkString(", ")} " +
         "need read-side default fill for pre-add files, which the SQL " +
         "front door cannot express — republish, or read through Snapshot.read")
+    val needEvo = evolutionAt(spark, dir, n)
+      .filter(s => files.exists(writerVersion(_) < s.since))
+    require(needEvo.isEmpty,
+      s"snapshot table $dir v$n: file(s) predate a renameColumn/dropColumn " +
+        "step and need read-side schema mapping, which the raw-parquet SQL " +
+        "front door cannot express — republish, or read through Snapshot.read")
     files.map(p => s"$dir/$p").toIndexedSeq
   }
 
@@ -2252,10 +2459,12 @@ object Snapshot {
         s"snapshot table $dir: delete vectors changed between $fromV and " +
           s"$toV — an append stream has no retraction verb; materialize " +
           "with applyMorDeletes and restart the stream")
-    if (addedColumnsAt(spark, dir, fromV) != addedColumnsAt(spark, dir, toV))
+    if (addedColumnsAt(spark, dir, fromV) != addedColumnsAt(spark, dir, toV) ||
+        evolutionAt(spark, dir, fromV) != evolutionAt(spark, dir, toV))
       throw new IllegalStateException(
-        s"snapshot table $dir: schema changed (addColumn) between $fromV " +
-          s"and $toV — restart the stream to pick up the new schema")
+        s"snapshot table $dir: schema changed (addColumn/renameColumn/" +
+          s"dropColumn) between $fromV and $toV — restart the stream to " +
+          "pick up the new schema")
     (fb -- fa).toSeq.sorted.map(p => s"$dir/$p")
   }
 
@@ -2320,9 +2529,18 @@ object Snapshot {
     * rewound table) the stream refuses to guess about.
     */
   private[graft] def schemaGeneration(spark: SparkSession, dir: String,
-      n: Int): Seq[String] =
-    addedColumnsAt(spark, dir, n).map(c =>
-      s"${c.name}\t${c.sqlType}\t${c.defaultSql}\t${c.since}")
+      n: Int): Seq[String] = {
+    // ONE merged, since-ordered timeline: adds keep their original line
+    // format (existing checkpoints parse as a prefix), rename/drop
+    // steps carry an op-tagged format — any new step APPENDS a line, so
+    // the stream's prefix rule keeps holding across every evolution verb
+    (addedColumnsAt(spark, dir, n).map(c =>
+      (c.since, s"${c.name}\t${c.sqlType}\t${c.defaultSql}\t${c.since}")) ++
+      evolutionAt(spark, dir, n).map {
+        case RenameCol(f, t, s) => (s, s"@rename\t$f\t$t\t$s")
+        case DropCol(nm, s) => (s, s"@drop\t$nm\t$s")
+      }).sortBy(_._1).map(_._2)
+  }
 
   /** Read the committed snapshot: resolve the pointer ONCE, then scan the
     * manifest's explicit file list — immutable, so the read is consistent
@@ -2393,6 +2611,50 @@ object Snapshot {
     readPointerFile(spark, dir, s"_committed.v$v").flatMap { txt =>
       """"ts"\s*:\s*(\d+)""".r.findFirstMatchIn(txt).map(_.group(1).toLong)
     }
+
+  /** Resolve a wall-clock instant to a version — Delta's `TIMESTAMP AS
+    * OF` contract: the NEWEST retained commit at or before `tsMillis`.
+    * Version numbers remain the format's canonical time axis; this is a
+    * governance convenience over the RECORDED commit wall clocks, and it
+    * is principled exactly because it refuses instead of guessing:
+    * refuses when the instant predates the earliest retained commit
+    * (older history fell to vacuum — or never existed), and when ANY
+    * retained committed version lacks a recorded clock (a table whose
+    * early commits predate wall-clock markers cannot be resolved by
+    * time without silently misattributing a range). Instants after the
+    * newest commit resolve to the current version.
+    */
+  def versionAsOf(spark: SparkSession, dir: String, tsMillis: Long): Int = {
+    val cur = currentVersion(spark, dir)
+    require(cur >= 1, s"snapshot table $dir has no committed version")
+    val ctx = fc(spark)
+    val retained = ctx.util.listStatus(new Path(dir))
+      .map(_.getPath.getName)
+      .collect { case n if n.matches("_manifest\\.v\\d+") =>
+        n.stripPrefix("_manifest.v").toInt }
+      .filter(v => v <= cur &&
+        ctx.util.exists(new Path(dir, s"_committed.v$v")))
+      .sorted
+    require(retained.nonEmpty,
+      s"snapshot table $dir has no retained committed version")
+    val stamped = retained.map(v => v -> committedAtMs(spark, dir, v))
+    val missing = stamped.collect { case (v, None) => v }
+    require(missing.isEmpty,
+      s"snapshot $dir: committed version(s) ${missing.mkString(", ")} " +
+        "record no wall clock — TIMESTAMP AS OF cannot resolve a range " +
+        "that spans them; travel by VERSION AS OF instead " +
+        "(GRAFT SNAPSHOT HISTORY lists versions and commit times)")
+    val atOrBefore = stamped.collect { case (v, Some(ms)) if ms <= tsMillis => v }
+    require(atOrBefore.nonEmpty,
+      s"snapshot $dir: no retained commit at or before $tsMillis — the " +
+        s"earliest retained commit is v${retained.min} at " +
+        s"${stamped.head._2.get}; older history was vacuumed or never existed")
+    atOrBefore.max
+  }
+
+  /** TIMESTAMP AS OF read: [[versionAsOf]] + [[readVersion]]. */
+  def readAsOf(spark: SparkSession, dir: String, tsMillis: Long): DataFrame =
+    readVersion(spark, dir, versionAsOf(spark, dir, tsMillis))
 
   /** Small-file COMPACTION as a new version (the natural pairing with
     * per-epoch streaming ingest, which accumulates one file per epoch
@@ -2597,6 +2859,10 @@ object Snapshot {
       } else if (st.isDirectory && name.matches("_constraints\\.v\\d+") &&
           name.stripPrefix("_constraints.v").toInt > n) {
         // same rule for crashed addConstraint/dropConstraint sidecars
+        fs.delete(st.getPath, true)
+      } else if (st.isDirectory && name.matches("_evolution\\.v\\d+") &&
+          name.stripPrefix("_evolution.v").toInt > n) {
+        // and for crashed renameColumn/dropColumn sidecars
         fs.delete(st.getPath, true)
       }
     }

@@ -322,15 +322,34 @@ private[graft] class SnapshotVersionSource(spark: SparkSession, dir: String,
         // projecting it away would silently drop data) — refuse loudly;
         // the restart re-pins through the tracked generation and these
         // same offsets replay with the fill.
-        val genNow = Snapshot.schemaGeneration(spark, dir, to)
-          .map(_.split("\t")(0))
-        val unseen = genNow.filterNot(pinned.fieldNames.contains)
-        if (unseen.nonEmpty) throw new IllegalStateException(
-          s"snapshot table $dir: column(s) ${unseen.mkString(", ")} were " +
-            "added after this stream pinned its schema — a running query " +
-            "cannot change its output schema; restart the stream " +
-            "(evolveSchema re-pins through the tracked generation and " +
-            "replays these offsets with the fill default)")
+        // steps that landed AFTER this run pinned its schema change the
+        // output schema mid-run — no fill or mapping can express that on
+        // a fixed output. Generation lines are append-only, so anything
+        // past the pin's prefix is a new step: refuse it naming the
+        // restart remedy (replay batches, to <= pin, never trip this).
+        if (to > pinVersion) {
+          val genPin = Snapshot.schemaGeneration(spark, dir, pinVersion)
+          val fresh = Snapshot.schemaGeneration(spark, dir, to)
+            .drop(genPin.length)
+          if (fresh.nonEmpty) {
+            val what = fresh.map { l =>
+              val p = l.split("\t")
+              p(0) match {
+                case "@rename" =>
+                  s"column '${p(1)}' renamed to '${p(2)}' at v${p(3)}"
+                case "@drop" => s"column '${p(1)}' dropped at v${p(2)}"
+                case nm => s"column '$nm' added at v${p(3)}"
+              }
+            }
+            throw new IllegalStateException(
+              s"snapshot table $dir: schema evolved after this stream " +
+                s"pinned its schema (${what.mkString("; ")}) — a running " +
+                "query cannot change its output schema; restart the " +
+                "stream (evolveSchema re-pins through the tracked " +
+                "generation and replays these offsets under the current " +
+                "schema)")
+          }
+        }
         Snapshot.appendedRowsFilled(spark, dir, from, to,
             math.max(to, pinVersion)) match {
           case None => spark.createDataFrame(

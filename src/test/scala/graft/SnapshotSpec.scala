@@ -1603,8 +1603,182 @@ class SnapshotSpec extends SparkSpec {
     }
     assert(h(2).isNullAt(h(2).fieldIndex("committed_at")),
       "a staged-only version must not claim a commit time")
-    // TIMESTAMP AS OF still refuses: versions stay the time axis, the
-    // wall clock is governance metadata the user maps to a version
+    // since round 14 the recorded clocks also power TIMESTAMP AS OF
+    // (versionAsOf) — resolution rules pinned in their own test below
+  }
+
+  test("versionAsOf: newest commit at-or-before; refuses pre-history and missing clocks") {
+    val dir = freshDir()
+    Snapshot.publish(spark, dir, docs, "lang", "text")          // v1
+    Thread.sleep(5) // distinct wall clocks at millisecond grain
+    Snapshot.upsert(spark, dir, updates, "doc_id", "lang", "text") // v2
+    def at(v: Int): Long = {
+      val h = Snapshot.history(spark, dir)
+        .filter(col("version") === v).head()
+      h.getAs[java.time.LocalDateTime]("committed_at")
+        .atZone(java.time.ZoneOffset.UTC).toInstant.toEpochMilli
+    }
+    val (t1, t2) = (at(1), at(2))
+    assert(t1 < t2)
+    assert(Snapshot.versionAsOf(spark, dir, t1) === 1)       // inclusive
+    assert(Snapshot.versionAsOf(spark, dir, t2 - 1) === 1)   // between
+    assert(Snapshot.versionAsOf(spark, dir, t2) === 2)
+    assert(Snapshot.versionAsOf(spark, dir, t2 + 60000) === 2) // after
+    assert(fingerprint(Snapshot.readAsOf(spark, dir, t1)) === fingerprint(docs))
+    val e1 = intercept[IllegalArgumentException](
+      Snapshot.versionAsOf(spark, dir, t1 - 1))
+    assert(e1.getMessage.contains("no retained commit at or before"))
+    // a retained commit WITHOUT a recorded clock poisons resolution:
+    // strip v1's marker body to simulate a legacy commit
+    val marker = new java.io.File(dir, "_committed.v1")
+    java.nio.file.Files.write(marker.toPath, "{}".getBytes)
+    val e2 = intercept[IllegalArgumentException](
+      Snapshot.versionAsOf(spark, dir, t2))
+    assert(e2.getMessage.contains("record no wall clock"))
+  }
+
+  test("renameColumn: metadata-only, old files map at scan, old names refuse on write, time travel keeps them") {
+    val dir = freshDir()
+    Snapshot.publish(spark, dir, docs, "lang", "text")            // v1
+    val v2 = Snapshot.renameColumn(spark, dir, "source", "origin") // v2
+    assert(v2 === 2)
+    assert(manifestPaths(dir, 2) === manifestPaths(dir, 1), "zero data moved")
+    val cols = Snapshot.read(spark, dir).columns
+    assert(cols.contains("origin") && !cols.contains("source"))
+    // values are untouched — only the name mapped
+    assert(Snapshot.read(spark, dir).select(col("origin")).distinct().count()
+      === docs.select("source").distinct().count())
+    // time travel to v1 serves the ORIGINAL name
+    assert(Snapshot.readVersion(spark, dir, 1).columns.contains("source"))
+    // writes under the OLD name refuse loudly; the NEW name lands
+    val deltaOld = docs.limit(2).withColumn("doc_id", col("doc_id") + 7700000L)
+    val e = intercept[IllegalArgumentException](
+      Snapshot.append(spark, dir, deltaOld, "lang", "text"))
+    assert(e.getMessage.contains("retired column name") &&
+      e.getMessage.contains("source"))
+    Snapshot.append(spark, dir,
+      deltaOld.withColumnRenamed("source", "origin"), "lang", "text") // v3
+    assert(Snapshot.read(spark, dir).count() === docs.count() + 2)
+    // upsert (CoW across mixed generations) under the new schema works
+    Snapshot.upsert(spark, dir,
+      updates.withColumnRenamed("source", "origin"),
+      "doc_id", "lang", "text")                                    // v4
+    assert(Snapshot.read(spark, dir)
+      .filter(col("text").endsWith(" v2")).count() === updates.count())
+  }
+
+  test("dropColumn: projected away at scan, re-adding a published column fills its default") {
+    val dir = freshDir()
+    Snapshot.publish(spark, dir, docs, "lang", "text")        // v1
+    Snapshot.dropColumn(spark, dir, "n_chars")                // v2
+    assert(manifestPaths(dir, 2) === manifestPaths(dir, 1))
+    assert(!Snapshot.read(spark, dir).columns.contains("n_chars"))
+    // appends must NOT carry the dropped column…
+    val bad = docs.limit(1).withColumn("doc_id", col("doc_id") + 7800000L)
+    val e = intercept[IllegalArgumentException](
+      Snapshot.append(spark, dir, bad, "lang", "text"))
+    assert(e.getMessage.contains("retired column name"))
+    // …and land under the shrunk schema
+    Snapshot.append(spark, dir, bad.drop("n_chars"), "lang", "text") // v3
+    assert(Snapshot.read(spark, dir).count() === docs.count() + 1)
+    // re-adding the dropped published name works with a fill default —
+    // old files' dead bytes stay projected, every row reads the default
+    Snapshot.addColumn(spark, dir, "n_chars", "BIGINT", "0")  // v4
+    val vals = Snapshot.read(spark, dir).select("n_chars").distinct().collect()
+    assert(vals.map(_.getLong(0)).toSeq === Seq(0L))
+  }
+
+  test("rename/drop refuse under DVs, active constraint references, and unknown columns") {
+    val dir = freshDir()
+    Snapshot.publish(spark, dir, docs, "lang", "text")
+    Snapshot.addConstraint(spark, dir, "chars_pos", "n_chars > 0")
+    val e1 = intercept[IllegalArgumentException](
+      Snapshot.renameColumn(spark, dir, "n_chars", "len"))
+    assert(e1.getMessage.contains("chars_pos"))
+    val e2 = intercept[IllegalArgumentException](
+      Snapshot.dropColumn(spark, dir, "n_chars"))
+    assert(e2.getMessage.contains("chars_pos"))
+    Snapshot.dropConstraint(spark, dir, "chars_pos")
+    val e3 = intercept[IllegalArgumentException](
+      Snapshot.renameColumn(spark, dir, "nope", "x"))
+    assert(e3.getMessage.contains("no column"))
+    val e4 = intercept[IllegalArgumentException](
+      Snapshot.renameColumn(spark, dir, "text", "lang"))
+    assert(e4.getMessage.contains("already exists"))
+    Snapshot.deleteMorKeys(spark, dir, Seq(1L), "doc_id")
+    val e5 = intercept[IllegalArgumentException](
+      Snapshot.dropColumn(spark, dir, "n_chars"))
+    assert(e5.getMessage.contains("merge-on-read"))
+  }
+
+  test("evolution boundaries: streams, SQL front door, and CDF refuse; restore rolls steps back") {
+    val dir = freshDir()
+    Snapshot.publish(spark, dir, docs, "lang", "text")            // v1
+    Snapshot.append(spark, dir,
+      docs.limit(2).withColumn("doc_id", col("doc_id") + 7900000L),
+      "lang", "text")                                              // v2
+    Snapshot.renameColumn(spark, dir, "source", "origin")          // v3
+    // the non-evolve version-log stream refuses the rename step
+    val eS = intercept[IllegalStateException](
+      Snapshot.appendedFiles(spark, dir, 2, 3))
+    assert(eS.getMessage.contains("renameColumn"))
+    // the raw-parquet SQL front door refuses files needing the mapping
+    val eQ = intercept[IllegalArgumentException](
+      Snapshot.sqlFiles(spark, dir, None))
+    assert(eQ.getMessage.contains("read-side schema mapping"))
+    // CDF refuses across the boundary, works within one generation
+    val eC = intercept[IllegalArgumentException](
+      Snapshot.readChanges(spark, dir, 2, 3))
+    assert(eC.getMessage.contains("renameColumn"))
+    assert(Snapshot.readChanges(spark, dir, 1, 2).count() === 2)
+    // a restart-shaped evolve replay serves the WHOLE history under the
+    // new schema (generation tracking stays prefix-compatible)
+    val genPre = Snapshot.schemaGeneration(spark, dir, 2)
+    val genPost = Snapshot.schemaGeneration(spark, dir, 3)
+    assert(genPost.take(genPre.length) === genPre && genPost.length === 1)
+    val replay = Snapshot.appendedRowsFilled(spark, dir, 0, 2, 3).get
+    assert(replay.columns.contains("origin") && !replay.columns.contains("source"))
+    assert(replay.count() === docs.count() + 2)
+    // restore to v2 sheds the step: the original name is back
+    Snapshot.restore(spark, dir, 2)                                // v4
+    assert(Snapshot.read(spark, dir).columns.contains("source"))
+    assert(Snapshot.sqlFiles(spark, dir, None).nonEmpty)
+  }
+
+  test("SQL RENAME COLUMN / DROP COLUMN verbs evolve the table from pure SQL") {
+    val dir = freshDir()
+    val ext = org.apache.spark.sql.GraftBridge.sessionWithExtensions(
+      spark, new graft.plans.GraftExtensions)
+    Snapshot.publish(ext, dir, docs, "lang", "text")
+    val r1 = ext.sql(
+      s"GRAFT SNAPSHOT RENAME COLUMN '$dir' FROM source TO origin").head()
+    assert(r1.getString(0) === "rename_column" && r1.getInt(2) === 2)
+    val r2 = ext.sql(s"GRAFT SNAPSHOT DROP COLUMN '$dir' NAME origin").head()
+    assert(r2.getString(0) === "drop_column" && r2.getInt(2) === 3)
+    val cols = ext.sql(s"GRAFT SNAPSHOT READ '$dir' VERSION 3").columns
+    assert(!cols.contains("source") && !cols.contains("origin"))
+  }
+
+  test("catalog TIMESTAMP AS OF resolves through recorded commit clocks") {
+    val root = freshDir()
+    val dir = s"$root/trips"
+    Snapshot.publish(spark, dir, docs, "lang", "text")
+    Thread.sleep(5)
+    Snapshot.upsert(spark, dir, updates, "doc_id", "lang", "text")
+    val t1 = Snapshot.history(spark, dir).filter(col("version") === 1).head()
+      .getAs[java.time.LocalDateTime]("committed_at")
+    val ext = org.apache.spark.sql.GraftBridge.sessionWithExtensions(
+      spark, new graft.plans.GraftExtensions)
+    ext.conf.set("spark.sql.catalog.tt_cat", "graft.sources.GraftCatalog")
+    ext.conf.set("spark.sql.catalog.tt_cat.root", root)
+    val lit = t1.format(java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+    val n1 = ext.sql(
+      s"SELECT count(*) FROM tt_cat.trips TIMESTAMP AS OF '$lit'")
+      .head().getLong(0)
+    assert(n1 === docs.count(), "the v1 cut, not the upserted current")
+    val nCur = ext.sql("SELECT count(*) FROM tt_cat.trips").head().getLong(0)
+    assert(nCur === mergedExpected.count())
   }
 
   test("deleteWhere: stats prune the rewrite to range-covering files; content is the filter") {
