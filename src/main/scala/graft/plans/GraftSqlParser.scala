@@ -113,7 +113,7 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     * pinned to one manifest); the data scan itself stays lazy.
     */
   private val ReadV =
-    s"""(?is)\\s*GRAFT\\s+SNAPSHOT\\s+READ\\s+$P(?:\\s+VERSION\\s+(\\d+))?\\s*;?\\s*""".r
+    s"""(?is)\\s*GRAFT\\s+SNAPSHOT\\s+READ\\s+$P(?:\\s+VERSION\\s+(\\d+)|\\s+TIMESTAMP\\s+'([^']+)')?\\s*;?\\s*""".r
 
   private val Changes =
     s"""(?is)\\s*GRAFT\\s+SNAPSHOT\\s+CHANGES\\s+$P\\s+FROM\\s+(\\d+)\\s+TO\\s+(\\d+)\\s*;?\\s*""".r
@@ -182,13 +182,13 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   // shape): layout-only compaction, MoR-delete materialization, and
   // retention vacuum. Each returns a one-row receipt.
   private val Compact =
-    s"""(?is)\\s*GRAFT\\s+SNAPSHOT\\s+COMPACT\\s+$P\\s+PARTITION\\s+$Ident\\s+CHECKSUM\\s+$Ident(?:\\s+MAXFILES\\s+(\\d+))?\\s*;?\\s*""".r
+    s"""(?is)\\s*GRAFT\\s+SNAPSHOT\\s+COMPACT\\s+$P\\s+PARTITION\\s+$Ident\\s+CHECKSUM\\s+$Ident(?:\\s+MAXFILES\\s+(\\d+))?(?:\\s+STATS\\s+$Ident)?\\s*;?\\s*""".r
 
   private val ApplyDel =
     s"""(?is)\\s*GRAFT\\s+SNAPSHOT\\s+APPLY\\s+DELETES\\s+$P\\s+PARTITION\\s+$Ident\\s+CHECKSUM\\s+$Ident\\s*;?\\s*""".r
 
   private val Vacuum =
-    s"""(?is)\\s*GRAFT\\s+SNAPSHOT\\s+VACUUM\\s+$P(?:\\s+KEEP\\s+(\\d+))?\\s*;?\\s*""".r
+    s"""(?is)\\s*GRAFT\\s+SNAPSHOT\\s+VACUUM\\s+$P(?:\\s+KEEP\\s+(\\d+))?(\\s+DRY\\s+RUN)?\\s*;?\\s*""".r
 
   /** Text that CLAIMS the graft statement prefix: ours to parse — a
     * malformed tail is a graft error, never delegate noise. The word
@@ -198,7 +198,7 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
 
   private val Grammar = Seq(
     "GRAFT SNAPSHOT HISTORY '<root>'",
-    "GRAFT SNAPSHOT READ '<root>' [VERSION n]",
+    "GRAFT SNAPSHOT READ '<root>' [VERSION n | TIMESTAMP 'yyyy-MM-dd HH:mm:ss[.fff]']",
     "GRAFT SNAPSHOT CHANGES '<root>' FROM <n> TO <m>",
     "GRAFT SNAPSHOT PUBLISH '<root>' PARTITION <col> CHECKSUM <col> AS <query>",
     "GRAFT SNAPSHOT APPEND '<root>' PARTITION <col> CHECKSUM <col> AS <query>",
@@ -221,9 +221,10 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     "GRAFT SNAPSHOT CONSTRAINTS '<root>'",
     "GRAFT SNAPSHOT RENAME COLUMN '<root>' FROM <old> TO <new>",
     "GRAFT SNAPSHOT DROP COLUMN '<root>' NAME <col>",
-    "GRAFT SNAPSHOT COMPACT '<root>' PARTITION <col> CHECKSUM <col> [MAXFILES n]",
+    "GRAFT SNAPSHOT COMPACT '<root>' PARTITION <col> CHECKSUM <col> " +
+      "[MAXFILES n] [STATS <col>]",
     "GRAFT SNAPSHOT APPLY DELETES '<root>' PARTITION <col> CHECKSUM <col>",
-    "GRAFT SNAPSHOT VACUUM '<root>' [KEEP n]")
+    "GRAFT SNAPSHOT VACUUM '<root>' [KEEP n] [DRY RUN]")
 
   /** Build a write statement's LAZY command: the AS-tail is parsed by
     * the DELEGATE at parse time (full Spark SQL, syntax errors surface
@@ -405,10 +406,26 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case History(path) =>
       GraftBridge.planOf(graft.sources.Snapshot.history(session, unq(path)))
-    case ReadV(path, v) =>
+    case ReadV(path, v, ts) =>
       GraftBridge.planOf(
-        if (v == null) graft.sources.Snapshot.read(session, unq(path))
-        else graft.sources.Snapshot.readVersion(session, unq(path), v.toInt))
+        if (v != null)
+          graft.sources.Snapshot.readVersion(session, unq(path), v.toInt)
+        else if (ts != null) {
+          // the literal is a naive UTC timestamp (this library pins the
+          // session zone to UTC; parsing via LocalDateTime avoids the
+          // JVM default zone entirely); resolution goes through the
+          // recorded commit wall clocks (versionAsOf)
+          val ms =
+            try java.time.LocalDateTime.parse(unq(ts).trim.replace(' ', 'T'))
+              .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+            catch {
+              case _: java.time.format.DateTimeParseException =>
+                throw new GraftParseException(
+                  s"unparseable TIMESTAMP literal '${unq(ts)}' — expected " +
+                    "'yyyy-MM-dd HH:mm:ss[.fff]' (UTC)")
+            }
+          graft.sources.Snapshot.readAsOf(session, unq(path), ms)
+        } else graft.sources.Snapshot.read(session, unq(path)))
     case Changes(path, from, to) =>
       GraftBridge.planOf(graft.sources.Snapshot.readChanges(
         session, unq(path), from.toInt, to.toInt))
@@ -482,21 +499,28 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     case DropColumnV(path, name) =>
       GraftSnapshotCommand("drop_column", unq(path))(sess =>
         graft.sources.Snapshot.dropColumn(sess, unq(path), name))
-    case Compact(path, partCol, ckCol, maxFiles) =>
+    case Compact(path, partCol, ckCol, maxFiles, statsCol) =>
       val root = unq(path)
       GraftSnapshotCommand("compact", root)(sess =>
         graft.sources.Snapshot.compactPartitions(sess, root, partCol, ckCol,
-          maxFiles = if (maxFiles == null) 4 else maxFiles.toInt))
+          maxFiles = if (maxFiles == null) 4 else maxFiles.toInt,
+          statsCol = Option(statsCol)))
     case ApplyDel(path, partCol, ckCol) =>
       val root = unq(path)
       GraftSnapshotCommand("apply_deletes", root)(sess =>
         graft.sources.Snapshot.applyMorDeletes(sess, root, partCol, ckCol))
-    case Vacuum(path, keep) =>
+    case Vacuum(path, keep, dryRun) =>
       val root = unq(path)
-      // receipt's `version` column carries the deleted-file count
-      GraftSnapshotCommand("vacuum", root)(sess =>
-        graft.sources.Snapshot.vacuum(sess, root,
-          keepVersions = if (keep == null) 1 else keep.toInt))
+      val keepN = if (keep == null) 1 else keep.toInt
+      if (dryRun != null)
+        // DRY RUN is a READ: the (path, kind) frame of what vacuum
+        // WOULD remove — nothing deleted, same walk as the real thing
+        GraftBridge.planOf(
+          graft.sources.Snapshot.vacuumDryRun(session, root, keepN))
+      else
+        // receipt's `version` column carries the deleted-file count
+        GraftSnapshotCommand("vacuum", root)(sess =>
+          graft.sources.Snapshot.vacuum(sess, root, keepVersions = keepN))
     case GraftPrefix() =>
       // claims our prefix but matches no statement: diagnose with the
       // verb position and the grammar, not the delegate's ANTLR error

@@ -1281,6 +1281,17 @@ object Snapshot {
         case And(l, rr) => may(l) && may(rr)
         case Or(l, rr) => may(l) || may(rr)
         case Literal(b: Boolean, BooleanType) => b
+        // `x BETWEEN a AND b` parses to the UNRESOLVED 'between function
+        // (resolution would rewrite it to the conjunction, but this
+        // walker runs on the parsed tree) — desugar it ourselves or
+        // every range delete degrades to a full rewrite
+        case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+          if f.nameParts.map(_.toLowerCase) == Seq("between") &&
+            f.arguments.length == 3 =>
+          may(And(GreaterThanOrEqual(f.arguments(0), f.arguments(1)),
+            LessThanOrEqual(f.arguments(0), f.arguments(2))))
+        case Between(in, lo2, hi2, _) =>
+          may(And(GreaterThanOrEqual(in, lo2), LessThanOrEqual(in, hi2)))
         case EqualTo(a, b) if attrOf(a).isDefined => eqAtom(a, b)
         case EqualTo(a, b) if attrOf(b).isDefined => eqAtom(b, a)
         case EqualNullSafe(a, b) if attrOf(a).isDefined => eqAtom(a, b)
@@ -2781,13 +2792,38 @@ object Snapshot {
     * resolved file list OLDER than the retention window — see the
     * retention note in the module doc.
     */
-  def vacuum(spark: SparkSession, dir: String, keepVersions: Int = 1): Int = {
+  def vacuum(spark: SparkSession, dir: String, keepVersions: Int = 1): Int =
+    vacuumWalk(spark, dir, keepVersions, delete = true)
+      .count(_._2 == "data")
+
+  /** `VACUUM … DRY RUN`: everything [[vacuum]] WOULD remove, as a frame
+    * `(path, kind)` — `kind` names the class of garbage (data file,
+    * expired manifest/marker/claim, crashed sidecar). Nothing is
+    * deleted; the same walk decides both, so the report can never drift
+    * from the action.
+    */
+  def vacuumDryRun(spark: SparkSession, dir: String,
+      keepVersions: Int = 1): DataFrame = {
+    import spark.implicits._
+    vacuumWalk(spark, dir, keepVersions, delete = false)
+      .toDF("path", "kind")
+  }
+
+  private def vacuumWalk(spark: SparkSession, dir: String, keepVersions: Int,
+      delete: Boolean): Seq[(String, String)] = {
     require(keepVersions >= 1, s"keepVersions must be >= 1, got $keepVersions")
     val n = currentVersion(spark, dir)
     require(n >= 1, s"snapshot table $dir has no committed version")
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new Path(dir)
     val fs = root.getFileSystem(conf)
+    val gone = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val rootQ = fs.makeQualified(root).toString + "/"
+    def rel(p: Path): String = fs.makeQualified(p).toString.stripPrefix(rootQ)
+    def drop(p: Path, recursive: Boolean, kind: String): Unit = {
+      gone += ((rel(p), kind))
+      if (delete) { fs.delete(p, recursive); () }
+    }
     // retained = the newest keepVersions manifests AT OR BELOW the
     // committed version (a staged-but-uncommitted v(n+1) manifest is a
     // crashed attempt, not history — it expires like its data files),
@@ -2802,43 +2838,42 @@ object Snapshot {
     val live = retained.flatMap(v =>
       readManifest(spark, dir, v).select("path")
         .collect().map(_.getString(0)).toSet)
-    val rootPrefix = fs.makeQualified(root).toString + "/"
-    var removed = 0
     fs.listStatus(root).foreach { st =>
       val name = st.getPath.getName
       if (st.isDirectory && name.matches("v\\d+")) {
         if (!live.exists(_.startsWith(s"$name/"))) {
           // whole version unreferenced (or a crashed staging attempt)
           val it = fs.listFiles(st.getPath, true)
-          while (it.hasNext)
-            if (it.next().getPath.getName.endsWith(".parquet")) removed += 1
-          fs.delete(st.getPath, true)
+          while (it.hasNext) {
+            val f = it.next().getPath
+            if (f.getName.endsWith(".parquet")) gone += ((rel(f), "data"))
+          }
+          if (delete) fs.delete(st.getPath, true)
         } else {
           val it = fs.listFiles(st.getPath, true)
           val dead = scala.collection.mutable.ArrayBuffer.empty[Path]
           while (it.hasNext) {
             val f = it.next().getPath
-            val rel = fs.makeQualified(f).toString.stripPrefix(rootPrefix)
-            if (!live.contains(rel)) dead += f
+            if (!live.contains(rel(f))) dead += f
           }
           dead.foreach { f =>
-            if (f.getName.endsWith(".parquet")) removed += 1
-            fs.delete(f, false)
+            drop(f, recursive = false,
+              if (f.getName.endsWith(".parquet")) "data" else "file")
           }
         }
       } else if (st.isDirectory && name.matches("_manifest\\.v\\d+") &&
           !retained.contains(name.stripPrefix("_manifest.v").toInt)) {
-        fs.delete(st.getPath, true)
+        drop(st.getPath, recursive = true, "manifest")
       } else if (st.isFile && name.matches("_claim\\.v\\d+") &&
           !retained.contains(name.stripPrefix("_claim.v").toInt)) {
         // expired optimistic-commit claims: the pointer moved past this
         // base, so the version precheck alone now rejects late writers
-        fs.delete(st.getPath, false)
+        drop(st.getPath, recursive = false, "claim")
       } else if (st.isFile && name.matches("_committed\\.v\\d+") &&
           !retained.contains(name.stripPrefix("_committed.v").toInt)) {
         // commit markers expire with their manifests: a stream lagging
         // past retention already fails loudly on the missing manifest
-        fs.delete(st.getPath, false)
+        drop(st.getPath, recursive = false, "marker")
       } else if (st.isFile && name.matches("_stage\\.v\\d+") &&
           name.stripPrefix("_stage.v").toInt <= n &&
           !retained.contains(name.stripPrefix("_stage.v").toInt)) {
@@ -2847,7 +2882,7 @@ object Snapshot {
         // IN-FLIGHT writer's allocation — deleting it would let a second
         // writer claim the same number and clobber the first's staged
         // manifest, the exact lost-update claimVersion exists to prevent
-        fs.delete(st.getPath, false)
+        drop(st.getPath, recursive = false, "stage")
       } else if (st.isDirectory && name.matches("_schema\\.v\\d+") &&
           name.stripPrefix("_schema.v").toInt > n) {
         // a crashed addColumn staging above the committed version: its
@@ -2855,17 +2890,17 @@ object Snapshot {
         // poison an unrelated version. Sidecars AT OR BELOW current stay
         // forever — they are tiny, and older versions resolve THROUGH
         // them (newest-at-or-below lookup).
-        fs.delete(st.getPath, true)
+        drop(st.getPath, recursive = true, "schema")
       } else if (st.isDirectory && name.matches("_constraints\\.v\\d+") &&
           name.stripPrefix("_constraints.v").toInt > n) {
         // same rule for crashed addConstraint/dropConstraint sidecars
-        fs.delete(st.getPath, true)
+        drop(st.getPath, recursive = true, "constraints")
       } else if (st.isDirectory && name.matches("_evolution\\.v\\d+") &&
           name.stripPrefix("_evolution.v").toInt > n) {
         // and for crashed renameColumn/dropColumn sidecars
-        fs.delete(st.getPath, true)
+        drop(st.getPath, recursive = true, "evolution")
       }
     }
-    removed
+    gone.toSeq
   }
 }

@@ -1,6 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Dataset, Row}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SQLContext}
+import org.apache.spark.sql.execution.streaming.Sink
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSinkProvider}
+import org.apache.spark.sql.streaming.OutputMode
 import graft.sources.Snapshot
 
 /** Exactly-once streaming ingest into a versioned [[Snapshot]] table
@@ -44,5 +47,56 @@ object SnapshotSink {
       else
         Snapshot.stageAppend(spark, dir, batch.toDF(), partCol, checksumCol)
     Snapshot.commit(spark, dir, v, Some(tag))
+  }
+}
+
+/** [[SnapshotSink.landBatch]] as a REGISTERED streaming sink, so the
+  * transactional landing needs no foreachBatch plumbing:
+  *
+  * {{{
+  *   df.writeStream.format("graft-snapshot-sink")
+  *     .option("path", dir)          // the snapshot table root
+  *     .option("partition", "lang")  // layout columns, same contract
+  *     .option("checksum", "text")   //   as Snapshot.publish
+  *     .option("checkpointLocation", …)
+  *     .start()
+  * }}}
+  *
+  * Exactly-once by the same device: each epoch commits with
+  * `tag = "batch-<id>"`, a replayed epoch finds its tag and returns
+  * without writing. The first non-empty epoch PUBLISHES the table (v1
+  * defines the schema); every later epoch is a true file append. Only
+  * `OutputMode.Append` is accepted — an aggregate's complete/update
+  * stream retracts rows, which an append-only table cannot express
+  * (route those through foreachBatch + upsert instead).
+  */
+class SnapshotSinkProvider extends StreamSinkProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-snapshot-sink"
+
+  override def createSink(sqlContext: SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: OutputMode): Sink = {
+    def req(k: String): String = parameters.getOrElse(k, sys.error(
+      s"graft-snapshot-sink requires option '$k' " +
+        "(path = table root, partition/checksum = layout columns)"))
+    val dir = req("path")
+    val partCol = req("partition")
+    val checksumCol = req("checksum")
+    require(outputMode == OutputMode.Append(),
+      s"graft-snapshot-sink supports OutputMode.Append only, got " +
+        s"$outputMode — retractions have no append-table verb; use " +
+        "foreachBatch with Snapshot.upsert for update/complete streams")
+    new Sink {
+      override def addBatch(batchId: Long, data: DataFrame): Unit = {
+        // the engine hands a STREAMING-tagged frame (batch writers
+        // refuse it); re-tag its planned rows as batch, then land
+        // through the same tag-idempotent path as the foreachBatch form
+        val batch = org.apache.spark.sql.GraftBridge.asBatchFrame(
+          data.sparkSession, data)
+        SnapshotSink.landBatch(batch, dir, partCol, checksumCol, batchId)
+      }
+      override def toString: String = s"GraftSnapshotSink[$dir]"
+    }
   }
 }

@@ -54,6 +54,17 @@ object GraftBridge {
     cls.internalCreateDataFrame(qe.toRdd, df.schema, isStreaming = true)
   }
 
+  /** The inverse re-tag: the frame a v1 `Sink.addBatch` receives is
+    * STREAMING-tagged (batch writers refuse it with "must be executed
+    * with writeStream.start()"); re-wrap its already-planned rows as a
+    * batch frame so the sink can drive ordinary writes.
+    */
+  def asBatchFrame(spark: SparkSession, df: DataFrame): DataFrame = {
+    val cls = spark.asInstanceOf[classic.SparkSession]
+    val qe = df.asInstanceOf[classic.DataFrame].queryExecution
+    cls.internalCreateDataFrame(qe.toRdd, df.schema, isStreaming = false)
+  }
+
   /** The session's bound SQL parser (`sessionState` is `private[sql]`) —
     * lets specs prove the parse/execute split of the lazy mutation
     * commands: `parsePlan` alone must commit nothing.

@@ -1759,6 +1759,65 @@ class SnapshotSpec extends SparkSpec {
     assert(!cols.contains("source") && !cols.contains("origin"))
   }
 
+  test("VACUUM DRY RUN reports exactly what the real vacuum then removes, deleting nothing") {
+    val dir = freshDir()
+    val ext = org.apache.spark.sql.GraftBridge.sessionWithExtensions(
+      spark, new graft.plans.GraftExtensions)
+    Snapshot.publish(ext, dir, docs, "lang", "text")                 // v1
+    Snapshot.upsert(ext, dir, updates, "doc_id", "lang", "text")     // v2
+    Snapshot.stageUpsert(ext, dir, updates, "doc_id", "lang", "text") // crashed v3
+    val report = ext.sql(s"GRAFT SNAPSHOT VACUUM '$dir' KEEP 1 DRY RUN")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(report.nonEmpty)
+    val before = fingerprint(Snapshot.read(ext, dir))
+    // dry run deleted nothing: content AND history still readable
+    assert(fingerprint(Snapshot.read(ext, dir)) === before)
+    assert(Snapshot.readVersion(ext, dir, 1).count() === docs.count())
+    // the real vacuum removes exactly the reported data files
+    val removed = Snapshot.vacuum(ext, dir, keepVersions = 1)
+    assert(removed === report.count(_._2 == "data"))
+    report.foreach { case (p, _) =>
+      assert(!new java.io.File(dir, p).exists(), s"$p should be gone") }
+    assert(fingerprint(Snapshot.read(ext, dir)) === before)
+  }
+
+  test("SQL READ TIMESTAMP travels by recorded clocks; COMPACT STATS re-records ranges") {
+    val dir = freshDir()
+    val ext = org.apache.spark.sql.GraftBridge.sessionWithExtensions(
+      spark, new graft.plans.GraftExtensions)
+    Snapshot.publishClustered(ext, dir, docs, "lang", "doc_id", "text",
+      nFiles = 4)
+    Thread.sleep(5)
+    Snapshot.append(ext, dir,
+      docs.limit(40).withColumn("doc_id", col("doc_id") + 8100000L),
+      "lang", "text")
+    val t1 = Snapshot.history(ext, dir).filter(col("version") === 1).head()
+      .getAs[java.time.LocalDateTime]("committed_at")
+      .format(java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+    assert(ext.sql(s"GRAFT SNAPSHOT READ '$dir' TIMESTAMP '$t1'").count()
+      === docs.count(), "the v1 cut by wall clock")
+    val bad = intercept[graft.plans.GraftParseException](
+      ext.sql(s"GRAFT SNAPSHOT READ '$dir' TIMESTAMP 'not-a-time'"))
+    assert(bad.getMessage.contains("unparseable TIMESTAMP"))
+    // STATS on the SQL COMPACT verb keeps range skipping effective:
+    // the appended files fragment 'en' past MAXFILES, and the compacted
+    // replacement files re-record doc_id ranges
+    ext.sql(s"GRAFT SNAPSHOT COMPACT '$dir' PARTITION lang CHECKSUM text " +
+      "MAXFILES 1 STATS doc_id")
+    val m = spark.read
+      .schema("path STRING, stat_lo DOUBLE, stat_hi DOUBLE, stat_col STRING")
+      .json(s"$dir/_manifest.v${Snapshot.currentVersion(ext, dir)}")
+      .collect()
+    val fresh = m.filter(_.getString(0).startsWith(
+      s"v${Snapshot.currentVersion(ext, dir)}/"))
+    assert(fresh.nonEmpty)
+    fresh.foreach { r =>
+      assert(!r.isNullAt(1) && !r.isNullAt(2) && r.getString(3) == "doc_id",
+        s"compacted file ${r.getString(0)} lost its stats")
+    }
+  }
+
   test("catalog TIMESTAMP AS OF resolves through recorded commit clocks") {
     val root = freshDir()
     val dir = s"$root/trips"

@@ -487,6 +487,54 @@ class StatefulSpec extends SparkSpec {
       s"tail must emit exactly the new commit: ${nBatches.get()} batches, ${counts.get()} rows")
   }
 
+  test("graft-snapshot-sink: format-registered transactional landing — publish, append, replay no-op") {
+    val root = java.nio.file.Files.createTempDirectory("graft_sinkfmt").toString
+    val table = s"$root/landing"
+    val S = graft.sources.Snapshot
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String, String)]
+    def run(): Unit = {
+      val q = mem.toDF().toDF("id", "part", "text").writeStream
+        .format("graft-snapshot-sink")
+        .option("path", table)
+        .option("partition", "part").option("checksum", "text")
+        .option("checkpointLocation", s"$root/chk")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // epoch 0 PUBLISHES the table (v1 defines the schema)
+    mem.addData((1L, "a", "x"), (2L, "b", "y"))
+    run()
+    assert(S.currentVersion(spark, table) === 1)
+    assert(S.currentTag(spark, table) === Some("batch-0"))
+    assert(S.read(spark, table).count() === 2)
+    // epoch 1 APPENDS; the snapshot lifecycle (time travel) holds
+    mem.addData((3L, "a", "z"))
+    run()
+    assert(S.currentVersion(spark, table) === 2)
+    assert(S.read(spark, table).count() === 3)
+    assert(S.readVersion(spark, table, 1).count() === 2)
+    // a re-run with nothing new lands nothing (tags make replay a no-op)
+    run()
+    assert(S.currentVersion(spark, table) === 2)
+    // update/complete output modes refuse at start
+    val agg = mem.toDF().toDF("id", "part", "text")
+      .groupBy("part").count()
+    val e = intercept[Exception] {
+      agg.writeStream.format("graft-snapshot-sink")
+        .outputMode("complete")
+        .option("path", s"$root/other")
+        .option("partition", "part").option("checksum", "count")
+        .option("checkpointLocation", s"$root/chk2")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+    }
+    assert(e.getMessage.contains("Append only") ||
+      e.getMessage.contains("foreachBatch"), e.getMessage)
+  }
+
   test("evolveSchema: a restart crosses addColumn with the fill; incompatible evolution refuses") {
     val root = java.nio.file.Files.createTempDirectory("graft_vstream_evo").toString
     val table = s"$root/table"
