@@ -422,10 +422,13 @@ object EventTime {
         .withColumn("day_key",
           date_format(col("ts_ms"), "yyyyMMdd").cast("int"))
         .writeStream
-        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-          graft.streaming.SnapshotSink.landBatch(
-            batch, s"$dir/table", "day_key", "event_id", batchId)
-        }
+        // the REGISTERED sink format (streaming/SnapshotSinkProvider) —
+        // same tag-idempotent landBatch underneath, reached the way a
+        // user reaches any sink; round 14 upgraded this key from the
+        // foreachBatch plumbing to the format door
+        .format("graft-snapshot-sink")
+        .option("path", s"$dir/table")
+        .option("partition", "day_key").option("checksum", "event_id")
         .option("checkpointLocation", s"$dir/chk")
         .trigger(Trigger.AvailableNow())
         .start()

@@ -127,6 +127,13 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   private val Upsert =
     s"""(?is)\\s*GRAFT\\s+SNAPSHOT\\s+UPSERT\\s+$P\\s+KEY\\s+$Ident\\s+PARTITION\\s+$Ident\\s+CHECKSUM\\s+$Ident\\s+AS\\s+(.+)""".r
 
+  // dynamic partition overwrite (Delta's replaceWhere / Hive's INSERT
+  // OVERWRITE dynamic partitions): the partitions present in the
+  // AS-query's result are replaced WHOLESALE by it; all others carry by
+  // manifest reference (Snapshot.stageReplacePartitions).
+  private val Replace =
+    s"""(?is)\\s*GRAFT\\s+SNAPSHOT\\s+REPLACE\\s+$P\\s+PARTITION\\s+$Ident\\s+CHECKSUM\\s+$Ident\\s+AS\\s+(.+)""".r
+
   private val Delete =
     s"""(?is)\\s*GRAFT\\s+SNAPSHOT\\s+DELETE\\s+$P\\s+KEY\\s+$Ident\\s+AS\\s+(.+)""".r
 
@@ -203,6 +210,8 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     "GRAFT SNAPSHOT PUBLISH '<root>' PARTITION <col> CHECKSUM <col> AS <query>",
     "GRAFT SNAPSHOT APPEND '<root>' PARTITION <col> CHECKSUM <col> AS <query>",
     "GRAFT SNAPSHOT UPSERT '<root>' KEY <col> PARTITION <col> CHECKSUM <col> AS <query>",
+    "GRAFT SNAPSHOT REPLACE '<root>' PARTITION <col> CHECKSUM <col> AS <query> " +
+      "(the result's partitions are replaced wholesale; others carry)",
     "GRAFT SNAPSHOT MERGE '<root>' KEY <col> PARTITION <col> CHECKSUM <col> " +
       "{WHEN MATCHED [AND <cond>] THEN UPDATE [SET <col> = <expr>, ...] | " +
       "WHEN MATCHED [AND <cond>] THEN DELETE | " +
@@ -441,6 +450,10 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     case Upsert(path, keyCol, partCol, ckCol, query) =>
       writeCmd("upsert", unq(path), query)((sess, df) =>
         graft.sources.Snapshot.stageUpsert(sess, unq(path), df, keyCol,
+          partCol, ckCol))
+    case Replace(path, partCol, ckCol, query) =>
+      writeCmd("replace", unq(path), query)((sess, df) =>
+        graft.sources.Snapshot.stageReplacePartitions(sess, unq(path), df,
           partCol, ckCol))
     case MergeHead(path, keyCol, partCol, ckCol, tail) =>
       val (clauses, query) = parseMergeTail(tail)

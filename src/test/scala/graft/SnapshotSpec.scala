@@ -1759,6 +1759,69 @@ class SnapshotSpec extends SparkSpec {
     assert(!cols.contains("source") && !cols.contains("origin"))
   }
 
+  test("SQL REPLACE overwrites exactly the result's partitions; constraints gate MERGE rewrites") {
+    val dir = freshDir()
+    val ext = org.apache.spark.sql.GraftBridge.sessionWithExtensions(
+      spark, new graft.plans.GraftExtensions)
+    Snapshot.publish(ext, dir, docs, "lang", "text")
+    ext.read.parquet(s"${sf()}/documents.parquet")
+      .createOrReplaceTempView("repl_docs")
+    // REPLACE rewrites the de partition wholesale, everything else carries
+    val r = ext.sql(s"GRAFT SNAPSHOT REPLACE '$dir' PARTITION lang " +
+      "CHECKSUM text AS SELECT doc_id, text || ' r2' AS text, lang, " +
+      "source, n_chars FROM repl_docs WHERE lang = 'de' AND doc_id % 2 = 0")
+      .head()
+    assert(r.getString(0) === "replace" && r.getInt(2) === 2)
+    val expected = docs.filter(col("lang") =!= "de").unionByName(
+      docs.filter(col("lang") === "de" && pmod(col("doc_id"), lit(2)) === 0)
+        .withColumn("text", concat(col("text"), lit(" r2"))))
+    assert(fingerprint(Snapshot.read(ext, dir)) === fingerprint(expected))
+    assert(manifestPaths(dir, 2).keySet.filter(_.startsWith("v1/"))
+      === manifestPaths(dir, 1).keySet.filter(p => !p.contains("_p=de")))
+    // a CHECK constraint gates the MERGE rewrite path (stageCow)
+    Snapshot.addConstraint(ext, dir, "chars_pos", "n_chars > 0")
+    val src2 = docs.filter(col("lang") === "en").limit(3)
+      .withColumn("n_chars", lit(-1L))
+    val e = intercept[IllegalArgumentException](
+      Snapshot.merge(ext, dir, src2, "doc_id", "lang", "text",
+        Seq(Snapshot.WhenMatchedUpdate(None,
+          Seq("n_chars" -> "s.n_chars")))))
+    assert(e.getMessage.contains("chars_pos"))
+  }
+
+  test("deleteWhere across addColumn: rewritten files materialize the fill; predicate may name it") {
+    val dir = freshDir()
+    Snapshot.publish(spark, dir, docs, "lang", "text")            // v1
+    Snapshot.addColumn(spark, dir, "quality", "DOUBLE", "0.5")    // v2
+    // predicate on the ADDED column: conservative rewrite, correct result
+    Snapshot.deleteWhere(spark, dir, "quality < 0.4 AND lang = 'es'",
+      "lang", "text")                                             // no-op rows
+    assert(Snapshot.read(spark, dir).count() === docs.count(),
+      "no row has quality < 0.4 (all fill 0.5)")
+    Snapshot.deleteWhere(spark, dir, "quality >= 0.4 AND lang = 'es'",
+      "lang", "text")
+    assert(Snapshot.read(spark, dir).filter(col("lang") === "es").count() === 0)
+    // the es rewrite is gone but other partitions' pre-add files still
+    // fill; the surviving logical schema carries quality everywhere
+    val q = Snapshot.read(spark, dir).select("quality").distinct().collect()
+    assert(q.map(_.getDouble(0)).toSeq === Seq(0.5))
+  }
+
+  test("a restored (rewound) schema generation refuses an old evolve-stream checkpoint") {
+    val dir = freshDir()
+    Snapshot.publish(spark, dir, docs, "lang", "text")            // v1
+    Snapshot.addColumn(spark, dir, "quality", "DOUBLE", "0.5")    // v2
+    val chk = freshDir()
+    graft.streaming.SnapshotVersionSource.trackSchemaGeneration(
+      spark, dir, chk) // tracked: [quality]
+    Snapshot.restore(spark, dir, 1)                               // v3: gen []
+    val e = intercept[IllegalArgumentException](
+      graft.streaming.SnapshotVersionSource.trackSchemaGeneration(
+        spark, dir, chk))
+    assert(e.getMessage.contains("not a prefix") ||
+      e.getMessage.contains("NOT a prefix"), e.getMessage)
+  }
+
   test("VACUUM DRY RUN reports exactly what the real vacuum then removes, deleting nothing") {
     val dir = freshDir()
     val ext = org.apache.spark.sql.GraftBridge.sessionWithExtensions(
