@@ -2438,6 +2438,36 @@ object Similarity {
         .orderBy("lang")
     }),
 
+    // DYNAMIC PARTITION OVERWRITE (Snapshot.stageReplacePartitions /
+    // GRAFT SNAPSHOT REPLACE — Delta's replaceWhere / Hive's INSERT
+    // OVERWRITE dynamic partitions): the AS-query's result REPLACES its
+    // partitions wholesale; every other partition carries by manifest
+    // reference (SnapshotSpec pins the partition-exact file carry).
+    // The day-partitioned-rollup refresh verb: at 100 TB, re-deriving
+    // one day rewrites one partition, never the table. Graded: publish
+    // → one SQL REPLACE rebuilding the de partition as its filtered,
+    // edited self → per-lang aggregate (de reflects the rebuild, every
+    // other lang must hash UNTOUCHED).
+    "x_io_replace" -> ((s, d) => {
+      val dir = T.scratchDir("graft_replace")
+      val ext = org.apache.spark.sql.GraftBridge.sessionWithExtensions(
+        s, new graft.plans.GraftExtensions)
+      t(ext, d, "documents").createOrReplaceTempView("replq_docs")
+      ext.sql(s"GRAFT SNAPSHOT PUBLISH '$dir' PARTITION lang CHECKSUM text " +
+        "AS SELECT * FROM replq_docs")
+      ext.sql(s"GRAFT SNAPSHOT REPLACE '$dir' PARTITION lang CHECKSUM text " +
+        "AS SELECT doc_id, text || ' rp' AS text, lang, source, " +
+        "n_chars + 2 AS n_chars FROM replq_docs " +
+        "WHERE lang = 'de' AND doc_id % 2 = 0")
+      ext.sql(s"GRAFT SNAPSHOT READ '$dir'")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("n_chars"),
+          sum(conv(substring(md5(col("text")), 1, 8), 16, 10).cast("bigint"))
+            .as("checksum"))
+        .orderBy("lang")
+    }),
+
     // CHECK CONSTRAINTS (Snapshot.addConstraint/requireConstraints /
     // GRAFT SNAPSHOT CONSTRAINT ADD … CHECK — Delta's ALTER TABLE ADD
     // CONSTRAINT): adding validates the EXISTING table once (the only
@@ -4194,6 +4224,18 @@ object Similarity {
         "CASE WHEN lang = 'en' AND doc_id % 10 = 0 THEN text || ' upd' ELSE text END" +
         "), 1, 8)) AS BIGINT)) AS BIGINT) AS checksum " +
         "FROM documents GROUP BY lang ORDER BY lang"),
+    // Partition overwrite replays as: every non-de row untouched, de
+    // rebuilt as its even-keyed edited self.
+    "x_io_replace" ->
+      ("WITH finald AS (" +
+        "SELECT lang, text, n_chars FROM documents WHERE lang <> 'de' " +
+        "UNION ALL " +
+        "SELECT lang, text || ' rp' AS text, n_chars + 2 AS n_chars " +
+        "FROM documents WHERE lang = 'de' AND doc_id % 2 = 0) " +
+        "SELECT lang, count(*) AS n_docs, " +
+        "CAST(sum(n_chars) AS BIGINT) AS n_chars, " +
+        "CAST(sum(CAST(('0x' || substring(md5(text), 1, 8)) AS BIGINT)) AS BIGINT) AS checksum " +
+        "FROM finald GROUP BY lang ORDER BY lang"),
     // Constraint lifecycle: the violating append contributed NOTHING,
     // the valid fr slice landed, one rule stays in force.
     "x_io_constraints" ->

@@ -2,7 +2,7 @@ package graft
 
 /** T1 blanket contract checks: every declared query runs on sf0.001,
   * the queries/oracleSql maps are mutually consistent, and the declared
-  * inventory matches SURVEY.md §2b (274 keys, 266 oracle-checked).
+  * inventory matches SURVEY.md §2b (275 keys, 267 oracle-checked).
   */
 class ContractSpec extends SparkSpec {
 
@@ -11,9 +11,9 @@ class ContractSpec extends SparkSpec {
       "t_stream_runtime", "t_stream_dedup", "t_stream_session",
       "t_stream_join")
 
-  test("inventory matches SURVEY §2b: 274 queries, 266 with oracle SQL") {
-    assert(SparkEntry.queries.size === 274)
-    assert(SparkEntry.oracleSql.size === 266)
+  test("inventory matches SURVEY §2b: 275 queries, 267 with oracle SQL") {
+    assert(SparkEntry.queries.size === 275)
+    assert(SparkEntry.oracleSql.size === 267)
     assert(SparkEntry.queries.keySet.intersect(nonOracle).size === 8)
   }
 
