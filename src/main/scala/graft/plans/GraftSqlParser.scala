@@ -167,6 +167,13 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   private val ConstraintList =
     s"""(?is)\\s*GRAFT\\s+SNAPSHOT\\s+CONSTRAINTS\\s+$P\\s*;?\\s*""".r
 
+  // metadata-only ADD COLUMN with an initial default, and its
+  // generated-column sibling (Delta's ALTER TABLE ADD COLUMN /
+  // GENERATED ALWAYS AS): the DEFAULT/GENERATED expression is the
+  // statement tail (full Spark SQL).
+  private val AddColumnV =
+    s"""(?is)\\s*GRAFT\\s+SNAPSHOT\\s+ADD\\s+COLUMN\\s+$P\\s+NAME\\s+$Ident\\s+TYPE\\s+([A-Za-z_][A-Za-z0-9_(),<> ]*?)\\s+(DEFAULT|GENERATED\\s+AS)\\s+(.+)""".r
+
   // metadata-only column evolution (Delta's ALTER TABLE RENAME/DROP
   // COLUMN): zero data bytes move; readers map old files at scan time.
   private val RenameColumnV =
@@ -228,6 +235,8 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     "GRAFT SNAPSHOT CONSTRAINT ADD '<root>' NAME <name> CHECK <cond>",
     "GRAFT SNAPSHOT CONSTRAINT DROP '<root>' NAME <name>",
     "GRAFT SNAPSHOT CONSTRAINTS '<root>'",
+    "GRAFT SNAPSHOT ADD COLUMN '<root>' NAME <col> TYPE <sqlType> " +
+      "{DEFAULT <expr> | GENERATED AS <expr>}",
     "GRAFT SNAPSHOT RENAME COLUMN '<root>' FROM <old> TO <new>",
     "GRAFT SNAPSHOT DROP COLUMN '<root>' NAME <col>",
     "GRAFT SNAPSHOT COMPACT '<root>' PARTITION <col> CHECKSUM <col> " +
@@ -506,9 +515,17 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     case ConstraintList(path) =>
       GraftBridge.planOf(
         graft.sources.Snapshot.listConstraints(session, unq(path)))
-    case RenameColumnV(path, from, to) =>
-      GraftSnapshotCommand("rename_column", unq(path))(sess =>
-        graft.sources.Snapshot.renameColumn(sess, unq(path), from, to))
+    case AddColumnV(path, name, sqlType, kind, tail) =>
+      val root = unq(path)
+      val exprSql = stripStmtEnd(tail)
+      if (kind.equalsIgnoreCase("DEFAULT"))
+        GraftSnapshotCommand("add_column", root)(sess =>
+          graft.sources.Snapshot.addColumn(sess, root, name,
+            sqlType.trim, exprSql))
+      else
+        GraftSnapshotCommand("add_generated_column", root)(sess =>
+          graft.sources.Snapshot.addGeneratedColumn(sess, root, name,
+            sqlType.trim, exprSql))
     case DropColumnV(path, name) =>
       GraftSnapshotCommand("drop_column", unq(path))(sess =>
         graft.sources.Snapshot.dropColumn(sess, unq(path), name))

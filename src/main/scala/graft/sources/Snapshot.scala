@@ -1941,6 +1941,21 @@ object Snapshot {
     n
   }
 
+  /** GENERATED COLUMN (Delta's `GENERATED ALWAYS AS`): [[addColumn]]
+    * whose default IS the expression — pre-add files compute it per row
+    * at read time — plus a CHECK constraint `<name> <=> (<exprSql>)`
+    * pinning every PHYSICALLY WRITTEN value to the expression, so a
+    * writer supplying a wrong value refuses at stage. Two metadata
+    * commits (the add, then the rule); existing rows validate trivially
+    * (their fill is the expression itself). Returns the rule's version.
+    */
+  def addGeneratedColumn(spark: SparkSession, dir: String, name: String,
+      sqlType: String, exprSql: String): Int = {
+    addColumn(spark, dir, name, sqlType, exprSql)
+    addConstraint(spark, dir, s"${name}_generated",
+      s"$name <=> CAST(($exprSql) AS $sqlType)")
+  }
+
   /** Stage-side guard: after an ADD COLUMN, every write must carry the
     * added columns physically — under their CURRENT names (an added
     * column renamed later is required under the new name; one dropped

@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
   * of 10c yields ~50c² pairs) — the probe prints output rows so the two
   * effects can be told apart.
   *
-  * `runMain graft.tools.ScaleProbe [sfDir] [keys|sigs|curation|cc|cluster|vocab|spans|bpe|quality|pq|geo|graph|graphx|streamjoin|snapshot|kll|gram|cdc|ivm|purge|mor|sqlread|commitrace|cdf|vstream|cdfstream|sqlmaint|er|delwhere|all]`
+  * `runMain graft.tools.ScaleProbe [sfDir] [keys|sigs|curation|cc|cluster|vocab|spans|bpe|quality|pq|geo|graph|graphx|streamjoin|snapshot|kll|gram|cdc|ivm|purge|mor|sqlread|commitrace|cdf|vstream|cdfstream|sqlmaint|er|delwhere|constraints|all]`
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -646,6 +646,39 @@ object ScaleProbe {
       println(f"deleteWhere FIXED range 1x ${d1}%6.2fs ($rw1 of $tot1 files " +
         f"rewritten) -> 10x-store ${d10}%7.2fs ($rw10 of $tot10; " +
         f"factor ${d10 / d1}%5.1f, claim ~1)")
+    }
+    // CHECK-constraint enforcement cost at 1x -> 10x: appending a FIXED
+    // delta to a constrained table validates ONLY the delta's rows, so
+    // the append should cost the same at both store sizes (the
+    // adds-validate-their-own-rows claim; the one full scan is ADD time).
+    if (mode == "all" || mode == "constraints") {
+      def consProbe(mult: Int): (Double, Double) = {
+        val dir = java.nio.file.Files.createTempDirectory("probe_cons").toString
+        val docs = (0 until mult).map { i =>
+          base.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+            col("text"), col("lang"), col("source"), col("n_chars"))
+        }.reduce(_ unionByName _)
+        graft.sources.Snapshot.publish(spark, dir, docs, "lang", "text")
+        val tA = System.nanoTime()
+        graft.sources.Snapshot.addConstraint(spark, dir, "chars_pos",
+          "n_chars > 0 AND text IS NOT NULL")
+        val addSec = (System.nanoTime() - tA) / 1e9
+        val delta = base.limit(500)
+          .select((col("doc_id") + lit(900000000L)).as("doc_id"),
+            col("text"), col("lang"), col("source"), col("n_chars"))
+          .localCheckpoint()
+        val t0 = System.nanoTime()
+        graft.sources.Snapshot.append(spark, dir, delta, "lang", "text")
+        ((System.nanoTime() - t0) / 1e9, addSec)
+      }
+      val (a1, add1) = consProbe(1)
+      graft.ops.T.releaseCaches(blocking = true)
+      val (a10, add10) = consProbe(10)
+      graft.ops.T.releaseCaches(blocking = true)
+      println(f"constraint ADD (full validate) 1x ${add1}%6.2fs -> 10x " +
+        f"${add10}%6.2fs (expected ~linear); FIXED-delta append under the " +
+        f"rule 1x ${a1}%6.2fs -> 10x-store ${a10}%7.2fs " +
+        f"(factor ${a10 / a1}%5.1f, claim ~1)")
     }
     // BFS + k-core on synthetic graphs at 1M -> 10M edges. BFS: chain-of-
     // blocks graph of FIXED diameter (so round count is constant and the

@@ -1745,6 +1745,35 @@ class SnapshotSpec extends SparkSpec {
     assert(Snapshot.sqlFiles(spark, dir, None).nonEmpty)
   }
 
+  test("generated columns: old rows compute the expression, writers must match it") {
+    val dir = freshDir()
+    val ext = org.apache.spark.sql.GraftBridge.sessionWithExtensions(
+      spark, new graft.plans.GraftExtensions)
+    Snapshot.publish(ext, dir, docs, "lang", "text")
+    ext.sql(s"GRAFT SNAPSHOT ADD COLUMN '$dir' NAME n_tokens TYPE BIGINT " +
+      "GENERATED AS n_chars div 5")
+    // every pre-add row reads the computed value
+    assert(Snapshot.read(ext, dir)
+      .filter(col("n_tokens") =!= (col("n_chars") / lit(5)).cast("bigint"))
+      .count() === 0)
+    assert(Snapshot.listConstraints(ext, dir).count() === 1)
+    // a writer supplying a WRONG value refuses naming the rule; the
+    // correct value lands
+    val delta = docs.limit(2).withColumn("doc_id", col("doc_id") + 8200000L)
+    val e = intercept[IllegalArgumentException](Snapshot.append(ext, dir,
+      delta.withColumn("n_tokens", lit(-1L)), "lang", "text"))
+    assert(e.getMessage.contains("n_tokens_generated"))
+    Snapshot.append(ext, dir,
+      delta.withColumn("n_tokens", (col("n_chars") / 5).cast("bigint")),
+      "lang", "text")
+    assert(Snapshot.read(ext, dir).count() === docs.count() + 2)
+    // the plain-DEFAULT SQL form works too
+    ext.sql(s"GRAFT SNAPSHOT ADD COLUMN '$dir' NAME grade TYPE DOUBLE " +
+      "DEFAULT 0.5")
+    assert(Snapshot.read(ext, dir).select("grade").distinct().collect()
+      .map(_.getDouble(0)).toSeq === Seq(0.5))
+  }
+
   test("SQL RENAME COLUMN / DROP COLUMN verbs evolve the table from pure SQL") {
     val dir = freshDir()
     val ext = org.apache.spark.sql.GraftBridge.sessionWithExtensions(
