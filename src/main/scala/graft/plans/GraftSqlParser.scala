@@ -526,6 +526,9 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
         GraftSnapshotCommand("add_generated_column", root)(sess =>
           graft.sources.Snapshot.addGeneratedColumn(sess, root, name,
             sqlType.trim, exprSql))
+    case RenameColumnV(path, from, to) =>
+      GraftSnapshotCommand("rename_column", unq(path))(sess =>
+        graft.sources.Snapshot.renameColumn(sess, unq(path), from, to))
     case DropColumnV(path, name) =>
       GraftSnapshotCommand("drop_column", unq(path))(sess =>
         graft.sources.Snapshot.dropColumn(sess, unq(path), name))
