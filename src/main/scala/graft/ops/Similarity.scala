@@ -2438,6 +2438,42 @@ object Similarity {
         .orderBy("lang")
     }),
 
+    // SHALLOW CLONE (Snapshot.cloneTable / GRAFT SNAPSHOT CLONE … TO —
+    // Delta's CLONE): the clone's first manifest references the
+    // source's files ABSOLUTELY and is born at the SOURCE's version
+    // number, so schema/constraint/evolution sidecar states transplant
+    // verbatim (their since-versions stay aligned with the referenced
+    // writer versions) — ZERO bytes copied at any table size, and the
+    // two tables are independent from the first commit (SnapshotSpec
+    // pins zero-copy, isolation both ways, clone-local evolution, and
+    // clone-vacuum safety). Graded: publish a filtered source → SQL
+    // CLONE → SQL APPEND onto the CLONE → the clone's per-lang
+    // aggregate crossed with the SOURCE's row count — the clone serves
+    // source content + its own append, the source must not have moved.
+    "x_io_clone" -> ((s, d) => {
+      val src = T.scratchDir("graft_clone_src")
+      val dst = T.scratchDir("graft_clone_dst") + "/t"
+      val ext = org.apache.spark.sql.GraftBridge.sessionWithExtensions(
+        s, new graft.plans.GraftExtensions)
+      t(ext, d, "documents").createOrReplaceTempView("clone_docs")
+      ext.sql(s"GRAFT SNAPSHOT PUBLISH '$src' PARTITION lang CHECKSUM text " +
+        "AS SELECT * FROM clone_docs WHERE n_chars >= 60")
+      ext.sql(s"GRAFT SNAPSHOT CLONE '$src' TO '$dst'")
+      ext.sql(s"GRAFT SNAPSHOT APPEND '$dst' PARTITION lang CHECKSUM text " +
+        "AS SELECT doc_id + 9500000 AS doc_id, text, lang, source, n_chars " +
+        "FROM clone_docs WHERE lang = 'zh' AND doc_id % 15 = 0")
+      val srcN = ext.sql(s"GRAFT SNAPSHOT READ '$src'")
+        .agg(count(lit(1)).as("n_src")).localCheckpoint()
+      ext.sql(s"GRAFT SNAPSHOT READ '$dst'")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("n_chars"),
+          sum(conv(substring(md5(col("text")), 1, 8), 16, 10).cast("bigint"))
+            .as("checksum"))
+        .crossJoin(broadcast(srcN))
+        .orderBy("lang")
+    }),
+
     // DYNAMIC PARTITION OVERWRITE (Snapshot.stageReplacePartitions /
     // GRAFT SNAPSHOT REPLACE — Delta's replaceWhere / Hive's INSERT
     // OVERWRITE dynamic partitions): the AS-query's result REPLACES its
@@ -4224,6 +4260,19 @@ object Similarity {
         "CASE WHEN lang = 'en' AND doc_id % 10 = 0 THEN text || ' upd' ELSE text END" +
         "), 1, 8)) AS BIGINT)) AS BIGINT) AS checksum " +
         "FROM documents GROUP BY lang ORDER BY lang"),
+    // The clone serves source content + its own append; the source
+    // count proves its pointer never moved.
+    "x_io_clone" ->
+      ("WITH finald AS (" +
+        "SELECT lang, text, n_chars FROM documents WHERE n_chars >= 60 " +
+        "UNION ALL " +
+        "SELECT lang, text, n_chars FROM documents " +
+        "WHERE lang = 'zh' AND doc_id % 15 = 0) " +
+        "SELECT lang, count(*) AS n_docs, " +
+        "CAST(sum(n_chars) AS BIGINT) AS n_chars, " +
+        "CAST(sum(CAST(('0x' || substring(md5(text), 1, 8)) AS BIGINT)) AS BIGINT) AS checksum, " +
+        "(SELECT count(*) FROM documents WHERE n_chars >= 60) AS n_src " +
+        "FROM finald GROUP BY lang ORDER BY lang"),
     // Partition overwrite replays as: every non-de row untouched, de
     // rebuilt as its even-keyed edited self.
     "x_io_replace" ->

@@ -167,6 +167,11 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   private val ConstraintList =
     s"""(?is)\\s*GRAFT\\s+SNAPSHOT\\s+CONSTRAINTS\\s+$P\\s*;?\\s*""".r
 
+  // zero-copy shallow clone (Delta's CLONE): dst's first manifest
+  // references src's current files absolutely.
+  private val Clone =
+    s"""(?is)\\s*GRAFT\\s+SNAPSHOT\\s+CLONE\\s+$P\\s+TO\\s+$P\\s*;?\\s*""".r
+
   // metadata-only ADD COLUMN with an initial default, and its
   // generated-column sibling (Delta's ALTER TABLE ADD COLUMN /
   // GENERATED ALWAYS AS): the DEFAULT/GENERATED expression is the
@@ -232,6 +237,8 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       "[STATS <col>] SET <col> = <expr>[, ...] [WHERE <cond>] " +
       "(parenthesize a SET expression containing WHERE or commas)",
     "GRAFT SNAPSHOT RESTORE '<root>' VERSION <n>",
+    "GRAFT SNAPSHOT CLONE '<src root>' TO '<dst root>' (zero-copy; vacuum " +
+      "on the SOURCE can expire a clone's files — the shallow-clone caveat)",
     "GRAFT SNAPSHOT CONSTRAINT ADD '<root>' NAME <name> CHECK <cond>",
     "GRAFT SNAPSHOT CONSTRAINT DROP '<root>' NAME <name>",
     "GRAFT SNAPSHOT CONSTRAINTS '<root>'",
@@ -526,6 +533,9 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
         GraftSnapshotCommand("add_generated_column", root)(sess =>
           graft.sources.Snapshot.addGeneratedColumn(sess, root, name,
             sqlType.trim, exprSql))
+    case Clone(srcP, dstP) =>
+      GraftSnapshotCommand("clone", unq(dstP))(sess =>
+        graft.sources.Snapshot.cloneTable(sess, unq(srcP), unq(dstP)))
     case RenameColumnV(path, from, to) =>
       GraftSnapshotCommand("rename_column", unq(path))(sess =>
         graft.sources.Snapshot.renameColumn(sess, unq(path), from, to))

@@ -1479,6 +1479,74 @@ object Snapshot {
     n
   }
 
+  // ------------------------------------------------------------------
+  // SHALLOW CLONE — a zero-copy second table over the source's files
+  // (Delta's CLONE): the clone's first manifest references the SOURCE's
+  // current files by ABSOLUTE path ([[resolvePath]] lets every reader
+  // and stream follow them), and — the trick that makes writer-version
+  // semantics transplant VERBATIM — the clone is born at the SOURCE'S
+  // CURRENT VERSION NUMBER, so the copied schema/constraint/evolution
+  // sidecar states keep their since-versions consistent with the
+  // referenced files' writer versions (fills, renames, and drops
+  // resolve on the clone exactly as on the source, and the clone's own
+  // later commits allocate ABOVE every referenced writer version).
+  // From then on the two tables are independent: clone commits stage
+  // under the clone's root, its evolution/constraints move alone, and
+  // vacuum on the CLONE never touches the source (absolute references
+  // live outside its root, local files it wrote are retained normally).
+  // The ONE shared-fate hazard — same as Delta — is vacuum on the
+  // SOURCE: retention there can delete files a clone still references;
+  // deep-copy via publish(read(src)) when the source's lifecycle is not
+  // under your control.
+  // ------------------------------------------------------------------
+
+  /** Create `dst` as a shallow clone of `src`'s current version.
+    * Returns the clone's first version number (= the source's current).
+    * Pending MoR delete vectors carry (their sidecars are referenced
+    * absolutely and keep masking); `dst` must be empty; `src` must be an
+    * absolute path (the references must stay valid from anywhere).
+    */
+  def cloneTable(spark: SparkSession, src: String, dst: String): Int = {
+    require(src.startsWith("/") || src.contains("://"),
+      s"clone source must be an absolute path, got '$src' — the clone's " +
+        "manifest references it from another root")
+    val cur = currentVersion(spark, src)
+    require(cur >= 1, s"snapshot table $src has no committed version to clone")
+    require(currentVersion(spark, dst) == 0,
+      s"clone target $dst already has a committed version")
+    val ctx = fc(spark)
+    require(!ctx.util.exists(new Path(dst, s"_manifest.v$cur")),
+      s"clone target $dst has staged state at v$cur — use a fresh directory")
+    // manifest: source paths absolutized (already-absolute entries —
+    // a clone of a clone — pass through)
+    readManifest(spark, src, cur)
+      .withColumn("path",
+        when(col("path").startsWith("/") || col("path").contains("://"),
+          col("path"))
+          .otherwise(concat(lit(s"$src/"), col("path"))))
+      .coalesce(1).write.mode("overwrite").json(s"$dst/_manifest.v$cur")
+    // sidecar STATES copy verbatim — since-versions stay aligned with
+    // the referenced files' writer versions (see the section comment)
+    val adds = addedColumnsAt(spark, src, cur)
+    if (adds.nonEmpty) {
+      import spark.implicits._
+      adds.map(c => (c.name, c.sqlType, c.defaultSql, c.since))
+        .toDF("name", "sql_type", "default_sql", "since")
+        .coalesce(1).write.mode("overwrite").json(s"$dst/_schema.v$cur")
+    }
+    val cs = constraintsAt(spark, src, cur)
+    if (cs.nonEmpty) {
+      import spark.implicits._
+      cs.map(c => (c.name, c.condSql, c.since))
+        .toDF("name", "cond_sql", "since")
+        .coalesce(1).write.mode("overwrite").json(s"$dst/_constraints.v$cur")
+    }
+    val evo = evolutionAt(spark, src, cur)
+    if (evo.nonEmpty) writeEvolution(spark, dst, cur, evo)
+    commit(spark, dst, cur, Some(s"clone-v$cur"))
+    cur
+  }
+
   /** Stage a MERGE-ON-READ delete (the Delta deletion-vector / Iceberg
     * equality-delete verb) as version current+1 (no commit): the keys
     * are recorded in a DELETE-VECTOR sidecar parquet under the new
@@ -1639,7 +1707,7 @@ object Snapshot {
   private def dvKeysOf(spark: SparkSession, dir: String,
       n: Int): Option[(String, DataFrame)] = {
     val paths = dvRows(readManifest(spark, dir, n))
-      .select("path").collect().map(r => s"$dir/${r.getString(0)}")
+      .select("path").collect().map(r => resolvePath(dir, r.getString(0)))
     if (paths.isEmpty) None
     else {
       val df = spark.read.parquet(paths.toIndexedSeq: _*)
@@ -1707,9 +1775,21 @@ object Snapshot {
       .toSeq
   }
 
-  /** The writer version of a root-relative data file path ("v7/…" → 7). */
+  /** Resolve a manifest path against the table root: paths are normally
+    * ROOT-RELATIVE ("v7/…"), but a SHALLOW CLONE's manifest references
+    * the source's files ABSOLUTELY ([[cloneTable]]) — those pass
+    * through untouched.
+    */
+  private def resolvePath(dir: String, p: String): String =
+    if (p.startsWith("/") || p.contains("://")) p else s"$dir/$p"
+
+  /** The writer version of a manifest data file path — the LAST "vN/"
+    * segment, so both root-relative ("v7/…" → 7) and clone-absolute
+    * ("/src/table/v7/…" → 7) paths resolve (partition dirs are `_p=…`,
+    * never `v<digits>`, so the last match is always the version dir).
+    */
   private def writerVersion(path: String): Int =
-    "^v(\\d+)/".r.findFirstMatchIn(path)
+    "(?:^|/)v(\\d+)/".r.findAllMatchIn(path).toSeq.lastOption
       .map(_.group(1).toInt)
       .getOrElse(sys.error(s"data file path without version segment: $path"))
 
@@ -1869,7 +1949,7 @@ object Snapshot {
     val added = addedColumnsAt(spark, dir, n)
     val evo = evolutionAt(spark, dir, n)
     if (added.isEmpty && evo.isEmpty)
-      return spark.read.parquet(relPaths.map(p => s"$dir/$p").toIndexedSeq: _*)
+      return spark.read.parquet(relPaths.map(resolvePath(dir, _)).toIndexedSeq: _*)
     // one merged timeline: each step applies only to files written
     // BEFORE it (later files already reflect it physically)
     val steps: Seq[(Int, (DataFrame, Int) => DataFrame)] =
@@ -1891,7 +1971,7 @@ object Snapshot {
       }).sortBy(_._1)
     val groups = relPaths.groupBy(writerVersion)
     val frames = groups.toSeq.sortBy(_._1).map { case (wv, paths) =>
-      val df = spark.read.parquet(paths.map(p => s"$dir/$p").toIndexedSeq: _*)
+      val df = spark.read.parquet(paths.map(resolvePath(dir, _)).toIndexedSeq: _*)
       steps.foldLeft(df) { (acc, st) => st._2(acc, wv) }
     }
     val canonical = frames.head.columns
@@ -2413,7 +2493,7 @@ object Snapshot {
       s"snapshot table $dir v$n: file(s) predate a renameColumn/dropColumn " +
         "step and need read-side schema mapping, which the raw-parquet SQL " +
         "front door cannot express — republish, or read through Snapshot.read")
-    files.map(p => s"$dir/$p").toIndexedSeq
+    files.map(resolvePath(dir, _)).toIndexedSeq
   }
 
   /** MAIN-lineage committed versions in `(afterV, upToV]`, from the
@@ -2491,7 +2571,7 @@ object Snapshot {
         s"snapshot table $dir: schema changed (addColumn/renameColumn/" +
           s"dropColumn) between $fromV and $toV — restart the stream to " +
           "pick up the new schema")
-    (fb -- fa).toSeq.sorted.map(p => s"$dir/$p")
+    (fb -- fa).toSeq.sorted.map(resolvePath(dir, _))
   }
 
   /** The SCHEMA-TRACKING step contract of the version-log stream's
@@ -2714,7 +2794,7 @@ object Snapshot {
       // recompute the staged files' stats into the just-written manifest
       val m = readManifest(spark, dir, n)
       val fresh = m.filter(col("path").startsWith(s"v$n/"))
-        .select("path").collect().map(r => s"$dir/${r.getString(0)}")
+        .select("path").collect().map(r => resolvePath(dir, r.getString(0)))
       val stats = spark.read.parquet(fresh.toIndexedSeq: _*)
         .groupBy(input_file_name().as("abs"))
         .agg(min(col(c)).cast("double").as("new_lo"),
@@ -2758,10 +2838,10 @@ object Snapshot {
   def readVerified(spark: SparkSession, dir: String,
       checksumCol: String): DataFrame = {
     val (n, relFiles) = resolveFiles(spark, dir, None)
-    val files = relFiles.map(p => s"$dir/$p")
+    val files = relFiles.map(resolvePath(dir, _))
     val m = readManifest(spark, dir, n)
     val dvPaths = dvRows(m).select("path")
-      .collect().map(r => s"$dir/${r.getString(0)}")
+      .collect().map(r => resolvePath(dir, r.getString(0)))
     require(!addedColumnsAt(spark, dir, n).exists(_.name == checksumCol),
       s"checksum column '$checksumCol' is a metadata-added column — " +
         "verify against a physical column")

@@ -2,7 +2,7 @@ package graft
 
 /** T1 blanket contract checks: every declared query runs on sf0.001,
   * the queries/oracleSql maps are mutually consistent, and the declared
-  * inventory matches SURVEY.md §2b (275 keys, 267 oracle-checked).
+  * inventory matches SURVEY.md §2b (276 keys, 268 oracle-checked).
   */
 class ContractSpec extends SparkSpec {
 
@@ -11,9 +11,9 @@ class ContractSpec extends SparkSpec {
       "t_stream_runtime", "t_stream_dedup", "t_stream_session",
       "t_stream_join")
 
-  test("inventory matches SURVEY §2b: 275 queries, 267 with oracle SQL") {
-    assert(SparkEntry.queries.size === 275)
-    assert(SparkEntry.oracleSql.size === 267)
+  test("inventory matches SURVEY §2b: 276 queries, 268 with oracle SQL") {
+    assert(SparkEntry.queries.size === 276)
+    assert(SparkEntry.oracleSql.size === 268)
     assert(SparkEntry.queries.keySet.intersect(nonOracle).size === 8)
   }
 
@@ -70,6 +70,7 @@ class ContractSpec extends SparkSpec {
     "x_io_mor_delete",   // 1-row pre-materialize count crossJoin
     "x_io_mor_bulk",     // same 1-row pre-materialize count crossJoin
     "x_io_constraints",  // 1-row live-rule count crossJoin
+    "x_io_clone",        // 1-row source-count crossJoin
     "x_text_bm25",       // 1-row corpus-scalars (N/avgdl/df) crossJoin
     "x_drift_psi",       // 1-row min/max frame crossJoin (bin boundaries)
     "x_emb_pca",         // 1-row norm/eig crossJoins per pinned round

@@ -1851,6 +1851,72 @@ class SnapshotSpec extends SparkSpec {
       e.getMessage.contains("NOT a prefix"), e.getMessage)
   }
 
+  test("shallow clone: zero data copied, independent lifecycles, clone vacuum never touches source") {
+    val src = freshDir()
+    val dst = freshDir() + "/clone"
+    Snapshot.publish(spark, src, docs, "lang", "text")             // src v1
+    Snapshot.upsert(spark, src, updates, "doc_id", "lang", "text") // src v2
+    val v = Snapshot.cloneTable(spark, src, dst)
+    assert(v === 2, "the clone is born at the SOURCE's version number")
+    // zero copy: no data files under dst, content identical
+    assert(!new java.io.File(dst, "v1").exists() &&
+      !new java.io.File(dst, "v2").exists())
+    assert(fingerprint(Snapshot.read(spark, dst)) === fingerprint(mergedExpected))
+    // independent: a clone append is invisible to src and vice versa
+    val extra = docs.limit(2).withColumn("doc_id", col("doc_id") + 8300000L)
+    Snapshot.append(spark, dst, extra, "lang", "text")             // dst v3
+    assert(Snapshot.read(spark, dst).count() === docs.count() + 2)
+    assert(fingerprint(Snapshot.read(spark, src)) === fingerprint(mergedExpected))
+    Snapshot.append(spark, src,
+      docs.limit(1).withColumn("doc_id", col("doc_id") + 8400000L),
+      "lang", "text")                                              // src v3
+    assert(Snapshot.read(spark, dst).count() === docs.count() + 2,
+      "a post-clone source append must not leak into the clone")
+    // clone-side evolution stays clone-local
+    Snapshot.renameColumn(spark, dst, "source", "origin")          // dst v4
+    assert(Snapshot.read(spark, dst).columns.contains("origin"))
+    assert(Snapshot.read(spark, src).columns.contains("source"))
+    // vacuum on the CLONE keeps every absolute source reference readable,
+    // and the source's own content (its v3 append included) is untouched
+    Snapshot.vacuum(spark, dst, keepVersions = 1)
+    assert(Snapshot.read(spark, dst).count() === docs.count() + 2)
+    assert(Snapshot.read(spark, src).count() === docs.count() + 1)
+    // refusals: non-empty target, relative source
+    val e1 = intercept[IllegalArgumentException](
+      Snapshot.cloneTable(spark, src, dst))
+    assert(e1.getMessage.contains("already has a committed version"))
+    val e2 = intercept[IllegalArgumentException](
+      Snapshot.cloneTable(spark, "relative/path", freshDir() + "/c2"))
+    assert(e2.getMessage.contains("absolute"))
+  }
+
+  test("clone carries schema state: fills and constraints behave exactly as on the source") {
+    val src = freshDir()
+    val dst = freshDir() + "/clone"
+    Snapshot.publish(spark, src, docs, "lang", "text")             // v1
+    Snapshot.addColumn(spark, src, "quality", "DOUBLE", "0.5")     // v2
+    Snapshot.addConstraint(spark, src, "chars_pos", "n_chars > 0") // v3
+    Snapshot.cloneTable(spark, src, dst)                           // dst@v3
+    // pre-add source files fill the default through the clone's door
+    assert(Snapshot.read(spark, dst).filter(col("quality") === 0.5).count()
+      === docs.count())
+    // the cloned constraint gates clone writes
+    val bad = docs.limit(1)
+      .withColumn("doc_id", col("doc_id") + 8500000L)
+      .withColumn("n_chars", lit(-1L))
+      .withColumn("quality", lit(0.9))
+    val e = intercept[IllegalArgumentException](
+      Snapshot.append(spark, dst, bad, "lang", "text"))
+    assert(e.getMessage.contains("chars_pos"))
+    // SQL door: CLONE TO + read back through READ
+    val ext = org.apache.spark.sql.GraftBridge.sessionWithExtensions(
+      spark, new graft.plans.GraftExtensions)
+    val dst2 = freshDir() + "/clone2"
+    val r = ext.sql(s"GRAFT SNAPSHOT CLONE '$src' TO '$dst2'").head()
+    assert(r.getString(0) === "clone" && r.getInt(2) === 3)
+    assert(ext.sql(s"GRAFT SNAPSHOT READ '$dst2'").count() === docs.count())
+  }
+
   test("VACUUM DRY RUN reports exactly what the real vacuum then removes, deleting nothing") {
     val dir = freshDir()
     val ext = org.apache.spark.sql.GraftBridge.sessionWithExtensions(
