@@ -172,6 +172,27 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   private val Clone =
     s"""(?is)\\s*GRAFT\\s+SNAPSHOT\\s+CLONE\\s+$P\\s+TO\\s+$P\\s*;?\\s*""".r
 
+  // BRANCH verbs — the write-audit-publish loop from pure SQL
+  // (Snapshot.createBranch/readBranch/upsertOnBranch/publishBranch/
+  // dropBranch): a branch is one pointer over the shared version store.
+  private val BranchCreate =
+    s"""(?is)\\s*GRAFT\\s+SNAPSHOT\\s+BRANCH\\s+CREATE\\s+$P\\s+NAME\\s+$Ident\\s*;?\\s*""".r
+
+  private val BranchPublish =
+    s"""(?is)\\s*GRAFT\\s+SNAPSHOT\\s+BRANCH\\s+PUBLISH\\s+$P\\s+NAME\\s+$Ident\\s*;?\\s*""".r
+
+  private val BranchDrop =
+    s"""(?is)\\s*GRAFT\\s+SNAPSHOT\\s+BRANCH\\s+DROP\\s+$P\\s+NAME\\s+$Ident\\s*;?\\s*""".r
+
+  private val BranchList =
+    s"""(?is)\\s*GRAFT\\s+SNAPSHOT\\s+BRANCHES\\s+$P\\s*;?\\s*""".r
+
+  private val BranchRead =
+    s"""(?is)\\s*GRAFT\\s+SNAPSHOT\\s+READ\\s+$P\\s+BRANCH\\s+$Ident\\s*;?\\s*""".r
+
+  private val BranchUpsert =
+    s"""(?is)\\s*GRAFT\\s+SNAPSHOT\\s+UPSERT\\s+$P\\s+BRANCH\\s+$Ident\\s+KEY\\s+$Ident\\s+PARTITION\\s+$Ident\\s+CHECKSUM\\s+$Ident\\s+AS\\s+(.+)""".r
+
   // metadata-only ADD COLUMN with an initial default, and its
   // generated-column sibling (Delta's ALTER TABLE ADD COLUMN /
   // GENERATED ALWAYS AS): the DEFAULT/GENERATED expression is the
@@ -239,6 +260,13 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     "GRAFT SNAPSHOT RESTORE '<root>' VERSION <n>",
     "GRAFT SNAPSHOT CLONE '<src root>' TO '<dst root>' (zero-copy; vacuum " +
       "on the SOURCE can expire a clone's files — the shallow-clone caveat)",
+    "GRAFT SNAPSHOT BRANCH CREATE '<root>' NAME <b>",
+    "GRAFT SNAPSHOT READ '<root>' BRANCH <b>",
+    "GRAFT SNAPSHOT UPSERT '<root>' BRANCH <b> KEY <col> PARTITION <col> " +
+      "CHECKSUM <col> AS <query>",
+    "GRAFT SNAPSHOT BRANCH PUBLISH '<root>' NAME <b>",
+    "GRAFT SNAPSHOT BRANCH DROP '<root>' NAME <b>",
+    "GRAFT SNAPSHOT BRANCHES '<root>'",
     "GRAFT SNAPSHOT CONSTRAINT ADD '<root>' NAME <name> CHECK <cond>",
     "GRAFT SNAPSHOT CONSTRAINT DROP '<root>' NAME <name>",
     "GRAFT SNAPSHOT CONSTRAINTS '<root>'",
@@ -536,6 +564,30 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     case Clone(srcP, dstP) =>
       GraftSnapshotCommand("clone", unq(dstP))(sess =>
         graft.sources.Snapshot.cloneTable(sess, unq(srcP), unq(dstP)))
+    case BranchCreate(path, name) =>
+      GraftSnapshotCommand("branch_create", unq(path))(sess =>
+        graft.sources.Snapshot.createBranch(sess, unq(path), name))
+    case BranchPublish(path, name) =>
+      GraftSnapshotCommand("branch_publish", unq(path))(sess =>
+        graft.sources.Snapshot.publishBranch(sess, unq(path), name))
+    case BranchDrop(path, name) =>
+      GraftSnapshotCommand("branch_drop", unq(path)) { sess =>
+        graft.sources.Snapshot.dropBranch(sess, unq(path), name)
+        graft.sources.Snapshot.currentVersion(sess, unq(path))
+      }
+    case BranchList(path) =>
+      GraftBridge.planOf(
+        graft.sources.Snapshot.listBranches(session, unq(path)))
+    case BranchRead(path, name) =>
+      GraftBridge.planOf(
+        graft.sources.Snapshot.readBranch(session, unq(path), name))
+    case BranchUpsert(path, branch, keyCol, partCol, ckCol, query) =>
+      // branch writes flip only the BRANCH pointer (upsertOnBranch owns
+      // the stage + flip); main stays untouched until BRANCH PUBLISH
+      val parsed = delegate.parsePlan(query)
+      GraftSnapshotCommand("branch_upsert", unq(path))(sess =>
+        graft.sources.Snapshot.upsertOnBranch(sess, unq(path), branch,
+          GraftBridge.ofRows(sess, parsed), keyCol, partCol, ckCol))
     case RenameColumnV(path, from, to) =>
       GraftSnapshotCommand("rename_column", unq(path))(sess =>
         graft.sources.Snapshot.renameColumn(sess, unq(path), from, to))

@@ -602,6 +602,14 @@ object Snapshot {
     if (ctx.util.exists(p)) { ctx.delete(p, false); () }
   }
 
+  /** [[branches]] as a frame `(name, head_version)` — the SQL listing
+    * (`GRAFT SNAPSHOT BRANCHES`).
+    */
+  def listBranches(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    branches(spark, dir).toSeq.sorted.toDF("name", "head_version")
+  }
+
   /** All live branch names with their head versions (vacuum retains
     * these heads' manifests and files).
     */

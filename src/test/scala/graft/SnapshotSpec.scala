@@ -1917,6 +1917,37 @@ class SnapshotSpec extends SparkSpec {
     assert(ext.sql(s"GRAFT SNAPSHOT READ '$dst2'").count() === docs.count())
   }
 
+  test("SQL BRANCH verbs run the write-audit-publish loop without one Scala call") {
+    val dir = freshDir()
+    val ext = org.apache.spark.sql.GraftBridge.sessionWithExtensions(
+      spark, new graft.plans.GraftExtensions)
+    ext.read.parquet(s"${sf()}/documents.parquet")
+      .createOrReplaceTempView("wap_docs")
+    ext.sql(s"GRAFT SNAPSHOT PUBLISH '$dir' PARTITION lang CHECKSUM text " +
+      "AS SELECT * FROM wap_docs")
+    val mainPrint = fingerprint(Snapshot.read(ext, dir))
+    ext.sql(s"GRAFT SNAPSHOT BRANCH CREATE '$dir' NAME audit")
+    assert(ext.sql(s"GRAFT SNAPSHOT BRANCHES '$dir'").collect()
+      .map(_.getString(0)).toSeq === Seq("audit"))
+    // write on the branch: main must not move
+    ext.sql(s"GRAFT SNAPSHOT UPSERT '$dir' BRANCH audit KEY doc_id " +
+      "PARTITION lang CHECKSUM text AS " +
+      "SELECT doc_id, text || ' wapq' AS text, lang, source, n_chars + 1 AS n_chars " +
+      "FROM wap_docs WHERE lang = 'en' AND doc_id % 10 = 0")
+    assert(fingerprint(Snapshot.read(ext, dir)) === mainPrint,
+      "a branch write must not move main")
+    // audit the branch read, then publish: main fast-forwards
+    val nEdited = ext.sql(s"GRAFT SNAPSHOT READ '$dir' BRANCH audit")
+      .filter(col("text").endsWith(" wapq")).count()
+    assert(nEdited === docs.filter(col("lang") === "en" &&
+      pmod(col("doc_id"), lit(10)) === 0).count())
+    ext.sql(s"GRAFT SNAPSHOT BRANCH PUBLISH '$dir' NAME audit")
+    assert(Snapshot.read(ext, dir)
+      .filter(col("text").endsWith(" wapq")).count() === nEdited)
+    ext.sql(s"GRAFT SNAPSHOT BRANCH DROP '$dir' NAME audit")
+    assert(ext.sql(s"GRAFT SNAPSHOT BRANCHES '$dir'").count() === 0)
+  }
+
   test("VACUUM DRY RUN reports exactly what the real vacuum then removes, deleting nothing") {
     val dir = freshDir()
     val ext = org.apache.spark.sql.GraftBridge.sessionWithExtensions(
