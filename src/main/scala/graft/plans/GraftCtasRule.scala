@@ -102,3 +102,33 @@ object GraftCtasRule extends Rule[LogicalPlan] {
     case _ => false
   }
 }
+
+/** MAPPED-READ expansion (the CTAS rule's device applied to reads): a
+  * [[graft.sources.MappedSnapshotTable]] marks a snapshot state raw
+  * parquet cannot express — files predating a renameColumn/dropColumn
+  * step, or an added column whose default is not constant-foldable (a
+  * generated column's per-row fill). This rule splices the LOGICAL
+  * read's analyzed plan in place of the V2 relation at analysis time —
+  * view expansion — aliasing each output to the relation's exprIds so
+  * every downstream reference keeps resolving. The underlying plan is
+  * still explicit-file parquet scans under per-writer-generation
+  * projections ([[graft.sources.Snapshot.readFiles]]), so filter/column
+  * pushdown survives through the projections.
+  */
+object GraftMappedReadRule extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.Alias
+  import org.apache.spark.sql.catalyst.plans.logical.Project
+  import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperators {
+    case r: DataSourceV2Relation
+        if r.table.isInstanceOf[graft.sources.MappedSnapshotTable] =>
+      val child = GraftBridge.planOf(
+        r.table.asInstanceOf[graft.sources.MappedSnapshotTable].df)
+      // splice under the relation's OWN exprIds so downstream
+      // references (aliases, conditions) keep resolving
+      Project(r.output.zip(child.output).map { case (o, c) =>
+        Alias(c, o.name)(exprId = o.exprId, qualifier = o.qualifier)
+      }, child)
+  }
+}

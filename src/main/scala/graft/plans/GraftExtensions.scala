@@ -60,6 +60,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // (see GraftCtasRule) — a resolution rule, so the V2 write path that
     // would bypass the format's atomicity never engages
     ext.injectResolutionRule(_ => GraftCtasRule)
+    // mapped-read view expansion: snapshot states raw parquet cannot
+    // express (rename/drop mapping, generated-column fill) serve the
+    // logical read's plan — see GraftMappedReadRule
+    ext.injectResolutionRule(_ => GraftMappedReadRule)
     // the PARSER extension point: one added statement (GRAFT SNAPSHOT
     // HISTORY), everything else delegated verbatim — see GraftSqlParser
     ext.injectParser((session, delegate) =>

@@ -55,9 +55,9 @@ class SnapshotSource extends TableProvider with DataSourceRegister {
     * note in the class doc. TableProvider instances are per-load, so
     * this never caches across reads.
     */
-  @transient private var cached: Option[(String, ParquetTable)] = None
+  @transient private var cached: Option[(String, Table)] = None
 
-  private def resolve(options: CaseInsensitiveStringMap): ParquetTable = {
+  private def resolve(options: CaseInsensitiveStringMap): Table = {
     val dir = Option(options.get("path")).getOrElse(sys.error(
       "graft-snapshot requires option 'path' (the snapshot table root)"))
     val version = Option(options.get("version")).map(_.toInt)
@@ -72,7 +72,7 @@ class SnapshotSource extends TableProvider with DataSourceRegister {
     cached match {
       case Some((k, t)) if k == key => t
       case _ =>
-        val t = SnapshotTables.parquetTable(SparkSession.active, dir,
+        val t = SnapshotTables.tableFor(SparkSession.active, dir,
           version, parts)
         cached = Some((key, t))
         t
@@ -84,8 +84,35 @@ class SnapshotSource extends TableProvider with DataSourceRegister {
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: JMap[String, String]): Table =
-    SnapshotTables.readOnly(
-      resolve(new CaseInsensitiveStringMap(properties)))
+    resolve(new CaseInsensitiveStringMap(properties))
+}
+
+/** A snapshot state raw parquet cannot express (files predating a
+  * rename/drop step; a non-foldable added-column default), served as
+  * the LOGICAL read's plan: [[graft.plans.GraftMappedReadRule]] splices
+  * `df`'s analyzed plan in place of this relation at analysis time —
+  * view expansion, the same device as the CTAS rule. The scan builder
+  * exists only to refuse loudly when the session lacks the extensions
+  * that carry the rule.
+  */
+private[graft] final class MappedSnapshotTable(tableName: String,
+    private[graft] val df: org.apache.spark.sql.DataFrame)
+  extends Table with org.apache.spark.sql.connector.catalog.SupportsRead {
+  override def name(): String = tableName
+  override def schema(): StructType = df.schema
+  override def capabilities(): java.util.Set[
+      org.apache.spark.sql.connector.catalog.TableCapability] =
+    java.util.EnumSet.of(
+      org.apache.spark.sql.connector.catalog.TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : org.apache.spark.sql.connector.read.ScanBuilder =
+    throw new UnsupportedOperationException(
+      s"$tableName: this snapshot state needs read-side schema mapping " +
+        "(renamed/dropped columns over surviving old files, or a " +
+        "generated column's per-row fill), which is served by the " +
+        "mapped-read resolution rule — build the session with " +
+        "graft.plans.GraftExtensions (spark.sql.extensions), or read " +
+        "through Snapshot.read")
 }
 
 /** Shared DSv2 table construction for the snapshot format's two SQL
@@ -96,18 +123,25 @@ class SnapshotSource extends TableProvider with DataSourceRegister {
   */
 private[sources] object SnapshotTables {
 
-  /** One snapshot-pinned ParquetTable (see [[SnapshotSource]] class doc
-    * for why delegation buys pushdown/codegen for free).
+  /** The Table one snapshot-pinned SQL read serves — raw vectorized
+    * parquet over the explicit file list where that fully describes the
+    * state (with `EXISTS_DEFAULT` metadata fields when added columns
+    * need their fill — Delta's mechanism, the readers fill files missing
+    * the column), or the mapped logical read where it cannot
+    * ([[MappedSnapshotTable]]); see [[Snapshot.sqlServe]].
     */
-  def parquetTable(spark: SparkSession, dir: String, version: Option[Int],
-      parts: Option[Seq[String]]): ParquetTable = {
-    val files = Snapshot.sqlFiles(spark, dir, version, parts)
-    val opts = new java.util.HashMap[String, String]()
-    opts.put("recursiveFileLookup", "true") // no _p= dir inference
-    ParquetTable(
-      s"graft-snapshot $dir@${version.getOrElse(-1)}@${parts.map(_.mkString("|")).getOrElse("*")}",
-      spark, new CaseInsensitiveStringMap(opts), files, None,
-      classOf[ParquetFileFormat])
+  def tableFor(spark: SparkSession, dir: String, version: Option[Int],
+      parts: Option[Seq[String]]): Table = {
+    val name =
+      s"graft-snapshot $dir@${version.getOrElse(-1)}@${parts.map(_.mkString("|")).getOrElse("*")}"
+    Snapshot.sqlServe(spark, dir, version, parts) match {
+      case Snapshot.ServeParquet(files, fillSchema) =>
+        val opts = new java.util.HashMap[String, String]()
+        opts.put("recursiveFileLookup", "true") // no _p= dir inference
+        readOnly(ParquetTable(name, spark, new CaseInsensitiveStringMap(opts),
+          files, fillSchema, classOf[ParquetFileFormat]))
+      case Snapshot.ServeMapped(df) => new MappedSnapshotTable(name, df)
+    }
   }
 
   /** Wrap to (a) carry the snapshot identity in name() and (b) refuse

@@ -175,10 +175,28 @@ class SnapshotStreamSource extends StreamSourceProvider with DataSourceRegister 
       "evolveSchema applies to the append-mode version-log stream; CDF " +
         "mode (readChanges) draws its own schema line at readChanges' " +
         "addColumn refusal")
+    // FILE/BYTE admission control (maxFilesPerTrigger/maxBytesPerTrigger,
+    // the FileStreamSource levers): one giant commit — or the initial
+    // load of a big table — splits across micro-batches at FILE
+    // boundaries (immutable files make sub-version offsets exact).
+    // Append mode only: a CDF batch is one commit's row-level delta and
+    // the evolve mode's fill groups are version-atomic — splitting
+    // either would tear a commit's atomicity, so the options refuse.
+    val maxFiles = parameters.get("maxFilesPerTrigger").map(_.toInt)
+    require(maxFiles.forall(_ >= 1),
+      s"maxFilesPerTrigger must be >= 1, got ${maxFiles.get}")
+    val maxBytes = parameters.get("maxBytesPerTrigger").map(_.toLong)
+    require(maxBytes.forall(_ >= 1),
+      s"maxBytesPerTrigger must be >= 1, got ${maxBytes.get}")
+    require(maxFiles.isEmpty && maxBytes.isEmpty || (!changes && !evolve),
+      "maxFilesPerTrigger/maxBytesPerTrigger split commits at file " +
+        "boundaries, which only the plain append-mode stream can do " +
+        "exactly — a CDF or schema-tracking batch is commit-atomic; " +
+        "drop the option or the mode")
     if (evolve)
       SnapshotVersionSource.trackSchemaGeneration(spark, dir, metadataPath)
     new SnapshotVersionSource(spark, dir, pinned, maxVersions,
-      startingVersion, changes, evolve)
+      startingVersion, changes, evolve, maxFiles, maxBytes)
   }
 }
 
@@ -227,11 +245,76 @@ private[graft] object SnapshotVersionSource {
 private[graft] class SnapshotVersionSource(spark: SparkSession, dir: String,
     pinned: StructType, maxVersions: Int,
     startingVersion: Option[Int] = None, changes: Boolean = false,
-    evolve: Boolean = false)
+    evolve: Boolean = false, maxFiles: Option[Int] = None,
+    maxBytes: Option[Long] = None)
     extends Source with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
   override def schema: StructType = pinned
+
+  // --------------------------------------------------------------
+  // SUB-VERSION OFFSETS (file/byte admission control): a plain integer
+  // offset means "every commit through v fully consumed" (the original
+  // format — old checkpoints parse unchanged); "p:v#k" means "the step
+  // from committed version p to v is k files in" (the step's file list
+  // is the DETERMINISTIC sorted manifest diff, so a restart re-slices
+  // the same files). Mid-step offsets live only while one oversized
+  // step drains — the next complete batch returns to the plain format.
+  // --------------------------------------------------------------
+
+  private val splitting = maxFiles.isDefined || maxBytes.isDefined
+
+  /** (prevCommitted, version, filesConsumed); filesConsumed = -1 means
+    * complete through `version`.
+    */
+  private def parseOff(txt0: String): (Int, Int, Int) = {
+    val txt = txt0.trim
+    if (txt.contains(":")) {
+      val m = """^(\d+):(\d+)#(\d+)$""".r.findFirstMatchIn(txt).getOrElse(
+        throw new IllegalStateException(
+          s"graft-snapshot-stream $dir: checkpoint offset '$txt' matches " +
+            "neither the integer nor the 'p:v#k' sub-version format — " +
+            "foreign or corrupted checkpoint; start a fresh checkpoint"))
+      (m.group(1).toInt, m.group(2).toInt, m.group(3).toInt)
+    } else (ver0(txt), ver0(txt), -1)
+  }
+
+  private def ver0(txt: String): Int =
+    txt.toIntOption.getOrElse(throw new IllegalStateException(
+      s"graft-snapshot-stream $dir: checkpoint offset '$txt' is not an " +
+        "integer version number — the version-log source writes integer " +
+        "offsets, so this checkpoint is foreign or corrupted; start a " +
+        "fresh checkpoint (a fresh stream attaches to the current " +
+        "snapshot without replaying history)"))
+
+  /** One step's sorted appended-file list (prev = 0 is the initial
+    * load). Deterministic — the sub-version slice contract.
+    */
+  private def stepFiles(p: Int, v: Int): Seq[String] =
+    Snapshot.appendedFiles(spark, dir, p, v)
+
+  /** Admit files under the maxFiles/maxBytes caps (always at least
+    * one file — a single file larger than maxBytes must still move).
+    */
+  private def admit(files: Seq[String]): Int = {
+    val capped = maxFiles.fold(files)(files.take)
+    maxBytes match {
+      case None => capped.size
+      case Some(cap) =>
+        val fs = new org.apache.hadoop.fs.Path(dir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        var total = 0L
+        var k = 0
+        var stop = false
+        while (k < capped.size && !stop) {
+          val len = fs.getFileStatus(
+            new org.apache.hadoop.fs.Path(capped(k))).getLen
+          if (k > 0 && total + len > cap) stop = true
+          else { total += len; k += 1 }
+        }
+        math.max(k, 1)
+    }
+  }
 
   /** The committed version this run PINNED its schema at (evolve mode's
     * fill anchor): replay batches at older versions fill added columns
@@ -241,23 +324,20 @@ private[graft] class SnapshotVersionSource(spark: SparkSession, dir: String,
     if (evolve) Snapshot.currentVersion(spark, dir) else 0
 
   /** The version a v1/v2 offset names (restart hands back a
-    * SerializedOffset carrying the same json).
+    * SerializedOffset carrying the same json); sub-version offsets name
+    * the step's END version.
     */
-  private def ver(o: OffsetV2): Int = {
-    val txt = o.json.trim
-    // graft-named diagnosis, not a bare NumberFormatException: the one
-    // way a non-integer arrives here is a foreign or corrupted
-    // checkpoint handed back as a SerializedOffset
-    txt.toIntOption.getOrElse(throw new IllegalStateException(
-      s"graft-snapshot-stream $dir: checkpoint offset '$txt' is not an " +
-        "integer version number — the version-log source writes integer " +
-        "offsets, so this checkpoint is foreign or corrupted; start a " +
-        "fresh checkpoint (a fresh stream attaches to the current " +
-        "snapshot without replaying history)"))
-  }
+  private def ver(o: OffsetV2): Int = parseOff(o.json)._2
 
   private case class VersionOffset(v: Int) extends Offset {
     override def json: String = v.toString
+  }
+
+  /** Mid-step offset: step p→v is `idx` files in (see the sub-version
+    * offset section comment).
+    */
+  private case class PartialOffset(p: Int, v: Int, idx: Int) extends Offset {
+    override def json: String = s"$p:$v#$idx"
   }
 
   /** Target fixed by Trigger.AvailableNow at start; None = keep tailing. */
@@ -276,6 +356,7 @@ private[graft] class SnapshotVersionSource(spark: SparkSession, dir: String,
   override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 = {
     val target = availableNowTarget
       .getOrElse(Snapshot.currentVersion(spark, dir))
+    if (splitting) return latestOffsetSplitting(start, target)
     Option(start).map(ver).orElse(startingVersion) match {
       case None =>
         if (target >= 1) VersionOffset(target) else null
@@ -289,6 +370,33 @@ private[graft] class SnapshotVersionSource(spark: SparkSession, dir: String,
     }
   }
 
+  /** File/byte-capped admission: one STEP at a time (the caps bound the
+    * batch anyway), sliced at file boundaries when the step's sorted
+    * file list exceeds them. A mid-step start finishes its own step
+    * first; a fresh stream's initial load is the step 0→target.
+    */
+  private def latestOffsetSplitting(start: OffsetV2, target: Int): OffsetV2 = {
+    val state: Option[(Int, Int, Int)] =
+      Option(start).map(o => parseOff(o.json))
+        .orElse(startingVersion.map(v => (v, v, -1)))
+    val (p, v, idx) = state match {
+      case None =>
+        if (target < 1) return null
+        (0, target, 0) // fresh stream: the initial load is step 0→target
+      case Some((sp, sv, si)) if si >= 0 => (sp, sv, si) // mid-step
+      case Some((_, sv, _)) =>
+        val steps = Snapshot.committedVersionsIn(spark, dir, sv, target)
+        if (steps.isEmpty) return null
+        (sv, steps.head, 0)
+    }
+    val files = stepFiles(p, v)
+    val remaining = files.drop(idx)
+    if (remaining.isEmpty) return if (idx >= 0 && v >= 1) VersionOffset(v) else null
+    val k = admit(remaining)
+    if (idx + k >= files.size) VersionOffset(v)
+    else PartialOffset(p, v, idx + k)
+  }
+
   override def reportLatestOffset(): OffsetV2 =
     VersionOffset(Snapshot.currentVersion(spark, dir))
 
@@ -297,9 +405,22 @@ private[graft] class SnapshotVersionSource(spark: SparkSession, dir: String,
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
-    val from = start.map(o => ver(o)).orElse(startingVersion).getOrElse(0)
-    val to = ver(end)
+    val (sp, sv, si) = start
+      .map(o => parseOff(o.json))
+      .orElse(startingVersion.map(v => (v, v, -1)))
+      .getOrElse((0, 0, -1))
+    val (ep, ev, ei) = parseOff(end.json)
+    val from = sv
+    val to = ev
     val cols = pinned.fieldNames.map(col).toIndexedSeq
+    // sub-version slices appear only in plain append mode (the
+    // provider refuses the caps elsewhere); a composite offset reaching
+    // another mode means a checkpoint/mode mismatch — refuse loudly
+    require((si < 0 && ei < 0) || (!changes && !evolve),
+      s"graft-snapshot-stream $dir: sub-version offset in " +
+        "CDF/schema-tracking mode — this checkpoint was written by an " +
+        "append-mode stream with maxFilesPerTrigger/maxBytesPerTrigger; " +
+        "resume it in that mode or start a fresh checkpoint")
     val batch =
       if (changes) {
         // CDF mode: the initial snapshot arrives as inserts; every later
@@ -357,7 +478,29 @@ private[graft] class SnapshotVersionSource(spark: SparkSession, dir: String,
           case Some(df) => df.select(cols: _*)
         }
       } else {
-        val files = Snapshot.appendedFiles(spark, dir, from, to)
+        // compose the range at FILE granularity: the tail of the
+        // start's step (if mid-step), the cumulative manifest diff of
+        // the whole steps between, and the head of the end's step (if
+        // mid-step) — each slice of a DETERMINISTIC sorted list, so
+        // restarts re-read identical rows
+        val head =
+          if (si >= 0) stepFiles(sp, sv).drop(si)
+          else Seq.empty[String]
+        val mid =
+          if (ei >= 0) {
+            if (sv < ep) Snapshot.appendedFiles(spark, dir, sv, ep)
+            else Seq.empty[String]
+          } else if (sv < ev) Snapshot.appendedFiles(spark, dir, sv, ev)
+          else Seq.empty[String]
+        val tail =
+          if (ei >= 0) {
+            if (sp == ep && sv == ev) Seq.empty[String] // same step: head covers it
+            else stepFiles(ep, ev).take(ei)
+          } else Seq.empty[String]
+        val files =
+          if (si >= 0 && ei >= 0 && sp == ep && sv == ev)
+            stepFiles(sp, sv).slice(si, ei)
+          else head ++ mid ++ tail
         if (files.isEmpty) spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], pinned)
         else spark.read.schema(pinned).parquet(files: _*).select(cols: _*)

@@ -647,6 +647,69 @@ object ScaleProbe {
         f"rewritten) -> 10x-store ${d10}%7.2fs ($rw10 of $tot10; " +
         f"factor ${d10 / d1}%5.1f, claim ~1)")
     }
+    // Multi-column stats pruning (round-15): a delete on a SECOND
+    // recorded column whose values correlate with the clustered layout
+    // (score == doc_id here) must prune like the legacy stats column —
+    // fixed range, ~constant rewrite set as the store grows 1x -> 10x.
+    if (mode == "all" || mode == "multistats") {
+      def msProbe(mult: Int): (Double, Int, Int) = {
+        val dir = java.nio.file.Files.createTempDirectory("probe_mstats").toString
+        val docs = (0 until mult).map { i =>
+          base.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+            col("text"), col("lang"), col("source"), col("n_chars"))
+        }.reduce(_ unionByName _)
+          .withColumn("score", col("doc_id").cast("double"))
+        graft.sources.Snapshot.publishClustered(spark, dir, docs, "lang",
+          "doc_id", "text", nFiles = 8 * mult)
+        graft.sources.Snapshot.recordFileStats(spark, dir, Seq("score"))
+        val t0 = System.nanoTime()
+        graft.sources.Snapshot.deleteWhere(spark, dir,
+          "score BETWEEN 100 AND 260", "lang", "text",
+          statsCol = Some("doc_id"))
+        val sec = (System.nanoTime() - t0) / 1e9
+        val v = graft.sources.Snapshot.currentVersion(spark, dir)
+        val m = spark.read.schema("path STRING")
+          .json(s"$dir/_manifest.v$v").select("path").collect()
+          .map(_.getString(0))
+        (sec, m.count(_.startsWith(s"v$v/")), m.length)
+      }
+      val (d1, rw1, tot1) = msProbe(1)
+      graft.ops.T.releaseCaches(blocking = true)
+      val (d10, rw10, tot10) = msProbe(10)
+      graft.ops.T.releaseCaches(blocking = true)
+      println(f"multi-stats delete on SECOND column 1x ${d1}%6.2fs " +
+        f"($rw1 of $tot1 files rewritten) -> 10x-store ${d10}%7.2fs " +
+        f"($rw10 of $tot10; factor ${d10 / d1}%5.1f, claim ~1)")
+    }
+    // Version-allocation checkpoint (round-15, `_summary`): per-commit
+    // cost on a table with HUNDREDS of retained versions must stay flat
+    // — the claim is O(1) allocation via the checkpoint instead of an
+    // O(#versions) root listing per commit. Each commit REPLACES one
+    // partition (manifest size constant), so the only thing that grows
+    // with commit count is the version store itself.
+    if (mode == "all" || mode == "summarylog") {
+      val dir = java.nio.file.Files.createTempDirectory("probe_summary").toString
+      val one = base.filter(col("lang") === "en").limit(200)
+        .localCheckpoint()
+      graft.sources.Snapshot.publish(spark, dir, one, "lang", "text")
+      val n = 300
+      val times = new Array[Double](n)
+      var i = 0
+      while (i < n) {
+        val t0 = System.nanoTime()
+        val v = graft.sources.Snapshot.stageReplacePartitions(spark, dir,
+          one, "lang", "text")
+        graft.sources.Snapshot.commit(spark, dir, v)
+        times(i) = (System.nanoTime() - t0) / 1e9
+        i += 1
+      }
+      val head = times.slice(0, 50).sum / 50
+      val tail = times.slice(n - 50, n).sum / 50
+      println(f"summary checkpoint: per-commit cost over $n%d commits — " +
+        f"first-50 avg ${head}%6.3fs vs last-50 avg ${tail}%6.3fs " +
+        f"(factor ${tail / head}%5.2f, claim ~1: allocation is O(1) via " +
+        "_summary, never an O(#versions) listing)")
+    }
     // CHECK-constraint enforcement cost at 1x -> 10x: appending a FIXED
     // delta to a constrained table validates ONLY the delta's rows, so
     // the append should cost the same at both store sizes (the

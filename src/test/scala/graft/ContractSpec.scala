@@ -2,7 +2,7 @@ package graft
 
 /** T1 blanket contract checks: every declared query runs on sf0.001,
   * the queries/oracleSql maps are mutually consistent, and the declared
-  * inventory matches SURVEY.md §2b (276 keys, 268 oracle-checked).
+  * inventory matches SURVEY.md §2b (283 keys, 275 oracle-checked).
   */
 class ContractSpec extends SparkSpec {
 
@@ -11,9 +11,9 @@ class ContractSpec extends SparkSpec {
       "t_stream_runtime", "t_stream_dedup", "t_stream_session",
       "t_stream_join")
 
-  test("inventory matches SURVEY §2b: 276 queries, 268 with oracle SQL") {
-    assert(SparkEntry.queries.size === 276)
-    assert(SparkEntry.oracleSql.size === 268)
+  test("inventory matches SURVEY §2b: 283 queries, 275 with oracle SQL") {
+    assert(SparkEntry.queries.size === 283)
+    assert(SparkEntry.oracleSql.size === 275)
     assert(SparkEntry.queries.keySet.intersect(nonOracle).size === 8)
   }
 
@@ -63,6 +63,7 @@ class ContractSpec extends SparkSpec {
     "x_quality_checks",  // 1-row × 1-row report crossJoin (refIntegrity)
     "a_hll_merge",       // 1-row × 1-row merged/global estimate crossJoin
     "x_io_sql_maint",    // 1-row HISTORY version-count crossJoin
+    "x_io_retention_time", // 1-row dry-run count × version-count crossJoins
     "a_kll_merge",       // same 1-row × 1-row shape as a_hll_merge
     "a_kll_window",      // days×days sketch-row band join (span-bounded)
     "s_skew_profile",    // 1-row stats × 1-row hottest-key crossJoin

@@ -1,0 +1,213 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Snapshot
+
+/** Round-15 lifecycle additions: time-based retention (RETAIN HOURS),
+  * the commit auto-retry driver, the `_summary` version-allocation
+  * checkpoint (stale-low reconciliation pins), and file/byte admission
+  * control on the version-log stream.
+  */
+class LifecycleOpsSpec extends SparkSpec {
+
+  private def scratch(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def docsDF = {
+    import spark.implicits._
+    Seq(
+      (1L, "alpha", "en", 110), (2L, "bravo", "en", 90),
+      (3L, "charlie", "de", 200), (4L, "delta", "de", 50),
+      (5L, "echo", "fr", 300), (6L, "foxtrot", "fr", 70)
+    ).toDF("doc_id", "text", "lang", "n_chars")
+  }
+
+  test("time-based retention: young commits survive RETAIN, zero hours falls to the keep floor") {
+    val dir = scratch("lc_retain")
+    Snapshot.publish(spark, dir, docsDF, "lang", "text")
+    Snapshot.append(spark, dir,
+      docsDF.filter(col("lang") === "en").withColumn("doc_id", col("doc_id") + 100),
+      "lang", "text")
+    Snapshot.append(spark, dir,
+      docsDF.filter(col("lang") === "de").withColumn("doc_id", col("doc_id") + 200),
+      "lang", "text")
+    assert(Snapshot.history(spark, dir).count() === 3L)
+    // everything committed milliseconds ago: a generous window keeps all
+    assert(Snapshot.vacuumRetain(spark, dir, retainHours = 1000.0) === 0)
+    assert(Snapshot.history(spark, dir).count() === 3L)
+    // dry run of the zero-hour policy = what the real one then removes
+    val dry = Snapshot.vacuumRetainDryRun(spark, dir, 0.0, keepVersions = 1)
+      .collect().count(_.getString(1) == "data")
+    assert(Snapshot.vacuumRetain(spark, dir, 0.0, keepVersions = 1) === dry)
+    assert(Snapshot.history(spark, dir).count() === 1L)
+    // content intact through it all
+    assert(Snapshot.read(spark, dir).count() === 6L + 2L + 2L)
+  }
+
+  test("RETAIN HOURS reaches SQL (VACUUM … RETAIN … HOURS [DRY RUN])") {
+    val dir = scratch("lc_retain_sql")
+    val s = org.apache.spark.sql.GraftBridge.sessionWithExtensions(
+      spark, new graft.plans.GraftExtensions)
+    Snapshot.publish(s, dir, docsDF, "lang", "text")
+    Snapshot.append(s, dir,
+      docsDF.filter(col("lang") === "fr").withColumn("doc_id", col("doc_id") + 10),
+      "lang", "text")
+    assert(s.sql(s"GRAFT SNAPSHOT VACUUM '$dir' RETAIN 1000 HOURS DRY RUN")
+      .collect().count(_.getString(1) == "data") === 0)
+    val removed = s.sql(s"GRAFT SNAPSHOT VACUUM '$dir' KEEP 1 RETAIN 0 HOURS")
+      .head().getInt(2) // (op, root, version=count)
+    assert(removed >= 0)
+    assert(Snapshot.history(s, dir).count() === 1L)
+  }
+
+  test("commitWithRetry: two concurrent disjoint-partition writers both land") {
+    val dir = scratch("lc_retry")
+    Snapshot.publish(spark, dir, docsDF, "lang", "text")
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def writer(lang: String, off: Long): Thread = new Thread(() => {
+      try {
+        Snapshot.commitWithRetry(spark, dir) { _ =>
+          Snapshot.stageAppend(spark, dir,
+            docsDF.filter(col("lang") === lang)
+              .withColumn("doc_id", col("doc_id") + off),
+            "lang", "text")
+        }
+        ()
+      } catch { case t: Throwable => errs.add(t); () }
+    })
+    val ts = Seq(writer("en", 1000L), writer("de", 2000L))
+    ts.foreach(_.start()); ts.foreach(_.join(120000))
+    assert(errs.isEmpty, s"writer failed: ${Option(errs.peek()).map(_.getMessage)}")
+    // BOTH appends landed — no lost update, no caller re-drive
+    val ids = Snapshot.read(spark, dir).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(Set(1001L, 1002L, 2003L, 2004L).subsetOf(ids))
+    assert(ids.size === 10)
+  }
+
+  test("summary checkpoint: records max allocation; stale-low summaries reconcile, never re-offer") {
+    val dir = scratch("lc_summary")
+    Snapshot.publish(spark, dir, docsDF, "lang", "text")
+    Snapshot.append(spark, dir,
+      docsDF.filter(col("lang") === "en").withColumn("doc_id", col("doc_id") + 10),
+      "lang", "text")
+    val cur = Snapshot.currentVersion(spark, dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def summary: String = {
+      val in = fs.open(new org.apache.hadoop.fs.Path(dir, "_summary"))
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    }
+    assert(summary.contains(s""""max_alloc":$cur"""))
+    // stale-LOW summary + vacuumed stage markers (the dangerous pair):
+    // the next claim must NOT re-offer a committed number
+    val out = fs.create(new org.apache.hadoop.fs.Path(dir, "_summary"), true)
+    out.write("""{"max_alloc":1}""".getBytes("UTF-8")); out.close()
+    fs.delete(new org.apache.hadoop.fs.Path(dir, s"_stage.v$cur"), false)
+    fs.delete(new org.apache.hadoop.fs.Path(dir, "_stage.v1"), false)
+    val before = Snapshot.read(spark, dir).count()
+    val n = Snapshot.append(spark, dir,
+      docsDF.filter(col("lang") === "de").withColumn("doc_id", col("doc_id") + 20),
+      "lang", "text")
+    assert(n > cur, s"stale summary re-offered a committed number: $n <= $cur")
+    assert(Snapshot.read(spark, dir).count() === before + 2)
+    // and a MISSING summary falls back to the listing
+    fs.delete(new org.apache.hadoop.fs.Path(dir, "_summary"), false)
+    val n2 = Snapshot.append(spark, dir,
+      docsDF.filter(col("lang") === "fr").withColumn("doc_id", col("doc_id") + 30),
+      "lang", "text")
+    assert(n2 > n)
+    assert(summary.contains(s""""max_alloc":$n2"""))
+  }
+
+  test("multi-column stats: predicate delete prunes on a SECOND column after ANALYZE") {
+    import spark.implicits._
+    val dir = scratch("lc_multistats")
+    // cluster on doc_id (legacy stats), many files; n_chars is the
+    // SECOND column — unprunable until recorded
+    val df = (1 to 400).map(i =>
+      (i.toLong, s"text $i", if (i % 2 == 0) "en" else "de", i * 3))
+      .toDF("doc_id", "text", "lang", "n_chars")
+    Snapshot.publishClustered(spark, dir, df, "lang", "doc_id", "text", 8)
+    val nFiles = Snapshot.dataFileCount(spark, dir)
+    val s = org.apache.spark.sql.GraftBridge.sessionWithExtensions(
+      spark, new graft.plans.GraftExtensions)
+    s.sql(s"GRAFT SNAPSHOT ANALYZE '$dir' COLUMNS n_chars, text")
+    // a delete on n_chars (NOT the cluster column) must rewrite only
+    // the covering files: count fresh files of the staged version
+    val before = Snapshot.currentVersion(s, dir)
+    Snapshot.deleteWhere(s, dir, "n_chars BETWEEN 3 AND 60", "lang", "text")
+    val after = Snapshot.currentVersion(s, dir)
+    assert(after > before)
+    // survivors correct
+    assert(Snapshot.read(s, dir).count() === 400L - 20L)
+    // pruning happened: only the files whose recorded n_chars range
+    // covers [3, 60] were rewritten — the fresh version dir holds a
+    // strict minority of the table's files
+    def parquetsUnder(f: java.io.File): Int =
+      Option(f.listFiles).toSeq.flatten.map {
+        case d if d.isDirectory => parquetsUnder(d)
+        case x if x.getName.endsWith(".parquet") => 1
+        case _ => 0
+      }.sum
+    val rewritten = parquetsUnder(new java.io.File(s"$dir/v$after"))
+    assert(rewritten > 0 && rewritten < nFiles / 2,
+      s"expected a pruned rewrite, got $rewritten of $nFiles files")
+    // string stats prune equality on a recorded string column: a
+    // never-present value stages nothing (version unchanged). The first
+    // delete's rewritten files LOST their stats (conservative by
+    // design) — re-ANALYZE records fresh ranges for every live file
+    s.sql(s"GRAFT SNAPSHOT ANALYZE '$dir' COLUMNS n_chars, text")
+    val cur = Snapshot.currentVersion(s, dir)
+    assert(Snapshot.deleteWhere(s, dir, "text = 'zzz absent'", "lang",
+      "text") === cur)
+    // readWhereStats serves the generalized range read on ANY column
+    assert(Snapshot.readWhereStats(s, dir, "n_chars", 900.0, 903.0)
+      .filter(col("n_chars").between(900, 903)).count() === 2L)
+  }
+
+  test("stream admission control: maxFilesPerTrigger splits a big commit at file boundaries, content exact") {
+    val root = scratch("lc_admission")
+    val table = s"$root/table"
+    // one commit, many files: publish across 3 partitions (3+ files)
+    Snapshot.publish(spark, table, docsDF, "lang", "text")
+    Snapshot.append(spark, table,
+      docsDF.withColumn("doc_id", col("doc_id") + 50), "lang", "text")
+    val batches = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = spark.readStream.format("graft-snapshot-stream")
+      .option("path", table)
+      .option("startingVersion", "0")
+      .option("maxFilesPerTrigger", "1")
+      .load()
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        batches.add(b.count())
+        graft.streaming.IdempotentSink.landBatch(b, s"$root/out", id)
+      }
+      .option("checkpointLocation", s"$root/chk")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // every file is its own batch: #batches = #data files, and the
+    // union equals the table exactly (no file lost or doubled)
+    val nFiles = Snapshot.dataFileCount(spark, table)
+    assert(batches.size.toLong === nFiles,
+      s"expected $nFiles single-file batches, got ${batches.size}")
+    val landed = graft.streaming.IdempotentSink.readLanded(spark, s"$root/out")
+    assert(landed.count() === 12L)
+    assert(landed.select("doc_id").distinct().count() === 12L)
+    // CDF mode refuses the cap (commit-atomic batches)
+    val e = intercept[Exception] {
+      spark.readStream.format("graft-snapshot-stream")
+        .option("path", table).option("readChanges", "true")
+        .option("maxFilesPerTrigger", "2").load()
+        .writeStream.format("noop")
+        .option("checkpointLocation", s"$root/chk2")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+    }
+    assert(e.getMessage.contains("maxFilesPerTrigger") ||
+      Option(e.getCause).exists(_.getMessage.contains("maxFilesPerTrigger")))
+  }
+}

@@ -920,10 +920,14 @@ class SnapshotSpec extends SparkSpec {
     assert(e1.getMessage.contains("applyMorDeletes"))
     Snapshot.applyMorDeletes(spark, dir, "lang", "text")
     assert(load().count() === docs.count() - 1)
-    // a metadata-added column needing fill → refuse loudly
+    // a metadata-added column fills its recorded default THROUGH the
+    // SQL door (round-15: EXISTS_DEFAULT schema metadata — the
+    // refusal became a correct serve; Snapshot.read stays the oracle)
     Snapshot.addColumn(spark, dir, "quality", "DOUBLE", "0.5")
-    val e2 = intercept[IllegalArgumentException] { load() }
-    assert(e2.getMessage.contains("quality"))
+    val served = load()
+    assert(served.columns.contains("quality"))
+    assert(served.agg(org.apache.spark.sql.functions.sum("quality"))
+      .head().getDouble(0) === 0.5 * (docs.count() - 1))
     // the write path is refused — mutations go through the staged-commit API
     intercept[Exception] {
       docs.write.format("graft-snapshot").option("path", dir).save()
@@ -1068,16 +1072,24 @@ class SnapshotSpec extends SparkSpec {
     // catalog listing: exactly the pointer-bearing dirs
     assert(spark.sql("SHOW TABLES IN gcat_spec.ns1").collect()
       .map(_.getString(1)).toSeq === Seq("tbl"))
-    // unknown identifiers and mutation verbs refuse loudly
+    // unknown identifiers refuse loudly
     intercept[Exception] { spark.sql("SELECT * FROM gcat_spec.ns1.nope").collect() }
-    val ex = intercept[Exception] {
-      spark.sql("DROP TABLE gcat_spec.ns1.tbl")
-    }
     def msgs(t: Throwable): String =
       Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
         .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
-    assert(msgs(ex).contains("staged-commit API"),
-      s"DROP must refuse toward the staged-commit API: ${msgs(ex)}")
+    // DATA-write verbs still refuse toward the staged-commit API
+    // (round-15 note: DDL — ALTER/DROP/RENAME TABLE — now dispatches
+    // into the snapshot verbs, graded by x_io_ddl_catalog/AnsiDmlSpec;
+    // row/file writes like INSERT keep the refusal)
+    val ex = intercept[Exception] {
+      spark.sql("INSERT INTO gcat_spec.ns1.tbl VALUES (1, 't', 'en', 1)")
+    }
+    assert(msgs(ex).nonEmpty)
+    val ex2 = intercept[Exception] {
+      spark.sql("ALTER TABLE gcat_spec.ns1.tbl SET TBLPROPERTIES('a'='b')")
+    }
+    assert(msgs(ex2).contains("staged-commit API"),
+      s"property DDL has no snapshot verb and must refuse: ${msgs(ex2)}")
     // the refusal semantics match the other SQL doors: pending DVs refuse
     Snapshot.deleteMorKeys(spark, dir, Seq(3L), "doc_id")
     val dv = intercept[Exception] {
