@@ -2698,13 +2698,16 @@ object Similarity {
         .orderBy("lang")
     }),
 
-    // ANSI DELETE FROM + UPDATE over catalog identifiers (missing #1
-    // second half): standard row-level statements routed into the same
-    // stats/partition-pruned copy-on-write as the GRAFT spellings —
-    // predicate file pruning, three-valued NULL-keeps delete, pre-image
-    // UPDATE semantics, optimistic commit, all inherited. Layout from
-    // `_layout`; a pre-layout table refuses with the republish remedy
-    // (AnsiDmlSpec).
+    // ANSI INSERT INTO + DELETE FROM + UPDATE over catalog identifiers
+    // (missing #1 second half): standard statements routed into the
+    // staged verbs — INSERT = true file append (positional/by-name
+    // mapping with per-column casts, the Delta insert contract; INSERT
+    // OVERWRITE = next full snapshot version), DELETE/UPDATE = the
+    // stats/partition-pruned copy-on-write with three-valued NULL-keeps
+    // delete and pre-image UPDATE semantics, optimistic commit
+    // everywhere. Layout from `_layout`; a pre-layout table refuses
+    // with the republish remedy (AnsiDmlSpec pins the refusals and the
+    // OVERWRITE time-travel).
     "x_sql_dml_ansi" -> ((s, d) => {
       val root = T.scratchDir("graft_ansidml")
       val ext = org.apache.spark.sql.GraftBridge.sessionWithExtensions(
@@ -2715,6 +2718,10 @@ object Similarity {
       ext.sql("CREATE TABLE ansid.docs " +
         "TBLPROPERTIES('partition'='lang','checksum'='text') AS " +
         "SELECT * FROM ansid_docs")
+      // the third day-one statement: plain INSERT INTO = staged append
+      ext.sql("INSERT INTO ansid.docs " +
+        "SELECT doc_id + 9000000, text, lang, source, n_chars " +
+        "FROM ansid_docs WHERE lang = 'zh' AND doc_id % 25 = 0")
       ext.sql("DELETE FROM ansid.docs WHERE n_chars < 80 AND doc_id % 3 = 0")
       ext.sql("UPDATE ansid.docs SET text = concat(text, ' au'), " +
         "n_chars = n_chars + 7 WHERE lang = 'de' AND doc_id % 10 = 0")
@@ -4495,15 +4502,22 @@ object Similarity {
         "min(doc_id) AS min_id, max(doc_id) AS max_id, " +
         "CAST(sum(CAST(('0x' || substring(md5(text), 1, 8)) AS BIGINT)) AS BIGINT) AS checksum " +
         "FROM finald GROUP BY lang ORDER BY lang"),
-    // ANSI DELETE + UPDATE replay: survivors of NOT(delete cond), then
-    // the update's CASE edit.
+    // ANSI INSERT + DELETE + UPDATE replay: the appended zh slice joins
+    // the base (9e6 ≡ 0 mod 3, so its delete predicate reduces to the
+    // original doc_id), then survivors of NOT(delete cond), then the
+    // update's CASE edit.
     "x_sql_dml_ansi" ->
-      ("SELECT lang, count(*) AS n_docs, " +
+      ("WITH basef AS (" +
+        "SELECT lang, doc_id, text, n_chars FROM documents " +
+        "UNION ALL " +
+        "SELECT lang, doc_id + 9000000 AS doc_id, text, n_chars " +
+        "FROM documents WHERE lang = 'zh' AND doc_id % 25 = 0) " +
+        "SELECT lang, count(*) AS n_docs, " +
         "CAST(sum(CASE WHEN lang = 'de' AND doc_id % 10 = 0 THEN n_chars + 7 ELSE n_chars END) AS BIGINT) AS n_chars, " +
         "CAST(sum(CAST(('0x' || substring(md5(" +
         "CASE WHEN lang = 'de' AND doc_id % 10 = 0 THEN text || ' au' ELSE text END" +
         "), 1, 8)) AS BIGINT)) AS BIGINT) AS checksum " +
-        "FROM documents WHERE NOT (n_chars < 80 AND doc_id % 3 = 0) " +
+        "FROM basef WHERE NOT (n_chars < 80 AND doc_id % 3 = 0) " +
         "GROUP BY lang ORDER BY lang"),
     // Catalog DDL end to end: base rows fill quality 0.5 (the ADD
     // COLUMN default), the appended es slice carries 0.9 physically;

@@ -836,6 +836,60 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
           }
         case None => plan
       }
+      // INSERT INTO / INSERT OVERWRITE — the remaining day-one write
+      // statement: plain INSERT routes to the staged APPEND (true file
+      // append, zero write amplification), INSERT OVERWRITE to a full
+      // staged publish (the next snapshot version — the old content
+      // stays time-travelable, strictly safer than a truncate). The
+      // incoming frame maps positionally (the SQL default) or by name
+      // (BY NAME / an explicit column list, which must cover every
+      // column — the format has no per-column INSERT defaults), and
+      // every column CASTS to the table's type so the written files
+      // stay schema-identical (Delta's insert cast contract).
+      case ins: InsertIntoStatement => graftTarget(ins.table) match {
+        case Some((dir, _)) =>
+          if (ins.partitionSpec.nonEmpty) throw new GraftParseException(
+            "INSERT ... PARTITION on a snapshot table is not supported — " +
+              "the format partitions by VALUE at stage time (plain INSERT " +
+              "INTO lands rows in their partitions; wholesale partition " +
+              "replacement is GRAFT SNAPSHOT REPLACE)")
+          val queryPlan = ins.query
+          val cols = ins.userSpecifiedCols
+          val overwrite = ins.overwrite
+          val byName = ins.byName
+          mutateCmd(if (overwrite) "insert_overwrite" else "insert", dir) { sess =>
+            val l = graft.sources.Snapshot.requireLayout(sess, dir,
+              if (overwrite) "ANSI INSERT OVERWRITE" else "ANSI INSERT INTO")
+            val schema = graft.sources.Snapshot.read(sess, dir).schema
+            val target = schema.fieldNames.toSeq
+            var df = org.apache.spark.sql.GraftBridge.ofRows(sess, queryPlan)
+            if (cols.nonEmpty) {
+              if (cols.map(_.toLowerCase).sorted != target.map(_.toLowerCase).sorted)
+                throw new GraftParseException(
+                  s"INSERT column list (${cols.mkString(", ")}) must cover " +
+                    s"the table's columns exactly (${target.mkString(", ")}) — " +
+                    "snapshot files are physically complete; there are no " +
+                    "per-column INSERT defaults")
+              df = df.toDF(cols: _*)
+            } else if (!byName) {
+              if (df.columns.length != target.length)
+                throw new GraftParseException(
+                  s"INSERT provides ${df.columns.length} column(s), table " +
+                    s"has ${target.length} (${target.mkString(", ")})")
+              df = df.toDF(target: _*)
+            }
+            val casted = df.select(schema.fields.map(f =>
+              org.apache.spark.sql.functions.col(f.name)
+                .cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+            if (overwrite)
+              graft.sources.Snapshot.stagePublish(sess, dir, casted,
+                l.partCol, l.checksumCol)
+            else
+              graft.sources.Snapshot.stageAppend(sess, dir, casted,
+                l.partCol, l.checksumCol)
+          }
+        case None => plan
+      }
       case _ => plan
     }
   }

@@ -155,6 +155,47 @@ class AnsiDmlSpec extends SparkSpec {
     assert(e.getMessage.contains("no data files"))
   }
 
+  test("ANSI INSERT INTO appends; INSERT OVERWRITE republishes; refusals are loud") {
+    val root = scratch("ansi_insert")
+    val s = ext
+    s.conf.set("spark.sql.catalog.ains", "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.catalog.ains.root", root)
+    docsIn(s).createOrReplaceTempView("ains_src")
+    s.sql("CREATE TABLE ains.docs " +
+      "TBLPROPERTIES('partition'='lang','checksum'='text') AS " +
+      "SELECT * FROM ains_src")
+    // positional VALUES insert — ints cast to the table's bigint/int
+    s.sql("INSERT INTO ains.docs VALUES (100, 'golf new', 'en', 40)")
+    // column-list insert in a different order maps by name
+    s.sql("INSERT INTO ains.docs (lang, doc_id, n_chars, text) " +
+      "VALUES ('de', 101, 50, 'hotel neu')")
+    // query insert
+    s.sql("INSERT INTO ains.docs SELECT doc_id + 200, text, lang, n_chars " +
+      "FROM ains_src WHERE lang = 'fr'")
+    assert(s.sql("SELECT count(*) FROM ains.docs").head().getLong(0) ===
+      6L + 1 + 1 + 2)
+    assert(s.sql("SELECT text FROM ains.docs WHERE doc_id = 101")
+      .head().getString(0) === "hotel neu")
+    // history grew by appends (no rewrite): version = 1 + 3 commits
+    assert(graft.sources.Snapshot.history(s, s"$root/docs").count() === 4L)
+    // INSERT OVERWRITE = the next full snapshot version, old content
+    // still time-travelable
+    s.sql("INSERT OVERWRITE ains.docs SELECT * FROM ains_src WHERE lang = 'en'")
+    assert(s.sql("SELECT count(*) FROM ains.docs").head().getLong(0) === 2L)
+    assert(s.sql(s"GRAFT SNAPSHOT READ '$root/docs' VERSION 4").count() === 10L)
+    // partial column lists refuse (no per-column insert defaults)
+    val e = intercept[graft.plans.GraftParseException] {
+      s.sql("INSERT INTO ains.docs (doc_id, text) VALUES (1, 'x')")
+    }
+    assert(e.getMessage.contains("cover"))
+    // PARTITION spec refuses toward REPLACE
+    val e2 = intercept[graft.plans.GraftParseException] {
+      s.sql("INSERT INTO ains.docs PARTITION (lang='en') " +
+        "VALUES (1, 'x', 40)")
+    }
+    assert(e2.getMessage.contains("REPLACE"))
+  }
+
   test("ANSI MERGE INTO routes into stageMerge (update/delete/insert branches)") {
     val root = scratch("ansi_merge")
     val s = ext
