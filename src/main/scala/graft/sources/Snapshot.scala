@@ -59,6 +59,20 @@ import org.apache.spark.sql.functions._
   * touched partitions, never the table. `vacuum` is the only deleter and
   * removes nothing the live manifest references.
   *
+  * Manifest I/O is DRIVER-SIDE by design (direct Hadoop-FS + Jackson,
+  * zero Spark jobs per metadata operation — see the METADATA I/O
+  * section): that is the Delta/Iceberg contract too — logs and
+  * manifests are driver metadata, pruned before any executor sees a
+  * path. The envelope: at 100 TB with healthy 256 MB–1 GB files the
+  * manifest is 10⁵–4×10⁵ rows ≈ 10–40 MB of JSON — milliseconds to
+  * parse, trivially driver-resident. The design cliff is a
+  * MILLION-plus-file table (tiny files at huge scale), where every
+  * engine moves to partitioned/distributed manifest trees (Iceberg's
+  * manifest lists); the remedy here is the same one the format already
+  * ships: `compactPartitions` keeps file counts at the healthy
+  * envelope, so the cliff is an operational smell, not a read-path
+  * surprise.
+  *
   * Writers: plain `commit` is last-flip-wins (single-writer fast path —
   * a concurrent writer's update would be silently lost);
   * `commitIfBase` closes that hazard with OPTIMISTIC CONCURRENCY: an

@@ -167,6 +167,58 @@ class LifecycleOpsSpec extends SparkSpec {
       .filter(col("n_chars").between(900, 903)).count() === 2L)
   }
 
+  test("sub-version offsets: a mid-step restart resumes exactly, ranges re-read identically") {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    import org.apache.spark.sql.execution.streaming.SerializedOffset
+    val root = scratch("lc_subver")
+    val table = s"$root/table"
+    Snapshot.publish(spark, table, docsDF, "lang", "text") // 3 files
+    Snapshot.append(spark, table,
+      docsDF.withColumn("doc_id", col("doc_id") + 50), "lang", "text") // +3
+    val pinned = Snapshot.read(spark, table).schema
+    // executing a getBatch frame outside the engine needs the same
+    // switch MicroBatchExecution's batch-run session flips
+    spark.conf.set("spark.sql.streaming.unsupportedOperationCheck", "false")
+    def newSrc() = new graft.streaming.SnapshotVersionSource(
+      spark, table, pinned, maxVersions = 10, startingVersion = Some(0),
+      changes = false, evolve = false, maxFiles = Some(1), maxBytes = None)
+    var src = newSrc()
+    var prev: Option[String] = None
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var batches = 0
+    var firstRange: Option[(Option[String], String, Seq[Long])] = None
+    var continue = true
+    while (continue && batches < 20) {
+      val next = src.latestOffset(
+        prev.map(SerializedOffset(_)).orNull, ReadLimit.allAvailable())
+      if (next == null) continue = false
+      else {
+        val df = src.getBatch(prev.map(SerializedOffset(_)),
+          SerializedOffset(next.json))
+        val ids = df.select("doc_id").collect().map(_.getLong(0)).toSeq
+        assert(ids.size <= 2, s"one file per batch, got ${ids.size} rows")
+        if (firstRange.isEmpty) firstRange = Some((prev, next.json, ids))
+        seen ++= ids
+        batches += 1
+        prev = Some(next.json)
+        // RESTART mid-step: a fresh source (new pin, same table) must
+        // resume from the checkpointed sub-version offset exactly
+        if (batches == 2) src = newSrc()
+      }
+    }
+    assert(batches === 6, s"6 files -> 6 single-file batches, got $batches")
+    assert(seen.sorted === Snapshot.read(spark, table)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq.sorted)
+    // range determinism: re-reading the FIRST consumed range (on yet
+    // another fresh source) returns byte-identical rows
+    val (s0, e0, ids0) = firstRange.get
+    val again = newSrc()
+      .getBatch(s0.map(SerializedOffset(_)), SerializedOffset(e0))
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(again === ids0)
+    spark.conf.unset("spark.sql.streaming.unsupportedOperationCheck")
+  }
+
   test("stream admission control: maxFilesPerTrigger splits a big commit at file boundaries, content exact") {
     val root = scratch("lc_admission")
     val table = s"$root/table"
