@@ -357,6 +357,13 @@ private[graft] class SnapshotVersionSource(spark: SparkSession, dir: String,
     val target = availableNowTarget
       .getOrElse(Snapshot.currentVersion(spark, dir))
     if (splitting) return latestOffsetSplitting(start, target)
+    // a MID-STEP checkpoint resumed WITHOUT the file/byte caps must
+    // first finish its split step (advance to the step's end version —
+    // getBatch serves the remaining slice), never treat the step as
+    // consumed: dropping the tail would silently lose rows
+    Option(start).map(o => parseOff(o.json)).foreach { case (_, v, idx) =>
+      if (idx >= 0) return VersionOffset(v)
+    }
     Option(start).map(ver).orElse(startingVersion) match {
       case None =>
         if (target >= 1) VersionOffset(target) else null

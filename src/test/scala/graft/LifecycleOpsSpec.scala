@@ -219,6 +219,45 @@ class LifecycleOpsSpec extends SparkSpec {
     spark.conf.unset("spark.sql.streaming.unsupportedOperationCheck")
   }
 
+  test("a mid-step checkpoint resumed WITHOUT the caps finishes its split step, loses nothing") {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    import org.apache.spark.sql.execution.streaming.SerializedOffset
+    val root = scratch("lc_subver_nocap")
+    val table = s"$root/table"
+    Snapshot.publish(spark, table, docsDF, "lang", "text") // 3 files / 6 rows
+    Snapshot.append(spark, table,
+      docsDF.withColumn("doc_id", col("doc_id") + 50), "lang", "text")
+    spark.conf.set("spark.sql.streaming.unsupportedOperationCheck", "false")
+    val pinned = Snapshot.read(spark, table).schema
+    def src(cap: Option[Int]) = new graft.streaming.SnapshotVersionSource(
+      spark, table, pinned, maxVersions = 10, startingVersion = Some(0),
+      changes = false, evolve = false, maxFiles = cap, maxBytes = None)
+    // consume ONE file of the initial-load step under the cap
+    val capped = src(Some(1))
+    val first = capped.latestOffset(null, ReadLimit.allAvailable())
+    assert(first.json.contains("#"), s"expected a mid-step offset, got $first")
+    val ids1 = capped.getBatch(None, SerializedOffset(first.json))
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    // resume WITHOUT the cap: the split step must FINISH first (its
+    // remaining files, never skipped), then normal whole-step batches
+    val plain = src(None)
+    val fin = plain.latestOffset(SerializedOffset(first.json),
+      ReadLimit.allAvailable())
+    assert(fin.json === "1", s"must finish the split step, got $fin")
+    val ids2 = plain.getBatch(Some(SerializedOffset(first.json)),
+      SerializedOffset(fin.json))
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    val rest = plain.latestOffset(SerializedOffset(fin.json),
+      ReadLimit.allAvailable())
+    val ids3 = plain.getBatch(Some(SerializedOffset(fin.json)),
+      SerializedOffset(rest.json))
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert((ids1 ++ ids2 ++ ids3).sorted === Snapshot.read(spark, table)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq.sorted,
+      "the capless resume must serve every row exactly once")
+    spark.conf.unset("spark.sql.streaming.unsupportedOperationCheck")
+  }
+
   test("stream admission control: maxFilesPerTrigger splits a big commit at file boundaries, content exact") {
     val root = scratch("lc_admission")
     val table = s"$root/table"
