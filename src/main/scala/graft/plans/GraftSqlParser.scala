@@ -216,6 +216,11 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   private val DropColumnV =
     s"""(?is)\\s*GRAFT\\s+SNAPSHOT\\s+DROP\\s+COLUMN\\s+$P\\s+NAME\\s+$Ident\\s*;?\\s*""".r
 
+  // metadata-only TYPE WIDENING (Delta's type widening): pre-step files
+  // cast at read, post-step writers must carry the wider type.
+  private val WidenColumnV =
+    s"""(?is)\\s*GRAFT\\s+SNAPSHOT\\s+WIDEN\\s+COLUMN\\s+$P\\s+NAME\\s+$Ident\\s+TYPE\\s+([A-Za-z_][A-Za-z0-9_(), ]*?)\\s*;?\\s*""".r
+
   // CONDITIONAL MERGE — the warehouse staple (Delta/Iceberg MERGE INTO):
   // WHEN clauses precede the AS-query because the tail after AS belongs
   // to the DELEGATE (full Spark SQL — it may contain anything, including
@@ -289,6 +294,8 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       "{DEFAULT <expr> | GENERATED AS <expr>}",
     "GRAFT SNAPSHOT RENAME COLUMN '<root>' FROM <old> TO <new>",
     "GRAFT SNAPSHOT DROP COLUMN '<root>' NAME <col>",
+    "GRAFT SNAPSHOT WIDEN COLUMN '<root>' NAME <col> TYPE <sqlType> " +
+      "(information-preserving widenings only)",
     "GRAFT SNAPSHOT COMPACT '<root>' PARTITION <col> CHECKSUM <col> " +
       "[MAXFILES n] [STATS <col>]",
     "GRAFT SNAPSHOT ANALYZE '<root>' COLUMNS <col>[, <col> ...] " +
@@ -611,6 +618,10 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     case DropColumnV(path, name) =>
       GraftSnapshotCommand("drop_column", unq(path))(sess =>
         graft.sources.Snapshot.dropColumn(sess, unq(path), name))
+    case WidenColumnV(path, name, sqlType) =>
+      GraftSnapshotCommand("widen_column", unq(path))(sess =>
+        graft.sources.Snapshot.widenColumnType(sess, unq(path), name,
+          sqlType.trim))
     case Compact(path, partCol, ckCol, maxFiles, statsCol) =>
       val root = unq(path)
       GraftSnapshotCommand("compact", root)(sess =>

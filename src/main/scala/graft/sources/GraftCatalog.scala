@@ -145,14 +145,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         "staged commit), or the Scala/SQL write surface")
 
   /** Declared so the analyzer lets `ALTER TABLE … ADD COLUMN … DEFAULT
-    * <expr>` reach [[alterTable]] — the snapshot format's add-column IS
-    * initial-default semantics (metadata-only, pre-add files fill the
-    * default at read).
+    * <expr>` and `ADD CONSTRAINT … CHECK` reach [[alterTable]] — the
+    * snapshot format's add-column IS initial-default semantics
+    * (metadata-only, pre-add files fill the default at read), and its
+    * CHECK enforcement is the staged-commit validation.
     */
   override def capabilities(): java.util.Set[
       org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
-    java.util.EnumSet.of(org.apache.spark.sql.connector.catalog
-      .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+    java.util.EnumSet.of(
+      org.apache.spark.sql.connector.catalog
+        .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE,
+      org.apache.spark.sql.connector.catalog
+        .TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
 
   /** STANDARD DDL dispatch into the staged-commit schema-evolution
     * verbs (the round-14 judge's missing #2): `ALTER TABLE graft.ns.t
@@ -194,6 +198,28 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         require(del.fieldNames().length == 1,
           s"graft catalog '$catalogName': nested DROP COLUMN is not supported")
         Snapshot.dropColumn(spark, dir, del.fieldNames().head)
+      case w: TableChange.UpdateColumnType =>
+        require(w.fieldNames().length == 1,
+          s"graft catalog '$catalogName': nested ALTER COLUMN TYPE is not supported")
+        // metadata-only type WIDENING — widenColumnType refuses lossy
+        // changes with the rewrite remedy
+        Snapshot.widenColumnType(spark, dir, w.fieldNames().head,
+          w.newDataType().sql)
+      case ac: TableChange.AddConstraint => ac.constraint() match {
+        case chk: org.apache.spark.sql.connector.catalog.constraints.Check =>
+          Snapshot.addConstraint(spark, dir, chk.name(), chk.predicateSql())
+        case other =>
+          readOnlyRefusal(s"ALTER TABLE $ident ADD CONSTRAINT " +
+            s"${other.name()} — only CHECK constraints have snapshot " +
+            "enforcement (PK/FK/UNIQUE are informational elsewhere; " +
+            "this format refuses rather than record an unenforced claim)")
+      }
+      case dc: TableChange.DropConstraint =>
+        if (dc.ifExists() &&
+            !Snapshot.listConstraints(spark, dir).collect()
+              .exists(_.getString(0).equalsIgnoreCase(dc.name())))
+          () // IF EXISTS on a missing rule: the standard no-op
+        else Snapshot.dropConstraint(spark, dir, dc.name())
       case other =>
         readOnlyRefusal(s"ALTER TABLE $ident (${other.getClass.getSimpleName})")
     }

@@ -2282,6 +2282,13 @@ object Snapshot {
   private case class RenameCol(from: String, to: String,
       since: Int) extends EvoStep
   private case class DropCol(name: String, since: Int) extends EvoStep
+  /** Metadata-only TYPE WIDENING (Delta's type-widening feature):
+    * files written before the step read back CAST to the wider type,
+    * files written after carry it physically (stage guards require
+    * the widened type — see [[requireAddedCols]]).
+    */
+  private case class WidenCol(name: String, toType: String,
+      since: Int) extends EvoStep
 
   private def evolutionAt(spark: SparkSession, dir: String,
       n: Int): Seq[EvoStep] =
@@ -2293,6 +2300,9 @@ object Snapshot {
             RenameCol(jsText(j, "col"), jsText(j, "new_name"),
               j.get("since").asInt())
           case "drop" => DropCol(jsText(j, "col"), j.get("since").asInt())
+          case "widen" =>
+            WidenCol(jsText(j, "col"), jsText(j, "new_name"),
+              j.get("since").asInt())
           case other => sys.error(s"unknown evolution op '$other' in $dir")
         }
       }
@@ -2305,6 +2315,10 @@ object Snapshot {
       case RenameCol(f, t, s) =>
         s"""{"op":"rename","col":${jq(f)},"new_name":${jq(t)},"since":$s}"""
       case DropCol(c, s) => s"""{"op":"drop","col":${jq(c)},"since":$s}"""
+      // the widened type rides the new_name field (one sidecar schema
+      // for all steps; old readers never see a 'widen' op they wrote)
+      case WidenCol(c, t, s) =>
+        s"""{"op":"widen","col":${jq(c)},"new_name":${jq(t)},"since":$s}"""
     })
 
   /** Column names an expression references (for the constraint/rename
@@ -2385,6 +2399,54 @@ object Snapshot {
     n
   }
 
+  /** Metadata-only COLUMN TYPE WIDENING (Delta's type widening):
+    * commits a new version whose manifest is the current one verbatim
+    * plus an evolution step — zero data bytes at any table size; files
+    * written BEFORE the step CAST to the wider type at read (the
+    * per-writer-generation pipeline), files written after must carry
+    * it physically (stage guard in [[requireAddedCols]] — a loud cast
+    * remedy, never silent type mixing inside one generation). Only
+    * information-preserving widenings are legal — TINYINT→SMALLINT→
+    * INT→BIGINT and FLOAT→DOUBLE; anything else (narrowing, string
+    * crossings, decimal re-scaling) refuses: a lossy "widen" would
+    * silently corrupt. Refuses on metadata-added columns (their type
+    * lives in the add record) and under pending MoR deletes, like the
+    * other evolution verbs.
+    */
+  def widenColumnType(spark: SparkSession, dir: String, name: String,
+      newType: String): Int = {
+    import org.apache.spark.sql.types._
+    val cur = currentVersion(spark, dir)
+    require(cur >= 1, s"snapshot table $dir has no committed version")
+    requireNoDv(spark, dir, cur, "column type widening")
+    require(!addedColumnsAt(spark, dir, cur).exists(_.name.equalsIgnoreCase(name)),
+      s"column '$name' is a metadata-added column of $dir — its type " +
+        "lives in the add record; widen physical columns only")
+    val schema = read(spark, dir).schema
+    val f = schema.fields.find(_.name.equalsIgnoreCase(name)).getOrElse(
+      sys.error(s"no column '$name' on $dir " +
+        s"(columns: ${schema.fieldNames.mkString(", ")})"))
+    val want = spark.sessionState.sqlParser.parseDataType(newType)
+    val ok = (f.dataType, want) match {
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case _ => false
+    }
+    require(ok,
+      s"'$name' ${f.dataType.sql} -> ${want.sql} is not an information-" +
+        "preserving widening (TINYINT->SMALLINT->INT->BIGINT, " +
+        "FLOAT->DOUBLE) — a lossy change needs an explicit rewrite " +
+        "(publish a cast SELECT)")
+    val n = claimVersion(spark, dir)
+    copyManifest(spark, dir, cur, n)
+    writeEvolution(spark, dir, n,
+      evolutionAt(spark, dir, cur) :+ WidenCol(f.name, want.sql, n))
+    commit(spark, dir, n, currentTag(spark, dir))
+    n
+  }
+
   /** Read an explicit file list under version `n`'s schema: files are
     * grouped by writer version, each group reads its own physical
     * schema, and the SINCE-ORDERED schema pipeline is applied to the
@@ -2418,6 +2480,11 @@ object Snapshot {
         case DropCol(nm, s) =>
           (s, (acc: DataFrame, wv: Int) =>
             if (wv < s && acc.columns.contains(nm)) acc.drop(nm) else acc)
+        case WidenCol(nm, t, s) =>
+          (s, (acc: DataFrame, wv: Int) =>
+            if (wv < s && acc.columns.contains(nm))
+              acc.withColumn(nm, col(nm).cast(t))
+            else acc)
       }).sortBy(_._1)
     val groups = relPaths.groupBy(writerVersion)
     val frames = groups.toSeq.sortBy(_._1).map { case (wv, paths) =>
@@ -2525,12 +2592,13 @@ object Snapshot {
       s"$what must supply added column(s) ${missing.mkString(", ")} — " +
         s"they are part of $dir's schema (addColumn)")
     // retired names: replay the merged timeline (a later rename or
-    // re-add can make a name active again)
+    // re-add can make a name active again; widening retires nothing)
     val timeline: Seq[(Int, Set[String] => Set[String])] =
       (evo.map {
         case RenameCol(f, t, s) =>
           (s, (r: Set[String]) => r + f.toLowerCase - t.toLowerCase)
         case DropCol(nm, s) => (s, (r: Set[String]) => r + nm.toLowerCase)
+        case WidenCol(_, _, s) => (s, (r: Set[String]) => r)
       } ++ addedColumnsAt(spark, dir, base).map(c =>
         (c.since, (r: Set[String]) => r - c.name.toLowerCase))).sortBy(_._1)
     val retired = timeline.foldLeft(Set.empty[String])((r, st) => st._2(r))
@@ -2539,6 +2607,22 @@ object Snapshot {
       s"$what uses retired column name(s) ${bad.mkString(", ")} — " +
         s"renamed or dropped on $dir (renameColumn/dropColumn); write " +
         "under the current schema")
+    // widened columns must arrive at the CURRENT (widened) type: a
+    // post-widen file carrying the old physical type would mix types
+    // INSIDE one writer generation, which the per-generation read
+    // pipeline cannot repair (last widen per column wins — evo is
+    // since-ordered)
+    val widened = evo.collect { case WidenCol(nm, t, _) => nm.toLowerCase -> t }
+      .toMap
+    widened.foreach { case (nm, t) =>
+      df.schema.fields.find(_.name.equalsIgnoreCase(nm)).foreach { f =>
+        val want = spark.sessionState.sqlParser.parseDataType(t)
+        require(f.dataType == want,
+          s"$what: column '${f.name}' was widened to ${want.sql} " +
+            s"(widenColumnType) but the input carries ${f.dataType.sql} — " +
+            "cast the input to the current schema")
+      }
+    }
   }
 
   // ------------------------------------------------------------------
@@ -3318,6 +3402,7 @@ object Snapshot {
       evolutionAt(spark, dir, n).map {
         case RenameCol(f, t, s) => (s, s"@rename\t$f\t$t\t$s")
         case DropCol(nm, s) => (s, s"@drop\t$nm\t$s")
+        case WidenCol(nm, t, s) => (s, s"@widen\t$nm\t$t\t$s")
       }).sortBy(_._1).map(_._2)
   }
 

@@ -466,6 +466,8 @@ private[graft] class SnapshotVersionSource(spark: SparkSession, dir: String,
                 case "@rename" =>
                   s"column '${p(1)}' renamed to '${p(2)}' at v${p(3)}"
                 case "@drop" => s"column '${p(1)}' dropped at v${p(2)}"
+                case "@widen" =>
+                  s"column '${p(1)}' widened to ${p(2)} at v${p(3)}"
                 case nm => s"column '$nm' added at v${p(3)}"
               }
             }

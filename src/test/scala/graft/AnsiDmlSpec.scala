@@ -258,6 +258,72 @@ class AnsiDmlSpec extends SparkSpec {
     assert(e.getMessage.contains("_layout"))
   }
 
+  test("type widening: metadata-only, old files cast at read, writers must carry the wide type") {
+    val root = scratch("ansi_widen")
+    val s = ext
+    s.conf.set("spark.sql.catalog.awid", "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.catalog.awid.root", root)
+    docsIn(s).createOrReplaceTempView("awid_src")
+    s.sql("CREATE TABLE awid.docs " +
+      "TBLPROPERTIES('partition'='lang','checksum'='text') AS " +
+      "SELECT * FROM awid_src") // n_chars is INT here
+    val before = Snapshot.history(s, s"$root/docs").count()
+    s.sql("ALTER TABLE awid.docs ALTER COLUMN n_chars TYPE BIGINT")
+    // metadata-only: one new version, zero data files written
+    assert(Snapshot.history(s, s"$root/docs").count() === before + 1)
+    val served = s.sql("SELECT * FROM awid.docs")
+    assert(served.schema("n_chars").dataType ===
+      org.apache.spark.sql.types.LongType)
+    assert(served.agg(sum("n_chars")).head().getLong(0) === 820L)
+    // a writer still carrying INT refuses with the cast remedy…
+    val e = intercept[IllegalArgumentException] {
+      Snapshot.append(s, s"$root/docs", docsIn(s)
+        .withColumn("doc_id", col("doc_id") + 10), "lang", "text")
+    }
+    assert(e.getMessage.contains("widened"))
+    // …the ANSI INSERT path casts to the table types automatically
+    s.sql("INSERT INTO awid.docs VALUES (200, 'india', 'en', 60)")
+    assert(s.sql("SELECT sum(n_chars) FROM awid.docs").head().getLong(0) === 880L)
+    // lossy changes refuse loudly — Spark's analyzer rejects the
+    // narrowing before our catalog even sees it; a change the analyzer
+    // tolerates but the format can't (e.g. INT -> DOUBLE is a legal
+    // Spark "up-cast" but not an information-preserving parquet widen)
+    // refuses in widenColumnType with the rewrite remedy
+    val e2 = intercept[Exception] {
+      s.sql("ALTER TABLE awid.docs ALTER COLUMN n_chars TYPE INT")
+    }
+    assert(e2.getMessage.contains("NOT_SUPPORTED_CHANGE_COLUMN") ||
+      e2.getMessage.contains("widening"))
+    val e3 = intercept[Exception] {
+      Snapshot.widenColumnType(s, s"$root/docs", "text", "BIGINT")
+    }
+    assert(e3.getMessage.contains("widening"))
+  }
+
+  test("ANSI ADD/DROP CONSTRAINT CHECK dispatches into the snapshot rules") {
+    val root = scratch("ansi_constraint")
+    val s = ext
+    s.conf.set("spark.sql.catalog.acon", "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.catalog.acon.root", root)
+    docsIn(s).createOrReplaceTempView("acon_src")
+    s.sql("CREATE TABLE acon.docs " +
+      "TBLPROPERTIES('partition'='lang','checksum'='text') AS " +
+      "SELECT * FROM acon_src WHERE n_chars > 60")
+    s.sql("ALTER TABLE acon.docs ADD CONSTRAINT chars_pos CHECK (n_chars > 60)")
+    assert(Snapshot.listConstraints(s, s"$root/docs").count() === 1L)
+    // a violating write refuses at stage, naming the rule
+    val e = intercept[Exception] {
+      s.sql("INSERT INTO acon.docs VALUES (300, 'short', 'en', 10)")
+    }
+    assert(e.getMessage.contains("chars_pos") ||
+      Option(e.getCause).exists(_.getMessage.contains("chars_pos")))
+    s.sql("ALTER TABLE acon.docs DROP CONSTRAINT chars_pos")
+    assert(Snapshot.listConstraints(s, s"$root/docs").count() === 0L)
+    s.sql("INSERT INTO acon.docs VALUES (300, 'short', 'en', 10)")
+    assert(s.sql("SELECT count(*) FROM acon.docs WHERE doc_id = 300")
+      .head().getLong(0) === 1L)
+  }
+
   test("standard DDL: ALTER TABLE ADD/RENAME/DROP COLUMN, RENAME TABLE, DROP TABLE") {
     val root = scratch("ansi_ddl")
     val s = ext
