@@ -183,6 +183,10 @@ class AnsiDmlSpec extends SparkSpec {
     s.sql("INSERT OVERWRITE ains.docs SELECT * FROM ains_src WHERE lang = 'en'")
     assert(s.sql("SELECT count(*) FROM ains.docs").head().getLong(0) === 2L)
     assert(s.sql(s"GRAFT SNAPSHOT READ '$root/docs' VERSION 4").count() === 10L)
+    // the DataFrame V2 writer lands through the same staged door
+    docsIn(s).withColumn("doc_id", col("doc_id") + 900)
+      .writeTo("ains.docs").append()
+    assert(s.sql("SELECT count(*) FROM ains.docs").head().getLong(0) === 8L)
     // partial column lists refuse (no per-column insert defaults)
     val e = intercept[graft.plans.GraftParseException] {
       s.sql("INSERT INTO ains.docs (doc_id, text) VALUES (1, 'x')")

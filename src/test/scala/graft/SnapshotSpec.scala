@@ -1077,14 +1077,15 @@ class SnapshotSpec extends SparkSpec {
     def msgs(t: Throwable): String =
       Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
         .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
-    // DATA-write verbs still refuse toward the staged-commit API
-    // (round-15 note: DDL — ALTER/DROP/RENAME TABLE — now dispatches
-    // into the snapshot verbs, graded by x_io_ddl_catalog/AnsiDmlSpec;
-    // row/file writes like INSERT keep the refusal)
-    val ex = intercept[Exception] {
-      spark.sql("INSERT INTO gcat_spec.ns1.tbl VALUES (1, 't', 'en', 1)")
-    }
-    assert(msgs(ex).nonEmpty)
+    // round-15: INSERT INTO on a PLAIN session (no parser extension)
+    // lands through the V1-fallback write door — analyzer-resolved
+    // frame into the staged append, never a raw file write
+    spark.sql("INSERT INTO gcat_spec.ns1.tbl " +
+      "VALUES (987654321, 'ins row', 'en', 'unit', 7)")
+    assert(spark.sql(
+      "SELECT count(*) FROM gcat_spec.ns1.tbl WHERE doc_id = 987654321")
+      .head().getLong(0) === 1L)
+    // verbs without a snapshot equivalent still refuse loudly
     val ex2 = intercept[Exception] {
       spark.sql("ALTER TABLE gcat_spec.ns1.tbl SET TBLPROPERTIES('a'='b')")
     }
