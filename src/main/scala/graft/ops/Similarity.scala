@@ -2805,6 +2805,37 @@ object Similarity {
         .orderBy("lang")
     }),
 
+    // Z-ORDERED SNAPSHOT PUBLISH (Snapshot.publishZOrdered — the 2-D
+    // companion of publishClustered, Delta's OPTIMIZE ZORDER BY shape,
+    // composing the ZInterleave expression with the round-15
+    // multi-column stats): rows sort on the Morton interleave of
+    // (doc_id, n_chars), every file covers a bounded 2-D box, and BOTH
+    // columns' per-file ranges land in the manifest's stats map in the
+    // SAME commit — so predicate deletes on EITHER dimension prune
+    // files from metadata (LifecycleOpsSpec pins the minority-rewrite
+    // on each axis). Graded: z-publish → a delete on each dimension →
+    // survivors' per-lang aggregate; oracle = both negated ranges.
+    "x_io_zorder_snapshot" -> ((s, d) => {
+      val dir = T.scratchDir("graft_zsnap")
+      val ext = org.apache.spark.sql.GraftBridge.sessionWithExtensions(
+        s, new graft.plans.GraftExtensions)
+      graft.sources.Snapshot.publishZOrdered(
+        ext, dir, t(ext, d, "documents"), "lang", "doc_id", "n_chars",
+        "text", nFiles = 8)
+      ext.sql(s"GRAFT SNAPSHOT DELETE '$dir' PARTITION lang CHECKSUM text " +
+        "WHERE doc_id BETWEEN 100 AND 260")
+      ext.sql(s"GRAFT SNAPSHOT DELETE '$dir' PARTITION lang CHECKSUM text " +
+        "WHERE n_chars BETWEEN 150 AND 290")
+      ext.sql(s"GRAFT SNAPSHOT READ '$dir'")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("n_chars"),
+          min("doc_id").as("min_id"), max("doc_id").as("max_id"),
+          sum(conv(substring(md5(col("text")), 1, 8), 16, 10).cast("bigint"))
+            .as("checksum"))
+        .orderBy("lang")
+    }),
+
     // TIME-BASED RETENTION (VACUUM … RETAIN n HOURS — possible since
     // the commit markers record wall clocks): versions younger than the
     // window survive, the keep floor bounds the worst case, clockless
@@ -4541,6 +4572,16 @@ object Similarity {
         "CAST(sum(n_chars) AS BIGINT) AS n_chars, " +
         "CAST(sum(CAST(('0x' || substring(md5(text), 1, 8)) AS BIGINT)) AS BIGINT) AS checksum " +
         "FROM documents WHERE NOT (n_chars BETWEEN 150 AND 290) " +
+        "GROUP BY lang ORDER BY lang"),
+    // Z-ordered snapshot: both deletes replay as negated ranges over
+    // their own dimensions.
+    "x_io_zorder_snapshot" ->
+      ("SELECT lang, count(*) AS n_docs, " +
+        "CAST(sum(n_chars) AS BIGINT) AS n_chars, " +
+        "min(doc_id) AS min_id, max(doc_id) AS max_id, " +
+        "CAST(sum(CAST(('0x' || substring(md5(text), 1, 8)) AS BIGINT)) AS BIGINT) AS checksum " +
+        "FROM documents WHERE NOT (doc_id BETWEEN 100 AND 260) " +
+        "AND NOT (n_chars BETWEEN 150 AND 290) " +
         "GROUP BY lang ORDER BY lang"),
     // Time-based retention: fresh commits expire nothing under a
     // generous window (0 data rows in the dry run), RETAIN 0 KEEP 1

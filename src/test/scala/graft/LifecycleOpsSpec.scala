@@ -167,6 +167,49 @@ class LifecycleOpsSpec extends SparkSpec {
       .filter(col("n_chars").between(900, 903)).count() === 2L)
   }
 
+  test("z-ordered snapshot: either dimension prunes the rewrite set") {
+    import spark.implicits._
+    val dir = scratch("lc_zsnap")
+    // score and weight are independent permutations of the id space, so
+    // a 1-D cluster on either would leave the other unprunable; the
+    // z-order bounds BOTH per file
+    val df = (0 until 1024).map { i =>
+      (i.toLong, s"t $i", if (i % 2 == 0) "en" else "de",
+        i.toLong, ((i * 37) % 1024).toLong)
+    }.toDF("doc_id", "text", "lang", "score", "weight")
+    Snapshot.publishZOrdered(spark, dir, df, "lang", "score", "weight",
+      "text", nFiles = 16)
+    val nFiles = Snapshot.dataFileCount(spark, dir)
+    def rewritten(v: Int): Int = {
+      def parquets(f: java.io.File): Int =
+        Option(f.listFiles).toSeq.flatten.map {
+          case d0 if d0.isDirectory => parquets(d0)
+          case x if x.getName.endsWith(".parquet") => 1
+          case _ => 0
+        }.sum
+      parquets(new java.io.File(s"$dir/v$v"))
+    }
+    // dimension A
+    Snapshot.deleteWhere(spark, dir, "score BETWEEN 0 AND 80", "lang", "text")
+    val vA = Snapshot.currentVersion(spark, dir)
+    assert(rewritten(vA) > 0 && rewritten(vA) < nFiles / 2,
+      s"score delete rewrote ${rewritten(vA)} of $nFiles")
+    // dimension B — the axis a 1-D cluster could NOT have pruned
+    Snapshot.deleteWhere(spark, dir, "weight BETWEEN 0 AND 80", "lang", "text")
+    val vB = Snapshot.currentVersion(spark, dir)
+    assert(rewritten(vB) > 0 && rewritten(vB) < nFiles / 2,
+      s"weight delete rewrote ${rewritten(vB)} of $nFiles")
+    // survivors exact
+    assert(Snapshot.read(spark, dir).count() ===
+      df.filter(!col("score").between(0, 80) && !col("weight").between(0, 80))
+        .count())
+    // and the generalized stats read prunes on either column
+    assert(Snapshot.readWhereStats(spark, dir, "weight", 900, 920)
+      .filter(col("weight").between(900, 920)).count() ===
+      df.filter(!col("score").between(0, 80) && col("weight").between(900, 920))
+        .count())
+  }
+
   test("sub-version offsets: a mid-step restart resumes exactly, ranges re-read identically") {
     import org.apache.spark.sql.connector.read.streaming.ReadLimit
     import org.apache.spark.sql.execution.streaming.SerializedOffset
