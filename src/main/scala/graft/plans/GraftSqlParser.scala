@@ -726,9 +726,13 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     e.transform {
       case a: UnresolvedAttribute if a.nameParts.length > 1 &&
           quals.contains(a.nameParts.head.toLowerCase) =>
+        // strip/remap ONLY the matched qualifier; the remaining parts
+        // (struct-field paths like d.meta.score) pass through intact —
+        // collapsing to the last part would silently reference a
+        // different column (review finding)
         quals(a.nameParts.head.toLowerCase) match {
-          case "" => UnresolvedAttribute(Seq(a.nameParts.last))
-          case q => UnresolvedAttribute(Seq(q, a.nameParts.last))
+          case "" => UnresolvedAttribute(a.nameParts.tail)
+          case q => UnresolvedAttribute(q +: a.nameParts.tail)
         }
     }.sql
   }
@@ -800,12 +804,26 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
             case org.apache.spark.sql.catalyst.expressions.EqualTo(
                 a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute,
                 b: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute)
-              if a.nameParts.last.equalsIgnoreCase(b.nameParts.last) =>
-              a.nameParts.last
+              if a.nameParts.last.equalsIgnoreCase(b.nameParts.last) && {
+                // when both sides are qualified, they must name the
+                // TARGET and the SOURCE (either order) — a degenerate
+                // `ON s.k = s.k` typo must refuse, not silently run as
+                // a key join the user never wrote (review finding)
+                val qa = if (a.nameParts.length > 1)
+                  Some(a.nameParts.head.toLowerCase) else None
+                val qb = if (b.nameParts.length > 1)
+                  Some(b.nameParts.head.toLowerCase) else None
+                (qa, qb) match {
+                  case (Some(x), Some(y)) =>
+                    Set(x, y) == Set(tAlias.toLowerCase, sAlias.toLowerCase)
+                  case _ => true // unqualified sides resolve at analysis
+                }
+              } => a.nameParts.last
             case other => throw new GraftParseException(
               s"MERGE INTO a snapshot table requires a single-key equality " +
-                s"ON clause (ON t.<key> = s.<key>), got '${other.sql}' — " +
-                "the staged merge joins on the table's key column")
+                s"ON clause over the two sides (ON t.<key> = s.<key>), got " +
+                s"'${other.sql}' — the staged merge joins on the table's " +
+                "key column")
           }
           import graft.sources.Snapshot.{WhenMatchedDelete, WhenMatchedUpdate, WhenNotMatchedInsert}
           def condSql(c: Option[Expr]): Option[String] =
@@ -888,6 +906,18 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
                   s"INSERT provides ${df.columns.length} column(s), table " +
                     s"has ${target.length} (${target.mkString(", ")})")
               df = df.toDF(target: _*)
+            } else {
+              // BY NAME must cover the table exactly: an extra source
+              // column silently dropped — or a missing one null-filled —
+              // would betray the physically-complete-files contract
+              // (review finding)
+              if (df.columns.map(_.toLowerCase).sorted.toSeq !=
+                  target.map(_.toLowerCase).sorted)
+                throw new GraftParseException(
+                  s"INSERT BY NAME columns (${df.columns.mkString(", ")}) " +
+                    s"must cover the table's columns exactly " +
+                    s"(${target.mkString(", ")}) — snapshot files are " +
+                    "physically complete; there are no per-column defaults")
             }
             val casted = df.select(schema.fields.map(f =>
               org.apache.spark.sql.functions.col(f.name)

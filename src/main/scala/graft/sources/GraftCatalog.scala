@@ -172,6 +172,37 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val dir = dirOf(ident)
     if (!isTable(dir)) throw new NoSuchTableException(ident)
+    // PRE-VALIDATE the whole change set before applying ANY of it:
+    // each change lands as its own snapshot commit, so a failure
+    // halfway through a multi-change statement would leave the earlier
+    // changes durably applied (ADD COLUMNS (a INT, b INT NOT NULL):
+    // 'a' committed, 'b' refused, retry now collides on 'a' — review
+    // finding). The statically-checkable refusals — unsupported change
+    // kinds, nested names, NOT NULL without a default — all fire here;
+    // state-dependent refusals inside the verbs can still stop a later
+    // change (documented residual non-atomicity, same as Hive/JDBC
+    // catalogs that apply changes one by one).
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames().length == 1,
+          s"graft catalog '$catalogName': nested ADD COLUMN " +
+            s"(${add.fieldNames().mkString(".")}) is not supported — " +
+            "snapshot columns are top-level")
+        require(add.position() == null,
+          s"graft catalog '$catalogName': ADD COLUMN … FIRST/AFTER is not " +
+            "supported — added columns append (column order is metadata)")
+        require(add.defaultValue() != null || add.isNullable,
+          s"graft catalog '$catalogName': ADD COLUMN " +
+            s"${add.fieldNames().head} NOT NULL needs an explicit " +
+            "DEFAULT — existing rows have no honest fill otherwise")
+      case c @ (_: TableChange.RenameColumn | _: TableChange.DeleteColumn |
+          _: TableChange.UpdateColumnType) =>
+        require(c.asInstanceOf[TableChange.ColumnChange].fieldNames().length == 1,
+          s"graft catalog '$catalogName': nested column changes are not supported")
+      case _: TableChange.AddConstraint | _: TableChange.DropConstraint => ()
+      case other =>
+        readOnlyRefusal(s"ALTER TABLE $ident (${other.getClass.getSimpleName})")
+    }
     changes.foreach {
       case add: TableChange.AddColumn =>
         require(add.fieldNames().length == 1,

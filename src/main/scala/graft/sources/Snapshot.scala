@@ -747,7 +747,16 @@ object Snapshot {
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) fs.mkdirs(root)
-    val ckpt = summaryMaxAlloc(spark, dir)
+    // the guess must clear BOTH the checkpoint and the committed
+    // pointer: a checkpoint stale-low past the vacuum horizon (lost
+    // advisory advances + vacuumed stage markers AND manifests) could
+    // otherwise re-offer a number at or below the committed version —
+    // the later commit would flip the pointer BACKWARD (review
+    // finding, pinned in LifecycleOpsSpec). The pointer read is O(1);
+    // branch heads are covered by the artifacts probe (vacuum retains
+    // branch-head manifests).
+    val ckpt = math.max(summaryMaxAlloc(spark, dir),
+      currentVersion(spark, dir))
     var m =
       if (ckpt >= 1 && !versionArtifactsExist(spark, dir, ckpt + 1)) ckpt + 1
       else nextVersion(spark, dir)
@@ -2824,8 +2833,24 @@ object Snapshot {
     requireAddedCols(spark, dir, cur, df, "published snapshot")
     graft.ops.Custom.register(spark)
     val n = claimVersion(spark, dir)
-    val z = expr(s"graft_zorder(CAST($colA AS BIGINT) & 65535, " +
-      s"CAST($colB AS BIGINT) & 65535)")
+    // NORMALIZE each dimension to its observed range before the 16-bit
+    // interleave: a raw `& 65535` would alias every 65 536 values onto
+    // one z-cell, so columns spanning more than that (doc ids at any
+    // real scale) would scatter across files and the per-file ranges
+    // would cover the whole table — the advertised pruning silently
+    // gone (review finding). One tiny agg pays for honest boxes.
+    val mm = df.agg(
+      min(col(colA)).cast("double"), max(col(colA)).cast("double"),
+      min(col(colB)).cast("double"), max(col(colB)).cast("double")).head()
+    def bucket(c: String, loAt: Int, hiAt: Int): String = {
+      if (mm.isNullAt(loAt) || mm.isNullAt(hiAt)) return "CAST(0 AS BIGINT)"
+      val lo = mm.getDouble(loAt)
+      val hi = mm.getDouble(hiAt)
+      if (hi <= lo) "CAST(0 AS BIGINT)"
+      else s"CAST(least(65535.0, greatest(0.0, " +
+        s"floor((CAST($c AS DOUBLE) - ($lo)) / (${hi - lo}) * 65535.0))) AS BIGINT)"
+    }
+    val z = expr(s"graft_zorder(${bucket(colA, 0, 1)}, ${bucket(colB, 2, 3)})")
     df.withColumn("_p", col(partCol)).withColumn("_zkey", z)
       .repartitionByRange(nFiles, col("_p"), col("_zkey"))
       .sortWithinPartitions("_p", "_zkey")

@@ -288,10 +288,22 @@ private[graft] class SnapshotVersionSource(spark: SparkSession, dir: String,
         "snapshot without replaying history)"))
 
   /** One step's sorted appended-file list (prev = 0 is the initial
-    * load). Deterministic — the sub-version slice contract.
+    * load). Deterministic — the sub-version slice contract — and
+    * therefore MEMOIZABLE: while one oversized step drains under the
+    * caps, every latestOffset AND every getBatch re-derives the same
+    * list (manifest parses + sidecar checks per micro-batch — O(files²)
+    * driver metadata work over a big drain without the memo; review
+    * finding). One entry suffices: steps drain sequentially.
     */
-  private def stepFiles(p: Int, v: Int): Seq[String] =
-    Snapshot.appendedFiles(spark, dir, p, v)
+  @volatile private var stepMemo: Option[(Int, Int, Seq[String])] = None
+
+  private def stepFiles(p: Int, v: Int): Seq[String] = stepMemo match {
+    case Some((cp, cv, fs)) if cp == p && cv == v => fs
+    case _ =>
+      val fs = Snapshot.appendedFiles(spark, dir, p, v)
+      stepMemo = Some((p, v, fs))
+      fs
+  }
 
   /** Admit files under the maxFiles/maxBytes caps (always at least
     * one file — a single file larger than maxBytes must still move).

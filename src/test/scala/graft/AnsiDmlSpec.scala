@@ -198,6 +198,13 @@ class AnsiDmlSpec extends SparkSpec {
         "VALUES (1, 'x', 40)")
     }
     assert(e2.getMessage.contains("REPLACE"))
+    // BY NAME with an extra source column refuses instead of silently
+    // dropping it (review finding)
+    val e4 = intercept[graft.plans.GraftParseException] {
+      s.sql("INSERT INTO ains.docs BY NAME " +
+        "SELECT doc_id, text, lang, n_chars, 0.5 AS quality FROM ains_src")
+    }
+    assert(e4.getMessage.contains("exactly"))
   }
 
   test("ANSI MERGE INTO routes into stageMerge (update/delete/insert branches)") {
@@ -244,6 +251,14 @@ class AnsiDmlSpec extends SparkSpec {
         "VALUES (s.doc_id, s.text, s.lang, s.n_chars)")
     }
     assert(e2.getMessage.contains("INSERT *"))
+    // a degenerate ON (both sides the SOURCE — a typo for t.x = s.x)
+    // must refuse, never silently run as the key join the user didn't
+    // write (review finding)
+    val e3 = intercept[graft.plans.GraftParseException] {
+      s.sql("MERGE INTO amrg.docs t USING amrg_src s ON s.doc_id = s.doc_id " +
+        "WHEN MATCHED THEN DELETE")
+    }
+    assert(e3.getMessage.contains("two sides"))
   }
 
   test("ANSI DML on a pre-layout table refuses with the remedy") {

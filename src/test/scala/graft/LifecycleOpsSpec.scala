@@ -121,6 +121,31 @@ class LifecycleOpsSpec extends SparkSpec {
     assert(summary.contains(s""""max_alloc":$n2"""))
   }
 
+  test("a stale-low summary past the VACUUM horizon never rewinds the pointer") {
+    // three FULL publishes: v1/v2 become wholly unreferenced, so
+    // vacuum(keep 1) removes their manifests, dirs AND stage markers —
+    // the dangerous state where nothing but the pointer itself proves
+    // those numbers were ever allocated (review finding)
+    val dir = scratch("lc_rewind")
+    Snapshot.publish(spark, dir, docsDF, "lang", "text")
+    Snapshot.publish(spark, dir, docsDF.filter(col("lang") =!= "fr"),
+      "lang", "text")
+    Snapshot.publish(spark, dir, docsDF.filter(col("lang") === "en"),
+      "lang", "text")
+    Snapshot.vacuum(spark, dir, keepVersions = 1)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new org.apache.hadoop.fs.Path(dir, "_summary"), true)
+    out.write("""{"max_alloc":1}""".getBytes("UTF-8")); out.close()
+    val cur = Snapshot.currentVersion(spark, dir)
+    val n = Snapshot.append(spark, dir,
+      docsDF.filter(col("lang") === "de").withColumn("doc_id", col("doc_id") + 40),
+      "lang", "text")
+    assert(n > cur, s"claim re-offered a spent number: $n <= $cur")
+    assert(Snapshot.currentVersion(spark, dir) === n)
+    assert(Snapshot.read(spark, dir).count() === 2L + 2L)
+  }
+
   test("multi-column stats: predicate delete prunes on a SECOND column after ANALYZE") {
     import spark.implicits._
     val dir = scratch("lc_multistats")
@@ -173,9 +198,13 @@ class LifecycleOpsSpec extends SparkSpec {
     // score and weight are independent permutations of the id space, so
     // a 1-D cluster on either would leave the other unprunable; the
     // z-order bounds BOTH per file
+    // WIDE value ranges (≫ 2^16) on both dimensions: the interleave
+    // normalizes to the observed range, so no 16-bit aliasing — a raw
+    // low-bit mask would scatter these across every file (review
+    // finding); the minority-rewrite asserts below pin the normalization
     val df = (0 until 1024).map { i =>
       (i.toLong, s"t $i", if (i % 2 == 0) "en" else "de",
-        i.toLong, ((i * 37) % 1024).toLong)
+        i.toLong * 1000003L, ((i * 37) % 1024).toLong * 999983L)
     }.toDF("doc_id", "text", "lang", "score", "weight")
     Snapshot.publishZOrdered(spark, dir, df, "lang", "score", "weight",
       "text", nFiles = 16)
@@ -190,24 +219,24 @@ class LifecycleOpsSpec extends SparkSpec {
       parquets(new java.io.File(s"$dir/v$v"))
     }
     // dimension A
-    Snapshot.deleteWhere(spark, dir, "score BETWEEN 0 AND 80", "lang", "text")
+    Snapshot.deleteWhere(spark, dir, "score BETWEEN 0 AND 80000240", "lang", "text")
     val vA = Snapshot.currentVersion(spark, dir)
     assert(rewritten(vA) > 0 && rewritten(vA) < nFiles / 2,
       s"score delete rewrote ${rewritten(vA)} of $nFiles")
     // dimension B — the axis a 1-D cluster could NOT have pruned
-    Snapshot.deleteWhere(spark, dir, "weight BETWEEN 0 AND 80", "lang", "text")
+    Snapshot.deleteWhere(spark, dir, "weight BETWEEN 0 AND 79998640", "lang", "text")
     val vB = Snapshot.currentVersion(spark, dir)
     assert(rewritten(vB) > 0 && rewritten(vB) < nFiles / 2,
       s"weight delete rewrote ${rewritten(vB)} of $nFiles")
     // survivors exact
     assert(Snapshot.read(spark, dir).count() ===
-      df.filter(!col("score").between(0, 80) && !col("weight").between(0, 80))
+      df.filter(!col("score").between(0, 80000240L) && !col("weight").between(0, 79998640L))
         .count())
     // and the generalized stats read prunes on either column
-    assert(Snapshot.readWhereStats(spark, dir, "weight", 900, 920)
-      .filter(col("weight").between(900, 920)).count() ===
-      df.filter(!col("score").between(0, 80) && col("weight").between(900, 920))
-        .count())
+    assert(Snapshot.readWhereStats(spark, dir, "weight", 900.0 * 999983, 920.0 * 999983)
+      .filter(col("weight").between(900L * 999983, 920L * 999983)).count() ===
+      df.filter(!col("score").between(0, 80000240L) &&
+          col("weight").between(900L * 999983, 920L * 999983)).count())
   }
 
   test("sub-version offsets: a mid-step restart resumes exactly, ranges re-read identically") {
