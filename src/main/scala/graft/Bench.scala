@@ -30,35 +30,51 @@ object Bench {
     // releaseCaches(blocking = true): each query's cache cleanup is billed
     // to ITSELF — async unpersist lands in the next query's timed window
     // (the round-5 x_dedup_exact +2 s phantom).
-    def runSuite(): Seq[(String, Double, Long)] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        // toRdd.count(), not count(): DataFrame.count() re-plans as an
-        // empty aggregate and Catalyst PRUNES every unused projection —
-        // map-only queries would be billed for reading, not computing
-        // (the trap that hid topNgramFraction's O(n²) fold: 0.16 s
-        // "benched", minutes when actually evaluated). toRdd executes
-        // the query's own optimized plan, every output column computed.
-        // The returned row count is kept (BENCH_DETAIL.json "rows") so a
-        // timing outlier can be attributed to output VOLUME vs plan cost
-        // (x_dedup_jaccard emits ~1.8M pairs on the template-heavy
-        // fixture — 10× the next key — which driver-side contention
-        // amplifies; the count makes that visible without a rerun).
-        val rows = try { fn(spark, sfDir).queryExecution.toRdd.count() } catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-            -1L
-        } finally graft.ops.T.releaseCaches(blocking = true)
-        (name, if (rows >= 0) (System.nanoTime() - t0) / 1e9 else -1.0, rows)
-      }
-    // Two passes in the same JVM, per-query MINIMUM: a transiently loaded
-    // host (the rounds-4/5 driver boxes doubled several unchanged narrow
-    // maps) must hit the same query in BOTH passes to pollute its graded
-    // number. A failure in either pass still reports -1.
-    val pass1full = runSuite()
-    val pass2full = runSuite()
-    val pass1 = pass1full.map(r => r._1 -> r._2)
-    val pass2 = pass2full.map(r => r._1 -> r._2)
+    def runOne(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (Double, Long) = {
+      val t0 = System.nanoTime()
+      // toRdd.count(), not count(): DataFrame.count() re-plans as an
+      // empty aggregate and Catalyst PRUNES every unused projection —
+      // map-only queries would be billed for reading, not computing
+      // (the trap that hid topNgramFraction's O(n²) fold: 0.16 s
+      // "benched", minutes when actually evaluated). toRdd executes
+      // the query's own optimized plan, every output column computed.
+      // The returned row count is kept (BENCH_DETAIL.json "rows") so a
+      // timing outlier can be attributed to output VOLUME vs plan cost
+      // (x_dedup_jaccard emits ~1.8M pairs on the template-heavy
+      // fixture — 10× the next key — which driver-side contention
+      // amplifies; the count makes that visible without a rerun).
+      val rows = try { fn(spark, sfDir).queryExecution.toRdd.count() } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          -1L
+      } finally graft.ops.T.releaseCaches(blocking = true)
+      (if (rows >= 0) (System.nanoTime() - t0) / 1e9 else -1.0, rows)
+    }
+    // PER-KEY BACK-TO-BACK passes (A,A,B,B…), per-query MINIMUM — not
+    // two full alphabetical sweeps. Two sweeps alias PERIODIC host load
+    // onto the same alphabetical family block in both passes (the
+    // round-15 artifact showed x_dedup_* 3–13× on untouched code while
+    // an immediate rerun read true values), so best-of-2 couldn't
+    // rescue a region. Back-to-back runs put a key's two samples
+    // seconds apart: a short burst now hits at most one sample of a few
+    // keys and the min discards it; only a burst spanning BOTH adjacent
+    // runs of one key can pollute that key's graded number. A failure
+    // in either pass still reports -1.
+    // Optional args = key names/prefixes to run (local iteration only —
+    // the driver invokes with no args and always gets the full sweep).
+    val wanted = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
+      args.isEmpty || args.exists(a => n == a || n.startsWith(a))
+    }
+    val triples = wanted.map { case (name, fn) =>
+      val (t1, rows1) = runOne(name, fn)
+      val (t2, _) = runOne(name, fn)
+      (name, t1, t2, rows1)
+    }
+    val pass1 = triples.map(r => r._1 -> r._2)
+    val pass2 = triples.map(r => r._1 -> r._3)
+    val pass1full = triples.map(r => (r._1, r._2, r._4))
     val results = pass1.zip(pass2).map { case ((name, a), (_, b)) =>
       name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
@@ -87,10 +103,17 @@ object Bench {
     val canaryKey = "f_cast_try"
     val c1 = pass1.toMap.getOrElse(canaryKey, -1.0)
     val c2 = pass2.toMap.getOrElse(canaryKey, -1.0)
-    val cSpread =
-      if (c1 > 0 && c2 > 0) math.max(c1, c2) / math.min(c1, c2) else -1.0
+    // With back-to-back runs the two canary samples sit in ONE ~1 s
+    // window early in the sweep; a third sample at the very END
+    // restores the sweep-spanning load signal the two-full-sweeps
+    // layout used to give (spread reads over all three).
+    val c3 = SparkEntry.queries.get(canaryKey)
+      .filter(_ => wanted.exists(_._1 == canaryKey))
+      .map(fn => runOne(canaryKey, fn)._1).getOrElse(-1.0)
+    val cs = Seq(c1, c2, c3).filter(_ > 0)
+    val cSpread = if (cs.size >= 2) cs.max / cs.min else -1.0
     val canary =
-      s"""{"key":"$canaryKey","pass1":${f(c1, 3)},"pass2":${f(c2, 3)},"spread":${f(cSpread, 2)}}"""
+      s"""{"key":"$canaryKey","pass1":${f(c1, 3)},"pass2":${f(c2, 3)},"pass3":${f(c3, 3)},"spread":${f(cSpread, 2)}}"""
     // NOT printed: sbt re-tags the forked JVM's stderr onto its own
     // stdout ("[error] <line>"), which would put the >2000-char detail
     // line right back into the captured tail. File only.
@@ -101,7 +124,7 @@ object Bench {
     val rmap = rowCounts
       .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val detail =
-      s"""{"queries":${qmap(results, 3)},"pass1":${qmap(pass1, 3)},"pass2":${qmap(pass2, 3)},"rows":$rmap,"canary":$canary,"timing":"best_of_2_same_jvm","sf":"$sfName","n":${results.size},"failed":$failed,"metric":"total","unit":"sec","value":${f(total, 3)}}"""
+      s"""{"queries":${qmap(results, 3)},"pass1":${qmap(pass1, 3)},"pass2":${qmap(pass2, 3)},"rows":$rmap,"canary":$canary,"timing":"best_of_2_back_to_back","sf":"$sfName","n":${results.size},"failed":$failed,"metric":"total","unit":"sec","value":${f(total, 3)}}"""
     try {
       val w = new java.io.PrintWriter(new java.io.File("BENCH_DETAIL.json"), "UTF-8")
       try w.println(detail) finally w.close()
@@ -110,7 +133,7 @@ object Bench {
     // line/file) so the stdout line keeps the documented shape while
     // staying far inside the 2000-char capture window.
     val slowest = results.sortBy(-_._2).take(12)
-    println(s"""{"metric":"total","unit":"sec","sf":"$sfName","n":${results.size},"failed":$failed,"timing":"best_of_2_same_jvm","canary":$canary,"queries":${qmap(slowest, 2)},"value":${f(total, 3)}}""")
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfName","n":${results.size},"failed":$failed,"timing":"best_of_2_back_to_back","canary":$canary,"queries":${qmap(slowest, 2)},"value":${f(total, 3)}}""")
     spark.stop()
   }
 }
