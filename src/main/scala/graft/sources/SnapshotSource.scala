@@ -167,30 +167,99 @@ private[sources] object SnapshotTables {
     */
   def writable(dir: String, parquet: ParquetTable): Table =
     new Table with org.apache.spark.sql.connector.catalog.SupportsRead
-        with org.apache.spark.sql.connector.catalog.SupportsWrite {
+        with org.apache.spark.sql.connector.catalog.SupportsWrite
+        with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+        with org.apache.spark.sql.connector.catalog.SupportsDeleteV2 {
       override def name(): String = parquet.name
       override def capabilities(): java.util.Set[
           org.apache.spark.sql.connector.catalog.TableCapability] =
         java.util.EnumSet.of(
           org.apache.spark.sql.connector.catalog.TableCapability.BATCH_READ,
+          // V1_BATCH_WRITE keeps INSERT/append on the analyzer-resolved
+          // InsertableRelation fast path (exec selection is by the Write
+          // OBJECT being V1Write, so declaring BATCH_WRITE alongside is
+          // safe — it only unlocks the checks that demand strict v2,
+          // which dynamic overwrite does)
           org.apache.spark.sql.connector.catalog.TableCapability.V1_BATCH_WRITE,
-          org.apache.spark.sql.connector.catalog.TableCapability.TRUNCATE)
+          org.apache.spark.sql.connector.catalog.TableCapability.BATCH_WRITE,
+          org.apache.spark.sql.connector.catalog.TableCapability.TRUNCATE,
+          org.apache.spark.sql.connector.catalog.TableCapability.OVERWRITE_DYNAMIC)
       override def schema(): StructType = parquet.schema
       override def newScanBuilder(options: CaseInsensitiveStringMap)
           : org.apache.spark.sql.connector.read.ScanBuilder =
         parquet.newScanBuilder(options)
+
+      /** PLAIN-SESSION row-level DML (no parser extension anywhere):
+        * `UPDATE` / `MERGE INTO` / untranslatable `DELETE` plan through
+        * Spark's own group-based rewrite onto this operation — candidate
+        * files metadata-pruned, replacement rows written distributed,
+        * commit optimistic ([[RowLevelOps]] has the full design note).
+        */
+      override def newRowLevelOperationBuilder(
+          info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+          : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+        val sess = SparkSession.active
+        val l = Snapshot.requireLayout(sess, dir,
+          s"row-level ${info.command()} through the DSv2 door")
+        () => new GraftRowLevelOperation(sess, dir, parquet.schema, l,
+          info.command())
+      }
+
+      /** The METADATA-ONLY delete door (`OptimizeMetadataOnlyDeleteFromTable`):
+        * a translatable `DELETE FROM … WHERE` skips the group scan
+        * entirely and lands in [[Snapshot.deleteWhere]] — the existing
+        * stats/partition-pruned CoW (which also covers TRUNCATE TABLE
+        * via the interface default, an always-true delete).
+        */
+      override def canDeleteWhere(predicates: Array[
+          org.apache.spark.sql.connector.expressions.filter.Predicate]): Boolean =
+        Snapshot.layoutOf(SparkSession.active, dir).isDefined &&
+          RowLevelOps.predicatesToSql(predicates.toSeq).isDefined
+
+      override def deleteWhere(predicates: Array[
+          org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+        val sess = SparkSession.active
+        val l = Snapshot.requireLayout(sess, dir, "DELETE FROM (DSv2)")
+        val condSql = RowLevelOps.predicatesToSql(predicates.toSeq).getOrElse(
+          sys.error(s"graft-snapshot $dir: deleteWhere called with " +
+            "untranslatable predicates (canDeleteWhere was false)"))
+        Snapshot.deleteWhere(sess, dir, condSql, l.partCol, l.checksumCol,
+          l.statsCol)
+        ()
+      }
+
       override def newWriteBuilder(
           info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
           : org.apache.spark.sql.connector.write.WriteBuilder =
         new org.apache.spark.sql.connector.write.WriteBuilder
-            with org.apache.spark.sql.connector.write.SupportsTruncate {
+            with org.apache.spark.sql.connector.write.SupportsTruncate
+            with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
           private var overwriteAll = false
+          private var dynamic = false
           override def truncate()
               : org.apache.spark.sql.connector.write.WriteBuilder = {
             overwriteAll = true; this
           }
+          /** `df.writeTo(t).overwritePartitions()` / dynamic-mode
+            * `INSERT OVERWRITE`: replace exactly the partitions the new
+            * rows land in — `stageReplacePartitions`' semantics as one
+            * distributed write ([[GraftBatchWrite]] partition mode).
+            */
+          override def overwriteDynamicPartitions()
+              : org.apache.spark.sql.connector.write.WriteBuilder = {
+            dynamic = true; this
+          }
           override def build(): org.apache.spark.sql.connector.write.Write =
-            new org.apache.spark.sql.connector.write.V1Write {
+            if (dynamic) {
+              val sess = SparkSession.active
+              val l = Snapshot.requireLayout(sess, dir,
+                "dynamic partition overwrite (DSv2)")
+              val base = Snapshot.currentVersion(sess, dir)
+              Snapshot.requireNoDv(sess, dir, base,
+                "dynamic partition overwrite")
+              new GraftBatchWrite(sess, dir, l, info.schema(),
+                ReplaceTouchedPartitions(base))
+            } else new org.apache.spark.sql.connector.write.V1Write {
               override def toInsertableRelation
                   : org.apache.spark.sql.sources.InsertableRelation =
                 new org.apache.spark.sql.sources.InsertableRelation {

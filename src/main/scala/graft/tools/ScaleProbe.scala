@@ -681,6 +681,42 @@ object ScaleProbe {
         f"($rw1 of $tot1 files rewritten) -> 10x-store ${d10}%7.2fs " +
         f"($rw10 of $tot10; factor ${d10 / d1}%5.1f, claim ~1)")
     }
+    // Null-count stats pruning (round-16): a DELETE WHERE col IS NULL
+    // on a mostly non-null table must rewrite only the files that
+    // actually hold nulls — nulls live in a FIXED doc_id range here, so
+    // the rewrite set stays constant as the store grows 1x -> 10x
+    // (without recorded null counts the atom is conservative and every
+    // file rewrites).
+    if (mode == "all" || mode == "nullstats") {
+      def nsProbe(mult: Int): (Double, Int, Int) = {
+        val dir = java.nio.file.Files.createTempDirectory("probe_nstats").toString
+        val docs = (0 until mult).map { i =>
+          base.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+            col("text"), col("lang"), col("source"), col("n_chars"))
+        }.reduce(_ unionByName _)
+          .withColumn("score", when(col("doc_id").between(100, 260),
+            lit(null).cast("double")).otherwise(col("doc_id").cast("double")))
+        graft.sources.Snapshot.publishClustered(spark, dir, docs, "lang",
+          "doc_id", "text", nFiles = 8 * mult)
+        graft.sources.Snapshot.recordFileStats(spark, dir, Seq("score"))
+        val t0 = System.nanoTime()
+        graft.sources.Snapshot.deleteWhere(spark, dir,
+          "score IS NULL", "lang", "text", statsCol = Some("doc_id"))
+        val sec = (System.nanoTime() - t0) / 1e9
+        val v = graft.sources.Snapshot.currentVersion(spark, dir)
+        val m = spark.read.schema("path STRING")
+          .json(s"$dir/_manifest.v$v").select("path").collect()
+          .map(_.getString(0))
+        (sec, m.count(_.startsWith(s"v$v/")), m.length)
+      }
+      val (d1, rw1, tot1) = nsProbe(1)
+      graft.ops.T.releaseCaches(blocking = true)
+      val (d10, rw10, tot10) = nsProbe(10)
+      graft.ops.T.releaseCaches(blocking = true)
+      println(f"IS NULL delete via null-count stats 1x ${d1}%6.2fs " +
+        f"($rw1 of $tot1 files rewritten) -> 10x-store ${d10}%7.2fs " +
+        f"($rw10 of $tot10; factor ${d10 / d1}%5.1f, claim ~1)")
+    }
     // Version-allocation checkpoint (round-15, `_summary`): per-commit
     // cost on a table with HUNDREDS of retained versions must stay flat
     // — the claim is O(1) allocation via the checkpoint instead of an

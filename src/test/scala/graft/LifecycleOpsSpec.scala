@@ -192,6 +192,71 @@ class LifecycleOpsSpec extends SparkSpec {
       .filter(col("n_chars").between(900, 903)).count() === 2L)
   }
 
+  test("null-count stats: IS NULL / IS NOT NULL decide exactly after ANALYZE") {
+    import spark.implicits._
+    val dir = scratch("lc_nullstats")
+    // nulls concentrate in the low doc_id range -> under the doc_id
+    // clustering they live in a strict minority of files
+    val df = (1 to 400).map { i =>
+      (i.toLong, s"text $i", if (i % 2 == 0) "en" else "de",
+        if (i <= 50) None else Some(i * 1.0))
+    }.toDF("doc_id", "text", "lang", "score")
+    Snapshot.publishClustered(spark, dir, df, "lang", "doc_id", "text", 8)
+    val nFiles = Snapshot.dataFileCount(spark, dir)
+    val s = org.apache.spark.sql.GraftBridge.sessionWithExtensions(
+      spark, new graft.plans.GraftExtensions)
+    s.sql(s"GRAFT SNAPSHOT ANALYZE '$dir' COLUMNS score")
+    val before = Snapshot.currentVersion(s, dir)
+    Snapshot.deleteWhere(s, dir, "score IS NULL", "lang", "text")
+    val after = Snapshot.currentVersion(s, dir)
+    assert(after > before)
+    assert(Snapshot.read(s, dir).count() === 350L)
+    def parquetsUnder(f: java.io.File): Int =
+      Option(f.listFiles).toSeq.flatten.map {
+        case d if d.isDirectory => parquetsUnder(d)
+        case x if x.getName.endsWith(".parquet") => 1
+        case _ => 0
+      }.sum
+    val rewritten = parquetsUnder(new java.io.File(s"$dir/v$after"))
+    assert(rewritten > 0 && rewritten < nFiles / 2,
+      s"IS NULL must rewrite only null-bearing files, got $rewritten of $nFiles")
+    // re-ANALYZE: zero nulls remain anywhere, so the same delete is now
+    // a METADATA NO-OP (nulls == 0 decides the atom exactly)
+    s.sql(s"GRAFT SNAPSHOT ANALYZE '$dir' COLUMNS score")
+    val cur = Snapshot.currentVersion(s, dir)
+    assert(Snapshot.deleteWhere(s, dir, "score IS NULL", "lang", "text") === cur)
+    // without a recorded count the atom stays conservative: text has no
+    // stats -> IS NULL on it must stage a rewrite (sound over-keep)
+    assert(Snapshot.read(s, dir).count() === 350L)
+  }
+
+  test("null-count stats: IS NOT NULL skips an all-null file") {
+    import spark.implicits._
+    val dir = scratch("lc_nullstats2")
+    // per-partition determinism: every en row has NULL score, every de
+    // row non-null — so en files are all-null regardless of how the
+    // range sampler splits doc_ids
+    val df = (1 to 100).map { i =>
+      val lang = if (i % 2 == 0) "en" else "de"
+      (i.toLong, s"t $i", lang, if (lang == "en") None else Some(i * 1.0))
+    }.toDF("doc_id", "text", "lang", "score")
+    Snapshot.publishClustered(spark, dir, df, "lang", "doc_id", "text", 2)
+    val s = org.apache.spark.sql.GraftBridge.sessionWithExtensions(
+      spark, new graft.plans.GraftExtensions)
+    s.sql(s"GRAFT SNAPSHOT ANALYZE '$dir' COLUMNS score")
+    Snapshot.deleteWhere(s, dir, "score IS NOT NULL", "lang", "text")
+    val v = Snapshot.currentVersion(s, dir)
+    // the all-null file carries BY REFERENCE (nulls == n_rows decides
+    // IS NOT NULL exactly); the non-null file empties
+    val paths = spark.read.json(s"$dir/_manifest.v$v").select("path")
+      .collect().map(_.getString(0))
+    assert(paths.nonEmpty && paths.forall(p =>
+      p.startsWith("v1/") && p.contains("_p=en")),
+      s"all-null en file(s) must carry untouched, got ${paths.toSeq}")
+    assert(Snapshot.read(s, dir).count() === 50L)
+    assert(Snapshot.read(s, dir).where(col("score").isNotNull).count() === 0L)
+  }
+
   test("z-ordered snapshot: either dimension prunes the rewrite set") {
     import spark.implicits._
     val dir = scratch("lc_zsnap")
