@@ -244,6 +244,12 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   private val Analyze =
     s"""(?is)\\s*GRAFT\\s+SNAPSHOT\\s+ANALYZE\\s+$P\\s+COLUMNS\\s+([A-Za-z_][A-Za-z0-9_,\\s]*?)\\s*;?\\s*""".r
 
+  // per-file key bloom filters (round-16): point-membership metadata
+  // for purge/IN pruning on keys the table is NOT clustered by
+  // (Snapshot.recordFileBlooms)
+  private val AnalyzeBloom =
+    s"""(?is)\\s*GRAFT\\s+SNAPSHOT\\s+ANALYZE\\s+$P\\s+BLOOM\\s+$Ident(?:\\s+FPP\\s+([0-9]*\\.[0-9]+))?\\s*;?\\s*""".r
+
   private val ApplyDel =
     s"""(?is)\\s*GRAFT\\s+SNAPSHOT\\s+APPLY\\s+DELETES\\s+$P\\s+PARTITION\\s+$Ident\\s+CHECKSUM\\s+$Ident\\s*;?\\s*""".r
 
@@ -298,6 +304,8 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       "(information-preserving widenings only)",
     "GRAFT SNAPSHOT COMPACT '<root>' PARTITION <col> CHECKSUM <col> " +
       "[MAXFILES n] [STATS <col>]",
+    "GRAFT SNAPSHOT ANALYZE '<root>' BLOOM <col> [FPP <p>] " +
+      "(per-file key bloom filters for point-lookup pruning)",
     "GRAFT SNAPSHOT ANALYZE '<root>' COLUMNS <col>[, <col> ...] " +
       "(records per-file min/max stats; predicate verbs prune on them)",
     "GRAFT SNAPSHOT APPLY DELETES '<root>' PARTITION <col> CHECKSUM <col>",
@@ -632,6 +640,10 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       val cols = colsTxt.split(",").map(_.trim).filter(_.nonEmpty).toSeq
       GraftSnapshotCommand("analyze", unq(path))(sess =>
         graft.sources.Snapshot.recordFileStats(sess, unq(path), cols))
+    case AnalyzeBloom(path, keyCol, fpp) =>
+      GraftSnapshotCommand("analyze_bloom", unq(path))(sess =>
+        graft.sources.Snapshot.recordFileBlooms(sess, unq(path), keyCol,
+          Option(fpp).map(_.toDouble).getOrElse(0.01)))
     case ApplyDel(path, partCol, ckCol) =>
       val root = unq(path)
       GraftSnapshotCommand("apply_deletes", root)(sess =>

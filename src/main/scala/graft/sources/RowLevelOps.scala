@@ -517,7 +517,7 @@ private[sources] final class GraftGroupScanBuilder(spark: SparkSession,
     val candidates = RowLevelOps.prunableSql(pushed.toSeq) match {
       case Some(sql) =>
         val hit = Snapshot.predicateHitPaths(spark, entries, sql,
-          layout.partCol).toSet
+          layout.partCol, Snapshot.bloomsAt(spark, dir, base)).toSet
         entries.filter(e => hit.contains(e.path))
       case None => entries
     }

@@ -717,6 +717,39 @@ object ScaleProbe {
         f"($rw1 of $tot1 files rewritten) -> 10x-store ${d10}%7.2fs " +
         f"($rw10 of $tot10; factor ${d10 / d1}%5.1f, claim ~1)")
     }
+    // Per-file key blooms (round-16): a 3-key purge on a table NOT
+    // clustered by the key (clustered on n_chars; doc_id scattered
+    // across every file) must rewrite only the files that actually
+    // hold the keys — the rewrite set tracks the KEY COUNT, not the
+    // file count, as the store grows 1x -> 10x.
+    if (mode == "all" || mode == "keybloom") {
+      def kbProbe(mult: Int): (Double, Int, Int) = {
+        val dir = java.nio.file.Files.createTempDirectory("probe_kbloom").toString
+        val docs = (0 until mult).map { i =>
+          base.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+            col("text"), col("lang"), col("source"), col("n_chars"))
+        }.reduce(_ unionByName _)
+        graft.sources.Snapshot.publishClustered(spark, dir, docs, "lang",
+          "n_chars", "text", nFiles = 8 * mult)
+        graft.sources.Snapshot.recordFileBlooms(spark, dir, "doc_id")
+        val t0 = System.nanoTime()
+        graft.sources.Snapshot.purgeKeys(spark, dir, Seq(9L, 44L, 123L),
+          "doc_id", "lang", "text", statsCol = Some("n_chars"))
+        val sec = (System.nanoTime() - t0) / 1e9
+        val v = graft.sources.Snapshot.currentVersion(spark, dir)
+        val m = spark.read.schema("path STRING")
+          .json(s"$dir/_manifest.v$v").select("path").collect()
+          .map(_.getString(0))
+        (sec, m.count(_.startsWith(s"v$v/")), m.length)
+      }
+      val (d1, rw1, tot1) = kbProbe(1)
+      graft.ops.T.releaseCaches(blocking = true)
+      val (d10, rw10, tot10) = kbProbe(10)
+      graft.ops.T.releaseCaches(blocking = true)
+      println(f"3-key purge via file blooms (un-clustered key) 1x ${d1}%6.2fs " +
+        f"($rw1 of $tot1 files rewritten) -> 10x-store ${d10}%7.2fs " +
+        f"($rw10 of $tot10; factor ${d10 / d1}%5.1f, claim ~1)")
+    }
     // Version-allocation checkpoint (round-15, `_summary`): per-commit
     // cost on a table with HUNDREDS of retained versions must stay flat
     // — the claim is O(1) allocation via the checkpoint instead of an

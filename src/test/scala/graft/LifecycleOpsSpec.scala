@@ -257,6 +257,55 @@ class LifecycleOpsSpec extends SparkSpec {
     assert(Snapshot.read(s, dir).where(col("score").isNotNull).count() === 0L)
   }
 
+  test("key blooms: point purge on an un-clustered key rewrites only truly-hit files") {
+    import spark.implicits._
+    val dir = scratch("lc_keybloom")
+    def slice(lo: Int, hi: Int) = (lo to hi).map(i =>
+      (i.toLong, s"text $i", if (i % 2 == 0) "en" else "de"))
+      .toDF("doc_id", "text", "lang")
+    // four append generations: every file's doc_id range is disjoint
+    // BY ACCIDENT of construction, but no stats are recorded at all
+    // (statsCol None), so range pruning cannot help — only the blooms
+    Snapshot.publish(spark, dir, slice(1, 100), "lang", "text")
+    Seq((101, 200), (201, 300), (301, 400)).foreach { case (lo, hi) =>
+      val n = Snapshot.stageAppend(spark, dir, slice(lo, hi), "lang", "text")
+      Snapshot.commit(spark, dir, n)
+    }
+    val nFiles = Snapshot.dataFileCount(spark, dir)
+    assert(nFiles >= 8)
+    val s = org.apache.spark.sql.GraftBridge.sessionWithExtensions(
+      spark, new graft.plans.GraftExtensions)
+    s.sql(s"GRAFT SNAPSHOT ANALYZE '$dir' BLOOM doc_id")
+    // absent key: every bloomed file prunes -> metadata no-op
+    val cur = Snapshot.currentVersion(s, dir)
+    assert(Snapshot.purgeKeys(s, dir, Seq(999999L), "doc_id", "lang",
+      "text") === cur)
+    // predicate IN atoms consult the blooms too: absent values no-op
+    assert(Snapshot.deleteWhere(s, dir, "doc_id IN (888888, 777777)",
+      "lang", "text") === cur)
+    // present keys: only their files rewrite; no false negatives
+    Snapshot.purgeKeys(s, dir, Seq(250L, 251L), "doc_id", "lang", "text")
+    val after = Snapshot.currentVersion(s, dir)
+    assert(Snapshot.read(s, dir).count() === 398L)
+    assert(Snapshot.read(s, dir)
+      .where(col("doc_id").isin(250L, 251L)).count() === 0L)
+    def parquetsUnder(f: java.io.File): Int =
+      Option(f.listFiles).toSeq.flatten.map {
+        case d if d.isDirectory => parquetsUnder(d)
+        case x if x.getName.endsWith(".parquet") => 1
+        case _ => 0
+      }.sum
+    val rewritten = parquetsUnder(new java.io.File(s"$dir/v$after"))
+    assert(rewritten <= 2 && rewritten < nFiles.toInt / 2,
+      s"bloom purge must rewrite only hit files, got $rewritten of $nFiles")
+    // a file REWRITTEN since the bloom commit has a new path with no
+    // bloom -> conservatively hit again (sound), never a wrong skip
+    val cur2 = Snapshot.currentVersion(s, dir)
+    val v2 = Snapshot.purgeKeys(s, dir, Seq(999998L), "doc_id", "lang", "text")
+    assert(v2 > cur2, "bloomless fresh files must stay conservative")
+    assert(Snapshot.read(s, dir).count() === 398L)
+  }
+
   test("z-ordered snapshot: either dimension prunes the rewrite set") {
     import spark.implicits._
     val dir = scratch("lc_zsnap")
