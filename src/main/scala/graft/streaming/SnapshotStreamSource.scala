@@ -179,20 +179,24 @@ class SnapshotStreamSource extends StreamSourceProvider with DataSourceRegister 
     // the FileStreamSource levers): one giant commit — or the initial
     // load of a big table — splits across micro-batches at FILE
     // boundaries (immutable files make sub-version offsets exact).
-    // Append mode only: a CDF batch is one commit's row-level delta and
-    // the evolve mode's fill groups are version-atomic — splitting
-    // either would tear a commit's atomicity, so the options refuse.
+    // Append mode splits every step; CDF mode (round-16) splits exactly
+    // the steps whose content IS a file list — the INITIAL SNAPSHOT
+    // batch (all inserts) and PURE-APPEND commits (appendedFiles' own
+    // insert-only verification) — while delete-bearing, DV-drift, and
+    // schema steps keep emitting as ONE commit-atomic batch (a
+    // row-level delta cannot split at file boundaries; the caps go
+    // best-effort, never torn). Schema-tracking mode still refuses the
+    // caps: its fill groups are version-atomic by construction.
     val maxFiles = parameters.get("maxFilesPerTrigger").map(_.toInt)
     require(maxFiles.forall(_ >= 1),
       s"maxFilesPerTrigger must be >= 1, got ${maxFiles.get}")
     val maxBytes = parameters.get("maxBytesPerTrigger").map(_.toLong)
     require(maxBytes.forall(_ >= 1),
       s"maxBytesPerTrigger must be >= 1, got ${maxBytes.get}")
-    require(maxFiles.isEmpty && maxBytes.isEmpty || (!changes && !evolve),
+    require(maxFiles.isEmpty && maxBytes.isEmpty || !evolve,
       "maxFilesPerTrigger/maxBytesPerTrigger split commits at file " +
-        "boundaries, which only the plain append-mode stream can do " +
-        "exactly — a CDF or schema-tracking batch is commit-atomic; " +
-        "drop the option or the mode")
+        "boundaries; a schema-tracking batch is version-atomic (its " +
+        "fill groups are decided per step) — drop the option or the mode")
     if (evolve)
       SnapshotVersionSource.trackSchemaGeneration(spark, dir, metadataPath)
     new SnapshotVersionSource(spark, dir, pinned, maxVersions,
@@ -408,7 +412,16 @@ private[graft] class SnapshotVersionSource(spark: SparkSession, dir: String,
         if (steps.isEmpty) return null
         (sv, steps.head, 0)
     }
-    val files = stepFiles(p, v)
+    // a CDF step that is NOT a pure file list (delete-bearing, DV
+    // drift, schema change — appendedFiles' refusals) cannot split at
+    // file boundaries: emit it as ONE commit-atomic batch instead
+    val filesOpt =
+      if (changes) scala.util.Try(stepFiles(p, v)).toOption
+      else Some(stepFiles(p, v))
+    val files = filesOpt match {
+      case None => return VersionOffset(v)
+      case Some(fs) => fs
+    }
     val remaining = files.drop(idx)
     if (remaining.isEmpty) return if (idx >= 0 && v >= 1) VersionOffset(v) else null
     val k = admit(remaining)
@@ -432,16 +445,39 @@ private[graft] class SnapshotVersionSource(spark: SparkSession, dir: String,
     val from = sv
     val to = ev
     val cols = pinned.fieldNames.map(col).toIndexedSeq
-    // sub-version slices appear only in plain append mode (the
-    // provider refuses the caps elsewhere); a composite offset reaching
-    // another mode means a checkpoint/mode mismatch — refuse loudly
-    require((si < 0 && ei < 0) || (!changes && !evolve),
+    // sub-version slices appear in the two modes that can split at
+    // file boundaries (plain append; CDF on splittable steps); a
+    // composite offset reaching schema-tracking mode means a
+    // checkpoint/mode mismatch — refuse loudly
+    require((si < 0 && ei < 0) || !evolve,
       s"graft-snapshot-stream $dir: sub-version offset in " +
-        "CDF/schema-tracking mode — this checkpoint was written by an " +
-        "append-mode stream with maxFilesPerTrigger/maxBytesPerTrigger; " +
+        "schema-tracking mode — this checkpoint was written by a " +
+        "stream with maxFilesPerTrigger/maxBytesPerTrigger; " +
         "resume it in that mode or start a fresh checkpoint")
     val batch =
-      if (changes) {
+      if (changes && (si >= 0 || ei >= 0)) {
+        // sub-version slice of a SPLITTABLE CDF step (the initial load
+        // or a pure-append commit — only those ever produce partial
+        // offsets): the step's content IS its sorted file list as
+        // inserts, so a slice reads raw files and tags them. Splitting
+        // mode advances ONE step per batch, so a range never spans
+        // steps.
+        val (pp, vv) = if (ei >= 0) (ep, ev) else (sp, sv)
+        require(si < 0 || ((ei < 0 || (sp == ep && sv == ev)) && vv == sv),
+          s"graft-snapshot-stream $dir: CDF sub-version range spans " +
+            s"steps ($sp:$sv#$si .. $ep:$ev#$ei) — corrupted checkpoint")
+        val all = stepFiles(pp, vv)
+        val files =
+          if (si >= 0 && ei >= 0) all.slice(si, ei)
+          else if (si >= 0) all.drop(si)
+          else all.take(ei)
+        val raw = StructType(pinned.fields.filterNot(_.name == "_change_type"))
+        val df =
+          if (files.isEmpty) spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], raw)
+          else spark.read.schema(raw).parquet(files: _*)
+        df.withColumn("_change_type", lit("insert")).select(cols: _*)
+      } else if (changes) {
         // CDF mode: the initial snapshot arrives as inserts; every later
         // range is readChanges' row-level deltas — tolerates the whole
         // lifecycle (non-append commits included)

@@ -405,6 +405,71 @@ class LifecycleOpsSpec extends SparkSpec {
     spark.conf.unset("spark.sql.streaming.unsupportedOperationCheck")
   }
 
+  test("CDF split admission: initial load and pure-append steps split per file, delete commits stay atomic") {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    import org.apache.spark.sql.execution.streaming.SerializedOffset
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val root = scratch("lc_cdfsplit")
+    val table = s"$root/table"
+    Snapshot.publish(spark, table, docsDF, "lang", "text") // v1: 3 files
+    Snapshot.append(spark, table,
+      docsDF.withColumn("doc_id", col("doc_id") + 50), "lang", "text") // v2: +3
+    Snapshot.deleteWhere(spark, table, "doc_id = 51", "lang", "text") // v3: delete
+    Snapshot.append(spark, table,
+      docsDF.withColumn("doc_id", col("doc_id") + 100), "lang", "text") // v4: +3
+    spark.conf.set("spark.sql.streaming.unsupportedOperationCheck", "false")
+    val pinned = StructType(
+      StructField("_change_type", StringType, nullable = false) +:
+        Snapshot.read(spark, table).schema.fields)
+    def newSrc() = new graft.streaming.SnapshotVersionSource(
+      spark, table, pinned, maxVersions = 10, startingVersion = Some(0),
+      changes = true, evolve = false, maxFiles = Some(1), maxBytes = None)
+    var src = newSrc()
+    var prev: Option[String] = None
+    val deltas = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    var batches = 0
+    var deleteBatches = 0
+    var continue = true
+    while (continue && batches < 30) {
+      val next = src.latestOffset(
+        prev.map(SerializedOffset(_)).orNull, ReadLimit.allAvailable())
+      if (next == null) continue = false
+      else {
+        val rows = src.getBatch(prev.map(SerializedOffset(_)),
+          SerializedOffset(next.json))
+          .select("_change_type", "doc_id").collect()
+          .map(r => (r.getString(0), r.getLong(1)))
+        if (rows.exists(_._1 == "delete")) {
+          deleteBatches += 1
+        } else {
+          // split batches are single-file slices: at most 2 rows here
+          assert(rows.length <= 2,
+            s"insert batch exceeds one file: ${rows.toSeq}")
+        }
+        deltas ++= rows
+        batches += 1
+        prev = Some(next.json)
+        // RESTART mid-initial-load: the sub-version offset must resume
+        // the SAME deterministic slice on a fresh source
+        if (batches == 2) src = newSrc()
+      }
+    }
+    // 3 + 3 + 1 (atomic delete commit) + 3 batches
+    assert(batches === 10, s"expected 10 batches, got $batches")
+    assert(deleteBatches === 1,
+      s"the delete-bearing commit must arrive as ONE batch, got $deleteBatches")
+    // the CDF law holds across the split: signed per-key net equals the
+    // final committed content
+    val net = deltas.groupBy(_._2).view.mapValues(_.map {
+      case ("insert", _) => 1; case _ => -1
+    }.sum).toMap
+    val want = Snapshot.read(spark, table).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(net.filter(_._2 > 0).keySet === want)
+    assert(net.forall { case (_, n) => n == 0 || n == 1 })
+    spark.conf.unset("spark.sql.streaming.unsupportedOperationCheck")
+  }
+
   test("a mid-step checkpoint resumed WITHOUT the caps finishes its split step, loses nothing") {
     import org.apache.spark.sql.connector.read.streaming.ReadLimit
     import org.apache.spark.sql.execution.streaming.SerializedOffset
@@ -474,10 +539,13 @@ class LifecycleOpsSpec extends SparkSpec {
     val landed = graft.streaming.IdempotentSink.readLanded(spark, s"$root/out")
     assert(landed.count() === 12L)
     assert(landed.select("doc_id").distinct().count() === 12L)
-    // CDF mode refuses the cap (commit-atomic batches)
+    // CDF mode accepts the cap since round 16 (initial load and
+    // pure-append steps split; delete commits stay atomic — the
+    // dedicated CDF-split test pins the semantics); schema-tracking
+    // mode still refuses it (version-atomic fill groups)
     val e = intercept[Exception] {
       spark.readStream.format("graft-snapshot-stream")
-        .option("path", table).option("readChanges", "true")
+        .option("path", table).option("evolveSchema", "true")
         .option("maxFilesPerTrigger", "2").load()
         .writeStream.format("noop")
         .option("checkpointLocation", s"$root/chk2")
