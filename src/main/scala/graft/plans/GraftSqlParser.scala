@@ -250,6 +250,13 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   private val AnalyzeBloom =
     s"""(?is)\\s*GRAFT\\s+SNAPSHOT\\s+ANALYZE\\s+$P\\s+BLOOM\\s+$Ident(?:\\s+FPP\\s+([0-9]*\\.[0-9]+))?\\s*;?\\s*""".r
 
+  // partition-spec evolution (round-16): metadata-only active-spec
+  // change + the explicit old-generation rewrite
+  private val EvolvePart =
+    s"""(?is)\\s*GRAFT\\s+SNAPSHOT\\s+EVOLVE\\s+PARTITION\\s+$P\\s+TO\\s+$Ident\\s*;?\\s*""".r
+  private val MigratePart =
+    s"""(?is)\\s*GRAFT\\s+SNAPSHOT\\s+MIGRATE\\s+PARTITION\\s+$P\\s+CHECKSUM\\s+$Ident\\s*;?\\s*""".r
+
   private val ApplyDel =
     s"""(?is)\\s*GRAFT\\s+SNAPSHOT\\s+APPLY\\s+DELETES\\s+$P\\s+PARTITION\\s+$Ident\\s+CHECKSUM\\s+$Ident\\s*;?\\s*""".r
 
@@ -304,6 +311,10 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       "(information-preserving widenings only)",
     "GRAFT SNAPSHOT COMPACT '<root>' PARTITION <col> CHECKSUM <col> " +
       "[MAXFILES n] [STATS <col>]",
+    "GRAFT SNAPSHOT EVOLVE PARTITION '<root>' TO <col> " +
+      "(metadata-only partition-spec change; old files keep their spec)",
+    "GRAFT SNAPSHOT MIGRATE PARTITION '<root>' CHECKSUM <col> " +
+      "(rewrite old-generation files under the active spec)",
     "GRAFT SNAPSHOT ANALYZE '<root>' BLOOM <col> [FPP <p>] " +
       "(per-file key bloom filters for point-lookup pruning)",
     "GRAFT SNAPSHOT ANALYZE '<root>' COLUMNS <col>[, <col> ...] " +
@@ -644,6 +655,12 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       GraftSnapshotCommand("analyze_bloom", unq(path))(sess =>
         graft.sources.Snapshot.recordFileBlooms(sess, unq(path), keyCol,
           Option(fpp).map(_.toDouble).getOrElse(0.01)))
+    case EvolvePart(path, newCol) =>
+      GraftSnapshotCommand("evolve_partition", unq(path))(sess =>
+        graft.sources.Snapshot.evolvePartitionSpec(sess, unq(path), newCol))
+    case MigratePart(path, ckCol) =>
+      GraftSnapshotCommand("migrate_partition", unq(path))(sess =>
+        graft.sources.Snapshot.migratePartitionSpec(sess, unq(path), ckCol))
     case ApplyDel(path, partCol, ckCol) =>
       val root = unq(path)
       GraftSnapshotCommand("apply_deletes", root)(sess =>

@@ -424,7 +424,23 @@ private[sources] final class GraftBatchWrite(spark: SparkSession,
       case ReplaceTouchedPartitions(b) =>
         if (fresh.isEmpty) return // dynamic overwrite of nothing: no-op
         val touched = fresh.map(_.part).toSet
-        (b, Snapshot.manifestEntries(spark, dir, b)
+        val entries = Snapshot.manifestEntries(spark, dir, b)
+        // same contract as stageReplacePartitions: per-partition
+        // replacement has no honest meaning across partition specs —
+        // an old-generation file's part value belongs to a DIFFERENT
+        // column, so its rows in the overwritten logical partitions
+        // would silently survive
+        val spec = Snapshot.partitionSpecAt(spark, dir, b)
+        if (spec.nonEmpty) {
+          val mixed = entries.filterNot(_.isDv).filter(e =>
+            !Snapshot.specColOf(spec, e.path, layout.partCol)
+              .equalsIgnoreCase(layout.partCol))
+          require(mixed.isEmpty,
+            s"snapshot table $dir carries ${mixed.size} file(s) from an " +
+              "older partition spec — dynamic partition overwrite has no " +
+              "honest meaning across specs; run migratePartitionSpec first")
+        }
+        (b, entries
           .filter(e => !e.isDv && touched.contains(e.part))
           .map(_.path).toSet)
     }
@@ -514,17 +530,23 @@ private[sources] final class GraftGroupScanBuilder(spark: SparkSession,
     require(base >= 1, s"snapshot table $dir has no committed version")
     Snapshot.requireNoDv(spark, dir, base, s"row-level ${op.command()} (DSv2)")
     val entries = Snapshot.manifestEntries(spark, dir, base).filterNot(_.isDv)
+    val spec = Snapshot.partitionSpecAt(spark, dir, base)
     val candidates = RowLevelOps.prunableSql(pushed.toSeq) match {
       case Some(sql) =>
         val hit = Snapshot.predicateHitPaths(spark, entries, sql,
-          layout.partCol, Snapshot.bloomsAt(spark, dir, base)).toSet
+          layout.partCol, Snapshot.bloomsAt(spark, dir, base), spec).toSet
         entries.filter(e => hit.contains(e.path))
       case None => entries
     }
     op.baseVersion = base
     op.replacedFiles = candidates.map(_.path)
+    // a candidate's part value is runtime-narrowable only when it
+    // belongs to the ACTIVE spec column (after a partition-spec
+    // evolution, old-generation files stay conservatively in)
     new GraftGroupScan(spark, dir, tableSchema, layout,
-      candidates.map(e => e.path -> e.part), op)
+      candidates.map(e => (e.path, e.part,
+        Snapshot.specColOf(spec, e.path, layout.partCol)
+          .equalsIgnoreCase(layout.partCol))), op)
   }
 }
 
@@ -538,10 +560,10 @@ private[sources] final class GraftGroupScanBuilder(spark: SparkSession,
   */
 private[sources] final class GraftGroupScan(spark: SparkSession, dir: String,
     tableSchema: StructType, layout: Snapshot.TableLayout,
-    candidates0: Seq[(String, String)], op: GraftRowLevelOperation)
+    candidates0: Seq[(String, String, Boolean)], op: GraftRowLevelOperation)
   extends Scan with SupportsRuntimeV2Filtering {
 
-  @volatile private var candidates: Seq[(String, String)] = candidates0
+  @volatile private var candidates: Seq[(String, String, Boolean)] = candidates0
 
   override def readSchema(): StructType = tableSchema
   override def description(): String =
@@ -553,8 +575,8 @@ private[sources] final class GraftGroupScan(spark: SparkSession, dir: String,
   override def filter(predicates: Array[Predicate]): Unit =
     RowLevelOps.runtimePartValues(layout.partCol, predicates) match {
       case Some(values) =>
-        candidates = candidates.filter { case (_, part) =>
-          RowLevelOps.partMatches(part, values)
+        candidates = candidates.filter { case (_, part, activeSpec) =>
+          !activeSpec || RowLevelOps.partMatches(part, values)
         }
       case None => () // unrecognized runtime filter: no narrowing (sound)
     }
@@ -564,7 +586,7 @@ private[sources] final class GraftGroupScan(spark: SparkSession, dir: String,
     opts.put("recursiveFileLookup", "true")
     val csm = new CaseInsensitiveStringMap(opts)
     val pt = ParquetTable(description(), spark, csm,
-      candidates.map { case (p, _) => s"$dir/$p" },
+      candidates.map { case (p, _, _) => s"$dir/$p" },
       Some(tableSchema), classOf[ParquetFileFormat])
     pt.newScanBuilder(csm).build().toBatch
   }

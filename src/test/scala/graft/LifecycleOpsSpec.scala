@@ -306,6 +306,130 @@ class LifecycleOpsSpec extends SparkSpec {
     assert(Snapshot.read(s, dir).count() === 398L)
   }
 
+  test("partition evolution: metadata-only switch, per-generation pruning, exact rows") {
+    import spark.implicits._
+    val dir = scratch("lc_partevo")
+    // engineered value COLLISION between the two specs: lang values and
+    // source values overlap ('a'), so a cross-spec byte comparison
+    // would wrongly prune — the hazard the per-file spec resolution
+    // exists to kill
+    val df = (1 to 80).map { i =>
+      val lang = if (i % 2 == 0) "a" else "b"
+      val source = if (i % 4 < 2) "a" else "c"
+      (i.toLong, s"t $i", lang, source)
+    }.toDF("doc_id", "text", "lang", "source")
+    Snapshot.publish(spark, dir, df, "lang", "text")
+    val v1Files = Snapshot.dataFileCount(spark, dir)
+    // metadata-only evolution: one commit, zero data files written
+    Snapshot.evolvePartitionSpec(spark, dir, "source")
+    assert(Snapshot.currentVersion(spark, dir) === 2)
+    assert(!new java.io.File(s"$dir/v2").exists)
+    assert(Snapshot.dataFileCount(spark, dir) === v1Files)
+    // appends must carry the ACTIVE spec
+    val eApp = intercept[Exception] {
+      Snapshot.append(spark, dir,
+        Seq((100L, "x", "a", "c")).toDF("doc_id", "text", "lang", "source"),
+        "lang", "text")
+    }
+    assert(eApp.getMessage.contains("partitioned by 'source'"))
+    Snapshot.append(spark, dir,
+      Seq((101L, "new c", "b", "c"), (102L, "new a", "a", "a"))
+        .toDF("doc_id", "text", "lang", "source"), "source", "text")
+    // generation-exact NO-OP: each atom decides its own generation
+    val cur = Snapshot.currentVersion(spark, dir)
+    assert(Snapshot.deleteWhere(spark, dir,
+      "lang = 'zz' AND source = 'zz'", "source", "text") === cur)
+    // the WRONG-PRUNE hazard: delete source='c' — the old-generation
+    // files are partitioned by LANG with values {a,b}; comparing 'c'
+    // against them byte-wise would prune files that DO hold source='c'
+    // rows. Per-file spec resolution keeps them conservatively and the
+    // rows actually delete.
+    Snapshot.deleteWhere(spark, dir, "source = 'c'", "source", "text")
+    val left = Snapshot.read(spark, dir)
+    assert(left.where(col("source") === "c").count() === 0L)
+    assert(left.count() === 40L + 1L) // 40 source-a originals + doc 102
+    // and the reverse: a lang atom prunes OLD files exactly while new
+    // files stay conservative — rows correct either way
+    Snapshot.deleteWhere(spark, dir, "lang = 'b'", "source", "text")
+    val after = Snapshot.read(spark, dir)
+    assert(after.where(col("lang") === "b").count() === 0L)
+    assert(after.count() === 21L) // 20 lang-a source-a originals + doc 102
+  }
+
+  test("partition evolution: mixed-table guards, migration, reads") {
+    import spark.implicits._
+    val dir = scratch("lc_partevo2")
+    val df = (1 to 60).map { i =>
+      (i.toLong, s"t $i", if (i % 2 == 0) "en" else "de",
+        s"src${i % 3}")
+    }.toDF("doc_id", "text", "lang", "source")
+    Snapshot.publish(spark, dir, df, "lang", "text")
+    Snapshot.evolvePartitionSpec(spark, dir, "source")
+    Snapshot.append(spark, dir,
+      Seq((200L, "fresh", "en", "src0"))
+        .toDF("doc_id", "text", "lang", "source"), "source", "text")
+    // per-partition replacement has no honest meaning across specs
+    val eRep = intercept[Exception] {
+      Snapshot.stageReplacePartitions(spark, dir,
+        Seq((300L, "r", "en", "src1")).toDF("doc_id", "text", "lang", "source"),
+        "source", "text")
+    }
+    assert(eRep.getMessage.contains("older partition spec"))
+    // readWhere stays EXACT on a mixed table (conservative files + row
+    // filter): src0 = 20 originals + the fresh append
+    assert(Snapshot.readWhere(spark, dir, Seq("src0")).count() === 21L)
+    // the SQL parts door cannot row-filter raw files: refuse
+    val ePart = intercept[Exception] {
+      spark.read.format("graft-snapshot").option("path", dir)
+        .option("parts", "src0").load()
+    }
+    assert(ePart.getMessage.contains("older partition spec"))
+    // upsert MIGRATES old-generation files as it rewrites (key-correct
+    // across specs: doc 7's old row must not survive next to the update)
+    Snapshot.upsert(spark, dir,
+      Seq((7L, "updated", "de", "src1")).toDF("doc_id", "text", "lang", "source"),
+      "doc_id", "source", "text")
+    val u = Snapshot.read(spark, dir)
+    assert(u.where(col("doc_id") === 7L).count() === 1L)
+    assert(u.where(col("doc_id") === 7L).head.getAs[String]("text") === "updated")
+    assert(u.count() === 61L)
+    // after the upsert-migration the table is uniform again: the parts
+    // door serves, replacePartitions works
+    assert(spark.read.format("graft-snapshot").option("path", dir)
+      .option("parts", "src1").load().count() ===
+      u.where(col("source") === "src1").count())
+    // explicit migration is a no-op on a uniform table
+    val cur = Snapshot.currentVersion(spark, dir)
+    assert(Snapshot.migratePartitionSpec(spark, dir, "text") === cur)
+  }
+
+  test("partition evolution: migratePartitionSpec rewrites exactly the old generation") {
+    import spark.implicits._
+    val dir = scratch("lc_partevo3")
+    val df = (1 to 40).map { i =>
+      (i.toLong, s"t $i", if (i % 2 == 0) "en" else "de", s"src${i % 2}")
+    }.toDF("doc_id", "text", "lang", "source")
+    Snapshot.publish(spark, dir, df, "lang", "text")
+    Snapshot.evolvePartitionSpec(spark, dir, "source")
+    Snapshot.append(spark, dir,
+      Seq((100L, "n", "en", "src0")).toDF("doc_id", "text", "lang", "source"),
+      "source", "text")
+    val vApp = Snapshot.currentVersion(spark, dir)
+    Snapshot.migratePartitionSpec(spark, dir, "text")
+    val v = Snapshot.currentVersion(spark, dir)
+    assert(v > vApp)
+    // content identical, every file now under the active spec (v1 files
+    // gone from the manifest; the appended new-spec file CARRIED)
+    assert(Snapshot.read(spark, dir).count() === 41L)
+    val paths = spark.read.json(s"$dir/_manifest.v$v").select("path")
+      .collect().map(_.getString(0))
+    assert(!paths.exists(_.startsWith("v1/")), s"old-gen files must be gone: ${paths.toSeq}")
+    assert(paths.exists(_.startsWith(s"v$vApp/")), "new-spec append must carry")
+    // compaction works again post-migration
+    Snapshot.compactPartitions(spark, dir, "source", "text", maxFiles = 1)
+    assert(Snapshot.read(spark, dir).count() === 41L)
+  }
+
   test("z-ordered snapshot: either dimension prunes the rewrite set") {
     import spark.implicits._
     val dir = scratch("lc_zsnap")
