@@ -1901,6 +1901,21 @@ object Snapshot {
     if (cs.nonEmpty) writeConstraints(spark, dst, cur, cs)
     val evo = evolutionAt(spark, src, cur)
     if (evo.nonEmpty) writeEvolution(spark, dst, cur, evo)
+    // partition-spec history transplants too — per-file resolution is
+    // by the path's OWN version segment, which the absolutized clone
+    // paths keep, so old-generation pruning stays correct on the clone
+    val pspec = partitionSpecAt(spark, src, cur)
+    if (pspec.nonEmpty) writePartitionSpec(spark, dst, cur, pspec)
+    // key blooms are path-keyed: remap to the absolutized paths the
+    // clone's manifest references (files are immutable, so the sketches
+    // stay valid)
+    val blooms = bloomsAt(spark, src, cur)
+    if (blooms.nonEmpty)
+      writeJsonLinesDir(spark, s"$dst/_blooms.v$cur",
+        blooms.toSeq.sortBy(_._1).map { case (path, b) =>
+          s"""{"path":${jq(resolvePath(src, path))},"col":${jq(b.col)},""" +
+            s""""bits":${jq(java.util.Base64.getEncoder.encodeToString(b.bits))}}"""
+        })
     // layout properties transplant with the content
     layoutOf(spark, src).foreach(l =>
       recordLayout(spark, dst, l.partCol, l.checksumCol, l.statsCol))
@@ -4264,6 +4279,15 @@ object Snapshot {
           name.stripPrefix("_evolution.v").toInt > n) {
         // and for crashed renameColumn/dropColumn sidecars
         drop(st.getPath, recursive = true, "evolution")
+      } else if (st.isDirectory && name.matches("_partspec\\.v\\d+") &&
+          name.stripPrefix("_partspec.v").toInt > n) {
+        // and for crashed evolvePartitionSpec sidecars — a re-allocated
+        // number must not inherit a stale spec history
+        drop(st.getPath, recursive = true, "partspec")
+      } else if (st.isDirectory && name.matches("_blooms\\.v\\d+") &&
+          name.stripPrefix("_blooms.v").toInt > n) {
+        // and for crashed recordFileBlooms sidecars
+        drop(st.getPath, recursive = true, "blooms")
       }
     }
     gone.toSeq
