@@ -430,6 +430,39 @@ class LifecycleOpsSpec extends SparkSpec {
     assert(Snapshot.read(spark, dir).count() === 41L)
   }
 
+  test("clone transplants the spec history and key blooms") {
+    import spark.implicits._
+    val root = scratch("lc_clonesidecars")
+    val src = s"$root/src"
+    val df = (1 to 100).map(i =>
+      (i.toLong, s"t $i", if (i % 2 == 0) "en" else "de", s"s${i % 3}"))
+      .toDF("doc_id", "text", "lang", "source")
+    Snapshot.publish(spark, src, df, "lang", "text")
+    Snapshot.evolvePartitionSpec(spark, src, "source")
+    Snapshot.append(spark, src,
+      Seq((200L, "n", "en", "s0")).toDF("doc_id", "text", "lang", "source"),
+      "source", "text")
+    Snapshot.recordFileBlooms(spark, src, "doc_id")
+    val dst = s"$root/dst"
+    Snapshot.cloneTable(spark, src, dst)
+    // blooms survive the clone (remapped to absolutized paths): a purge
+    // of an absent key is a metadata NO-OP on the clone
+    val cur = Snapshot.currentVersion(spark, dst)
+    assert(Snapshot.purgeKeys(spark, dst, Seq(999999L), "doc_id",
+      "source", "text") === cur)
+    // the spec history survives too: old-generation pruning on the
+    // clone decides per file — absent values in BOTH specs no-op
+    assert(Snapshot.deleteWhere(spark, dst,
+      "lang = 'zz' AND source = 'zz'", "source", "text") === cur)
+    // and the active-spec guard holds on the clone
+    val e = intercept[Exception] {
+      Snapshot.append(spark, dst,
+        Seq((300L, "x", "en", "s1")).toDF("doc_id", "text", "lang", "source"),
+        "lang", "text")
+    }
+    assert(e.getMessage.contains("partitioned by 'source'"))
+  }
+
   test("z-ordered snapshot: either dimension prunes the rewrite set") {
     import spark.implicits._
     val dir = scratch("lc_zsnap")

@@ -200,6 +200,21 @@ class PlainDmlSpec extends SparkSpec {
     assert(Snapshot.readVerified(spark, dir, "text").count() === 4L)
   }
 
+  test("plain session: standard DDL needs no extensions either") {
+    val root = scratch("plaindml_ddl")
+    val dir = s"$root/ns/docs"
+    Snapshot.publish(spark, dir, docs(spark), "lang", "text")
+    val s = plainWithCatalog("pd10", root)
+    // catalog-level DDL resolves without GraftExtensions (only CTAS
+    // needs the rule): metadata-only commits through the same verbs
+    s.sql("ALTER TABLE pd10.ns.docs ADD COLUMN quality DOUBLE DEFAULT 0.5")
+    val r = s.sql("SELECT sum(quality) AS q, count(*) AS n FROM pd10.ns.docs").head()
+    assert(r.getLong(1) === 6L)
+    assert(math.abs(r.getDouble(0) - 3.0) < 1e-9)
+    s.sql("ALTER TABLE pd10.ns.docs RENAME TO ns.docs2")
+    assert(s.sql("SELECT count(*) FROM pd10.ns.docs2").head().getLong(0) === 6L)
+  }
+
   test("DSv2 CoW refuses under pending merge-on-read deletes") {
     val root = scratch("plaindml_dv")
     val dir = s"$root/ns/docs"
