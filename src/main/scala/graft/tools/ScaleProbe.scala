@@ -750,6 +750,31 @@ object ScaleProbe {
         f"($rw1 of $tot1 files rewritten) -> 10x-store ${d10}%7.2fs " +
         f"($rw10 of $tot10; factor ${d10 / d1}%5.1f, claim ~1)")
     }
+    // Partition-spec evolution (round-16): the evolve commit is
+    // METADATA-ONLY — wall time must stay flat 1x -> 10x store (a full
+    // republish, the old remedy, would scale with the data).
+    if (mode == "all" || mode == "partevo") {
+      def peProbe(mult: Int): Double = {
+        val dir = java.nio.file.Files.createTempDirectory("probe_pevo").toString
+        val docs = (0 until mult).map { i =>
+          base.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+            col("text"), col("lang"), col("source"), col("n_chars"))
+        }.reduce(_ unionByName _)
+        graft.sources.Snapshot.publishClustered(spark, dir, docs, "lang",
+          "doc_id", "text", nFiles = 8 * mult)
+        val t0 = System.nanoTime()
+        graft.sources.Snapshot.evolvePartitionSpec(spark, dir, "source")
+        (System.nanoTime() - t0) / 1e9
+      }
+      val d1 = peProbe(1)
+      graft.ops.T.releaseCaches(blocking = true)
+      val d10 = peProbe(10)
+      graft.ops.T.releaseCaches(blocking = true)
+      println(f"evolvePartitionSpec (metadata-only) 1x ${d1}%6.2fs -> " +
+        f"10x-store ${d10}%7.2fs (factor ${d10 / d1}%5.1f, claim: " +
+        "#files-bound metadata, never data-scaled — a republish would " +
+        "pay the full rewrite)")
+    }
     // Version-allocation checkpoint (round-15, `_summary`): per-commit
     // cost on a table with HUNDREDS of retained versions must stay flat
     // — the claim is O(1) allocation via the checkpoint instead of an
