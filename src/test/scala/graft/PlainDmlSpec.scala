@@ -200,6 +200,30 @@ class PlainDmlSpec extends SparkSpec {
     assert(Snapshot.readVerified(spark, dir, "text").count() === 4L)
   }
 
+  test("selective MERGE rewrites only matching partitions (runtime group filter)") {
+    val root = scratch("plaindml_mergesel")
+    val dir = s"$root/ns/docs"
+    Snapshot.publish(spark, dir, docs(spark), "lang", "text")
+    val s = plainWithCatalog("pd11", root)
+    // the MERGE ON condition is un-pushable statically (it references
+    // the source), so ONLY the runtime group filter can keep the de/fr
+    // files out of the replaced set
+    s.sql("CREATE OR REPLACE TEMP VIEW mergesel_src AS SELECT " +
+      "CAST(1 AS BIGINT) AS doc_id, 'alpha m' AS text, 'en' AS lang, " +
+      "500 AS n_chars")
+    s.sql("MERGE INTO pd11.ns.docs t USING mergesel_src s " +
+      "ON t.doc_id = s.doc_id " +
+      "WHEN MATCHED THEN UPDATE SET text = s.text, n_chars = s.n_chars")
+    val v2 = manifestPaths(dir, 2)
+    assert(v2.filter(_.contains("_p=de")).forall(_.startsWith("v1/")),
+      s"de must carry by reference through a selective MERGE, got $v2")
+    assert(v2.filter(_.contains("_p=fr")).forall(_.startsWith("v1/")))
+    assert(v2.filter(_.contains("_p=en")).forall(_.startsWith("v2/")))
+    val r = Snapshot.read(spark, dir).where(col("doc_id") === 1).head()
+    assert(r.getAs[String]("text") === "alpha m")
+    assert(Snapshot.read(spark, dir).count() === 6L)
+  }
+
   test("plain session: standard DDL needs no extensions either") {
     val root = scratch("plaindml_ddl")
     val dir = s"$root/ns/docs"
