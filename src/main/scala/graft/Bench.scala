@@ -123,10 +123,19 @@ object Bench {
     // so a consumer can reconstruct either view.
     val rmap = rowCounts
       .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // A FILTERED local run must never clobber the driver's graded
+    // full-sweep artifact: key args route the detail to a sibling
+    // .partial file and stamp the filter INTO the JSON, so a partial
+    // sweep is distinguishable even if a file gets copied around.
+    val filterTag =
+      if (args.isEmpty) ""
+      else s""""filter":${args.map(a => "\"" + a + "\"").mkString("[", ",", "]")},"""
     val detail =
-      s"""{"queries":${qmap(results, 3)},"pass1":${qmap(pass1, 3)},"pass2":${qmap(pass2, 3)},"rows":$rmap,"canary":$canary,"timing":"best_of_2_back_to_back","sf":"$sfName","n":${results.size},"failed":$failed,"metric":"total","unit":"sec","value":${f(total, 3)}}"""
+      s"""{$filterTag"queries":${qmap(results, 3)},"pass1":${qmap(pass1, 3)},"pass2":${qmap(pass2, 3)},"rows":$rmap,"canary":$canary,"timing":"best_of_2_back_to_back","sf":"$sfName","n":${results.size},"failed":$failed,"metric":"total","unit":"sec","value":${f(total, 3)}}"""
+    val detailFile =
+      if (args.isEmpty) "BENCH_DETAIL.json" else "BENCH_DETAIL.partial.json"
     try {
-      val w = new java.io.PrintWriter(new java.io.File("BENCH_DETAIL.json"), "UTF-8")
+      val w = new java.io.PrintWriter(new java.io.File(detailFile), "UTF-8")
       try w.println(detail) finally w.close()
     } catch { case scala.util.control.NonFatal(_) => () } // archival only
     // "queries" here carries the 12 slowest (full map is in the detail

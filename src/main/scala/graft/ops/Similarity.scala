@@ -2768,10 +2768,15 @@ object Similarity {
         "WHERE n_chars < 70 AND doc_id % 9 = 0")
       plain.sql("UPDATE pansi.corpus.docs SET text = concat(text, ' px'), " +
         "n_chars = n_chars + 5 WHERE lang = 'de' AND doc_id % 11 = 0")
+      // % 3 (not % 6, round-16's modulus): odd multiples of 3 give the
+      // source n_chars - 1 < t.n_chars, so the first MATCHED clause
+      // fails and WHEN MATCHED THEN DELETE actually fires — the clause
+      // dispatch this key documents covers update AND delete (round-16
+      // ADVICE: under % 6 every match was even, the delete unreachable)
       plain.sql("MERGE INTO pansi.corpus.docs t USING (" +
         "SELECT doc_id, text || ' pm' AS text, lang, source, " +
         "CASE WHEN doc_id % 2 = 0 THEN n_chars + 3 ELSE n_chars - 1 END AS n_chars " +
-        "FROM pansi_docs WHERE lang IN ('en','fr') AND doc_id % 6 = 0 " +
+        "FROM pansi_docs WHERE lang IN ('en','fr') AND doc_id % 3 = 0 " +
         "UNION ALL SELECT doc_id + 7500000 AS doc_id, text, lang, source, n_chars " +
         "FROM pansi_docs WHERE lang = 'zh' AND doc_id % 40 = 0" +
         ") s ON t.doc_id = s.doc_id " +
@@ -4701,12 +4706,12 @@ object Similarity {
         "FROM afterdel), " +
         "merged AS (" +
         "SELECT lang, doc_id, " +
-        "CASE WHEN lang IN ('en','fr') AND doc_id % 6 = 0 AND doc_id % 2 = 0 " +
+        "CASE WHEN lang IN ('en','fr') AND doc_id % 3 = 0 AND doc_id % 2 = 0 " +
         "THEN text || ' pm' ELSE text END AS text, " +
-        "CASE WHEN lang IN ('en','fr') AND doc_id % 6 = 0 AND doc_id % 2 = 0 " +
+        "CASE WHEN lang IN ('en','fr') AND doc_id % 3 = 0 AND doc_id % 2 = 0 " +
         "THEN n_chars + 3 ELSE n_chars END AS n_chars " +
         "FROM afterupd " +
-        "WHERE NOT (lang IN ('en','fr') AND doc_id % 6 = 0 AND doc_id % 2 = 1) " +
+        "WHERE NOT (lang IN ('en','fr') AND doc_id % 3 = 0 AND doc_id % 2 = 1) " +
         "UNION ALL " +
         "SELECT lang, doc_id + 7500000 AS doc_id, text, n_chars " +
         "FROM documents WHERE lang = 'zh' AND doc_id % 40 = 0 AND n_chars >= 120) " +

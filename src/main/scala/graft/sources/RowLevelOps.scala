@@ -97,7 +97,18 @@ private[sources] object RowLevelOps {
   def predicatesToSql(preds: Seq[Predicate]): Option[String] = {
     def literalsSafe(e: V2Expression): Boolean = e match {
       case l: V2Literal[_] => l.dataType match {
-        case StringType | BooleanType | ByteType | ShortType |
+        case StringType =>
+          // LiteralValue.toString escapes only single quotes; with the
+          // default escapedStringLiterals=false the re-parse in
+          // deleteWhere/predicateHitPaths PROCESSES backslash escapes,
+          // so a value containing a literal backslash ('a\nb') would
+          // round-trip to a DIFFERENT value (newline) — wrong rows
+          // silently deleted/kept, or an unterminated-literal parse
+          // error on a trailing backslash. Backslash-bearing strings
+          // refuse translation and take the group-based plan, which
+          // evaluates the original catalyst expression.
+          l.value != null && !l.value.toString.contains('\\')
+        case BooleanType | ByteType | ShortType |
              IntegerType | LongType | FloatType | DoubleType => true
         case _: DecimalType => true
         case _ => false
@@ -147,10 +158,25 @@ private[sources] object RowLevelOps {
     }
     def lit(e: V2Expression): Option[String] = e match {
       case l: V2Literal[_] =>
-        // the runtime filter carries the column's own values; render via
-        // the literal's value string form (UTF8String for strings,
-        // toString for numerics — the manifest's cast-to-string shapes)
-        Option(l.value).map(_.toString)
+        // the runtime filter carries the column's own values — but this
+        // path NARROWS the candidate set, so the rendering must be
+        // PROVABLY the manifest's cast-to-string shape. Strings
+        // (UTF8String.toString) and numerics/booleans (whose toString
+        // matches Cast-to-string, with partMatches' numeric-coercion
+        // equality absorbing format drift) qualify; date/timestamp/
+        // binary literals carry INTERNAL values (days/micros since
+        // epoch, byte-array refs) whose toString never equals the
+        // manifest's '2023-01-01'-shaped part values — every file would
+        // WRONGLY fail partMatches and a plain-session UPDATE/MERGE on
+        // such a partition column would silently skip rows. Those
+        // refuse (None → no narrowing, sound).
+        l.dataType match {
+          case StringType | BooleanType | ByteType | ShortType |
+               IntegerType | LongType | FloatType | DoubleType =>
+            Option(l.value).map(_.toString)
+          case _: DecimalType => Option(l.value).map(_.toString)
+          case _ => None
+        }
       case _ => None
     }
     val perPred = preds.toSeq.map { p =>
@@ -175,7 +201,8 @@ private[sources] object RowLevelOps {
     * the tasks.
     */
   def writerFactory(spark: SparkSession, dir: String, version: Int,
-      schema: StructType, layout: Snapshot.TableLayout): GraftFileWriterFactory = {
+      schema: StructType, layout: Snapshot.TableLayout,
+      allowRowOpColumn: Boolean): GraftFileWriterFactory = {
     val job = Job.getInstance(spark.sparkContext.hadoopConfiguration)
     val owf = new ParquetFileFormat().prepareWrite(spark, job, Map.empty, schema)
     def idx(c: String): Int = {
@@ -189,7 +216,7 @@ private[sources] object RowLevelOps {
       schema, dir, version, idx(layout.partCol), idx(layout.checksumCol),
       statsIdx, layout.statsCol.orNull,
       spark.conf.get("spark.sql.session.timeZone",
-        java.util.TimeZone.getDefault.getID))
+        java.util.TimeZone.getDefault.getID), allowRowOpColumn)
   }
 
   /** Distribution/ordering for replacement writes: range-partitioned
@@ -251,7 +278,8 @@ private[sources] final case class GraftFilesMessage(
 private[sources] final case class GraftFileWriterFactory(conf: GraftSerConf,
     owf: OutputWriterFactory, schema: StructType, tableDir: String,
     version: Int, partIdx: Int, checksumIdx: Int, statsIdx: Int,
-    statsCol: String, timeZone: String) extends DataWriterFactory {
+    statsCol: String, timeZone: String,
+    allowRowOpColumn: Boolean) extends DataWriterFactory {
 
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[InternalRow] =
@@ -277,6 +305,25 @@ private[sources] final case class GraftFileWriterFactory(conf: GraftSerConf,
         require(offset == 0 || offset == 1,
           s"graft-snapshot writer: row has ${row.numFields} fields for a " +
             s"${schema.length}-column write schema — unrecognized plan shape")
+        if (offset == 1) {
+          // the one-wider shape is legal ONLY for the row-level replace
+          // plan (never plain appends / dynamic overwrite), and the
+          // candidate leading field must actually READ as the
+          // `__row_operation` marker: a non-null int carrying one of
+          // RowDeltaUtils' op codes (1..6). A hypothetical plan with an
+          // extra TRAILING column of the same width would fail here
+          // loudly instead of silently shifting every projected column
+          // by one (a String/Long field 0 reads as packed offset bytes
+          // or high-magnitude values, never 1..6).
+          require(allowRowOpColumn,
+            "graft-snapshot writer: one-wider row outside a row-level " +
+              "replace plan — unrecognized plan shape")
+          val opCode = if (row.isNullAt(0)) -1 else row.getInt(0)
+          require(opCode >= 1 && opCode <= 6,
+            s"graft-snapshot writer: leading extra field reads $opCode, " +
+              "not a __row_operation code (1..6) — refusing to drop an " +
+              "ambiguous column")
+        }
         // cast projections bound to the row layout: part and checksum to
         // STRING (the manifest's renderings), stats to DOUBLE — catalyst
         // Cast, so the per-row values are bit-identical to what the
@@ -406,7 +453,8 @@ private[sources] final class GraftBatchWrite(spark: SparkSession,
       info: PhysicalWriteInfo): DataWriterFactory = {
     val n = Snapshot.claimVersion(spark, dir)
     staged = n
-    RowLevelOps.writerFactory(spark, dir, n, schema, layout)
+    RowLevelOps.writerFactory(spark, dir, n, schema, layout,
+      allowRowOpColumn = mode.isInstanceOf[ReplaceScannedFiles])
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {

@@ -239,6 +239,50 @@ class PlainDmlSpec extends SparkSpec {
     assert(s.sql("SELECT count(*) FROM pd10.ns.docs2").head().getLong(0) === 6L)
   }
 
+  test("backslash-bearing string DELETE refuses the metadata door and still deletes right") {
+    val root = scratch("plaindml_bs")
+    val dir = s"$root/ns/docs"
+    val s = plainWithCatalog("pd12", root)
+    import s.implicits._
+    // one row whose text contains a LITERAL backslash-n (two chars),
+    // one with an actual newline: the metadata door's SQL round-trip
+    // would conflate them (re-parse processes \n), so the translation
+    // must REFUSE and the group plan evaluate the original expression
+    val df = Seq((1L, "a\\nb", "en", 10), (2L, "a\nb", "en", 20),
+      (3L, "plain", "de", 30))
+      .toDF("doc_id", "text", "lang", "n_chars")
+    Snapshot.publish(s, dir, df, "lang", "text")
+    s.sql("DELETE FROM pd12.ns.docs WHERE text = 'a\\\\nb'")
+    val left = Snapshot.read(s, dir).select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(left === Seq(2L, 3L),
+      "the backslash-literal row (1) must delete; the newline row (2) must stay")
+  }
+
+  test("runtime group filter on a DATE partition column never narrows (internal-value literals)") {
+    val root = scratch("plaindml_datepart")
+    val dir = s"$root/ns/byday"
+    val s = plainWithCatalog("pd13", root)
+    import s.implicits._
+    val df = Seq(
+      (1L, "alpha alpha", "2023-01-01", 110),
+      (2L, "bravo text", "2023-01-02", 90),
+      (3L, "charlie words", "2023-01-02", 200)
+    ).toDF("doc_id", "text", "day", "n_chars")
+      .withColumn("day", col("day").cast("date"))
+    Snapshot.publish(s, dir, df, "day", "text")
+    // un-pushable condition -> group rewrite; Spark's runtime group
+    // filter hands back DateType literals whose connector rendering is
+    // DAYS SINCE EPOCH ('19358'), never the manifest's '2023-01-01' —
+    // narrowing on those would WRONGLY drop every candidate file and
+    // the UPDATE would silently no-op (the round-16 ADVICE hazard)
+    s.sql("UPDATE pd13.ns.byday SET n_chars = 999 WHERE length(text) = 11")
+    val r = Snapshot.read(s, dir).where(col("doc_id") === 1).head()
+    assert(r.getAs[Int]("n_chars") === 999,
+      "DATE-partitioned UPDATE must apply (no wrong runtime narrowing)")
+    assert(Snapshot.read(s, dir).count() === 3L)
+  }
+
   test("DSv2 CoW refuses under pending merge-on-read deletes") {
     val root = scratch("plaindml_dv")
     val dir = s"$root/ns/docs"
