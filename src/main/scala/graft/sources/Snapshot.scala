@@ -264,6 +264,34 @@ object Snapshot {
         statsCol.fold("")(c => s""","stats":${jq(c)}""") + "}")
   }
 
+  /** The table's ROW-LEVEL DML MODE — which DSv2 plan shape plain-
+    * session `DELETE`/`UPDATE`/`MERGE` on this table take (the
+    * Iceberg `write.delete.mode` lever):
+    *
+    *  - `"cow"` (default): group-based copy-on-write — candidate files
+    *    rewritten wholesale, reads stay mask-free (READ-optimized);
+    *  - `"mor"`: position-delta merge-on-read ([[graft.sources]]'
+    *    `SupportsDelta` door) — deletes land (file, pos) DV sidecars
+    *    and updates land DV + fresh rows, bytes written proportional
+    *    to MATCHED rows, reads pay a position anti-join until
+    *    [[applyMorDeletes]] materializes (WRITE-optimized).
+    *
+    * One advisory `_dml` file, same atomic-rename discipline as
+    * `_layout`; absent = cow (every pre-existing table keeps its
+    * round-16 behavior).
+    */
+  def setDmlMode(spark: SparkSession, dir: String, mode: String): Unit = {
+    require(mode == "cow" || mode == "mor",
+      s"dml mode must be 'cow' or 'mor', got '$mode'")
+    writeAdvisoryFile(spark, dir, "_dml", s"""{"mode":${jq(mode)}}""")
+  }
+
+  /** The recorded DML mode, "cow" when never set. */
+  def dmlModeOf(spark: SparkSession, dir: String): String =
+    readPointerFile(spark, dir, "_dml")
+      .map(txt => jsText(jsonMapper.readTree(txt), "mode"))
+      .getOrElse("cow")
+
   /** The recorded layout, None for tables published before the layout
     * record existed (the ANSI SQL verbs refuse those with a remedy).
     */
@@ -796,7 +824,7 @@ object Snapshot {
   def readBranch(spark: SparkSession, dir: String, name: String): DataFrame = {
     val v = branchVersion(spark, dir, name)
     val files = dataEntries(spark, dir, v).map(_.path).toArray
-    applyDv(spark, dir, v, readFiles(spark, dir, v, files))
+    readWithDv(spark, dir, v, files)
   }
 
   /** PUBLISH the branch: fast-forward main's `_latest` to the branch
@@ -988,7 +1016,12 @@ object Snapshot {
       partCol: String, checksumCol: String): Int = {
     val cur = currentVersion(spark, dir)
     require(cur >= 1, s"snapshot table $dir has no committed version to append to")
-    requireNoDv(spark, dir, cur, "append") // a re-inserted key would stay masked
+    // a re-inserted key would stay masked under a KEY delete vector
+    // (the anti-join matches any file's rows); a POSITION delete vector
+    // references one physical row of one existing file and can never
+    // mask an appended row — so ingest keeps flowing while dvp deletes
+    // accumulate (the GDPR-deletes-during-ingest production shape)
+    requireNoKeyDv(spark, dir, cur, "append")
     requireActiveSpec(spark, dir, cur, partCol, "an appended delta")
     requireAddedCols(spark, dir, cur, delta, "appended delta")
     // appends must carry EXACTLY the logical schema: a missing column
@@ -1419,19 +1452,27 @@ object Snapshot {
   private def stagePurgeCore(spark: SparkSession, dir: String,
       manifest: Seq[MEntry], hit: Array[String], keep: DataFrame => DataFrame,
       partCol: String, checksumCol: String,
-      statsCol: Option[String], dropDv: Boolean): Int = {
+      statsCol: Option[String], dropDv: Boolean,
+      posMask: Option[DataFrame] = None, dropPosDv: Boolean = false): Int = {
+    // which sidecar kinds this rewrite MATERIALIZES (and therefore
+    // sheds from the staged manifest): dropDv = key DVs ('dv'),
+    // dropPosDv = position DVs ('dvp') — applyMorDeletes runs the two
+    // halves separately, so the other kind must carry untouched
+    def shed(e: MEntry): Boolean =
+      (dropDv && e.isKeyDv) || (dropPosDv && e.isPosDv)
     val cur = currentVersion(spark, dir)
-    if (hit.isEmpty && !dropDv) return cur // no file can contain any key
+    if (hit.isEmpty && !dropDv && !dropPosDv)
+      return cur // no file can contain any key
     if (hit.isEmpty) {
       // materializing DVs whose keys no file can contain: nothing to
       // rewrite — stage a manifest-only version that sheds the DV rows
       val n = claimVersion(spark, dir)
-      writeManifestEntries(spark, dir, n, manifest.filterNot(_.isDv))
+      writeManifestEntries(spark, dir, n, manifest.filterNot(shed))
       return n
     }
     requireActiveSpec(spark, dir, cur, partCol, "a row-level rewrite")
     val n = claimVersion(spark, dir)
-    val base = readFiles(spark, dir, cur, hit)
+    val base = readFiles(spark, dir, cur, hit, posMask)
     val kept = keep(base)
     // keep ~the affected file count so purge neither fragments nor
     // collapses the clustered layout; sort restores tight stat ranges
@@ -1455,7 +1496,7 @@ object Snapshot {
     }
     staged.unpersist(blocking = true)
     val hitSet = hit.toSet
-    val carryBase = if (dropDv) manifest.filterNot(_.isDv) else manifest
+    val carryBase = manifest.filterNot(shed)
     val carried = carryBase.filterNot(e => hitSet.contains(e.path))
     val fresh: Seq[MEntry] = if (purgedAll) Nil else statsCol match {
       case Some(c) =>
@@ -2048,8 +2089,34 @@ object Snapshot {
     */
   def applyMorDeletes(spark: SparkSession, dir: String, partCol: String,
       checksumCol: String, statsCol: Option[String] = None): Int = {
-    val cur = currentVersion(spark, dir)
-    require(cur >= 1, s"snapshot table $dir has no committed version")
+    val cur0 = currentVersion(spark, dir)
+    require(cur0 >= 1, s"snapshot table $dir has no committed version")
+    // POSITION DVs first (the DSv2 SupportsDelta door's sidecars): the
+    // dvp rows NAME their files, so the rewrite set is exact — no stats
+    // guessing — and the rewrite reads those files UNDER the position
+    // mask (a blind re-read would resurrect every masked row). Runs
+    // before the key half so the key purge's own file reads never see
+    // an unapplied position mask.
+    val afterPos = {
+      val manifest = manifestEntries(spark, dir, cur0)
+      val posSidecars = manifest.filter(_.isPosDv)
+      if (posSidecars.isEmpty) cur0
+      else {
+        val dataByTail = manifest.filterNot(_.isDv)
+          .map(e => vTailOf(e.path) -> e.path).toMap
+        val affectedTails = dvPosOf(spark, dir, cur0).get
+          .select(PosDvFileCol).distinct().collect()
+          .map(_.getString(0)).toSet
+        val hit = affectedTails.flatMap(dataByTail.get).toArray.sorted
+        val n = stagePurgeCore(spark, dir, manifest, hit, identity,
+          partCol, checksumCol, statsCol, dropDv = false,
+          posMask = dvPosOf(spark, dir, cur0, Some(affectedTails)),
+          dropPosDv = true)
+        if (n > cur0) commit(spark, dir, n, currentTag(spark, dir))
+        n
+      }
+    }
+    val cur = math.max(cur0, afterPos)
     dvKeysOf(spark, dir, cur) match {
       case None => cur
       case Some((kc, keyFrame)) =>
@@ -2150,7 +2217,19 @@ object Snapshot {
       statLo: java.lang.Double, statHi: java.lang.Double,
       statCol: String, kind: String,
       stats: Map[String, ColStat] = Map.empty) {
-    def isDv: Boolean = kind == "dv"
+    /** Any delete-vector SIDECAR (not a data file): key-based ('dv',
+      * [[stageDeleteMor]]) or position-based ('dvp', the DSv2
+      * `SupportsDelta` door) — the filter every data-file walk uses.
+      */
+    def isDv: Boolean = kind == "dv" || kind == "dvp"
+    /** Key-based delete vector: one column (the key), masks by anti-join
+      * on that column — every row sharing a masked key, in ANY file.
+      */
+    def isKeyDv: Boolean = kind == "dv"
+    /** Position-based delete vector: (file, pos) rows masking exactly
+      * one physical row each — the Iceberg-v2/Delta DV shape.
+      */
+    def isPosDv: Boolean = kind == "dvp"
     def jsonLine: String = {
       val b = new StringBuilder("{")
       def fld(k: String, v: String): Unit =
@@ -2260,18 +2339,19 @@ object Snapshot {
       readJsonLinesDir(spark, s"$dir/_manifest.v$fromV"))
 
   private def dataRows(m: DataFrame): DataFrame =
-    m.filter(!(col("kind") <=> lit("dv")))
+    m.filter(!(col("kind") <=> lit("dv")) && !(col("kind") <=> lit("dvp")))
 
   private def dvRows(m: DataFrame): DataFrame =
     m.filter(col("kind") <=> lit("dv"))
 
-  /** The committed DELETE VECTORS of version `n`: the key column name
-    * (self-described — it is the DV parquet's only column) and the
-    * distinct key frame, or None when no MoR deletes are pending.
+  /** The committed KEY-based DELETE VECTORS of version `n`: the key
+    * column name (self-described — it is the DV parquet's only column)
+    * and the distinct key frame, or None when no key-MoR deletes are
+    * pending. Position DVs ('dvp') resolve through [[dvPosOf]].
     */
   private def dvKeysOf(spark: SparkSession, dir: String,
       n: Int): Option[(String, DataFrame)] = {
-    val paths = manifestEntries(spark, dir, n).filter(_.isDv)
+    val paths = manifestEntries(spark, dir, n).filter(_.isKeyDv)
       .map(e => resolvePath(dir, e.path))
     if (paths.isEmpty) None
     else {
@@ -2299,11 +2379,86 @@ object Snapshot {
     dvKeysOf(spark, dir, n) match {
       case None => data
       case Some((kc, keys)) =>
-        val nKeys = manifestEntries(spark, dir, n).filter(_.isDv)
+        val nKeys = manifestEntries(spark, dir, n).filter(_.isKeyDv)
           .map(e => if (e.nRows == null) 0L else e.nRows.longValue).sum
         val side = if (nKeys <= DvBroadcastMaxKeys) broadcast(keys) else keys
         data.join(side, Seq(kc), "left_anti")
     }
+
+  // ------------------------------------------------------------------
+  // POSITION-based delete vectors ('dvp' sidecars — the DSv2
+  // `SupportsDelta` door, sources/DeltaOps.scala): parquet rows of
+  // (file vtail, physical row ordinal) masking exactly one row each.
+  // Unlike key DVs they are self-limiting — a dvp row references one
+  // specific physical row of one specific existing file — so appends
+  // stay legal while they are pending (new files can never be masked),
+  // and masking composes with schema fill/rename (row identity is
+  // physical, untouched by read-side transforms). Readers anti-join on
+  // (vtail(_metadata.file_path), _metadata.row_index), applied at the
+  // RAW scan inside [[readFiles]] (before any union/fill, where the
+  // hidden _metadata column is still resolvable).
+  // ------------------------------------------------------------------
+
+  /** dvp sidecar column names (the sidecar parquet's own schema). */
+  private[sources] val PosDvFileCol = "file"
+  private[sources] val PosDvPosCol = "pos"
+
+  /** The file's `v<N>/…` tail as a SQL expression over an absolute
+    * path column — the executor-side twin of [[vTailOf]] (rightmost
+    * `v<digits>/` segment, so roots containing a literal `v12` dir and
+    * clone-absolute paths both resolve to the true version tail).
+    */
+  private def vTailExpr(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_extract(c, "^(?:.*/)?(v\\d+/.*)$", 1)
+
+  /** The committed POSITION delete vectors of version `n` as a frame of
+    * (file, pos), broadcast-wrapped when the manifest's recorded
+    * sidecar row counts say the set is small; None when no dvp sidecars
+    * are pending. `forFiles` restricts the mask to the given vtails
+    * (a read that scans only some files need not anti-join positions of
+    * others — the dvp's own file column makes the restriction exact).
+    */
+  private[sources] def dvPosOf(spark: SparkSession, dir: String, n: Int,
+      forFiles: Option[Set[String]] = None): Option[DataFrame] = {
+    val sidecars = manifestEntries(spark, dir, n).filter(_.isPosDv)
+    if (sidecars.isEmpty) return None
+    val df0 = spark.read
+      .parquet(sidecars.map(e => resolvePath(dir, e.path)).toIndexedSeq: _*)
+      .select(col(PosDvFileCol), col(PosDvPosCol))
+    val df = forFiles.fold(df0)(fs =>
+      if (fs.isEmpty) df0.limit(0)
+      else df0.filter(col(PosDvFileCol).isin(fs.toSeq: _*)))
+    val nPos = sidecars
+      .map(e => if (e.nRows == null) 0L else e.nRows.longValue).sum
+    Some(if (nPos <= DvBroadcastMaxKeys) broadcast(df) else df)
+  }
+
+  /** Per-file SORTED masked positions of version `n`, restricted to the
+    * given vtails — the delta SCAN's stacked-DV input (candidate files
+    * are few and the masked rows of candidate files bound the collect;
+    * sources/DeltaOps.scala masks them before rows reach Spark so a
+    * re-delete of an already-deleted row is a no-op, never a duplicate
+    * DV entry).
+    */
+  private[sources] def posMaskFor(spark: SparkSession, dir: String, n: Int,
+      vtails: Set[String]): Map[String, Array[Long]] =
+    dvPosOf(spark, dir, n, Some(vtails)) match {
+      case None => Map.empty
+      case Some(df) =>
+        df.groupBy(PosDvFileCol)
+          .agg(sort_array(collect_list(col(PosDvPosCol))).as("ps"))
+          .collect()
+          .map(r => r.getString(0) -> r.getSeq[Long](1).toArray).toMap
+    }
+
+  /** [[readFiles]] + both DV masks of version `n` — the one assembly
+    * every committed-state read surface goes through.
+    */
+  private def readWithDv(spark: SparkSession, dir: String, n: Int,
+      files: Array[String]): DataFrame =
+    applyDv(spark, dir, n,
+      readFiles(spark, dir, n, files,
+        dvPosOf(spark, dir, n, Some(files.map(vTailOf).toSet))))
 
   // ------------------------------------------------------------------
   // SCHEMA EVOLUTION — metadata-only ADD COLUMN with INITIAL DEFAULTS
@@ -2727,11 +2882,28 @@ object Snapshot {
     * files compact away over time).
     */
   private def readFiles(spark: SparkSession, dir: String, n: Int,
-      relPaths: Array[String]): DataFrame = {
+      relPaths: Array[String], posMask: Option[DataFrame] = None,
+      withPosCols: Boolean = false): DataFrame = {
+    // position-DV masking and position exposure happen at the RAW scan,
+    // where the hidden _metadata column still resolves (it does not
+    // survive a union, and masking before the fill/rename steps is both
+    // correct — row identity is physical — and cheaper)
+    def raw(paths: Array[String]): DataFrame = {
+      val df0 = spark.read.parquet(paths.map(resolvePath(dir, _)).toIndexedSeq: _*)
+      if (posMask.isEmpty && !withPosCols) return df0
+      val withPos = df0
+        .withColumn("__dv_file", vTailExpr(col("_metadata.file_path")))
+        .withColumn("__dv_pos", col("_metadata.row_index"))
+      val masked = posMask.fold(withPos)(m =>
+        withPos.join(
+          m.select(col(PosDvFileCol).as("__dv_file"),
+            col(PosDvPosCol).as("__dv_pos")),
+          Seq("__dv_file", "__dv_pos"), "left_anti"))
+      if (withPosCols) masked else masked.drop("__dv_file", "__dv_pos")
+    }
     val added = addedColumnsAt(spark, dir, n)
     val evo = evolutionAt(spark, dir, n)
-    if (added.isEmpty && evo.isEmpty)
-      return spark.read.parquet(relPaths.map(resolvePath(dir, _)).toIndexedSeq: _*)
+    if (added.isEmpty && evo.isEmpty) return raw(relPaths)
     // one merged timeline: each step applies only to files written
     // BEFORE it (later files already reflect it physically)
     val steps: Seq[(Int, (DataFrame, Int) => DataFrame)] =
@@ -2758,8 +2930,7 @@ object Snapshot {
       }).sortBy(_._1)
     val groups = relPaths.groupBy(writerVersion)
     val frames = groups.toSeq.sortBy(_._1).map { case (wv, paths) =>
-      val df = spark.read.parquet(paths.map(resolvePath(dir, _)).toIndexedSeq: _*)
-      steps.foldLeft(df) { (acc, st) => st._2(acc, wv) }
+      steps.foldLeft(raw(paths)) { (acc, st) => st._2(acc, wv) }
     }
     val canonical = frames.head.columns
     frames.map(_.select(canonical.map(col).toIndexedSeq: _*))
@@ -3026,6 +3197,16 @@ object Snapshot {
       s"snapshot table $dir v$n has pending merge-on-read deletes — " +
         s"run applyMorDeletes before $what")
 
+  /** [[requireNoDv]] restricted to KEY delete vectors — for operations
+    * position DVs cannot endanger (appends: a dvp row references one
+    * physical row of one EXISTING file, so new files are unmaskable).
+    */
+  private[sources] def requireNoKeyDv(spark: SparkSession, dir: String, n: Int,
+      what: String): Unit =
+    require(!manifestEntries(spark, dir, n).exists(_.isKeyDv),
+      s"snapshot table $dir v$n has pending key-based merge-on-read " +
+        s"deletes — run applyMorDeletes before $what")
+
   /** Publish a snapshot CLUSTERED on a numeric `statsCol` with per-FILE
     * min/max recorded in the manifest — the second metadata-skipping
     * lever after partition values (what Iceberg/Delta keep as file
@@ -3245,6 +3426,13 @@ object Snapshot {
     val mbEntries = manifestEntries(spark, dir, toV)
     val fa = dataEntries(spark, dir, fromV).map(_.path).toSet
     val fb = mbEntries.filterNot(_.isDv).map(_.path).toSet
+    // POSITION-DV commits: the masked rows are named exactly by
+    // (file, pos), so the row-level delta needs no multiset diff at
+    // all — served by the dedicated path below
+    val posA = manifestEntries(spark, dir, fromV).exists(_.isPosDv)
+    val posB = mbEntries.exists(_.isPosDv)
+    if (posA || posB)
+      return readChangesWithPos(spark, dir, fromV, toV)
     val onlyA = (fa -- fb).toArray
     val onlyB = (fb -- fa).toArray
     val shared = fa.intersect(fb)
@@ -3303,6 +3491,125 @@ object Snapshot {
       .select(col("_change_type") +: canonical.map(col): _*)
   }
 
+  /** [[readChanges]] when POSITION delete vectors are in play on either
+    * side — the dvp rows NAME the changed rows (file, pos), so the
+    * changed-row candidate set is exact:
+    *
+    *  - files exclusive to one side diff wholesale under that side's
+    *    full masks (both kinds), exactly like the main path;
+    *  - shared files contribute only rows at POSITIONS whose dvp mask
+    *    status changed, or matching KEYS whose key-DV status changed —
+    *    read ONCE, then evaluated under each side's full masks, so a
+    *    row that is both position- and key-masked is never counted
+    *    twice; the multiset `exceptAll` emits each logical change
+    *    exactly once.
+    *
+    * At 100 TB: the dvp sidecars name the affected shared files
+    * exactly (no stats guessing), the candidate filter is a semi-join
+    * against #changed-rows-sized frames, and untouched shared files are
+    * never opened.
+    */
+  private def readChangesWithPos(spark: SparkSession, dir: String,
+      fromV: Int, toV: Int): DataFrame = {
+    val schemaV = math.max(fromV, toV)
+    val entriesA = manifestEntries(spark, dir, fromV)
+    val entriesB = manifestEntries(spark, dir, toV)
+    val fa = entriesA.filterNot(_.isDv).map(_.path).toSet
+    val fb = entriesB.filterNot(_.isDv).map(_.path).toSet
+    val onlyA = (fa -- fb).toArray
+    val onlyB = (fb -- fa).toArray
+    val shared = fa.intersect(fb)
+    val dvA = dvKeysOf(spark, dir, fromV)
+    val dvB = dvKeysOf(spark, dir, toV)
+    for { (ka, _) <- dvA; (kb, _) <- dvB } require(ka == kb,
+      s"snapshot $dir: delete-vector key column changed between v$fromV " +
+        s"('$ka') and v$toV ('$kb')")
+    def keyMask(df: DataFrame, dv: Option[(String, DataFrame)]): DataFrame =
+      dv.fold(df) { case (kc, keys) => df.join(keys, Seq(kc), "left_anti") }
+    val template = readVersion(spark, dir, schemaV).limit(0)
+    val canonical = template.columns.toIndexedSeq
+    def canon(df: DataFrame): DataFrame = df.select(canonical.map(col): _*)
+    // exclusive files, read under their own side's position + key masks
+    def sideRows(paths: Array[String], v: Int,
+        dv: Option[(String, DataFrame)]): Option[DataFrame] =
+      if (paths.isEmpty) None
+      else Some(keyMask(readFiles(spark, dir, schemaV, paths,
+        dvPosOf(spark, dir, v, Some(paths.map(vTailOf).toSet))), dv))
+    // shared-file candidates: positions whose dvp status changed …
+    val posA = dvPosOf(spark, dir, fromV)
+    val posB = dvPosOf(spark, dir, toV)
+    val sharedTails = shared.map(vTailOf)
+    val tailToPath = entriesB.filterNot(_.isDv)
+      .filter(e => shared.contains(e.path))
+      .map(e => vTailOf(e.path) -> e.path).toMap
+    val changedPos: Option[DataFrame] = ((posA, posB) match {
+      case (None, None) => None
+      case (Some(a), Some(b)) => Some(a.exceptAll(b).union(b.exceptAll(a)))
+      case (Some(a), None) => Some(a)
+      case (None, Some(b)) => Some(b)
+    }).map(_.filter(col(PosDvFileCol).isin(sharedTails.toSeq: _*)))
+      .filter(!_.isEmpty)
+    // … plus rows matching keys whose key-DV status changed
+    val changedKeys: Option[(String, DataFrame)] = ((dvA, dvB) match {
+      case (None, None) => None
+      case (Some((k, a)), Some((_, b))) =>
+        Some((k, a.exceptAll(b).union(b.exceptAll(a))))
+      case (Some((k, a)), None) => Some((k, a))
+      case (None, Some((k, b))) => Some((k, b))
+    }).filter { case (_, ck) => !ck.isEmpty }
+    val posHitPaths: Set[String] = changedPos.fold(Set.empty[String])(cp =>
+      cp.select(PosDvFileCol).distinct().collect()
+        .flatMap(r => tailToPath.get(r.getString(0))).toSet)
+    val keyHitPaths: Set[String] = changedKeys.fold(Set.empty[String]) {
+      case (kc, ck) => statsHitPaths(entriesDF(spark,
+        entriesB.filter(e => !e.isDv && shared.contains(e.path))), ck, kc).toSet
+    }
+    val hitPaths = (posHitPaths ++ keyHitPaths).toArray.sorted
+    val sharedExtra: Option[(DataFrame, DataFrame)] =
+      if (hitPaths.isEmpty) None
+      else {
+        val rows = readFiles(spark, dir, schemaV, hitPaths,
+          posMask = None, withPosCols = true)
+        // disjoint candidate split: position-changed rows, then
+        // key-changed rows NOT already position-changed — a row
+        // matching both is counted once
+        val posMatched = changedPos.map(cp => rows.join(
+          cp.select(col(PosDvFileCol).as("__dv_file"),
+            col(PosDvPosCol).as("__dv_pos")),
+          Seq("__dv_file", "__dv_pos"), "left_semi"))
+        val keyMatched = changedKeys.map { case (kc, ck) =>
+          val base = changedPos.fold(rows)(cp => rows.join(
+            cp.select(col(PosDvFileCol).as("__dv_file"),
+              col(PosDvPosCol).as("__dv_pos")),
+            Seq("__dv_file", "__dv_pos"), "left_anti"))
+          base.join(ck, Seq(kc), "left_semi")
+        }
+        val candidates = (posMatched.toSeq ++ keyMatched.toSeq)
+          .reduceOption(_ unionByName _)
+        candidates.map { cand =>
+          def sideOf(v: Int, pos: Option[DataFrame],
+              dv: Option[(String, DataFrame)]): DataFrame = {
+            val pMasked = pos.fold(cand)(p => cand.join(
+              p.select(col(PosDvFileCol).as("__dv_file"),
+                col(PosDvPosCol).as("__dv_pos")),
+              Seq("__dv_file", "__dv_pos"), "left_anti"))
+            keyMask(pMasked, dv)
+          }
+          (sideOf(fromV, posA, dvA), sideOf(toV, posB, dvB))
+        }
+      }
+    def side(only: Array[String], v: Int, dv: Option[(String, DataFrame)],
+        extra: Option[DataFrame]): DataFrame =
+      (sideRows(only, v, dv).toSeq ++ extra.toSeq)
+        .map(canon).reduceOption(_ union _).getOrElse(canon(template))
+    val left = side(onlyA, fromV, dvA, sharedExtra.map(_._1))
+    val right = side(onlyB, toV, dvB, sharedExtra.map(_._2))
+    left.exceptAll(right).withColumn("_change_type", lit("delete"))
+      .unionByName(
+        right.exceptAll(left).withColumn("_change_type", lit("insert")))
+      .select(col("_change_type") +: canonical.map(col): _*)
+  }
+
   /** [[read]] pruned to files whose recorded [stat_lo, stat_hi] range
     * can intersect [lo, hi] — pure manifest-metadata skipping; files
     * without stats (written by a non-clustered stage) are conservatively
@@ -3319,7 +3626,7 @@ object Snapshot {
         (e.statLo <= hi && e.statHi >= lo))
       .map(_.path).toArray
     if (files.isEmpty) read(spark, dir).limit(0)
-    else applyDv(spark, dir, n, readFiles(spark, dir, n, files))
+    else readWithDv(spark, dir, n, files)
   }
 
   // ------------------------------------------------------------------
@@ -3342,7 +3649,7 @@ object Snapshot {
     * entry (clone-absolute entries share the tail; version numbers are
     * globally unique per store, so tails cannot collide).
     */
-  private def vTailOf(p: String): String =
+  private[sources] def vTailOf(p: String): String =
     "(?:^|/)(v\\d+/.*)$".r.findAllMatchIn(p).toSeq.lastOption
       .map(_.group(1)).getOrElse(p)
 
@@ -3530,7 +3837,7 @@ object Snapshot {
       legacyOk && multiOk
     }.map(_.path).toArray
     if (files.isEmpty) read(spark, dir).limit(0)
-    else applyDv(spark, dir, n, readFiles(spark, dir, n, files))
+    else readWithDv(spark, dir, n, files)
   }
 
   /** Number of DATA files the committed version references — metadata
@@ -3589,13 +3896,14 @@ object Snapshot {
     *    path serves it fine.
     */
   private def sqlFilesCore(spark: SparkSession, dir: String,
-      version: Option[Int], partValues: Option[Seq[String]]): (Int, Array[String]) = {
+      version: Option[Int], partValues: Option[Seq[String]],
+      allowPosDv: Boolean = false): (Int, Array[String]) = {
     val n = version.getOrElse(currentVersion(spark, dir))
     require(n >= 1, s"snapshot table $dir has no committed version")
     require(fc(spark).util.exists(new Path(dir, s"_manifest.v$n")),
       s"snapshot $dir has no manifest for v$n (never committed, or vacuumed)")
     val m = manifestEntries(spark, dir, n)
-    require(!m.exists(_.isDv),
+    require(!m.exists(e => e.isKeyDv || (!allowPosDv && e.isPosDv)),
       s"snapshot table $dir v$n has pending merge-on-read deletes — the " +
         "SQL front door serves materialized tables; run applyMorDeletes " +
         "first (or read through Snapshot.read)")
@@ -3664,6 +3972,14 @@ object Snapshot {
     * ([[graft.plans.GraftMappedReadRule]] — view expansion at analysis).
     */
   private[sources] final case class ServeMapped(df: DataFrame) extends SqlServing
+  /** PENDING POSITION DVs over an otherwise parquet-able state: the
+    * file list is exact but every row must pass the (file, pos) mask —
+    * served by the connector's own masking scan (row-based, positions
+    * counted in place: sources/DeltaOps.scala), so plain sessions keep
+    * reading AND mutating mor tables with deletes pending.
+    */
+  private[sources] final case class ServePosMasked(files: Seq[String],
+    fillSchema: Option[org.apache.spark.sql.types.StructType]) extends SqlServing
 
   /** The BATCH SQL doors' serving resolution ([[SnapshotTables]]):
     *
@@ -3689,8 +4005,47 @@ object Snapshot {
     */
   private[sources] def sqlServe(spark: SparkSession, dir: String,
       version: Option[Int], partValues: Option[Seq[String]]): SqlServing = {
+    // PENDING POSITION DVs (key DVs keep their long-standing refusal in
+    // sqlFilesCore — spec-pinned contract):
+    //  - the CURRENT full state serves through the connector's own
+    //    position-masking scan (ServePosMasked → the writable table
+    //    keeps reading AND mutating on plain sessions — a mor table
+    //    with deletes pending is its normal operating state);
+    //  - version-pinned / parts-pruned reads serve the mapped LOGICAL
+    //    plan (extension sessions; plain sessions get the mapped-read
+    //    refusal naming the remedy).
+    val nPeek = version.getOrElse(currentVersion(spark, dir))
+    val posPending = nPeek >= 1 &&
+      fc(spark).util.exists(new Path(dir, s"_manifest.v$nPeek")) && {
+        val m = manifestEntries(spark, dir, nPeek)
+        m.exists(_.isPosDv) && !m.exists(_.isKeyDv)
+      }
+    if (posPending && version.isEmpty && partValues.isEmpty)
+      sqlServeInner(spark, dir, None, None, allowPosDv = true) match {
+        case ServeParquet(files, fill) => ServePosMasked(files, fill)
+        case other => other // rename/drop states: the logical read masks
+      }
+    else if (posPending) {
+      val base = version.fold {
+        partValues.fold(read(spark, dir))(vs => readWhere(spark, dir, vs))
+      } { v =>
+        val df = readVersion(spark, dir, v)
+        partValues.fold(df) { vs =>
+          val l = requireLayout(spark, dir,
+            "a partition-pruned time-travel read of this snapshot state")
+          df.filter(col(l.partCol).cast("string").isin(vs: _*))
+        }
+      }
+      ServeMapped(base)
+    }
+    else sqlServeInner(spark, dir, version, partValues, allowPosDv = false)
+  }
+
+  private def sqlServeInner(spark: SparkSession, dir: String,
+      version: Option[Int], partValues: Option[Seq[String]],
+      allowPosDv: Boolean): SqlServing = {
     import org.apache.spark.sql.types.{MetadataBuilder, StructField, StructType}
-    val (n, files) = sqlFilesCore(spark, dir, version, partValues)
+    val (n, files) = sqlFilesCore(spark, dir, version, partValues, allowPosDv)
     def mapped: ServeMapped = {
       val base = version.fold {
         partValues.fold(read(spark, dir))(vs => readWhere(spark, dir, vs))
@@ -3900,7 +4255,7 @@ object Snapshot {
     */
   def read(spark: SparkSession, dir: String): DataFrame = {
     val (n, files) = resolveFiles(spark, dir, None)
-    applyDv(spark, dir, n, readFiles(spark, dir, n, files))
+    readWithDv(spark, dir, n, files)
   }
 
   /** TIME TRAVEL: read version `n` exactly as it was committed — every
@@ -3914,7 +4269,7 @@ object Snapshot {
     require(fc(spark).util.exists(new Path(dir, s"_manifest.v$n")),
       s"snapshot $dir has no manifest for v$n (never committed, or vacuumed)")
     val files = dataEntries(spark, dir, n).map(_.path).toArray
-    applyDv(spark, dir, n, readFiles(spark, dir, n, files))
+    readWithDv(spark, dir, n, files)
   }
 
   /** One row per retained version: (version, n_files, n_rows, current,
@@ -4065,7 +4420,7 @@ object Snapshot {
       partValues: Seq[String]): DataFrame = {
     val (n, files, mixed) = resolveFilesSpec(spark, dir, Some(partValues))
     if (files.isEmpty) return read(spark, dir).limit(0)
-    val df = applyDv(spark, dir, n, readFiles(spark, dir, n, files))
+    val df = readWithDv(spark, dir, n, files)
     if (!mixed) df
     else {
       // old-generation files were kept conservatively — restore the
@@ -4089,8 +4444,12 @@ object Snapshot {
     val (n, relFiles) = resolveFiles(spark, dir, None)
     val files = relFiles.map(resolvePath(dir, _))
     val m = readManifest(spark, dir, n)
-    val dvPaths = manifestEntries(spark, dir, n).filter(_.isDv)
+    val allEntries = manifestEntries(spark, dir, n)
+    val dvKeyPaths = allEntries.filter(_.isKeyDv)
       .map(e => resolvePath(dir, e.path)).toArray
+    val dvPosPaths = allEntries.filter(_.isPosDv)
+      .map(e => resolvePath(dir, e.path)).toArray
+    val dvPaths = dvKeyPaths ++ dvPosPaths
     require(!addedColumnsAt(spark, dir, n).exists(_.name == checksumCol),
       s"checksum column '$checksumCol' is a metadata-added column — " +
         "verify against a physical column")
@@ -4110,19 +4469,25 @@ object Snapshot {
     // the sidecar's only column); a tampered delete vector is an
     // integrity failure exactly like a tampered data file: it silently
     // changes what every reader sees.
-    val actual = fileStats(files, checksumCol).unionByName(
-      if (dvPaths.isEmpty) spark.emptyDataFrame
-        .withColumn("path", lit("")).withColumn("a_rows", lit(0L))
-        .withColumn("a_checksum", lit(0L)).limit(0)
-      else fileStats(dvPaths,
-        spark.read.parquet(dvPaths.toIndexedSeq: _*).columns.head))
+    // sidecars verify per KIND against their own checksum rule: a key
+    // DV over its single self-described key column, a position DV over
+    // its `pos` column — a tampered delete vector of either kind is an
+    // integrity failure exactly like a tampered data file
+    val sidecarStats = Seq(
+      if (dvKeyPaths.isEmpty) None
+      else Some(fileStats(dvKeyPaths,
+        spark.read.parquet(dvKeyPaths.toIndexedSeq: _*).columns.head)),
+      if (dvPosPaths.isEmpty) None
+      else Some(fileStats(dvPosPaths, PosDvPosCol))).flatten
+    val actual = (fileStats(files, checksumCol) +: sidecarStats)
+      .reduce(_ unionByName _)
     val bad = m.join(actual, Seq("path"), "full")
       .filter(!(col("n_rows") <=> col("a_rows")) ||
         !(col("checksum") <=> col("a_checksum")))
       .select("path").collect().map(_.getString(0))
     require(bad.isEmpty,
       s"snapshot $dir v$n fails verification; bad files: ${bad.mkString(", ")}")
-    applyDv(spark, dir, n, readFiles(spark, dir, n, relFiles))
+    readWithDv(spark, dir, n, relFiles)
   }
 
   /** Delete everything the RETAINED manifests do not reference: data

@@ -145,8 +145,22 @@ private[sources] object SnapshotTables {
         // WRITABLE through the staged-commit protocol (V1Write below);
         // a pinned-version or parts-pruned relation stays read-only —
         // writing "into" a pruned view would be ambiguous
-        if (version.isEmpty && parts.isEmpty) writable(dir, parquet)
+        if (version.isEmpty && parts.isEmpty) writable(spark, dir, parquet)
         else readOnly(parquet)
+      case Snapshot.ServePosMasked(files, fillSchema) =>
+        // pending position DVs over the CURRENT state: the writable
+        // table stays fully functional — its SCANS route through the
+        // connector's own masking scan (row-based with positions
+        // counted in place: DeltaOps.scala) instead of the raw
+        // vectorized parquet delegate, and row-level DML keeps landing
+        // delta commits on top (a mor table with deletes pending is its
+        // normal operating state)
+        val opts = new java.util.HashMap[String, String]()
+        opts.put("recursiveFileLookup", "true")
+        val parquet = ParquetTable(name, spark,
+          new CaseInsensitiveStringMap(opts), files, fillSchema,
+          classOf[ParquetFileFormat])
+        writable(spark, dir, parquet, maskedScan = true)
       case Snapshot.ServeMapped(df) => new MappedSnapshotTable(name, df)
     }
   }
@@ -165,11 +179,61 @@ private[sources] object SnapshotTables {
     * come from the table's recorded `_layout` properties; pre-layout
     * tables refuse with the republish remedy.
     */
-  def writable(dir: String, parquet: ParquetTable): Table =
-    new Table with org.apache.spark.sql.connector.catalog.SupportsRead
-        with org.apache.spark.sql.connector.catalog.SupportsWrite
-        with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
-        with org.apache.spark.sql.connector.catalog.SupportsDeleteV2 {
+  def writable(spark: SparkSession, dir: String, parquet: ParquetTable,
+      maskedScan: Boolean = false): Table =
+    // the MOR variant EXPOSES the delta operation's row-id metadata
+    // column ([[graft.sources.DeltaOps]]): `SupportsMetadataColumns`
+    // must be visible at RESOLUTION time for Spark's delta rewrites to
+    // resolve `rowId()` against the relation's metadata output — and
+    // only mor tables should advertise it (a cow table's scans never
+    // serve it)
+    if (Snapshot.dmlModeOf(spark, dir) == "mor")
+      new GraftWritableTable(dir, parquet, maskedScan)
+          with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+        override def metadataColumns()
+            : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+          Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+            override def name(): String = DeltaOps.RowIdCol
+            override def dataType(): org.apache.spark.sql.types.DataType =
+              org.apache.spark.sql.types.LongType
+            override def isNullable: Boolean = false
+            override def comment(): String =
+              "row identity of the graft position-delta operation: " +
+                "(candidate-file ordinal << 40) | physical row position"
+          })
+      }
+    else new GraftWritableTable(dir, parquet, maskedScan)
+
+  /** Wrap to (a) carry the snapshot identity in name() and (b) refuse
+    * the write path — the format's invariants live in the staged-commit
+    * API (Scala, or the parser's GRAFT SNAPSHOT APPEND/UPSERT
+    * statements), and a raw parquet write under the root would corrupt
+    * nothing (unreferenced files) but silently vanish, which is worse.
+    */
+  def readOnly(parquet: ParquetTable): Table =
+    new Table with org.apache.spark.sql.connector.catalog.SupportsRead {
+      override def name(): String = parquet.name
+      override def capabilities(): java.util.Set[
+          org.apache.spark.sql.connector.catalog.TableCapability] =
+        java.util.EnumSet.of(
+          org.apache.spark.sql.connector.catalog.TableCapability.BATCH_READ)
+      override def schema(): StructType = parquet.schema
+      override def newScanBuilder(options: CaseInsensitiveStringMap)
+          : org.apache.spark.sql.connector.read.ScanBuilder =
+        parquet.newScanBuilder(options)
+    }
+}
+
+/** The writable snapshot Table — the STAGED WRITE doors behind
+  * [[SnapshotTables.writable]] (see its doc); subclassed with
+  * `SupportsMetadataColumns` for mor-mode tables.
+  */
+private[sources] class GraftWritableTable(dir: String,
+    parquet: ParquetTable, maskedScan: Boolean = false) extends Table
+    with org.apache.spark.sql.connector.catalog.SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.SupportsDeleteV2 {
       override def name(): String = parquet.name
       override def capabilities(): java.util.Set[
           org.apache.spark.sql.connector.catalog.TableCapability] =
@@ -187,7 +251,9 @@ private[sources] object SnapshotTables {
       override def schema(): StructType = parquet.schema
       override def newScanBuilder(options: CaseInsensitiveStringMap)
           : org.apache.spark.sql.connector.read.ScanBuilder =
-        parquet.newScanBuilder(options)
+        if (maskedScan)
+          new GraftMaskedScanBuilder(SparkSession.active, dir, parquet.schema)
+        else parquet.newScanBuilder(options)
 
       /** PLAIN-SESSION row-level DML (no parser extension anywhere):
         * `UPDATE` / `MERGE INTO` / untranslatable `DELETE` plan through
@@ -201,8 +267,17 @@ private[sources] object SnapshotTables {
         val sess = SparkSession.active
         val l = Snapshot.requireLayout(sess, dir,
           s"row-level ${info.command()} through the DSv2 door")
-        () => new GraftRowLevelOperation(sess, dir, parquet.schema, l,
-          info.command())
+        // the table's recorded DML mode picks the plan shape: cow =
+        // group-based ReplaceData (files rewritten, reads mask-free),
+        // mor = position-delta WriteDelta (DV sidecars, bytes written
+        // ∝ matched rows) — sources/DeltaOps.scala
+        () =>
+          if (Snapshot.dmlModeOf(sess, dir) == "mor")
+            new GraftDeltaOperation(sess, dir, parquet.schema, l,
+              info.command())
+          else
+            new GraftRowLevelOperation(sess, dir, parquet.schema, l,
+              info.command())
       }
 
       /** The METADATA-ONLY delete door (`OptimizeMetadataOnlyDeleteFromTable`):
@@ -213,7 +288,12 @@ private[sources] object SnapshotTables {
         */
       override def canDeleteWhere(predicates: Array[
           org.apache.spark.sql.connector.expressions.filter.Predicate]): Boolean =
-        Snapshot.layoutOf(SparkSession.active, dir).isDefined &&
+        // mor tables route DELETE to the position-delta plan (the whole
+        // point of the mode: O(#matched) writes, not file rewrites);
+        // TRUNCATE still calls deleteWhere DIRECTLY (TruncateTableExec
+        // skips this gate), which stays correct in either mode
+        Snapshot.dmlModeOf(SparkSession.active, dir) != "mor" &&
+          Snapshot.layoutOf(SparkSession.active, dir).isDefined &&
           RowLevelOps.predicatesToSql(predicates.toSeq).isDefined
 
       override def deleteWhere(predicates: Array[
@@ -282,24 +362,4 @@ private[sources] object SnapshotTables {
                 }
             }
         }
-    }
-
-  /** Wrap to (a) carry the snapshot identity in name() and (b) refuse
-    * the write path — the format's invariants live in the staged-commit
-    * API (Scala, or the parser's GRAFT SNAPSHOT APPEND/UPSERT
-    * statements), and a raw parquet write under the root would corrupt
-    * nothing (unreferenced files) but silently vanish, which is worse.
-    */
-  def readOnly(parquet: ParquetTable): Table =
-    new Table with org.apache.spark.sql.connector.catalog.SupportsRead {
-      override def name(): String = parquet.name
-      override def capabilities(): java.util.Set[
-          org.apache.spark.sql.connector.catalog.TableCapability] =
-        java.util.EnumSet.of(
-          org.apache.spark.sql.connector.catalog.TableCapability.BATCH_READ)
-      override def schema(): StructType = parquet.schema
-      override def newScanBuilder(options: CaseInsensitiveStringMap)
-          : org.apache.spark.sql.connector.read.ScanBuilder =
-        parquet.newScanBuilder(options)
-    }
 }

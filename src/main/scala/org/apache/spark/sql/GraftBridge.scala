@@ -73,6 +73,28 @@ object GraftBridge {
       spark: SparkSession): org.apache.spark.sql.catalyst.parser.ParserInterface =
     spark.asInstanceOf[classic.SparkSession].sessionState.sqlParser
 
+  /** A CLONE of the session (same SparkContext, state copied) with the
+    * given conf overrides — `cloneSession` is `private[sql]`. Used by
+    * the delta-scan reader builder (sources/DeltaOps.scala) to bind
+    * Spark's own parquet reader with vectorization OFF without mutating
+    * the live session's conf mid-query: the row-level delta scan needs
+    * a true row ITERATOR per file (physical positions counted as rows
+    * stream), and `buildReaderWithPartitionValues` decides rows-vs-
+    * batches from the session conf it is built against.
+    */
+  def sessionWithConf(spark: SparkSession,
+      kv: (String, String)*): SparkSession = {
+    val s = spark.asInstanceOf[classic.SparkSession].cloneSession()
+    kv.foreach { case (k, v) => s.conf.set(k, v) }
+    s
+  }
+
+  /** The session's merged Hadoop conf (`sessionState` is
+    * `private[sql]`) — what file-format reader builders expect.
+    */
+  def hadoopConfOf(spark: SparkSession): org.apache.hadoop.conf.Configuration =
+    spark.asInstanceOf[classic.SparkSession].sessionState.newHadoopConf()
+
   /** A SIBLING session over the SAME SparkContext with `install`ed
     * extensions — the device that lets extension-dependent surfaces
     * (the injected parser; packaged functions/rules) be graded from a
