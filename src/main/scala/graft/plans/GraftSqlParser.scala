@@ -808,10 +808,14 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       }
       case m: MergeIntoTable => graftTarget(m.targetTable) match {
         case Some((dir, tAlias)) =>
-          if (m.schemaEvolutionEnabled) throw new GraftParseException(
-            "MERGE … WITH SCHEMA EVOLUTION is not supported on snapshot " +
-              "tables — widening is an explicit ALTER TABLE ADD COLUMN " +
-              "migration, not a merge side effect")
+          // MERGE … WITH SCHEMA EVOLUTION (round 17): source-only
+          // columns widen the table atomically with the merge —
+          // stageMerge's evolveSchema flag (one staged version carries
+          // the rewrite's manifest AND the _schema sidecar; one pointer
+          // flip commits both). withSchemaEvolution is the raw PARSED
+          // flag — schemaEvolutionEnabled is a lazy val that needs a
+          // RESOLVED plan, and this rewrite runs at parse time
+          val evolve = m.withSchemaEvolution
           if (m.notMatchedBySourceActions.nonEmpty) throw new GraftParseException(
             "MERGE … WHEN NOT MATCHED BY SOURCE is not supported on " +
               "snapshot tables — the staged merge rewrites only the " +
@@ -890,7 +894,8 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
               "ANSI MERGE INTO")
             graft.sources.Snapshot.stageMerge(sess, dir,
               org.apache.spark.sql.GraftBridge.ofRows(sess, sourcePlan),
-              keyCol, l.partCol, l.checksumCol, matched ++ notMatched)
+              keyCol, l.partCol, l.checksumCol, matched ++ notMatched,
+              evolveSchema = evolve)
           }
         case None => plan
       }

@@ -371,4 +371,89 @@ class AnsiDmlSpec extends SparkSpec {
     s.sql("DROP TABLE addl.corpus_docs")
     assert(!new java.io.File(s"$root/corpus_docs").exists())
   }
+
+  test("MERGE WITH SCHEMA EVOLUTION widens atomically with the merge (extension session)") {
+    val root = scratch("ansi_mevo")
+    val s = ext
+    s.conf.set("spark.sql.catalog.amev", "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.catalog.amev.root", root)
+    docsIn(s).createOrReplaceTempView("amev_base")
+    s.sql("CREATE TABLE amev.docs " +
+      "TBLPROPERTIES('partition'='lang','checksum'='text') AS " +
+      "SELECT * FROM amev_base")
+    import s.implicits._
+    // source carries a NEW column `quality`; the de partition is
+    // untouched, so its file must carry by reference and serve NULL
+    Seq(
+      (1L, "alpha v2", "en", 150, 0.9),  // matched, bigger -> update
+      (9L, "golf new", "fr", 500, 0.7)   // unmatched -> insert
+    ).toDF("doc_id", "text", "lang", "n_chars", "quality")
+      .createOrReplaceTempView("amev_src")
+    // WITHOUT the flag: the extra column refuses with the remedy
+    val e = intercept[Exception] {
+      s.sql("MERGE INTO amev.docs t USING amev_src s ON t.doc_id = s.doc_id " +
+        "WHEN MATCHED THEN UPDATE SET text = s.text, n_chars = s.n_chars " +
+        "WHEN NOT MATCHED THEN INSERT *")
+    }
+    assert(e.getMessage.contains("evolveSchema"))
+    s.sql("MERGE WITH SCHEMA EVOLUTION INTO amev.docs t " +
+      "USING amev_src s ON t.doc_id = s.doc_id " +
+      "WHEN MATCHED AND s.n_chars > t.n_chars THEN UPDATE SET " +
+      "text = s.text, n_chars = s.n_chars, quality = s.quality " +
+      "WHEN NOT MATCHED THEN INSERT *")
+    val out = graft.sources.Snapshot.read(s, s"$root/docs")
+    assert(out.columns.contains("quality"))
+    val rows = out.select("doc_id", "quality")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else Double.box(r.getDouble(1)))).toMap
+    assert(rows(1L) === 0.9 && rows(9L) === 0.7,
+      "merged rows must carry the new column's values")
+    assert(rows(3L) == null && rows(5L) == null,
+      "pre-evolution rows must read NULL")
+    assert(out.count() === 7L)
+    // the untouched de partition carried by reference (fill, not rewrite)
+    val v2 = spark.read.json(s"$root/docs/_manifest.v2").select("path")
+      .collect().map(_.getString(0)).toSeq
+    assert(v2.filter(_.contains("_p=de")).forall(_.startsWith("v1/")),
+      s"de must carry by reference through an evolving merge, got $v2")
+    // one more merge WITHOUT evolution works against the widened schema
+    Seq((3L, "charlie v3", "de", 250, 0.5))
+      .toDF("doc_id", "text", "lang", "n_chars", "quality")
+      .createOrReplaceTempView("amev_src2")
+    s.sql("MERGE INTO amev.docs t USING amev_src2 s ON t.doc_id = s.doc_id " +
+      "WHEN MATCHED THEN UPDATE SET text = s.text, n_chars = s.n_chars, " +
+      "quality = s.quality")
+    val r3 = graft.sources.Snapshot.read(s, s"$root/docs")
+      .where(org.apache.spark.sql.functions.col("doc_id") === 3L).head()
+    assert(r3.getAs[Double]("quality") === 0.5)
+  }
+
+  test("Scala merge(evolveSchema): one staged version carries manifest AND schema sidecar") {
+    val root = scratch("ansi_mevo_api")
+    val dir = s"$root/docs"
+    val S = graft.sources.Snapshot
+    S.publish(spark, dir, docsDF, "lang", "text")
+    import spark.implicits._
+    val src = Seq((2L, "bravo v2", "en", 95, "srcA"))
+      .toDF("doc_id", "text", "lang", "n_chars", "origin")
+    // a source MISSING a table column still refuses under the flag
+    val bad = intercept[Exception] {
+      S.merge(spark, dir, src.drop("n_chars"), "doc_id", "lang", "text",
+        Seq(S.WhenMatchedUpdate()), evolveSchema = true)
+    }
+    assert(bad.getMessage.contains("never omit"))
+    val n = S.merge(spark, dir, src, "doc_id", "lang", "text",
+      Seq(S.WhenMatchedUpdate()), evolveSchema = true)
+    assert(n === 2)
+    // sidecar landed under the SAME staged version as the merge
+    assert(new java.io.File(s"$dir/_schema.v2").exists(),
+      "the _schema sidecar must land under the merge's own version")
+    val out = S.read(spark, dir)
+    val byId = out.select("doc_id", "origin").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(byId(2L) === "srcA")
+    assert(byId(1L) == null && byId(5L) == null)
+    // time travel: v1 reads the PRE-evolution schema
+    assert(!S.readVersion(spark, dir, 1).columns.contains("origin"))
+  }
 }
