@@ -430,6 +430,42 @@ class LifecycleOpsSpec extends SparkSpec {
     assert(Snapshot.read(spark, dir).count() === 41L)
   }
 
+  test("compaction auto-heals old-generation files in bounded batches") {
+    import spark.implicits._
+    val dir = scratch("lc_heal")
+    // three old-generation files (one per lang), then evolve to source
+    val df = (1 to 30).map { i =>
+      (i.toLong, s"t $i", Seq("en", "de", "fr")(i % 3), s"src${i % 2}")
+    }.toDF("doc_id", "text", "lang", "source")
+    Snapshot.publish(spark, dir, df, "lang", "text")
+    Snapshot.evolvePartitionSpec(spark, dir, "source")
+    def oldGenCount: Int = {
+      val v = Snapshot.currentVersion(spark, dir)
+      spark.read.json(s"$dir/_manifest.v$v").select("path")
+        .collect().map(_.getString(0)).count(_.startsWith("v1/"))
+    }
+    assert(oldGenCount === 3)
+    // each routine compaction heals at most healMaxFiles old-gen files;
+    // content is row-identical throughout and the count is MONOTONE
+    Snapshot.compactPartitions(spark, dir, "source", "text",
+      maxFiles = 100, healMaxFiles = 1)
+    assert(oldGenCount === 2)
+    assert(Snapshot.read(spark, dir).count() === 30L)
+    Snapshot.compactPartitions(spark, dir, "source", "text",
+      maxFiles = 100, healMaxFiles = 2)
+    assert(oldGenCount === 0)
+    assert(Snapshot.read(spark, dir).count() === 30L)
+    // fully healed: the raw parts door serves again
+    assert(spark.read.format("graft-snapshot").option("path", dir)
+      .option("parts", "src1").load().count() ===
+      Snapshot.read(spark, dir).where(col("source") === "src1").count())
+    // and a healed table's compaction takes the ordinary path (no-op
+    // here: nothing fragmented beyond maxFiles)
+    val cur = Snapshot.currentVersion(spark, dir)
+    assert(Snapshot.compactPartitions(spark, dir, "source", "text",
+      maxFiles = 100) === cur)
+  }
+
   test("clone transplants the spec history and key blooms") {
     import spark.implicits._
     val root = scratch("lc_clonesidecars")
