@@ -619,8 +619,16 @@ object EventTime {
         .filter(col("lang") === "de" && pmod(col("doc_id"), lit(20)) === 0)
         .withColumn("doc_id", col("doc_id") + lit(4000000L))
       S.commit(s, table, S.stageAppend(s, table, a1, "lang", "text"))
-      S.deleteWhere(s, table, "lang = 'fr' AND doc_id % 9 = 0",
-        "lang", "text")
+      // round 17: the delete-bearing commit is a POSITION-DELTA delete
+      // (mor mode, plain-session SQL) — its CDF step now SPLITS at file
+      // boundaries too (insert units + per-file delete units pairing
+      // each file with its new DV rows), instead of emitting one
+      // commit-atomic batch; the signed final-content law is unchanged
+      S.setDmlMode(s, table, "mor")
+      val plainDel = s.newSession()
+      plainDel.conf.set("spark.sql.catalog.csplit", "graft.sources.GraftCatalog")
+      plainDel.conf.set("spark.sql.catalog.csplit.root", root)
+      plainDel.sql("DELETE FROM csplit.`table` WHERE lang = 'fr' AND doc_id % 9 = 0")
       val a2 = docs
         .filter(col("lang") === "zh" && pmod(col("doc_id"), lit(35)) === 0)
         .withColumn("doc_id", col("doc_id") + lit(4500000L))

@@ -309,6 +309,25 @@ private[graft] class SnapshotVersionSource(spark: SparkSession, dir: String,
       fs
   }
 
+  /** CDF mode's splittable UNIT list for one step — (absolute file
+    * path, isDelete): pure file lists (initial load, pure appends) as
+    * insert units, and DV-ONLY delete-bearing steps (round 17) as
+    * insert units + one delete unit per dvp-referenced file
+    * ([[Snapshot.cdfSplitUnits]]); None = the step emits commit-
+    * atomically. Memoized like [[stepFiles]] (deterministic lists).
+    */
+  @volatile private var unitsMemo: Option[(Int, Int, Option[Seq[(String, Boolean)]])] = None
+
+  private def cdfUnits(p: Int, v: Int): Option[Seq[(String, Boolean)]] =
+    unitsMemo match {
+      case Some((cp, cv, u)) if cp == p && cv == v => u
+      case _ =>
+        val u = scala.util.Try(stepFiles(p, v).map((_, false))).toOption
+          .orElse(Snapshot.cdfSplitUnits(spark, dir, p, v))
+        unitsMemo = Some((p, v, u))
+        u
+    }
+
   /** Admit files under the maxFiles/maxBytes caps (always at least
     * one file — a single file larger than maxBytes must still move).
     */
@@ -412,11 +431,13 @@ private[graft] class SnapshotVersionSource(spark: SparkSession, dir: String,
         if (steps.isEmpty) return null
         (sv, steps.head, 0)
     }
-    // a CDF step that is NOT a pure file list (delete-bearing, DV
-    // drift, schema change — appendedFiles' refusals) cannot split at
-    // file boundaries: emit it as ONE commit-atomic batch instead
+    // a CDF step splits when its content reduces to per-file UNITS —
+    // pure file lists AND dv-only delete-bearing steps (round 17:
+    // insert units + per-file delete units); anything else (file
+    // rewrites, key-DV drift, schema change, materialization) emits as
+    // ONE commit-atomic batch instead
     val filesOpt =
-      if (changes) scala.util.Try(stepFiles(p, v)).toOption
+      if (changes) cdfUnits(p, v).map(_.map(_._1))
       else Some(stepFiles(p, v))
     val files = filesOpt match {
       case None => return VersionOffset(v)
@@ -456,27 +477,27 @@ private[graft] class SnapshotVersionSource(spark: SparkSession, dir: String,
         "resume it in that mode or start a fresh checkpoint")
     val batch =
       if (changes && (si >= 0 || ei >= 0)) {
-        // sub-version slice of a SPLITTABLE CDF step (the initial load
-        // or a pure-append commit — only those ever produce partial
-        // offsets): the step's content IS its sorted file list as
-        // inserts, so a slice reads raw files and tags them. Splitting
+        // sub-version slice of a SPLITTABLE CDF step (the initial load,
+        // a pure-append commit, or a dv-only delete-bearing commit —
+        // only those ever produce partial offsets): the step's content
+        // reduces to its sorted UNIT list (insert units = whole added
+        // files; delete units = one dvp-referenced file's newly-masked
+        // rows), so a slice materializes exactly its units. Splitting
         // mode advances ONE step per batch, so a range never spans
         // steps.
         val (pp, vv) = if (ei >= 0) (ep, ev) else (sp, sv)
         require(si < 0 || ((ei < 0 || (sp == ep && sv == ev)) && vv == sv),
           s"graft-snapshot-stream $dir: CDF sub-version range spans " +
             s"steps ($sp:$sv#$si .. $ep:$ev#$ei) — corrupted checkpoint")
-        val all = stepFiles(pp, vv)
-        val files =
+        val all = cdfUnits(pp, vv).getOrElse(throw new IllegalStateException(
+          s"graft-snapshot-stream $dir: sub-version offset over a non-" +
+            s"splittable CDF step $pp -> $vv — foreign or corrupted " +
+            "checkpoint; start a fresh checkpoint"))
+        val units =
           if (si >= 0 && ei >= 0) all.slice(si, ei)
           else if (si >= 0) all.drop(si)
           else all.take(ei)
-        val raw = StructType(pinned.fields.filterNot(_.name == "_change_type"))
-        val df =
-          if (files.isEmpty) spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], raw)
-          else spark.read.schema(raw).parquet(files: _*)
-        df.withColumn("_change_type", lit("insert")).select(cols: _*)
+        Snapshot.cdfSplitRows(spark, dir, pp, vv, units).select(cols: _*)
       } else if (changes) {
         // CDF mode: the initial snapshot arrives as inserts; every later
         // range is readChanges' row-level deltas — tolerates the whole

@@ -430,6 +430,62 @@ class LifecycleOpsSpec extends SparkSpec {
     assert(Snapshot.read(spark, dir).count() === 41L)
   }
 
+  test("CDF split of a dv-only MERGE commit: per-file delete units, law per sub-batch") {
+    import spark.implicits._
+    val root = scratch("lc_cdfdvsplit")
+    val dir = s"$root/docs"
+    val df = Seq(
+      (1L, "alpha alpha", "en", 110), (2L, "bravo text", "en", 90),
+      (3L, "charlie words", "de", 200), (4L, "delta zeilen", "de", 50),
+      (5L, "echo texte", "fr", 300), (6L, "foxtrot mots", "fr", 70)
+    ).toDF("doc_id", "text", "lang", "n_chars")
+    Snapshot.publish(spark, dir, df, "lang", "text")
+    Snapshot.setDmlMode(spark, dir, "mor")
+    val s = spark.newSession()
+    s.conf.set("spark.sql.catalog.lcsp", "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.catalog.lcsp.root", root)
+    // one MERGE commit touching all three partitions: update doc 1
+    // (DV + re-insert), delete docs 4 and 6, insert doc 9 — the source
+    // view must register in the CATALOG session, not the parent
+    locally {
+      import s.implicits._
+      Seq(
+        (1L, "alpha v2", "en", 500),
+        (4L, "gone", "de", 1),
+        (6L, "gone", "fr", 1),
+        (9L, "golf new", "de", 250)
+      ).toDF("doc_id", "text", "lang", "n_chars")
+        .createOrReplaceTempView("lcsp_src")
+    }
+    s.sql("MERGE INTO lcsp.docs t USING lcsp_src s ON t.doc_id = s.doc_id " +
+      "WHEN MATCHED AND s.n_chars > t.n_chars THEN UPDATE SET " +
+      "text = s.text, n_chars = s.n_chars " +
+      "WHEN MATCHED THEN DELETE " +
+      "WHEN NOT MATCHED THEN INSERT *")
+    // the step reduces to UNITS: ≥1 insert file and EXACTLY the three
+    // dvp-referenced files as delete units
+    val units = Snapshot.cdfSplitUnits(spark, dir, 1, 2).getOrElse(
+      fail("a dv-only MERGE commit must be splittable"))
+    assert(units.count(_._2) === 3,
+      s"expected one delete unit per dvp-referenced file, got $units")
+    assert(units.exists(!_._2), "the MERGE's inserts must appear as units")
+    // sliced replay ≡ whole-step replay ≡ readChanges (multiset)
+    val whole = Snapshot.cdfSplitRows(spark, dir, 1, 2, units)
+    val sliced = Snapshot.cdfSplitRows(spark, dir, 1, 2, units.take(2))
+      .unionByName(Snapshot.cdfSplitRows(spark, dir, 1, 2, units.drop(2)))
+    assert(whole.exceptAll(sliced).isEmpty && sliced.exceptAll(whole).isEmpty,
+      "unit slices must reassemble the exact step")
+    val viaChanges = Snapshot.readChanges(spark, dir, 1, 2)
+    assert(whole.exceptAll(viaChanges).isEmpty &&
+      viaChanges.exceptAll(whole).isEmpty,
+      "split units must equal readChanges row for row")
+    // the deletes carry the PRE-image rows
+    val dels = whole.where(col("_change_type") === "delete")
+      .select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(dels === Set((1L, 110), (4L, 50), (6L, 70)))
+  }
+
   test("compaction auto-heals old-generation files in bounded batches") {
     import spark.implicits._
     val dir = scratch("lc_heal")
