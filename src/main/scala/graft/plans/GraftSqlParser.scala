@@ -110,6 +110,10 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   private val P = "'((?:[^']|'')*)'"
   private def unq(s: String): String = s.replace("''", "'")
   private val Ident = "([A-Za-z_][A-Za-z0-9_]*)"
+  // a comma-joined identifier LIST — composite partition specs
+  // ("PARTITION lang, source"); single identifiers match unchanged
+  private val IdentList =
+    "([A-Za-z_][A-Za-z0-9_]*(?:\\s*,\\s*[A-Za-z_][A-Za-z0-9_]*)*)"
 
   private val History =
     s"""(?is)\\s*GRAFT\\s+SNAPSHOT\\s+HISTORY\\s+$P\\s*;?\\s*""".r
@@ -127,20 +131,20 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     s"""(?is)\\s*GRAFT\\s+SNAPSHOT\\s+CHANGES\\s+$P\\s+FROM\\s+(\\d+)\\s+TO\\s+(\\d+)\\s*;?\\s*""".r
 
   private val Publish =
-    s"""(?is)\\s*GRAFT\\s+SNAPSHOT\\s+PUBLISH\\s+$P\\s+PARTITION\\s+$Ident\\s+CHECKSUM\\s+$Ident\\s+AS\\s+(.+)""".r
+    s"""(?is)\\s*GRAFT\\s+SNAPSHOT\\s+PUBLISH\\s+$P\\s+PARTITION\\s+$IdentList\\s+CHECKSUM\\s+$Ident\\s+AS\\s+(.+)""".r
 
   private val Append =
-    s"""(?is)\\s*GRAFT\\s+SNAPSHOT\\s+APPEND\\s+$P\\s+PARTITION\\s+$Ident\\s+CHECKSUM\\s+$Ident\\s+AS\\s+(.+)""".r
+    s"""(?is)\\s*GRAFT\\s+SNAPSHOT\\s+APPEND\\s+$P\\s+PARTITION\\s+$IdentList\\s+CHECKSUM\\s+$Ident\\s+AS\\s+(.+)""".r
 
   private val Upsert =
-    s"""(?is)\\s*GRAFT\\s+SNAPSHOT\\s+UPSERT\\s+$P\\s+KEY\\s+$Ident\\s+PARTITION\\s+$Ident\\s+CHECKSUM\\s+$Ident\\s+AS\\s+(.+)""".r
+    s"""(?is)\\s*GRAFT\\s+SNAPSHOT\\s+UPSERT\\s+$P\\s+KEY\\s+$Ident\\s+PARTITION\\s+$IdentList\\s+CHECKSUM\\s+$Ident\\s+AS\\s+(.+)""".r
 
   // dynamic partition overwrite (Delta's replaceWhere / Hive's INSERT
   // OVERWRITE dynamic partitions): the partitions present in the
   // AS-query's result are replaced WHOLESALE by it; all others carry by
   // manifest reference (Snapshot.stageReplacePartitions).
   private val Replace =
-    s"""(?is)\\s*GRAFT\\s+SNAPSHOT\\s+REPLACE\\s+$P\\s+PARTITION\\s+$Ident\\s+CHECKSUM\\s+$Ident\\s+AS\\s+(.+)""".r
+    s"""(?is)\\s*GRAFT\\s+SNAPSHOT\\s+REPLACE\\s+$P\\s+PARTITION\\s+$IdentList\\s+CHECKSUM\\s+$Ident\\s+AS\\s+(.+)""".r
 
   private val Delete =
     s"""(?is)\\s*GRAFT\\s+SNAPSHOT\\s+DELETE\\s+$P\\s+KEY\\s+$Ident\\s+AS\\s+(.+)""".r
@@ -151,10 +155,10 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   // layout columns come BEFORE it; STATS re-clusters the rewritten
   // remainder like the Scala API's statsCol.
   private val DeleteWhere =
-    s"""(?is)\\s*GRAFT\\s+SNAPSHOT\\s+DELETE\\s+$P\\s+PARTITION\\s+$Ident\\s+CHECKSUM\\s+$Ident(?:\\s+STATS\\s+$Ident)?\\s+WHERE\\s+(.+)""".r
+    s"""(?is)\\s*GRAFT\\s+SNAPSHOT\\s+DELETE\\s+$P\\s+PARTITION\\s+$IdentList\\s+CHECKSUM\\s+$Ident(?:\\s+STATS\\s+$Ident)?\\s+WHERE\\s+(.+)""".r
 
   private val Update =
-    s"""(?is)\\s*GRAFT\\s+SNAPSHOT\\s+UPDATE\\s+$P\\s+PARTITION\\s+$Ident\\s+CHECKSUM\\s+$Ident(?:\\s+STATS\\s+$Ident)?\\s+SET\\s+(.+)""".r
+    s"""(?is)\\s*GRAFT\\s+SNAPSHOT\\s+UPDATE\\s+$P\\s+PARTITION\\s+$IdentList\\s+CHECKSUM\\s+$Ident(?:\\s+STATS\\s+$Ident)?\\s+SET\\s+(.+)""".r
 
   // RESTORE — roll back to a retained version as a NEW commit
   // (Snapshot.restore: manifest copied by reference, zero data moved,
@@ -199,7 +203,7 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     s"""(?is)\\s*GRAFT\\s+SNAPSHOT\\s+READ\\s+$P\\s+BRANCH\\s+$Ident\\s*;?\\s*""".r
 
   private val BranchUpsert =
-    s"""(?is)\\s*GRAFT\\s+SNAPSHOT\\s+UPSERT\\s+$P\\s+BRANCH\\s+$Ident\\s+KEY\\s+$Ident\\s+PARTITION\\s+$Ident\\s+CHECKSUM\\s+$Ident\\s+AS\\s+(.+)""".r
+    s"""(?is)\\s*GRAFT\\s+SNAPSHOT\\s+UPSERT\\s+$P\\s+BRANCH\\s+$Ident\\s+KEY\\s+$Ident\\s+PARTITION\\s+$IdentList\\s+CHECKSUM\\s+$Ident\\s+AS\\s+(.+)""".r
 
   // metadata-only ADD COLUMN with an initial default, and its
   // generated-column sibling (Delta's ALTER TABLE ADD COLUMN /
@@ -228,14 +232,14 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   // (outside quotes/parens), so a condition or SET expression that
   // itself contains WHEN/THEN/AS or a comma must be parenthesized.
   private val MergeHead =
-    s"""(?is)\\s*GRAFT\\s+SNAPSHOT\\s+MERGE\\s+$P\\s+KEY\\s+$Ident\\s+PARTITION\\s+$Ident\\s+CHECKSUM\\s+$Ident\\s+(.+)""".r
+    s"""(?is)\\s*GRAFT\\s+SNAPSHOT\\s+MERGE\\s+$P\\s+KEY\\s+$Ident\\s+PARTITION\\s+$IdentList\\s+CHECKSUM\\s+$Ident\\s+(.+)""".r
 
   // MAINTENANCE verbs — the lifecycle ops a table needs on a schedule,
   // reachable from the same pure-SQL surface (Delta's OPTIMIZE/VACUUM
   // shape): layout-only compaction, MoR-delete materialization, and
   // retention vacuum. Each returns a one-row receipt.
   private val Compact =
-    s"""(?is)\\s*GRAFT\\s+SNAPSHOT\\s+COMPACT\\s+$P\\s+PARTITION\\s+$Ident\\s+CHECKSUM\\s+$Ident(?:\\s+MAXFILES\\s+(\\d+))?(?:\\s+STATS\\s+$Ident)?\\s*;?\\s*""".r
+    s"""(?is)\\s*GRAFT\\s+SNAPSHOT\\s+COMPACT\\s+$P\\s+PARTITION\\s+$IdentList\\s+CHECKSUM\\s+$Ident(?:\\s+MAXFILES\\s+(\\d+))?(?:\\s+STATS\\s+$Ident)?\\s*;?\\s*""".r
 
   // multi-column file statistics (the ANALYZE-shaped verb): one scan
   // records per-file min/max for the declared columns into the manifest
@@ -253,12 +257,12 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   // partition-spec evolution (round-16): metadata-only active-spec
   // change + the explicit old-generation rewrite
   private val EvolvePart =
-    s"""(?is)\\s*GRAFT\\s+SNAPSHOT\\s+EVOLVE\\s+PARTITION\\s+$P\\s+TO\\s+$Ident\\s*;?\\s*""".r
+    s"""(?is)\\s*GRAFT\\s+SNAPSHOT\\s+EVOLVE\\s+PARTITION\\s+$P\\s+TO\\s+$IdentList\\s*;?\\s*""".r
   private val MigratePart =
     s"""(?is)\\s*GRAFT\\s+SNAPSHOT\\s+MIGRATE\\s+PARTITION\\s+$P\\s+CHECKSUM\\s+$Ident\\s*;?\\s*""".r
 
   private val ApplyDel =
-    s"""(?is)\\s*GRAFT\\s+SNAPSHOT\\s+APPLY\\s+DELETES\\s+$P\\s+PARTITION\\s+$Ident\\s+CHECKSUM\\s+$Ident\\s*;?\\s*""".r
+    s"""(?is)\\s*GRAFT\\s+SNAPSHOT\\s+APPLY\\s+DELETES\\s+$P\\s+PARTITION\\s+$IdentList\\s+CHECKSUM\\s+$Ident\\s*;?\\s*""".r
 
   private val Vacuum =
     s"""(?is)\\s*GRAFT\\s+SNAPSHOT\\s+VACUUM\\s+$P(?:\\s+KEEP\\s+(\\d+))?(?:\\s+RETAIN\\s+([0-9]+(?:\\.[0-9]+)?)\\s+HOURS)?(\\s+DRY\\s+RUN)?\\s*;?\\s*""".r

@@ -213,7 +213,9 @@ private[sources] object RowLevelOps {
     }
     val statsIdx = layout.statsCol.map(idx).getOrElse(-1)
     GraftFileWriterFactory(new GraftSerConf(job.getConfiguration), owf,
-      schema, dir, version, idx(layout.partCol), idx(layout.checksumCol),
+      schema, dir, version,
+      Snapshot.partColsOf(layout.partCol).map(idx),
+      idx(layout.checksumCol),
       statsIdx, layout.statsCol.orNull,
       spark.conf.get("spark.sql.session.timeZone",
         java.util.TimeZone.getDefault.getID), allowRowOpColumn)
@@ -226,18 +228,21 @@ private[sources] object RowLevelOps {
     * partition (whole partitions per task, `stagePublish`'s shape).
     */
   def distributionFor(layout: Snapshot.TableLayout)
-      : (Distribution, Array[V2SortOrder]) = layout.statsCol match {
-    case Some(sc) =>
-      val orders = Array[V2SortOrder](
-        Expressions.sort(Expressions.column(layout.partCol),
-          SortDirection.ASCENDING),
-        Expressions.sort(Expressions.column(sc), SortDirection.ASCENDING))
-      (Distributions.ordered(orders), orders)
-    case None =>
-      (Distributions.clustered(
-        Array(Expressions.column(layout.partCol))),
-        Array[V2SortOrder](Expressions.sort(
-          Expressions.column(layout.partCol), SortDirection.ASCENDING)))
+      : (Distribution, Array[V2SortOrder]) = {
+    // a composite spec clusters/sorts by its COMPONENT columns
+    val partCols = Snapshot.partColsOf(layout.partCol)
+    layout.statsCol match {
+      case Some(sc) =>
+        val orders = (partCols :+ sc).map(c =>
+          Expressions.sort(Expressions.column(c),
+            SortDirection.ASCENDING)).toArray
+        (Distributions.ordered(orders), orders)
+      case None =>
+        (Distributions.clustered(
+          partCols.map(Expressions.column).toArray),
+          partCols.map(c => Expressions.sort(
+            Expressions.column(c), SortDirection.ASCENDING)).toArray)
+    }
   }
 }
 
@@ -277,7 +282,7 @@ private[sources] final case class GraftFilesMessage(
   */
 private[sources] final case class GraftFileWriterFactory(conf: GraftSerConf,
     owf: OutputWriterFactory, schema: StructType, tableDir: String,
-    version: Int, partIdx: Int, checksumIdx: Int, statsIdx: Int,
+    version: Int, partIdxs: Seq[Int], checksumIdx: Int, statsIdx: Int,
     statsCol: String, timeZone: String,
     allowRowOpColumn: Boolean) extends DataWriterFactory {
 
@@ -327,13 +332,24 @@ private[sources] final case class GraftFileWriterFactory(conf: GraftSerConf,
         // cast projections bound to the row layout: part and checksum to
         // STRING (the manifest's renderings), stats to DOUBLE — catalyst
         // Cast, so the per-row values are bit-identical to what the
-        // scan-agg staging paths compute
+        // scan-agg staging paths compute. A COMPOSITE spec's part value
+        // is the components' cast renderings joined by the same
+        // separator/sentinel as Snapshot.partExpr.
+        def castAt(i: Int): org.apache.spark.sql.catalyst.expressions.Expression = {
+          val f = schema.fields(i)
+          Cast(BoundReference(offset + i, f.dataType, f.nullable),
+            StringType, Option(timeZone))
+        }
+        val partExprC: org.apache.spark.sql.catalyst.expressions.Expression =
+          if (partIdxs.length == 1) castAt(partIdxs.head)
+          else org.apache.spark.sql.catalyst.expressions.ConcatWs(
+            org.apache.spark.sql.catalyst.expressions.Literal(Snapshot.PartSep) +:
+              partIdxs.map(i =>
+                org.apache.spark.sql.catalyst.expressions.Coalesce(Seq(castAt(i),
+                  org.apache.spark.sql.catalyst.expressions.Literal(
+                    Snapshot.PartNullSentinel)))))
         castProj = UnsafeProjection.create(
-          Seq(partIdx, checksumIdx).map { i =>
-            val f = schema.fields(i)
-            Cast(BoundReference(offset + i, f.dataType, f.nullable),
-              StringType, Option(timeZone))
-          } ++ (if (statsIdx >= 0) {
+          Seq(partExprC, castAt(checksumIdx)) ++ (if (statsIdx >= 0) {
             val f = schema.fields(statsIdx)
             Seq(Cast(BoundReference(offset + statsIdx, f.dataType,
               f.nullable), DoubleType, Option(timeZone)))
@@ -617,8 +633,15 @@ private[sources] final class GraftGroupScan(spark: SparkSession, dir: String,
   override def description(): String =
     s"graft-snapshot row-level scan $dir (${candidates.size} candidate files)"
 
-  override def filterAttributes(): Array[NamedReference] =
-    Array(Expressions.column(layout.partCol))
+  override def filterAttributes(): Array[NamedReference] = {
+    // composite specs: the rendered part value is the JOINED string, so
+    // a per-column runtime filter cannot narrow it soundly — declare no
+    // filter attributes (static pruning still applies); single-column
+    // specs keep the runtime group filter
+    val cs = Snapshot.partColsOf(layout.partCol)
+    if (cs.length == 1) Array(Expressions.column(cs.head))
+    else Array.empty
+  }
 
   override def filter(predicates: Array[Predicate]): Unit =
     RowLevelOps.runtimePartValues(layout.partCol, predicates) match {

@@ -2,7 +2,7 @@ package graft
 
 /** T1 blanket contract checks: every declared query runs on sf0.001,
   * the queries/oracleSql maps are mutually consistent, and the declared
-  * inventory matches SURVEY.md §2b (290 keys, 282 oracle-checked).
+  * inventory matches SURVEY.md §2b (291 keys, 283 oracle-checked).
   */
 class ContractSpec extends SparkSpec {
 
@@ -11,9 +11,9 @@ class ContractSpec extends SparkSpec {
       "t_stream_runtime", "t_stream_dedup", "t_stream_session",
       "t_stream_join")
 
-  test("inventory matches SURVEY §2b: 290 queries, 282 with oracle SQL") {
-    assert(SparkEntry.queries.size === 290)
-    assert(SparkEntry.oracleSql.size === 282)
+  test("inventory matches SURVEY §2b: 291 queries, 283 with oracle SQL") {
+    assert(SparkEntry.queries.size === 291)
+    assert(SparkEntry.oracleSql.size === 283)
     assert(SparkEntry.queries.keySet.intersect(nonOracle).size === 8)
   }
 

@@ -430,6 +430,66 @@ class LifecycleOpsSpec extends SparkSpec {
     assert(Snapshot.read(spark, dir).count() === 41L)
   }
 
+  test("composite partition spec: evolution, per-component pruning, cross-generation delete") {
+    import spark.implicits._
+    val dir = scratch("lc_composite")
+    val df = (1 to 40).map { i =>
+      (i.toLong, s"txt $i", Seq("en", "de", "fr")(i % 3), s"src${i % 2}", 50 + i)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    Snapshot.publish(spark, dir, df, "lang", "text") // 3 old-gen files
+    // evolve lang -> (lang, source): one metadata commit
+    val v2 = Snapshot.evolvePartitionSpec(spark, dir, "lang,source")
+    assert(v2 === 2)
+    assert(Snapshot.layoutOf(spark, dir).get.partCol === "lang,source")
+    // new-generation append partitions by the COMPOSITE rendering
+    Snapshot.append(spark, dir,
+      Seq((100L, "new en0", "en", "src0", 90), (101L, "new en1", "en", "src1", 91),
+        (102L, "new de0", "de", "src0", 92))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"),
+      "lang,source", "text")
+    val v3 = Snapshot.currentVersion(spark, dir)
+    val v3paths = spark.read.json(s"$dir/_manifest.v$v3").select("path")
+      .collect().map(_.getString(0)).toSeq
+    assert(v3paths.count(_.startsWith(s"v$v3/")) === 3,
+      s"composite append must land one file per (lang, source), got $v3paths")
+    // CROSS-GENERATION partition-pruned delete: the lang atom prunes
+    // old-generation files under THEIR spec; the source atom prunes
+    // new-generation files per COMPONENT
+    Snapshot.deleteWhere(spark, dir, "lang = 'en' AND source = 'src1'",
+      "lang,source", "text")
+    val v4 = Snapshot.currentVersion(spark, dir)
+    val v4paths = spark.read.json(s"$dir/_manifest.v$v4").select("path")
+      .collect().map(_.getString(0)).toSeq
+    // old de/fr files carried (lang atom, their own generation)
+    assert(v4paths.count(_.startsWith("v1/")) === 2,
+      s"old de/fr files must carry by reference, got $v4paths")
+    // new-gen (en,src0) and (de,src0) carried — only (en,src1) rewritten
+    assert(v4paths.count(_.startsWith(s"v$v3/")) === 2,
+      s"component pruning must keep (en,src0)/(de,src0) carried, got $v4paths")
+    // content parity with the logical expectation
+    val expect = df.unionByName(
+      Seq((100L, "new en0", "en", "src0", 90), (101L, "new en1", "en", "src1", 91),
+        (102L, "new de0", "de", "src0", 92))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+      .filter(!(col("lang") === "en" && col("source") === "src1"))
+    val got = Snapshot.read(spark, dir)
+    assert(got.exceptAll(expect).isEmpty && expect.exceptAll(got).isEmpty)
+    // a second delete on a component-only atom still prunes new-gen
+    // files exactly and keeps the conservative old-gen rewrite honest
+    Snapshot.deleteWhere(spark, dir, "source = 'src0' AND n_chars >= 92",
+      "lang,source", "text")
+    val expect2 = expect.filter(!(col("source") === "src0" && col("n_chars") >= 92))
+    val got2 = Snapshot.read(spark, dir)
+    assert(got2.exceptAll(expect2).isEmpty && expect2.exceptAll(got2).isEmpty)
+    // stage verbs refuse the WRONG spec name
+    val e = intercept[Exception] {
+      Snapshot.append(spark, dir,
+        Seq((200L, "x", "en", "src0", 1)).toDF("doc_id", "text", "lang", "source", "n_chars"),
+        "lang", "text")
+    }
+    assert(e.getMessage.contains("evolvePartitionSpec"))
+  }
+
   test("CDF split of a dv-only MERGE commit: per-file delete units, law per sub-batch") {
     import spark.implicits._
     val root = scratch("lc_cdfdvsplit")
