@@ -37,13 +37,17 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * the data files by design — Snapshot's `_p` copy — so the SQL schema
   * equals the Scala read's schema exactly).
   *
-  * States the explicit file list cannot fully describe REFUSE LOUDLY at
-  * load time instead of silently diverging from `Snapshot.read`:
-  * pending merge-on-read deletes (run `applyMorDeletes` first) and
-  * metadata-added columns still needing read-side default fill
-  * ([[Snapshot.sqlFiles]] documents both). Read-only: `write.format
-  * ("graft-snapshot")` is refused — writes go through the staged-commit
-  * API, which is the format's whole point.
+  * States the explicit file list cannot fully describe either SERVE
+  * through a richer scan or REFUSE LOUDLY instead of silently diverging
+  * from `Snapshot.read`: pending POSITION delete vectors serve through
+  * the connector's own masking scan (round 17 — a mor table with
+  * deletes pending is its normal operating state), pending KEY delete
+  * vectors refuse (run `applyMorDeletes` first), and metadata-added
+  * columns still needing read-side default fill serve via
+  * EXISTS_DEFAULT or the mapped route ([[Snapshot.sqlServe]] documents
+  * the full resolution). Read-only: `write.format("graft-snapshot")`
+  * is refused — writes go through the staged-commit API, which is the
+  * format's whole point.
   */
 class SnapshotSource extends TableProvider with DataSourceRegister {
 
