@@ -4334,6 +4334,16 @@ object Snapshot {
     */
   private[graft] def cdfSplitUnits(spark: SparkSession, dir: String,
       p: Int, v: Int): Option[Seq[(String, Boolean)]] = {
+    // p = 0: the INITIAL LOAD of a table with PENDING position DVs —
+    // its content is still a per-file list (each file's rows under the
+    // position mask), so it splits as insert units; key DVs mask
+    // across files and fall back to the atomic readVersion batch
+    if (p == 0) {
+      val eb = manifestEntries(spark, dir, v)
+      if (eb.exists(_.isKeyDv)) return None
+      return Some(eb.filterNot(_.isDv).map(_.path).sorted
+        .map(f => (resolvePath(dir, f), false)))
+    }
     if (addedColumnsAt(spark, dir, p) != addedColumnsAt(spark, dir, v) ||
         evolutionAt(spark, dir, p) != evolutionAt(spark, dir, v)) return None
     val ea = manifestEntries(spark, dir, p)
@@ -4377,8 +4387,18 @@ object Snapshot {
     val (ins, dels) = units.partition(!_._2)
     val insDf =
       if (ins.isEmpty) None
-      else Some(canon(readFiles(spark, dir, v, ins.map(_._1).toArray))
-        .withColumn("_change_type", lit("insert")))
+      else {
+        // step-appended files can never be dvp-masked (a position DV
+        // references a file that existed at scan time); the INITIAL
+        // LOAD's files CAN be — apply version v's mask so each unit's
+        // rows equal its slice of readVersion
+        val mask =
+          if (p == 0) dvPosOf(spark, dir, v,
+            Some(ins.map(u => vTailOf(u._1)).toSet))
+          else None
+        Some(canon(readFiles(spark, dir, v, ins.map(_._1).toArray, mask))
+          .withColumn("_change_type", lit("insert")))
+      }
     val delDf =
       if (dels.isEmpty) None
       else {

@@ -322,6 +322,9 @@ private[graft] class SnapshotVersionSource(spark: SparkSession, dir: String,
     unitsMemo match {
       case Some((cp, cv, u)) if cp == p && cv == v => u
       case _ =>
+        // try the raw file-list contract first (pure appends; the
+        // DV-free initial load); dvp-bearing steps AND the initial load
+        // of a dvp-pending mor table reduce to units too
         val u = scala.util.Try(stepFiles(p, v).map((_, false))).toOption
           .orElse(Snapshot.cdfSplitUnits(spark, dir, p, v))
         unitsMemo = Some((p, v, u))

@@ -280,6 +280,48 @@ class DeltaDmlSpec extends SparkSpec {
     assert(pruned.count() === 1L) // en: doc 1 survives, doc 2 masked
   }
 
+  test("concurrent delta DELETE conflicts loudly on the same base (optimistic concurrency)") {
+    val root = scratch("deltadml_conc")
+    val s = plainWithCatalog("dd12", root)
+    val dir = morTable(root, "ns/docs", s)
+    val base = Snapshot.currentVersion(s, dir)
+    // writer B stages an append against base v1 …
+    import s.implicits._
+    val n = Snapshot.stageAppend(s, dir,
+      Seq((7L, "late writer", "en", 42)).toDF("doc_id", "text", "lang", "n_chars"),
+      "lang", "text")
+    // … writer A's delta DELETE commits first on the same base …
+    s.sql("DELETE FROM dd12.ns.docs WHERE doc_id = 2")
+    assert(Snapshot.currentVersion(s, dir) > base)
+    // … so B's stale-base commit must conflict loudly, never silently
+    // drop A's delete vector (the delta door shares the optimistic
+    // protocol with every other writer)
+    val e = intercept[Exception] {
+      Snapshot.commitIfBase(s, dir, n, base)
+    }
+    assert(e.getMessage.contains("restage"),
+      s"stale-base delta commit must conflict loudly, got: ${e.getMessage}")
+    // A's delete is intact
+    assert(Snapshot.read(s, dir).count() === 5L)
+  }
+
+  test("delta DML over a metadata-added column: scan fills, inserts carry physically") {
+    val root = scratch("deltadml_addcol")
+    val s = plainWithCatalog("dd13", root)
+    val dir = morTable(root, "ns/docs", s)
+    Snapshot.addColumn(s, dir, "quality", "DOUBLE", "0.5")
+    // the delta scan must serve the FILL for pre-add files: a predicate
+    // on the added column matches via the default…
+    s.sql("DELETE FROM dd13.ns.docs WHERE quality = 0.5 AND doc_id = 6")
+    assert(Snapshot.read(s, dir).count() === 5L)
+    // …and an UPDATE's re-insert writes the column physically
+    s.sql("UPDATE dd13.ns.docs SET quality = 0.9 WHERE doc_id = 1")
+    val q = Snapshot.read(s, dir).select("doc_id", "quality").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(q(1L) === 0.9)
+    assert(q(3L) === 0.5, "pre-add rows keep the fill default")
+  }
+
   test("delta DELETE prunes candidate files statically (pushable conjunct)") {
     val root = scratch("deltadml_prune")
     val s = plainWithCatalog("dd11", root)

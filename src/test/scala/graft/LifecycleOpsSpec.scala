@@ -544,6 +544,20 @@ class LifecycleOpsSpec extends SparkSpec {
       .select("doc_id", "n_chars").collect()
       .map(r => (r.getLong(0), r.getInt(1))).toSet
     assert(dels === Set((1L, 110), (4L, 50), (6L, 70)))
+    // INITIAL LOAD of the dvp-pending table splits too (round-17
+    // residual closed): per-file insert units, each read under v2's
+    // position mask — sliced reassembly equals readVersion as inserts
+    val initUnits = Snapshot.cdfSplitUnits(spark, dir, 0, 2).getOrElse(
+      fail("the initial load of a dvp-pending table must be splittable"))
+    assert(initUnits.forall(!_._2) && initUnits.size >= 3)
+    val initRows = Snapshot.cdfSplitRows(spark, dir, 0, 2, initUnits.take(1))
+      .unionByName(Snapshot.cdfSplitRows(spark, dir, 0, 2, initUnits.drop(1)))
+    val expectInit = Snapshot.readVersion(spark, dir, 2)
+      .withColumn("_change_type", lit("insert"))
+      .select(initRows.columns.map(col).toIndexedSeq: _*)
+    assert(initRows.exceptAll(expectInit).isEmpty &&
+      expectInit.exceptAll(initRows).isEmpty,
+      "split initial load must equal readVersion under the position mask")
   }
 
   test("compaction auto-heals old-generation files in bounded batches") {

@@ -283,6 +283,39 @@ class PlainDmlSpec extends SparkSpec {
     assert(Snapshot.read(s, dir).count() === 3L)
   }
 
+  test("plain-session DML on a composite-partitioned table") {
+    val root = scratch("plaindml_composite")
+    val dir = s"$root/ns/docs"
+    val s = plainWithCatalog("pd14", root)
+    import s.implicits._
+    val df = Seq(
+      (1L, "alpha alpha", "en", "s0", 110), (2L, "bravo text", "en", "s1", 90),
+      (3L, "charlie words", "de", "s0", 200), (4L, "delta zeilen", "de", "s1", 50),
+      (5L, "echo texte", "fr", "s0", 300), (6L, "foxtrot mots", "fr", "s1", 70)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    // composite partitioning FROM BIRTH: the layout records the joined
+    // name and every DSv2 door resolves it
+    Snapshot.publish(s, dir, df, "lang,source", "text")
+    // group-based UPDATE: the distributed writer renders the composite
+    // part value (catalyst ConcatWs over the components)
+    s.sql("UPDATE pd14.ns.docs SET n_chars = 999 WHERE length(text) = 11")
+    val r = Snapshot.read(s, dir).where(col("doc_id") === 1).head()
+    assert(r.getAs[Int]("n_chars") === 999)
+    // metadata-door DELETE prunes per component: only (fr, s1) rewrites
+    s.sql("DELETE FROM pd14.ns.docs WHERE lang = 'fr' AND source = 's1'")
+    val left = Snapshot.read(s, dir).select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(left === Seq(1L, 2L, 3L, 4L, 5L))
+    // INSERT lands under the composite rendering
+    s.sql("INSERT INTO pd14.ns.docs VALUES " +
+      "(9, 'golf neu', 'de', 's2', 120)")
+    assert(Snapshot.read(s, dir).count() === 6L)
+    val v = Snapshot.currentVersion(s, dir)
+    val paths = manifestPaths(dir, v)
+    assert(paths.exists(_.contains("_p=de%01s2")),
+      s"composite partition dir expected, got $paths")
+  }
+
   test("DSv2 CoW refuses under pending merge-on-read deletes") {
     val root = scratch("plaindml_dv")
     val dir = s"$root/ns/docs"
