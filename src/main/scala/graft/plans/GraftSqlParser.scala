@@ -28,8 +28,8 @@ final class GraftParseException(msg: String) extends RuntimeException(msg)
   *   GRAFT SNAPSHOT HISTORY '<root>'
   *   GRAFT SNAPSHOT READ '<root>' [VERSION n]
   *   GRAFT SNAPSHOT CHANGES '<root>' FROM <n> TO <m>
-  *   GRAFT SNAPSHOT PUBLISH '<root>' PARTITION <col> CHECKSUM <col> AS <query>
-  *   GRAFT SNAPSHOT APPEND '<root>' PARTITION <col> CHECKSUM <col> AS <query>
+  *   GRAFT SNAPSHOT PUBLISH '<root>' PARTITION <col>[, <col>…] CHECKSUM <col> AS <query>
+  *   GRAFT SNAPSHOT APPEND '<root>' PARTITION <col>[, <col>…] CHECKSUM <col> AS <query>
   *   GRAFT SNAPSHOT UPSERT '<root>' KEY <col> PARTITION <col> CHECKSUM <col> AS <query>
   *   GRAFT SNAPSHOT MERGE '<root>' KEY <col> PARTITION <col> CHECKSUM <col>
   *     WHEN MATCHED [AND <cond>] THEN UPDATE [SET <col> = <expr>, ...]
