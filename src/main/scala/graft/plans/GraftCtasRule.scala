@@ -47,6 +47,9 @@ object GraftCtasRule extends Rule[LogicalPlan] {
           "manifest checksum columns have no other channel in CTAS syntax)"))
       val partCol = prop("partition")
       val ckCol = prop("checksum")
+      // optional row-level DML mode at birth ('cow' default, 'mor' =
+      // the position-delta door) — Iceberg's write.delete.mode lever
+      val dmlMode = props.get("dml")
       val dir = cat.tableDir(r.identifier)
       val query = ctas.query
       val ident = r.identifier
@@ -57,8 +60,12 @@ object GraftCtasRule extends Rule[LogicalPlan] {
           // IF NOT EXISTS: the no-op contract; bare CTAS: the loud one
           if (ignoreIfExists) cur
           else throw new TableAlreadyExistsException(ident)
-        } else Snapshot.publish(sess, dir, GraftBridge.ofRows(sess, query),
-          partCol, ckCol)
+        } else {
+          val n = Snapshot.publish(sess, dir,
+            GraftBridge.ofRows(sess, query), partCol, ckCol)
+          dmlMode.foreach(m => Snapshot.setDmlMode(sess, dir, m))
+          n
+        }
       }
 
     // REPLACE TABLE AS SELECT / CREATE OR REPLACE — the companion verb:

@@ -200,6 +200,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         require(c.asInstanceOf[TableChange.ColumnChange].fieldNames().length == 1,
           s"graft catalog '$catalogName': nested column changes are not supported")
       case _: TableChange.AddConstraint | _: TableChange.DropConstraint => ()
+      case sp: TableChange.SetProperty if sp.property() == "dml" =>
+        require(sp.value() == "cow" || sp.value() == "mor",
+          s"graft catalog '$catalogName': TBLPROPERTIES('dml') must be " +
+            s"'cow' or 'mor', got '${sp.value()}'")
       case other =>
         readOnlyRefusal(s"ALTER TABLE $ident (${other.getClass.getSimpleName})")
     }
@@ -251,6 +255,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
               .exists(_.getString(0).equalsIgnoreCase(dc.name())))
           () // IF EXISTS on a missing rule: the standard no-op
         else Snapshot.dropConstraint(spark, dir, dc.name())
+      // the ROW-LEVEL DML MODE lever from pure SQL (round 17): a
+      // platform user flips a table to position-delta ('mor') or back
+      // without a Scala call — ALTER TABLE t SET TBLPROPERTIES('dml'='mor')
+      case sp: TableChange.SetProperty if sp.property() == "dml" =>
+        Snapshot.setDmlMode(spark, dir, sp.value())
       case other =>
         readOnlyRefusal(s"ALTER TABLE $ident (${other.getClass.getSimpleName})")
     }

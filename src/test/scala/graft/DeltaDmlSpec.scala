@@ -322,6 +322,39 @@ class DeltaDmlSpec extends SparkSpec {
     assert(q(3L) === 0.5, "pre-add rows keep the fill default")
   }
 
+  test("SQL-only mode flip: ALTER TABLE SET TBLPROPERTIES('dml'='mor')") {
+    val root = scratch("deltadml_prop")
+    val s = plainWithCatalog("dd14", root)
+    val dir = s"$root/ns/docs"
+    Snapshot.publish(s, dir, docs(s), "lang", "text")
+    // no Scala call anywhere: the plain session flips the mode itself
+    s.sql("ALTER TABLE dd14.ns.docs SET TBLPROPERTIES('dml'='mor')")
+    assert(Snapshot.dmlModeOf(s, dir) === "mor")
+    s.sql("DELETE FROM dd14.ns.docs WHERE n_chars < 100")
+    val paths = manifestPaths(dir, 2)
+    assert(paths.forall(p => p.startsWith("v1/") || p.contains("_dvp/")),
+      s"the flipped table must take the delta plan, got $paths")
+    // …and back to cow
+    s.sql("ALTER TABLE dd14.ns.docs SET TBLPROPERTIES('dml'='cow')")
+    assert(Snapshot.dmlModeOf(s, dir) === "cow")
+    // an invalid value refuses loudly
+    val e = intercept[Exception] {
+      s.sql("ALTER TABLE dd14.ns.docs SET TBLPROPERTIES('dml'='nope')")
+    }
+    assert(e.getMessage.contains("'cow' or 'mor'"))
+    // CTAS can declare the mode at birth (extensions session — CTAS
+    // needs the rule by design)
+    val ext = org.apache.spark.sql.GraftBridge.sessionWithExtensions(
+      spark, new graft.plans.GraftExtensions)
+    ext.conf.set("spark.sql.catalog.dd14b", "graft.sources.GraftCatalog")
+    ext.conf.set("spark.sql.catalog.dd14b.root", root)
+    docs(ext).createOrReplaceTempView("dd14b_docs")
+    ext.sql("CREATE TABLE dd14b.born_mor TBLPROPERTIES(" +
+      "'partition'='lang','checksum'='text','dml'='mor') AS " +
+      "SELECT * FROM dd14b_docs")
+    assert(Snapshot.dmlModeOf(ext, s"$root/born_mor") === "mor")
+  }
+
   test("delta DELETE prunes candidate files statically (pushable conjunct)") {
     val root = scratch("deltadml_prune")
     val s = plainWithCatalog("dd11", root)
