@@ -48,8 +48,13 @@ object GraftCtasRule extends Rule[LogicalPlan] {
       val partCol = prop("partition")
       val ckCol = prop("checksum")
       // optional row-level DML mode at birth ('cow' default, 'mor' =
-      // the position-delta door) — Iceberg's write.delete.mode lever
+      // the position-delta door) — Iceberg's write.delete.mode lever.
+      // Validated HERE, before anything publishes: a bad value must
+      // fail the statement with no table left behind
       val dmlMode = props.get("dml")
+      dmlMode.foreach(m => require(m == "cow" || m == "mor",
+        s"graft catalog CTAS: TBLPROPERTIES('dml') must be 'cow' or " +
+          s"'mor', got '$m'"))
       val dir = cat.tableDir(r.identifier)
       val query = ctas.query
       val ident = r.identifier

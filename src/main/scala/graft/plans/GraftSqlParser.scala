@@ -350,7 +350,15 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       val n = stage(sess)
       // a no-op stage (empty delta, unprunable-nothing predicate,
       // restore-to-current) returns the base version — re-commit nothing
-      if (n > base) graft.sources.Snapshot.commitIfBase(sess, root, n, base)
+      if (n > base) {
+        try graft.sources.Snapshot.commitIfBase(sess, root, n, base)
+        catch { case t: Throwable =>
+          // an evolving MERGE staged a _schema sidecar under n; a
+          // failed commit must not leave it to activate later
+          graft.sources.Snapshot.dropStagedSchemaSidecar(sess, root, n)
+          throw t
+        }
+      }
       math.max(n, base)
     }
 

@@ -182,12 +182,9 @@ private[sources] final class GraftDeltaScanBuilder(spark: SparkSession,
     op.scanTails = tails.toArray
     val masked = Snapshot.posMaskFor(spark, dir, base, tails.toSet)
     new GraftDeltaScan(spark, dir, tableSchema, required,
-      candidates.map(e => resolvePathFor(dir, e.path)).toArray,
+      candidates.map(e => Snapshot.resolvePath(dir, e.path)).toArray,
       tails.toArray, masked)
   }
-
-  private def resolvePathFor(d: String, p: String): String =
-    if (p.startsWith("/") || p.contains("://")) p else s"$d/$p"
 }
 
 /** One candidate file per input partition (the position counter must
@@ -209,9 +206,20 @@ private[sources] final class GraftDeltaScan(spark: SparkSession, dir: String,
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] = {
       val conf = spark.sparkContext.hadoopConfiguration
+      // ONE listStatus per parent directory, not one getFileStatus RPC
+      // per file: a dvp-pending mor table's plain SELECT routes every
+      // read through this scan, and a many-thousand-file table on an
+      // object store must not pay thousands of serial driver RPCs per
+      // query (round-17 review finding)
+      val byParent = absPaths.map(new Path(_)).groupBy(_.getParent)
+      val lens: Map[String, Long] = byParent.flatMap { case (parent, _) =>
+        val fs = parent.getFileSystem(conf)
+        fs.listStatus(parent).filter(_.isFile)
+          .map(st => st.getPath.toUri.getPath -> st.getLen)
+      }
       absPaths.zipWithIndex.map { case (p, i) =>
-        val path = new Path(p)
-        val len = path.getFileSystem(conf).getFileStatus(path).getLen
+        val len = lens.getOrElse(new Path(p).toUri.getPath,
+          new Path(p).getFileSystem(conf).getFileStatus(new Path(p)).getLen)
         GraftDeltaInputPartition(i, p, len,
           masked.getOrElse(tails(i), Array.empty))
       }.toArray[InputPartition]
@@ -277,9 +285,7 @@ private[sources] final class GraftMaskedScanBuilder(spark: SparkSession,
     val tails = candidates.map(e => Snapshot.vTailOf(e.path))
     val masked = Snapshot.posMaskFor(spark, dir, n, tails.toSet)
     new GraftDeltaScan(spark, dir, tableSchema, required,
-      candidates.map(e =>
-        if (e.path.startsWith("/") || e.path.contains("://")) e.path
-        else s"$dir/${e.path}").toArray,
+      candidates.map(e => Snapshot.resolvePath(dir, e.path)).toArray,
       tails.toArray, masked)
   }
 }

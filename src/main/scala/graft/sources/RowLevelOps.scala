@@ -497,8 +497,9 @@ private[sources] final class GraftBatchWrite(spark: SparkSession,
         val spec = Snapshot.partitionSpecAt(spark, dir, b)
         if (spec.nonEmpty) {
           val mixed = entries.filterNot(_.isDv).filter(e =>
-            !Snapshot.specColOf(spec, e.path, layout.partCol)
-              .equalsIgnoreCase(layout.partCol))
+            !Snapshot.sameSpec(
+              Snapshot.specColOf(spec, e.path, layout.partCol),
+              layout.partCol))
           require(mixed.isEmpty,
             s"snapshot table $dir carries ${mixed.size} file(s) from an " +
               "older partition spec — dynamic partition overwrite has no " +
@@ -609,8 +610,9 @@ private[sources] final class GraftGroupScanBuilder(spark: SparkSession,
     // evolution, old-generation files stay conservatively in)
     new GraftGroupScan(spark, dir, tableSchema, layout,
       candidates.map(e => (e.path, e.part,
-        Snapshot.specColOf(spec, e.path, layout.partCol)
-          .equalsIgnoreCase(layout.partCol))), op)
+        Snapshot.sameSpec(
+          Snapshot.specColOf(spec, e.path, layout.partCol),
+          layout.partCol))), op)
   }
 }
 

@@ -237,6 +237,15 @@ object Snapshot {
   private[sources] def normalizePartCol(partCol: String): String =
     partColsOf(partCol).mkString(",")
 
+  /** Spec-name equality under normalization — EVERY "is this file's
+    * generation the active spec" comparison goes through this: a
+    * composite name spelled with spaces ("lang, source" — the parser's
+    * list form allows them) must never misclassify active files as
+    * old-generation (which would silently rewrite the whole table).
+    */
+  private[sources] def sameSpec(a: String, b: String): Boolean =
+    normalizePartCol(a).equalsIgnoreCase(normalizePartCol(b))
+
   /** The partition RENDERING expression — what `_p` (and therefore the
     * manifest `part` value) carries: the column itself for a single
     * spec, the joined component rendering for a composite one.
@@ -305,10 +314,11 @@ object Snapshot {
     */
   def recordLayout(spark: SparkSession, dir: String, partCol: String,
       checksumCol: String, statsCol: Option[String] = None): Unit = {
-    val want = TableLayout(partCol, checksumCol, statsCol)
+    val canonical = normalizePartCol(partCol)
+    val want = TableLayout(canonical, checksumCol, statsCol)
     if (layoutOf(spark, dir).contains(want)) return
     writeAdvisoryFile(spark, dir, LayoutName,
-      s"""{"partition":${jq(partCol)},"checksum":${jq(checksumCol)}""" +
+      s"""{"partition":${jq(canonical)},"checksum":${jq(checksumCol)}""" +
         statsCol.fold("")(c => s""","stats":${jq(c)}""") + "}")
   }
 
@@ -332,6 +342,12 @@ object Snapshot {
     require(mode == "cow" || mode == "mor",
       s"dml mode must be 'cow' or 'mor', got '$mode'")
     writeAdvisoryFile(spark, dir, "_dml", s"""{"mode":${jq(mode)}}""")
+    // unlike _layout/_summary this file is a SEMANTIC lever (it decides
+    // whether the next DELETE rewrites files or lands DV sidecars) —
+    // a swallowed write error must not report success
+    require(dmlModeOf(spark, dir) == mode,
+      s"snapshot table $dir: failed to record dml mode '$mode' — " +
+        "the _dml advisory write did not land; retry")
   }
 
   /** The recorded DML mode, "cow" when never set. */
@@ -1006,7 +1022,7 @@ object Snapshot {
     // switch as a new step instead of leaving new files mis-attributed
     if (cur >= 1) {
       val spec = partitionSpecAt(spark, dir, cur)
-      if (spec.nonEmpty && !spec.last._1.equalsIgnoreCase(partCol))
+      if (spec.nonEmpty && !sameSpec(spec.last._1, partCol))
         writePartitionSpec(spark, dir, n, spec :+ ((partCol, n)))
     }
     // layout is a publish-time decision: record it so the ANSI SQL
@@ -1152,7 +1168,7 @@ object Snapshot {
     // (stageReplacePartitions's contract is per-partition replacement,
     // which has no honest meaning across specs).
     def oldGen(e: MEntry): Boolean =
-      spec.nonEmpty && !specColOf(spec, e.path, partCol).equalsIgnoreCase(partCol)
+      spec.nonEmpty && !sameSpec(specColOf(spec, e.path, partCol), partCol)
     if (!includeOldGen) {
       val mixed = manifest.filterNot(_.isDv).filter(oldGen)
       require(mixed.isEmpty,
@@ -1332,7 +1348,7 @@ object Snapshot {
             extras.exists(_.name.equalsIgnoreCase(c)),
           s"merge UPDATE SET assigns unknown column '$c' " +
             s"(table columns: ${tableCols.mkString(", ")})")
-        require(c != keyCol && c != partCol,
+        require(c != keyCol && !partColsOf(partCol).exists(_.equalsIgnoreCase(c)),
           s"merge UPDATE SET may not assign the key or partition column " +
             s"('$c') — re-keying or moving a row is a delete+insert")
       }
@@ -1371,9 +1387,47 @@ object Snapshot {
     val base = currentVersion(spark, dir)
     val n = stageMerge(spark, dir, source, keyCol, partCol, checksumCol,
       clauses, evolveSchema)
-    if (n > base) commit(spark, dir, n)
+    if (n > base) {
+      try commit(spark, dir, n)
+      catch { case t: Throwable =>
+        dropStagedSchemaSidecar(spark, dir, n); throw t }
+    }
     n
   }
+
+  /** Best-effort removal of an UNCOMMITTED `_schema.v<n>` staged by an
+    * evolving merge whose commit FAILED (conflict or error): version
+    * numbers are claim-exclusive, so the sidecar at OUR failed `n` can
+    * only be ours — and left behind it would ACTIVATE the phantom
+    * column at the next committed version ≥ n (addedColumnsAt resolves
+    * the newest sidecar at-or-below the read version), wedging every
+    * read. A process CRASH between stage and commit still leaves the
+    * orphan until vacuum reclaims it — the same pre-existing window as
+    * a crashed addColumn, documented; the commit-FAILURE path (normal
+    * under optimistic concurrency) must not share it.
+    */
+  private[graft] def dropStagedSchemaSidecar(spark: SparkSession,
+      dir: String, n: Int): Unit =
+    try {
+      val p = new Path(dir, s"_schema.v$n")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // the one UNSAFE case is n having actually COMMITTED (a commit
+      // that threw after its pointer flip): consult the pointer and the
+      // _committed markers — a concurrent writer may have advanced the
+      // pointer PAST our n, but can never have committed n itself
+      // (claims are exclusive), so "n not in the committed set" is the
+      // exact safety condition
+      val cur = currentVersion(spark, dir)
+      // n > cur: the pointer never reached n — trivially uncommitted;
+      // n < cur: committed only if its marker exists (committedVersionsIn
+      // unconditionally counts its upper bound, so bound by cur, not n)
+      val committed = n <= cur &&
+        committedVersionsIn(spark, dir, n - 1, cur).contains(n)
+      if (fs.exists(p) && cur != n && !committed) {
+        fs.delete(p, true)
+        ()
+      }
+    } catch { case _: Exception => () }
 
   /** The merge plan over one CoW rebuild's base rows: full-outer join
     * target (`t`) vs source (`s`) on the key, then ONE CASE chain
@@ -1907,7 +1961,7 @@ object Snapshot {
       require(fields.exists(_.name.equalsIgnoreCase(c)),
         s"UPDATE SET assigns unknown column '$c' " +
           s"(table columns: ${fields.map(_.name).mkString(", ")})")
-      require(!c.equalsIgnoreCase(partCol),
+      require(!partColsOf(partCol).exists(_.equalsIgnoreCase(c)),
         s"UPDATE SET may not assign the partition column ('$c') — " +
           "moving a row between partitions is a delete+insert")
     }
@@ -2521,17 +2575,27 @@ object Snapshot {
   /** Scan-side absolute paths (`input_file_name`, `_metadata.file_path`)
     * arrive URI-ENCODED: the on-disk `%` of an escapePathName'd
     * partition dir (a composite spec's \u0001 separator renders as
-    * `%01` on disk) arrives as `%25`. escapePathName leaves no OTHER
-    * character that URI encoding touches, so decoding is exactly
-    * `%25 → %` — applied before any path is compared with (or recorded
-    * as) a manifest path, which carries the ON-DISK form.
+    * `%01` on disk) arrives as `%25`, and an on-disk SPACE (a space-
+    * bearing partition value — escapePathName does not escape spaces)
+    * arrives as `%20`. Both decodes are provably safe: escapePathName
+    * never OUTPUTS a literal "%25"/"%20" (a value's own '%' escapes to
+    * %25 first), so those sequences in the URI form always denote the
+    * encoder's work. NOT fully general: a non-ASCII partition value's
+    * UTF-8 bytes also arrive percent-encoded and are NOT decoded here —
+    * that pre-existing limitation fails LOUDLY (path-not-found at first
+    * read), never silently.
     */
   private def uriDecodeExpr(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    regexp_replace(c, "%25", "%")
+    regexp_replace(regexp_replace(c, "%25", "%"), "%20", " ")
 
-  /** Root-relative manifest path from an absolute scan path. */
+  /** Root-relative manifest path from an absolute scan path —
+    * RIGHTMOST `v<digits>/` segment, the same rule as [[vTailOf]]/
+    * [[vTailExpr]] (a leftmost rule would mis-split under a table ROOT
+    * containing a literal v<digits> path segment, and the three
+    * resolvers must agree or DV masks silently stop matching).
+    */
   private def relPathExpr(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    regexp_extract(uriDecodeExpr(c), "/(v\\d+/.*)$", 1)
+    regexp_extract(uriDecodeExpr(c), "^(?:.*/)?(v\\d+/.*)$", 1)
 
   /** The file's `v<N>/…` tail as a SQL expression over an absolute
     * path column — the executor-side twin of [[vTailOf]] (rightmost
@@ -2646,7 +2710,7 @@ object Snapshot {
     * the source's files ABSOLUTELY ([[cloneTable]]) — those pass
     * through untouched.
     */
-  private def resolvePath(dir: String, p: String): String =
+  private[sources] def resolvePath(dir: String, p: String): String =
     if (p.startsWith("/") || p.contains("://")) p else s"$dir/$p"
 
   /** The writer version of a manifest data file path — the LAST "vN/"
@@ -2797,7 +2861,7 @@ object Snapshot {
     val active = spec.last._1
     val manifest = manifestEntries(spark, dir, cur)
     val oldGen = manifest.filterNot(_.isDv)
-      .filter(e => !specColOf(spec, e.path, active).equalsIgnoreCase(active))
+      .filter(e => !sameSpec(specColOf(spec, e.path, active), active))
     if (oldGen.isEmpty) return cur
     val n = claimVersion(spark, dir)
     val rows = readFiles(spark, dir, cur, oldGen.map(_.path).toArray)
@@ -3790,7 +3854,7 @@ object Snapshot {
     * globally unique per store, so tails cannot collide).
     */
   private[sources] def vTailOf(p: String): String =
-    "(?:^|/)(v\\d+/.*)$".r.findAllMatchIn(p).toSeq.lastOption
+    "^(?:.*/)?(v\\d+/.*)$".r.findFirstMatchIn(p)
       .map(_.group(1)).getOrElse(p)
 
   /** Record per-file min/max statistics for `cols` on the CURRENT
@@ -4011,8 +4075,7 @@ object Snapshot {
         val spec = partitionSpecAt(spark, dir, n)
         val active = activeSpecCol(spec, "")
         def old(e: MEntry): Boolean =
-          spec.nonEmpty && !specColOf(spec, e.path, active)
-            .equalsIgnoreCase(active)
+          spec.nonEmpty && !sameSpec(specColOf(spec, e.path, active), active)
         val pruned = m.filter(e =>
           old(e) || (e.part != null && vs.contains(e.part)))
         (n, pruned.map(_.path).toArray, pruned.exists(old))
@@ -4056,7 +4119,7 @@ object Snapshot {
         // old-generation files would leak rows of other partitions, so
         // a mixed table refuses the option toward the honest routes
         val mixed = data.filter(e =>
-          !specColOf(spec, e.path, active).equalsIgnoreCase(active))
+          !sameSpec(specColOf(spec, e.path, active), active))
         require(mixed.isEmpty,
           s"snapshot table $dir carries ${mixed.size} file(s) from an " +
             "older partition spec — the parts option prunes raw files " +

@@ -428,6 +428,41 @@ class AnsiDmlSpec extends SparkSpec {
     assert(r3.getAs[Double]("quality") === 0.5)
   }
 
+  test("a failed evolving-merge commit drops its staged schema sidecar (no phantom column)") {
+    val root = scratch("ansi_mevo_conflict")
+    val dir = s"$root/docs"
+    val S = graft.sources.Snapshot
+    S.publish(spark, dir, docsDF, "lang", "text")
+    import spark.implicits._
+    val src = Seq((2L, "bravo v2", "en", 95, "srcA"))
+      .toDF("doc_id", "text", "lang", "n_chars", "origin")
+    // stage the evolving merge (sidecar lands under the staged n) …
+    val base = S.currentVersion(spark, dir)
+    val n = S.stageMerge(spark, dir, src, "doc_id", "lang", "text",
+      Seq(S.WhenMatchedUpdate()), evolveSchema = true)
+    assert(new java.io.File(s"$dir/_schema.v$n").exists())
+    // … a concurrent writer wins the race …
+    S.append(spark, dir,
+      Seq((8L, "late", "fr", 10)).toDF("doc_id", "text", "lang", "n_chars"),
+      "lang", "text")
+    // … so the merge's commit conflicts; the failed-commit cleanup
+    // (merge()/the ANSI command wrap commitIfBase) must drop the
+    // sidecar — orphaned, it would ACTIVATE the phantom column at the
+    // next committed version and wedge every read
+    intercept[Exception] { S.commitIfBase(spark, dir, n, base) }
+    S.dropStagedSchemaSidecar(spark, dir, n) // what the wrappers call
+    assert(!new java.io.File(s"$dir/_schema.v$n").exists(),
+      "the staged sidecar must not survive a failed commit")
+    // the table reads clean, with no phantom column
+    val out = S.read(spark, dir)
+    assert(!out.columns.contains("origin"))
+    assert(out.count() === 7L)
+    // …and a retried evolving merge now succeeds end to end
+    S.merge(spark, dir, src, "doc_id", "lang", "text",
+      Seq(S.WhenMatchedUpdate()), evolveSchema = true)
+    assert(S.read(spark, dir).columns.contains("origin"))
+  }
+
   test("Scala merge(evolveSchema): one staged version carries manifest AND schema sidecar") {
     val root = scratch("ansi_mevo_api")
     val dir = s"$root/docs"
