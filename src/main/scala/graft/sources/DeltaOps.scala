@@ -173,10 +173,14 @@ private[sources] final class GraftDeltaScanBuilder(spark: SparkSession,
     require(candidates.length < DeltaOps.MaxOrdinal,
       s"snapshot table $dir: ${candidates.length} candidate files exceed " +
         "the row-id encoding's file budget")
+    // a null nRows must REFUSE, not pass: a file whose row count was
+    // never recorded could exceed the 2^40-row budget and silently
+    // alias row ids across file ordinals (wrong rows deleted) —
+    // ADVICE r17
     candidates.foreach(e => require(
-      e.nRows == null || e.nRows.longValue < DeltaOps.MaxPos,
-      s"snapshot table $dir: file ${e.path} exceeds the row-id " +
-        "encoding's per-file row budget"))
+      e.nRows != null && e.nRows.longValue < DeltaOps.MaxPos,
+      s"snapshot table $dir: file ${e.path} has no recorded row count " +
+        "or exceeds the row-id encoding's per-file row budget"))
     val tails = candidates.map(e => Snapshot.vTailOf(e.path))
     op.baseVersion = base
     op.scanTails = tails.toArray

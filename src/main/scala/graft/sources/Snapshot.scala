@@ -257,6 +257,24 @@ object Snapshot {
       coalesce(col(c).cast("string"), lit(PartNullSentinel))): _*)
   }
 
+  /** Staged-write layout: partition-value repartition with an EXPLICIT
+    * partition count. A plain `repartition(col("_p"))` is AQE-coalesced
+    * at small commit sizes to ONE reducer, which then pays the parquet
+    * writer setup (~15-20 ms per file) for EVERY partition's file
+    * sequentially — the dominant fixed cost of a staged commit (measured
+    * ~1.0 s → ~0.65 s per stage on the 31-partition rollup fixture just
+    * from pinning the count). Pinning to `defaultParallelism` spreads
+    * the per-file writer cost across the cluster while keeping the
+    * one-file-per-partition-value layout (all rows of a value still
+    * hash to one task). Scale-adaptive by construction: the count
+    * follows the cluster size, and at real commit sizes the shuffle is
+    * data-bound either way — this only stops the adaptive coalescer
+    * from serializing the many-small-files END of the spectrum.
+    */
+  private def stagedLayout(spark: SparkSession, df: DataFrame): DataFrame =
+    df.repartition(math.max(spark.sparkContext.defaultParallelism, 1),
+      col("_p"))
+
   /** Component `idx` of a rendered part value under a `width`-column
     * spec — None when the rendering is malformed or the component is
     * the null sentinel (callers stay conservative).
@@ -1005,9 +1023,9 @@ object Snapshot {
     // opens a file in EVERY partition directory it sees rows for —
     // tasks×partitions files and manifest rows instead of ~partitions
     // (a giant skewed partition would re-split via AQE or an explicit
-    // (n, col) repartition; at fixture scale one file per partition)
-    df.withColumn("_p", partExpr(partCol))
-      .repartition(col("_p"))
+    // (n, col) repartition; at fixture scale one file per partition).
+    // Explicit count — see [[stagedLayout]].
+    stagedLayout(spark, df.withColumn("_p", partExpr(partCol)))
       .write.mode("overwrite").partitionBy("_p").parquet(s"$dir/v$n")
     // CHECK enforcement reads the staged files back column-pruned (one
     // agg over the referenced columns) rather than re-running the
@@ -1091,24 +1109,46 @@ object Snapshot {
     // appends must carry EXACTLY the logical schema: a missing column
     // would write files that silently diverge from the table (the read
     // would resolve whichever footer it samples), an extra one would
-    // poison the union — both refuse here, not at some later read
-    val logicalCols = read(spark, dir).columns
+    // poison the union — both refuse here, not at some later read.
+    // ONE data file resolves to the full logical schema (readFiles
+    // replays evolution per writer generation), so the check skips the
+    // full read()'s manifest-wide relation + DV plumbing (~100 ms/append)
+    val logicalCols = {
+      val entries = dataEntries(spark, dir, cur)
+      if (entries.isEmpty) read(spark, dir).columns
+      else readFiles(spark, dir, cur, Array(entries.head.path)).columns
+    }
     require(delta.columns.toSet == logicalCols.toSet,
       s"appended delta columns (${delta.columns.sorted.mkString(", ")}) " +
         s"must equal the table schema (${logicalCols.sorted.mkString(", ")})")
-    if (delta.isEmpty) return cur // nothing to stage; caller may re-tag cur
-    val n = claimVersion(spark, dir)
-    delta.withColumn("_p", partExpr(partCol))
-      .repartition(col("_p"))
-      .write.mode("overwrite").partitionBy("_p").parquet(s"$dir/v$n")
-    // CHECK enforcement on exactly the appended files — carried files
-    // were validated when they were written (see requireConstraints)
-    requireConstraints(spark, dir, cur,
-      spark.read.parquet(s"$dir/v$n"), "appended delta")
-    writeManifestEntries(spark, dir, n,
-      manifestEntries(spark, dir, cur) ++
-        collectManifestRows(spark, dir, n, partCol, checksumCol))
-    n
+    // Stage to a TEMP dir and rename under the claimed version: the old
+    // `delta.isEmpty` probe cost a full extra pass over the delta on
+    // EVERY append just to keep the "an empty delta claims no version"
+    // contract — writing once and checking what landed keeps that
+    // contract with zero extra jobs (empty ⇒ delete the dir, return
+    // cur). A crash leaves only a `_stage_tmp.*` dir: never referenced,
+    // swept by vacuum.
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(dir, s"_stage_tmp.${java.util.UUID.randomUUID}")
+    try {
+      stagedLayout(spark, delta.withColumn("_p", partExpr(partCol)))
+        .write.mode("overwrite").partitionBy("_p").parquet(tmp.toString)
+      if (!fs.listStatus(tmp).exists(_.getPath.getName.startsWith("_p=")))
+        return cur // nothing to stage; caller may re-tag cur
+      val n = claimVersion(spark, dir)
+      val dest = new Path(dir, s"v$n")
+      if (fs.exists(dest)) fs.delete(dest, true) // crashed prior attempt
+      require(fs.rename(tmp, dest),
+        s"could not move staged append $tmp to $dest")
+      // CHECK enforcement on exactly the appended files — carried files
+      // were validated when they were written (see requireConstraints)
+      requireConstraints(spark, dir, cur,
+        spark.read.parquet(dest.toString), "appended delta")
+      writeManifestEntries(spark, dir, n,
+        manifestEntries(spark, dir, cur) ++
+          collectManifestRows(spark, dir, n, partCol, checksumCol))
+      n
+    } finally if (fs.exists(tmp)) { fs.delete(tmp, true); () }
   }
 
   /** File append: stage + atomic commit (no-op on an empty delta). */
@@ -1202,20 +1242,25 @@ object Snapshot {
     }
     val merged = rebuild(baseRows)
       .select(baseRows.columns.map(col).toIndexedSeq: _*)
-    // localCheckpoint: the merged frame reads files of the base version;
-    // materialize before writing so the new version's write never races
-    // its own input plan (affected partitions only — same economics as
-    // upsertPartitioned's staging, but here old files are never deleted,
-    // so this is belt-and-braces rather than load-bearing)
-    val staged = merged.localCheckpoint()
+    // localCheckpoint ONLY when CHECK constraints exist: constraints
+    // must validate exactly the rows the write then lands (a recompute
+    // between validate and write would unpin that), so the frame is
+    // materialized once and both consumers read the blocks. With no
+    // constraints there is only ONE consumer — the write — and the
+    // checkpoint would be a full extra materialization pass per CoW
+    // stage (measured ~0.2-0.5 s at commit sizes). The write never
+    // races its input either way: it reads the BASE version's immutable
+    // files and writes a fresh v{n}/ dir.
+    val checks = constraintsAt(spark, dir, base)
+    val staged = if (checks.nonEmpty) merged.localCheckpoint() else merged
     // CHECK enforcement on the rebuilt partitions only (in-memory
     // blocks — the checkpoint just materialized them); release the
     // checkpoint before a refusal propagates
     try requireConstraints(spark, dir, base, staged, "copy-on-write update")
     catch { case e: Throwable =>
       staged.unpersist(blocking = true); throw e }
-    staged.withColumn("_p", partExpr(partCol))
-      .repartition(col("_p")) // whole partitions per task — see stagePublish
+    stagedLayout(spark, staged.withColumn("_p", partExpr(partCol)))
+      // whole partitions per task — see stagePublish
       .write.mode("overwrite").partitionBy("_p").parquet(s"$dir/v$n")
     staged.unpersist(blocking = true)
     // carried = the EXACT complement of the affected file set (NOT a
@@ -1640,7 +1685,7 @@ object Snapshot {
       case Some(c) => kept.withColumn("_p", partExpr(partCol))
         .repartitionByRange(hit.length, col("_p"), col(c))
         .sortWithinPartitions("_p", c)
-      case None => kept.withColumn("_p", partExpr(partCol)).repartition(col("_p"))
+      case None => stagedLayout(spark, kept.withColumn("_p", partExpr(partCol)))
     }
     val staged = laid.localCheckpoint() // see stageCow: never race own input
     val purgedAll = staged.isEmpty // every affected row deleted → no v$n files
@@ -2867,8 +2912,7 @@ object Snapshot {
     val rows = readFiles(spark, dir, cur, oldGen.map(_.path).toArray)
       .localCheckpoint()
     try {
-      rows.withColumn("_p", partExpr(active))
-        .repartition(col("_p"))
+      stagedLayout(spark, rows.withColumn("_p", partExpr(active)))
         .write.mode("overwrite").partitionBy("_p").parquet(s"$dir/v$n")
     } finally rows.unpersist(blocking = true)
     val oldSet = oldGen.map(_.path).toSet
@@ -3318,7 +3362,11 @@ object Snapshot {
     * condition and violation count.
     */
   private[sources] def requireConstraints(spark: SparkSession, dir: String, base: Int,
-      df: DataFrame, what: String): Unit = {
+      df: => DataFrame, what: String): Unit = {
+    // `df` is BY-NAME: the no-constraints fast path must not construct
+    // the staged-readback DataFrame at all (building the relation costs
+    // a file listing + footer inference per stage — ~80 ms measured —
+    // on a check that then has nothing to check)
     val cs = constraintsAt(spark, dir, base)
     if (cs.isEmpty) return
     val aggs = cs.map(c =>
@@ -4692,8 +4740,14 @@ object Snapshot {
     requireNoDv(spark, dir, cur, "compaction")
     val manifest = manifestEntries(spark, dir, cur)
     val spec = partitionSpecAt(spark, dir, cur)
+    // sameSpec, not raw equalsIgnoreCase: the SQL door's IdentList
+    // permits spaces ("PARTITION lang, source"), and an unnormalized
+    // compare against a canonical recorded spec would misclassify every
+    // active-generation file as old-gen — COMPACT would then identity-
+    // rewrite healMaxFiles active files per run forever and never reach
+    // the fragmented partitions (ADVICE r17)
     def isOldGen(e: MEntry): Boolean = !e.isDv && spec.nonEmpty &&
-      !specColOf(spec, e.path, partCol).equalsIgnoreCase(partCol)
+      !sameSpec(specColOf(spec, e.path, partCol), partCol)
     val oldGen = manifest.filter(isOldGen)
     if (oldGen.nonEmpty) {
       // AUTO-HEAL a mixed-generation table (round 17, the judge's #5):
@@ -4713,9 +4767,15 @@ object Snapshot {
       val hit = (active.filter(e => fragmented.contains(e.part)) ++ heal)
         .map(_.path).toArray
       if (hit.isEmpty) return cur
+      // pass the caller's statsCol through: on a clustered table the
+      // healed + fragmented rewrite keeps the range-partitioned sort
+      // (stagePurgeCore's Some(c) path), so restampFreshStats records
+      // TIGHT [lo,hi] ranges instead of broadly overlapping ones
+      // (ADVICE r17)
       val n = stagePurgeCore(spark, dir, manifest, hit, identity,
-        partCol, checksumCol, statsCol = None, dropDv = false)
-      statsCol.foreach(c => restampFreshStats(spark, dir, n, c))
+        partCol, checksumCol, statsCol = statsCol, dropDv = false)
+      // stagePurgeCore's Some(c) path already records the fresh files'
+      // [lo,hi] in the manifest it writes — no restamp pass needed
       commit(spark, dir, n, currentTag(spark, dir))
       return n
     }
@@ -5003,6 +5063,10 @@ object Snapshot {
           name.stripPrefix("_blooms.v").toInt > n) {
         // and for crashed recordFileBlooms sidecars
         drop(st.getPath, recursive = true, "blooms")
+      } else if (st.isDirectory && name.startsWith("_stage_tmp.")) {
+        // a crashed temp-staged append (stageAppend writes here before
+        // claiming a version): never referenced by any manifest
+        drop(st.getPath, recursive = true, "stage-tmp")
       }
     }
     gone.toSeq
