@@ -69,8 +69,15 @@ final class Pipeline private (
   /** write_data analog (R2): run + parquet sink, partitioned by z so a
     * 100 TB volume store lands as one prunable directory per slab range.
     */
-  def writeParquet(path: String): Unit =
-    run().write.mode("overwrite").partitionBy("z").parquet(path)
+  def writeParquet(path: String): Unit = {
+    val out = run()
+    // whole z-slabs per task at an explicit count — see
+    // DocumentIO.writePartitioned for the tasks×partitions rationale
+    out.repartition(
+        math.max(out.sparkSession.sparkContext.defaultParallelism, 1),
+        org.apache.spark.sql.functions.col("z"))
+      .write.mode("overwrite").partitionBy("z").parquet(path)
+  }
 }
 
 object Pipeline {

@@ -472,7 +472,13 @@ object Joins {
       val fact = evMs(s, d)
         .select(col("event_id"), col("user_id"), col("value"),
           truncNtz("day", col("ts_ms")).cast("date").as("day"))
-      fact.write.mode("overwrite").partitionBy("day").parquet(factDir)
+      // whole day-partitions per task at an explicit count (the
+      // Snapshot stagedLayout finding): unrepartitioned, every scan
+      // task writes a file into every day dir it sees (tasks×days tiny
+      // files — slower to write AND to re-scan)
+      fact.repartition(
+          math.max(s.sparkContext.defaultParallelism, 1), col("day"))
+        .write.mode("overwrite").partitionBy("day").parquet(factDir)
       fact.select(col("day")).distinct()
         .withColumn("dow", date_format(col("day"), "E"))
         .write.mode("overwrite").parquet(dimDir)

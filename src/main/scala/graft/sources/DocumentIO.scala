@@ -65,8 +65,18 @@ object DocumentIO {
     * (s_scan_pushdown) still applies within surviving partitions.
     * Graded by x_io_partitioned; PlanShapeSpec pins the pruned scan.
     */
-  def writePartitioned(docs: DataFrame, dir: String, partCol: String): Unit =
-    docs.write.mode("overwrite").partitionBy(partCol).parquet(dir)
+  def writePartitioned(docs: DataFrame, dir: String, partCol: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    // whole partitions per task at an explicit count: without the
+    // repartition every input task opens a file in every partition dir
+    // it sees rows for (tasks×partitions tiny files — the §6
+    // anti-pattern); unpinned, AQE coalesces small writes to ONE
+    // reducer that pays the parquet writer setup per file sequentially
+    docs.repartition(
+        math.max(docs.sparkSession.sparkContext.defaultParallelism, 1),
+        col(partCol))
+      .write.mode("overwrite").partitionBy(partCol).parquet(dir)
+  }
 
   def readPartitioned(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(dir)
@@ -130,7 +140,12 @@ object DocumentIO {
       // put partCol last like the base frame so the dynamic overwrite
       // sees one consistent schema either way
       .select(base.columns.map(col).toIndexedSeq: _*)
-    val staged = merged.localCheckpoint()
+    // partition-value layout BEFORE the (load-bearing) checkpoint, so
+    // the materialized blocks are already write-shaped — see
+    // writePartitioned for why the count is pinned
+    val staged = merged.repartition(
+        math.max(spark.sparkContext.defaultParallelism, 1), col(partCol))
+      .localCheckpoint()
     staged.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partCol).parquet(dir)
