@@ -443,8 +443,14 @@ object Joins {
       a.join(b, "blk")
         .filter(col("name_a") < col("name_b") &&
           abs(length(col("name_a")) - length(col("name_b"))) <= 2)
-        .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
-        .filter(col("dist") <= 3)
+        // THRESHOLD form: banded DP short-circuits at distance > 3
+        // (O(band·n) per pair instead of O(n²)); for kept rows the
+        // returned distance is identical to the unbounded form, and
+        // rows beyond the threshold return -1 — outside [0, 3] exactly
+        // like the old post-filter
+        .withColumn("dist",
+          levenshtein(col("name_a"), col("name_b"), 3).cast("long"))
+        .filter(col("dist").between(0, 3))
         .select(col("name_a"), col("name_b"), col("dist"),
           col("n_a"), col("n_b"))
         .orderBy("name_a", "name_b")

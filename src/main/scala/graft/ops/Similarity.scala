@@ -3474,7 +3474,10 @@ object Similarity {
       val pairs = a.join(b, "blk")
         .filter(col("a_id") < col("b_id") &&
           abs(length(col("na")) - length(col("nb"))) <= 1 &&
-          levenshtein(col("na"), col("nb")) <= 1)
+          // threshold form: banded DP short-circuits past distance 1 —
+          // the block join's candidate pairs each pay O(n) instead of
+          // O(n²); ≤ 1 ⟺ the bounded distance is in {0, 1} (-1 = over)
+          levenshtein(col("na"), col("nb"), 1).between(0, 1))
         .select(col("a_id"), col("b_id"))
       val cc = graft.operators.Dedup.connectedComponents(pairs)
         .select(col("doc_id").as("record_id"), col("cluster_id"),
