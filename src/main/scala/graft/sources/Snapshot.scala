@@ -1113,11 +1113,7 @@ object Snapshot {
     // ONE data file resolves to the full logical schema (readFiles
     // replays evolution per writer generation), so the check skips the
     // full read()'s manifest-wide relation + DV plumbing (~100 ms/append)
-    val logicalCols = {
-      val entries = dataEntries(spark, dir, cur)
-      if (entries.isEmpty) read(spark, dir).columns
-      else readFiles(spark, dir, cur, Array(entries.head.path)).columns
-    }
+    val logicalCols = logicalColumns(spark, dir, cur)
     require(delta.columns.toSet == logicalCols.toSet,
       s"appended delta columns (${delta.columns.sorted.mkString(", ")}) " +
         s"must equal the table schema (${logicalCols.sorted.mkString(", ")})")
@@ -1349,7 +1345,7 @@ object Snapshot {
       clauses: Seq[MergeClause], evolveSchema: Boolean = false): Int = {
     require(clauses.nonEmpty,
       "merge with no WHEN clauses is a no-op — declare at least one")
-    val tableCols = read(spark, dir).columns
+    val tableCols = logicalColumns(spark, dir, currentVersion(spark, dir))
     // MERGE-TIME SCHEMA EVOLUTION (round 17, the judge's #3 — Delta's
     // `withSchemaEvolution`): with the opt-in flag, SOURCE-ONLY columns
     // widen the table as part of THIS merge — the rewrite's fresh files
@@ -2281,7 +2277,7 @@ object Snapshot {
     require(!added.contains(keyCol),
       s"delete key column '$keyCol' is a metadata-added column of $dir — " +
         "delete on a physical column")
-    val cols = read(spark, dir).columns.filterNot(added.contains)
+    val cols = logicalColumns(spark, dir, cur).filterNot(added.contains)
     require(cols.contains(keyCol),
       s"delete key column '$keyCol' does not exist in $dir " +
         s"(data columns: ${cols.mkString(", ")})")
@@ -2717,6 +2713,22 @@ object Snapshot {
     }.toArray)
   }
 
+  /** The table's LOGICAL column names at version `n`, resolved from ONE
+    * data file: readFiles replays added-column/rename/drop/widen steps
+    * per writer generation, so ANY single file resolves to the same
+    * logical column SET as the full read() — without building the
+    * manifest-wide relation + DV plumbing a name-only guard does not
+    * need (~100 ms per mutation verb at commit sizes). Column ORDER may
+    * differ from read() across generations — use ONLY for set or
+    * containment checks. Falls back to read() on an all-deleted table.
+    */
+  private def logicalColumns(spark: SparkSession, dir: String,
+      n: Int): Array[String] = {
+    val entries = dataEntries(spark, dir, n)
+    if (entries.isEmpty) read(spark, dir).columns
+    else readFiles(spark, dir, n, Array(entries.head.path)).columns
+  }
+
   /** [[readFiles]] + both DV masks of version `n` — the one assembly
     * every committed-state read surface goes through.
     */
@@ -3059,7 +3071,7 @@ object Snapshot {
     requireNoDv(spark, dir, cur, "column rename")
     require(to.matches("[A-Za-z_][A-Za-z0-9_]*"),
       s"new column name '$to' is not an identifier")
-    val cols = read(spark, dir).columns
+    val cols = logicalColumns(spark, dir, cur)
     require(cols.exists(_.equalsIgnoreCase(from)),
       s"no column '$from' on $dir (columns: ${cols.mkString(", ")})")
     require(!cols.exists(_.equalsIgnoreCase(to)),
@@ -3085,7 +3097,7 @@ object Snapshot {
     val cur = currentVersion(spark, dir)
     require(cur >= 1, s"snapshot table $dir has no committed version")
     requireNoDv(spark, dir, cur, "column drop")
-    val cols = read(spark, dir).columns
+    val cols = logicalColumns(spark, dir, cur)
     require(cols.exists(_.equalsIgnoreCase(name)),
       s"no column '$name' on $dir (columns: ${cols.mkString(", ")})")
     require(cols.length > 1,
@@ -3236,7 +3248,7 @@ object Snapshot {
     val existing = addedColumnsAt(spark, dir, cur)
     require(!existing.exists(_.name == name),
       s"column '$name' was already added to $dir")
-    require(!read(spark, dir).columns.contains(name),
+    require(!logicalColumns(spark, dir, cur).contains(name),
       s"column '$name' already exists physically in $dir")
     val n = claimVersion(spark, dir)
     // manifest first (nextVersion allocates from manifests, so a crashed
@@ -3269,7 +3281,7 @@ object Snapshot {
     val existing = addedColumnsAt(spark, dir, cur)
     require(!existing.exists(_.name == name),
       s"column '$name' was already added to $dir")
-    require(!read(spark, dir).columns.contains(name),
+    require(!logicalColumns(spark, dir, cur).contains(name),
       s"column '$name' already exists physically in $dir")
     val existingCs = constraintsAt(spark, dir, cur)
     require(!existingCs.exists(_.name.equalsIgnoreCase(cname)),
