@@ -214,12 +214,16 @@ object Graph {
     while (!done && round < maxIter) {
       round += 1
       val frontier = settled.filter(col("hops") === (round - 1).toLong)
-      val reached = e
-        .join(frontier.select(col("node").as("s"), col("hops")), "s")
-        .select(col("t").as("node"), (col("hops") + 1L).as("hops"))
-        .groupBy("node").agg(min("hops").as("hops"))
-      val next = reached.join(settled, Seq("node"), "left_anti")
-      val union = T.checkpointed(settled.unionByName(next))
+      // settled ∪ raw frontier messages, one min-agg: BFS first-reach
+      // minimality makes min(settled.hops, message hops) == settled.hops
+      // for every already-settled node (its hops ≤ round−1 < round), so
+      // this equals the anti-join+union spelling while costing ONE
+      // exchange (the union groupBy) instead of the reached-agg PLUS
+      // the anti-join's two shuffled sides per round
+      val union = T.checkpointed(settled.unionByName(e
+          .join(frontier.select(col("node").as("s")), "s")
+          .select(col("t").as("node"), lit(round.toLong).as("hops")))
+        .groupBy("node").agg(min("hops").as("hops")))
       val n2 = union.count() // one job: materialize + termination probe
       done = n2 == nSettled
       T.freeCheckpoint(settled)
