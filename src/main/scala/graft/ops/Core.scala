@@ -24,8 +24,22 @@ private[graft] object T {
     // harmless when no ns columns exist; REQUIRED to even read a
     // TIMESTAMP(NANOS) parquet (Spark 4 rejects it outright otherwise)
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    normalizeTs(s.read.parquet(s"$sfDir/$name.parquet"))
+    // Schema memo per fixture path (metadata only — what a catalog does
+    // for any registered table): the fixture files are immutable for a
+    // process lifetime, and re-running footer inference on EVERY
+    // DataFrame construction costs tens of ms per table per query —
+    // across a multi-hundred-query session, whole seconds of pure
+    // driver-side re-inference. The memoized StructType is the RAW
+    // physical schema (pre-normalizeTs), so the ns-as-long dispatch
+    // below still sees exactly what inference saw.
+    val path = s"$sfDir/$name.parquet"
+    val sch = schemaMemo.getOrElseUpdate(path, s.read.parquet(path).schema)
+    normalizeTs(s.read.schema(sch).parquet(path))
   }
+
+  private val schemaMemo =
+    scala.collection.concurrent.TrieMap
+      .empty[String, org.apache.spark.sql.types.StructType]
 
   /** Known timestamp-bearing fixture columns: the ONLY names the ns-as-
     * long shim may fire for (a LongType column with any other name is a
