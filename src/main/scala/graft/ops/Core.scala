@@ -41,6 +41,29 @@ private[graft] object T {
     scala.collection.concurrent.TrieMap
       .empty[String, org.apache.spark.sql.types.StructType]
 
+  /** One extensions-enabled sibling session per BASE session, memoized:
+    * extension binding happens at session construction, so every
+    * GRAFT-SQL-door query paid a fresh builder().withExtensions()
+    * session (SessionState, analyzer, registries) per invocation —
+    * pure fixed cost. Sharing is safe for the query lambdas because
+    * each one namespaces its own state (key-unique temp view names,
+    * key-unique catalog names) and re-registers it on every call.
+    * Weak keys: a dropped base session must not pin its sibling.
+    */
+  def extSession(s: SparkSession): SparkSession =
+    extSessionMemo.synchronized {
+      var e = extSessionMemo.get(s)
+      if (e == null) {
+        e = org.apache.spark.sql.GraftBridge.sessionWithExtensions(
+          s, new graft.plans.GraftExtensions)
+        extSessionMemo.put(s, e)
+      }
+      e
+    }
+
+  private val extSessionMemo =
+    new java.util.WeakHashMap[SparkSession, SparkSession]()
+
   /** Known timestamp-bearing fixture columns: the ONLY names the ns-as-
     * long shim may fire for (a LongType column with any other name is a
     * genuine bigint and must pass through untouched).

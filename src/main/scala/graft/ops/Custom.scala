@@ -581,8 +581,7 @@ object Custom {
         .filter(col("lang") === "en" && pmod(col("doc_id"), lit(10)) === 0)
         .withColumn("text", concat(col("text"), lit(" v2")))
       graft.sources.Snapshot.upsert(s, dir, edits, "doc_id", "lang", "text")
-      val ext = org.apache.spark.sql.GraftBridge.sessionWithExtensions(
-        s, new graft.plans.GraftExtensions)
+      val ext = graft.ops.T.extSession(s)
       ext.sql(s"GRAFT SNAPSHOT HISTORY '$dir'")
         .select(col("version").cast("bigint").as("version"), col("n_rows"),
           col("is_current"))

@@ -2284,8 +2284,7 @@ object Similarity {
     // committed content back THROUGH SQL and aggregate per lang.
     "x_io_sql_write" -> ((s, d) => {
       val dir = T.scratchDir("graft_sqlwrite")
-      val ext = org.apache.spark.sql.GraftBridge.sessionWithExtensions(
-        s, new graft.plans.GraftExtensions)
+      val ext = graft.ops.T.extSession(s)
       val docs = t(ext, d, "documents")
       graft.sources.Snapshot.publish(ext, dir, docs, "lang", "text")
       docs.createOrReplaceTempView("sqlwrite_docs")
@@ -2355,8 +2354,7 @@ object Similarity {
     // Oracle = the CASE/anti-join/UNION replay in plain SQL.
     "x_io_merge" -> ((s, d) => {
       val dir = T.scratchDir("graft_sqlmerge")
-      val ext = org.apache.spark.sql.GraftBridge.sessionWithExtensions(
-        s, new graft.plans.GraftExtensions)
+      val ext = graft.ops.T.extSession(s)
       val docs = t(ext, d, "documents")
       graft.sources.Snapshot.publish(ext, dir, docs, "lang", "text")
       docs.createOrReplaceTempView("mrg_docs")
@@ -2393,8 +2391,7 @@ object Similarity {
     // (range ∧ length) → per-lang aggregate of the survivors.
     "x_io_delete_where" -> ((s, d) => {
       val dir = T.scratchDir("graft_delwhere")
-      val ext = org.apache.spark.sql.GraftBridge.sessionWithExtensions(
-        s, new graft.plans.GraftExtensions)
+      val ext = graft.ops.T.extSession(s)
       graft.sources.Snapshot.publishClustered(
         ext, dir, t(ext, d, "documents"), "lang", "doc_id", "text", nFiles = 8)
       ext.sql(s"GRAFT SNAPSHOT DELETE '$dir' PARTITION lang CHECKSUM text " +
@@ -2422,8 +2419,7 @@ object Similarity {
     // other's pre-image) → per-lang aggregate.
     "x_io_update_where" -> ((s, d) => {
       val dir = T.scratchDir("graft_updwhere")
-      val ext = org.apache.spark.sql.GraftBridge.sessionWithExtensions(
-        s, new graft.plans.GraftExtensions)
+      val ext = graft.ops.T.extSession(s)
       graft.sources.Snapshot.publish(ext, dir, t(ext, d, "documents"),
         "lang", "text")
       ext.sql(s"GRAFT SNAPSHOT UPDATE '$dir' PARTITION lang CHECKSUM text " +
@@ -2453,8 +2449,7 @@ object Similarity {
     "x_io_clone" -> ((s, d) => {
       val src = T.scratchDir("graft_clone_src")
       val dst = T.scratchDir("graft_clone_dst") + "/t"
-      val ext = org.apache.spark.sql.GraftBridge.sessionWithExtensions(
-        s, new graft.plans.GraftExtensions)
+      val ext = graft.ops.T.extSession(s)
       t(ext, d, "documents").createOrReplaceTempView("clone_docs")
       ext.sql(s"GRAFT SNAPSHOT PUBLISH '$src' PARTITION lang CHECKSUM text " +
         "AS SELECT * FROM clone_docs WHERE n_chars >= 60")
@@ -2486,8 +2481,7 @@ object Similarity {
     // other lang must hash UNTOUCHED).
     "x_io_replace" -> ((s, d) => {
       val dir = T.scratchDir("graft_replace")
-      val ext = org.apache.spark.sql.GraftBridge.sessionWithExtensions(
-        s, new graft.plans.GraftExtensions)
+      val ext = graft.ops.T.extSession(s)
       t(ext, d, "documents").createOrReplaceTempView("replq_docs")
       ext.sql(s"GRAFT SNAPSHOT PUBLISH '$dir' PARTITION lang CHECKSUM text " +
         "AS SELECT * FROM replq_docs")
@@ -2517,8 +2511,7 @@ object Similarity {
     // commits → per-lang aggregate crossed with the live rule count.
     "x_io_constraints" -> ((s, d) => {
       val dir = T.scratchDir("graft_cons")
-      val ext = org.apache.spark.sql.GraftBridge.sessionWithExtensions(
-        s, new graft.plans.GraftExtensions)
+      val ext = graft.ops.T.extSession(s)
       t(ext, d, "documents").createOrReplaceTempView("consq_docs")
       ext.sql(s"GRAFT SNAPSHOT PUBLISH '$dir' PARTITION lang CHECKSUM text " +
         "AS SELECT * FROM consq_docs")
@@ -2564,8 +2557,7 @@ object Similarity {
     // shape → per-lang aggregate over the mixed generations.
     "x_io_rename_drop" -> ((s, d) => {
       val dir = T.scratchDir("graft_renamedrop")
-      val ext = org.apache.spark.sql.GraftBridge.sessionWithExtensions(
-        s, new graft.plans.GraftExtensions)
+      val ext = graft.ops.T.extSession(s)
       t(ext, d, "documents").createOrReplaceTempView("rd_docs")
       ext.sql(s"GRAFT SNAPSHOT PUBLISH '$dir' PARTITION lang CHECKSUM text " +
         "AS SELECT * FROM rd_docs")
@@ -2595,8 +2587,7 @@ object Similarity {
     // the ORIGINAL publish exactly, both later mutations undone.
     "x_io_restore" -> ((s, d) => {
       val dir = T.scratchDir("graft_restore")
-      val ext = org.apache.spark.sql.GraftBridge.sessionWithExtensions(
-        s, new graft.plans.GraftExtensions)
+      val ext = graft.ops.T.extSession(s)
       val docs = t(ext, d, "documents")
       graft.sources.Snapshot.publish(ext, dir,
         docs.filter(col("n_chars") >= 60), "lang", "text")
@@ -2629,8 +2620,7 @@ object Similarity {
     // was content-preserving).
     "x_io_sql_maint" -> ((s, d) => {
       val dir = T.scratchDir("graft_sqlmaint")
-      val ext = org.apache.spark.sql.GraftBridge.sessionWithExtensions(
-        s, new graft.plans.GraftExtensions)
+      val ext = graft.ops.T.extSession(s)
       t(ext, d, "documents").createOrReplaceTempView("maint_docs")
       ext.sql(s"GRAFT SNAPSHOT PUBLISH '$dir' PARTITION lang CHECKSUM text AS " +
         "SELECT * FROM maint_docs")
@@ -2947,8 +2937,7 @@ object Similarity {
     // → survivors' per-lang aggregate.
     "x_io_stats_multi" -> ((s, d) => {
       val dir = T.scratchDir("graft_multistats")
-      val ext = org.apache.spark.sql.GraftBridge.sessionWithExtensions(
-        s, new graft.plans.GraftExtensions)
+      val ext = graft.ops.T.extSession(s)
       graft.sources.Snapshot.publishClustered(
         ext, dir, t(ext, d, "documents"), "lang", "doc_id", "text", nFiles = 8)
       ext.sql(s"GRAFT SNAPSHOT ANALYZE '$dir' COLUMNS n_chars, source")
@@ -2981,8 +2970,7 @@ object Similarity {
     // right regardless of which generation holds it.
     "x_io_partition_evolve" -> ((s, d) => {
       val dir = T.scratchDir("graft_partevo")
-      val ext = org.apache.spark.sql.GraftBridge.sessionWithExtensions(
-        s, new graft.plans.GraftExtensions)
+      val ext = graft.ops.T.extSession(s)
       graft.sources.Snapshot.publish(ext, dir, t(ext, d, "documents"),
         "lang", "text")
       ext.sql(s"GRAFT SNAPSHOT EVOLVE PARTITION '$dir' TO source")
@@ -3018,8 +3006,7 @@ object Similarity {
     // `composite` shows both components pruning at 10×).
     "x_io_partition_composite" -> ((s, d) => {
       val dir = T.scratchDir("graft_partcomp")
-      val ext = org.apache.spark.sql.GraftBridge.sessionWithExtensions(
-        s, new graft.plans.GraftExtensions)
+      val ext = graft.ops.T.extSession(s)
       graft.sources.Snapshot.publish(ext, dir, t(ext, d, "documents"),
         "lang", "text")
       ext.sql(s"GRAFT SNAPSHOT EVOLVE PARTITION '$dir' TO lang, source")
@@ -3062,8 +3049,7 @@ object Similarity {
     // delete of three ids → survivors' per-lang aggregate.
     "x_io_purge_bloom" -> ((s, d) => {
       val dir = T.scratchDir("graft_purgebloom")
-      val ext = org.apache.spark.sql.GraftBridge.sessionWithExtensions(
-        s, new graft.plans.GraftExtensions)
+      val ext = graft.ops.T.extSession(s)
       graft.sources.Snapshot.publishClustered(
         ext, dir, t(ext, d, "documents"), "lang", "n_chars", "text",
         nFiles = 8)
@@ -3091,8 +3077,7 @@ object Similarity {
     // survivors' per-lang aggregate; oracle = both negated ranges.
     "x_io_zorder_snapshot" -> ((s, d) => {
       val dir = T.scratchDir("graft_zsnap")
-      val ext = org.apache.spark.sql.GraftBridge.sessionWithExtensions(
-        s, new graft.plans.GraftExtensions)
+      val ext = graft.ops.T.extSession(s)
       graft.sources.Snapshot.publishZOrdered(
         ext, dir, t(ext, d, "documents"), "lang", "doc_id", "n_chars",
         "text", nFiles = 8)
@@ -3120,8 +3105,7 @@ object Similarity {
     // reference, so even zero-hour retention deletes no live bytes.
     "x_io_retention_time" -> ((s, d) => {
       val dir = T.scratchDir("graft_retention")
-      val ext = org.apache.spark.sql.GraftBridge.sessionWithExtensions(
-        s, new graft.plans.GraftExtensions)
+      val ext = graft.ops.T.extSession(s)
       val docs = t(ext, d, "documents")
       val S = graft.sources.Snapshot
       S.publish(ext, dir, docs, "lang", "text")
