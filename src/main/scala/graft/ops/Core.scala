@@ -64,6 +64,18 @@ private[graft] object T {
   private val extSessionMemo =
     new java.util.WeakHashMap[SparkSession, SparkSession]()
 
+  /** Invocation-unique identifier (catalog names on the shared
+    * extensions session): Spark caches catalog INSTANCES per session by
+    * name, so a re-invoked fixture that re-points a fixed name at a
+    * fresh scratch root would silently keep serving the old root — a
+    * fresh name per invocation gets a fresh instance, and the handful
+    * of stale entries in the session's CatalogManager are inert.
+    */
+  def freshName(prefix: String): String =
+    s"${prefix}_${freshNameCounter.incrementAndGet()}"
+
+  private val freshNameCounter = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Known timestamp-bearing fixture columns: the ONLY names the ns-as-
     * long shim may fire for (a LongType column with any other name is a
     * genuine bigint and must pass through untouched).
