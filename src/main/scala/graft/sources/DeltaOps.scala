@@ -132,13 +132,27 @@ private[sources] object DeltaOps {
     */
   def rowReaderFor(spark: SparkSession, dataSchema: StructType,
       requiredSchema: StructType): PartitionedFile => Iterator[InternalRow] = {
-    val rowSession = org.apache.spark.sql.GraftBridge.sessionWithConf(spark,
-      "spark.sql.parquet.enableVectorizedReader" -> "false")
+    // one vectorization-off clone per BASE session, memoized: this runs
+    // at every delta/masked scan build, and cloneSession rebuilds the
+    // whole SessionState each time for a reader whose only divergence
+    // is one immutable conf
+    val rowSession = rowSessionMemo.synchronized {
+      var e = rowSessionMemo.get(spark)
+      if (e == null) {
+        e = org.apache.spark.sql.GraftBridge.sessionWithConf(spark,
+          "spark.sql.parquet.enableVectorizedReader" -> "false")
+        rowSessionMemo.put(spark, e)
+      }
+      e
+    }
     new ParquetFileFormat().buildReaderWithPartitionValues(
       rowSession, dataSchema, StructType(Nil),
       requiredSchema, Nil, Map.empty,
       org.apache.spark.sql.GraftBridge.hadoopConfOf(rowSession))
   }
+
+  private val rowSessionMemo =
+    new java.util.WeakHashMap[SparkSession, SparkSession]()
 }
 
 /** The delta row-level operation: shared state between Spark's scan and
