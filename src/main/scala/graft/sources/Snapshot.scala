@@ -2509,6 +2509,11 @@ object Snapshot {
   private def dataEntries(spark: SparkSession, dir: String, n: Int): Seq[MEntry] =
     manifestEntries(spark, dir, n).filterNot(_.isDv)
 
+  /** [[readFiles]]' per-generation physical-schema memo — see raw(). */
+  private val fileSchemaMemo =
+    scala.collection.concurrent.TrieMap
+      .empty[String, org.apache.spark.sql.types.StructType]
+
   private val ManifestSchema = org.apache.spark.sql.types.StructType.fromDDL(
     "path STRING, part STRING, n_rows BIGINT, checksum BIGINT, " +
       "stat_lo DOUBLE, stat_hi DOUBLE, stat_col STRING, kind STRING")
@@ -2657,7 +2662,8 @@ object Snapshot {
       forFiles: Option[Set[String]] = None): Option[DataFrame] = {
     val sidecars = manifestEntries(spark, dir, n).filter(_.isPosDv)
     if (sidecars.isEmpty) return None
-    val df0 = spark.read
+    // dvp sidecars have a FIXED schema — skip the footer-inference job
+    val df0 = spark.read.schema(DeltaOps.DvSchema)
       .parquet(sidecars.map(e => resolvePath(dir, e.path)).toIndexedSeq: _*)
       .select(col(PosDvFileCol), col(PosDvPosCol))
     val df = forFiles.fold(df0)(fs =>
@@ -3174,9 +3180,36 @@ object Snapshot {
     // position-DV masking and position exposure happen at the RAW scan,
     // where the hidden _metadata column still resolves (it does not
     // survive a union, and masking before the fill/rename steps is both
-    // correct — row identity is physical — and cheaper)
+    // correct — row identity is physical — and cheaper).
+    // PHYSICAL-SCHEMA MEMO: footer inference runs as a Spark JOB per
+    // relation build (~30 ms + a scheduler round trip), and a lifecycle
+    // key builds this relation ~10× per invocation. Files of one writer
+    // generation (vN) were written by ONE staged write and share a
+    // physical schema, so the memo keys on the generation root; a
+    // mixed-generation call (only reachable with NO evolution steps,
+    // where every generation shares the logical schema — appends
+    // enforce it) keys on the table root. Both are immutable once
+    // committed. Parquet resolves columns BY NAME, so the explicit
+    // schema reads exactly what inference would have.
     def raw(paths: Array[String]): DataFrame = {
-      val df0 = spark.read.parquet(paths.map(resolvePath(dir, _)).toIndexedSeq: _*)
+      val abs = paths.map(resolvePath(dir, _)).toIndexedSeq
+      val gens = paths.map(writerVersion).distinct
+      val key =
+        if (gens.length == 1) {
+          val tail = s"/v${gens.head}/"
+          val a = abs.head
+          a.substring(0, a.lastIndexOf(tail) + tail.length)
+        } else
+          // mixed generations only occur with NO evolution steps, where
+          // every LATER generation guard-matched the earliest one's
+          // schema — but a full REPUBLISH starts a new schema lineage,
+          // so the key pins the lineage by its EARLIEST generation
+          // (a republished table's live sets never mix lineages; time
+          // travel to the old lineage keys separately)
+          s"$dir::mixed::v${gens.min}"
+      val sch = fileSchemaMemo.getOrElseUpdate(key,
+        spark.read.parquet(abs: _*).schema)
+      val df0 = spark.read.schema(sch).parquet(abs: _*)
       if (posMask.isEmpty && !withPosCols) return df0
       val withPos = df0
         .withColumn("__dv_file", vTailExpr(col("_metadata.file_path")))

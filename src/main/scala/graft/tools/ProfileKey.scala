@@ -33,8 +33,10 @@ object ProfileKey {
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit = {
         val site = Option(j.properties)
-          .flatMap(p => Option(p.getProperty("callSite.short"))).getOrElse("?")
-        starts.put(j.jobId, (System.nanoTime(), site))
+          .flatMap(p => Option(p.getProperty("callSite.short")))
+          .orElse(j.stageInfos.lastOption.map(_.name))
+          .getOrElse("?")
+        starts.put(j.jobId, (System.nanoTime(), site.take(90)))
       }
       override def onJobEnd(j: SparkListenerJobEnd): Unit =
         starts.remove(j.jobId).foreach { case (t0, site) =>
