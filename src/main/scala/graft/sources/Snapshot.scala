@@ -2693,29 +2693,35 @@ object Snapshot {
     }
 
   /** The pending POSITION-DV footprint of version `n`, from manifest
-    * metadata alone: (total masked positions, sidecar (absPath, length)
-    * list) — the zero-cost input to the delta scan's driver-vs-executor
-    * mask decision (sources/DeltaOps). Lengths come from one listStatus
-    * per parent dir, not one RPC per sidecar.
+    * metadata alone: (total masked positions, sidecar spec list with
+    * each sidecar's recorded file-column range) — the zero-cost input
+    * to the delta scan's driver-vs-executor mask decision
+    * (sources/DeltaOps). Lengths come from one listStatus per parent
+    * dir, not one RPC per sidecar; the file range (null on pre-stats
+    * sidecars: conservatively un-prunable) lets the scan ship a reader
+    * only the sidecars that can reference its file.
     */
   private[sources] def posDvSpecs(spark: SparkSession, dir: String,
-      n: Int): (Long, Array[(String, Long)]) = {
+      n: Int): (Long, Array[DeltaOps.DvSpec]) = {
     val sidecars = manifestEntries(spark, dir, n).filter(_.isPosDv)
     if (sidecars.isEmpty) return (0L, Array.empty)
     val nPos = sidecars
       .map(e => if (e.nRows == null) 0L else e.nRows.longValue).sum
     val conf = spark.sparkContext.hadoopConfiguration
-    val abs = sidecars.map(e => new Path(resolvePath(dir, e.path)))
-    val byParent = abs.groupBy(_.getParent)
+    val byParent = sidecars.map(e => new Path(resolvePath(dir, e.path)))
+      .groupBy(_.getParent)
     val lens: Map[String, Long] = byParent.keysIterator.flatMap { parent =>
       val fs = parent.getFileSystem(conf)
       fs.listStatus(parent).filter(_.isFile)
         .map(st => st.getPath.toUri.getPath -> st.getLen)
     }.toMap
-    (nPos, abs.map { p =>
+    (nPos, sidecars.map { e =>
+      val p = new Path(resolvePath(dir, e.path))
       val len = lens.getOrElse(p.toUri.getPath,
         p.getFileSystem(conf).getFileStatus(p).getLen)
-      (p.toString, len)
+      val range = e.stats.get(PosDvFileCol)
+      DeltaOps.DvSpec(p.toString, len,
+        range.map(_.smin).orNull, range.map(_.smax).orNull)
     }.toArray)
   }
 

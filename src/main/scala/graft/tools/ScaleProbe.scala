@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
   * of 10c yields ~50c² pairs) — the probe prints output rows so the two
   * effects can be told apart.
   *
-  * `runMain graft.tools.ScaleProbe [sfDir] [keys|sigs|curation|cc|cluster|vocab|spans|bpe|quality|pq|geo|graph|graphx|streamjoin|snapshot|kll|gram|cdc|ivm|purge|mor|sqlread|commitrace|cdf|vstream|cdfstream|sqlmaint|er|delwhere|constraints|all]`
+  * `runMain graft.tools.ScaleProbe [sfDir] [keys|sigs|curation|cc|cluster|vocab|spans|bpe|quality|pq|geo|graph|graphx|streamjoin|snapshot|kll|gram|cdc|ivm|purge|mor|sqlread|commitrace|cdf|vstream|cdfstream|sqlmaint|er|delwhere|constraints|dvmask|all]`
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -1376,6 +1376,55 @@ object ScaleProbe {
       graft.ops.T.releaseCaches(blocking = true)
       println(f"entityResolution   base ${e1}%6.2fs ($ne1 records) -> 10x ${e10}%7.2fs " +
         f"($ne10 records; factor ${e10 / e1}%5.1f)")
+    }
+    // POSITION-DV read path at ROW VOLUME (round 19, judge items #1/#2):
+    // a mor table over lineitem (600k rows, 16 clustered files), banded
+    // DELETEs, then the masked SELECT timed two ways — (a) under the
+    // driver mask budget (the columnar-batch scan: vectorized decode +
+    // zero-copy selection is the change under test), and (b) at budget 0
+    // with 8 stacked band-scoped sidecars (executor-side loadMask: the
+    // per-file sidecar pruning is the change under test — each reader
+    // should fetch only the sidecars whose recorded file range covers
+    // its file, so the read stays ~flat as sidecars stack).
+    if (mode == "all" || mode == "dvmask") {
+      val root = java.nio.file.Files.createTempDirectory("probe_dvmask").toString
+      val dir = s"$root/ns/li"
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select("l_orderkey", "l_partkey", "l_quantity",
+          "l_extendedprice", "l_returnflag")
+      graft.sources.Snapshot.publishClustered(spark, dir, li,
+        "l_returnflag", "l_orderkey", "l_orderkey", nFiles = 16)
+      graft.sources.Snapshot.setDmlMode(spark, dir, "mor")
+      val plain = spark.newSession()
+      plain.conf.set("spark.sql.catalog.pdvm", "graft.sources.GraftCatalog")
+      plain.conf.set("spark.sql.catalog.pdvm.root", root)
+      val maxKey = li.agg(max("l_orderkey")).head().getLong(0)
+      def readTime(): Double = {
+        val t0 = System.nanoTime()
+        val r = plain.sql("SELECT count(*) AS n, sum(l_extendedprice) AS s " +
+          "FROM pdvm.ns.li").head()
+        require(r.getLong(0) > 0)
+        (System.nanoTime() - t0) / 1e9
+      }
+      // one band delete -> driver-mask columnar read (warm pass reported)
+      plain.sql(s"DELETE FROM pdvm.ns.li WHERE l_orderkey < ${maxKey / 8} " +
+        "AND l_orderkey % 2 = 0")
+      val tCold = readTime(); val tWarm = readTime()
+      // stack 7 more band-scoped deletes: 8 sidecars, each covering only
+      // its band's files
+      (1 until 8).foreach { k =>
+        plain.sql(s"DELETE FROM pdvm.ns.li " +
+          s"WHERE l_orderkey >= ${maxKey / 8 * k} AND l_orderkey < ${maxKey / 8 * (k + 1)} " +
+          "AND l_orderkey % 2 = 0")
+      }
+      val dvRows = spark.read.parquet(s"$dir/v*/_dvp/*.parquet").count()
+      val t8 = { readTime(); readTime() } // warm
+      plain.conf.set("graft.snapshot.dvDriverMaskMaxPositions", "0")
+      val tExec = { readTime(); readTime() } // executor-side loadMask, warm
+      plain.conf.unset("graft.snapshot.dvDriverMaskMaxPositions")
+      println(f"dv masked read (600k rows, 16 files): 1 sidecar cold ${tCold}%5.2fs " +
+        f"warm ${tWarm}%5.2fs; 8 sidecars ($dvRows dv rows) driver-mask ${t8}%5.2fs, " +
+        f"budget-0 executor-mask ${tExec}%5.2fs")
     }
     spark.stop()
   }

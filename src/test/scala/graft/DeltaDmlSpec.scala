@@ -373,6 +373,58 @@ class DeltaDmlSpec extends SparkSpec {
     assert(left === Seq(1L, 2L, 3L, 5L, 6L))
   }
 
+  test("dvp-masked SELECT scans COLUMNAR (vectorized batches), masked rows dropped") {
+    val root = scratch("deltadml_columnar")
+    val s = plainWithCatalog("dd15", root)
+    val dir = morTable(root, "ns/docs", s)
+    s.sql("DELETE FROM dd15.ns.docs WHERE n_chars < 100")
+    val df = s.sql("SELECT doc_id, text FROM dd15.ns.docs")
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    def findScan(p: SparkPlan): Option[BatchScanExec] =
+      p.collectFirst { case b: BatchScanExec => b }
+    val plan = df.queryExecution.executedPlan
+    val scan = findScan(plan).orElse(plan match {
+      case a: AdaptiveSparkPlanExec => findScan(a.inputPlan)
+      case _ => None
+    }).getOrElse(fail("no BatchScanExec in the masked SELECT plan"))
+    assert(scan.supportsColumnar,
+      "the dvp-masked scan must serve ColumnarBatches (vectorized decode), " +
+        "not the interpreted row reader")
+    // …and the columnar path must still mask exactly the deleted rows
+    assert(df.collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 3L, 5L))
+    // the DML scan itself (row id + batches) stacks correctly too
+    s.sql("DELETE FROM dd15.ns.docs WHERE doc_id = 5")
+    assert(s.sql("SELECT doc_id FROM dd15.ns.docs").collect()
+      .map(_.getLong(0)).sorted.toSeq === Seq(1L, 3L))
+  }
+
+  test("dvp sidecar manifest entries record their file-column range (per-file pruning)") {
+    val root = scratch("deltadml_dvrange")
+    val s = plainWithCatalog("dd16", root)
+    val dir = morTable(root, "ns/docs", s)
+    // de-only delete: the sidecar's recorded range must cover only the
+    // de file, so readers of en/fr files skip it entirely
+    s.sql("DELETE FROM dd16.ns.docs WHERE lang = 'de' AND n_chars < 100")
+    val m = spark.read.json(s"$dir/_manifest.v2")
+    val dvp = m.filter("kind = 'dvp'").collect()
+    assert(dvp.length === 1)
+    val stats = dvp.head.getAs[org.apache.spark.sql.Row]("stats")
+      .getAs[org.apache.spark.sql.Row]("file")
+    val lo = stats.getAs[String]("min")
+    val hi = stats.getAs[String]("max")
+    assert(lo != null && lo == hi && lo.contains("_p=de"),
+      s"sidecar range must pin the single de candidate, got [$lo, $hi]")
+    // and the pruned executor-side path still serves the right rows
+    s.conf.set("graft.snapshot.dvDriverMaskMaxPositions", "0")
+    try {
+      val left = s.sql("SELECT doc_id FROM dd16.ns.docs ORDER BY doc_id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(left === Seq(1L, 2L, 3L, 5L, 6L))
+    } finally s.conf.unset("graft.snapshot.dvDriverMaskMaxPositions")
+  }
+
   test("above the driver mask budget the scan loads DVs executor-side (same rows)") {
     val root = scratch("deltadml_exec_mask")
     val s = plainWithCatalog("dd12", root)
