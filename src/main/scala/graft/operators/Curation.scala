@@ -367,8 +367,16 @@ object Curation {
         .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
     }
     val corpusToks = corpus.select(explode(split(col(textCol), "\\s+")).as("w1"))
-    val uni = corpusToks.groupBy("w1").agg(count(lit(1)).as("uni_cnt"))
-    val vocab = corpusToks.agg(countDistinct(col("w1")).as("vs"))
+    // T.cached: the unigram table feeds BOTH the score join and the
+    // vocab scalar — uncached, each consumer re-runs the full corpus
+    // explode + aggregate. The frame is vocab-sized, safe to pin.
+    val uni = graft.ops.T.cached(
+      corpusToks.groupBy("w1").agg(count(lit(1)).as("uni_cnt")))
+    // V = |distinct w1| = the unigram table's row count: counting uni's
+    // rows (vocab-sized input) replaces a second full corpus-token
+    // explode + distinct-aggregate shuffle with identical value (split
+    // never yields null tokens, so no null-group divergence)
+    val vocab = uni.agg(count(lit(1)).as("vs"))
     val big = bigrams(corpus).groupBy("w1", "w2").agg(count(lit(1)).as("big_cnt"))
     val scored = bigrams(docs)
       .join(big, Seq("w1", "w2"), "left")
