@@ -63,95 +63,7 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 50,
       jumpAfter: Int = 2, seed: Option[DataFrame] = None): DataFrame = {
-    // Both directions from ONE pass over pairs (a union of two selects
-    // would run the upstream pair-generation plan twice inside the same
-    // materialization — for LSH pair inputs that is the expensive part).
-    // T.cached: registered for post-materialization release by the
-    // harness mains (the query-lambda contract returns a lazy frame, so
-    // unpersist-before-return would forfeit the reuse it exists for).
-    val edges = T.cached(pairs
-      .select(explode(array(
-        struct(col("a_id").cast("long").as("u"), col("b_id").cast("long").as("v")),
-        struct(col("b_id").cast("long").as("u"), col("a_id").cast("long").as("v"))))
-        .as("e"))
-      .select(col("e.u").as("u"), col("e.v").as("v")))
-    // Optional INCREMENTAL seed: labels of a previous run over a
-    // subgraph, folded into the initialization with least(). Label
-    // propagation is monotone toward each component's min MEMBER id and
-    // every seed label IS a member id of its (possibly since-merged)
-    // component, so any seed converges to the identical fixpoint — just
-    // in fewer rounds, because unchanged regions START at their answer.
-    // The incremental-maintenance verb: re-cluster after a shard lands
-    // without paying the full graph's diameter again.
-    var labels = {
-      val init = edges.groupBy("u").agg(min(col("v")).as("mn"))
-        .select(col("u"), least(col("u"), col("mn")).as("lab"))
-      seed.fold(init) { sd =>
-        init.join(sd.select(col("u"), col("lab").as("seed_lab")), Seq("u"), "left")
-          .select(col("u"),
-            least(col("lab"), coalesce(col("seed_lab"), col("lab"))).as("lab"))
-      }
-    }
-    // Checkpointed frames the CURRENT `labels` plan still reads; each
-    // round frees the previous round's set once its own materialization
-    // no longer needs them (lineage is truncated, so a superseded frame
-    // can never be demanded again).
-    var live: List[DataFrame] = Nil
-    var converged = false
-    var iter = 0
-    while (!converged && iter < maxIter) {
-      val nbrMin = edges
-        .join(labels.select(col("u").as("v"), col("lab").as("vlab")), "v")
-        .groupBy("u").agg(min(col("vlab")).as("nlab"))
-      // localCheckpoint (lazy) + ONE count(): the round's single Spark
-      // job both materializes the new label frame — blocks persist,
-      // lineage truncates, so per-round plans stay FLAT instead of
-      // deepening (re-analysis + scheduling of a growing plan dominated
-      // wall time on small graphs) — and returns the convergence bit.
-      // The former cache + filter().isEmpty probe was worse on both
-      // axes: isEmpty is take(1), whose partition-escalation scan runs
-      // up to FOUR extra jobs per round precisely when nothing changed
-      // (the common, terminal case), on top of the materialization.
-      val step = T.checkpointed(labels.join(nbrMin, Seq("u"), "left")
-        .select(col("u"), col("lab").as("old"),
-          least(col("lab"), coalesce(col("nlab"), col("lab"))).as("lab")))
-      converged = step.filter(col("lab") < col("old")).count() == 0L
-      var nextLive: List[DataFrame] = step :: Nil
-      labels = step.select("u", "lab")
-      if (!converged && iter + 1 >= jumpAfter) {
-        // Pointer jump (label-of-label): u's label is itself a node, so
-        // compose one hop — lab'(u) = min(lab(u), lab(lab(u))). Halves
-        // the remaining chain depth each round, turning O(diameter)
-        // edge-join rounds into O(log diameter) — the lever that matters
-        // when the EDGE join (corpus-sized) is the per-round cost and a
-        // pathological chain would otherwise mean diameter extra passes.
-        // Deferred until round `jumpAfter`: LSH near-dup clusters are
-        // near-cliques (diameter 1-3) that converge before the jump
-        // would ever fire, so the common case pays zero extra jobs.
-        // Checkpointed + materialized here (the one extra job, on jump
-        // rounds only): the jumped frame is consumed TWICE next round
-        // (nbrMin's build side and step's left side) — lazy, the
-        // node-sized jump join would execute twice per round (the
-        // round-5 2.4× regression in its uncached form).
-        // Monotone and bounded by the component min, so the fixpoint
-        // (and the convergence probe above) are unchanged. Left join:
-        // every label IS a node in `labels`, but stay total anyway.
-        val parent = step.select(col("u").as("p_u"), col("lab").as("p_lab"))
-        labels = T.checkpointed(labels.join(parent, col("lab") === col("p_u"), "left")
-          .select(col("u"),
-            least(col("lab"), coalesce(col("p_lab"), col("lab"))).as("lab")),
-          eager = true)
-        nextLive = labels :: nextLive
-      }
-      live.foreach(T.freeCheckpoint(_))
-      live = nextLive
-      iter += 1
-    }
-    if (!converged)
-      throw new IllegalStateException(
-        s"connectedComponents did not converge in $maxIter rounds — the pair " +
-          "graph's diameter exceeds maxIter; raise it rather than consume " +
-          "partial labels (each extra round is one edge-linear shuffle)")
+    val labels = ccLabels(pairs, maxIter, jumpAfter, seed)
     // Component sizes via agg + join, NOT a count-over-window: a window
     // partition is indivisible — one degenerate giant component would
     // put ALL its rows in a single buffering task (the window must
@@ -166,6 +78,151 @@ object Dedup {
       .select(col("u").as("doc_id"), col("lab").as("cluster_id"),
         col("n_members"))
       .orderBy("doc_id")
+  }
+
+  /** Exact sum of the current label frame — the convergence probe. Label
+    * propagation is pointwise monotone non-increasing, so two consecutive
+    * rounds have equal sums iff the labels are pointwise equal. The sum
+    * is exact: decimal(38,0) holds ~1e38, and any real graph is below
+    * ~1e19 rows × max-long labels. The ONE aggregate job doubles as the
+    * round's checkpoint materialization (the former spelling needed the
+    * per-round old-vs-new join just to feed a changed-rows count).
+    */
+  private def labSum(labels: DataFrame): Option[java.math.BigDecimal] =
+    Option(labels.agg(sum(col("lab").cast("decimal(38,0)"))).head.getDecimal(0))
+
+  /** Value equality of two probe sums (BigDecimal.equals is scale-
+    * sensitive; compareTo is the value compare). None = empty graph.
+    */
+  private def ccSumEq(a: Option[java.math.BigDecimal],
+      b: Option[java.math.BigDecimal]): Boolean = (a, b) match {
+    case (Some(x), Some(y)) => x.compareTo(y) == 0
+    case (None, None) => true
+    case _ => false
+  }
+
+  /** The label fixpoint of [[connectedComponents]] without the trailing
+    * size join / global sort: (u, lab) for every node in a pair, lab =
+    * its component's minimum id. Callers that feed the labels into a
+    * further join (incremental seeding, contracted-graph member
+    * re-attachment) use this directly and skip two exchanges + a sort.
+    */
+  private[graft] def ccLabels(pairs: DataFrame, maxIter: Int = 50,
+      jumpAfter: Int = 2, seed: Option[DataFrame] = None): DataFrame = {
+    // Both directions from ONE pass over pairs (a union of two selects
+    // would run the upstream pair-generation plan twice inside the same
+    // materialization — for LSH pair inputs that is the expensive part).
+    // T.cached: registered for post-materialization release by the
+    // harness mains (the query-lambda contract returns a lazy frame, so
+    // unpersist-before-return would forfeit the reuse it exists for).
+    // repartition(col("v")) BEFORE the cache: every propagation round
+    // joins edges on v, so hash-partitioning the cached frame once lets
+    // the planner co-partition each round's node-sized label frame to it
+    // instead of re-shuffling the EDGE-sized side every round (guide
+    // §2.4 — one exchange, paid once). The count is deliberately NOT
+    // pinned: AQE sizes it from actual edge bytes (tiny fixture → few
+    // partitions → few tasks per round; 100 TB → advisory-sized), which
+    // is the scale-adaptive layout the round loop then inherits.
+    val edges = T.cached(pairs
+      .select(explode(array(
+        struct(col("a_id").cast("long").as("u"), col("b_id").cast("long").as("v")),
+        struct(col("b_id").cast("long").as("u"), col("a_id").cast("long").as("v"))))
+        .as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .repartition(col("v")))
+    // Optional INCREMENTAL seed: labels of a previous run over a
+    // subgraph, folded into the initialization with least(). Label
+    // propagation is monotone toward each component's min MEMBER id and
+    // every seed label IS a member id of its (possibly since-merged)
+    // component, so any seed converges to the identical fixpoint — just
+    // in fewer rounds, because unchanged regions START at their answer.
+    // The incremental-maintenance verb: re-cluster after a shard lands
+    // without paying the full graph's diameter again.
+    val init0 = {
+      val init = edges.groupBy("u").agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("lab"))
+      seed.fold(init) { sd =>
+        init.join(sd.select(col("u"), col("lab").as("seed_lab")), Seq("u"), "left")
+          .select(col("u"),
+            least(col("lab"), coalesce(col("seed_lab"), col("lab"))).as("lab"))
+      }
+    }
+    // Checkpointed frames the CURRENT `labels` plan still reads; each
+    // round frees the previous round's set once its own materialization
+    // no longer needs them (lineage is truncated, so a superseded frame
+    // can never be demanded again).
+    var labels = T.checkpointed(init0)
+    var live: List[DataFrame] = labels :: Nil
+    var prevSum = labSum(labels)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // One round = UNION + min-agg, not join + groupBy + re-join: the
+      // new label min(own, neighborhood) is the min over (u, own lab) ∪
+      // (u, each neighbor's lab), so folding both into one aggregate
+      // removes the per-round nbrMin⋈labels join and its node-sized
+      // exchange (the x_graph_bfs settled∪messages device). Nodes with
+      // no surviving neighbor rows keep their label via the union arm —
+      // the old left join's coalesce, for free.
+      val nbr = edges
+        .join(labels.select(col("u").as("v"), col("lab").as("vlab")), "v")
+        .select(col("u"), col("vlab").as("lab"))
+      // localCheckpoint (lazy) + ONE aggregate: the round's single Spark
+      // job both materializes the new label frame — blocks persist,
+      // lineage truncates, so per-round plans stay FLAT instead of
+      // deepening (re-analysis + scheduling of a growing plan dominated
+      // wall time on small graphs) — and returns the label sum whose
+      // equality with the previous round's is the convergence bit
+      // (labSum's monotonicity argument). The former spelling kept the
+      // per-row old label through a join just to count changed rows.
+      val step = T.checkpointed(
+        nbr.union(labels).groupBy("u").agg(min(col("lab")).as("lab")))
+      val s = labSum(step)
+      converged = ccSumEq(s, prevSum)
+      prevSum = s
+      var nextLive: List[DataFrame] = step :: Nil
+      labels = step
+      if (!converged && iter + 1 >= jumpAfter) {
+        // Pointer jump (label-of-label): u's label is itself a node, so
+        // compose one hop — lab'(u) = min(lab(u), lab(lab(u))). Halves
+        // the remaining chain depth each round, turning O(diameter)
+        // edge-join rounds into O(log diameter) — the lever that matters
+        // when the EDGE join (corpus-sized) is the per-round cost and a
+        // pathological chain would otherwise mean diameter extra passes.
+        // Deferred until round `jumpAfter`: LSH near-dup clusters are
+        // near-cliques (diameter 1-3) that converge before the jump
+        // would ever fire, so the common case pays zero extra jobs.
+        // Checkpointed + materialized here (the one extra job, on jump
+        // rounds only): the jumped frame is consumed TWICE next round
+        // (the nbr join side and the union arm) — lazy, the node-sized
+        // jump join would execute twice per round (the round-5 2.4×
+        // regression in its uncached form).
+        // Monotone and bounded by the component min, so the fixpoint is
+        // unchanged. prevSum is re-taken from the POST-jump labels (the
+        // labSum agg is also what materializes this lazy checkpoint —
+        // same one job the former eager materialization paid): comparing
+        // the next step against the pre-jump sum instead would spend one
+        // extra full propagation round whenever convergence lands right
+        // after an effective jump (measured +0.3 s on the diameter-14
+        // x_graph_cc path graph). Left join: every label IS a node in
+        // `labels`, but stay total.
+        val parent = step.select(col("u").as("p_u"), col("lab").as("p_lab"))
+        labels = T.checkpointed(labels.join(parent, col("lab") === col("p_u"), "left")
+          .select(col("u"),
+            least(col("lab"), coalesce(col("p_lab"), col("lab"))).as("lab")))
+        prevSum = labSum(labels)
+        nextLive = labels :: nextLive
+      }
+      live.foreach(T.freeCheckpoint(_))
+      live = nextLive
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds — the pair " +
+          "graph's diameter exceeds maxIter; raise it rather than consume " +
+          "partial labels (each extra round is one edge-linear shuffle)")
+    labels
   }
 
   /** Transitive-closure dedup policy: every connected component of the
@@ -284,16 +341,21 @@ object Dedup {
     *  2. band-join among REPS ONLY (identical sigs agree on all 8 bands,
     *     so doc~doc band agreement ≡ rep~rep agreement — the quotient
     *     graph has the same ≥minBands edges);
-    *  3. CC over {rep↔rep pairs} ∪ {rep→member stars}: the star edges
-    *     re-attach each group (its members are pairwise 8-band dups by
-    *     construction, ≥ minBands for any valid threshold), so
-    *     components, min-id cluster labels, and member counts all equal
-    *     the uncontracted graph's. Edge volume drops from Σk² to
-    *     n + Σ(rep pairs) — corpus-linear plus a reps-sized join.
+    *  3. CC over the rep↔rep pairs ONLY; members re-attach through one
+    *     docRep join after the fixpoint (a group's members are pairwise
+    *     8-band dups by construction, ≥ minBands for any valid
+    *     threshold, so a member's component is exactly its rep's), and
+    *     cluster labels still equal the uncontracted graph's min doc_id
+    *     (rep = min of its group ⇒ component min doc = component min
+    *     rep). Components, labels and member counts all equal the
+    *     uncontracted graph's, while the propagation loop's edge volume
+    *     drops from corpus-sized (the former star edges) to Σ(rep
+    *     pairs) — distinct-signatures-sized.
     *
     * Requires minBands ≤ 8 (a group's internal agreement is all 8 bands);
-    * singleton reps with no rep-pairs correctly vanish (no edges), and a
-    * paired group surfaces every member via its star.
+    * singleton reps with no rep-pairs correctly vanish, and an internally
+    * duplicated group (k ≥ 2) surfaces every member even when its rep
+    * pairs with no other rep.
     */
   def minhashComponents(docs: DataFrame, minBands: Int = 4): DataFrame = {
     val sigs = T.cached(minhashSignatures(docs))
@@ -306,10 +368,6 @@ object Dedup {
       .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("n_docs"))
     val docRep = T.cached(full.join(groups, "sig")
       .select(col("doc_id"), col("rep"), col("n_docs")))
-    // Star edges rep→member re-attach contracted groups (k−1 edges per
-    // k-doc group, vs the naive graph's k-clique).
-    val stars = docRep.filter(col("doc_id") =!= col("rep"))
-      .select(col("rep").as("a_id"), col("doc_id").as("b_id"))
     // Band join among representatives only: the hot-bucket fan-out is now
     // bounded by DISTINCT signatures per band value, not docs.
     val repSigs = sigs.join(
@@ -321,7 +379,23 @@ object Dedup {
       .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_bands"))
       .filter(col("n_bands") >= minBands)
       .select("a_id", "b_id")
-    connectedComponents(stars.union(repPairs))
+    // CC over the REP graph only — the star edges never enter the
+    // propagation loop (they used to make every round's edge join
+    // corpus-sized; the rep graph is distinct-signatures-sized). Labels
+    // transfer to members unchanged: rep = min(doc_id) of its group, so
+    // a component's min doc_id over all member docs IS its min rep id —
+    // exactly ccLabels' fixpoint over repPairs. A doc surfaces iff its
+    // group is internally duplicated (k ≥ 2 — the old star edges) or its
+    // rep meets another rep; star-only groups label by their own rep.
+    val repLab = ccLabels(repPairs)
+      .select(col("u").as("rep"), col("lab"))
+    val labeled = docRep.join(repLab, Seq("rep"), "left")
+      .filter(col("n_docs") >= 2 || col("lab").isNotNull)
+      .select(col("doc_id"), coalesce(col("lab"), col("rep")).as("lab"))
+    val sizes = labeled.groupBy("lab").agg(count(lit(1)).as("n_members"))
+    labeled.join(sizes, "lab")
+      .select(col("doc_id"), col("lab").as("cluster_id"), col("n_members"))
+      .orderBy("doc_id")
   }
 
   /** Build the persisted corpus index: signatures written as a managed

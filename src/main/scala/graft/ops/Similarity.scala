@@ -664,8 +664,10 @@ object Similarity {
           (pmod(col("doc_id"), lit(84)) + lit(6)).as("b_id"))
         .distinct()
       val base = all.filter(col("a_id") < 60)
-      val seed = graft.operators.Dedup.connectedComponents(base)
-        .select(col("doc_id").as("u"), col("cluster_id").as("lab"))
+      // ccLabels: the seed only feeds the re-run's initialization, so
+      // the full CC output's size join + global sort are dead weight —
+      // identical (u, lab) rows either way
+      val seed = graft.operators.Dedup.ccLabels(base)
       graft.operators.Dedup.connectedComponents(all, seed = Some(seed))
         .select(col("doc_id").as("node"), col("cluster_id").as("component"),
           col("n_members"))
