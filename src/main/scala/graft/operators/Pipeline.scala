@@ -72,7 +72,15 @@ final class Pipeline private (
   def writeParquet(path: String): Unit = {
     val out = run()
     // whole z-slabs per task at an explicit count — see
-    // DocumentIO.writePartitioned for the tasks×partitions rationale
+    // DocumentIO.writePartitioned for the tasks×partitions rationale.
+    // KNOWN SKEW LIMIT (r18 advice, accepted): hashing on z alone puts
+    // each z-slab through ONE writer task and pins the layout past AQE
+    // skew-splitting — correct for volume stores, whose slabs are
+    // near-uniform by construction (a slab is one z-range of a dense
+    // grid), but a store with one oversized partition value would
+    // serialize it; such a caller should add a salt/secondary column to
+    // the repartition (trading the one-file-per-slab layout for fan-out)
+    // rather than this default changing shape under it.
     out.repartition(
         math.max(out.sparkSession.sparkContext.defaultParallelism, 1),
         org.apache.spark.sql.functions.col("z"))

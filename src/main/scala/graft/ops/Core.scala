@@ -33,11 +33,17 @@ private[graft] object T {
     // physical schema (pre-normalizeTs), so the ns-as-long dispatch
     // below still sees exactly what inference saw.
     val path = s"$sfDir/$name.parquet"
+    // Size cap: the key set is fixture-table-sized in a bench run, but a
+    // long-lived service calling with ever-new paths must not grow driver
+    // memory without bound (r18 advice). Wholesale clear is correct for a
+    // pure cache — one re-inference per live entry, then steady state.
+    if (!schemaMemo.contains(path) && schemaMemo.size >= 256)
+      schemaMemo.clear()
     val sch = schemaMemo.getOrElseUpdate(path, s.read.parquet(path).schema)
     normalizeTs(s.read.schema(sch).parquet(path))
   }
 
-  private val schemaMemo =
+  private[graft] val schemaMemo =
     scala.collection.concurrent.TrieMap
       .empty[String, org.apache.spark.sql.types.StructType]
 
@@ -89,6 +95,12 @@ private[graft] object T {
     * fresh scratch root would silently keep serving the old root — a
     * fresh name per invocation gets a fresh instance, and the handful
     * of stale entries in the session's CatalogManager are inert.
+    * Known slow growth (r18 advice, accepted): each name leaves one
+    * `spark.sql.catalog.<name>` conf pair + catalog instance on the
+    * shared sibling session for its lifetime — bytes per invocation, so
+    * even a service running millions of fixture invocations accrues only
+    * MBs; reclaiming would mean rebuilding the sibling session, which is
+    * exactly the per-invocation fixed cost the sharing removed.
     */
   def freshName(prefix: String): String =
     s"${prefix}_${freshNameCounter.incrementAndGet()}"

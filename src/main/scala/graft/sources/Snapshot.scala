@@ -1124,6 +1124,17 @@ object Snapshot {
     // contract with zero extra jobs (empty ⇒ delete the dir, return
     // cur). A crash leaves only a `_stage_tmp.*` dir: never referenced,
     // swept by vacuum.
+    // ATOMICITY SCOPE (r18 verdict #3): fs.rename is atomic on HDFS and
+    // local/POSIX filesystems — the only deployments this engine
+    // targets. On an object store (S3-style), rename is copy+delete and
+    // a crash mid-rename can leave a PARTIAL v{n} dir; the manifest
+    // write below remains the commit point (readers resolve files
+    // through the manifest, never by listing v{n}), so committed reads
+    // stay correct, but the orphaned partial dir then needs vacuum and
+    // the claimed version number is burned. Deploying over an object
+    // store should swap this rename for a store-native atomic commit
+    // (e.g. conditional PUT of the manifest referencing staged paths
+    // directly) — the crash-window analysis here covers POSIX only.
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new Path(dir, s"_stage_tmp.${java.util.UUID.randomUUID}")
     try {
@@ -1654,7 +1665,8 @@ object Snapshot {
       manifest: Seq[MEntry], hit: Array[String], keep: DataFrame => DataFrame,
       partCol: String, checksumCol: String,
       statsCol: Option[String], dropDv: Boolean,
-      posMask: Option[DataFrame] = None, dropPosDv: Boolean = false): Int = {
+      posMask: Option[DataFrame] = None, dropPosDv: Boolean = false,
+      rangeBuckets: Option[Int] = None): Int = {
     // which sidecar kinds this rewrite MATERIALIZES (and therefore
     // sheds from the staged manifest): dropDv = key DVs ('dv'),
     // dropPosDv = position DVs ('dvp') — applyMorDeletes runs the two
@@ -1675,11 +1687,15 @@ object Snapshot {
     val n = claimVersion(spark, dir)
     val base = readFiles(spark, dir, cur, hit, posMask)
     val kept = keep(base)
-    // keep ~the affected file count so purge neither fragments nor
-    // collapses the clustered layout; sort restores tight stat ranges
+    // rangeBuckets defaults to ~the affected file count so purge neither
+    // fragments nor collapses the clustered layout; a COMPACTION caller
+    // overrides it with its target post-compaction count (≈ one bucket
+    // per affected partition value) so fragmented clustered partitions
+    // actually collapse instead of being rewritten file-for-file
+    // (r18 advice); sort restores tight stat ranges either way
     val laid = statsCol match {
       case Some(c) => kept.withColumn("_p", partExpr(partCol))
-        .repartitionByRange(hit.length, col("_p"), col(c))
+        .repartitionByRange(rangeBuckets.getOrElse(hit.length), col("_p"), col(c))
         .sortWithinPartitions("_p", c)
       case None => stagedLayout(spark, kept.withColumn("_p", partExpr(partCol)))
     }
@@ -2510,7 +2526,7 @@ object Snapshot {
     manifestEntries(spark, dir, n).filterNot(_.isDv)
 
   /** [[readFiles]]' per-generation physical-schema memo — see raw(). */
-  private val fileSchemaMemo =
+  private[graft] val fileSchemaMemo =
     scala.collection.concurrent.TrieMap
       .empty[String, org.apache.spark.sql.types.StructType]
 
@@ -3213,6 +3229,12 @@ object Snapshot {
           // (a republished table's live sets never mix lineages; time
           // travel to the old lineage keys separately)
           s"$dir::mixed::v${gens.min}"
+      // Size cap: one entry per generation lineage is tiny per table,
+      // but a long-lived service committing forever must not grow the
+      // memo without bound (r18 advice). Clearing a pure cache costs one
+      // footer re-inference per live lineage, then steady state again.
+      if (!fileSchemaMemo.contains(key) && fileSchemaMemo.size >= 256)
+        fileSchemaMemo.clear()
       val sch = fileSchemaMemo.getOrElseUpdate(key,
         spark.read.parquet(abs: _*).schema)
       val df0 = spark.read.schema(sch).parquet(abs: _*)
@@ -4849,9 +4871,15 @@ object Snapshot {
       // healed + fragmented rewrite keeps the range-partitioned sort
       // (stagePurgeCore's Some(c) path), so restampFreshStats records
       // TIGHT [lo,hi] ranges instead of broadly overlapping ones
-      // (ADVICE r17)
+      // (ADVICE r17). rangeBuckets sizes the clustered rewrite to the
+      // post-compaction target — ≈ one bucket per affected partition
+      // value — instead of stagePurgeCore's count-preserving default,
+      // which would rewrite a 20-file fragmented partition back into
+      // ~20 files and never actually compact it (ADVICE r18)
       val n = stagePurgeCore(spark, dir, manifest, hit, identity,
-        partCol, checksumCol, statsCol = statsCol, dropDv = false)
+        partCol, checksumCol, statsCol = statsCol, dropDv = false,
+        rangeBuckets = Some(math.max(1,
+          fragmented.size + heal.map(_.part).distinct.size)))
       // stagePurgeCore's Some(c) path already records the fresh files'
       // [lo,hi] in the manifest it writes — no restamp pass needed
       commit(spark, dir, n, currentTag(spark, dir))

@@ -722,4 +722,31 @@ class LibrarySpec extends SparkSpec {
       .toDF("u").select(graft.functions.UrlOps.urlHost(col("u"))).as[String].collect()
     assert(hosts.toSeq === Seq("example.com", "sub.www.site.org"))
   }
+
+  test("driver-side schema memos are size-capped (r18 advice: a " +
+      "long-lived service over endless scratch paths must not pin them)") {
+    import org.apache.spark.sql.types.StructType
+    // T.t's fixture-path memo: flood past the cap, then a real lookup
+    // must still work and the map must have shed the synthetic entries.
+    graft.ops.T.schemaMemo.clear()
+    (1 to 256).foreach(i =>
+      graft.ops.T.schemaMemo.put(s"/nowhere/tbl_$i.parquet", StructType(Nil)))
+    val df = graft.ops.T.t(spark, sf(), "documents")
+    assert(df.columns.contains("doc_id"))
+    assert(graft.ops.T.schemaMemo.size <= 256)
+    assert(graft.ops.T.schemaMemo.size < 50,
+      "cap clear should have dropped the flood entries")
+    // Snapshot's per-generation memo: same cap, exercised through a real
+    // publish + read so the post-clear lookup path is the production one.
+    val dir = java.nio.file.Files.createTempDirectory("memocap").toString
+    val docs = graft.ops.T.t(spark, sf(), "documents").limit(20)
+    graft.sources.Snapshot.publish(spark, dir, docs, "lang", "text")
+    graft.sources.Snapshot.fileSchemaMemo.clear()
+    (1 to 256).foreach(i =>
+      graft.sources.Snapshot.fileSchemaMemo.put(s"/nowhere/v$i/", StructType(Nil)))
+    assert(graft.sources.Snapshot.read(spark, dir).count() === 20L)
+    assert(graft.sources.Snapshot.fileSchemaMemo.size <= 256)
+    assert(graft.sources.Snapshot.fileSchemaMemo.size < 50,
+      "cap clear should have dropped the flood entries")
+  }
 }
