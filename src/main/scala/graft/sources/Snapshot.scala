@@ -1699,19 +1699,29 @@ object Snapshot {
         .sortWithinPartitions("_p", c)
       case None => stagedLayout(spark, kept.withColumn("_p", partExpr(partCol)))
     }
-    val staged = laid.localCheckpoint() // see stageCow: never race own input
-    val purgedAll = staged.isEmpty // every affected row deleted → no v$n files
-    // CHECK enforcement on the kept/transformed rows (a pure delete
-    // cannot violate, but updateWhere routes here and can); release the
-    // checkpoint before a refusal propagates
-    if (!purgedAll) {
-      try requireConstraints(spark, dir, cur, staged.drop("_p"),
-        "rewritten rows")
-      catch { case e: Throwable =>
-        staged.unpersist(blocking = true); throw e }
-      staged.write.mode("overwrite").partitionBy("_p").parquet(s"$dir/v$n")
-    }
-    staged.unpersist(blocking = true)
+    // localCheckpoint ONLY when CHECK constraints exist (the stageCow
+    // device): constraints must validate exactly the rows the write then
+    // lands, so with constraints the frame materializes once and both
+    // consumers read the blocks; without them the write is the ONLY
+    // consumer and the former unconditional checkpoint + isEmpty probe
+    // were two extra jobs per rewrite. The write never races its input
+    // either way (it reads the base version's immutable files and writes
+    // a fresh v$n dir). purgedAll is derived from what LANDED — an
+    // all-rows-deleted rewrite writes no _p= dirs (the stageAppend
+    // device) — instead of a pre-write isEmpty pass.
+    val checks = constraintsAt(spark, dir, cur)
+    val staged = if (checks.nonEmpty) laid.localCheckpoint() else laid
+    try requireConstraints(spark, dir, cur, staged.drop("_p"),
+      "rewritten rows")
+    catch { case e: Throwable =>
+      if (checks.nonEmpty) staged.unpersist(blocking = true); throw e }
+    staged.write.mode("overwrite").partitionBy("_p").parquet(s"$dir/v$n")
+    if (checks.nonEmpty) staged.unpersist(blocking = true)
+    val vDir = new Path(s"$dir/v$n")
+    val vfs = vDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val purgedAll =
+      !vfs.listStatus(vDir).exists(_.getPath.getName.startsWith("_p="))
+    if (purgedAll) vfs.delete(vDir, true) // leave no empty version dir
     val hitSet = hit.toSet
     val carryBase = manifest.filterNot(shed)
     val carried = carryBase.filterNot(e => hitSet.contains(e.path))
@@ -2237,15 +2247,21 @@ object Snapshot {
     require(keys.columns.contains(keyCol),
       s"delete key frame lacks column '$keyCol' (has: ${keys.columns.mkString(", ")})")
     requireDataKeyCol(spark, dir, cur, keyCol)
-    // same guard as the Seq overload: an empty frame would either fail
-    // the sidecar read-back with a confusing no-schema error (zero part
-    // files written) or commit a pointless no-op version
-    require(!keys.select(keyCol).isEmpty,
-      "empty delete key set — nothing to delete")
+    // The empty-frame guard moved POST-write (the stageAppend device):
+    // the former pre-write isEmpty probe evaluated the — typically
+    // join-derived — key plan a second time on every delete. The sidecar
+    // is written once, read back under the key's EXPLICIT schema (so
+    // zero part files cannot produce a no-schema error), and an empty
+    // result cleans up and refuses with the same message; the claimed
+    // version number is burned in that error path, which commit
+    // tolerates (stagePurgeCore's constraint refusal already does this).
     val n = claimVersion(spark, dir)
+    val dvDir = s"$dir/v$n/_dv"
     keys.select(keyCol).distinct()
-      .write.mode("overwrite").parquet(s"$dir/v$n/_dv")
-    val dvManifest = collectEntries(spark.read.parquet(s"$dir/v$n/_dv")
+      .write.mode("overwrite").parquet(dvDir)
+    val keySchema = org.apache.spark.sql.types.StructType(
+      Seq(keys.select(keyCol).schema.head))
+    val dvManifest = collectEntries(spark.read.schema(keySchema).parquet(dvDir)
       .groupBy(input_file_name().as("abs"))
       .agg(count(lit(1)).as("n_rows"),
         sum(conv(substring(md5(col(keyCol).cast("string")), 1, 8), 16, 10)
@@ -2256,6 +2272,11 @@ object Snapshot {
         lit(null).cast("double").as("stat_hi"),
         lit(null).cast("string").as("stat_col"),
         lit("dv").as("kind")))
+    if (dvManifest.forall(e => e.nRows == null || e.nRows.longValue == 0L)) {
+      val p = new Path(s"$dir/v$n")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      require(false, "empty delete key set — nothing to delete")
+    }
     writeManifestEntries(spark, dir, n,
       manifestEntries(spark, dir, cur) ++ dvManifest)
     n
