@@ -893,10 +893,14 @@ object EventTime {
           explode(expr("sequence(h0, h1, interval 1 hour)")).as("hour"))
       val w = Window.partitionBy("user_id").orderBy("hour")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      grid.join(hourly, Seq("user_id", "hour"), "left")
-        .select(col("user_id"), col("hour"),
-          last(col("v"), ignoreNulls = true).over(w).as("value_ffill"),
-          coalesce(col("n_obs"), lit(0L)).as("n_obs"))
+      // lazy localCheckpoint BEFORE the global orderBy — the range
+      // partitioner's sampling pass otherwise re-executes the grid join
+      // + ffill window (w_frame_range's measured device)
+      graft.ops.T.checkpointed(
+        grid.join(hourly, Seq("user_id", "hour"), "left")
+          .select(col("user_id"), col("hour"),
+            last(col("v"), ignoreNulls = true).over(w).as("value_ffill"),
+            coalesce(col("n_obs"), lit(0L)).as("n_obs")))
         .orderBy("user_id", "hour")
     }),
 

@@ -361,10 +361,14 @@ object Joins {
       val w = Window.partitionBy("user_id")
         .orderBy(col("pt"), col("kind"), col("ver"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      dim.unionByName(grid)
+      // lazy localCheckpoint BEFORE the global orderBy: the range
+      // exchange's partitioner samples its child, re-executing the
+      // union + as-of window — the expensive final stage — a second
+      // time (w_frame_range's measured device). Values/order unchanged.
+      graft.ops.T.checkpointed(dim.unionByName(grid)
         .withColumn("state_at", last(col("state"), ignoreNulls = true).over(w))
         .filter(col("kind") === 1 && col("state_at").isNotNull)
-        .select(col("user_id"), col("pt").as("hour"), col("state_at"))
+        .select(col("user_id"), col("pt").as("hour"), col("state_at")))
         .orderBy("user_id", "hour")
     }),
 

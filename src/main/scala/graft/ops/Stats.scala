@@ -74,6 +74,11 @@ object Stats {
       val li = t(s, d, "lineitem")
       val med = li.groupBy("l_returnflag")
         .agg(round(expr("percentile(l_extendedprice, 0.5D)"), 6).as("med"))
+      // NOT cached (tried r19, reverted): dev's two consumers are the
+      // mad broadcast-subquery future and the main aggregate, which
+      // materialize CONCURRENTLY — a lazy persist makes both race to
+      // build the same blocks (measured 3.1 → 5.9 s), where uncached
+      // each simply computes its own cheap scan+join+abs pass.
       val dev = li.join(broadcast(med), Seq("l_returnflag"))
         .withColumn("dev", abs(col("l_extendedprice") - col("med")))
       val mad = dev.groupBy("l_returnflag")

@@ -74,10 +74,16 @@ object Windows {
     "w_frame_range" -> ((s, d) => {
       val w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice")
         .rangeBetween(-1000, 0)
-      t(s, d, "orders")
+      // lazy localCheckpoint BEFORE the global orderBy: the range
+      // exchange's partitioner SAMPLES its child, which re-executed the
+      // whole sliding-frame window — the one expensive operator here —
+      // a second time (two equal ~1.2 s jobs in the profile). The
+      // checkpoint materializes the window once; the sample and the
+      // shuffle both read blocks. Values and final order are untouched.
+      graft.ops.T.checkpointed(t(s, d, "orders")
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
           count(lit(1)).over(w).as("band_n"),
-          decOut(sum(dec(col("o_totalprice"))).over(w)).as("band_sum"))
+          decOut(sum(dec(col("o_totalprice"))).over(w)).as("band_sum")))
         .orderBy("o_orderstatus", "o_totalprice", "o_orderkey")
     }),
 
