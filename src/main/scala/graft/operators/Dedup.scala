@@ -358,12 +358,23 @@ object Dedup {
     * pairs with no other rep.
     */
   def minhashComponents(docs: DataFrame, minBands: Int = 4): DataFrame = {
-    val sigs = T.cached(minhashSignatures(docs))
+    // Cache the per-doc signature ARRAY (8 strings/doc), not the
+    // exploded rows: the band frame posexplodes it and the contraction
+    // key derives from it with a per-row transform — the former
+    // groupBy(doc_id) + collect_list rebuild of what the expression had
+    // already produced was a full corpus-sized shuffle, and the md5
+    // hashing still runs exactly once (cache build).
+    graft.ops.Custom.register(docs.sparkSession)
+    val sigArr = T.cached(docs.select(col("doc_id").cast("long").as("doc_id"),
+      expr("graft_minhash_md5(text)").as("sigs")))
+    val sigs = sigArr.select(col("doc_id"),
+      posexplode(col("sigs")).as(Seq("seed", "mh")))
     // Full-signature contraction key: seeds are a fixed 0..7 enumeration,
-    // so the seed-ordered concat is deterministic per doc.
-    val full = sigs.groupBy("doc_id")
-      .agg(concat_ws("|", array_sort(collect_list(
-        concat_ws("#", col("seed"), col("mh"))))).as("sig"))
+    // so the seed-ordered concat is deterministic per doc — and
+    // transform's (element, index) lambda spells the same "seed#mh"
+    // strings the exploded frame's concat_ws did.
+    val full = sigArr.select(col("doc_id"), concat_ws("|", array_sort(
+      expr("transform(sigs, (mh, i) -> concat(i, '#', mh))"))).as("sig"))
     val groups = full.groupBy("sig")
       .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("n_docs"))
     val docRep = T.cached(full.join(groups, "sig")
