@@ -334,43 +334,16 @@ object Joins {
     // change BEFORE the grid point that must see it (valid_from is
     // inclusive), ver breaks same-ms change ties by recency. Grid points
     // before a user's first change are dropped (no prevailing state).
-    "j_pit_scd2" -> ((s, d) => {
-      val e = t(s, d, "events")
-        .withColumn("ts_ms", truncNtz("millisecond", col("ts")))
-      val ord = Window.partitionBy("user_id").orderBy(col("ts_ms"), col("event_id"))
-      val dim = e
-        .withColumn("chg",
-          when(lag(col("event_type"), 1).over(ord).isNull ||
-            lag(col("event_type"), 1).over(ord) =!= col("event_type"), 1L)
-            .otherwise(0L))
-        .withColumn("ver", sum(col("chg")).over(
-          ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .groupBy(col("user_id"), col("ver"))
-        .agg(first(col("event_type")).as("state"),
-          min(col("ts_ms")).as("pt"))
-        .select(col("user_id"), col("pt"), lit(0).as("kind"),
-          col("ver"), col("state"))
-      val grid = e.groupBy("user_id")
-        .agg(min(truncNtz("hour", col("ts_ms"))).as("h0"),
-          max(truncNtz("hour", col("ts_ms"))).as("h1"))
-        .select(col("user_id"),
-          explode(expr("sequence(h0, h1, interval 1 hour)")).as("pt"))
-        .select(col("user_id"), col("pt"), lit(1).as("kind"),
-          lit(Long.MaxValue).as("ver"),
-          lit(null).cast("string").as("state"))
-      val w = Window.partitionBy("user_id")
-        .orderBy(col("pt"), col("kind"), col("ver"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    "j_pit_scd2" -> ((s, d) =>
       // lazy localCheckpoint BEFORE the global orderBy: the range
       // exchange's partitioner samples its child, re-executing the
       // union + as-of window — the expensive final stage — a second
       // time (w_frame_range's measured device). Values/order unchanged.
-      graft.ops.T.checkpointed(dim.unionByName(grid)
-        .withColumn("state_at", last(col("state"), ignoreNulls = true).over(w))
-        .filter(col("kind") === 1 && col("state_at").isNotNull)
-        .select(col("user_id"), col("pt").as("hour"), col("state_at")))
-        .orderBy("user_id", "hour")
-    }),
+      // The device itself (no join, union + window) is pinned by
+      // PlanShapeSpec on [[pitScd2Resolve]] — the checkpoint hides it
+      // from this frame's executed plan.
+      graft.ops.T.checkpointed(pitScd2Resolve(s, d))
+        .orderBy("user_id", "hour")),
 
     // RUNTIME BLOOM-FILTER join reduction — Spark's runtime row-level
     // filtering, the scan-side lever AQE can't give you: a selective
@@ -638,6 +611,48 @@ object Joins {
   )
 
   /** j_dpp scratch tables: one per JVM, graded read phase reuses them. */
+  /** j_pit_scd2's pre-sort frame — the UNION-WINDOW point-in-time
+    * resolution (no join anywhere): dim changes and grid points
+    * interleave on (ts, kind, ver) and `last(state, ignoreNulls)`
+    * carries the prevailing state forward. Factored out so
+    * PlanShapeSpec can pin the device's plan shape directly — the
+    * graded key wraps this in a lazy checkpoint (whose executed plan
+    * shows only the materialized RDD) before its global sort.
+    */
+  private[graft] def pitScd2Resolve(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val e = t(s, d, "events")
+      .withColumn("ts_ms", truncNtz("millisecond", col("ts")))
+    val ord = Window.partitionBy("user_id").orderBy(col("ts_ms"), col("event_id"))
+    val dim = e
+      .withColumn("chg",
+        when(lag(col("event_type"), 1).over(ord).isNull ||
+          lag(col("event_type"), 1).over(ord) =!= col("event_type"), 1L)
+          .otherwise(0L))
+      .withColumn("ver", sum(col("chg")).over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("ver"))
+      .agg(first(col("event_type")).as("state"),
+        min(col("ts_ms")).as("pt"))
+      .select(col("user_id"), col("pt"), lit(0).as("kind"),
+        col("ver"), col("state"))
+    val grid = e.groupBy("user_id")
+      .agg(min(truncNtz("hour", col("ts_ms"))).as("h0"),
+        max(truncNtz("hour", col("ts_ms"))).as("h1"))
+      .select(col("user_id"),
+        explode(expr("sequence(h0, h1, interval 1 hour)")).as("pt"))
+      .select(col("user_id"), col("pt"), lit(1).as("kind"),
+        lit(Long.MaxValue).as("ver"),
+        lit(null).cast("string").as("state"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("pt"), col("kind"), col("ver"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dim.unionByName(grid)
+      .withColumn("state_at", last(col("state"), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1 && col("state_at").isNotNull)
+      .select(col("user_id"), col("pt").as("hour"), col("state_at"))
+  }
+
   private lazy val dppFactScratch: String = T.scratchDir("graft_dpp_fact")
   private lazy val dppDimScratch: String = T.scratchDir("graft_dpp_dim")
 

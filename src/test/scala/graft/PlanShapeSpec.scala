@@ -286,8 +286,11 @@ class PlanShapeSpec extends SparkSpec {
     // the union-window device's whole point: the PIT resolution that a
     // naive implementation writes as a range join (grid × intervals,
     // quadratic per user) must plan as union + per-user window — no
-    // join operator of any kind in the physical plan.
-    val plan = SparkEntry.queries("j_pit_scd2")(spark, sf())
+    // join operator of any kind in the physical plan. Pinned on the
+    // pre-sort resolve frame: the graded key wraps it in a lazy
+    // checkpoint (so the sort's range sampling doesn't re-run the
+    // window), whose executed plan shows only the materialized RDD.
+    val plan = graft.ops.Joins.pitScd2Resolve(spark, sf())
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Join"), s"PIT resolution planned a join:\n$plan")
     assert(plan.contains("Window"), s"no window found:\n$plan")
